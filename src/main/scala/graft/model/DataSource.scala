@@ -1,0 +1,142 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Batch/stream sources, mirroring the reference DataSource surface
+  * (sdk/python/feast/data_source.py:221-547, DataSource.proto:28-140):
+  * every source declares an event-timestamp column, an optional
+  * created-timestamp column, a field mapping (source column -> feature
+  * name, applied forward on read — provider.py:251-260) and an optional
+  * date partition column for partition-pruned scans.
+  */
+sealed trait DataSource extends Serializable {
+  def eventTimestampColumn: String
+  def createdTimestampColumn: Option[String]
+  def fieldMapping: Map[String, String]
+  def datePartitionColumn: Option[String]
+}
+
+/** Parquet/CSV/JSON/Delta path source (reference FileSource,
+  * data_source.py:221-377). */
+final case class FileSource(
+    path: String,
+    eventTimestampColumn: String,
+    createdTimestampColumn: Option[String] = None,
+    fieldMapping: Map[String, String] = Map.empty,
+    datePartitionColumn: Option[String] = None,
+    format: String = "parquet",
+    options: Map[String, String] = Map.empty) extends DataSource
+
+/** Catalog table / temp view source — generalizes the reference's
+  * BigQuery/Redshift table sources (bigquery.py:701-825) to anything
+  * addressable through the Spark catalog. */
+final case class TableSource(
+    table: String,
+    eventTimestampColumn: String,
+    createdTimestampColumn: Option[String] = None,
+    fieldMapping: Map[String, String] = Map.empty,
+    datePartitionColumn: Option[String] = None) extends DataSource
+
+/** SQL-query source (reference BigQuerySource(query=...)). */
+final case class QuerySource(
+    query: String,
+    eventTimestampColumn: String,
+    createdTimestampColumn: Option[String] = None,
+    fieldMapping: Map[String, String] = Map.empty,
+    datePartitionColumn: Option[String] = None) extends DataSource
+
+/** In-memory DataFrame source — test/dev convenience; not persistable
+  * to the registry. */
+final case class DataFrameSource(
+    @transient df: DataFrame,
+    eventTimestampColumn: String,
+    createdTimestampColumn: Option[String] = None,
+    fieldMapping: Map[String, String] = Map.empty) extends DataSource {
+  def datePartitionColumn: Option[String] = None
+}
+
+/** Kafka stream source (reference data_source.py:380-462,
+  * DataSource.proto:85-98). Unlike the reference — where stream sources
+  * are declarative-only metadata — this engine consumes them with
+  * Structured Streaming (graft.streaming). */
+final case class KafkaSource(
+    bootstrapServers: String,
+    topic: String,
+    messageFormat: StreamFormat,
+    eventTimestampColumn: String,
+    createdTimestampColumn: Option[String] = None,
+    fieldMapping: Map[String, String] = Map.empty) extends DataSource {
+  def datePartitionColumn: Option[String] = None
+}
+
+/** File-backed stream source: replays a path as a stream via
+  * spark.readStream (used for tests/bench where no broker exists). */
+final case class FileStreamSource(
+    path: String,
+    format: String,
+    eventTimestampColumn: String,
+    createdTimestampColumn: Option[String] = None,
+    fieldMapping: Map[String, String] = Map.empty,
+    maxFilesPerTrigger: Option[Int] = None) extends DataSource {
+  def datePartitionColumn: Option[String] = None
+}
+
+sealed trait StreamFormat extends Serializable
+object StreamFormat {
+  /** Avro with an explicit schema json (decoded with from_avro). */
+  final case class Avro(schemaJson: String) extends StreamFormat
+  /** JSON with a Spark DDL schema string (decoded with from_json). */
+  final case class Json(schemaDdl: String) extends StreamFormat
+}
+
+object SourceReader {
+  import org.apache.spark.sql.functions._
+
+  /** Batch read of a source: load, apply forward field mapping
+    * (provider.py:251-260), leave timestamps native (session TZ is UTC —
+    * O8 normalization happens at the session boundary). */
+  def read(spark: SparkSession, source: DataSource): DataFrame = {
+    val raw = source match {
+      case f: FileSource =>
+        spark.read.format(f.format).options(f.options).load(f.path)
+      case t: TableSource => spark.table(t.table)
+      case q: QuerySource => spark.sql(q.query)
+      case d: DataFrameSource => d.df
+      case s: FileStreamSource =>
+        spark.read.format(s.format).load(s.path)
+      case k: KafkaSource =>
+        throw new IllegalArgumentException(
+          s"Kafka source ${k.topic} is stream-only; use graft.streaming")
+    }
+    applyFieldMapping(graft.sources.Tables.normalize(raw, Nil), source.fieldMapping)
+  }
+
+  /** Stream read (Structured Streaming). */
+  def readStream(spark: SparkSession, source: DataSource): DataFrame = source match {
+    case s: FileStreamSource =>
+      val schema = spark.read.format(s.format).load(s.path).schema
+      val rdr = spark.readStream.schema(schema).format(s.format)
+      val withOpt = s.maxFilesPerTrigger.fold(rdr)(n => rdr.option("maxFilesPerTrigger", n))
+      applyFieldMapping(withOpt.load(s.path), s.fieldMapping)
+    case k: KafkaSource =>
+      val raw = spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", k.bootstrapServers)
+        .option("subscribe", k.topic)
+        .load()
+      val decoded = k.messageFormat match {
+        case StreamFormat.Avro(schemaJson) =>
+          raw.select(org.apache.spark.sql.avro.functions.from_avro(col("value"), schemaJson).as("v"))
+            .select(col("v.*"))
+        case StreamFormat.Json(ddl) =>
+          raw.select(from_json(col("value").cast("string"),
+            org.apache.spark.sql.types.StructType.fromDDL(ddl)).as("v"))
+            .select(col("v.*"))
+      }
+      applyFieldMapping(decoded, k.fieldMapping)
+    case other =>
+      throw new IllegalArgumentException(s"source $other is not streamable")
+  }
+
+  def applyFieldMapping(df: DataFrame, mapping: Map[String, String]): DataFrame =
+    if (mapping.isEmpty) df else df.withColumnsRenamed(mapping)
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import java.time.Duration
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+
+/** The engine's signature operator: the point-in-time (as-of) join.
+  *
+  * Semantics (reference: pandas path file.py:86-213, SQL template
+  * bigquery.py:554-698): for each entity-df row, attach the feature row
+  * with the greatest event_ts <= entity_ts and — when ttl > 0 —
+  * event_ts >= entity_ts - ttl, matching on all of the view's entity
+  * join keys; ties on event_ts broken by max created_ts; unmatched
+  * entity rows keep null features (left outer).
+  *
+  * Spark-first formulation, chosen for 100 TB scale:
+  *
+  *   1. Stamp the entity df with a synthetic row id (the BQ template's
+  *      entity_row_unique_id CONCAT at bigquery.py:559-569 is a row
+  *      fingerprint; a generated id is safe under duplicate entity rows).
+  *   2. Compute the entity df's (min,max) event-ts once and prune the
+  *      feature scan to [min - ttl, max] (O5, bigquery.py:418-437 +
+  *      590-603). The filter lands in the parquet scan as a pushed
+  *      predicate / row-group skip — at 100 TB this is the difference
+  *      between scanning a week and scanning years.
+  *   3. Equi-join on the entity keys with the per-row as-of range as a
+  *      post-join predicate — Catalyst plans a hash/sort-merge join on
+  *      the keys (NOT a theta join), with AQE free to broadcast the
+  *      smaller side.
+  *   4. Reduce candidates to the as-of row per entity row with
+  *      groupBy(rowId).agg(max_by(features, orderKey)). max_by is a
+  *      declarative aggregate with map-side partial aggregation — unlike
+  *      the row_number() window used by the reference's SQL template,
+  *      candidates collapse to one row per group *before* the shuffle,
+  *      so a hot entity with 10^6 candidate rows ships one row.
+  *   5. Left-join the winners back to the entity df by row id.
+  *
+  * Determinism: the reference is nondeterministic under duplicate
+  * (entity, event_ts, created_ts) rows (BQ ANY_VALUE,
+  * bigquery.py:645-660). We order by (event_ts, created_ts,
+  * tieBreakCols...) — callers that need a total order pass a unique
+  * tie-break column.
+  */
+object PointInTimeJoin {
+
+  val DefaultEntityTsCol = "event_timestamp"
+
+  /** One view's join spec, fully resolved (registry lookups done). */
+  final case class ViewJoin(
+      view: FeatureView,
+      joinKeys: Seq[String],            // entity-df column names == feature-df column names
+      features: Seq[String],            // feature columns to attach
+      featureDf: DataFrame,             // source already read + field-mapped
+      tieBreakCols: Seq[String] = Nil)  // extra deterministic ordering
+
+  /** Multi-view PIT join (O2): sequentially enrich the entity df.
+    * Reference loop: file.py:108-204 / CTE chain bigquery.py:686-697. */
+  def join(
+      entityDf: DataFrame,
+      views: Seq[ViewJoin],
+      entityTsCol: String = DefaultEntityTsCol,
+      fullFeatureNames: Boolean = false): DataFrame = {
+    require(entityDf.columns.contains(entityTsCol),
+      s"entity df must contain timestamp column '$entityTsCol'")
+    val missing = views.flatMap(_.joinKeys).distinct.filterNot(entityDf.columns.contains)
+    require(missing.isEmpty,
+      s"entity df is missing join key columns: ${missing.mkString(", ")}")
+
+    val rowId = "__graft_row_id"
+    val stamped = entityDf.withColumn(rowId, monotonically_increasing_id())
+
+    val enriched = views.foldLeft(stamped) { (acc, vj) =>
+      joinOne(acc, vj, entityTsCol, rowId, fullFeatureNames)
+    }
+    enriched.drop(rowId)
+  }
+
+  /** Single-view PIT join (O1/O4/O5/O6) against an accumulator that
+    * already carries the row id. */
+  private def joinOne(
+      acc: DataFrame,
+      vj: ViewJoin,
+      entityTsCol: String,
+      rowId: String,
+      fullFeatureNames: Boolean): DataFrame = {
+    val ViewJoin(view, joinKeys, features, featureDf, tieBreaks) = vj
+    val tsCol = view.batchSource.eventTimestampColumn
+    val createdCol = view.batchSource.createdTimestampColumn
+    val ttl = view.ttl
+
+    // Candidate generation only needs (rowId, keys, ts) from the left —
+    // shuffle the narrow projection, not the whole accumulated row.
+    // Alias both sides so self-joins (entity df built from the feature
+    // table itself) resolve unambiguously.
+    val left = acc.select((rowId +: entityTsCol +: joinKeys).distinct.map(col): _*).alias("__l")
+    def L(c: String): Column = col(s"__l.$c")
+    def R(c: String): Column = col(s"__r.$c")
+
+    // O5: prune the feature scan with the entity df's ts bounds. One tiny
+    // agg job; the resulting literal filter pushes into the parquet scan.
+    val Array(bounds) = left.agg(
+      min(col(entityTsCol)).as("mn"), max(col(entityTsCol)).as("mx")).collect()
+    val (mnTs, mxTs) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+
+    val ordCols: Seq[String] = ((tsCol +: createdCol.toSeq) ++ tieBreaks).distinct
+    val featCols: Seq[String] = (joinKeys ++ ordCols ++ features).distinct
+    var feat = featureDf.select(featCols.map(col): _*)
+    if (mxTs != null) {
+      feat = feat.filter(col(tsCol) <= lit(mxTs))
+      if (!ttl.isZero && mnTs != null)
+        feat = feat.filter(col(tsCol) >= lit(java.sql.Timestamp.from(
+          mnTs.toInstant.minus(ttl))))
+    }
+    val featAliased = feat.alias("__r")
+
+    // Per-row as-of predicate (inclusive on both edges — the reference's
+    // SQL semantics, bigquery.py:613-617).
+    val asOf: Column = {
+      val upper = R(tsCol) <= L(entityTsCol)
+      if (ttl.isZero) upper
+      else upper && R(tsCol) >= (L(entityTsCol) - expr(s"INTERVAL ${ttl.getSeconds} SECOND"))
+    }
+    val keyCond = joinKeys.map(k => L(k) <=> R(k)).reduce(_ && _)
+    val candidates = left.join(featAliased, keyCond && asOf, "inner")
+
+    // As-of winner per entity row: max_by over a lexicographic struct
+    // (event_ts desc, created_ts desc, tiebreaks desc). Partial-agg
+    // friendly — no window, no second wide shuffle.
+    val ordKey = struct(ordCols.map(R): _*)
+    val payload = struct((features.map(R) :+ R(tsCol).as("__feat_ts")): _*)
+    val winners = candidates
+      .groupBy(L(rowId).as(rowId))
+      .agg(max_by(payload, ordKey).as("__w"))
+
+    val outName: String => String =
+      f => if (fullFeatureNames) s"${view.name}__$f" else f
+    val winnersFlat = winners.select(
+      (col(rowId) +: features.map(f => col(s"__w.$f").as(outName(f)))): _*)
+
+    acc.join(winnersFlat, Seq(rowId), "left")
+  }
+}

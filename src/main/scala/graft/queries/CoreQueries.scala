@@ -1,0 +1,228 @@
+package graft.queries
+
+import java.time.Duration
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.operators.{PointInTimeJoin, PullLatest}
+import graft.operators.PointInTimeJoin.ViewJoin
+
+/** Core feature-store operator queries (SURVEY §2.1 O1-O9) wired to the
+  * driver's DuckDB oracle. Every query:
+  *   - reads only /root/testdata parquet tables,
+  *   - emits timestamps as epoch-millis BIGINT (removes µs/ns ambiguity),
+  *   - rounds aggregated doubles,
+  *   - sorts rows on a unique key,
+  * so the Spark result and the DuckDB oracle hash identically.
+  */
+object CoreQueries {
+
+  private def pq(s: SparkSession, dir: String, t: String): DataFrame =
+    graft.sources.Tables.read(s, dir, t)
+
+  /** O1/O4/O5/O6/O7: single-view PIT join. Entity df = orders with a
+    * synthetic event time 365 days after order date; feature view =
+    * lineitem keyed by order (field-mapped l_orderkey -> o_orderkey),
+    * ttl 400 days, created-ts tiebreak on l_linenumber. */
+  def pitJoinSingle(s: SparkSession, dir: String): DataFrame = {
+    val entity = pq(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      (col("o_orderdate") + expr("INTERVAL 365 DAY")).as("event_timestamp"))
+
+    val src = FileSource(s"$dir/lineitem.parquet", eventTimestampColumn = "l_shipdate",
+      fieldMapping = Map("l_orderkey" -> "o_orderkey"))
+    val view = FeatureView(
+      name = "lineitem_feats",
+      entities = Seq("order"),
+      features = Seq(Feature("l_quantity", GraftType.Dbl),
+        Feature("l_extendedprice", GraftType.Dbl),
+        Feature("l_returnflag", GraftType.Str)),
+      ttl = Duration.ofDays(400),
+      batchSource = src)
+
+    val feat = SourceReader.read(s, src)
+    val out = PointInTimeJoin.join(entity,
+      Seq(ViewJoin(view, Seq("o_orderkey"),
+        Seq("l_quantity", "l_extendedprice", "l_returnflag"), feat,
+        tieBreakCols = Seq("l_linenumber"))))
+    out.select(col("o_orderkey"), col("o_custkey"),
+        unix_millis(col("event_timestamp")).as("event_ts_ms"),
+        col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
+      .orderBy("o_orderkey")
+  }
+
+  val pitJoinSingleSql: String =
+    """WITH ent AS (
+      |  SELECT o_orderkey, o_custkey, o_orderdate + INTERVAL 365 DAY AS event_timestamp FROM orders
+      |), cand AS (
+      |  SELECT e.o_orderkey, f.l_quantity, f.l_extendedprice, f.l_returnflag,
+      |         ROW_NUMBER() OVER (PARTITION BY e.o_orderkey
+      |                            ORDER BY f.l_shipdate DESC, f.l_linenumber DESC) AS rn
+      |  FROM ent e JOIN lineitem f ON f.l_orderkey = e.o_orderkey
+      |   AND f.l_shipdate <= e.event_timestamp
+      |   AND f.l_shipdate >= e.event_timestamp - INTERVAL 400 DAY
+      |)
+      |SELECT e.o_orderkey, e.o_custkey, epoch_ms(e.event_timestamp) AS event_ts_ms,
+      |       c.l_quantity, c.l_extendedprice, c.l_returnflag
+      |FROM ent e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** O2: multi-view PIT join with full feature names. Entity df = events
+    * rows; view 1 = events keyed by user_id (ttl 2d, event_id tiebreak),
+    * view 2 = orders keyed by custkey (ttl 0 = unbounded). */
+  def pitJoinMulti(s: SparkSession, dir: String): DataFrame = {
+    val ev = pq(s, dir, "events")
+    val entity = ev.select(col("event_id"), col("user_id"),
+      col("user_id").as("custkey"), col("ts").as("event_timestamp"))
+
+    val evSrc = DataFrameSource(ev, eventTimestampColumn = "ts")
+    val evView = FeatureView("user_events", Seq("user"),
+      Seq(Feature("event_type", GraftType.Str), Feature("value", GraftType.Dbl)),
+      ttl = Duration.ofDays(2), batchSource = evSrc)
+
+    val ordSrc = FileSource(s"$dir/orders.parquet", eventTimestampColumn = "o_orderdate",
+      fieldMapping = Map("o_custkey" -> "custkey"))
+    val ordView = FeatureView("customer_orders", Seq("customer"),
+      Seq(Feature("o_totalprice", GraftType.Dbl), Feature("o_orderstatus", GraftType.Str)),
+      ttl = Duration.ZERO, batchSource = ordSrc)
+
+    val out = PointInTimeJoin.join(entity,
+      Seq(
+        ViewJoin(evView, Seq("user_id"), Seq("event_type", "value"),
+          SourceReader.read(s, evSrc), tieBreakCols = Seq("event_id")),
+        ViewJoin(ordView, Seq("custkey"), Seq("o_totalprice", "o_orderstatus"),
+          SourceReader.read(s, ordSrc), tieBreakCols = Seq("o_orderkey"))),
+      fullFeatureNames = true)
+
+    out.select(col("event_id"), col("user_id"), col("custkey"),
+        unix_millis(col("event_timestamp")).as("event_ts_ms"),
+        col("user_events__event_type"), col("user_events__value"),
+        col("customer_orders__o_totalprice"), col("customer_orders__o_orderstatus"))
+      .orderBy("event_id")
+  }
+
+  val pitJoinMultiSql: String =
+    """WITH ent AS (
+      |  SELECT event_id, user_id, user_id AS custkey, ts AS event_timestamp FROM events
+      |), c1 AS (
+      |  SELECT e.event_id, f.event_type, f.value,
+      |         ROW_NUMBER() OVER (PARTITION BY e.event_id
+      |                            ORDER BY f.ts DESC, f.event_id DESC) AS rn
+      |  FROM ent e JOIN events f ON f.user_id = e.user_id
+      |   AND f.ts <= e.event_timestamp AND f.ts >= e.event_timestamp - INTERVAL 2 DAY
+      |), c2 AS (
+      |  SELECT e.event_id, f.o_totalprice, f.o_orderstatus,
+      |         ROW_NUMBER() OVER (PARTITION BY e.event_id
+      |                            ORDER BY f.o_orderdate DESC, f.o_orderkey DESC) AS rn
+      |  FROM ent e JOIN orders f ON f.o_custkey = e.custkey
+      |   AND f.o_orderdate <= e.event_timestamp
+      |)
+      |SELECT e.event_id, e.user_id, e.custkey, epoch_ms(e.event_timestamp) AS event_ts_ms,
+      |       c1.event_type AS user_events__event_type, c1.value AS user_events__value,
+      |       c2.o_totalprice AS customer_orders__o_totalprice,
+      |       c2.o_orderstatus AS customer_orders__o_orderstatus
+      |FROM ent e
+      |LEFT JOIN (SELECT * FROM c1 WHERE rn = 1) c1 USING (event_id)
+      |LEFT JOIN (SELECT * FROM c2 WHERE rn = 1) c2 USING (event_id)
+      |ORDER BY event_id""".stripMargin
+
+  /** O3: latest-per-key snapshot over a time window (the materialize
+    * scan). */
+  def pullLatestQ(s: SparkSession, dir: String): DataFrame = {
+    val start = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    val end = java.sql.Timestamp.valueOf("2024-01-25 00:00:00")
+    PullLatest.pullLatest(pq(s, dir, "events"), Seq("user_id"), "ts", None,
+        Seq("event_type", "value"), start, end, tieBreakCols = Seq("event_id"))
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_id"), col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
+  val pullLatestSql: String =
+    """SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type, value
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |                                   ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events
+      |      WHERE ts BETWEEN TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-25')
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** Scan-heavy grouped aggregation (pushdown/pruning showcase; TPC-H Q1
+    * shape). */
+  def aggPushdown(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val aggPushdownSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_base_price,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |       round(avg(l_quantity), 4) AS avg_qty,
+      |       count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Broadcast equi-join + aggregation (the staging helper join shape,
+    * reference staging/entities.py:95-129). customer is tiny -> explicit
+    * broadcast. */
+  def broadcastJoinAgg(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "orders")
+      .join(broadcast(pq(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+
+  val broadcastJoinAggSql: String =
+    """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Window top-k per group (row_number — the reference's only window
+    * shape, bigquery.py:86-95). */
+  def windowTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    pq(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+      .orderBy("o_custkey", "rk")
+  }
+
+  val windowTopKSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |             ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      |      FROM orders)
+      |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pit_join_single" -> (pitJoinSingle _),
+    "q_pit_join_multi" -> (pitJoinMulti _),
+    "q_pull_latest" -> (pullLatestQ _),
+    "q_agg_pushdown" -> (aggPushdown _),
+    "q_broadcast_join_agg" -> (broadcastJoinAgg _),
+    "q_window_topk" -> (windowTopK _))
+
+  val oracles: Map[String, String] = Map(
+    "q_pit_join_single" -> pitJoinSingleSql,
+    "q_pit_join_multi" -> pitJoinMultiSql,
+    "q_pull_latest" -> pullLatestSql,
+    "q_agg_pushdown" -> aggPushdownSql,
+    "q_broadcast_join_agg" -> broadcastJoinAggSql,
+    "q_window_topk" -> windowTopKSql)
+}

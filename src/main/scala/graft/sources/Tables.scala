@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Session + testdata table normalization (O8 — timezone/precision
+  * normalization at the ingest boundary; reference file.py:88-100,
+  * feast/utils.py make_tzaware).
+  *
+  * Everything inside the engine is µs TimestampType in a UTC session:
+  *  - parquet naive timestamps read as TimestampType, not NTZ
+  *    (spark.sql.parquet.inferTimestampNTZ.enabled=false);
+  *  - parquet TIMESTAMP(NANOS) — which Spark refuses by default — is
+  *    read as raw nanos (nanosAsLong) and floored to µs.
+  */
+object Tables {
+
+  def configure(spark: SparkSession): Unit =
+    Seq(
+      "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      "spark.sql.session.timeZone" -> "UTC",
+      "spark.sql.adaptive.enabled" -> "true"
+    ).foreach { case (k, v) =>
+      try spark.conf.set(k, v) catch { case _: Throwable => () }
+    }
+
+  /** Read a testdata table with all timestamp columns normalized to µs
+    * TimestampType. `nanosLongCols` marks INT64-nanos physical columns
+    * (the `events.ts` case). */
+  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    configure(spark)
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    normalize(df, if (name == "events") Seq("ts") else Nil)
+  }
+
+  def normalize(df: DataFrame, nanosLongCols: Seq[String]): DataFrame =
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case LongType if nanosLongCols.contains(f.name) =>
+          // floor ns -> µs with integer division (a double division would
+          // lose precision above 2^53 ns)
+          acc.withColumn(f.name, timestamp_micros(expr(s"${f.name} div 1000")))
+        case TimestampNTZType =>
+          acc.withColumn(f.name, col(f.name).cast(TimestampType))
+        case _ => acc
+      }
+    }
+}
