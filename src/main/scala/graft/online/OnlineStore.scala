@@ -1,0 +1,204 @@
+package graft.online
+
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.concurrent.{Map => CMap}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.FeatureView
+import graft.operators.PullLatest
+
+/** A materialized row headed to the online store (O10's pivot target):
+  * entity key values by join key, feature values by name, event/created
+  * timestamps. */
+final case class OnlineRow(
+    entityKey: Seq[(String, Any)],
+    features: Map[String, Any],
+    eventTs: Timestamp,
+    createdTs: Option[Timestamp])
+
+/** One feature read result (O14): value + status. Reference statuses
+  * PRESENT / NOT_FOUND (ServingService.proto:97-115). */
+final case class FeatureValue(value: Any, status: String)
+object FeatureStatus {
+  val Present = "PRESENT"
+  val NotFound = "NOT_FOUND"
+}
+
+/** The online-store contract (reference online_store.py:26-107): batch
+  * upsert, point multi-get, teardown. Writes are last-write-wins per
+  * entity key by (event_ts, created_ts) — unlike the reference's
+  * unconditional overwrite, comparing timestamps makes streaming
+  * replays idempotent (SURVEY §7.4(6)).
+  */
+trait OnlineStore extends Serializable {
+
+  /** Upsert one view's materialized rows. `df` must contain the view's
+    * join key columns, feature columns, event-ts and optional created-ts
+    * columns. DataFrame-level so implementations can write distributed. */
+  def upsert(project: String, view: FeatureView, joinKeys: Seq[String],
+      df: DataFrame, tsCol: String, createdCol: Option[String]): Unit
+
+  /** Point multi-get (O14): for each entity key, the requested features.
+    * Missing key -> all NOT_FOUND. Latency path — must not require a
+    * Spark job on hot stores. */
+  def read(project: String, view: FeatureView, joinKeys: Seq[String],
+      entityKeys: Seq[Seq[(String, Any)]],
+      features: Seq[String]): Seq[(Option[Timestamp], Map[String, FeatureValue])]
+
+  def teardown(project: String, views: Seq[FeatureView]): Unit
+}
+
+/** Executor-shared in-memory KV store — the sqlite analog
+  * (reference online_stores/sqlite.py): a per-JVM ConcurrentHashMap
+  * keyed by (project, view, serialized entity key). Correct on
+  * local[N] (single JVM) and for tests; on a multi-executor cluster
+  * each executor sees its own map — use ParquetOnlineStore there.
+  */
+class InMemoryOnlineStore extends OnlineStore {
+  import InMemoryOnlineStore._
+
+  def upsert(project: String, view: FeatureView, joinKeys: Seq[String],
+      df: DataFrame, tsCol: String, createdCol: Option[String]): Unit = {
+    val feats = view.featureNames
+    val viewName = view.name
+    df.collect().foreach { row =>
+      val key = joinKeys.map(k => k -> row.getAs[Any](k))
+      val ts = row.getAs[Timestamp](tsCol)
+      val created = createdCol.map(row.getAs[Timestamp])
+      val values = feats.map(f => f -> row.getAs[Any](f)).toMap
+      put(storeKey(project, viewName, key), StoredRow(ts, created, values))
+    }
+  }
+
+  def read(project: String, view: FeatureView, joinKeys: Seq[String],
+      entityKeys: Seq[Seq[(String, Any)]],
+      features: Seq[String]): Seq[(Option[Timestamp], Map[String, FeatureValue])] =
+    entityKeys.map { key =>
+      table.get(storeKey(project, view.name, key)) match {
+        case Some(StoredRow(ts, _, values)) =>
+          (Some(ts), features.map { f =>
+            f -> (values.get(f) match {
+              case Some(v) if v != null => FeatureValue(v, FeatureStatus.Present)
+              case _ => FeatureValue(null, FeatureStatus.NotFound)
+            })
+          }.toMap)
+        case None =>
+          (None, features.map(f => f -> FeatureValue(null, FeatureStatus.NotFound)).toMap)
+      }
+    }
+
+  def teardown(project: String, views: Seq[FeatureView]): Unit = {
+    val prefixes = views.map(v => s"$project/${v.name}/")
+    table.keys.filter(k => prefixes.exists(k.startsWith)).foreach(table.remove)
+  }
+}
+
+object InMemoryOnlineStore {
+  final case class StoredRow(ts: Timestamp, created: Option[Timestamp], values: Map[String, Any])
+
+  private val table: CMap[String, StoredRow] =
+    new ConcurrentHashMap[String, StoredRow]().asScala
+
+  private def storeKey(project: String, view: String, key: Seq[(String, Any)]): String =
+    s"$project/$view/${EntityKeyCodec.hexKey(key)}"
+
+  /** Last-write-wins by (event_ts, created_ts) — idempotent under replay. */
+  private def put(k: String, row: StoredRow): Unit = {
+    val _ = table.updateWith(k) {
+      case Some(old) if newer(old, row) => Some(old)
+      case _ => Some(row)
+    }
+  }
+  private def newer(old: StoredRow, nw: StoredRow): Boolean = {
+    val c = old.ts.compareTo(nw.ts)
+    if (c != 0) c > 0
+    else (old.created.map(_.getTime).getOrElse(Long.MinValue)
+      > nw.created.map(_.getTime).getOrElse(Long.MinValue))
+  }
+}
+
+/** Parquet-backed KV table — the batch-serving / cluster-scale store:
+  * one parquet dataset per (project, view) holding exactly the latest
+  * row per entity key. Upsert = read existing ∪ new -> latest-per-key ->
+  * atomic swap. Reads are filtered scans (pushdown on key columns).
+  * Suited to bulk serving and training-time joins; for ms-latency
+  * point reads front it with InMemoryOnlineStore or an external KV.
+  */
+class ParquetOnlineStore(basePath: String) extends OnlineStore {
+
+  private def path(project: String, view: String) = s"$basePath/$project/$view"
+
+  def upsert(project: String, view: FeatureView, joinKeys: Seq[String],
+      df: DataFrame, tsCol: String, createdCol: Option[String]): Unit = {
+    val spark = df.sparkSession
+    val p = path(project, view.name)
+    val cols = (joinKeys ++ Seq(tsCol) ++ createdCol.toSeq ++ view.featureNames).distinct
+    val incoming = df.select(cols.map(col): _*)
+    val merged = existing(spark, p) match {
+      case Some(old) =>
+        PullLatest.latestPerKey(old.select(cols.map(col): _*).unionByName(incoming),
+          joinKeys, tsCol, createdCol, view.featureNames)
+      case None =>
+        PullLatest.latestPerKey(incoming, joinKeys, tsCol, createdCol, view.featureNames)
+    }
+    // Write-new-then-swap: never leaves the store half-written.
+    val tmp = p + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(hconf)
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(p))
+  }
+
+  private def existing(spark: SparkSession, p: String): Option[DataFrame] = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) Some(spark.read.parquet(p)) else None
+  }
+
+  /** Snapshot of a view's store table (batch serving / debugging). */
+  def tableDf(spark: SparkSession, project: String, view: String): DataFrame =
+    spark.read.parquet(path(project, view))
+
+  def read(project: String, view: FeatureView, joinKeys: Seq[String],
+      entityKeys: Seq[Seq[(String, Any)]],
+      features: Seq[String]): Seq[(Option[Timestamp], Map[String, FeatureValue])] = {
+    val spark = SparkSession.active
+    val tsCol = view.batchSource.eventTimestampColumn
+    val df = tableDf(spark, project, view.name)
+    // One filtered scan for all requested keys (pushdown-friendly IN on
+    // each key column), then exact match driver-side over the small hit set.
+    val keyFilter = joinKeys.map { k =>
+      col(k).isin(entityKeys.map(_.toMap.apply(k)): _*)
+    }.reduce(_ && _)
+    val hits: Map[String, Row] = df.filter(keyFilter).collect()
+      .map(r => EntityKeyCodec.hexKey(joinKeys.map(k => k -> r.getAs[Any](k))) -> r).toMap
+    entityKeys.map { key =>
+      hits.get(EntityKeyCodec.hexKey(key)) match {
+        case Some(r) =>
+          (Option(r.getAs[Timestamp](tsCol)), features.map { f =>
+            val v = r.getAs[Any](f)
+            f -> (if (v != null) FeatureValue(v, FeatureStatus.Present)
+                  else FeatureValue(null, FeatureStatus.NotFound))
+          }.toMap)
+        case None =>
+          (None, features.map(f => f -> FeatureValue(null, FeatureStatus.NotFound)).toMap)
+      }
+    }
+  }
+
+  def teardown(project: String, views: Seq[FeatureView]): Unit = {
+    val spark = SparkSession.active
+    val hconf = spark.sparkContext.hadoopConfiguration
+    views.foreach { v =>
+      val hp = new org.apache.hadoop.fs.Path(path(project, v.name))
+      val fs = hp.getFileSystem(hconf)
+      fs.delete(hp, true)
+    }
+  }
+}

@@ -127,10 +127,13 @@ object PointInTimeJoin {
     val candidates = left.join(featAliased, keyCond && asOf, "inner")
 
     // As-of winner per entity row: max_by over a lexicographic struct
-    // (event_ts desc, created_ts desc, tiebreaks desc). Partial-agg
-    // friendly — no window, no second wide shuffle.
-    val ordKey = struct(ordCols.map(R): _*)
+    // (event_ts desc, created_ts desc, tiebreaks desc, then the feature
+    // payload itself as a stable final tiebreak — the reference's
+    // ANY_VALUE here is nondeterministic, bigquery.py:645-660; we pin
+    // max-payload). Partial-agg friendly — no window, no second wide
+    // shuffle.
     val payload = struct((features.map(R) :+ R(tsCol).as("__feat_ts")): _*)
+    val ordKey = struct((ordCols.map(R) :+ payload.as("__payload")): _*)
     val winners = candidates
       .groupBy(L(rowId).as(rowId))
       .agg(max_by(payload, ordKey).as("__w"))

@@ -46,10 +46,13 @@ object PullLatest {
       featureCols: Seq[String],
       tieBreakCols: Seq[String] = Nil): DataFrame = {
 
-    val ordCols: Seq[String] = (tsCol +: createdCol.toSeq) ++ tieBreakCols
+    val ordCols: Seq[String] = ((tsCol +: createdCol.toSeq) ++ tieBreakCols).distinct
     val payloadCols: Seq[String] = (ordCols ++ featureCols).distinct
-    val ordKey: Column = struct(ordCols.map(col): _*)
     val payload: Column = struct(payloadCols.map(col): _*)
+    // Feature payload appended as a stable final tiebreak: exact
+    // (ts, created) duplicates resolve to the max payload instead of the
+    // reference's nondeterministic ANY_VALUE (bigquery.py:645-660).
+    val ordKey: Column = struct((ordCols.map(col) :+ payload.as("__payload")): _*)
 
     df.groupBy(joinKeys.map(col): _*)
       .agg(max_by(payload, ordKey).as("__w"))

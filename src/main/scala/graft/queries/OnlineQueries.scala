@@ -1,0 +1,159 @@
+package graft.queries
+
+import java.sql.Timestamp
+import java.time.Duration
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.online.ParquetOnlineStore
+import graft.registry.Registry
+import graft.sources.Tables
+import graft.store.FeatureStore
+
+/** Facade + online-path queries: registry -> materialize -> online store
+  * -> point reads, checked against latest-per-key SQL oracles
+  * (SURVEY §2.1 O3/O10/O13/O14/O15 and §2.4 lifecycle).
+  */
+object OnlineQueries {
+
+  private val T0 = Timestamp.valueOf("2024-01-01 00:00:00")
+  private val T1 = Timestamp.valueOf("2024-01-16 00:00:00")
+  private val T1b = Timestamp.valueOf("2024-01-14 00:00:00")
+  private val T2 = Timestamp.valueOf("2024-01-31 00:00:00")
+
+  private def freshStore(s: SparkSession, dir: String): (FeatureStore, ParquetOnlineStore) = {
+    val reg = new Registry()
+    val store = new ParquetOnlineStore(
+      s"/tmp/graft_online_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = new FeatureStore("graft_ci", reg, store, s)
+    fs.applyEntity(Entity("user", GraftType.Int64, joinKeyOpt = Some("user_id")))
+    fs.applyFeatureView(FeatureView(
+      name = "user_events",
+      entities = Seq("user"),
+      features = Seq(Feature("event_type", GraftType.Str), Feature("value", GraftType.Dbl)),
+      ttl = Duration.ZERO,
+      batchSource = DataFrameSource(Tables.read(s, dir, "events"), eventTimestampColumn = "ts")))
+    (fs, store)
+  }
+
+  /** materialize twice (overlapping windows -> upsert merge), then dump
+    * the store table. Oracle: latest event per user over the combined
+    * window. */
+  def materializeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val (fs, store) = freshStore(s, dir)
+    fs.materialize(Seq("user_events"), T0, T1)
+    fs.materialize(Seq("user_events"), T1b, T2)
+    val out = store.tableDf(s, "graft_ci", "user_events")
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_type"), col("value"))
+      .orderBy("user_id")
+    val materialized = out.cache()
+    materialized.count() // force before teardown
+    store.teardown("graft_ci", Seq(fs.registry.getFeatureView("user_events")))
+    materialized
+  }
+
+  val materializeRoundtripSql: String =
+    """SELECT user_id, epoch_ms(ts) AS ts_ms, event_type, value
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+      |      FROM events
+      |      WHERE ts BETWEEN TIMESTAMP '2024-01-01' AND TIMESTAMP '2024-01-31')
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** materialize then getOnlineFeatures for users 0..19 (15..19 don't
+    * exist -> NOT_FOUND with null features). */
+  def onlineMultiGet(s: SparkSession, dir: String): DataFrame = {
+    val (fs, store) = freshStore(s, dir)
+    fs.materialize(Seq("user_events"), T0, T2)
+    val userIds = (0L to 19L)
+    val resp = fs.getOnlineFeatures(
+      Seq("user_events:event_type", "user_events:value"),
+      userIds.map(id => Map[String, Any]("user_id" -> id)))
+    val types = resp.toMap("user_events:event_type")
+    val vals = resp.toMap("user_events:value")
+    val stats = resp.statuses("user_events:event_type")
+    import s.implicits._
+    val rows = userIds.zipWithIndex.map { case (id, i) =>
+      (id, Option(types(i)).map(_.toString),
+        Option(vals(i)).map(_.asInstanceOf[Double]), stats(i))
+    }
+    store.teardown("graft_ci", Seq(fs.registry.getFeatureView("user_events")))
+    rows.toSeq.toDF("user_id", "user_events__event_type", "user_events__value", "status")
+      .orderBy("user_id")
+  }
+
+  val onlineMultiGetSql: String =
+    """WITH keys AS (SELECT CAST(range AS BIGINT) AS user_id FROM range(0, 20)),
+      |latest AS (
+      |  SELECT user_id, event_type, value
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+      |        FROM events
+      |        WHERE ts BETWEEN TIMESTAMP '2024-01-01' AND TIMESTAMP '2024-01-31')
+      |  WHERE rn = 1)
+      |SELECT k.user_id, l.event_type AS user_events__event_type,
+      |       l.value AS user_events__value,
+      |       CASE WHEN l.user_id IS NULL THEN 'NOT_FOUND' ELSE 'PRESENT' END AS status
+      |FROM keys k LEFT JOIN latest l USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  /** Full facade historical retrieval: registry-resolved refs ->
+    * PIT join (the reference's get_historical_features quickstart). */
+  def historicalFacade(s: SparkSession, dir: String): DataFrame = {
+    val reg = new Registry()
+    val fs = new FeatureStore("graft_ci", reg,
+      new graft.online.InMemoryOnlineStore(), s)
+    fs.applyEntity(Entity("order", GraftType.Int64, joinKeyOpt = Some("o_orderkey")))
+    fs.applyFeatureView(FeatureView(
+      name = "lineitem_feats",
+      entities = Seq("order"),
+      features = Seq(Feature("l_quantity", GraftType.Dbl),
+        Feature("l_discount", GraftType.Dbl)),
+      ttl = Duration.ofDays(200),
+      batchSource = FileSource(s"$dir/lineitem.parquet", eventTimestampColumn = "l_shipdate",
+        fieldMapping = Map("l_orderkey" -> "o_orderkey"))))
+
+    val entity = Tables.read(s, dir, "orders")
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"),
+        (col("o_orderdate") + expr("INTERVAL 365 DAY")).as("event_timestamp"))
+
+    fs.getHistoricalFeatures(entity,
+        Seq("lineitem_feats:l_quantity", "lineitem_feats:l_discount"))
+      .select(col("o_orderkey"), unix_millis(col("event_timestamp")).as("event_ts_ms"),
+        col("l_quantity"), col("l_discount"))
+      .orderBy("o_orderkey")
+  }
+
+  /** The engine resolves (event_ts) ties deterministically to the max
+    * feature payload (lexicographic); the oracle pins the same winner by
+    * extending the window ordering with the payload columns desc. */
+  val historicalFacadeSql: String =
+    """WITH ent AS (
+      |  SELECT o_orderkey, o_orderdate + INTERVAL 365 DAY AS event_timestamp
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |), cand AS (
+      |  SELECT e.o_orderkey, f.l_quantity, f.l_discount,
+      |         ROW_NUMBER() OVER (PARTITION BY e.o_orderkey
+      |                            ORDER BY f.l_shipdate DESC, f.l_quantity DESC,
+      |                                     f.l_discount DESC) AS rn
+      |  FROM ent e JOIN lineitem f ON f.l_orderkey = e.o_orderkey
+      |   AND f.l_shipdate <= e.event_timestamp
+      |   AND f.l_shipdate >= e.event_timestamp - INTERVAL 200 DAY
+      |)
+      |SELECT e.o_orderkey, epoch_ms(e.event_timestamp) AS event_ts_ms,
+      |       c.l_quantity, c.l_discount
+      |FROM ent e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_materialize_roundtrip" -> (materializeRoundtrip _),
+    "q_online_multiget" -> (onlineMultiGet _),
+    "q_historical_facade" -> (historicalFacade _))
+
+  val oracles: Map[String, String] = Map(
+    "q_materialize_roundtrip" -> materializeRoundtripSql,
+    "q_online_multiget" -> onlineMultiGetSql,
+    "q_historical_facade" -> historicalFacadeSql)
+}

@@ -1,0 +1,270 @@
+package graft.registry
+
+import java.sql.Timestamp
+import java.time.Duration
+
+import graft.model._
+import graft.util.Json
+import graft.util.JValue
+import graft.util.JValue._
+
+/** File-backed registry of entities / feature views / feature services
+  * plus materialization-interval bookkeeping (reference registry.py:
+  * apply_* at 84-257, list/get/delete 259-388, TTL cache 399-449).
+  *
+  * Persistence is a single JSON document on any Hadoop-FS path (local,
+  * HDFS, S3A), written atomically via write-temp-then-rename and stamped
+  * with a version id — the locking improvement the reference left as a
+  * TODO (feature_store.py:219, registry.py:494-500).
+  */
+final case class MaterializationInterval(start: Timestamp, end: Timestamp)
+
+final case class RegistryState(
+    entities: Map[String, Entity] = Map.empty,
+    views: Map[String, FeatureView] = Map.empty,
+    services: Map[String, FeatureService] = Map.empty,
+    materializations: Map[String, Seq[MaterializationInterval]] = Map.empty,
+    versionId: String = java.util.UUID.randomUUID().toString)
+
+class Registry(path: Option[String] = None, cacheTtl: Duration = Duration.ofSeconds(600)) {
+
+  @volatile private var state: RegistryState = load().getOrElse(RegistryState())
+  @volatile private var cachedAt: Long = System.currentTimeMillis()
+
+  // ---- CRUD ----------------------------------------------------------
+  def applyEntity(e: Entity): Unit = mutate(s => s.copy(entities = s.entities + (e.name -> e)))
+  def applyFeatureView(v: FeatureView): Unit = mutate { s =>
+    val unknown = v.entities.filterNot(s.entities.contains)
+    require(unknown.isEmpty, s"view ${v.name} references unregistered entities: $unknown")
+    s.copy(views = s.views + (v.name -> v))
+  }
+  def applyFeatureService(fs: FeatureService): Unit =
+    mutate(s => s.copy(services = s.services + (fs.name -> fs)))
+
+  def getEntity(name: String): Entity =
+    current.entities.getOrElse(name, throw new NoSuchElementException(s"entity $name not registered"))
+  def getFeatureView(name: String): FeatureView =
+    current.views.getOrElse(name, throw new NoSuchElementException(s"feature view $name not registered"))
+  def getFeatureService(name: String): FeatureService =
+    current.services.getOrElse(name, throw new NoSuchElementException(s"feature service $name not registered"))
+
+  def listEntities: Seq[Entity] = current.entities.values.toSeq.sortBy(_.name)
+  def listFeatureViews: Seq[FeatureView] = current.views.values.toSeq.sortBy(_.name)
+  def listFeatureServices: Seq[FeatureService] = current.services.values.toSeq.sortBy(_.name)
+
+  def deleteEntity(name: String): Unit = mutate(s => s.copy(entities = s.entities - name))
+  def deleteFeatureView(name: String): Unit =
+    mutate(s => s.copy(views = s.views - name, materializations = s.materializations - name))
+  def deleteFeatureService(name: String): Unit = mutate(s => s.copy(services = s.services - name))
+
+  /** Track a completed materialization window (registry.py:215-257). */
+  def applyMaterialization(view: String, start: Timestamp, end: Timestamp): Unit =
+    mutate { s =>
+      val ivs = s.materializations.getOrElse(view, Nil) :+ MaterializationInterval(start, end)
+      s.copy(materializations = s.materializations + (view -> ivs))
+    }
+  def materializationIntervals(view: String): Seq[MaterializationInterval] =
+    current.materializations.getOrElse(view, Nil)
+
+  def teardown(): Unit = mutate(_ => RegistryState())
+
+  // ---- cache / io ----------------------------------------------------
+  private def current: RegistryState = {
+    if (path.isDefined &&
+        System.currentTimeMillis() - cachedAt > cacheTtl.toMillis) refresh()
+    state
+  }
+  def refresh(): Unit = synchronized {
+    load().foreach(state = _)
+    cachedAt = System.currentTimeMillis()
+  }
+  private def mutate(f: RegistryState => RegistryState): Unit = synchronized {
+    state = f(state).copy(versionId = java.util.UUID.randomUUID().toString)
+    cachedAt = System.currentTimeMillis()
+    persist()
+  }
+
+  private def hadoopFs(p: String) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    (hp.getFileSystem(new org.apache.hadoop.conf.Configuration()), hp)
+  }
+
+  private def persist(): Unit = path.foreach { p =>
+    val (fs, hp) = hadoopFs(p)
+    val tmp = new org.apache.hadoop.fs.Path(p + ".tmp")
+    val out = fs.create(tmp, true)
+    out.write(RegistryCodec.encode(state).render.getBytes("UTF-8"))
+    out.close()
+    fs.delete(hp, false)
+    fs.rename(tmp, hp)
+  }
+
+  private def load(): Option[RegistryState] = path.flatMap { p =>
+    val (fs, hp) = hadoopFs(p)
+    if (!fs.exists(hp)) None
+    else {
+      val in = fs.open(hp)
+      val bytes = org.apache.commons.io.IOUtils.toByteArray(in)
+      in.close()
+      Some(RegistryCodec.decode(Json.parse(new String(bytes, "UTF-8"))))
+    }
+  }
+}
+
+/** JSON <-> model codecs. DataFrameSource is intentionally not
+  * persistable (in-memory only). */
+object RegistryCodec {
+  private def jstr(s: String) = Json.str(s)
+
+  def encode(s: RegistryState): JObj = Json.obj(
+    "version_id" -> jstr(s.versionId),
+    "entities" -> Json.arr(s.entities.values.toSeq.sortBy(_.name).map(encodeEntity)),
+    "feature_views" -> Json.arr(s.views.values.toSeq.sortBy(_.name).map(encodeView)),
+    "feature_services" -> Json.arr(s.services.values.toSeq.sortBy(_.name).map(encodeService)),
+    "materializations" -> JObj(s.materializations.toVector.sortBy(_._1).map { case (v, ivs) =>
+      v -> Json.arr(ivs.map(iv => Json.obj(
+        "start" -> Json.num(iv.start.getTime), "end" -> Json.num(iv.end.getTime))))
+    }))
+
+  def decode(j: JValue): RegistryState = {
+    val o = j.asInstanceOf[JObj]
+    def items(k: String) = o(k) match { case JArr(xs) => xs; case _ => Vector.empty }
+    RegistryState(
+      entities = items("entities").map(decodeEntity).map(e => e.name -> e).toMap,
+      views = items("feature_views").map(decodeView).map(v => v.name -> v).toMap,
+      services = items("feature_services").map(decodeService).map(s => s.name -> s).toMap,
+      materializations = (o("materializations") match {
+        case m: JObj => m.fields.map { case (v, JArr(ivs)) =>
+          v -> ivs.map { case iv: JObj =>
+            MaterializationInterval(
+              new Timestamp(iv("start").asInstanceOf[JNum].toLong),
+              new Timestamp(iv("end").asInstanceOf[JNum].toLong))
+          }.toSeq
+        case (v, _) => v -> Seq.empty[MaterializationInterval]
+        }.toMap
+        case _ => Map.empty[String, Seq[MaterializationInterval]]
+      }),
+      versionId = o("version_id") match { case JStr(v) => v; case _ => "" })
+  }
+
+  private def encodeEntity(e: Entity): JObj = Json.obj(
+    "name" -> jstr(e.name), "dtype" -> jstr(e.dtype.name),
+    "join_key" -> jstr(e.joinKey), "description" -> jstr(e.description))
+  private def decodeEntity(j: JValue): Entity = {
+    val o = j.asInstanceOf[JObj]
+    Entity(
+      name = o("name").asInstanceOf[JStr].v,
+      dtype = GraftType.fromName(o("dtype").asInstanceOf[JStr].v),
+      joinKeyOpt = Some(o("join_key").asInstanceOf[JStr].v),
+      description = o.get("description").collect { case JStr(s) => s }.getOrElse(""))
+  }
+
+  private def encodeSource(src: DataSource): JObj = src match {
+    case f: FileSource => Json.obj(
+      "kind" -> jstr("file"), "path" -> jstr(f.path), "format" -> jstr(f.format),
+      "event_timestamp_column" -> jstr(f.eventTimestampColumn),
+      "created_timestamp_column" -> f.createdTimestampColumn.map(jstr).getOrElse(JNull),
+      "field_mapping" -> JObj(f.fieldMapping.toVector.sortBy(_._1).map { case (k, v) => k -> jstr(v) }),
+      "date_partition_column" -> f.datePartitionColumn.map(jstr).getOrElse(JNull))
+    case t: TableSource => Json.obj(
+      "kind" -> jstr("table"), "table" -> jstr(t.table),
+      "event_timestamp_column" -> jstr(t.eventTimestampColumn),
+      "created_timestamp_column" -> t.createdTimestampColumn.map(jstr).getOrElse(JNull),
+      "field_mapping" -> JObj(t.fieldMapping.toVector.sortBy(_._1).map { case (k, v) => k -> jstr(v) }),
+      "date_partition_column" -> t.datePartitionColumn.map(jstr).getOrElse(JNull))
+    case q: QuerySource => Json.obj(
+      "kind" -> jstr("query"), "query" -> jstr(q.query),
+      "event_timestamp_column" -> jstr(q.eventTimestampColumn),
+      "created_timestamp_column" -> q.createdTimestampColumn.map(jstr).getOrElse(JNull),
+      "field_mapping" -> JObj(q.fieldMapping.toVector.sortBy(_._1).map { case (k, v) => k -> jstr(v) }))
+    case k: KafkaSource => Json.obj(
+      "kind" -> jstr("kafka"), "bootstrap_servers" -> jstr(k.bootstrapServers),
+      "topic" -> jstr(k.topic),
+      "message_format" -> (k.messageFormat match {
+        case StreamFormat.Avro(s) => Json.obj("format" -> jstr("avro"), "schema" -> jstr(s))
+        case StreamFormat.Json(d) => Json.obj("format" -> jstr("json"), "schema" -> jstr(d))
+      }),
+      "event_timestamp_column" -> jstr(k.eventTimestampColumn),
+      "created_timestamp_column" -> k.createdTimestampColumn.map(jstr).getOrElse(JNull),
+      "field_mapping" -> JObj(k.fieldMapping.toVector.sortBy(_._1).map { case (kk, v) => kk -> jstr(v) }))
+    case s: FileStreamSource => Json.obj(
+      "kind" -> jstr("file_stream"), "path" -> jstr(s.path), "format" -> jstr(s.format),
+      "event_timestamp_column" -> jstr(s.eventTimestampColumn),
+      "created_timestamp_column" -> s.createdTimestampColumn.map(jstr).getOrElse(JNull),
+      "field_mapping" -> JObj(s.fieldMapping.toVector.sortBy(_._1).map { case (k, v) => k -> jstr(v) }),
+      "max_files_per_trigger" -> s.maxFilesPerTrigger.map(n => Json.num(n.toLong)).getOrElse(JNull))
+    case d: DataFrameSource =>
+      throw new IllegalArgumentException("DataFrameSource is in-memory only and cannot be registered")
+  }
+
+  private def decodeSource(j: JValue): DataSource = {
+    val o = j.asInstanceOf[JObj]
+    def s(k: String) = o(k).asInstanceOf[JStr].v
+    def opt(k: String) = o.get(k).collect { case JStr(v) => v }
+    def fm = o("field_mapping") match {
+      case m: JObj => m.fields.map { case (k, JStr(v)) => k -> v; case (k, _) => k -> "" }.toMap
+      case _ => Map.empty[String, String]
+    }
+    s("kind") match {
+      case "file" => FileSource(s("path"), s("event_timestamp_column"),
+        opt("created_timestamp_column"), fm, opt("date_partition_column"), s("format"))
+      case "table" => TableSource(s("table"), s("event_timestamp_column"),
+        opt("created_timestamp_column"), fm, opt("date_partition_column"))
+      case "query" => QuerySource(s("query"), s("event_timestamp_column"),
+        opt("created_timestamp_column"), fm)
+      case "kafka" =>
+        val mf = o("message_format").asInstanceOf[JObj]
+        val fmt = mf("format").asInstanceOf[JStr].v match {
+          case "avro" => StreamFormat.Avro(mf("schema").asInstanceOf[JStr].v)
+          case _ => StreamFormat.Json(mf("schema").asInstanceOf[JStr].v)
+        }
+        KafkaSource(s("bootstrap_servers"), s("topic"), fmt,
+          s("event_timestamp_column"), opt("created_timestamp_column"), fm)
+      case "file_stream" => FileStreamSource(s("path"), s("format"),
+        s("event_timestamp_column"), opt("created_timestamp_column"), fm,
+        o.get("max_files_per_trigger").collect { case n: JNum => n.toLong.toInt })
+      case other => throw new IllegalArgumentException(s"unknown source kind $other")
+    }
+  }
+
+  private def encodeView(v: FeatureView): JObj = Json.obj(
+    "name" -> jstr(v.name),
+    "entities" -> Json.arr(v.entities.map(jstr)),
+    "features" -> Json.arr(v.features.map(f => Json.obj(
+      "name" -> jstr(f.name), "dtype" -> jstr(f.dtype.name)))),
+    "ttl_seconds" -> Json.num(v.ttl.getSeconds),
+    "batch_source" -> encodeSource(v.batchSource),
+    "stream_source" -> v.streamSource.map(encodeSource).getOrElse(JNull),
+    "online" -> Json.bool(v.online))
+
+  private def decodeView(j: JValue): FeatureView = {
+    val o = j.asInstanceOf[JObj]
+    FeatureView(
+      name = o("name").asInstanceOf[JStr].v,
+      entities = (o("entities"): @unchecked) match { case JArr(xs) => xs.map(_.asInstanceOf[JStr].v) },
+      features = (o("features"): @unchecked) match { case JArr(xs) => xs.map { f =>
+        val fo = f.asInstanceOf[JObj]
+        Feature(fo("name").asInstanceOf[JStr].v, GraftType.fromName(fo("dtype").asInstanceOf[JStr].v))
+      } },
+      ttl = Duration.ofSeconds(o("ttl_seconds").asInstanceOf[JNum].toLong),
+      batchSource = decodeSource(o("batch_source")),
+      streamSource = o.get("stream_source").filter(_ != JNull).map(decodeSource),
+      online = o.get("online").collect { case JBool(b) => b }.getOrElse(true))
+  }
+
+  private def encodeService(s: FeatureService): JObj = Json.obj(
+    "name" -> jstr(s.name),
+    "projections" -> Json.arr(s.projections.map(p => Json.obj(
+      "view" -> jstr(p.viewName), "features" -> Json.arr(p.features.map(jstr))))))
+
+  private def decodeService(j: JValue): FeatureService = {
+    val o = j.asInstanceOf[JObj]
+    FeatureService(
+      name = o("name").asInstanceOf[JStr].v,
+      projections = (o("projections"): @unchecked) match { case JArr(xs) => xs.map { p =>
+        val po = p.asInstanceOf[JObj]
+        FeatureViewProjection(po("view").asInstanceOf[JStr].v,
+          (po("features"): @unchecked) match { case JArr(fs) => fs.map(_.asInstanceOf[JStr].v) })
+      } })
+  }
+}

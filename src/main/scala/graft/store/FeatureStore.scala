@@ -1,0 +1,156 @@
+package graft.store
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model._
+import graft.online.{FeatureValue, FeatureStatus, OnlineStore}
+import graft.operators.{PointInTimeJoin, PullLatest}
+import graft.operators.PointInTimeJoin.ViewJoin
+import graft.registry.Registry
+
+/** The user-facing facade, orchestrating registry + offline operators +
+  * online store (reference feature_store.py): apply /
+  * getHistoricalFeatures / materialize / materializeIncremental /
+  * getOnlineFeatures / teardown.
+  */
+class FeatureStore(
+    val project: String,
+    val registry: Registry,
+    val onlineStore: OnlineStore,
+    val spark: SparkSession) {
+
+  graft.sources.Tables.configure(spark)
+
+  // ---- apply (feature_store.py:185-256) ------------------------------
+  def applyEntity(e: Entity): Unit = registry.applyEntity(e)
+  def applyFeatureView(v: FeatureView): Unit = registry.applyFeatureView(v)
+  def applyFeatureService(s: FeatureService): Unit = registry.applyFeatureService(s)
+
+  // ---- historical retrieval (feature_store.py:276-341) ---------------
+  /** Point-in-time-correct training frame: entity df enriched with the
+    * requested "view:feature" refs. */
+  def getHistoricalFeatures(
+      entityDf: DataFrame,
+      refs: Seq[String],
+      entityTsCol: String = PointInTimeJoin.DefaultEntityTsCol,
+      fullFeatureNames: Boolean = false): DataFrame = {
+    val parsed = refs.map(FeatureRef.parse)
+    FeatureRef.validateNoCollisions(parsed, fullFeatureNames)
+    val viewJoins = FeatureRef.groupByView(parsed).map { case (viewName, feats) =>
+      val view = registry.getFeatureView(viewName)
+      ViewJoin(view, joinKeysOf(view), feats,
+        SourceReader.read(spark, view.batchSource))
+    }
+    PointInTimeJoin.join(entityDf, viewJoins, entityTsCol, fullFeatureNames)
+  }
+
+  def getHistoricalFeatures(entityDf: DataFrame, service: FeatureService): DataFrame =
+    getHistoricalFeatures(entityDf, service.featureRefs.map(_.toString))
+
+  // ---- materialization (feature_store.py:424-501) --------------------
+  def materialize(viewNames: Seq[String], start: Timestamp, end: Timestamp): Unit = {
+    require(!start.after(end), s"materialize start $start must be <= end $end")
+    viewNames.map(registry.getFeatureView).filter(_.online).foreach { view =>
+      val src = view.batchSource
+      val df = SourceReader.read(spark, src)
+      val keys = joinKeysOf(view)
+      val latest = PullLatest.pullLatest(
+        df, keys, src.eventTimestampColumn, src.createdTimestampColumn,
+        view.featureNames, start, end)
+      onlineStore.upsert(project, view, keys, latest,
+        src.eventTimestampColumn, src.createdTimestampColumn)
+      registry.applyMaterialization(view.name, start, end)
+    }
+  }
+
+  /** Incremental: start = last materialized end, else end - ttl
+    * (feature_store.py:388-396). */
+  def materializeIncremental(viewNames: Seq[String], end: Timestamp): Unit =
+    viewNames.foreach { name =>
+      val view = registry.getFeatureView(name)
+      val start = registry.materializationIntervals(name).lastOption.map(_.end).getOrElse {
+        if (view.ttl.isZero) new Timestamp(0L)
+        else Timestamp.from(end.toInstant.minus(view.ttl))
+      }
+      materialize(Seq(name), start, end)
+    }
+
+  // ---- online retrieval (feature_store.py:504-617) -------------------
+  /** Point reads: for each entity row, the requested feature values +
+    * PRESENT/NOT_FOUND statuses (O14/O15). Latency path — no Spark job
+    * on in-memory stores. */
+  def getOnlineFeatures(
+      refs: Seq[String],
+      entityRows: Seq[Map[String, Any]]): OnlineResponse = {
+    val parsed = refs.map(FeatureRef.parse)
+    FeatureRef.validateNoCollisions(parsed, fullFeatureNames = false)
+    val byView = FeatureRef.groupByView(parsed)
+
+    val fields = scala.collection.mutable.LinkedHashMap[String, Vector[FeatureValue]]()
+    byView.foreach { case (viewName, feats) =>
+      val view = registry.getFeatureView(viewName)
+      val keys = joinKeysOf(view)
+      val entityKeys = entityRows.map { row =>
+        keys.map { k =>
+          k -> row.getOrElse(k, throw new IllegalArgumentException(
+            s"entity row is missing join key '$k' required by view $viewName"))
+        }
+      }
+      val results = onlineStore.read(project, view, keys, entityKeys, feats)
+      feats.foreach { f =>
+        fields(s"$viewName:$f") = results.map(_._2(f)).toVector
+      }
+    }
+    OnlineResponse(entityRows, fields.toVector)
+  }
+
+  // ---- teardown (feature_store.py:258-273) ----------------------------
+  def teardown(): Unit = {
+    onlineStore.teardown(project, registry.listFeatureViews)
+    registry.teardown()
+  }
+
+  /** Entity names -> join key columns for a view. */
+  def joinKeysOf(view: FeatureView): Seq[String] =
+    view.entities.map(e => registry.getEntity(e).joinKey)
+}
+
+/** Assembled online read (reference online_response.py:31-71): columnar
+  * field values aligned with the input entity rows. */
+final case class OnlineResponse(
+    entityRows: Seq[Map[String, Any]],
+    fields: Seq[(String, Vector[FeatureValue])]) {
+
+  def toMap: Map[String, Seq[Any]] =
+    fields.map { case (name, vs) => name -> vs.map(_.value) }.toMap
+
+  def statuses: Map[String, Seq[String]] =
+    fields.map { case (name, vs) => name -> vs.map(_.status) }.toMap
+
+  /** Small DataFrame view of the response (entity keys + features). */
+  def toDf(spark: SparkSession, entityCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def sparkTypeOf(vs: Seq[Any]): DataType =
+      vs.collectFirst {
+        case _: String => StringType
+        case _: java.lang.Integer => IntegerType
+        case _: java.lang.Long => LongType
+        case _: java.lang.Double => DoubleType
+        case _: java.lang.Float => FloatType
+        case _: java.lang.Boolean => BooleanType
+        case _: Timestamp => TimestampType
+      }.getOrElse(StringType)
+
+    val featNames = fields.map(_._1.replace(":", "__"))
+    val schema = StructType(
+      entityCols.map(c => StructField(c, sparkTypeOf(entityRows.map(_.getOrElse(c, null))))) ++
+      fields.map { case (n, vs) => StructField(n.replace(":", "__"), sparkTypeOf(vs.map(_.value))) })
+    val rows = entityRows.zipWithIndex.map { case (er, i) =>
+      Row.fromSeq(entityCols.map(er.getOrElse(_, null)) ++ fields.map(_._2(i).value))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+}

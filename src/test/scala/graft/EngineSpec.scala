@@ -1,0 +1,172 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Duration
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model._
+import graft.online.{InMemoryOnlineStore, ParquetOnlineStore}
+import graft.operators.PointInTimeJoin
+import graft.operators.PointInTimeJoin.ViewJoin
+import graft.registry.{Inference, Registry}
+import graft.store.FeatureStore
+
+/** Spark-backed engine tests, including the port of the reference's
+  * as-of oracle (test_historical_retrieval.py:130-136 find_asof_record):
+  * the PIT join must agree with a per-row nested-loop scan on randomized
+  * data with duplicate timestamps and created-ts dedup.
+  */
+class EngineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    graft.sources.Tables.configure(s)
+    s
+  }
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // randomized feature rows: (key, event_ts, created_ts, value)
+  private def genData(seed: Long, nKeys: Int, nRows: Int): Seq[(Long, Timestamp, Timestamp, Double)] = {
+    val rnd = new scala.util.Random(seed)
+    val base = ts("2024-01-01 00:00:00").getTime
+    (0 until nRows).map { i =>
+      val key = rnd.nextInt(nKeys).toLong
+      // coarse event times -> plenty of exact duplicates
+      val et = new Timestamp(base + rnd.nextInt(200) * 3600_000L)
+      val ct = new Timestamp(base + rnd.nextInt(200) * 3600_000L)
+      (key, et, ct, rnd.nextInt(1000).toDouble)
+    }
+  }
+
+  /** Reference oracle (nested loop): latest row with
+    * et <= entity_ts && et >= entity_ts - ttl, ties by created desc then
+    * max payload (the engine's documented deterministic tiebreak). */
+  private def asOfOracle(
+      rows: Seq[(Long, Timestamp, Timestamp, Double)],
+      key: Long, entityTs: Timestamp, ttl: Duration): Option[Double] = {
+    val lower = entityTs.getTime - ttl.toMillis
+    val cands = rows.filter { case (k, et, _, _) =>
+      k == key && et.getTime <= entityTs.getTime &&
+        (ttl.isZero || et.getTime >= lower)
+    }
+    if (cands.isEmpty) None
+    else Some(cands.maxBy { case (_, et, ct, v) => (et.getTime, ct.getTime, v) }._4)
+  }
+
+  test("PIT join agrees with nested-loop as-of oracle on random data (dup ts, created dedup)") {
+    import spark.implicits._
+    val data = genData(seed = 42, nKeys = 20, nRows = 2000)
+    val featDf = data.toDF("k", "et", "ct", "v")
+    val entityRows = genData(seed = 7, nKeys = 20, nRows = 300)
+      .map { case (k, et, _, _) => (k, et) }
+    val entityDf = entityRows.toDF("k", "event_timestamp")
+
+    for (ttl <- Seq(Duration.ofHours(48), Duration.ZERO)) {
+      val view = FeatureView("fv", Seq("e"), Seq(Feature("v", GraftType.Dbl)),
+        ttl, DataFrameSource(featDf, "et", createdTimestampColumn = Some("ct")))
+      val got = PointInTimeJoin.join(entityDf, Seq(ViewJoin(view, Seq("k"), Seq("v"), featDf)))
+        .select("k", "event_timestamp", "v")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1)) -> Option(r.get(2)).map(_.asInstanceOf[Double]))
+      assert(got.length == entityRows.length, "left-outer must preserve entity rows")
+      got.foreach { case ((k, et), v) =>
+        assert(v == asOfOracle(data, k, et, ttl),
+          s"mismatch for key=$k ts=$et ttl=$ttl")
+      }
+    }
+  }
+
+  test("inference: ts column, entity type, features") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 2.0, ts("2024-01-01 00:00:00")))
+      .toDF("user_id", "name", "score", "event_timestamp")
+      .withColumn("__internal", lit(1))
+    assert(Inference.inferEventTimestampColumn(df) == "event_timestamp")
+    assert(Inference.inferEntityType(df, "user_id") == GraftType.Int64)
+    assert(Inference.inferFeatures(df, Seq("user_id"), "event_timestamp", None)
+      .map(_.name) == Seq("name", "score"))
+    val two = df.withColumn("ts2", col("event_timestamp"))
+    // explicit name wins even with two ts columns
+    assert(Inference.inferEventTimestampColumn(two) == "event_timestamp")
+    intercept[IllegalArgumentException](
+      Inference.inferEventTimestampColumn(df.drop("event_timestamp")))
+  }
+
+  test("offline/online consistency (reference test_offline_online_store_consistency shape)") {
+    import spark.implicits._
+    // 5-row dataset incl. a null feature value and a duplicate-ts pair
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00"), Some(0.5)),
+      (1L, ts("2024-01-02 10:00:00"), ts("2024-01-02 10:00:00"), Some(0.7)),
+      (2L, ts("2024-01-02 09:00:00"), ts("2024-01-02 09:00:00"), None),
+      (3L, ts("2024-01-01 08:00:00"), ts("2024-01-01 08:00:00"), Some(1.5)),
+      (3L, ts("2024-01-01 08:00:00"), ts("2024-01-01 09:00:00"), Some(2.5))) // created-ts dedup
+    val df = rows.map { case (k, et, ct, v) => (k, et, ct, v.map(Double.box).orNull) }
+      .toDF("driver_id", "et", "ct", "conv_rate")
+      .withColumn("conv_rate", col("conv_rate").cast("double"))
+
+    for (store <- Seq(new InMemoryOnlineStore(),
+        new ParquetOnlineStore(java.nio.file.Files.createTempDirectory("graftkv").toString))) {
+      val fs = new FeatureStore("t", new Registry(), store, spark)
+      fs.applyEntity(Entity("driver", GraftType.Int64, Some("driver_id")))
+      fs.applyFeatureView(FeatureView("driver_stats", Seq("driver"),
+        Seq(Feature("conv_rate", GraftType.Dbl)), Duration.ZERO,
+        DataFrameSource(df, "et", Some("ct"))))
+      fs.materialize(Seq("driver_stats"), ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"))
+
+      val resp = fs.getOnlineFeatures(Seq("driver_stats:conv_rate"),
+        Seq(1L, 2L, 3L, 99L).map(id => Map[String, Any]("driver_id" -> id)))
+      val vals = resp.toMap("driver_stats:conv_rate")
+      val stats = resp.statuses("driver_stats:conv_rate")
+      assert(vals(0) == 0.7)             // latest of driver 1
+      assert(vals(1) == null)            // null feature materialized
+      assert(stats(1) == "NOT_FOUND")    // null value -> NOT_FOUND status
+      assert(vals(2) == 2.5)             // created-ts dedup picked later created
+      assert(stats(3) == "NOT_FOUND")    // missing key
+      assert(vals(3) == null)
+
+      // offline agrees at the same timestamps
+      val entity = Seq((1L, ts("2024-01-03 00:00:00")), (3L, ts("2024-01-03 00:00:00")))
+        .toDF("driver_id", "event_timestamp")
+      val hist = fs.getHistoricalFeatures(entity, Seq("driver_stats:conv_rate"))
+        .orderBy("driver_id").collect()
+      assert(hist(0).getAs[Double]("conv_rate") == 0.7)
+      assert(hist(1).getAs[Double]("conv_rate") == 2.5)
+
+      // incremental: next start = last end
+      fs.materializeIncremental(Seq("driver_stats"), ts("2024-01-04 00:00:00"))
+      val ivs = fs.registry.materializationIntervals("driver_stats")
+      assert(ivs.size == 2 && ivs(1).start == ivs(0).end)
+
+      fs.teardown()
+      assert(fs.registry.listFeatureViews.isEmpty)
+    }
+  }
+
+  test("materialize honors last-write-wins on overlapping windows") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-05 10:00:00"), 5.0)).toDF("driver_id", "et", "v")
+    val fs = new FeatureStore("t2", new Registry(), new InMemoryOnlineStore(), spark)
+    fs.applyEntity(Entity("driver", GraftType.Int64, Some("driver_id")))
+    fs.applyFeatureView(FeatureView("v", Seq("driver"), Seq(Feature("v", GraftType.Dbl)),
+      Duration.ZERO, DataFrameSource(df, "et")))
+    // materialize the LATER window first; replaying the earlier window
+    // must not regress the stored value
+    fs.materialize(Seq("v"), ts("2024-01-04 00:00:00"), ts("2024-01-06 00:00:00"))
+    fs.materialize(Seq("v"), ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"))
+    val resp = fs.getOnlineFeatures(Seq("v:v"), Seq(Map[String, Any]("driver_id" -> 1L)))
+    assert(resp.toMap("v:v").head == 5.0)
+    fs.teardown()
+  }
+}

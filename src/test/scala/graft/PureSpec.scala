@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Duration
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model._
+import graft.online.EntityKeyCodec
+import graft.registry.{MaterializationInterval, Registry, RegistryCodec, RegistryState}
+import graft.util.Json
+
+/** Spark-free unit tests: types, refs, key codec, JSON, registry codec. */
+class PureSpec extends AnyFunSuite {
+
+  test("GraftType <-> Spark DataType bijection") {
+    import org.apache.spark.sql.types._
+    assert(GraftType.fromSpark(LongType) == GraftType.Int64)
+    assert(GraftType.fromSpark(ArrayType(FloatType)) == GraftType.ListOf(GraftType.Flt))
+    GraftType.all.foreach { t =>
+      assert(GraftType.fromName(t.name) == t)
+    }
+    intercept[IllegalArgumentException](GraftType.fromSpark(DecimalType(10, 2)))
+    intercept[IllegalArgumentException](
+      GraftType.fromSpark(ArrayType(ArrayType(LongType))))
+  }
+
+  test("FeatureRef parse/group/collisions") {
+    assert(FeatureRef.parse("view:feat") == FeatureRef("view", "feat"))
+    intercept[IllegalArgumentException](FeatureRef.parse("nocolon"))
+    val refs = Seq("a:x", "b:y", "a:z").map(FeatureRef.parse)
+    assert(FeatureRef.groupByView(refs) == Seq("a" -> Seq("x", "z"), "b" -> Seq("y")))
+    val dup = Seq("a:x", "b:x").map(FeatureRef.parse)
+    intercept[IllegalArgumentException](FeatureRef.validateNoCollisions(dup, false))
+    FeatureRef.validateNoCollisions(dup, true) // prefixed -> fine
+  }
+
+  test("EntityKeyCodec: stable, order-insensitive, type-tagged") {
+    val a = EntityKeyCodec.serialize(Seq("user" -> 5L, "region" -> "eu"))
+    val b = EntityKeyCodec.serialize(Seq("region" -> "eu", "user" -> 5L))
+    assert(a.sameElements(b), "key order must not matter")
+    val c = EntityKeyCodec.serialize(Seq("user" -> 5, "region" -> "eu")) // Int vs Long
+    assert(!a.sameElements(c), "INT32 and INT64 must encode differently")
+    assert(EntityKeyCodec.hashKey(Seq("user" -> 5L)) ==
+      EntityKeyCodec.hashKey(Seq("user" -> 5L)))
+    assert(EntityKeyCodec.hexKey(Seq("user" -> 5L)) !=
+      EntityKeyCodec.hexKey(Seq("user" -> 6L)))
+    intercept[IllegalArgumentException](EntityKeyCodec.serialize(Seq("k" -> 3.14)))
+    intercept[IllegalArgumentException](EntityKeyCodec.serialize(Nil))
+  }
+
+  test("Json round-trip") {
+    val doc = """{"a":[1,2.5,"x\ny",true,null],"b":{"c":-3e2},"d":""}"""
+    val parsed = Json.parse(doc)
+    assert(Json.parse(parsed.render) == parsed)
+    intercept[IllegalArgumentException](Json.parse("""{"a":}"""))
+    intercept[IllegalArgumentException](Json.parse("""[1,2"""))
+  }
+
+  test("Registry codec round-trips full state") {
+    val state = RegistryState(
+      entities = Map("user" -> Entity("user", GraftType.Int64, Some("user_id"), "desc")),
+      views = Map("v1" -> FeatureView("v1", Seq("user"),
+        Seq(Feature("f1", GraftType.Dbl), Feature("f2", GraftType.ListOf(GraftType.Str))),
+        Duration.ofHours(6),
+        FileSource("/data/x.parquet", "ts", Some("created"), Map("a" -> "b"), Some("date")),
+        streamSource = Some(KafkaSource("broker:9092", "topic",
+          StreamFormat.Json("user_id LONG, f1 DOUBLE, ts TIMESTAMP"), "ts")))),
+      services = Map("svc" -> FeatureService("svc",
+        Seq(FeatureViewProjection("v1", Seq("f1"))))),
+      materializations = Map("v1" -> Seq(MaterializationInterval(
+        Timestamp.valueOf("2024-01-01 00:00:00"), Timestamp.valueOf("2024-01-02 00:00:00")))))
+    val decoded = RegistryCodec.decode(Json.parse(RegistryCodec.encode(state).render))
+    assert(decoded.entities == state.entities)
+    assert(decoded.views == state.views)
+    assert(decoded.services == state.services)
+    assert(decoded.materializations == state.materializations)
+  }
+
+  test("Registry persists to file and reloads") {
+    val path = java.nio.file.Files.createTempDirectory("graftreg").toString + "/registry.json"
+    val reg = new Registry(Some(path))
+    reg.applyEntity(Entity("user", GraftType.Int64, Some("user_id")))
+    reg.applyFeatureView(FeatureView("v", Seq("user"),
+      Seq(Feature("f", GraftType.Dbl)), Duration.ZERO,
+      FileSource("/tmp/x.parquet", "ts")))
+    reg.applyMaterialization("v",
+      Timestamp.valueOf("2024-01-01 00:00:00"), Timestamp.valueOf("2024-01-02 00:00:00"))
+    val reg2 = new Registry(Some(path))
+    assert(reg2.getEntity("user").joinKey == "user_id")
+    assert(reg2.getFeatureView("v").features.head.name == "f")
+    assert(reg2.materializationIntervals("v").size == 1)
+    intercept[NoSuchElementException](reg2.getFeatureView("missing"))
+    // registering a view with unknown entity fails
+    intercept[IllegalArgumentException](reg2.applyFeatureView(
+      FeatureView("v2", Seq("ghost"), Seq(Feature("f", GraftType.Dbl)),
+        Duration.ZERO, FileSource("/tmp/x.parquet", "ts"))))
+  }
+}
