@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard. Designed for the 100 TB shape:
+  *
+  *  - exact dedup is one hash-groupBy (map-side combinable);
+  *  - near-dup candidate generation is banded LSH — cost is
+  *    O(|docs| × bands) exploded rows shuffled by (band, bucket), never
+  *    the O(n²) all-pairs join;
+  *  - exact verification runs only on candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup (hash-groupBy): keep the row with min tiebreak per
+    * dedup-key value. Map-side combinable via min_by. */
+  def exactDedup(df: DataFrame, key: Column, tieBreak: Column): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(key.as("__dedup_key"))
+      .agg(min_by(payload, tieBreak).as("__w"))
+      .select(df.columns.map(c => col(s"__w.$c")): _*)
+  }
+
+  /** k-minhash signature over a string-array column: h_i = min over
+    * elements of xxhash64(i, element). */
+  def minhashSignature(elems: Column, k: Int): Column =
+    array((0 until k).map(i => array_min(transform(elems, e => xxhash64(lit(i), e)))): _*)
+
+  /** LSH band hashes of a minhash signature: `bands` hashes of `rowsPer`
+    * consecutive signature entries. Two docs share a band hash iff their
+    * signatures agree on that whole band. */
+  def bandHashes(sig: Column, bands: Int, rowsPer: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64((slice(sig, b * rowsPer + 1, rowsPer) +: Seq(lit(b))): _*)
+    }: _*)
+
+  /** MinHash-LSH near-duplicate pairs with exact Jaccard verification.
+    *
+    * Pipeline: shingle → minhash(k) → band → explode(band, hash) →
+    * bucket self-join (only within buckets; skew-guarded by
+    * maxBucketSize) → distinct candidate pairs → exact Jaccard on the
+    * shingle sets → threshold.
+    *
+    * @param df        input
+    * @param idCol     unique doc id (orderable)
+    * @param textCol   document text
+    * @param shingleN  word-n-gram size
+    * @param k         signature length (bands * rowsPerBand)
+    * @param bands     LSH bands; P(candidate) = 1-(1-j^r)^b
+    * @param threshold exact-Jaccard threshold for a reported pair
+    * @param maxBucketSize drop degenerate buckets larger than this
+    *                  (e.g. empty-text buckets) instead of exploding
+    *                  into n² pairs
+    * @return (id_a, id_b, jaccard) with id_a < id_b
+    */
+  def minhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val rowsPer = k / bands
+
+    val shingled = df.select(col(idCol).as("id"),
+        TextFunctions.wordNgrams(col(textCol), shingleN).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+    val banded = shingled
+      .withColumn("sig", minhashSignature(col("shingles"), k))
+      .select(col("id"), posexplode(bandHashes(col("sig"), bands, rowsPer)))
+      .toDF("id", "band", "bucket")
+
+    // Candidates: ids sharing any (band, bucket). Self-join within
+    // buckets only; cap bucket size to keep a degenerate bucket from
+    // producing O(n^2) pairs.
+    val buckets = banded.groupBy("band", "bucket")
+      .agg(collect_list("id").as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+    val pairs = buckets
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+
+    // Exact verification on candidates only.
+    val sh = shingled
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** All ordered pairs (a<b) of an array column — used inside one LSH
+    * bucket. */
+  private def pairsOf(ids: Column): Column = {
+    val sorted = array_sort(ids)
+    flatten(transform(sorted, (a, i) =>
+      transform(slice(sorted, i + lit(2), size(sorted)), b => struct(a.as("_1"), b.as("_2")))))
+  }
+
+  /** Exact Jaccard similarity of two array columns (set semantics). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** SimHash near-dup clusters: docs whose 64-bit simhash agrees on all
+    * of `prefixBits` high bits land in one bucket; verify with full
+    * hamming distance <= maxHamming. Returns (id_a, id_b, hamming). */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
+    // Banded simhash LSH: split 64 bits into `bands` segments; a pair
+    // within hamming distance (bands-1) must agree exactly on >=1
+    // segment (pigeonhole) — same guarantee simhash dedup uses at scale.
+    val bits = 64 / bands
+    val hashed = df.select(col(idCol).as("id"),
+      TextFunctions.simhash64(col(textCol)).as("sim"))
+    val banded = hashed.select(col("id"), col("sim"),
+        posexplode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sim"), b * bits).bitwiseAND(lit((1L << bits) - 1)).as("seg"))
+        }: _*)))
+      .select(col("id"), col("sim"), col("col.band").as("band"), col("col.seg").as("seg"))
+    val buckets = banded.groupBy("band", "seg")
+      .agg(collect_list(struct(col("id"), col("sim"))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucketSize))
+    buckets
+      .select(explode(pairsOfStruct(col("xs"))).as("p"))
+      .select(col("p._1.id").as("id_a"), col("p._1.sim").as("sim_a"),
+        col("p._2.id").as("id_b"), col("p._2.sim").as("sim_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+      .withColumn("hamming", TextFunctions.hamming64(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  private def pairsOfStruct(xs: Column): Column = {
+    // sort by id so every unordered pair is emitted exactly as (lo, hi)
+    // regardless of bucket arrival order
+    val sorted = array_sort(xs)
+    flatten(transform(sorted, (a, i) =>
+      transform(slice(sorted, i + lit(2), size(sorted)), b => struct(a.as("_1"), b.as("_2")))))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video payloads travel as
+  * opaque `binary` columns with typed metadata structs; decode /
+  * feature-extraction runs as batched partition-level functions.
+  *
+  * The actual codecs are NOT available in this environment, so the
+  * decode step is STUBBED with a deterministic fake
+  * (`StubImageDecoder`) — the Spark-side plumbing (schema, batching,
+  * partition sizing) is real and tested; swap the decoder for a JNI/
+  * library-backed one in production.
+  */
+object Multimodal {
+
+  /** Metadata schema carried alongside every binary payload. */
+  val MetadataSchema: StructType = StructType(Seq(
+    StructField("size_bytes", LongType),
+    StructField("format", StringType),
+    StructField("checksum", StringType)))
+
+  /** Cheap per-row metadata extraction (pure columns, codegen'd):
+    * size, magic-byte format sniffing, md5 checksum. */
+  def metadataOf(bin: Column): Column = struct(
+    octet_length(bin).cast("long").as("size_bytes"),
+    sniffFormat(bin).as("format"),
+    md5(bin).as("checksum"))
+
+  /** Magic-byte format detection over the binary prefix. */
+  def sniffFormat(bin: Column): Column =
+    when(hex(substring(bin, 1, 3)) === "FFD8FF", "jpeg")
+      .when(hex(substring(bin, 1, 8)) === "89504E470D0A1A0A", "png")
+      .when(substring(bin, 1, 4).cast("string") === "RIFF", "riff")
+      .otherwise("unknown")
+
+  /** Deterministic fake image decode — STUB standing in for a real
+    * codec: dimensions derived from payload size so oracles can verify
+    * the plumbing end-to-end. */
+  def stubDecodeImage(bin: Column): Column = {
+    val n = octet_length(bin).cast("long")
+    struct(
+      (pmod(n, lit(640L)) + 16L).as("width"),
+      (pmod(n * 7L, lit(480L)) + 16L).as("height"),
+      lit(3).as("channels"))
+  }
+
+  /** Evenly sample `n` fixed-width byte frames from a payload (the
+    * video frame-sample shape; deterministic). */
+  def sampleFrames(bin: Column, n: Int, frameBytes: Int): Column = {
+    val len = octet_length(bin)
+    transform(sequence(lit(0), lit(n - 1)), i =>
+      substring(bin, (i * greatest((len - frameBytes) / lit(math.max(n - 1, 1)), lit(0)) + 1)
+        .cast("int"), lit(frameBytes)))
+  }
+
+  /** Batched partition-level decode: the real-codec integration point.
+    * Partitions are first re-sized by payload bytes (decoders want
+    * balanced work by bytes, not by row count), then each partition is
+    * processed in `batchSize` groups through the decoder — mirroring
+    * mapInPandas/Arrow-batch semantics in Scala.
+    */
+  trait BinaryBatchDecoder extends Serializable {
+    /** schema of the struct appended per row */
+    def outputSchema: StructType
+    /** decode a batch of payloads into one Row per payload */
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Row]
+  }
+
+  /** Deterministic stub decoder (no codec libs in this container). */
+  class StubImageDecoder extends BinaryBatchDecoder {
+    val outputSchema: StructType = StructType(Seq(
+      StructField("width", LongType), StructField("height", LongType),
+      StructField("channels", IntegerType)))
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Row] =
+      payloads.map { b =>
+        val n = b.length.toLong
+        Row(n % 640L + 16L, (n * 7L) % 480L + 16L, 3)
+      }
+  }
+
+  /** Run a batched decoder over a binary column; appends decoder output
+    * columns. `targetPartitionBytes` rebalances partitions by payload
+    * size before the decode (a 100 TB video table must not land 10k
+    * 4K-frames on one task while another gets thumbnails). */
+  def decodeBatched(
+      df: DataFrame,
+      binCol: String,
+      decoder: BinaryBatchDecoder,
+      batchSize: Int = 64,
+      targetPartitionBytes: Long = 128L << 20): DataFrame = {
+    val spark = df.sparkSession
+    val totalBytes = df.agg(sum(octet_length(col(binCol)).cast("long"))).collect()(0).getLong(0)
+    val parts = math.max(1, math.min(10000, (totalBytes / targetPartitionBytes).toInt + 1))
+    val outSchema = StructType(df.schema.fields ++ decoder.outputSchema.fields)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.repartition(parts).rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val decoded = decoder.decodeBatch(batch.map(_.getAs[Array[Byte]](binIdx)))
+        batch.lazyZip(decoded).map { (row, extra) =>
+          Row.fromSeq(row.toSeq ++ extra.toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

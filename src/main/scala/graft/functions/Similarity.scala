@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`): brute-force cosine top-k as the exact baseline, a
+  * random-hyperplane LSH near-dup/bucketing path, and an IVF-style
+  * partitioned variant as the 100 TB scale path.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision (same fold order as
+    * DuckDB's list_dot_product, so oracles match bit-for-bit). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine for each query vector, two-level aggregation:
+    *
+    * level 1 groups by (query, shuffle-partition) and keeps only k
+    * candidates per partition; level 2 merges the per-partition winners.
+    * Neither level materializes all |corpus| rows per query the way a
+    * row_number() window would — the shuffle carries at most
+    * k × numPartitions rows per query, so a hot query key cannot skew.
+    *
+    * @param queries (queryIdCol, vecCol) — small; broadcast
+    * @param corpus  (idCol, vecCol)
+    * @return (query_id, neighbor_id, cos, rank) rank 1..k by
+    *         (cos desc, neighbor_id asc)
+    */
+  def bruteForceTopK(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col(qIdCol).as("__qid"), col(qVecCol).as("__qvec")))
+    val c = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cvec"))
+    var scored = c.crossJoin(q)
+      .withColumn("__cos", cosine(col("__qvec"), col("__cvec")))
+    if (excludeSelf) scored = scored.filter(col("__qid") =!= col("__cid"))
+
+    // candidate ordered as (-cos, id): ascending struct sort == cos desc,
+    // id asc
+    val cand = struct((-col("__cos")).as("negcos"), col("__cid").as("id"), col("__cos").as("cos"))
+    val level1 = scored
+      .groupBy(col("__qid"), spark_partition_id().as("__part"))
+      .agg(slice(array_sort(collect_list(cand)), 1, k).as("top"))
+    val topk = level1
+      .groupBy("__qid")
+      .agg(slice(array_sort(flatten(collect_list(col("top")))), 1, k).as("top"))
+    topk.select(col("__qid").as("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.cos").as("cos"), (col("pos") + 1).as("rank"))
+  }
+
+  /** Random-hyperplane signature: bit p = sign(vec · h_p). Hyperplane
+    * weights are seeded pseudo-randoms computed driver-side and shipped
+    * as array literals — no stored model, reproducible across runs, and
+    * the expression tree stays O(planes) nodes (an inline per-dimension
+    * hash blew past 1 GB of codegen memory). Returns a `planes`-bit
+    * bucket id as a long. */
+  def hyperplaneBucket(vec: Column, planes: Int, dim: Int, seed: Int = 0): Column = {
+    val bits = (0 until planes).map { p =>
+      val rnd = new java.util.Random(seed.toLong * 1000003L + p)
+      val w = Seq.fill(dim)(rnd.nextDouble() * 2 - 1)
+      val d = aggregate(
+        zip_with(vec, typedlit(w), (x, wc) => x.cast("double") * wc),
+        lit(0.0), (acc, x) => acc + x)
+      when(d > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a + b)
+  }
+
+  /** Embedding near-duplicate pairs: bucket by `bands` independent
+    * hyperplane signatures (identical vectors always collide on every
+    * band), verify candidates with exact cosine. Returns
+    * (id_a, id_b, cos) with id_a < id_b, cos >= threshold. */
+  def embeddingNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double = 0.99,
+      bands: Int = 4, planesPerBand: Int = 12,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val banded = base.select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          hyperplaneBucket(col("vec"), planesPerBand, dim, seed = b)): _*)))
+      .toDF("id", "band", "bucket")
+    val buckets = banded.groupBy("band", "bucket")
+      .agg(collect_list("id").as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+    val sortedIds = array_sort(col("ids"))
+    val pairs = buckets
+      .select(explode(flatten(transform(sortedIds, (a, i) =>
+        transform(slice(sortedIds, i + lit(2), size(sortedIds)),
+          b => struct(a.as("_1"), b.as("_2")))))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .distinct()
+    pairs
+      .join(base.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** IVF-style ANN: assign corpus vectors to their nearest of `nCells`
+    * anchor vectors (inverted file), then search a query only against
+    * the `nProbe` cells nearest to it. Anchors are taken
+    * deterministically from the corpus (first nCells by id) — a k-means
+    * refinement can swap in better centroids without changing the plan
+    * shape. At scale the cell assignment is a narrow projection and the
+    * probe is a semi-join that prunes (nCells - nProbe)/nCells of the
+    * corpus from the scan. */
+  def ivfTopK(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int, nProbe: Int): DataFrame = {
+    val anchors = corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("cell_vec"))
+    val anchorArr = broadcast(anchors.agg(
+      collect_list(struct(col("cell_id"), col("cell_vec"))).as("cells")))
+
+    def nearestCells(vec: Column, n: Int): Column =
+      slice(array_sort(transform(col("cells"), c =>
+        struct((-cosine(vec, c("cell_vec"))).as("negcos"), c("cell_id").as("cell_id")))),
+        1, n)
+
+    val assigned = corpus.crossJoin(anchorArr)
+      .withColumn("cell", nearestCells(col(vecCol), 1)(0)("cell_id"))
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"), col("cell"))
+
+    val probed = queries.crossJoin(anchorArr)
+      .select(col(qIdCol).as("__qid"), col(qVecCol).as("__qvec"),
+        explode(transform(nearestCells(col(qVecCol), nProbe), c => c("cell_id"))).as("cell"))
+
+    val scored = assigned.join(broadcast(probed), "cell")
+      .filter(col("__qid") =!= col("__cid"))
+      .withColumn("__cos", cosine(col("__qvec"), col("__cvec")))
+    val cand = struct((-col("__cos")).as("negcos"), col("__cid").as("id"), col("__cos").as("cos"))
+    scored.groupBy("__qid")
+      .agg(slice(array_sort(collect_list(cand)), 1, k).as("top"))
+      .select(col("__qid").as("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.cos").as("cos"), (col("pos") + 1).as("rank"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting, SimHash.
+  *
+  * All pure `Column` compositions over built-in (codegen'd) functions —
+  * no UDFs — so every operator stays inside whole-stage codegen and
+  * scales linearly with a parquet scan: at 100 TB these run as a single
+  * narrow projection, no shuffle.
+  */
+object TextFunctions {
+
+  /** Whitespace-delimited tokens. */
+  def tokens(c: Column): Column = regexp_extract_all(c, lit("\\S+"), lit(0))
+
+  /** Alphanumeric words of the lowercased text (unit for n-grams,
+    * language ID, stopword ratio). */
+  def words(c: Column): Column = regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token estimate: runs of letters, single digits, or single
+    * punctuation — approximates subword tokenizer output without a
+    * vocabulary. */
+  def bpeTokenEstimate(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+
+  val StopwordsEn = Seq("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
+
+  def stopwordCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("\\b(" + StopwordsEn.mkString("|") + ")\\b"), lit(0)))
+
+  def punctCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** Heuristic document quality in [0,1]: length saturation × low-punct
+    * × stopword-informed naturalness (shape follows the usual
+    * length/punct/stopword-ratio heuristics for web-corpus filtering). */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val punctRatio = punctCount(c).cast("double") / greatest(nTok, lit(1.0))
+    val stopRatio = stopwordCount(c).cast("double") / greatest(nTok, lit(1.0))
+    least(nTok / lit(100.0), lit(1.0)) *
+      (lit(1.0) - least(punctRatio, lit(1.0))) *
+      (lit(0.5) + least(stopRatio * lit(2.0), lit(0.5)))
+  }
+
+  /** Language marker words (tiny n-gram/stopword heuristic — enough to
+    * separate major European languages on natural text). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "for", "on", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "en", "un", "une", "est", "que"),
+    "es" -> Seq("el", "los", "las", "de", "y", "por", "una", "es", "del", "como"))
+
+  def langScore(c: Column, markers: Seq[String]): Column =
+    size(regexp_extract_all(lower(c), lit("\\b(" + markers.mkString("|") + ")\\b"), lit(0)))
+
+  /** Argmax language with a fixed priority order on ties (en>de>fr>es). */
+  def langId(c: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> langScore(c, ms) }
+    scores.init.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((lang, s), i), elseCol) =>
+        val rest = scores.drop(i + 1).map(_._2)
+        val restMax = if (rest.size == 1) rest.head else greatest(rest: _*)
+        when(s >= restMax, lang).otherwise(elseCol)
+    }
+  }
+
+  /** Canonical text normalization: lowercase, strip non-alphanumerics,
+    * collapse whitespace. */
+  def normalized(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Content fingerprint: md5 of the normalized text — the exact-dedup
+    * key (whitespace/punctuation/case-insensitive). */
+  def fingerprint(c: Column): Column = md5(normalized(c).cast("binary"))
+
+  /** Word n-grams (shingles) of the normalized text, distinct. Empty
+    * array when the document has fewer than n words (guards Spark's
+    * descending `sequence(1, 0)`). */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val w = words(c)
+    val grams = transform(sequence(lit(1), size(w) - lit(n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j))): _*))
+    array_distinct(when(size(w) < n, array().cast("array<string>")).otherwise(grams))
+  }
+
+  /** 64-bit SimHash over whitespace tokens (xxhash64 token hashes;
+    * bit j set iff the +1/-1 vote sum over tokens is positive). Pure
+    * higher-order-function pipeline — codegen-friendly, no UDF. */
+  def simhash64(c: Column): Column = {
+    val hashes = transform(tokens(c), t => xxhash64(t))
+    def bit(h: Column, j: Column): Column =
+      call_function("shiftright", h, j).bitwiseAND(lit(1L))
+    aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, j) =>
+      acc + when(
+        aggregate(hashes, lit(0L),
+          (a, h) => a + when(bit(h, j) === 1L, 1L).otherwise(-1L)) > 0,
+        call_function("shiftleft", lit(1L), j)).otherwise(lit(0L)))
+  }
+
+  /** Hamming distance between two 64-bit hashes (near-dup distance for
+    * SimHash). */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

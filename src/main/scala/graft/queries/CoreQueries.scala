@@ -59,7 +59,9 @@ object CoreQueries {
       |), cand AS (
       |  SELECT e.o_orderkey, f.l_quantity, f.l_extendedprice, f.l_returnflag,
       |         ROW_NUMBER() OVER (PARTITION BY e.o_orderkey
-      |                            ORDER BY f.l_shipdate DESC, f.l_linenumber DESC) AS rn
+      |                            ORDER BY f.l_shipdate DESC, f.l_linenumber DESC,
+      |                                     f.l_quantity DESC, f.l_extendedprice DESC,
+      |                                     f.l_returnflag DESC) AS rn
       |  FROM ent e JOIN lineitem f ON f.l_orderkey = e.o_orderkey
       |   AND f.l_shipdate <= e.event_timestamp
       |   AND f.l_shipdate >= e.event_timestamp - INTERVAL 400 DAY

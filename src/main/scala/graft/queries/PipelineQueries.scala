@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Multimodal, Similarity, TextFunctions => TF}
+import graft.sources.Tables
+
+/** Training-data-pipeline operator queries over documents/embeddings:
+  * text analysis, dedup (exact / MinHash-LSH / SimHash / n-gram
+  * Jaccard / embedding), similarity search, multimodal plumbing.
+  *
+  * Near-dup queries construct duplicates from the corpus itself
+  * (doc_id/vec_id + 1_000_000 clones of every 10th row) so recall is
+  * provable: with the thresholds used, a reported pair ⇔ identical
+  * shingle set / identical vector, which the DuckDB oracle states
+  * independently of the LSH implementation.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "embeddings")
+
+  // ---- text analysis --------------------------------------------------
+
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TF.bpeTokenEstimate(col("text")).cast("long").as("n_bpe_tokens"),
+      TF.punctCount(col("text")).cast("long").as("punct_cnt"),
+      TF.stopwordCount(col("text")).cast("long").as("stopword_cnt"),
+      round(TF.qualityScore(col("text")), 4).as("quality"))
+    .orderBy("doc_id")
+
+  val textStatsSql: String =
+    """SELECT doc_id, n_tokens, n_bpe_tokens, punct_cnt, stopword_cnt,
+      |       round(least(n_tokens / 100.0, 1.0)
+      |             * (1.0 - least(punct_cnt / greatest(CAST(n_tokens AS DOUBLE), 1.0), 1.0))
+      |             * (0.5 + least(stopword_cnt / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 2.0, 0.5)),
+      |             4) AS quality
+      |FROM (
+      |  SELECT doc_id,
+      |         len(regexp_extract_all(text, '\S+')) AS n_tokens,
+      |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS n_bpe_tokens,
+      |         len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS punct_cnt,
+      |         len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|it|for|on)\b')) AS stopword_cnt
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  def langIdQ(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TF.langScore(col("text"), TF.LangMarkers(0)._2).cast("long").as("s_en"),
+      TF.langScore(col("text"), TF.LangMarkers(1)._2).cast("long").as("s_de"),
+      TF.langScore(col("text"), TF.LangMarkers(2)._2).cast("long").as("s_fr"),
+      TF.langScore(col("text"), TF.LangMarkers(3)._2).cast("long").as("s_es"),
+      TF.langId(col("text")).as("lang_pred"))
+    .orderBy("doc_id")
+
+  val langIdSql: String = {
+    def score(ms: Seq[String]) =
+      s"len(regexp_extract_all(lower(text), '\\b(${ms.mkString("|")})\\b'))"
+    val en = score(TF.LangMarkers(0)._2); val de = score(TF.LangMarkers(1)._2)
+    val fr = score(TF.LangMarkers(2)._2); val es = score(TF.LangMarkers(3)._2)
+    s"""SELECT doc_id, s_en, s_de, s_fr, s_es,
+       |       CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+       |            WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+       |            WHEN s_fr >= s_es THEN 'fr'
+       |            ELSE 'es' END AS lang_pred
+       |FROM (SELECT doc_id, $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- dedup -----------------------------------------------------------
+
+  /** Exact dedup on the normalized-text fingerprint; keeps min doc_id
+    * per group (at sf0.1 the corpus has genuine duplicates). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val withFp = docs(s, dir).withColumn("fp", TF.fingerprint(col("text")))
+    Dedup.exactDedup(withFp, col("fp"), col("doc_id"))
+      .select(col("doc_id"), col("fp"))
+      .orderBy("doc_id")
+  }
+
+  val dedupExactSql: String =
+    """SELECT min(doc_id) AS doc_id, fp
+      |FROM (SELECT doc_id,
+      |             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |                                     ' +', ' ', 'g'))) AS fp
+      |      FROM documents)
+      |GROUP BY fp ORDER BY doc_id""".stripMargin
+
+  /** Exact word-3-gram Jaccard between consecutive documents (the
+    * verification primitive used inside LSH dedup, checked standalone). */
+  def ngramJaccardChain(s: SparkSession, dir: String): DataFrame = {
+    val g = docs(s, dir).select(col("doc_id"),
+      TF.wordNgrams(col("text"), 3).as("grams"))
+    val a = g.alias("a"); val b = g.alias("b")
+    a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("doc_id"),
+        Dedup.jaccard(col("a.grams"), col("b.grams")).as("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  val ngramJaccardChainSql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+      |                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+      |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents))
+      |SELECT a.doc_id AS doc_id,
+      |       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |       / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard
+      |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+      |ORDER BY doc_id""".stripMargin
+
+  /** Corpus ∪ exact clones of every 10th doc (ids + 1e6). */
+  private def docsWithClones(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
+  /** MinHash-LSH near-dup pairs at threshold 0.999 ⇔ identical shingle
+    * sets. The oracle derives the same pairs from a canonical gram-set
+    * signature — implementation-independent. */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDupPairs(docsWithClones(s, dir), "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.999)
+      .orderBy("id_a", "id_b")
+
+  val dedupMinhashSql: String =
+    """WITH uni AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      |), g AS (
+      |  SELECT doc_id,
+      |         md5(array_to_string(list_sort(list_distinct(
+      |           list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+      |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))), chr(10))) AS sig,
+      |         len(w) >= 3 AS ok
+      |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM uni))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0 AS jaccard
+      |FROM g a JOIN g b ON a.sig = b.sig AND a.doc_id < b.doc_id AND a.ok AND b.ok
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** SimHash near-dup pairs (hamming <= 3 over banded-LSH candidates).
+    * xxhash64 isn't available in DuckDB -> rows-only check here; exact
+    * semantics are pinned by GraftSpec unit tests. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(docsWithClones(s, dir), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  /** Embedding near-dup pairs at cosine >= 0.999 over hyperplane-LSH
+    * buckets; clones guarantee recall, the oracle recomputes the same
+    * cosine for the clone pairs. */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val uni = e.unionByName(e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    Similarity.embeddingNearDupPairs(uni, "vec_id", "embedding",
+        dim = 64, threshold = 0.999)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val embeddingNearDupSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT a.vec_id AS id_a, a.vec_id + 1000000 AS id_b,
+      |       round(list_dot_product(a.v, b.v)
+      |             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+      |             6) AS cos
+      |FROM e a JOIN e b ON a.vec_id = b.vec_id
+      |WHERE a.vec_id % 10 = 0
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- similarity search ----------------------------------------------
+
+  /** Exact cosine top-5 for 8 probe vectors (the ANN ground-truth
+    * baseline). */
+  def annBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val q = e.filter(col("vec_id") < 8)
+    Similarity.bruteForceTopK(q, "vec_id", "embedding", e, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annBruteForceSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id, v FROM e WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |         list_dot_product(q.v, e.v)
+      |         / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+      |  FROM q CROSS JOIN e WHERE q.vec_id <> e.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id
+      |                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** IVF-partitioned ANN (scale path) — approximate by construction, so
+    * rows-only here; recall-vs-brute-force is asserted in GraftSpec. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val q = e.filter(col("vec_id") < 8)
+    Similarity.ivfTopK(q, "vec_id", "embedding", e, "vec_id", "embedding",
+        k = 5, nCells = 16, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  // ---- multimodal -------------------------------------------------------
+
+  /** Binary-column plumbing: payload = utf-8 bytes of the text (stand-in
+    * for an image blob), metadata + stub decode verified end-to-end. */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"),
+        Multimodal.metadataOf(col("payload")).as("m"),
+        Multimodal.stubDecodeImage(col("payload")).as("img"))
+      .select(col("doc_id"),
+        col("m.size_bytes").as("size_bytes"),
+        col("m.checksum").as("checksum"),
+        col("img.width").as("width"),
+        col("img.height").as("height"))
+      .orderBy("doc_id")
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+      |       md5(text) AS checksum,
+      |       octet_length(encode(text)) % 640 + 16 AS width,
+      |       (octet_length(encode(text)) * 7) % 480 + 16 AS height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> (textStats _),
+    "q_lang_id" -> (langIdQ _),
+    "q_dedup_exact" -> (dedupExact _),
+    "q_ngram_jaccard_chain" -> (ngramJaccardChain _),
+    "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_simhash" -> (dedupSimhash _),
+    "q_embedding_neardup" -> (embeddingNearDup _),
+    "q_ann_brute_force" -> (annBruteForce _),
+    "q_ann_ivf" -> (annIvf _),
+    "q_multimodal_meta" -> (multimodalMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" -> textStatsSql,
+    "q_lang_id" -> langIdSql,
+    "q_dedup_exact" -> dedupExactSql,
+    "q_ngram_jaccard_chain" -> ngramJaccardChainSql,
+    "q_dedup_minhash" -> dedupMinhashSql,
+    "q_embedding_neardup" -> embeddingNearDupSql,
+    "q_ann_brute_force" -> annBruteForceSql,
+    "q_multimodal_meta" -> multimodalMetaSql)
+}

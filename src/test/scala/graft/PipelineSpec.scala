@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Dedup, Multimodal, Similarity, TextFunctions => TF}
+
+/** Unit tests for the training-data pipeline operators not fully covered
+  * by the DuckDB oracle (hash-dependent: MinHash accuracy, SimHash,
+  * IVF recall, multimodal batch plumbing). */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def mkDoc(words: Seq[String]): String = words.mkString(" ")
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+    "eta", "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omi", "pi")
+
+  test("minhash-estimated jaccard tracks exact jaccard") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1)
+    // pairs with controlled overlap: doc2 = doc1 with fraction f replaced
+    val docs = (0 until 30).flatMap { i =>
+      val base = Vector.fill(60)(vocab(rnd.nextInt(vocab.size)))
+      val f = i % 3 match { case 0 => 0.0; case 1 => 0.2; case 2 => 0.6 }
+      val mutated = base.zipWithIndex.map { case (w, j) =>
+        if (j < (base.size * f).toInt) vocab(rnd.nextInt(vocab.size)) else w }
+      Seq((i.toLong * 2, mkDoc(base)), (i.toLong * 2 + 1, mkDoc(mutated)))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val g = df.select(col("doc_id"), TF.wordNgrams(col("text"), 3).as("grams"))
+      .withColumn("sig", Dedup.minhashSignature(col("grams"), 128))
+    val a = g.select(col("doc_id").as("ida"), col("grams").as("ga"), col("sig").as("sa"))
+    val b = g.select(col("doc_id").as("idb"), col("grams").as("gb"), col("sig").as("sb"))
+    val est = a.join(b, col("idb") === col("ida") + 1 && col("ida") % 2 === 0)
+      .select(
+        Dedup.jaccard(col("ga"), col("gb")).as("exact"),
+        (aggregate(zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, v) => acc + v) / 128.0).as("est"))
+      .collect()
+    est.foreach { r =>
+      val (exact, e) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(exact - e) < 0.15, s"minhash est $e too far from exact $exact")
+    }
+  }
+
+  test("minhashNearDupPairs finds planted near-dups and skips unrelated docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2)
+    val bases = (0 until 40).map(i =>
+      (i.toLong, mkDoc(Vector.fill(80)(vocab(rnd.nextInt(vocab.size))))))
+    // plant near-dups: copy of every 4th doc with 2 words changed
+    val dups = bases.filter(_._1 % 4 == 0).map { case (id, t) =>
+      val w = t.split(" ").toVector
+      (id + 1000, mkDoc(w.updated(0, "changed").updated(1, "words")))
+    }
+    val df = (bases ++ dups).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(df, "doc_id", "text",
+      shingleN = 3, k = 128, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = bases.filter(_._1 % 4 == 0).map(b => (b._1, b._1 + 1000)).toSet
+    assert(expected.subsetOf(pairs), s"missed planted dups: ${expected -- pairs}")
+    // unrelated random docs (overlap ~tiny with 16-word vocab 3-grams)
+    assert(pairs.forall { case (a, b) => b - a == 1000 },
+      s"false positives: ${pairs.filter { case (a, b) => b - a != 1000 }}")
+  }
+
+  test("simhash: identical text same hash; hamming grows with edits") {
+    import spark.implicits._
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, t), (2L, t),
+      (3L, t.replace("quick", "rapid")),
+      (4L, "completely different words entirely unrelated content here")
+    ).toDF("id", "text").withColumn("sim", TF.simhash64(col("text")))
+    val m = df.select("id", "sim").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    val near = java.lang.Long.bitCount(m(1L) ^ m(3L))
+    val far = java.lang.Long.bitCount(m(1L) ^ m(4L))
+    assert(near < far, s"1-word edit (hamming $near) should be closer than unrelated ($far)")
+    assert(near <= 16)
+  }
+
+  test("ivfTopK achieves high recall vs brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val corpus = (0 until 400).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(queries, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 5, nCells = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low (nProbe=4/8 cells)")
+  }
+
+  test("multimodal decodeBatched appends decoder columns, preserves rows") {
+    import spark.implicits._
+    val df = (0 until 257).map(i => (i.toLong, ("x" * (i + 1)).getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val out = Multimodal.decodeBatched(df, "payload", new Multimodal.StubImageDecoder(),
+      batchSize = 16, targetPartitionBytes = 4096)
+    assert(out.count() == 257)
+    assert(out.columns.toSeq == Seq("id", "payload", "width", "height", "channels"))
+    val r = out.filter(col("id") === 100).collect()(0)
+    assert(r.getAs[Long]("width") == 101 % 640 + 16)
+    assert(r.getAs[Long]("height") == (101 * 7) % 480 + 16)
+    // sniffing + metadata columns
+    val meta = df.select(Multimodal.metadataOf(col("payload")).as("m"))
+      .select(col("m.size_bytes"), col("m.format")).collect()
+    assert(meta.forall(_.getString(1) == "unknown"))
+    val jpeg = Seq((1L, Array(0xFF, 0xD8, 0xFF, 0x00).map(_.toByte)))
+      .toDF("id", "payload")
+      .select(Multimodal.sniffFormat(col("payload"))).collect()(0).getString(0)
+    assert(jpeg == "jpeg")
+  }
+
+  test("embedding near-dup: planted clones found, nothing else at 0.999") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4)
+    val base = (0 until 200).map(i => (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
+    val clones = base.filter(_._1 % 5 == 0).map { case (id, v) => (id + 10000, v) }
+    val df = (base ++ clones).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupPairs(df, "vec_id", "embedding",
+      dim = 32, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = base.filter(_._1 % 5 == 0).map(b => (b._1, b._1 + 10000)).toSet
+    assert(pairs == expected, s"diff: missing=${expected -- pairs} extra=${pairs -- expected}")
+  }
+}
