@@ -9,9 +9,11 @@ object SparkEntry {
     CoreQueries.pitJoinSingle(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ OnlineQueries.queries ++ PipelineQueries.queries
+    CoreQueries.queries ++ OnlineQueries.queries ++ PipelineQueries.queries ++
+      StreamQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ OnlineQueries.oracles ++ PipelineQueries.oracles
+    CoreQueries.oracles ++ OnlineQueries.oracles ++ PipelineQueries.oracles ++
+      StreamQueries.oracles
 }

@@ -23,10 +23,16 @@ object Dedup {
       .select(df.columns.map(c => col(s"__w.$c")): _*)
   }
 
-  /** k-minhash signature over a string-array column: h_i = min over
-    * elements of xxhash64(i, element). */
-  def minhashSignature(elems: Column, k: Int): Column =
-    array((0 until k).map(i => array_min(transform(elems, e => xxhash64(lit(i), e)))): _*)
+  /** k-minhash signature from a *pre-bound* element-hash column
+    * (`transform(elems, e => xxhash64(e))` materialized via withColumn):
+    * h_i = min over elements of xxhash64(i, elementHash). Re-hashing the
+    * 8-byte element hash k times is far cheaper than re-hashing the
+    * string k times — and the pre-bound attribute keeps the k lambdas
+    * from re-evaluating the upstream expression per element (see
+    * TextFunctions.wordNgramsFromWords performance contract). */
+  def minhashSignature(elemHashes: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(elemHashes, h => xxhash64(lit(i), h)))): _*)
 
   /** LSH band hashes of a minhash signature: `bands` hashes of `rowsPer`
     * consecutive signature entries. Two docs share a band hash iff their
@@ -67,12 +73,20 @@ object Dedup {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val rowsPer = k / bands
 
-    val shingled = df.select(col(idCol).as("id"),
-        TextFunctions.wordNgrams(col(textCol), shingleN).as("shingles"))
+    // (id, shingles) is consumed three times (banding + both sides of
+    // the verification join) — persist the narrow projection instead of
+    // re-shingling the corpus per branch. MEMORY_AND_DISK: spills, never
+    // OOMs at scale.
+    val shingled = rebalance(df)
+      .withColumn("__words", TextFunctions.words(col(textCol)))
+      .select(col(idCol).as("id"),
+        TextFunctions.wordNgramsFromWords(col("__words"), shingleN).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = shingled
-      .withColumn("sig", minhashSignature(col("shingles"), k))
+      .withColumn("__h", transform(col("shingles"), e => xxhash64(e)))
+      .withColumn("sig", minhashSignature(col("__h"), k))
       .select(col("id"), posexplode(bandHashes(col("sig"), bands, rowsPer)))
       .toDF("id", "band", "bucket")
 
@@ -95,6 +109,16 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Hash/shingle work is CPU-bound per row; when the source collapses
+    * to fewer partitions than cores (one small parquet file -> one
+    * partition -> one busy thread), spread it. A narrow projection's
+    * shuffle cost is trivial next to the per-row compute it unblocks;
+    * on a many-file 100 TB table this is a no-op. */
+  private[functions] def rebalance(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target) else df
   }
 
   /** All ordered pairs (a<b) of an array column — used inside one LSH
@@ -124,7 +148,7 @@ object Dedup {
     // within hamming distance (bands-1) must agree exactly on >=1
     // segment (pigeonhole) — same guarantee simhash dedup uses at scale.
     val bits = 64 / bands
-    val hashed = df.select(col(idCol).as("id"),
+    val hashed = rebalance(df).select(col(idCol).as("id"),
       TextFunctions.simhash64(col(textCol)).as("sim"))
     val banded = hashed.select(col("id"), col("sim"),
         posexplode(array((0 until bands).map { b =>

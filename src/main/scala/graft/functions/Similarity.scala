@@ -37,10 +37,16 @@ object Similarity {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, excludeSelf: Boolean = true): DataFrame = {
-    val q = broadcast(queries.select(col(qIdCol).as("__qid"), col(qVecCol).as("__qvec")))
-    val c = corpus.select(col(idCol).as("__cid"), col(vecCol).as("__cvec"))
+    // norms precomputed per side: the cross join evaluates one dot
+    // product per pair instead of three
+    val q = broadcast(queries
+      .select(col(qIdCol).as("__qid"), col(qVecCol).as("__qvec"))
+      .withColumn("__qn", norm(col("__qvec"))))
+    val c = corpus
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"))
+      .withColumn("__cn", norm(col("__cvec")))
     var scored = c.crossJoin(q)
-      .withColumn("__cos", cosine(col("__qvec"), col("__cvec")))
+      .withColumn("__cos", dot(col("__qvec"), col("__cvec")) / (col("__qn") * col("__cn")))
     if (excludeSelf) scored = scored.filter(col("__qid") =!= col("__cid"))
 
     // candidate ordered as (-cos, id): ascending struct sort == cos desc,
@@ -84,7 +90,7 @@ object Similarity {
       dim: Int, threshold: Double = 0.99,
       bands: Int = 4, planesPerBand: Int = 12,
       maxBucketSize: Int = 1000): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val base = Dedup.rebalance(df).select(col(idCol).as("id"), col(vecCol).as("vec"))
     val banded = base.select(col("id"),
         posexplode(array((0 until bands).map(b =>
           hyperplaneBucket(col("vec"), planesPerBand, dim, seed = b)): _*)))

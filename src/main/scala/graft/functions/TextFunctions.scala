@@ -79,11 +79,17 @@ object TextFunctions {
     * key (whitespace/punctuation/case-insensitive). */
   def fingerprint(c: Column): Column = md5(normalized(c).cast("binary"))
 
-  /** Word n-grams (shingles) of the normalized text, distinct. Empty
-    * array when the document has fewer than n words (guards Spark's
-    * descending `sequence(1, 0)`). */
-  def wordNgrams(c: Column, n: Int): Column = {
-    val w = words(c)
+  /** Word n-grams (shingles) from a *pre-bound words column*, distinct.
+    * Empty array when the document has fewer than n words (guards
+    * Spark's descending `sequence(1, 0)`).
+    *
+    * PERFORMANCE CONTRACT: `w` must be a plain column attribute (bind
+    * `words(text)` with .withColumn first). Spark evaluates
+    * higher-order-function lambdas interpreted and without common
+    * subexpression elimination, so a non-trivial expression referenced
+    * inside the lambda is recomputed PER ARRAY ELEMENT — an inline
+    * regexp here turns n-gram extraction quadratic. */
+  def wordNgramsFromWords(w: Column, n: Int): Column = {
     val grams = transform(sequence(lit(1), size(w) - lit(n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j))): _*))
     array_distinct(when(size(w) < n, array().cast("array<string>")).otherwise(grams))
@@ -93,14 +99,21 @@ object TextFunctions {
     * bit j set iff the +1/-1 vote sum over tokens is positive). Pure
     * higher-order-function pipeline — codegen-friendly, no UDF. */
   def simhash64(c: Column): Column = {
+    // Single pass over the token hashes: fold a 64-counter vector, then
+    // collapse counters to bits. Every non-attribute subexpression
+    // (hashes, counts) is referenced exactly once — see the
+    // wordNgramsFromWords performance contract.
     val hashes = transform(tokens(c), t => xxhash64(t))
+    val idx = typedlit((0 until 64).map(_.toLong))
     def bit(h: Column, j: Column): Column =
       call_function("shiftright", h, j).bitwiseAND(lit(1L))
-    aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, j) =>
-      acc + when(
-        aggregate(hashes, lit(0L),
-          (a, h) => a + when(bit(h, j) === 1L, 1L).otherwise(-1L)) > 0,
-        call_function("shiftleft", lit(1L), j)).otherwise(lit(0L)))
+    val counts = aggregate(hashes, typedlit(Seq.fill(64)(0L)),
+      (acc, h) => zip_with(acc, idx,
+        (a, j) => a + when(bit(h, j) === 1L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(counts, idx, (cnt, j) =>
+        when(cnt > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Hamming distance between two 64-bit hashes (near-dup distance for

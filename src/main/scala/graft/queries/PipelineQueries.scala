@@ -97,8 +97,9 @@ object PipelineQueries {
   /** Exact word-3-gram Jaccard between consecutive documents (the
     * verification primitive used inside LSH dedup, checked standalone). */
   def ngramJaccardChain(s: SparkSession, dir: String): DataFrame = {
-    val g = docs(s, dir).select(col("doc_id"),
-      TF.wordNgrams(col("text"), 3).as("grams"))
+    val g = docs(s, dir)
+      .withColumn("__w", TF.words(col("text")))
+      .select(col("doc_id"), TF.wordNgramsFromWords(col("__w"), 3).as("grams"))
     val a = g.alias("a"); val b = g.alias("b")
     a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
       .select(col("a.doc_id").as("doc_id"),

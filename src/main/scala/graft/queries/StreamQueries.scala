@@ -1,0 +1,111 @@
+package graft.queries
+
+import java.time.Duration
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.model._
+import graft.online.ParquetOnlineStore
+import graft.registry.Registry
+import graft.sources.Tables
+import graft.store.FeatureStore
+import graft.streaming.StreamMaterializer
+
+/** Structured-Streaming queries, driven to completion on replayed
+  * parquet so the DuckDB batch oracle can check them: stream
+  * materialization into the online store across multiple out-of-order
+  * micro-batches, and a windowed streaming aggregation.
+  */
+object StreamQueries {
+
+  /** Replay events as a 4-file stream (maxFilesPerTrigger=1 -> 4
+    * micro-batches with keys scattered across them), materialize each
+    * batch into the online store, then dump the store. Oracle: global
+    * latest-per-key — only holds if cross-batch last-write-wins works. */
+  def streamMaterialize(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_stream_${java.util.UUID.randomUUID().toString.take(8)}"
+    Tables.read(s, dir, "events")
+      .select("user_id", "ts", "event_type", "value")
+      .repartition(4)
+      .write.parquet(s"$tmp/input")
+
+    val fs = new FeatureStore("graft_stream", new Registry(),
+      new ParquetOnlineStore(s"$tmp/store"), s)
+    fs.applyEntity(Entity("user", GraftType.Int64, joinKeyOpt = Some("user_id")))
+    fs.applyFeatureView(FeatureView(
+      name = "user_events_stream",
+      entities = Seq("user"),
+      features = Seq(Feature("event_type", GraftType.Str), Feature("value", GraftType.Dbl)),
+      ttl = Duration.ZERO,
+      batchSource = DataFrameSource(s.read.parquet(s"$tmp/input"), "ts"),
+      streamSource = Some(FileStreamSource(s"$tmp/input", "parquet", "ts",
+        maxFilesPerTrigger = Some(1)))))
+
+    val q = StreamMaterializer.materializeStream(fs, "user_events_stream",
+      trigger = Trigger.AvailableNow(), checkpointDir = Some(s"$tmp/ckpt"))
+    q.awaitTermination()
+
+    val store = fs.onlineStore.asInstanceOf[ParquetOnlineStore]
+    val out = store.tableDf(s, "graft_stream", "user_events_stream")
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_type"), col("value"))
+      .orderBy("user_id")
+    val collected = out.cache(); collected.count()
+    store.teardown("graft_stream", Seq(fs.registry.getFeatureView("user_events_stream")))
+    collected
+  }
+
+  val streamMaterializeSql: String =
+    """SELECT user_id, epoch_ms(ts) AS ts_ms, event_type, value
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** Windowed streaming aggregation (6h tumbling windows per event
+    * type), run to completion on the replayed stream; oracle is the
+    * equivalent batch GROUP BY on epoch-aligned buckets. */
+  def streamWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    val stream = SourceReader.readStream(s,
+      FileStreamSource(prepared(s, dir), "parquet", "ts"))
+    val name = "stream_window_agg_" + java.util.UUID.randomUUID().toString.take(8)
+    StreamMaterializer.runWindowedAggToCompletion(
+        stream, "ts", Seq("event_type"), "6 hours",
+        Seq(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value")),
+        name)
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_start_ms", "event_type")
+  }
+
+  /** The streaming file source can't read INT64-nanos timestamps, so the
+    * stream input is a pre-normalized copy of events (µs timestamps). */
+  private def prepared(s: SparkSession, dir: String): String = {
+    val tmp = s"/tmp/graft_stream_in_${Math.abs(dir.hashCode)}"
+    val marker = new java.io.File(s"$tmp/_SUCCESS")
+    if (!marker.exists()) {
+      Tables.read(s, dir, "events")
+        .select("user_id", "ts", "event_type", "value")
+        .write.mode("overwrite").parquet(tmp)
+    }
+    tmp
+  }
+
+  val streamWindowAggSql: String =
+    """SELECT CAST(epoch_ms(ts) // 21600000 AS BIGINT) * 21600000 AS window_start_ms,
+      |       event_type,
+      |       count(*) AS n_events,
+      |       round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start_ms, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_materialize" -> (streamMaterialize _),
+    "q_stream_window_agg" -> (streamWindowAgg _))
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_materialize" -> streamMaterializeSql,
+    "q_stream_window_agg" -> streamWindowAggSql)
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model._
+import graft.operators.PullLatest
+import graft.store.FeatureStore
+
+/** Structured-Streaming materialization: stream source -> watermarked
+  * dedup -> foreachBatch(latest-per-key |> online upsert).
+  *
+  * The reference only *declares* stream sources (SURVEY §1.4 — the
+  * consuming jobs lived out of tree); this engine executes them. Safety
+  * comes from composition: the online store's upsert is last-write-wins
+  * by (event_ts, created_ts), so micro-batch replays and out-of-order
+  * batches are idempotent (SURVEY §7.4(6)) — exactly-once state without
+  * a two-phase sink.
+  */
+object StreamMaterializer {
+
+  /** Start continuous materialization of a view's stream source into the
+    * feature store's online store. The per-batch reduction is the same
+    * PullLatest operator the batch path uses — one code path for both
+    * semantics (kappa-style). */
+  def materializeStream(
+      fs: FeatureStore,
+      viewName: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val view = fs.registry.getFeatureView(viewName)
+    val src = view.streamSource.getOrElse(throw new IllegalArgumentException(
+      s"view $viewName has no stream source"))
+    val keys = fs.joinKeysOf(view)
+    val tsCol = src.eventTimestampColumn
+    val createdCol = src.createdTimestampColumn
+
+    val stream = SourceReader.readStream(fs.spark, src)
+    val writer = stream.writeStream
+      .outputMode("update")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val latest = PullLatest.latestPerKey(
+            batch, keys, tsCol, createdCol, view.featureNames)
+          fs.onlineStore.upsert(fs.project, view, keys, latest, tsCol, createdCol)
+        }
+        ()
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
+  }
+
+  /** Watermarked sliding/tumbling window aggregation over a stream —
+    * the standard streaming-features shape (counts/sums per key per
+    * window). Append mode emits only finalized windows once the
+    * watermark passes. */
+  def windowedAggregate(
+      stream: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      windowDuration: String,
+      watermarkDelay: String,
+      aggs: Seq[org.apache.spark.sql.Column]): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy((window(col(tsCol), windowDuration) +: keyCols.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Run a windowed aggregation over a stream in complete mode into an
+    * in-memory sink and block until all available input is processed —
+    * the synchronous harness used for verification/bench (a batch of
+    * parquet drives the streaming engine end-to-end). */
+  def runWindowedAggToCompletion(
+      stream: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      windowDuration: String,
+      aggs: Seq[org.apache.spark.sql.Column],
+      queryName: String): DataFrame = {
+    val spark = stream.sparkSession
+    val agg = stream
+      .groupBy((window(col(tsCol), windowDuration) +: keyCols.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -37,8 +37,10 @@ class PipelineSpec extends AnyFunSuite {
       Seq((i.toLong * 2, mkDoc(base)), (i.toLong * 2 + 1, mkDoc(mutated)))
     }
     val df = docs.toDF("doc_id", "text")
-    val g = df.select(col("doc_id"), TF.wordNgrams(col("text"), 3).as("grams"))
-      .withColumn("sig", Dedup.minhashSignature(col("grams"), 128))
+    val g = df.withColumn("__w", TF.words(col("text")))
+      .select(col("doc_id"), TF.wordNgramsFromWords(col("__w"), 3).as("grams"))
+      .withColumn("__h", transform(col("grams"), e => xxhash64(e)))
+      .withColumn("sig", Dedup.minhashSignature(col("__h"), 128))
     val a = g.select(col("doc_id").as("ida"), col("grams").as("ga"), col("sig").as("sa"))
     val b = g.select(col("doc_id").as("idb"), col("grams").as("gb"), col("sig").as("sb"))
     val est = a.join(b, col("idb") === col("ida") + 1 && col("ida") % 2 === 0)

@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Duration
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model._
+import graft.online.InMemoryOnlineStore
+import graft.operators.PullLatest
+import graft.registry.Registry
+import graft.store.FeatureStore
+
+/** Streaming semantics: out-of-order micro-batches and replays must
+  * converge to the same online state as a batch materialize (idempotent
+  * last-write-wins). */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("stream of out-of-order batches converges to batch-materialize state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val fs = new FeatureStore("stream_t", new Registry(), new InMemoryOnlineStore(), spark)
+    fs.applyEntity(Entity("user", GraftType.Int64, Some("user_id")))
+    val view = FeatureView("uv", Seq("user"),
+      Seq(Feature("v", GraftType.Dbl)), Duration.ZERO,
+      DataFrameSource(Seq.empty[(Long, Timestamp, Double)].toDF("user_id", "ts", "v"), "ts"))
+    fs.applyFeatureView(view)
+
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val stream = input.toDF().toDF("user_id", "ts", "v")
+
+    val q = stream.writeStream
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val latest = PullLatest.latestPerKey(batch, Seq("user_id"), "ts", None, Seq("v"))
+          fs.onlineStore.upsert(fs.project, fs.registry.getFeatureView("uv"),
+            Seq("user_id"), latest, "ts", None)
+        }
+        ()
+      }.start()
+
+    // batch 1: the NEWEST event arrives first
+    input.addData((1L, ts("2024-01-05 00:00:00"), 5.0))
+    q.processAllAvailable()
+    // batch 2: older events arrive late — must NOT overwrite
+    input.addData((1L, ts("2024-01-01 00:00:00"), 1.0), (2L, ts("2024-01-02 00:00:00"), 2.0))
+    q.processAllAvailable()
+    // batch 3: replay of batch 1 (simulates at-least-once redelivery)
+    input.addData((1L, ts("2024-01-05 00:00:00"), 5.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val resp = fs.getOnlineFeatures(Seq("uv:v"),
+      Seq(Map[String, Any]("user_id" -> 1L), Map[String, Any]("user_id" -> 2L)))
+    assert(resp.toMap("uv:v") == Seq(5.0, 2.0),
+      "late data must not regress state; replays must be idempotent")
+    fs.teardown()
+  }
+
+  test("windowed aggregate with watermark drops late rows in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = graft.streaming.StreamMaterializer.windowedAggregate(
+      input.toDF().toDF("ts", "k", "v"), "ts", Seq("k"),
+      "1 hour", "30 minutes", Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_test").start()
+    input.addData((ts("2024-01-01 10:10:00"), "a", 1.0))
+    q.processAllAvailable()
+    // advance watermark far past the first window
+    input.addData((ts("2024-01-01 14:00:00"), "a", 1.0))
+    q.processAllAvailable()
+    // this row is older than the watermark -> dropped
+    input.addData((ts("2024-01-01 10:20:00"), "a", 1.0))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 18:00:00"), "a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wm_test")
+      .select(unix_millis(col("window.start")), col("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val w10 = ts("2024-01-01 10:00:00").getTime
+    assert(rows(w10) == 1L, s"late row must be dropped, got $rows")
+  }
+}
