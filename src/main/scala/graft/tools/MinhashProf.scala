@@ -28,11 +28,6 @@ object MinhashProf {
       .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.999)
     t("D_verify")( verified.count() )
-    def sig = sh.withColumn("__h", transform(col("shingles"), e => xxhash64(e)))
-      .withColumn("sig", Dedup.minhashSignature(col("__h"), 64)).select(col("doc_id"), col("sig"))
-    val banded = sh.withColumn("__h", transform(col("shingles"), e => xxhash64(e)))
-      .withColumn("sig", Dedup.minhashSignature(col("__h"), 64))
-      .select(col("doc_id"), posexplode(Dedup.bandHashes(col("sig"),16,4))).toDF("id","band","bucket")
     t("full")( Dedup.minhashNearDupPairs(uni, "doc_id", "text", 3, 64, 16, 0.999).count() )
     spark.stop()
   }
