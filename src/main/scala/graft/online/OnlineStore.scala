@@ -124,14 +124,56 @@ object InMemoryOnlineStore {
 
 /** Parquet-backed KV table — the batch-serving / cluster-scale store:
   * one parquet dataset per (project, view) holding exactly the latest
-  * row per entity key. Upsert = read existing ∪ new -> latest-per-key ->
-  * atomic swap. Reads are filtered scans (pushdown on key columns).
-  * Suited to bulk serving and training-time joins; for ms-latency
-  * point reads front it with InMemoryOnlineStore or an external KV.
+  * row per entity key, hash-partitioned into `numBuckets` directories
+  * by entity key (`__bucket=<hash(key) % N>`).
+  *
+  * Upsert only touches the buckets containing incoming keys: read those
+  * buckets (directory-pruned), merge latest-per-key with the incoming
+  * batch, and swap in the rewritten buckets one directory at a time via
+  * rename-aside (old -> .old, new -> live, delete .old) — a crash never
+  * leaves a bucket half-written, and untouched buckets are never read
+  * or rewritten. At 100 TB an incremental materialize or streaming
+  * micro-batch therefore costs O(touched buckets), not a full-store
+  * rewrite.
+  *
+  * The bucket id is computed from EntityKeyCodec.hashKey on BOTH paths —
+  * as a UDF over the key struct on the write path and in pure Scala on
+  * the read path — so reads prune to exactly the requested buckets.
+  * Reads are filtered scans (partition pruning on bucket + pushdown on
+  * key columns). Suited to bulk serving and training-time joins; for
+  * ms-latency point reads front it with InMemoryOnlineStore or an
+  * external KV.
+  *
+  * `numBuckets` is fixed at store creation — changing it for an existing
+  * store path misroutes keys (no rehashing is performed).
   */
-class ParquetOnlineStore(basePath: String) extends OnlineStore {
+object ParquetOnlineStore {
+  /** Hash-partition directory column (`__bucket=<n>` dirs). */
+  val BucketCol = "__bucket"
+}
+
+class ParquetOnlineStore(basePath: String, numBuckets: Int = 32) extends OnlineStore {
+  import ParquetOnlineStore.BucketCol
 
   private def path(project: String, view: String) = s"$basePath/$project/$view"
+
+  private def bucketOf(keys: Seq[(String, Any)]): Int =
+    (EntityKeyCodec.hashKey(keys) % numBuckets).toInt
+
+  /** Spark-side bucket id over the (sorted) join-key columns — must stay
+    * the driver-side bucketOf's exact twin. */
+  private def bucketExpr(joinKeys: Seq[String]): org.apache.spark.sql.Column = {
+    val sorted = joinKeys.sorted
+    val n = numBuckets
+    val f = new org.apache.spark.sql.api.java.UDF1[Row, Int] {
+      def call(r: Row): Int = {
+        val kvs = sorted.zipWithIndex.map { case (k, i) => k -> r.get(i) }
+        (EntityKeyCodec.hashKey(kvs) % n).toInt
+      }
+    }
+    udf(f, org.apache.spark.sql.types.IntegerType)
+      .apply(struct(sorted.map(col): _*))
+  }
 
   def upsert(project: String, view: FeatureView, joinKeys: Seq[String],
       df: DataFrame, tsCol: String, createdCol: Option[String]): Unit = {
@@ -139,20 +181,52 @@ class ParquetOnlineStore(basePath: String) extends OnlineStore {
     val p = path(project, view.name)
     val cols = (joinKeys ++ Seq(tsCol) ++ createdCol.toSeq ++ view.featureNames).distinct
     val incoming = df.select(cols.map(col): _*)
-    val merged = existing(spark, p) match {
-      case Some(old) =>
-        PullLatest.latestPerKey(old.select(cols.map(col): _*).unionByName(incoming),
-          joinKeys, tsCol, createdCol, view.featureNames)
-      case None =>
-        PullLatest.latestPerKey(incoming, joinKeys, tsCol, createdCol, view.featureNames)
-    }
-    // Write-new-then-swap: never leaves the store half-written.
-    val tmp = p + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(hconf)
-    fs.delete(new org.apache.hadoop.fs.Path(p), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(p))
+      .withColumn(BucketCol, bucketExpr(joinKeys))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched: Seq[Int] =
+        incoming.select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq
+      if (touched.isEmpty) return
+      val merged = existing(spark, p) match {
+        case Some(old) =>
+          // Partition pruning limits the read-back to touched buckets.
+          val oldTouched = old.filter(col(BucketCol).isin(touched: _*))
+            .select((cols :+ BucketCol).map(col): _*)
+          PullLatest.latestPerKey(oldTouched.unionByName(incoming),
+            joinKeys, tsCol, createdCol, view.featureNames, tieBreakCols = Nil)
+        case None =>
+          PullLatest.latestPerKey(incoming, joinKeys, tsCol, createdCol, view.featureNames)
+      }
+      // latestPerKey projects away the bucket column; recompute (pure
+      // function of the keys) and write the touched buckets to a staging
+      // dir, then swap each bucket directory into the live tree.
+      val tmp = p + ".tmp"
+      merged.withColumn(BucketCol, bucketExpr(joinKeys))
+        .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp)
+
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(hconf)
+      def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+      if (!fs.exists(hp(p))) {
+        // First write: the staging dir IS the store.
+        fs.rename(hp(tmp), hp(p))
+      } else {
+        // Per-bucket rename-aside swap: old bucket moves OUT of the
+        // dataset tree first (a `bucket=3.old` dir inside it would
+        // corrupt partition discovery), then staged bucket renames in.
+        val oldRoot = hp(p + ".old")
+        fs.delete(oldRoot, true)
+        fs.mkdirs(oldRoot)
+        touched.foreach { b =>
+          val live = hp(s"$p/$BucketCol=$b")
+          val staged = hp(s"$tmp/$BucketCol=$b")
+          if (fs.exists(live)) fs.rename(live, hp(s"${p + ".old"}/$BucketCol=$b"))
+          if (fs.exists(staged)) fs.rename(staged, live)
+        }
+        fs.delete(oldRoot, true)
+        fs.delete(hp(tmp), true)
+      }
+    } finally incoming.unpersist()
   }
 
   private def existing(spark: SparkSession, p: String): Option[DataFrame] = {
@@ -163,20 +237,25 @@ class ParquetOnlineStore(basePath: String) extends OnlineStore {
 
   /** Snapshot of a view's store table (batch serving / debugging). */
   def tableDf(spark: SparkSession, project: String, view: String): DataFrame =
-    spark.read.parquet(path(project, view))
+    spark.read.parquet(path(project, view)).drop(BucketCol)
 
   def read(project: String, view: FeatureView, joinKeys: Seq[String],
       entityKeys: Seq[Seq[(String, Any)]],
       features: Seq[String]): Seq[(Option[Timestamp], Map[String, FeatureValue])] = {
     val spark = SparkSession.active
     val tsCol = view.batchSource.eventTimestampColumn
-    val df = tableDf(spark, project, view.name)
-    // One filtered scan for all requested keys (pushdown-friendly IN on
-    // each key column), then exact match driver-side over the small hit set.
+    val df = spark.read.parquet(path(project, view.name))
+    // Prune to the buckets the requested keys can live in (directory-level
+    // partition pruning), then one filtered scan for all requested keys
+    // (pushdown-friendly IN on each key column), then exact match
+    // driver-side over the small hit set.
+    val buckets = entityKeys.map(bucketOf).distinct
     val keyFilter = joinKeys.map { k =>
       col(k).isin(entityKeys.map(_.toMap.apply(k)): _*)
     }.reduce(_ && _)
-    val hits: Map[String, Row] = df.filter(keyFilter).collect()
+    val hits: Map[String, Row] = df
+      .filter(col(BucketCol).isin(buckets: _*)).filter(keyFilter)
+      .drop(BucketCol).collect()
       .map(r => EntityKeyCodec.hexKey(joinKeys.map(k => k -> r.getAs[Any](k))) -> r).toMap
     entityKeys.map { key =>
       hits.get(EntityKeyCodec.hexKey(key)) match {

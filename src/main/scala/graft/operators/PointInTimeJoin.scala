@@ -70,10 +70,27 @@ object PointInTimeJoin {
       s"entity df is missing join key columns: ${missing.mkString(", ")}")
 
     val rowId = "__graft_row_id"
+    // monotonically_increasing_id is evaluated independently in every plan
+    // branch that references it; if the entity df's partitioning is
+    // nondeterministic (round-robin repartition, sample, task retry) the
+    // narrow candidate projection and the final join-back could disagree on
+    // ids. localCheckpoint pins the ids once — both branches read the same
+    // materialized blocks. Entity dfs are the small side of a retrieval
+    // (the training query, not the 100 TB feature log), so the one-time
+    // materialization is cheap relative to the join it protects.
     val stamped = entityDf.withColumn(rowId, monotonically_increasing_id())
+      .localCheckpoint()
+
+    // O5 bounds (bigquery.py:418-437): computed ONCE from the entity df —
+    // they are over entityTsCol, which is invariant across the fold. One
+    // tiny agg over the checkpointed blocks; each view's scan filter
+    // derives from these literals.
+    val Array(bounds) = stamped.agg(
+      min(col(entityTsCol)).as("mn"), max(col(entityTsCol)).as("mx")).collect()
+    val (mnTs, mxTs) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
 
     val enriched = views.foldLeft(stamped) { (acc, vj) =>
-      joinOne(acc, vj, entityTsCol, rowId, fullFeatureNames)
+      joinOne(acc, vj, entityTsCol, rowId, fullFeatureNames, mnTs, mxTs)
     }
     enriched.drop(rowId)
   }
@@ -85,7 +102,9 @@ object PointInTimeJoin {
       vj: ViewJoin,
       entityTsCol: String,
       rowId: String,
-      fullFeatureNames: Boolean): DataFrame = {
+      fullFeatureNames: Boolean,
+      mnTs: java.sql.Timestamp,
+      mxTs: java.sql.Timestamp): DataFrame = {
     val ViewJoin(view, joinKeys, features, featureDf, tieBreaks) = vj
     val tsCol = view.batchSource.eventTimestampColumn
     val createdCol = view.batchSource.createdTimestampColumn
@@ -98,12 +117,6 @@ object PointInTimeJoin {
     val left = acc.select((rowId +: entityTsCol +: joinKeys).distinct.map(col): _*).alias("__l")
     def L(c: String): Column = col(s"__l.$c")
     def R(c: String): Column = col(s"__r.$c")
-
-    // O5: prune the feature scan with the entity df's ts bounds. One tiny
-    // agg job; the resulting literal filter pushes into the parquet scan.
-    val Array(bounds) = left.agg(
-      min(col(entityTsCol)).as("mn"), max(col(entityTsCol)).as("mx")).collect()
-    val (mnTs, mxTs) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
 
     val ordCols: Seq[String] = ((tsCol +: createdCol.toSeq) ++ tieBreaks).distinct
     val featCols: Seq[String] = (joinKeys ++ ordCols ++ features).distinct

@@ -89,24 +89,35 @@ class Registry(path: Option[String] = None, cacheTtl: Duration = Duration.ofSeco
     (hp.getFileSystem(new org.apache.hadoop.conf.Configuration()), hp)
   }
 
+  /** Crash-safe swap: write tmp, move the live file ASIDE (not delete),
+    * rename tmp into place, then drop the old copy. A crash between the
+    * two renames leaves `.old` recoverable; load() falls back to it. */
   private def persist(): Unit = path.foreach { p =>
     val (fs, hp) = hadoopFs(p)
     val tmp = new org.apache.hadoop.fs.Path(p + ".tmp")
+    val old = new org.apache.hadoop.fs.Path(p + ".old")
     val out = fs.create(tmp, true)
     out.write(RegistryCodec.encode(state).render.getBytes("UTF-8"))
     out.close()
-    fs.delete(hp, false)
+    fs.delete(old, false)
+    if (fs.exists(hp)) fs.rename(hp, old)
     fs.rename(tmp, hp)
+    fs.delete(old, false)
   }
 
   private def load(): Option[RegistryState] = path.flatMap { p =>
     val (fs, hp) = hadoopFs(p)
-    if (!fs.exists(hp)) None
-    else {
-      val in = fs.open(hp)
+    val target =
+      if (fs.exists(hp)) Some(hp)
+      else {
+        val old = new org.apache.hadoop.fs.Path(p + ".old")
+        if (fs.exists(old)) Some(old) else None
+      }
+    target.map { t =>
+      val in = fs.open(t)
       val bytes = org.apache.commons.io.IOUtils.toByteArray(in)
       in.close()
-      Some(RegistryCodec.decode(Json.parse(new String(bytes, "UTF-8"))))
+      RegistryCodec.decode(Json.parse(new String(bytes, "UTF-8")))
     }
   }
 }

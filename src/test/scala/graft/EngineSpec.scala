@@ -152,6 +152,49 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("ParquetOnlineStore upsert rewrites only buckets containing incoming keys") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graftbkt").toString
+    val store = new ParquetOnlineStore(base, numBuckets = 8)
+    val df1 = (0L until 64L).map(k => (k, ts("2024-01-01 10:00:00"), k.toDouble))
+      .toDF("driver_id", "et", "v")
+    val view = FeatureView("bv", Seq("driver"), Seq(Feature("v", GraftType.Dbl)),
+      Duration.ZERO, DataFrameSource(df1, "et"))
+    store.upsert("p", view, Seq("driver_id"), df1, "et", None)
+
+    // per-bucket parquet file listing (name -> size) under the view dir
+    def listing(): Map[String, Set[(String, Long)]] = {
+      val root = new java.io.File(s"$base/p/bv")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+        .map { d =>
+          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.length())).toSet
+        }.toMap
+    }
+    val before = listing()
+    assert(before.size > 1, "64 keys over 8 buckets should populate several buckets")
+
+    // second upsert touching exactly one key
+    val df2 = Seq((5L, ts("2024-01-02 10:00:00"), 99.0)).toDF("driver_id", "et", "v")
+    store.upsert("p", view, Seq("driver_id"), df2, "et", None)
+    val after = listing()
+    val changed = (before.keySet ++ after.keySet).filter(b => before.get(b) != after.get(b))
+    assert(changed.size == 1, s"exactly one bucket dir should change, got $changed")
+
+    // data intact: 64 keys, key 5 updated, neighbors untouched
+    val snap = store.tableDf(spark, "p", "bv").collect()
+      .map(r => r.getAs[Long]("driver_id") -> r.getAs[Double]("v")).toMap
+    assert(snap.size == 64 && snap(5L) == 99.0 && snap(6L) == 6.0)
+
+    // point reads prune to the requested buckets and return the merge
+    val got = store.read("p", view, Seq("driver_id"),
+      Seq(Seq("driver_id" -> 5L), Seq("driver_id" -> 6L), Seq("driver_id" -> 999L)),
+      Seq("v"))
+    assert(got(0)._2("v").value == 99.0)
+    assert(got(1)._2("v").value == 6.0)
+    assert(got(2)._2("v").status == "NOT_FOUND")
+  }
+
   test("materialize honors last-write-wins on overlapping windows") {
     import spark.implicits._
     val df = Seq(
