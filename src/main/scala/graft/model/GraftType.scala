@@ -30,12 +30,19 @@ object GraftType {
     val sparkType: DataType = ArrayType(element.sparkType)
   }
 
+  /** Placeholder for an entity registered before its type is known; the
+    * reference's ValueType.UNKNOWN (value_type.py:21). Resolved during
+    * applyFeatureView by inference from the view's source schema — never
+    * a legal column/feature type. */
+  case object Unknown extends GraftType("UNKNOWN") { val sparkType: DataType = NullType }
+
   val scalars: Seq[GraftType] =
     Seq(Bytes, Str, Int32, Int64, Dbl, Flt, Bool, UnixTimestamp)
   val all: Seq[GraftType] = scalars ++ scalars.map(ListOf(_))
 
   def fromName(n: String): GraftType =
-    all.find(_.name == n).getOrElse(throw new IllegalArgumentException(s"unknown GraftType: $n"))
+    (all :+ Unknown).find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"unknown GraftType: $n"))
 
   /** Spark DataType -> GraftType (inference direction). Types outside the
     * closed set (decimal, map, struct, date, interval) are rejected, as in

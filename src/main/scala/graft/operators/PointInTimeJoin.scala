@@ -120,12 +120,19 @@ object PointInTimeJoin {
 
     val ordCols: Seq[String] = ((tsCol +: createdCol.toSeq) ++ tieBreaks).distinct
     val featCols: Seq[String] = (joinKeys ++ ordCols ++ features).distinct
-    var feat = featureDf.select(featCols.map(col): _*)
+    val lowerTs: Option[java.sql.Timestamp] =
+      if (!ttl.isZero && mnTs != null)
+        Some(java.sql.Timestamp.from(mnTs.toInstant.minus(ttl)))
+      else None
+    // Directory-level pruning first (O5 + date_partition_column,
+    // data_source.py:295-306): the date filter prunes partitions, the ts
+    // filter then skips row groups within the surviving files.
+    val pruned = graft.sources.DatePartition.prune(
+      featureDf, view.batchSource.datePartitionColumn, lowerTs, Option(mxTs))
+    var feat = pruned.select(featCols.map(col): _*)
     if (mxTs != null) {
       feat = feat.filter(col(tsCol) <= lit(mxTs))
-      if (!ttl.isZero && mnTs != null)
-        feat = feat.filter(col(tsCol) >= lit(java.sql.Timestamp.from(
-          mnTs.toInstant.minus(ttl))))
+      lowerTs.foreach(l => feat = feat.filter(col(tsCol) >= lit(l)))
     }
     val featAliased = feat.alias("__r")
 

@@ -150,6 +150,70 @@ object CoreQueries {
       |      WHERE ts BETWEEN TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-25')
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** date_partition_column end-to-end (ingest.py:82-120 +
+    * data_source.py:295-306): build a date-partitioned copy of events
+    * (event_date derived from ts), read it through a FileSource that
+    * declares the partition column, and prune the materialize-window scan
+    * to the window's date range — the plan carries PartitionFilters
+    * (directory pruning), not just PushedFilters. Oracle runs on the
+    * original un-partitioned events table: the date filter is a strict
+    * superset of the ts window, so results are identical. */
+  def datePartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val start = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val end = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    val path = s"/tmp/graft_events_bydate_${math.abs(dir.hashCode)}"
+    if (!new java.io.File(path + "/_SUCCESS").exists())
+      graft.sources.DatePartition.write(pq(s, dir, "events"), path, "ts", "event_date")
+    val src = FileSource(path, eventTimestampColumn = "ts",
+      datePartitionColumn = Some("event_date"))
+    val df = graft.sources.DatePartition.prune(
+      SourceReader.read(s, src), src.datePartitionColumn, Some(start), Some(end))
+    PullLatest.pullLatest(df, Seq("user_id"), "ts", None,
+        Seq("event_type", "value"), start, end, tieBreakCols = Seq("event_id"))
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_id"), col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
+  val datePartitionPruneSql: String =
+    """SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type, value
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |                                   ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events
+      |      WHERE ts BETWEEN TIMESTAMP '2024-01-10' AND TIMESTAMP '2024-01-20')
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** CSV ingest through FileSource(format="csv") (reference
+    * ingest.py:123-166 reads CSV/JSON/Parquet alike): write a CSV copy of
+    * events once, read it back through the source abstraction with an
+    * explicit µs timestamp format (the CSV writer's default truncates to
+    * ms, which would corrupt as-of ordering), and run the latest-per-key
+    * scan. Oracle runs on the original parquet events table. */
+  def csvIngest(s: SparkSession, dir: String): DataFrame = {
+    val start = java.sql.Timestamp.valueOf("2024-01-03 00:00:00")
+    val end = java.sql.Timestamp.valueOf("2024-01-23 00:00:00")
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val path = s"/tmp/graft_events_csv_${math.abs(dir.hashCode)}"
+    if (!new java.io.File(path + "/_SUCCESS").exists())
+      pq(s, dir, "events").write.mode("overwrite")
+        .option("header", "true").option("timestampFormat", tsFmt).csv(path)
+    val src = FileSource(path, eventTimestampColumn = "ts", format = "csv",
+      options = Map("header" -> "true", "inferSchema" -> "true", "timestampFormat" -> tsFmt))
+    PullLatest.pullLatest(SourceReader.read(s, src), Seq("user_id"), "ts", None,
+        Seq("event_type", "value"), start, end, tieBreakCols = Seq("event_id"))
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_id"), col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
+  val csvIngestSql: String =
+    """SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type, value
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |                                   ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events
+      |      WHERE ts BETWEEN TIMESTAMP '2024-01-03' AND TIMESTAMP '2024-01-23')
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   /** Scan-heavy grouped aggregation (pushdown/pruning showcase; TPC-H Q1
     * shape). */
   def aggPushdown(s: SparkSession, dir: String): DataFrame =
@@ -216,6 +280,8 @@ object CoreQueries {
     "q_pit_join_single" -> (pitJoinSingle _),
     "q_pit_join_multi" -> (pitJoinMulti _),
     "q_pull_latest" -> (pullLatestQ _),
+    "q_date_partition_prune" -> (datePartitionPrune _),
+    "q_csv_ingest" -> (csvIngest _),
     "q_agg_pushdown" -> (aggPushdown _),
     "q_broadcast_join_agg" -> (broadcastJoinAgg _),
     "q_window_topk" -> (windowTopK _))
@@ -224,6 +290,8 @@ object CoreQueries {
     "q_pit_join_single" -> pitJoinSingleSql,
     "q_pit_join_multi" -> pitJoinMultiSql,
     "q_pull_latest" -> pullLatestSql,
+    "q_date_partition_prune" -> datePartitionPruneSql,
+    "q_csv_ingest" -> csvIngestSql,
     "q_agg_pushdown" -> aggPushdownSql,
     "q_broadcast_join_agg" -> broadcastJoinAggSql,
     "q_window_topk" -> windowTopKSql)

@@ -8,7 +8,7 @@ import graft.model._
 import graft.online.{FeatureValue, FeatureStatus, OnlineStore}
 import graft.operators.{PointInTimeJoin, PullLatest}
 import graft.operators.PointInTimeJoin.ViewJoin
-import graft.registry.Registry
+import graft.registry.{Inference, Registry}
 
 /** The user-facing facade, orchestrating registry + offline operators +
   * online store (reference feature_store.py): apply /
@@ -25,7 +25,29 @@ class FeatureStore(
 
   // ---- apply (feature_store.py:185-256) ------------------------------
   def applyEntity(e: Entity): Unit = registry.applyEntity(e)
-  def applyFeatureView(v: FeatureView): Unit = registry.applyFeatureView(v)
+
+  /** Register a view, running inference against its source schema first
+    * (reference runs inference during apply, feature_store.py:185-256):
+    * entities registered with GraftType.Unknown get their dtype from the
+    * source's join-key column (inference.py:12-59), and an empty feature
+    * list is filled with every non-key, non-timestamp, non-internal
+    * column (feature_view.py:268-300). The source is only read (schema
+    * only — lazy, no data scan) when something is actually missing. */
+  def applyFeatureView(v: FeatureView): Unit = {
+    lazy val sourceDf = SourceReader.read(spark, v.batchSource)
+    v.entities.map(registry.getEntity).filter(_.dtype == GraftType.Unknown).foreach { e =>
+      registry.applyEntity(e.copy(dtype = Inference.inferEntityType(sourceDf, e.joinKey)))
+    }
+    val resolved =
+      if (v.features.nonEmpty) v
+      else v.copy(features = Inference.inferFeatures(
+        sourceDf,
+        v.entities.map(e => registry.getEntity(e).joinKey),
+        v.batchSource.eventTimestampColumn,
+        v.batchSource.createdTimestampColumn))
+    registry.applyFeatureView(resolved)
+  }
+
   def applyFeatureService(s: FeatureService): Unit = registry.applyFeatureService(s)
 
   // ---- historical retrieval (feature_store.py:276-341) ---------------
@@ -43,7 +65,15 @@ class FeatureStore(
       ViewJoin(view, joinKeysOf(view), feats,
         SourceReader.read(spark, view.batchSource))
     }
-    PointInTimeJoin.join(entityDf, viewJoins, entityTsCol, fullFeatureNames)
+    // Infer the entity-df timestamp column when the caller relied on the
+    // default and the df doesn't carry it (reference file.py:67-80): a
+    // single timestamp-typed column is unambiguous.
+    val resolvedTsCol =
+      if (entityDf.columns.contains(entityTsCol)) entityTsCol
+      else if (entityTsCol == PointInTimeJoin.DefaultEntityTsCol)
+        Inference.inferEventTimestampColumn(entityDf)
+      else entityTsCol // let PointInTimeJoin raise its precise error
+    PointInTimeJoin.join(entityDf, viewJoins, resolvedTsCol, fullFeatureNames)
   }
 
   def getHistoricalFeatures(entityDf: DataFrame, service: FeatureService): DataFrame =
@@ -54,7 +84,10 @@ class FeatureStore(
     require(!start.after(end), s"materialize start $start must be <= end $end")
     viewNames.map(registry.getFeatureView).filter(_.online).foreach { view =>
       val src = view.batchSource
-      val df = SourceReader.read(spark, src)
+      // Directory-level pruning on date-partitioned sources before the
+      // exact ts window filter (data_source.py:295-306).
+      val df = graft.sources.DatePartition.prune(
+        SourceReader.read(spark, src), src.datePartitionColumn, Some(start), Some(end))
       val keys = joinKeysOf(view)
       val latest = PullLatest.pullLatest(
         df, keys, src.eventTimestampColumn, src.createdTimestampColumn,
@@ -91,11 +124,20 @@ class FeatureStore(
     val fields = scala.collection.mutable.LinkedHashMap[String, Vector[FeatureValue]]()
     byView.foreach { case (viewName, feats) =>
       val view = registry.getFeatureView(viewName)
-      val keys = joinKeysOf(view)
+      val entities = view.entities.map(registry.getEntity)
+      // O16 guard rails (reference feature_store.py:684-717): a view whose
+      // entities collapse onto the same join key would silently read the
+      // wrong rows — reject up front.
+      val keys = entities.map(_.joinKey)
+      val dupKeys = keys.groupBy(identity).collect { case (k, g) if g.size > 1 => k }
+      if (dupKeys.nonEmpty) throw new IllegalArgumentException(
+        s"view $viewName has duplicate join keys: ${dupKeys.mkString(", ")}")
       val entityKeys = entityRows.map { row =>
-        keys.map { k =>
-          k -> row.getOrElse(k, throw new IllegalArgumentException(
+        entities.map { e =>
+          val k = e.joinKey
+          val raw = row.getOrElse(k, throw new IllegalArgumentException(
             s"entity row is missing join key '$k' required by view $viewName"))
+          k -> EntityRowValidator.coerce(viewName, e, raw)
         }
       }
       val results = onlineStore.read(project, view, keys, entityKeys, feats)
@@ -115,6 +157,39 @@ class FeatureStore(
   /** Entity names -> join key columns for a view. */
   def joinKeysOf(view: FeatureView): Seq[String] =
     view.entities.map(e => registry.getEntity(e).joinKey)
+}
+
+/** O16 — online entity-row type validation/coercion (reference
+  * online_response.py:74-110): each entity-row value is checked against
+  * the entity's registered dtype and widened where lossless (Int ->
+  * Int64, etc.). Without this, EntityKeyCodec tags Int (3) and Long (4)
+  * differently, so a caller passing Int 42 for an Int64 entity would get
+  * a spurious NOT_FOUND instead of a hit or an error. Only the key types
+  * the codec supports (STRING / BYTES / INT32 / INT64) are legal. */
+object EntityRowValidator {
+  import graft.model.GraftType
+
+  def coerce(viewName: String, entity: Entity, v: Any): Any = {
+    val k = entity.joinKey
+    if (v == null) throw new IllegalArgumentException(
+      s"null value for join key '$k' (view $viewName)")
+    (entity.dtype, v) match {
+      case (GraftType.Int64, l: Long) => l
+      case (GraftType.Int64, i: Int) => i.toLong
+      case (GraftType.Int64, s: Short) => s.toLong
+      case (GraftType.Int32, i: Int) => i
+      case (GraftType.Int32, s: Short) => s.toInt
+      case (GraftType.Int32, l: Long) if l.isValidInt => l.toInt
+      case (GraftType.Str, s: String) => s
+      case (GraftType.Bytes, b: Array[Byte]) => b
+      case (dt, other) => throw new IllegalArgumentException(
+        s"join key '$k' (view $viewName) expects ${dt.name}, got " +
+        s"${other.getClass.getSimpleName} '$other'" + (dt match {
+          case GraftType.Str | GraftType.Bytes | GraftType.Int32 | GraftType.Int64 => ""
+          case _ => s"; entity key type ${dt.name} is not supported by the key codec"
+        }))
+    }
+  }
 }
 
 /** Assembled online read (reference online_response.py:31-71): columnar

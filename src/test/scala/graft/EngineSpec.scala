@@ -195,6 +195,80 @@ class EngineSpec extends AnyFunSuite {
     assert(got(2)._2("v").status == "NOT_FOUND")
   }
 
+  test("O16: online entity-row values are coerced to the registered dtype or rejected") {
+    import spark.implicits._
+    val df = Seq((1L, ts("2024-01-01 10:00:00"), 1.5)).toDF("driver_id", "et", "v")
+    val fs = new FeatureStore("t3", new Registry(), new InMemoryOnlineStore(), spark)
+    fs.applyEntity(Entity("driver", GraftType.Int64, Some("driver_id")))
+    fs.applyFeatureView(FeatureView("v16", Seq("driver"), Seq(Feature("v", GraftType.Dbl)),
+      Duration.ZERO, DataFrameSource(df, "et")))
+    fs.materialize(Seq("v16"), ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"))
+
+    // Int for an Int64 entity: coerced, must HIT (was a spurious NOT_FOUND)
+    val okInt = fs.getOnlineFeatures(Seq("v16:v"), Seq(Map[String, Any]("driver_id" -> 1)))
+    assert(okInt.toMap("v16:v").head == 1.5)
+    // wrong type -> error, not NOT_FOUND
+    val e1 = intercept[IllegalArgumentException](
+      fs.getOnlineFeatures(Seq("v16:v"), Seq(Map[String, Any]("driver_id" -> "1"))))
+    assert(e1.getMessage.contains("expects INT64"))
+    // null key -> error
+    intercept[IllegalArgumentException](
+      fs.getOnlineFeatures(Seq("v16:v"), Seq(Map[String, Any]("driver_id" -> null))))
+    // duplicate join keys across a view's entities -> error
+    fs.applyEntity(Entity("driver2", GraftType.Int64, Some("driver_id")))
+    fs.applyFeatureView(FeatureView("vdup", Seq("driver", "driver2"),
+      Seq(Feature("v", GraftType.Dbl)), Duration.ZERO, DataFrameSource(df, "et")))
+    val e2 = intercept[IllegalArgumentException](
+      fs.getOnlineFeatures(Seq("vdup:v"), Seq(Map[String, Any]("driver_id" -> 1L))))
+    assert(e2.getMessage.contains("duplicate join keys"))
+    fs.teardown()
+  }
+
+  test("apply runs inference: unknown entity dtype + empty feature list + entity-df ts column") {
+    import spark.implicits._
+    val df = Seq((1L, ts("2024-01-01 10:00:00"), 0.5, "a"),
+                 (1L, ts("2024-01-02 10:00:00"), 0.7, "b"))
+      .toDF("driver_id", "et", "conv_rate", "tag")
+      .withColumn("__internal", lit(1))
+    val fs = new FeatureStore("t4", new Registry(), new InMemoryOnlineStore(), spark)
+    fs.applyEntity(Entity("driver", GraftType.Unknown, Some("driver_id")))
+    fs.applyFeatureView(FeatureView("inf", Seq("driver"), features = Nil,
+      Duration.ZERO, DataFrameSource(df, "et")))
+    // entity dtype inferred from source join-key column
+    assert(fs.registry.getEntity("driver").dtype == GraftType.Int64)
+    // features inferred = all minus keys/ts/__internal
+    assert(fs.registry.getFeatureView("inf").featureNames.toSet == Set("conv_rate", "tag"))
+    // entity-df ts column inferred (single timestamp col, non-default name)
+    val entity = Seq((1L, ts("2024-01-03 00:00:00"))).toDF("driver_id", "as_of")
+    val hist = fs.getHistoricalFeatures(entity, Seq("inf:conv_rate")).collect()
+    assert(hist.length == 1 && hist(0).getAs[Double]("conv_rate") == 0.7)
+    fs.teardown()
+  }
+
+  test("date-partitioned scan carries PartitionFilters (directory pruning), results unchanged") {
+    import spark.implicits._
+    val rows = (0 until 100).map { i =>
+      (i.toLong % 10, new Timestamp(ts("2024-01-01 00:00:00").getTime + i * 6L * 3600_000L), i.toDouble)
+    }
+    val df = rows.toDF("k", "et", "v")
+    val path = java.nio.file.Files.createTempDirectory("graftdp").toString + "/t"
+    graft.sources.DatePartition.write(df, path, "et", "event_date")
+
+    val (start, end) = (ts("2024-01-05 00:00:00"), ts("2024-01-10 00:00:00"))
+    val pruned = graft.sources.DatePartition.prune(
+      spark.read.parquet(path), Some("event_date"), Some(start), Some(end))
+      .filter(col("et") >= start && col("et") <= end)
+
+    val plan = pruned.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(plan).map(_.group(1))
+    assert(pf.exists(_.contains("event_date")),
+      s"expected a non-empty PartitionFilters on event_date, plan:\n$plan")
+
+    val expected = rows.filter { case (_, et, _) =>
+      !et.before(start) && !et.after(end) }.map(_._3).toSet
+    assert(pruned.collect().map(_.getAs[Double]("v")).toSet == expected)
+  }
+
   test("materialize honors last-write-wins on overlapping windows") {
     import spark.implicits._
     val df = Seq(
