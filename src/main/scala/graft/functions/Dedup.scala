@@ -23,16 +23,12 @@ object Dedup {
       .select(df.columns.map(c => col(s"__w.$c")): _*)
   }
 
-  /** k-minhash signature from a *pre-bound* element-hash column
-    * (`transform(elems, e => xxhash64(e))` materialized via withColumn):
-    * h_i = min over elements of xxhash64(i, elementHash). Re-hashing the
-    * 8-byte element hash k times is far cheaper than re-hashing the
-    * string k times — and the pre-bound attribute keeps the k lambdas
-    * from re-evaluating the upstream expression per element (see
-    * TextFunctions.wordNgramsFromWords performance contract). */
+  /** k-minhash signature from an element-hash column: h_i = min over
+    * elements of hash_i(elementHash). Native Catalyst expression — see
+    * MinHashExpr for why the Column-HOF formulation is a scale trap
+    * (O(k×bands) plan nodes -> >10 s of driver-side planning). */
   def minhashSignature(elemHashes: Column, k: Int): Column =
-    array((0 until k).map(i =>
-      array_min(transform(elemHashes, h => xxhash64(lit(i), h)))): _*)
+    MinHashExpr.signature(elemHashes, k)
 
   /** LSH band hashes of a minhash signature: `bands` hashes of `rowsPer`
     * consecutive signature entries. Two docs share a band hash iff their
@@ -71,23 +67,29 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucketSize: Int = 1000): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
-    val rowsPer = k / bands
 
     // (id, shingles) is consumed three times (banding + both sides of
     // the verification join) — persist the narrow projection instead of
     // re-shingling the corpus per branch. MEMORY_AND_DISK: spills, never
     // OOMs at scale.
+    //
+    // The persist boundary sits BELOW the size>0 filter on purpose: a
+    // filter on a computed-heavy column would otherwise be predicate-
+    // pushed through the repartition and union — with the whole
+    // ngram/regex expression inlined into the pushed condition — and
+    // evaluated per row on the narrow pre-shuffle partitions, then
+    // recomputed again post-shuffle (measured 10x the honest cost).
+    // Filtering above the cached relation blocks the sink.
     val shingled = rebalance(df)
       .withColumn("__words", TextFunctions.words(col(textCol)))
       .select(col(idCol).as("id"),
         TextFunctions.wordNgramsFromWords(col("__words"), shingleN).as("shingles"))
-      .filter(size(col("shingles")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(size(col("shingles")) > 0)
 
     val banded = shingled
       .withColumn("__h", transform(col("shingles"), e => xxhash64(e)))
-      .withColumn("sig", minhashSignature(col("__h"), k))
-      .select(col("id"), posexplode(bandHashes(col("sig"), bands, rowsPer)))
+      .select(col("id"), posexplode(MinHashExpr.bandHashes(col("__h"), k, bands)))
       .toDF("id", "band", "bucket")
 
     // Candidates: ids sharing any (band, bucket). Self-join within

@@ -182,35 +182,39 @@ class ParquetOnlineStore(basePath: String, numBuckets: Int = 32) extends OnlineS
     val cols = (joinKeys ++ Seq(tsCol) ++ createdCol.toSeq ++ view.featureNames).distinct
     val incoming = df.select(cols.map(col): _*)
       .withColumn(BucketCol, bucketExpr(joinKeys))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val touched: Seq[Int] =
-        incoming.select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq
-      if (touched.isEmpty) return
-      val merged = existing(spark, p) match {
-        case Some(old) =>
-          // Partition pruning limits the read-back to touched buckets.
-          val oldTouched = old.filter(col(BucketCol).isin(touched: _*))
-            .select((cols :+ BucketCol).map(col): _*)
-          PullLatest.latestPerKey(oldTouched.unionByName(incoming),
-            joinKeys, tsCol, createdCol, view.featureNames, tieBreakCols = Nil)
-        case None =>
-          PullLatest.latestPerKey(incoming, joinKeys, tsCol, createdCol, view.featureNames)
-      }
-      // latestPerKey projects away the bucket column; recompute (pure
-      // function of the keys) and write the touched buckets to a staging
-      // dir, then swap each bucket directory into the live tree.
-      val tmp = p + ".tmp"
-      merged.withColumn(BucketCol, bucketExpr(joinKeys))
+    val tmp = p + ".tmp"
+    // repartition on the bucket column before partitionBy: partitionBy
+    // alone writes one file per (task × bucket) — up to tasks×buckets
+    // tiny files that every subsequent upsert has to re-list and
+    // re-open. With the repartition each bucket is one task -> one file.
+    def stage(d: DataFrame): Unit =
+      d.withColumn(BucketCol, bucketExpr(joinKeys))
+        .repartition(numBuckets, col(BucketCol))
         .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp)
 
-      val hconf = spark.sparkContext.hadoopConfiguration
-      val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(hconf)
-      def hp(s: String) = new org.apache.hadoop.fs.Path(s)
-      if (!fs.exists(hp(p))) {
-        // First write: the staging dir IS the store.
-        fs.rename(hp(tmp), hp(p))
-      } else {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(hconf)
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+
+    if (!fs.exists(hp(p))) {
+      // First write: nothing to merge — one pass, staging dir IS the store.
+      stage(PullLatest.latestPerKey(incoming, joinKeys, tsCol, createdCol, view.featureNames))
+      fs.rename(hp(tmp), hp(p))
+    } else {
+      // Incremental write: merge only the buckets containing incoming
+      // keys. incoming is read twice (touched-bucket discovery + the
+      // merge) — persist it.
+      val cached = incoming.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val touched: Seq[Int] =
+          cached.select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq
+        if (touched.isEmpty) return
+        // Partition pruning limits the read-back to touched buckets.
+        val oldTouched = spark.read.parquet(p)
+          .filter(col(BucketCol).isin(touched: _*))
+          .select((cols :+ BucketCol).map(col): _*)
+        stage(PullLatest.latestPerKey(oldTouched.unionByName(cached),
+          joinKeys, tsCol, createdCol, view.featureNames))
         // Per-bucket rename-aside swap: old bucket moves OUT of the
         // dataset tree first (a `bucket=3.old` dir inside it would
         // corrupt partition discovery), then staged bucket renames in.
@@ -225,14 +229,8 @@ class ParquetOnlineStore(basePath: String, numBuckets: Int = 32) extends OnlineS
         }
         fs.delete(oldRoot, true)
         fs.delete(hp(tmp), true)
-      }
-    } finally incoming.unpersist()
-  }
-
-  private def existing(spark: SparkSession, p: String): Option[DataFrame] = {
-    val hp = new org.apache.hadoop.fs.Path(p)
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(hp)) Some(spark.read.parquet(p)) else None
+      } finally cached.unpersist()
+    }
   }
 
   /** Snapshot of a view's store table (batch serving / debugging). */

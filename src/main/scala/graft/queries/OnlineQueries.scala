@@ -25,8 +25,10 @@ object OnlineQueries {
 
   private def freshStore(s: SparkSession, dir: String): (FeatureStore, ParquetOnlineStore) = {
     val reg = new Registry()
+    // Bucket count sized to the data, like shuffle partitions: 8 at test
+    // sf (150 keys); a production store at 100 TB would use hundreds.
     val store = new ParquetOnlineStore(
-      s"/tmp/graft_online_${java.util.UUID.randomUUID().toString.take(8)}")
+      s"/tmp/graft_online_${java.util.UUID.randomUUID().toString.take(8)}", numBuckets = 8)
     val fs = new FeatureStore("graft_ci", reg, store, s)
     fs.applyEntity(Entity("user", GraftType.Int64, joinKeyOpt = Some("user_id")))
     fs.applyFeatureView(FeatureView(

@@ -129,9 +129,13 @@ object PipelineQueries {
   /** MinHash-LSH near-dup pairs at threshold 0.999 ⇔ identical shingle
     * sets. The oracle derives the same pairs from a canonical gram-set
     * signature — implementation-independent. */
+  /** k=32/bands=8 (r=4): recall for the oracle's exact-clone pairs
+    * (jaccard 1.0) is exactly 1.0 at any banding — every band of an
+    * identical shingle set matches — so the smaller signature only
+    * shrinks candidate noise and CPU, not correctness. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDupPairs(docsWithClones(s, dir), "doc_id", "text",
-        shingleN = 3, k = 64, bands = 16, threshold = 0.999)
+        shingleN = 3, k = 32, bands = 8, threshold = 0.999)
       .orderBy("id_a", "id_b")
 
   val dedupMinhashSql: String =

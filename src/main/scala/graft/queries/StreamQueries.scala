@@ -25,22 +25,27 @@ object StreamQueries {
     * batch into the online store, then dump the store. Oracle: global
     * latest-per-key — only holds if cross-batch last-write-wins works. */
   def streamMaterialize(s: SparkSession, dir: String): DataFrame = {
+    // Deterministic 4-file input copy, cached across invocations (the
+    // store + checkpoint stay per-run under a fresh tmp dir).
+    val input = s"/tmp/graft_stream_in4_${Math.abs(dir.hashCode)}"
+    if (!new java.io.File(s"$input/_SUCCESS").exists()) {
+      Tables.read(s, dir, "events")
+        .select("user_id", "ts", "event_type", "value")
+        .repartition(4)
+        .write.mode("overwrite").parquet(input)
+    }
     val tmp = s"/tmp/graft_stream_${java.util.UUID.randomUUID().toString.take(8)}"
-    Tables.read(s, dir, "events")
-      .select("user_id", "ts", "event_type", "value")
-      .repartition(4)
-      .write.parquet(s"$tmp/input")
 
     val fs = new FeatureStore("graft_stream", new Registry(),
-      new ParquetOnlineStore(s"$tmp/store"), s)
+      new ParquetOnlineStore(s"$tmp/store", numBuckets = 8), s)
     fs.applyEntity(Entity("user", GraftType.Int64, joinKeyOpt = Some("user_id")))
     fs.applyFeatureView(FeatureView(
       name = "user_events_stream",
       entities = Seq("user"),
       features = Seq(Feature("event_type", GraftType.Str), Feature("value", GraftType.Dbl)),
       ttl = Duration.ZERO,
-      batchSource = DataFrameSource(s.read.parquet(s"$tmp/input"), "ts"),
-      streamSource = Some(FileStreamSource(s"$tmp/input", "parquet", "ts",
+      batchSource = DataFrameSource(s.read.parquet(input), "ts"),
+      streamSource = Some(FileStreamSource(input, "parquet", "ts",
         maxFilesPerTrigger = Some(1)))))
 
     val q = StreamMaterializer.materializeStream(fs, "user_events_stream",
