@@ -152,7 +152,17 @@ object ParquetOnlineStore {
   val BucketCol = "__bucket"
 }
 
-class ParquetOnlineStore(basePath: String, numBuckets: Int = 32) extends OnlineStore {
+/* Below `smallStoreBytes` the upsert takes a one-job full-rewrite path
+ * (read all ∪ incoming -> latest-per-key -> swap the whole table, still
+ * bucket-partitioned): for a store that fits comfortably in executor
+ * memory the incremental machinery (touched-bucket discovery job,
+ * pruned read-back, per-bucket swap) costs more than rewriting the
+ * table. The incremental path takes over exactly where it starts
+ * winning — when the store is too big to rewrite per batch. */
+class ParquetOnlineStore(
+    basePath: String,
+    numBuckets: Int = 32,
+    smallStoreBytes: Long = 64L << 20) extends OnlineStore {
   import ParquetOnlineStore.BucketCol
 
   private def path(project: String, view: String) = s"$basePath/$project/$view"
@@ -196,10 +206,23 @@ class ParquetOnlineStore(basePath: String, numBuckets: Int = 32) extends OnlineS
     val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(hconf)
     def hp(s: String) = new org.apache.hadoop.fs.Path(s)
 
-    if (!fs.exists(hp(p))) {
+    val liveBytes =
+      if (fs.exists(hp(p))) fs.getContentSummary(hp(p)).getLength else -1L
+    if (liveBytes < 0) {
       // First write: nothing to merge — one pass, staging dir IS the store.
       stage(PullLatest.latestPerKey(incoming, joinKeys, tsCol, createdCol, view.featureNames))
       fs.rename(hp(tmp), hp(p))
+    } else if (liveBytes <= smallStoreBytes) {
+      // Small store: one-job full rewrite (old ∪ incoming), whole-dir
+      // rename-aside swap.
+      val old = spark.read.parquet(p).select((cols :+ BucketCol).map(col): _*)
+      stage(PullLatest.latestPerKey(old.unionByName(incoming),
+        joinKeys, tsCol, createdCol, view.featureNames))
+      val oldRoot = hp(p + ".old")
+      fs.delete(oldRoot, true)
+      fs.rename(hp(p), oldRoot)
+      fs.rename(hp(tmp), hp(p))
+      fs.delete(oldRoot, true)
     } else {
       // Incremental write: merge only the buckets containing incoming
       // keys. incoming is read twice (touched-bucket discovery + the

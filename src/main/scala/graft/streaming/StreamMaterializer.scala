@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.model._
-import graft.operators.PullLatest
 import graft.store.FeatureStore
 
 /** Structured-Streaming materialization: stream source -> watermarked
@@ -42,9 +41,10 @@ object StreamMaterializer {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val latest = PullLatest.latestPerKey(
-            batch, keys, tsCol, createdCol, view.featureNames)
-          fs.onlineStore.upsert(fs.project, view, keys, latest, tsCol, createdCol)
+          // No pre-reduction: upsert's merge already runs latest-per-key
+          // over (existing ∪ batch), so reducing the batch first would
+          // just add a shuffle per micro-batch.
+          fs.onlineStore.upsert(fs.project, view, keys, batch, tsCol, createdCol)
         }
         ()
       }

@@ -155,7 +155,9 @@ class EngineSpec extends AnyFunSuite {
   test("ParquetOnlineStore upsert rewrites only buckets containing incoming keys") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graftbkt").toString
-    val store = new ParquetOnlineStore(base, numBuckets = 8)
+    // smallStoreBytes=0 forces the incremental (touched-buckets) path
+    // regardless of store size — the property under test.
+    val store = new ParquetOnlineStore(base, numBuckets = 8, smallStoreBytes = 0L)
     val df1 = (0L until 64L).map(k => (k, ts("2024-01-01 10:00:00"), k.toDouble))
       .toDF("driver_id", "et", "v")
     val view = FeatureView("bv", Seq("driver"), Seq(Feature("v", GraftType.Dbl)),
