@@ -1,0 +1,149 @@
+package graft.cli
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+
+import graft.model._
+import graft.online.{InMemoryOnlineStore, OnlineStore, ParquetOnlineStore}
+import graft.registry.{Registry, RegistryCodec}
+import graft.store.FeatureStore
+import graft.util.{Json, JValue}
+import graft.util.JValue._
+
+/** Repo configuration: one JSON document declaring the project, the
+  * registry path, the online store, and the definitions to apply — the
+  * analog of the reference's feature_store.yaml + repo python module
+  * (repo_operations.py:114-200). Entities/views use the same JSON shape
+  * the registry persists (RegistryCodec), so a registry dump is a valid
+  * definitions source.
+  */
+final case class RepoConfig(
+    project: String,
+    registryPath: String,
+    onlineStore: OnlineStore,
+    entities: Seq[Entity],
+    views: Seq[FeatureView],
+    services: Seq[FeatureService])
+
+object RepoConfig {
+  def load(path: String): RepoConfig = {
+    val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    val o = Json.parse(text).asInstanceOf[JObj]
+    def items(k: String): Vector[JValue] =
+      o.get(k) match { case Some(JArr(xs)) => xs; case _ => Vector.empty }
+    val store = o.get("online_store") match {
+      case Some(s: JObj) => s("type") match {
+        case JStr("parquet") => new ParquetOnlineStore(s("path").asInstanceOf[JStr].v)
+        case JStr("memory") => new InMemoryOnlineStore()
+        case other => throw new IllegalArgumentException(s"unknown online store type $other")
+      }
+      case _ => new InMemoryOnlineStore()
+    }
+    RepoConfig(
+      project = o("project").asInstanceOf[JStr].v,
+      registryPath = o("registry").asInstanceOf[JStr].v,
+      onlineStore = store,
+      entities = items("entities").map(RegistryCodec.decodeEntity),
+      views = items("feature_views").map(RegistryCodec.decodeView),
+      services = items("feature_services").map(RegistryCodec.decodeService))
+  }
+}
+
+/** CLI mirroring the reference's lifecycle commands (cli.py:182-304):
+  *
+  *   graft apply <repo.json>
+  *   graft materialize <repo.json> <startTs> <endTs>
+  *   graft materialize-incremental <repo.json> <endTs>
+  *   graft entities list <repo.json>
+  *   graft feature-views list <repo.json>
+  *   graft registry-dump <repo.json>
+  *   graft teardown <repo.json>
+  *
+  * Timestamps parse as `yyyy-MM-dd[ HH:mm:ss]`.
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(args.toSeq, spark, Console.out.println(_))
+    finally spark.stop()
+  }
+
+  private def ts(s: String): Timestamp =
+    if (s.contains(" ") || s.contains("T"))
+      Timestamp.valueOf(s.replace("T", " "))
+    else Timestamp.valueOf(s + " 00:00:00")
+
+  /** Command dispatch, separated from main for in-process testing. */
+  def run(args: Seq[String], spark: SparkSession, out: String => Unit): Unit = {
+    def store(cfgPath: String): (RepoConfig, FeatureStore) = {
+      val cfg = RepoConfig.load(cfgPath)
+      val fs = new FeatureStore(cfg.project, new Registry(Some(cfg.registryPath)),
+        cfg.onlineStore, spark)
+      (cfg, fs)
+    }
+    args match {
+      case Seq("apply", cfgPath) =>
+        val (cfg, fs) = store(cfgPath)
+        cfg.entities.foreach(fs.applyEntity)
+        cfg.views.foreach(fs.applyFeatureView)
+        cfg.services.foreach(fs.applyFeatureService)
+        out(s"applied ${cfg.entities.size} entities, ${cfg.views.size} feature views, " +
+          s"${cfg.services.size} feature services to ${cfg.registryPath}")
+
+      case Seq("materialize", cfgPath, start, end) =>
+        val (_, fs) = store(cfgPath)
+        val views = fs.registry.listFeatureViews.map(_.name)
+        fs.materialize(views, ts(start), ts(end))
+        out(s"materialized ${views.mkString(", ")} for [$start, $end]")
+
+      case Seq("materialize-incremental", cfgPath, end) =>
+        val (_, fs) = store(cfgPath)
+        val views = fs.registry.listFeatureViews.map(_.name)
+        fs.materializeIncremental(views, ts(end))
+        out(s"materialized ${views.mkString(", ")} incrementally up to $end")
+
+      case Seq("entities", "list", cfgPath) =>
+        val (_, fs) = store(cfgPath)
+        fs.registry.listEntities.foreach(e => out(s"${e.name}\t${e.joinKey}\t${e.dtype.name}"))
+
+      case Seq("feature-views", "list", cfgPath) =>
+        val (_, fs) = store(cfgPath)
+        fs.registry.listFeatureViews.foreach(v =>
+          out(s"${v.name}\t[${v.entities.mkString(",")}]\t[${v.featureNames.mkString(",")}]"))
+
+      case Seq("registry-dump", cfgPath) =>
+        val cfg = RepoConfig.load(cfgPath)
+        val reg = new Registry(Some(cfg.registryPath))
+        out(RegistryCodec.encode(RegistryState.of(reg)).render)
+
+      case Seq("teardown", cfgPath) =>
+        val (_, fs) = store(cfgPath)
+        fs.teardown()
+        out("teardown complete")
+
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown command '${other.mkString(" ")}'; commands: apply, materialize, " +
+          "materialize-incremental, entities list, feature-views list, registry-dump, teardown")
+    }
+  }
+}
+
+/** Helper to snapshot a registry's state for dumping. */
+object RegistryState {
+  def of(reg: Registry): graft.registry.RegistryState = {
+    graft.registry.RegistryState(
+      entities = reg.listEntities.map(e => e.name -> e).toMap,
+      views = reg.listFeatureViews.map(v => v.name -> v).toMap,
+      services = reg.listFeatureServices.map(s => s.name -> s).toMap,
+      materializations = reg.listFeatureViews
+        .map(v => v.name -> reg.materializationIntervals(v.name)).filter(_._2.nonEmpty).toMap)
+  }
+}

@@ -158,10 +158,10 @@ object RegistryCodec {
       versionId = o("version_id") match { case JStr(v) => v; case _ => "" })
   }
 
-  private def encodeEntity(e: Entity): JObj = Json.obj(
+  private[graft] def encodeEntity(e: Entity): JObj = Json.obj(
     "name" -> jstr(e.name), "dtype" -> jstr(e.dtype.name),
     "join_key" -> jstr(e.joinKey), "description" -> jstr(e.description))
-  private def decodeEntity(j: JValue): Entity = {
+  private[graft] def decodeEntity(j: JValue): Entity = {
     val o = j.asInstanceOf[JObj]
     Entity(
       name = o("name").asInstanceOf[JStr].v,
@@ -238,7 +238,7 @@ object RegistryCodec {
     }
   }
 
-  private def encodeView(v: FeatureView): JObj = Json.obj(
+  private[graft] def encodeView(v: FeatureView): JObj = Json.obj(
     "name" -> jstr(v.name),
     "entities" -> Json.arr(v.entities.map(jstr)),
     "features" -> Json.arr(v.features.map(f => Json.obj(
@@ -248,7 +248,7 @@ object RegistryCodec {
     "stream_source" -> v.streamSource.map(encodeSource).getOrElse(JNull),
     "online" -> Json.bool(v.online))
 
-  private def decodeView(j: JValue): FeatureView = {
+  private[graft] def decodeView(j: JValue): FeatureView = {
     val o = j.asInstanceOf[JObj]
     FeatureView(
       name = o("name").asInstanceOf[JStr].v,
@@ -263,12 +263,12 @@ object RegistryCodec {
       online = o.get("online").collect { case JBool(b) => b }.getOrElse(true))
   }
 
-  private def encodeService(s: FeatureService): JObj = Json.obj(
+  private[graft] def encodeService(s: FeatureService): JObj = Json.obj(
     "name" -> jstr(s.name),
     "projections" -> Json.arr(s.projections.map(p => Json.obj(
       "view" -> jstr(p.viewName), "features" -> Json.arr(p.features.map(jstr))))))
 
-  private def decodeService(j: JValue): FeatureService = {
+  private[graft] def decodeService(j: JValue): FeatureService = {
     val o = j.asInstanceOf[JObj]
     FeatureService(
       name = o("name").asInstanceOf[JStr].v,

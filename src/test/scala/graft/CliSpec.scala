@@ -1,0 +1,128 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cli.{Cli, RepoConfig}
+import graft.registry.Registry
+import graft.store.FeatureStore
+
+/** End-to-end CLI lifecycle, mirroring the reference's
+  * tests/test_e2e_local.py:50-131: apply a repo config, materialize,
+  * read online (latest row per key), failure path for a missing join
+  * key, then teardown. */
+class CliSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    graft.sources.Tables.configure(s)
+    s
+  }
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("CLI e2e: apply -> materialize -> list -> online read -> teardown") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftcli").toString
+    Seq(
+      (1001L, ts("2024-01-01 10:00:00"), 0.2),
+      (1001L, ts("2024-01-02 10:00:00"), 0.8),
+      (2002L, ts("2024-01-01 12:00:00"), 0.5))
+      .toDF("driver_id", "event_timestamp", "conv_rate")
+      .write.parquet(s"$dir/driver_stats.parquet")
+
+    val cfgPath = s"$dir/repo.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(cfgPath),
+      s"""{
+         |  "project": "e2e",
+         |  "registry": "$dir/registry.json",
+         |  "online_store": {"type": "parquet", "path": "$dir/store"},
+         |  "entities": [
+         |    {"name": "driver", "dtype": "INT64", "join_key": "driver_id", "description": ""}
+         |  ],
+         |  "feature_views": [
+         |    {"name": "driver_hourly_stats", "entities": ["driver"],
+         |     "features": [{"name": "conv_rate", "dtype": "DOUBLE"}],
+         |     "ttl_seconds": 0,
+         |     "batch_source": {"kind": "file", "path": "$dir/driver_stats.parquet",
+         |       "format": "parquet", "event_timestamp_column": "event_timestamp",
+         |       "created_timestamp_column": null, "field_mapping": {},
+         |       "date_partition_column": null},
+         |     "stream_source": null, "online": true}
+         |  ]
+         |}""".stripMargin.getBytes("UTF-8"))
+
+    val out = scala.collection.mutable.Buffer[String]()
+    Cli.run(Seq("apply", cfgPath), spark, out.append(_))
+    assert(out.last.contains("applied 1 entities, 1 feature views"))
+
+    Cli.run(Seq("entities", "list", cfgPath), spark, out.append(_))
+    assert(out.last.startsWith("driver\tdriver_id\tINT64"))
+    Cli.run(Seq("feature-views", "list", cfgPath), spark, out.append(_))
+    assert(out.last.contains("driver_hourly_stats"))
+
+    Cli.run(Seq("materialize", cfgPath, "2024-01-01", "2024-01-03"), spark, out.append(_))
+
+    // online read through the same repo config (reference reads via SDK)
+    val cfg = RepoConfig.load(cfgPath)
+    val fs = new FeatureStore(cfg.project, new Registry(Some(cfg.registryPath)),
+      cfg.onlineStore, spark)
+    val resp = fs.getOnlineFeatures(Seq("driver_hourly_stats:conv_rate"),
+      Seq(Map[String, Any]("driver_id" -> 1001L),
+        Map[String, Any]("driver_id" -> 2002L),
+        Map[String, Any]("driver_id" -> 404L)))
+    assert(resp.toMap("driver_hourly_stats:conv_rate") == Seq(0.8, 0.5, null))
+    assert(resp.statuses("driver_hourly_stats:conv_rate") == Seq("PRESENT", "PRESENT", "NOT_FOUND"))
+
+    // registry-dump emits the applied definitions
+    Cli.run(Seq("registry-dump", cfgPath), spark, out.append(_))
+    assert(out.last.contains("driver_hourly_stats") && out.last.contains("materializations"))
+
+    // failure path (test_e2e_local.py:110-131): missing join key -> error
+    intercept[IllegalArgumentException] {
+      fs.getOnlineFeatures(Seq("driver_hourly_stats:conv_rate"),
+        Seq(Map[String, Any]("not_a_key" -> 1L)))
+    }
+    // unknown command -> error
+    intercept[IllegalArgumentException] {
+      Cli.run(Seq("frobnicate", cfgPath), spark, _ => ())
+    }
+
+    Cli.run(Seq("teardown", cfgPath), spark, out.append(_))
+    val reg2 = new Registry(Some(s"$dir/registry.json"))
+    assert(reg2.listFeatureViews.isEmpty && reg2.listEntities.isEmpty)
+  }
+
+  test("CLI materialize-incremental picks up from the last interval end") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftcli2").toString
+    Seq((7L, ts("2024-02-01 10:00:00"), 1.0))
+      .toDF("driver_id", "event_timestamp", "v")
+      .write.parquet(s"$dir/src.parquet")
+    val cfgPath = s"$dir/repo.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(cfgPath),
+      s"""{"project": "e2e2", "registry": "$dir/registry.json",
+         | "online_store": {"type": "parquet", "path": "$dir/store"},
+         | "entities": [{"name": "driver", "dtype": "INT64", "join_key": "driver_id", "description": ""}],
+         | "feature_views": [{"name": "v", "entities": ["driver"],
+         |  "features": [{"name": "v", "dtype": "DOUBLE"}], "ttl_seconds": 0,
+         |  "batch_source": {"kind": "file", "path": "$dir/src.parquet", "format": "parquet",
+         |   "event_timestamp_column": "event_timestamp", "created_timestamp_column": null,
+         |   "field_mapping": {}, "date_partition_column": null},
+         |  "stream_source": null, "online": true}]}""".stripMargin.getBytes("UTF-8"))
+    Cli.run(Seq("apply", cfgPath), spark, _ => ())
+    Cli.run(Seq("materialize", cfgPath, "2024-02-01", "2024-02-02"), spark, _ => ())
+    Cli.run(Seq("materialize-incremental", cfgPath, "2024-02-05"), spark, _ => ())
+    val reg = new Registry(Some(s"$dir/registry.json"))
+    val ivs = reg.materializationIntervals("v")
+    assert(ivs.size == 2 && ivs(1).start == ivs(0).end
+      && ivs(1).end == ts("2024-02-05 00:00:00"))
+  }
+}
