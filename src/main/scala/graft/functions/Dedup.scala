@@ -80,6 +80,12 @@ object Dedup {
     // evaluated per row on the narrow pre-shuffle partitions, then
     // recomputed again post-shuffle (measured 10x the honest cost).
     // Filtering above the cached relation blocks the sink.
+    //
+    // Cache lifetime: the block stays registered until eviction (it is
+    // MEMORY_AND_DISK, so memory pressure demotes it to disk rather than
+    // OOM) or until the caller drops it — a long-lived session running
+    // many dedup passes can reclaim everything with
+    // spark.catalog.clearCache().
     val shingled = rebalance(df)
       .withColumn("__words", TextFunctions.words(col(textCol)))
       .select(col(idCol).as("id"),
@@ -117,10 +123,20 @@ object Dedup {
     * to fewer partitions than cores (one small parquet file -> one
     * partition -> one busy thread), spread it. A narrow projection's
     * shuffle cost is trivial next to the per-row compute it unblocks;
-    * on a many-file 100 TB table this is a no-op. */
+    * on a many-file 100 TB table this is a no-op.
+    *
+    * The partition-count estimate comes from logical-plan size stats
+    * (bytes / maxPartitionBytes), not `df.rdd.getNumPartitions` — the
+    * latter forces physical planning + RDD DAG creation of the subtree
+    * just to read a number. */
   private[functions] def rebalance(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxPartBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val sizeBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estParts = (sizeBytes / maxPartBytes).toLong + 1
+    if (estParts < math.max(2, target / 2)) df.repartition(target) else df
   }
 
   /** All ordered pairs (a<b) of an array column — used inside one LSH

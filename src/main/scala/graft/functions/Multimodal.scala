@@ -92,8 +92,11 @@ object Multimodal {
       batchSize: Int = 64,
       targetPartitionBytes: Long = 128L << 20): DataFrame = {
     val spark = df.sparkSession
-    val totalBytes = df.agg(sum(octet_length(col(binCol)).cast("long"))).collect()(0).getLong(0)
-    val parts = math.max(1, math.min(10000, (totalBytes / targetPartitionBytes).toInt + 1))
+    // Partition count from logical-plan size stats (parquet footer
+    // sizes), not an agg over octet_length — the latter is an extra full
+    // scan of the binary column before the decode even starts.
+    val totalBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = ((totalBytes / targetPartitionBytes) + 1).min(10000).max(1).toInt
     val outSchema = StructType(df.schema.fields ++ decoder.outputSchema.fields)
     val binIdx = df.schema.fieldIndex(binCol)
     val rdd = df.repartition(parts).rdd.mapPartitions { it =>

@@ -113,27 +113,69 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Nearest `n` anchor cells for a vector, over a broadcast `cells`
+    * array column of (cell_id, cell_vec) structs. */
+  private def nearestCells(vec: Column, n: Int): Column =
+    slice(array_sort(transform(col("cells"), c =>
+      struct((-cosine(vec, c("cell_vec"))).as("negcos"), c("cell_id").as("cell_id")))),
+      1, n)
+
+  /** Lloyd k-means over an embedding column, used to refine IVF anchors.
+    * Deterministic: initial centroids are a hash-ordered sample of the
+    * training frame. Each iteration is one scan of `train` (assign) plus
+    * a tiny (nCells × dim) aggregation; only the centroid table ever
+    * reaches the driver. At 100 TB pass a sample as `train` — centroid
+    * quality needs thousands of points per cell, not the full corpus. */
+  def kmeansCentroids(
+      train: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+    var cents: Seq[(Long, Seq[Double])] = train
+      .orderBy(xxhash64(col(idCol)))
+      .limit(nCells)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) => i.toLong -> r.getSeq[Double](0) }
+    val spark = train.sparkSession
+    import spark.implicits._
+    for (_ <- 0 until iters) {
+      val anchorArr = broadcast(cents.toDF("cell_id", "cell_vec")
+        .agg(collect_list(struct(col("cell_id"), col("cell_vec"))).as("cells")))
+      val means = train.crossJoin(anchorArr)
+        .withColumn("cell", nearestCells(col(vecCol), 1)(0)("cell_id"))
+        .select(col("cell"), posexplode(col(vecCol).cast("array<double>")))
+        .groupBy("cell", "pos").agg(avg(col("col")).as("v"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))), _("v")).as("vec"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      // empty cells keep their previous centroid
+      cents = cents.map { case (id, old) => id -> means.getOrElse(id, old) }
+    }
+    cents
+  }
+
   /** IVF-style ANN: assign corpus vectors to their nearest of `nCells`
     * anchor vectors (inverted file), then search a query only against
-    * the `nProbe` cells nearest to it. Anchors are taken
-    * deterministically from the corpus (first nCells by id) — a k-means
-    * refinement can swap in better centroids without changing the plan
-    * shape. At scale the cell assignment is a narrow projection and the
-    * probe is a semi-join that prunes (nCells - nProbe)/nCells of the
-    * corpus from the scan. */
+    * the `nProbe` cells nearest to it. Anchors are k-means centroids
+    * (`kmeansIters` Lloyd passes over `trainDf`, defaulting to the
+    * corpus; pass a sample at scale) — or, with kmeansIters = 0, the
+    * first nCells corpus vectors by id. At scale the cell assignment is
+    * a narrow projection and the probe is a semi-join that prunes
+    * (nCells - nProbe)/nCells of the corpus from the scan. */
   def ivfTopK(
       queries: DataFrame, qIdCol: String, qVecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, nCells: Int, nProbe: Int): DataFrame = {
-    val anchors = corpus.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).as("cell_id"), col(vecCol).as("cell_vec"))
+      k: Int, nCells: Int, nProbe: Int,
+      kmeansIters: Int = 2, trainDf: Option[DataFrame] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    val anchors: DataFrame =
+      if (kmeansIters > 0) {
+        import spark.implicits._
+        kmeansCentroids(trainDf.getOrElse(corpus), idCol, vecCol, nCells, kmeansIters)
+          .toDF("cell_id", "cell_vec")
+      } else corpus.orderBy(col(idCol)).limit(nCells)
+        .select(col(idCol).as("cell_id"), col(vecCol).as("cell_vec"))
     val anchorArr = broadcast(anchors.agg(
       collect_list(struct(col("cell_id"), col("cell_vec"))).as("cells")))
-
-    def nearestCells(vec: Column, n: Int): Column =
-      slice(array_sort(transform(col("cells"), c =>
-        struct((-cosine(vec, c("cell_vec"))).as("negcos"), c("cell_id").as("cell_id")))),
-        1, n)
 
     val assigned = corpus.crossJoin(anchorArr)
       .withColumn("cell", nearestCells(col(vecCol), 1)(0)("cell_id"))

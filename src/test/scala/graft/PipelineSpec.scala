@@ -92,21 +92,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(near <= 16)
   }
 
-  test("ivfTopK achieves high recall vs brute force") {
+  test("ivfTopK with k-means centroids achieves recall >= 0.9 vs brute force") {
     import spark.implicits._
+    // clustered corpus (the workload IVF exists for): 8 well-separated
+    // centers, 50 points each with small noise
     val rnd = new scala.util.Random(3)
-    val corpus = (0 until 400).map(i =>
-      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
-      .toDF("vec_id", "embedding")
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian() * 5))
+    val corpus = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
     val queries = corpus.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(queries, "vec_id", "embedding",
       corpus, "vec_id", "embedding", k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = Similarity.ivfTopK(queries, "vec_id", "embedding",
-      corpus, "vec_id", "embedding", k = 5, nCells = 8, nProbe = 4)
+      corpus, "vec_id", "embedding", k = 5, nCells = 8, nProbe = 2, kmeansIters = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"IVF recall $recall too low (nProbe=4/8 cells)")
+    assert(recall >= 0.9, s"IVF recall $recall too low (kmeans centroids, nProbe=2/8 cells)")
+
+    // first-N anchors (no k-means) on the same data must not beat the
+    // refined centroids — guards the refinement actually engaging
+    val unrefined = Similarity.ivfTopK(queries, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 5, nCells = 8, nProbe = 2, kmeansIters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall0 = (exact & unrefined).size.toDouble / exact.size
+    assert(recall >= recall0, s"k-means recall $recall should be >= unrefined $recall0")
   }
 
   test("multimodal decodeBatched appends decoder columns, preserves rows") {
