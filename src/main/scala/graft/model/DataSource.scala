@@ -123,18 +123,22 @@ object SourceReader {
         .option("kafka.bootstrap.servers", k.bootstrapServers)
         .option("subscribe", k.topic)
         .load()
-      val decoded = k.messageFormat match {
-        case StreamFormat.Avro(schemaJson) =>
-          raw.select(org.apache.spark.sql.avro.functions.from_avro(col("value"), schemaJson).as("v"))
-            .select(col("v.*"))
-        case StreamFormat.Json(ddl) =>
-          raw.select(from_json(col("value").cast("string"),
-            org.apache.spark.sql.types.StructType.fromDDL(ddl)).as("v"))
-            .select(col("v.*"))
-      }
-      applyFieldMapping(decoded, k.fieldMapping)
+      applyFieldMapping(decodeKafkaValue(raw, k.messageFormat), k.fieldMapping)
     case other =>
       throw new IllegalArgumentException(s"source $other is not streamable")
+  }
+
+  /** Decode a Kafka-shaped frame (binary `value` column) per the
+    * declared stream format. Factored out of readStream so the decode
+    * path is testable without a broker (batch df with the same shape). */
+  def decodeKafkaValue(df: DataFrame, format: StreamFormat): DataFrame = format match {
+    case StreamFormat.Avro(schemaJson) =>
+      df.select(org.apache.spark.sql.avro.functions.from_avro(col("value"), schemaJson).as("v"))
+        .select(col("v.*"))
+    case StreamFormat.Json(ddl) =>
+      df.select(from_json(col("value").cast("string"),
+        org.apache.spark.sql.types.StructType.fromDDL(ddl)).as("v"))
+        .select(col("v.*"))
   }
 
   def applyFieldMapping(df: DataFrame, mapping: Map[String, String]): DataFrame =

@@ -214,6 +214,51 @@ object CoreQueries {
       |      WHERE ts BETWEEN TIMESTAMP '2024-01-03' AND TIMESTAMP '2024-01-23')
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** TableSource through the Spark catalog (the BigQuery/Redshift table
+    * generalization, bigquery.py:701-825): register orders as a temp
+    * view, read it through the source abstraction, run the
+    * latest-per-key materialize scan. */
+  def tableSourceQ(s: SparkSession, dir: String): DataFrame = {
+    val start = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    val end = java.sql.Timestamp.valueOf("1996-12-31 00:00:00")
+    pq(s, dir, "orders").createOrReplaceTempView("graft_orders_v")
+    val src = TableSource("graft_orders_v", eventTimestampColumn = "o_orderdate")
+    PullLatest.pullLatest(SourceReader.read(s, src), Seq("o_custkey"), "o_orderdate", None,
+        Seq("o_totalprice", "o_orderstatus"), start, end, tieBreakCols = Seq("o_orderkey"))
+      .select(col("o_custkey"), unix_millis(col("o_orderdate")).as("order_ts_ms"),
+        col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy("o_custkey")
+  }
+
+  val tableSourceSql: String =
+    """SELECT o_custkey, epoch_ms(o_orderdate) AS order_ts_ms, o_orderkey,
+      |       o_totalprice, o_orderstatus
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |      FROM orders
+      |      WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31')
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  /** QuerySource (the BigQuerySource(query=...) analog): the source IS a
+    * SQL statement; downstream operators compose on its result. */
+  def querySourceQ(s: SparkSession, dir: String): DataFrame = {
+    pq(s, dir, "orders").createOrReplaceTempView("graft_orders_v")
+    val src = QuerySource(
+      "SELECT o_orderpriority, o_totalprice, o_orderdate FROM graft_orders_v " +
+        "WHERE o_totalprice > 100000",
+      eventTimestampColumn = "o_orderdate")
+    SourceReader.read(s, src)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val querySourceSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS revenue
+      |FROM orders WHERE o_totalprice > 100000
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Scan-heavy grouped aggregation (pushdown/pruning showcase; TPC-H Q1
     * shape). */
   def aggPushdown(s: SparkSession, dir: String): DataFrame =
@@ -282,6 +327,8 @@ object CoreQueries {
     "q_pull_latest" -> (pullLatestQ _),
     "q_date_partition_prune" -> (datePartitionPrune _),
     "q_csv_ingest" -> (csvIngest _),
+    "q_table_source" -> (tableSourceQ _),
+    "q_query_source" -> (querySourceQ _),
     "q_agg_pushdown" -> (aggPushdown _),
     "q_broadcast_join_agg" -> (broadcastJoinAgg _),
     "q_window_topk" -> (windowTopK _))
@@ -292,6 +339,8 @@ object CoreQueries {
     "q_pull_latest" -> pullLatestSql,
     "q_date_partition_prune" -> datePartitionPruneSql,
     "q_csv_ingest" -> csvIngestSql,
+    "q_table_source" -> tableSourceSql,
+    "q_query_source" -> querySourceSql,
     "q_agg_pushdown" -> aggPushdownSql,
     "q_broadcast_join_agg" -> broadcastJoinAggSql,
     "q_window_topk" -> windowTopKSql)

@@ -76,6 +76,47 @@ class StreamingSpec extends AnyFunSuite {
     fs.teardown()
   }
 
+  test("Kafka value decode round-trips JSON and Avro payloads (no broker needed)") {
+    import spark.implicits._
+    val rows = Seq((1L, 0.5, "a"), (2L, 1.5, "b"))
+    // JSON: encode rows as a Kafka-shaped frame (binary `value`)
+    val jsonFrame = rows.toDF("user_id", "v", "tag")
+      .select(to_json(struct(col("user_id"), col("v"), col("tag"))).cast("binary").as("value"))
+    val jsonOut = SourceReader.decodeKafkaValue(jsonFrame,
+        StreamFormat.Json("user_id BIGINT, v DOUBLE, tag STRING"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(jsonOut == rows.toSet)
+
+    // Avro: to_avro -> from_avro with an explicit schema. The functions
+    // resolve only when the spark-avro provider is on the classpath
+    // (standard in Spark distributions; absent in this container) — so
+    // verify the round-trip when present, or that the declarative path
+    // fails with the provider-missing analysis error when not.
+    val avroSchema =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"user_id","type":"long"},{"name":"v","type":"double"},
+        |{"name":"tag","type":"string"}]}""".stripMargin
+    try {
+      val avroFrame = rows.toDF("user_id", "v", "tag")
+        .select(org.apache.spark.sql.avro.functions.to_avro(
+          struct(col("user_id"), col("v"), col("tag")), avroSchema).as("value"))
+      val avroOut = SourceReader.decodeKafkaValue(avroFrame, StreamFormat.Avro(avroSchema))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+      assert(avroOut == rows.toSet)
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        assert(e.getMessage.contains("AVRO_NOT_LOADED") || e.getMessage.toLowerCase.contains("avro"),
+          s"unexpected analysis error: ${e.getMessage}")
+    }
+
+    // field mapping applies after decode, as on the streaming path
+    val mapped = SourceReader.applyFieldMapping(
+      SourceReader.decodeKafkaValue(jsonFrame,
+        StreamFormat.Json("user_id BIGINT, v DOUBLE, tag STRING")),
+      Map("v" -> "value_renamed"))
+    assert(mapped.columns.toSeq == Seq("user_id", "value_renamed", "tag"))
+  }
+
   test("windowed aggregate with watermark drops late rows in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
