@@ -79,6 +79,24 @@ object TextFunctions {
     * key (whitespace/punctuation/case-insensitive). */
   def fingerprint(c: Column): Column = md5(normalized(c).cast("binary"))
 
+  /** URLs in the text (http/https). */
+  def urls(c: Column): Column =
+    regexp_extract_all(c, lit("https?://[^\\s]+"), lit(0))
+
+  /** PII scrubbing for training corpora: IPv4 addresses, emails, and
+    * phone-like digit runs replaced with placeholder tokens. Patterns
+    * are RE2-compatible (no lookaround/backrefs) so the same expressions
+    * run identically on Spark (java.util.regex) and the DuckDB oracle
+    * (RE2). Order matters — most-specific first: IPs (the loose phone
+    * pattern would otherwise eat a dotted quad), then emails (their
+    * digits would match the phone pattern), then phones. */
+  def scrubPii(c: Column): Column = {
+    val ip = regexp_replace(c, "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>")
+    val email = regexp_replace(ip,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(email, "\\+?[0-9][0-9()\\-. ]{7,}[0-9]", "<PHONE>")
+  }
+
   /** Word n-grams (shingles) from a *pre-bound words column*, distinct.
     * Empty array when the document has fewer than n words (guards
     * Spark's descending `sequence(1, 0)`).

@@ -75,6 +75,52 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** PII scrubbing: deterministic PII (email, phone, IP derived from
+    * doc_id) appended to each document in BOTH engines, then scrubbed —
+    * value-checks the replacement semantics, not just the plumbing. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com"),
+          lit(" or call +1 (555) 010-"), pmod(col("doc_id"), lit(10000L)),
+          lit(" from 10.0.0.1")).as("t2"))
+      .select(col("doc_id"), TF.scrubPii(col("t2")).as("scrubbed"))
+      .orderBy("doc_id")
+
+  val piiScrubSql: String =
+    """SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |             || ' or call +1 (555) 010-' || CAST(doc_id % 10000 AS VARCHAR)
+      |             || ' from 10.0.0.1',
+      |        '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** URL extraction over documents with deterministic appended URLs. */
+  def urlExtract(s: SparkSession, dir: String): DataFrame = {
+    val t2 = concat(col("text"),
+      lit(" see https://example.com/d/"), col("doc_id"),
+      lit(" and http://mirror.net/"), pmod(col("doc_id"), lit(97L)))
+    docs(s, dir).select(col("doc_id"), TF.urls(t2).as("u"))
+      .select(col("doc_id"), size(col("u")).cast("long").as("n_urls"),
+        element_at(col("u"), 1).as("first_url"), element_at(col("u"), -1).as("last_url"))
+      .orderBy("doc_id")
+  }
+
+  val urlExtractSql: String =
+    """SELECT doc_id, CAST(len(u) AS BIGINT) AS n_urls, u[1] AS first_url, u[-1] AS last_url
+      |FROM (SELECT doc_id,
+      |             regexp_extract_all(
+      |               text || ' see https://example.com/d/' || CAST(doc_id AS VARCHAR)
+      |                    || ' and http://mirror.net/' || CAST(doc_id % 97 AS VARCHAR),
+      |               'https?://[^\s]+') AS u
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   // ---- dedup -----------------------------------------------------------
 
   /** Exact dedup on the normalized-text fingerprint; keeps min doc_id
@@ -254,6 +300,8 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langIdQ _),
+    "q_pii_scrub" -> (piiScrub _),
+    "q_url_extract" -> (urlExtract _),
     "q_dedup_exact" -> (dedupExact _),
     "q_ngram_jaccard_chain" -> (ngramJaccardChain _),
     "q_dedup_minhash" -> (dedupMinhash _),
@@ -266,6 +314,8 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q_text_stats" -> textStatsSql,
     "q_lang_id" -> langIdSql,
+    "q_pii_scrub" -> piiScrubSql,
+    "q_url_extract" -> urlExtractSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_ngram_jaccard_chain" -> ngramJaccardChainSql,
     "q_dedup_minhash" -> dedupMinhashSql,

@@ -1,0 +1,106 @@
+package graft.serving
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+import graft.store.FeatureStore
+import graft.util.Json
+import graft.util.JValue._
+
+/** Thin HTTP/JSON serving endpoint over the online read path — the
+  * analog of the reference's gRPC serving service
+  * (ServingService.proto:30-36, GetOnlineFeaturesV2; the proto/gRPC
+  * stack isn't available in this environment, so the same request/
+  * response shapes travel as JSON). Latency path: handlers call
+  * FeatureStore.getOnlineFeatures, which never launches a Spark job on
+  * in-memory stores.
+  *
+  *   GET  /health
+  *     -> {"status": "SERVING"}
+  *   POST /get-online-features
+  *     {"features": ["view:feat", ...],
+  *      "entity_rows": [{"join_key": value, ...}, ...]}
+  *     -> {"field_values": {"view:feat": [v, ...], ...},
+  *         "statuses": {"view:feat": ["PRESENT"|"NOT_FOUND", ...], ...}}
+  *
+  * JSON value mapping for entity keys: integral numbers arrive as Long
+  * (O16 coercion then adapts to the registered entity dtype), other
+  * numbers as Double (rejected for key use by O16), strings as String.
+  */
+class ServingServer(fs: FeatureStore, port: Int = 0) {
+
+  private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+
+  /** Bound port (useful when constructed with port 0). */
+  def boundPort: Int = server.getAddress.getPort
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    os.write(bytes)
+    os.close()
+  }
+
+  private def jsonToKeyValue(v: graft.util.JValue): Any = v match {
+    case JStr(s) => s
+    case n: JNum => if (n.v.isWhole) n.toLong else n.v
+    case JBool(b) => b
+    case JNull => null
+    case other => throw new IllegalArgumentException(s"unsupported entity value $other")
+  }
+
+  private def anyToJson(v: Any): graft.util.JValue = v match {
+    case null => JNull
+    case s: String => JStr(s)
+    case i: Int => Json.num(i.toLong)
+    case l: Long => Json.num(l)
+    case d: Double => Json.num(d)
+    case f: Float => Json.num(f.toDouble)
+    case b: Boolean => Json.bool(b)
+    case t: java.sql.Timestamp => Json.num(t.getTime)
+    case other => JStr(other.toString)
+  }
+
+  server.createContext("/health", new HttpHandler {
+    def handle(ex: HttpExchange): Unit =
+      respond(ex, 200, Json.obj("status" -> Json.str("SERVING")).render)
+  })
+
+  server.createContext("/get-online-features", new HttpHandler {
+    def handle(ex: HttpExchange): Unit = {
+      try {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val req = Json.parse(body).asInstanceOf[JObj]
+        val features = (req("features"): @unchecked) match {
+          case JArr(xs) => xs.map(_.asInstanceOf[JStr].v)
+        }
+        val rows = (req("entity_rows"): @unchecked) match {
+          case JArr(xs) => xs.map { r =>
+            r.asInstanceOf[JObj].fields.map { case (k, v) => k -> jsonToKeyValue(v) }.toMap
+          }
+        }
+        val resp = fs.getOnlineFeatures(features, rows)
+        val out = Json.obj(
+          "field_values" -> JObj(resp.fields.map { case (name, vs) =>
+            name -> Json.arr(vs.map(fv => anyToJson(fv.value)))
+          }.toVector),
+          "statuses" -> JObj(resp.fields.map { case (name, vs) =>
+            name -> Json.arr(vs.map(fv => Json.str(fv.status)))
+          }.toVector))
+        respond(ex, 200, out.render)
+      } catch {
+        case e: Exception =>
+          respond(ex, 400, Json.obj("error" -> Json.str(
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName))).render)
+      }
+    }
+  })
+
+  def start(): ServingServer = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+}

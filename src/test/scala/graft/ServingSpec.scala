@@ -1,0 +1,99 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.sql.Timestamp
+import java.time.Duration
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model._
+import graft.online.InMemoryOnlineStore
+import graft.registry.Registry
+import graft.serving.ServingServer
+import graft.store.FeatureStore
+import graft.util.Json
+import graft.util.JValue._
+
+/** HTTP serving endpoint over the online read path (the gRPC
+  * GetOnlineFeaturesV2 analog): health check, happy path with
+  * PRESENT/NOT_FOUND statuses, type-coercion via O16, and the
+  * error path for malformed requests. */
+class ServingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    graft.sources.Tables.configure(s)
+    s
+  }
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("serving endpoint: health, reads with statuses, O16 coercion, bad request") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 0.7, "us"),
+      (2L, ts("2024-01-02 10:00:00"), 0.9, "de"))
+      .toDF("driver_id", "et", "conv_rate", "region")
+    val fs = new FeatureStore("srv", new Registry(), new InMemoryOnlineStore(), spark)
+    fs.applyEntity(Entity("driver", GraftType.Int64, Some("driver_id")))
+    fs.applyFeatureView(FeatureView("stats", Seq("driver"),
+      Seq(Feature("conv_rate", GraftType.Dbl), Feature("region", GraftType.Str)),
+      Duration.ZERO, DataFrameSource(df, "et")))
+    fs.materialize(Seq("stats"), ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"))
+
+    val server = new ServingServer(fs).start()
+    val base = s"http://localhost:${server.boundPort}"
+    val client = HttpClient.newHttpClient()
+    try {
+      val health = client.send(
+        HttpRequest.newBuilder(URI.create(s"$base/health")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(health.statusCode() == 200 && health.body().contains("SERVING"))
+
+      // JSON integral numbers arrive as Long; 99 is missing -> NOT_FOUND
+      val req =
+        """{"features": ["stats:conv_rate", "stats:region"],
+          |"entity_rows": [{"driver_id": 1}, {"driver_id": 2}, {"driver_id": 99}]}""".stripMargin
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"$base/get-online-features"))
+          .POST(HttpRequest.BodyPublishers.ofString(req)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200, resp.body())
+      val o = Json.parse(resp.body()).asInstanceOf[JObj]
+      val conv = (o("field_values").asInstanceOf[JObj]("stats:conv_rate"): @unchecked) match {
+        case JArr(xs) => xs
+      }
+      assert(conv == Vector(JNum(0.7), JNum(0.9), JNull))
+      val regionStatus = (o("statuses").asInstanceOf[JObj]("stats:region"): @unchecked) match {
+        case JArr(xs) => xs.map(_.asInstanceOf[JStr].v)
+      }
+      assert(regionStatus == Vector("PRESENT", "PRESENT", "NOT_FOUND"))
+
+      // wrong-typed key -> 400 with the O16 error, not a silent NOT_FOUND
+      val bad = client.send(
+        HttpRequest.newBuilder(URI.create(s"$base/get-online-features"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"features": ["stats:conv_rate"], "entity_rows": [{"driver_id": "one"}]}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() == 400 && bad.body().contains("expects INT64"))
+
+      // malformed JSON -> 400
+      val junk = client.send(
+        HttpRequest.newBuilder(URI.create(s"$base/get-online-features"))
+          .POST(HttpRequest.BodyPublishers.ofString("{not json")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(junk.statusCode() == 400)
+    } finally {
+      server.stop()
+      fs.teardown()
+    }
+  }
+}
