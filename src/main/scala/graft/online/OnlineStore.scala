@@ -263,26 +263,29 @@ class ParquetOnlineStore(
   def read(project: String, view: FeatureView, joinKeys: Seq[String],
       entityKeys: Seq[Seq[(String, Any)]],
       features: Seq[String]): Seq[(Option[Timestamp], Map[String, FeatureValue])] = {
-    val spark = SparkSession.active
+    // NO Spark job on this path (SURVEY §3.3): prune to the buckets the
+    // requested keys hash into, then read those bucket files directly on
+    // the serving thread via parquet-mr and match keys by canonical
+    // serialization. Cost is O(rows in touched buckets), independent of
+    // store size; for ms-latency front with InMemoryOnlineStore.
+    val hconf = SparkSession.active.sparkContext.hadoopConfiguration
     val tsCol = view.batchSource.eventTimestampColumn
-    val df = spark.read.parquet(path(project, view.name))
-    // Prune to the buckets the requested keys can live in (directory-level
-    // partition pruning), then one filtered scan for all requested keys
-    // (pushdown-friendly IN on each key column), then exact match
-    // driver-side over the small hit set.
     val buckets = entityKeys.map(bucketOf).distinct
-    val keyFilter = joinKeys.map { k =>
-      col(k).isin(entityKeys.map(_.toMap.apply(k)): _*)
-    }.reduce(_ && _)
-    val hits: Map[String, Row] = df
-      .filter(col(BucketCol).isin(buckets: _*)).filter(keyFilter)
-      .drop(BucketCol).collect()
-      .map(r => EntityKeyCodec.hexKey(joinKeys.map(k => k -> r.getAs[Any](k))) -> r).toMap
+    val files: Seq[org.apache.hadoop.fs.Path] = buckets.flatMap { b =>
+      val dir = new org.apache.hadoop.fs.Path(s"${path(project, view.name)}/$BucketCol=$b")
+      val fs = dir.getFileSystem(hconf)
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+    }
+    val hits: Map[String, Map[String, Any]] = ParquetPointReader.readFiles(hconf, files)
+      .map(m => EntityKeyCodec.hexKey(joinKeys.map(k => k -> m(k))) -> m).toMap
     entityKeys.map { key =>
       hits.get(EntityKeyCodec.hexKey(key)) match {
-        case Some(r) =>
-          (Option(r.getAs[Timestamp](tsCol)), features.map { f =>
-            val v = r.getAs[Any](f)
+        case Some(m) =>
+          (m.get(tsCol).collect { case t: Timestamp => t }, features.map { f =>
+            val v = m.getOrElse(f, null)
             f -> (if (v != null) FeatureValue(v, FeatureStatus.Present)
                   else FeatureValue(null, FeatureStatus.NotFound))
           }.toMap)

@@ -1,0 +1,123 @@
+package graft.online
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.ColumnIOFactory
+import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, MessageType, PrimitiveType}
+import org.apache.parquet.schema.LogicalTypeAnnotation.{StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
+
+/** Driver-side parquet reads via parquet-mr — NO Spark job. The online
+  * point-read path must not pay job scheduling (SURVEY §3.3); a bucket
+  * of the ParquetOnlineStore is small enough to scan directly on the
+  * serving thread. Handles the value shapes Spark writes for our type
+  * universe: INT32/INT64 (plus timestamp annotations and INT96),
+  * FLOAT/DOUBLE, BOOLEAN, BINARY (utf8 or raw), and one-level LIST
+  * groups. */
+object ParquetPointReader {
+
+  /** All rows of the given parquet files as (column -> value) maps;
+    * missing optional fields map to null. */
+  def readFiles(conf: Configuration, files: Seq[Path]): Seq[Map[String, Any]] = {
+    val out = mutable.Buffer[Map[String, Any]]()
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        val columnIO = new ColumnIOFactory().getColumnIO(schema)
+        var pages = reader.readNextRowGroup()
+        while (pages != null) {
+          val rr = columnIO.getRecordReader(pages, new GroupRecordConverter(schema))
+          var i = 0L
+          val n = pages.getRowCount
+          while (i < n) {
+            out += groupToMap(schema, rr.read())
+            i += 1
+          }
+          pages = reader.readNextRowGroup()
+        }
+      } finally reader.close()
+    }
+    out.toSeq
+  }
+
+  private def groupToMap(schema: MessageType, g: Group): Map[String, Any] =
+    (0 until schema.getFieldCount).map { i =>
+      val field = schema.getType(i)
+      val v =
+        if (g.getFieldRepetitionCount(i) == 0) null
+        else if (field.isPrimitive) primitive(field.asPrimitiveType(), g, i)
+        else listValue(field.asGroupType(), g.getGroup(i, 0))
+      field.getName -> v
+    }.toMap
+
+  /** Spark's 3-level list encoding: group (LIST) { repeated group list {
+    * element } }. */
+  private def listValue(t: GroupType, g: Group): Any = {
+    if (t.getLogicalTypeAnnotation != LogicalTypeAnnotation.listType())
+      throw new IllegalArgumentException(s"unsupported nested type ${t.getName}")
+    val repeated = t.getType(0).asGroupType()
+    val elemType = repeated.getType(0)
+    val n = g.getFieldRepetitionCount(0)
+    (0 until n).map { i =>
+      val entry = g.getGroup(0, i)
+      if (entry.getFieldRepetitionCount(0) == 0) null
+      else if (elemType.isPrimitive) primitive(elemType.asPrimitiveType(), entry, 0)
+      else throw new IllegalArgumentException("nested lists not supported")
+    }
+  }
+
+  private def primitive(t: PrimitiveType, g: Group, i: Int): Any = {
+    import PrimitiveType.PrimitiveTypeName._
+    t.getPrimitiveTypeName match {
+      case INT64 => t.getLogicalTypeAnnotation match {
+        case ts: TimestampLogicalTypeAnnotation =>
+          timestampOf(g.getLong(i, 0), ts.getUnit)
+        case _ => g.getLong(i, 0)
+      }
+      case INT32 => g.getInteger(i, 0)
+      case DOUBLE => g.getDouble(i, 0)
+      case FLOAT => g.getFloat(i, 0)
+      case BOOLEAN => g.getBoolean(i, 0)
+      case BINARY | FIXED_LEN_BYTE_ARRAY =>
+        val b = g.getBinary(i, 0).getBytes
+        if (t.getLogicalTypeAnnotation.isInstanceOf[StringLogicalTypeAnnotation])
+          new String(b, StandardCharsets.UTF_8)
+        else b
+      case INT96 => int96Timestamp(g.getInt96(i, 0).getBytes)
+      case other => throw new IllegalArgumentException(s"unsupported parquet type $other")
+    }
+  }
+
+  private def timestampOf(v: Long, unit: LogicalTypeAnnotation.TimeUnit): java.sql.Timestamp =
+    unit match {
+      case LogicalTypeAnnotation.TimeUnit.MILLIS => new java.sql.Timestamp(v)
+      case LogicalTypeAnnotation.TimeUnit.MICROS =>
+        val ts = new java.sql.Timestamp(Math.floorDiv(v, 1000L))
+        ts.setNanos((Math.floorMod(v, 1000000L) * 1000L).toInt)
+        ts
+      case LogicalTypeAnnotation.TimeUnit.NANOS =>
+        val ts = new java.sql.Timestamp(Math.floorDiv(v, 1000000L))
+        ts.setNanos(Math.floorMod(v, 1000000000L).toInt)
+        ts
+    }
+
+  /** Legacy INT96: 8-byte LE nanos-of-day + 4-byte LE julian day. */
+  private def int96Timestamp(bytes: Array[Byte]): java.sql.Timestamp = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val nanosOfDay = buf.getLong
+    val julianDay = buf.getInt
+    val epochDay = julianDay - 2440588L
+    val ts = new java.sql.Timestamp(epochDay * 86400000L + nanosOfDay / 1000000L)
+    ts.setNanos((nanosOfDay % 1000000000L).toInt)
+    ts
+  }
+}

@@ -89,16 +89,24 @@ object PointInTimeJoin {
       min(col(entityTsCol)).as("mn"), max(col(entityTsCol)).as("mx")).collect()
     val (mnTs, mxTs) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
 
+    // Each view's as-of winners are computed from the CHECKPOINTED
+    // entity df directly — never from the accumulated join chain. The
+    // narrow candidate projection (rowId, ts, keys) is invariant across
+    // views, so the per-view subtrees are independent: Spark schedules
+    // their candidate joins as parallel stages, and view N's plan does
+    // not re-traverse views 1..N-1's join-backs.
     val enriched = views.foldLeft(stamped) { (acc, vj) =>
-      joinOne(acc, vj, entityTsCol, rowId, fullFeatureNames, mnTs, mxTs)
+      acc.join(
+        viewWinners(stamped, vj, entityTsCol, rowId, fullFeatureNames, mnTs, mxTs),
+        Seq(rowId), "left")
     }
     enriched.drop(rowId)
   }
 
-  /** Single-view PIT join (O1/O4/O5/O6) against an accumulator that
-    * already carries the row id. */
-  private def joinOne(
-      acc: DataFrame,
+  /** One view's as-of winners keyed by row id (O1/O4/O5/O6): the caller
+    * left-joins the result back to the accumulated frame. */
+  private def viewWinners(
+      stamped: DataFrame,
       vj: ViewJoin,
       entityTsCol: String,
       rowId: String,
@@ -110,11 +118,11 @@ object PointInTimeJoin {
     val createdCol = view.batchSource.createdTimestampColumn
     val ttl = view.ttl
 
-    // Candidate generation only needs (rowId, keys, ts) from the left —
-    // shuffle the narrow projection, not the whole accumulated row.
-    // Alias both sides so self-joins (entity df built from the feature
-    // table itself) resolve unambiguously.
-    val left = acc.select((rowId +: entityTsCol +: joinKeys).distinct.map(col): _*).alias("__l")
+    // Candidate generation only needs (rowId, keys, ts) — shuffle the
+    // narrow projection, not the whole entity row. Alias both sides so
+    // self-joins (entity df built from the feature table itself)
+    // resolve unambiguously.
+    val left = stamped.select((rowId +: entityTsCol +: joinKeys).distinct.map(col): _*).alias("__l")
     def L(c: String): Column = col(s"__l.$c")
     def R(c: String): Column = col(s"__r.$c")
 
@@ -160,9 +168,7 @@ object PointInTimeJoin {
 
     val outName: String => String =
       f => if (fullFeatureNames) s"${view.name}__$f" else f
-    val winnersFlat = winners.select(
+    winners.select(
       (col(rowId) +: features.map(f => col(s"__w.$f").as(outName(f)))): _*)
-
-    acc.join(winnersFlat, Seq(rowId), "left")
   }
 }

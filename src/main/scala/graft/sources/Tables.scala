@@ -21,7 +21,11 @@ object Tables {
       "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
       "spark.sql.legacy.parquet.nanosAsLong" -> "true",
       "spark.sql.session.timeZone" -> "UTC",
-      "spark.sql.adaptive.enabled" -> "true"
+      "spark.sql.adaptive.enabled" -> "true",
+      // INT64-micros timestamps instead of legacy INT96: modern readers
+      // (and the job-free ParquetPointReader on the online path) get a
+      // plain annotated int64.
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS"
     ).foreach { case (k, v) =>
       try spark.conf.set(k, v) catch { case _: Throwable => () }
     }
