@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions for the properties that decide 100 TB
+  * viability — these are the things a refactor could silently regress
+  * while every value-check stays green:
+  *
+  *  - ts-bounds predicates reach the parquet scan (PushedFilters), so
+  *    row groups outside the retrieval window are skipped;
+  *  - the PIT join reduces candidates with a partial-aggregating
+  *    max_by, not a row_number window (map-side combine: a hot entity
+  *    ships one row per map task, not 10^6 candidate rows);
+  *  - small dimension joins broadcast;
+  *  - LSH dedup never degenerates into a cartesian product.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    graft.sources.Tables.configure(s)
+    s
+  }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("PIT join: ts bounds pushed into the parquet scan, no window operator") {
+    val plan = graft.queries.CoreQueries.pitJoinSingle(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"expected l_shipdate bound pushed to scan:\n$plan")
+    assert(!plan.contains("Window"), s"PIT join must not use a window:\n$plan")
+    assert(plan.contains("partial_max_by"),
+      s"PIT candidate reduction must be a partial-aggregating max_by:\n$plan")
+  }
+
+  test("pullLatest: partial aggregation before the shuffle") {
+    val plan = graft.queries.CoreQueries.pullLatestQ(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max_by") && !plan.contains("Window"))
+    assert(plan.contains("PushedFilters: [IsNotNull(ts)") || plan.contains("GreaterThanOrEqual(ts"),
+      s"window-range filter should push into the scan:\n$plan")
+  }
+
+  test("small dimension join broadcasts") {
+    val plan = graft.queries.CoreQueries.broadcastJoinAgg(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"customer join should broadcast:\n$plan")
+  }
+
+  test("minhash LSH dedup plans no cartesian product") {
+    import spark.implicits._
+    val docs = (0 until 50).map(i => (i.toLong, s"doc $i words tokens sample text payload"))
+      .toDF("doc_id", "text")
+    val plan = graft.functions.Dedup.minhashNearDupPairs(docs, "doc_id", "text", 3, 32, 8, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"LSH dedup must stay bucketed, never all-pairs:\n$plan")
+  }
+}
