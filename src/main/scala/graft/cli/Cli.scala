@@ -90,12 +90,29 @@ object Cli {
     }
     args match {
       case Seq("apply", cfgPath) =>
+        // Full-repo diff-apply (reference repo_operations.py:114-200):
+        // register everything in the config, then delete registry
+        // definitions the config no longer declares.
         val (cfg, fs) = store(cfgPath)
         cfg.entities.foreach(fs.applyEntity)
         cfg.views.foreach(fs.applyFeatureView)
         cfg.services.foreach(fs.applyFeatureService)
+        val keepViews = cfg.views.map(_.name).toSet
+        val keepEntities = cfg.entities.map(_.name).toSet
+        val keepServices = cfg.services.map(_.name).toSet
+        val dropViews = fs.registry.listFeatureViews.map(_.name).filterNot(keepViews)
+        val dropServices = fs.registry.listFeatureServices.map(_.name).filterNot(keepServices)
+        dropViews.foreach(fs.registry.deleteFeatureView)
+        dropServices.foreach(fs.registry.deleteFeatureService)
+        // entities last: only drop ones no remaining view references
+        val referenced = fs.registry.listFeatureViews.flatMap(_.entities).toSet
+        val dropEntities = fs.registry.listEntities.map(_.name)
+          .filterNot(keepEntities).filterNot(referenced)
+        dropEntities.foreach(fs.registry.deleteEntity)
+        val dropped = dropViews ++ dropServices ++ dropEntities
         out(s"applied ${cfg.entities.size} entities, ${cfg.views.size} feature views, " +
-          s"${cfg.services.size} feature services to ${cfg.registryPath}")
+          s"${cfg.services.size} feature services to ${cfg.registryPath}" +
+          (if (dropped.nonEmpty) s"; removed ${dropped.mkString(", ")}" else ""))
 
       case Seq("materialize", cfgPath, start, end) =>
         val (_, fs) = store(cfgPath)

@@ -96,6 +96,43 @@ case class MinHashBandHashes(child: Expression, k: Int, bands: Int)
     copy(child = newChild)
 }
 
+/** 64-bit SimHash over pre-hashed tokens: bit j of the result is set
+  * iff the +1/-1 vote sum of bit j across token hashes is positive.
+  * Replaces the 64-wide zip_with/aggregate HOF fold for the same
+  * reasons as MinHashSignature (plan size + interpreted lambdas). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 object MinHashExpr {
   import org.apache.spark.sql.graftshim.ColumnShim
 
@@ -104,4 +141,7 @@ object MinHashExpr {
 
   def bandHashes(elemHashes: Column, k: Int, bands: Int): Column =
     ColumnShim.column(MinHashBandHashes(ColumnShim.expression(elemHashes), k, bands))
+
+  def simhash64(elemHashes: Column): Column =
+    ColumnShim.column(SimHash64(ColumnShim.expression(elemHashes)))
 }

@@ -113,26 +113,13 @@ object TextFunctions {
     array_distinct(when(size(w) < n, array().cast("array<string>")).otherwise(grams))
   }
 
-  /** 64-bit SimHash over whitespace tokens (xxhash64 token hashes;
-    * bit j set iff the +1/-1 vote sum over tokens is positive). Pure
-    * higher-order-function pipeline — codegen-friendly, no UDF. */
-  def simhash64(c: Column): Column = {
-    // Single pass over the token hashes: fold a 64-counter vector, then
-    // collapse counters to bits. Every non-attribute subexpression
-    // (hashes, counts) is referenced exactly once — see the
-    // wordNgramsFromWords performance contract.
-    val hashes = transform(tokens(c), t => xxhash64(t))
-    val idx = typedlit((0 until 64).map(_.toLong))
-    def bit(h: Column, j: Column): Column =
-      call_function("shiftright", h, j).bitwiseAND(lit(1L))
-    val counts = aggregate(hashes, typedlit(Seq.fill(64)(0L)),
-      (acc, h) => zip_with(acc, idx,
-        (a, j) => a + when(bit(h, j) === 1L, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(counts, idx, (cnt, j) =>
-        when(cnt > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
-  }
+  /** 64-bit SimHash over whitespace tokens (xxhash64 token hashes; bit
+    * j set iff the +1/-1 vote sum over tokens is positive). Token
+    * hashing stays a declarative HOF; the 64-bit vote fold is the
+    * native SimHash64 expression (a 64-wide zip_with fold costs O(64)
+    * plan nodes and interpreted per-token lambdas — see MinHashExpr). */
+  def simhash64(c: Column): Column =
+    MinHashExpr.simhash64(transform(tokens(c), t => xxhash64(t)))
 
   /** Hamming distance between two 64-bit hashes (near-dup distance for
     * SimHash). */

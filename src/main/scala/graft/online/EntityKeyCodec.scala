@@ -71,4 +71,62 @@ object EntityKeyCodec {
     b.foreach(x => sb.append(f"${x & 0xff}%02x"))
     sb.toString
   }
+
+  /** MurmurHash3 x64 128-bit (seed 0) — the reference hashes the
+    * serialized entity key with murmur3_128 and uses the hex digest as
+    * the DynamoDB/Datastore document id (helpers.py:46-65
+    * compute_entity_id). Canonical x64_128 algorithm; returns (h1, h2). */
+  def murmur3x64_128(data: Array[Byte], seed: Long = 0L): (Long, Long) = {
+    val c1 = 0x87c37b91114253d5L
+    val c2 = 0x4cf5ad432745937fL
+    var h1 = seed
+    var h2 = seed
+    val nBlocks = data.length / 16
+    val buf = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < nBlocks) {
+      var k1 = buf.getLong(i * 16)
+      var k2 = buf.getLong(i * 16 + 8)
+      k1 *= c1; k1 = java.lang.Long.rotateLeft(k1, 31); k1 *= c2; h1 ^= k1
+      h1 = java.lang.Long.rotateLeft(h1, 27); h1 += h2; h1 = h1 * 5 + 0x52dce729L
+      k2 *= c2; k2 = java.lang.Long.rotateLeft(k2, 33); k2 *= c1; h2 ^= k2
+      h2 = java.lang.Long.rotateLeft(h2, 31); h2 += h1; h2 = h2 * 5 + 0x38495ab5L
+      i += 1
+    }
+    // tail
+    var k1 = 0L
+    var k2 = 0L
+    val tail = nBlocks * 16
+    val rem = data.length & 15
+    def b(j: Int): Long = (data(tail + j) & 0xffL)
+    if (rem > 8) {
+      var j = rem - 1
+      while (j >= 8) { k2 = (k2 << 8) | b(j); j -= 1 }
+    }
+    if (rem > 0) {
+      var j = math.min(rem, 8) - 1
+      while (j >= 0) { k1 = (k1 << 8) | b(j); j -= 1 }
+    }
+    if (rem > 8) { k2 *= c2; k2 = java.lang.Long.rotateLeft(k2, 33); k2 *= c1; h2 ^= k2 }
+    if (rem > 0) { k1 *= c1; k1 = java.lang.Long.rotateLeft(k1, 31); k1 *= c2; h1 ^= k1 }
+    // finalization
+    h1 ^= data.length.toLong; h2 ^= data.length.toLong
+    h1 += h2; h2 += h1
+    def fmix(kIn: Long): Long = {
+      var k = kIn
+      k ^= k >>> 33; k *= 0xff51afd7ed558ccdL
+      k ^= k >>> 33; k *= 0xc4ceb9fe1a85ec53L
+      k ^= k >>> 33; k
+    }
+    h1 = fmix(h1); h2 = fmix(h2)
+    h1 += h2; h2 += h1
+    (h1, h2)
+  }
+
+  /** Hex form of the 128-bit hash of a serialized entity key — the
+    * document-id analog (helpers.py:46-65). */
+  def entityId(keys: Seq[(String, Any)]): String = {
+    val (h1, h2) = murmur3x64_128(serialize(keys))
+    f"$h1%016x$h2%016x"
+  }
 }

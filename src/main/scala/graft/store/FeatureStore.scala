@@ -79,6 +79,31 @@ class FeatureStore(
   def getHistoricalFeatures(entityDf: DataFrame, service: FeatureService): DataFrame =
     getHistoricalFeatures(entityDf, service.featureRefs.map(_.toString))
 
+  // ---- batch ingest (reference client.ingest 789-917 +
+  // loaders/ingest.py:51-120) ------------------------------------------
+  /** Write a feature frame into a view's FileSource: reverse-apply the
+    * field mapping (df carries feature names; the source stores original
+    * column names — provider.py:201-248), then write parquet, date-
+    * partitioned when the source declares date_partition_column (the
+    * partition column is derived from the event timestamp if absent,
+    * ingest.py:104-109). */
+  def ingest(viewName: String, df: DataFrame, mode: String = "append"): Unit = {
+    val view = registry.getFeatureView(viewName)
+    view.batchSource match {
+      case f: FileSource =>
+        require(f.format == "parquet", s"ingest writes parquet; source is ${f.format}")
+        val reverse = f.fieldMapping.map(_.swap)
+        val renamed = SourceReader.applyFieldMapping(df, reverse)
+        f.datePartitionColumn match {
+          case Some(dc) =>
+            graft.sources.DatePartition.write(renamed, f.path, f.eventTimestampColumn, dc, mode)
+          case None => renamed.write.mode(mode).parquet(f.path)
+        }
+      case other => throw new IllegalArgumentException(
+        s"ingest supports FileSource views; ${view.name} reads from $other")
+    }
+  }
+
   // ---- materialization (feature_store.py:424-501) --------------------
   def materialize(viewNames: Seq[String], start: Timestamp, end: Timestamp): Unit = {
     require(!start.after(end), s"materialize start $start must be <= end $end")

@@ -26,6 +26,8 @@ object DedupProbe {
     spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     t("dedup_run1")(force(graft.SparkEntry.queries("q_dedup_minhash")(spark, "/root/testdata/sf0.1")))
     t("dedup_run2")(force(graft.SparkEntry.queries("q_dedup_minhash")(spark, "/root/testdata/sf0.1")))
+    t("simhash_run1")(force(graft.SparkEntry.queries("q_dedup_simhash")(spark, "/root/testdata/sf0.1")))
+    t("simhash_run2")(force(graft.SparkEntry.queries("q_dedup_simhash")(spark, "/root/testdata/sf0.1")))
     spark.stop()
   }
 }

@@ -100,6 +100,40 @@ class CliSpec extends AnyFunSuite {
     assert(reg2.listFeatureViews.isEmpty && reg2.listEntities.isEmpty)
   }
 
+  test("CLI apply reconciles: definitions removed from the config are dropped") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftcli3").toString
+    Seq((7L, ts("2024-02-01 10:00:00"), 1.0))
+      .toDF("driver_id", "event_timestamp", "v")
+      .write.parquet(s"$dir/src.parquet")
+    def cfg(views: String): String = {
+      val p = s"$dir/repo.json"
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        s"""{"project": "rec", "registry": "$dir/registry.json",
+           | "online_store": {"type": "memory"},
+           | "entities": [{"name": "driver", "dtype": "INT64", "join_key": "driver_id", "description": ""}],
+           | "feature_views": [$views]}""".stripMargin.getBytes("UTF-8"))
+      p
+    }
+    def view(name: String): String =
+      s"""{"name": "$name", "entities": ["driver"],
+         | "features": [{"name": "v", "dtype": "DOUBLE"}], "ttl_seconds": 0,
+         | "batch_source": {"kind": "file", "path": "$dir/src.parquet", "format": "parquet",
+         |  "event_timestamp_column": "event_timestamp", "created_timestamp_column": null,
+         |  "field_mapping": {}, "date_partition_column": null},
+         | "stream_source": null, "online": true}""".stripMargin
+
+    Cli.run(Seq("apply", cfg(s"${view("a")}, ${view("b")}")), spark, _ => ())
+    val reg = new Registry(Some(s"$dir/registry.json"))
+    assert(reg.listFeatureViews.map(_.name) == Seq("a", "b"))
+    // drop view b from the config -> apply removes it, keeps a
+    Cli.run(Seq("apply", cfg(view("a"))), spark, _ => ())
+    reg.refresh()
+    assert(reg.listFeatureViews.map(_.name) == Seq("a"))
+    // entity still referenced by view a -> kept
+    assert(reg.listEntities.map(_.name) == Seq("driver"))
+  }
+
   test("CLI materialize-incremental picks up from the last interval end") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftcli2").toString

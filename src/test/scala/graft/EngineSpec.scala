@@ -271,6 +271,48 @@ class EngineSpec extends AnyFunSuite {
     assert(pruned.collect().map(_.getAs[Double]("v")).toSet == expected)
   }
 
+  test("ingest writes a view's FileSource date-partitioned; retrieval round-trips") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftingest").toString
+    val fs = new FeatureStore("ing", new Registry(), new InMemoryOnlineStore(), spark)
+    fs.applyEntity(Entity("driver", GraftType.Int64, Some("driver_id")))
+    fs.applyFeatureView(FeatureView("stats", Seq("driver"),
+      Seq(Feature("conv_rate", GraftType.Dbl)), Duration.ZERO,
+      FileSource(s"$dir/stats", eventTimestampColumn = "et",
+        fieldMapping = Map("drv" -> "driver_id"),
+        datePartitionColumn = Some("event_date"))))
+
+    // df carries FEATURE names (driver_id); ingest reverse-maps to the
+    // source column (drv) and derives the date partition from et
+    val df = Seq(
+      (1L, ts("2024-03-01 10:00:00"), 0.4),
+      (1L, ts("2024-03-02 10:00:00"), 0.6),
+      (2L, ts("2024-03-02 12:00:00"), 0.9))
+      .toDF("driver_id", "et", "conv_rate")
+    fs.ingest("stats", df)
+
+    val dirs = new java.io.File(s"$dir/stats").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("event_date=2024-03-01", "event_date=2024-03-02"))
+    // source stores the reverse-mapped column name
+    assert(spark.read.parquet(s"$dir/stats").columns.contains("drv"))
+
+    // forward path reads it back through the same source abstraction
+    val entity = Seq((1L, ts("2024-03-03 00:00:00")), (2L, ts("2024-03-03 00:00:00")))
+      .toDF("driver_id", "event_timestamp")
+    val hist = fs.getHistoricalFeatures(entity, Seq("stats:conv_rate"))
+      .orderBy("driver_id").collect()
+    assert(hist(0).getAs[Double]("conv_rate") == 0.6)
+    assert(hist(1).getAs[Double]("conv_rate") == 0.9)
+
+    // appending another day only adds a directory
+    fs.ingest("stats", Seq((2L, ts("2024-03-04 10:00:00"), 1.0))
+      .toDF("driver_id", "et", "conv_rate"))
+    val dirs2 = new java.io.File(s"$dir/stats").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs2.length == 3)
+  }
+
   test("materialize honors last-write-wins on overlapping windows") {
     import spark.implicits._
     val df = Seq(

@@ -77,6 +77,24 @@ class PureSpec extends AnyFunSuite {
     assert(decoded.materializations == state.materializations)
   }
 
+  test("murmur3 x64 128 entity id: known empty vector, avalanche, stable hex") {
+    import graft.online.EntityKeyCodec
+    // canonical x64_128 property: empty input, seed 0 -> (0, 0)
+    assert(EntityKeyCodec.murmur3x64_128(Array.emptyByteArray) == (0L, 0L))
+    // deterministic 32-hex-char document id, order-insensitive like the codec
+    val id1 = EntityKeyCodec.entityId(Seq("user_id" -> 42L, "region" -> "eu"))
+    val id2 = EntityKeyCodec.entityId(Seq("region" -> "eu", "user_id" -> 42L))
+    assert(id1 == id2 && id1.length == 32 && id1.matches("[0-9a-f]{32}"))
+    // avalanche: a one-bit key change flips a substantial share of bits
+    val (a1, a2) = EntityKeyCodec.murmur3x64_128("abcdefgh12345678X".getBytes("UTF-8"))
+    val (b1, b2) = EntityKeyCodec.murmur3x64_128("abcdefgh12345678Y".getBytes("UTF-8"))
+    val flipped = java.lang.Long.bitCount(a1 ^ b1) + java.lang.Long.bitCount(a2 ^ b2)
+    assert(flipped > 32, s"expected avalanche, only $flipped/128 bits flipped")
+    // tail-handling: every length 0..17 hashes distinctly
+    val hs = (0 to 17).map(n => EntityKeyCodec.murmur3x64_128(Array.fill(n)(7.toByte)))
+    assert(hs.distinct.size == hs.size)
+  }
+
   test("Registry persists to file and reloads") {
     val path = java.nio.file.Files.createTempDirectory("graftreg").toString + "/registry.json"
     val reg = new Registry(Some(path))
