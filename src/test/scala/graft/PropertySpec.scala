@@ -1,0 +1,121 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Duration
+
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model._
+import graft.online.EntityKeyCodec
+import graft.operators.PointInTimeJoin
+import graft.operators.PointInTimeJoin.ViewJoin
+
+/** Property-based tests (the reference has none — SURVEY §5 upgrade):
+  * the PIT join must agree with a per-row nested-loop as-of oracle on
+  * ARBITRARY generated inputs (key counts, ttl, created-ts presence,
+  * duplicate rows, empty frames), and the entity-key codec must be
+  * permutation-invariant and type-tag injective. */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    graft.sources.Tables.configure(s)
+    s
+  }
+
+  private val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+  private def runCheck(prop: Prop, minTests: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minTests).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("PIT join agrees with the nested-loop oracle on arbitrary inputs (ScalaCheck)") {
+    import spark.implicits._
+    val genCase = for {
+      nKeys <- Gen.choose(1, 6)
+      nRows <- Gen.choose(0, 150)
+      nEnt <- Gen.choose(1, 40)
+      ttlH <- Gen.oneOf(0, 1, 7, 48)
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (nKeys, nRows, nEnt, ttlH, seed)
+
+    val prop = Prop.forAllNoShrink(genCase) { case (nKeys, nRows, nEnt, ttlH, seed) =>
+      val rnd = new scala.util.Random(seed)
+      def t(): Timestamp = new Timestamp(base + rnd.nextInt(100) * 3600_000L)
+      val rows = (0 until nRows).map(_ =>
+        (rnd.nextInt(nKeys).toLong, t(), t(), rnd.nextInt(500).toDouble))
+      val ents = (0 until nEnt).map(_ => (rnd.nextInt(nKeys).toLong, t()))
+      val ttl = Duration.ofHours(ttlH.toLong)
+
+      val featDf = rows.toDF("k", "et", "ct", "v")
+      val entityDf = ents.toDF("k", "event_timestamp")
+      val view = FeatureView("pv", Seq("e"), Seq(Feature("v", GraftType.Dbl)),
+        ttl, DataFrameSource(featDf, "et", createdTimestampColumn = Some("ct")))
+      val got = PointInTimeJoin.join(entityDf, Seq(ViewJoin(view, Seq("k"), Seq("v"), featDf)))
+        .select("k", "event_timestamp", "v").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+
+      def oracle(key: Long, ts: Timestamp): Option[Double] = {
+        val lower = ts.getTime - ttl.toMillis
+        val c = rows.filter { case (k, et, _, _) =>
+          k == key && et.getTime <= ts.getTime && (ttl.isZero || et.getTime >= lower)
+        }
+        if (c.isEmpty) None
+        else Some(c.maxBy { case (_, et, ct, v) => (et.getTime, ct.getTime, v) }._4)
+      }
+
+      // left outer preserves cardinality; every row matches the oracle
+      got.length == ents.length && got.forall { case (k, ts, v) => v == oracle(k, ts) }
+    }
+    runCheck(prop, minTests = 8)
+  }
+
+  test("entity key codec: permutation-invariant, value-distinct, tag-distinct (ScalaCheck)") {
+    val genKV = for {
+      name <- Gen.alphaStr.suchThat(_.nonEmpty).map(_.take(8))
+      v <- Gen.oneOf[Any](
+        Gen.choose(Long.MinValue, Long.MaxValue).sample.get,
+        Gen.choose(Int.MinValue, Int.MaxValue).sample.get,
+        Gen.alphaNumStr.map(_.take(12)).sample.get)
+    } yield name -> v
+    val genKeys = Gen.nonEmptyListOf(genKV)
+      .map(_.distinctBy(_._1).take(4)).suchThat(_.nonEmpty)
+
+    val permInv = Prop.forAll(genKeys) { keys =>
+      val a = EntityKeyCodec.serialize(keys)
+      val b = EntityKeyCodec.serialize(scala.util.Random.shuffle(keys))
+      java.util.Arrays.equals(a, b)
+    }
+    runCheck(permInv, minTests = 100)
+
+    val valueDistinct = Prop.forAll(genKeys, Gen.choose(Long.MinValue, Long.MaxValue)) {
+      (keys, delta) =>
+        val (n, v) = keys.head
+        val mutated = (n -> (v match {
+          case l: Long => if (delta == 0L) l + 1 else l ^ delta
+          case i: Int => i + 1
+          case s: String => s + "x"
+        })) +: keys.tail
+        !java.util.Arrays.equals(
+          EntityKeyCodec.serialize(keys), EntityKeyCodec.serialize(mutated))
+    }
+    runCheck(valueDistinct, minTests = 100)
+
+    // Int 42 and Long 42 carry different type tags — never collide
+    val tagDistinct = Prop.forAll(Gen.choose(Int.MinValue, Int.MaxValue)) { i =>
+      !java.util.Arrays.equals(
+        EntityKeyCodec.serialize(Seq("k" -> i)),
+        EntityKeyCodec.serialize(Seq("k" -> i.toLong)))
+    }
+    runCheck(tagDistinct, minTests = 50)
+  }
+}
