@@ -71,15 +71,18 @@ object PointInTimeJoin {
 
     val rowId = "__graft_row_id"
     // monotonically_increasing_id is evaluated independently in every plan
-    // branch that references it; if the entity df's partitioning is
-    // nondeterministic (round-robin repartition, sample, task retry) the
-    // narrow candidate projection and the final join-back could disagree on
-    // ids. localCheckpoint pins the ids once — both branches read the same
-    // materialized blocks. Entity dfs are the small side of a retrieval
-    // (the training query, not the 100 TB feature log), so the one-time
-    // materialization is cheap relative to the join it protects.
-    val stamped = entityDf.withColumn(rowId, monotonically_increasing_id())
-      .localCheckpoint()
+    // branch that references it; if the entity df's plan can produce rows
+    // in a different order across re-executions (any shuffle's reduce-side
+    // arrival order, round-robin repartition, limit, sample, or a
+    // nondeterministic expression) the candidate projection and the final
+    // join-back could disagree on ids. localCheckpoint pins the ids once —
+    // both branches read the same materialized blocks. For the common
+    // replay-stable shape (file/local scan + filter + project + union) the
+    // ids are already reproducible and the materialization is skipped.
+    val stampedRaw = entityDf.withColumn(rowId, monotonically_increasing_id())
+    val stamped =
+      if (needsRowIdPinning(entityDf)) stampedRaw.localCheckpoint()
+      else stampedRaw
 
     // O5 bounds (bigquery.py:418-437): computed ONCE from the entity df —
     // they are over entityTsCol, which is invariant across the fold. One
@@ -101,6 +104,26 @@ object PointInTimeJoin {
         Seq(rowId), "left")
     }
     enriched.drop(rowId)
+  }
+
+  /** True when the entity df's plan could yield a different row order on
+    * re-execution, making monotonically_increasing_id unstable across
+    * plan branches. Conservative whitelist: only scans, filters,
+    * projections, unions, and aliases with deterministic expressions are
+    * replay-stable (parquet split order and per-branch row order are
+    * reproducible); anything else — aggregates, joins, windows,
+    * repartitions, limits, samples — pins via localCheckpoint. */
+  private[graft] def needsRowIdPinning(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val plan = df.queryExecution.analyzed
+    val stableShape = plan.collect { case n => n }.forall {
+      case _: Project | _: Filter | _: Union | _: SubqueryAlias | _: LocalRelation => true
+      case leaf if leaf.children.isEmpty &&
+        leaf.getClass.getSimpleName.endsWith("Relation") => true
+      case _ => false
+    }
+    val deterministic = !plan.exists(_.expressions.exists(e => e.exists(!_.deterministic)))
+    !(stableShape && deterministic)
   }
 
   /** One view's as-of winners keyed by row id (O1/O4/O5/O6): the caller

@@ -54,6 +54,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"customer join should broadcast:\n$plan")
   }
 
+  test("row-id pinning engages only for replay-unstable entity plans") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val scan = graft.sources.Tables.read(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderdate").as("event_timestamp"))
+    // scan + filter + project: stable — no checkpoint
+    assert(!graft.operators.PointInTimeJoin.needsRowIdPinning(scan))
+    assert(!graft.operators.PointInTimeJoin.needsRowIdPinning(scan.unionByName(scan)))
+    // shuffle-derived, limit, sample, nondeterministic: must pin
+    assert(graft.operators.PointInTimeJoin.needsRowIdPinning(
+      scan.groupBy("o_orderkey").agg(max("event_timestamp").as("event_timestamp"))))
+    assert(graft.operators.PointInTimeJoin.needsRowIdPinning(scan.limit(10)))
+    assert(graft.operators.PointInTimeJoin.needsRowIdPinning(scan.repartition(8)))
+    assert(graft.operators.PointInTimeJoin.needsRowIdPinning(
+      scan.withColumn("r", rand())))
+  }
+
   test("minhash LSH dedup plans no cartesian product") {
     import spark.implicits._
     val docs = (0 until 50).map(i => (i.toLong, s"doc $i words tokens sample text payload"))
