@@ -173,6 +173,11 @@ class FeatureStore(
     OnlineResponse(entityRows, fields.toVector)
   }
 
+  /** Online reads through a FeatureService's projections. */
+  def getOnlineFeatures(service: FeatureService,
+      entityRows: Seq[Map[String, Any]]): OnlineResponse =
+    getOnlineFeatures(service.featureRefs.map(_.toString), entityRows)
+
   // ---- teardown (feature_store.py:258-273) ----------------------------
   def teardown(): Unit = {
     onlineStore.teardown(project, registry.listFeatureViews)

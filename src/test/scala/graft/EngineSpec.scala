@@ -313,6 +313,47 @@ class EngineSpec extends AnyFunSuite {
     assert(dirs2.length == 3)
   }
 
+  test("composite-key view (two entities) and array features round-trip offline + online") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "us", ts("2024-01-01 10:00:00"), 0.1, Seq(1.0, 2.0)),
+      (1L, "us", ts("2024-01-02 10:00:00"), 0.2, Seq(3.0, 4.0)),
+      (1L, "eu", ts("2024-01-02 11:00:00"), 0.3, Seq(5.0, 6.0)),
+      (2L, "eu", ts("2024-01-01 09:00:00"), 0.4, Seq(7.0, 8.0)))
+    val df = rows.toDF("driver_id", "region", "et", "rate", "emb")
+    val store = new ParquetOnlineStore(
+      java.nio.file.Files.createTempDirectory("graftck").toString, numBuckets = 4)
+    val fs = new FeatureStore("ck", new Registry(), store, spark)
+    fs.applyEntity(Entity("driver", GraftType.Int64, Some("driver_id")))
+    fs.applyEntity(Entity("region", GraftType.Str, Some("region")))
+    fs.applyFeatureView(FeatureView("cv", Seq("driver", "region"),
+      Seq(Feature("rate", GraftType.Dbl), Feature("emb", GraftType.ListOf(GraftType.Dbl))),
+      Duration.ZERO, DataFrameSource(df, "et")))
+    fs.materialize(Seq("cv"), ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"))
+
+    // online: composite keys resolve independently; array feature
+    // survives the parquet store and the job-free point reader
+    val resp = fs.getOnlineFeatures(Seq("cv:rate", "cv:emb"), Seq(
+      Map[String, Any]("driver_id" -> 1L, "region" -> "us"),
+      Map[String, Any]("driver_id" -> 1L, "region" -> "eu"),
+      Map[String, Any]("driver_id" -> 2L, "region" -> "us"))) // absent combo
+    assert(resp.toMap("cv:rate") == Seq(0.2, 0.3, null))
+    assert(resp.toMap("cv:emb")(0).asInstanceOf[Seq[Double]] == Seq(3.0, 4.0))
+    assert(resp.statuses("cv:rate")(2) == "NOT_FOUND")
+    // missing one of the two keys -> error, not a silent miss
+    intercept[IllegalArgumentException] {
+      fs.getOnlineFeatures(Seq("cv:rate"), Seq(Map[String, Any]("driver_id" -> 1L)))
+    }
+
+    // offline PIT join on the composite key agrees
+    val entity = Seq((1L, "us", ts("2024-01-03 00:00:00")), (1L, "eu", ts("2024-01-01 12:00:00")))
+      .toDF("driver_id", "region", "event_timestamp")
+    val hist = fs.getHistoricalFeatures(entity, Seq("cv:rate"))
+      .orderBy("region").collect()
+    assert(hist.map(_.getAs[Any]("rate")).toSeq == Seq(null, 0.2)) // eu@01-01: no row yet
+    fs.teardown()
+  }
+
   test("materialize honors last-write-wins on overlapping windows") {
     import spark.implicits._
     val df = Seq(
