@@ -62,6 +62,7 @@ class FeatureStore(
     FeatureRef.validateNoCollisions(parsed, fullFeatureNames)
     val viewJoins = FeatureRef.groupByView(parsed).map { case (viewName, feats) =>
       val view = registry.getFeatureView(viewName)
+      validateFeaturesExist(view, feats)
       ViewJoin(view, joinKeysOf(view), feats,
         SourceReader.read(spark, view.batchSource))
     }
@@ -149,6 +150,7 @@ class FeatureStore(
     val fields = scala.collection.mutable.LinkedHashMap[String, Vector[FeatureValue]]()
     byView.foreach { case (viewName, feats) =>
       val view = registry.getFeatureView(viewName)
+      validateFeaturesExist(view, feats)
       val entities = view.entities.map(registry.getEntity)
       // O16 guard rails (reference feature_store.py:684-717): a view whose
       // entities collapse onto the same join key would silently read the
@@ -187,6 +189,16 @@ class FeatureStore(
   /** Entity names -> join key columns for a view. */
   def joinKeysOf(view: FeatureView): Seq[String] =
     view.entities.map(e => registry.getEntity(e).joinKey)
+
+  /** A ref naming a feature the view doesn't declare is a user error —
+    * fail with the view's actual surface instead of an unresolved-column
+    * crash (offline) or a silent NOT_FOUND (online). */
+  private def validateFeaturesExist(view: FeatureView, feats: Seq[String]): Unit = {
+    val unknown = feats.filterNot(view.featureNames.contains)
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"view ${view.name} has no feature(s) ${unknown.mkString(", ")}; " +
+      s"declared: ${view.featureNames.mkString(", ")}")
+  }
 }
 
 /** O16 — online entity-row type validation/coercion (reference

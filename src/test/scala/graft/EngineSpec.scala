@@ -216,6 +216,15 @@ class EngineSpec extends AnyFunSuite {
     // null key -> error
     intercept[IllegalArgumentException](
       fs.getOnlineFeatures(Seq("v16:v"), Seq(Map[String, Any]("driver_id" -> null))))
+    // unknown feature ref -> error naming the view's surface (both paths)
+    val e3 = intercept[IllegalArgumentException](
+      fs.getOnlineFeatures(Seq("v16:nope"), Seq(Map[String, Any]("driver_id" -> 1L))))
+    assert(e3.getMessage.contains("has no feature(s) nope"))
+    intercept[IllegalArgumentException] {
+      fs.getHistoricalFeatures(
+        Seq((1L, ts("2024-01-02 00:00:00"))).toDF("driver_id", "event_timestamp"),
+        Seq("v16:nope"))
+    }
     // duplicate join keys across a view's entities -> error
     fs.applyEntity(Entity("driver2", GraftType.Int64, Some("driver_id")))
     fs.applyFeatureView(FeatureView("vdup", Seq("driver", "driver2"),
