@@ -79,6 +79,28 @@ object TextFunctions {
     * key (whitespace/punctuation/case-insensitive). */
   def fingerprint(c: Column): Column = md5(normalized(c).cast("binary"))
 
+  /** Fixed-size word-window chunks with overlap (stride = chunkWords −
+    * overlap) from a *pre-bound words column* — the LLM-training
+    * document splitter. Chunk i covers words [i·stride+1, i·stride+
+    * chunkWords]; the last chunk may be shorter; a doc shorter than one
+    * window yields one chunk. Same performance contract as
+    * wordNgramsFromWords: bind `w` with .withColumn first. */
+  def wordChunks(w: Column, chunkWords: Int, overlap: Int): Column = {
+    require(overlap >= 0 && overlap < chunkWords,
+      s"overlap $overlap must be in [0, chunkWords=$chunkWords)")
+    val stride = chunkWords - overlap
+    val nChunks = greatest(
+      ceil((size(w) - lit(overlap)).cast("double") / lit(stride)).cast("int"), lit(1))
+    transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(w, i * stride + 1, lit(chunkWords))))
+  }
+
+  /** Repetition ratio in [0,1): 1 − |distinct words| / |words| — the
+    * boilerplate/spam signal used by web-corpus quality filters. */
+  def repetitionRatio(w: Column): Column =
+    lit(1.0) - size(array_distinct(w)).cast("double") /
+      greatest(size(w).cast("double"), lit(1.0))
+
   /** URLs in the text (http/https). */
   def urls(c: Column): Column =
     regexp_extract_all(c, lit("https?://[^\\s]+"), lit(0))

@@ -75,6 +75,51 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Chunking: split each doc into 32-word windows with 8-word overlap,
+    * emit one row per chunk (id, index, words-in-chunk, chunk hash) —
+    * value-checked against DuckDB computing the identical windows. */
+  def chunking(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("__w", TF.words(col("text")))
+      .filter(size(col("__w")) > 0)
+      .select(col("doc_id"), posexplode(TF.wordChunks(col("__w"), 32, 8)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        size(TF.words(col("col"))).cast("long").as("n_chunk_words"),
+        md5(col("col").cast("binary")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val chunkingSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, ws, len(ws) AS L,
+      |         greatest(CAST(ceil((len(ws) - 8) / 24.0) AS BIGINT), 1) AS n
+      |  FROM w WHERE len(ws) > 0)
+      |SELECT doc_id, i AS chunk_idx,
+      |       CAST(least(i * 24 + 32, L) - i * 24 AS BIGINT) AS n_chunk_words,
+      |       md5(array_to_string(ws[i * 24 + 1 : least(i * 24 + 32, L)], ' ')) AS chunk_hash
+      |FROM c, UNNEST(range(0, n)) AS t(i)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Repetition-ratio quality signal (boilerplate/spam detector). */
+  def repetitionQ(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("__w", TF.words(col("text")))
+      .filter(size(col("__w")) > 0)
+      .select(col("doc_id"), size(col("__w")).cast("long").as("n_words"),
+        size(array_distinct(col("__w"))).cast("long").as("n_distinct"),
+        round(TF.repetitionRatio(col("__w")), 4).as("rep_ratio"))
+      .orderBy("doc_id")
+
+  val repetitionSql: String =
+    """SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+      |       CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+      |       round(1.0 - len(list_distinct(ws)) / greatest(CAST(len(ws) AS DOUBLE), 1.0), 4)
+      |         AS rep_ratio
+      |FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents)
+      |WHERE len(ws) > 0 ORDER BY doc_id""".stripMargin
+
   /** PII scrubbing: deterministic PII (email, phone, IP derived from
     * doc_id) appended to each document in BOTH engines, then scrubbed —
     * value-checks the replacement semantics, not just the plumbing. */
@@ -302,6 +347,8 @@ object PipelineQueries {
     "q_lang_id" -> (langIdQ _),
     "q_pii_scrub" -> (piiScrub _),
     "q_url_extract" -> (urlExtract _),
+    "q_chunking" -> (chunking _),
+    "q_repetition" -> (repetitionQ _),
     "q_dedup_exact" -> (dedupExact _),
     "q_ngram_jaccard_chain" -> (ngramJaccardChain _),
     "q_dedup_minhash" -> (dedupMinhash _),
@@ -316,6 +363,8 @@ object PipelineQueries {
     "q_lang_id" -> langIdSql,
     "q_pii_scrub" -> piiScrubSql,
     "q_url_extract" -> urlExtractSql,
+    "q_chunking" -> chunkingSql,
+    "q_repetition" -> repetitionSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_ngram_jaccard_chain" -> ngramJaccardChainSql,
     "q_dedup_minhash" -> dedupMinhashSql,
