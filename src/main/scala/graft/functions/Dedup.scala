@@ -139,6 +139,29 @@ object Dedup {
     if (estParts < math.max(2, target / 2)) df.repartition(target) else df
   }
 
+  /** Deterministic stratified sample for corpus mixing: per-stratum
+    * sampling fractions (e.g. {"en" -> 1.0, "web" -> 0.1}) applied with
+    * a seeded hash of the id column — reproducible across runs and
+    * executors (unlike rand()-based sampleBy under task retry), and a
+    * pure narrow filter: no shuffle, safe at any scale. Strata missing
+    * from the map default to `defaultFraction`. */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: Column,
+      idCol: Column,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0,
+      seed: Long = 0L): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0,1]")
+    val buckets = 1000000L
+    val hashed = pmod(xxhash64(idCol, lit(seed)), lit(buckets)).cast("double") / buckets.toDouble
+    val frac = fractions.foldLeft(lit(defaultFraction)) { case (acc, (k, f)) =>
+      when(stratumCol === k, lit(f)).otherwise(acc)
+    }
+    df.filter(hashed < frac)
+  }
+
   /** All ordered pairs (a<b) of an array column — used inside one LSH
     * bucket. */
   private def pairsOf(ids: Column): Column = {

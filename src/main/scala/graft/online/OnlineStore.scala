@@ -197,9 +197,13 @@ class ParquetOnlineStore(
     // alone writes one file per (task × bucket) — up to tasks×buckets
     // tiny files that every subsequent upsert has to re-list and
     // re-open. With the repartition each bucket is one task -> one file.
+    // sortWithinPartitions on the keys: parquet row-group min/max stats
+    // become selective on the key columns, so future row-group-filtered
+    // point reads (and any key-ranged scan) skip most of a bucket.
     def stage(d: DataFrame): Unit =
       d.withColumn(BucketCol, bucketExpr(joinKeys))
         .repartition(numBuckets, col(BucketCol))
+        .sortWithinPartitions(joinKeys.map(col): _*)
         .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp)
 
     val hconf = spark.sparkContext.hadoopConfiguration

@@ -300,6 +300,27 @@ object CoreQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Sketch aggregation with an accuracy CONTRACT as the oracle: the
+    * exact distinct counts must hash-match DuckDB, and Spark's
+    * approx_count_distinct (HLL++) must land within 10% of exact —
+    * emitted as a boolean the oracle pins to TRUE. Cross-engine sketch
+    * VALUES can't be compared (different HLL implementations); the
+    * accuracy contract can. */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_exact"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("n_approx"))
+      .select(col("l_returnflag"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")).cast("double") <=
+          col("n_exact").cast("double") * 0.1).as("approx_ok"))
+      .orderBy("l_returnflag")
+
+  val approxDistinctSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact, TRUE AS approx_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Window top-k per group (row_number — the reference's only window
     * shape, bigquery.py:86-95). */
   def windowTopK(s: SparkSession, dir: String): DataFrame = {
@@ -330,6 +351,7 @@ object CoreQueries {
     "q_table_source" -> (tableSourceQ _),
     "q_query_source" -> (querySourceQ _),
     "q_agg_pushdown" -> (aggPushdown _),
+    "q_approx_distinct" -> (approxDistinct _),
     "q_broadcast_join_agg" -> (broadcastJoinAgg _),
     "q_window_topk" -> (windowTopK _))
 
@@ -342,6 +364,7 @@ object CoreQueries {
     "q_table_source" -> tableSourceSql,
     "q_query_source" -> querySourceSql,
     "q_agg_pushdown" -> aggPushdownSql,
+    "q_approx_distinct" -> approxDistinctSql,
     "q_broadcast_join_agg" -> broadcastJoinAggSql,
     "q_window_topk" -> windowTopKSql)
 }

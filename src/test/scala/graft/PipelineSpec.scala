@@ -121,6 +121,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= recall0, s"k-means recall $recall should be >= unrefined $recall0")
   }
 
+  test("stratifiedSample: deterministic, honors per-stratum fractions, drops unlisted strata") {
+    import spark.implicits._
+    val df = (0 until 30000).map(i =>
+      (i.toLong, if (i % 3 == 0) "en" else if (i % 3 == 1) "web" else "junk"))
+      .toDF("id", "lang")
+    def run() = Dedup.stratifiedSample(df, col("lang"), col("id"),
+      Map("en" -> 1.0, "web" -> 0.2), defaultFraction = 0.0, seed = 7L)
+    val a = run().collect().map(_.getLong(0)).toSet
+    val b = run().collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample must be reproducible")
+    val byLang = run().groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") == 10000, "fraction 1.0 keeps every row")
+    assert(!byLang.contains("junk"), "unlisted strata drop at defaultFraction 0")
+    val webFrac = byLang("web").toDouble / 10000
+    assert(math.abs(webFrac - 0.2) < 0.02, s"web fraction $webFrac should be ~0.2")
+    // different seed -> different (but same-sized-ish) selection
+    val c = Dedup.stratifiedSample(df, col("lang"), col("id"),
+      Map("web" -> 0.2), seed = 8L).collect().map(_.getLong(0)).toSet
+    assert(c != a)
+  }
+
   test("multimodal decodeBatched appends decoder columns, preserves rows") {
     import spark.implicits._
     val df = (0 until 257).map(i => (i.toLong, ("x" * (i + 1)).getBytes("UTF-8")))
