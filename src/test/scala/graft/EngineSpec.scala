@@ -363,6 +363,34 @@ class EngineSpec extends AnyFunSuite {
     fs.teardown()
   }
 
+  test("FeatureService: projections drive both historical and online retrieval") {
+    import spark.implicits._
+    val df = Seq((1L, ts("2024-01-01 10:00:00"), 0.5, "a", 7L))
+      .toDF("driver_id", "et", "rate", "tag", "extra")
+    val fs = new FeatureStore("svc", new Registry(), new InMemoryOnlineStore(), spark)
+    fs.applyEntity(Entity("driver", GraftType.Int64, Some("driver_id")))
+    fs.applyFeatureView(FeatureView("dv", Seq("driver"),
+      Seq(Feature("rate", GraftType.Dbl), Feature("tag", GraftType.Str),
+        Feature("extra", GraftType.Int64)),
+      Duration.ZERO, DataFrameSource(df, "et")))
+    // service projects a SUBSET of the view's features
+    fs.applyFeatureService(FeatureService("serving_v1",
+      Seq(fs.registry.getFeatureView("dv").select(Seq("rate", "tag")))))
+    fs.materialize(Seq("dv"), ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"))
+
+    val svc = fs.registry.getFeatureService("serving_v1")
+    val hist = fs.getHistoricalFeatures(
+      Seq((1L, ts("2024-01-02 00:00:00"))).toDF("driver_id", "event_timestamp"), svc)
+    assert(hist.columns.toSet == Set("driver_id", "event_timestamp", "rate", "tag"),
+      "service projection must select only its features")
+    val online = fs.getOnlineFeatures(svc, Seq(Map[String, Any]("driver_id" -> 1L)))
+    assert(online.toMap == Map("dv:rate" -> Seq(0.5), "dv:tag" -> Seq("a")))
+    // projecting a feature the view lacks is rejected at service build time
+    intercept[IllegalArgumentException](
+      fs.registry.getFeatureView("dv").select(Seq("nope")))
+    fs.teardown()
+  }
+
   test("materialize honors last-write-wins on overlapping windows") {
     import spark.implicits._
     val df = Seq(

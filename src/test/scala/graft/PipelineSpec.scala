@@ -121,6 +121,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= recall0, s"k-means recall $recall should be >= unrefined $recall0")
   }
 
+  test("sampleFrames: evenly spaced fixed-width frames, deterministic") {
+    import spark.implicits._
+    val payload = (0 until 100).map(_.toByte).toArray
+    val df = Seq((1L, payload)).toDF("id", "bin")
+    val frames = df.select(Multimodal.sampleFrames(col("bin"), n = 5, frameBytes = 10).as("f"))
+      .collect()(0).getSeq[Array[Byte]](0)
+    assert(frames.length == 5)
+    assert(frames.forall(_.length == 10))
+    // stride = floor((100-10)/4) = 22 -> starts 0, 22, 45, 67, 90 (int arithmetic
+    // in the column expression truncates) — first byte of each frame pins it
+    val starts = frames.map(_(0).toInt)
+    assert(starts.head == 0 && starts.last + 10 <= 100)
+    assert(starts == starts.sorted && starts.distinct.length == 5,
+      s"frames must advance monotonically, got ${starts.toSeq}")
+    // shorter payload than one frame -> frames truncate, no crash
+    val tiny = Seq((1L, Array[Byte](1, 2, 3)))
+      .toDF("id", "bin")
+      .select(Multimodal.sampleFrames(col("bin"), n = 3, frameBytes = 10).as("f"))
+      .collect()(0).getSeq[Array[Byte]](0)
+    assert(tiny.forall(_.length <= 3))
+  }
+
   test("stratifiedSample: deterministic, honors per-stratum fractions, drops unlisted strata") {
     import spark.implicits._
     val df = (0 until 30000).map(i =>
