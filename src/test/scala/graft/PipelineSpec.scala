@@ -121,6 +121,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= recall0, s"k-means recall $recall should be >= unrefined $recall0")
   }
 
+  test("SQL surface: registered functions agree with the Column API") {
+    import spark.implicits._
+    graft.spark.GraftFunctions.register(spark)
+    val df = Seq((1L, Seq("alpha", "beta", "gamma"))).toDF("id", "toks")
+    df.createOrReplaceTempView("graft_sqlfn_t")
+    val viaSql = spark.sql(
+      """SELECT simhash64(transform(toks, x -> xxhash64(x))) AS sh,
+        |       minhash_signature(transform(toks, x -> xxhash64(x)), 8) AS sig,
+        |       minhash_band_hashes(transform(toks, x -> xxhash64(x)), 8, 4) AS bands
+        |FROM graft_sqlfn_t""".stripMargin).collect()(0)
+    val viaCols = df.select(
+      TF.simhash64(concat_ws(" ", col("toks"))).as("sh"),
+      Dedup.minhashSignature(transform(col("toks"), x => xxhash64(x)), 8).as("sig"),
+      graft.functions.MinHashExpr.bandHashes(
+        transform(col("toks"), x => xxhash64(x)), 8, 4).as("bands")).collect()(0)
+    // simhash via Column API tokenizes the joined string back to the same
+    // tokens -> same token hashes -> identical 64-bit hash
+    assert(viaSql.getLong(0) == viaCols.getLong(0))
+    assert(viaSql.getSeq[Long](1) == viaCols.getSeq[Long](1))
+    assert(viaSql.getSeq[Long](2) == viaCols.getSeq[Long](2))
+    // non-literal k rejected with a clear error
+    val err = intercept[Exception](spark.sql(
+      "SELECT minhash_signature(array(1L), CAST(id AS INT)) FROM graft_sqlfn_t").collect())
+    assert(err.getMessage.contains("integer literal"))
+  }
+
   test("sampleFrames: evenly spaced fixed-width frames, deterministic") {
     import spark.implicits._
     val payload = (0 until 100).map(_.toByte).toArray
