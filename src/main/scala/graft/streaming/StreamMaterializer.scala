@@ -51,6 +51,41 @@ object StreamMaterializer {
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
   }
 
+  /** Stream -> offline log (the kappa pipeline's other half, pairing
+    * with materializeStream's online upsert): append the decoded stream
+    * to the view's batch FileSource path so batch retrievals see full
+    * history. Date-partitioned when the source declares
+    * date_partition_column (derived from the event ts, ingest.py
+    * semantics); exactly-once via the parquet sink's checkpointed file
+    * log. */
+  def logStream(
+      fs: FeatureStore,
+      viewName: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      checkpointDir: String): StreamingQuery = {
+    val view = fs.registry.getFeatureView(viewName)
+    val src = view.streamSource.getOrElse(throw new IllegalArgumentException(
+      s"view $viewName has no stream source"))
+    val sink = view.batchSource match {
+      case f: FileSource if f.format == "parquet" => f
+      case other => throw new IllegalArgumentException(
+        s"logStream appends to a parquet FileSource; ${view.name} reads from $other")
+    }
+    val stream = SourceReader.readStream(fs.spark, src)
+    val tsCol = src.eventTimestampColumn
+    val (withDate, partitionCols) = sink.datePartitionColumn match {
+      case Some(dc) => (stream.withColumn(dc, to_date(col(tsCol))), Seq(dc))
+      case None => (stream, Nil)
+    }
+    val writer = withDate.writeStream
+      .format("parquet")
+      .option("path", sink.path)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(trigger)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer).start()
+  }
+
   /** Watermarked sliding/tumbling window aggregation over a stream —
     * the standard streaming-features shape (counts/sums per key per
     * window). Append mode emits only finalized windows once the

@@ -76,6 +76,46 @@ class StreamingSpec extends AnyFunSuite {
     fs.teardown()
   }
 
+  test("logStream appends the stream to the view's date-partitioned offline log") {
+    import spark.implicits._
+    graft.sources.Tables.configure(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graftlog").toString
+    // replayable stream input: two files -> two micro-batches
+    Seq((1L, ts("2024-04-01 10:00:00"), 1.0), (2L, ts("2024-04-02 11:00:00"), 2.0))
+      .toDF("user_id", "ts", "v").repartition(2)
+      .write.parquet(s"$dir/in")
+
+    val fs = new FeatureStore("log", new Registry(), new InMemoryOnlineStore(), spark)
+    fs.applyEntity(Entity("user", GraftType.Int64, Some("user_id")))
+    fs.applyFeatureView(FeatureView("lv", Seq("user"),
+      Seq(Feature("v", GraftType.Dbl)), Duration.ZERO,
+      batchSource = FileSource(s"$dir/log", eventTimestampColumn = "ts",
+        datePartitionColumn = Some("event_date")),
+      streamSource = Some(FileStreamSource(s"$dir/in", "parquet", "ts",
+        maxFilesPerTrigger = Some(1)))))
+
+    val q = graft.streaming.StreamMaterializer.logStream(fs, "lv",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      checkpointDir = s"$dir/ckpt")
+    q.awaitTermination()
+
+    val dates = new java.io.File(s"$dir/log").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+      .map(_.getName).sorted
+    assert(dates.toSeq == Seq("event_date=2024-04-01", "event_date=2024-04-02"))
+    // the offline log is now a normal batch source for retrieval
+    val entity = Seq((1L, ts("2024-04-03 00:00:00")), (2L, ts("2024-04-03 00:00:00")))
+      .toDF("user_id", "event_timestamp")
+    val hist = fs.getHistoricalFeatures(entity, Seq("lv:v")).orderBy("user_id").collect()
+    assert(hist.map(_.getAs[Double]("v")).toSeq == Seq(1.0, 2.0))
+    // restart with the same checkpoint: no duplicates (exactly-once sink)
+    val q2 = graft.streaming.StreamMaterializer.logStream(fs, "lv",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      checkpointDir = s"$dir/ckpt")
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$dir/log").count() == 2)
+  }
+
   test("Kafka value decode round-trips JSON and Avro payloads (no broker needed)") {
     import spark.implicits._
     val rows = Seq((1L, 0.5, "a"), (2L, 1.5, "b"))
