@@ -113,6 +113,24 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Symmetric int8 quantization of an embedding (storage compression:
+    * 4x smaller than float32): per-vector scale = max|x|/127, elements
+    * round(x/scale) clamped to [-127,127]. Returns a struct
+    * (scale, q: array<int>) — int elements keep the arithmetic exact
+    * and portable; a production writer would cast to tinyint on disk. */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = greatest(
+      aggregate(vec, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double")))),
+      lit(1e-12)) / 127.0
+    struct(scale.as("scale"),
+      transform(vec, x => least(greatest(
+        round(x.cast("double") / scale, 0), lit(-127.0)), lit(127.0)).cast("int")).as("q"))
+  }
+
+  /** Reconstruct a quantized embedding (array<double>). */
+  def dequantizeInt8(quantized: Column): Column =
+    transform(quantized("q"), q => q.cast("double") * quantized("scale"))
+
   /** Nearest `n` anchor cells for a vector, over a broadcast `cells`
     * array column of (cell_id, cell_vec) structs. */
   private def nearestCells(vec: Column, n: Int): Column =

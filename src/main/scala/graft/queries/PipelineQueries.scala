@@ -166,6 +166,35 @@ object PipelineQueries {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Int8 embedding quantization (4x storage compression): per-vector
+    * scale + quantized elements, value-checked against DuckDB running
+    * the identical IEEE arithmetic (max/div/round/clamp are exact, so
+    * the raw double scale and the int vector hash match bitwise). */
+  def embeddingQuantize(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir)
+      .withColumn("__qz", Similarity.quantizeInt8(col("embedding")))
+      .select(col("vec_id"), col("__qz.scale").as("scale"),
+        md5(concat_ws(",", col("__qz.q")).cast("binary")).as("q_hash"),
+        aggregate(col("__qz.q"), lit(0L), (acc, x) => acc + x.cast("long")).as("q_sum"))
+      .orderBy("vec_id")
+
+  val embeddingQuantizeSql: String =
+    """WITH z AS (
+      |  SELECT vec_id, embedding,
+      |         greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+      |                  1e-12) / 127.0 AS scale
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, scale,
+      |         list_transform(embedding, x ->
+      |           CAST(least(greatest(round(CAST(x AS DOUBLE) / scale, 0), -127.0), 127.0)
+      |                AS INT)) AS qv
+      |  FROM z)
+      |SELECT vec_id, scale,
+      |       md5(array_to_string(qv, ',')) AS q_hash,
+      |       CAST(list_sum(qv) AS BIGINT) AS q_sum
+      |FROM q ORDER BY vec_id""".stripMargin
+
   // ---- dedup -----------------------------------------------------------
 
   /** Exact dedup on the normalized-text fingerprint; keeps min doc_id
@@ -349,6 +378,7 @@ object PipelineQueries {
     "q_url_extract" -> (urlExtract _),
     "q_chunking" -> (chunking _),
     "q_repetition" -> (repetitionQ _),
+    "q_embedding_quantize" -> (embeddingQuantize _),
     "q_dedup_exact" -> (dedupExact _),
     "q_ngram_jaccard_chain" -> (ngramJaccardChain _),
     "q_dedup_minhash" -> (dedupMinhash _),
@@ -365,6 +395,7 @@ object PipelineQueries {
     "q_url_extract" -> urlExtractSql,
     "q_chunking" -> chunkingSql,
     "q_repetition" -> repetitionSql,
+    "q_embedding_quantize" -> embeddingQuantizeSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_ngram_jaccard_chain" -> ngramJaccardChainSql,
     "q_dedup_minhash" -> dedupMinhashSql,

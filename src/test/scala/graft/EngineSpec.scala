@@ -162,6 +162,9 @@ class EngineSpec extends AnyFunSuite {
       .toDF("driver_id", "et", "v")
     val view = FeatureView("bv", Seq("driver"), Seq(Feature("v", GraftType.Dbl)),
       Duration.ZERO, DataFrameSource(df1, "et"))
+    // reading a store that was never written: NOT_FOUND, not an exception
+    val empty = store.read("p", view, Seq("driver_id"), Seq(Seq("driver_id" -> 1L)), Seq("v"))
+    assert(empty.head._2("v").status == "NOT_FOUND")
     store.upsert("p", view, Seq("driver_id"), df1, "et", None)
 
     // per-bucket parquet file listing (name -> size) under the view dir
