@@ -283,7 +283,11 @@ class ParquetOnlineStore(
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .map(_.getPath)
     }
-    val hits: Map[String, Map[String, Any]] = ParquetPointReader.readFiles(hconf, files)
+    // Row-group pruning on the leading sort key (buckets are written
+    // sorted by joinKeys): groups whose stats exclude every requested
+    // value are skipped without decoding.
+    val prune = Some(joinKeys.head -> entityKeys.map(_.toMap.apply(joinKeys.head)))
+    val hits: Map[String, Map[String, Any]] = ParquetPointReader.readFiles(hconf, files, prune)
       .map(m => EntityKeyCodec.hexKey(joinKeys.map(k => k -> m(k))) -> m).toMap
     entityKeys.map { key =>
       hits.get(EntityKeyCodec.hexKey(key)) match {

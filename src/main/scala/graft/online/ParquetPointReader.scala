@@ -25,28 +25,79 @@ import org.apache.parquet.schema.LogicalTypeAnnotation.{StringLogicalTypeAnnotat
 object ParquetPointReader {
 
   /** All rows of the given parquet files as (column -> value) maps;
-    * missing optional fields map to null. */
-  def readFiles(conf: Configuration, files: Seq[Path]): Seq[Map[String, Any]] = {
+    * missing optional fields map to null. `prune` = (column, requested
+    * values): row groups whose min/max statistics exclude every
+    * requested value are skipped without decoding — effective because
+    * the store writes each bucket sorted by key, so groups partition
+    * the key range. */
+  def readFiles(conf: Configuration, files: Seq[Path],
+      prune: Option[(String, Seq[Any])] = None): Seq[Map[String, Any]] =
+    readFilesCounting(conf, files, prune)._1
+
+  /** readFiles plus the number of row groups skipped (for tests). */
+  def readFilesCounting(conf: Configuration, files: Seq[Path],
+      prune: Option[(String, Seq[Any])] = None): (Seq[Map[String, Any]], Int) = {
     val out = mutable.Buffer[Map[String, Any]]()
+    var skipped = 0
     files.foreach { f =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       try {
         val schema = reader.getFooter.getFileMetaData.getSchema
         val columnIO = new ColumnIOFactory().getColumnIO(schema)
-        var pages = reader.readNextRowGroup()
-        while (pages != null) {
-          val rr = columnIO.getRecordReader(pages, new GroupRecordConverter(schema))
-          var i = 0L
-          val n = pages.getRowCount
-          while (i < n) {
-            out += groupToMap(schema, rr.read())
-            i += 1
+        val blocks = reader.getFooter.getBlocks
+        var bi = 0
+        while (bi < blocks.size()) {
+          if (prune.exists { case (c, vs) => groupExcludes(blocks.get(bi), c, vs) }) {
+            reader.skipNextRowGroup()
+            skipped += 1
+          } else {
+            val pages = reader.readNextRowGroup()
+            val rr = columnIO.getRecordReader(pages, new GroupRecordConverter(schema))
+            var i = 0L
+            val n = pages.getRowCount
+            while (i < n) {
+              out += groupToMap(schema, rr.read())
+              i += 1
+            }
           }
-          pages = reader.readNextRowGroup()
+          bi += 1
         }
       } finally reader.close()
     }
-    out.toSeq
+    (out.toSeq, skipped)
+  }
+
+  /** True iff the row group's [min, max] for `column` excludes every
+    * requested value. Conservative: missing/unknown stats never skip. */
+  private def groupExcludes(block: org.apache.parquet.hadoop.metadata.BlockMetaData,
+      column: String, values: Seq[Any]): Boolean = {
+    import scala.jdk.CollectionConverters._
+    block.getColumns.asScala.find(_.getPath.toDotString == column).exists { cc =>
+      val st = cc.getStatistics
+      if (st == null || !st.hasNonNullValue) false
+      else (st.genericGetMin, st.genericGetMax) match {
+        case (mn: java.lang.Long, mx: java.lang.Long) =>
+          values.forall {
+            case l: Long => l < mn || l > mx
+            case i: Int => i.toLong < mn || i.toLong > mx
+            case _ => false
+          }
+        case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+          values.forall {
+            case i: Int => i < mn || i > mx
+            case l: Long => l < mn.toLong || l > mx.toLong
+            case _ => false
+          }
+        case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary) =>
+          values.forall {
+            case s: String =>
+              val b = org.apache.parquet.io.api.Binary.fromString(s)
+              b.compareTo(mn) < 0 || b.compareTo(mx) > 0
+            case _ => false
+          }
+        case _ => false
+      }
+    }
   }
 
   private def groupToMap(schema: MessageType, g: Group): Map[String, Any] =

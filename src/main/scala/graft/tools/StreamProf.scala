@@ -24,8 +24,9 @@ object StreamProf {
       println(f"$name%-16s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
     t("warm")(force(graft.SparkEntry.queries("q_agg_pushdown")(spark, "/root/testdata/sf0.1")))
-    t("stream_run1")(force(graft.SparkEntry.queries("q_stream_materialize")(spark, "/root/testdata/sf0.1")))
-    t("stream_run2")(force(graft.SparkEntry.queries("q_stream_materialize")(spark, "/root/testdata/sf0.1")))
+    val target = sys.env.getOrElse("STREAMPROF_QUERY", "q_stream_materialize")
+    t("run1")(force(graft.SparkEntry.queries(target)(spark, "/root/testdata/sf0.1")))
+    t("run2")(force(graft.SparkEntry.queries(target)(spark, "/root/testdata/sf0.1")))
     spark.stop()
   }
 }

@@ -200,6 +200,33 @@ class EngineSpec extends AnyFunSuite {
     assert(got(2)._2("v").status == "NOT_FOUND")
   }
 
+  test("point reader prunes row groups by key statistics on sorted buckets") {
+    import spark.implicits._
+    // force many tiny row groups so pruning is observable
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val old = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 16 * 1024)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graftrg").toString + "/t"
+      (0L until 50000L).map(k => (k, s"payload_$k"))
+        .toDF("k", "v").coalesce(1).sortWithinPartitions("k")
+        .write.parquet(dir)
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => new org.apache.hadoop.fs.Path(f.getAbsolutePath)).toSeq
+      val (all, s0) = graft.online.ParquetPointReader.readFilesCounting(hconf, files, None)
+      assert(all.length == 50000 && s0 == 0)
+      val wanted = Seq(5L, 49999L)
+      val (pruned, skipped) = graft.online.ParquetPointReader.readFilesCounting(
+        hconf, files, Some("k" -> wanted))
+      assert(skipped > 0, "expected some row groups skipped on a sorted multi-group file")
+      val got = pruned.filter(m => wanted.contains(m("k"))).map(m => m("k") -> m("v")).toMap
+      assert(got == Map(5L -> "payload_5", 49999L -> "payload_49999"))
+    } finally {
+      if (old == null) hconf.unset("parquet.block.size") else hconf.set("parquet.block.size", old)
+    }
+  }
+
   test("O16: online entity-row values are coerced to the registered dtype or rejected") {
     import spark.implicits._
     val df = Seq((1L, ts("2024-01-01 10:00:00"), 1.5)).toDF("driver_id", "et", "v")
