@@ -17,10 +17,11 @@ object Dedup {
   /** Exact dedup (hash-groupBy): keep the row with min tiebreak per
     * dedup-key value. Map-side combinable via min_by. */
   def exactDedup(df: DataFrame, key: Column, tieBreak: Column): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val cols = df.columns.toIndexedSeq
+    val payload = struct(cols.map(col): _*)
     df.groupBy(key.as("__dedup_key"))
       .agg(min_by(payload, tieBreak).as("__w"))
-      .select(df.columns.map(c => col(s"__w.$c")): _*)
+      .select(cols.map(c => col(s"__w.$c")): _*)
   }
 
   /** k-minhash signature from an element-hash column: h_i = min over
@@ -137,6 +138,30 @@ object Dedup {
     val sizeBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val estParts = (sizeBytes / maxPartBytes).toLong + 1
     if (estParts < math.max(2, target / 2)) df.repartition(target) else df
+  }
+
+  /** Train/eval contamination detection: corpus documents sharing at
+    * least `minShared` word-n-grams with any eval document. The classic
+    * benchmark-decontamination shape (13-gram collision): explode each
+    * side to (gram, id), equi-join on the gram hash — a shuffle join on
+    * gram hashes, never a document cross join — and count distinct
+    * collisions per (corpus, eval) pair. Eval sets are small: the gram
+    * join broadcasts that side. */
+  def ngramContamination(
+      corpus: DataFrame, corpusId: String, corpusText: String,
+      eval_ : DataFrame, evalId: String, evalText: String,
+      n: Int = 13, minShared: Int = 1): DataFrame = {
+    def grams(df: DataFrame, id: String, text: String, outId: String): DataFrame =
+      df.withColumn("__w", TextFunctions.words(col(text)))
+        .select(col(id).as(outId),
+          explode(TextFunctions.wordNgramsFromWords(col("__w"), n)).as("__g"))
+        .select(col(outId), xxhash64(col("__g")).as("__gh"))
+    val c = grams(corpus, corpusId, corpusText, "corpus_id")
+    val e = grams(eval_, evalId, evalText, "eval_id")
+    c.join(broadcast(e), "__gh")
+      .groupBy("corpus_id", "eval_id")
+      .agg(countDistinct(col("__gh")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** Deterministic stratified sample for corpus mixing: per-stratum

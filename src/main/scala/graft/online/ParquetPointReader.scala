@@ -73,7 +73,7 @@ object ParquetPointReader {
       column: String, values: Seq[Any]): Boolean = {
     import scala.jdk.CollectionConverters._
     block.getColumns.asScala.find(_.getPath.toDotString == column).exists { cc =>
-      val st = cc.getStatistics
+      val st: org.apache.parquet.column.statistics.Statistics[_] = cc.getStatistics
       if (st == null || !st.hasNonNullValue) false
       else (st.genericGetMin, st.genericGetMax) match {
         case (mn: java.lang.Long, mx: java.lang.Long) =>
@@ -89,10 +89,15 @@ object ParquetPointReader {
             case _ => false
           }
         case (mn: org.apache.parquet.io.api.Binary, mx: org.apache.parquet.io.api.Binary) =>
+          // UTF8 string stats order is unsigned lexicographic — use the
+          // parquet comparator, not Binary.compareTo (deprecated, and
+          // signed-byte order would mis-prune non-ASCII keys)
+          val cmp = org.apache.parquet.schema.PrimitiveComparator
+            .UNSIGNED_LEXICOGRAPHICAL_BINARY_COMPARATOR
           values.forall {
             case s: String =>
               val b = org.apache.parquet.io.api.Binary.fromString(s)
-              b.compareTo(mn) < 0 || b.compareTo(mx) > 0
+              cmp.compare(b, mn) < 0 || cmp.compare(b, mx) > 0
             case _ => false
           }
         case _ => false

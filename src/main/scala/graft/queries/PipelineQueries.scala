@@ -195,6 +195,41 @@ object PipelineQueries {
       |       CAST(list_sum(qv) AS BIGINT) AS q_sum
       |FROM q ORDER BY vec_id""".stripMargin
 
+  /** Benchmark decontamination: corpus docs sharing >= 3 distinct word
+    * 8-grams with an eval set (every 100th doc, re-identified) — the
+    * planted clones must surface plus any organic overlap, which the
+    * oracle derives identically from canonical gram sets. */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val ev = d.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + 2000000L).as("eval_doc_id"), col("text"))
+    Dedup.ngramContamination(d, "doc_id", "text", ev, "eval_doc_id", "text",
+        n = 8, minShared = 3)
+      .select(col("corpus_id"), col("eval_id"), col("n_shared").cast("long").as("n_shared"))
+      .orderBy("corpus_id", "eval_id")
+  }
+
+  val contaminationSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+      |cg AS (
+      |  SELECT doc_id AS corpus_id,
+      |         UNNEST(list_distinct(list_transform(
+      |           range(1, greatest(len(w) - 7, 0) + 1),
+      |           i -> array_to_string(w[i:i+7], ' ')))) AS gram
+      |  FROM g),
+      |eg AS (
+      |  SELECT doc_id + 2000000 AS eval_id,
+      |         UNNEST(list_distinct(list_transform(
+      |           range(1, greatest(len(w) - 7, 0) + 1),
+      |           i -> array_to_string(w[i:i+7], ' ')))) AS gram
+      |  FROM g WHERE doc_id % 100 = 0)
+      |SELECT corpus_id, eval_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_shared
+      |FROM cg JOIN eg USING (gram)
+      |GROUP BY corpus_id, eval_id
+      |HAVING count(DISTINCT gram) >= 3
+      |ORDER BY corpus_id, eval_id""".stripMargin
+
   // ---- dedup -----------------------------------------------------------
 
   /** Exact dedup on the normalized-text fingerprint; keeps min doc_id
@@ -379,6 +414,7 @@ object PipelineQueries {
     "q_chunking" -> (chunking _),
     "q_repetition" -> (repetitionQ _),
     "q_embedding_quantize" -> (embeddingQuantize _),
+    "q_contamination" -> (contamination _),
     "q_dedup_exact" -> (dedupExact _),
     "q_ngram_jaccard_chain" -> (ngramJaccardChain _),
     "q_dedup_minhash" -> (dedupMinhash _),
@@ -396,6 +432,7 @@ object PipelineQueries {
     "q_chunking" -> chunkingSql,
     "q_repetition" -> repetitionSql,
     "q_embedding_quantize" -> embeddingQuantizeSql,
+    "q_contamination" -> contaminationSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_ngram_jaccard_chain" -> ngramJaccardChainSql,
     "q_dedup_minhash" -> dedupMinhashSql,

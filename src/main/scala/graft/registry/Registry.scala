@@ -146,7 +146,7 @@ object RegistryCodec {
       services = items("feature_services").map(decodeService).map(s => s.name -> s).toMap,
       materializations = (o("materializations") match {
         case m: JObj => m.fields.map { case (v, JArr(ivs)) =>
-          v -> ivs.map { case iv: JObj =>
+          v -> ivs.collect { case iv: JObj =>
             MaterializationInterval(
               new Timestamp(iv("start").asInstanceOf[JNum].toLong),
               new Timestamp(iv("end").asInstanceOf[JNum].toLong))
