@@ -230,6 +230,58 @@ object PipelineQueries {
       |HAVING count(DISTINCT gram) >= 3
       |ORDER BY corpus_id, eval_id""".stripMargin
 
+  /** Composed training-data pipeline, value-checked end-to-end: quality
+    * score + language ID -> filter (quality > 0.3, en) -> exact dedup on
+    * the normalized fingerprint (min doc_id wins) -> chunk count per
+    * surviving doc. Exercises operator COMPOSITION — each stage's output
+    * feeds the next inside one plan, the shape a real corpus build runs. */
+  def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+      .withColumn("__w", TF.words(col("text")))
+      .filter(size(col("__w")) > 0)
+      .withColumn("quality", TF.qualityScore(col("text")))
+      .withColumn("lang", TF.langId(col("text")))
+      .filter(col("quality") > 0.3 && col("lang") === "en")
+      .withColumn("fp", TF.fingerprint(col("text")))
+    Dedup.exactDedup(base, col("fp"), col("doc_id"))
+      .select(col("doc_id"), round(col("quality"), 4).as("quality"),
+        size(TF.wordChunks(col("__w"), 32, 8)).cast("long").as("n_chunks"))
+      .orderBy("doc_id")
+  }
+
+  val pipelineE2eSql: String = {
+    def score(ms: Seq[String]) =
+      s"len(regexp_extract_all(lower(text), '\\b(${ms.mkString("|")})\\b'))"
+    val en = score(TF.LangMarkers(0)._2); val de = score(TF.LangMarkers(1)._2)
+    val fr = score(TF.LangMarkers(2)._2); val es = score(TF.LangMarkers(3)._2)
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |         regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+       |         len(regexp_extract_all(text, '\\S+')) AS n_tok,
+       |         len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS punct,
+       |         len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is|it|for|on)\\b')) AS stop,
+       |         $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, w,
+       |         least(n_tok / 100.0, 1.0)
+       |           * (1.0 - least(punct / greatest(CAST(n_tok AS DOUBLE), 1.0), 1.0))
+       |           * (0.5 + least(stop / greatest(CAST(n_tok AS DOUBLE), 1.0) * 2.0, 0.5)) AS quality,
+       |         CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+       |              WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+       |              WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang,
+       |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+       |                                 ' +', ' ', 'g'))) AS fp
+       |  FROM t WHERE len(w) > 0),
+       |d AS (
+       |  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+       |                 FROM q WHERE quality > 0.3 AND lang = 'en')
+       |  WHERE rn = 1)
+       |SELECT doc_id, round(quality, 4) AS quality,
+       |       CAST(greatest(CAST(ceil((len(w) - 8) / 24.0) AS BIGINT), 1) AS BIGINT) AS n_chunks
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
   // ---- dedup -----------------------------------------------------------
 
   /** Exact dedup on the normalized-text fingerprint; keeps min doc_id
@@ -415,6 +467,7 @@ object PipelineQueries {
     "q_repetition" -> (repetitionQ _),
     "q_embedding_quantize" -> (embeddingQuantize _),
     "q_contamination" -> (contamination _),
+    "q_pipeline_e2e" -> (pipelineE2e _),
     "q_dedup_exact" -> (dedupExact _),
     "q_ngram_jaccard_chain" -> (ngramJaccardChain _),
     "q_dedup_minhash" -> (dedupMinhash _),
@@ -433,6 +486,7 @@ object PipelineQueries {
     "q_repetition" -> repetitionSql,
     "q_embedding_quantize" -> embeddingQuantizeSql,
     "q_contamination" -> contaminationSql,
+    "q_pipeline_e2e" -> pipelineE2eSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_ngram_jaccard_chain" -> ngramJaccardChainSql,
     "q_dedup_minhash" -> dedupMinhashSql,
