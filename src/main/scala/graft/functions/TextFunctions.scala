@@ -101,6 +101,22 @@ object TextFunctions {
     lit(1.0) - size(array_distinct(w)).cast("double") /
       greatest(size(w).cast("double"), lit(1.0))
 
+  /** Character entropy (bits/char) of the lowercased text — the
+    * gibberish / encoded-blob detector (natural prose ~4 bits, base64
+    * blobs ~6, repeated boilerplate ~1). Distinct characters are SORTED
+    * before the entropy fold so the floating-point summation order is
+    * deterministic and identical to the (also sorted) oracle. */
+  def charEntropy(c: Column): Column = {
+    val chars = filter(split(lower(c), ""), ch => ch =!= "")
+    val n = size(chars).cast("double")
+    val uniq = array_sort(array_distinct(chars))
+    val ent = aggregate(uniq, lit(0.0), (acc, ch) => {
+      val p = size(filter(chars, x => x === ch)).cast("double") / n
+      acc - p * log2(p)
+    })
+    when(n > 0, ent).otherwise(lit(0.0))
+  }
+
   /** URLs in the text (http/https). */
   def urls(c: Column): Column =
     regexp_extract_all(c, lit("https?://[^\\s]+"), lit(0))

@@ -102,6 +102,26 @@ object PipelineQueries {
       |FROM c, UNNEST(range(0, n)) AS t(i)
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Character-entropy quality signal. */
+  def charEntropyQ(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), round(TF.charEntropy(col("text")), 6).as("entropy"))
+      .orderBy("doc_id")
+
+  val charEntropySql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split(lower(text), ''), x -> x <> '') AS cs
+      |  FROM documents WHERE length(text) > 0)
+      |SELECT doc_id,
+      |       round(list_aggregate(
+      |         list_transform(list_sort(list_distinct(cs)), ch ->
+      |           -(CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE) / len(cs))
+      |            * log2(CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE) / len(cs))),
+      |         'sum'), 6) AS entropy
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** Repetition-ratio quality signal (boilerplate/spam detector). */
   def repetitionQ(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -465,6 +485,7 @@ object PipelineQueries {
     "q_url_extract" -> (urlExtract _),
     "q_chunking" -> (chunking _),
     "q_repetition" -> (repetitionQ _),
+    "q_char_entropy" -> (charEntropyQ _),
     "q_embedding_quantize" -> (embeddingQuantize _),
     "q_contamination" -> (contamination _),
     "q_pipeline_e2e" -> (pipelineE2e _),
@@ -484,6 +505,7 @@ object PipelineQueries {
     "q_url_extract" -> urlExtractSql,
     "q_chunking" -> chunkingSql,
     "q_repetition" -> repetitionSql,
+    "q_char_entropy" -> charEntropySql,
     "q_embedding_quantize" -> embeddingQuantizeSql,
     "q_contamination" -> contaminationSql,
     "q_pipeline_e2e" -> pipelineE2eSql,
