@@ -34,7 +34,11 @@ object RepoConfig {
       o.get(k) match { case Some(JArr(xs)) => xs; case _ => Vector.empty }
     val store = o.get("online_store") match {
       case Some(s: JObj) => s("type") match {
-        case JStr("parquet") => new ParquetOnlineStore(s("path").asInstanceOf[JStr].v)
+        case JStr("parquet") =>
+          // num_buckets only matters at store CREATION — an existing
+          // table's persisted bucket marker always wins over this value
+          val buckets = s.get("num_buckets").map(Json.toLong(_).toInt).getOrElse(32)
+          new ParquetOnlineStore(s("path").asInstanceOf[JStr].v, numBuckets = buckets)
         case JStr("memory") => new InMemoryOnlineStore()
         case other => throw new IllegalArgumentException(s"unknown online store type $other")
       }

@@ -136,7 +136,13 @@ object Dedup {
     val maxPartBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
     val sizeBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val estParts = (sizeBytes / maxPartBytes).toLong + 1
+    // statless plans (RDD-backed lineage) report defaultSizeInBytes =
+    // Long.MaxValue — falling through would skip the rebalance exactly
+    // when a 1-partition RDD needs it most; pay the physical-planning
+    // cost of a real partition count instead
+    val estParts =
+      if (sizeBytes >= BigInt(Long.MaxValue)) df.rdd.getNumPartitions.toLong
+      else (sizeBytes / maxPartBytes).toLong + 1
     if (estParts < math.max(2, target / 2)) df.repartition(target) else df
   }
 

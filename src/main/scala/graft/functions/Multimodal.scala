@@ -94,9 +94,13 @@ object Multimodal {
     val spark = df.sparkSession
     // Partition count from logical-plan size stats (parquet footer
     // sizes), not an agg over octet_length — the latter is an extra full
-    // scan of the binary column before the decode even starts.
+    // scan of the binary column before the decode even starts. Statless
+    // (RDD-backed) plans report Long.MaxValue: keep their current
+    // partitioning instead of exploding to the 10000 cap.
     val totalBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val parts = ((totalBytes / targetPartitionBytes) + 1).min(10000).max(1).toInt
+    val parts =
+      if (totalBytes >= BigInt(Long.MaxValue)) math.max(df.rdd.getNumPartitions, 1)
+      else ((totalBytes / targetPartitionBytes) + 1).min(10000).max(1).toInt
     val outSchema = StructType(df.schema.fields ++ decoder.outputSchema.fields)
     val binIdx = df.schema.fieldIndex(binCol)
     val rdd = df.repartition(parts).rdd.mapPartitions { it =>

@@ -113,19 +113,26 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
-  /** Symmetric int8 quantization of an embedding (storage compression:
-    * 4x smaller than float32): per-vector scale = max|x|/127, elements
-    * round(x/scale) clamped to [-127,127]. Returns a struct
-    * (scale, q: array<int>) — int elements keep the arithmetic exact
-    * and portable; a production writer would cast to tinyint on disk. */
-  def quantizeInt8(vec: Column): Column = {
-    val scale = greatest(
+  /** Per-vector int8 scale: max|x|/127. Bind this with .withColumn
+    * before passing it to quantizeInt8 — Spark evaluates HOF lambdas
+    * without common-subexpression elimination, so an unbound scale
+    * expression would re-run this O(dim) fold per ELEMENT inside the
+    * quantization lambda (O(dim²) per row). */
+  def int8Scale(vec: Column): Column =
+    greatest(
       aggregate(vec, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double")))),
       lit(1e-12)) / 127.0
+
+  /** Symmetric int8 quantization of an embedding (storage compression:
+    * 4x smaller than float32): elements round(x/scale) clamped to
+    * [-127,127]. `scale` must be a PRE-BOUND column (see int8Scale).
+    * Returns a struct (scale, q: array<int>) — int elements keep the
+    * arithmetic exact and portable; a production writer would cast to
+    * tinyint on disk. */
+  def quantizeInt8(vec: Column, scale: Column): Column =
     struct(scale.as("scale"),
       transform(vec, x => least(greatest(
         round(x.cast("double") / scale, 0), lit(-127.0)), lit(127.0)).cast("int")).as("q"))
-  }
 
   /** Reconstruct a quantized embedding (array<double>). */
   def dequantizeInt8(quantized: Column): Column =
@@ -188,7 +195,13 @@ object Similarity {
     val anchors: DataFrame =
       if (kmeansIters > 0) {
         import spark.implicits._
-        kmeansCentroids(trainDf.getOrElse(corpus), idCol, vecCol, nCells, kmeansIters)
+        // default training frame is a BOUNDED deterministic sample
+        // (hash-ordered top-k: one scan, no full sort) — k-means over the
+        // whole corpus would add kmeansIters full-corpus shuffles to
+        // every call at 100 TB
+        val train = trainDf.getOrElse(
+          corpus.orderBy(xxhash64(col(idCol))).limit(math.max(nCells * 64, 4096)))
+        kmeansCentroids(train, idCol, vecCol, nCells, kmeansIters)
           .toDF("cell_id", "cell_vec")
       } else corpus.orderBy(col(idCol)).limit(nCells)
         .select(col(idCol).as("cell_id"), col(vecCol).as("cell_vec"))

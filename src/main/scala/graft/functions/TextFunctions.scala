@@ -101,13 +101,17 @@ object TextFunctions {
     lit(1.0) - size(array_distinct(w)).cast("double") /
       greatest(size(w).cast("double"), lit(1.0))
 
-  /** Character entropy (bits/char) of the lowercased text — the
-    * gibberish / encoded-blob detector (natural prose ~4 bits, base64
-    * blobs ~6, repeated boilerplate ~1). Distinct characters are SORTED
-    * before the entropy fold so the floating-point summation order is
-    * deterministic and identical to the (also sorted) oracle. */
-  def charEntropy(c: Column): Column = {
-    val chars = filter(split(lower(c), ""), ch => ch =!= "")
+  /** Character array of the lowercased text (bind with .withColumn
+    * before charEntropyFromChars — same contract as
+    * wordNgramsFromWords). */
+  def charsOf(c: Column): Column = filter(split(lower(c), ""), ch => ch =!= "")
+
+  /** Character entropy (bits/char) from a *pre-bound* chars column —
+    * the gibberish / encoded-blob detector (natural prose ~4 bits,
+    * base64 blobs ~6, repeated boilerplate ~1). Distinct characters are
+    * SORTED before the entropy fold so the floating-point summation
+    * order is deterministic and identical to the (also sorted) oracle. */
+  def charEntropyFromChars(chars: Column): Column = {
     val n = size(chars).cast("double")
     val uniq = array_sort(array_distinct(chars))
     val ent = aggregate(uniq, lit(0.0), (acc, ch) => {
@@ -116,6 +120,11 @@ object TextFunctions {
     })
     when(n > 0, ent).otherwise(lit(0.0))
   }
+
+  /** Convenience single-expression form — fine for tests/small frames;
+    * hot paths must bind charsOf first (HOF lambdas get no CSE, so the
+    * split here re-evaluates per distinct character). */
+  def charEntropy(c: Column): Column = charEntropyFromChars(charsOf(c))
 
   /** URLs in the text (http/https). */
   def urls(c: Column): Column =

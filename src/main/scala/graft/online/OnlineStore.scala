@@ -150,6 +150,11 @@ object InMemoryOnlineStore {
 object ParquetOnlineStore {
   /** Hash-partition directory column (`__bucket=<n>` dirs). */
   val BucketCol = "__bucket"
+  /** Marker file inside each table dir recording the bucket count the
+    * table was created with (underscore prefix: ignored by parquet
+    * partition discovery). A store opened with a different configured
+    * count ADOPTS the persisted one instead of misrouting keys. */
+  val BucketsMarker = "_graft_buckets"
 }
 
 /* Below `smallStoreBytes` the upsert takes a one-job full-rewrite path
@@ -163,18 +168,58 @@ class ParquetOnlineStore(
     basePath: String,
     numBuckets: Int = 32,
     smallStoreBytes: Long = 64L << 20) extends OnlineStore {
-  import ParquetOnlineStore.BucketCol
+  import ParquetOnlineStore.{BucketCol, BucketsMarker}
 
   private def path(project: String, view: String) = s"$basePath/$project/$view"
 
-  private def bucketOf(keys: Seq[(String, Any)]): Int =
-    (EntityKeyCodec.hashKey(keys) % numBuckets).toInt
+  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  /** The bucket count in force for a table: the persisted marker wins
+    * over the configured default, so reopening an existing store with a
+    * different `numBuckets` cannot misroute keys. */
+  private def effectiveBuckets(fs: org.apache.hadoop.fs.FileSystem, p: String): Int = {
+    val marker = hp(s"$p/$BucketsMarker")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt
+      finally in.close()
+    } else numBuckets
+  }
+
+  private def writeBucketsMarker(fs: org.apache.hadoop.fs.FileSystem, p: String): Unit = {
+    val out = fs.create(hp(s"$p/$BucketsMarker"), true)
+    try out.write(numBuckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Crash recovery, run before any read or upsert touches the table:
+    * a crash between the rename-aside and the rename-in leaves data in
+    * `p.old` — restore anything the live tree is missing, then clear
+    * the leftovers. Without this the next upsert's swap would DELETE
+    * the only surviving copy. */
+  private def recover(fs: org.apache.hadoop.fs.FileSystem, p: String): Unit = {
+    val oldRoot = hp(p + ".old")
+    if (!fs.exists(oldRoot)) return
+    if (!fs.exists(hp(p))) {
+      // whole-table swap crashed after moving live aside
+      fs.rename(oldRoot, hp(p))
+    } else {
+      // per-bucket swap crashed: restore buckets missing from live
+      fs.listStatus(oldRoot).foreach { st =>
+        val live = hp(s"$p/${st.getPath.getName}")
+        if (!fs.exists(live)) fs.rename(st.getPath, live)
+      }
+      fs.delete(oldRoot, true)
+    }
+  }
+
+  private def bucketOf(keys: Seq[(String, Any)], buckets: Int): Int =
+    (EntityKeyCodec.hashKey(keys) % buckets).toInt
 
   /** Spark-side bucket id over the (sorted) join-key columns — must stay
     * the driver-side bucketOf's exact twin. */
-  private def bucketExpr(joinKeys: Seq[String]): org.apache.spark.sql.Column = {
+  private def bucketExpr(joinKeys: Seq[String], buckets: Int): org.apache.spark.sql.Column = {
     val sorted = joinKeys.sorted
-    val n = numBuckets
+    val n = buckets
     val f = new org.apache.spark.sql.api.java.UDF1[Row, Int] {
       def call(r: Row): Int = {
         val kvs = sorted.zipWithIndex.map { case (k, i) => k -> r.get(i) }
@@ -189,9 +234,14 @@ class ParquetOnlineStore(
       df: DataFrame, tsCol: String, createdCol: Option[String]): Unit = {
     val spark = df.sparkSession
     val p = path(project, view.name)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = hp(p).getFileSystem(hconf)
+    recover(fs, p)
+    val buckets = effectiveBuckets(fs, p)
+
     val cols = (joinKeys ++ Seq(tsCol) ++ createdCol.toSeq ++ view.featureNames).distinct
     val incoming = df.select(cols.map(col): _*)
-      .withColumn(BucketCol, bucketExpr(joinKeys))
+      .withColumn(BucketCol, bucketExpr(joinKeys, buckets))
     val tmp = p + ".tmp"
     // repartition on the bucket column before partitionBy: partitionBy
     // alone writes one file per (task × bucket) — up to tasks×buckets
@@ -201,14 +251,10 @@ class ParquetOnlineStore(
     // become selective on the key columns, so future row-group-filtered
     // point reads (and any key-ranged scan) skip most of a bucket.
     def stage(d: DataFrame): Unit =
-      d.withColumn(BucketCol, bucketExpr(joinKeys))
-        .repartition(numBuckets, col(BucketCol))
+      d.withColumn(BucketCol, bucketExpr(joinKeys, buckets))
+        .repartition(buckets, col(BucketCol))
         .sortWithinPartitions(joinKeys.map(col): _*)
         .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp)
-
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(hconf)
-    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
 
     val liveBytes =
       if (fs.exists(hp(p))) fs.getContentSummary(hp(p)).getLength else -1L
@@ -216,16 +262,18 @@ class ParquetOnlineStore(
       // First write: nothing to merge — one pass, staging dir IS the store.
       stage(PullLatest.latestPerKey(incoming, joinKeys, tsCol, createdCol, view.featureNames))
       fs.rename(hp(tmp), hp(p))
+      writeBucketsMarker(fs, p)
     } else if (liveBytes <= smallStoreBytes) {
       // Small store: one-job full rewrite (old ∪ incoming), whole-dir
-      // rename-aside swap.
+      // rename-aside swap. recover() above restores any earlier crash's
+      // .old before the swap reuses that name.
       val old = spark.read.parquet(p).select((cols :+ BucketCol).map(col): _*)
       stage(PullLatest.latestPerKey(old.unionByName(incoming),
         joinKeys, tsCol, createdCol, view.featureNames))
       val oldRoot = hp(p + ".old")
-      fs.delete(oldRoot, true)
       fs.rename(hp(p), oldRoot)
       fs.rename(hp(tmp), hp(p))
+      writeBucketsMarker(fs, p)
       fs.delete(oldRoot, true)
     } else {
       // Incremental write: merge only the buckets containing incoming
@@ -245,8 +293,8 @@ class ParquetOnlineStore(
         // Per-bucket rename-aside swap: old bucket moves OUT of the
         // dataset tree first (a `bucket=3.old` dir inside it would
         // corrupt partition discovery), then staged bucket renames in.
+        // recover() above guarantees .old is empty of prior state.
         val oldRoot = hp(p + ".old")
-        fs.delete(oldRoot, true)
         fs.mkdirs(oldRoot)
         touched.foreach { b =>
           val live = hp(s"$p/$BucketCol=$b")
@@ -274,12 +322,15 @@ class ParquetOnlineStore(
     // store size; for ms-latency front with InMemoryOnlineStore.
     val hconf = SparkSession.active.sparkContext.hadoopConfiguration
     val tsCol = view.batchSource.eventTimestampColumn
-    val buckets = entityKeys.map(bucketOf).distinct
+    val p = path(project, view.name)
+    val fsys = hp(p).getFileSystem(hconf)
+    recover(fsys, p)
+    val nb = effectiveBuckets(fsys, p)
+    val buckets = entityKeys.map(k => bucketOf(k, nb)).distinct
     val files: Seq[org.apache.hadoop.fs.Path] = buckets.flatMap { b =>
-      val dir = new org.apache.hadoop.fs.Path(s"${path(project, view.name)}/$BucketCol=$b")
-      val fs = dir.getFileSystem(hconf)
-      if (!fs.exists(dir)) Nil
-      else fs.listStatus(dir).toSeq
+      val dir = hp(s"$p/$BucketCol=$b")
+      if (!fsys.exists(dir)) Nil
+      else fsys.listStatus(dir).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .map(_.getPath)
     }

@@ -115,11 +115,18 @@ object PointInTimeJoin {
     * repartitions, limits, samples — pins via localCheckpoint. */
   private[graft] def needsRowIdPinning(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
     val plan = df.queryExecution.analyzed
     val stableShape = plan.collect { case n => n }.forall {
       case _: Project | _: Filter | _: Union | _: SubqueryAlias | _: LocalRelation => true
-      case leaf if leaf.children.isEmpty &&
-        leaf.getClass.getSimpleName.endsWith("Relation") => true
+      // only FILE-backed leaves are replay-stable: split order and
+      // per-split row order reproduce across executions. A JDBC or
+      // other external relation can legally return rows in any order
+      // per scan — those must pin.
+      case lr: LogicalRelation => lr.relation.isInstanceOf[HadoopFsRelation]
+      case v2: DataSourceV2Relation =>
+        v2.table.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileTable]
       case _ => false
     }
     val deterministic = !plan.exists(_.expressions.exists(e => e.exists(!_.deterministic)))

@@ -106,7 +106,8 @@ object PipelineQueries {
   def charEntropyQ(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .filter(length(col("text")) > 0)
-      .select(col("doc_id"), round(TF.charEntropy(col("text")), 6).as("entropy"))
+      .withColumn("__cs", TF.charsOf(col("text")))
+      .select(col("doc_id"), round(TF.charEntropyFromChars(col("__cs")), 6).as("entropy"))
       .orderBy("doc_id")
 
   val charEntropySql: String =
@@ -192,7 +193,8 @@ object PipelineQueries {
     * the raw double scale and the int vector hash match bitwise). */
   def embeddingQuantize(s: SparkSession, dir: String): DataFrame =
     embs(s, dir)
-      .withColumn("__qz", Similarity.quantizeInt8(col("embedding")))
+      .withColumn("__scale", Similarity.int8Scale(col("embedding")))
+      .withColumn("__qz", Similarity.quantizeInt8(col("embedding"), col("__scale")))
       .select(col("vec_id"), col("__qz.scale").as("scale"),
         md5(concat_ws(",", col("__qz.q")).cast("binary")).as("q_hash"),
         aggregate(col("__qz.q"), lit(0L), (acc, x) => acc + x.cast("long")).as("q_sum"))

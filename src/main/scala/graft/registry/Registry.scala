@@ -148,8 +148,8 @@ object RegistryCodec {
         case m: JObj => m.fields.map { case (v, JArr(ivs)) =>
           v -> ivs.collect { case iv: JObj =>
             MaterializationInterval(
-              new Timestamp(iv("start").asInstanceOf[JNum].toLong),
-              new Timestamp(iv("end").asInstanceOf[JNum].toLong))
+              new Timestamp(Json.toLong(iv("start"))),
+              new Timestamp(Json.toLong(iv("end"))))
           }.toSeq
         case (v, _) => v -> Seq.empty[MaterializationInterval]
         }.toMap
@@ -233,7 +233,7 @@ object RegistryCodec {
           s("event_timestamp_column"), opt("created_timestamp_column"), fm)
       case "file_stream" => FileStreamSource(s("path"), s("format"),
         s("event_timestamp_column"), opt("created_timestamp_column"), fm,
-        o.get("max_files_per_trigger").collect { case n: JNum => n.toLong.toInt })
+        o.get("max_files_per_trigger").collect { case n @ (_: JNum | _: JInt) => Json.toLong(n).toInt })
       case other => throw new IllegalArgumentException(s"unknown source kind $other")
     }
   }
@@ -257,7 +257,7 @@ object RegistryCodec {
         val fo = f.asInstanceOf[JObj]
         Feature(fo("name").asInstanceOf[JStr].v, GraftType.fromName(fo("dtype").asInstanceOf[JStr].v))
       } },
-      ttl = Duration.ofSeconds(o("ttl_seconds").asInstanceOf[JNum].toLong),
+      ttl = Duration.ofSeconds(Json.toLong(o("ttl_seconds"))),
       batchSource = decodeSource(o("batch_source")),
       streamSource = o.get("stream_source").filter(_ != JNull).map(decodeSource),
       online = o.get("online").collect { case JBool(b) => b }.getOrElse(true))

@@ -32,7 +32,8 @@ import graft.util.JValue._
 class ServingServer(fs: FeatureStore, port: Int = 0) {
 
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  server.setExecutor(pool)
 
   /** Bound port (useful when constructed with port 0). */
   def boundPort: Int = server.getAddress.getPort
@@ -48,6 +49,7 @@ class ServingServer(fs: FeatureStore, port: Int = 0) {
 
   private def jsonToKeyValue(v: graft.util.JValue): Any = v match {
     case JStr(s) => s
+    case JInt(l) => l // exact — int64 ids above 2^53 must not round-trip through Double
     case n: JNum => if (n.v.isWhole) n.toLong else n.v
     case JBool(b) => b
     case JNull => null
@@ -58,7 +60,7 @@ class ServingServer(fs: FeatureStore, port: Int = 0) {
     case null => JNull
     case s: String => JStr(s)
     case i: Int => Json.num(i.toLong)
-    case l: Long => Json.num(l)
+    case l: Long => Json.num(l) // JInt — exact
     case d: Double => Json.num(d)
     case f: Float => Json.num(f.toDouble)
     case b: Boolean => Json.bool(b)
@@ -94,13 +96,20 @@ class ServingServer(fs: FeatureStore, port: Int = 0) {
           }.toVector))
         respond(ex, 200, out.render)
       } catch {
-        case e: Exception =>
+        // client errors (bad JSON, unknown refs/features, wrong-typed
+        // keys) -> 400; anything else is a SERVER failure (store IO,
+        // session loss) -> 500 so callers/alerting treat it as such
+        case e @ (_: IllegalArgumentException | _: NoSuchElementException |
+                  _: ClassCastException | _: scala.MatchError) =>
           respond(ex, 400, Json.obj("error" -> Json.str(
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName))).render)
+        case e: Exception =>
+          respond(ex, 500, Json.obj("error" -> Json.str(
             Option(e.getMessage).getOrElse(e.getClass.getSimpleName))).render)
       }
     }
   })
 
   def start(): ServingServer = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 }

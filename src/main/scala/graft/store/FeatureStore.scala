@@ -118,7 +118,7 @@ class FeatureStore(
       val latest = PullLatest.pullLatest(
         df, keys, src.eventTimestampColumn, src.createdTimestampColumn,
         view.featureNames, start, end)
-      onlineStore.upsert(project, view, keys, latest,
+      onlineStore.upsert(project, view, keys, castKeyColumns(latest, view),
         src.eventTimestampColumn, src.createdTimestampColumn)
       registry.applyMaterialization(view.name, start, end)
     }
@@ -189,6 +189,19 @@ class FeatureStore(
   /** Entity names -> join key columns for a view. */
   def joinKeysOf(view: FeatureView): Seq[String] =
     view.entities.map(e => registry.getEntity(e).joinKey)
+
+  /** Cast join-key columns to the registered entity dtypes before rows
+    * reach the online store. The store buckets by hashing PHYSICAL
+    * values (EntityKeyCodec tags Int and Long differently), while reads
+    * hash dtype-COERCED caller values — a source column physically typed
+    * Int for an Int64 entity would otherwise write to one bucket and
+    * read from another, returning spurious NOT_FOUNDs. */
+  private[graft] def castKeyColumns(df: DataFrame, view: FeatureView): DataFrame =
+    view.entities.map(registry.getEntity).foldLeft(df) { (acc, e) =>
+      if (e.dtype == GraftType.Unknown) acc
+      else acc.withColumn(e.joinKey,
+        org.apache.spark.sql.functions.col(e.joinKey).cast(e.dtype.sparkType))
+    }
 
   /** A ref naming a feature the view doesn't declare is a user error —
     * fail with the view's actual surface instead of an unresolved-column

@@ -43,8 +43,10 @@ object StreamMaterializer {
         if (!batch.isEmpty) {
           // No pre-reduction: upsert's merge already runs latest-per-key
           // over (existing ∪ batch), so reducing the batch first would
-          // just add a shuffle per micro-batch.
-          fs.onlineStore.upsert(fs.project, view, keys, batch, tsCol, createdCol)
+          // just add a shuffle per micro-batch. Keys cast to entity
+          // dtypes so bucket routing matches coerced reads.
+          fs.onlineStore.upsert(fs.project, view, keys,
+            fs.castKeyColumns(batch, view), tsCol, createdCol)
         }
         ()
       }
@@ -71,8 +73,15 @@ object StreamMaterializer {
       case other => throw new IllegalArgumentException(
         s"logStream appends to a parquet FileSource; ${view.name} reads from $other")
     }
-    val stream = SourceReader.readStream(fs.spark, src)
-    val tsCol = src.eventTimestampColumn
+    // Reverse the sink's field mapping (as FeatureStore.ingest does):
+    // on-disk files carry SOURCE column names; the decoded stream
+    // carries feature names. Writing unmapped would mix the two schemas
+    // in one dataset and break subsequent batch reads.
+    val stream = SourceReader.applyFieldMapping(
+      SourceReader.readStream(fs.spark, src), sink.fieldMapping.map(_.swap))
+    val tsCol =
+      if (stream.columns.contains(sink.eventTimestampColumn)) sink.eventTimestampColumn
+      else src.eventTimestampColumn
     val (withDate, partitionCols) = sink.datePartitionColumn match {
       case Some(dc) => (stream.withColumn(dc, to_date(col(tsCol))), Seq(dc))
       case None => (stream, Nil)

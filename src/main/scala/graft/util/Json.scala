@@ -18,6 +18,10 @@ object JValue {
   final case class JArr(items: Vector[JValue]) extends JValue
   final case class JStr(v: String) extends JValue
   final case class JNum(v: Double) extends JValue { def toLong: Long = v.toLong }
+  /** Integral literal kept exact: a Double-backed JNum silently corrupts
+    * int64 values above 2^53 (snowflake-style ids). The parser emits
+    * JInt for plain integer literals that fit a Long. */
+  final case class JInt(v: Long) extends JValue { def toLong: Long = v }
   final case class JBool(v: Boolean) extends JValue
   case object JNull extends JValue
 }
@@ -29,16 +33,24 @@ object Json {
   def arr(items: Iterable[JValue]): JArr = JArr(items.toVector)
   def str(s: String): JStr = JStr(s)
   def num(n: Double): JNum = JNum(n)
-  def num(n: Long): JNum = JNum(n.toDouble)
+  def num(n: Long): JInt = JInt(n)
   def bool(b: Boolean): JBool = JBool(b)
+
+  /** Exact long from either numeric node (raises on non-integral). */
+  def toLong(j: JValue): Long = j match {
+    case JInt(v) => v
+    case n: JNum if n.v.isWhole => n.toLong
+    case other => throw new IllegalArgumentException(s"expected integer, got $other")
+  }
 
   def render(v: JValue): String = v match {
     case JObj(fields) =>
       fields.map { case (k, x) => s"${quote(k)}:${render(x)}" }.mkString("{", ",", "}")
     case JArr(items) => items.map(render).mkString("[", ",", "]")
     case JStr(s) => quote(s)
-    case JNum(d) =>
-      if (d.isWhole && math.abs(d) < 9.007199254740992e15) d.toLong.toString else d.toString
+    case JInt(l) => l.toString
+    // keep double syntax ("300.0", not "300") so JNum re-parses as JNum
+    case JNum(d) => d.toString
     case JBool(b) => b.toString
     case JNull => "null"
   }
@@ -139,11 +151,16 @@ object Json {
       i += 1
       sb.toString
     }
-    private def number0(): JNum = {
+    private def number0(): JValue = {
       val start = i
       while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1
       if (i == start) fail("expected value")
-      JNum(s.substring(start, i).toDouble)
+      val lit = s.substring(start, i)
+      // plain integer literal -> exact JInt; anything else (fraction,
+      // exponent, Long overflow) -> JNum double
+      if (lit.forall(c => c.isDigit || c == '-' || c == '+'))
+        try JInt(lit.toLong) catch { case _: NumberFormatException => JNum(lit.toDouble) }
+      else JNum(lit.toDouble)
     }
   }
 }

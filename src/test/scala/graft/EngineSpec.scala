@@ -227,6 +227,41 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("store recovers from a crashed swap; bucket count persisted and adopted; int-typed keys route correctly") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graftrec").toString
+    // SOURCE column physically Int for an Int64 entity: materialize must
+    // cast keys so write-side bucketing matches coerced reads
+    val df = Seq((1, ts("2024-01-01 10:00:00"), 0.5), (2, ts("2024-01-01 11:00:00"), 0.7))
+      .toDF("driver_id", "et", "v") // driver_id: IntegerType
+    val fs = new FeatureStore("rec", new Registry(),
+      new ParquetOnlineStore(base, numBuckets = 8), spark)
+    fs.applyEntity(Entity("driver", GraftType.Int64, Some("driver_id")))
+    fs.applyFeatureView(FeatureView("rv", Seq("driver"), Seq(Feature("v", GraftType.Dbl)),
+      Duration.ZERO, DataFrameSource(df, "et")))
+    fs.materialize(Seq("rv"), ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"))
+    val resp = fs.getOnlineFeatures(Seq("rv:v"), Seq(Map[String, Any]("driver_id" -> 1L)))
+    assert(resp.toMap("rv:v") == Seq(0.5),
+      "Int source column for Int64 entity must still route reads to the right bucket")
+
+    // simulate a crash after rename-aside, before rename-in: live dir
+    // missing, .old holds the data — the next read must recover it
+    val p = new java.io.File(s"$base/rec/rv")
+    assert(p.renameTo(new java.io.File(s"$base/rec/rv.old")))
+    val resp2 = fs.getOnlineFeatures(Seq("rv:v"), Seq(Map[String, Any]("driver_id" -> 2L)))
+    assert(resp2.toMap("rv:v") == Seq(0.7), "crashed whole-table swap must self-recover")
+    assert(p.exists, "recovery must restore the live directory")
+
+    // reopen the same path with a DIFFERENT configured bucket count:
+    // the persisted marker must win (no misrouted reads)
+    val reopened = new FeatureStore("rec", fs.registry,
+      new ParquetOnlineStore(base, numBuckets = 32), spark)
+    val resp3 = reopened.getOnlineFeatures(Seq("rv:v"),
+      Seq(Map[String, Any]("driver_id" -> 1L), Map[String, Any]("driver_id" -> 2L)))
+    assert(resp3.toMap("rv:v") == Seq(0.5, 0.7),
+      "persisted bucket count must override the configured one")
+  }
+
   test("O16: online entity-row values are coerced to the registered dtype or rejected") {
     import spark.implicits._
     val df = Seq((1L, ts("2024-01-01 10:00:00"), 1.5)).toDF("driver_id", "et", "v")

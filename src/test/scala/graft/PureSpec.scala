@@ -77,6 +77,19 @@ class PureSpec extends AnyFunSuite {
     assert(decoded.materializations == state.materializations)
   }
 
+  test("Json: int64 literals round-trip exactly (JInt), doubles stay JNum") {
+    import graft.util.JValue._
+    val big = 1234567890123456789L // above 2^53 — Double would corrupt it
+    val parsed = Json.parse(s"""{"id": $big, "v": 0.5, "n": -42}""").asInstanceOf[JObj]
+    assert(parsed("id") == JInt(big))
+    assert(Json.toLong(parsed("id")) == big)
+    assert(parsed("v") == JNum(0.5))
+    assert(Json.toLong(parsed("n")) == -42L)
+    assert(Json.parse(parsed.render) == parsed, "render/parse round trip")
+    assert(parsed.render.contains(big.toString), "exact digits preserved in output")
+    intercept[IllegalArgumentException](Json.toLong(JNum(0.5)))
+  }
+
   test("murmur3 x64 128 entity id: known empty vector, avalanche, stable hex") {
     import graft.online.EntityKeyCodec
     // canonical x64_128 property: empty input, seed 0 -> (0, 0)
