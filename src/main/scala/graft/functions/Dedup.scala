@@ -82,17 +82,17 @@ object Dedup {
     // recomputed again post-shuffle (measured 10x the honest cost).
     // Filtering above the cached relation blocks the sink.
     //
-    // Cache lifetime: the block stays registered until eviction (it is
-    // MEMORY_AND_DISK, so memory pressure demotes it to disk rather than
-    // OOM) or until the caller drops it — a long-lived session running
-    // many dedup passes can reclaim everything with
-    // spark.catalog.clearCache().
-    val shingled = rebalance(df)
+    // Cache lifetime is deterministic (ADVICE r2): the cache is dropped
+    // as soon as the first action consuming the returned frame completes
+    // (see unpersistAfterFirstUse) — a long-lived session running many
+    // dedup passes no longer accumulates cached relations. Re-executing
+    // the returned frame after that first action recomputes shingles.
+    val shingleProj = rebalance(df)
       .withColumn("__words", TextFunctions.words(col(textCol)))
       .select(col(idCol).as("id"),
         TextFunctions.wordNgramsFromWords(col("__words"), shingleN).as("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .filter(size(col("shingles")) > 0)
+    val shingled = shingleProj.filter(size(col("shingles")) > 0)
 
     val banded = shingled
       .withColumn("__h", transform(col("shingles"), e => xxhash64(e)))
@@ -112,12 +112,46 @@ object Dedup {
 
     // Exact verification on candidates only.
     val sh = shingled
-    pairs
+    val out = pairs
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    unpersistAfterFirstUse(out, shingleProj)
+  }
+
+  /** Deterministic cache lifetime for an intermediate persist feeding a
+    * returned lazy frame: drop `cached` as soon as the first action that
+    * consumes `result` completes (success OR failure), via a
+    * self-unregistering QueryExecutionListener. Keeps the public API
+    * lazy (plans stay inspectable) while bounding the cache's life to
+    * one consumption — the intended use of these operators. If the
+    * result is never executed, the persist stays unmaterialized (a
+    * CacheManager entry with no blocks — negligible). */
+  private[functions] def unpersistAfterFirstUse(result: DataFrame, cached: DataFrame): DataFrame = {
+    val spark = result.sparkSession
+    val target = result.queryExecution.analyzed
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private def consume(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+        val hit =
+          try qe.analyzed.exists(p => (p eq target) || p.sameResult(target))
+          catch { case _: Throwable => false }
+        if (hit && done.compareAndSet(false, true)) {
+          cached.unpersist()
+          spark.listenerManager.unregister(this)
+        }
+      }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        consume(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
+        consume(qe)
+    }
+    spark.listenerManager.register(listener)
+    result
   }
 
   /** Hash/shingle work is CPU-bound per row; when the source collapses
@@ -150,13 +184,20 @@ object Dedup {
     * least `minShared` word-n-grams with any eval document. The classic
     * benchmark-decontamination shape (13-gram collision): explode each
     * side to (gram, id), equi-join on the gram hash — a shuffle join on
-    * gram hashes, never a document cross join — and count distinct
-    * collisions per (corpus, eval) pair. Eval sets are small: the gram
-    * join broadcasts that side. */
+    * gram hashes, never a document cross join.
+    *
+    * The eval side is broadcast only when its INPUT is provably small
+    * (plan-stat bytes under a conservative bound) or the caller forces
+    * it via `broadcastEval` — an unconditional hint would ship the
+    * *exploded gram table* (≈ n rows per eval word) to the driver and
+    * OOM it at exactly the 50k-doc benchmark-decontamination scale this
+    * operator is named for. Above the bound, AQE picks the join
+    * strategy from runtime sizes. */
   def ngramContamination(
       corpus: DataFrame, corpusId: String, corpusText: String,
       eval_ : DataFrame, evalId: String, evalText: String,
-      n: Int = 13, minShared: Int = 1): DataFrame = {
+      n: Int = 13, minShared: Int = 1,
+      broadcastEval: Option[Boolean] = None): DataFrame = {
     def grams(df: DataFrame, id: String, text: String, outId: String): DataFrame =
       df.withColumn("__w", TextFunctions.words(col(text)))
         .select(col(id).as(outId),
@@ -164,7 +205,13 @@ object Dedup {
         .select(col(outId), xxhash64(col("__g")).as("__gh"))
     val c = grams(corpus, corpusId, corpusText, "corpus_id")
     val e = grams(eval_, evalId, evalText, "eval_id")
-    c.join(broadcast(e), "__gh")
+    // gram-table size ≈ a few × eval text bytes (one (id, hash) row per
+    // word); 4 MB of input keeps even the exploded broadcast well under
+    // typical driver/executor headroom
+    val evalBytes = eval_.queryExecution.optimizedPlan.stats.sizeInBytes
+    val forceBroadcast = broadcastEval.getOrElse(evalBytes < BigInt(4L << 20))
+    val evalSide = if (forceBroadcast) broadcast(e) else e
+    c.join(evalSide, "__gh")
       .groupBy("corpus_id", "eval_id")
       .agg(countDistinct(col("__gh")).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -219,9 +219,19 @@ object Similarity {
     val scored = assigned.join(broadcast(probed), "cell")
       .filter(col("__qid") =!= col("__cid"))
       .withColumn("__cos", cosine(col("__qvec"), col("__cvec")))
+    // Two-level top-k, same shape as bruteForceTopK: level 1 keeps k
+    // candidates per (query, partition), level 2 merges the winners. A
+    // single groupBy("__qid") would buffer EVERY surviving candidate of
+    // a hot query (one probing dense cells) in one aggregation group —
+    // the skew the probe pruning can't prevent. Here the shuffle carries
+    // at most k × numPartitions rows per query.
     val cand = struct((-col("__cos")).as("negcos"), col("__cid").as("id"), col("__cos").as("cos"))
-    scored.groupBy("__qid")
+    val level1 = scored
+      .groupBy(col("__qid"), spark_partition_id().as("__part"))
       .agg(slice(array_sort(collect_list(cand)), 1, k).as("top"))
+    level1
+      .groupBy("__qid")
+      .agg(slice(array_sort(flatten(collect_list(col("top")))), 1, k).as("top"))
       .select(col("__qid").as("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.id").as("neighbor_id"),
         col("col.cos").as("cos"), (col("pos") + 1).as("rank"))

@@ -176,26 +176,37 @@ class ParquetOnlineStore(
 
   /** The bucket count in force for a table: the persisted marker wins
     * over the configured default, so reopening an existing store with a
-    * different `numBuckets` cannot misroute keys. */
-  private def effectiveBuckets(fs: org.apache.hadoop.fs.FileSystem, p: String): Int = {
+    * different `numBuckets` cannot misroute keys. The marker is written
+    * into the staging dir BEFORE the table rename (never after), so a
+    * table dir and its marker become visible atomically — there is no
+    * crash window where a bucketed table exists without its marker.
+    * Readers racing a swap also check the rename-aside tree. */
+  private def markerAt(fs: org.apache.hadoop.fs.FileSystem, p: String): Option[Int] = {
     val marker = hp(s"$p/$BucketsMarker")
-    if (fs.exists(marker)) {
+    if (!fs.exists(marker)) None
+    else {
       val in = fs.open(marker)
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt)
       finally in.close()
-    } else numBuckets
+    }
   }
 
-  private def writeBucketsMarker(fs: org.apache.hadoop.fs.FileSystem, p: String): Unit = {
-    val out = fs.create(hp(s"$p/$BucketsMarker"), true)
+  private def effectiveBuckets(fs: org.apache.hadoop.fs.FileSystem, p: String): Int =
+    markerAt(fs, p).orElse(markerAt(fs, p + ".old")).getOrElse(numBuckets)
+
+  private def writeBucketsMarker(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    val out = fs.create(hp(s"$dir/$BucketsMarker"), true)
     try out.write(numBuckets.toString.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Crash recovery, run before any read or upsert touches the table:
-    * a crash between the rename-aside and the rename-in leaves data in
-    * `p.old` — restore anything the live tree is missing, then clear
-    * the leftovers. Without this the next upsert's swap would DELETE
-    * the only surviving copy. */
+  /** Crash recovery, run ONLY from the write path (upsert/teardown own
+    * the table; reads must never mutate — a point read racing an
+    * in-flight upsert would mistake the upsert's live rename-aside dir
+    * for crash leftovers and "restore" it mid-swap, corrupting the
+    * layout; ADVICE r2). A crash between the rename-aside and the
+    * rename-in leaves data in `p.old` — restore anything the live tree
+    * is missing, then clear the leftovers. Without this the next
+    * upsert's swap would DELETE the only surviving copy. */
   private def recover(fs: org.apache.hadoop.fs.FileSystem, p: String): Unit = {
     val oldRoot = hp(p + ".old")
     if (!fs.exists(oldRoot)) return
@@ -240,7 +251,17 @@ class ParquetOnlineStore(
     val buckets = effectiveBuckets(fs, p)
 
     val cols = (joinKeys ++ Seq(tsCol) ++ createdCol.toSeq ++ view.featureNames).distinct
-    val incoming = df.select(cols.map(col): _*)
+    // Null join keys are a data-quality error; reject them here with a
+    // readable message instead of letting EntityKeyCodec.serialize throw
+    // an opaque per-task stack deep inside the bucket-routing UDF.
+    val guarded = cols.map {
+      case k if joinKeys.contains(k) =>
+        when(col(k).isNull, raise_error(lit(
+          s"graft: null join key '$k' in upsert for view '${view.name}' — " +
+            "filter or fill null-keyed rows before materialize"))).otherwise(col(k)).as(k)
+      case c => col(c)
+    }
+    val incoming = df.select(guarded: _*)
       .withColumn(BucketCol, bucketExpr(joinKeys, buckets))
     val tmp = p + ".tmp"
     // repartition on the bucket column before partitionBy: partitionBy
@@ -259,21 +280,24 @@ class ParquetOnlineStore(
     val liveBytes =
       if (fs.exists(hp(p))) fs.getContentSummary(hp(p)).getLength else -1L
     if (liveBytes < 0) {
-      // First write: nothing to merge — one pass, staging dir IS the store.
+      // First write: nothing to merge — one pass, staging dir IS the
+      // store. Marker goes into the staging dir BEFORE the rename so
+      // data + marker appear atomically.
       stage(PullLatest.latestPerKey(incoming, joinKeys, tsCol, createdCol, view.featureNames))
+      writeBucketsMarker(fs, tmp)
       fs.rename(hp(tmp), hp(p))
-      writeBucketsMarker(fs, p)
     } else if (liveBytes <= smallStoreBytes) {
       // Small store: one-job full rewrite (old ∪ incoming), whole-dir
       // rename-aside swap. recover() above restores any earlier crash's
-      // .old before the swap reuses that name.
+      // .old before the swap reuses that name. Marker is staged with the
+      // data, so the swap can't leave a marker-less bucketed table.
       val old = spark.read.parquet(p).select((cols :+ BucketCol).map(col): _*)
       stage(PullLatest.latestPerKey(old.unionByName(incoming),
         joinKeys, tsCol, createdCol, view.featureNames))
+      writeBucketsMarker(fs, tmp)
       val oldRoot = hp(p + ".old")
       fs.rename(hp(p), oldRoot)
       fs.rename(hp(tmp), hp(p))
-      writeBucketsMarker(fs, p)
       fs.delete(oldRoot, true)
     } else {
       // Incremental write: merge only the buckets containing incoming
@@ -324,15 +348,26 @@ class ParquetOnlineStore(
     val tsCol = view.batchSource.eventTimestampColumn
     val p = path(project, view.name)
     val fsys = hp(p).getFileSystem(hconf)
-    recover(fsys, p)
+    // Reads NEVER run recovery (ADVICE r2): a read racing an in-flight
+    // upsert would mistake the upsert's live rename-aside dir for crash
+    // leftovers and mutate the table mid-swap. Instead reads are
+    // mutation-free and tolerate mid-swap state: a bucket dir missing
+    // from the live tree is looked up in the rename-aside tree
+    // (`p.old`) before reporting NOT_FOUND — that copy is at worst one
+    // batch stale, which an online read racing a write may observe
+    // anyway. Actual crash leftovers are healed by the next upsert.
     val nb = effectiveBuckets(fsys, p)
     val buckets = entityKeys.map(k => bucketOf(k, nb)).distinct
-    val files: Seq[org.apache.hadoop.fs.Path] = buckets.flatMap { b =>
-      val dir = hp(s"$p/$BucketCol=$b")
+    def bucketFiles(root: String, b: Int): Seq[org.apache.hadoop.fs.Path] = {
+      val dir = hp(s"$root/$BucketCol=$b")
       if (!fsys.exists(dir)) Nil
       else fsys.listStatus(dir).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .map(_.getPath)
+    }
+    val files: Seq[org.apache.hadoop.fs.Path] = buckets.flatMap { b =>
+      val live = bucketFiles(p, b)
+      if (live.nonEmpty) live else bucketFiles(p + ".old", b)
     }
     // Row-group pruning on the leading sort key (buckets are written
     // sorted by joinKeys): groups whose stats exclude every requested

@@ -443,17 +443,65 @@ object PipelineQueries {
       |SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** IVF-partitioned ANN (scale path) — approximate by construction, so
-    * rows-only here; recall-vs-brute-force is asserted in GraftSpec. */
+  /** IVF-partitioned ANN (scale path), deterministic-anchor variant:
+    * kmeansIters = 0 makes the anchors the first nCells corpus vectors
+    * by id and every remaining step (assignment, probe, scoring, top-k)
+    * plain cosine arithmetic — fully recomputable by the DuckDB oracle
+    * with list_dot_product in the same fold order, so this approximate
+    * operator still gets a rows+schema+hash check. The k-means-refined
+    * anchor path is pinned separately by the recall scalatest
+    * (approximate by construction — no value oracle possible). */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     val q = e.filter(col("vec_id") < 8)
     Similarity.ivfTopK(q, "vec_id", "embedding", e, "vec_id", "embedding",
-        k = 5, nCells = 16, nProbe = 4)
+        k = 5, nCells = 16, nProbe = 4, kmeansIters = 0)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cos"), 6).as("cos"), col("rank").cast("int").as("rank"))
       .orderBy("query_id", "rank")
   }
+
+  /** DuckDB replay of the deterministic IVF: anchors = vec_id < 16,
+    * assignment = argmax cosine (ties -> lower cell_id, matching the
+    * (negcos, cell_id) struct sort), probe = top-4 cells per query,
+    * then exact top-5 within probed cells. */
+  val annIvfSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |anchors AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
+      |assign_scored AS (
+      |  SELECT e.vec_id, e.v, a.cell_id,
+      |         list_dot_product(e.v, a.cv)
+      |         / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(a.cv, a.cv))) AS c
+      |  FROM e CROSS JOIN anchors a),
+      |assigned AS (
+      |  SELECT vec_id, v, cell_id AS cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                                 ORDER BY c DESC, cell_id ASC) AS rn
+      |    FROM assign_scored) WHERE rn = 1),
+      |q AS (SELECT vec_id, v FROM e WHERE vec_id < 8),
+      |probe_scored AS (
+      |  SELECT q.vec_id AS qid, q.v AS qv, a.cell_id,
+      |         list_dot_product(q.v, a.cv)
+      |         / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(a.cv, a.cv))) AS c
+      |  FROM q CROSS JOIN anchors a),
+      |probed AS (
+      |  SELECT qid, qv, cell_id AS cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      |                                 ORDER BY c DESC, cell_id ASC) AS rn
+      |    FROM probe_scored) WHERE rn <= 4),
+      |scored AS (
+      |  SELECT p.qid AS query_id, s.vec_id AS neighbor_id,
+      |         list_dot_product(p.qv, s.v)
+      |         / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(s.v, s.v))) AS cos
+      |  FROM probed p JOIN assigned s ON p.cell = s.cell
+      |  WHERE p.qid <> s.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id
+      |                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // ---- multimodal -------------------------------------------------------
 
@@ -516,5 +564,6 @@ object PipelineQueries {
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_embedding_neardup" -> embeddingNearDupSql,
     "q_ann_brute_force" -> annBruteForceSql,
+    "q_ann_ivf" -> annIvfSql,
     "q_multimodal_meta" -> multimodalMetaSql)
 }

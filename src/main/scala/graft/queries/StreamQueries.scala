@@ -20,18 +20,21 @@ import graft.streaming.StreamMaterializer
   */
 object StreamQueries {
 
-  /** Replay events as a 4-file stream (maxFilesPerTrigger=1 -> 4
+  /** Replay events as a 2-file stream (maxFilesPerTrigger=1 -> 2
     * micro-batches with keys scattered across them), materialize each
     * batch into the online store, then dump the store. Oracle: global
-    * latest-per-key — only holds if cross-batch last-write-wins works. */
+    * latest-per-key — only holds if cross-batch last-write-wins works.
+    * Two batches are the minimum that exercises the cross-batch merge;
+    * more would only multiply the ~1.5 s/micro-batch local-mode driver
+    * floor into the bench without testing anything extra (VERDICT r2). */
   def streamMaterialize(s: SparkSession, dir: String): DataFrame = {
-    // Deterministic 4-file input copy, cached across invocations (the
+    // Deterministic 2-file input copy, cached across invocations (the
     // store + checkpoint stay per-run under a fresh tmp dir).
-    val input = s"/tmp/graft_stream_in4_${Math.abs(dir.hashCode)}"
+    val input = s"/tmp/graft_stream_in2_${Math.abs(dir.hashCode)}"
     if (!new java.io.File(s"$input/_SUCCESS").exists()) {
       Tables.read(s, dir, "events")
         .select("user_id", "ts", "event_type", "value")
-        .repartition(4)
+        .repartition(2)
         .write.mode("overwrite").parquet(input)
     }
     val tmp = s"/tmp/graft_stream_${java.util.UUID.randomUUID().toString.take(8)}"

@@ -245,12 +245,21 @@ class EngineSpec extends AnyFunSuite {
       "Int source column for Int64 entity must still route reads to the right bucket")
 
     // simulate a crash after rename-aside, before rename-in: live dir
-    // missing, .old holds the data — the next read must recover it
+    // missing, .old holds the data. Reads are mutation-free (ADVICE r2 —
+    // a read racing a live swap must not "recover" it): they serve from
+    // the .old fallback and leave the layout untouched; the next WRITE
+    // heals it.
     val p = new java.io.File(s"$base/rec/rv")
     assert(p.renameTo(new java.io.File(s"$base/rec/rv.old")))
     val resp2 = fs.getOnlineFeatures(Seq("rv:v"), Seq(Map[String, Any]("driver_id" -> 2L)))
-    assert(resp2.toMap("rv:v") == Seq(0.7), "crashed whole-table swap must self-recover")
-    assert(p.exists, "recovery must restore the live directory")
+    assert(resp2.toMap("rv:v") == Seq(0.7), "read must serve from the rename-aside fallback")
+    assert(!p.exists, "a read must never mutate the store layout")
+    fs.materialize(Seq("rv"), ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"))
+    assert(p.exists, "the next upsert must run crash recovery and restore the live dir")
+    assert(!new java.io.File(s"$base/rec/rv.old").exists,
+      "recovery must clear the rename-aside leftovers")
+    val respHealed = fs.getOnlineFeatures(Seq("rv:v"), Seq(Map[String, Any]("driver_id" -> 2L)))
+    assert(respHealed.toMap("rv:v") == Seq(0.7), "healed store must serve from the live tree")
 
     // reopen the same path with a DIFFERENT configured bucket count:
     // the persisted marker must win (no misrouted reads)

@@ -72,6 +72,25 @@ class PlanSpec extends AnyFunSuite {
       scan.withColumn("r", rand())))
   }
 
+  test("IVF top-k is two-level: per-partition partial top-k before the per-query merge") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 64)
+      .map(i => (i.toLong, Array.fill(8)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val q = corpus.filter(org.apache.spark.sql.functions.col("vec_id") < 4)
+    val plan = graft.functions.Similarity.ivfTopK(
+        q, "vec_id", "embedding", corpus, "vec_id", "embedding",
+        k = 5, nCells = 8, nProbe = 2, kmeansIters = 0)
+      .queryExecution.executedPlan.toString
+    // level 1 groups by (query, spark_partition_id); a single-level
+    // collect would buffer every candidate of a hot query in one group
+    assert(plan.toLowerCase.contains("spark_partition_id"),
+      s"IVF top-k must partial-aggregate per (query, partition):\n$plan")
+    assert("collect_list".r.findAllIn(plan).size >= 2,
+      s"IVF top-k must aggregate at two levels:\n$plan")
+  }
+
   test("minhash LSH dedup plans no cartesian product") {
     import spark.implicits._
     val docs = (0 until 50).map(i => (i.toLong, s"doc $i words tokens sample text payload"))
