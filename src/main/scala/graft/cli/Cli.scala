@@ -40,6 +40,15 @@ object RepoConfig {
           val buckets = s.get("num_buckets").map(Json.toLong(_).toInt).getOrElse(32)
           new ParquetOnlineStore(s("path").asInstanceOf[JStr].v, numBuckets = buckets)
         case JStr("memory") => new InMemoryOnlineStore()
+        case JStr("jdbc") =>
+          // "url" for any JDBC server; "path" shorthand for an embedded
+          // Derby database dir (the reference's sqlite-store analog)
+          val url = s.get("url").map(_.asInstanceOf[JStr].v)
+            .orElse(s.get("path").map(p =>
+              graft.online.JdbcOnlineStore.derbyUrl(p.asInstanceOf[JStr].v)))
+            .getOrElse(throw new IllegalArgumentException(
+              "jdbc online store needs a 'url' or 'path'"))
+          new graft.online.JdbcOnlineStore(url)
         case other => throw new IllegalArgumentException(s"unknown online store type $other")
       }
       case _ => new InMemoryOnlineStore()

@@ -1,0 +1,290 @@
+package graft.online
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.sql.{Connection, DriverManager, SQLException, Timestamp}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.model.FeatureView
+import graft.operators.PullLatest
+
+/** JDBC-backed online store — the SQL-database analog of the reference's
+  * sqlite online store (reference
+  * `sdk/python/feast/infra/online_stores/sqlite.py:76-164`) and the
+  * demonstration of the external-KV adapter seam: the engine talks to a
+  * real external protocol (JDBC) through the same `OnlineStore` trait the
+  * reference uses for redis/dynamodb/datastore, so plugging a server
+  * store is a URL + driver choice, not an engine change.
+  *
+  * Defaults to Apache Derby embedded (already on Spark's classpath — the
+  * hive-metastore dependency), which is the closest in-sandbox analog of
+  * the reference's embedded sqlite. Point the URL at any JDBC server for
+  * a shared multi-executor store; with the embedded driver the database
+  * lives in the driver/executor JVM's filesystem, which is correct on
+  * `local[N]` (one JVM) and for tests, like `InMemoryOnlineStore`.
+  *
+  * Layout: one table per (project, view), one row per entity key —
+  * `(entity_key VARCHAR PK, event_ts, created_ts, payload BLOB)` where
+  * `entity_key` is the canonical hex serialization ([[EntityKeyCodec]])
+  * and `payload` is a type-tagged binary map of the view's feature
+  * values ([[ValueCodec]]). The reference stores one row per
+  * (entity_key, feature_name); one row per entity halves round-trips and
+  * makes last-write-wins atomic per entity — our upserts always carry a
+  * view's full feature row, so per-feature granularity buys nothing.
+  *
+  * Writes are distributed (`foreachPartition`, one connection per
+  * partition, hash-repartitioned by entity key so no two tasks race on
+  * the same row) and last-write-wins by `(event_ts, created_ts)`
+  * enforced IN SQL — the UPDATE's WHERE clause rejects stale rows, so
+  * streaming replays are idempotent regardless of arrival order, same
+  * contract as the other stores. Point reads are driver-side JDBC
+  * SELECT ... IN — no Spark job on the latency path.
+  */
+class JdbcOnlineStore(
+    url: String,
+    writeBatchSize: Int = 500,
+    writeParallelism: Int = 4) extends OnlineStore {
+  import JdbcOnlineStore._
+
+  private def tableName(project: String, view: String): String =
+    "G_" + s"${project}_$view".map(c => if (c.isLetterOrDigit) c else '_')
+
+  def upsert(project: String, view: FeatureView, joinKeys: Seq[String],
+      df: DataFrame, tsCol: String, createdCol: Option[String]): Unit = {
+    val t = tableName(project, view.name)
+    val feats = view.featureNames
+    val cols = (joinKeys ++ Seq(tsCol) ++ createdCol.toSeq ++ feats).distinct
+    // Null join keys rejected with a readable message (same contract as
+    // ParquetOnlineStore) before the key-serializing closure sees them.
+    val guarded = cols.map {
+      case k if joinKeys.contains(k) =>
+        when(col(k).isNull, raise_error(lit(
+          s"graft: null join key '$k' in upsert for view '${view.name}' — " +
+            "filter or fill null-keyed rows before materialize"))).otherwise(col(k)).as(k)
+      case c => col(c)
+    }
+    // Reduce to one row per key BEFORE touching JDBC: round-trips cost
+    // more than a map-side-combining aggregation, and it leaves at most
+    // one writer statement per key per batch.
+    val latest = PullLatest.latestPerKey(
+      df.select(guarded: _*), joinKeys, tsCol, createdCol, feats)
+
+    withConnection(url)(ensureTable(_, t))
+
+    val (u, keys, ts, created, batch) =
+      (url, joinKeys, tsCol, createdCol, writeBatchSize)
+    latest
+      .repartition(math.max(1, writeParallelism), joinKeys.map(col): _*)
+      .foreachPartition { (rows: Iterator[Row]) =>
+        if (rows.nonEmpty) writePartition(u, t, keys, ts, created, feats, batch, rows)
+      }
+  }
+
+  def read(project: String, view: FeatureView, joinKeys: Seq[String],
+      entityKeys: Seq[Seq[(String, Any)]],
+      features: Seq[String]): Seq[(Option[Timestamp], Map[String, FeatureValue])] = {
+    val t = tableName(project, view.name)
+    val hexes = entityKeys.map(EntityKeyCodec.hexKey)
+    val found: Map[String, (Timestamp, Map[String, Any])] =
+      try withConnection(url) { conn =>
+        hexes.distinct.grouped(ReadChunk).flatMap { chunk =>
+          val in = chunk.map(_ => "?").mkString(",")
+          val st = conn.prepareStatement(
+            s"SELECT entity_key, event_ts, payload FROM $t WHERE entity_key IN ($in)")
+          try {
+            chunk.zipWithIndex.foreach { case (h, i) => st.setString(i + 1, h) }
+            val rs = st.executeQuery()
+            val out = Iterator.continually(rs)
+              .takeWhile(_.next())
+              .map(r => r.getString(1) ->
+                (r.getTimestamp(2), ValueCodec.decodeMap(r.getBytes(3))))
+              .toList
+            rs.close(); out
+          } finally st.close()
+        }.toMap
+      } catch {
+        case e: SQLException if isMissingTable(e) => Map.empty // never materialized
+      }
+    hexes.map { h =>
+      found.get(h) match {
+        case Some((ts, values)) =>
+          (Some(ts), features.map { f =>
+            val v = values.getOrElse(f, null)
+            f -> (if (v != null) FeatureValue(v, FeatureStatus.Present)
+                  else FeatureValue(null, FeatureStatus.NotFound))
+          }.toMap)
+        case None =>
+          (None, features.map(f => f -> FeatureValue(null, FeatureStatus.NotFound)).toMap)
+      }
+    }
+  }
+
+  def teardown(project: String, views: Seq[FeatureView]): Unit =
+    withConnection(url) { conn =>
+      views.foreach { v =>
+        try {
+          val st = conn.createStatement()
+          try st.executeUpdate(s"DROP TABLE ${tableName(project, v.name)}")
+          finally st.close()
+        } catch { case e: SQLException if isMissingTable(e) => () }
+      }
+    }
+}
+
+object JdbcOnlineStore {
+
+  private val ReadChunk = 100
+  /** COALESCE floor for null created_ts in the LWW comparison. */
+  private val TsFloor = "TIMESTAMP('0001-01-01 00:00:00')"
+
+  /** Derby embedded URL for a database directory (`;create=true`). */
+  def derbyUrl(dbDir: String): String = s"jdbc:derby:$dbDir;create=true"
+
+  // Derby 10.15+ registers its driver via the ServiceLoader; forcing the
+  // class load here keeps non-ServiceLoader JDBC setups working too.
+  private def withConnection[A](url: String)(f: Connection => A): A = {
+    try Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    catch { case _: ClassNotFoundException => () }
+    val conn = DriverManager.getConnection(url)
+    try f(conn) finally conn.close()
+  }
+
+  private def isMissingTable(e: SQLException): Boolean =
+    e.getSQLState == "42X05" || e.getSQLState == "42Y55"
+
+  private def ensureTable(conn: Connection, t: String): Unit =
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        s"""CREATE TABLE $t (
+           |  entity_key VARCHAR(4096) NOT NULL PRIMARY KEY,
+           |  event_ts TIMESTAMP NOT NULL,
+           |  created_ts TIMESTAMP,
+           |  payload BLOB NOT NULL)""".stripMargin)
+      finally st.close()
+    } catch {
+      case e: SQLException if e.getSQLState == "X0Y32" => () // already exists
+    }
+
+  /** Per-partition writer: UPDATE-with-LWW-predicate, INSERT on miss,
+    * duplicate-key (a concurrent first write of the same key from
+    * another job) resolved by re-running the LWW UPDATE. */
+  private def writePartition(url: String, t: String, joinKeys: Seq[String],
+      tsCol: String, createdCol: Option[String], feats: Seq[String],
+      batch: Int, rows: Iterator[Row]): Unit =
+    withConnection(url) { conn =>
+      ensureTable(conn, t) // first-writer race: each task is idempotent
+      conn.setAutoCommit(false)
+      val update = conn.prepareStatement(
+        s"""UPDATE $t SET event_ts = ?, created_ts = ?, payload = ?
+           | WHERE entity_key = ?
+           |   AND (event_ts < ?
+           |     OR (event_ts = ?
+           |         AND COALESCE(created_ts, $TsFloor) <= COALESCE(?, $TsFloor)))""".stripMargin)
+      val insert = conn.prepareStatement(
+        s"INSERT INTO $t (entity_key, event_ts, created_ts, payload) VALUES (?, ?, ?, ?)")
+      try {
+        var n = 0
+        rows.foreach { r =>
+          val hex = EntityKeyCodec.hexKey(joinKeys.map(k => k -> r.getAs[Any](k)))
+          val ts = r.getAs[Timestamp](tsCol)
+          val created = createdCol.map(r.getAs[Timestamp]).orNull
+          val payload = ValueCodec.encodeMap(feats.map(f => f -> r.getAs[Any](f)))
+          def tryUpdate(): Int = {
+            update.setTimestamp(1, ts); update.setTimestamp(2, created)
+            update.setBytes(3, payload); update.setString(4, hex)
+            update.setTimestamp(5, ts); update.setTimestamp(6, ts)
+            update.setTimestamp(7, created)
+            update.executeUpdate()
+          }
+          if (tryUpdate() == 0) {
+            // no row, or an existing row is strictly newer — try insert
+            try {
+              insert.setString(1, hex); insert.setTimestamp(2, ts)
+              insert.setTimestamp(3, created); insert.setBytes(4, payload)
+              insert.executeUpdate()
+            } catch {
+              case e: SQLException if e.getSQLState == "23505" =>
+                tryUpdate() // row exists: let the LWW predicate decide
+            }
+          }
+          n += 1
+          if (n % batch == 0) conn.commit()
+        }
+        conn.commit()
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
+      } finally { update.close(); insert.close() }
+    }
+}
+
+/** Type-tagged binary codec for feature-value maps stored as BLOBs —
+  * the analog of the reference's protobuf `Value` serialization
+  * (reference `sdk/python/feast/type_map.py`), over the engine's
+  * supported feature types: null, boolean, int32/64, float/double,
+  * string, bytes, timestamp, and arrays of any of these. */
+object ValueCodec {
+
+  private val TNull: Byte = 0
+  private val TBool: Byte = 1
+  private val TInt: Byte = 2
+  private val TLong: Byte = 3
+  private val TFloat: Byte = 4
+  private val TDouble: Byte = 5
+  private val TString: Byte = 6
+  private val TBytes: Byte = 7
+  private val TTimestamp: Byte = 8
+  private val TSeq: Byte = 9
+
+  def encodeMap(values: Seq[(String, Any)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(values.size)
+    values.foreach { case (name, v) => out.writeUTF(name); write(out, v) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def decodeMap(bytes: Array[Byte]): Map[String, Any] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    (0 until n).map(_ => in.readUTF() -> read(in)).toMap
+  }
+
+  private def write(out: DataOutputStream, v: Any): Unit = v match {
+    case null => out.writeByte(TNull)
+    case b: Boolean => out.writeByte(TBool); out.writeBoolean(b)
+    case i: Int => out.writeByte(TInt); out.writeInt(i)
+    case l: Long => out.writeByte(TLong); out.writeLong(l)
+    case f: Float => out.writeByte(TFloat); out.writeFloat(f)
+    case d: Double => out.writeByte(TDouble); out.writeDouble(d)
+    case s: String => out.writeByte(TString); out.writeUTF(s)
+    case b: Array[Byte] => out.writeByte(TBytes); out.writeInt(b.length); out.write(b)
+    case t: Timestamp =>
+      out.writeByte(TTimestamp); out.writeLong(t.getTime); out.writeInt(t.getNanos)
+    case s: scala.collection.Seq[_] =>
+      out.writeByte(TSeq); out.writeInt(s.size); s.foreach(write(out, _))
+    case a: Array[_] =>
+      out.writeByte(TSeq); out.writeInt(a.length); a.foreach(write(out, _))
+    case other => throw new IllegalArgumentException(
+      s"unsupported feature value type: ${other.getClass.getName}")
+  }
+
+  private def read(in: DataInputStream): Any = in.readByte() match {
+    case TNull => null
+    case TBool => in.readBoolean()
+    case TInt => in.readInt()
+    case TLong => in.readLong()
+    case TFloat => in.readFloat()
+    case TDouble => in.readDouble()
+    case TString => in.readUTF()
+    case TBytes =>
+      val b = new Array[Byte](in.readInt()); in.readFully(b); b
+    case TTimestamp =>
+      val t = new Timestamp(in.readLong()); t.setNanos(in.readInt()); t
+    case TSeq =>
+      val n = in.readInt(); Vector.fill(n)(read(in))
+    case other => throw new IllegalArgumentException(s"bad value tag: $other")
+  }
+}

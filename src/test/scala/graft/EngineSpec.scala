@@ -115,7 +115,9 @@ class EngineSpec extends AnyFunSuite {
       .withColumn("conv_rate", col("conv_rate").cast("double"))
 
     for (store <- Seq(new InMemoryOnlineStore(),
-        new ParquetOnlineStore(java.nio.file.Files.createTempDirectory("graftkv").toString))) {
+        new ParquetOnlineStore(java.nio.file.Files.createTempDirectory("graftkv").toString),
+        new graft.online.JdbcOnlineStore(graft.online.JdbcOnlineStore.derbyUrl(
+          java.nio.file.Files.createTempDirectory("graftjdbc").toString + "/db")))) {
       val fs = new FeatureStore("t", new Registry(), store, spark)
       fs.applyEntity(Entity("driver", GraftType.Int64, Some("driver_id")))
       fs.applyFeatureView(FeatureView("driver_stats", Seq("driver"),
@@ -394,6 +396,43 @@ class EngineSpec extends AnyFunSuite {
     val dirs2 = new java.io.File(s"$dir/stats").listFiles()
       .filter(_.isDirectory).map(_.getName).sorted
     assert(dirs2.length == 3)
+  }
+
+  test("JdbcOnlineStore: out-of-order replay LWW in SQL, arrays via ValueCodec, missing table") {
+    import spark.implicits._
+    val store = new graft.online.JdbcOnlineStore(graft.online.JdbcOnlineStore.derbyUrl(
+      java.nio.file.Files.createTempDirectory("graftjd").toString + "/db"))
+    val fs = new FeatureStore("jd", new Registry(), store, spark)
+    fs.applyEntity(Entity("driver", GraftType.Int64, Some("driver_id")))
+    val mkDf = (rows: Seq[(Long, Timestamp, Double, Seq[Double])]) =>
+      rows.toDF("driver_id", "et", "rate", "emb")
+    val newer = mkDf(Seq((1L, ts("2024-01-02 10:00:00"), 0.9, Seq(9.0, 9.5))))
+    val older = mkDf(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 0.1, Seq(1.0, 1.5)), // stale: must lose
+      (2L, ts("2024-01-01 09:00:00"), 0.2, Seq(2.0, 2.5))))
+    val view = FeatureView("jv", Seq("driver"),
+      Seq(Feature("rate", GraftType.Dbl), Feature("emb", GraftType.ListOf(GraftType.Dbl))),
+      Duration.ZERO, DataFrameSource(newer, "et"))
+    fs.applyFeatureView(view)
+
+    // read before any materialize: table absent -> clean NOT_FOUND
+    val empty = fs.getOnlineFeatures(Seq("jv:rate"), Seq(Map[String, Any]("driver_id" -> 1L)))
+    assert(empty.statuses("jv:rate") == Seq("NOT_FOUND"))
+
+    // replay arrives NEWEST FIRST: the second (older) upsert must not
+    // clobber driver 1 — the LWW predicate lives in the SQL UPDATE
+    val v = fs.registry.getFeatureView("jv")
+    store.upsert("jd", v, Seq("driver_id"), newer, "et", None)
+    store.upsert("jd", v, Seq("driver_id"), older, "et", None)
+    val resp = fs.getOnlineFeatures(Seq("jv:rate", "jv:emb"),
+      Seq(1L, 2L).map(id => Map[String, Any]("driver_id" -> id)))
+    assert(resp.toMap("jv:rate") == Seq(0.9, 0.2), "stale replay must lose LWW")
+    assert(resp.toMap("jv:emb")(0).asInstanceOf[Seq[Any]] == Seq(9.0, 9.5),
+      "array feature must round-trip through the BLOB codec")
+
+    store.teardown("jd", Seq(v))
+    val gone = fs.getOnlineFeatures(Seq("jv:rate"), Seq(Map[String, Any]("driver_id" -> 1L)))
+    assert(gone.statuses("jv:rate") == Seq("NOT_FOUND"))
   }
 
   test("composite-key view (two entities) and array features round-trip offline + online") {
