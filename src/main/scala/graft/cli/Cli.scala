@@ -61,11 +61,81 @@ object RepoConfig {
       views = items("feature_views").map(RegistryCodec.decodeView),
       services = items("feature_services").map(RegistryCodec.decodeService))
   }
+
+  /** Load a repo: a single config file, or a repo DIRECTORY — the
+    * reference's repo-scan shape (repo_operations.py:60-91 parse_repo):
+    * `repo.json` at the root carries project/registry/store, and every
+    * other `*.json` under the tree contributes entities / feature views
+    * / feature services, minus files matched by `.graftignore`
+    * (reference `.feastignore`, repo_operations.py:41-57). */
+  def loadRepo(path: String): RepoConfig = {
+    val root = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(root)) return load(path)
+    val rootCfg = load(root.resolve("repo.json").toString)
+    val patterns = ignorePatterns(root)
+    val registryFile = root.resolve(rootCfg.registryPath).normalize
+      .toAbsolutePath.toString
+    val fragments = {
+      val s = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator.asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) && p.toString.endsWith(".json"))
+          .filterNot(_.normalize.toAbsolutePath.toString == registryFile)
+          .map(p => (p, root.relativize(p).toString))
+          .filterNot(_._2 == "repo.json")
+          .filterNot { case (_, rel) => isIgnored(rel, patterns) }
+          .toVector.sortBy(_._2)
+      } finally s.close()
+    }
+    fragments.foldLeft(rootCfg) { case (acc, (p, rel)) =>
+      // fragments carry definitions only; project/registry/online_store
+      // keys in a fragment are ignored — the root repo.json owns those
+      val o = Json.parse(new String(
+        java.nio.file.Files.readAllBytes(p), "UTF-8")).asInstanceOf[JObj]
+      def items(k: String): Vector[JValue] =
+        o.get(k) match { case Some(JArr(xs)) => xs; case _ => Vector.empty }
+      val merged = acc.copy(
+        entities = acc.entities ++ items("entities").map(RegistryCodec.decodeEntity),
+        views = acc.views ++ items("feature_views").map(RegistryCodec.decodeView),
+        services = acc.services ++ items("feature_services").map(RegistryCodec.decodeService))
+      def dup[A](xs: Seq[A], name: A => String, kind: String): Unit = {
+        val d = xs.groupBy(name).collect { case (n, vs) if vs.size > 1 => n }
+        if (d.nonEmpty) throw new IllegalArgumentException(
+          s"duplicate $kind ${d.mkString(", ")} (while merging repo fragment $rel)")
+      }
+      dup(merged.entities, (_: Entity).name, "entity")
+      dup(merged.views, (_: FeatureView).name, "feature view")
+      dup(merged.services, (_: FeatureService).name, "feature service")
+      merged
+    }
+  }
+
+  private def ignorePatterns(root: java.nio.file.Path): Seq[String] = {
+    val f = root.resolve(".graftignore")
+    if (!java.nio.file.Files.exists(f)) Nil
+    else new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      .linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toVector
+  }
+
+  /** Glob match on the root-relative path; a bare directory pattern
+    * ignores its whole subtree (reference .feastignore semantics). */
+  private[cli] def isIgnored(rel: String, patterns: Seq[String]): Boolean = {
+    val fs = java.nio.file.FileSystems.getDefault
+    val p = java.nio.file.Paths.get(rel)
+    patterns.exists { pat =>
+      val base = pat.stripSuffix("/")
+      fs.getPathMatcher(s"glob:$base").matches(p) ||
+        fs.getPathMatcher(s"glob:$base/**").matches(p)
+    }
+  }
 }
 
 /** CLI mirroring the reference's lifecycle commands (cli.py:182-304):
   *
-  *   graft apply <repo.json>
+  *   graft init <dir>
+  *   graft apply <repo.json | repo-dir>
   *   graft materialize <repo.json> <startTs> <endTs>
   *   graft materialize-incremental <repo.json> <endTs>
   *   graft entities list <repo.json>
@@ -96,12 +166,63 @@ object Cli {
   /** Command dispatch, separated from main for in-process testing. */
   def run(args: Seq[String], spark: SparkSession, out: String => Unit): Unit = {
     def store(cfgPath: String): (RepoConfig, FeatureStore) = {
-      val cfg = RepoConfig.load(cfgPath)
+      val cfg = RepoConfig.loadRepo(cfgPath)
       val fs = new FeatureStore(cfg.project, new Registry(Some(cfg.registryPath)),
         cfg.onlineStore, spark)
       (cfg, fs)
     }
     args match {
+      case Seq("init", path) =>
+        // Scaffold a feature repo (reference cli.py:280-292 `feast init`):
+        // root repo.json + .graftignore + a worked example fragment with
+        // generated data, so apply -> materialize works immediately.
+        import java.nio.file.{Files, Paths}
+        val dir = Paths.get(path).toAbsolutePath.normalize
+        val repoJson = dir.resolve("repo.json")
+        if (Files.exists(repoJson))
+          throw new IllegalArgumentException(s"$repoJson already exists")
+        Files.createDirectories(dir.resolve("data"))
+        val name = dir.getFileName.toString.map(c => if (c.isLetterOrDigit) c else '_')
+        // example data, the reference's driver-stats shape
+        import spark.implicits._
+        (1L to 5L).flatMap(id => Seq(
+            (id, Timestamp.valueOf(s"2024-01-0$id 10:00:00"), id * 0.1),
+            (id, Timestamp.valueOf(s"2024-01-0$id 12:00:00"), id * 0.2)))
+          .toDF("driver_id", "event_timestamp", "conv_rate")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/data/driver_stats.parquet")
+        Files.write(repoJson,
+          s"""{
+             |  "project": "$name",
+             |  "registry": "$dir/registry.json",
+             |  "online_store": {"type": "memory"},
+             |  "entities": [],
+             |  "feature_views": []
+             |}""".stripMargin.getBytes("UTF-8"))
+        Files.write(dir.resolve(".graftignore"),
+          """# Globs (relative to the repo root) excluded from `apply`'s scan.
+            |# A bare directory name ignores its whole subtree.
+            |scratch
+            |*.ignored.json
+            |""".stripMargin.getBytes("UTF-8"))
+        Files.write(dir.resolve("example_repo.json"),
+          s"""{
+             |  "entities": [
+             |    {"name": "driver", "dtype": "INT64", "join_key": "driver_id",
+             |     "description": "example entity"}
+             |  ],
+             |  "feature_views": [
+             |    {"name": "driver_hourly_stats", "entities": ["driver"],
+             |     "features": [{"name": "conv_rate", "dtype": "DOUBLE"}],
+             |     "ttl_seconds": 0,
+             |     "batch_source": {"kind": "file", "path": "$dir/data/driver_stats.parquet",
+             |       "format": "parquet", "event_timestamp_column": "event_timestamp",
+             |       "created_timestamp_column": null, "field_mapping": {},
+             |       "date_partition_column": null},
+             |     "stream_source": null, "online": true}
+             |  ]
+             |}""".stripMargin.getBytes("UTF-8"))
+        out(s"created feature repo at $dir (repo.json, .graftignore, example_repo.json, data/)")
+
       case Seq("apply", cfgPath) =>
         // Full-repo diff-apply (reference repo_operations.py:114-200):
         // register everything in the config, then delete registry
@@ -149,7 +270,7 @@ object Cli {
           out(s"${v.name}\t[${v.entities.mkString(",")}]\t[${v.featureNames.mkString(",")}]"))
 
       case Seq("registry-dump", cfgPath) =>
-        val cfg = RepoConfig.load(cfgPath)
+        val cfg = RepoConfig.loadRepo(cfgPath)
         val reg = new Registry(Some(cfg.registryPath))
         out(RegistryCodec.encode(RegistryState.of(reg)).render)
 
@@ -160,7 +281,7 @@ object Cli {
 
       case other =>
         throw new IllegalArgumentException(
-          s"unknown command '${other.mkString(" ")}'; commands: apply, materialize, " +
+          s"unknown command '${other.mkString(" ")}'; commands: init, apply, materialize, " +
           "materialize-incremental, entities list, feature-views list, registry-dump, teardown")
     }
   }

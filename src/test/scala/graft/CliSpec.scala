@@ -134,6 +134,44 @@ class CliSpec extends AnyFunSuite {
     assert(reg.listEntities.map(_.name) == Seq("driver"))
   }
 
+  test("CLI init scaffolds a repo that apply accepts; .graftignore prunes the scan") {
+    val root = java.nio.file.Files.createTempDirectory("graftinit").toString
+    val repo = s"$root/my_repo"
+    val out = scala.collection.mutable.Buffer[String]()
+    Cli.run(Seq("init", repo), spark, out.append(_))
+    assert(out.last.contains("created feature repo"))
+    // re-init over an existing repo -> error, never clobbers
+    intercept[IllegalArgumentException](Cli.run(Seq("init", repo), spark, _ => ()))
+
+    // the scaffold applies as a DIRECTORY: repo.json + example fragment
+    Cli.run(Seq("apply", repo), spark, out.append(_))
+    assert(out.last.contains("applied 1 entities, 1 feature views"))
+    // and materializes end-to-end on the generated example data
+    Cli.run(Seq("materialize", repo, "2024-01-01", "2024-01-07"), spark, out.append(_))
+    val cfg = RepoConfig.loadRepo(repo)
+    val fs = new FeatureStore(cfg.project, new Registry(Some(cfg.registryPath)),
+      cfg.onlineStore, spark)
+    val resp = fs.getOnlineFeatures(Seq("driver_hourly_stats:conv_rate"),
+      Seq(Map[String, Any]("driver_id" -> 3L)))
+    assert(resp.toMap("driver_hourly_stats:conv_rate") == Seq(3L * 0.2))
+
+    // ignored fragments are skipped: same definitions under scratch/ and
+    // *.ignored.json would be duplicate-name errors if scanned
+    val example = java.nio.file.Paths.get(s"$repo/example_repo.json")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$repo/scratch"))
+    java.nio.file.Files.copy(example, java.nio.file.Paths.get(s"$repo/scratch/copy.json"))
+    java.nio.file.Files.copy(example, java.nio.file.Paths.get(s"$repo/wip.ignored.json"))
+    Cli.run(Seq("apply", repo), spark, out.append(_))
+    assert(out.last.contains("applied 1 entities, 1 feature views"))
+
+    // an unignored duplicate IS an error (dup detection works)
+    val dupPath = java.nio.file.Paths.get(s"$repo/dup.json")
+    java.nio.file.Files.copy(example, dupPath)
+    val e = intercept[IllegalArgumentException](Cli.run(Seq("apply", repo), spark, _ => ()))
+    assert(e.getMessage.contains("duplicate"))
+    java.nio.file.Files.delete(dupPath)
+  }
+
   test("CLI materialize-incremental picks up from the last interval end") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftcli2").toString
