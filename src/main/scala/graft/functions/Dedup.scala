@@ -256,6 +256,33 @@ object Dedup {
   /** SimHash near-dup clusters: docs whose 64-bit simhash agrees on all
     * of `prefixBits` high bits land in one bucket; verify with full
     * hamming distance <= maxHamming. Returns (id_a, id_b, hamming). */
+  /** Exact-duplicate pairs (identical whitespace-token multiset) via a
+    * simhash prefilter: maxHamming=0 candidates — identical multisets
+    * ALWAYS share a simhash, so the prefilter has no false negatives —
+    * then exact sorted-token verification on the candidates only (the
+    * same prefilter→verify shape as [[minhashNearDupPairs]]; a bare
+    * hamming=0 cut is NOT exact — simhash is single-token-insensitive
+    * whenever no bit counter sits on a sign boundary, measured ~10% of
+    * one-token-apart pairs on the test corpus). Scales like the LSH it
+    * rides on: bucketed candidates, never all-pairs; the token-sort runs
+    * on candidates, not the corpus. */
+  def simhashExactDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val cand = simhashNearDupPairs(df, idCol, textCol,
+      maxHamming = 0, bands = bands, maxBucketSize = maxBucketSize)
+    val toks = df.select(col(idCol).as("id"),
+      sort_array(TextFunctions.tokens(col(textCol))).as("mt"))
+    cand
+      .join(toks.select(col("id").as("id_a"), col("mt").as("mt_a")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("mt").as("mt_b")), "id_b")
+      .filter(col("mt_a") === col("mt_b"))
+      .select(col("id_a"), col("id_b"))
+  }
+
   def simhashNearDupPairs(
       df: DataFrame,
       idCol: String,

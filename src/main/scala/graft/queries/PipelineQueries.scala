@@ -391,6 +391,30 @@ object PipelineQueries {
         maxHamming = 3)
       .orderBy("id_a", "id_b")
 
+  /** SimHash prefilter + exact verify — gives the hash-dependent
+    * operator family a value oracle: the result is exactly the pairs
+    * with identical whitespace-token multisets, which IS
+    * DuckDB-expressible. The hamming<=3 variant above stays rows-only —
+    * that radius genuinely needs the xxhash bit pattern. */
+  def dedupSimhashExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashExactDupPairs(docsWithClones(s, dir), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+
+  /** DuckDB replay: pairs with identical sorted raw-token lists (the
+    * tokenizer is `\S+` over the raw text, not lowercased words). */
+  val dedupSimhashExactSql: String =
+    """WITH uni AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      |), t AS (
+      |  SELECT doc_id,
+      |         md5(array_to_string(list_sort(regexp_extract_all(text, '\S+')), chr(10))) AS sig
+      |  FROM uni)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM t a JOIN t b ON a.sig = b.sig AND a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Embedding near-dup pairs at cosine >= 0.999 over hyperplane-LSH
     * buckets; clones guarantee recall, the oracle recomputes the same
     * cosine for the clone pairs. */
@@ -543,6 +567,7 @@ object PipelineQueries {
     "q_ngram_jaccard_chain" -> (ngramJaccardChain _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
+    "q_dedup_simhash_exact" -> (dedupSimhashExact _),
     "q_embedding_neardup" -> (embeddingNearDup _),
     "q_ann_brute_force" -> (annBruteForce _),
     "q_ann_ivf" -> (annIvf _),
@@ -562,6 +587,7 @@ object PipelineQueries {
     "q_dedup_exact" -> dedupExactSql,
     "q_ngram_jaccard_chain" -> ngramJaccardChainSql,
     "q_dedup_minhash" -> dedupMinhashSql,
+    "q_dedup_simhash_exact" -> dedupSimhashExactSql,
     "q_embedding_neardup" -> embeddingNearDupSql,
     "q_ann_brute_force" -> annBruteForceSql,
     "q_ann_ivf" -> annIvfSql,
