@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Linear-scaling evidence for the signature operators (VERDICT r2 #5):
+  * build an N× replica of the tables the headline queries touch (key
+  * spaces offset per replica so join/group cardinalities scale with the
+  * data instead of collapsing onto the same keys), then time
+  * q_pit_join_single / q_dedup_minhash / q_text_stats at 1× and N× and
+  * print the wall ratios. Sub-linear wall growth at 10× data (fixed
+  * driver/scheduling overhead amortizes) is the measured backing for
+  * SURVEY §8's "scales" claims.
+  *
+  *   spark-submit --class graft.tools.ScaleCheck <jar> [baseDir] [outDir] [factor]
+  */
+object ScaleCheck {
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_scale10")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.sources.Tables.configure(spark)
+
+    // Key offset per replica: far above any base key, multiple of 10 so
+    // doc_id % 10 clone-planting keeps the same per-replica shape, and
+    // clear of the +1_000_000 clone offset the dedup queries add.
+    val off = 10_000_000L
+
+    def scaled(table: String, keys: Seq[String]): Unit = {
+      val dst = s"$outDir/$table.parquet"
+      if (new java.io.File(s"$dst/_SUCCESS").exists()) return
+      val base = spark.read.parquet(s"$baseDir/$table.parquet")
+      val reps = spark.range(factor).select(col("id").as("__rep"))
+      base.crossJoin(broadcast(reps))
+        .select(base.columns.map { c =>
+          if (keys.contains(c)) (col(c) + col("__rep") * off).as(c) else col(c)
+        }: _*)
+        .repartition(32)
+        .write.mode("overwrite").parquet(dst)
+    }
+    scaled("orders", Seq("o_orderkey"))
+    scaled("lineitem", Seq("l_orderkey"))
+    scaled("documents", Seq("doc_id"))
+
+    def force(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+    def time(name: String, dir: String): Double = {
+      val fn = graft.SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      force(fn(spark, dir))
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val queries = Seq("q_pit_join_single", "q_dedup_minhash", "q_text_stats")
+    queries.foreach(q => time(q, baseDir)) // warm: codegen + analyzer JIT
+    val lines = queries.map { q =>
+      val t1 = time(q, baseDir)
+      val tn = time(q, outDir)
+      f""""$q":{"t1":$t1%.2f,"t$factor":$tn%.2f,"wall_ratio":${tn / t1}%.2f}"""
+    }
+    println(s"""{"factor":$factor,${lines.mkString(",")}}""")
+    spark.stop()
+  }
+}
