@@ -91,7 +91,6 @@ object Multimodal {
       decoder: BinaryBatchDecoder,
       batchSize: Int = 64,
       targetPartitionBytes: Long = 128L << 20): DataFrame = {
-    val spark = df.sparkSession
     // Partition count from logical-plan size stats (parquet footer
     // sizes), not an agg over octet_length — the latter is an extra full
     // scan of the binary column before the decode even starts. Statless
@@ -103,14 +102,20 @@ object Multimodal {
       else ((totalBytes / targetPartitionBytes) + 1).min(10000).max(1).toInt
     val outSchema = StructType(df.schema.fields ++ decoder.outputSchema.fields)
     val binIdx = df.schema.fieldIndex(binCol)
-    val rdd = df.repartition(parts).rdd.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        val decoded = decoder.decodeBatch(batch.map(_.getAs[Array[Byte]](binIdx)))
-        batch.lazyZip(decoded).map { (row, extra) =>
-          Row.fromSeq(row.toSeq ++ extra.toSeq)
+    // Dataset-domain mapPartitions (Encoders.row), NOT df.rdd +
+    // createDataFrame: the decode stays one Catalyst plan (a single
+    // serialize boundary around MapPartitions), so AQE still sizes the
+    // repartition, downstream operators keep whole-stage codegen, and
+    // there is no second re-encoding pass over every row.
+    df.repartition(parts)
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val decoded = decoder.decodeBatch(batch.map(_.getAs[Array[Byte]](binIdx)))
+          batch.lazyZip(decoded).map { (row, extra) =>
+            Row.fromSeq(row.toSeq ++ extra.toSeq)
+          }
         }
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF()
   }
 }
