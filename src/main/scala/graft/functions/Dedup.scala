@@ -87,10 +87,15 @@ object Dedup {
     // (see unpersistAfterFirstUse) — a long-lived session running many
     // dedup passes no longer accumulates cached relations. Re-executing
     // the returned frame after that first action recomputes shingles.
+    // __mh_call is a per-call tag literal: it makes each call's plan
+    // distinct, so the consumption listener of one call can never match
+    // (sameResult) a sibling call's identical pipeline and unpersist the
+    // sibling's cache before its first use (review r3).
     val shingleProj = rebalance(df)
       .withColumn("__words", TextFunctions.words(col(textCol)))
       .select(col(idCol).as("id"),
-        TextFunctions.wordNgramsFromWords(col("__words"), shingleN).as("shingles"))
+        TextFunctions.wordNgramsFromWords(col("__words"), shingleN).as("shingles"),
+        lit(callSeq.incrementAndGet()).as("__mh_call"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shingled = shingleProj.filter(size(col("shingles")) > 0)
 
@@ -121,6 +126,8 @@ object Dedup {
     unpersistAfterFirstUse(out, shingleProj)
   }
 
+  private val callSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Deterministic cache lifetime for an intermediate persist feeding a
     * returned lazy frame: drop `cached` as soon as the first action that
     * consumes `result` completes (success OR failure), via a
@@ -128,17 +135,22 @@ object Dedup {
     * lazy (plans stay inspectable) while bounding the cache's life to
     * one consumption — the intended use of these operators. If the
     * result is never executed, the persist stays unmaterialized (a
-    * CacheManager entry with no blocks — negligible). */
-  private[functions] def unpersistAfterFirstUse(result: DataFrame, cached: DataFrame): DataFrame = {
+    * CacheManager entry with no blocks), and the listener expires after
+    * `maxMissedQueries` unrelated queries so an abandoned frame cannot
+    * leave a per-query plan-scan behind for the session's lifetime. */
+  private[functions] def unpersistAfterFirstUse(result: DataFrame, cached: DataFrame,
+      maxMissedQueries: Int = 512): DataFrame = {
     val spark = result.sparkSession
     val target = result.queryExecution.analyzed
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private val missed = new java.util.concurrent.atomic.AtomicInteger(0)
       private def consume(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
         val hit =
           try qe.analyzed.exists(p => (p eq target) || p.sameResult(target))
           catch { case _: Throwable => false }
-        if (hit && done.compareAndSet(false, true)) {
+        if ((hit || missed.incrementAndGet() > maxMissedQueries) &&
+            done.compareAndSet(false, true)) {
           cached.unpersist()
           spark.listenerManager.unregister(this)
         }
@@ -253,35 +265,49 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
-  /** SimHash near-dup clusters: docs whose 64-bit simhash agrees on all
-    * of `prefixBits` high bits land in one bucket; verify with full
-    * hamming distance <= maxHamming. Returns (id_a, id_b, hamming). */
-  /** Exact-duplicate pairs (identical whitespace-token multiset) via a
-    * simhash prefilter: maxHamming=0 candidates — identical multisets
-    * ALWAYS share a simhash, so the prefilter has no false negatives —
-    * then exact sorted-token verification on the candidates only (the
-    * same prefilter→verify shape as [[minhashNearDupPairs]]; a bare
-    * hamming=0 cut is NOT exact — simhash is single-token-insensitive
-    * whenever no bit counter sits on a sign boundary, measured ~10% of
-    * one-token-apart pairs on the test corpus). Scales like the LSH it
-    * rides on: bucketed candidates, never all-pairs; the token-sort runs
-    * on candidates, not the corpus. */
+  /** Exact-duplicate pairs (identical whitespace-token multiset):
+    * candidates share a 64-bit fingerprint of (simhash, sorted token
+    * multiset) — identical multisets always collide, so no false
+    * negatives — then exact sorted-token verification on candidates
+    * only, so a fingerprint collision can't produce a false pair. (A
+    * bare simhash hamming=0 cut is NOT exact — simhash is
+    * single-token-insensitive whenever no bit counter sits on a sign
+    * boundary, measured ~10% of one-token-apart pairs on the test
+    * corpus.)
+    *
+    * Pair generation is a hash equi-join on the fingerprint, NOT a
+    * collect_list bucket: a duplicate group of any size distributes
+    * across reducers, so there is no bucket-size cap and no silent
+    * recall loss on mega-groups (the most-duplicated document is
+    * exactly the one an exact-dup pass must report; review r3). The
+    * shuffles carry only (fingerprint, id) rows — token arrays are
+    * recomputed narrowly for the candidate verification, never
+    * shuffled with the corpus. Output is inherently O(Σ group²) pairs,
+    * the operator's declared semantics. */
   def simhashExactDupPairs(
       df: DataFrame,
       idCol: String,
-      textCol: String,
-      bands: Int = 4,
-      maxBucketSize: Int = 1000): DataFrame = {
-    val cand = simhashNearDupPairs(df, idCol, textCol,
-      maxHamming = 0, bands = bands, maxBucketSize = maxBucketSize)
-    val toks = df.select(col(idCol).as("id"),
-      sort_array(TextFunctions.tokens(col(textCol))).as("mt"))
+      textCol: String): DataFrame = {
+    val toks = rebalance(df).select(col(idCol).as("id"),
+      sort_array(TextFunctions.tokens(col(textCol))).as("mt"),
+      TextFunctions.simhash64(col(textCol)).as("sim"))
+    val keyed = toks.select(col("id"), xxhash64(col("sim"), col("mt")).as("__fp"))
+    val cand = keyed.select(col("__fp"), col("id").as("id_a"))
+      .join(keyed.select(col("__fp"), col("id").as("id_b")), "__fp")
+      .filter(col("id_a") < col("id_b"))
     cand
       .join(toks.select(col("id").as("id_a"), col("mt").as("mt_a")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("mt").as("mt_b")), "id_b")
       .filter(col("mt_a") === col("mt_b"))
       .select(col("id_a"), col("id_b"))
   }
+
+  /** SimHash near-dup pairs: banded simhash LSH candidates verified by
+    * full hamming distance <= maxHamming. Returns (id_a, id_b,
+    * hamming). `maxBucketSize` here is a documented recall/cost
+    * trade-off for NEAR-dup mining (degenerate buckets — e.g. empty
+    * text — are junk, not signal); for exact duplicates use
+    * [[simhashExactDupPairs]], which has no cap. */
 
   def simhashNearDupPairs(
       df: DataFrame,

@@ -48,17 +48,26 @@ object Similarity {
     var scored = c.crossJoin(q)
       .withColumn("__cos", dot(col("__qvec"), col("__cvec")) / (col("__qn") * col("__cn")))
     if (excludeSelf) scored = scored.filter(col("__qid") =!= col("__cid"))
+    twoLevelTopK(scored, k)
+  }
 
-    // candidate ordered as (-cos, id): ascending struct sort == cos desc,
-    // id asc
+  /** Two-level skew-safe top-k over a scored (__qid, __cid, __cos)
+    * frame, shared by [[bruteForceTopK]] and [[ivfTopK]]: level 1 keeps
+    * k candidates per (query, partition), level 2 merges the winners. A
+    * single groupBy(__qid) would buffer EVERY surviving candidate of a
+    * hot query in one aggregation group; here the merge shuffle carries
+    * at most k × numPartitions rows per query. Candidates are ordered
+    * as (-cos, id): ascending struct sort == cos desc, id asc. Output
+    * (query_id, neighbor_id, cos, rank), rank 1..k. */
+  private def twoLevelTopK(scored: DataFrame, k: Int): DataFrame = {
     val cand = struct((-col("__cos")).as("negcos"), col("__cid").as("id"), col("__cos").as("cos"))
     val level1 = scored
       .groupBy(col("__qid"), spark_partition_id().as("__part"))
       .agg(slice(array_sort(collect_list(cand)), 1, k).as("top"))
-    val topk = level1
+    level1
       .groupBy("__qid")
       .agg(slice(array_sort(flatten(collect_list(col("top")))), 1, k).as("top"))
-    topk.select(col("__qid").as("query_id"), posexplode(col("top")))
+      .select(col("__qid").as("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.id").as("neighbor_id"),
         col("col.cos").as("cos"), (col("pos") + 1).as("rank"))
   }
@@ -219,21 +228,6 @@ object Similarity {
     val scored = assigned.join(broadcast(probed), "cell")
       .filter(col("__qid") =!= col("__cid"))
       .withColumn("__cos", cosine(col("__qvec"), col("__cvec")))
-    // Two-level top-k, same shape as bruteForceTopK: level 1 keeps k
-    // candidates per (query, partition), level 2 merges the winners. A
-    // single groupBy("__qid") would buffer EVERY surviving candidate of
-    // a hot query (one probing dense cells) in one aggregation group —
-    // the skew the probe pruning can't prevent. Here the shuffle carries
-    // at most k × numPartitions rows per query.
-    val cand = struct((-col("__cos")).as("negcos"), col("__cid").as("id"), col("__cos").as("cos"))
-    val level1 = scored
-      .groupBy(col("__qid"), spark_partition_id().as("__part"))
-      .agg(slice(array_sort(collect_list(cand)), 1, k).as("top"))
-    level1
-      .groupBy("__qid")
-      .agg(slice(array_sort(flatten(collect_list(col("top")))), 1, k).as("top"))
-      .select(col("__qid").as("query_id"), posexplode(col("top")))
-      .select(col("query_id"), col("col.id").as("neighbor_id"),
-        col("col.cos").as("cos"), (col("pos") + 1).as("rank"))
+    twoLevelTopK(scored, k)
   }
 }

@@ -48,27 +48,19 @@ class JdbcOnlineStore(
   import JdbcOnlineStore._
 
   private def tableName(project: String, view: String): String =
-    "G_" + s"${project}_$view".map(c => if (c.isLetterOrDigit) c else '_')
+    tableNameFor(project, view)
 
   def upsert(project: String, view: FeatureView, joinKeys: Seq[String],
       df: DataFrame, tsCol: String, createdCol: Option[String]): Unit = {
     val t = tableName(project, view.name)
     val feats = view.featureNames
     val cols = (joinKeys ++ Seq(tsCol) ++ createdCol.toSeq ++ feats).distinct
-    // Null join keys rejected with a readable message (same contract as
-    // ParquetOnlineStore) before the key-serializing closure sees them.
-    val guarded = cols.map {
-      case k if joinKeys.contains(k) =>
-        when(col(k).isNull, raise_error(lit(
-          s"graft: null join key '$k' in upsert for view '${view.name}' — " +
-            "filter or fill null-keyed rows before materialize"))).otherwise(col(k)).as(k)
-      case c => col(c)
-    }
     // Reduce to one row per key BEFORE touching JDBC: round-trips cost
     // more than a map-side-combining aggregation, and it leaves at most
     // one writer statement per key per batch.
     val latest = PullLatest.latestPerKey(
-      df.select(guarded: _*), joinKeys, tsCol, createdCol, feats)
+      df.select(OnlineStore.guardNullKeys(cols, joinKeys, view.name): _*),
+      joinKeys, tsCol, createdCol, feats)
 
     withConnection(url)(ensureTable(_, t))
 
@@ -135,6 +127,20 @@ class JdbcOnlineStore(
 object JdbcOnlineStore {
 
   private val ReadChunk = 100
+
+  /** Collision-safe identifier: a sanitized readable prefix plus a
+    * 64-bit hash of the RAW (project, view) pair, length-prefixed so no
+    * separator char can be spoofed by a name. Sanitize-and-concat alone
+    * maps distinct pairs to one table — ("graft","ci_stats") vs
+    * ("graft_ci","stats"), or any punctuation collapsing to '_' —
+    * silently mixing two views' rows; and an unbounded name blows
+    * Derby's 128-char identifier limit. */
+  private[graft] def tableNameFor(project: String, view: String): String = {
+    val raw = s"${project.length}:$project:$view".getBytes("UTF-8")
+    val h = java.lang.Long.toHexString(EntityKeyCodec.murmur3x64_128(raw)._1)
+    val safe = s"${project}_$view".map(c => if (c.isLetterOrDigit) c else '_').take(100)
+    s"G_${safe}_$h"
+  }
   /** COALESCE floor for null created_ts in the LWW comparison. */
   private val TsFloor = "TIMESTAMP('0001-01-01 00:00:00')"
 

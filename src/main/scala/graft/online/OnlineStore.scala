@@ -53,6 +53,22 @@ trait OnlineStore extends Serializable {
   def teardown(project: String, views: Seq[FeatureView]): Unit
 }
 
+object OnlineStore {
+  /** Null join keys are a data-quality error: reject them with a
+    * readable message instead of letting a key-serializing closure
+    * throw an opaque per-task stack deep inside the store's routing
+    * expressions. Shared by every store implementation. */
+  def guardNullKeys(cols: Seq[String], joinKeys: Seq[String],
+      viewName: String): Seq[org.apache.spark.sql.Column] =
+    cols.map {
+      case k if joinKeys.contains(k) =>
+        when(col(k).isNull, raise_error(lit(
+          s"graft: null join key '$k' in upsert for view '$viewName' — " +
+            "filter or fill null-keyed rows before materialize"))).otherwise(col(k)).as(k)
+      case c => col(c)
+    }
+}
+
 /** Executor-shared in-memory KV store — the sqlite analog
   * (reference online_stores/sqlite.py): a per-JVM ConcurrentHashMap
   * keyed by (project, view, serialized entity key). Correct on
@@ -251,17 +267,7 @@ class ParquetOnlineStore(
     val buckets = effectiveBuckets(fs, p)
 
     val cols = (joinKeys ++ Seq(tsCol) ++ createdCol.toSeq ++ view.featureNames).distinct
-    // Null join keys are a data-quality error; reject them here with a
-    // readable message instead of letting EntityKeyCodec.serialize throw
-    // an opaque per-task stack deep inside the bucket-routing UDF.
-    val guarded = cols.map {
-      case k if joinKeys.contains(k) =>
-        when(col(k).isNull, raise_error(lit(
-          s"graft: null join key '$k' in upsert for view '${view.name}' — " +
-            "filter or fill null-keyed rows before materialize"))).otherwise(col(k)).as(k)
-      case c => col(c)
-    }
-    val incoming = df.select(guarded: _*)
+    val incoming = df.select(OnlineStore.guardNullKeys(cols, joinKeys, view.name): _*)
       .withColumn(BucketCol, bucketExpr(joinKeys, buckets))
     val tmp = p + ".tmp"
     // repartition on the bucket column before partitionBy: partitionBy
@@ -360,14 +366,27 @@ class ParquetOnlineStore(
     val buckets = entityKeys.map(k => bucketOf(k, nb)).distinct
     def bucketFiles(root: String, b: Int): Seq[org.apache.hadoop.fs.Path] = {
       val dir = hp(s"$root/$BucketCol=$b")
-      if (!fsys.exists(dir)) Nil
-      else fsys.listStatus(dir).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath)
+      try {
+        if (!fsys.exists(dir)) Nil
+        else fsys.listStatus(dir).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath)
+      } catch {
+        // Dir deleted between exists() and listStatus() by a concurrent
+        // swap finishing — same as not present; caller re-checks live.
+        case _: java.io.FileNotFoundException => Nil
+      }
     }
     val files: Seq[org.apache.hadoop.fs.Path] = buckets.flatMap { b =>
       val live = bucketFiles(p, b)
-      if (live.nonEmpty) live else bucketFiles(p + ".old", b)
+      if (live.nonEmpty) live
+      else {
+        val aside = bucketFiles(p + ".old", b)
+        // Both empty can mean the swap completed (deleting `.old`)
+        // between our two looks — the bucket is back in the live tree
+        // now, so look there once more before concluding NOT_FOUND.
+        if (aside.nonEmpty) aside else bucketFiles(p, b)
+      }
     }
     // Row-group pruning on the leading sort key (buckets are written
     // sorted by joinKeys): groups whose stats exclude every requested
@@ -393,9 +412,14 @@ class ParquetOnlineStore(
     val spark = SparkSession.active
     val hconf = spark.sparkContext.hadoopConfiguration
     views.foreach { v =>
-      val hp = new org.apache.hadoop.fs.Path(path(project, v.name))
-      val fs = hp.getFileSystem(hconf)
-      fs.delete(hp, true)
+      val p = path(project, v.name)
+      val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(hconf)
+      // Delete crash leftovers too: a `.old` tree surviving teardown
+      // would resurrect torn-down rows through the read fallback, and
+      // its stale bucket-count marker would override the configured one
+      // for the next store at this path.
+      Seq(p, p + ".old", p + ".tmp").foreach(d =>
+        fs.delete(new org.apache.hadoop.fs.Path(d), true))
     }
   }
 }

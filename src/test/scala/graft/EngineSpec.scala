@@ -271,6 +271,18 @@ class EngineSpec extends AnyFunSuite {
       Seq(Map[String, Any]("driver_id" -> 1L), Map[String, Any]("driver_id" -> 2L)))
     assert(resp3.toMap("rv:v") == Seq(0.5, 0.7),
       "persisted bucket count must override the configured one")
+
+    // teardown must clear crash leftovers too (review r3): a surviving
+    // .old tree would resurrect torn-down rows through the read fallback
+    // and its stale marker would override the next store's bucket count
+    assert(p.renameTo(new java.io.File(s"$base/rec/rv.old")))
+    reopened.onlineStore.teardown("rec", Seq(fs.registry.getFeatureView("rv")))
+    assert(!p.exists && !new java.io.File(s"$base/rec/rv.old").exists,
+      "teardown must delete the live tree AND .old/.tmp leftovers")
+    val respGone = reopened.getOnlineFeatures(Seq("rv:v"),
+      Seq(Map[String, Any]("driver_id" -> 2L)))
+    assert(respGone.statuses("rv:v") == Seq("NOT_FOUND"),
+      "torn-down data must not be readable through the .old fallback")
   }
 
   test("O16: online entity-row values are coerced to the registered dtype or rejected") {
@@ -433,6 +445,23 @@ class EngineSpec extends AnyFunSuite {
     store.teardown("jd", Seq(v))
     val gone = fs.getOnlineFeatures(Seq("jv:rate"), Seq(Map[String, Any]("driver_id" -> 1L)))
     assert(gone.statuses("jv:rate") == Seq("NOT_FOUND"))
+  }
+
+  test("JdbcOnlineStore table names are collision-free and identifier-length-safe") {
+    import graft.online.JdbcOnlineStore.tableNameFor
+    // sanitize-and-concat would map all of these to the same identifier
+    val names = Seq(
+      tableNameFor("graft", "ci_stats"), tableNameFor("graft_ci", "stats"),
+      tableNameFor("graft", "ci.stats"), tableNameFor("graft", "ci-stats"),
+      tableNameFor("graft.ci", "stats"))
+    assert(names.distinct.size == names.size, s"colliding table names: $names")
+    // Derby caps identifiers at 128 chars; long names must stay under it
+    val long = tableNameFor("p" * 120, "v" * 120)
+    assert(long.length <= 128)
+    // and two distinct long pairs sharing a 100-char prefix still differ
+    assert(long != tableNameFor("p" * 120, "v" * 119 + "x"))
+    // stability: the same pair always maps to the same table
+    assert(tableNameFor("graft", "ci_stats") == tableNameFor("graft", "ci_stats"))
   }
 
   test("composite-key view (two entities) and array features round-trip offline + online") {

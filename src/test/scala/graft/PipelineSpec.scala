@@ -262,6 +262,37 @@ class PipelineSpec extends AnyFunSuite {
       smallEval, "eval_id", "text", n = 3, broadcastEval = Some(false))))
   }
 
+  test("simhashExactDupPairs reports ALL pairs of a mega duplicate group (no bucket cap)") {
+    import spark.implicits._
+    // 1005 copies of one text — larger than any LSH bucket cap; the old
+    // collect_list formulation silently dropped the whole group. Pair
+    // generation must be the distributed fingerprint equi-join: every
+    // C(1005,2) pair reported, distinct docs contribute nothing.
+    val n = 1005
+    val dups = (0 until n).map(i => (i.toLong, "the same exact duplicated text body"))
+    val distinctDocs = (0 until 50).map(i => (10000L + i, s"unique document number $i body"))
+    val df = (dups ++ distinctDocs).toDF("doc_id", "text")
+    val got = Dedup.simhashExactDupPairs(df, "doc_id", "text").count()
+    assert(got === n.toLong * (n - 1) / 2)
+  }
+
+  test("sibling identical minhash calls don't unpersist each other's cache (review r3)") {
+    import spark.implicits._
+    val docs = (0 until 30).map(i => (i.toLong, s"doc $i shares these filler words " * 3))
+      .toDF("doc_id", "text")
+    spark.catalog.clearCache()
+    val a = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 3, 32, 8, 0.9)
+    val b = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 3, 32, 8, 0.9)
+    a.count()
+    Thread.sleep(1500) // listeners fire async — let any (wrong) cross-fire land
+    // b's cache entry must survive until b itself is consumed: its
+    // per-call tag keeps a's plan from sameResult-matching b's.
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "sibling call's cache was unpersisted by the wrong listener")
+    assert(b.count() === a.count())
+    spark.catalog.clearCache()
+  }
+
   test("minhashNearDupPairs drops its shingle cache after the first action (ADVICE r2)") {
     import spark.implicits._
     val docs = (0 until 40).map(i => (i.toLong, s"doc $i shares these filler words " * 3))
