@@ -5,7 +5,6 @@ import java.time.Duration
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Dedup
 import graft.model._
 
 /** The engine's signature operator: the point-in-time (as-of) join.
@@ -153,19 +152,7 @@ object PointInTimeJoin {
     // narrow projection, not the whole entity row. Alias both sides so
     // self-joins (entity df built from the feature table itself)
     // resolve unambiguously.
-    //
-    // Both narrow sides pass through rebalance(): when a side collapses
-    // to fewer partitions than cores (a single small parquet file ->
-    // one split -> one thread), the as-of fan-out AND its partial
-    // max_by would run serially in that one task — measured 3x the
-    // whole query's wall at bench sf when AQE broadcasts the other
-    // side. A narrow-projection repartition is trivial next to the
-    // per-candidate work it parallelizes; on a many-file production
-    // table the partition estimate clears the bar and this is a no-op.
-    // (Safe under the rowId: ids are stamped below the exchange, so a
-    // task retry re-derives them from the same stable scan order.)
-    val left = Dedup.rebalance(
-      stamped.select((rowId +: entityTsCol +: joinKeys).distinct.map(col): _*)).alias("__l")
+    val left = stamped.select((rowId +: entityTsCol +: joinKeys).distinct.map(col): _*).alias("__l")
     def L(c: String): Column = col(s"__l.$c")
     def R(c: String): Column = col(s"__r.$c")
 
