@@ -2,12 +2,17 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Per-stage profile of q_pit_join_single at sf0.1 (VERDICT r2 next #1c):
-  * localizes where the ~2.4 s bench wall goes — scan, checkpoint,
-  * aggregation, join, or driver gaps between stages. */
+/** Per-stage profile of a SparkEntry query at a given SF dir (default
+  * q_pit_join_single at sf0.1 — VERDICT r2 next #1c): localizes where
+  * the bench wall goes — scan, checkpoint, aggregation, join, or
+  * driver gaps between stages.
+  *
+  * usage: PitProf [sfDir] [queryName]
+  */
 object PitProf {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val query = args.lift(1).getOrElse("q_pit_join_single")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -26,7 +31,7 @@ object PitProf {
           f"tasks=${si.numTasks} ${si.name.take(70)}")
       }
     })
-    def force(): Unit = graft.SparkEntry.queries("q_pit_join_single")(spark, sfDir)
+    def force(): Unit = graft.SparkEntry.queries(query)(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     def t(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
@@ -34,7 +39,7 @@ object PitProf {
     }
     t("warm")(force())
     println("---- timed run ----")
-    t("pit_single")(force())
+    t(query.take(14))(force())
     spark.stop()
   }
 }
