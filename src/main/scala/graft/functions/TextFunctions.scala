@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -172,4 +172,18 @@ object TextFunctions {
     * SimHash). */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Corpus vocabulary: the k most-document-frequent word n-grams
+    * (each doc counts a gram once — [[wordNgramsFromWords]] is
+    * per-doc-distinct), ties broken by gram text so the cut is total.
+    * Scale shape: explode -> hash-partial count (map-side combined on
+    * the gram) -> TakeOrdered top-k — the global "sort" ships only k
+    * rows per partition to the driver-side merge, never the
+    * vocabulary. */
+  def topKNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    df.withColumn("__w", words(col(textCol)))
+      .select(explode(wordNgramsFromWords(col("__w"), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(desc("doc_freq"), asc("ngram"))
+      .limit(k)
 }

@@ -552,7 +552,47 @@ object PipelineQueries {
       |       (octet_length(encode(text)) * 7) % 480 + 16 AS height
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Token-budget shard packing (training-data export): documents
+    * packed into ~2000-token shards in doc_id order via the
+    * distributed prefix sum in [[graft.functions.Packing]]. The oracle
+    * states the same prefix arithmetic as one global window — DuckDB
+    * can afford that at sf; the Spark side must not (bounded slices +
+    * #partitions-row offset window instead). */
+  def shardPack(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Packing.packShards(
+        docs(s, dir).select(col("doc_id"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budgetTokens = 2000L)
+      .select(col("doc_id"), col("n_tokens"), col("shard_id"))
+      .orderBy("doc_id")
+
+  val shardPackSql: String =
+    """SELECT doc_id, n_tokens,
+      |       CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0)
+      |            AS BIGINT) AS shard_id
+      |FROM (SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Corpus vocabulary: top-100 bigrams by document frequency. */
+  def vocabTopK(s: SparkSession, dir: String): DataFrame =
+    TF.topKNgrams(docs(s, dir).select(col("text")), "text", n = 2, k = 100)
+      .orderBy(desc("doc_freq"), asc("ngram"))
+
+  val vocabTopKSql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+      |                i -> w[i] || ' ' || w[i+1]))) AS ngram
+      |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      |        FROM documents))
+      |SELECT ngram, count(*) AS doc_freq FROM g GROUP BY 1
+      |ORDER BY doc_freq DESC, ngram LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shard_pack" -> (shardPack _),
+    "q_vocab_topk" -> (vocabTopK _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langIdQ _),
     "q_pii_scrub" -> (piiScrub _),
@@ -574,6 +614,8 @@ object PipelineQueries {
     "q_multimodal_meta" -> (multimodalMeta _))
 
   val oracles: Map[String, String] = Map(
+    "q_shard_pack" -> shardPackSql,
+    "q_vocab_topk" -> vocabTopKSql,
     "q_text_stats" -> textStatsSql,
     "q_lang_id" -> langIdSql,
     "q_pii_scrub" -> piiScrubSql,

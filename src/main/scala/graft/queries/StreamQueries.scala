@@ -87,6 +87,36 @@ object StreamQueries {
       .orderBy("window_start_ms", "event_type")
   }
 
+  /** Stateful streaming dedup: the whole events table replayed TWICE —
+    * two files, each a full copy, maxFilesPerTrigger=1 — so every
+    * duplicate pair straddles a micro-batch boundary and only dedup
+    * STATE carried across batches can catch it (the watermark delay is
+    * set far above the data's time span on purpose: nothing is "late",
+    * so late-row dropping can't masquerade as dedup). Oracle: the
+    * distinct events. */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val input = s"/tmp/graft_stream_dup_${Math.abs(dir.hashCode)}"
+    if (!new java.io.File(s"$input/_COPY2").exists()) {
+      val ev = Tables.read(s, dir, "events")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+      ev.coalesce(1).write.mode("overwrite").parquet(input)
+      ev.coalesce(1).write.mode("append").parquet(input)
+      new java.io.File(s"$input/_COPY2").createNewFile()
+    }
+    val stream = SourceReader.readStream(s,
+      FileStreamSource(input, "parquet", "ts", maxFilesPerTrigger = Some(1)))
+    val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.take(8)
+    StreamMaterializer.runStreamDedupToCompletion(
+        stream, "ts", Seq("event_id", "ts"), "3650 days", name)
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
+  val streamDedupSql: String =
+    """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** The streaming file source can't read INT64-nanos timestamps, so the
     * stream input is a pre-normalized copy of events (µs timestamps). */
   private def prepared(s: SparkSession, dir: String): String = {
@@ -111,9 +141,11 @@ object StreamQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_materialize" -> (streamMaterialize _),
-    "q_stream_window_agg" -> (streamWindowAgg _))
+    "q_stream_window_agg" -> (streamWindowAgg _),
+    "q_stream_dedup" -> (streamDedup _))
 
   val oracles: Map[String, String] = Map(
     "q_stream_materialize" -> streamMaterializeSql,
-    "q_stream_window_agg" -> streamWindowAggSql)
+    "q_stream_window_agg" -> streamWindowAggSql,
+    "q_stream_dedup" -> streamDedupSql)
 }

@@ -135,4 +135,36 @@ object StreamMaterializer {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  /** Stateful streaming deduplication: drop records whose `keyCols`
+    * were already seen, with the dedup state bounded by the event-time
+    * watermark (a key older than the watermark can be evicted — the
+    * standard at-least-once -> exactly-once repair in front of a
+    * stream materialization; unbounded state would OOM a 100 TB
+    * replay). Runs to completion on available input into a memory
+    * sink (same synchronous harness as [[runWindowedAggToCompletion]]).
+    *
+    * Spark evicts a key's state only once the watermark passes its
+    * event time, so duplicates arriving within the delay are always
+    * caught; `keyCols` must include the `tsCol` so state eviction has
+    * an event time per key. */
+  def runStreamDedupToCompletion(
+      stream: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      watermarkDelay: String,
+      queryName: String): DataFrame = {
+    val spark = stream.sparkSession
+    val deduped = stream
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates(keyCols)
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
 }

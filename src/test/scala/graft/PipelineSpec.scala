@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{Dedup, Multimodal, Similarity, TextFunctions => TF}
+import graft.functions.{Dedup, Multimodal, Packing, Similarity, TextFunctions => TF}
 
 /** Unit tests for the training-data pipeline operators not fully covered
   * by the DuckDB oracle (hash-dependent: MinHash accuracy, SimHash,
@@ -260,6 +260,28 @@ class PipelineSpec extends AnyFunSuite {
       largeEval, "eval_id", "text", n = 3, broadcastEval = Some(true))))
     assert(!hasBroadcastHint(Dedup.ngramContamination(corpus, "doc_id", "text",
       smallEval, "eval_id", "text", n = 3, broadcastEval = Some(false))))
+  }
+
+  test("packShards: partition-count invariant and equal to the sequential prefix packing") {
+    import spark.implicits._
+    val toks = {
+      val rnd = new scala.util.Random(7)
+      (0 until 500).map(i => (i.toLong, 1L + rnd.nextInt(300)))
+    }
+    val df = toks.toDF("id", "tok")
+    def assign(parts: Int): Map[Long, Long] =
+      Packing.packShards(df, "id", "tok", 1000L, Some(parts))
+        .select(col("id"), col("shard_id")).as[(Long, Long)].collect().toMap
+    val a3 = assign(3)
+    // shard ids must not depend on where range-partition bounds land
+    assert(a3 === assign(7))
+    // reference: the sequential greedy packing on the driver
+    val expected = toks.scanLeft((-1L, 0L)) { case ((_, prefix), (id, t)) =>
+      (id, prefix + t)
+    }.tail.map { case (id, cumInclusive) =>
+      id -> (cumInclusive - toks(id.toInt)._2) / 1000L
+    }.toMap
+    assert(a3 === expected)
   }
 
   test("simhashExactDupPairs reports ALL pairs of a mega duplicate group (no bucket cap)") {
