@@ -50,6 +50,7 @@ object ScaleCheck {
     scaled("orders", Seq("o_orderkey"))
     scaled("lineitem", Seq("l_orderkey"))
     scaled("documents", Seq("doc_id"))
+    scaled("embeddings", Seq("vec_id"))
 
     def force(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
     def time(name: String, dir: String): Double = {
@@ -59,7 +60,10 @@ object ScaleCheck {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val queries = Seq("q_pit_join_single", "q_dedup_minhash", "q_text_stats")
+    // signature operators + the round-2 weak-marked ones (IVF top-k,
+    // contamination) + the round-3 packing export
+    val queries = Seq("q_pit_join_single", "q_dedup_minhash", "q_text_stats",
+      "q_ann_ivf", "q_contamination", "q_shard_pack")
     queries.foreach(q => time(q, baseDir)) // warm: codegen + analyzer JIT
     val lines = queries.map { q =>
       val t1 = time(q, baseDir)

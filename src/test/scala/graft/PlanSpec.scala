@@ -91,6 +91,31 @@ class PlanSpec extends AnyFunSuite {
       s"IVF top-k must aggregate at two levels:\n$plan")
   }
 
+  test("packShards: no unpartitioned window over the data — only over per-slice totals") {
+    import spark.implicits._
+    val df = (0 until 200).map(i => (i.toLong, 10L)).toDF("id", "tok")
+    val plan = graft.functions.Packing.packShards(df, "id", "tok", 100L, Some(4))
+      .queryExecution.executedPlan match {
+        // AQE wraps the physical plan; inspect the inner plan tree
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected window operators in the packing plan")
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      // a global window is allowed ONLY above the per-slice totals
+      // aggregate (#partitions rows); over the raw data it would pull
+      // the corpus into one task
+      assert(w.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+        s"unpartitioned window must sit above the totals aggregate:\n$plan")
+    }
+    // the data-side running sum must be partitioned (by the slice id)
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      s"per-slice running sum must be a partitioned window:\n$plan")
+  }
+
   test("minhash LSH dedup plans no cartesian product") {
     import spark.implicits._
     val docs = (0 until 50).map(i => (i.toLong, s"doc $i words tokens sample text payload"))
