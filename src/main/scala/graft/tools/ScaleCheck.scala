@@ -67,7 +67,9 @@ object ScaleCheck {
     queries.foreach(q => time(q, baseDir)) // warm: codegen + analyzer JIT
     val lines = queries.map { q =>
       val t1 = time(q, baseDir)
+      System.err.println(s"[scalecheck] $q 1x done: $t1")
       val tn = time(q, outDir)
+      System.err.println(s"[scalecheck] $q ${factor}x done: $tn")
       f""""$q":{"t1":$t1%.2f,"t$factor":$tn%.2f,"wall_ratio":${tn / t1}%.2f}"""
     }
     println(s"""{"factor":$factor,${lines.mkString(",")}}""")

@@ -118,4 +118,29 @@ class PropertySpec extends AnyFunSuite {
     }
     runCheck(tagDistinct, minTests = 50)
   }
+
+  test("packShards agrees with the sequential prefix packing on arbitrary inputs (ScalaCheck)") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(0, 120)
+      toks <- Gen.listOfN(n, Gen.choose(1L, 500L))
+      budget <- Gen.choose(1L, 2000L)
+      parts <- Gen.choose(1, 6)
+    } yield (toks, budget, parts)
+    val prop = Prop.forAll(gen) { case (toks, budget, parts) =>
+      val rows = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val expected = rows.foldLeft((0L, Map.empty[Long, Long])) {
+        case ((prefix, acc), (id, t)) => (prefix + t, acc + (id -> prefix / budget))
+      }._2
+      val got =
+        if (rows.isEmpty) Map.empty[Long, Long]
+        else graft.functions.Packing
+          .packShards(rows.toDF("id", "tok"), "id", "tok", budget, Some(parts))
+          .select(org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.col("shard_id"))
+          .as[(Long, Long)].collect().toMap
+      got == expected
+    }
+    runCheck(prop, minTests = 30)
+  }
 }
