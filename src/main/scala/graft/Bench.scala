@@ -81,8 +81,9 @@ object Bench {
     //    streaming micro-batch of local-mode driver cost
     //    (q_stream_materialize = 2 batches + store dump), ~0.3-0.5 s per
     //    Spark job (materialize runs several store jobs per call).
-    val notes = "scalecheck 10x data wall ratios: pit_join 2.7x, " +
-      "dedup_minhash 5.1x, text_stats 5.7x (sub-linear, ScaleCheck local[32]); " +
+    val notes = "scalecheck 10x data wall ratios: pit_join 2.5x, " +
+      "dedup_minhash 3.5x, text_stats 6.3x, ann_ivf 1.0x, contamination 1.8x, " +
+      "shard_pack 1.1x (sub-linear, ScaleCheck local[32] 16g driver); " +
       "stream floor ~1.5s/micro-batch, job floor ~0.3-0.5s at toy sf"
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","notes":"$notes"}""")
     spark.stop()
