@@ -87,6 +87,49 @@ object StreamQueries {
       .orderBy("window_start_ms", "event_type")
   }
 
+  /** Streaming sessionization: 6-hour-gap sessions per user via
+    * declarative session windows, run to completion on the replayed
+    * stream. Oracle: the batch gaps-and-islands formulation — a new
+    * session starts where the gap to the previous event exceeds 6h;
+    * session_start = first event, session_end = last event (Spark's
+    * window.end is last + gap, so the query aggregates max(ts)
+    * explicitly to state the engine-neutral value). */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    val stream = SourceReader.readStream(s,
+      FileStreamSource(prepared(s, dir), "parquet", "ts"))
+    val name = "stream_sessionize_" + java.util.UUID.randomUUID().toString.take(8)
+    StreamMaterializer.runSessionAggToCompletion(
+        stream, "ts", "6 hours", Seq("user_id"),
+        Seq(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"),
+          max(col("ts")).as("last_ts")),
+        name)
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        unix_millis(col("last_ts")).as("session_end_ms"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start_ms")
+  }
+
+  val streamSessionizeSql: String =
+    """WITH x AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 6 HOUR
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |s AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |                                ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x)
+      |SELECT user_id,
+      |       epoch_ms(min(ts)) AS session_start_ms,
+      |       epoch_ms(max(ts)) AS session_end_ms,
+      |       count(*) AS n_events,
+      |       round(sum(value), 2) AS sum_value
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_ms""".stripMargin
+
   /** Stateful streaming dedup: the whole events table replayed TWICE —
     * two files, each a full copy, maxFilesPerTrigger=1 — so every
     * duplicate pair straddles a micro-batch boundary and only dedup
@@ -142,10 +185,12 @@ object StreamQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_materialize" -> (streamMaterialize _),
     "q_stream_window_agg" -> (streamWindowAgg _),
-    "q_stream_dedup" -> (streamDedup _))
+    "q_stream_dedup" -> (streamDedup _),
+    "q_stream_sessionize" -> (streamSessionize _))
 
   val oracles: Map[String, String] = Map(
     "q_stream_materialize" -> streamMaterializeSql,
     "q_stream_window_agg" -> streamWindowAggSql,
-    "q_stream_dedup" -> streamDedupSql)
+    "q_stream_dedup" -> streamDedupSql,
+    "q_stream_sessionize" -> streamSessionizeSql)
 }

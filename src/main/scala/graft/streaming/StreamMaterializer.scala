@@ -136,6 +136,34 @@ object StreamMaterializer {
     spark.table(queryName)
   }
 
+  /** Sessionization over a stream: gap-based session windows per key
+    * (Spark's declarative `session_window` — state merging, eviction
+    * and out-of-order handling come from the engine, no custom
+    * mapGroupsWithState needed). Runs to completion on available input
+    * in complete mode into a memory sink (same synchronous harness as
+    * [[runWindowedAggToCompletion]]; append mode + watermark is the
+    * production shape). */
+  def runSessionAggToCompletion(
+      stream: DataFrame,
+      tsCol: String,
+      gap: String,
+      keyCols: Seq[String],
+      aggs: Seq[org.apache.spark.sql.Column],
+      queryName: String): DataFrame = {
+    val spark = stream.sparkSession
+    val agg = stream
+      .groupBy((session_window(col(tsCol), gap) +: keyCols.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Stateful streaming deduplication: drop records whose `keyCols`
     * were already seen, with the dedup state bounded by the event-time
     * watermark (a key older than the watermark can be evicted — the
