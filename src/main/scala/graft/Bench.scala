@@ -73,14 +73,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // Measured context for the sub-second-oracle queries and the scale
-    // claims (graft.tools.ScaleCheck, local[32], 2026-08-12):
-    //  - 10x data -> wall ratio 2.7x (q_pit_join_single), 5.1x
-    //    (q_dedup_minhash), 5.7x (q_text_stats): sub-linear per-row cost
-    //    as fixed overhead amortizes.
-    //  - floors at toy sf that no plan change removes: ~1.5 s per
-    //    streaming micro-batch of local-mode driver cost
-    //    (q_stream_materialize = 2 batches + store dump), ~0.3-0.5 s per
-    //    Spark job (materialize runs several store jobs per call).
+    // claims: the `notes` string below carries the final ScaleCheck
+    // 10x-data wall ratios (single source of truth, mirrored in
+    // SURVEY §8.8); floors at toy sf that no plan change removes are
+    // ~1.5 s per streaming micro-batch of local-mode driver cost
+    // (q_stream_materialize = 2 batches + store dump) and ~0.3-0.5 s
+    // per Spark job (materialize runs several store jobs per call).
     val notes = "scalecheck 10x data wall ratios: pit_join 2.5x, " +
       "dedup_minhash 3.5x, text_stats 6.3x, ann_ivf 1.0x, contamination 1.8x, " +
       "shard_pack 1.1x (sub-linear, ScaleCheck local[32] 16g driver); " +

@@ -56,7 +56,10 @@ object Dedup {
     * @param maxBucketSize drop degenerate buckets larger than this
     *                  (e.g. empty-text buckets) instead of exploding
     *                  into n² pairs
-    * @return (id_a, id_b, jaccard) with id_a < id_b
+    * @return (id_a, id_b, jaccard) with id_a < id_b. Backed by a
+    *         self-releasing shingle cache: consume with exactly ONE
+    *         action (see [[unpersistAfterFirstUse]]) — extra probe
+    *         actions stay correct but forfeit the cache.
     */
   def minhashNearDupPairs(
       df: DataFrame,
@@ -137,7 +140,17 @@ object Dedup {
     * result is never executed, the persist stays unmaterialized (a
     * CacheManager entry with no blocks), and the listener expires after
     * `maxMissedQueries` unrelated queries so an abandoned frame cannot
-    * leave a per-query plan-scan behind for the session's lifetime. */
+    * leave a per-query plan-scan behind for the session's lifetime.
+    *
+    * CONTRACT: consume the returned frame with exactly ONE action
+    * (collect / write / count). ANY completed action whose plan
+    * contains the result counts as the first use — a cheap probe like
+    * `isEmpty` or `limit(1).collect()`, or a `count()` before the real
+    * `collect()`, drops the cache early and the next action recomputes
+    * the cached subtree from scratch (correct results, up to ~10x
+    * slower — the recompute the persist exists to avoid). Multi-action
+    * consumers should `.persist()` the returned frame themselves first,
+    * or run their probes after the main consumption. */
   private[functions] def unpersistAfterFirstUse(result: DataFrame, cached: DataFrame,
       maxMissedQueries: Int = 512): DataFrame = {
     val spark = result.sparkSession

@@ -15,21 +15,38 @@ import org.apache.spark.sql.functions._
   * Distributed prefix sum — never a single global window over the
   * corpus:
   *
-  *   1. range-repartition by `idCol`: partition p holds an ordered
-  *      slice of the id space (the same shuffle a sorted export needs
-  *      anyway);
-  *   2. running sums WITHIN each slice via a window keyed by the
-  *      physical partition id — each window group is one slice, so
-  *      group size is bounded by partition size, not corpus size;
+  *   1. slice the id space into `parts` ordered ranges. The slice id is
+  *      a PURE FUNCTION of the id value: bounds are computed ONCE on
+  *      the driver from a deterministic per-partition reservoir sample
+  *      and embedded as a literal in a binary-search expression
+  *      ([[SearchSorted]]). This is the load-bearing difference from
+  *      `repartitionByRange` + `spark_partition_id()`: that pair is
+  *      only self-consistent if Spark's ReuseExchange dedupes the two
+  *      identical exchanges below the running-sum and per-slice-total
+  *      subtrees — with reuse off (or canonicalization drift), each
+  *      subtree samples its own range bounds (RangePartitioner seeds on
+  *      the per-execution RDD id) and the slice join silently assigns
+  *      wrong offsets. A literal-bounds slice id is identical in every
+  *      subtree under any config.
+  *   2. running sums WITHIN each slice via a window keyed by the slice
+  *      id — each window group is one slice, so group size is bounded
+  *      by the sample balance (≈ rows/parts), not corpus size;
   *   3. cross-slice offsets from the per-slice totals: one row per
   *      slice, so the global ordering window there touches only
-  *      #partitions rows (thousands at 100 TB — bounded by design);
-  *      they broadcast back to the data.
+  *      #slices rows (thousands at 100 TB — bounded by design); they
+  *      broadcast back to the data.
   *
-  * The result is invariant to the range partitioner's sampled bounds:
-  * prefix_before(doc) depends only on the global id order, not on
-  * where slice boundaries land. Requires `idCol` values be unique
-  * (ties would make the within-slice running sum order-ambiguous).
+  * The per-slice totals are a SEPARATE narrow aggregation of the input
+  * (idCol + tokenCol only, map-side partial agg, no sort) rather than a
+  * second consumer of the windowed subtree: correct regardless of
+  * exchange reuse, and at 100 TB a column-pruned rescan + partial agg
+  * is cheaper than re-running the full-width shuffle + sort the window
+  * needs.
+  *
+  * The result is invariant to where the sampled slice boundaries land:
+  * prefix_before(doc) depends only on the global id order. Requires
+  * `idCol` values be unique (ties would make the within-slice running
+  * sum order-ambiguous).
   */
 object Packing {
 
@@ -43,15 +60,17 @@ object Packing {
     val parts = numPartitions.getOrElse(df.sparkSession.sparkContext.defaultParallelism)
     val tok = col(tokenCol).cast("long")
 
-    val ranged = df.repartitionByRange(parts, col(idCol))
-      .withColumn("__pid", spark_partition_id())
+    val idType = df.schema(idCol).dataType
+    val bounds = sliceBounds(df, idCol, parts)
+    val sliced = df.withColumn("__pid",
+      SearchSorted.column(col(idCol), idType, bounds))
+
     // inclusive running sum within the slice
-    val cum = ranged.withColumn("__cum",
+    val cum = sliced.withColumn("__cum",
       sum(tok).over(Window.partitionBy("__pid").orderBy(idCol)))
-    // per-slice totals -> exclusive prefix across slices. `ranged` is
-    // referenced by both subtrees — one exchange, reused. The
-    // unpartitioned window runs over #partitions rows only.
-    val totals = ranged.groupBy("__pid").agg(sum(tok).as("__ptot"))
+    // per-slice totals -> exclusive prefix across slices; the
+    // unpartitioned window runs over #slices rows only
+    val totals = sliced.groupBy("__pid").agg(sum(tok).as("__ptot"))
     val offsets = totals.withColumn("__off",
         coalesce(sum(col("__ptot")).over(
           Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -61,5 +80,51 @@ object Packing {
       .withColumn("shard_id",
         floor((col("__off") + col("__cum") - tok) / lit(budgetTokens.toDouble)).cast("long"))
       .drop("__pid", "__cum", "__off")
+  }
+
+  /** `parts - 1` approximate quantile bounds of `idCol`, from one
+    * narrow job: a seeded reservoir sample per input partition (what
+    * Spark's RangePartitioner.sketch does, but with partition-index
+    * seeds so the bounds are reproducible), concatenated and reduced to
+    * evenly spaced picks on the driver. Driver memory is bounded by
+    * samplePerPart × #partitions values of one column. Balance is
+    * approximate (per-partition samples are not weighted by partition
+    * size) — that skews slice SIZES, never results: slice membership
+    * only needs to be deterministic and id-ordered. */
+  private def sliceBounds(df: DataFrame, idCol: String, parts: Int): Seq[Any] = {
+    if (parts <= 1) return Nil
+    val rdd = df.select(col(idCol)).rdd
+    val sampleTarget = math.min(20L * parts, 1000000L)
+    val samplePerPart =
+      math.max(20, math.ceil(3.0 * sampleTarget / math.max(1, rdd.getNumPartitions)).toInt)
+    val sampled = rdd.mapPartitionsWithIndex { (idx, it) =>
+      val rng = new java.util.Random(0x9e3779b97f4a7c15L ^ idx)
+      val res = new Array[Any](samplePerPart)
+      var n = 0L
+      it.foreach { row =>
+        val v = row.get(0)
+        if (v != null) {
+          n += 1
+          if (n <= samplePerPart) res((n - 1).toInt) = v
+          else {
+            val j = (rng.nextDouble() * n).toLong
+            if (j < samplePerPart) res(j.toInt) = v
+          }
+        }
+      }
+      res.take(math.min(n, samplePerPart.toLong).toInt).iterator
+    }.collect()
+    if (sampled.isEmpty) return Nil
+    // External sort order only decides WHICH sample values become
+    // bounds (SearchSorted re-sorts them with the Catalyst ordering) —
+    // wrong order skews slice balance, never results. All external
+    // representations of atomic Spark types are Comparable.
+    val sorted = sampled.head match {
+      case _: Comparable[_] =>
+        sampled.sortWith((a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
+      case _ => sampled.sortBy(_.toString)
+    }
+    val k = math.min(parts - 1, sorted.length)
+    (1 to k).map(i => sorted((i.toLong * sorted.length / (k + 1)).toInt)).distinct
   }
 }

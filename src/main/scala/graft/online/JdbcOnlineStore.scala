@@ -80,6 +80,7 @@ class JdbcOnlineStore(
     val hexes = entityKeys.map(EntityKeyCodec.hexKey)
     val found: Map[String, (Timestamp, Map[String, Any])] =
       try withConnection(url) { conn =>
+        val utc = utcCalendar()
         hexes.distinct.grouped(ReadChunk).flatMap { chunk =>
           val in = chunk.map(_ => "?").mkString(",")
           val st = conn.prepareStatement(
@@ -90,7 +91,7 @@ class JdbcOnlineStore(
             val out = Iterator.continually(rs)
               .takeWhile(_.next())
               .map(r => r.getString(1) ->
-                (r.getTimestamp(2), ValueCodec.decodeMap(r.getBytes(3))))
+                (r.getTimestamp(2, utc), ValueCodec.decodeMap(r.getBytes(3))))
               .toList
             rs.close(); out
           } finally st.close()
@@ -144,6 +145,16 @@ object JdbcOnlineStore {
   /** COALESCE floor for null created_ts in the LWW comparison. */
   private val TsFloor = "TIMESTAMP('0001-01-01 00:00:00')"
 
+  /** All TIMESTAMP binds use a fixed UTC Calendar: a bare
+    * setTimestamp/getTimestamp stores JVM-default-timezone wall time,
+    * which round-trips in a single embedded JVM but shifts the instant
+    * (and can invert last-write-wins ordering) when writers on
+    * executors and point reads on the driver talk to a server store
+    * from JVMs with different default timezones. Per-use instance —
+    * Calendar is mutable and not thread-safe. */
+  private def utcCalendar(): java.util.Calendar =
+    java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC"))
+
   /** Derby embedded URL for a database directory (`;create=true`). */
   def derbyUrl(dbDir: String): String = s"jdbc:derby:$dbDir;create=true"
 
@@ -182,6 +193,7 @@ object JdbcOnlineStore {
     withConnection(url) { conn =>
       ensureTable(conn, t) // first-writer race: each task is idempotent
       conn.setAutoCommit(false)
+      val utc = utcCalendar() // per-call: Calendar is not thread-safe
       val update = conn.prepareStatement(
         s"""UPDATE $t SET event_ts = ?, created_ts = ?, payload = ?
            | WHERE entity_key = ?
@@ -198,17 +210,17 @@ object JdbcOnlineStore {
           val created = createdCol.map(r.getAs[Timestamp]).orNull
           val payload = ValueCodec.encodeMap(feats.map(f => f -> r.getAs[Any](f)))
           def tryUpdate(): Int = {
-            update.setTimestamp(1, ts); update.setTimestamp(2, created)
+            update.setTimestamp(1, ts, utc); update.setTimestamp(2, created, utc)
             update.setBytes(3, payload); update.setString(4, hex)
-            update.setTimestamp(5, ts); update.setTimestamp(6, ts)
-            update.setTimestamp(7, created)
+            update.setTimestamp(5, ts, utc); update.setTimestamp(6, ts, utc)
+            update.setTimestamp(7, created, utc)
             update.executeUpdate()
           }
           if (tryUpdate() == 0) {
             // no row, or an existing row is strictly newer — try insert
             try {
-              insert.setString(1, hex); insert.setTimestamp(2, ts)
-              insert.setTimestamp(3, created); insert.setBytes(4, payload)
+              insert.setString(1, hex); insert.setTimestamp(2, ts, utc)
+              insert.setTimestamp(3, created, utc); insert.setBytes(4, payload)
               insert.executeUpdate()
             } catch {
               case e: SQLException if e.getSQLState == "23505" =>

@@ -71,11 +71,18 @@ object OnlineQueries {
     * being measured: billing a full materialize to every multiget run
     * made a ~ms read path look like 1.4 s (VERDICT r2 "What's wrong"
     * #3). Verify correctness is unaffected — the first call still
-    * builds the store through the normal materialize path. */
+    * builds the store through the normal materialize path.
+    *
+    * Keyed on (session, dir): a FeatureStore captures its SparkSession,
+    * so a dir-only key would hand a restarted session a store bound to
+    * a stopped one. Entries assume the dir's source parquet is
+    * immutable for the session (true for the driver's testdata) — a
+    * mutated dir would serve stale features until the session is
+    * replaced. */
   private val multigetStores =
-    new java.util.concurrent.ConcurrentHashMap[String, (FeatureStore, ParquetOnlineStore)]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (FeatureStore, ParquetOnlineStore)]()
   private def materializedStore(s: SparkSession, dir: String): (FeatureStore, ParquetOnlineStore) =
-    multigetStores.computeIfAbsent(dir, _ => {
+    multigetStores.computeIfAbsent((s, dir), _ => {
       val (fs, store) = freshStore(s, dir)
       fs.materialize(Seq("user_events"), T0, T2)
       (fs, store)

@@ -284,6 +284,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(a3 === expected)
   }
 
+  test("packShards is correct with spark.sql.exchange.reuse disabled") {
+    import spark.implicits._
+    // The old formulation derived slice ids from repartitionByRange +
+    // spark_partition_id() in TWO subtrees and was only self-consistent
+    // when ReuseExchange deduped the identical exchanges; with reuse off
+    // each subtree sampled its own range bounds (RangePartitioner seeds
+    // on the per-execution RDD id) -> silently wrong shard ids. Slice
+    // ids are now a pure function of the id value (driver-computed
+    // bounds + SearchSorted), so this must hold under any config.
+    val toks = (0 until 400).map(i => (i.toLong, 1L + (i * 37 % 250)))
+    val df = toks.toDF("id", "tok")
+    val expected = toks.scanLeft((-1L, 0L)) { case ((_, prefix), (id, t)) =>
+      (id, prefix + t)
+    }.tail.map { case (id, cumInclusive) =>
+      id -> (cumInclusive - toks(id.toInt)._2) / 500L
+    }.toMap
+    val prev = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val got = Packing.packShards(df, "id", "tok", 500L, Some(5))
+        .select(col("id"), col("shard_id")).as[(Long, Long)].collect().toMap
+      assert(got === expected)
+    } finally spark.conf.set("spark.sql.exchange.reuse", prev)
+  }
+
   test("simhashExactDupPairs reports ALL pairs of a mega duplicate group (no bucket cap)") {
     import spark.implicits._
     // 1005 copies of one text — larger than any LSH bucket cap; the old
