@@ -189,7 +189,7 @@ object Dedup {
     * (bytes / maxPartitionBytes), not `df.rdd.getNumPartitions` — the
     * latter forces physical planning + RDD DAG creation of the subtree
     * just to read a number. */
-  private[functions] def rebalance(df: DataFrame): DataFrame = {
+  private[graft] def rebalance(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val maxPartBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(

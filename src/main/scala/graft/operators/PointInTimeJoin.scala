@@ -172,6 +172,14 @@ object PointInTimeJoin {
       feat = feat.filter(col(tsCol) <= lit(mxTs))
       lowerTs.foreach(l => feat = feat.filter(col(tsCol) >= lit(l)))
     }
+    // NOTE (measured twice, rounds 3+4): do NOT rebalance() either join
+    // side here. The single-row-group test files do serialize the
+    // candidate join into one ~1.4 s task, but inserting a round-robin
+    // exchange costs MORE (+1.3-1.9 s/query) — an extra shuffle, a
+    // broken scan→join codegen pipeline, and an extra AQE replan per
+    // view. On a production many-file table the scan parallelizes by
+    // itself; the single-task stage is a toy-data artifact, not a plan
+    // defect.
     val featAliased = feat.alias("__r")
 
     // Per-row as-of predicate (inclusive on both edges — the reference's
