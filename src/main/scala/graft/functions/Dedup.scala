@@ -265,6 +265,29 @@ object Dedup {
     df.filter(hashed < frac)
   }
 
+  /** Deterministic weighted mixture sampling for training-data domain
+    * mixing: keep each row with probability `weightCol` (per-row, 0..1
+    * — typically a per-source/domain weight), decided by a salted md5
+    * of the key. Like [[stratifiedSample]] a pure narrow filter
+    * (reproducible under retry, no shuffle, any scale), but hashed with
+    * md5 instead of xxhash64 so the decision is CROSS-ENGINE
+    * replayable — md5 exists in every SQL engine, which makes the
+    * sample value-verifiable (and exactly reproducible by a downstream
+    * consumer that isn't Spark). Decision: first 8 hex chars of
+    * md5(salt:key), compared as lowercase hex against floor(w·2^32) —
+    * a pure string comparison, no 64-bit parsing needed. */
+  def mixtureSample(
+      df: DataFrame,
+      keyCol: Column,
+      weightCol: Column,
+      salt: String = "graft"): DataFrame = {
+    val h = substring(md5(concat(lit(salt), lit(":"), keyCol.cast("string")).cast("binary")), 1, 8)
+    val thr = lower(lpad(hex(floor(weightCol.cast("double") * lit(4294967296.0)).cast("long")), 8, "0"))
+    // weight >= 1 would produce a 9-hex threshold that lpad TRUNCATES
+    // to "10000000" (< most hashes) — keep-everything must short-circuit
+    df.filter(weightCol >= 1.0 || h < thr)
+  }
+
   /** All ordered pairs (a<b) of an array column — used inside one LSH
     * bucket. */
   private def pairsOf(ids: Column): Column = {

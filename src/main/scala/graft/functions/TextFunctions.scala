@@ -186,4 +186,50 @@ object TextFunctions {
       .groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
       .orderBy(desc("doc_freq"), asc("ngram"))
       .limit(k)
+
+  /** Gopher-style document quality rules (Rae et al. 2021, the rule
+    * subset expressible without a language model): word-count bounds,
+    * mean-word-length bounds, symbol-to-word ratio, alphabetic-token
+    * ratio, and distinct-stopword presence. Returns a struct of
+    * per-rule booleans plus the conjunction `pass` — callers filter on
+    * `pass` or inspect individual rules for corpus diagnostics. Pure
+    * narrow projection, same scale shape as the other text ops. */
+  def gopherFlags(c: Column): Column = {
+    val toks = tokens(c)
+    val w = words(c)
+    val nTok = size(toks)
+    val meanLen = when(size(w) > 0,
+      aggregate(w, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+        size(w).cast("double")).otherwise(lit(0.0))
+    val symbols = size(regexp_extract_all(c, lit("[#…]"), lit(0)))
+    val alphaToks = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    val stopDistinct = size(array_distinct(
+      regexp_extract_all(lower(c), lit("\\b(" + StopwordsEn.mkString("|") + ")\\b"), lit(0))))
+    val okWords = nTok.between(50, 100000)
+    val okMeanLen = meanLen.between(3.0, 10.0)
+    val okSymbol = symbols.cast("double") <= nTok.cast("double") * lit(0.1)
+    val okAlpha = when(nTok > 0,
+      alphaToks.cast("double") / nTok.cast("double") >= lit(0.8)).otherwise(lit(false))
+    val okStop = stopDistinct >= 2
+    struct(
+      okWords.as("ok_word_count"),
+      okMeanLen.as("ok_mean_word_len"),
+      okSymbol.as("ok_symbol_ratio"),
+      okAlpha.as("ok_alpha_ratio"),
+      okStop.as("ok_stopwords"),
+      (okWords && okMeanLen && okSymbol && okAlpha && okStop).as("pass"))
+  }
+
+  /** C4-style line cleaning (Raffel et al. 2020): keep only lines that
+    * end in terminal punctuation (. ! ? ") and contain at least
+    * `minWords` whitespace tokens; drop the rest and re-join. The
+    * per-document form of the C4 cleanup pass — narrow, codegen'd,
+    * no shuffle. */
+  def cleanLines(c: Column, minWords: Int = 5): Column = {
+    val lines = split(c, "\n")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]\\s*$") &&
+        size(regexp_extract_all(l, lit("\\S+"), lit(0))) >= minWords)
+    array_join(kept, "\n")
+  }
 }

@@ -214,6 +214,59 @@ object CoreQueries {
       |      WHERE ts BETWEEN TIMESTAMP '2024-01-03' AND TIMESTAMP '2024-01-23')
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** JSON ingest through `FileSource(format="json")` — the JSON half of
+    * the reference's file ingestion surface (CSV is q_csv_ingest):
+    * round-trip events to JSON, read through the source abstraction,
+    * latest-per-key over a window. JSON schema inference needs
+    * inferTimestamp=true (off by default since Spark 3.0). */
+  def jsonIngest(s: SparkSession, dir: String): DataFrame = {
+    val start = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    val end = java.sql.Timestamp.valueOf("2024-01-25 00:00:00")
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val path = s"/tmp/graft_events_json_${math.abs(dir.hashCode)}"
+    if (!new java.io.File(path + "/_SUCCESS").exists())
+      pq(s, dir, "events").write.mode("overwrite")
+        .option("timestampFormat", tsFmt).json(path)
+    val src = FileSource(path, eventTimestampColumn = "ts", format = "json",
+      options = Map("timestampFormat" -> tsFmt, "inferTimestamp" -> "true"))
+    PullLatest.pullLatest(SourceReader.read(s, src), Seq("user_id"), "ts", None,
+        Seq("event_type", "value"), start, end, tieBreakCols = Seq("event_id"))
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_id"), col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
+  val jsonIngestSql: String =
+    """SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type, value
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |                                   ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events
+      |      WHERE ts BETWEEN TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-25')
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** Rolling 7-day per-user feature aggregation over the events table
+    * ([[graft.operators.RollingFeatures]]): for every event, the count
+    * and value-sum of that user's events in the trailing week. The
+    * window frame is on whole epoch seconds in both engines (see the
+    * operator's portability note). */
+  def rollingAggQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RollingFeatures.rollingAgg(
+        pq(s, dir, "events"), Seq("user_id"), "ts", 7L * 24 * 3600,
+        Seq("cnt_7d" -> count(lit(1)), "sum_7d" -> sum(col("value"))))
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"), col("event_id"),
+        col("cnt_7d"), round(col("sum_7d"), 4).as("sum_7d"))
+      .orderBy("user_id", "event_id")
+
+  val rollingAggSql: String =
+    """SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+      |       count(*) OVER w AS cnt_7d,
+      |       round(sum(value) OVER w, 4) AS sum_7d
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id
+      |             ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+      |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** TableSource through the Spark catalog (the BigQuery/Redshift table
     * generalization, bigquery.py:701-825): register orders as a temp
     * view, read it through the source abstraction, run the
@@ -348,6 +401,8 @@ object CoreQueries {
     "q_pull_latest" -> (pullLatestQ _),
     "q_date_partition_prune" -> (datePartitionPrune _),
     "q_csv_ingest" -> (csvIngest _),
+    "q_json_ingest" -> (jsonIngest _),
+    "q_rolling_agg" -> (rollingAggQ _),
     "q_table_source" -> (tableSourceQ _),
     "q_query_source" -> (querySourceQ _),
     "q_agg_pushdown" -> (aggPushdown _),
@@ -361,6 +416,8 @@ object CoreQueries {
     "q_pull_latest" -> pullLatestSql,
     "q_date_partition_prune" -> datePartitionPruneSql,
     "q_csv_ingest" -> csvIngestSql,
+    "q_json_ingest" -> jsonIngestSql,
+    "q_rolling_agg" -> rollingAggSql,
     "q_table_source" -> tableSourceSql,
     "q_query_source" -> querySourceSql,
     "q_agg_pushdown" -> aggPushdownSql,

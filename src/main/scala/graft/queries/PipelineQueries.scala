@@ -3,7 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, Multimodal, Similarity, TextFunctions => TF}
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.{Components, Dedup, Multimodal, Similarity, TextFunctions => TF}
 import graft.sources.Tables
 
 /** Training-data-pipeline operator queries over documents/embeddings:
@@ -590,7 +592,171 @@ object PipelineQueries {
       |SELECT ngram, count(*) AS doc_freq FROM g GROUP BY 1
       |ORDER BY doc_freq DESC, ngram LIMIT 100""".stripMargin
 
+  /** Gopher-rule quality flags per document (flags cast to 0/1 ints so
+    * the cross-engine dtype comparison is unambiguous). */
+  def qualityGopher(s: SparkSession, dir: String): DataFrame = {
+    val flagged = docs(s, dir).select(col("doc_id"), TF.gopherFlags(col("text")).as("g"))
+    val names = Seq("ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+      "ok_alpha_ratio", "ok_stopwords", "pass")
+    flagged.select(col("doc_id") +: names.map(n => col(s"g.$n").cast("int").as(n)): _*)
+      .orderBy("doc_id")
+  }
+
+  val qualityGopherSql: String =
+    """SELECT doc_id,
+      |       CAST(n_tok BETWEEN 50 AND 100000 AS INT) AS ok_word_count,
+      |       CAST(mean_len BETWEEN 3.0 AND 10.0 AS INT) AS ok_mean_word_len,
+      |       CAST(sym <= n_tok * 0.1 AS INT) AS ok_symbol_ratio,
+      |       CAST(CASE WHEN n_tok > 0
+      |                 THEN alpha_tok / CAST(n_tok AS DOUBLE) >= 0.8
+      |                 ELSE FALSE END AS INT) AS ok_alpha_ratio,
+      |       CAST(stop_d >= 2 AS INT) AS ok_stopwords,
+      |       CAST((n_tok BETWEEN 50 AND 100000) AND (mean_len BETWEEN 3.0 AND 10.0)
+      |            AND (sym <= n_tok * 0.1)
+      |            AND (CASE WHEN n_tok > 0
+      |                      THEN alpha_tok / CAST(n_tok AS DOUBLE) >= 0.8
+      |                      ELSE FALSE END)
+      |            AND (stop_d >= 2) AS INT) AS pass
+      |FROM (
+      |  SELECT doc_id,
+      |         len(toks) AS n_tok,
+      |         CASE WHEN len(w) > 0
+      |              THEN list_sum(list_transform(w, x -> len(x))) / CAST(len(w) AS DOUBLE)
+      |              ELSE 0.0 END AS mean_len,
+      |         len(regexp_extract_all(text, '[#…]')) AS sym,
+      |         len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_tok,
+      |         len(list_distinct(regexp_extract_all(lower(text),
+      |             '\b(the|and|of|to|a|in|is|it|for|on)\b'))) AS stop_d
+      |  FROM (SELECT doc_id, text,
+      |               regexp_extract_all(text, '\S+') AS toks,
+      |               regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      |        FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  /** C4-style line cleaning over synthetic multi-line "pages" (5
+    * consecutive docs per page, deterministic terminal punctuation —
+    * the corpus itself is single-line, so pages make the line rules
+    * observable). */
+  def c4Clean(s: SparkSession, dir: String): DataFrame = {
+    val lined = docs(s, dir).select(
+      (col("doc_id") / 5).cast("long").as("page_id"),
+      col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit("."))
+          .when(col("doc_id") % 3 === 1, lit(""))
+          .otherwise(lit(" !"))).as("line"))
+    val pages = lined.groupBy("page_id").agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("doc_id"), col("line")))),
+          x => x.getField("line")), "\n").as("page"))
+    pages.select(
+        col("page_id"),
+        size(split(col("page"), "\n")).cast("long").as("n_lines"),
+        TF.cleanLines(col("page"), minWords = 5).as("cleaned"))
+      .withColumn("n_kept",
+        when(length(col("cleaned")) === 0, lit(0L))
+          .otherwise(size(split(col("cleaned"), "\n")).cast("long")))
+      .select(col("page_id"), col("n_lines"), col("n_kept"), col("cleaned"))
+      .orderBy("page_id")
+  }
+
+  val c4CleanSql: String =
+    """WITH lined AS (
+      |  SELECT doc_id // 5 AS page_id, doc_id,
+      |         text || CASE WHEN doc_id % 3 = 0 THEN '.'
+      |                      WHEN doc_id % 3 = 1 THEN ''
+      |                      ELSE ' !' END AS line
+      |  FROM documents),
+      |pages AS (
+      |  SELECT page_id, string_agg(line, chr(10) ORDER BY doc_id) AS page
+      |  FROM lined GROUP BY page_id),
+      |cl AS (
+      |  SELECT page_id,
+      |         len(string_split(page, chr(10))) AS n_lines,
+      |         array_to_string(list_filter(string_split(page, chr(10)),
+      |             l -> regexp_matches(l, '[.!?"]\s*$')
+      |                  AND len(regexp_extract_all(l, '\S+')) >= 5), chr(10)) AS cleaned
+      |  FROM pages)
+      |SELECT page_id, n_lines,
+      |       CASE WHEN cleaned = '' THEN 0
+      |            ELSE len(string_split(cleaned, chr(10))) END AS n_kept,
+      |       cleaned
+      |FROM cl ORDER BY page_id""".stripMargin
+
+  /** Deterministic domain-mixture sampling: per-source weights
+    * (derived from the source index so both engines state them
+    * closed-form), md5-hash keep decision — the sample is exactly
+    * replayable by the oracle. */
+  def mixtureSampleQ(s: SparkSession, dir: String): DataFrame = {
+    val weighted = docs(s, dir).withColumn("w",
+      ((regexp_extract(col("source"), "([0-9]+)$", 1).cast("int") % 5) + 1)
+        .cast("double") / 10.0)
+    Dedup.mixtureSample(weighted, col("doc_id"), col("w"), salt = "mix")
+      .select(col("doc_id"), col("source"), round(col("w"), 1).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  val mixtureSampleSql: String =
+    """SELECT doc_id, source, round(w, 1) AS weight
+      |FROM (SELECT doc_id, source,
+      |             ((CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 5) + 1) / 10.0 AS w
+      |      FROM documents)
+      |WHERE w >= 1.0
+      |   OR substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |      < printf('%08x', CAST(floor(w * 4294967296.0) AS BIGINT))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Connected components over a near-dup spanning-chain edge list:
+    * clone CLUSTERS (every 10th doc cloned at +1e6, every 20th
+    * additionally at +2e6) fingerprint-grouped, but each doc linked
+    * only to its predecessor in the group — pairs under-connect, the
+    * component closure must recover the full clusters transitively.
+    * The oracle states reachability as a recursive CTE. */
+  def componentsQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val uni = d
+      .unionByName(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    val fp = uni.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    val edges = fp.withColumn("prev", lag("doc_id", 1).over(w))
+      .filter(col("prev").isNotNull)
+    Components.connectedComponents(edges, "prev", "doc_id").orderBy("id")
+  }
+
+  val componentsSql: String =
+    """WITH RECURSIVE uni AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 20 = 0
+      |), fp AS (
+      |  SELECT doc_id,
+      |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |                                 ' +', ' ', 'g'))) AS f
+      |  FROM uni
+      |), e AS (
+      |  SELECT prev AS u, doc_id AS v
+      |  FROM (SELECT doc_id, lag(doc_id) OVER (PARTITION BY f ORDER BY doc_id) AS prev
+      |        FROM fp)
+      |  WHERE prev IS NOT NULL
+      |), sym AS (
+      |  SELECT u, v FROM e UNION SELECT v, u FROM e
+      |), lbl AS (
+      |  SELECT u AS id, u AS comp FROM sym
+      |  UNION
+      |  SELECT s.v AS id, l.comp AS comp FROM lbl l JOIN sym s ON s.u = l.id
+      |)
+      |SELECT id, min(comp) AS component FROM lbl GROUP BY id ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_gopher" -> (qualityGopher _),
+    "q_c4_clean" -> (c4Clean _),
+    "q_mixture_sample" -> (mixtureSampleQ _),
+    "q_components" -> (componentsQ _),
     "q_shard_pack" -> (shardPack _),
     "q_vocab_topk" -> (vocabTopK _),
     "q_text_stats" -> (textStats _),
@@ -614,6 +780,10 @@ object PipelineQueries {
     "q_multimodal_meta" -> (multimodalMeta _))
 
   val oracles: Map[String, String] = Map(
+    "q_quality_gopher" -> qualityGopherSql,
+    "q_c4_clean" -> c4CleanSql,
+    "q_mixture_sample" -> mixtureSampleSql,
+    "q_components" -> componentsSql,
     "q_shard_pack" -> shardPackSql,
     "q_vocab_topk" -> vocabTopKSql,
     "q_text_stats" -> textStatsSql,

@@ -309,6 +309,79 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.exchange.reuse", prev)
   }
 
+  test("connectedComponents: long chain, star, and random graphs vs union-find reference") {
+    import graft.functions.Components
+    import spark.implicits._
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    def check(edges: Seq[(Long, Long)]): Unit = {
+      val got = Components
+        .connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got === unionFind(edges))
+    }
+    // a 200-node path: diameter 199 — min-propagation would need ~200
+    // rounds, the star algorithm must close it within maxIter=30
+    check((0L until 199L).map(i => (i, i + 1)))
+    check((1L to 50L).map(i => (0L, i)))                    // star
+    check(Seq((5L, 1L), (1L, 9L), (20L, 30L), (30L, 25L))) // two comps, unsorted input
+    val rnd = new scala.util.Random(11)
+    check(Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b })
+    // self-loops only -> empty output
+    assert(Components.connectedComponents(
+      Seq((3L, 3L)).toDF("a", "b"), "a", "b").count() === 0L)
+  }
+
+  test("mixtureSample: weight edge cases and determinism") {
+    import graft.functions.Dedup
+    import spark.implicits._
+    val df = (0L until 500L).toDF("id")
+    assert(Dedup.mixtureSample(df, col("id"), lit(0.0)).count() === 0L)
+    assert(Dedup.mixtureSample(df, col("id"), lit(1.0)).count() === 500L)
+    val frac = Dedup.mixtureSample(df, col("id"), lit(0.3)).count() / 500.0
+    assert(frac > 0.2 && frac < 0.4, s"0.3-weight sample kept $frac")
+    val a = Dedup.mixtureSample(df, col("id"), lit(0.5), "s1").as[Long].collect().toSet
+    val b = Dedup.mixtureSample(df, col("id"), lit(0.5), "s1").as[Long].collect().toSet
+    val c = Dedup.mixtureSample(df, col("id"), lit(0.5), "s2").as[Long].collect().toSet
+    assert(a === b, "same salt must replay identically")
+    assert(a !== c, "different salt must give a different sample")
+  }
+
+  test("gopherFlags and cleanLines rule behavior") {
+    import spark.implicits._
+    val good = (("the quick brown fox jumps over it for on a " * 6).trim, "good")
+    val short = ("too short for the rules", "short")       // < 50 words
+    val longWords = (Seq.fill(60)("incomprehensibilities").mkString(" "), "longw") // mean len > 10
+    val noStops = (Seq.fill(60)("zebra").mkString(" "), "nostop")
+    val df = Seq(good, short, longWords, noStops).toDF("text", "tag")
+    val flags = df.select(col("tag"), TF.gopherFlags(col("text")).as("g"))
+      .select(col("tag"), col("g.pass"), col("g.ok_word_count"),
+        col("g.ok_mean_word_len"), col("g.ok_stopwords"))
+      .as[(String, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(flags("good")._2, "good doc must pass")
+    assert(!flags("short")._3, "short doc fails word count")
+    assert(!flags("longw")._4, "long-word doc fails mean word length")
+    assert(!flags("nostop")._5, "stopword-free doc fails stopword rule")
+
+    val page = "a good line with five words here.\nshort one.\nno terminal punct at all\nanother proper line ends right here!"
+    val cleaned = Seq(page).toDF("text")
+      .select(TF.cleanLines(col("text"), minWords = 5).as("c")).as[String].head()
+    assert(cleaned ===
+      "a good line with five words here.\nanother proper line ends right here!")
+  }
+
   test("simhashExactDupPairs reports ALL pairs of a mega duplicate group (no bucket cap)") {
     import spark.implicits._
     // 1005 copies of one text — larger than any LSH bucket cap; the old
