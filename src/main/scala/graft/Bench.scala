@@ -113,9 +113,10 @@ object Bench {
     // ~1.5 s per streaming micro-batch of local-mode driver cost
     // (q_stream_materialize = 2 batches + store dump) and ~0.3-0.5 s
     // per Spark job (materialize runs several store jobs per call).
-    val notes = "scalecheck 10x data wall ratios: pit_join 2.5x, " +
-      "dedup_minhash 3.5x, text_stats 6.3x, ann_ivf 1.0x, contamination 1.8x, " +
-      "shard_pack 1.1x (sub-linear, ScaleCheck local[32] 16g driver); " +
+    val notes = "scalecheck 10x data wall ratios: pit_join 2.4x, " +
+      "dedup_minhash 4.6x, text_stats 5.7x, ann_ivf 1.1x, contamination 1.9x, " +
+      "shard_pack 1.8x, components 3.7x, rolling_agg 1.2x " +
+      "(sub-linear, ScaleCheck local[32] 16g driver); " +
       "stream floor ~1.5s/micro-batch, job floor ~0.3-0.5s at toy sf"
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","notes":"$notes"}""")
     spark.stop()

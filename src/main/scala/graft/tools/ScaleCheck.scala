@@ -51,6 +51,9 @@ object ScaleCheck {
     scaled("lineitem", Seq("l_orderkey"))
     scaled("documents", Seq("doc_id"))
     scaled("embeddings", Seq("vec_id"))
+    // events: offset user_id too so per-user group sizes stay constant
+    // (the realistic 10x: more users, not 10x-deeper histories)
+    scaled("events", Seq("event_id", "user_id"))
 
     def force(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
     def time(name: String, dir: String): Double = {
@@ -61,9 +64,11 @@ object ScaleCheck {
     }
 
     // signature operators + the round-2 weak-marked ones (IVF top-k,
-    // contamination) + the round-3 packing export
+    // contamination) + the round-3 packing export + the round-4
+    // iterative/windowed additions (components, rolling features)
     val queries = Seq("q_pit_join_single", "q_dedup_minhash", "q_text_stats",
-      "q_ann_ivf", "q_contamination", "q_shard_pack")
+      "q_ann_ivf", "q_contamination", "q_shard_pack",
+      "q_components", "q_rolling_agg")
     queries.foreach(q => time(q, baseDir)) // warm: codegen + analyzer JIT
     val lines = queries.map { q =>
       val t1 = time(q, baseDir)
