@@ -752,7 +752,69 @@ object PipelineQueries {
       |)
       |SELECT id, min(comp) AS component FROM lbl GROUP BY id ORDER BY id""".stripMargin
 
+  /** Per-source corpus statistics with exact percentiles — the corpus
+    * reporting step of a data pipeline (doc counts, token-length
+    * distribution per domain). Exact `percentile` buffers one group's
+    * values; per-SOURCE groups are few and bounded — at 100 TB swap in
+    * approx_percentile (t-digest, mergeable) for the same shape. */
+  def corpusStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"), TF.tokenCount(col("text")).cast("double").as("n"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("n"), 4).as("mean_tokens"),
+        round(expr("percentile(n, 0.5)"), 4).as("p50_tokens"),
+        round(expr("percentile(n, 0.9)"), 4).as("p90_tokens"),
+        round(expr("percentile(n, 0.99)"), 4).as("p99_tokens"))
+      .orderBy("source")
+
+  val corpusStatsSql: String =
+    """SELECT source, count(*) AS n_docs, round(avg(n), 4) AS mean_tokens,
+      |       round(quantile_cont(n, 0.5), 4) AS p50_tokens,
+      |       round(quantile_cont(n, 0.9), 4) AS p90_tokens,
+      |       round(quantile_cont(n, 0.99), 4) AS p99_tokens
+      |FROM (SELECT source, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n
+      |      FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Out-of-vocabulary rate per document against the corpus's own
+    * top-10 words by document frequency — the vocab-coverage check run
+    * before committing to a tokenizer vocabulary. Composition shape:
+    * top-k vocab (partial count + TakeOrdered) broadcast-joined against
+    * the exploded word stream, re-aggregated per doc — the vocab side
+    * is k rows, so the join never shuffles the corpus. */
+  def oovRate(s: SparkSession, dir: String): DataFrame = {
+    val vocab = TF.topKNgrams(docs(s, dir).select(col("text")), "text", n = 1, k = 10)
+      .select(col("ngram").as("w")).withColumn("__in", lit(1))
+    docs(s, dir).select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
+      .join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum(coalesce(col("__in"), lit(0))).as("n_in_vocab"))
+      .select(col("doc_id"), col("n_words"),
+        round(lit(1.0) - col("n_in_vocab").cast("double") / col("n_words").cast("double"), 4)
+          .as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+  val oovRateSql: String =
+    """WITH vocab AS (
+      |  SELECT w FROM (
+      |    SELECT doc_id,
+      |           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS w
+      |    FROM documents) g
+      |  GROUP BY w ORDER BY count(*) DESC, w LIMIT 10
+      |), ex AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents)
+      |SELECT doc_id, count(*) AS n_words,
+      |       round(1.0 - CAST(count(v.w) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS oov_rate
+      |FROM ex LEFT JOIN vocab v USING (w)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_stats" -> (corpusStats _),
+    "q_oov_rate" -> (oovRate _),
     "q_quality_gopher" -> (qualityGopher _),
     "q_c4_clean" -> (c4Clean _),
     "q_mixture_sample" -> (mixtureSampleQ _),
@@ -780,6 +842,8 @@ object PipelineQueries {
     "q_multimodal_meta" -> (multimodalMeta _))
 
   val oracles: Map[String, String] = Map(
+    "q_corpus_stats" -> corpusStatsSql,
+    "q_oov_rate" -> oovRateSql,
     "q_quality_gopher" -> qualityGopherSql,
     "q_c4_clean" -> c4CleanSql,
     "q_mixture_sample" -> mixtureSampleSql,

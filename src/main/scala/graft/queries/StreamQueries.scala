@@ -160,6 +160,46 @@ object StreamQueries {
     """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Stream-stream interval join: each event enriched with the same
+    * user's events over the trailing day (self-inclusive), as two
+    * independent streams of the same 2-file replay with
+    * maxFilesPerTrigger=1 — pairs whose endpoints land in different
+    * micro-batches exist only if the JOIN STATE carries across batches
+    * (the watermark delay exceeds the data span, so eviction cannot
+    * masquerade as matching). The joined pairs are then reduced per
+    * left event with a plain batch aggregation. Oracle: the equivalent
+    * batch self-join. */
+  def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    val input = s"/tmp/graft_stream_join_${Math.abs(dir.hashCode)}"
+    if (!new java.io.File(s"$input/_SUCCESS").exists()) {
+      Tables.read(s, dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .repartition(2)
+        .write.mode("overwrite").parquet(input)
+    }
+    def stream() = SourceReader.readStream(s,
+      FileStreamSource(input, "parquet", "ts", maxFilesPerTrigger = Some(1)))
+    val left = stream()
+    val right = stream().select(
+      col("user_id").as("r_user_id"), col("ts").as("r_ts"), col("value").as("r_value"))
+    val name = "stream_join_" + java.util.UUID.randomUUID().toString.take(8)
+    StreamMaterializer.runStreamJoinToCompletion(
+        left, "ts", right, "r_ts", Seq("user_id" -> "r_user_id"),
+        lookback = "1 day", watermarkDelay = "3650 days", name)
+      .groupBy("event_id").agg(
+        count(lit(1)).as("n_recent"),
+        round(sum(col("r_value")), 4).as("sum_recent_value"))
+      .orderBy("event_id")
+  }
+
+  val streamJoinSql: String =
+    """SELECT l.event_id AS event_id, count(*) AS n_recent,
+      |       round(sum(r.value), 4) AS sum_recent_value
+      |FROM events l JOIN events r
+      |  ON r.user_id = l.user_id
+      | AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 1 DAY
+      |GROUP BY l.event_id ORDER BY event_id""".stripMargin
+
   /** The streaming file source can't read INT64-nanos timestamps, so the
     * stream input is a pre-normalized copy of events (µs timestamps). */
   private def prepared(s: SparkSession, dir: String): String = {
@@ -186,11 +226,13 @@ object StreamQueries {
     "q_stream_materialize" -> (streamMaterialize _),
     "q_stream_window_agg" -> (streamWindowAgg _),
     "q_stream_dedup" -> (streamDedup _),
+    "q_stream_join" -> (streamJoin _),
     "q_stream_sessionize" -> (streamSessionize _))
 
   val oracles: Map[String, String] = Map(
     "q_stream_materialize" -> streamMaterializeSql,
     "q_stream_window_agg" -> streamWindowAggSql,
     "q_stream_dedup" -> streamDedupSql,
+    "q_stream_join" -> streamJoinSql,
     "q_stream_sessionize" -> streamSessionizeSql)
 }

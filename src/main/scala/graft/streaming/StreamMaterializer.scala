@@ -176,6 +176,42 @@ object StreamMaterializer {
     * event time, so duplicates arriving within the delay are always
     * caught; `keyCols` must include the `tsCol` so state eviction has
     * an event time per key. */
+  /** Stream-stream inner interval join: pair each left-stream row with
+    * the right-stream rows of the same key whose event time falls in
+    * [left_ts − lookback, left_ts] — the streaming enrichment shape
+    * ("this event, plus the user's activity over the trailing day").
+    * Both sides carry watermarks; the interval condition is what lets
+    * the engine BOUND the join state (a right row older than
+    * watermark − lookback can never match a future left row and is
+    * evicted) — an equi-join without the time bound would buffer the
+    * whole stream. `watermarkDelay` must cover the maximum event-time
+    * disorder across micro-batches: state eviction is correctness here,
+    * not just memory — a replay harness passes the full data span. */
+  def runStreamJoinToCompletion(
+      left: DataFrame, leftTsCol: String,
+      right: DataFrame, rightTsCol: String,
+      joinKeys: Seq[(String, String)],
+      lookback: String,
+      watermarkDelay: String,
+      queryName: String): DataFrame = {
+    val spark = left.sparkSession
+    val l = left.withWatermark(leftTsCol, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTsCol, watermarkDelay).alias("r")
+    val keyCond = joinKeys
+      .map { case (a, b) => col(s"l.$a") === col(s"r.$b") }
+      .reduce(_ && _)
+    val timeCond = col(s"r.$rightTsCol") <= col(s"l.$leftTsCol") &&
+      col(s"r.$rightTsCol") >= col(s"l.$leftTsCol") - expr(s"INTERVAL $lookback")
+    val q = l.join(r, keyCond && timeCond, "inner").writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   def runStreamDedupToCompletion(
       stream: DataFrame,
       tsCol: String,

@@ -157,6 +157,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(mapped.columns.toSeq == Seq("user_id", "value_renamed", "tag"))
   }
 
+  test("stream-stream interval join matches pairs that straddle micro-batches") {
+    import spark.implicits._
+    // Two files, one row each, SAME key, 1 hour apart, maxFilesPerTrigger=1:
+    // the (late, early) pair can only appear if the right row from
+    // micro-batch 1 is still in join state when batch 2's left row
+    // arrives — cross-batch state is the thing under test.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    Seq((1L, 7L, ts("2024-01-01 10:00:00"), 1.0))
+      .toDF("event_id", "user_id", "ts", "value").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    Seq((2L, 7L, ts("2024-01-01 11:00:00"), 2.0))
+      .toDF("event_id", "user_id", "ts", "value").coalesce(1)
+      .write.mode("append").parquet(dir)
+    def stream() = SourceReader.readStream(spark,
+      FileStreamSource(dir, "parquet", "ts", maxFilesPerTrigger = Some(1)))
+    val right = stream().select(col("user_id").as("r_user_id"),
+      col("ts").as("r_ts"), col("event_id").as("r_event_id"))
+    val name = "ssj_" + java.util.UUID.randomUUID().toString.take(8)
+    val pairs = graft.streaming.StreamMaterializer.runStreamJoinToCompletion(
+        stream(), "ts", right, "r_ts", Seq("user_id" -> "r_user_id"),
+        lookback = "1 day", watermarkDelay = "30 days", name)
+      .select(col("event_id"), col("r_event_id")).as[(Long, Long)].collect().toSet
+    // self-pairs plus the cross-batch (2 <- 1) enrichment; (1 <- 2) is
+    // excluded by the as-of direction r_ts <= ts
+    assert(pairs === Set((1L, 1L), (2L, 2L), (2L, 1L)))
+  }
+
   test("windowed aggregate with watermark drops late rows in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
