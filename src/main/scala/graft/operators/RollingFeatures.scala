@@ -41,8 +41,10 @@ object RollingFeatures {
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).cast("long"))
       .rangeBetween(-windowSeconds, 0)
-    aggs.foldLeft(df) { case (acc, (name, agg)) =>
-      acc.withColumn(name, agg.over(w))
-    }
+    // all aggregates in ONE projection: Spark fuses same-window
+    // expressions of a single select into one WindowExec (one per-key
+    // sort pass); chained withColumn(...).over(w) plans a separate
+    // Window + Sort per aggregate
+    df.select(df.columns.map(col) ++ aggs.map { case (name, a) => a.over(w).as(name) }: _*)
   }
 }

@@ -116,6 +116,39 @@ class PlanSpec extends AnyFunSuite {
       s"per-slice running sum must be a partitioned window:\n$plan")
   }
 
+  test("rollingAgg: one key-partitioned window, no self-join") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.RollingFeatures.rollingAgg(
+      graft.sources.Tables.read(spark, sfDir, "events"),
+      Seq("user_id"), "ts", 7L * 24 * 3600,
+      Seq("cnt" -> count(lit(1)), "sv" -> sum(col("value"))))
+    val plan = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    import org.apache.spark.sql.execution.window.WindowExec
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"rolling aggregation must be a key-partitioned window:\n$plan")
+    assert(windows.size == 1,
+      s"all aggregates must fuse into ONE window (one sort pass):\n$plan")
+    val planStr = plan.toString
+    assert(!planStr.contains("Join"),
+      s"rolling aggregation must not plan a self-join:\n$planStr")
+    // both aggs share one window -> exactly one shuffle of the data
+    assert(planStr.split("Exchange hashpartitioning").length - 1 == 1,
+      s"expected exactly one hash exchange:\n$planStr")
+  }
+
+  test("oovRate: the vocabulary side broadcasts, the corpus is never reshuffled by the join") {
+    val plan = graft.queries.PipelineQueries.oovRate(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"vocab join must broadcast the k-row vocab side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must not be shuffled for the vocab join:\n$plan")
+  }
+
   test("minhash LSH dedup plans no cartesian product") {
     import spark.implicits._
     val docs = (0 until 50).map(i => (i.toLong, s"doc $i words tokens sample text payload"))
