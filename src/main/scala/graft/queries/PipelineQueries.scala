@@ -812,7 +812,50 @@ object PipelineQueries {
       |FROM ex LEFT JOIN vocab v USING (w)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF term weighting (tf = in-doc frequency fraction, idf =
+    * ln(N/df) over per-doc-distinct document frequency) for the first
+    * 50 docs' terms. Scale shape: term stats are two hash aggregations
+    * over the exploded word stream (map-side combined); the df table
+    * joins back on the word — vocabulary-sized, so AQE broadcasts it
+    * when small and shuffle-joins the (word)-keyed sides when not. Per
+    * (doc, word) output rows, deterministically ordered — no top-k cut
+    * on a float score, so cross-engine libm ulp differences are
+    * absorbed by rounding instead of flipping a ranking. */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val n = d.count()
+    val wordsOf = d.select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
+    val tf = wordsOf.groupBy("doc_id", "w").agg(count(lit(1)).as("tf_cnt"))
+      .withColumn("doc_len", sum(col("tf_cnt")).over(Window.partitionBy("doc_id")))
+    val df = wordsOf.distinct().groupBy("w").agg(count(lit(1)).as("df_cnt"))
+    tf.join(df, "w")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("w").as("term"), col("tf_cnt"), col("df_cnt"),
+        round((col("tf_cnt").cast("double") / col("doc_len").cast("double")) *
+          log(lit(n.toDouble) / col("df_cnt").cast("double")), 4).as("tfidf"))
+      .orderBy("doc_id", "term")
+  }
+
+  val tfidfSql: String =
+    """WITH ex AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, w, count(*) AS tf_cnt,
+      |         sum(count(*)) OVER (PARTITION BY doc_id) AS doc_len
+      |  FROM ex GROUP BY doc_id, w),
+      |df AS (
+      |  SELECT w, count(*) AS df_cnt FROM (SELECT DISTINCT doc_id, w FROM ex) GROUP BY w),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT doc_id, w AS term, tf_cnt, df_cnt,
+      |       round((CAST(tf_cnt AS DOUBLE) / CAST(doc_len AS DOUBLE))
+      |             * ln(CAST(n_docs AS DOUBLE) / CAST(df_cnt AS DOUBLE)), 4) AS tfidf
+      |FROM tf JOIN df USING (w) CROSS JOIN n
+      |WHERE doc_id < 50
+      |ORDER BY doc_id, term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf" -> (tfidf _),
     "q_corpus_stats" -> (corpusStats _),
     "q_oov_rate" -> (oovRate _),
     "q_quality_gopher" -> (qualityGopher _),
@@ -842,6 +885,7 @@ object PipelineQueries {
     "q_multimodal_meta" -> (multimodalMeta _))
 
   val oracles: Map[String, String] = Map(
+    "q_tfidf" -> tfidfSql,
     "q_corpus_stats" -> corpusStatsSql,
     "q_oov_rate" -> oovRateSql,
     "q_quality_gopher" -> qualityGopherSql,
