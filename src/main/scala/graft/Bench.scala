@@ -47,7 +47,15 @@ object Bench {
     // text/dedup pipeline, whose first analysis JIT-compiles ~10 s of
     // analyzer code (measured; irrelevant at production scale, dominant
     // at bench sf). Warmed on a 50-row in-memory corpus — no extra I/O.
-    try {
+    // Each warm stage fails independently: a throw in one must not skip
+    // the others — in particular the q_online_multiget store build, or
+    // the timed run re-bills a full materialize to a ~ms point read
+    // (the VERDICT-r2 defect this setup exists to prevent).
+    def warm(stage: String)(body: => Unit): Unit =
+      try body catch {
+        case e: Throwable => System.err.println(s"[bench] warm $stage failed: ${e.getMessage}")
+      }
+    warm("tables+pipeline") {
       // Parquet footer reads + file-listing cache for every table the
       // headline queries touch: FS metadata setup, not query work — the
       // first query to touch a table was otherwise billed ~0.3-0.6 s of
@@ -60,10 +68,13 @@ object Bench {
         .map(i => (i.toLong, s"warm doc number $i with some shared filler tokens to shingle"))
         .toDF("doc_id", "text")
       force(graft.functions.Dedup.minhashNearDupPairs(warmDocs, "doc_id", "text", 3, 32, 8, 0.9))
-      // PIT-join + materialize operator shapes, warmed on 10 in-memory
-      // rows (same policy as above: the first analysis/codegen of these
-      // plan shapes JIT-compiles analyzer + codegen paths — a one-time
-      // JVM cost, not part of any query's work).
+    }
+    // PIT-join + materialize operator shapes, warmed on 10 in-memory
+    // rows (same policy as above: the first analysis/codegen of these
+    // plan shapes JIT-compiles analyzer + codegen paths — a one-time
+    // JVM cost, not part of any query's work).
+    warm("pit+materialize shapes") {
+      import spark.implicits._
       locally {
         import java.sql.Timestamp
         import java.time.Duration
@@ -88,11 +99,11 @@ object Bench {
         wFs.materialize(Seq("warm_view"),
           Timestamp.valueOf("2024-01-01 00:00:00"), Timestamp.valueOf("2024-02-01 00:00:00"))
       }
-      // Builds q_online_multiget's shared store: the one-time materialize
-      // is store SETUP — the timed run below then measures the point-read
-      // path itself, not a store build (VERDICT r2 "What's wrong" #3).
-      force(SparkEntry.queries("q_online_multiget")(spark, sfDir))
-    } catch { case _: Throwable => () }
+    }
+    // Builds q_online_multiget's shared store: the one-time materialize
+    // is store SETUP — the timed run below then measures the point-read
+    // path itself, not a store build (VERDICT r2 "What's wrong" #3).
+    warm("multiget store")(force(SparkEntry.queries("q_online_multiget")(spark, sfDir)))
 
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>

@@ -189,7 +189,7 @@ object Dedup {
     * (bytes / maxPartitionBytes), not `df.rdd.getNumPartitions` — the
     * latter forces physical planning + RDD DAG creation of the subtree
     * just to read a number. */
-  private[graft] def rebalance(df: DataFrame): DataFrame = {
+  private[functions] def rebalance(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val maxPartBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
@@ -283,9 +283,13 @@ object Dedup {
       salt: String = "graft"): DataFrame = {
     val h = substring(md5(concat(lit(salt), lit(":"), keyCol.cast("string")).cast("binary")), 1, 8)
     val thr = lower(lpad(hex(floor(weightCol.cast("double") * lit(4294967296.0)).cast("long")), 8, "0"))
-    // weight >= 1 would produce a 9-hex threshold that lpad TRUNCATES
-    // to "10000000" (< most hashes) — keep-everything must short-circuit
-    df.filter(weightCol >= 1.0 || h < thr)
+    // Both tails short-circuit before the hex encoding: weight >= 1
+    // would lpad-TRUNCATE its 9-hex threshold to "10000000" (< most
+    // hashes, dropping rows), and weight <= 0 (or negative from
+    // derived arithmetic) would hex a NEGATIVE long to 16 chars that
+    // truncate to ~"ffffffff" (keeping ~all rows); NaN fails both
+    // guards and is dropped rather than tripping the ANSI cast.
+    df.filter(weightCol >= 1.0 || (weightCol > 0.0 && h < thr))
   }
 
   /** All ordered pairs (a<b) of an array column — used inside one LSH

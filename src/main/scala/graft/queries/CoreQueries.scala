@@ -223,7 +223,10 @@ object CoreQueries {
     val start = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
     val end = java.sql.Timestamp.valueOf("2024-01-25 00:00:00")
     val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-    val path = s"/tmp/graft_events_json_${math.abs(dir.hashCode)}"
+    // keyed by the sanitized dir PATH, not its hashCode: distinct dirs
+    // can collide on hashCode (and abs(Int.MinValue) < 0), silently
+    // sharing one cached copy
+    val path = s"/tmp/graft_events_json_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
     if (!new java.io.File(path + "/_SUCCESS").exists())
       pq(s, dir, "events").write.mode("overwrite")
         .option("timestampFormat", tsFmt).json(path)

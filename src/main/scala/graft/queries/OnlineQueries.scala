@@ -81,12 +81,18 @@ object OnlineQueries {
     * replaced. */
   private val multigetStores =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (FeatureStore, ParquetOnlineStore)]()
-  private def materializedStore(s: SparkSession, dir: String): (FeatureStore, ParquetOnlineStore) =
+  private def materializedStore(s: SparkSession, dir: String): (FeatureStore, ParquetOnlineStore) = {
+    // entries of STOPPED sessions are unusable and would otherwise pin
+    // their FeatureStore + session for the JVM's lifetime — purge on
+    // access (bounded: one map scan per call, map size = live sessions
+    // x dirs)
+    multigetStores.keySet.removeIf(k => k._1.sparkContext.isStopped)
     multigetStores.computeIfAbsent((s, dir), _ => {
       val (fs, store) = freshStore(s, dir)
       fs.materialize(Seq("user_events"), T0, T2)
       (fs, store)
     })
+  }
 
   /** materialize (shared setup) then getOnlineFeatures for users 0..19
     * (15..19 don't exist -> NOT_FOUND with null features). */

@@ -823,16 +823,22 @@ object PipelineQueries {
     * absorbed by rounding instead of flipping a ranking. */
   def tfidf(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val n = d.count()
+    // N as a broadcast 1-row frame keeps the whole operator LAZY (an
+    // eager d.count() here would run a corpus scan at every
+    // plan-construction site); df derives from the tf aggregate —
+    // its (doc_id, w) rows ARE the distinct pairs — so the corpus is
+    // exploded once, not once per branch.
+    val nDf = d.agg(count(lit(1)).cast("double").as("__n"))
     val wordsOf = d.select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
-    val tf = wordsOf.groupBy("doc_id", "w").agg(count(lit(1)).as("tf_cnt"))
+    val tfCounts = wordsOf.groupBy("doc_id", "w").agg(count(lit(1)).as("tf_cnt"))
+    val tf = tfCounts
       .withColumn("doc_len", sum(col("tf_cnt")).over(Window.partitionBy("doc_id")))
-    val df = wordsOf.distinct().groupBy("w").agg(count(lit(1)).as("df_cnt"))
-    tf.join(df, "w")
+    val df = tfCounts.groupBy("w").agg(count(lit(1)).as("df_cnt"))
+    tf.join(df, "w").crossJoin(broadcast(nDf))
       .filter(col("doc_id") < 50)
       .select(col("doc_id"), col("w").as("term"), col("tf_cnt"), col("df_cnt"),
         round((col("tf_cnt").cast("double") / col("doc_len").cast("double")) *
-          log(lit(n.toDouble) / col("df_cnt").cast("double")), 4).as("tfidf"))
+          log(col("__n") / col("df_cnt").cast("double")), 4).as("tfidf"))
       .orderBy("doc_id", "term")
   }
 

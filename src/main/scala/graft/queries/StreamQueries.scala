@@ -170,7 +170,8 @@ object StreamQueries {
     * left event with a plain batch aggregation. Oracle: the equivalent
     * batch self-join. */
   def streamJoin(s: SparkSession, dir: String): DataFrame = {
-    val input = s"/tmp/graft_stream_join_${Math.abs(dir.hashCode)}"
+    // sanitized dir path as the key — see jsonIngest's collision note
+    val input = s"/tmp/graft_stream_join_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
     if (!new java.io.File(s"$input/_SUCCESS").exists()) {
       Tables.read(s, dir, "events")
         .select("event_id", "user_id", "ts", "value")

@@ -176,6 +176,26 @@ object StreamMaterializer {
     * event time, so duplicates arriving within the delay are always
     * caught; `keyCols` must include the `tsCol` so state eviction has
     * an event time per key. */
+  def runStreamDedupToCompletion(
+      stream: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      watermarkDelay: String,
+      queryName: String): DataFrame = {
+    val spark = stream.sparkSession
+    val deduped = stream
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates(keyCols)
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Stream-stream inner interval join: pair each left-stream row with
     * the right-stream rows of the same key whose event time falls in
     * [left_ts − lookback, left_ts] — the streaming enrichment shape
@@ -203,26 +223,6 @@ object StreamMaterializer {
     val timeCond = col(s"r.$rightTsCol") <= col(s"l.$leftTsCol") &&
       col(s"r.$rightTsCol") >= col(s"l.$leftTsCol") - expr(s"INTERVAL $lookback")
     val q = l.join(r, keyCond && timeCond, "inner").writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
-  }
-
-  def runStreamDedupToCompletion(
-      stream: DataFrame,
-      tsCol: String,
-      keyCols: Seq[String],
-      watermarkDelay: String,
-      queryName: String): DataFrame = {
-    val spark = stream.sparkSession
-    val deduped = stream
-      .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicates(keyCols)
-    val q = deduped.writeStream
       .outputMode("append")
       .format("memory")
       .queryName(queryName)
