@@ -860,7 +860,44 @@ object PipelineQueries {
       |WHERE doc_id < 50
       |ORDER BY doc_id, term""".stripMargin
 
+  /** Incremental ingestion dedup: an incoming batch is admitted only
+    * where its content fingerprint is NOT already in the corpus — the
+    * anti-join shape every continuously-fed training corpus needs
+    * (full-corpus re-dedup per batch is a non-starter at 100 TB). The
+    * corpus side reduces to DISTINCT fingerprints of one narrow column
+    * before the shuffle; the anti-join is a plain fp equi-join.
+    * Planted: clones of corpus docs (must be rejected) alongside the
+    * genuinely-new slice (must be kept). */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val corpus = d.filter(col("doc_id") % 7 =!= 0)
+    val batch = d.filter(col("doc_id") % 7 === 0)
+      .unionByName(corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val corpusFp = corpus.select(TF.fingerprint(col("text")).as("fp")).distinct()
+    batch.withColumn("fp", TF.fingerprint(col("text")))
+      .join(corpusFp, Seq("fp"), "left_anti")
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents),
+      |corpus AS (SELECT * FROM d WHERE doc_id % 7 != 0),
+      |batch AS (
+      |  SELECT doc_id, text FROM d WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM corpus WHERE doc_id % 10 = 0)
+      |SELECT b.doc_id FROM batch b
+      |WHERE md5(trim(regexp_replace(regexp_replace(lower(b.text), '[^a-z0-9 ]', '', 'g'),
+      |                              ' +', ' ', 'g')))
+      |      NOT IN (SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |                                             ' +', ' ', 'g')))
+      |              FROM corpus)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_incremental" -> (dedupIncremental _),
     "q_tfidf" -> (tfidf _),
     "q_corpus_stats" -> (corpusStats _),
     "q_oov_rate" -> (oovRate _),
@@ -891,6 +928,7 @@ object PipelineQueries {
     "q_multimodal_meta" -> (multimodalMeta _))
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_incremental" -> dedupIncrementalSql,
     "q_tfidf" -> tfidfSql,
     "q_corpus_stats" -> corpusStatsSql,
     "q_oov_rate" -> oovRateSql,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftshim.ColumnShim
 
-import graft.functions.{MinHashBandHashes, MinHashSignature, SimHash64}
+import graft.functions.{MinHashBandHashes, MinHashSignature, SearchSorted, SimHash64}
 
 /** SQL surface for the engine's native expressions, exposed two ways:
   *
@@ -55,6 +55,22 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash64(elemHashes)")
         SimHash64(args(0))
+      }),
+    ("search_sorted",
+      new ExpressionInfo(classOf[SearchSorted].getName, "search_sorted"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "search_sorted(value, boundsArrayLiteral)")
+        require(args(1).foldable, "search_sorted bounds must be a literal array")
+        val at = args(1).dataType match {
+          case a: org.apache.spark.sql.types.ArrayType => a
+          case other => throw new IllegalArgumentException(
+            s"search_sorted bounds must be an array, got $other")
+        }
+        val arr = args(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(at.elementType)
+        SearchSorted(args(0), arr.toObjectArray(at.elementType).toIndexedSeq.sorted(ord))
       }))
 
   /** Register into a live session. */

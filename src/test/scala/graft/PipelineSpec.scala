@@ -145,6 +145,15 @@ class PipelineSpec extends AnyFunSuite {
     val err = intercept[Exception](spark.sql(
       "SELECT minhash_signature(array(1L), CAST(id AS INT)) FROM graft_sqlfn_t").collect())
     assert(err.getMessage.contains("integer literal"))
+
+    // search_sorted: count of bounds <= value, bounds auto-sorted
+    val ss = spark.sql(
+      "SELECT search_sorted(5L, array(7L, 3L, 10L)), search_sorted(1L, array(7L, 3L, 10L)), " +
+        "search_sorted(99L, array(7L, 3L, 10L))").collect()(0)
+    assert((ss.getInt(0), ss.getInt(1), ss.getInt(2)) === ((1, 0, 3)))
+    val err2 = intercept[Exception](spark.sql(
+      "SELECT search_sorted(id, array(id)) FROM graft_sqlfn_t").collect())
+    assert(err2.getMessage.contains("literal array"))
   }
 
   test("sampleFrames: evenly spaced fixed-width frames, deterministic") {
