@@ -119,6 +119,37 @@ class PropertySpec extends AnyFunSuite {
     runCheck(tagDistinct, minTests = 50)
   }
 
+  test("connectedComponents agrees with union-find on arbitrary edge lists (ScalaCheck)") {
+    import spark.implicits._
+    val gen = for {
+      nodes <- Gen.choose(2, 60)
+      m <- Gen.choose(0, 120)
+      edges <- Gen.listOfN(m,
+        Gen.zip(Gen.choose(0L, nodes.toLong - 1), Gen.choose(0L, nodes.toLong - 1)))
+    } yield edges
+    val prop = Prop.forAll(gen) { edges =>
+      val real = edges.filter { case (a, b) => a != b }
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      real.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(k => k -> find(k)).toMap
+      val got =
+        if (edges.isEmpty) Map.empty[Long, Long]
+        else graft.functions.Components
+          .connectedComponents(edges.toDF("a", "b"), "a", "b")
+          .as[(Long, Long)].collect().toMap
+      got == expected
+    }
+    // each case runs an iterative Spark job — keep the count modest
+    runCheck(prop, minTests = 15)
+  }
+
   test("packShards agrees with the sequential prefix packing on arbitrary inputs (ScalaCheck)") {
     import spark.implicits._
     val gen = for {
