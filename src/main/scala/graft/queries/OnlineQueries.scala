@@ -177,13 +177,65 @@ object OnlineQueries {
       |FROM ent e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Historical retrieval through a registered FeatureService (the
+    * serving-API unit: named projections resolved from the registry,
+    * reference feature_service.py:16-35) — same PIT semantics as
+    * [[historicalFacade]] but the feature set comes from the service's
+    * projection (l_quantity only), not caller-passed refs. */
+  def featureServiceQ(s: SparkSession, dir: String): DataFrame = {
+    val reg = new Registry()
+    val fs = new FeatureStore("graft_ci", reg,
+      new graft.online.InMemoryOnlineStore(), s)
+    fs.applyEntity(Entity("order", GraftType.Int64, joinKeyOpt = Some("o_orderkey")))
+    fs.applyFeatureView(FeatureView(
+      name = "lineitem_feats",
+      entities = Seq("order"),
+      features = Seq(Feature("l_quantity", GraftType.Dbl),
+        Feature("l_discount", GraftType.Dbl)),
+      ttl = Duration.ofDays(200),
+      batchSource = FileSource(s"$dir/lineitem.parquet", eventTimestampColumn = "l_shipdate",
+        fieldMapping = Map("l_orderkey" -> "o_orderkey"))))
+    reg.applyFeatureService(FeatureService("training_svc",
+      Seq(FeatureViewProjection("lineitem_feats", Seq("l_quantity")))))
+
+    val entity = Tables.read(s, dir, "orders")
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"),
+        (col("o_orderdate") + expr("INTERVAL 365 DAY")).as("event_timestamp"))
+
+    fs.getHistoricalFeatures(entity, reg.getFeatureService("training_svc"))
+      .select(col("o_orderkey"), unix_millis(col("event_timestamp")).as("event_ts_ms"),
+        col("l_quantity"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Same tie-break pinning as the facade oracle, restricted to the
+    * service's projected feature. */
+  val featureServiceSql: String =
+    """WITH ent AS (
+      |  SELECT o_orderkey, o_orderdate + INTERVAL 365 DAY AS event_timestamp
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |), cand AS (
+      |  SELECT e.o_orderkey, f.l_quantity,
+      |         ROW_NUMBER() OVER (PARTITION BY e.o_orderkey
+      |                            ORDER BY f.l_shipdate DESC, f.l_quantity DESC) AS rn
+      |  FROM ent e JOIN lineitem f ON f.l_orderkey = e.o_orderkey
+      |   AND f.l_shipdate <= e.event_timestamp
+      |   AND f.l_shipdate >= e.event_timestamp - INTERVAL 200 DAY
+      |)
+      |SELECT e.o_orderkey, epoch_ms(e.event_timestamp) AS event_ts_ms, c.l_quantity
+      |FROM ent e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_materialize_roundtrip" -> (materializeRoundtrip _),
     "q_online_multiget" -> (onlineMultiGet _),
-    "q_historical_facade" -> (historicalFacade _))
+    "q_historical_facade" -> (historicalFacade _),
+    "q_feature_service" -> (featureServiceQ _))
 
   val oracles: Map[String, String] = Map(
     "q_materialize_roundtrip" -> materializeRoundtripSql,
     "q_online_multiget" -> onlineMultiGetSql,
-    "q_historical_facade" -> historicalFacadeSql)
+    "q_historical_facade" -> historicalFacadeSql,
+    "q_feature_service" -> featureServiceSql)
 }
