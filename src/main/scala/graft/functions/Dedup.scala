@@ -205,6 +205,51 @@ object Dedup {
     if (estParts < math.max(2, target / 2)) df.repartition(target) else df
   }
 
+  /** Global line-level deduplication — the C4/RefinedWeb "drop any line
+    * repeated elsewhere in the corpus" pass that strips boilerplate
+    * (nav bars, cookie banners, license blocks) cross-document, where
+    * per-document dedup cannot see it. Each distinct line survives only
+    * at its FIRST occurrence, ordered by (docId, line index); documents
+    * are reassembled from their surviving lines in order.
+    *
+    * Scale shape: explode to one row per line; the per-distinct-line
+    * winner is a `min_by` hash aggregation keyed on the 16-byte line
+    * fingerprint — map-side combinable, so the shuffle carries one
+    * candidate per (line, map task), and the winner rows ARE the kept
+    * lines (no join back against the corpus). Reassembly is a second
+    * hash aggregation keyed on docId. No window over the corpus, no
+    * global sort; a line duplicated 10⁹ times still ships one candidate
+    * per map task. The final left join only re-attaches each document's
+    * original line count.
+    *
+    * @return (idCol, n_lines, n_kept, cleaned) — one row per input row;
+    *         a document whose every line lost is kept with n_kept = 0
+    *         and cleaned = "". */
+  def lineDedupGlobal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__idx", "__line")))
+    // md5 keyed (not raw text): the first shuffle carries 16-byte keys +
+    // one winner payload per map task. A corpus-scale md5 collision
+    // (~2⁻⁶⁴ at 10¹² lines) would merge two distinct lines' winners.
+    val winners = lines
+      .groupBy(md5(col("__line").cast("binary")).as("__lfp"))
+      .agg(min_by(struct(col("__id"), col("__idx"), col("__line")),
+        struct(col("__id"), col("__idx"))).as("__w"))
+    val reassembled = winners
+      .groupBy(col("__w.__id").as("__id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("__w.__idx").as("i"),
+            col("__w.__line").as("l")))), x => x.getField("l")),
+          "\n").as("cleaned"))
+    df.select(col(idCol),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(reassembled.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Train/eval contamination detection: corpus documents sharing at
     * least `minShared` word-n-grams with any eval document. The classic
     * benchmark-decontamination shape (13-gram collision): explode each

@@ -160,6 +160,17 @@ object TextFunctions {
     array_distinct(when(size(w) < n, array().cast("array<string>")).otherwise(grams))
   }
 
+  /** Word n-grams WITH multiplicity (no distinct) from a *pre-bound*
+    * words column — the unit for frequency-weighted signals like the
+    * Gopher top-n-gram character fraction, where how OFTEN a gram
+    * repeats is the signal [[wordNgramsFromWords]]'s set semantics
+    * would erase. Same PERFORMANCE CONTRACT: bind `w` first. */
+  def wordNgramsAllFromWords(w: Column, n: Int): Column = {
+    val grams = transform(sequence(lit(1), size(w) - lit(n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j))): _*))
+    when(size(w) < n, array().cast("array<string>")).otherwise(grams)
+  }
+
   /** 64-bit SimHash over whitespace tokens (xxhash64 token hashes; bit
     * j set iff the +1/-1 vote sum over tokens is positive). Token
     * hashing stays a declarative HOF; the 64-bit vote fold is the

@@ -896,7 +896,211 @@ object PipelineQueries {
       |              FROM corpus)
       |ORDER BY doc_id""".stripMargin
 
+  /** BM25 term scoring (Robertson/Spärck Jones; k1=1.2, b=0.75, the
+    * Lucene-style idf = ln(1 + (N-df+0.5)/(df+0.5))) of every document
+    * against a fixed query-term set — the retrieval-scoring sibling of
+    * [[tfidf]]. Scale shape: the corpus is exploded once and cut to the
+    * query terms BEFORE the (doc, term) aggregation, so the shuffle
+    * carries only query-term hits; df/N/avgdl sides are term-count- and
+    * 1-row-sized (broadcast). avgdl is exact cross-engine: doc lengths
+    * are integers, so their double sum is exact (≪ 2⁵³) and the mean is
+    * one deterministic division. */
+  val Bm25Terms = Seq("the", "data", "model", "with", "for")
+
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    val k1 = 1.2; val b = 0.75
+    val d = docs(s, dir).withColumn("__w", TF.words(col("text")))
+    val stats = d.agg(count(lit(1)).cast("double").as("__n"),
+      avg(size(col("__w")).cast("double")).as("__avgdl"))
+    val hits = d.select(col("doc_id"), size(col("__w")).cast("double").as("__dl"),
+        explode(col("__w")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+    val tf = hits.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first("__dl").as("__dl"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dft), "term").crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(
+          log(lit(1.0) + (col("__n") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) *
+          (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))),
+          4).as("bm25"))
+      .orderBy("doc_id", "term")
+  }
+
+  val bm25Sql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(len(w) AS DOUBLE)) AS avgdl FROM d),
+       |ex AS (
+       |  SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, unnest(w) AS term FROM d),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+       |  FROM ex WHERE term IN ($terms) GROUP BY doc_id, term),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+       |SELECT doc_id, term, tf, df,
+       |       round(ln(1.0 + (n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |             * (CAST(tf AS DOUBLE) * 2.2)
+       |             / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+       |             4) AS bm25
+       |FROM tf JOIN dft USING (term) CROSS JOIN stats
+       |ORDER BY doc_id, term""".stripMargin
+  }
+
+  /** Global line-level dedup over synthetic multi-line pages (5 docs
+    * per page + 2 planted boilerplate lines every page — the cross-page
+    * repeats the pass exists to strip): page 0 keeps its boilerplate,
+    * every later page loses it, and any organically repeated document
+    * line survives only at its first (page, idx) occurrence. */
+  def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    val lined = docs(s, dir).select(
+      (col("doc_id") / 5).cast("long").as("page_id"), col("doc_id"),
+      col("text").as("line"))
+    val pages = lined.groupBy("page_id").agg(
+      concat(
+        array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("line")))),
+            x => x.getField("line")), "\n"),
+        lit("\nShare this page with your friends.\nCopyright 2024 Example Corp. All rights reserved."))
+        .as("page"))
+    Dedup.lineDedupGlobal(pages, "page_id", "page").orderBy("page_id")
+  }
+
+  val lineDedupSql: String =
+    """WITH lined AS (
+      |  SELECT doc_id // 5 AS page_id, doc_id, text AS line FROM documents),
+      |pages AS (
+      |  SELECT page_id,
+      |         string_agg(line, chr(10) ORDER BY doc_id)
+      |           || chr(10) || 'Share this page with your friends.'
+      |           || chr(10) || 'Copyright 2024 Example Corp. All rights reserved.' AS page
+      |  FROM lined GROUP BY page_id),
+      |ex AS (
+      |  SELECT page_id, i AS idx, ls[i] AS line
+      |  FROM (SELECT page_id, string_split(page, chr(10)) AS ls FROM pages),
+      |       UNNEST(range(1, len(ls) + 1)) AS t(i)),
+      |win AS (
+      |  SELECT page_id, idx, line FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY line ORDER BY page_id, idx) AS rn
+      |    FROM ex) WHERE rn = 1),
+      |re AS (
+      |  SELECT page_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |         string_agg(line, chr(10) ORDER BY idx) AS cleaned
+      |  FROM win GROUP BY page_id)
+      |SELECT p.page_id,
+      |       CAST(len(string_split(p.page, chr(10))) AS BIGINT) AS n_lines,
+      |       coalesce(re.n_kept, 0) AS n_kept,
+      |       coalesce(re.cleaned, '') AS cleaned
+      |FROM pages p LEFT JOIN re ON p.page_id = re.page_id
+      |ORDER BY p.page_id""".stripMargin
+
+  /** Gopher repetition rule: fraction of a document's word characters
+    * contained in occurrences of its most frequent 2-gram (Rae et al.
+    * 2021's "top n-gram character fraction" — high values flag
+    * machine-generated / boilerplate text). Frequency needs the
+    * MULTISET grams ([[TF.wordNgramsAllFromWords]]); argmax tie-break
+    * is (max count, min gram), stated identically in the oracle. Scale
+    * shape: explode → two map-side-combinable hash aggregations
+    * ((doc, gram) count, then per-doc min_by argmax) — never a window. */
+  def gopherRep(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("__w", TF.words(col("text")))
+      .filter(size(col("__w")) >= 2)
+      .withColumn("__base", length(array_join(col("__w"), " ")).cast("double"))
+    val grams = d.select(col("doc_id"), col("__base"),
+      explode(TF.wordNgramsAllFromWords(col("__w"), 2)).as("gram"))
+    grams.groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("cnt"), first("__base").as("base"))
+      .groupBy("doc_id")
+      .agg(min_by(struct(col("gram"), col("cnt"), col("base")),
+        struct((-col("cnt")).as("nc"), col("gram"))).as("t"))
+      .select(col("doc_id"), col("t.gram").as("top_gram"), col("t.cnt").as("top_cnt"),
+        round(col("t.cnt").cast("double") * length(col("t.gram")).cast("double") /
+          col("t.base"), 6).as("top_gram_char_frac"))
+      .orderBy("doc_id")
+  }
+
+  val gopherRepSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+      |f AS (
+      |  SELECT doc_id, w, CAST(length(array_to_string(w, ' ')) AS DOUBLE) AS base
+      |  FROM d WHERE len(w) >= 2),
+      |g AS (
+      |  SELECT doc_id, base,
+      |         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+      |  FROM f),
+      |c AS (
+      |  SELECT doc_id, gram, count(*) AS cnt, any_value(base) AS base
+      |  FROM g GROUP BY doc_id, gram),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                               ORDER BY cnt DESC, gram ASC) AS rn FROM c)
+      |SELECT doc_id, gram AS top_gram, cnt AS top_cnt,
+      |       round(CAST(cnt AS DOUBLE) * CAST(length(gram) AS DOUBLE) / base, 6)
+      |         AS top_gram_char_frac
+      |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Per-domain quota: at most 20 documents per source (the per-domain
+    * cap step of web-corpus curation — one domain must not dominate the
+    * mixture), via the bounded native [[graft.functions.BoundedMinK]]
+    * aggregate — ≤ k values per (key, map task) on the shuffle, where
+    * the row_number window would ship a hot domain's entire row set to
+    * one reducer. */
+  def domainCap(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Quota.topKPerKey(
+        docs(s, dir).select(col("source"), col("doc_id")), "source", "doc_id", 20)
+      .orderBy("source", "doc_id")
+
+  val domainCapSql: String =
+    """SELECT source, doc_id FROM (
+      |  SELECT source, doc_id,
+      |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 20 ORDER BY source, doc_id""".stripMargin
+
+  /** SemDeDup-style semantic dedup, composed end-to-end: embedding
+    * near-dup PAIRS (hyperplane-LSH, cos ≥ 0.999 ⇔ identical vectors on
+    * this corpus) → connected COMPONENTS (pairs under-connect; the
+    * closure recovers full clusters) → keep the min-id REPRESENTATIVE
+    * per cluster. Planted clusters: every 10th vector cloned at +1e6,
+    * every 20th additionally at +2e6 (3-cliques). The oracle states the
+    * fixpoint directly: one survivor per identical-embedding group. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val uni = e
+      .unionByName(e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      .unionByName(e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")))
+    val pairs = Similarity.embeddingNearDupPairs(uni, "vec_id", "embedding",
+      dim = 64, threshold = 0.999)
+    val comp = Components.connectedComponents(pairs, "id_a", "id_b")
+    val losers = comp.filter(col("id") =!= col("component"))
+      .select(col("id").as("vec_id"))
+    uni.select(col("vec_id")).join(losers, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
+  val semanticDedupSql: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |uni AS (
+      |  SELECT vec_id, embedding FROM e
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, embedding FROM e WHERE vec_id % 10 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 2000000, embedding FROM e WHERE vec_id % 20 = 0)
+      |SELECT min(vec_id) AS vec_id FROM uni GROUP BY embedding ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25" -> (bm25 _),
+    "q_line_dedup" -> (lineDedup _),
+    "q_gopher_rep" -> (gopherRep _),
+    "q_domain_cap" -> (domainCap _),
+    "q_semantic_dedup" -> (semanticDedup _),
     "q_dedup_incremental" -> (dedupIncremental _),
     "q_tfidf" -> (tfidf _),
     "q_corpus_stats" -> (corpusStats _),
@@ -928,6 +1132,11 @@ object PipelineQueries {
     "q_multimodal_meta" -> (multimodalMeta _))
 
   val oracles: Map[String, String] = Map(
+    "q_bm25" -> bm25Sql,
+    "q_line_dedup" -> lineDedupSql,
+    "q_gopher_rep" -> gopherRepSql,
+    "q_domain_cap" -> domainCapSql,
+    "q_semantic_dedup" -> semanticDedupSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_tfidf" -> tfidfSql,
     "q_corpus_stats" -> corpusStatsSql,

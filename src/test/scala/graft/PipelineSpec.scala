@@ -438,4 +438,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty,
       "shingle cache must be unpersisted once the first action completes")
   }
+
+  test("topKPerKey: equals the window formulation, incl. hot keys, small groups, strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    // hot key "h" with 5000 rows, plus sparse keys (some below k)
+    val rows = (0 until 5000).map(i => ("h", rnd.nextLong())) ++
+      (0 until 40).flatMap(g => (0 to g % 7).map(i => (s"k$g", rnd.nextLong())))
+    val df = rows.toDF("key", "v").repartition(8)
+    val got = graft.functions.Quota.topKPerKey(df, "key", "v", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val want = df.withColumn("rn",
+        row_number().over(Window.partitionBy("key").orderBy("v")))
+      .filter(col("rn") <= 5).select("key", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(got.toSeq === want.toSeq)
+    // string ordering path (UTF8String binary order) + duplicate values
+    val sdf = Seq(("a", "pear"), ("a", "apple"), ("a", "apple"), ("a", "fig"),
+      ("b", "kiwi")).toDF("key", "s")
+    val sGot = graft.functions.Quota.topKPerKey(sdf, "key", "s", 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(sGot.toSeq === Seq(("a", "apple"), ("a", "apple"), ("b", "kiwi")))
+  }
+
+  test("lineDedupGlobal: first occurrence survives, repeats drop, all-lost docs stay") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha unique line\nshared boilerplate\nsecond unique"),
+      (2L, "shared boilerplate\nbeta unique line"),
+      (3L, "shared boilerplate"), // loses its only line
+      (4L, "gamma line\ngamma line\ndelta line")) // in-doc repeat: keep first
+      .toDF("id", "text")
+    val got = Dedup.lineDedupGlobal(df, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(got(0) === ((1L, 3L, 3L, "alpha unique line\nshared boilerplate\nsecond unique")))
+    assert(got(1) === ((2L, 2L, 1L, "beta unique line")))
+    assert(got(2) === ((3L, 1L, 0L, "")))
+    assert(got(3) === ((4L, 3L, 2L, "gamma line\ndelta line")))
+  }
+
+  test("wordNgramsAllFromWords keeps multiplicity; distinct variant collapses") {
+    import spark.implicits._
+    val df = Seq("a b a b a").toDF("text")
+      .withColumn("w", TF.words(col("text")))
+    val all = df.select(TF.wordNgramsAllFromWords(col("w"), 2)).head().getSeq[String](0)
+    val dis = df.select(TF.wordNgramsFromWords(col("w"), 2)).head().getSeq[String](0)
+    assert(all === Seq("a b", "b a", "a b", "b a"))
+    assert(dis.sorted === Seq("a b", "b a"))
+  }
 }

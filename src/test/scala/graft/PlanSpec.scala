@@ -158,4 +158,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       s"LSH dedup must stay bucketed, never all-pairs:\n$plan")
   }
+
+  test("topKPerKey: partial bounded aggregation, no window, no whole-group collect") {
+    import spark.implicits._
+    val df = (0 until 200).map(i => (s"k${i % 3}", i.toLong)).toDF("key", "v")
+    val plan = graft.functions.Quota.topKPerKey(df, "key", "v", 5)
+      .queryExecution.executedPlan.toString
+    // partial_bounded_min_k on the map side = the shuffle carries ≤ k
+    // values per (key, map task); a window or collect_list formulation
+    // would ship/buffer the hot key's whole row set
+    assert(plan.contains("partial_bounded_min_k"),
+      s"quota cut must partial-aggregate with the bounded heap:\n$plan")
+    assert(!plan.contains("Window"), s"quota cut must not use a window:\n$plan")
+    assert(!plan.contains("collect_list"),
+      s"quota cut must not buffer whole groups:\n$plan")
+  }
+
+  test("lineDedupGlobal: winner aggregation is partial (map-side combinable)") {
+    import spark.implicits._
+    val df = (0 until 50).map(i => (i.toLong, s"line a$i\nshared line\nline b$i"))
+      .toDF("id", "text")
+    val plan = graft.functions.Dedup.lineDedupGlobal(df, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min_by"),
+      s"per-line winner must be a partial-aggregating min_by:\n$plan")
+    assert(!plan.contains("Window"),
+      s"global line dedup must not use a window over the corpus:\n$plan")
+  }
 }
