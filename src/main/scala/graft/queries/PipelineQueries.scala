@@ -1095,7 +1095,96 @@ object PipelineQueries {
       |  SELECT vec_id + 2000000, embedding FROM e WHERE vec_id % 20 = 0)
       |SELECT min(vec_id) AS vec_id FROM uni GROUP BY embedding ORDER BY vec_id""".stripMargin
 
+  /** Domain blocklist filtering (the C4 bad-URL step): parse each
+    * document's source URL's registrable domain (deterministic planted
+    * URL so both engines see one), drop blocklisted domains, report the
+    * rest. Pure narrow projection + literal IN filter — no join, no
+    * shuffle; a 10⁶-domain blocklist would become a broadcast semi-join
+    * of the same shape. */
+  val BlockedDomains = Seq("spam.example.com", "malware.test", "ads.invalid")
+
+  def urlFilter(s: SparkSession, dir: String): DataFrame = {
+    // planted URL: every 3rd doc gets a blocklisted host, the rest a
+    // per-doc host — the filter must drop exactly the planted third
+    val host = when(col("doc_id") % 3 === 0, lit(BlockedDomains.head))
+      .otherwise(concat(lit("site"), pmod(col("doc_id"), lit(50L)), lit(".example.org")))
+    val url = concat(lit("https://"), host, lit("/page/"), col("doc_id"))
+    docs(s, dir).select(col("doc_id"), url.as("url"))
+      .withColumn("domain", regexp_extract(col("url"), "^https?://([^/]+)/", 1))
+      .filter(!col("domain").isin(BlockedDomains: _*))
+      .select(col("doc_id"), col("domain"))
+      .orderBy("doc_id")
+  }
+
+  val urlFilterSql: String = {
+    val blocked = BlockedDomains.map(d => s"'$d'").mkString(", ")
+    s"""SELECT doc_id, domain FROM (
+       |  SELECT doc_id,
+       |         regexp_extract(
+       |           'https://' ||
+       |           CASE WHEN doc_id % 3 = 0 THEN '${BlockedDomains.head}'
+       |                ELSE 'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.org' END
+       |           || '/page/' || CAST(doc_id AS VARCHAR),
+       |           '^https?://([^/]+)/', 1) AS domain
+       |  FROM documents)
+       |WHERE domain NOT IN ($blocked)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Unigram-LM document scoring — the perplexity-proxy quality signal
+    * (a KenLM stand-in computable without a model): corpus unigram
+    * probabilities p(w) = cnt(w)/total, per-doc mean log-prob
+    * Σ tf·ln(p(w)) / len(doc). Low scores flag gibberish/rare-token
+    * text. Scale shape: one exploded-word aggregation for the LM (the
+    * vocabulary-sized count table joins back on the word, AQE
+    * broadcasts it when small), one per-doc aggregation for the score.
+    * DETERMINISM: the per-doc float sum folds over the terms SORTED by
+    * word (array_sort + fold, not a shuffle-order SUM), so both
+    * engines add in the same order — same discipline as charEntropy. */
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val ex = docs(s, dir)
+      .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
+    val tf = ex.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val lm = ex.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = ex.agg(count(lit(1)).cast("double").as("__total"))
+    tf.join(lm, "w").crossJoin(broadcast(total))
+      .withColumn("__contrib",
+        col("tf").cast("double") * log(col("cnt").cast("double") / col("__total")))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_words"),
+        array_sort(collect_list(struct(col("w"), col("__contrib")))).as("__terms"))
+      .select(col("doc_id"), col("n_words"),
+        round(
+          aggregate(col("__terms"), lit(0.0), (acc, t) => acc + t.getField("__contrib")) /
+            col("n_words").cast("double"),
+          4).as("mean_logprob"))
+      .orderBy("doc_id")
+  }
+
+  val unigramLogprobSql: String =
+    """WITH ex AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM ex GROUP BY doc_id, w),
+      |lm AS (SELECT w, count(*) AS cnt FROM ex GROUP BY w),
+      |total AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM ex),
+      |terms AS (
+      |  SELECT doc_id, tf.w,
+      |         CAST(tf AS DOUBLE) * ln(CAST(cnt AS DOUBLE) / t) AS contrib, tf
+      |  FROM tf JOIN lm ON tf.w = lm.w CROSS JOIN total),
+      |agg AS (
+      |  SELECT doc_id, sum(tf) AS n_words,
+      |         list_aggregate(
+      |           list_transform(
+      |             list_sort(list({'w': w, 'c': contrib})), x -> x.c),
+      |           'sum') AS lp
+      |  FROM terms GROUP BY doc_id)
+      |SELECT doc_id, n_words, round(lp / CAST(n_words AS DOUBLE), 4) AS mean_logprob
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_url_filter" -> (urlFilter _),
+    "q_unigram_logprob" -> (unigramLogprob _),
     "q_bm25" -> (bm25 _),
     "q_line_dedup" -> (lineDedup _),
     "q_gopher_rep" -> (gopherRep _),
@@ -1132,6 +1221,8 @@ object PipelineQueries {
     "q_multimodal_meta" -> (multimodalMeta _))
 
   val oracles: Map[String, String] = Map(
+    "q_url_filter" -> urlFilterSql,
+    "q_unigram_logprob" -> unigramLogprobSql,
     "q_bm25" -> bm25Sql,
     "q_line_dedup" -> lineDedupSql,
     "q_gopher_rep" -> gopherRepSql,

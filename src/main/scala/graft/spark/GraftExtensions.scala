@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftshim.ColumnShim
 
-import graft.functions.{MinHashBandHashes, MinHashSignature, SearchSorted, SimHash64}
+import graft.functions.{BoundedMinK, MinHashBandHashes, MinHashSignature, SearchSorted, SimHash64}
 
 /** SQL surface for the engine's native expressions, exposed two ways:
   *
@@ -19,6 +19,7 @@ import graft.functions.{MinHashBandHashes, MinHashSignature, SearchSorted, SimHa
   *   minhash_signature(elemHashes, k)            -> array<bigint>
   *   minhash_band_hashes(elemHashes, k, bands)   -> array<bigint>
   *   simhash64(elemHashes)                       -> bigint
+  *   bounded_min_k(value, k)  [aggregate]        -> array<value type>
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit =
@@ -71,6 +72,14 @@ object GraftFunctions {
         val ord = org.apache.spark.sql.catalyst.util.TypeUtils
           .getInterpretedOrdering(at.elementType)
         SearchSorted(args(0), arr.toObjectArray(at.elementType).toIndexedSeq.sorted(ord))
+      }),
+    ("bounded_min_k",
+      new ExpressionInfo(classOf[BoundedMinK].getName, "bounded_min_k"),
+      (args: Seq[Expression]) => {
+        // an AggregateFunction returned bare, like the built-in
+        // aggregates' registry entries — the analyzer wraps it
+        require(args.length == 2, "bounded_min_k(value, k)")
+        BoundedMinK(args(0), intArg(args(1), "bounded_min_k", 2))
       }))
 
   /** Register into a live session. */

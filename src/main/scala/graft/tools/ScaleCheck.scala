@@ -65,10 +65,12 @@ object ScaleCheck {
 
     // signature operators + the round-2 weak-marked ones (IVF top-k,
     // contamination) + the round-3 packing export + the round-4
-    // iterative/windowed additions (components, rolling features)
+    // iterative/windowed additions (components, rolling features) +
+    // the round-4 quota/line-dedup/semantic additions
     val queries = Seq("q_pit_join_single", "q_dedup_minhash", "q_text_stats",
       "q_ann_ivf", "q_contamination", "q_shard_pack",
-      "q_components", "q_rolling_agg")
+      "q_components", "q_rolling_agg",
+      "q_line_dedup", "q_domain_cap", "q_semantic_dedup")
     queries.foreach(q => time(q, baseDir)) // warm: codegen + analyzer JIT
     val lines = queries.map { q =>
       val t1 = time(q, baseDir)

@@ -154,6 +154,15 @@ class PipelineSpec extends AnyFunSuite {
     val err2 = intercept[Exception](spark.sql(
       "SELECT search_sorted(id, array(id)) FROM graft_sqlfn_t").collect())
     assert(err2.getMessage.contains("literal array"))
+
+    // bounded_min_k as a SQL aggregate (grouped + partial-aggregated)
+    Seq(("a", 5L), ("a", 1L), ("a", 3L), ("a", 2L), ("b", 9L))
+      .toDF("k", "v").createOrReplaceTempView("graft_sqlfn_agg")
+    val bk = spark.sql(
+      "SELECT k, bounded_min_k(v, 2) AS mins FROM graft_sqlfn_agg GROUP BY k ORDER BY k")
+      .collect()
+    assert(bk(0).getSeq[Long](1) === Seq(1L, 2L))
+    assert(bk(1).getSeq[Long](1) === Seq(9L))
   }
 
   test("sampleFrames: evenly spaced fixed-width frames, deterministic") {
