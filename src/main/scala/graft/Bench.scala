@@ -125,9 +125,11 @@ object Bench {
     // (q_stream_materialize = 2 batches + store dump) and ~0.3-0.5 s
     // per Spark job (materialize runs several store jobs per call).
     val notes = "scalecheck 10x data wall ratios: pit_join 2.4x, " +
-      "dedup_minhash 4.6x, text_stats 5.7x, ann_ivf 1.1x, contamination 1.9x, " +
-      "shard_pack 1.8x, components 3.7x, rolling_agg 1.2x " +
-      "(sub-linear, ScaleCheck local[32] 16g driver); " +
+      "dedup_minhash 2.0x, text_stats 6.5x, ann_ivf 0.8x, contamination 0.7x, " +
+      "shard_pack 1.7x, components 4.1x, rolling_agg 1.9x, line_dedup 1.1x, " +
+      "domain_cap 1.3x, semantic_dedup 3.1x " +
+      "(sub-linear, ScaleCheck local[32] 16g driver; run-to-run wall " +
+      "variance on this box is +/-2x at these sub-5s scales); " +
       "stream floor ~1.5s/micro-batch, job floor ~0.3-0.5s at toy sf"
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","notes":"$notes"}""")
     spark.stop()

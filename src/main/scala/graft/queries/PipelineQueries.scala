@@ -1182,7 +1182,124 @@ object PipelineQueries {
       |SELECT doc_id, n_words, round(lp / CAST(n_words AS DOUBLE), 4) AS mean_logprob
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Quality-aware dedup representative: exact dedup on the content
+    * fingerprint, but the survivor is the HIGHEST-quality duplicate
+    * (ties → min doc_id), not the min id — real pipelines keep the
+    * best-formatted copy of a cloned page, not an arbitrary one. Same
+    * map-side-combinable min_by shape as exact dedup ([[Dedup
+    * .exactDedup]] with a (−quality, id) preference key). Clones are
+    * planted as NORMALIZED copies (lowercased, punctuation stripped —
+    * fingerprint-identical by construction, but scoring differently on
+    * the punct/stopword factors), so the quality preference is
+    * observable: per pair, the higher-scoring copy must win, and both
+    * engines compute which one that is from the same arithmetic. */
+  def dedupQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val uni = d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        TF.normalized(col("text")).as("text")))
+    val base = uni
+      .withColumn("quality", TF.qualityScore(col("text")))
+      .withColumn("fp", TF.fingerprint(col("text")))
+    Dedup.exactDedup(base, col("fp"), struct((-col("quality")).as("nq"), col("doc_id")))
+      .select(col("doc_id"), col("fp"), round(col("quality"), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val dedupQualitySql: String =
+    """WITH uni AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |                             ' +', ' ', 'g'))
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |q AS (
+      |  SELECT doc_id,
+      |         least(n_tok / 100.0, 1.0)
+      |           * (1.0 - least(punct / greatest(CAST(n_tok AS DOUBLE), 1.0), 1.0))
+      |           * (0.5 + least(stop / greatest(CAST(n_tok AS DOUBLE), 1.0) * 2.0, 0.5))
+      |           AS quality,
+      |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |                                 ' +', ' ', 'g'))) AS fp
+      |  FROM (SELECT doc_id, text,
+      |               len(regexp_extract_all(text, '\S+')) AS n_tok,
+      |               len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS punct,
+      |               len(regexp_extract_all(lower(text),
+      |                   '\b(the|and|of|to|a|in|is|it|for|on)\b')) AS stop
+      |        FROM uni))
+      |SELECT doc_id, fp, round(quality, 4) AS quality FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp
+      |                               ORDER BY quality DESC, doc_id ASC) AS rn
+      |  FROM q)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** End-to-end fuzzy dedup — the full RefinedWeb-style pass in ONE
+    * composed plan: MinHash-LSH near-dup pairs (threshold 0.999 ⇔
+    * identical shingle sets, the construction [[dedupMinhash]]'s oracle
+    * already pins) → connected components (pairs → clusters) → keep the
+    * highest-quality member per cluster (ties → min doc_id); docs with
+    * no near-dup are their own cluster. The oracle restates the
+    * fixpoint: group by the canonical shingle-set signature, survivors
+    * = per-group quality argmax — independent of LSH, banding, and the
+    * component algorithm. */
+  def fuzzyDedupE2e(s: SparkSession, dir: String): DataFrame = {
+    val uni = docsWithClones(s, dir)
+    val pairs = Dedup.minhashNearDupPairs(uni, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 8, threshold = 0.999)
+      .select(col("id_a"), col("id_b"))
+    val comp = Components.connectedComponents(pairs, "id_a", "id_b")
+    val members = uni.withColumn("quality", TF.qualityScore(col("text")))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+    members.groupBy("cluster")
+      .agg(min_by(struct(col("doc_id"), col("quality")),
+        struct((-col("quality")).as("nq"), col("doc_id"))).as("__w"))
+      .select(col("__w.doc_id").as("doc_id"),
+        round(col("__w.quality"), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay: identical-shingle-set groups among shingleable docs
+    * (≥ 3 words — the same `ok` guard the LSH side applies); docs below
+    * the shingle size are singletons and always survive. */
+  val fuzzyDedupE2eSql: String =
+    """WITH uni AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      |), g AS (
+      |  SELECT doc_id, text,
+      |         CASE WHEN len(w) >= 3
+      |              THEN md5(array_to_string(list_sort(list_distinct(
+      |                     list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+      |                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))), chr(10)))
+      |              ELSE 'solo-' || CAST(doc_id AS VARCHAR) END AS grp
+      |  FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      |        FROM uni)
+      |), q AS (
+      |  SELECT doc_id, grp,
+      |         least(n_tok / 100.0, 1.0)
+      |           * (1.0 - least(punct / greatest(CAST(n_tok AS DOUBLE), 1.0), 1.0))
+      |           * (0.5 + least(stop / greatest(CAST(n_tok AS DOUBLE), 1.0) * 2.0, 0.5))
+      |           AS quality
+      |  FROM (SELECT doc_id, grp,
+      |               len(regexp_extract_all(text, '\S+')) AS n_tok,
+      |               len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS punct,
+      |               len(regexp_extract_all(lower(text),
+      |                   '\b(the|and|of|to|a|in|is|it|for|on)\b')) AS stop
+      |        FROM g))
+      |SELECT doc_id, round(quality, 4) AS quality FROM (
+      |  SELECT doc_id, quality,
+      |         ROW_NUMBER() OVER (PARTITION BY grp
+      |                            ORDER BY quality DESC, doc_id ASC) AS rn
+      |  FROM q)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fuzzy_dedup_e2e" -> (fuzzyDedupE2e _),
+    "q_dedup_quality" -> (dedupQuality _),
     "q_url_filter" -> (urlFilter _),
     "q_unigram_logprob" -> (unigramLogprob _),
     "q_bm25" -> (bm25 _),
@@ -1221,6 +1338,8 @@ object PipelineQueries {
     "q_multimodal_meta" -> (multimodalMeta _))
 
   val oracles: Map[String, String] = Map(
+    "q_fuzzy_dedup_e2e" -> fuzzyDedupE2eSql,
+    "q_dedup_quality" -> dedupQualitySql,
     "q_url_filter" -> urlFilterSql,
     "q_unigram_logprob" -> unigramLogprobSql,
     "q_bm25" -> bm25Sql,

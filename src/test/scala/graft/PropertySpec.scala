@@ -174,4 +174,27 @@ class PropertySpec extends AnyFunSuite {
     }
     runCheck(prop, minTests = 30)
   }
+
+  test("topKPerKey agrees with sorted-take-k on arbitrary inputs (ScalaCheck)") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(0, 150)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 4), Gen.choose(-50L, 50L)))
+      k <- Gen.choose(1, 8)
+      parts <- Gen.choose(1, 6)
+    } yield (rows, k, parts)
+    val prop = Prop.forAll(gen) { case (rows, k, parts) =>
+      // duplicates across partitions force the heap-merge path
+      val expected = rows.groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted.take(k)).toMap
+      val got =
+        if (rows.isEmpty) Map.empty[Int, List[Long]]
+        else graft.functions.Quota
+          .topKPerKey(rows.toDF("key", "v").repartition(parts), "key", "v", k)
+          .as[(Int, Long)].collect().toList
+          .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      got == expected
+    }
+    runCheck(prop, minTests = 30)
+  }
 }
