@@ -2,10 +2,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare. The dump core
+  * is shared with [[graft.tools.VerifySome]] (selective local checks). */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    dump(sfDir, outDir, names = None)
+  }
+
+  /** Run the queries (all, or `names` only) at `sfDir`, write each
+    * result under `outDir`, and dump the matching oracle SQL map. */
+  def dump(sfDir: String, outDir: String, names: Option[Seq[String]]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,7 +23,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.Tables.configure(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    names.foreach(_.filterNot(SparkEntry.queries.contains)
+      .foreach(n => System.err.println(s"[verify] unknown query $n")))
+    val selected = names match {
+      case Some(ns) => SparkEntry.queries.view.filterKeys(ns.contains).toMap
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -36,6 +49,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter(kv => names.forall(_.contains(kv._1)))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -222,25 +222,36 @@ object Dedup {
     * per map task. The final left join only re-attaches each document's
     * original line count.
     *
+    * Whitespace-only lines are STRUCTURE, not content — they pass
+    * through undeduplicated (a blank paragraph separator is the most
+    * frequent "line" in real text; deduping it would strip the blank
+    * line from every document but the globally first and silently
+    * reflow the whole corpus — review r4).
+    *
     * @return (idCol, n_lines, n_kept, cleaned) — one row per input row;
-    *         a document whose every line lost is kept with n_kept = 0
-    *         and cleaned = "". */
+    *         n_kept counts surviving lines including passed-through
+    *         blanks; a document whose every line lost is kept with
+    *         n_kept = 0 and cleaned = "". */
   def lineDedupGlobal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = df.select(col(idCol).as("__id"),
         posexplode(split(col(textCol), "\n")).as(Seq("__idx", "__line")))
+    val isBlank = trim(col("__line")) === ""
     // md5 keyed (not raw text): the first shuffle carries 16-byte keys +
     // one winner payload per map task. A corpus-scale md5 collision
     // (~2⁻⁶⁴ at 10¹² lines) would merge two distinct lines' winners.
-    val winners = lines
+    val winners = lines.filter(!isBlank)
       .groupBy(md5(col("__line").cast("binary")).as("__lfp"))
       .agg(min_by(struct(col("__id"), col("__idx"), col("__line")),
         struct(col("__id"), col("__idx"))).as("__w"))
-    val reassembled = winners
-      .groupBy(col("__w.__id").as("__id"))
+      .select(col("__w.__id").as("__id"), col("__w.__idx").as("__idx"),
+        col("__w.__line").as("__line"))
+    val kept = winners.unionByName(lines.filter(isBlank))
+    val reassembled = kept
+      .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(
-          transform(array_sort(collect_list(struct(col("__w.__idx").as("i"),
-            col("__w.__line").as("l")))), x => x.getField("l")),
+          transform(array_sort(collect_list(struct(col("__idx").as("i"),
+            col("__line").as("l")))), x => x.getField("l")),
           "\n").as("cleaned"))
     df.select(col(idCol),
         size(split(col(textCol), "\n")).cast("long").as("n_lines"))

@@ -2,12 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, RowOrdering, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** `bounded_min_k(v, k)`: the k smallest values of `v` per group, as a
   * sorted array — a BOUNDED native aggregate for per-key top-k cuts.
@@ -25,9 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * regardless of how hot the key is. A domain with 10⁹ documents costs
   * each mapper k values, never 10⁹.
   *
-  * Value types: int / long / double / float / string / timestamp / date
-  * (the orderable atomics a quota cut keys on). Nulls are ignored, as
-  * every Spark aggregate does.
+  * Accepts any ORDERABLE type (atomics, and structs of them — which is
+  * how [[Quota.topKPerKey]] carries whole rows through the cut);
+  * values serialize for the partial→final hand-off as single-field
+  * UnsafeRows. Nulls are ignored, as every Spark aggregate does.
   */
 case class BoundedMinK(
     child: Expression,
@@ -45,25 +46,24 @@ case class BoundedMinK(
 
   // validated at analysis time (the Column wrapper sees an UNRESOLVED
   // attribute whose dataType is not yet known)
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (BoundedMinK.supported(child.dataType))
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"bounded_min_k does not support ${child.dataType}")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (RowOrdering.isOrderable(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bounded_min_k requires an orderable type, got ${child.dataType}")
 
   @transient private lazy val ord: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(child.dataType)
+
+  @transient private lazy val valueProj: UnsafeProjection =
+    UnsafeProjection.create(Array(child.dataType))
 
   override def createAggregationBuffer(): BoundedMinK.Heap =
     new BoundedMinK.Heap(k, ord)
 
   override def update(buf: BoundedMinK.Heap, input: InternalRow): BoundedMinK.Heap = {
     val v = child.eval(input)
-    if (v != null) buf.offer(v match {
-      case s: UTF8String => s.copy() // row buffers are reused
-      case other => other
-    })
+    // copyValue detaches UTF8Strings / InternalRows from reused buffers
+    if (v != null) buf.offer(InternalRow.copyValue(v))
     buf
   }
 
@@ -75,21 +75,17 @@ case class BoundedMinK(
   override def eval(buf: BoundedMinK.Heap): Any =
     new GenericArrayData(buf.sortedAscending())
 
+  // Values cross the partial->final boundary as length-prefixed
+  // single-field UnsafeRows — works uniformly for every orderable type
+  // (incl. the struct rows topKPerKey aggregates).
   override def serialize(buf: BoundedMinK.Heap): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buf.size)
     buf.foreach { v =>
-      child.dataType match {
-        case IntegerType | DateType => out.writeInt(v.asInstanceOf[Int])
-        case LongType | TimestampType | TimestampNTZType => out.writeLong(v.asInstanceOf[Long])
-        case DoubleType => out.writeDouble(v.asInstanceOf[Double])
-        case FloatType => out.writeFloat(v.asInstanceOf[Float])
-        case StringType =>
-          val b = v.asInstanceOf[UTF8String].getBytes
-          out.writeInt(b.length); out.write(b)
-        case dt => throw new IllegalStateException(s"unsupported type $dt")
-      }
+      val row = valueProj(new GenericInternalRow(Array[Any](v)))
+      out.writeInt(row.getSizeInBytes)
+      out.write(row.getBytes)
     }
     out.flush()
     bos.toByteArray
@@ -101,17 +97,12 @@ case class BoundedMinK(
     val buf = createAggregationBuffer()
     var i = 0
     while (i < n) {
-      val v: Any = child.dataType match {
-        case IntegerType | DateType => in.readInt()
-        case LongType | TimestampType | TimestampNTZType => in.readLong()
-        case DoubleType => in.readDouble()
-        case FloatType => in.readFloat()
-        case StringType =>
-          val len = in.readInt(); val b = new Array[Byte](len)
-          in.readFully(b); UTF8String.fromBytes(b)
-        case dt => throw new IllegalStateException(s"unsupported type $dt")
-      }
-      buf.offer(v)
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      val row = new UnsafeRow(1)
+      row.pointTo(b, len)
+      buf.offer(InternalRow.copyValue(row.get(0, child.dataType)))
       i += 1
     }
     buf
@@ -127,12 +118,6 @@ case class BoundedMinK(
 
 object BoundedMinK {
   import org.apache.spark.sql.graftshim.ColumnShim
-
-  private[functions] def supported(dt: DataType): Boolean = dt match {
-    case IntegerType | DateType | LongType | TimestampType | TimestampNTZType |
-         DoubleType | FloatType | StringType => true
-    case _ => false
-  }
 
   /** k-capped max-at-head heap of the k SMALLEST values seen. */
   final class Heap(k: Int, ord: Ordering[Any]) {
@@ -152,15 +137,26 @@ object BoundedMinK {
 /** Per-key quota operators built on [[BoundedMinK]]. */
 object Quota {
 
-  /** Keep the `k` smallest `ordCol` rows per `keyCol` — per-domain
-    * document caps, per-user recent-N, any "at most k rows per key"
-    * cut. One hash aggregation: partial bounded heaps on the map side,
+  /** Keep the `k` smallest rows per `keyCol`, ordered by `ordCol` —
+    * per-domain document caps, per-user recent-N, any "at most k rows
+    * per key" cut. ALL columns of `df` survive (rows ride through the
+    * bounded heap as structs); ties on `ordCol` break deterministically
+    * by the remaining columns in their frame order, so the output is
+    * exactly min(k, group size) rows per key — never more, even with
+    * duplicate `ordCol` values. Every column must be orderable (it
+    * participates in the struct comparison).
+    *
+    * One hash aggregation: partial bounded heaps on the map side,
     * merged on the reduce side, then exploded back to rows. The
     * `row_number()`-window formulation of the same cut ships a hot
     * key's ENTIRE row set to one reducer; this ships ≤ k per (key, map
     * task). */
-  def topKPerKey(df: DataFrame, keyCol: String, ordCol: String, k: Int): DataFrame =
+  def topKPerKey(df: DataFrame, keyCol: String, ordCol: String, k: Int): DataFrame = {
+    val payload = ordCol +: df.columns.filterNot(c => c == keyCol || c == ordCol).toIndexedSeq
+    val rowStruct = struct(payload.map(col): _*)
     df.groupBy(col(keyCol))
-      .agg(BoundedMinK.column(col(ordCol), k).as("__mink"))
-      .select(col(keyCol), explode(col("__mink")).as(ordCol))
+      .agg(BoundedMinK.column(rowStruct, k).as("__mink"))
+      .select(col(keyCol), explode(col("__mink")).as("__row"))
+      .select(col(keyCol) +: payload.map(c => col(s"__row.$c").as(c)): _*)
+  }
 }

@@ -909,6 +909,12 @@ object PipelineQueries {
 
   def bm25(s: SparkSession, dir: String): DataFrame = {
     val k1 = 1.2; val b = 0.75
+    // Two corpus scans by design: stats (N, avgdl) and hits are
+    // separate consumers of the words projection, so the regexp runs
+    // twice per document. Collapsing to one scan requires persisting
+    // the exploded word stream — more memory than recompute is worth
+    // at any scale (the projection is the scan's cheapest part after
+    // pushdown). Same trade tfidf makes for its N subquery.
     val d = docs(s, dir).withColumn("__w", TF.words(col("text")))
     val stats = d.agg(count(lit(1)).cast("double").as("__n"),
       avg(size(col("__w")).cast("double")).as("__avgdl"))
@@ -986,7 +992,9 @@ object PipelineQueries {
       |win AS (
       |  SELECT page_id, idx, line FROM (
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY line ORDER BY page_id, idx) AS rn
-      |    FROM ex) WHERE rn = 1),
+      |    FROM ex WHERE trim(line) <> '') WHERE rn = 1
+      |  UNION ALL
+      |  SELECT page_id, idx, line FROM ex WHERE trim(line) = ''),
       |re AS (
       |  SELECT page_id, CAST(count(*) AS BIGINT) AS n_kept,
       |         string_agg(line, chr(10) ORDER BY idx) AS cleaned
@@ -1142,11 +1150,14 @@ object PipelineQueries {
     * word (array_sort + fold, not a shuffle-order SUM), so both
     * engines add in the same order — same discipline as charEntropy. */
   def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    // explode ONCE: the LM counts derive from the tf aggregate (its
+    // (doc, w, tf) rows partition the word stream) and the total from
+    // the LM — same discipline as tfidf's df derivation (review r4)
     val ex = docs(s, dir)
       .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
     val tf = ex.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val lm = ex.groupBy("w").agg(count(lit(1)).as("cnt"))
-    val total = ex.agg(count(lit(1)).cast("double").as("__total"))
+    val lm = tf.groupBy("w").agg(sum("tf").as("cnt"))
+    val total = lm.agg(sum("cnt").cast("double").as("__total"))
     tf.join(lm, "w").crossJoin(broadcast(total))
       .withColumn("__contrib",
         col("tf").cast("double") * log(col("cnt").cast("double") / col("__total")))
@@ -1297,7 +1308,62 @@ object PipelineQueries {
       |  FROM q)
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Percentile-bounded length filter — the outlier-trimming step of
+    * corpus curation (drop truncated fragments below p5 and runaway
+    * concatenations above p99). The exact percentile pair is ONE tiny
+    * scalar aggregate broadcast against the narrow length projection;
+    * at 100 TB swap in approx_percentile exactly as corpusStats
+    * documents. */
+  def lengthFilter(s: SparkSession, dir: String): DataFrame = {
+    val lens = docs(s, dir)
+      .select(col("doc_id"), TF.tokenCount(col("text")).cast("double").as("n"))
+    val bounds = lens.agg(
+      expr("percentile(n, 0.05)").as("__lo"), expr("percentile(n, 0.99)").as("__hi"))
+    lens.crossJoin(broadcast(bounds))
+      .filter(col("n") >= col("__lo") && col("n") <= col("__hi"))
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val lengthFilterSql: String =
+    """WITH lens AS (
+      |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n
+      |  FROM documents),
+      |b AS (SELECT quantile_cont(n, 0.05) AS lo, quantile_cont(n, 0.99) AS hi FROM lens)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens
+      |FROM lens CROSS JOIN b
+      |WHERE n >= lo AND n <= hi
+      |ORDER BY doc_id""".stripMargin
+
+  /** Shard manifest — the per-output-file summary a packed training
+    * export ships with (doc count, token total, id range per shard).
+    * Derives from [[shardPack]]'s assignment; one map-side-combinable
+    * aggregation over the packed rows. */
+  def packManifest(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Packing.packShards(
+        docs(s, dir).select(col("doc_id"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budgetTokens = 2000L)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard_id")
+
+  val packManifestSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0)
+      |              AS BIGINT) AS shard_id
+      |  FROM (SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens
+      |        FROM documents))
+      |SELECT shard_id, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM p GROUP BY shard_id ORDER BY shard_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_length_filter" -> (lengthFilter _),
+    "q_pack_manifest" -> (packManifest _),
     "q_fuzzy_dedup_e2e" -> (fuzzyDedupE2e _),
     "q_dedup_quality" -> (dedupQuality _),
     "q_url_filter" -> (urlFilter _),
@@ -1338,6 +1404,8 @@ object PipelineQueries {
     "q_multimodal_meta" -> (multimodalMeta _))
 
   val oracles: Map[String, String] = Map(
+    "q_length_filter" -> lengthFilterSql,
+    "q_pack_manifest" -> packManifestSql,
     "q_fuzzy_dedup_e2e" -> fuzzyDedupE2eSql,
     "q_dedup_quality" -> dedupQualitySql,
     "q_url_filter" -> urlFilterSql,

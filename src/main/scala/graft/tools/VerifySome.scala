@@ -1,47 +1,15 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 /** Selective Verify: dump only the named queries (plus their oracle
   * SQL) for a local DuckDB cross-check while iterating — the full
-  * [[graft.Verify]] runs all ~60 queries. Usage:
+  * [[graft.Verify]] runs all ~60 queries. Same session config, dump
+  * loop, and JSON escaping as the driver gate ([[graft.Verify.dump]]).
+  * Usage:
   *   runMain graft.tools.VerifySome <sfDir> <outDir> <q1> [q2 ...]
   */
 object VerifySome {
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0); val outDir = args(1); val names = args.drop(2)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.sources.Tables.configure(spark)
-    new java.io.File(outDir).mkdirs()
-    names.foreach { name =>
-      graft.SparkEntry.queries.get(name) match {
-        case Some(fn) =>
-          try {
-            fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-            println(s"[verifysome] wrote $name")
-          } catch { case e: Throwable =>
-            System.err.println(s"[verifysome] $name FAILED: ${e.getMessage}")
-          }
-        case None => System.err.println(s"[verifysome] unknown query $name")
-      }
-    }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case '\r' => "\\r"; case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = graft.SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    require(args.length >= 3, "usage: VerifySome <sfDir> <outDir> <q1> [q2 ...]")
+    graft.Verify.dump(args(0), args(1), Some(args.drop(2).toSeq))
   }
 }

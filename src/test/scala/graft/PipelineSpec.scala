@@ -469,15 +469,24 @@ class PipelineSpec extends AnyFunSuite {
     val sGot = graft.functions.Quota.topKPerKey(sdf, "key", "s", 2)
       .collect().map(r => (r.getString(0), r.getString(1))).sorted
     assert(sGot.toSeq === Seq(("a", "apple"), ("a", "apple"), ("b", "kiwi")))
+    // payload columns survive the cut, and duplicate ord values still
+    // yield EXACTLY k rows (ties break by the payload — review r4)
+    val pdf = Seq(("a", 1L, "x1"), ("a", 1L, "x2"), ("a", 1L, "x3"), ("a", 2L, "x4"))
+      .toDF("key", "v", "payload").repartition(3)
+    val pg = graft.functions.Quota.topKPerKey(pdf, "key", "v", 2).collect()
+    assert(pg.length === 2)
+    assert(pg.map(_.getString(2)).sorted.toSeq === Seq("x1", "x2"))
   }
 
-  test("lineDedupGlobal: first occurrence survives, repeats drop, all-lost docs stay") {
+  test("lineDedupGlobal: first occurrence survives, repeats drop, blanks pass through") {
     import spark.implicits._
     val df = Seq(
       (1L, "alpha unique line\nshared boilerplate\nsecond unique"),
       (2L, "shared boilerplate\nbeta unique line"),
       (3L, "shared boilerplate"), // loses its only line
-      (4L, "gamma line\ngamma line\ndelta line")) // in-doc repeat: keep first
+      (4L, "gamma line\ngamma line\ndelta line"), // in-doc repeat: keep first
+      (5L, "intro para\n\nbody para"), // blank separator is NOT content
+      (6L, "title para\n\nmore text")) // ...in any document (review r4)
       .toDF("id", "text")
     val got = Dedup.lineDedupGlobal(df, "id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
@@ -486,6 +495,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(1) === ((2L, 2L, 1L, "beta unique line")))
     assert(got(2) === ((3L, 1L, 0L, "")))
     assert(got(3) === ((4L, 3L, 2L, "gamma line\ndelta line")))
+    assert(got(4) === ((5L, 3L, 3L, "intro para\n\nbody para")))
+    assert(got(5) === ((6L, 3L, 3L, "title para\n\nmore text")))
   }
 
   test("wordNgramsAllFromWords keeps multiplicity; distinct variant collapses") {
