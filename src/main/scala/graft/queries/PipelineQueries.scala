@@ -1361,7 +1361,41 @@ object PipelineQueries {
       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM p GROUP BY shard_id ORDER BY shard_id""".stripMargin
 
+  /** Video/audio frame sampling plumbing under the value oracle: 4
+    * evenly spaced 16-byte frames per payload (UTF-8 bytes of the text
+    * standing in for a media blob). Byte-level determinism: the frame
+    * offsets are double arithmetic truncated to int, and the oracle
+    * replays the identical expression over the identical bytes —
+    * hex(frame) pins the exact slice, not just its length. Narrow
+    * generate + projection; no shuffle. */
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"),
+        posexplode(Multimodal.sampleFrames(col("payload"), n = 4, frameBytes = 16)))
+      .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
+        octet_length(col("col")).cast("long").as("frame_len"),
+        hex(col("col")).as("frame_hex"))
+      .orderBy("doc_id", "frame_idx")
+
+  /** DuckDB 1.0 has no BLOB substring — the byte slice is taken on the
+    * hex encoding instead (2 hex chars per byte, same bytes). */
+  val frameSampleSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS len
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, i AS frame_idx,
+      |         substring(h,
+      |           (CAST(trunc(i * greatest((len - 16) / 3.0, 0) + 1) AS INT) - 1) * 2 + 1,
+      |           32) AS fh
+      |  FROM p, UNNEST(range(0, 4)) AS t(i))
+      |SELECT doc_id, frame_idx, CAST(length(fh) // 2 AS BIGINT) AS frame_len,
+      |       fh AS frame_hex
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_frame_sample" -> (frameSample _),
     "q_length_filter" -> (lengthFilter _),
     "q_pack_manifest" -> (packManifest _),
     "q_fuzzy_dedup_e2e" -> (fuzzyDedupE2e _),
@@ -1404,6 +1438,7 @@ object PipelineQueries {
     "q_multimodal_meta" -> (multimodalMeta _))
 
   val oracles: Map[String, String] = Map(
+    "q_frame_sample" -> frameSampleSql,
     "q_length_filter" -> lengthFilterSql,
     "q_pack_manifest" -> packManifestSql,
     "q_fuzzy_dedup_e2e" -> fuzzyDedupE2eSql,

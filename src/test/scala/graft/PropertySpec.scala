@@ -175,6 +175,33 @@ class PropertySpec extends AnyFunSuite {
     runCheck(prop, minTests = 30)
   }
 
+  test("lineDedupGlobal agrees with a sequential first-occurrence scan (ScalaCheck)") {
+    import spark.implicits._
+    // small line alphabet forces heavy cross-doc duplication; empty
+    // lines appear both mid-doc and trailing
+    val lineGen = Gen.oneOf("alpha one", "beta two", "gamma three", "", " ", "delta")
+    val docGen = Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, lineGen))
+    val gen = Gen.choose(1, 8).flatMap(d => Gen.listOfN(d, docGen))
+    val prop = Prop.forAll(gen) { docLines =>
+      val docs = docLines.zipWithIndex.map { case (ls, i) => (i.toLong, ls.mkString("\n")) }
+      val seen = scala.collection.mutable.Set[String]()
+      val expected = docs.map { case (id, text) =>
+        val lines = text.split("\n", -1)
+        val kept = lines.filter { l =>
+          if (l.trim.isEmpty) true
+          else if (seen.contains(l)) false
+          else { seen.add(l); true }
+        }
+        (id, lines.length.toLong, kept.length.toLong, kept.mkString("\n"))
+      }
+      val got = graft.functions.Dedup
+        .lineDedupGlobal(docs.toDF("id", "text"), "id", "text")
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toList
+      got == expected
+    }
+    runCheck(prop, minTests = 25)
+  }
+
   test("topKPerKey agrees with sorted-take-k on arbitrary inputs (ScalaCheck)") {
     import spark.implicits._
     val gen = for {
