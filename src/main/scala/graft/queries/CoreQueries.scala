@@ -130,6 +130,63 @@ object CoreQueries {
       |LEFT JOIN (SELECT * FROM c2 WHERE rn = 1) c2 USING (event_id)
       |ORDER BY event_id""".stripMargin
 
+  /** O1 with a COMPOSITE entity key: feature view keyed by
+    * (partkey, suppkey) — the partsupp-grain shape (multi-join-key
+    * views are first-class in the reference: `entities` is a list,
+    * `feature_view.py:47`). Entity df = distinct key pairs from a
+    * lineitem slice with a deterministic per-key event time; entity-df
+    * plan is shuffle-derived (distinct), so row-id pinning engages. */
+  def pitJoinComposite(s: SparkSession, dir: String): DataFrame = {
+    val li = pq(s, dir, "lineitem")
+    val entity = li.filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
+      .distinct()
+      .withColumn("event_timestamp",
+        date_add(lit("1995-06-01").cast("date"),
+          pmod(col("partkey"), lit(200L)).cast("int")).cast("timestamp"))
+
+    val src = FileSource(s"$dir/lineitem.parquet", eventTimestampColumn = "l_shipdate",
+      fieldMapping = Map("l_partkey" -> "partkey", "l_suppkey" -> "suppkey"))
+    val view = FeatureView(
+      name = "partsupp_feats",
+      entities = Seq("part", "supplier"),
+      features = Seq(Feature("l_quantity", GraftType.Dbl),
+        Feature("l_extendedprice", GraftType.Dbl)),
+      ttl = Duration.ofDays(90),
+      batchSource = src)
+
+    val out = PointInTimeJoin.join(entity,
+      Seq(ViewJoin(view, Seq("partkey", "suppkey"),
+        Seq("l_quantity", "l_extendedprice"), SourceReader.read(s, src),
+        tieBreakCols = Seq("l_orderkey", "l_linenumber"))))
+    out.select(col("partkey"), col("suppkey"),
+        unix_millis(col("event_timestamp")).as("event_ts_ms"),
+        col("l_quantity"), col("l_extendedprice"))
+      .orderBy("partkey", "suppkey")
+  }
+
+  val pitJoinCompositeSql: String =
+    """WITH ent AS (
+      |  SELECT partkey, suppkey,
+      |         CAST(DATE '1995-06-01' + CAST(partkey % 200 AS INT) AS TIMESTAMP)
+      |           AS event_timestamp
+      |  FROM (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+      |        FROM lineitem WHERE l_orderkey % 50 = 0)
+      |), cand AS (
+      |  SELECT e.partkey, e.suppkey, f.l_quantity, f.l_extendedprice,
+      |         ROW_NUMBER() OVER (PARTITION BY e.partkey, e.suppkey
+      |                            ORDER BY f.l_shipdate DESC, f.l_orderkey DESC,
+      |                                     f.l_linenumber DESC) AS rn
+      |  FROM ent e JOIN lineitem f
+      |    ON f.l_partkey = e.partkey AND f.l_suppkey = e.suppkey
+      |   AND f.l_shipdate <= e.event_timestamp
+      |   AND f.l_shipdate >= e.event_timestamp - INTERVAL 90 DAY
+      |)
+      |SELECT e.partkey, e.suppkey, epoch_ms(e.event_timestamp) AS event_ts_ms,
+      |       c.l_quantity, c.l_extendedprice
+      |FROM ent e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (partkey, suppkey)
+      |ORDER BY partkey, suppkey""".stripMargin
+
   /** O3: latest-per-key snapshot over a time window (the materialize
     * scan). */
   def pullLatestQ(s: SparkSession, dir: String): DataFrame = {
@@ -401,6 +458,7 @@ object CoreQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pit_join_single" -> (pitJoinSingle _),
     "q_pit_join_multi" -> (pitJoinMulti _),
+    "q_pit_join_composite" -> (pitJoinComposite _),
     "q_pull_latest" -> (pullLatestQ _),
     "q_date_partition_prune" -> (datePartitionPrune _),
     "q_csv_ingest" -> (csvIngest _),
@@ -416,6 +474,7 @@ object CoreQueries {
   val oracles: Map[String, String] = Map(
     "q_pit_join_single" -> pitJoinSingleSql,
     "q_pit_join_multi" -> pitJoinMultiSql,
+    "q_pit_join_composite" -> pitJoinCompositeSql,
     "q_pull_latest" -> pullLatestSql,
     "q_date_partition_prune" -> datePartitionPruneSql,
     "q_csv_ingest" -> csvIngestSql,
