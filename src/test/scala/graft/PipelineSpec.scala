@@ -478,6 +478,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(pg.map(_.getString(2)).sorted.toSeq === Seq("x1", "x2"))
   }
 
+  test("BoundedMinK survives the sort-based aggregation fallback (serialize/merge path)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // ObjectHashAggregate falls back to sort-based aggregation past
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold (128)
+    // distinct groups per partition — THE path that round-trips every
+    // heap through serialize/deserialize. 500 groups in one partition
+    // forces it; values straddle partitions so merge() runs too.
+    val rows = (0 until 500).flatMap(g =>
+      (0 until 12).map(i => (s"g$g", ((i * 37 + g * 13) % 97).toLong)))
+    val df = rows.toDF("key", "v").repartition(2)
+    val got = graft.functions.Quota.topKPerKey(df.coalesce(1), "key", "v", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val want = df.withColumn("rn",
+        row_number().over(Window.partitionBy("key").orderBy("v")))
+      .filter(col("rn") <= 3).select("key", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("lineDedupGlobal: first occurrence survives, repeats drop, blanks pass through") {
     import spark.implicits._
     val df = Seq(
