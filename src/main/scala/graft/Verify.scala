@@ -11,9 +11,13 @@ object Verify {
   }
 
   /** Run the queries (all, or `names` only) at `sfDir`, write each
-    * result under `outDir`, and dump the matching oracle SQL map. */
-  def dump(sfDir: String, outDir: String, names: Option[Seq[String]]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    * result under `outDir`, and dump the matching oracle SQL map.
+    * `defaultCpus` is only the SPARK_GRAFT_CPUS fallback — the driver
+    * gate keeps 4, VerifySome its historical 8; `verbose` prints a
+    * per-query done-line (off for the driver: its stdout is parsed). */
+  def dump(sfDir: String, outDir: String, names: Option[Seq[String]],
+      defaultCpus: String = "4", verbose: Boolean = false): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,9 +34,11 @@ object Verify {
       case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        if (verbose) println(s"[verify] wrote $name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

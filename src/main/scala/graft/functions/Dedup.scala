@@ -226,7 +226,10 @@ object Dedup {
     * through undeduplicated (a blank paragraph separator is the most
     * frequent "line" in real text; deduping it would strip the blank
     * line from every document but the globally first and silently
-    * reflow the whole corpus — review r4).
+    * reflow the whole corpus — review r4). "Whitespace-only" is the
+    * explicit class [ \t\r]* (a line cannot contain \n), stated as the
+    * same character class in the engine and any SQL replay — `trim`
+    * would be spaces-only and `\s` differs between regex dialects.
     *
     * @return (idCol, n_lines, n_kept, cleaned) — one row per input row;
     *         n_kept counts surviving lines including passed-through
@@ -235,7 +238,7 @@ object Dedup {
   def lineDedupGlobal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = df.select(col(idCol).as("__id"),
         posexplode(split(col(textCol), "\n")).as(Seq("__idx", "__line")))
-    val isBlank = trim(col("__line")) === ""
+    val isBlank = col("__line").rlike("^[ \\t\\r]*$")
     // md5 keyed (not raw text): the first shuffle carries 16-byte keys +
     // one winner payload per map task. A corpus-scale md5 collision
     // (~2⁻⁶⁴ at 10¹² lines) would merge two distinct lines' winners.

@@ -47,9 +47,13 @@ case class BoundedMinK(
   // validated at analysis time (the Column wrapper sees an UNRESOLVED
   // attribute whose dataType is not yet known)
   override def checkInputDataTypes(): TypeCheckResult =
-    if (RowOrdering.isOrderable(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    // NullType is "orderable" to RowOrdering but has no interpreted
+    // ordering — reject it here for a readable analysis-time error
+    // instead of a runtime MatchError (SQL: bounded_min_k(NULL, 2))
+    if (child.dataType != NullType && RowOrdering.isOrderable(child.dataType))
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"bounded_min_k requires an orderable type, got ${child.dataType}")
+      s"bounded_min_k requires an orderable non-null type, got ${child.dataType}")
 
   @transient private lazy val ord: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(child.dataType)
@@ -144,7 +148,10 @@ object Quota {
     * by the remaining columns in their frame order, so the output is
     * exactly min(k, group size) rows per key — never more, even with
     * duplicate `ordCol` values. Every column must be orderable (it
-    * participates in the struct comparison).
+    * participates in the struct comparison). Rows with a NULL `ordCol`
+    * are dropped, matching aggregate null semantics (the struct wrapper
+    * would otherwise smuggle them in sorted first and let them consume
+    * quota slots — review r4).
     *
     * One hash aggregation: partial bounded heaps on the map side,
     * merged on the reduce side, then exploded back to rows. The
@@ -152,11 +159,16 @@ object Quota {
     * key's ENTIRE row set to one reducer; this ships ≤ k per (key, map
     * task). */
   def topKPerKey(df: DataFrame, keyCol: String, ordCol: String, k: Int): DataFrame = {
+    require(keyCol != ordCol, s"keyCol and ordCol must differ, got '$keyCol'")
+    // backticks / getField address columns LITERALLY — a bare col("a.b")
+    // would parse a dotted column name as nested field access
+    def c0(c: String): Column = col(s"`$c`")
     val payload = ordCol +: df.columns.filterNot(c => c == keyCol || c == ordCol).toIndexedSeq
-    val rowStruct = struct(payload.map(col): _*)
-    df.groupBy(col(keyCol))
+    val rowStruct = struct(payload.map(c => c0(c).as(c)): _*)
+    df.filter(c0(ordCol).isNotNull)
+      .groupBy(c0(keyCol))
       .agg(BoundedMinK.column(rowStruct, k).as("__mink"))
-      .select(col(keyCol), explode(col("__mink")).as("__row"))
-      .select(col(keyCol) +: payload.map(c => col(s"__row.$c").as(c)): _*)
+      .select(c0(keyCol), explode(col("__mink")).as("__row"))
+      .select(c0(keyCol) +: payload.map(c => col("__row").getField(c).as(c)): _*)
   }
 }

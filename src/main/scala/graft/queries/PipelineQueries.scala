@@ -992,9 +992,9 @@ object PipelineQueries {
       |win AS (
       |  SELECT page_id, idx, line FROM (
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY line ORDER BY page_id, idx) AS rn
-      |    FROM ex WHERE trim(line) <> '') WHERE rn = 1
+      |    FROM ex WHERE NOT regexp_matches(line, '^[ \t\r]*$')) WHERE rn = 1
       |  UNION ALL
-      |  SELECT page_id, idx, line FROM ex WHERE trim(line) = ''),
+      |  SELECT page_id, idx, line FROM ex WHERE regexp_matches(line, '^[ \t\r]*$')),
       |re AS (
       |  SELECT page_id, CAST(count(*) AS BIGINT) AS n_kept,
       |         string_agg(line, chr(10) ORDER BY idx) AS cleaned

@@ -177,9 +177,11 @@ class PropertySpec extends AnyFunSuite {
 
   test("lineDedupGlobal agrees with a sequential first-occurrence scan (ScalaCheck)") {
     import spark.implicits._
-    // small line alphabet forces heavy cross-doc duplication; empty
-    // lines appear both mid-doc and trailing
-    val lineGen = Gen.oneOf("alpha one", "beta two", "gamma three", "", " ", "delta")
+    // small line alphabet forces heavy cross-doc duplication;
+    // whitespace-only lines (empty / space / tab / CR — the explicit
+    // [ \t\r]* blank class) appear both mid-doc and trailing
+    val lineGen = Gen.oneOf("alpha one", "beta two", "gamma three",
+      "", " ", "\t", "\r", " \t ", "delta")
     val docGen = Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, lineGen))
     val gen = Gen.choose(1, 8).flatMap(d => Gen.listOfN(d, docGen))
     val prop = Prop.forAll(gen) { docLines =>
@@ -188,7 +190,7 @@ class PropertySpec extends AnyFunSuite {
       val expected = docs.map { case (id, text) =>
         val lines = text.split("\n", -1)
         val kept = lines.filter { l =>
-          if (l.trim.isEmpty) true
+          if (l.forall(c => c == ' ' || c == '\t' || c == '\r')) true
           else if (seen.contains(l)) false
           else { seen.add(l); true }
         }
