@@ -47,6 +47,23 @@ object Multimodal {
       lit(3).as("channels"))
   }
 
+  /** Deterministic resize STUB (the image-resize integration point —
+    * no codec libs in this container): computes the fit-within-box
+    * output geometry (aspect-preserving, never upscaling) and the
+    * resulting byte estimate from the stub-decoded dimensions. The
+    * arithmetic is pure integer/double columns, so the plumbing is
+    * value-verifiable end-to-end; a production build swaps the payload
+    * transform, keeping this exact column contract. */
+  def stubResize(decoded: Column, boxW: Int, boxH: Int): Column = {
+    val w = decoded.getField("width").cast("double")
+    val h = decoded.getField("height").cast("double")
+    val scale = least(lit(boxW.toDouble) / w, lit(boxH.toDouble) / h, lit(1.0))
+    val outW = floor(w * scale).cast("long")
+    val outH = floor(h * scale).cast("long")
+    struct(outW.as("width"), outH.as("height"),
+      (outW * outH * decoded.getField("channels").cast("long")).as("size_bytes"))
+  }
+
   /** Evenly sample `n` fixed-width byte frames from a payload (the
     * video frame-sample shape; deterministic). */
   def sampleFrames(bin: Column, n: Int, frameBytes: Int): Column = {

@@ -198,6 +198,30 @@ object TextFunctions {
       .orderBy(desc("doc_freq"), asc("ngram"))
       .limit(k)
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003 —
+    * the MOSS rolling-hash fingerprint scheme): hash every word
+    * k-gram, slide a window of `window` consecutive gram hashes, keep
+    * each window's MINIMUM — guaranteeing any shared substring of ≥
+    * k+window−1 words between two documents shares a fingerprint.
+    * Gram hashes are the first 8 hex chars of md5 (fixed width, so
+    * lexicographic min == numeric min) — cross-engine replayable, the
+    * same trick [[Dedup.mixtureSample]] uses. Returns the DISTINCT
+    * sorted fingerprint array. Bind `w` first (performance contract of
+    * [[wordNgramsFromWords]]); per-row cost O(grams × window)
+    * interpreted — fine for document-sized rows; the native-expression
+    * upgrade path (one rolling pass) mirrors MinHashExpr if profiling
+    * ever demands it. */
+  def winnowFingerprints(w: Column, k: Int, window: Int): Column = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val grams = wordNgramsAllFromWords(w, k)
+    val ghs = transform(grams, g => substring(md5(g.cast("binary")), 1, 8))
+    val nWin = size(ghs) - lit(window - 1)
+    val mins = transform(sequence(lit(1), nWin),
+      i => array_min(slice(ghs, i, lit(window))))
+    array_sort(array_distinct(
+      when(nWin < 1, array().cast("array<string>")).otherwise(mins)))
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021, the rule
     * subset expressible without a language model): word-count bounds,
     * mean-word-length bounds, symbol-to-word ratio, alphabetic-token

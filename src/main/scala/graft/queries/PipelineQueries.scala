@@ -1394,7 +1394,71 @@ object PipelineQueries {
       |       fh AS frame_hex
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Winnowing document fingerprints (MOSS rolling-hash scheme): word
+    * 3-gram hashes, window-4 minima, distinct sorted set — any shared
+    * run of ≥ 6 words between two documents shares a fingerprint.
+    * Output pins the whole set (count, first/last, md5 of the joined
+    * array) without emitting an array column. */
+  def winnowFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("__w", TF.words(col("text")))
+      .withColumn("fp", TF.winnowFingerprints(col("__w"), k = 3, window = 4))
+      .filter(size(col("fp")) > 0)
+      .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
+        element_at(col("fp"), 1).as("first_fp"),
+        element_at(col("fp"), -1).as("last_fp"),
+        md5(concat_ws(",", col("fp")).cast("binary")).as("fp_hash"))
+      .orderBy("doc_id")
+
+  val winnowFingerprintSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |         list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+      |           i -> substring(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 8)) AS ghs
+      |  FROM d),
+      |f AS (
+      |  SELECT doc_id,
+      |         list_sort(list_distinct(list_transform(range(1, len(ghs) - 2),
+      |           i -> list_min(ghs[i:i+3])))) AS fp
+      |  FROM g WHERE len(ghs) >= 4)
+      |SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
+      |       fp[1] AS first_fp, fp[-1] AS last_fp,
+      |       md5(array_to_string(fp, ',')) AS fp_hash
+      |FROM f WHERE len(fp) >= 1 ORDER BY doc_id""".stripMargin
+
+  /** Resize plumbing under the value oracle: stub-decoded dimensions →
+    * aspect-preserving fit into 224×224 (never upscaling) → output
+    * geometry + byte estimate, identical double arithmetic replayed by
+    * the oracle. */
+  def resizeMeta(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("img", Multimodal.stubDecodeImage(col("payload")))
+      .select(col("doc_id"), Multimodal.stubResize(col("img"), 224, 224).as("rz"))
+      .select(col("doc_id"), col("rz.width").as("out_w"),
+        col("rz.height").as("out_h"), col("rz.size_bytes").as("out_bytes"))
+      .orderBy("doc_id")
+
+  val resizeMetaSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+      |d AS (
+      |  SELECT doc_id, CAST(n % 640 + 16 AS DOUBLE) AS w,
+      |         CAST((n * 7) % 480 + 16 AS DOUBLE) AS h
+      |  FROM m),
+      |sc AS (
+      |  SELECT doc_id, w, h, least(224.0 / w, 224.0 / h, 1.0) AS s FROM d)
+      |SELECT doc_id,
+      |       CAST(floor(w * s) AS BIGINT) AS out_w,
+      |       CAST(floor(h * s) AS BIGINT) AS out_h,
+      |       CAST(floor(w * s) AS BIGINT) * CAST(floor(h * s) AS BIGINT) * 3 AS out_bytes
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winnow_fingerprint" -> (winnowFingerprint _),
+    "q_resize_meta" -> (resizeMeta _),
     "q_frame_sample" -> (frameSample _),
     "q_length_filter" -> (lengthFilter _),
     "q_pack_manifest" -> (packManifest _),
@@ -1438,6 +1502,8 @@ object PipelineQueries {
     "q_multimodal_meta" -> (multimodalMeta _))
 
   val oracles: Map[String, String] = Map(
+    "q_winnow_fingerprint" -> winnowFingerprintSql,
+    "q_resize_meta" -> resizeMetaSql,
     "q_frame_sample" -> frameSampleSql,
     "q_length_filter" -> lengthFilterSql,
     "q_pack_manifest" -> packManifestSql,
