@@ -455,7 +455,45 @@ object CoreQueries {
       |      FROM orders)
       |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
 
+  /** Keyless interval (range) join via [[graft.operators.IntervalJoin]]:
+    * "surge windows" are derived from the stream itself (hours with ≥ 20
+    * events, widened to [hour−30min, hour+90min)), then every event is
+    * attributed to every window containing it — a pure range predicate
+    * with no join key, the shape Spark would otherwise plan as a
+    * nested-loop join. Aggregates per window; the value sum is taken in
+    * exact integer cents so the hash comparison is float-order-free. */
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = pq(s, dir, "events")
+    val windows = ev
+      .groupBy(date_trunc("hour", col("ts")).as("__h"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 20)
+      .select((col("__h") - expr("INTERVAL 30 MINUTES")).as("window_start"),
+        (col("__h") + expr("INTERVAL 90 MINUTES")).as("__we"))
+    graft.operators.IntervalJoin
+      .binned(ev.select(col("ts"), col("value")), "ts",
+        windows, "window_start", "__we", binWidthSec = 7200L)
+      .groupBy(col("window_start"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_val_c"))
+      .select(unix_millis(col("window_start")).as("window_start_ms"),
+        col("n_events"), col("sum_val_c"))
+      .orderBy("window_start_ms")
+  }
+
+  val intervalJoinSql: String =
+    """WITH w AS (
+      |  SELECT date_trunc('hour', ts) - INTERVAL 30 MINUTE AS ws,
+      |         date_trunc('hour', ts) + INTERVAL 90 MINUTE AS we
+      |  FROM events GROUP BY date_trunc('hour', ts) HAVING count(*) >= 20)
+      |SELECT CAST(epoch_ms(w.ws) AS BIGINT) AS window_start_ms,
+      |       count(*) AS n_events,
+      |       sum(CAST(round(e.value * 100) AS BIGINT)) AS sum_val_c
+      |FROM events e JOIN w ON e.ts >= w.ws AND e.ts < w.we
+      |GROUP BY w.ws ORDER BY window_start_ms""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_join" -> (intervalJoin _),
     "q_pit_join_single" -> (pitJoinSingle _),
     "q_pit_join_multi" -> (pitJoinMulti _),
     "q_pit_join_composite" -> (pitJoinComposite _),
@@ -472,6 +510,7 @@ object CoreQueries {
     "q_window_topk" -> (windowTopK _))
 
   val oracles: Map[String, String] = Map(
+    "q_interval_join" -> intervalJoinSql,
     "q_pit_join_single" -> pitJoinSingleSql,
     "q_pit_join_multi" -> pitJoinMultiSql,
     "q_pit_join_composite" -> pitJoinCompositeSql,

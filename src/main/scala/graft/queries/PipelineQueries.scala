@@ -1456,7 +1456,210 @@ object PipelineQueries {
       |       CAST(floor(w * s) AS BIGINT) * CAST(floor(h * s) AS BIGINT) * 3 AS out_bytes
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  /** Temperature-flattened domain sampling (the multilingual-BERT /
+    * data-mixture α=0.5 scheme): per-domain keep probability
+    * p_d = min(1, sqrt(n_min / n_d)) — small domains survive whole,
+    * large domains are downsampled toward the smallest, flattening the
+    * mixture exactly like count^α reweighting with the smallest domain
+    * as the anchor. Every arithmetic step (integer counts, one division,
+    * one sqrt — both correctly rounded IEEE) is bit-reproducible across
+    * engines, so the md5-threshold inclusion decision (the
+    * [[Dedup.mixtureSample]] mechanism) is value-oracled, not just
+    * rate-checked. Domains are derived skewed (floor(sqrt(src_idx))
+    * over 20 uniform sources) so the flattening is observable.
+    *
+    * 100 TB: two scans of the narrow (doc_id, source) projection — one
+    * map-side-combined count, one filter against a broadcast rate table
+    * (#domains rows). No shuffle of the corpus. */
+  def temperatureSample(s: SparkSession, dir: String): DataFrame = {
+    val dom = floor(sqrt(regexp_extract(col("source"), "([0-9]+)$", 1)
+      .cast("double"))).cast("long")
+    val d = docs(s, dir).select(col("doc_id"), col("source"), dom.as("dom"))
+    val counts = d.groupBy("dom").agg(count(lit(1)).as("n_d"))
+    val nMin = counts.agg(min(col("n_d")).as("__n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col("dom"),
+        least(lit(1.0), sqrt(col("__n_min").cast("double") / col("n_d").cast("double")))
+          .as("__p"))
+    Dedup.mixtureSample(d.join(broadcast(rates), "dom"),
+        col("doc_id"), col("__p"), salt = "temp")
+      .select(col("doc_id"), col("source"), col("dom"), round(col("__p"), 6).as("rate"))
+      .orderBy("doc_id")
+  }
+
+  val temperatureSampleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         CAST(floor(sqrt(CAST(regexp_extract(source, '([0-9]+)$', 1) AS DOUBLE)))
+      |              AS BIGINT) AS dom
+      |  FROM documents),
+      |c AS (SELECT dom, count(*) AS n_d FROM d GROUP BY dom),
+      |m AS (SELECT min(n_d) AS n_min FROM c),
+      |r AS (SELECT dom, least(1.0, sqrt(CAST(n_min AS DOUBLE) / CAST(n_d AS DOUBLE))) AS p
+      |      FROM c, m)
+      |SELECT doc_id, source, dom, round(p, 6) AS rate
+      |FROM d JOIN r USING (dom)
+      |WHERE p >= 1.0
+      |   OR substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |      < printf('%08x', CAST(floor(p * 4294967296.0) AS BIGINT))
+      |ORDER BY doc_id""".stripMargin
+
+  /** BM25 retrieval: top-10 documents per query for a 3-query workload,
+    * scored by summed per-term BM25 ([[bm25]]'s arithmetic) and cut with
+    * the bounded-heap top-k aggregate ([[graft.functions.Quota
+    * .topKPerKey]]) — ≤ k rows per (query, map task) cross the shuffle,
+    * never a query's full posting list. Per-doc score folds over
+    * term-sorted contributions so the float sum is order-deterministic;
+    * ranking ties break on doc_id in both engines. */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val k1 = 1.2; val b = 0.75; val topK = 10
+    import s.implicits._
+    val qterms = RetrievalQueries.flatMap { case (qid, ts) => ts.map((qid, _)) }
+      .toDF("qid", "term")
+    val d = docs(s, dir).withColumn("__w", TF.words(col("text")))
+    val stats = d.agg(count(lit(1)).cast("double").as("__n"),
+      avg(size(col("__w")).cast("double")).as("__avgdl"))
+    val hits = d.select(col("doc_id"), size(col("__w")).cast("double").as("__dl"),
+        explode(col("__w")).as("term"))
+      .filter(col("term").isin(RetrievalQueries.flatMap(_._2).distinct: _*))
+    val tf = hits.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first("__dl").as("__dl"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dft), "term").crossJoin(broadcast(stats))
+      .withColumn("__s",
+        log(lit(1.0) + (col("__n") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))) *
+        (col("tf").cast("double") * lit(k1 + 1.0)) /
+        (col("tf").cast("double") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .join(broadcast(qterms), "term")
+      .groupBy("qid", "doc_id")
+      .agg(array_sort(collect_list(struct(col("term"), col("__s")))).as("__ts"))
+      .select(col("qid"), col("doc_id"),
+        round(aggregate(col("__ts"), lit(0.0), (acc, t) => acc + t.getField("__s")), 4)
+          .as("score"))
+    graft.functions.Quota.topKPerKey(
+        scored.withColumn("__ord", struct((-col("score")).as("ns"), col("doc_id").as("id"))),
+        "qid", "__ord", topK)
+      .select(col("qid"), col("doc_id"), col("score"))
+      .orderBy("qid", "doc_id")
+  }
+
+  private val RetrievalQueries: Seq[(Long, Seq[String])] = Seq(
+    (0L, Seq("data", "model")),
+    (1L, Seq("the", "with")),
+    (2L, Seq("model", "for", "data")))
+
+  val bm25TopKSql: String = {
+    val qrows = RetrievalQueries.flatMap { case (q, ts) =>
+      ts.map(t => s"($q, '$t')")
+    }.mkString(", ")
+    s"""WITH q(qid, term) AS (VALUES $qrows),
+       |d AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(len(w) AS DOUBLE)) AS avgdl
+       |  FROM d),
+       |hits AS (
+       |  SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, unnest(w) AS term
+       |  FROM d),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf, first(dl) AS dl
+       |  FROM hits WHERE term IN (SELECT DISTINCT term FROM q)
+       |  GROUP BY doc_id, term),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT qid, doc_id,
+       |         round(list_aggregate(
+       |           list_transform(list_sort(list({'t': tf.term, 's':
+       |             ln(1.0 + (n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+       |             (CAST(tf AS DOUBLE) * 2.2) /
+       |             (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))})),
+       |             x -> x.s), 'sum'), 4) AS score
+       |  FROM tf JOIN dft USING (term) CROSS JOIN stats JOIN q ON q.term = tf.term
+       |  GROUP BY qid, doc_id)
+       |SELECT qid, doc_id, score FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |                               ORDER BY score DESC, doc_id ASC) AS rn
+       |  FROM scored)
+       |WHERE rn <= 10 ORDER BY qid, doc_id""".stripMargin
+  }
+
+  /** DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * words hash into 256 buckets (first 2 md5 hex chars — the bucket
+    * key stays a string, no cross-engine hex parsing), a target
+    * distribution is estimated from the quality slice (docs with ≥ 40
+    * words), a raw distribution from the whole corpus, and each doc
+    * scores Σ_b c_doc[b]·(ln p̂_target[b] − ln p̂_raw[b]) with add-1
+    * smoothing — the log importance weight used to resample raw data
+    * toward the target domain.
+    *
+    * 100 TB: one explode + two map-side-combined aggregations over
+    * (doc, bucket); the λ table is ≤ 256 rows and broadcast; the
+    * per-doc fold sorts ≤ 256 entries. No corpus reshuffle beyond the
+    * (doc_id, bucket) count. */
+  def dsirWeight(s: SparkSession, dir: String): DataFrame = {
+    val B = 256
+    val ex = docs(s, dir)
+      .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
+      .select(col("doc_id"), substring(md5(col("w").cast("binary")), 1, 2).as("b"))
+    val db = ex.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    val dl = db.groupBy("doc_id").agg(sum("c").as("n_words"))
+    val tgtIds = dl.filter(col("n_words") >= 40).select("doc_id")
+    val rawCnt = db.groupBy("b").agg(sum("c").as("cr"))
+    val tgtCnt = db.join(tgtIds, Seq("doc_id"), "left_semi")
+      .groupBy("b").agg(sum("c").as("ct"))
+    val totals = rawCnt.agg(sum("cr").cast("double").as("__tr"))
+      .crossJoin(tgtCnt.agg(sum("ct").cast("double").as("__tt")))
+    val lambda = rawCnt.join(tgtCnt, Seq("b"), "left_outer")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("ct").cast("double") + lit(1.0)) / (col("__tt") + lit(B.toDouble))) -
+         log((col("cr").cast("double") + lit(1.0)) / (col("__tr") + lit(B.toDouble))))
+          .as("__lam"))
+    db.join(broadcast(lambda), "b")
+      .withColumn("__contrib", col("c").cast("double") * col("__lam"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"),
+        array_sort(collect_list(struct(col("b"), col("__contrib")))).as("__bs"))
+      .select(col("doc_id"), col("n_words"),
+        round(aggregate(col("__bs"), lit(0.0), (acc, t) => acc + t.getField("__contrib")),
+          4).as("log_weight"))
+      .orderBy("doc_id")
+  }
+
+  val dsirWeightSql: String =
+    """WITH ex AS (
+      |  SELECT doc_id,
+      |         substr(md5(unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))), 1, 2) AS b
+      |  FROM documents),
+      |db AS (SELECT doc_id, b, count(*) AS c FROM ex GROUP BY doc_id, b),
+      |dl AS (SELECT doc_id, sum(c) AS n_words FROM db GROUP BY doc_id),
+      |tgt AS (SELECT doc_id FROM dl WHERE n_words >= 40),
+      |rawc AS (SELECT b, sum(c) AS cr FROM db GROUP BY b),
+      |tgtc AS (SELECT b, sum(c) AS ct FROM db WHERE doc_id IN (SELECT doc_id FROM tgt)
+      |         GROUP BY b),
+      |tot AS (SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM rawc) AS tr,
+      |               (SELECT CAST(sum(ct) AS DOUBLE) FROM tgtc) AS tt),
+      |lam AS (
+      |  SELECT rawc.b,
+      |         ln((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) / (tt + 256.0)) -
+      |         ln((CAST(cr AS DOUBLE) + 1.0) / (tr + 256.0)) AS lam
+      |  FROM rawc LEFT JOIN tgtc ON rawc.b = tgtc.b CROSS JOIN tot)
+      |SELECT doc_id, n_words,
+      |       round(list_aggregate(
+      |         list_transform(list_sort(list({'b': db.b, 'c':
+      |           CAST(c AS DOUBLE) * lam})), x -> x.c), 'sum'), 4) AS log_weight
+      |FROM db JOIN lam ON db.b = lam.b JOIN dl USING (doc_id)
+      |GROUP BY doc_id, n_words ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_temperature_sample" -> (temperatureSample _),
+    "q_bm25_topk" -> (bm25TopK _),
+    "q_dsir_weight" -> (dsirWeight _),
     "q_winnow_fingerprint" -> (winnowFingerprint _),
     "q_resize_meta" -> (resizeMeta _),
     "q_frame_sample" -> (frameSample _),
@@ -1502,6 +1705,9 @@ object PipelineQueries {
     "q_multimodal_meta" -> (multimodalMeta _))
 
   val oracles: Map[String, String] = Map(
+    "q_temperature_sample" -> temperatureSampleSql,
+    "q_bm25_topk" -> bm25TopKSql,
+    "q_dsir_weight" -> dsirWeightSql,
     "q_winnow_fingerprint" -> winnowFingerprintSql,
     "q_resize_meta" -> resizeMetaSql,
     "q_frame_sample" -> frameSampleSql,

@@ -550,4 +550,44 @@ class EngineSpec extends AnyFunSuite {
     assert(resp.toMap("v:v").head == 5.0)
     fs.teardown()
   }
+
+  test("IntervalJoin.binned: [start,end) semantics, multi-bin intervals, no duplicate pairs") {
+    import spark.implicits._
+    import graft.operators.IntervalJoin
+    val probe = Seq(
+      (1L, ts("2024-01-01 00:00:00")), // == start of w1: included
+      (2L, ts("2024-01-01 02:00:00")), // == end of w1: EXCLUDED; == start of w2
+      (3L, ts("2024-01-01 01:59:59")), // inside w1, last second
+      (4L, ts("2024-01-01 07:30:00")), // inside the 6h window w3 only
+      (5L, ts("2024-01-02 00:00:00"))  // outside everything
+    ).toDF("id", "ts")
+    val intervals = Seq(
+      ("w1", ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00")),
+      ("w2", ts("2024-01-01 02:00:00"), ts("2024-01-01 03:00:00")),
+      // 6h window spanning many 1h bins: events must match once, not per bin
+      ("w3", ts("2024-01-01 04:00:00"), ts("2024-01-01 10:00:00")),
+      // empty and inverted intervals are dropped
+      ("wE", ts("2024-01-01 05:00:00"), ts("2024-01-01 05:00:00")),
+      ("wI", ts("2024-01-01 06:00:00"), ts("2024-01-01 05:00:00"))
+    ).toDF("w", "ws", "we")
+    val got = IntervalJoin.binned(probe, "ts", intervals, "ws", "we", binWidthSec = 3600)
+      .select("id", "w").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "w1"), (3L, "w1"), (2L, "w2"), (4L, "w3")))
+    // overlapping intervals: a probe row matches each containing window once
+    val overlap = Seq(
+      ("a", ts("2024-01-01 00:00:00"), ts("2024-01-01 03:00:00")),
+      ("b", ts("2024-01-01 01:00:00"), ts("2024-01-01 02:30:00"))).toDF("w", "ws", "we")
+    val got2 = IntervalJoin.binned(probe.filter(col("id") === 3L), "ts",
+        overlap, "ws", "we", binWidthSec = 3600)
+      .select("id", "w").as[(Long, String)].collect().toSet
+    assert(got2 == Set((3L, "a"), (3L, "b")))
+    // equiKeys narrow matches to the same key
+    val kp = Seq((1L, "u1", ts("2024-01-01 00:30:00")),
+      (2L, "u2", ts("2024-01-01 00:30:00"))).toDF("id", "u", "ts")
+    val ki = Seq(("k1", "u1", ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00")))
+      .toDF("w", "iu", "ws", "we")
+    val got3 = IntervalJoin.binned(kp, "ts", ki, "ws", "we", 3600, Seq("u" -> "iu"))
+      .select("id", "w").as[(Long, String)].collect().toSet
+    assert(got3 == Set((1L, "k1")))
+  }
 }

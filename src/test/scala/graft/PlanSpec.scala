@@ -159,6 +159,24 @@ class PlanSpec extends AnyFunSuite {
       s"LSH dedup must stay bucketed, never all-pairs:\n$plan")
   }
 
+  test("interval join plans a hash equi join on the bin, never a nested loop") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val probe = (0 until 100)
+      .map(i => (i.toLong, new Timestamp(1704067200000L + i * 600_000L)))
+      .toDF("id", "ts")
+    val ivs = (0 until 20)
+      .map(i => (s"w$i", new Timestamp(1704067200000L + i * 3600_000L),
+        new Timestamp(1704067200000L + (i + 2) * 3600_000L)))
+      .toDF("w", "ws", "we")
+    val plan = graft.operators.IntervalJoin.binned(probe, "ts", ivs, "ws", "we", 7200)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range predicate must ride the binned equi join, not a nested loop:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi join on the bin id:\n$plan")
+  }
+
   test("topKPerKey: partial bounded aggregation, no window, no whole-group collect") {
     import spark.implicits._
     val df = (0 until 200).map(i => (s"k${i % 3}", i.toLong)).toDF("key", "v")
