@@ -255,6 +255,49 @@ object TextFunctions {
       (okWords && okMeanLen && okSymbol && okAlpha && okStop).as("pass"))
   }
 
+  /** Linear quality classifier over rational text features — the shape
+    * of a fastText/logistic web-quality filter with the weights made
+    * explicit and pluggable (swap in trained weights without touching
+    * the plan). Features are all count ratios (no transcendentals), so
+    * the score is exact deterministic double arithmetic and the DuckDB
+    * oracle replays it bit-for-bit: length saturation min(ntok/100, 1),
+    * punctuation ratio, stopword ratio, and repetition (1 − distinct
+    * words / words). Score folds left-associative in feature order. */
+  def linearQualityScore(
+      c: Column,
+      bias: Double, wLen: Double, wPunct: Double,
+      wStop: Double, wRep: Double): Column = {
+    val w = words(c)
+    val nTok = tokenCount(c).cast("double")
+    val denom = greatest(nTok, lit(1.0))
+    val fLen = least(nTok / lit(100.0), lit(1.0))
+    val fPunct = punctCount(c).cast("double") / denom
+    val fStop = stopwordCount(c).cast("double") / denom
+    val fRep = lit(1.0) - size(array_distinct(w)).cast("double") /
+      greatest(size(w).cast("double"), lit(1.0))
+    lit(bias) + lit(wLen) * fLen + lit(wPunct) * fPunct +
+      lit(wStop) * fStop + lit(wRep) * fRep
+  }
+
+  /** URL canonicalization (the normalization pass in front of URL-level
+    * dedup / frequency counting in a crawl pipeline): drop the
+    * fragment, lowercase the host, strip default ports (:80/:443),
+    * strip tracking query parameters (utm_*, gclid, fbclid), and clean
+    * the leftover '?'/'&' separators. Pure RE2-compatible regex
+    * pipeline — identical patterns run on Spark (java.util.regex) and
+    * the DuckDB oracle (RE2). */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+    val host = regexp_replace(
+      lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1)),
+      ":(80|443)$", "")
+    val rest = regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+(.*)$", 1)
+    val noTrack = regexp_replace(rest, "(utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*&?", "")
+    val clean = regexp_replace(regexp_replace(noTrack, "\\?&", "?"), "[?&]+$", "")
+    concat(scheme, lit("://"), host, clean)
+  }
+
   /** C4-style line cleaning (Raffel et al. 2020): keep only lines that
     * end in terminal punctuation (. ! ? ") and contain at least
     * `minWords` whitespace tokens; drop the rest and re-join. The

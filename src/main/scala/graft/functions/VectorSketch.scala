@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-sketch operators: Johnson–Lindenstrauss random projection
+  * (dimensionality reduction ahead of clustering / ANN) and product
+  * quantization (PQ) code assignment (Jégou et al. 2011 — the memory
+  * layout behind IVF-PQ indexes).
+  *
+  * Both are pure narrow `Column` projections — no shuffle, no UDF — so
+  * at 100 TB they run at parquet-scan speed like the text operators.
+  * Determinism contract: every fold is built left-associative in a
+  * fixed index order and all arithmetic is double-precision with
+  * float→double casts (exact), so the DuckDB oracle replays the exact
+  * same IEEE operations and the results hash-match bit-for-bit.
+  *
+  * Reference scope note: the reference (feast) has no vector surface at
+  * all — this family is part of the training-data-pipeline extension
+  * the brief asks for, alongside Similarity (brute-force / IVF ANN).
+  */
+object VectorSketch {
+
+  /** Deterministic Rademacher ±1 sign for matrix cell (j, i): parity of
+    * the first hex nibble of md5("rp_j_i"). Computed once driver-side
+    * and embedded as plan literals — no RNG state, cross-engine
+    * replayable (the oracle embeds the same literals). */
+  def rademacherSign(j: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"rp_${j}_${i}".getBytes("UTF-8"))
+    if (((hex(0) >> 4) & 1) == 0) 1.0 else -1.0
+  }
+
+  /** k×d sign matrix for [[randomProject]]. */
+  def signMatrix(k: Int, d: Int): Array[Array[Double]] =
+    Array.tabulate(k, d)((j, i) => rademacherSign(j, i))
+
+  /** One output dimension of the JL sketch: Σ_i emb[i]·sign[i], folded
+    * left-associative in ascending i (±1 multiplies are exact, so the
+    * sum is the only rounding and its order is pinned). `emb` is an
+    * Array[Float] column. Unnormalized — distance preservation only
+    * needs a constant 1/√k factor, which a consumer applies (or not)
+    * without touching per-element arithmetic. */
+  def projectDim(emb: Column, signs: Array[Double]): Column =
+    signs.zipWithIndex.map { case (sgn, i) =>
+      element_at(emb, i + 1).cast("double") * lit(sgn)
+    }.reduce(_ + _)
+
+  /** PQ code for one subvector: index (0-based) of the L2-nearest
+    * anchor subvector, ties to the smallest index. `anchors` is the
+    * full c×d anchor matrix; subvector s covers dims [s·subDim,
+    * (s+1)·subDim). Distances are Σ (x−a)² folded left-associative in
+    * ascending dim; argmin via array_position of the array minimum —
+    * the first equal element, i.e. the smallest anchor index on ties. */
+  def pqCodeForSub(emb: Column, anchors: Array[Array[Float]], s: Int, subDim: Int): Column = {
+    val dists = array(anchors.map { a =>
+      (0 until subDim).map { d =>
+        val i = s * subDim + d
+        val diff = element_at(emb, i + 1).cast("double") - lit(a(i).toDouble)
+        diff * diff
+      }.reduce(_ + _)
+    }: _*)
+    (array_position(dists, array_min(dists)) - 1).cast("long")
+  }
+
+  /** Full PQ code word: m per-subvector codes joined "c0-c1-…-cm" (the
+    * string form keeps the driver-compare engine-neutral; a production
+    * sink would pack the codes into a byte array). */
+  def pqCode(emb: Column, anchors: Array[Array[Float]], m: Int, subDim: Int): Column =
+    concat_ws("-", (0 until m).map(s =>
+      pqCodeForSub(emb, anchors, s, subDim).cast("string")): _*)
+}

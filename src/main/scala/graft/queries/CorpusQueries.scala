@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.sources.Tables
+
+/** Corpus-analysis queries (round 4): n-gram novelty attribution, URL
+  * canonicalization, a linear quality classifier, and sequence-length
+  * bucketing — the remaining standard passes of a crawl→training-data
+  * pipeline not yet covered by PipelineQueries.
+  */
+object CorpusQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents")
+
+  // ---- n-gram novelty -------------------------------------------------
+
+  /** Per-document novelty: the fraction of a doc's distinct word
+    * 3-grams whose FIRST corpus occurrence (smallest doc_id) is this
+    * document — the "how much new text does this doc add" signal used
+    * to rank crawl snapshots and dedup incrementally.
+    *
+    * Scale shape: one gram explode → hash agg min(doc_id) per gram
+    * (map-side combinable) → per-first-doc count — then a doc_id-keyed
+    * join of two doc-sized aggregates. The corpus-sized gram table is
+    * never self-joined. */
+  def noveltyOf(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val grams = df
+      .withColumn("__w", TF.words(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        explode(TF.wordNgramsFromWords(col("__w"), n)).as("gram"))
+    val totals = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val novel = grams.groupBy("gram").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    totals.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  def novelty(s: SparkSession, dir: String): DataFrame =
+    noveltyOf(docs(s, dir), "doc_id", "text", 3)
+
+  val noveltySql: String =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |         UNNEST(list_distinct(list_transform(
+      |           range(1, greatest(len(w) - 2, 0) + 1),
+      |           i -> array_to_string(w[i:i+2], ' ')))) AS gram
+      |  FROM w),
+      |t AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+      |n AS (SELECT first_doc AS doc_id, count(*) AS n_novel
+      |      FROM (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+      |      GROUP BY first_doc)
+      |SELECT t.doc_id,
+      |       CAST(t.n_grams AS BIGINT) AS n_grams,
+      |       CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+      |       CAST(coalesce(n.n_novel, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE) AS novelty
+      |FROM t LEFT JOIN n USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- URL canonicalization ------------------------------------------
+
+  /** URL-level frequency counting after canonicalization. The corpus
+    * has no real URLs, so each doc plants a deterministically messy one
+    * (case-varied scheme/host, default port, utm tracking params,
+    * fragment — all keyed on doc_id); canonicalization must collapse
+    * the 500 variants to 20 canonical URLs. The oracle builds the same
+    * messy URLs and replays the same regex pipeline. */
+  def urlCanonical(s: SparkSession, dir: String): DataFrame = {
+    val k = pmod(col("doc_id"), lit(20L))
+    val host = concat(lit("site"), k, lit(".example.com"))
+    val url = concat(
+      when(col("doc_id") % 2 === 0, "HTTPS").otherwise("https"), lit("://"),
+      when(col("doc_id") % 3 === 0, upper(host)).otherwise(host),
+      when(col("doc_id") % 4 === 0, ":443").otherwise(""),
+      lit("/p/"), k, lit("?"),
+      when(col("doc_id") % 2 === 0, "utm_source=feed&utm_campaign=x&").otherwise(""),
+      lit("id="), pmod(k, lit(5L)),
+      when(col("doc_id") % 5 === 0, concat(lit("#sec"), col("doc_id"))).otherwise(""))
+    docs(s, dir).select(col("doc_id"), TF.canonicalizeUrl(url).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+      .orderBy("canonical_url")
+  }
+
+  val urlCanonicalSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, doc_id % 20 AS k,
+      |         'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id,
+      |         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+      |         (CASE WHEN doc_id % 3 = 0 THEN upper(host) ELSE host END) ||
+      |         (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+      |         '/p/' || CAST(k AS VARCHAR) || '?' ||
+      |         (CASE WHEN doc_id % 2 = 0 THEN 'utm_source=feed&utm_campaign=x&' ELSE '' END) ||
+      |         'id=' || CAST(k % 5 AS VARCHAR) ||
+      |         (CASE WHEN doc_id % 5 = 0 THEN '#sec' || CAST(doc_id AS VARCHAR) ELSE '' END)
+      |         AS url
+      |  FROM h),
+      |c AS (
+      |  SELECT doc_id,
+      |         lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) || '://' ||
+      |         regexp_replace(lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?#]+)', 1)),
+      |                        ':(80|443)$', '', 'g') ||
+      |         regexp_replace(regexp_replace(
+      |           regexp_replace(regexp_extract(nofrag, '^[A-Za-z]+://[^/?#]+(.*)$', 1),
+      |                          '(utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*&?', '', 'g'),
+      |           '\?&', '?', 'g'), '[?&]+$', '', 'g') AS cu
+      |  FROM (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS nofrag FROM u))
+      |SELECT cu AS canonical_url,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       min(doc_id) AS min_doc_id
+      |FROM c GROUP BY cu ORDER BY cu""".stripMargin
+
+  // ---- linear quality classifier -------------------------------------
+
+  private val QBias = 0.15; private val QWLen = 0.8; private val QWPunct = -0.5
+  private val QWStop = 0.3; private val QWRep = -0.4; private val QThresh = 0.55
+
+  /** Linear quality classifier (fastText-filter shape, explicit
+    * weights): exact rational features, deterministic double fold —
+    * score and boolean decision both value-oracled. */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val score = TF.linearQualityScore(col("text"), QBias, QWLen, QWPunct, QWStop, QWRep)
+    docs(s, dir).select(col("doc_id"), score.as("score"),
+      (score >= QThresh).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val qualityClassifierSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS ntok,
+       |         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS np,
+       |         CAST(len(regexp_extract_all(lower(text),
+       |           '\\b(the|and|of|to|a|in|is|it|for|on)\\b')) AS DOUBLE) AS nst,
+       |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS nw,
+       |         CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS DOUBLE) AS ndw
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id,
+       |         $QBias + $QWLen * least(ntok / 100.0, 1.0)
+       |                + ($QWPunct) * (np / greatest(ntok, 1.0))
+       |                + $QWStop * (nst / greatest(ntok, 1.0))
+       |                + ($QWRep) * (1.0 - ndw / greatest(nw, 1.0)) AS score
+       |  FROM f)
+       |SELECT doc_id, score,
+       |       CASE WHEN score >= $QThresh THEN 1 ELSE 0 END AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  // ---- sequence-length bucketing -------------------------------------
+
+  /** Sequence-length bucketing for padded-batch training efficiency:
+    * docs bucketed by token count into power-of-two caps; per bucket,
+    * the padding waste a fixed-length batcher would pay ((cap·docs −
+    * tokens) / cap·docs). Fixed CASE bounds — no log2, so the bucket
+    * function is exact on both engines. */
+  def lengthBucket(s: SparkSession, dir: String): DataFrame = {
+    val n = TF.tokenCount(col("text")).cast("long")
+    val cap = when(n <= 16, 16L).when(n <= 32, 32L).when(n <= 64, 64L)
+      .when(n <= 128, 128L).when(n <= 256, 256L).when(n <= 512, 512L)
+      .when(n <= 1024, 1024L).when(n <= 2048, 2048L).otherwise(4096L)
+    docs(s, dir).select(n.as("n"), cap.as("bucket_cap"))
+      .groupBy("bucket_cap")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"))
+      .select(col("bucket_cap"), col("n_docs"), col("total_tokens"),
+        ((col("bucket_cap") * col("n_docs") - col("total_tokens")).cast("double") /
+          (col("bucket_cap") * col("n_docs")).cast("double")).as("pad_waste"))
+      .orderBy("bucket_cap")
+  }
+
+  val lengthBucketSql: String =
+    """WITH n AS (
+      |  SELECT CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n FROM documents),
+      |b AS (
+      |  SELECT n,
+      |         CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+      |              WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+      |              WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+      |              WHEN n <= 1024 THEN 1024 WHEN n <= 2048 THEN 2048
+      |              ELSE 4096 END AS bucket_cap
+      |  FROM n)
+      |SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n) AS BIGINT) AS total_tokens,
+      |       CAST(bucket_cap * count(*) - sum(n) AS DOUBLE)
+      |         / CAST(bucket_cap * count(*) AS DOUBLE) AS pad_waste
+      |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_novelty" -> (novelty _),
+    "q_url_canonical" -> (urlCanonical _),
+    "q_quality_classifier" -> (qualityClassifier _),
+    "q_length_bucket" -> (lengthBucket _))
+
+  val oracles: Map[String, String] = Map(
+    "q_novelty" -> noveltySql,
+    "q_url_canonical" -> urlCanonicalSql,
+    "q_quality_classifier" -> qualityClassifierSql,
+    "q_length_bucket" -> lengthBucketSql)
+}

@@ -201,6 +201,43 @@ object StreamQueries {
       | AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 1 DAY
       |GROUP BY l.event_id ORDER BY event_id""".stripMargin
 
+  /** Stream-static enrichment: the 2-file events replay joined per
+    * micro-batch to the static customer dimension (broadcast), then the
+    * enriched stream reduced to per-market-segment totals with a batch
+    * aggregation. Oracle: the equivalent batch join + GROUP BY. The
+    * segment column exists only on the dimension side, so a non-empty
+    * per-segment result proves the enrichment ran (the stream alone
+    * cannot produce it). */
+  def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val input = s"/tmp/graft_stream_join_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    if (!new java.io.File(s"$input/_SUCCESS").exists()) {
+      Tables.read(s, dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .repartition(2)
+        .write.mode("overwrite").parquet(input)
+    }
+    val stream = SourceReader.readStream(s,
+      FileStreamSource(input, "parquet", "ts", maxFilesPerTrigger = Some(1)))
+    val dim = Tables.read(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val name = "stream_enrich_" + java.util.UUID.randomUUID().toString.take(8)
+    StreamMaterializer.runStreamStaticJoinToCompletion(
+        stream, dim, Seq("user_id" -> "c_custkey"), name)
+      .groupBy("c_mktsegment").agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
+  val streamEnrichSql: String =
+    """SELECT c.c_mktsegment AS c_mktsegment,
+      |       count(*) AS n_events,
+      |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+      |       round(sum(e.value), 2) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY c.c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** The streaming file source can't read INT64-nanos timestamps, so the
     * stream input is a pre-normalized copy of events (µs timestamps). */
   private def prepared(s: SparkSession, dir: String): String = {
@@ -228,6 +265,7 @@ object StreamQueries {
     "q_stream_window_agg" -> (streamWindowAgg _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_join" -> (streamJoin _),
+    "q_stream_enrich" -> (streamEnrich _),
     "q_stream_sessionize" -> (streamSessionize _))
 
   val oracles: Map[String, String] = Map(
@@ -235,5 +273,6 @@ object StreamQueries {
     "q_stream_window_agg" -> streamWindowAggSql,
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_join" -> streamJoinSql,
+    "q_stream_enrich" -> streamEnrichSql,
     "q_stream_sessionize" -> streamSessionizeSql)
 }

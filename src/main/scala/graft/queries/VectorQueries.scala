@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorSketch
+import graft.sources.Tables
+
+/** Embedding-sketch queries over the embeddings table: JL random
+  * projection and product-quantization encoding. Both oracles replay
+  * the identical left-associative double arithmetic, so the float
+  * outputs are compared exactly (same policy as q_embedding_quantize /
+  * q_ann_brute_force).
+  */
+object VectorQueries {
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "embeddings")
+
+  private val Dim = 64
+
+  // ---- Johnson–Lindenstrauss random projection -----------------------
+
+  private val RpK = 8
+  private lazy val RpSigns = VectorSketch.signMatrix(RpK, Dim)
+
+  /** 64-dim float embeddings sketched to 8 dims with a deterministic
+    * Rademacher ±1 matrix (md5-parity entries — see
+    * [[VectorSketch.rademacherSign]]). The oracle embeds the same ±1
+    * literals, so every output double is bit-identical. */
+  def randomProjection(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir).select(
+      col("vec_id") +:
+        (0 until RpK).map(j =>
+          VectorSketch.projectDim(col("embedding"), RpSigns(j)).as(s"p_$j")): _*)
+      .orderBy("vec_id")
+
+  val randomProjectionSql: String = {
+    val dims = (0 until RpK).map { j =>
+      val terms = (0 until Dim).map { i =>
+        val sgn = if (RpSigns(j)(i) > 0) "" else "-"
+        s"(${sgn}CAST(embedding[${i + 1}] AS DOUBLE))"
+      }
+      s"${terms.mkString(" + ")} AS p_$j"
+    }
+    s"""SELECT vec_id,
+       |${dims.mkString(",\n")}
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
+  // ---- product quantization -----------------------------------------
+
+  private val PqM = 8        // subvectors
+  private val PqSubDim = 8   // dims per subvector (8×8 = 64)
+  private val PqC = 8        // anchors per subquantizer
+
+  /** PQ encoding with deterministic anchors: the codebook for every
+    * subquantizer is the corresponding subvector of the first `PqC`
+    * vectors by vec_id (same deterministic-anchor construction as the
+    * value-oracled IVF variant — a production build swaps in per-sub
+    * k-means centroids, which changes only the literal matrix). Emits
+    * the m-part code word per vector. */
+  def pqEncode(s: SparkSession, dir: String): DataFrame = {
+    val anchors: Array[Array[Float]] = embs(s, dir)
+      .orderBy("vec_id").limit(PqC)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    embs(s, dir).select(
+      col("vec_id"),
+      VectorSketch.pqCode(col("embedding"), anchors, PqM, PqSubDim).as("pq_code"))
+      .orderBy("vec_id")
+  }
+
+  /** The oracle derives the same anchors from the table itself (first
+    * PqC rows by vec_id), computes the same left-associative squared-L2
+    * per (vector, subvector, anchor), and picks the argmin with the
+    * same smallest-index tie-break via ROW_NUMBER ordered (dist, aidx). */
+  val pqEncodeSql: String = {
+    val diffTerms = (1 to PqSubDim).map { d =>
+      val idx = s"t.s * $PqSubDim + $d"
+      s"((CAST(e.embedding[$idx] AS DOUBLE) - CAST(a.aemb[$idx] AS DOUBLE)) * " +
+        s"(CAST(e.embedding[$idx] AS DOUBLE) - CAST(a.aemb[$idx] AS DOUBLE)))"
+    }
+    s"""WITH a AS (
+       |  SELECT aemb, ROW_NUMBER() OVER (ORDER BY avid) - 1 AS aidx
+       |  FROM (SELECT vec_id AS avid, embedding AS aemb
+       |        FROM embeddings ORDER BY vec_id LIMIT $PqC)),
+       |d AS (
+       |  SELECT e.vec_id, t.s, a.aidx,
+       |         ${diffTerms.mkString(" + ")} AS dist
+       |  FROM embeddings e
+       |  CROSS JOIN a, UNNEST(range(0, $PqM)) AS t(s)),
+       |r AS (
+       |  SELECT vec_id, s, aidx,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, aidx) AS rn
+       |  FROM d)
+       |SELECT vec_id,
+       |       string_agg(CAST(aidx AS VARCHAR), '-' ORDER BY s) AS pq_code
+       |FROM r WHERE rn = 1
+       |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_random_projection" -> (randomProjection _),
+    "q_pq_encode" -> (pqEncode _))
+
+  val oracles: Map[String, String] = Map(
+    "q_random_projection" -> randomProjectionSql,
+    "q_pq_encode" -> pqEncodeSql)
+}

@@ -196,6 +196,33 @@ object StreamMaterializer {
     spark.table(queryName)
   }
 
+  /** Stream-static (dimension) join: each streaming row enriched with
+    * a batch dimension table — the standard micro-batch enrichment in
+    * front of a stream materialization (event → user profile / catalog
+    * row). Stateless: the static side is re-resolved per micro-batch
+    * and explicitly broadcast (a dimension table at 100 TB stream scale
+    * must never shuffle the stream side), so no watermark or join state
+    * is involved. Runs to completion on available input into a memory
+    * sink (same synchronous harness as [[runWindowedAggToCompletion]]). */
+  def runStreamStaticJoinToCompletion(
+      stream: DataFrame,
+      static: DataFrame,
+      joinKeys: Seq[(String, String)],
+      queryName: String): DataFrame = {
+    val spark = stream.sparkSession
+    val cond = joinKeys
+      .map { case (a, b) => stream(a) === static(b) }
+      .reduce(_ && _)
+    val q = stream.join(broadcast(static), cond, "inner").writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Stream-stream inner interval join: pair each left-stream row with
     * the right-stream rows of the same key whose event time falls in
     * [left_ts − lookback, left_ts] — the streaming enrichment shape

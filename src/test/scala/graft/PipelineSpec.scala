@@ -528,4 +528,84 @@ class PipelineSpec extends AnyFunSuite {
     assert(all === Seq("a b", "b a", "a b", "b a"))
     assert(dis.sorted === Seq("a b", "b a"))
   }
+
+  test("rademacherSign is deterministic ±1 and roughly balanced") {
+    import graft.functions.VectorSketch
+    val m = VectorSketch.signMatrix(8, 64)
+    assert(m.flatten.forall(s => s == 1.0 || s == -1.0))
+    assert(m === VectorSketch.signMatrix(8, 64)) // replayable
+    val plus = m.flatten.count(_ == 1.0)
+    assert(plus > 150 && plus < 360, s"sign balance off: $plus/512 positive")
+  }
+
+  test("projectDim computes the signed sum in index order") {
+    import spark.implicits._
+    import graft.functions.VectorSketch
+    val df = Seq(Tuple1(Array(1.0f, 2.0f, 4.0f, 8.0f))).toDF("emb")
+    val got = df.select(
+      VectorSketch.projectDim(col("emb"), Array(1.0, -1.0, 1.0, -1.0))).head().getDouble(0)
+    assert(got === 1.0 - 2.0 + 4.0 - 8.0)
+  }
+
+  test("pqCode assigns each vector to its nearest anchor, ties to the smallest index") {
+    import spark.implicits._
+    import graft.functions.VectorSketch
+    // 4-dim vectors, 2 subvectors of 2 dims, anchors = a0, a1
+    val a0 = Array(0.0f, 0.0f, 10.0f, 10.0f)
+    val a1 = Array(5.0f, 5.0f, 10.0f, 10.0f)
+    val anchors = Array(a0, a1)
+    val df = Seq(
+      (0L, Array(0.1f, 0.1f, 10.0f, 10.0f)),  // sub0 → a0, sub1 tie → a0
+      (1L, Array(4.9f, 5.2f, 10.0f, 10.0f)),  // sub0 → a1, sub1 tie → a0
+      (2L, Array(2.5f, 2.5f, 10.0f, 10.0f)))  // sub0 equidistant → a0
+      .toDF("vec_id", "emb")
+    val got = df.select(col("vec_id"),
+        VectorSketch.pqCode(col("emb"), anchors, m = 2, subDim = 2).as("code"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(0L -> "0-0", 1L -> "1-0", 2L -> "0-0"))
+  }
+
+  test("canonicalizeUrl folds case, strips ports, tracking params, and fragments") {
+    import spark.implicits._
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/Path/Page?utm_source=x&id=7#frag",
+      "http://site.org:80/a?gclid=zz&b=1&utm_campaign=c",
+      "https://plain.net/ok?keep=1",
+      "https://bare.net?utm_only=1")
+    val got = urls.toDF("u")
+      .select(TF.canonicalizeUrl(col("u"))).collect().map(_.getString(0)).toSeq
+    assert(got === Seq(
+      "https://www.example.com/Path/Page?id=7",
+      "http://site.org/a?b=1",   // leading gclid swallows its '&'; b survives
+      "https://plain.net/ok?keep=1",
+      "https://bare.net"))
+  }
+
+  test("linearQualityScore is the exact weighted feature sum") {
+    import spark.implicits._
+    // text: 4 tokens, 1 punct char, 1 stopword, words = [the,cat,sat,cat] → 3 distinct
+    val text = "the cat sat cat!"
+    val got = Seq(text).toDF("text")
+      .select(TF.linearQualityScore(col("text"), 0.1, 1.0, -1.0, 1.0, -1.0))
+      .head().getDouble(0)
+    val fLen = math.min(4.0 / 100.0, 1.0)
+    val fPunct = 1.0 / 4.0
+    val fStop = 1.0 / 4.0
+    val fRep = 1.0 - 3.0 / 4.0
+    assert(got === 0.1 + 1.0 * fLen - 1.0 * fPunct + 1.0 * fStop - 1.0 * fRep)
+  }
+
+  test("noveltyOf: first occurrence owns its grams, clones score zero") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),      // 2 distinct 3-grams, all first here
+      (2L, "alpha beta gamma delta"),      // exact clone → novelty 0
+      (3L, "epsilon zeta eta alpha beta gamma")) // 4 grams, 1 shared with doc 1
+      .toDF("id", "text")
+    val got = graft.queries.CorpusQueries.noveltyOf(df, "id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got(0) === ((1L, 2L, 2L, 1.0)))
+    assert(got(1) === ((2L, 2L, 0L, 0.0)))
+    assert(got(2) === ((3L, 4L, 3L, 0.75)))
+  }
 }

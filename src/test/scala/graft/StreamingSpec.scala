@@ -184,6 +184,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 1L), (2L, 2L), (2L, 1L)))
   }
 
+  test("stream-static join enriches rows in every micro-batch from the dimension table") {
+    import spark.implicits._
+    // Two files → two micro-batches; both reference the same dimension
+    // keys, so per-batch enrichment (not any cross-batch state) is what
+    // produces the segment column on every row.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssd").toString
+    Seq((1L, 7L, ts("2024-01-01 10:00:00"), 1.0))
+      .toDF("event_id", "user_id", "ts", "value").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    Seq((2L, 8L, ts("2024-01-01 11:00:00"), 2.0),
+        (3L, 9L, ts("2024-01-01 12:00:00"), 3.0)) // no dimension row → dropped
+      .toDF("event_id", "user_id", "ts", "value").coalesce(1)
+      .write.mode("append").parquet(dir)
+    val stream = SourceReader.readStream(spark,
+      FileStreamSource(dir, "parquet", "ts", maxFilesPerTrigger = Some(1)))
+    val dim = Seq((7L, "SEG_A"), (8L, "SEG_B")).toDF("key", "segment")
+    val name = "ssd_" + java.util.UUID.randomUUID().toString.take(8)
+    val got = graft.streaming.StreamMaterializer.runStreamStaticJoinToCompletion(
+        stream, dim, Seq("user_id" -> "key"), name)
+      .select(col("event_id"), col("segment")).as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "SEG_A"), (2L, "SEG_B")))
+  }
+
   test("windowed aggregate with watermark drops late rows in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
