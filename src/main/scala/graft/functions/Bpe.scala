@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge training (Sennrich et al. 2016) — the
+  * tokenizer-vocabulary induction step of an LLM data pipeline, run as
+  * Spark aggregations instead of the usual single-node trainer.
+  *
+  * Classic BPE trains on the word-frequency dictionary: start from
+  * per-character symbol sequences, repeatedly (1) count adjacent symbol
+  * pairs weighted by word frequency, (2) pick the most frequent pair
+  * (ties broken lexicographically so the choice is total), (3) merge
+  * its occurrences left-to-right non-overlapping. Here each round is
+  * one explode → map-side-combined hash aggregation over the DISTINCT
+  * word table (vocabulary-sized, corpus length only enters through the
+  * `freq` weights), one 1-row collect for the argmax, and a narrow
+  * per-row fold to apply the merge — the same driver-coordinated
+  * bounded-rounds shape as the IVF k-means refinement. At 100 TB the
+  * word-frequency table is the only shuffled data and it is orders of
+  * magnitude smaller than the corpus.
+  */
+object Bpe {
+
+  /** Apply one merge (l, r) → l+r to a symbol array, left-to-right
+    * non-overlapping (the BPE application rule): a left fold that
+    * merges the current element into the accumulator's tail when the
+    * tail is exactly `l` and the element is exactly `r`. A just-merged
+    * tail equals l+r ≠ l, so overlapping re-merges ("a a a" with (a,a)
+    * → [aa, a], not [aa, aa… ]) are impossible by construction. */
+  def mergeApply(s: Column, l: String, r: String): Column = {
+    val merged = l + r
+    aggregate(s, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+        .otherwise(concat(acc, array(x))))
+  }
+
+  /** Train `rounds` BPE merges over the word-frequency dictionary of
+    * `df(textCol)`. Returns one row per round: (round, l, r,
+    * pair_count, new_symbol). Pair counting counts every adjacent
+    * position (so "a a a" contributes (a,a) twice), the standard BPE
+    * statistic; application is left-to-right non-overlapping via
+    * [[mergeApply]]. Each round localCheckpoints the (vocabulary-sized)
+    * symbol table so round k+1's lineage does not re-run rounds 1..k. */
+  def trainMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wf = df
+      .select(explode(TextFunctions.words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var syms = wf
+      .withColumn("s", filter(split(col("word"), ""), c => c =!= ""))
+      .select(col("freq"), col("s"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[(Int, String, String, Long, String)]
+    for (round <- 1 to rounds) {
+      val pairs = syms
+        .select(col("freq"), explode(
+          when(size(col("s")) >= 2,
+            transform(sequence(lit(1), size(col("s")) - 1),
+              i => struct(
+                element_at(col("s"), i).as("l"),
+                element_at(col("s"), i + lit(1)).as("r"))))
+            .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+      val best = pairs.orderBy(desc("cnt"), asc("l"), asc("r")).limit(1).collect()(0)
+      val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      out += ((round, l, r, cnt, l + r))
+      syms = syms.withColumn("s", mergeApply(col("s"), l, r)).localCheckpoint()
+    }
+    out.result().toDF("round", "l", "r", "pair_count", "new_symbol")
+  }
+}

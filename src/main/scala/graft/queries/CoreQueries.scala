@@ -434,6 +434,32 @@ object CoreQueries {
     """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact, TRUE AS approx_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Quantile sketch with an accuracy contract (same policy as
+    * [[approxDistinct]]): exact medians hash-match DuckDB's
+    * quantile_cont, and Spark's approx_percentile (mergeable quantile
+    * sketch — the 100 TB path, where exact percentile's per-group
+    * buffer is not an option) must land within 5% of the group's value
+    * range. Cross-engine sketch internals differ; the contract and the
+    * exact values are what's comparable. */
+  def approxQuantile(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
+        expr("approx_percentile(value, 0.5, 10000)").as("__p50_approx"),
+        min(col("value")).as("__vmin"), max(col("value")).as("__vmax"))
+      .select(col("event_type"), col("n_events"), col("p50_exact"),
+        (abs(col("__p50_approx") - col("p50_exact")) <=
+          (col("__vmax") - col("__vmin")) * 0.05).as("approx_ok"))
+      .orderBy("event_type")
+
+  val approxQuantileSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |       round(quantile_cont(value, 0.5), 4) AS p50_exact,
+      |       TRUE AS approx_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Window top-k per group (row_number — the reference's only window
     * shape, bigquery.py:86-95). */
   def windowTopK(s: SparkSession, dir: String): DataFrame = {
@@ -506,6 +532,7 @@ object CoreQueries {
     "q_query_source" -> (querySourceQ _),
     "q_agg_pushdown" -> (aggPushdown _),
     "q_approx_distinct" -> (approxDistinct _),
+    "q_approx_quantile" -> (approxQuantile _),
     "q_broadcast_join_agg" -> (broadcastJoinAgg _),
     "q_window_topk" -> (windowTopK _))
 
@@ -523,6 +550,7 @@ object CoreQueries {
     "q_query_source" -> querySourceSql,
     "q_agg_pushdown" -> aggPushdownSql,
     "q_approx_distinct" -> approxDistinctSql,
+    "q_approx_quantile" -> approxQuantileSql,
     "q_broadcast_join_agg" -> broadcastJoinAggSql,
     "q_window_topk" -> windowTopKSql)
 }

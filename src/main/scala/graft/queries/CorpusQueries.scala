@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextFunctions => TF}
+import graft.functions.{Bpe, TextFunctions => TF}
 import graft.sources.Tables
 
 /** Corpus-analysis queries (round 4): n-gram novelty attribution, URL
@@ -197,13 +197,66 @@ object CorpusQueries {
       |         / CAST(bucket_cap * count(*) AS DOUBLE) AS pad_waste
       |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin
 
+  // ---- BPE merge training --------------------------------------------
+
+  private val BpeRounds = 3
+
+  /** First three BPE merges trained distributed over the corpus's
+    * word-frequency dictionary ([[Bpe.trainMerges]]). The oracle
+    * replays all three rounds as chained CTEs: double-space canonical
+    * symbol strings, adjacent-pair counts weighted by word frequency,
+    * lexicographic tie-break, and plain `replace` for the
+    * left-to-right non-overlapping merge (the double-space form leaves
+    * a delimiter for back-to-back occurrences, mirroring the Spark
+    * side's fold semantics exactly). */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    Bpe.trainMerges(docs(s, dir), "text", BpeRounds)
+
+  val bpeMergesSql: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH wf AS (
+      |  SELECT w AS word, count(*) AS freq FROM (
+      |    SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |    FROM documents)
+      |  GROUP BY w),
+      |s1 AS (
+      |  SELECT freq,
+      |         ' ' || array_to_string(list_filter(string_split(word, ''), c -> c <> ''),
+      |                                '  ') || ' ' AS s
+      |  FROM wf)""".stripMargin
+    for (k <- 1 to BpeRounds) {
+      sb ++= s""",
+      |p$k AS (
+      |  SELECT sy[i] AS l, sy[i+1] AS r, sum(freq) AS cnt
+      |  FROM (SELECT freq, regexp_extract_all(s, '[^ ]+') AS sy FROM s$k),
+      |       UNNEST(range(1, greatest(len(sy), 1))) AS t(i)
+      |  GROUP BY 1, 2),
+      |b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+      if (k < BpeRounds) sb ++= s""",
+      |s${k + 1} AS (
+      |  SELECT freq,
+      |         ' ' || array_to_string(regexp_extract_all(
+      |           replace(s, ' ' || (SELECT l FROM b$k) || '  ' || (SELECT r FROM b$k) || ' ',
+      |                      ' ' || (SELECT l FROM b$k) || (SELECT r FROM b$k) || ' '),
+      |           '[^ ]+'), '  ') || ' ' AS s
+      |  FROM s$k)""".stripMargin
+    }
+    sb ++= "\n"
+    sb ++= (1 to BpeRounds).map(k =>
+      s"SELECT $k AS round, l, r, CAST(cnt AS BIGINT) AS pair_count, l || r AS new_symbol FROM b$k")
+      .mkString("", "\nUNION ALL ", "\nORDER BY round")
+    sb.result()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_merges" -> (bpeMerges _),
     "q_novelty" -> (novelty _),
     "q_url_canonical" -> (urlCanonical _),
     "q_quality_classifier" -> (qualityClassifier _),
     "q_length_bucket" -> (lengthBucket _))
 
   val oracles: Map[String, String] = Map(
+    "q_bpe_merges" -> bpeMergesSql,
     "q_novelty" -> noveltySql,
     "q_url_canonical" -> urlCanonicalSql,
     "q_quality_classifier" -> qualityClassifierSql,

@@ -595,6 +595,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === 0.1 + 1.0 * fLen - 1.0 * fPunct + 1.0 * fStop - 1.0 * fRep)
   }
 
+  test("Bpe.trainMerges reproduces the hand-computed merge sequence") {
+    import spark.implicits._
+    import graft.functions.Bpe
+    // corpus: "aaab" ×2, "ab" ×1
+    //   r1: (a,a)=4 (two positions per aaab) beats (a,b)=3     → merge "aa"
+    //   r2: aaab=[aa,a,b], ab=[a,b] → (a,b)=3 beats (aa,a)=2   → merge "ab"
+    //   r3: aaab=[aa,ab], ab=[ab]   → (aa,ab)=2                → merge "aaab"
+    val df = Seq("aaab aaab ab").toDF("text")
+    val got = Bpe.trainMerges(df, "text", 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4))).sortBy(_._1)
+    assert(got(0) === ((1, "a", "a", 4L, "aa")))
+    assert(got(1) === ((2, "a", "b", 3L, "ab")))
+    assert(got(2) === ((3, "aa", "ab", 2L, "aaab")))
+  }
+
+  test("Bpe.mergeApply merges left-to-right without overlap") {
+    import spark.implicits._
+    import graft.functions.Bpe
+    val df = Seq(Tuple1(Seq("a", "a", "a", "b", "a", "a"))).toDF("s")
+    val got = df.select(Bpe.mergeApply(col("s"), "a", "a")).head().getSeq[String](0)
+    assert(got === Seq("aa", "a", "b", "aa"))
+  }
+
   test("noveltyOf: first occurrence owns its grams, clones score zero") {
     import spark.implicits._
     val df = Seq(
