@@ -22,11 +22,16 @@ final case class OnlineRow(
     createdTs: Option[Timestamp])
 
 /** One feature read result (O14): value + status. Reference statuses
-  * PRESENT / NOT_FOUND (ServingService.proto:97-115). */
+  * PRESENT / NOT_FOUND / OUTSIDE_MAX_AGE (ServingService.proto:96-115;
+  * OUTSIDE_MAX_AGE at :112-114 — "values could be found for entity
+  * key, but field values are outside the maximum allowable range").
+  * Staleness is judged centrally in FeatureStore.getOnlineFeatures
+  * against the view's ttl, not in each store. */
 final case class FeatureValue(value: Any, status: String)
 object FeatureStatus {
   val Present = "PRESENT"
   val NotFound = "NOT_FOUND"
+  val OutsideMaxAge = "OUTSIDE_MAX_AGE"
 }
 
 /** The online-store contract (reference online_store.py:26-107): batch

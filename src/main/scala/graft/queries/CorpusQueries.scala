@@ -197,6 +197,68 @@ object CorpusQueries {
       |         / CAST(bucket_cap * count(*) AS DOUBLE) AS pad_waste
       |FROM b GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin
 
+  // ---- duplicated-span coverage --------------------------------------
+
+  /** Exact duplicated-substring coverage (the per-document metric
+    * behind substring-level dedup, Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better"): the fraction of a
+    * doc's token positions covered by some word 8-gram whose first
+    * corpus occurrence (min doc_id) is an EARLIER document. Planted
+    * clones (every 10th doc re-appended) must score 1.0; originals
+    * score only their organic overlap.
+    *
+    * Scale shape: gram explode → min(doc_id) hash agg (map-side
+    * combinable) → equi join back on the gram hash (the verify-join
+    * shape MinHash dedup also uses — never a doc×doc product) →
+    * position explode (≤ 8× gram count, linear) → distinct + count. */
+  def dupSpan(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val withClones = base.unionByName(
+      base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val toks = withClones.withColumn("__w", TF.words(col("text")))
+    val n = toks.select(col("doc_id"), size(col("__w")).cast("long").as("n_tokens"))
+    val grams = toks
+      .select(col("doc_id"), posexplode(TF.wordNgramsAllFromWords(col("__w"), 8)))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("gram"))
+    val minDoc = grams.groupBy("gram").agg(min(col("doc_id")).as("min_doc"))
+    val cov = grams.join(minDoc, "gram")
+      .filter(col("min_doc") < col("doc_id"))
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + 7)).as("pos"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_pos"))
+    n.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+        (coalesce(col("n_dup_pos"), lit(0L)).cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val dupSpanSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+      |w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM base),
+      |g AS (
+      |  SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS gram
+      |  FROM w, UNNEST(range(1, greatest(len(w) - 7, 0) + 1)) AS t(i)),
+      |md AS (SELECT gram, min(doc_id) AS min_doc FROM g GROUP BY gram),
+      |dp AS (
+      |  SELECT DISTINCT g.doc_id, p
+      |  FROM g JOIN md USING (gram), UNNEST(range(g.i, g.i + 8)) AS u(p)
+      |  WHERE md.min_doc < g.doc_id),
+      |cov AS (SELECT doc_id, count(*) AS n_dup_pos FROM dp GROUP BY doc_id),
+      |n AS (SELECT doc_id, len(w) AS n_tokens FROM w)
+      |SELECT n.doc_id,
+      |       CAST(n.n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(coalesce(cov.n_dup_pos, 0) AS BIGINT) AS n_dup_pos,
+      |       CAST(coalesce(cov.n_dup_pos, 0) AS DOUBLE)
+      |         / CAST(greatest(n.n_tokens, 1) AS DOUBLE) AS dup_frac
+      |FROM n LEFT JOIN cov USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ---- BPE merge training --------------------------------------------
 
   private val BpeRounds = 3
@@ -250,6 +312,7 @@ object CorpusQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_merges" -> (bpeMerges _),
+    "q_dup_span" -> (dupSpan _),
     "q_novelty" -> (novelty _),
     "q_url_canonical" -> (urlCanonical _),
     "q_quality_classifier" -> (qualityClassifier _),
@@ -257,6 +320,7 @@ object CorpusQueries {
 
   val oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeMergesSql,
+    "q_dup_span" -> dupSpanSql,
     "q_novelty" -> noveltySql,
     "q_url_canonical" -> urlCanonicalSql,
     "q_quality_classifier" -> qualityClassifierSql,

@@ -142,7 +142,19 @@ class FeatureStore(
     * on in-memory stores. */
   def getOnlineFeatures(
       refs: Seq[String],
-      entityRows: Seq[Map[String, Any]]): OnlineResponse = {
+      entityRows: Seq[Map[String, Any]]): OnlineResponse =
+    getOnlineFeatures(refs, entityRows, asOf = None)
+
+  /** As above, with an explicit staleness clock: when a view has a
+    * non-zero ttl and the stored row's event_ts is older than
+    * `asOf − ttl`, its features come back with status OUTSIDE_MAX_AGE
+    * (value still returned, mirroring the reference contract —
+    * ServingService.proto:112-114). `asOf = None` uses wall-clock now;
+    * tests inject a fixed instant. */
+  def getOnlineFeatures(
+      refs: Seq[String],
+      entityRows: Seq[Map[String, Any]],
+      asOf: Option[Timestamp]): OnlineResponse = {
     val parsed = refs.map(FeatureRef.parse)
     FeatureRef.validateNoCollisions(parsed, fullFeatureNames = false)
     val byView = FeatureRef.groupByView(parsed)
@@ -168,8 +180,24 @@ class FeatureStore(
         }
       }
       val results = onlineStore.read(project, view, keys, entityKeys, feats)
+      // Staleness gate (OUTSIDE_MAX_AGE): a found row older than
+      // asOf − ttl keeps its values but flips every PRESENT status.
+      // ttl == 0 means no max age (same convention as the PIT join's
+      // lower bound, bigquery.py:599-603).
+      val cutoff: Option[Long] =
+        if (view.ttl.isZero) None
+        else Some(asOf.map(_.toInstant).getOrElse(java.time.Instant.now())
+          .minus(view.ttl).toEpochMilli)
+      val gated = results.map {
+        case (Some(ts), vals) if cutoff.exists(ts.getTime < _) =>
+          vals.map { case (f, fv) =>
+            f -> (if (fv.status == FeatureStatus.Present)
+              FeatureValue(fv.value, FeatureStatus.OutsideMaxAge) else fv)
+          }
+        case (_, vals) => vals
+      }
       feats.foreach { f =>
-        fields(s"$viewName:$f") = results.map(_._2(f)).toVector
+        fields(s"$viewName:$f") = gated.map(_(f)).toVector
       }
     }
     OnlineResponse(entityRows, fields.toVector)

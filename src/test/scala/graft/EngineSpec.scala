@@ -154,6 +154,38 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("online staleness: rows older than ttl read back OUTSIDE_MAX_AGE, value retained") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 0.5),   // stale at asOf below
+      (2L, ts("2024-01-05 10:00:00"), 0.7))   // fresh
+      .toDF("driver_id", "et", "conv_rate")
+    val fs = new FeatureStore("ttl_t", new Registry(), new InMemoryOnlineStore(), spark)
+    fs.applyEntity(Entity("driver", GraftType.Int64, Some("driver_id")))
+    fs.applyFeatureView(FeatureView("stale_v", Seq("driver"),
+      Seq(Feature("conv_rate", GraftType.Dbl)), Duration.ofDays(2),
+      DataFrameSource(df, "et")))
+    fs.materialize(Seq("stale_v"), ts("2024-01-01 00:00:00"), ts("2024-01-06 00:00:00"))
+
+    val rows = Seq(1L, 2L, 99L).map(id => Map[String, Any]("driver_id" -> id))
+    val resp = fs.getOnlineFeatures(Seq("stale_v:conv_rate"), rows,
+      asOf = Some(ts("2024-01-06 00:00:00")))
+    val stats = resp.statuses("stale_v:conv_rate")
+    val vals = resp.toMap("stale_v:conv_rate")
+    assert(stats == Seq("OUTSIDE_MAX_AGE", "PRESENT", "NOT_FOUND"))
+    assert(vals(0) == 0.5, "stale value is still returned (reference contract)")
+    assert(vals(1) == 0.7)
+    // ttl == 0 disables the gate entirely (same view data, zero-ttl view)
+    fs.applyFeatureView(FeatureView("nottl_v", Seq("driver"),
+      Seq(Feature("conv_rate", GraftType.Dbl)), Duration.ZERO,
+      DataFrameSource(df, "et")))
+    fs.materialize(Seq("nottl_v"), ts("2024-01-01 00:00:00"), ts("2024-01-06 00:00:00"))
+    val resp2 = fs.getOnlineFeatures(Seq("nottl_v:conv_rate"), rows.take(1),
+      asOf = Some(ts("2030-01-01 00:00:00")))
+    assert(resp2.statuses("nottl_v:conv_rate") == Seq("PRESENT"))
+    fs.teardown()
+  }
+
   test("ParquetOnlineStore upsert rewrites only buckets containing incoming keys") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graftbkt").toString
