@@ -124,10 +124,11 @@ object Bench {
     // ~1.5 s per streaming micro-batch of local-mode driver cost
     // (q_stream_materialize = 2 batches + store dump) and ~0.3-0.5 s
     // per Spark job (materialize runs several store jobs per call).
-    val notes = "scalecheck 10x data wall ratios: pit_join 2.4x, " +
-      "dedup_minhash 2.0x, text_stats 6.5x, ann_ivf 0.8x, contamination 0.7x, " +
-      "shard_pack 1.7x, components 4.1x, rolling_agg 1.9x, line_dedup 1.1x, " +
-      "domain_cap 1.3x, semantic_dedup 3.1x " +
+    val notes = "scalecheck 10x data wall ratios: pit_join 3.8x, " +
+      "dedup_minhash 3.0x, text_stats 3.9x, ann_ivf 1.9x, contamination 1.5x, " +
+      "shard_pack 1.5x, components 3.3x, rolling_agg 1.5x, line_dedup 1.3x, " +
+      "domain_cap 1.4x, semantic_dedup 3.2x, novelty 1.5x, dup_span 1.6x, " +
+      "bpe_merges 1.2x, random_projection 1.2x " +
       "(sub-linear, ScaleCheck local[32] 16g driver; run-to-run wall " +
       "variance on this box is +/-2x at these sub-5s scales); " +
       "stream floor ~1.5s/micro-batch, job floor ~0.3-0.5s at toy sf"

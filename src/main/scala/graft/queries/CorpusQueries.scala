@@ -274,7 +274,12 @@ object CorpusQueries {
   def bpeMerges(s: SparkSession, dir: String): DataFrame =
     Bpe.trainMerges(docs(s, dir), "text", BpeRounds)
 
-  val bpeMergesSql: String = {
+  /** Shared WITH-prefix of the BPE oracles: word frequencies, canonical
+    * double-space symbol strings s1, and per round k the pair counts
+    * p_k, the argmax b_k, and (when the round's merge result is needed
+    * downstream) the merged strings s_{k+1}. The `word` column rides
+    * along so the encode oracle can join words back to documents. */
+  private def bpeCtePrefix(rounds: Int, includeFinalS: Boolean): String = {
     val sb = new StringBuilder
     sb ++= """WITH wf AS (
       |  SELECT w AS word, count(*) AS freq FROM (
@@ -282,11 +287,11 @@ object CorpusQueries {
       |    FROM documents)
       |  GROUP BY w),
       |s1 AS (
-      |  SELECT freq,
+      |  SELECT word, freq,
       |         ' ' || array_to_string(list_filter(string_split(word, ''), c -> c <> ''),
       |                                '  ') || ' ' AS s
       |  FROM wf)""".stripMargin
-    for (k <- 1 to BpeRounds) {
+    for (k <- 1 to rounds) {
       sb ++= s""",
       |p$k AS (
       |  SELECT sy[i] AS l, sy[i+1] AS r, sum(freq) AS cnt
@@ -294,24 +299,72 @@ object CorpusQueries {
       |       UNNEST(range(1, greatest(len(sy), 1))) AS t(i)
       |  GROUP BY 1, 2),
       |b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
-      if (k < BpeRounds) sb ++= s""",
+      if (k < rounds || includeFinalS) sb ++= s""",
       |s${k + 1} AS (
-      |  SELECT freq,
+      |  SELECT word, freq,
       |         ' ' || array_to_string(regexp_extract_all(
       |           replace(s, ' ' || (SELECT l FROM b$k) || '  ' || (SELECT r FROM b$k) || ' ',
       |                      ' ' || (SELECT l FROM b$k) || (SELECT r FROM b$k) || ' '),
       |           '[^ ]+'), '  ') || ' ' AS s
       |  FROM s$k)""".stripMargin
     }
-    sb ++= "\n"
-    sb ++= (1 to BpeRounds).map(k =>
-      s"SELECT $k AS round, l, r, CAST(cnt AS BIGINT) AS pair_count, l || r AS new_symbol FROM b$k")
-      .mkString("", "\nUNION ALL ", "\nORDER BY round")
     sb.result()
   }
 
+  val bpeMergesSql: String =
+    bpeCtePrefix(BpeRounds, includeFinalS = false) + "\n" +
+      (1 to BpeRounds).map(k =>
+        s"SELECT $k AS round, l, r, CAST(cnt AS BIGINT) AS pair_count, l || r AS new_symbol FROM b$k")
+        .mkString("", "\nUNION ALL ", "\nORDER BY round")
+
+  /** BPE encoding with the trained merges: the vocabulary (distinct
+    * words) is encoded ONCE — merges fold over the word table, never
+    * the corpus — then broadcast-joined back to the exploded document
+    * words for per-document symbol counts and the compression ratio vs
+    * character-level. The oracle reuses the training CTEs (including
+    * the final merged strings s4) and replays the same join + sums. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val merges = Bpe.trainMerges(d, "text", BpeRounds)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    val vocab = d.select(explode(TF.words(col("text"))).as("word")).distinct()
+    val encoded = merges.foldLeft(
+        vocab.withColumn("s", filter(split(col("word"), ""), c => c =!= ""))) {
+      case (acc, (l, r)) => acc.withColumn("s", Bpe.mergeApply(col("s"), l, r))
+    }
+    val wsym = encoded.select(col("word"), size(col("s")).cast("long").as("n_sym"))
+    val dw = d.select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
+    dw.join(broadcast(wsym), Seq("word"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("word"))).as("n_char_syms"),
+        sum(col("n_sym")).as("n_syms"))
+      .select(col("doc_id"), col("n_words"), col("n_char_syms"), col("n_syms"),
+        (col("n_syms").cast("double") / col("n_char_syms").cast("double"))
+          .as("compression"))
+      .orderBy("doc_id")
+  }
+
+  val bpeEncodeSql: String =
+    bpeCtePrefix(BpeRounds, includeFinalS = true) + "," + """
+      |wsym AS (
+      |  SELECT word, len(regexp_extract_all(s, '[^ ]+')) AS n_sym
+      |  FROM s""".stripMargin + (BpeRounds + 1).toString + """),
+      |dw AS (
+      |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      |  FROM documents)
+      |SELECT dw.doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_words,
+      |       CAST(sum(length(dw.word)) AS BIGINT) AS n_char_syms,
+      |       CAST(sum(wsym.n_sym) AS BIGINT) AS n_syms,
+      |       CAST(sum(wsym.n_sym) AS DOUBLE)
+      |         / CAST(sum(length(dw.word)) AS DOUBLE) AS compression
+      |FROM dw JOIN wsym USING (word)
+      |GROUP BY dw.doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_merges" -> (bpeMerges _),
+    "q_bpe_encode" -> (bpeEncode _),
     "q_dup_span" -> (dupSpan _),
     "q_novelty" -> (novelty _),
     "q_url_canonical" -> (urlCanonical _),
@@ -320,6 +373,7 @@ object CorpusQueries {
 
   val oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeMergesSql,
+    "q_bpe_encode" -> bpeEncodeSql,
     "q_dup_span" -> dupSpanSql,
     "q_novelty" -> noveltySql,
     "q_url_canonical" -> urlCanonicalSql,

@@ -70,7 +70,11 @@ object ScaleCheck {
     val queries = Seq("q_pit_join_single", "q_dedup_minhash", "q_text_stats",
       "q_ann_ivf", "q_contamination", "q_shard_pack",
       "q_components", "q_rolling_agg",
-      "q_line_dedup", "q_domain_cap", "q_semantic_dedup")
+      "q_line_dedup", "q_domain_cap", "q_semantic_dedup",
+      // round-4 additions with shuffle/iteration shapes worth pinning:
+      // gram-attribution joins (novelty, dup_span), the iterative BPE
+      // trainer, and the JL/PQ narrow projections' explode-free scans
+      "q_novelty", "q_dup_span", "q_bpe_merges", "q_random_projection")
     queries.foreach(q => time(q, baseDir)) // warm: codegen + analyzer JIT
     val lines = queries.map { q =>
       val t1 = time(q, baseDir)

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape assertions for the properties that decide 100 TB
@@ -202,5 +203,44 @@ class PlanSpec extends AnyFunSuite {
       s"per-line winner must be a partial-aggregating min_by:\n$plan")
     assert(!plan.contains("Window"),
       s"global line dedup must not use a window over the corpus:\n$plan")
+  }
+
+  test("gram attribution (novelty) aggregates partially and never self-joins the gram table") {
+    import spark.implicits._
+    val df = (0 until 50).map(i => (i.toLong, s"alpha beta gamma doc $i body"))
+      .toDF("id", "text")
+    val plan = graft.queries.CorpusQueries.noveltyOf(df, "id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      s"gram min/count must partial-aggregate before the shuffle:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"novelty must stay an equi-join of doc-keyed aggregates:\n$plan")
+  }
+
+  test("BPE pair counting partial-aggregates; merge application plans no shuffle") {
+    import spark.implicits._
+    val df = Seq("aaab aaab ab").toDF("text")
+    // one round's pair-count plan: build it the way trainMerges does
+    val wf = df.select(explode(graft.functions.TextFunctions.words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("s", filter(split(col("word"), ""), c => c =!= ""))
+    val pairs = wf.select(col("freq"), explode(
+        transform(sequence(lit(1), size(col("s")) - 1),
+          i => struct(element_at(col("s"), i).as("l"),
+            element_at(col("s"), i + lit(1)).as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+    val pairPlan = pairs.queryExecution.executedPlan.toString
+    assert(pairPlan.contains("partial_sum"),
+      s"pair counts must map-side combine before the shuffle:\n$pairPlan")
+    // applying a merge is a narrow per-row fold — no exchange on top of
+    // the input's own shuffle
+    val applied = wf.withColumn("s", graft.functions.Bpe.mergeApply(col("s"), "a", "a"))
+    val appliedPlan = applied.queryExecution.executedPlan.toString
+    val baseExchanges = wf.queryExecution.executedPlan.toString
+      .sliding("Exchange".length).count(_ == "Exchange")
+    val appliedExchanges = appliedPlan.sliding("Exchange".length).count(_ == "Exchange")
+    assert(appliedExchanges == baseExchanges,
+      s"mergeApply must add no exchange:\n$appliedPlan")
   }
 }
