@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model._
-import graft.operators.{PointInTimeJoin, PullLatest}
+import graft.operators.{LabelJoin, PointInTimeJoin, PullLatest, SnapshotDiff}
 import graft.operators.PointInTimeJoin.ViewJoin
 
 /** Core feature-store operator queries (SURVEY §2.1 O1-O9) wired to the
@@ -460,6 +460,86 @@ object CoreQueries {
       |       TRUE AS approx_ok
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Forward as-of label join ([[LabelJoin]] — the time-reversed dual
+    * of the signature PIT join): every 5th event is an "anchor"
+    * (prediction point); its label is the same user's EARLIEST event
+    * strictly after the anchor within a 2-day horizon (strict lower
+    * edge = leakage guard). Oracle: the ROW_NUMBER formulation of the
+    * same forward window. */
+  def labelJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = pq(s, dir, "events")
+    val entity = ev.filter(col("event_id") % 5 === 0)
+      .select(col("event_id"), col("user_id"), col("ts").as("event_timestamp"))
+    val labels = ev.select(col("user_id"), col("ts"),
+      col("event_id").as("label_event_id"), col("value").as("label_value"))
+    LabelJoin.join(entity, labels,
+        joinKeys = Seq("user_id"), labelCols = Seq("label_event_id", "label_value"),
+        horizon = Duration.ofDays(2),
+        labelTsCol = "ts", tieBreaks = Seq("label_event_id"))
+      .select(col("event_id"), col("label_event_id"), col("label_value"),
+        unix_millis(col("label_ts")).as("label_ts_ms"))
+      .orderBy("event_id")
+  }
+
+  val labelJoinSql: String =
+    """WITH ent AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 5 = 0),
+      |c AS (
+      |  SELECT ent.event_id AS eid, r.event_id AS lid, r.value AS lval, r.ts AS lts,
+      |         ROW_NUMBER() OVER (PARTITION BY ent.event_id
+      |                            ORDER BY r.ts, r.event_id) AS rn
+      |  FROM ent JOIN events r
+      |    ON r.user_id = ent.user_id
+      |   AND r.ts > ent.ts AND r.ts <= ent.ts + INTERVAL 2 DAY)
+      |SELECT ent.event_id,
+      |       w.lid AS label_event_id,
+      |       w.lval AS label_value,
+      |       epoch_ms(w.lts) AS label_ts_ms
+      |FROM ent LEFT JOIN (SELECT * FROM c WHERE rn = 1) w ON w.eid = ent.event_id
+      |ORDER BY event_id""".stripMargin
+
+  /** Materialization snapshot diff ([[SnapshotDiff]]): latest-per-user
+    * state at Jan 15 vs Jan 31 cutoffs, reporting ADDED / REMOVED /
+    * CHANGED keys with old/new values — the audit a store operator
+    * runs between two materializations. Oracle: two ROW_NUMBER
+    * snapshots full-outer-joined with the same null-safe comparison. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val ev = pq(s, dir, "events")
+    def snap(cut: String) = PullLatest.latestPerKey(
+      ev.filter(col("ts") <= lit(java.sql.Timestamp.valueOf(cut))),
+      Seq("user_id"), "ts", None, Seq("value", "event_type"),
+      tieBreakCols = Seq("event_id"))
+    SnapshotDiff.diff(
+        snap("2024-01-15 00:00:00"), snap("2024-01-31 00:00:00"),
+        Seq("user_id"), Seq("value", "event_type"))
+      .orderBy("user_id")
+  }
+
+  val snapshotDiffSql: String =
+    """WITH a AS (
+      |  SELECT user_id, value, event_type FROM (
+      |    SELECT user_id, value, event_type,
+      |           ROW_NUMBER() OVER (PARTITION BY user_id
+      |                              ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1),
+      |b AS (
+      |  SELECT user_id, value, event_type FROM (
+      |    SELECT user_id, value, event_type,
+      |           ROW_NUMBER() OVER (PARTITION BY user_id
+      |                              ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE ts <= TIMESTAMP '2024-01-31 00:00:00') WHERE rn = 1),
+      |d AS (
+      |  SELECT coalesce(a.user_id, b.user_id) AS user_id,
+      |         CASE WHEN a.user_id IS NULL THEN 'ADDED'
+      |              WHEN b.user_id IS NULL THEN 'REMOVED'
+      |              WHEN NOT (a.value IS NOT DISTINCT FROM b.value
+      |                        AND a.event_type IS NOT DISTINCT FROM b.event_type)
+      |                THEN 'CHANGED'
+      |         END AS change,
+      |         a.value AS old_value, b.value AS new_value,
+      |         a.event_type AS old_event_type, b.event_type AS new_event_type
+      |  FROM a FULL OUTER JOIN b ON a.user_id = b.user_id)
+      |SELECT * FROM d WHERE change IS NOT NULL ORDER BY user_id""".stripMargin
+
   /** Window top-k per group (row_number — the reference's only window
     * shape, bigquery.py:86-95). */
   def windowTopK(s: SparkSession, dir: String): DataFrame = {
@@ -533,6 +613,8 @@ object CoreQueries {
     "q_agg_pushdown" -> (aggPushdown _),
     "q_approx_distinct" -> (approxDistinct _),
     "q_approx_quantile" -> (approxQuantile _),
+    "q_label_join" -> (labelJoin _),
+    "q_snapshot_diff" -> (snapshotDiff _),
     "q_broadcast_join_agg" -> (broadcastJoinAgg _),
     "q_window_topk" -> (windowTopK _))
 
@@ -551,6 +633,8 @@ object CoreQueries {
     "q_agg_pushdown" -> aggPushdownSql,
     "q_approx_distinct" -> approxDistinctSql,
     "q_approx_quantile" -> approxQuantileSql,
+    "q_label_join" -> labelJoinSql,
+    "q_snapshot_diff" -> snapshotDiffSql,
     "q_broadcast_join_agg" -> broadcastJoinAggSql,
     "q_window_topk" -> windowTopKSql)
 }

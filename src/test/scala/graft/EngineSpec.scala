@@ -154,6 +154,50 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("LabelJoin: strict lower edge (leakage guard), horizon bound, earliest-wins ties") {
+    import spark.implicits._
+    import graft.operators.LabelJoin
+    val entity = Seq((10L, 1L, ts("2024-01-10 00:00:00")))
+      .toDF("anchor_id", "user_id", "event_timestamp")
+    val labels = Seq(
+      (1L, ts("2024-01-10 00:00:00"), 100L, 1.0), // AT anchor ts → excluded (leakage)
+      (1L, ts("2024-01-11 00:00:00"), 101L, 2.0), // earliest after → the label
+      (1L, ts("2024-01-11 00:00:00"), 102L, 3.0), // same ts, larger id → tie loses
+      (1L, ts("2024-01-13 00:00:00"), 103L, 4.0)) // beyond 2-day horizon → excluded
+      .toDF("user_id", "ts", "label_event_id", "label_value")
+    val got = LabelJoin.join(entity, labels, Seq("user_id"),
+        Seq("label_event_id", "label_value"), java.time.Duration.ofDays(2),
+        labelTsCol = "ts", tieBreaks = Seq("label_event_id"))
+      .select("anchor_id", "label_event_id", "label_value").collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == 101L && got(0).getDouble(2) == 2.0)
+    // horizon edge is inclusive: a label exactly at +2 days qualifies
+    val edge = Seq((1L, ts("2024-01-12 00:00:00"), 200L, 9.0))
+      .toDF("user_id", "ts", "label_event_id", "label_value")
+    val got2 = LabelJoin.join(entity, edge, Seq("user_id"),
+        Seq("label_event_id", "label_value"), java.time.Duration.ofDays(2),
+        labelTsCol = "ts")
+      .select("label_event_id").collect()
+    assert(got2(0).getLong(0) == 200L)
+    // no label in window → left row survives with nulls
+    val none = LabelJoin.join(entity, labels.filter(col("label_event_id") === 103L),
+        Seq("user_id"), Seq("label_event_id", "label_value"),
+        java.time.Duration.ofDays(2), labelTsCol = "ts").collect()
+    assert(none.length == 1 && none(0).isNullAt(none(0).fieldIndex("label_value")))
+  }
+
+  test("SnapshotDiff: ADDED / REMOVED / CHANGED reported, unchanged dropped") {
+    import spark.implicits._
+    import graft.operators.SnapshotDiff
+    val before = Seq((1L, 1.0, "a"), (2L, 2.0, "b"), (3L, 3.0, "c"))
+      .toDF("k", "v", "t")
+    val after = Seq((1L, 1.0, "a"), (2L, 2.5, "b"), (4L, 4.0, "d"))
+      .toDF("k", "v", "t")
+    val got = SnapshotDiff.diff(before, after, Seq("k"), Seq("v", "t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(2L -> "CHANGED", 3L -> "REMOVED", 4L -> "ADDED"))
+  }
+
   test("online staleness: rows older than ttl read back OUTSIDE_MAX_AGE, value retained") {
     import spark.implicits._
     val df = Seq(
