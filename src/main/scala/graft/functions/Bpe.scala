@@ -43,18 +43,30 @@ object Bpe {
     * statistic; application is left-to-right non-overlapping via
     * [[mergeApply]]. Each round localCheckpoints the (vocabulary-sized)
     * symbol table so round k+1's lineage does not re-run rounds 1..k. */
-  def trainMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val wf = df
-      .select(explode(TextFunctions.words(col(textCol))).as("word"))
+  def trainMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame =
+    trainMergesOnWords(wordFreq(df, textCol), rounds)
+
+  /** The word-frequency dictionary BPE trains on — one corpus explode +
+    * map-side-combined count. Exposed so callers that also ENCODE can
+    * pay the corpus scan once and feed the same (word, freq) table to
+    * both [[trainMergesOnWords]] and their vocabulary encoding (review
+    * r4: train-then-encode previously rescanned the corpus twice). */
+  def wordFreq(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextFunctions.words(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Train on a precomputed (word, freq) dictionary. */
+  def trainMergesOnWords(wf: DataFrame, rounds: Int): DataFrame = {
+    val spark = wf.sparkSession
+    import spark.implicits._
     var syms = wf
       .withColumn("s", filter(split(col("word"), ""), c => c =!= ""))
       .select(col("freq"), col("s"))
       .localCheckpoint()
     val out = Seq.newBuilder[(Int, String, String, Long, String)]
-    for (round <- 1 to rounds) {
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
       val pairs = syms
         .select(col("freq"), explode(
           when(size(col("s")) >= 2,
@@ -65,10 +77,18 @@ object Bpe {
             .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("cnt"))
-      val best = pairs.orderBy(desc("cnt"), asc("l"), asc("r")).limit(1).collect()(0)
-      val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-      out += ((round, l, r, cnt, l + r))
-      syms = syms.withColumn("s", mergeApply(col("s"), l, r)).localCheckpoint()
+      // A vocabulary can run out of adjacent pairs before `rounds` does
+      // (every word collapsed to one symbol, or an empty corpus): stop
+      // early with the merges learned so far — the BPE contract, not an
+      // error (review r4: indexing the empty collect crashed here).
+      pairs.orderBy(desc("cnt"), asc("l"), asc("r")).limit(1).collect().headOption match {
+        case None => exhausted = true
+        case Some(best) =>
+          val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+          out += ((round, l, r, cnt, l + r))
+          syms = syms.withColumn("s", mergeApply(col("s"), l, r)).localCheckpoint()
+          round += 1
+      }
     }
     out.result().toDF("round", "l", "r", "pair_count", "new_symbol")
   }

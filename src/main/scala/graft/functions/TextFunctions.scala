@@ -293,8 +293,16 @@ object TextFunctions {
       lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1)),
       ":(80|443)$", "")
     val rest = regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+(.*)$", 1)
-    val noTrack = regexp_replace(rest, "(utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*&?", "")
-    val clean = regexp_replace(regexp_replace(noTrack, "\\?&", "?"), "[?&]+$", "")
+    // Anchor on the preceding separator (kept via $1) so only whole
+    // query parameters named utm_*/gclid/fbclid are stripped — without
+    // it, 'gclid=' in a path segment or inside another parameter's NAME
+    // ('?id_gclid=7') would be eaten (review r4). The separator of a
+    // following stripped param is consumed by the previous match, so
+    // runs of '&' can remain — collapsed before the existing cleanup.
+    val noTrack = regexp_replace(rest, "([?&])(utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*", "$1")
+    val clean = regexp_replace(
+      regexp_replace(regexp_replace(noTrack, "&{2,}", "&"), "\\?&", "?"),
+      "[?&]+$", "")
     concat(scheme, lit("://"), host, clean)
   }
 

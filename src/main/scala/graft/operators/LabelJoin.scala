@@ -63,8 +63,16 @@ object LabelJoin {
       lit(java.sql.Timestamp.from(mxTs.toInstant.plus(horizon))))
     val labAliased = lab.alias("__r")
 
+    // Microsecond-granular horizon (TimestampType's own resolution) —
+    // getSeconds would silently truncate a sub-second horizon to an
+    // empty window (review r4). Durations too large for toNanos fall
+    // back to whole seconds, where sub-second precision is moot.
+    val horizonInterval =
+      if (horizon.compareTo(java.time.Duration.ofDays(365L * 200)) > 0)
+        expr(s"INTERVAL ${horizon.getSeconds} SECOND")
+      else expr(s"INTERVAL ${horizon.toNanos / 1000} MICROSECOND")
     val window: Column = R(labelTsCol) > L(entityTsCol) &&
-      R(labelTsCol) <= L(entityTsCol) + expr(s"INTERVAL ${horizon.getSeconds} SECOND")
+      R(labelTsCol) <= L(entityTsCol) + horizonInterval
     val keyCond = joinKeys.map(k => L(k) <=> R(k)).reduce(_ && _)
     val candidates = left.join(labAliased, keyCond && window, "inner")
 

@@ -446,11 +446,16 @@ object CoreQueries {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
+        // the contract compares against the UNROUNDED median — rounding
+        // first would bill up to 5e-5 of display rounding against the
+        // tolerance, which is the whole budget when the group's value
+        // range is ~0 (review r4)
+        expr("percentile(value, 0.5)").as("__p50_raw"),
         expr("approx_percentile(value, 0.5, 10000)").as("__p50_approx"),
         min(col("value")).as("__vmin"), max(col("value")).as("__vmax"))
-      .select(col("event_type"), col("n_events"), col("p50_exact"),
-        (abs(col("__p50_approx") - col("p50_exact")) <=
+      .select(col("event_type"), col("n_events"),
+        round(col("__p50_raw"), 4).as("p50_exact"),
+        (abs(col("__p50_approx") - col("__p50_raw")) <=
           (col("__vmax") - col("__vmin")) * 0.05).as("approx_ok"))
       .orderBy("event_type")
 

@@ -112,9 +112,10 @@ object CorpusQueries {
       |         lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) || '://' ||
       |         regexp_replace(lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?#]+)', 1)),
       |                        ':(80|443)$', '', 'g') ||
-      |         regexp_replace(regexp_replace(
+      |         regexp_replace(regexp_replace(regexp_replace(
       |           regexp_replace(regexp_extract(nofrag, '^[A-Za-z]+://[^/?#]+(.*)$', 1),
-      |                          '(utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*&?', '', 'g'),
+      |                          '([?&])(utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*', '\1', 'g'),
+      |           '&{2,}', '&', 'g'),
       |           '\?&', '?', 'g'), '[?&]+$', '', 'g') AS cu
       |  FROM (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS nofrag FROM u))
       |SELECT cu AS canonical_url,
@@ -325,11 +326,14 @@ object CorpusQueries {
     * the final merged strings s4) and replays the same join + sums. */
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val merges = Bpe.trainMerges(d, "text", BpeRounds)
+    // One corpus scan builds the word table; training AND the encoded
+    // vocabulary both derive from the checkpointed result (review r4).
+    val wf = Bpe.wordFreq(d, "text").localCheckpoint()
+    val merges = Bpe.trainMergesOnWords(wf, BpeRounds)
       .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
-    val vocab = d.select(explode(TF.words(col("text"))).as("word")).distinct()
     val encoded = merges.foldLeft(
-        vocab.withColumn("s", filter(split(col("word"), ""), c => c =!= ""))) {
+        wf.select(col("word"))
+          .withColumn("s", filter(split(col("word"), ""), c => c =!= ""))) {
       case (acc, (l, r)) => acc.withColumn("s", Bpe.mergeApply(col("s"), l, r))
     }
     val wsym = encoded.select(col("word"), size(col("s")).cast("long").as("n_sym"))

@@ -170,14 +170,7 @@ object StreamQueries {
     * left event with a plain batch aggregation. Oracle: the equivalent
     * batch self-join. */
   def streamJoin(s: SparkSession, dir: String): DataFrame = {
-    // sanitized dir path as the key — see jsonIngest's collision note
-    val input = s"/tmp/graft_stream_join_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-    if (!new java.io.File(s"$input/_SUCCESS").exists()) {
-      Tables.read(s, dir, "events")
-        .select("event_id", "user_id", "ts", "value")
-        .repartition(2)
-        .write.mode("overwrite").parquet(input)
-    }
+    val input = joinInput(s, dir)
     def stream() = SourceReader.readStream(s,
       FileStreamSource(input, "parquet", "ts", maxFilesPerTrigger = Some(1)))
     val left = stream()
@@ -209,15 +202,8 @@ object StreamQueries {
     * per-segment result proves the enrichment ran (the stream alone
     * cannot produce it). */
   def streamEnrich(s: SparkSession, dir: String): DataFrame = {
-    val input = s"/tmp/graft_stream_join_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-    if (!new java.io.File(s"$input/_SUCCESS").exists()) {
-      Tables.read(s, dir, "events")
-        .select("event_id", "user_id", "ts", "value")
-        .repartition(2)
-        .write.mode("overwrite").parquet(input)
-    }
     val stream = SourceReader.readStream(s,
-      FileStreamSource(input, "parquet", "ts", maxFilesPerTrigger = Some(1)))
+      FileStreamSource(joinInput(s, dir), "parquet", "ts", maxFilesPerTrigger = Some(1)))
     val dim = Tables.read(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
     val name = "stream_enrich_" + java.util.UUID.randomUUID().toString.take(8)
@@ -237,6 +223,21 @@ object StreamQueries {
       |       round(sum(e.value), 2) AS sum_value
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY c.c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Shared 2-file events replay input for the join/enrich queries
+    * (one cached copy per sf dir — both consumers must agree on this
+    * layout, hence the single helper; sanitized dir path as the key,
+    * see jsonIngest's collision note). */
+  private def joinInput(s: SparkSession, dir: String): String = {
+    val input = s"/tmp/graft_stream_join_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    if (!new java.io.File(s"$input/_SUCCESS").exists()) {
+      Tables.read(s, dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .repartition(2)
+        .write.mode("overwrite").parquet(input)
+    }
+    input
+  }
 
   /** The streaming file source can't read INT64-nanos timestamps, so the
     * stream input is a pre-normalized copy of events (µs timestamps). */

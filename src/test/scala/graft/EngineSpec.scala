@@ -184,6 +184,16 @@ class EngineSpec extends AnyFunSuite {
         Seq("user_id"), Seq("label_event_id", "label_value"),
         java.time.Duration.ofDays(2), labelTsCol = "ts").collect()
     assert(none.length == 1 && none(0).isNullAt(none(0).fieldIndex("label_value")))
+    // sub-second horizon is honored at µs granularity (review r4: a
+    // seconds-truncated interval made a 500ms window empty)
+    val subSec = Seq((1L, new java.sql.Timestamp(
+        ts("2024-01-10 00:00:00").getTime + 300L), 300L, 7.0))
+      .toDF("user_id", "ts", "label_event_id", "label_value")
+    val got3 = LabelJoin.join(entity, subSec, Seq("user_id"),
+        Seq("label_event_id", "label_value"), java.time.Duration.ofMillis(500),
+        labelTsCol = "ts")
+      .select("label_event_id").collect()
+    assert(got3(0).getLong(0) == 300L)
   }
 
   test("SnapshotDiff: ADDED / REMOVED / CHANGED reported, unchanged dropped") {

@@ -571,14 +571,33 @@ class PipelineSpec extends AnyFunSuite {
       "HTTPS://WWW.Example.COM:443/Path/Page?utm_source=x&id=7#frag",
       "http://site.org:80/a?gclid=zz&b=1&utm_campaign=c",
       "https://plain.net/ok?keep=1",
-      "https://bare.net?utm_only=1")
+      "https://bare.net?utm_only=1",
+      // review r4: separator-anchored stripping must not eat path
+      // segments or parameters whose NAME merely contains a tracker
+      "https://x.com/report/gclid=abc/view?keep=1",
+      "https://y.com/p?id_gclid=7&xutm_foo=1",
+      "https://z.com/p?utm_a=1&utm_b=2&id=3")
     val got = urls.toDF("u")
       .select(TF.canonicalizeUrl(col("u"))).collect().map(_.getString(0)).toSeq
     assert(got === Seq(
       "https://www.example.com/Path/Page?id=7",
-      "http://site.org/a?b=1",   // leading gclid swallows its '&'; b survives
+      "http://site.org/a?b=1",
       "https://plain.net/ok?keep=1",
-      "https://bare.net"))
+      "https://bare.net",
+      "https://x.com/report/gclid=abc/view?keep=1",
+      "https://y.com/p?id_gclid=7&xutm_foo=1",
+      "https://z.com/p?id=3"))
+  }
+
+  test("Bpe.trainMerges stops early when the vocabulary runs out of pairs") {
+    import spark.implicits._
+    import graft.functions.Bpe
+    // 'ab ab': round 1 merges (a,b); round 2 has no adjacent pairs left
+    val got = Bpe.trainMerges(Seq("ab ab").toDF("text"), "text", 3).collect()
+    assert(got.length == 1)
+    assert(got(0).getString(1) == "a" && got(0).getString(2) == "b")
+    // empty corpus: zero merges, no crash
+    assert(Bpe.trainMerges(Seq.empty[String].toDF("text"), "text", 2).count() == 0)
   }
 
   test("linearQualityScore is the exact weighted feature sum") {
