@@ -73,6 +73,30 @@ object Multimodal {
         .cast("int"), lit(frameBytes)))
   }
 
+  /** Perceptual average-hash (aHash) over the deterministic stub
+    * downscale — the image near-dup fingerprint: real pipelines decode
+    * → downscale to an 8×8 grayscale tile → threshold each cell by the
+    * tile mean → 64-bit hash; hamming distance between hashes is the
+    * near-dup signal. With codecs unavailable, the "tile" is 64 evenly
+    * spaced payload bytes (the same deterministic sampling as
+    * [[sampleFrames]]) — the thresholding, packing, and downstream
+    * banding are the real algorithm. Thresholding is pure integer
+    * arithmetic (64·pixel > sum, never a float mean), and the hash is
+    * emitted as a 64-char bit string, so the oracle replays it
+    * bit-for-bit. Near-dup pairing reuses the SimHash band machinery
+    * (split the 64 bits into bands, bucket-join on band equality).
+    * Caller must filter empty payloads. */
+  def stubAverageHash(bin: Column): Column = {
+    val len = octet_length(bin)
+    val pixels = transform(sequence(lit(0), lit(63)), k => {
+      val pos = (floor(k.cast("double") * (len - 1).cast("double") / lit(63.0)) + 1).cast("int")
+      conv(hex(bin.substr(pos, lit(1))), 16, 10).cast("long")
+    })
+    val total = aggregate(pixels, lit(0L), (acc, p) => acc + p)
+    concat_ws("", transform(pixels,
+      p => when(p * 64L > total, "1").otherwise("0")))
+  }
+
   /** Batched partition-level decode: the real-codec integration point.
     * Partitions are first re-sized by payload bytes (decoders want
     * balanced work by bytes, not by row count), then each partition is

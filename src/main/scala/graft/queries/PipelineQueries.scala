@@ -554,6 +554,41 @@ object PipelineQueries {
       |       (octet_length(encode(text)) * 7) % 480 + 16 AS height
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Perceptual average-hash over the stub tile
+    * ([[Multimodal.stubAverageHash]]): 64 evenly sampled payload bytes
+    * thresholded by integer comparison against the tile sum — the
+    * image-dedup fingerprint with the decode stubbed, everything else
+    * real. Oracle replays the identical byte sampling (on the hex
+    * encoding — DuckDB 1.0 has no BLOB substring, same trick as
+    * q_frame_sample) and the same integer threshold. */
+  def imagePhash(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(length(col("text")) > 0)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("phash_bits", Multimodal.stubAverageHash(col("payload")))
+      .select(col("doc_id"), col("phash_bits"),
+        length(translate(col("phash_bits"), "0", "")).cast("long").as("n_bits_set"))
+      .orderBy("doc_id")
+
+  val imagePhashSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS len
+      |  FROM documents WHERE length(text) > 0),
+      |px AS (
+      |  SELECT doc_id, k,
+      |         (strpos('0123456789ABCDEF',
+      |            substring(h, CAST(trunc(k * (len - 1) / 63.0) AS INT) * 2 + 1, 1)) - 1) * 16
+      |         + (strpos('0123456789ABCDEF',
+      |            substring(h, CAST(trunc(k * (len - 1) / 63.0) AS INT) * 2 + 2, 1)) - 1) AS v
+      |  FROM p, UNNEST(range(0, 64)) AS t(k)),
+      |s AS (SELECT doc_id, sum(v) AS sv FROM px GROUP BY doc_id)
+      |SELECT px.doc_id,
+      |       string_agg(CASE WHEN v * 64 > sv THEN '1' ELSE '0' END, '' ORDER BY k)
+      |         AS phash_bits,
+      |       CAST(sum(CASE WHEN v * 64 > sv THEN 1 ELSE 0 END) AS BIGINT) AS n_bits_set
+      |FROM px JOIN s USING (doc_id)
+      |GROUP BY px.doc_id ORDER BY doc_id""".stripMargin
+
   /** Token-budget shard packing (training-data export): documents
     * packed into ~2000-token shards in doc_id order via the
     * distributed prefix sum in [[graft.functions.Packing]]. The oracle
@@ -1702,7 +1737,8 @@ object PipelineQueries {
     "q_embedding_neardup" -> (embeddingNearDup _),
     "q_ann_brute_force" -> (annBruteForce _),
     "q_ann_ivf" -> (annIvf _),
-    "q_multimodal_meta" -> (multimodalMeta _))
+    "q_multimodal_meta" -> (multimodalMeta _),
+    "q_image_phash" -> (imagePhash _))
 
   val oracles: Map[String, String] = Map(
     "q_temperature_sample" -> temperatureSampleSql,
@@ -1749,5 +1785,6 @@ object PipelineQueries {
     "q_embedding_neardup" -> embeddingNearDupSql,
     "q_ann_brute_force" -> annBruteForceSql,
     "q_ann_ivf" -> annIvfSql,
-    "q_multimodal_meta" -> multimodalMetaSql)
+    "q_multimodal_meta" -> multimodalMetaSql,
+    "q_image_phash" -> imagePhashSql)
 }

@@ -589,6 +589,25 @@ class PipelineSpec extends AnyFunSuite {
       "https://z.com/p?id=3"))
   }
 
+  test("stubAverageHash: 64-bit string, deterministic, constant payload degenerates to zeros") {
+    import spark.implicits._
+    val df = Seq(
+      ("varied", "The quick brown fox jumps over the lazy dog again and again!"),
+      ("same", "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"), // constant bytes → no cell above mean
+      ("one", "x"))                                 // single byte → all cells equal
+      .toDF("id", "text")
+    val got = df.withColumn("h", Multimodal.stubAverageHash(col("text").cast("binary")))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(got.values.forall(h => h.length == 64 && h.forall(c => c == '0' || c == '1')))
+    assert(got("same") === "0" * 64)
+    assert(got("one") === "0" * 64)
+    assert(got("varied").contains("1"), "a varied payload must set some bits")
+    // deterministic across evaluations
+    val again = df.withColumn("h", Multimodal.stubAverageHash(col("text").cast("binary")))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(again === got)
+  }
+
   test("Bpe.trainMerges stops early when the vocabulary runs out of pairs") {
     import spark.implicits._
     import graft.functions.Bpe
