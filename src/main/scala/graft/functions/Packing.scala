@@ -57,6 +57,45 @@ object Packing {
       budgetTokens: Long,
       numPartitions: Option[Int] = None): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    withPrefixOffset(df, idCol, tokenCol, numPartitions)
+      .withColumn("shard_id",
+        floor(col("__start") / lit(budgetTokens.toDouble)).cast("long"))
+      .drop("__start")
+  }
+
+  /** Context-window assignment: slice the doc_id-ordered token stream
+    * into fixed `windowTokens` windows (the sequence-construction step
+    * in front of training — documents CROSS window boundaries, unlike
+    * [[packShards]]'s whole-doc shards) and report each doc's interval:
+    * start offset, first/last window, and how many windows it spans.
+    * Same distributed prefix sum; zero-token docs are dropped (they
+    * occupy no interval). */
+  def contextWindows(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      windowTokens: Long,
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
+    val tok = col(tokenCol).cast("long")
+    val first = floor(col("__start") / lit(windowTokens.toDouble)).cast("long")
+    val last = floor((col("__start") + tok - 1) / lit(windowTokens.toDouble)).cast("long")
+    withPrefixOffset(df, idCol, tokenCol, numPartitions)
+      .filter(tok > 0)
+      .withColumn("start_offset", col("__start"))
+      .withColumn("first_window", first)
+      .withColumn("last_window", last)
+      .withColumn("n_windows", last - first + 1)
+      .drop("__start")
+  }
+
+  /** The shared distributed prefix sum: appends `__start` = tokens
+    * before this row in global `idCol` order (exclusive prefix). */
+  private def withPrefixOffset(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      numPartitions: Option[Int]): DataFrame = {
     val parts = numPartitions.getOrElse(df.sparkSession.sparkContext.defaultParallelism)
     val tok = col(tokenCol).cast("long")
 
@@ -77,8 +116,7 @@ object Packing {
       .select(col("__pid"), col("__off"))
 
     cum.join(broadcast(offsets), Seq("__pid"))
-      .withColumn("shard_id",
-        floor((col("__off") + col("__cum") - tok) / lit(budgetTokens.toDouble)).cast("long"))
+      .withColumn("__start", col("__off") + col("__cum") - tok)
       .drop("__pid", "__cum", "__off")
   }
 

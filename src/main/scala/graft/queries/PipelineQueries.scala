@@ -612,6 +612,36 @@ object PipelineQueries {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Context-window assignment ([[graft.functions.Packing.contextWindows]]):
+    * each doc's interval in the 512-token window slicing of the
+    * doc_id-ordered token stream — documents cross window boundaries,
+    * the sequence-construction dual of whole-doc shard packing. Oracle
+    * restates the prefix arithmetic as one global window. */
+  def contextWindowsQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Packing.contextWindows(
+        docs(s, dir).select(col("doc_id"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", windowTokens = 512L)
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        col("first_window"), col("last_window"), col("n_windows"))
+      .orderBy("doc_id")
+
+  val contextWindowsSql: String =
+    """WITH n AS (
+      |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, n_tokens,
+      |         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+      |  FROM n)
+      |SELECT doc_id, n_tokens, CAST(st AS BIGINT) AS start_offset,
+      |       CAST(floor(st / 512.0) AS BIGINT) AS first_window,
+      |       CAST(floor((st + n_tokens - 1) / 512.0) AS BIGINT) AS last_window,
+      |       CAST(floor((st + n_tokens - 1) / 512.0) - floor(st / 512.0) + 1 AS BIGINT)
+      |         AS n_windows
+      |FROM p WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin
+
   /** Corpus vocabulary: top-100 bigrams by document frequency. */
   def vocabTopK(s: SparkSession, dir: String): DataFrame =
     TF.topKNgrams(docs(s, dir).select(col("text")), "text", n = 2, k = 100)
@@ -1718,6 +1748,7 @@ object PipelineQueries {
     "q_mixture_sample" -> (mixtureSampleQ _),
     "q_components" -> (componentsQ _),
     "q_shard_pack" -> (shardPack _),
+    "q_context_windows" -> (contextWindowsQ _),
     "q_vocab_topk" -> (vocabTopK _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langIdQ _),
@@ -1767,6 +1798,7 @@ object PipelineQueries {
     "q_mixture_sample" -> mixtureSampleSql,
     "q_components" -> componentsSql,
     "q_shard_pack" -> shardPackSql,
+    "q_context_windows" -> contextWindowsSql,
     "q_vocab_topk" -> vocabTopKSql,
     "q_text_stats" -> textStatsSql,
     "q_lang_id" -> langIdSql,

@@ -87,6 +87,42 @@ object StreamQueries {
       .orderBy("window_start_ms", "event_type")
   }
 
+  /** Streaming windowed top-k: the 6h windowed counts reduced to the
+    * top-2 event types per window — the "trending now" shape. The
+    * per-window cut rides [[graft.functions.Quota.topKPerKey]]
+    * (BoundedMinK bounded heaps, ≤ k rows per (window, map task) on
+    * the shuffle), composed downstream of the streaming aggregation.
+    * Oracle: batch GROUP BY + ROW_NUMBER ≤ 2 with the same
+    * (count DESC, event_type ASC) total order. */
+  def streamTopK(s: SparkSession, dir: String): DataFrame = {
+    val stream = SourceReader.readStream(s,
+      FileStreamSource(prepared(s, dir), "parquet", "ts"))
+    val name = "stream_topk_" + java.util.UUID.randomUUID().toString.take(8)
+    val agg = StreamMaterializer.runWindowedAggToCompletion(
+        stream, "ts", Seq("event_type"), "6 hours",
+        Seq(count(lit(1)).as("n_events")), name)
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"))
+      .withColumn("__ord",
+        struct((-col("n_events")).as("o1"), col("event_type").as("o2")))
+    graft.functions.Quota.topKPerKey(agg, "window_start_ms", "__ord", 2)
+      .drop("__ord")
+      .orderBy("window_start_ms", "event_type")
+  }
+
+  val streamTopKSql: String =
+    """WITH w AS (
+      |  SELECT CAST(epoch_ms(ts) // 21600000 AS BIGINT) * 21600000 AS window_start_ms,
+      |         event_type, count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start_ms
+      |                               ORDER BY n_events DESC, event_type) AS rn
+      |  FROM w)
+      |SELECT window_start_ms, event_type, CAST(n_events AS BIGINT) AS n_events
+      |FROM r WHERE rn <= 2
+      |ORDER BY window_start_ms, event_type""".stripMargin
+
   /** Streaming sessionization: 6-hour-gap sessions per user via
     * declarative session windows, run to completion on the replayed
     * stream. Oracle: the batch gaps-and-islands formulation — a new
@@ -267,6 +303,7 @@ object StreamQueries {
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_enrich" -> (streamEnrich _),
+    "q_stream_topk" -> (streamTopK _),
     "q_stream_sessionize" -> (streamSessionize _))
 
   val oracles: Map[String, String] = Map(
@@ -275,5 +312,6 @@ object StreamQueries {
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_join" -> streamJoinSql,
     "q_stream_enrich" -> streamEnrichSql,
+    "q_stream_topk" -> streamTopKSql,
     "q_stream_sessionize" -> streamSessionizeSql)
 }

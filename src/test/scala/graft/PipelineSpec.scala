@@ -589,6 +589,20 @@ class PipelineSpec extends AnyFunSuite {
       "https://z.com/p?id=3"))
   }
 
+  test("contextWindows: boundary-crossing docs span the right windows") {
+    import spark.implicits._
+    // stream: [0,100) [100,600) [600,700), W=256
+    val df = Seq((1L, 100L), (2L, 500L), (3L, 100L), (4L, 0L)).toDF("doc_id", "n_tokens")
+    val got = Packing.contextWindows(df, "doc_id", "n_tokens", windowTokens = 256L)
+      .select("doc_id", "start_offset", "first_window", "last_window", "n_windows")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got === Seq(
+      (1L, 0L, 0L, 0L, 1L),
+      (2L, 100L, 0L, 2L, 3L),   // crosses windows 0,1,2
+      (3L, 600L, 2L, 2L, 1L)))  // zero-token doc 4 dropped
+  }
+
   test("stubAverageHash: 64-bit string, deterministic, constant payload degenerates to zeros") {
     import spark.implicits._
     val df = Seq(
