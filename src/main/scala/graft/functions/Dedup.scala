@@ -129,6 +129,69 @@ object Dedup {
     unpersistAfterFirstUse(out, shingleProj)
   }
 
+  /** Cross-corpus MinHash near-dup: pair each BATCH document against
+    * the CORPUS documents it near-duplicates — the fuzzy form of
+    * incremental-ingestion dedup (the exact form anti-joins on content
+    * fingerprints; this one catches edited re-crawls). Both sides are
+    * banded; candidates come from a (band, bucket) equi-join of the
+    * batch bands against the corpus bands — never a self-join and never
+    * a batch×corpus product. Degenerate corpus buckets (boilerplate)
+    * are capped at `maxBucketSize` ids, mirroring the self-join
+    * variant. At production scale the corpus's band table is the thing
+    * a store would precompute and keep; here it derives from the frame.
+    *
+    * @return (corpus_id, batch_id, jaccard), exact-verified ≥ threshold.
+    */
+  def minhashCrossDupPairs(
+      corpus: DataFrame, corpusId: String, corpusText: String,
+      batch: DataFrame, batchId: String, batchText: String,
+      shingleN: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+
+    def shingleSide(df: DataFrame, id: String, text: String): DataFrame =
+      rebalance(df)
+        .withColumn("__words", TextFunctions.words(col(text)))
+        .select(col(id).as("id"),
+          TextFunctions.wordNgramsFromWords(col("__words"), shingleN).as("shingles"))
+        .filter(size(col("shingles")) > 0)
+    def bandSide(sh: DataFrame): DataFrame = sh
+      .withColumn("__h", transform(col("shingles"), e => xxhash64(e)))
+      .select(col("id"), posexplode(MinHashExpr.bandHashes(col("__h"), k, bands)))
+      .toDF("id", "band", "bucket")
+
+    // corpus shingles feed banding AND verification — persist the
+    // narrow projection (same policy + cache lifetime as the self-join
+    // variant); the batch side is typically small and recomputes.
+    val corpusSh = shingleSide(corpus, corpusId, corpusText)
+      .withColumn("__mh_call", lit(callSeq.incrementAndGet()))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchSh = shingleSide(batch, batchId, batchText)
+
+    val corpusBands = bandSide(corpusSh)
+    // cap degenerate buckets by corpus-side occupancy BEFORE the join
+    val keptBuckets = corpusBands.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize)
+      .select("band", "bucket")
+    val candidates = bandSide(batchSh).toDF("batch_id", "band", "bucket")
+      .join(keptBuckets, Seq("band", "bucket"))
+      .join(corpusBands.toDF("corpus_id", "band", "bucket"), Seq("band", "bucket"))
+      .select(col("corpus_id"), col("batch_id"))
+      .distinct()
+
+    val out = candidates
+      .join(corpusSh.select(col("id").as("corpus_id"), col("shingles").as("sh_c")), "corpus_id")
+      .join(batchSh.select(col("id").as("batch_id"), col("shingles").as("sh_b")), "batch_id")
+      .withColumn("jaccard", jaccard(col("sh_c"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("corpus_id"), col("batch_id"), col("jaccard"))
+    unpersistAfterFirstUse(out, corpusSh)
+  }
+
   private val callSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Deterministic cache lifetime for an intermediate persist feeding a

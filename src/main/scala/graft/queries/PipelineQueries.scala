@@ -385,6 +385,34 @@ object PipelineQueries {
       |FROM g a JOIN g b ON a.sig = b.sig AND a.doc_id < b.doc_id AND a.ok AND b.ok
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Cross-corpus fuzzy incremental dedup
+    * ([[Dedup.minhashCrossDupPairs]]): an incoming batch (every 10th
+    * doc re-labeled) LSH-matched against the corpus — the fuzzy
+    * complement of q_dedup_incremental's fingerprint anti-join. Same
+    * provable-recall construction as q_dedup_minhash: at threshold
+    * 0.999 a reported pair ⇔ identical shingle sets, which the oracle
+    * states via canonical gram-set signatures, independent of the LSH. */
+  def dedupIncrementalFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val batch = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 3000000L).as("batch_id"), col("text"))
+    Dedup.minhashCrossDupPairs(d, "doc_id", "text", batch, "batch_id", "text",
+        shingleN = 3, k = 32, bands = 8, threshold = 0.999)
+      .orderBy("corpus_id", "batch_id")
+  }
+
+  val dedupIncrementalFuzzySql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |         md5(array_to_string(list_sort(list_distinct(
+      |           list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+      |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))), chr(10))) AS sig,
+      |         len(w) >= 3 AS ok
+      |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents))
+      |SELECT c.doc_id AS corpus_id, b.doc_id + 3000000 AS batch_id, 1.0 AS jaccard
+      |FROM g c JOIN g b ON c.sig = b.sig AND b.doc_id % 10 = 0 AND c.ok AND b.ok
+      |ORDER BY corpus_id, batch_id""".stripMargin
+
   /** SimHash near-dup pairs (hamming <= 3 over banded-LSH candidates).
     * xxhash64 isn't available in DuckDB -> rows-only check here; exact
     * semantics are pinned by GraftSpec unit tests. */
@@ -1749,6 +1777,7 @@ object PipelineQueries {
     "q_components" -> (componentsQ _),
     "q_shard_pack" -> (shardPack _),
     "q_context_windows" -> (contextWindowsQ _),
+    "q_dedup_incremental_fuzzy" -> (dedupIncrementalFuzzy _),
     "q_vocab_topk" -> (vocabTopK _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langIdQ _),
@@ -1799,6 +1828,7 @@ object PipelineQueries {
     "q_components" -> componentsSql,
     "q_shard_pack" -> shardPackSql,
     "q_context_windows" -> contextWindowsSql,
+    "q_dedup_incremental_fuzzy" -> dedupIncrementalFuzzySql,
     "q_vocab_topk" -> vocabTopKSql,
     "q_text_stats" -> textStatsSql,
     "q_lang_id" -> langIdSql,

@@ -589,6 +589,27 @@ class PipelineSpec extends AnyFunSuite {
       "https://z.com/p?id=3"))
   }
 
+  test("minhashCrossDupPairs finds an edited re-crawl in the corpus, skips fresh docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val corpusDocs = (0 until 20).map { i =>
+      (i.toLong, mkDoc(Vector.fill(80)(vocab(rnd.nextInt(vocab.size)))))
+    }
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    // batch: doc 0 with its tail 10% rewritten (an edited re-crawl) + a fresh doc
+    val edited = {
+      val ws = corpusDocs(0)._2.split(" ").toVector
+      mkDoc(ws.dropRight(8) ++ Vector.fill(8)("fresh" + rnd.nextInt(100)))
+    }
+    val batch = Seq((100L, edited),
+      (101L, mkDoc(Vector.fill(80)("zzz" + rnd.nextInt(50))))).toDF("batch_id", "text")
+    val pairs = Dedup.minhashCrossDupPairs(corpus, "doc_id", "text",
+        batch, "batch_id", "text", shingleN = 3, k = 128, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 100L)), s"edited re-crawl must match its source, got ${pairs.toSeq}")
+    assert(!pairs.exists(_._2 == 101L), s"fresh doc must not match, got ${pairs.toSeq}")
+  }
+
   test("contextWindows: boundary-crossing docs span the right windows") {
     import spark.implicits._
     // stream: [0,100) [100,600) [600,700), W=256
