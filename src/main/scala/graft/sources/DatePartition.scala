@@ -43,4 +43,30 @@ object DatePartition {
       dc <- datePartitionColumn
       f <- pruneFilter(dc, lower, upper)
     } yield df.filter(f)).getOrElse(df)
+
+  /** Retention vacuum: drop whole date partitions strictly OLDER than
+    * `keepFrom` from a date-partitioned dataset. Partition-level
+    * deletion is the 100 TB retention primitive — a directory unlink
+    * per expired day, never a rewrite of surviving data (the
+    * row-filtering alternative rewrites the whole table to delete 1%
+    * of it). Returns the dropped partition names. Hadoop-FS API, so
+    * the same call works on local disk, HDFS, or an object store. */
+  def vacuum(spark: org.apache.spark.sql.SparkSession, path: String,
+      dateCol: String, keepFrom: java.time.LocalDate): Seq[String] = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hadoopPath)) return Nil
+    val prefix = s"$dateCol="
+    fs.listStatus(hadoopPath).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith(prefix) &&
+          (try java.time.LocalDate.parse(p.getName.stripPrefix(prefix))
+              .isBefore(keepFrom)
+           catch { case _: java.time.format.DateTimeParseException => false })
+      }
+      .map { p => fs.delete(p, true); p.getName }
+      .sorted
+  }
 }

@@ -73,8 +73,12 @@ object ScaleCheck {
       "q_line_dedup", "q_domain_cap", "q_semantic_dedup",
       // round-4 additions with shuffle/iteration shapes worth pinning:
       // gram-attribution joins (novelty, dup_span), the iterative BPE
-      // trainer, and the JL/PQ narrow projections' explode-free scans
-      "q_novelty", "q_dup_span", "q_bpe_merges", "q_random_projection")
+      // trainer, the JL narrow projection, the forward label join, the
+      // full-outer snapshot diff, the prefix-sum window assignment, and
+      // the batch-vs-corpus LSH join
+      "q_novelty", "q_dup_span", "q_bpe_merges", "q_random_projection",
+      "q_label_join", "q_snapshot_diff", "q_context_windows",
+      "q_dedup_incremental_fuzzy")
     queries.foreach(q => time(q, baseDir)) // warm: codegen + analyzer JIT
     val lines = queries.map { q =>
       val t1 = time(q, baseDir)

@@ -154,6 +154,28 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("DatePartition.vacuum drops only expired partitions; survivors still read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vac").toString + "/log"
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, ts("2024-01-02 10:00:00"), 2.0),
+      (3L, ts("2024-01-03 10:00:00"), 3.0))
+      .toDF("user_id", "et", "v")
+    graft.sources.DatePartition.write(df, dir, "et", "event_date")
+    val dropped = graft.sources.DatePartition.vacuum(
+      spark, dir, "event_date", java.time.LocalDate.parse("2024-01-03"))
+    assert(dropped === Seq("event_date=2024-01-01", "event_date=2024-01-02"))
+    val left = spark.read.parquet(dir).select("user_id").as[Long].collect().toSeq
+    assert(left === Seq(3L))
+    // idempotent; nothing newer is touched
+    assert(graft.sources.DatePartition.vacuum(
+      spark, dir, "event_date", java.time.LocalDate.parse("2024-01-03")).isEmpty)
+    // missing path is a no-op, not an error
+    assert(graft.sources.DatePartition.vacuum(
+      spark, dir + "_nope", "event_date", java.time.LocalDate.parse("2024-01-03")).isEmpty)
+  }
+
   test("LabelJoin: strict lower edge (leakage guard), horizon bound, earliest-wins ties") {
     import spark.implicits._
     import graft.operators.LabelJoin

@@ -79,6 +79,46 @@ class PropertySpec extends AnyFunSuite {
     runCheck(prop, minTests = 8)
   }
 
+  test("LabelJoin agrees with the nested-loop forward oracle on arbitrary inputs (ScalaCheck)") {
+    import spark.implicits._
+    val genCase = for {
+      nKeys <- Gen.choose(1, 6)
+      nRows <- Gen.choose(0, 150)
+      nEnt <- Gen.choose(1, 40)
+      horizonH <- Gen.oneOf(1, 7, 48)
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (nKeys, nRows, nEnt, horizonH, seed)
+
+    val prop = Prop.forAllNoShrink(genCase) { case (nKeys, nRows, nEnt, horizonH, seed) =>
+      val rnd = new scala.util.Random(seed)
+      def t(): Timestamp = new Timestamp(base + rnd.nextInt(100) * 3600_000L)
+      // unique label ids make the (ts, id) tie-break a total order
+      val rows = (0 until nRows).map(i =>
+        (rnd.nextInt(nKeys).toLong, t(), i.toLong, rnd.nextInt(500).toDouble))
+      val ents = (0 until nEnt).map(_ => (rnd.nextInt(nKeys).toLong, t()))
+      val horizon = Duration.ofHours(horizonH.toLong)
+
+      val labelDf = rows.toDF("k", "lt", "lid", "v")
+      val entityDf = ents.toDF("k", "event_timestamp")
+      val got = graft.operators.LabelJoin.join(entityDf, labelDf, Seq("k"),
+          Seq("lid", "v"), horizon, labelTsCol = "lt", tieBreaks = Seq("lid"))
+        .select("k", "event_timestamp", "lid").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+
+      def oracle(key: Long, ts: Timestamp): Option[Long] = {
+        val upper = ts.getTime + horizon.toMillis
+        val c = rows.filter { case (k, lt, _, _) =>
+          k == key && lt.getTime > ts.getTime && lt.getTime <= upper
+        }
+        if (c.isEmpty) None
+        else Some(c.minBy { case (_, lt, lid, _) => (lt.getTime, lid) }._3)
+      }
+
+      got.length == ents.length && got.forall { case (k, ts, lid) => lid == oracle(k, ts) }
+    }
+    runCheck(prop, minTests = 8)
+  }
+
   test("entity key codec: permutation-invariant, value-distinct, tag-distinct (ScalaCheck)") {
     val genKV = for {
       name <- Gen.alphaStr.suchThat(_.nonEmpty).map(_.take(8))
