@@ -10,10 +10,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ OnlineQueries.queries ++ PipelineQueries.queries ++
-      StreamQueries.queries ++ VectorQueries.queries ++ CorpusQueries.queries
+      StreamQueries.queries ++ VectorQueries.queries ++ CorpusQueries.queries ++
+      HistoryQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ OnlineQueries.oracles ++ PipelineQueries.oracles ++
-      StreamQueries.oracles ++ VectorQueries.oracles ++ CorpusQueries.oracles
+      StreamQueries.oracles ++ VectorQueries.oracles ++ CorpusQueries.oracles ++
+      HistoryQueries.oracles
 }

@@ -72,6 +72,79 @@ object Similarity {
         col("col.cos").as("cos"), (col("pos") + 1).as("rank"))
   }
 
+  /** PQ asymmetric-distance (ADC) top-k search (Jégou et al. 2011,
+    * §IV-A): the memory-bound ANN serving path at 100 TB. The corpus is
+    * represented by its PQ codes — m small ints per vector, a 32–64×
+    * compression of float32 — and each query precomputes a
+    * per-subquantizer lookup table LUT[s][c] = ‖q_s − a_c,s‖² of squared
+    * L2 distances to every anchor subvector (computed driver-side: m×c
+    * doubles per query, tiny). A corpus vector's approximate distance to
+    * the query is then Σ_s LUT[s][code_s] — m array lookups and m adds
+    * per (vector, query) instead of O(dim) arithmetic per pair, and the
+    * whole batch of queries scores in ONE narrow scan of the code table
+    * (the per-query ADC structs explode from a single projection): no
+    * join, no shuffle before the bounded top-k merge. Top-k uses the
+    * same two-level (query, partition) reduction as [[bruteForceTopK]],
+    * so a hot query never concentrates its candidates on one reducer.
+    *
+    * Determinism contract (oracle replay): LUT entries fold ascending d
+    * left-associative in double precision — the same order
+    * [[VectorSketch.pqCodeForSub]] uses for code assignment — and the
+    * ADC sum folds ascending s, so every distance is bit-identical
+    * cross-engine and ties break on neighbor_id identically.
+    *
+    * @param anchors full c×dim anchor matrix (codebook), shared by code
+    *                assignment and LUTs
+    * @return (query_id, neighbor_id, adc, rank) rank 1..k by
+    *         (adc asc, neighbor_id asc)
+    */
+  def pqAdcTopK(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      anchors: Array[Array[Float]], m: Int, subDim: Int,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val qRows: Array[(Any, Array[Array[Double]])] = queries
+      .select(col(qIdCol), col(qVecCol))
+      .collect()
+      .map { r =>
+        val qv = r.getSeq[Float](1).toArray
+        val lut = Array.tabulate(m) { s =>
+          anchors.map { a =>
+            var acc = 0.0
+            var d = 0
+            while (d < subDim) {
+              val i = s * subDim + d
+              val diff = qv(i).toDouble - a(i).toDouble
+              acc += diff * diff
+              d += 1
+            }
+            acc
+          }
+        }
+        (r.get(0), lut)
+      }
+    // codes computed ONCE per corpus vector, shared by every query's ADC
+    val coded = corpus.select(
+      col(idCol).as("__cid") +:
+        (0 until m).map(s =>
+          VectorSketch.pqCodeForSub(col(vecCol), anchors, s, subDim)
+            .cast("int").as(s"__code$s")): _*)
+    val perQuery = qRows.map { case (qid, lut) =>
+      val adc = (0 until m).map(s =>
+        element_at(typedlit(lut(s).toSeq), col(s"__code$s") + 1)).reduce(_ + _)
+      struct(lit(qid).as("qid"), adc.as("adc"))
+    }
+    var scored = coded
+      .select(col("__cid"), explode(array(perQuery.toIndexedSeq: _*)).as("__q"))
+      .select(col("__q.qid").as("__qid"), col("__cid"),
+        (-col("__q.adc")).as("__cos"))
+    if (excludeSelf) scored = scored.filter(col("__qid") =!= col("__cid"))
+    // negation is IEEE-exact, so ordering by __cos desc == adc asc
+    twoLevelTopK(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("cos")).as("adc"), col("rank"))
+  }
+
   /** Random-hyperplane signature: bit p = sign(vec · h_p). Hyperplane
     * weights are seeded pseudo-randoms computed driver-side and shipped
     * as array literals — no stored model, reproducible across runs, and

@@ -1,0 +1,198 @@
+package graft.queries
+
+import java.time.Duration
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.operators.{History, PointInTimeJoin}
+import graft.operators.PointInTimeJoin.ViewJoin
+
+/** Event-log lifecycle queries: SCD-2 version history, gap
+  * sessionization, regular-grid training snapshots (a PIT-join
+  * composition), and one-pass table profiling. Same oracle conventions
+  * as CoreQueries (epoch-ms timestamps, rounded double aggregates,
+  * unique-key sort).
+  */
+object HistoryQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.read(s, dir, "events")
+
+  // ---- SCD-2 history -------------------------------------------------
+
+  /** Collapse each user's event_type sequence into validity intervals:
+    * the offline store's time-travel table (what the PIT join would
+    * read instead of the raw log). Tie-break on event_id for a total
+    * order under duplicate timestamps. */
+  def scd2History(s: SparkSession, dir: String): DataFrame =
+    History.scd2(ev(s, dir), Seq("user_id"), "ts", Seq("event_type"),
+        tieBreaks = Seq("event_id"))
+      .select(col("user_id"),
+        col("event_type"),
+        unix_millis(col("valid_from")).as("valid_from_ms"),
+        unix_millis(col("valid_to")).as("valid_to_ms"),
+        col("version"))
+      .orderBy("user_id", "version")
+
+  val scd2HistorySql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |c AS (SELECT user_id, ts, event_id, event_type
+      |      FROM o WHERE prev IS NULL OR prev <> event_type),
+      |iv AS (
+      |  SELECT user_id, event_type, ts AS vf,
+      |         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+      |  FROM c)
+      |SELECT user_id, event_type, epoch_ms(vf) AS valid_from_ms,
+      |       epoch_ms(vt) AS valid_to_ms, version
+      |FROM iv ORDER BY user_id, version""".stripMargin
+
+  // ---- gap sessionization (batch) ------------------------------------
+
+  private val GapSeconds = 14400L // 4h
+
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    History.sessionize(ev(s, dir), Seq("user_id"), "ts", GapSeconds,
+        tieBreaks = Seq("event_id"),
+        aggs = Seq(round(sum(col("value")), 6).as("sum_value")))
+      .select(col("user_id"), col("session_idx"),
+        unix_millis(col("session_start")).as("session_start_ms"),
+        unix_millis(col("session_end")).as("session_end_ms"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_idx")
+
+  val sessionizeSql: String =
+    s"""WITH x AS (
+       |  SELECT user_id, ts, event_id, value,
+       |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+       |  FROM events),
+       |f AS (
+       |  SELECT *, CASE WHEN pts IS NULL
+       |                   OR epoch_us(ts) - epoch_us(pts) > ${GapSeconds * 1000000L}
+       |                 THEN 1 ELSE 0 END AS cut
+       |  FROM x),
+       |s AS (
+       |  SELECT *, SUM(cut) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                           ROWS UNBOUNDED PRECEDING) AS session_idx
+       |  FROM f)
+       |SELECT user_id, session_idx,
+       |       epoch_ms(MIN(ts)) AS session_start_ms,
+       |       epoch_ms(MAX(ts)) AS session_end_ms,
+       |       COUNT(*) AS n_events, round(SUM(value), 6) AS sum_value
+       |FROM s GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
+
+  // ---- regular-grid training snapshots (PIT-join composition) --------
+
+  /** Weekly as-of snapshots of each user's latest event over a 4-point
+    * date grid: the "generate training examples at regular intervals"
+    * pattern — entity df is a generated grid (distinct keys × date
+    * spine), the rest IS the PIT join (ttl = 7 days). Exercises the
+    * row-id pinning path too: the distinct makes the entity plan
+    * shuffle-derived. */
+  def gridSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val events = ev(s, dir)
+    val grid = events.select(col("user_id")).distinct()
+      .select(col("user_id"),
+        explode(expr(
+          "sequence(timestamp'2024-01-08 00:00:00', timestamp'2024-01-29 00:00:00', interval 7 days)"))
+          .as("event_timestamp"))
+    val src = DataFrameSource(events, eventTimestampColumn = "ts")
+    val view = FeatureView("user_latest", Seq("user"),
+      Seq(Feature("event_type", GraftType.Str), Feature("value", GraftType.Dbl)),
+      ttl = Duration.ofDays(7), batchSource = src)
+    PointInTimeJoin.join(grid,
+        Seq(ViewJoin(view, Seq("user_id"), Seq("event_type", "value"),
+          events, tieBreakCols = Seq("event_id"))))
+      .select(col("user_id"),
+        unix_millis(col("event_timestamp")).as("snap_ms"),
+        col("event_type"), col("value"))
+      .orderBy("user_id", "snap_ms")
+  }
+
+  val gridSnapshotSql: String =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |g AS (
+      |  SELECT u.user_id, t.snap FROM u
+      |  CROSS JOIN (SELECT UNNEST(generate_series(TIMESTAMP '2024-01-08',
+      |                 TIMESTAMP '2024-01-29', INTERVAL 7 DAY)) AS snap) t),
+      |cand AS (
+      |  SELECT g.user_id, g.snap, f.event_type, f.value,
+      |         ROW_NUMBER() OVER (PARTITION BY g.user_id, g.snap
+      |                            ORDER BY f.ts DESC, f.event_id DESC) AS rn
+      |  FROM g JOIN events f ON f.user_id = g.user_id
+      |   AND f.ts <= g.snap AND f.ts >= g.snap - INTERVAL 7 DAY)
+      |SELECT g.user_id, epoch_ms(g.snap) AS snap_ms, c.event_type, c.value
+      |FROM g LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+      |  ON c.user_id = g.user_id AND c.snap = g.snap
+      |ORDER BY g.user_id, snap_ms""".stripMargin
+
+  // ---- one-pass table profiling --------------------------------------
+
+  /** Data-quality profile of selected orders columns — row count, null
+    * count, exact distinct count, numeric min/max — in ONE aggregation
+    * over one scan (Catalyst plans the multi-column distinct via
+    * Expand: rows multiply by #distinct-columns, but the table is
+    * still read once; at 100 TB swap count_distinct for
+    * approx_count_distinct and the Expand disappears). Emitted long
+    * (one row per column) so new columns never change the schema. */
+  def profile(s: SparkSession, dir: String): DataFrame = {
+    val o = graft.sources.Tables.read(s, dir, "orders")
+    val agg = o.agg(
+      count(lit(1)).as("n"),
+      sum(col("o_custkey").isNull.cast("long")).as("nulls_custkey"),
+      count_distinct(col("o_custkey")).as("nd_custkey"),
+      min(col("o_custkey")).cast("double").as("min_custkey"),
+      max(col("o_custkey")).cast("double").as("max_custkey"),
+      sum(col("o_orderstatus").isNull.cast("long")).as("nulls_status"),
+      count_distinct(col("o_orderstatus")).as("nd_status"),
+      sum(col("o_totalprice").isNull.cast("long")).as("nulls_price"),
+      count_distinct(col("o_totalprice")).as("nd_price"),
+      round(min(col("o_totalprice")), 6).as("min_price"),
+      round(max(col("o_totalprice")), 6).as("max_price"))
+    agg.select(expr(
+      """stack(3,
+        |  'o_custkey', n, nulls_custkey, nd_custkey, min_custkey, max_custkey,
+        |  'o_orderstatus', n, nulls_status, nd_status, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  'o_totalprice', n, nulls_price, nd_price, min_price, max_price)
+        |AS (col_name, n, n_nulls, n_distinct, min_num, max_num)""".stripMargin))
+      .orderBy("col_name")
+  }
+
+  val profileSql: String =
+    """SELECT 'o_custkey' AS col_name, COUNT(*) AS n,
+      |       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+      |       COUNT(DISTINCT o_custkey) AS n_distinct,
+      |       CAST(MIN(o_custkey) AS DOUBLE) AS min_num,
+      |       CAST(MAX(o_custkey) AS DOUBLE) AS max_num
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_orderstatus', COUNT(*),
+      |       SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+      |       COUNT(DISTINCT o_orderstatus), NULL, NULL
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_totalprice', COUNT(*),
+      |       SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+      |       COUNT(DISTINCT o_totalprice),
+      |       round(MIN(o_totalprice), 6), round(MAX(o_totalprice), 6)
+      |FROM orders
+      |ORDER BY col_name""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2_history" -> (scd2History _),
+    "q_sessionize" -> (sessionize _),
+    "q_grid_snapshot" -> (gridSnapshot _),
+    "q_profile" -> (profile _))
+
+  val oracles: Map[String, String] = Map(
+    "q_scd2_history" -> scd2HistorySql,
+    "q_sessionize" -> sessionizeSql,
+    "q_grid_snapshot" -> gridSnapshotSql,
+    "q_profile" -> profileSql)
+}

@@ -100,11 +100,90 @@ object VectorQueries {
        |GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
+  // ---- PQ asymmetric-distance (ADC) search ---------------------------
+
+  private val AdcQ = 4  // query vectors: vec_id < AdcQ
+  private val AdcK = 5
+
+  /** ANN top-k over PQ codes with asymmetric distance: anchors are the
+    * deterministic first-PqC codebook (same construction as
+    * [[pqEncode]] — a production build swaps in k-means subquantizer
+    * centroids, changing only the literal matrix), queries are the
+    * first AdcQ vectors, distances are Σ_s LUT[s][code_s]. The scale
+    * story is the point: the corpus is scanned as m int codes (not
+    * dim floats), all queries score in one pass, and the top-k is the
+    * two-level skew-safe reduction. */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val anchors: Array[Array[Float]] = e
+      .orderBy("vec_id").limit(PqC)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val q = e.filter(col("vec_id") < AdcQ)
+    graft.functions.Similarity.pqAdcTopK(
+        q, "vec_id", "embedding", e, "vec_id", "embedding",
+        anchors, PqM, PqSubDim, k = AdcK)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adc"), 6).as("adc"), col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The oracle rebuilds codes exactly as [[pqEncodeSql]], computes the
+    * same per-(query, subvector, anchor) LUT with the identical
+    * ascending-d left-associative fold, pivots the m per-subvector LUT
+    * hits into columns, and sums them left-to-right — so every ADC
+    * double is bit-identical and (adc, neighbor_id) ranks agree. */
+  val annPqSql: String = {
+    def diffSum(left: String, right: String): String =
+      (1 to PqSubDim).map { d =>
+        val idx = s"t.s * $PqSubDim + $d"
+        s"((CAST($left[$idx] AS DOUBLE) - CAST($right[$idx] AS DOUBLE)) * " +
+          s"(CAST($left[$idx] AS DOUBLE) - CAST($right[$idx] AS DOUBLE)))"
+      }.mkString(" + ")
+    val pivots = (0 until PqM).map(s =>
+      s"MAX(CASE WHEN c.s = $s THEN l END) AS l$s").mkString(",\n         ")
+    val adcSum = (0 until PqM).map(s => s"l$s").mkString(" + ")
+    s"""WITH a AS (
+       |  SELECT aemb, ROW_NUMBER() OVER (ORDER BY avid) - 1 AS aidx
+       |  FROM (SELECT vec_id AS avid, embedding AS aemb
+       |        FROM embeddings ORDER BY vec_id LIMIT $PqC)),
+       |cd AS (
+       |  SELECT e.vec_id, t.s, a.aidx,
+       |         ${diffSum("e.embedding", "a.aemb")} AS dist
+       |  FROM embeddings e
+       |  CROSS JOIN a, UNNEST(range(0, $PqM)) AS t(s)),
+       |code AS (
+       |  SELECT vec_id, s, aidx FROM (
+       |    SELECT vec_id, s, aidx,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, aidx) AS rn
+       |    FROM cd) WHERE rn = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS qid, t.s, a.aidx,
+       |         ${diffSum("q.embedding", "a.aemb")} AS l
+       |  FROM embeddings q
+       |  CROSS JOIN a, UNNEST(range(0, $PqM)) AS t(s)
+       |  WHERE q.vec_id < $AdcQ),
+       |piv AS (
+       |  SELECT l.qid, c.vec_id,
+       |         $pivots
+       |  FROM code c JOIN lut l ON l.s = c.s AND l.aidx = c.aidx
+       |  GROUP BY l.qid, c.vec_id),
+       |ranked AS (
+       |  SELECT qid AS query_id, vec_id AS neighbor_id, $adcSum AS adc,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |                            ORDER BY $adcSum ASC, vec_id ASC) AS rank
+       |  FROM piv WHERE qid <> vec_id)
+       |SELECT query_id, neighbor_id, round(adc, 6) AS adc, CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= $AdcK ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_random_projection" -> (randomProjection _),
-    "q_pq_encode" -> (pqEncode _))
+    "q_pq_encode" -> (pqEncode _),
+    "q_ann_pq" -> (annPq _))
 
   val oracles: Map[String, String] = Map(
     "q_random_projection" -> randomProjectionSql,
-    "q_pq_encode" -> pqEncodeSql)
+    "q_pq_encode" -> pqEncodeSql,
+    "q_ann_pq" -> annPqSql)
 }

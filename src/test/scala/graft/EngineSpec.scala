@@ -154,6 +154,49 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("History.scd2: collapses runs, null transitions open versions, intervals chain") {
+    import spark.implicits._
+    val df = Seq(
+      // key 1: a -> a (no-op, extends) -> b -> null -> b
+      (1L, ts("2024-01-01 00:00:00"), 1L, Some("a")),
+      (1L, ts("2024-01-02 00:00:00"), 2L, Some("a")),
+      (1L, ts("2024-01-03 00:00:00"), 3L, Some("b")),
+      (1L, ts("2024-01-04 00:00:00"), 4L, None),
+      (1L, ts("2024-01-05 00:00:00"), 5L, Some("b")),
+      // key 2: single event -> one open interval
+      (2L, ts("2024-01-01 12:00:00"), 6L, Some("x")))
+      .toDF("k", "ts", "eid", "attr")
+    val got = graft.operators.History.scd2(df, Seq("k"), "ts", Seq("attr"),
+        tieBreaks = Seq("eid"))
+      .select("k", "attr", "valid_from", "valid_to", "version")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getLong(4)))
+      .sortBy(t => (t._1, t._5))
+    assert(got === Seq(
+      (1L, Some("a"), ts("2024-01-01 00:00:00"), Some(ts("2024-01-03 00:00:00")), 1L),
+      (1L, Some("b"), ts("2024-01-03 00:00:00"), Some(ts("2024-01-04 00:00:00")), 2L),
+      (1L, None,      ts("2024-01-04 00:00:00"), Some(ts("2024-01-05 00:00:00")), 3L),
+      (1L, Some("b"), ts("2024-01-05 00:00:00"), None, 4L),
+      (2L, Some("x"), ts("2024-01-01 12:00:00"), None, 1L)))
+  }
+
+  test("History.sessionize: gap strictly greater than gapSeconds cuts; equal gap does not") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 1.0),
+      (1L, ts("2024-01-01 00:10:00"), 2L, 2.0),  // exactly 600s: same session
+      (1L, ts("2024-01-01 00:20:01"), 3L, 3.0))  // 601s: new session
+      .toDF("k", "ts", "eid", "v")
+    val got = graft.operators.History.sessionize(df, Seq("k"), "ts", 600,
+        tieBreaks = Seq("eid"), aggs = Seq(sum(col("v")).as("sv")))
+      .select("k", "session_idx", "n_events", "sv")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._2)
+    assert(got === Seq((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 3.0)))
+  }
+
   test("DatePartition.vacuum drops only expired partitions; survivors still read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_vac").toString + "/log"

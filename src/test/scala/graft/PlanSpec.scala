@@ -92,6 +92,46 @@ class PlanSpec extends AnyFunSuite {
       s"IVF top-k must aggregate at two levels:\n$plan")
   }
 
+  test("PQ ADC top-k: one joinless scan of the code table scores every query") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 64)
+      .map(i => (i.toLong, Array.fill(16)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val anchors = Array.fill(4)(Array.fill(16)(rnd.nextFloat()))
+    val q = corpus.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+    val plan = graft.functions.Similarity.pqAdcTopK(
+        q, "vec_id", "embedding", corpus, "vec_id", "embedding",
+        anchors, m = 4, subDim = 4, k = 5)
+      .queryExecution.executedPlan.toString
+    // the whole point of ADC: codes + LUT lookups in a narrow
+    // projection — scoring joins nothing and shuffles only the bounded
+    // two-level top-k
+    assert(!plan.toLowerCase.contains("join"),
+      s"ADC scoring must not plan any join:\n$plan")
+    assert(plan.toLowerCase.contains("spark_partition_id"),
+      s"ADC top-k must partial-aggregate per (query, partition):\n$plan")
+    assert("collect_list".r.findAllIn(plan).size >= 2,
+      s"ADC top-k must aggregate at two levels:\n$plan")
+  }
+
+  test("History.scd2 / sessionize: one shuffle on the key — windows share a single key partitioning") {
+    import spark.implicits._
+    val df = (0 until 100)
+      .map(i => (i % 5L, new java.sql.Timestamp(1700000000000L + i * 60000L), i.toLong, s"t${i % 3}"))
+      .toDF("k", "ts", "eid", "attr")
+    val scd2Plan = graft.operators.History.scd2(df, Seq("k"), "ts", Seq("attr"),
+      tieBreaks = Seq("eid")).queryExecution.executedPlan.toString
+    val sessPlan = graft.operators.History.sessionize(df, Seq("k"), "ts", 600,
+      tieBreaks = Seq("eid")).queryExecution.executedPlan.toString
+    for ((name, plan) <- Seq("scd2" -> scd2Plan, "sessionize" -> sessPlan)) {
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges <= 1,
+        s"$name should shuffle on the key once, found $exchanges exchanges:\n$plan")
+      assert(!plan.toLowerCase.contains("cartesian"), s"$name plans a cartesian:\n$plan")
+    }
+  }
+
   test("packShards: no unpartitioned window over the data — only over per-slice totals") {
     import spark.implicits._
     val df = (0 until 200).map(i => (i.toLong, 10L)).toDF("id", "tok")
