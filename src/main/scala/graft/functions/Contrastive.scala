@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic negative sampling for contrastive training: pair every
+  * document (anchor) with `k` pseudo-random other documents from the
+  * corpus — the in-batch-negatives precompute for embedding /
+  * retrieval training, done corpus-wide without any driver-side
+  * collect.
+  *
+  * Shape, built for 100 TB:
+  *   1. assign every row a dense 0-based index in id order
+  *      ([[Packing.withDenseIndex]] — distributed prefix sum, no global
+  *      window);
+  *   2. each anchor derives its k probe indexes as a pure column
+  *      expression, LCG-style: (a·(idx·k + j) + b) mod n — no RNG
+  *      state, reproducible run-to-run, SQL-replayable;
+  *   3. one equi-join of the probes against the (index → id) table
+  *      resolves negative ids — a hash join on a dense long key,
+  *      uniformly distributed by construction (no skew: every index is
+  *      probed ≈ k times in expectation).
+  *
+  * Sampling is WITH replacement (two probes of one anchor can collide),
+  * the standard contrastive setup; a probe that lands on the anchor
+  * itself moves to the next index mod n. The multiplier bounds the
+  * exact-arithmetic range to idx·k + j < 2^63 / a ≈ 3.5e9 — beyond
+  * that (trillion-doc corpora), swap the probe for
+  * `pmod(xxhash64(idx * k + j), n)`: same plan, wraparound semantics,
+  * no SQL oracle.
+  */
+object Contrastive {
+
+  def negativeSamples(
+      df: DataFrame,
+      idCol: String,
+      k: Int,
+      mulA: Long = 2654435761L, // Knuth's 2^32 / phi multiplier
+      addB: Long = 97L,
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val indexed = Packing
+      .withDenseIndex(df.select(col(idCol)), idCol, "__idx", numPartitions)
+      .persist()
+    val n = indexed.count() // also materializes the cache
+    if (n < 2) { // no other rows to sample: empty result, fixed schema
+      indexed.unpersist()
+      return indexed.sparkSession.emptyDataFrame
+        .select(lit(null).cast(df.schema(idCol).dataType).as("anchor_id"),
+          lit(0L).as("neg_rank"),
+          lit(null).cast(df.schema(idCol).dataType).as("negative_id"))
+        .limit(0)
+    }
+    val lookup = indexed.select(col("__idx").as("__nidx"), col(idCol).as("negative_id"))
+    val probes = indexed
+      .select(col(idCol).as("anchor_id"), col("__idx"),
+        explode(sequence(lit(0L), lit(k - 1L))).as("neg_rank"))
+      .withColumn("__h",
+        pmod(lit(mulA) * (col("__idx") * lit(k.toLong) + col("neg_rank")) + lit(addB), lit(n)))
+      .withColumn("__nidx",
+        when(col("__h") === col("__idx"), pmod(col("__h") + 1, lit(n)))
+          .otherwise(col("__h")))
+    val out = probes.join(lookup, "__nidx")
+      .select(col("anchor_id"), col("neg_rank"), col("negative_id"))
+    Dedup.unpersistAfterFirstUse(out, indexed)
+  }
+}

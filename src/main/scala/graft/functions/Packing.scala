@@ -89,6 +89,20 @@ object Packing {
       .drop("__start")
   }
 
+  /** Dense 0-based index of each row in global `idCol` order — the
+    * distributed zipWithIndex: the same sampled-bounds prefix sum with a
+    * constant one token per row, so no global window and no
+    * driver-side collect. Requires unique `idCol` values (like
+    * [[packShards]]). */
+  def withDenseIndex(
+      df: DataFrame,
+      idCol: String,
+      outCol: String = "row_idx",
+      numPartitions: Option[Int] = None): DataFrame =
+    withPrefixOffset(df.withColumn("__one", lit(1L)), idCol, "__one", numPartitions)
+      .withColumn(outCol, col("__start"))
+      .drop("__start", "__one")
+
   /** The shared distributed prefix sum: appends `__start` = tokens
     * before this row in global `idCol` order (exclusive prefix). */
   private def withPrefixOffset(

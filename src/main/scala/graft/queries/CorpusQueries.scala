@@ -366,7 +366,37 @@ object CorpusQueries {
       |FROM dw JOIN wsym USING (word)
       |GROUP BY dw.doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- contrastive negative sampling ---------------------------------
+
+  private val NegK = 4
+
+  /** k deterministic negatives per document via the dense-index LCG
+    * probe ([[graft.functions.Contrastive]]): no collect, no global
+    * window, one dense-key hash join. The oracle recomputes the same
+    * index (ROW_NUMBER − 1 in doc_id order), probe formula, and
+    * self-collision remap in exact BIGINT arithmetic. */
+  def negativeSample(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Contrastive.negativeSamples(docs(s, dir), "doc_id", NegK)
+      .orderBy("anchor_id", "neg_rank")
+
+  val negativeSampleSql: String =
+    s"""WITH idx AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS i FROM documents),
+       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |probe AS (
+       |  SELECT x.doc_id AS anchor_id, t.j AS neg_rank, x.i,
+       |         (2654435761 * (x.i * $NegK + t.j) + 97) % n.n AS h, n.n
+       |  FROM idx x CROSS JOIN n, UNNEST(range(0, $NegK)) AS t(j)),
+       |r AS (
+       |  SELECT anchor_id, neg_rank,
+       |         CASE WHEN h = i THEN (h + 1) % n ELSE h END AS nidx
+       |  FROM probe)
+       |SELECT r.anchor_id, r.neg_rank, y.doc_id AS negative_id
+       |FROM r JOIN idx y ON y.i = r.nidx
+       |ORDER BY anchor_id, neg_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_negative_sample" -> (negativeSample _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_bpe_encode" -> (bpeEncode _),
     "q_dup_span" -> (dupSpan _),
@@ -376,6 +406,7 @@ object CorpusQueries {
     "q_length_bucket" -> (lengthBucket _))
 
   val oracles: Map[String, String] = Map(
+    "q_negative_sample" -> negativeSampleSql,
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_encode" -> bpeEncodeSql,
     "q_dup_span" -> dupSpanSql,

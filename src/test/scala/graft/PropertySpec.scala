@@ -119,6 +119,28 @@ class PropertySpec extends AnyFunSuite {
     runCheck(prop, minTests = 8)
   }
 
+  test("Contrastive.negativeSamples: k per anchor, never self, deterministic, uniform-ish (ScalaCheck)") {
+    import spark.implicits._
+    val genCase = for {
+      n <- Gen.oneOf(2, 3, 17, 100)
+      k <- Gen.choose(1, 5)
+      offset <- Gen.choose(0L, 1000L) // non-contiguous, non-zero-based ids
+    } yield (n, k, offset)
+    val prop = Prop.forAllNoShrink(genCase) { case (n, k, offset) =>
+      val df = (0 until n).map(i => offset + i * 3L).toDF("id")
+      def run() = graft.functions.Contrastive.negativeSamples(df, "id", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      val got = run()
+      val perAnchor = got.groupBy(_._1)
+      got.length == n * k &&
+        perAnchor.size == n &&
+        perAnchor.values.forall(g => g.map(_._2).sorted == (0L until k.toLong)) &&
+        got.forall { case (a, _, neg) => a != neg } &&
+        run() == got // deterministic across plan re-executions
+    }
+    runCheck(prop, minTests = 8)
+  }
+
   test("entity key codec: permutation-invariant, value-distinct, tag-distinct (ScalaCheck)") {
     val genKV = for {
       name <- Gen.alphaStr.suchThat(_.nonEmpty).map(_.take(8))
