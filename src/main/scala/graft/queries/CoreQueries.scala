@@ -603,7 +603,79 @@ object CoreQueries {
       |FROM events e JOIN w ON e.ts >= w.ws AND e.ts < w.we
       |GROUP BY w.ws ORDER BY window_start_ms""".stripMargin
 
+  // ---- classical SQL surface beyond the reference (§2.3) -------------
+
+  /** Grouping-set aggregation: revenue by (status, month), by (status),
+    * and the grand total in ONE pass — Catalyst plans a single Expand +
+    * partial hash aggregate, so at 100 TB the input is read once and
+    * each group level partial-aggregates map-side (vs. three separate
+    * scans). NULL group members mark the rolled-up levels, as in SQL. */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "orders")
+      .withColumn("month_ms", unix_millis(date_trunc("month", col("o_orderdate"))))
+      .rollup(col("o_orderstatus"), col("month_ms"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("month_ms").asc_nulls_first)
+
+  val rollupAggSql: String =
+    """SELECT o_orderstatus,
+      |       epoch_ms(date_trunc('month', o_orderdate)) AS month_ms,
+      |       COUNT(*) AS n_orders, round(SUM(o_totalprice), 2) AS revenue
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, month_ms)
+      |ORDER BY o_orderstatus NULLS FIRST, month_ms NULLS FIRST""".stripMargin
+
+  /** Pivot: per-user event counts spread across event-type columns (the
+    * wide feature-table construction step). Pivot values are declared,
+    * not discovered — at 100 TB an undeclared pivot needs a full
+    * distinct scan before planning; declared values keep it one pass. */
+  def pivotEvents(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  val pivotEventsSql: String =
+    """SELECT user_id,
+      |       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+      |       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+      |       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+      |       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+      |       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Set operations (EXCEPT / INTERSECT semantics): customer churn
+    * segments between two order years. Spark plans EXCEPT/INTERSECT as
+    * hash anti/semi joins on the already-distinct sides — no sort, and
+    * AQE can broadcast the smaller year. */
+  def setOpsSegments(s: SparkSession, dir: String): DataFrame = {
+    val o = pq(s, dir, "orders")
+    def yr(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+    val (a, b) = (yr(1995), yr(1996))
+    a.except(b).withColumn("segment", lit("1995_only"))
+      .unionByName(a.intersect(b).withColumn("segment", lit("both")))
+      .unionByName(b.except(a).withColumn("segment", lit("1996_only")))
+      .orderBy("segment", "o_custkey")
+  }
+
+  val setOpsSegmentsSql: String =
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+      |b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+      |SELECT o_custkey, '1995_only' AS segment FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      |UNION ALL
+      |SELECT o_custkey, 'both' FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      |UNION ALL
+      |SELECT o_custkey, '1996_only' FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+      |ORDER BY segment, o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rollup" -> (rollupAgg _),
+    "q_pivot" -> (pivotEvents _),
+    "q_setops" -> (setOpsSegments _),
     "q_interval_join" -> (intervalJoin _),
     "q_pit_join_single" -> (pitJoinSingle _),
     "q_pit_join_multi" -> (pitJoinMulti _),
@@ -624,6 +696,9 @@ object CoreQueries {
     "q_window_topk" -> (windowTopK _))
 
   val oracles: Map[String, String] = Map(
+    "q_rollup" -> rollupAggSql,
+    "q_pivot" -> pivotEventsSql,
+    "q_setops" -> setOpsSegmentsSql,
     "q_interval_join" -> intervalJoinSql,
     "q_pit_join_single" -> pitJoinSingleSql,
     "q_pit_join_multi" -> pitJoinMultiSql,
