@@ -78,7 +78,12 @@ object ScaleCheck {
       // the batch-vs-corpus LSH join
       "q_novelty", "q_dup_span", "q_bpe_merges", "q_random_projection",
       "q_label_join", "q_snapshot_diff", "q_context_windows",
-      "q_dedup_incremental_fuzzy")
+      "q_dedup_incremental_fuzzy",
+      // round-5 additions: key-partitioned windows (scd2, sessionize),
+      // the dense-index probe join, the joinless ADC scan, and the
+      // grid-snapshot PIT composition over a pinned entity plan
+      "q_scd2_history", "q_sessionize", "q_negative_sample",
+      "q_ann_pq", "q_grid_snapshot")
     queries.foreach(q => time(q, baseDir)) // warm: codegen + analyzer JIT
     val lines = queries.map { q =>
       val t1 = time(q, baseDir)
