@@ -132,6 +132,37 @@ object HistoryQueries {
       |  ON c.user_id = g.user_id AND c.snap = g.snap
       |ORDER BY g.user_id, snap_ms""".stripMargin
 
+  // ---- time-decayed features -----------------------------------------
+
+  /** Recency-weighted engagement features as of a fixed time:
+    * Σ value / (1 + age_days) per user — the decayed-counter family
+    * every ranking feature store carries. Hyperbolic decay instead of
+    * exponential keeps the per-row arithmetic to IEEE ops both engines
+    * execute identically (no libm exp divergence); a narrow
+    * projection + one map-side-combinable aggregation, so it runs at
+    * scan speed at 100 TB. */
+  def decayFeatures(s: SparkSession, dir: String): DataFrame = {
+    val asOf = lit(java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    ev(s, dir)
+      .filter(col("ts") <= asOf)
+      .withColumn("__w",
+        col("value") / (lit(1.0) +
+          (unix_micros(asOf) - unix_micros(col("ts"))).cast("double") / lit(86400e6)))
+      .groupBy(col("user_id"))
+      .agg(round(sum(col("__w")), 6).as("decayed_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val decayFeaturesSql: String =
+    """SELECT user_id,
+      |       round(SUM(value / (1 + CAST(epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+      |                  - epoch_us(ts) AS DOUBLE) / 86400e6)), 6) AS decayed_value,
+      |       COUNT(*) AS n_events
+      |FROM events
+      |WHERE ts <= TIMESTAMP '2024-02-01 00:00:00'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---- one-pass table profiling --------------------------------------
 
   /** Data-quality profile of selected orders columns — row count, null
@@ -188,11 +219,13 @@ object HistoryQueries {
     "q_scd2_history" -> (scd2History _),
     "q_sessionize" -> (sessionize _),
     "q_grid_snapshot" -> (gridSnapshot _),
+    "q_decay_features" -> (decayFeatures _),
     "q_profile" -> (profile _))
 
   val oracles: Map[String, String] = Map(
     "q_scd2_history" -> scd2HistorySql,
     "q_sessionize" -> sessionizeSql,
     "q_grid_snapshot" -> gridSnapshotSql,
+    "q_decay_features" -> decayFeaturesSql,
     "q_profile" -> profileSql)
 }

@@ -132,6 +132,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed feature tables co-locate the equi join and the same-key agg: zero exchanges") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    val feats = (0 until 1000).map(i => (i.toLong % 97, i.toLong, i * 1.5))
+      .toDF("user_id", "event_id", "value")
+    val ents = (0 until 500).map(i => (i.toLong % 97, s"u$i")).toDF("user_id", "tag")
+    graft.sources.Bucketing.writeBucketed(feats, s"$tmp/f", "graft_bkt_feats", Seq("user_id"), 8)
+    graft.sources.Bucketing.writeBucketed(ents, s"$tmp/e", "graft_bkt_ents", Seq("user_id"), 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the join must prove co-location, not dodge it
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = graft.sources.Bucketing.readBucketed(spark, "graft_bkt_feats")
+        .join(graft.sources.Bucketing.readBucketed(spark, "graft_bkt_ents"), "user_id")
+        .groupBy("user_id").agg(sum($"value").as("sv"), first($"tag").as("tag"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join + same-key agg must not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"scan must engage bucketed reading:\n$plan")
+      // Spark >= 3 does not propagate the on-disk sortBy order at plan
+      // time (that listing is gated behind
+      // spark.sql.legacy.bucketedTableScan.outputOrdering), so SMJ keeps
+      // per-partition Sorts. Those sort co-located, shuffle-free
+      // partitions — cheap and spill-local; the exchange elimination
+      // above is the property that matters at 100 TB.
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_feats")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_ents")
+    }
+  }
+
   test("packShards: no unpartitioned window over the data — only over per-slice totals") {
     import spark.implicits._
     val df = (0 until 200).map(i => (i.toLong, 10L)).toDF("id", "tok")
