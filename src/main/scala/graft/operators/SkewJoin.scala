@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys — the manual fallback when AQE's
+  * skew-join split cannot help (AQE only splits SORT-MERGE join
+  * partitions, and only within one stage; a hot key that dominates a
+  * stream-side hash join, or a deliberately co-partitioned pipeline,
+  * still serializes on one task).
+  *
+  * Shape: the SKEWED side tags each row with a deterministic salt in
+  * [0, saltFactor); the MODERATE side replicates every row once per
+  * salt value. The join key becomes (keys…, salt), so a hot key's rows
+  * spread across `saltFactor` reducers instead of one. Cost: the
+  * moderate side shuffles saltFactor× its size — use for sides too big
+  * to broadcast but far smaller than the skewed side (the dimension
+  * join of a 100 TB event table against a 100 GB entity table with a
+  * few celebrity keys).
+  *
+  * The salt must vary WITHIN a key (a key-derived hash would put the
+  * whole hot key back on one reducer), so it hashes the full row;
+  * fully identical duplicate rows share a salt, which only matters if
+  * a hot key's rows are all byte-identical. Deterministic across
+  * retries and plan re-executions — no rand(), so a recomputed
+  * partition lands in the same bucket (rand() here corrupts join
+  * results under task retry).
+  *
+  * Only inner and left joins are valid: replicating the right side
+  * would duplicate right-outer unmatched rows. */
+object SkewJoin {
+
+  def salted(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      saltFactor: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
+    require(Seq("inner", "left", "left_outer", "leftouter").contains(joinType.toLowerCase),
+      s"salted join supports inner/left only (right replication would duplicate " +
+        s"outer rows), got $joinType")
+    val salt = pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor.toLong))
+    val l = left.withColumn("__graft_salt", salt)
+    val r = right.withColumn("__graft_salt",
+      explode(sequence(lit(0L), lit(saltFactor - 1L))))
+    l.join(r, keys :+ "__graft_salt", joinType).drop("__graft_salt")
+  }
+}

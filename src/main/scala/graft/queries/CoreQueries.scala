@@ -672,7 +672,34 @@ object CoreQueries {
       |SELECT o_custkey, '1996_only' FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
       |ORDER BY segment, o_custkey""".stripMargin
 
+  /** Salted skew join: events (the skewed fact side) left-joined to a
+    * per-customer order dimension through [[SkewJoin.salted]] — the
+    * result is identical to the plain join (the oracle IS the plain
+    * join), but a hot user's events spread across 8 reducers. */
+  def saltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = pq(s, dir, "events").select(col("user_id"), col("value"))
+    val dim = pq(s, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("n_orders"))
+    graft.operators.SkewJoin.salted(e, dim, Seq("user_id"), saltFactor = 8, "left")
+      .groupBy("user_id")
+      .agg(round(sum(col("value")), 6).as("sum_value"),
+        count(lit(1)).as("n_events"),
+        max(col("n_orders")).as("n_orders"))
+      .orderBy("user_id")
+  }
+
+  val saltedJoinSql: String =
+    """WITH dim AS (
+      |  SELECT o_custkey AS user_id, COUNT(*) AS n_orders
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT e.user_id, round(SUM(e.value), 6) AS sum_value,
+      |       COUNT(*) AS n_events, MAX(d.n_orders) AS n_orders
+      |FROM events e LEFT JOIN dim d USING (user_id)
+      |GROUP BY e.user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_join" -> (saltedJoin _),
     "q_rollup" -> (rollupAgg _),
     "q_pivot" -> (pivotEvents _),
     "q_setops" -> (setOpsSegments _),
@@ -696,6 +723,7 @@ object CoreQueries {
     "q_window_topk" -> (windowTopK _))
 
   val oracles: Map[String, String] = Map(
+    "q_salted_join" -> saltedJoinSql,
     "q_rollup" -> rollupAggSql,
     "q_pivot" -> pivotEventsSql,
     "q_setops" -> setOpsSegmentsSql,

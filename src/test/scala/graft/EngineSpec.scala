@@ -154,6 +154,29 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("SkewJoin.salted equals the plain join (hot key, dup rows, inner + left); salt in the join key") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // hot key 0 with 300 rows (incl. byte-identical duplicates), tail keys 1..20
+    val left = ((0 until 300).map(i => (0L, (i % 50).toDouble)) ++
+      (0 until 200).map(_ => (1L + rnd.nextInt(20), rnd.nextInt(100).toDouble)))
+      .toDF("k", "v")
+    // right covers some keys only (left-outer nulls exercised), unique per key
+    val right = (0 until 15).map(i => (i.toLong, s"r$i")).toDF("k", "tag")
+    for (jt <- Seq("inner", "left")) {
+      val salted = graft.operators.SkewJoin.salted(left, right, Seq("k"), 8, jt)
+      val plain = left.join(right, Seq("k"), jt)
+      def sorted(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).sorted
+      assert(sorted(salted) === sorted(plain), s"joinType=$jt")
+      assert(salted.queryExecution.executedPlan.toString.contains("__graft_salt"),
+        "salt must participate in the join key")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.SkewJoin.salted(left, right, Seq("k"), 8, "right")
+    }
+  }
+
   test("History.scd2: collapses runs, null transitions open versions, intervals chain") {
     import spark.implicits._
     val df = Seq(
