@@ -260,6 +260,79 @@ object CorpusQueries {
       |FROM n LEFT JOIN cov USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Duplicated-span REMOVAL — the transform behind the [[dupSpan]]
+    * metric (Lee et al. 2022 §4: drop substrings already seen in an
+    * earlier document, keep the rest of the doc): token positions
+    * covered by an 8-gram first seen in an earlier doc are deleted and
+    * the survivors are re-joined in order. Same gram-attribution
+    * machinery (explode → min(doc_id) hash agg → position coverage),
+    * plus one (doc, pos) anti-join and a per-doc ordered rebuild —
+    * collect_list is bounded by DOC length, never corpus size.
+    * Planted clones come out empty; partial overlaps keep their novel
+    * prefix/suffix. */
+  def spanScrub(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val withClones = base.unionByName(
+      base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val toks = withClones.withColumn("__w", TF.words(col("text")))
+    val grams = toks
+      .select(col("doc_id"), posexplode(TF.wordNgramsAllFromWords(col("__w"), 8)))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("gram"))
+    val minDoc = grams.groupBy("gram").agg(min(col("doc_id")).as("min_doc"))
+    val covered = grams.join(minDoc, "gram")
+      .filter(col("min_doc") < col("doc_id"))
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + 7)).as("pos"))
+      .distinct()
+    val tokens = toks
+      .select(col("doc_id"), posexplode(col("__w")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("word"))
+    val rebuilt = tokens.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+            x => x("word"))).as("cleaned_text"))
+    toks.select(col("doc_id"), size(col("__w")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
+  val spanScrubSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+      |w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM base),
+      |g AS (
+      |  SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS gram
+      |  FROM w, UNNEST(range(1, greatest(len(w) - 7, 0) + 1)) AS t(i)),
+      |md AS (SELECT gram, min(doc_id) AS min_doc FROM g GROUP BY gram),
+      |dp AS (
+      |  SELECT DISTINCT g.doc_id, p
+      |  FROM g JOIN md USING (gram), UNNEST(range(g.i, g.i + 8)) AS u(p)
+      |  WHERE md.min_doc < g.doc_id),
+      |tok AS (
+      |  SELECT doc_id, t.i AS pos, w[t.i] AS word
+      |  FROM w, UNNEST(range(1, len(w) + 1)) AS t(i)),
+      |kept AS (
+      |  SELECT tok.doc_id, tok.pos, tok.word FROM tok
+      |  WHERE NOT EXISTS (SELECT 1 FROM dp
+      |                    WHERE dp.doc_id = tok.doc_id AND dp.p = tok.pos)),
+      |reb AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |         string_agg(word, ' ' ORDER BY pos) AS cleaned_text
+      |  FROM kept GROUP BY doc_id),
+      |n AS (SELECT doc_id, len(w) AS n_tokens FROM w)
+      |SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+      |       coalesce(reb.cleaned_text, '') AS cleaned_text
+      |FROM n LEFT JOIN reb USING (doc_id)
+      |ORDER BY n.doc_id""".stripMargin
+
   // ---- BPE merge training --------------------------------------------
 
   private val BpeRounds = 3
@@ -397,6 +470,7 @@ object CorpusQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_negative_sample" -> (negativeSample _),
+    "q_span_scrub" -> (spanScrub _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_bpe_encode" -> (bpeEncode _),
     "q_dup_span" -> (dupSpan _),
@@ -407,6 +481,7 @@ object CorpusQueries {
 
   val oracles: Map[String, String] = Map(
     "q_negative_sample" -> negativeSampleSql,
+    "q_span_scrub" -> spanScrubSql,
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_encode" -> bpeEncodeSql,
     "q_dup_span" -> dupSpanSql,
