@@ -48,11 +48,23 @@ final case class FeatureView(
 
 final case class FeatureViewProjection(viewName: String, features: Seq[String])
 
+/** On-demand feature computed at RETRIEVAL time from the service's
+  * projected features (+ entity columns): `sqlExpr` is a Spark SQL
+  * expression over BARE feature names. The historical path appends it
+  * as a Catalyst column (codegen'd with the retrieval plan — zero extra
+  * passes); the online path evaluates it driver-side over a
+  * LocalRelation (ConvertToLocalRelation folds the projection at
+  * optimization time, so no Spark job touches the ms-latency read).
+  * The reference gains this surface in later versions (on-demand
+  * feature views); here it is the natural Spark-first extension. */
+final case class DerivedFeature(name: String, sqlExpr: String)
+
 /** Named group of projections — the serving API unit. */
 final case class FeatureService(
     name: String,
     projections: Seq[FeatureViewProjection],
-    tags: Map[String, String] = Map.empty) {
+    tags: Map[String, String] = Map.empty,
+    derived: Seq[DerivedFeature] = Nil) {
   def featureRefs: Seq[FeatureRef] =
     projections.flatMap(p => p.features.map(f => FeatureRef(p.viewName, f)))
 }

@@ -227,7 +227,62 @@ object OnlineQueries {
       |FROM ent e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** FeatureService with a DERIVED feature: discounted quantity
+    * computed at retrieval time from two projected features. The
+    * derived expression is a plain Catalyst column over the historical
+    * retrieval output — same codegen stage, and the oracle just
+    * computes the same arithmetic on its joined columns. */
+  def derivedFeaturesQ(s: SparkSession, dir: String): DataFrame = {
+    val reg = new Registry()
+    val fs = new FeatureStore("graft_drv", reg,
+      new graft.online.InMemoryOnlineStore(), s)
+    fs.applyEntity(Entity("order", GraftType.Int64, joinKeyOpt = Some("o_orderkey")))
+    fs.applyFeatureView(FeatureView(
+      name = "lineitem_feats",
+      entities = Seq("order"),
+      features = Seq(Feature("l_quantity", GraftType.Dbl),
+        Feature("l_discount", GraftType.Dbl)),
+      ttl = Duration.ofDays(200),
+      batchSource = FileSource(s"$dir/lineitem.parquet", eventTimestampColumn = "l_shipdate",
+        fieldMapping = Map("l_orderkey" -> "o_orderkey"))))
+    reg.applyFeatureService(FeatureService("scoring_svc",
+      Seq(FeatureViewProjection("lineitem_feats", Seq("l_quantity", "l_discount"))),
+      derived = Seq(
+        graft.model.DerivedFeature("disc_qty",
+          "round(l_quantity * (1.0 - l_discount), 6)"))))
+
+    val entity = Tables.read(s, dir, "orders")
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"),
+        (col("o_orderdate") + expr("INTERVAL 365 DAY")).as("event_timestamp"))
+
+    fs.getHistoricalFeatures(entity, reg.getFeatureService("scoring_svc"))
+      .select(col("o_orderkey"), unix_millis(col("event_timestamp")).as("event_ts_ms"),
+        col("l_quantity"), col("l_discount"), col("disc_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  val derivedFeaturesSql: String =
+    """WITH ent AS (
+      |  SELECT o_orderkey, o_orderdate + INTERVAL 365 DAY AS event_timestamp
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |), cand AS (
+      |  SELECT e.o_orderkey, f.l_quantity, f.l_discount,
+      |         ROW_NUMBER() OVER (PARTITION BY e.o_orderkey
+      |                            ORDER BY f.l_shipdate DESC, f.l_quantity DESC,
+      |                                     f.l_discount DESC) AS rn
+      |  FROM ent e JOIN lineitem f ON f.l_orderkey = e.o_orderkey
+      |   AND f.l_shipdate <= e.event_timestamp
+      |   AND f.l_shipdate >= e.event_timestamp - INTERVAL 200 DAY
+      |)
+      |SELECT e.o_orderkey, epoch_ms(e.event_timestamp) AS event_ts_ms,
+      |       c.l_quantity, c.l_discount,
+      |       round(c.l_quantity * (1.0 - c.l_discount), 6) AS disc_qty
+      |FROM ent e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_derived_features" -> (derivedFeaturesQ _),
     "q_materialize_roundtrip" -> (materializeRoundtrip _),
     "q_online_multiget" -> (onlineMultiGet _),
     "q_historical_facade" -> (historicalFacade _),
@@ -237,5 +292,6 @@ object OnlineQueries {
     "q_materialize_roundtrip" -> materializeRoundtripSql,
     "q_online_multiget" -> onlineMultiGetSql,
     "q_historical_facade" -> historicalFacadeSql,
-    "q_feature_service" -> featureServiceSql)
+    "q_feature_service" -> featureServiceSql,
+    "q_derived_features" -> derivedFeaturesSql)
 }

@@ -266,7 +266,9 @@ object RegistryCodec {
   private[graft] def encodeService(s: FeatureService): JObj = Json.obj(
     "name" -> jstr(s.name),
     "projections" -> Json.arr(s.projections.map(p => Json.obj(
-      "view" -> jstr(p.viewName), "features" -> Json.arr(p.features.map(jstr))))))
+      "view" -> jstr(p.viewName), "features" -> Json.arr(p.features.map(jstr))))),
+    "derived" -> Json.arr(s.derived.map(d => Json.obj(
+      "name" -> jstr(d.name), "expr" -> jstr(d.sqlExpr)))))
 
   private[graft] def decodeService(j: JValue): FeatureService = {
     val o = j.asInstanceOf[JObj]
@@ -276,6 +278,11 @@ object RegistryCodec {
         val po = p.asInstanceOf[JObj]
         FeatureViewProjection(po("view").asInstanceOf[JStr].v,
           (po("features"): @unchecked) match { case JArr(fs) => fs.map(_.asInstanceOf[JStr].v) })
-      } })
+      } },
+      // absent in registries written before derived features existed
+      derived = o.get("derived").collect { case JArr(ds) => ds.map { d =>
+        val dd = d.asInstanceOf[JObj]
+        DerivedFeature(dd("name").asInstanceOf[JStr].v, dd("expr").asInstanceOf[JStr].v)
+      } }.getOrElse(Nil))
   }
 }

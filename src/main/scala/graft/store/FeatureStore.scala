@@ -77,8 +77,13 @@ class FeatureStore(
     PointInTimeJoin.join(entityDf, viewJoins, resolvedTsCol, fullFeatureNames)
   }
 
-  def getHistoricalFeatures(entityDf: DataFrame, service: FeatureService): DataFrame =
-    getHistoricalFeatures(entityDf, service.featureRefs.map(_.toString))
+  def getHistoricalFeatures(entityDf: DataFrame, service: FeatureService): DataFrame = {
+    val base = getHistoricalFeatures(entityDf, service.featureRefs.map(_.toString))
+    // derived features are plain Catalyst columns over the retrieval
+    // output — they fuse into the same codegen stage, zero extra passes
+    service.derived.foldLeft(base)((df, d) =>
+      df.withColumn(d.name, org.apache.spark.sql.functions.expr(d.sqlExpr)))
+  }
 
   // ---- batch ingest (reference client.ingest 789-917 +
   // loaders/ingest.py:51-120) ------------------------------------------
@@ -203,10 +208,41 @@ class FeatureStore(
     OnlineResponse(entityRows, fields.toVector)
   }
 
-  /** Online reads through a FeatureService's projections. */
+  /** Online reads through a FeatureService's projections, with derived
+    * features evaluated DRIVER-SIDE over a LocalRelation: Catalyst's
+    * ConvertToLocalRelation folds the projection during optimization,
+    * so the ms-latency point-read path schedules no Spark job. A
+    * derived value that comes out null (e.g. an input was NOT_FOUND)
+    * reads back status NOT_FOUND, value retained as null. */
   def getOnlineFeatures(service: FeatureService,
-      entityRows: Seq[Map[String, Any]]): OnlineResponse =
-    getOnlineFeatures(service.featureRefs.map(_.toString), entityRows)
+      entityRows: Seq[Map[String, Any]]): OnlineResponse = {
+    val base = getOnlineFeatures(service.featureRefs.map(_.toString), entityRows)
+    if (service.derived.isEmpty || entityRows.isEmpty) base
+    else {
+      // bare-name input frame: entity keys + feature values (a service
+      // projecting the same feature name from two views would collide —
+      // reject rather than silently pick one)
+      val bare = base.fields.map { case (k, vs) => k.split(":").last -> vs }
+      val dups = bare.map(_._1).groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+      require(dups.isEmpty,
+        s"derived features need unique bare feature names; duplicated: ${dups.mkString(", ")}")
+      val entityCols = entityRows.head.keys.toSeq
+      val inputDf = base.toDf(spark, entityCols).toDF(
+        (entityCols ++ bare.map(_._1)): _*)
+      val evaluated = service.derived.foldLeft(inputDf)((df, d) =>
+        df.withColumn(d.name, org.apache.spark.sql.functions.expr(d.sqlExpr)))
+      val rows = evaluated.select(service.derived.map(d =>
+        org.apache.spark.sql.functions.col(d.name)): _*).collect()
+      val derivedFields = service.derived.zipWithIndex.map { case (d, i) =>
+        d.name -> rows.map { r =>
+          val v = r.get(i)
+          if (v == null) FeatureValue(null, FeatureStatus.NotFound)
+          else FeatureValue(v, FeatureStatus.Present)
+        }.toVector
+      }
+      base.copy(fields = base.fields ++ derivedFields)
+    }
+  }
 
   // ---- teardown (feature_store.py:258-273) ----------------------------
   def teardown(): Unit = {
@@ -309,6 +345,10 @@ final case class OnlineResponse(
     val rows = entityRows.zipWithIndex.map { case (er, i) =>
       Row.fromSeq(entityCols.map(er.getOrElse(_, null)) ++ fields.map(_._2(i).value))
     }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+    // LocalRelation, not parallelize: projections over it fold at
+    // optimization time (ConvertToLocalRelation), so downstream
+    // derived-feature evaluation and collect() schedule no Spark job
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.toSeq.asJava, schema)
   }
 }

@@ -35,6 +35,44 @@ class ServingSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("online derived features: evaluated job-free, null inputs read back NOT_FOUND") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-10 00:00:00"), 10.0, 0.2),
+      (2L, ts("2024-01-10 00:00:00"), 4.0, 0.5))
+      .toDF("user_id", "event_ts", "qty", "disc")
+    val fs = new FeatureStore("drv_test", new Registry(),
+      new InMemoryOnlineStore(), spark)
+    fs.applyEntity(Entity("user", GraftType.Int64, joinKeyOpt = Some("user_id")))
+    fs.applyFeatureView(FeatureView("purchases", Seq("user"),
+      Seq(Feature("qty", GraftType.Dbl), Feature("disc", GraftType.Dbl)),
+      Duration.ZERO, DataFrameSource(df, eventTimestampColumn = "event_ts")))
+    fs.materialize(Seq("purchases"), ts("2024-01-01 00:00:00"), ts("2024-02-01 00:00:00"))
+    val svc = FeatureService("svc",
+      Seq(FeatureViewProjection("purchases", Seq("qty", "disc"))),
+      derived = Seq(DerivedFeature("net_qty", "qty * (1.0 - disc)")))
+    fs.applyFeatureService(svc)
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val resp = fs.getOnlineFeatures(svc,
+        Seq(Map("user_id" -> 1L), Map("user_id" -> 2L), Map("user_id" -> 99L)))
+      // listener events are async; a job-start event for anything this
+      // test ran would land well within this window
+      Thread.sleep(300)
+      assert(jobs.get() === 0, "derived online evaluation must not schedule a Spark job")
+      assert(resp.toMap("net_qty") === Seq(8.0, 2.0, null))
+      assert(resp.statuses("net_qty") === Seq("PRESENT", "PRESENT", "NOT_FOUND"))
+      // base features unaffected
+      assert(resp.statuses("purchases:qty") === Seq("PRESENT", "PRESENT", "NOT_FOUND"))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("serving endpoint: health, reads with statuses, O16 coercion, bad request") {
     import spark.implicits._
     val df = Seq(
