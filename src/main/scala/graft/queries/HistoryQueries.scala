@@ -163,6 +163,55 @@ object HistoryQueries {
       |WHERE ts <= TIMESTAMP '2024-02-01 00:00:00'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---- feature drift (PSI) -------------------------------------------
+
+  /** PSI drift of the event value distribution per event_type between
+    * the first half of January (training baseline) and the rest of the
+    * log (serving window), over frozen bin edges — the
+    * monitoring-the-model's-inputs pass. The oracle reproduces the
+    * bins (CASE over the same edges = count of edges ≤ v), the dense
+    * group×bin spine, the +0.5 Laplace smoothing, and the Σ(Δp·ln)
+    * sum. */
+  def featureDrift(s: SparkSession, dir: String): DataFrame = {
+    val split = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val e = ev(s, dir)
+    graft.functions.Drift.psi(
+        e.filter(col("ts") < lit(split)),
+        e.filter(col("ts") >= lit(split)),
+        "value", Seq(2.0, 5.0, 10.0, 20.0), Seq("event_type"))
+      .orderBy("event_type")
+  }
+
+  val featureDriftSql: String =
+    """WITH binned AS (
+      |  SELECT event_type,
+      |         CASE WHEN value >= 20 THEN 4 WHEN value >= 10 THEN 3
+      |              WHEN value >= 5 THEN 2 WHEN value >= 2 THEN 1 ELSE 0 END AS bin,
+      |         ts < TIMESTAMP '2024-01-15 00:00:00' AS is_base
+      |  FROM events),
+      |cnt AS (
+      |  SELECT event_type, bin,
+      |         SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS n_base,
+      |         SUM(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS n_cur
+      |  FROM binned GROUP BY event_type, bin),
+      |spine AS (
+      |  SELECT g.event_type, t.bin
+      |  FROM (SELECT DISTINCT event_type FROM events) g,
+      |       UNNEST(range(0, 5)) AS t(bin)),
+      |filled AS (
+      |  SELECT s.event_type, s.bin,
+      |         coalesce(c.n_base, 0) AS n_base, coalesce(c.n_cur, 0) AS n_cur
+      |  FROM spine s LEFT JOIN cnt c USING (event_type, bin)),
+      |p AS (
+      |  SELECT event_type, n_base, n_cur,
+      |         (n_base + 0.5::DOUBLE) / (SUM(n_base) OVER (PARTITION BY event_type) + 2.5::DOUBLE) AS pb,
+      |         (n_cur + 0.5::DOUBLE) / (SUM(n_cur) OVER (PARTITION BY event_type) + 2.5::DOUBLE) AS pc
+      |  FROM filled)
+      |SELECT event_type,
+      |       round(SUM((pc - pb) * ln(pc / pb)), 6) AS psi,
+      |       SUM(n_base) AS n_base, SUM(n_cur) AS n_cur
+      |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---- one-pass table profiling --------------------------------------
 
   /** Data-quality profile of selected orders columns — row count, null
@@ -220,6 +269,7 @@ object HistoryQueries {
     "q_sessionize" -> (sessionize _),
     "q_grid_snapshot" -> (gridSnapshot _),
     "q_decay_features" -> (decayFeatures _),
+    "q_feature_drift" -> (featureDrift _),
     "q_profile" -> (profile _))
 
   val oracles: Map[String, String] = Map(
@@ -227,5 +277,6 @@ object HistoryQueries {
     "q_sessionize" -> sessionizeSql,
     "q_grid_snapshot" -> gridSnapshotSql,
     "q_decay_features" -> decayFeaturesSql,
+    "q_feature_drift" -> featureDriftSql,
     "q_profile" -> profileSql)
 }
