@@ -163,6 +163,72 @@ object HistoryQueries {
       |WHERE ts <= TIMESTAMP '2024-02-01 00:00:00'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---- incremental aggregate state -----------------------------------
+
+  /** Lifetime per-user counters maintained incrementally: state built
+    * from the first half of January, merged with the delta from the
+    * rest of the log — the oracle recomputes from the FULL log in one
+    * pass, pinning merge(fromBatch(a), fromBatch(b)) ==
+    * fromBatch(a ∪ b). Derived avg comes from the state at read time
+    * (non-mergeable aggregates are never stored). */
+  def aggIncremental(s: SparkSession, dir: String): DataFrame = {
+    val split = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+    val e = ev(s, dir)
+    val state = graft.operators.AggState.fromBatch(
+      e.filter(col("ts") < split), Seq("user_id"), "value")
+    val delta = graft.operators.AggState.fromBatch(
+      e.filter(col("ts") >= split), Seq("user_id"), "value")
+    graft.operators.AggState.merge(state, delta)
+      .select(col("user_id"), col("cnt"),
+        round(col("sum"), 6).as("sum_value"),
+        col("min").as("min_value"), col("max").as("max_value"),
+        // avg from the ROUNDED sum: the raw sums differ across engines
+        // in the last ulp (aggregation order), and dividing them can
+        // land on opposite sides of the 6-decimal rounding boundary;
+        // the rounded sums are bit-identical, so this is deterministic
+        round(round(col("sum"), 6) / col("cnt"), 6).as("avg_value"))
+      .orderBy("user_id")
+  }
+
+  val aggIncrementalSql: String =
+    """SELECT user_id, COUNT(value) AS cnt,
+      |       round(SUM(value), 6) AS sum_value,
+      |       MIN(value) AS min_value, MAX(value) AS max_value,
+      |       round(round(SUM(value), 6) / COUNT(value), 6) AS avg_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---- declarative validation rules ----------------------------------
+
+  /** Expectation-suite gate over orders: four value-level rules
+    * evaluated in one aggregation over one scan. */
+  def validateOrders(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Validate
+    val o = graft.sources.Tables.read(s, dir, "orders")
+    Validate.report(o, Seq(
+      Validate.Rule("custkey_nonnull", col("o_custkey").isNotNull),
+      Validate.Rule("orderdate_in_range",
+        col("o_orderdate").between(
+          java.sql.Timestamp.valueOf("1990-01-01 00:00:00"),
+          java.sql.Timestamp.valueOf("2010-01-01 00:00:00"))),
+      Validate.Rule("status_known", col("o_orderstatus").isin("O", "F", "P")),
+      Validate.Rule("totalprice_positive", col("o_totalprice") > 0)))
+      .orderBy("rule")
+  }
+
+  val validateOrdersSql: String =
+    """WITH agg AS (
+      |  SELECT COUNT(*) AS n,
+      |    SUM(CASE WHEN NOT coalesce(o_custkey IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS v_key,
+      |    SUM(CASE WHEN NOT coalesce(o_orderdate BETWEEN TIMESTAMP '1990-01-01' AND TIMESTAMP '2010-01-01', FALSE) THEN 1 ELSE 0 END) AS v_date,
+      |    SUM(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END) AS v_status,
+      |    SUM(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS v_price
+      |  FROM orders)
+      |SELECT 'custkey_nonnull' AS rule, n AS n_rows, v_key AS n_violations, v_key = 0 AS pass FROM agg
+      |UNION ALL SELECT 'orderdate_in_range', n, v_date, v_date = 0 FROM agg
+      |UNION ALL SELECT 'status_known', n, v_status, v_status = 0 FROM agg
+      |UNION ALL SELECT 'totalprice_positive', n, v_price, v_price = 0 FROM agg
+      |ORDER BY rule""".stripMargin
+
   // ---- feature drift (PSI) -------------------------------------------
 
   /** PSI drift of the event value distribution per event_type between
@@ -270,6 +336,8 @@ object HistoryQueries {
     "q_grid_snapshot" -> (gridSnapshot _),
     "q_decay_features" -> (decayFeatures _),
     "q_feature_drift" -> (featureDrift _),
+    "q_agg_incremental" -> (aggIncremental _),
+    "q_validate" -> (validateOrders _),
     "q_profile" -> (profile _))
 
   val oracles: Map[String, String] = Map(
@@ -278,5 +346,7 @@ object HistoryQueries {
     "q_grid_snapshot" -> gridSnapshotSql,
     "q_decay_features" -> decayFeaturesSql,
     "q_feature_drift" -> featureDriftSql,
+    "q_agg_incremental" -> aggIncrementalSql,
+    "q_validate" -> validateOrdersSql,
     "q_profile" -> profileSql)
 }

@@ -177,6 +177,21 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("AggState: merge(fromBatch(a), fromBatch(b)) == fromBatch(a ++ b), disjoint keys included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val a = (0 until 200).map(_ => (rnd.nextInt(10).toLong, rnd.nextInt(1000) / 10.0))
+    val b = (0 until 150).map(_ => ((5 + rnd.nextInt(10)).toLong, rnd.nextInt(1000) / 10.0))
+    def state(rows: Seq[(Long, Double)]) =
+      graft.operators.AggState.fromBatch(rows.toDF("k", "v"), Seq("k"), "v")
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(snap(graft.operators.AggState.merge(state(a), state(b))) ===
+      snap(state(a ++ b)))
+  }
+
   test("History.scd2: collapses runs, null transitions open versions, intervals chain") {
     import spark.implicits._
     val df = Seq(
