@@ -177,6 +177,64 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("ZOrder: Morton interleave correct; z-layout prunes row groups on BOTH dims, linear on one") {
+    import spark.implicits._
+    import graft.sources.ZOrder
+    // interleave unit cases
+    val z = Seq((1L, 0L), (0L, 1L), (3L, 3L), (5L, 2L))
+      .toDF("a", "b")
+      .select(ZOrder.zValue2(col("a"), col("b"), 4)).as[Long].collect().toSeq
+    // z(5,2): a bits {0,2} -> result bits {0,4} = 17; b bit {1} -> bit 3 = 8
+    assert(z === Seq(1L, 2L, 15L, 25L))
+    // 256k points uniform in [0,1024)^2, deterministic
+    val pts = spark.range(1 << 18).select(
+      pmod(xxhash64(col("id")), lit(1024)).cast("long").as("x"),
+      pmod(xxhash64(col("id"), lit(1)), lit(1024)).cast("long").as("y"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    ZOrder.writeZOrdered(pts, s"$tmp/z", "x", "y", bits = 10,
+      numFiles = 4, rowGroupBytes = Some(64 * 1024))
+    pts.repartitionByRange(4, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").option("parquet.block.size", (64 * 1024).toString)
+      .parquet(s"$tmp/linear")
+    // rows survive both layouts
+    assert(spark.read.parquet(s"$tmp/z").count() === (1L << 18))
+
+    // fraction of row groups whose [min,max] boxes overlap the query box
+    def overlapFraction(dir: String, lo: Long, hi: Long): (Int, Int) = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sessionState.newHadoopConf()
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+      var total = 0; var overlap = 0
+      files.foreach { f =>
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.getPath), conf))
+        try r.getFooter.getBlocks.forEach { blk =>
+          total += 1
+          val byName = blk.getColumns.asScala
+            .map(c => c.getPath.toDotString -> c.getStatistics).toMap
+          def dimOverlaps(colName: String): Boolean = {
+            val st = byName(colName)
+            val mn = st.genericGetMin.asInstanceOf[Number].longValue
+            val mx = st.genericGetMax.asInstanceOf[Number].longValue
+            mx >= lo && mn <= hi
+          }
+          if (dimOverlaps("x") && dimOverlaps("y")) overlap += 1
+        } finally r.close()
+      }
+      (overlap, total)
+    }
+    val (zo, zt) = overlapFraction(s"$tmp/z", 256, 383)
+    val (lo_, lt) = overlapFraction(s"$tmp/linear", 256, 383)
+    val (zf, lf) = (zo.toDouble / zt, lo_.toDouble / lt)
+    // box = 1/8 x 1/8 of the space. Linear layout prunes x only -> ~1/8
+    // of groups overlap; z-order keeps groups cubic -> ~1/64 overlap.
+    assert(zf < lf / 2,
+      s"z-order should prune at least 2x more groups: z=$zo/$zt linear=${lo_}/$lt")
+  }
+
   test("AggState: merge(fromBatch(a), fromBatch(b)) == fromBatch(a ++ b), disjoint keys included") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
