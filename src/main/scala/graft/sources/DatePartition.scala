@@ -44,6 +44,47 @@ object DatePartition {
       f <- pruneFilter(dc, lower, upper)
     } yield df.filter(f)).getOrElse(df)
 
+  /** Small-file compaction: rewrite each date partition whose file
+    * count exceeds `maxFiles` into `ceil(bytes / targetBytes)` files —
+    * the other half of lake maintenance next to [[vacuum]]. Streaming
+    * ingest (a file per micro-batch per writer) degrades scans via
+    * listing cost and tiny row groups; compaction restores
+    * row-group-sized files. Each partition rewrites INDEPENDENTLY
+    * (write-aside to `_compact_tmp`, then swap) so a crash mid-run
+    * loses at most one partition's rewrite, never data: the swap is
+    * delete-then-rename of a directory whose replacement was fully
+    * written and _SUCCESS-marked first. Returns (partition, filesBefore,
+    * filesAfter) for the rewritten partitions. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      dateCol: String, targetBytes: Long = 128L << 20,
+      maxFiles: Int = 4): Seq[(String, Int, Int)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Nil
+    val prefix = s"$dateCol="
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .flatMap { part =>
+        val dataFiles = fs.listStatus(part.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        if (dataFiles.length <= maxFiles) None
+        else {
+          val bytes = dataFiles.map(_.getLen).sum
+          val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+          val tmp = new org.apache.hadoop.fs.Path(part.getPath.getParent,
+            s"_compact_tmp_${part.getPath.getName}")
+          fs.delete(tmp, true)
+          spark.read.parquet(part.getPath.toString)
+            .repartition(nOut)
+            .write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(part.getPath, true)
+          fs.rename(tmp, part.getPath)
+          Some((part.getPath.getName, dataFiles.length, nOut))
+        }
+      }
+      .sortBy(_._1)
+  }
+
   /** Retention vacuum: drop whole date partitions strictly OLDER than
     * `keepFrom` from a date-partitioned dataset. Partition-level
     * deletion is the 100 TB retention primitive — a directory unlink

@@ -293,6 +293,31 @@ class EngineSpec extends AnyFunSuite {
     assert(got === Seq((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 3.0)))
   }
 
+  test("DatePartition.compact rewrites only fragmented partitions; data intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cpt").toString + "/log"
+    // day 1: fragmented (8 files); day 2: already compact (1 file)
+    val day1 = (0 until 800).map(i => (i.toLong, ts("2024-01-01 10:00:00"), i * 1.0))
+      .toDF("user_id", "et", "v").repartition(8)
+    val day2 = (0 until 100).map(i => (i.toLong, ts("2024-01-02 10:00:00"), i * 1.0))
+      .toDF("user_id", "et", "v").coalesce(1)
+    graft.sources.DatePartition.write(day1, dir, "et", "event_date")
+    graft.sources.DatePartition.write(day2, dir, "et", "event_date", mode = "append")
+    def files(p: String) = new java.io.File(s"$dir/event_date=$p").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files("2024-01-01") === 8 && files("2024-01-02") === 1)
+    val done = graft.sources.DatePartition.compact(spark, dir, "event_date",
+      targetBytes = 1L << 30, maxFiles = 4)
+    assert(done === Seq(("event_date=2024-01-01", 8, 1)))
+    assert(files("2024-01-01") === 1 && files("2024-01-02") === 1)
+    val total = spark.read.parquet(dir).groupBy("event_date").count()
+      .as[(java.sql.Date, Long)].collect().toMap
+    assert(total.values.toSeq.sorted === Seq(100L, 800L))
+    // idempotent
+    assert(graft.sources.DatePartition.compact(spark, dir, "event_date",
+      targetBytes = 1L << 30, maxFiles = 4).isEmpty)
+  }
+
   test("DatePartition.vacuum drops only expired partitions; survivors still read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_vac").toString + "/log"

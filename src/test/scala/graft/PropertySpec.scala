@@ -141,6 +141,50 @@ class PropertySpec extends AnyFunSuite {
     runCheck(prop, minTests = 8)
   }
 
+  test("History.scd2 agrees with the sequential run-collapse oracle on arbitrary inputs (ScalaCheck)") {
+    import spark.implicits._
+    val genCase = for {
+      nKeys <- Gen.choose(1, 5)
+      nRows <- Gen.choose(0, 120)
+      nAttrVals <- Gen.oneOf(1, 2, 4) // few values => long runs + real collapses
+      nullFrac <- Gen.oneOf(0, 3)     // 0 = no nulls, 3 = 1-in-3 null attrs
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (nKeys, nRows, nAttrVals, nullFrac, seed)
+
+    val prop = Prop.forAllNoShrink(genCase) { case (nKeys, nRows, nAttrVals, nullFrac, seed) =>
+      val rnd = new scala.util.Random(seed)
+      // unique eid makes (ts, eid) a total order even with duplicate ts
+      val rows = (0 until nRows).map { i =>
+        val attr = if (nullFrac > 0 && rnd.nextInt(nullFrac) == 0) null
+          else s"v${rnd.nextInt(nAttrVals)}"
+        (rnd.nextInt(nKeys).toLong,
+          new Timestamp(base + rnd.nextInt(50) * 3600_000L), i.toLong, attr)
+      }
+      val got = graft.operators.History.scd2(
+          rows.toDF("k", "ts", "eid", "attr"), Seq("k"), "ts", Seq("attr"),
+          tieBreaks = Seq("eid"))
+        .select("k", "attr", "valid_from", "valid_to", "version")
+        .collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)), r.getTimestamp(2).getTime,
+          Option(r.getTimestamp(3)).map(_.getTime), r.getLong(4)))
+        .sortBy(t => (t._1, t._5))
+
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (k, g) =>
+        val ordered = g.sortBy(r => (r._2.getTime, r._3))
+        val kept = ordered.foldLeft(Vector.empty[(Long, Option[String])]) { (acc, r) =>
+          val a = Option(r._4)
+          if (acc.isEmpty || acc.last._2 != a) acc :+ (r._2.getTime, a) else acc
+        }
+        kept.zipWithIndex.map { case ((from, a), i) =>
+          (k, a, from, kept.lift(i + 1).map(_._1), (i + 1).toLong)
+        }
+      }.sortBy(t => (t._1, t._5))
+
+      got.toSeq == want
+    }
+    runCheck(prop, minTests = 8)
+  }
+
   test("entity key codec: permutation-invariant, value-distinct, tag-distinct (ScalaCheck)") {
     val genKV = for {
       name <- Gen.alphaStr.suchThat(_.nonEmpty).map(_.take(8))
