@@ -69,4 +69,31 @@ object VectorSketch {
   def pqCode(emb: Column, anchors: Array[Array[Float]], m: Int, subDim: Int): Column =
     concat_ws("-", (0 until m).map(s =>
       pqCodeForSub(emb, anchors, s, subDim).cast("string")): _*)
+
+  /** Feature-hashing ("hashing trick", Weinberger et al. 2009) text
+    * embedding: each token adds ±1 to one of `dim` buckets — bucket =
+    * first 4 md5 hex digits mod dim, sign = parity of the 5th — giving
+    * every document a fixed-width signed-count vector with NO trained
+    * model and NO vocabulary table. The workhorse cheap embedding for
+    * model-free semantic grouping, cosine near-dup, and ANN bucketing
+    * when no learned encoder is in the loop.
+    *
+    * One `aggregate` fold per row over the words array — a narrow
+    * projection that runs at scan speed; counts stay integers, so the
+    * result is exact on any engine (no FP order concerns). The
+    * (bucket, sign) pairs are bound ONCE via `transform` before the
+    * fold (HOFs get no common-subexpression elimination — an unbound
+    * md5 would re-hash per bucket per word).
+    *
+    * `words` is an array<string> column (use
+    * [[TextFunctions.words]]). */
+  def hashingVector(words: Column, dim: Int): Column = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    val pairs = transform(words, w => struct(
+      (conv(substring(md5(w.cast("binary")), 1, 4), 16, 10).cast("long") % dim).as("b"),
+      when(conv(substring(md5(w.cast("binary")), 5, 1), 16, 10).cast("long") % 2 === 0,
+        lit(1L)).otherwise(lit(-1L)).as("s")))
+    aggregate(pairs, array_repeat(lit(0L), dim),
+      (acc, p) => transform(acc, (v, i) => v + when(p("b") === i.cast("long"), p("s")).otherwise(lit(0L))))
+  }
 }

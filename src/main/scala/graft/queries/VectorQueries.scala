@@ -177,13 +177,50 @@ object VectorQueries {
        |FROM ranked WHERE rank <= $AdcK ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- feature-hashing text embedding --------------------------------
+
+  private val HashDim = 16
+
+  /** Hashing-trick embedding of every document: 16 signed integer
+    * buckets from token md5s — exact cross-engine (integer counts, no
+    * FP). Composes with [[graft.functions.Similarity]] cosine / ANN
+    * when no learned encoder exists. */
+  def hashEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => TF, VectorSketch}
+    val d = Tables.read(s, dir, "documents")
+      .withColumn("__hv",
+        VectorSketch.hashingVector(TF.words(col("text")), HashDim))
+    d.select(col("doc_id") +:
+        (0 until HashDim).map(i => element_at(col("__hv"), i + 1).as(s"h$i")): _*)
+      .orderBy("doc_id")
+  }
+
+  val hashEmbeddingSql: String = {
+    val sums = (0 until HashDim).map(i =>
+      s"SUM(CASE WHEN bucket = $i THEN sgn ELSE 0 END) AS h$i").mkString(",\n       ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |  FROM documents),
+       |hashed AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(w), 1, 4))::BIGINT % $HashDim AS bucket,
+       |         CASE WHEN ('0x' || substr(md5(w), 5, 1))::BIGINT % 2 = 0
+       |              THEN 1 ELSE -1 END AS sgn
+       |  FROM tok)
+       |SELECT doc_id,
+       |       $sums
+       |FROM hashed GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_random_projection" -> (randomProjection _),
     "q_pq_encode" -> (pqEncode _),
-    "q_ann_pq" -> (annPq _))
+    "q_ann_pq" -> (annPq _),
+    "q_hash_embedding" -> (hashEmbedding _))
 
   val oracles: Map[String, String] = Map(
     "q_random_projection" -> randomProjectionSql,
     "q_pq_encode" -> pqEncodeSql,
-    "q_ann_pq" -> annPqSql)
+    "q_ann_pq" -> annPqSql,
+    "q_hash_embedding" -> hashEmbeddingSql)
 }
