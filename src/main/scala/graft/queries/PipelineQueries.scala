@@ -640,6 +640,43 @@ object PipelineQueries {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Training-corpus JSONL export, end to end: pack docs into
+    * ~2000-token shards, WRITE them as shard-partitioned JSONL (the
+    * hand-off format for tokenizer/training jobs), then build the
+    * manifest by READING THE EXPORT BACK — n_docs / n_tokens / an
+    * order-insensitive content checksum (Σ md5-prefix ints, exact in
+    * integers) per shard. The oracle recomputes the same manifest from
+    * the source table, so a hash match proves the written shards
+    * round-trip the text byte-for-byte (JSON escaping included) and no
+    * doc was lost or duplicated. */
+  def exportJsonl(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_export_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.functions.Packing.packShards(
+        docs(s, dir).select(col("doc_id"), col("text"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budgetTokens = 2000L)
+      .write.partitionBy("shard_id").mode("overwrite").json(out)
+    s.read.schema("doc_id LONG, text STRING, n_tokens LONG").json(out)
+      .groupBy(col("shard_id").cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+          .cast("long")).as("checksum"))
+      .orderBy("shard_id")
+  }
+
+  val exportJsonlSql: String =
+    """WITH packed AS (
+      |  SELECT doc_id, text, n_tokens,
+      |         CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0)
+      |              AS BIGINT) AS shard_id
+      |  FROM (SELECT doc_id, text, len(regexp_extract_all(text, '\S+')) AS n_tokens
+      |        FROM documents))
+      |SELECT shard_id, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+      |       SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS checksum
+      |FROM packed GROUP BY shard_id ORDER BY shard_id""".stripMargin
+
   /** Context-window assignment ([[graft.functions.Packing.contextWindows]]):
     * each doc's interval in the 512-token window slicing of the
     * doc_id-ordered token stream — documents cross window boundaries,
@@ -1776,6 +1813,7 @@ object PipelineQueries {
     "q_mixture_sample" -> (mixtureSampleQ _),
     "q_components" -> (componentsQ _),
     "q_shard_pack" -> (shardPack _),
+    "q_export_jsonl" -> (exportJsonl _),
     "q_context_windows" -> (contextWindowsQ _),
     "q_dedup_incremental_fuzzy" -> (dedupIncrementalFuzzy _),
     "q_vocab_topk" -> (vocabTopK _),
@@ -1827,6 +1865,7 @@ object PipelineQueries {
     "q_mixture_sample" -> mixtureSampleSql,
     "q_components" -> componentsSql,
     "q_shard_pack" -> shardPackSql,
+    "q_export_jsonl" -> exportJsonlSql,
     "q_context_windows" -> contextWindowsSql,
     "q_dedup_incremental_fuzzy" -> dedupIncrementalFuzzySql,
     "q_vocab_topk" -> vocabTopKSql,
