@@ -43,6 +43,13 @@ object Contrastive {
       .withDenseIndex(df.select(col(idCol)), idCol, "__idx", numPartitions)
       .persist()
     val n = indexed.count() // also materializes the cache
+    // withDenseIndex's prefix sum is order-ambiguous under duplicate
+    // ids: a probe could resolve to the anchor's own duplicate (self
+    // pair) and index assignment would be unstable run-to-run — fail
+    // loudly; the distinct count reads from the cache just built
+    val nDistinct = indexed.select(col(idCol)).distinct().count()
+    require(nDistinct == n,
+      s"negativeSamples requires unique $idCol values: $n rows but $nDistinct distinct")
     if (n < 2) { // no other rows to sample: empty result, fixed schema
       indexed.unpersist()
       return indexed.sparkSession.emptyDataFrame

@@ -37,7 +37,12 @@ object Drift {
     val nBins = edges.size + 1
     val gCols = groupCols.map(col)
 
+    // null values are EXCLUDED (explicitly, not by the null bin
+    // silently missing the spine join): PSI is a distribution measure
+    // over observed values — track null-rate drift with Validate /
+    // profile, which count nulls first-class
     def counted(df: DataFrame, out: String): DataFrame = df
+      .filter(col(valueCol).isNotNull)
       .select((gCols :+ SearchSorted.column(
         col(valueCol).cast("double"), DoubleType, edges.map(x => x: Any)).as("bin")): _*)
       .groupBy((gCols :+ col("bin")): _*)

@@ -103,6 +103,7 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       anchors: Array[Array[Float]], m: Int, subDim: Int,
       k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val qSpark = queries.sparkSession
     val qRows: Array[(Any, Array[Array[Double]])] = queries
       .select(col(qIdCol), col(qVecCol))
       .collect()
@@ -123,6 +124,13 @@ object Similarity {
         }
         (r.get(0), lut)
       }
+    if (qRows.isEmpty) {
+      // array() of zero structs has no element type — short-circuit to
+      // an empty, correctly-typed result instead of failing analysis
+      import qSpark.implicits._
+      return qSpark.emptyDataset[(Long, Long, Double, Long)]
+        .toDF("query_id", "neighbor_id", "adc", "rank")
+    }
     // codes computed ONCE per corpus vector, shared by every query's ADC
     val coded = corpus.select(
       col(idCol).as("__cid") +:

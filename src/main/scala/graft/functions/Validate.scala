@@ -25,6 +25,10 @@ object Validate {
   def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "validate needs at least one rule")
     require(rules.map(_.name).distinct.size == rules.size, "rule names must be unique")
+    // names are interpolated into the stack() SQL below — restrict to
+    // identifier characters instead of trying to escape
+    rules.foreach(r => require(r.name.matches("[A-Za-z0-9_]+"),
+      s"rule name must match [A-Za-z0-9_]+, got '${r.name}'"))
     val aggs = count(lit(1)).as("__n") +:
       rules.map(r => sum((!coalesce(r.holds, lit(false))).cast("long")).as(s"__v_${r.name}"))
     val wide = df.agg(aggs.head, aggs.tail: _*)

@@ -19,12 +19,16 @@ import org.apache.spark.sql.functions._
   * few celebrity keys).
   *
   * The salt must vary WITHIN a key (a key-derived hash would put the
-  * whole hot key back on one reducer), so it hashes the full row;
-  * fully identical duplicate rows share a salt, which only matters if
-  * a hot key's rows are all byte-identical. Deterministic across
-  * retries and plan re-executions — no rand(), so a recomputed
-  * partition lands in the same bucket (rand() here corrupts join
-  * results under task retry).
+  * whole hot key back on one reducer), so it hashes the full row.
+  * Salt entropy is therefore bounded by the DISTINCT ROW COUNT inside
+  * the hot key: a hot key whose rows take only a handful of distinct
+  * values (heavily quantized value columns) spreads across only that
+  * many of the saltFactor buckets while still paying full replication —
+  * include a high-cardinality column (event id, timestamp) in the
+  * frame, or don't salt such a join. Deterministic across retries and
+  * plan re-executions — no rand(), so a recomputed partition lands in
+  * the same bucket (rand() here corrupts join results under task
+  * retry).
   *
   * Only inner and left joins are valid: replicating the right side
   * would duplicate right-outer unmatched rows. */

@@ -39,10 +39,11 @@ object HistoryQueries {
   val scd2HistorySql: String =
     """WITH o AS (
       |  SELECT user_id, ts, event_id, event_type,
-      |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
       |  FROM events),
-      |c AS (SELECT user_id, ts, event_id, event_type
-      |      FROM o WHERE prev IS NULL OR prev <> event_type),
+      |c AS (SELECT user_id, ts, event_id, event_type, rn
+      |      FROM o WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
       |iv AS (
       |  SELECT user_id, event_type, ts AS vf,
       |         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt,
@@ -254,7 +255,7 @@ object HistoryQueries {
       |         CASE WHEN value >= 20 THEN 4 WHEN value >= 10 THEN 3
       |              WHEN value >= 5 THEN 2 WHEN value >= 2 THEN 1 ELSE 0 END AS bin,
       |         ts < TIMESTAMP '2024-01-15 00:00:00' AS is_base
-      |  FROM events),
+      |  FROM events WHERE value IS NOT NULL),
       |cnt AS (
       |  SELECT event_type, bin,
       |         SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS n_base,

@@ -656,13 +656,22 @@ object PipelineQueries {
           TF.tokenCount(col("text")).cast("long").as("n_tokens")),
         "doc_id", "n_tokens", budgetTokens = 2000L)
       .write.partitionBy("shard_id").mode("overwrite").json(out)
-    s.read.schema("doc_id LONG, text STRING, n_tokens LONG").json(out)
+    val manifest = s.read.schema("doc_id LONG, text STRING, n_tokens LONG").json(out)
       .groupBy(col("shard_id").cast("long").as("shard_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
           .cast("long")).as("checksum"))
       .orderBy("shard_id")
+      .cache()
+    manifest.count() // materialize off the export files...
+    deleteRecursively(new java.io.File(out)) // ...so the corpus copy can go
+    manifest
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 
   val exportJsonlSql: String =

@@ -50,10 +50,13 @@ object DatePartition {
     * ingest (a file per micro-batch per writer) degrades scans via
     * listing cost and tiny row groups; compaction restores
     * row-group-sized files. Each partition rewrites INDEPENDENTLY
-    * (write-aside to `_compact_tmp`, then swap) so a crash mid-run
-    * loses at most one partition's rewrite, never data: the swap is
-    * delete-then-rename of a directory whose replacement was fully
-    * written and _SUCCESS-marked first. Returns (partition, filesBefore,
+    * (write-aside to `_compact_tmp`, then a rename-aside swap): the old
+    * directory renames aside BEFORE the new one moves in and is deleted
+    * only after both renames succeed, so at every instant the rows
+    * exist in the live dir or the `_compact_old` dir — a crash loses at
+    * most one partition's rewrite, never data, and a failed rename
+    * restores the original and aborts loudly (the ParquetOnlineStore
+    * bucket-swap discipline). Returns (partition, filesBefore,
     * filesAfter) for the rewritten partitions. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       dateCol: String, targetBytes: Long = 128L << 20,
@@ -71,14 +74,23 @@ object DatePartition {
         else {
           val bytes = dataFiles.map(_.getLen).sum
           val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-          val tmp = new org.apache.hadoop.fs.Path(part.getPath.getParent,
+          val parent = part.getPath.getParent
+          val tmp = new org.apache.hadoop.fs.Path(parent,
             s"_compact_tmp_${part.getPath.getName}")
-          fs.delete(tmp, true)
+          val old = new org.apache.hadoop.fs.Path(parent,
+            s"_compact_old_${part.getPath.getName}")
+          fs.delete(tmp, true); fs.delete(old, true)
           spark.read.parquet(part.getPath.toString)
             .repartition(nOut)
             .write.mode("overwrite").parquet(tmp.toString)
-          fs.delete(part.getPath, true)
-          fs.rename(tmp, part.getPath)
+          // rename-aside swap: data is always in live OR old, never gone
+          if (!fs.rename(part.getPath, old))
+            throw new java.io.IOException(s"compact: failed to move ${part.getPath} aside")
+          if (!fs.rename(tmp, part.getPath)) {
+            fs.rename(old, part.getPath) // restore; tmp is left for inspection
+            throw new java.io.IOException(s"compact: failed to install $tmp; original restored")
+          }
+          fs.delete(old, true)
           Some((part.getPath.getName, dataFiles.length, nOut))
         }
       }

@@ -29,10 +29,20 @@ object ZOrder {
     * bit i of `a` lands at result bit 2i, bit i of `b` at 2i+1. */
   def zValue2(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val lim = 1L << bits
+    // out-of-range dims would silently ALIAS (x and x+2^bits interleave
+    // identically) and quietly destroy the cubic layout the operator
+    // exists for — fail the job loudly instead; zero extra passes
+    def checked(c: Column, name: String): Column =
+      when(c.cast("long").isNull || c.cast("long") < 0 || c.cast("long") >= lim,
+        raise_error(concat(lit(s"zValue2: $name out of [0, $lim): "), c.cast("string"))))
+        .otherwise(c.cast("long"))
+    val av = checked(a, "dimA")
+    val bv = checked(b, "dimB")
     val terms: Seq[Column] = (0 until bits).flatMap { i =>
       Seq(
-        shiftleft(shiftrightunsigned(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i),
-        shiftleft(shiftrightunsigned(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+        shiftleft(shiftrightunsigned(av, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftrightunsigned(bv, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
     terms.reduce((x, y) => x.bitwiseOR(y))
   }

@@ -79,6 +79,13 @@ class FeatureStore(
 
   def getHistoricalFeatures(entityDf: DataFrame, service: FeatureService): DataFrame = {
     val base = getHistoricalFeatures(entityDf, service.featureRefs.map(_.toString))
+    // a derived name shadowing a projected feature would silently
+    // REPLACE the raw column in training frames (withColumn overwrites)
+    // — reject, mirroring the online path's unique-bare-name guard
+    val clash = service.derived.map(_.name).toSet
+      .intersect(base.columns.toSet)
+    require(clash.isEmpty,
+      s"derived feature names collide with retrieval output columns: ${clash.mkString(", ")}")
     // derived features are plain Catalyst columns over the retrieval
     // output — they fuse into the same codegen stage, zero extra passes
     service.derived.foldLeft(base)((df, d) =>
