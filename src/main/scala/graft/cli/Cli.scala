@@ -279,10 +279,23 @@ object Cli {
         fs.teardown()
         out("teardown complete")
 
+      case Seq("vacuum", cfgPath, viewName, keepFrom) =>
+        val (_, fs) = store(cfgPath)
+        val dropped = fs.vacuumSource(viewName, java.time.LocalDate.parse(keepFrom))
+        out(if (dropped.isEmpty) s"$viewName: nothing to vacuum"
+            else s"$viewName: dropped ${dropped.mkString(", ")}")
+
+      case Seq("compact", cfgPath, viewName) =>
+        val (_, fs) = store(cfgPath)
+        val done = fs.compactSource(viewName)
+        out(if (done.isEmpty) s"$viewName: nothing to compact"
+            else done.map { case (p, b, a) => s"$viewName: $p $b -> $a files" }.mkString("\n"))
+
       case other =>
         throw new IllegalArgumentException(
           s"unknown command '${other.mkString(" ")}'; commands: init, apply, materialize, " +
-          "materialize-incremental, entities list, feature-views list, registry-dump, teardown")
+          "materialize-incremental, entities list, feature-views list, registry-dump, " +
+          "teardown, vacuum <cfg> <view> <keep-from-date>, compact <cfg> <view>")
     }
   }
 }

@@ -251,6 +251,36 @@ class FeatureStore(
     }
   }
 
+  // ---- offline-source maintenance ------------------------------------
+  /** Retention vacuum on a view's date-partitioned FileSource: unlink
+    * whole partitions older than `keepFrom` (never a rewrite). Returns
+    * dropped partition names. */
+  def vacuumSource(viewName: String, keepFrom: java.time.LocalDate): Seq[String] = {
+    val (path, dateCol) = datePartitionedSource(viewName)
+    graft.sources.DatePartition.vacuum(spark, path, dateCol, keepFrom)
+  }
+
+  /** Small-file compaction on a view's date-partitioned FileSource.
+    * Returns (partition, filesBefore, filesAfter) per rewritten
+    * partition. */
+  def compactSource(viewName: String, targetBytes: Long = 128L << 20,
+      maxFiles: Int = 4): Seq[(String, Int, Int)] = {
+    val (path, dateCol) = datePartitionedSource(viewName)
+    graft.sources.DatePartition.compact(spark, path, dateCol, targetBytes, maxFiles)
+  }
+
+  private def datePartitionedSource(viewName: String): (String, String) = {
+    val view = registry.getFeatureView(viewName)
+    view.batchSource match {
+      case f: FileSource =>
+        val dc = f.datePartitionColumn.getOrElse(throw new IllegalArgumentException(
+          s"view $viewName's source declares no date_partition_column"))
+        (f.path, dc)
+      case other => throw new IllegalArgumentException(
+        s"source maintenance needs a FileSource; ${view.name} reads from $other")
+    }
+  }
+
   // ---- teardown (feature_store.py:258-273) ----------------------------
   def teardown(): Unit = {
     onlineStore.teardown(project, registry.listFeatureViews)

@@ -100,6 +100,60 @@ class CliSpec extends AnyFunSuite {
     assert(reg2.listFeatureViews.isEmpty && reg2.listEntities.isEmpty)
   }
 
+  test("CLI vacuum + compact maintain a date-partitioned source through the repo config") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftcli_vac").toString
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, ts("2024-01-02 10:00:00"), 2.0),
+      (3L, ts("2024-01-03 10:00:00"), 3.0))
+      .toDF("driver_id", "event_timestamp", "conv_rate")
+    // six appended single-file writes per day: the micro-batch
+    // fragmentation pattern compact exists for
+    (0 until 6).foreach { i =>
+      graft.sources.DatePartition.write(df.coalesce(1), s"$dir/stats",
+        "event_timestamp", "event_date", mode = if (i == 0) "overwrite" else "append")
+    }
+
+    val cfgPath = s"$dir/repo.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(cfgPath),
+      s"""{
+         |  "project": "vac",
+         |  "registry": "$dir/registry.json",
+         |  "online_store": {"type": "memory"},
+         |  "entities": [
+         |    {"name": "driver", "dtype": "INT64", "join_key": "driver_id", "description": ""}
+         |  ],
+         |  "feature_views": [
+         |    {"name": "stats", "entities": ["driver"],
+         |     "features": [{"name": "conv_rate", "dtype": "DOUBLE"}],
+         |     "ttl_seconds": 0,
+         |     "batch_source": {"kind": "file", "path": "$dir/stats",
+         |       "format": "parquet", "event_timestamp_column": "event_timestamp",
+         |       "created_timestamp_column": null, "field_mapping": {},
+         |       "date_partition_column": "event_date"},
+         |     "stream_source": null, "online": true}
+         |  ]
+         |}""".stripMargin.getBytes("UTF-8"))
+
+    val out = scala.collection.mutable.Buffer[String]()
+    Cli.run(Seq("apply", cfgPath), spark, out.append(_))
+    // repartition(6) fragmented each day -> compact collapses to 1 file
+    Cli.run(Seq("compact", cfgPath, "stats"), spark, out.append(_))
+    assert(out.last.contains("-> 1 files"))
+    Cli.run(Seq("vacuum", cfgPath, "stats", "2024-01-03"), spark, out.append(_))
+    assert(out.last.contains("event_date=2024-01-01") &&
+      out.last.contains("event_date=2024-01-02"))
+    // six appended copies of day-3's row survive; days 1-2 are gone
+    val left = spark.read.parquet(s"$dir/stats").select("driver_id")
+      .as[Long].collect().toSeq
+    assert(left === Seq.fill(6)(3L))
+    // maintenance on an unknown view is a loud error
+    intercept[NoSuchElementException] {
+      graft.cli.Cli.run(Seq("vacuum", cfgPath, "nope_view", "2024-01-01"), spark, _ => ())
+    }
+  }
+
   test("CLI apply reconciles: definitions removed from the config are dropped") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftcli3").toString
