@@ -185,6 +185,48 @@ class PropertySpec extends AnyFunSuite {
     runCheck(prop, minTests = 8)
   }
 
+  test("History.sessionize agrees with the sequential gap-cut oracle on arbitrary inputs (ScalaCheck)") {
+    import spark.implicits._
+    val genCase = for {
+      nKeys <- Gen.choose(1, 5)
+      nRows <- Gen.choose(0, 120)
+      gapMin <- Gen.oneOf(1, 17, 60) // minutes
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (nKeys, nRows, gapMin, seed)
+
+    val prop = Prop.forAllNoShrink(genCase) { case (nKeys, nRows, gapMin, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until nRows).map { i =>
+        (rnd.nextInt(nKeys).toLong,
+          new Timestamp(base + rnd.nextInt(48 * 60) * 60_000L), i.toLong)
+      }
+      val gapSec = gapMin * 60L
+      val got = graft.operators.History.sessionize(
+          rows.toDF("k", "ts", "eid"), Seq("k"), "ts", gapSec, tieBreaks = Seq("eid"))
+        .select("k", "session_idx", "session_start", "session_end", "n_events")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+          r.getTimestamp(3).getTime, r.getLong(4)))
+        .sortBy(t => (t._1, t._2))
+
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (k, g) =>
+        val ordered = g.sortBy(r => (r._2.getTime, r._3))
+        val sessions = ordered.foldLeft(Vector.empty[Vector[Long]]) { (acc, r) =>
+          val t = r._2.getTime
+          if (acc.nonEmpty && (t - acc.last.last) <= gapSec * 1000L)
+            acc.init :+ (acc.last :+ t)
+          else acc :+ Vector(t)
+        }
+        sessions.zipWithIndex.map { case (ts_, i) =>
+          (k, (i + 1).toLong, ts_.head, ts_.last, ts_.length.toLong)
+        }
+      }.sortBy(t => (t._1, t._2))
+
+      got.toSeq == want
+    }
+    runCheck(prop, minTests = 8)
+  }
+
   test("entity key codec: permutation-invariant, value-distinct, tag-distinct (ScalaCheck)") {
     val genKV = for {
       name <- Gen.alphaStr.suchThat(_.nonEmpty).map(_.take(8))
