@@ -153,6 +153,102 @@ object Similarity {
         (-col("cos")).as("adc"), col("rank"))
   }
 
+  /** IVF-PQ search (the FAISS IVFPQ shape, Jégou 2011 §V): coarse
+    * inverted-file cells prune the corpus to `nProbe / nCells` of its
+    * rows, and WITHIN the probed cells distances are PQ asymmetric —
+    * the corpus is touched only as (cell, m int codes). This is the
+    * full memory-bound ANN serving stack: at 100 TB the per-query scan
+    * is nProbe cells' worth of code bytes, nothing else.
+    *
+    * Deterministic-anchor construction for oracle replay: the first
+    * `nCells` corpus vectors are BOTH the coarse centroids (cosine
+    * argmax assignment, ties to the smaller cell id — the
+    * [[ivfTopK]] kmeansIters=0 convention) and the PQ codebook
+    * (per-subvector L2, [[VectorSketch.pqCodeForSub]]). Query probes
+    * and LUTs are computed driver-side with the same left-associative
+    * fold the SQL oracle replays. A production build swaps k-means
+    * centroids in for both without changing the plan. */
+  def ivfPqTopK(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int, nProbe: Int,
+      m: Int, subDim: Int, excludeSelf: Boolean = true): DataFrame = {
+    require(nProbe <= nCells, s"nProbe=$nProbe must be <= nCells=$nCells")
+    val qSpark = queries.sparkSession
+    val anchorRows = corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol), col(vecCol)).collect()
+    val anchors: Array[Array[Float]] = anchorRows.map(_.getSeq[Float](1).toArray)
+    val cellIds: Array[Any] = anchorRows.map(_.get(0))
+    val qRows = queries.select(col(qIdCol), col(qVecCol)).collect()
+      .map(r => (r.get(0), r.getSeq[Float](1).toArray))
+    if (qRows.isEmpty || anchors.isEmpty) {
+      import qSpark.implicits._
+      return qSpark.emptyDataset[(Long, Long, Double, Long)]
+        .toDF("query_id", "neighbor_id", "adc", "rank")
+    }
+
+    // same fold order as list_dot_product / the `dot` column fn
+    def ddot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def dcos(a: Array[Float], b: Array[Float]): Double =
+      ddot(a, b) / (math.sqrt(ddot(a, a)) * math.sqrt(ddot(b, b)))
+
+    // one pass over the corpus: coarse cell + PQ codes, both narrow
+    val anchorArr = broadcast(
+      qSpark.createDataFrame(
+        qSpark.sparkContext.parallelize(anchorRows.toSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cell_id",
+            anchorRows.head.schema(0).dataType),
+          org.apache.spark.sql.types.StructField("cell_vec",
+            anchorRows.head.schema(1).dataType))))
+        .agg(collect_list(struct(col("cell_id"), col("cell_vec"))).as("cells")))
+    val coded = corpus.crossJoin(anchorArr)
+      .withColumn("cell", nearestCells(col(vecCol), 1)(0)("cell_id"))
+      .select(col(idCol).as("__cid") +: col("cell") +:
+        (0 until m).map(s =>
+          VectorSketch.pqCodeForSub(col(vecCol), anchors, s, subDim)
+            .cast("int").as(s"__code$s")): _*)
+
+    val perQuery = qRows.map { case (qid, qv) =>
+      val lut = Array.tabulate(m) { s =>
+        anchors.map { a =>
+          var acc = 0.0; var d = 0
+          while (d < subDim) {
+            val i = s * subDim + d
+            val diff = qv(i).toDouble - a(i).toDouble
+            acc += diff * diff; d += 1
+          }
+          acc
+        }
+      }
+      // probe the nProbe nearest cells by cosine; anchor position order
+      // IS ascending cell-id order, so the (cos desc, position asc)
+      // sort matches the oracle's (c DESC, cell_id ASC) tie-break
+      val probeIdx = anchors.indices
+        .map(i => (dcos(qv, anchors(i)), i))
+        .sortBy { case (c, i) => (-c, i) }
+        .take(nProbe).map(_._2)
+      val probeCells = probeIdx.map(cellIds)
+      val adc = (0 until m).map(s =>
+        element_at(typedlit(lut(s).toSeq), col(s"__code$s") + 1)).reduce(_ + _)
+      struct(lit(qid).as("qid"),
+        when(col("cell").isin(probeCells: _*), adc)
+          .otherwise(lit(null).cast("double")).as("adc"))
+    }
+    var scored = coded
+      .select(col("__cid"), explode(array(perQuery.toIndexedSeq: _*)).as("__q"))
+      .filter(col("__q.adc").isNotNull)
+      .select(col("__q.qid").as("__qid"), col("__cid"), (-col("__q.adc")).as("__cos"))
+    if (excludeSelf) scored = scored.filter(col("__qid") =!= col("__cid"))
+    twoLevelTopK(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("cos")).as("adc"), col("rank"))
+  }
+
   /** Random-hyperplane signature: bit p = sign(vec · h_p). Hyperplane
     * weights are seeded pseudo-randoms computed driver-side and shipped
     * as array literals — no stored model, reproducible across runs, and

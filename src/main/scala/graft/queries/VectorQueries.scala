@@ -212,7 +212,93 @@ object VectorQueries {
        |FROM hashed GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---- IVF-PQ (coarse cells + asymmetric distance) -------------------
+
+  private val IvfPqCells = 16
+  private val IvfPqProbe = 4
+
+  /** The full memory-bound ANN stack: coarse cells prune to
+    * nProbe/nCells of the corpus, ADC scores the survivors from m int
+    * codes. First-16 deterministic anchors serve as both coarse
+    * centroids and PQ codebook so the oracle replays everything. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val q = e.filter(col("vec_id") < AdcQ)
+    graft.functions.Similarity.ivfPqTopK(
+        q, "vec_id", "embedding", e, "vec_id", "embedding",
+        k = AdcK, nCells = IvfPqCells, nProbe = IvfPqProbe,
+        m = PqM, subDim = PqSubDim)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adc"), 6).as("adc"), col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annIvfPqSql: String = {
+    def diffSum(left: String, right: String): String =
+      (1 to PqSubDim).map { d =>
+        val idx = s"t.s * $PqSubDim + $d"
+        s"((CAST($left[$idx] AS DOUBLE) - CAST($right[$idx] AS DOUBLE)) * " +
+          s"(CAST($left[$idx] AS DOUBLE) - CAST($right[$idx] AS DOUBLE)))"
+      }.mkString(" + ")
+    def cosSql(l: String, r: String): String =
+      s"list_dot_product($l, $r) / (sqrt(list_dot_product($l, $l)) * sqrt(list_dot_product($r, $r)))"
+    val pivots = (0 until PqM).map(s =>
+      s"MAX(CASE WHEN c.s = $s THEN l END) AS l$s").mkString(",\n         ")
+    val adcSum = (0 until PqM).map(s => s"l$s").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM embeddings),
+       |a AS (
+       |  SELECT avid, aemb, av, ROW_NUMBER() OVER (ORDER BY avid) - 1 AS aidx
+       |  FROM (SELECT vec_id AS avid, embedding AS aemb, embedding::DOUBLE[] AS av
+       |        FROM embeddings ORDER BY vec_id LIMIT $IvfPqCells)),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, a.avid AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY ${cosSql("e.v", "a.av")} DESC, a.avid ASC) AS rn
+       |    FROM e CROSS JOIN a) WHERE rn = 1),
+       |cd AS (
+       |  SELECT e.vec_id, t.s, a.aidx,
+       |         ${diffSum("e.embedding", "a.aemb")} AS dist
+       |  FROM embeddings e CROSS JOIN a, UNNEST(range(0, $PqM)) AS t(s)),
+       |code AS (
+       |  SELECT vec_id, s, aidx FROM (
+       |    SELECT vec_id, s, aidx,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, aidx) AS rn
+       |    FROM cd) WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, embedding, embedding::DOUBLE[] AS qv
+       |      FROM embeddings WHERE vec_id < $AdcQ),
+       |probed AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.qid, a.avid AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY q.qid
+       |                              ORDER BY ${cosSql("q.qv", "a.av")} DESC, a.avid ASC) AS rn
+       |    FROM q CROSS JOIN a) WHERE rn <= $IvfPqProbe),
+       |lut AS (
+       |  SELECT q.qid, t.s, a.aidx,
+       |         ${diffSum("q.embedding", "a.aemb")} AS l
+       |  FROM q CROSS JOIN a, UNNEST(range(0, $PqM)) AS t(s)),
+       |cand AS (
+       |  SELECT p.qid, s2.vec_id
+       |  FROM probed p JOIN assigned s2 ON s2.cell = p.cell
+       |  WHERE p.qid <> s2.vec_id),
+       |piv AS (
+       |  SELECT l.qid, c.vec_id,
+       |         $pivots
+       |  FROM code c
+       |  JOIN lut l ON l.s = c.s AND l.aidx = c.aidx
+       |  JOIN cand ON cand.vec_id = c.vec_id AND cand.qid = l.qid
+       |  GROUP BY l.qid, c.vec_id),
+       |ranked AS (
+       |  SELECT qid AS query_id, vec_id AS neighbor_id, $adcSum AS adc,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |                            ORDER BY $adcSum ASC, vec_id ASC) AS rank
+       |  FROM piv)
+       |SELECT query_id, neighbor_id, round(adc, 6) AS adc, CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= $AdcK ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_ivfpq" -> (annIvfPq _),
     "q_random_projection" -> (randomProjection _),
     "q_pq_encode" -> (pqEncode _),
     "q_ann_pq" -> (annPq _),
@@ -222,5 +308,6 @@ object VectorQueries {
     "q_random_projection" -> randomProjectionSql,
     "q_pq_encode" -> pqEncodeSql,
     "q_ann_pq" -> annPqSql,
+    "q_ann_ivfpq" -> annIvfPqSql,
     "q_hash_embedding" -> hashEmbeddingSql)
 }
