@@ -83,7 +83,12 @@ object ScaleCheck {
       // the dense-index probe join, the joinless ADC scan, and the
       // grid-snapshot PIT composition over a pinned entity plan
       "q_scd2_history", "q_sessionize", "q_negative_sample",
-      "q_ann_pq", "q_grid_snapshot")
+      "q_ann_pq", "q_grid_snapshot",
+      // round-5 late additions: span removal (gram joins + per-doc
+      // rebuild), the replicated salted join, the drift spine, the
+      // mergeable counter state, and the ROLLUP expand
+      "q_span_scrub", "q_salted_join", "q_feature_drift",
+      "q_agg_incremental", "q_rollup")
     queries.foreach(q => time(q, baseDir)) // warm: codegen + analyzer JIT
     val lines = queries.map { q =>
       val t1 = time(q, baseDir)

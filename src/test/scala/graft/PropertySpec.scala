@@ -227,6 +227,46 @@ class PropertySpec extends AnyFunSuite {
     runCheck(prop, minTests = 8)
   }
 
+  test("Drift.psi agrees with the sequential PSI formula on arbitrary inputs (ScalaCheck)") {
+    import spark.implicits._
+    val edges = Seq(10.0, 20.0, 50.0)
+    val genCase = for {
+      nGroups <- Gen.choose(1, 3)
+      nBase <- Gen.choose(0, 80)
+      nCur <- Gen.choose(0, 80)
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (nGroups, nBase, nCur, seed)
+
+    val prop = Prop.forAllNoShrink(genCase) { case (nGroups, nBase, nCur, seed) =>
+      val rnd = new scala.util.Random(seed)
+      def gen(n: Int) = (0 until n).map(_ =>
+        (s"g${rnd.nextInt(nGroups)}", rnd.nextInt(100).toDouble))
+      val (baseRows, curRows) = (gen(nBase), gen(nCur))
+      val got = graft.functions.Drift.psi(
+          baseRows.toDF("g", "v"), curRows.toDF("g", "v"), "v", edges, Seq("g"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3)))
+        .toMap
+
+      def bin(v: Double) = edges.count(_ <= v)
+      val nBins = edges.size + 1
+      val groups = (baseRows ++ curRows).map(_._1).toSet
+      groups.forall { g =>
+        val b = baseRows.filter(_._1 == g).map(r => bin(r._2))
+        val c = curRows.filter(_._1 == g).map(r => bin(r._2))
+        val psi = (0 until nBins).map { i =>
+          val pb = (b.count(_ == i) + 0.5) / (b.size + 0.5 * nBins)
+          val pc = (c.count(_ == i) + 0.5) / (c.size + 0.5 * nBins)
+          (pc - pb) * math.log(pc / pb)
+        }.sum
+        val (gotPsi, gotNb, gotNc) = got(g)
+        // gotPsi is rounded to 6 decimals; compare against the unrounded
+        // sequential value with the rounding slack (boundary-safe)
+        gotNb == b.size && gotNc == c.size && math.abs(gotPsi - psi) < 5.01e-7
+      } && got.keySet == groups
+    }
+    runCheck(prop, minTests = 8)
+  }
+
   test("entity key codec: permutation-invariant, value-distinct, tag-distinct (ScalaCheck)") {
     val genKV = for {
       name <- Gen.alphaStr.suchThat(_.nonEmpty).map(_.take(8))
