@@ -277,6 +277,91 @@ object StreamQueries {
 
   /** The streaming file source can't read INT64-nanos timestamps, so the
     * stream input is a pre-normalized copy of events (µs timestamps). */
+  private val DriftEdges = Seq(2.0, 5.0, 10.0, 20.0)
+
+  /** Streaming drift monitor: PSI of each 6h event-time window's value
+    * distribution against a STATIC training baseline (first half of
+    * January) — the serving-skew alarm as a live query. The stream
+    * side is a windowed (window, bin) count (bins assigned in the
+    * streaming projection by the SearchSorted literal-bounds search,
+    * so state size is windows × bins, never rows); the PSI arithmetic
+    * runs batch-side on that tiny result. Oracle replays windows as
+    * epoch-aligned 6h buckets and the same smoothing as
+    * q_feature_drift. */
+  def streamDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DoubleType
+    val nBins = DriftEdges.size + 1
+    val stream = SourceReader.readStream(s,
+        FileStreamSource(prepared(s, dir), "parquet", "ts"))
+      .filter(col("value").isNotNull)
+      .withColumn("bin", graft.functions.SearchSorted.column(
+        col("value").cast("double"), DoubleType, DriftEdges.map(x => x: Any)))
+    val name = "stream_drift_" + java.util.UUID.randomUUID().toString.take(8)
+    val cur = StreamMaterializer.runWindowedAggToCompletion(
+        stream, "ts", Seq("bin"), "6 hours",
+        Seq(count(lit(1)).as("n_cur")), name)
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("bin"), col("n_cur"))
+    val base = Tables.read(s, dir, "events")
+      .filter(col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")) &&
+        col("value").isNotNull)
+      .select(graft.functions.SearchSorted.column(
+        col("value").cast("double"), DoubleType, DriftEdges.map(x => x: Any)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_base"))
+    val spine = cur.select(col("window_start_ms")).distinct()
+      .crossJoin(s.range(nBins).select(col("id").cast("int").as("bin")))
+    val filled = spine
+      .join(cur, Seq("window_start_ms", "bin"), "left")
+      .join(broadcast(base), Seq("bin"), "left")
+      .select(col("window_start_ms"), col("bin"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val w = Window.partitionBy("window_start_ms")
+    val pb = (col("n_base") + lit(0.5)) / (sum(col("n_base")).over(w) + lit(0.5 * nBins))
+    val pc = (col("n_cur") + lit(0.5)) / (sum(col("n_cur")).over(w) + lit(0.5 * nBins))
+    filled
+      .withColumn("__term", (pc - pb) * log(pc / pb))
+      .groupBy(col("window_start_ms"))
+      .agg(round(sum(col("__term")), 6).as("psi"), sum(col("n_cur")).as("n_cur"))
+      .orderBy("window_start_ms")
+  }
+
+  val streamDriftSql: String =
+    """WITH binned AS (
+      |  SELECT CAST(epoch_ms(ts) // 21600000 AS BIGINT) * 21600000 AS window_start_ms,
+      |         CASE WHEN value >= 20 THEN 4 WHEN value >= 10 THEN 3
+      |              WHEN value >= 5 THEN 2 WHEN value >= 2 THEN 1 ELSE 0 END AS bin
+      |  FROM events WHERE value IS NOT NULL),
+      |cur AS (
+      |  SELECT window_start_ms, bin, COUNT(*) AS n_cur
+      |  FROM binned GROUP BY window_start_ms, bin),
+      |base AS (
+      |  SELECT CASE WHEN value >= 20 THEN 4 WHEN value >= 10 THEN 3
+      |              WHEN value >= 5 THEN 2 WHEN value >= 2 THEN 1 ELSE 0 END AS bin,
+      |         COUNT(*) AS n_base
+      |  FROM events
+      |  WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-15 00:00:00'
+      |  GROUP BY 1),
+      |spine AS (
+      |  SELECT w.window_start_ms, t.bin
+      |  FROM (SELECT DISTINCT window_start_ms FROM cur) w,
+      |       UNNEST(range(0, 5)) AS t(bin)),
+      |filled AS (
+      |  SELECT s.window_start_ms, s.bin,
+      |         coalesce(b.n_base, 0) AS n_base, coalesce(c.n_cur, 0) AS n_cur
+      |  FROM spine s
+      |  LEFT JOIN cur c ON c.window_start_ms = s.window_start_ms AND c.bin = s.bin
+      |  LEFT JOIN base b ON b.bin = s.bin),
+      |p AS (
+      |  SELECT window_start_ms, n_cur,
+      |         (n_base + 0.5::DOUBLE) / (SUM(n_base) OVER (PARTITION BY window_start_ms) + 2.5::DOUBLE) AS pb,
+      |         (n_cur + 0.5::DOUBLE) / (SUM(n_cur) OVER (PARTITION BY window_start_ms) + 2.5::DOUBLE) AS pc
+      |  FROM filled)
+      |SELECT window_start_ms, round(SUM((pc - pb) * ln(pc / pb)), 6) AS psi,
+      |       SUM(n_cur) AS n_cur
+      |FROM p GROUP BY window_start_ms ORDER BY window_start_ms""".stripMargin
+
   private def prepared(s: SparkSession, dir: String): String = {
     val tmp = s"/tmp/graft_stream_in_${Math.abs(dir.hashCode)}"
     val marker = new java.io.File(s"$tmp/_SUCCESS")
@@ -304,7 +389,8 @@ object StreamQueries {
     "q_stream_join" -> (streamJoin _),
     "q_stream_enrich" -> (streamEnrich _),
     "q_stream_topk" -> (streamTopK _),
-    "q_stream_sessionize" -> (streamSessionize _))
+    "q_stream_sessionize" -> (streamSessionize _),
+    "q_stream_drift" -> (streamDrift _))
 
   val oracles: Map[String, String] = Map(
     "q_stream_materialize" -> streamMaterializeSql,
@@ -313,5 +399,6 @@ object StreamQueries {
     "q_stream_join" -> streamJoinSql,
     "q_stream_enrich" -> streamEnrichSql,
     "q_stream_topk" -> streamTopKSql,
-    "q_stream_sessionize" -> streamSessionizeSql)
+    "q_stream_sessionize" -> streamSessionizeSql,
+    "q_stream_drift" -> streamDriftSql)
 }
