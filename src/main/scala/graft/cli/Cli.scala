@@ -142,6 +142,8 @@ object RepoConfig {
   *   graft feature-views list <repo.json>
   *   graft registry-dump <repo.json>
   *   graft teardown <repo.json>
+  *   graft vacuum <repo.json> <view> <keep-from-date>
+  *   graft compact <repo.json> <view>
   *
   * Timestamps parse as `yyyy-MM-dd[ HH:mm:ss]`.
   */

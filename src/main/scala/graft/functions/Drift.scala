@@ -64,6 +64,16 @@ object Drift {
         coalesce(col("n_base"), lit(0L)).as("n_base") :+
         coalesce(col("n_cur"), lit(0L)).as("n_cur")): _*)
 
+    psiFromCounts(filled, groupCols, nBins)
+  }
+
+  /** PSI over PRE-BINNED counts: `filled` must be the dense
+    * (groupCols…, bin, n_base, n_cur) frame — every group × bin row
+    * present, zeros filled. The single copy of the smoothing + Σ(Δp·ln)
+    * contract, shared by [[psi]] and the streaming drift monitor
+    * (whose bin counts come from a windowed streaming aggregation). */
+  def psiFromCounts(filled: DataFrame, groupCols: Seq[String], nBins: Int): DataFrame = {
+    val gCols = groupCols.map(col)
     val w =
       if (groupCols.isEmpty) Window.partitionBy(lit(1))
       else Window.partitionBy(gCols: _*)

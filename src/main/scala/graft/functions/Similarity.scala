@@ -103,54 +103,81 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       anchors: Array[Array[Float]], m: Int, subDim: Int,
       k: Int, excludeSelf: Boolean = true): DataFrame = {
-    val qSpark = queries.sparkSession
-    val qRows: Array[(Any, Array[Array[Double]])] = queries
+    val qRows: Array[(Any, Array[Float])] = queries
       .select(col(qIdCol), col(qVecCol))
       .collect()
-      .map { r =>
-        val qv = r.getSeq[Float](1).toArray
-        val lut = Array.tabulate(m) { s =>
-          anchors.map { a =>
-            var acc = 0.0
-            var d = 0
-            while (d < subDim) {
-              val i = s * subDim + d
-              val diff = qv(i).toDouble - a(i).toDouble
-              acc += diff * diff
-              d += 1
-            }
-            acc
-          }
-        }
-        (r.get(0), lut)
-      }
-    if (qRows.isEmpty) {
-      // array() of zero structs has no element type — short-circuit to
-      // an empty, correctly-typed result instead of failing analysis
-      import qSpark.implicits._
-      return qSpark.emptyDataset[(Long, Long, Double, Long)]
-        .toDF("query_id", "neighbor_id", "adc", "rank")
-    }
+      .map(r => (r.get(0), r.getSeq[Float](1).toArray))
+    if (qRows.isEmpty)
+      return emptyAdcResult(queries, qIdCol, corpus, idCol)
     // codes computed ONCE per corpus vector, shared by every query's ADC
     val coded = corpus.select(
-      col(idCol).as("__cid") +:
-        (0 until m).map(s =>
-          VectorSketch.pqCodeForSub(col(vecCol), anchors, s, subDim)
-            .cast("int").as(s"__code$s")): _*)
-    val perQuery = qRows.map { case (qid, lut) =>
-      val adc = (0 until m).map(s =>
-        element_at(typedlit(lut(s).toSeq), col(s"__code$s") + 1)).reduce(_ + _)
-      struct(lit(qid).as("qid"), adc.as("adc"))
+      col(idCol).as("__cid") +: pqCodeCols(col(vecCol), anchors, m, subDim): _*)
+    val perQuery = qRows.map { case (qid, qv) =>
+      struct(lit(qid).as("qid"),
+        adcColumn(pqLut(qv, anchors, m, subDim), m).as("adc"))
     }
-    var scored = coded
+    val scored = coded
       .select(col("__cid"), explode(array(perQuery.toIndexedSeq: _*)).as("__q"))
       .select(col("__q.qid").as("__qid"), col("__cid"),
         (-col("__q.adc")).as("__cos"))
-    if (excludeSelf) scored = scored.filter(col("__qid") =!= col("__cid"))
-    // negation is IEEE-exact, so ordering by __cos desc == adc asc
+    adcTopK(scored, k, excludeSelf)
+  }
+
+  /** Per-subquantizer squared-L2 LUT for one query vector: LUT[s][c] =
+    * ‖q_s − a_c,s‖², folded ascending-d left-associative — the SAME
+    * order [[VectorSketch.pqCodeForSub]] and the SQL oracles use, so
+    * ADC distances are bit-identical cross-engine. Shared by
+    * [[pqAdcTopK]] and [[ivfPqTopK]]. */
+  private def pqLut(qv: Array[Float], anchors: Array[Array[Float]],
+      m: Int, subDim: Int): Array[Array[Double]] =
+    Array.tabulate(m) { s =>
+      anchors.map { a =>
+        var acc = 0.0
+        var d = 0
+        while (d < subDim) {
+          val i = s * subDim + d
+          val diff = qv(i).toDouble - a(i).toDouble
+          acc += diff * diff
+          d += 1
+        }
+        acc
+      }
+    }
+
+  /** The m per-subvector code columns `__code0..__code{m-1}`. */
+  private def pqCodeCols(vec: Column, anchors: Array[Array[Float]],
+      m: Int, subDim: Int): Seq[Column] =
+    (0 until m).map(s =>
+      VectorSketch.pqCodeForSub(vec, anchors, s, subDim).cast("int").as(s"__code$s"))
+
+  /** Σ_s LUT[s][__code_s], folded ascending s (left-associative). */
+  private def adcColumn(lut: Array[Array[Double]], m: Int): Column =
+    (0 until m).map(s =>
+      element_at(typedlit(lut(s).toSeq), col(s"__code$s") + 1)).reduce(_ + _)
+
+  /** Shared (-adc)-scored two-level top-k tail; negation is IEEE-exact,
+    * so ordering by __cos desc == adc asc. */
+  private def adcTopK(scored0: DataFrame, k: Int, excludeSelf: Boolean): DataFrame = {
+    val scored =
+      if (excludeSelf) scored0.filter(col("__qid") =!= col("__cid")) else scored0
     twoLevelTopK(scored, k)
       .select(col("query_id"), col("neighbor_id"),
         (-col("cos")).as("adc"), col("rank"))
+  }
+
+  /** Empty (query_id, neighbor_id, adc, rank) frame whose id dtypes
+    * match the inputs — the degenerate-case result must union cleanly
+    * with non-empty batches. */
+  private def emptyAdcResult(queries: DataFrame, qIdCol: String,
+      corpus: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("query_id", queries.schema(qIdCol).dataType),
+      StructField("neighbor_id", corpus.schema(idCol).dataType),
+      StructField("adc", DoubleType),
+      StructField("rank", IntegerType)))
+    queries.sparkSession.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
   }
 
   /** IVF-PQ search (the FAISS IVFPQ shape, Jégou 2011 §V): coarse
@@ -181,11 +208,8 @@ object Similarity {
     val cellIds: Array[Any] = anchorRows.map(_.get(0))
     val qRows = queries.select(col(qIdCol), col(qVecCol)).collect()
       .map(r => (r.get(0), r.getSeq[Float](1).toArray))
-    if (qRows.isEmpty || anchors.isEmpty) {
-      import qSpark.implicits._
-      return qSpark.emptyDataset[(Long, Long, Double, Long)]
-        .toDF("query_id", "neighbor_id", "adc", "rank")
-    }
+    if (qRows.isEmpty || anchors.isEmpty)
+      return emptyAdcResult(queries, qIdCol, corpus, idCol)
 
     // same fold order as list_dot_product / the `dot` column fn
     def ddot(a: Array[Float], b: Array[Float]): Double = {
@@ -209,44 +233,40 @@ object Similarity {
     val coded = corpus.crossJoin(anchorArr)
       .withColumn("cell", nearestCells(col(vecCol), 1)(0)("cell_id"))
       .select(col(idCol).as("__cid") +: col("cell") +:
-        (0 until m).map(s =>
-          VectorSketch.pqCodeForSub(col(vecCol), anchors, s, subDim)
-            .cast("int").as(s"__code$s")): _*)
+        pqCodeCols(col(vecCol), anchors, m, subDim): _*)
 
-    val perQuery = qRows.map { case (qid, qv) =>
-      val lut = Array.tabulate(m) { s =>
-        anchors.map { a =>
-          var acc = 0.0; var d = 0
-          while (d < subDim) {
-            val i = s * subDim + d
-            val diff = qv(i).toDouble - a(i).toDouble
-            acc += diff * diff; d += 1
-          }
-          acc
-        }
-      }
-      // probe the nProbe nearest cells by cosine; anchor position order
-      // IS ascending cell-id order, so the (cos desc, position asc)
-      // sort matches the oracle's (c DESC, cell_id ASC) tie-break
-      val probeIdx = anchors.indices
-        .map(i => (dcos(qv, anchors(i)), i))
-        .sortBy { case (c, i) => (-c, i) }
-        .take(nProbe).map(_._2)
-      val probeCells = probeIdx.map(cellIds)
-      val adc = (0 until m).map(s =>
-        element_at(typedlit(lut(s).toSeq), col(s"__code$s") + 1)).reduce(_ + _)
-      struct(lit(qid).as("qid"),
-        when(col("cell").isin(probeCells: _*), adc)
-          .otherwise(lit(null).cast("double")).as("adc"))
+    // probe the nProbe nearest cells per query by cosine (driver-side —
+    // queries and anchors are already collected); anchor position order
+    // IS ascending cell-id order, so the (cos desc, position asc) sort
+    // matches the oracle's (c DESC, cell_id ASC) tie-break
+    val probePairs: Seq[(Any, Int)] = qRows.zipWithIndex.toSeq.flatMap {
+      case ((_, qv), qi) =>
+        anchors.indices
+          .map(i => (dcos(qv, anchors(i)), i))
+          .sortBy { case (c, i) => (-c, i) }
+          .take(nProbe).map { case (_, i) => (cellIds(i), qi) }
     }
-    var scored = coded
-      .select(col("__cid"), explode(array(perQuery.toIndexedSeq: _*)).as("__q"))
-      .filter(col("__q.adc").isNotNull)
-      .select(col("__q.qid").as("__qid"), col("__cid"), (-col("__q.adc")).as("__cos"))
-    if (excludeSelf) scored = scored.filter(col("__qid") =!= col("__cid"))
-    twoLevelTopK(scored, k)
-      .select(col("query_id"), col("neighbor_id"),
-        (-col("cos")).as("adc"), col("rank"))
+    // broadcast (cell -> query) probe join: only PROBED (corpus row ×
+    // query) pairs ever materialize — the coarse pruning cuts row
+    // processing, not just ADC arithmetic (the ivfTopK shape)
+    val probedDf = qSpark.createDataFrame(
+      qSpark.sparkContext.parallelize(
+        probePairs.map { case (c, qi) => org.apache.spark.sql.Row(c, qi) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          anchorRows.head.schema(0).dataType),
+        org.apache.spark.sql.types.StructField("__qi",
+          org.apache.spark.sql.types.IntegerType))))
+    // per-query qid/ADC resolved by query index: when-chains evaluate
+    // only on the probed pairs the join produced
+    val qidCol = coalesce(qRows.zipWithIndex.map { case ((qid, _), qi) =>
+      when(col("__qi") === qi, lit(qid)) }.toIndexedSeq: _*)
+    val adcCol = coalesce(qRows.zipWithIndex.map { case ((_, qv), qi) =>
+      when(col("__qi") === qi, adcColumn(pqLut(qv, anchors, m, subDim), m))
+    }.toIndexedSeq: _*)
+    val scored = coded.join(broadcast(probedDf), "cell")
+      .select(qidCol.as("__qid"), col("__cid"), (-adcCol).as("__cos"))
+    adcTopK(scored, k, excludeSelf)
   }
 
   /** Random-hyperplane signature: bit p = sign(vec · h_p). Hyperplane

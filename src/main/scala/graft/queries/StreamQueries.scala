@@ -275,8 +275,6 @@ object StreamQueries {
     input
   }
 
-  /** The streaming file source can't read INT64-nanos timestamps, so the
-    * stream input is a pre-normalized copy of events (µs timestamps). */
   private val DriftEdges = Seq(2.0, 5.0, 10.0, 20.0)
 
   /** Streaming drift monitor: PSI of each 6h event-time window's value
@@ -289,7 +287,6 @@ object StreamQueries {
     * epoch-aligned 6h buckets and the same smoothing as
     * q_feature_drift. */
   def streamDrift(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DoubleType
     val nBins = DriftEdges.size + 1
     val stream = SourceReader.readStream(s,
@@ -317,13 +314,9 @@ object StreamQueries {
       .select(col("window_start_ms"), col("bin"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-    val w = Window.partitionBy("window_start_ms")
-    val pb = (col("n_base") + lit(0.5)) / (sum(col("n_base")).over(w) + lit(0.5 * nBins))
-    val pc = (col("n_cur") + lit(0.5)) / (sum(col("n_cur")).over(w) + lit(0.5 * nBins))
-    filled
-      .withColumn("__term", (pc - pb) * log(pc / pb))
-      .groupBy(col("window_start_ms"))
-      .agg(round(sum(col("__term")), 6).as("psi"), sum(col("n_cur")).as("n_cur"))
+    // the smoothing + Σ(Δp·ln) contract lives in ONE place
+    graft.functions.Drift.psiFromCounts(filled, Seq("window_start_ms"), nBins)
+      .select(col("window_start_ms"), col("psi"), col("n_cur"))
       .orderBy("window_start_ms")
   }
 
@@ -362,6 +355,8 @@ object StreamQueries {
       |       SUM(n_cur) AS n_cur
       |FROM p GROUP BY window_start_ms ORDER BY window_start_ms""".stripMargin
 
+  /** The streaming file source can't read INT64-nanos timestamps, so the
+    * stream input is a pre-normalized copy of events (µs timestamps). */
   private def prepared(s: SparkSession, dir: String): String = {
     val tmp = s"/tmp/graft_stream_in_${Math.abs(dir.hashCode)}"
     val marker = new java.io.File(s"$tmp/_SUCCESS")

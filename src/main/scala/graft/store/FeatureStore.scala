@@ -273,6 +273,10 @@ class FeatureStore(
     val view = registry.getFeatureView(viewName)
     view.batchSource match {
       case f: FileSource =>
+        // compact counts and rewrites *.parquet files — a csv/json
+        // source would silently "have nothing to compact"
+        require(f.format == "parquet",
+          s"source maintenance supports parquet FileSources; ${view.name} is ${f.format}")
         val dc = f.datePartitionColumn.getOrElse(throw new IllegalArgumentException(
           s"view $viewName's source declares no date_partition_column"))
         (f.path, dc)

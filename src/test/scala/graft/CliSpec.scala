@@ -138,7 +138,7 @@ class CliSpec extends AnyFunSuite {
 
     val out = scala.collection.mutable.Buffer[String]()
     Cli.run(Seq("apply", cfgPath), spark, out.append(_))
-    // repartition(6) fragmented each day -> compact collapses to 1 file
+    // six appended files per day -> compact collapses each day to 1
     Cli.run(Seq("compact", cfgPath, "stats"), spark, out.append(_))
     assert(out.last.contains("-> 1 files"))
     Cli.run(Seq("vacuum", cfgPath, "stats", "2024-01-03"), spark, out.append(_))
