@@ -26,6 +26,26 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Drift {
 
+  /** Frozen-edge derivation: nBins−1 equi-depth edges from a BASELINE
+    * frame via the mergeable approx_percentile sketch (one pass at any
+    * scale). Compute ONCE when the model ships and pass to [[psi]] as
+    * literals forever after — edges that move with the data make PSI
+    * measure the edges, not the drift. Nulls excluded (the same policy
+    * [[psi]] applies); duplicate quantiles collapse (heavily skewed
+    * baselines yield fewer, wider bins). */
+  def equiDepthEdges(
+      baseline: DataFrame,
+      valueCol: String,
+      nBins: Int,
+      accuracy: Int = 10000): Seq[Double] = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val probs = (1 until nBins).map(_.toDouble / nBins)
+    baseline.filter(col(valueCol).isNotNull)
+      .agg(percentile_approx(col(valueCol).cast("double"),
+        typedlit(probs), lit(accuracy)).as("edges"))
+      .head.getSeq[Double](0).distinct.sorted
+  }
+
   def psi(
       baseline: DataFrame,
       current: DataFrame,

@@ -27,22 +27,28 @@ object ZOrder {
 
   /** Morton-interleave two bucketed dimensions (each in [0, 2^bits)):
     * bit i of `a` lands at result bit 2i, bit i of `b` at 2i+1. */
-  def zValue2(a: Column, b: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+  def zValue2(a: Column, b: Column, bits: Int = 16): Column =
+    zValueN(Seq(a, b), bits)
+
+  /** N-dimensional Morton interleave (round-robin: bit i of dim d lands
+    * at result bit i·n + d). Each dim must be in [0, 2^bits) and
+    * n·bits ≤ 63 — out-of-range values would silently ALIAS (x and
+    * x+2^bits interleave identically) and quietly destroy the cubic
+    * layout, so the projection raises instead; zero extra passes. */
+  def zValueN(dims: Seq[Column], bits: Int): Column = {
+    require(dims.size >= 2, s"zValueN needs >= 2 dims, got ${dims.size}")
+    require(bits >= 1 && dims.size * bits <= 63,
+      s"need 1 <= bits and dims*bits <= 63, got ${dims.size} x $bits")
     val lim = 1L << bits
-    // out-of-range dims would silently ALIAS (x and x+2^bits interleave
-    // identically) and quietly destroy the cubic layout the operator
-    // exists for — fail the job loudly instead; zero extra passes
-    def checked(c: Column, name: String): Column =
+    val n = dims.size
+    def checked(c: Column, d: Int): Column =
       when(c.cast("long").isNull || c.cast("long") < 0 || c.cast("long") >= lim,
-        raise_error(concat(lit(s"zValue2: $name out of [0, $lim): "), c.cast("string"))))
+        raise_error(concat(lit(s"zValueN: dim $d out of [0, $lim): "), c.cast("string"))))
         .otherwise(c.cast("long"))
-    val av = checked(a, "dimA")
-    val bv = checked(b, "dimB")
-    val terms: Seq[Column] = (0 until bits).flatMap { i =>
-      Seq(
-        shiftleft(shiftrightunsigned(av, i).bitwiseAND(lit(1L)), 2 * i),
-        shiftleft(shiftrightunsigned(bv, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    val terms: Seq[Column] = dims.zipWithIndex.flatMap { case (c, d) =>
+      val cv = checked(c, d)
+      (0 until bits).map(i =>
+        shiftleft(shiftrightunsigned(cv, i).bitwiseAND(lit(1L)), i * n + d))
     }
     terms.reduce((x, y) => x.bitwiseOR(y))
   }

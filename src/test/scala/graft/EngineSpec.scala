@@ -235,6 +235,30 @@ class EngineSpec extends AnyFunSuite {
       s"z-order should prune at least 2x more groups: z=$zo/$zt linear=${lo_}/$lt")
   }
 
+  test("Drift: equi-depth edges quarter a uniform baseline; psi(x, x) is exactly zero; out-of-range zValueN raises") {
+    import spark.implicits._
+    val base = (0 until 1000).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val edges = graft.functions.Drift.equiDepthEdges(base, "v", 4)
+    assert(edges.size === 3 && edges.forall(e => e > 100 && e < 900))
+    edges.zip(Seq(250.0, 500.0, 750.0)).foreach { case (e, q) =>
+      assert(math.abs(e - q) < 30, s"edge $e far from quantile $q")
+    }
+    // identical frames: counts equal per bin -> every term exactly 0
+    val psis = graft.functions.Drift.psi(base, base, "v", edges, Seq("g"))
+      .select("psi").as[Double].collect()
+    assert(psis === Array(0.0))
+    // 3-dim Morton: known small case + loud failure on out-of-range
+    val z3 = Seq((1L, 1L, 1L)).toDF("a", "b", "c")
+      .select(graft.sources.ZOrder.zValueN(Seq(col("a"), col("b"), col("c")), 2))
+      .as[Long].head()
+    assert(z3 === 7L) // bit 0 of each dim -> result bits 0,1,2
+    intercept[Exception] {
+      Seq((4L, 0L, 0L)).toDF("a", "b", "c")
+        .select(graft.sources.ZOrder.zValueN(Seq(col("a"), col("b"), col("c")), 2))
+        .collect()
+    }
+  }
+
   test("AggState: merge(fromBatch(a), fromBatch(b)) == fromBatch(a ++ b), disjoint keys included") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
