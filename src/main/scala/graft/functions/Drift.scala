@@ -87,6 +87,41 @@ object Drift {
     psiFromCounts(filled, groupCols, nBins)
   }
 
+  /** Categorical PSI: the drift measure over a CATEGORY column (event
+    * types, countries, model versions) — each observed category is its
+    * own bin, no edges. The bin spine is the union of categories seen
+    * on either side (so a category that appears or disappears
+    * contributes, via smoothing, instead of being dropped); nulls
+    * become the "<null>" category — categorical drift DOES track null
+    * shifts, unlike the numeric path, because here null is a value of
+    * the feature, not an unmeasurable point. */
+  def categoricalPsi(
+      baseline: DataFrame,
+      current: DataFrame,
+      catCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val gCols = groupCols.map(col)
+    def counted(df: DataFrame, out: String): DataFrame = df
+      .select((gCols :+ coalesce(col(catCol).cast("string"), lit("<null>")).as("bin")): _*)
+      .groupBy((gCols :+ col("bin")): _*)
+      .agg(count(lit(1)).as(out))
+    val b = counted(baseline, "n_base")
+    val c = counted(current, "n_cur")
+    val cats = b.select(col("bin")).unionByName(c.select(col("bin"))).distinct()
+    val nBins = cats.count().toInt // tiny: one row per category
+    val groups =
+      if (groupCols.isEmpty)
+        baseline.sparkSession.range(1).select(lit(1).as("__g")).drop("__g")
+      else b.select(gCols: _*).unionByName(c.select(gCols: _*)).distinct()
+    val keys = groupCols :+ "bin"
+    val filled = groups.crossJoin(broadcast(cats))
+      .join(b, keys, "left").join(c, keys, "left")
+      .select((gCols :+ col("bin") :+
+        coalesce(col("n_base"), lit(0L)).as("n_base") :+
+        coalesce(col("n_cur"), lit(0L)).as("n_cur")): _*)
+    psiFromCounts(filled, groupCols, nBins)
+  }
+
   /** PSI over PRE-BINNED counts: `filled` must be the dense
     * (groupCols…, bin, n_base, n_cur) frame — every group × bin row
     * present, zeros filled. The single copy of the smoothing + Σ(Δp·ln)

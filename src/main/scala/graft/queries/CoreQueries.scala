@@ -626,6 +626,23 @@ object CoreQueries {
       |GROUP BY ROLLUP (o_orderstatus, month_ms)
       |ORDER BY o_orderstatus NULLS FIRST, month_ms NULLS FIRST""".stripMargin
 
+  /** CUBE over (status, priority): all 2^n grouping levels in the same
+    * single Expand pass as ROLLUP — the full grouping-sets surface. */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val cubeAggSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       COUNT(*) AS n_orders, round(SUM(o_totalprice), 2) AS revenue
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   /** Pivot: per-user event counts spread across event-type columns (the
     * wide feature-table construction step). Pivot values are declared,
     * not discovered — at 100 TB an undeclared pivot needs a full
@@ -701,6 +718,7 @@ object CoreQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_join" -> (saltedJoin _),
     "q_rollup" -> (rollupAgg _),
+    "q_cube" -> (cubeAgg _),
     "q_pivot" -> (pivotEvents _),
     "q_setops" -> (setOpsSegments _),
     "q_interval_join" -> (intervalJoin _),
@@ -725,6 +743,7 @@ object CoreQueries {
   val oracles: Map[String, String] = Map(
     "q_salted_join" -> saltedJoinSql,
     "q_rollup" -> rollupAggSql,
+    "q_cube" -> cubeAggSql,
     "q_pivot" -> pivotEventsSql,
     "q_setops" -> setOpsSegmentsSql,
     "q_interval_join" -> intervalJoinSql,

@@ -164,6 +164,40 @@ object HistoryQueries {
       |WHERE ts <= TIMESTAMP '2024-02-01 00:00:00'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Categorical PSI of the event-type mix between the first half of
+    * January and the rest — the "did the traffic composition shift"
+    * monitor next to the numeric q_feature_drift. The oracle derives
+    * the same category spine and #categories smoothing constant from
+    * the data. */
+  def categoryDrift(s: SparkSession, dir: String): DataFrame = {
+    val split = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+    val e = ev(s, dir)
+    graft.functions.Drift.categoricalPsi(
+        e.filter(col("ts") < split), e.filter(col("ts") >= split), "event_type")
+      .select(col("psi"), col("n_base"), col("n_cur"))
+  }
+
+  val categoryDriftSql: String =
+    """WITH b AS (
+      |  SELECT coalesce(event_type, '<null>') AS bin, COUNT(*) AS n_base
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1),
+      |c AS (
+      |  SELECT coalesce(event_type, '<null>') AS bin, COUNT(*) AS n_cur
+      |  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1),
+      |cats AS (SELECT bin FROM b UNION SELECT bin FROM c),
+      |k AS (SELECT COUNT(*) AS nbins FROM cats),
+      |filled AS (
+      |  SELECT cats.bin, coalesce(b.n_base, 0) AS n_base, coalesce(c.n_cur, 0) AS n_cur
+      |  FROM cats LEFT JOIN b USING (bin) LEFT JOIN c USING (bin)),
+      |p AS (
+      |  SELECT n_base, n_cur,
+      |         (n_base + 0.5::DOUBLE) / (SUM(n_base) OVER () + 0.5::DOUBLE * k.nbins) AS pb,
+      |         (n_cur + 0.5::DOUBLE) / (SUM(n_cur) OVER () + 0.5::DOUBLE * k.nbins) AS pc
+      |  FROM filled CROSS JOIN k)
+      |SELECT round(SUM((pc - pb) * ln(pc / pb)), 6) AS psi,
+      |       SUM(n_base) AS n_base, SUM(n_cur) AS n_cur
+      |FROM p""".stripMargin
+
   // ---- incremental aggregate state -----------------------------------
 
   /** Lifetime per-user counters maintained incrementally: state built
@@ -337,6 +371,7 @@ object HistoryQueries {
     "q_grid_snapshot" -> (gridSnapshot _),
     "q_decay_features" -> (decayFeatures _),
     "q_feature_drift" -> (featureDrift _),
+    "q_category_drift" -> (categoryDrift _),
     "q_agg_incremental" -> (aggIncremental _),
     "q_validate" -> (validateOrders _),
     "q_profile" -> (profile _))
@@ -347,6 +382,7 @@ object HistoryQueries {
     "q_grid_snapshot" -> gridSnapshotSql,
     "q_decay_features" -> decayFeaturesSql,
     "q_feature_drift" -> featureDriftSql,
+    "q_category_drift" -> categoryDriftSql,
     "q_agg_incremental" -> aggIncrementalSql,
     "q_validate" -> validateOrdersSql,
     "q_profile" -> profileSql)
