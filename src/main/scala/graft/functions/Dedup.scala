@@ -61,6 +61,54 @@ object Dedup {
     *         action (see [[unpersistAfterFirstUse]]) — extra probe
     *         actions stay correct but forfeit the cache.
     */
+  /** Edit-distance near-dup pairs over a short key string (title, name,
+    * canonical URL, text prefix) — the record-linkage / typo modality:
+    * MinHash catches token-level rewrites and SimHash distributed bit
+    * drift, but a 1-character typo changes EVERY shingle containing it
+    * while leaving edit distance at 1. Blocking: length buckets of
+    * width maxEdits+1 — |len(a)−len(b)| ≤ maxEdits implies the buckets
+    * differ by ≤ 1, so one side probes its own and both neighbor
+    * buckets and a pair matches in EXACTLY one of the three (no dedup
+    * pass needed); never an all-pairs product. Oversized buckets
+    * (degenerate constant-length keys) are capped like the LSH
+    * variants. Verification is the codegen'd levenshtein built-in,
+    * definitionally identical in DuckDB, so the operator is fully
+    * value-oracled.
+    *
+    * @return (id_a, id_b, dist) with id_a < id_b, dist <= maxEdits
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      keyCol: String,
+      maxEdits: Int = 2,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(maxEdits >= 1, s"maxEdits must be >= 1, got $maxEdits")
+    val w = maxEdits + 1
+    val keyed = rebalance(df)
+      .select(col(idCol).as("id"), col(keyCol).as("key"))
+      .filter(col("key").isNotNull)
+      .withColumn("__b", floor(length(col("key")) / lit(w)).cast("long"))
+    // cap degenerate buckets BEFORE the join (same policy as LSH): a
+    // bucket holding half the corpus would quadratically explode one
+    // reducer
+    val sized = keyed.join(
+      broadcast(keyed.groupBy("__b").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucketSize).select("__b")),
+      "__b")
+    val left = sized.select(col("__b"),
+      col("id").as("id_a"), col("key").as("key_a"))
+    val right = sized
+      .select(explode(array(col("__b") - 1, col("__b"), col("__b") + 1)).as("__b"),
+        col("id").as("id_b"), col("key").as("key_b"))
+    left.join(right, "__b")
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(length(col("key_a")) - length(col("key_b"))) <= maxEdits)
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b")))
+      .filter(col("dist") <= maxEdits)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
   def minhashNearDupPairs(
       df: DataFrame,
       idCol: String,

@@ -310,6 +310,38 @@ object PipelineQueries {
 
   /** Exact dedup on the normalized-text fingerprint; keeps min doc_id
     * per group (at sf0.1 the corpus has genuine duplicates). */
+  /** Typo-level near-dup pairs over the 40-char lowercased text prefix
+    * (the title/entity-resolution modality — [[Dedup.editDistancePairs]]):
+    * planted 1-char-typo clones of every 10th doc must pair with their
+    * originals, plus whatever naturally-near prefixes exist. The oracle
+    * verifies with a brute-force length-filtered levenshtein join —
+    * same builtin, so values hash-match. */
+  def dedupTypo(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .select(col("doc_id"), lower(substring(col("text"), 1, 40)).as("key"))
+    val withClones = base.unionByName(
+      base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(substring(col("key"), 1, 7), lit("x"),
+            expr("substring(key, 9)")).as("key")))
+    Dedup.editDistancePairs(withClones, "doc_id", "key", maxEdits = 2)
+      .orderBy("id_a", "id_b")
+  }
+
+  val dedupTypoSql: String =
+    """WITH k0 AS (SELECT doc_id, lower(substr(text, 1, 40)) AS key FROM documents),
+      |k AS (
+      |  SELECT doc_id, key FROM k0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, concat(substr(key, 1, 7), 'x', substr(key, 9))
+      |  FROM k0 WHERE doc_id % 10 = 0)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+      |FROM k a JOIN k b
+      |  ON a.doc_id < b.doc_id AND abs(length(a.key) - length(b.key)) <= 2
+      |WHERE levenshtein(a.key, b.key) <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
     val withFp = docs(s, dir).withColumn("fp", TF.fingerprint(col("text")))
     Dedup.exactDedup(withFp, col("fp"), col("doc_id"))
@@ -1837,6 +1869,7 @@ object PipelineQueries {
     "q_contamination" -> (contamination _),
     "q_pipeline_e2e" -> (pipelineE2e _),
     "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_typo" -> (dedupTypo _),
     "q_ngram_jaccard_chain" -> (ngramJaccardChain _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
@@ -1889,6 +1922,7 @@ object PipelineQueries {
     "q_contamination" -> contaminationSql,
     "q_pipeline_e2e" -> pipelineE2eSql,
     "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_typo" -> dedupTypoSql,
     "q_ngram_jaccard_chain" -> ngramJaccardChainSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash_exact" -> dedupSimhashExactSql,

@@ -223,6 +223,16 @@ class PlanSpec extends AnyFunSuite {
       s"the corpus must not be shuffled for the vocab join:\n$plan")
   }
 
+  test("edit-distance pairs: length-bucket equi join, no cartesian product") {
+    import spark.implicits._
+    val df = (0 until 200).map(i => (i.toLong, s"title number $i of the set")).toDF("id", "key")
+    val plan = graft.functions.Dedup.editDistancePairs(df, "id", "key", maxEdits = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesian") &&
+      !plan.toLowerCase.contains("broadcastnestedloop"),
+      s"blocking must plan an equi join on the length bucket:\n$plan")
+  }
+
   test("minhash LSH dedup plans no cartesian product") {
     import spark.implicits._
     val docs = (0 until 50).map(i => (i.toLong, s"doc $i words tokens sample text payload"))
