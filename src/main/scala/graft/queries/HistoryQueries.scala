@@ -198,6 +198,53 @@ object HistoryQueries {
       |       SUM(n_base) AS n_base, SUM(n_cur) AS n_cur
       |FROM p""".stripMargin
 
+  // ---- CDC merge-apply ------------------------------------------------
+
+  /** Advance the pre-split latest-per-user snapshot by the post-split
+    * event feed treated as a changelog: 'error' events are delete
+    * tombstones, everything else upserts (event_type, value). Per user
+    * only the LATEST change matters (max_by over (ts, event_id)); the
+    * oracle restates the same collapse with ROW_NUMBER and re-applies
+    * the op with a full outer join. */
+  def cdcMerge(s: SparkSession, dir: String): DataFrame = {
+    val split = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+    val e = ev(s, dir)
+    val base = graft.operators.PullLatest.latestPerKey(
+        e.filter(col("ts") < split), Seq("user_id"), "ts", None,
+        Seq("event_type", "value"), Seq("event_id"))
+      .select("user_id", "event_type", "value")
+    val changes = e.filter(col("ts") >= split)
+      .withColumn("op", when(col("event_type") === "error", "D").otherwise("U"))
+    graft.operators.Merge.cdcApply(base, changes,
+        keys = Seq("user_id"), opCol = "op",
+        orderCols = Seq("ts", "event_id"), valueCols = Seq("event_type", "value"))
+      .select(col("user_id"), col("event_type"),
+        round(col("value"), 6).as("value"))
+      .orderBy("user_id")
+  }
+
+  val cdcMergeSql: String =
+    """WITH base AS (
+      |  SELECT user_id, event_type, value FROM (
+      |    SELECT user_id, event_type, value,
+      |           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00')
+      |  WHERE rn = 1),
+      |net AS (
+      |  SELECT user_id, op, event_type, value FROM (
+      |    SELECT user_id,
+      |           CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |           event_type, value,
+      |           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
+      |  WHERE rn = 1)
+      |SELECT coalesce(n.user_id, b.user_id) AS user_id,
+      |       CASE WHEN n.op IS NOT NULL THEN n.event_type ELSE b.event_type END AS event_type,
+      |       round(CASE WHEN n.op IS NOT NULL THEN n.value ELSE b.value END, 6) AS value
+      |FROM base b FULL OUTER JOIN net n ON b.user_id = n.user_id
+      |WHERE n.op IS NULL OR n.op <> 'D'
+      |ORDER BY user_id""".stripMargin
+
   // ---- incremental aggregate state -----------------------------------
 
   /** Lifetime per-user counters maintained incrementally: state built
@@ -374,7 +421,8 @@ object HistoryQueries {
     "q_category_drift" -> (categoryDrift _),
     "q_agg_incremental" -> (aggIncremental _),
     "q_validate" -> (validateOrders _),
-    "q_profile" -> (profile _))
+    "q_profile" -> (profile _),
+    "q_cdc_merge" -> (cdcMerge _))
 
   val oracles: Map[String, String] = Map(
     "q_scd2_history" -> scd2HistorySql,
@@ -385,5 +433,6 @@ object HistoryQueries {
     "q_category_drift" -> categoryDriftSql,
     "q_agg_incremental" -> aggIncrementalSql,
     "q_validate" -> validateOrdersSql,
-    "q_profile" -> profileSql)
+    "q_profile" -> profileSql,
+    "q_cdc_merge" -> cdcMergeSql)
 }

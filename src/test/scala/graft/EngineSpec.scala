@@ -418,6 +418,27 @@ class EngineSpec extends AnyFunSuite {
     assert(got === Map(2L -> "CHANGED", 3L -> "REMOVED", 4L -> "ADDED"))
   }
 
+  test("Merge.cdcApply: LWW collapse, tombstones, re-inserts, unseen-key deletes, pass-through") {
+    import spark.implicits._
+    import graft.operators.Merge
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0))
+      .toDF("k", "t", "v")
+    // k=1 untouched; k=2 updated twice (second wins); k=3 U then D (deleted);
+    // k=5 D then U (re-insert survives); k=6 fresh insert; k=7 delete of unseen key (no-op)
+    val changes = Seq(
+      (2L, "U", "b1", 20.0, 1L), (2L, "U", "b2", 21.0, 2L),
+      (3L, "U", "c1", 30.0, 1L), (3L, "D", null, 0.0, 2L),
+      (5L, "D", null, 0.0, 1L), (5L, "U", "e", 50.0, 2L),
+      (6L, "U", "f", 60.0, 1L),
+      (7L, "D", null, 0.0, 1L))
+      .toDF("k", "op", "t", "v", "seq")
+    val got = Merge.cdcApply(base, changes, Seq("k"), "op", Seq("seq"), Seq("t", "v"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(got === Map(
+      1L -> ("a", 1.0), 2L -> ("b2", 21.0), 4L -> ("d", 4.0),
+      5L -> ("e", 50.0), 6L -> ("f", 60.0)))
+  }
+
   test("online staleness: rows older than ttl read back OUTSIDE_MAX_AGE, value retained") {
     import spark.implicits._
     val df = Seq(
