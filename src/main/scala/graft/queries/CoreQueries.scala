@@ -715,7 +715,48 @@ object CoreQueries {
       |FROM events e LEFT JOIN dim d USING (user_id)
       |GROUP BY e.user_id ORDER BY user_id""".stripMargin
 
+  /** Time travel over a manifest-versioned table
+    * ([[graft.sources.VersionedTable]]): commit pre-1998 orders as v1,
+    * append the rest as v2, then aggregate BOTH pinned versions — the
+    * snapshot-isolation read a training job uses to reproduce last
+    * week's dataset after the table moved on. The oracle recomputes
+    * each version's content from the source table with the same split
+    * predicate, so a hash match proves the manifests capture exactly
+    * the committed rows (no loss, no double-count across the append). */
+  def timeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val split = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+    val path = s"/tmp/graft_orders_versioned_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    if (VersionedTable.versions(s, path).take(2) != Seq(1, 2)) {
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+      val o = pq(s, dir, "orders")
+      VersionedTable.commit(s, path, o.filter(col("o_orderdate") < split))
+      VersionedTable.commit(s, path, o.filter(col("o_orderdate") >= split), append = true)
+    }
+    Seq(1, 2).map { v =>
+      VersionedTable.read(s, path, Some(v))
+        // integer cents: immune to float-sum order across file layouts
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("o_orderkey")).as("n_keys"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+        .select(lit(v).as("version"), col("n_rows"), col("n_keys"), col("sum_cents"))
+    }.reduce(_ unionByName _).orderBy("version")
+  }
+
+  val timeTravelSql: String =
+    """SELECT 1 AS version, COUNT(*) AS n_rows,
+      |       COUNT(DISTINCT o_orderkey) AS n_keys,
+      |       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents
+      |FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |UNION ALL
+      |SELECT 2, COUNT(*), COUNT(DISTINCT o_orderkey),
+      |       SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+      |FROM orders
+      |ORDER BY version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_travel" -> (timeTravel _),
     "q_salted_join" -> (saltedJoin _),
     "q_rollup" -> (rollupAgg _),
     "q_cube" -> (cubeAgg _),
@@ -741,6 +782,7 @@ object CoreQueries {
     "q_window_topk" -> (windowTopK _))
 
   val oracles: Map[String, String] = Map(
+    "q_time_travel" -> timeTravelSql,
     "q_salted_join" -> saltedJoinSql,
     "q_rollup" -> rollupAggSql,
     "q_cube" -> cubeAggSql,

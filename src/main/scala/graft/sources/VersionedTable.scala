@@ -1,0 +1,185 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-versioned parquet table: atomic snapshot/append commits
+  * with time-travel reads and snapshot-pinned garbage collection — the
+  * minimal transactional-table layer an offline store needs once
+  * writers and readers overlap (the lakehouse pattern: readers resolve
+  * a MANIFEST, never a directory listing, so a half-written commit is
+  * invisible and a concurrent compaction can't tear a scan).
+  *
+  * Layout under `dir`:
+  * {{{
+  *   data/<version>-<uuid>/part-*.parquet   one sub-dir of files per commit
+  *   _manifests/v<10-digit-version>.json    file list, one per version
+  * }}}
+  *
+  * Commit protocol: write the new data files to a fresh uuid'd
+  * sub-directory (invisible to readers), then CLAIM the next version by
+  * `create(manifest, overwrite = false)` — exclusive create is the
+  * atomic primitive that exists on local FS, HDFS, and object stores
+  * with preconditions, unlike rename-over-existing (POSIX rename
+  * silently replaces, so rename can't detect the race). Losing the
+  * claim re-resolves the head and retries with the next version number;
+  * the data directory is commit-private so a retry never rewrites data.
+  * A manifest that fails JSON validation (torn write from a crashed
+  * claimant) is skipped on read — the table stays at the previous
+  * version, and [[vacuum]] removes the wreckage.
+  *
+  * Scale: a manifest lists file PATHS (thousands of entries at 100 TB
+  * — kilobytes of JSON), never data; appends carry the parent's list
+  * forward so commit cost is O(new files). Reads hand Spark the exact
+  * file list, so there is no recursive directory listing on the hot
+  * path and snapshot isolation is free: a reader pinned at v3 is
+  * untouched by later commits AND by vacuum, which only deletes data
+  * unreferenced by every retained manifest.
+  */
+object VersionedTable {
+
+  final case class Manifest(version: Int, files: Seq[String])
+
+  private def fs(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val root = new Path(dir)
+    (root.getFileSystem(spark.sessionState.newHadoopConf()), root)
+  }
+
+  private def manifestPath(root: Path, v: Int): Path =
+    new Path(new Path(root, "_manifests"), f"v$v%010d.json")
+
+  /** Every version number with a manifest FILE, valid or torn — the
+    * claim space. A torn manifest still owns its number (its claimant
+    * may just be slow), so new commits must allocate above it. */
+  private def listedVersions(hfs: FileSystem, root: Path): Seq[Int] = {
+    val mdir = new Path(root, "_manifests")
+    if (!hfs.exists(mdir)) return Nil
+    hfs.listStatus(mdir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toInt }
+      .sorted
+  }
+
+  /** Versions with a VALID manifest, ascending. */
+  def versions(spark: SparkSession, dir: String): Seq[Int] = {
+    val (hfs, root) = fs(spark, dir)
+    listedVersions(hfs, root).filter(v => readManifest(hfs, root, v).isDefined)
+  }
+
+  /** Commit `df` as the next version. `append = false` → the new
+    * version is exactly df (snapshot); `append = true` → parent's
+    * files + df's files. Returns the committed version number. */
+  def commit(spark: SparkSession, dir: String, df: DataFrame,
+      append: Boolean = false, maxRetries: Int = 10): Int = {
+    val (hfs, root) = fs(spark, dir)
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = new Path(new Path(root, "data"), s"commit-$uuid")
+    df.write.parquet(dataDir.toString)
+    val written = hfs.listStatus(dataDir).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => s"data/commit-$uuid/${f.getPath.getName}")
+      .sorted
+
+    var attempt = 0
+    while (attempt < maxRetries) {
+      attempt += 1
+      val valid = versions(spark, dir)
+      val parentFiles =
+        if (!append) Nil
+        else valid.lastOption.flatMap(v => readManifest(hfs, root, v)).map(_.files).getOrElse(Nil)
+      // allocate above every CLAIMED number, valid or torn — a torn
+      // manifest owns its slot, so colliding with it would retry forever
+      val next = (0 +: listedVersions(hfs, root)).max + 1
+      val json = manifestJson(Manifest(next, parentFiles ++ written))
+      try {
+        val out = hfs.create(manifestPath(root, next), false) // exclusive claim
+        try out.write(json.getBytes("UTF-8")) finally out.close()
+        return next
+      } catch {
+        case _: java.io.IOException => // lost the claim race; re-resolve head
+      }
+    }
+    throw new java.io.IOException(
+      s"VersionedTable.commit: lost the version claim $maxRetries times at $dir")
+  }
+
+  /** Read a pinned `version`, or the latest valid one. */
+  def read(spark: SparkSession, dir: String, version: Option[Int] = None): DataFrame = {
+    val (hfs, root) = fs(spark, dir)
+    val v = version.getOrElse(versions(spark, dir).lastOption.getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed version at $dir")))
+    val m = readManifest(hfs, root, v).getOrElse(
+      throw new java.util.NoSuchElementException(s"no valid manifest v$v at $dir"))
+    if (m.files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(m.files.map(f => new Path(root, f).toString): _*)
+  }
+
+  /** Drop all but the `keepLast` newest versions and delete data files
+    * no retained manifest references (including torn manifests and
+    * orphaned commit dirs from crashed writers). Must not run
+    * concurrently with an in-flight commit: an orphan dir is
+    * indistinguishable from a commit that has not claimed yet. */
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int = 1): (Seq[Int], Int) = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val (hfs, root) = fs(spark, dir)
+    val all = versions(spark, dir)
+    val (dropped, kept) = all.splitAt(math.max(0, all.length - keepLast))
+    val live: Set[String] =
+      kept.flatMap(v => readManifest(hfs, root, v).map(_.files).getOrElse(Nil)).toSet
+    dropped.foreach(v => hfs.delete(manifestPath(root, v), false))
+    // torn manifests (listed but invalid) are wreckage: delete
+    val mdir = new Path(root, "_manifests")
+    if (hfs.exists(mdir)) hfs.listStatus(mdir).foreach { f =>
+      val n = f.getPath.getName
+      val v = scala.util.Try(n.stripPrefix("v").stripSuffix(".json").toInt).toOption
+      if (v.exists(x => !kept.contains(x))) hfs.delete(f.getPath, false)
+    }
+    var deletedFiles = 0
+    val ddir = new Path(root, "data")
+    if (hfs.exists(ddir)) hfs.listStatus(ddir).foreach { cd =>
+      if (cd.isDirectory) {
+        hfs.listStatus(cd.getPath).foreach { f =>
+          val rel = s"data/${cd.getPath.getName}/${f.getPath.getName}"
+          if (f.isFile && !live.contains(rel)) {
+            hfs.delete(f.getPath, false); deletedFiles += 1
+          }
+        }
+        if (hfs.listStatus(cd.getPath).isEmpty) hfs.delete(cd.getPath, true)
+      }
+    }
+    (dropped, deletedFiles)
+  }
+
+  // ---- manifest (de)serialization: flat JSON, no library ------------
+
+  private def manifestJson(m: Manifest): String = {
+    val files = m.files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+    s"""{"version":${m.version},"files":[${files.mkString(",")}],"complete":true}"""
+  }
+
+  private[sources] def readManifest(hfs: FileSystem, root: Path, v: Int): Option[Manifest] = {
+    val p = manifestPath(root, v)
+    if (!hfs.exists(p)) return None
+    val in = hfs.open(p)
+    val raw = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      var n = in.read(tmp)
+      while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      buf.toString("UTF-8")
+    } finally in.close()
+    // the trailing marker is the torn-write guard: a manifest without it
+    // was mid-write when its claimant died
+    if (!raw.trim.endsWith("\"complete\":true}")) return None
+    val filesRe = """"files":\[(.*?)\]""".r
+    filesRe.findFirstMatchIn(raw).map { m =>
+      val body = m.group(1)
+      val files =
+        if (body.isEmpty) Nil
+        else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")
+          .replace("\\\"", "\"").replace("\\\\", "\\"))
+      Manifest(v, files)
+    }
+  }
+}

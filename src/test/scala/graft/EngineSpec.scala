@@ -418,6 +418,44 @@ class EngineSpec extends AnyFunSuite {
     assert(got === Map(2L -> "CHANGED", 3L -> "REMOVED", 4L -> "ADDED"))
   }
 
+  test("VersionedTable: snapshot/append commits, pinned reads, torn manifests, vacuum GC") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_vt").toString
+    // v1 snapshot, v2 append, v3 snapshot (replaces everything)
+    val v1 = VersionedTable.commit(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("k", "t"))
+    val v2 = VersionedTable.commit(spark, dir, Seq((3L, "c")).toDF("k", "t"), append = true)
+    val v3 = VersionedTable.commit(spark, dir, Seq((9L, "z")).toDF("k", "t"))
+    assert((v1, v2, v3) === ((1, 2, 3)))
+    assert(VersionedTable.read(spark, dir, Some(1)).count() === 2)
+    assert(VersionedTable.read(spark, dir, Some(2)).count() === 3)
+    assert(VersionedTable.read(spark, dir).as[(Long, String)].collect().toSet === Set((9L, "z")))
+
+    // torn manifest: claimed v4 but died mid-write -> invisible to reads,
+    // but its number stays claimed (next commit goes to v5)
+    val torn = new java.io.File(s"$dir/_manifests/v${"%010d".format(4)}.json")
+    java.nio.file.Files.write(torn.toPath, """{"version":4,"files":["data/x""".getBytes)
+    assert(VersionedTable.versions(spark, dir) === Seq(1, 2, 3))
+    assert(VersionedTable.read(spark, dir).count() === 1) // still v3
+    val v5 = VersionedTable.commit(spark, dir, Seq((10L, "y")).toDF("k", "t"), append = true)
+    assert(v5 === 5)
+    assert(VersionedTable.read(spark, dir).as[(Long, String)].collect().toSet
+      === Set((9L, "z"), (10L, "y")))
+
+    // vacuum to the 2 newest valid versions: v1/v2 manifests + their
+    // now-unreferenced data files and the torn v4 manifest all go
+    val (dropped, deleted) = VersionedTable.vacuum(spark, dir, keepLast = 2)
+    assert(dropped === Seq(1, 2) && deleted > 0)
+    assert(!torn.exists())
+    assert(VersionedTable.versions(spark, dir) === Seq(3, 5))
+    assert(VersionedTable.read(spark, dir, Some(3)).count() === 1) // kept reads intact
+    assert(VersionedTable.read(spark, dir, Some(5)).count() === 2)
+    intercept[java.util.NoSuchElementException] {
+      VersionedTable.read(spark, dir, Some(1))
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("Merge.cdcApply: LWW collapse, tombstones, re-inserts, unseen-key deletes, pass-through") {
     import spark.implicits._
     import graft.operators.Merge
