@@ -122,6 +122,77 @@ object Drift {
     psiFromCounts(filled, groupCols, nBins)
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic per group:
+    *
+    *   KS = max_v |F_base(v) − F_cur(v)|
+    *
+    * the nonparametric companion to [[psi]] — no edges to freeze, no
+    * smoothing constant, sensitive to any distributional difference.
+    * Computed in INTEGER arithmetic: with per-value cumulative counts
+    * cb, cc and totals n1, n2,
+    *
+    *   d_num = max |cb·n2 − cc·n1|,   KS = d_num / (n1·n2)
+    *
+    * so the statistic is bit-identical across engines (one final
+    * division of exact integers; the count products stay within Long
+    * for group counts up to ~3·10⁹ — beyond that pass `edges`, which
+    * also bounds the counts).
+    *
+    * Scale shape: each side first reduces to (group, value) counts —
+    * map-side combinable, so the windows below run over DISTINCT
+    * values, not rows. For continuous columns at 100 TB that is still
+    * corpus-sized: pass `edges` (e.g. [[equiDepthEdges]] at nBins ≫
+    * the resolution you care about) and values collapse to bin ids
+    * first — the result becomes the KS of the binned distributions,
+    * exact for the bins, off from the raw KS by at most the probability
+    * mass of one bin. The running-cumulative window then touches ≤
+    * #bins rows per group. A group entirely absent from one side has
+    * n·0 products everywhere → d_num = 0 and KS = NaN (0/0): drop or
+    * pre-filter such groups. */
+  def ks(
+      baseline: DataFrame,
+      current: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String] = Nil,
+      edges: Option[Seq[Double]] = None): DataFrame = {
+    edges.foreach(e => require(e.nonEmpty && e == e.sorted, s"edges must be ascending, got $e"))
+    val gCols = groupCols.map(col)
+    def counted(df: DataFrame, out: String): DataFrame = {
+      val v = edges match {
+        case Some(e) => SearchSorted.column(
+          col(valueCol).cast("double"), DoubleType, e.map(x => x: Any)).cast("double")
+        case None => col(valueCol).cast("double")
+      }
+      df.filter(col(valueCol).isNotNull)
+        .select((gCols :+ v.as("__v")): _*)
+        .groupBy((gCols :+ col("__v")): _*)
+        .agg(count(lit(1)).as(out))
+    }
+    val keys = groupCols :+ "__v"
+    val merged = counted(baseline, "n_base").join(counted(current, "n_cur"), keys, "full_outer")
+      .select((keys.map(col) :+
+        coalesce(col("n_base"), lit(0L)).as("__nb") :+
+        coalesce(col("n_cur"), lit(0L)).as("__nc")): _*)
+    val w =
+      if (groupCols.isEmpty) Window.partitionBy(lit(1))
+      else Window.partitionBy(gCols: _*)
+    val wOrd = w.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn("__cb", sum(col("__nb")).over(wOrd))
+      .withColumn("__cc", sum(col("__nc")).over(wOrd))
+      .withColumn("__n1", sum(col("__nb")).over(w))
+      .withColumn("__n2", sum(col("__nc")).over(w))
+      .groupBy(gCols: _*)
+      .agg(
+        max(abs(col("__cb") * col("__n2") - col("__cc") * col("__n1"))).as("d_num"),
+        max(col("__n1")).as("n_base"),
+        max(col("__n2")).as("n_cur"))
+      .withColumn("ks", round(
+        col("d_num").cast("double") /
+          (col("n_base").cast("double") * col("n_cur").cast("double")), 6))
+      .select((gCols :+ col("ks") :+ col("d_num") :+ col("n_base") :+ col("n_cur")): _*)
+  }
+
   /** PSI over PRE-BINNED counts: `filled` must be the dense
     * (groupCols…, bin, n_base, n_cur) frame — every group × bin row
     * present, zeros filled. The single copy of the smoothing + Σ(Δp·ln)

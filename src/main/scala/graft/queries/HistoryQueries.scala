@@ -133,6 +133,50 @@ object HistoryQueries {
       |  ON c.user_id = g.user_id AND c.snap = g.snap
       |ORDER BY g.user_id, snap_ms""".stripMargin
 
+  // ---- nearest as-of join --------------------------------------------
+
+  /** Nearest-direction as-of join ([[graft.operators.NearestJoin]])
+    * over the same weekly grid as q_grid_snapshot, tolerance ±3 days:
+    * sensor-alignment semantics (closest reading to each anchor, ties
+    * backward). The oracle ranks candidates by (|Δt|, direction, ts,
+    * event_id) and keeps rank 1. */
+  def nearestJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = ev(s, dir)
+    val grid = events.select(col("user_id")).distinct()
+      .select(col("user_id"),
+        explode(expr(
+          "sequence(timestamp'2024-01-08 00:00:00', timestamp'2024-01-29 00:00:00', interval 7 days)"))
+          .as("event_timestamp"))
+    graft.operators.NearestJoin.join(grid, events, Seq("user_id"),
+        Seq("event_type", "value"), java.time.Duration.ofDays(3),
+        featureTsCol = "ts", tieBreaks = Seq("event_id"))
+      .select(col("user_id"),
+        unix_millis(col("event_timestamp")).as("snap_ms"),
+        col("event_type"), col("value"),
+        unix_millis(col("matched_ts")).as("matched_ts_ms"))
+      .orderBy("user_id", "snap_ms")
+  }
+
+  val nearestJoinSql: String =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |g AS (
+      |  SELECT u.user_id, t.snap FROM u
+      |  CROSS JOIN (SELECT UNNEST(generate_series(TIMESTAMP '2024-01-08',
+      |                 TIMESTAMP '2024-01-29', INTERVAL 7 DAY)) AS snap) t),
+      |cand AS (
+      |  SELECT g.user_id, g.snap, f.event_type, f.value, f.ts,
+      |         ROW_NUMBER() OVER (PARTITION BY g.user_id, g.snap
+      |           ORDER BY abs(epoch_us(f.ts) - epoch_us(g.snap)),
+      |                    CASE WHEN f.ts <= g.snap THEN 0 ELSE 1 END,
+      |                    f.ts, f.event_id) AS rn
+      |  FROM g JOIN events f ON f.user_id = g.user_id
+      |   AND f.ts >= g.snap - INTERVAL 3 DAY AND f.ts <= g.snap + INTERVAL 3 DAY)
+      |SELECT g.user_id, epoch_ms(g.snap) AS snap_ms, c.event_type, c.value,
+      |       epoch_ms(c.ts) AS matched_ts_ms
+      |FROM g LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+      |  ON c.user_id = g.user_id AND c.snap = g.snap
+      |ORDER BY g.user_id, snap_ms""".stripMargin
+
   // ---- time-decayed features -----------------------------------------
 
   /** Recency-weighted engagement features as of a fixed time:
@@ -360,6 +404,52 @@ object HistoryQueries {
       |       SUM(n_base) AS n_base, SUM(n_cur) AS n_cur
       |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- KS drift -------------------------------------------------------
+
+  /** Exact Kolmogorov–Smirnov drift of the event value distribution per
+    * event_type across the same Jan-15 split as q_feature_drift — the
+    * edge-free companion statistic. Integer d_num makes the oracle
+    * trivial: DuckDB replays the cumulative-count window and the same
+    * single division. */
+  def ksDrift(s: SparkSession, dir: String): DataFrame = {
+    val split = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+    val e = ev(s, dir)
+    graft.functions.Drift.ks(
+        e.filter(col("ts") < split), e.filter(col("ts") >= split),
+        "value", Seq("event_type"))
+      .orderBy("event_type")
+  }
+
+  val ksDriftSql: String =
+    """WITH b AS (
+      |  SELECT event_type, value AS v, COUNT(*) AS nb FROM events
+      |  WHERE ts < TIMESTAMP '2024-01-15 00:00:00' AND value IS NOT NULL
+      |  GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, value AS v, COUNT(*) AS nc FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' AND value IS NOT NULL
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT coalesce(b.event_type, c.event_type) AS g,
+      |         coalesce(b.v, c.v) AS v,
+      |         coalesce(nb, 0) AS nb, coalesce(nc, 0) AS nc
+      |  FROM b FULL OUTER JOIN c ON b.event_type = c.event_type AND b.v = c.v),
+      |r AS (
+      |  SELECT g, v,
+      |         SUM(nb) OVER (PARTITION BY g ORDER BY v
+      |                       ROWS UNBOUNDED PRECEDING) AS cb,
+      |         SUM(nc) OVER (PARTITION BY g ORDER BY v
+      |                       ROWS UNBOUNDED PRECEDING) AS cc,
+      |         SUM(nb) OVER (PARTITION BY g) AS n1,
+      |         SUM(nc) OVER (PARTITION BY g) AS n2
+      |  FROM m)
+      |SELECT g AS event_type,
+      |       round(CAST(MAX(abs(cb * n2 - cc * n1)) AS DOUBLE)
+      |             / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)), 6) AS ks,
+      |       MAX(abs(cb * n2 - cc * n1)) AS d_num,
+      |       MAX(n1) AS n_base, MAX(n2) AS n_cur
+      |FROM r GROUP BY g ORDER BY event_type""".stripMargin
+
   // ---- one-pass table profiling --------------------------------------
 
   /** Data-quality profile of selected orders columns — row count, null
@@ -422,7 +512,9 @@ object HistoryQueries {
     "q_agg_incremental" -> (aggIncremental _),
     "q_validate" -> (validateOrders _),
     "q_profile" -> (profile _),
-    "q_cdc_merge" -> (cdcMerge _))
+    "q_cdc_merge" -> (cdcMerge _),
+    "q_ks_drift" -> (ksDrift _),
+    "q_nearest_join" -> (nearestJoin _))
 
   val oracles: Map[String, String] = Map(
     "q_scd2_history" -> scd2HistorySql,
@@ -434,5 +526,7 @@ object HistoryQueries {
     "q_agg_incremental" -> aggIncrementalSql,
     "q_validate" -> validateOrdersSql,
     "q_profile" -> profileSql,
-    "q_cdc_merge" -> cdcMergeSql)
+    "q_cdc_merge" -> cdcMergeSql,
+    "q_ks_drift" -> ksDriftSql,
+    "q_nearest_join" -> nearestJoinSql)
 }

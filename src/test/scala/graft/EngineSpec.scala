@@ -259,6 +259,27 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("Drift.ks: hand-computed statistic, ks(x,x)=0, binned mode matches exact on bin-aligned data") {
+    import spark.implicits._
+    import graft.functions.Drift
+    // base {1,2,3} vs cur {3,4}: sup gap at v=2 -> |2/3 - 0| = 2/3, d_num = 4
+    val base = Seq(1.0, 2.0, 3.0).toDF("v")
+    val cur = Seq(3.0, 4.0).toDF("v")
+    val r = Drift.ks(base, cur, "v").select("ks", "d_num", "n_base", "n_cur").head()
+    assert(r.getDouble(0) === 0.666667 && r.getLong(1) === 4L)
+    assert(r.getLong(2) === 3L && r.getLong(3) === 2L)
+    // identical frames -> exactly zero, per group
+    val x = (0 until 500).map(i => (if (i % 2 == 0) "a" else "b", (i % 37).toDouble))
+      .toDF("g", "v")
+    val zeros = Drift.ks(x, x, "v", Seq("g")).select("ks").as[Double].collect()
+    assert(zeros === Array(0.0, 0.0))
+    // edges aligned with the data grid: binned == exact
+    val exact = Drift.ks(base, cur, "v").select("d_num").as[Long].head()
+    val binned = Drift.ks(base, cur, "v", Nil, Some(Seq(1.5, 2.5, 3.5)))
+      .select("d_num").as[Long].head()
+    assert(binned === exact)
+  }
+
   test("AggState: merge(fromBatch(a), fromBatch(b)) == fromBatch(a ++ b), disjoint keys included") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

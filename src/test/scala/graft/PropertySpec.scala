@@ -119,6 +119,48 @@ class PropertySpec extends AnyFunSuite {
     runCheck(prop, minTests = 8)
   }
 
+  test("NearestJoin agrees with the nested-loop nearest oracle on arbitrary inputs (ScalaCheck)") {
+    import spark.implicits._
+    val genCase = for {
+      nKeys <- Gen.choose(1, 6)
+      nRows <- Gen.choose(0, 150)
+      nEnt <- Gen.choose(1, 40)
+      tolH <- Gen.oneOf(1, 7, 48)
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (nKeys, nRows, nEnt, tolH, seed)
+
+    val prop = Prop.forAllNoShrink(genCase) { case (nKeys, nRows, nEnt, tolH, seed) =>
+      val rnd = new scala.util.Random(seed)
+      def t(): Timestamp = new Timestamp(base + rnd.nextInt(100) * 3600_000L)
+      val rows = (0 until nRows).map(i =>
+        (rnd.nextInt(nKeys).toLong, t(), i.toLong, rnd.nextInt(500).toDouble))
+      val ents = (0 until nEnt).map(_ => (rnd.nextInt(nKeys).toLong, t()))
+      val tol = Duration.ofHours(tolH.toLong)
+
+      val featDf = rows.toDF("k", "ft", "fid", "v")
+      val entityDf = ents.toDF("k", "event_timestamp")
+      val got = graft.operators.NearestJoin.join(entityDf, featDf, Seq("k"),
+          Seq("fid", "v"), tol, featureTsCol = "ft", tieBreaks = Seq("fid"))
+        .select("k", "event_timestamp", "fid").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+
+      // nearest within ±tol; ties on distance -> backward, then min id
+      def oracle(key: Long, ts: Timestamp): Option[Long] = {
+        val c = rows.filter { case (k, ft, _, _) =>
+          k == key && math.abs(ft.getTime - ts.getTime) <= tol.toMillis
+        }
+        if (c.isEmpty) None
+        else Some(c.minBy { case (_, ft, fid, _) =>
+          (math.abs(ft.getTime - ts.getTime),
+            if (ft.getTime <= ts.getTime) 0L else 1L, ft.getTime, fid)
+        }._3)
+      }
+
+      got.length == ents.length && got.forall { case (k, ts, fid) => fid == oracle(k, ts) }
+    }
+    runCheck(prop, minTests = 8)
+  }
+
   test("Contrastive.negativeSamples: k per anchor, never self, deterministic, uniform-ish (ScalaCheck)") {
     import spark.implicits._
     val genCase = for {
