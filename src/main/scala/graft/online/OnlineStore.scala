@@ -347,6 +347,49 @@ class ParquetOnlineStore(
   def tableDf(spark: SparkSession, project: String, view: String): DataFrame =
     spark.read.parquet(path(project, view)).drop(BucketCol)
 
+  /** TTL retention sweep: delete rows whose `tsCol` is strictly older
+    * than `cutoff` — the online half of [[graft.sources.DatePartition.vacuum]]
+    * (the reference leaves expired online rows in place and gates them
+    * at read time, ServingService.proto:112-114; the sweep is what
+    * keeps the STORE from growing without bound). Only buckets that
+    * actually contain expired rows are rewritten (discovered from one
+    * column-pruned scan of (bucket, ts)); survivors re-stage key-sorted
+    * and swap in with the upsert path's per-bucket rename-aside, so
+    * concurrent point reads stay safe. A bucket left with no survivors
+    * is dropped — reads already tolerate absent bucket dirs. Returns
+    * the number of expired rows. */
+  def expire(spark: SparkSession, project: String, view: FeatureView,
+      joinKeys: Seq[String], tsCol: String, cutoff: Timestamp): Long = {
+    val p = path(project, view.name)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = hp(p).getFileSystem(hconf)
+    if (!fs.exists(hp(p))) return 0L
+    recover(fs, p)
+    val store = spark.read.parquet(p)
+    val perBucket = store.filter(col(tsCol) < lit(cutoff))
+      .groupBy(col(BucketCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (perBucket.isEmpty) return 0L
+    val touched = perBucket.keys.toSeq
+    val tmp = p + ".tmp"
+    store.filter(col(BucketCol).isin(touched: _*))
+      .filter(col(tsCol) >= lit(cutoff))
+      .repartition(touched.size, col(BucketCol))
+      .sortWithinPartitions(joinKeys.map(col): _*)
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp)
+    val oldRoot = hp(p + ".old")
+    fs.mkdirs(oldRoot)
+    touched.foreach { b =>
+      val live = hp(s"$p/$BucketCol=$b")
+      val staged = hp(s"$tmp/$BucketCol=$b")
+      if (fs.exists(live)) fs.rename(live, hp(s"${p + ".old"}/$BucketCol=$b"))
+      if (fs.exists(staged)) fs.rename(staged, live)
+    }
+    fs.delete(oldRoot, true)
+    fs.delete(hp(tmp), true)
+    perBucket.values.sum
+  }
+
   def read(project: String, view: FeatureView, joinKeys: Seq[String],
       entityKeys: Seq[Seq[(String, Any)]],
       features: Seq[String]): Seq[(Option[Timestamp], Map[String, FeatureValue])] = {

@@ -672,6 +672,32 @@ object PipelineQueries {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Curriculum ordering: a dense global rank of the corpus by
+    * (n_tokens DESC, doc_id) — the "schedule long documents first"
+    * export order — WITHOUT a global window: the rank is
+    * [[graft.functions.Packing.withDenseIndex]]'s distributed prefix
+    * sum over a fixed-width composite sort key (integer fields only,
+    * so the key and hence the rank are bit-identical cross-engine).
+    * The oracle is the ROW_NUMBER the operator deliberately avoids —
+    * at 100 TB that single-partition sort is the difference. */
+  def curriculumRank(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+    // ascending key = (n_tokens desc, doc_id asc); widths cover the domains
+    val keyed = d.withColumn("__key",
+      format_string("%010d-%012d", lit(2000000000L) - col("n_tokens"), col("doc_id")))
+    graft.functions.Packing.withDenseIndex(keyed, "__key", "rank")
+      .select(col("doc_id"), col("n_tokens"), col("rank"))
+      .orderBy("doc_id")
+  }
+
+  val curriculumRankSql: String =
+    """SELECT doc_id, n_tokens,
+      |       ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rank
+      |FROM (SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   /** Training-corpus JSONL export, end to end: pack docs into
     * ~2000-token shards, WRITE them as shard-partitioned JSONL (the
     * hand-off format for tokenizer/training jobs), then build the
@@ -1854,6 +1880,7 @@ object PipelineQueries {
     "q_mixture_sample" -> (mixtureSampleQ _),
     "q_components" -> (componentsQ _),
     "q_shard_pack" -> (shardPack _),
+    "q_curriculum" -> (curriculumRank _),
     "q_export_jsonl" -> (exportJsonl _),
     "q_context_windows" -> (contextWindowsQ _),
     "q_dedup_incremental_fuzzy" -> (dedupIncrementalFuzzy _),
@@ -1907,6 +1934,7 @@ object PipelineQueries {
     "q_mixture_sample" -> mixtureSampleSql,
     "q_components" -> componentsSql,
     "q_shard_pack" -> shardPackSql,
+    "q_curriculum" -> curriculumRankSql,
     "q_export_jsonl" -> exportJsonlSql,
     "q_context_windows" -> contextWindowsSql,
     "q_dedup_incremental_fuzzy" -> dedupIncrementalFuzzySql,

@@ -269,6 +269,27 @@ class FeatureStore(
     graft.sources.DatePartition.compact(spark, path, dateCol, targetBytes, maxFiles)
   }
 
+  /** TTL retention sweep on a view's ONLINE store: drop stored rows
+    * whose event_ts has aged past the view's ttl as of `asOf` — the
+    * storage-side counterpart of the read-time OUTSIDE_MAX_AGE gate
+    * (a gated row still occupies its bucket forever; the sweep is what
+    * bounds the store). Views with ttl = 0 never expire. Only
+    * [[graft.online.ParquetOnlineStore]] retains history on disk;
+    * other stores are rejected loudly rather than silently no-oped.
+    * Returns the number of expired rows. */
+  def expireOnline(viewName: String, asOf: Timestamp): Long = {
+    val view = registry.getFeatureView(viewName)
+    if (view.ttl.isZero) return 0L
+    val cutoff = Timestamp.from(asOf.toInstant.minus(view.ttl))
+    onlineStore match {
+      case p: graft.online.ParquetOnlineStore =>
+        p.expire(spark, project, view, joinKeysOf(view),
+          view.batchSource.eventTimestampColumn, cutoff)
+      case other => throw new IllegalArgumentException(
+        s"expireOnline supports ParquetOnlineStore; configured store is ${other.getClass.getSimpleName}")
+    }
+  }
+
   private def datePartitionedSource(viewName: String): (String, String) = {
     val view = registry.getFeatureView(viewName)
     view.batchSource match {

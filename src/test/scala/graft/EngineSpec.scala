@@ -530,6 +530,46 @@ class EngineSpec extends AnyFunSuite {
     fs.teardown()
   }
 
+  test("ParquetOnlineStore.expire: drops only aged rows, rewrites only touched buckets, idempotent") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graftexp").toString
+    val store = new ParquetOnlineStore(base, numBuckets = 8, smallStoreBytes = 0L)
+    // even keys old (expired), odd keys fresh
+    val df = (0L until 64L).map(k =>
+        (k, if (k % 2 == 0) ts("2024-01-01 00:00:00") else ts("2024-01-20 00:00:00"), k.toDouble))
+      .toDF("driver_id", "et", "v")
+    val view = FeatureView("ev", Seq("driver"), Seq(Feature("v", GraftType.Dbl)),
+      Duration.ZERO, DataFrameSource(df, "et"))
+    store.upsert("p", view, Seq("driver_id"), df, "et", None)
+
+    def fileStamps(): Map[String, Set[(String, Long)]] = {
+      val root = new java.io.File(s"$base/p/ev")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+        .map { d =>
+          d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.lastModified())).toSet
+        }.toMap
+    }
+
+    val expired = store.expire(spark, "p", view, Seq("driver_id"), "et",
+      ts("2024-01-10 00:00:00"))
+    assert(expired === 32L)
+    val snap = store.tableDf(spark, "p", "ev").select("driver_id").as[Long].collect().toSet
+    assert(snap === (1L until 64L by 2).toSet)
+    // survivors readable; expired keys NOT_FOUND
+    val r = store.read("p", view, Seq("driver_id"),
+      Seq(Seq("driver_id" -> 3L), Seq("driver_id" -> 4L)), Seq("v"))
+    assert(r(0)._2("v").status == "PRESENT" && r(0)._2("v").value == 3.0)
+    assert(r(1)._2("v").status == "NOT_FOUND")
+    // nothing left to expire: no rewrite happens (file stamps unchanged)
+    val stamps = fileStamps()
+    assert(store.expire(spark, "p", view, Seq("driver_id"), "et",
+      ts("2024-01-10 00:00:00")) === 0L)
+    assert(fileStamps() === stamps)
+    // cutoff = 0 on a FeatureStore view with ttl=0 is a no-op by contract
+    store.teardown("p", Seq(view))
+  }
+
   test("ParquetOnlineStore upsert rewrites only buckets containing incoming keys") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graftbkt").toString
