@@ -230,6 +230,79 @@ object StreamQueries {
       | AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 1 DAY
       |GROUP BY l.event_id ORDER BY event_id""".stripMargin
 
+  /** Write `piece` as the single parquet file `part-0000<i>.parquet`
+    * under `input`, with a strictly increasing mtime — FileStreamSource
+    * orders files by modification time, and the left-outer label join
+    * needs a watermark-MONOTONE replay (time-ordered batches). */
+  private def writeOrderedPiece(s: SparkSession, input: String, i: Int, piece: DataFrame): Unit = {
+    val tmp = s"$input/_piece_tmp"
+    piece.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no parquet part under $tmp"))
+    val dest = new java.io.File(input, f"part-$i%05d.parquet")
+    java.nio.file.Files.move(part.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dest.setLastModified(1700000000000L + i * 60000L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
+  /** Streaming forward label join with definite no-outcome answers:
+    * every event left-outer-joined to the same user's PURCHASE events
+    * in the next day — unmatched events emit once WITH NULLS when the
+    * watermark passes their horizon
+    * ([[StreamMaterializer.runStreamLabelJoinToCompletion]]). The
+    * replay is a time-ordered 2-file split (cross-batch forward pairs
+    * exist only via join state) plus two far-future sentinel purchase
+    * rows whose only job is to push the final watermark past every
+    * bound so the tail's outer rows flush — without them the
+    * no-outcome events would stay pending forever and the row counts
+    * could never match the batch oracle's LEFT JOIN. */
+  def streamLabelJoin(s: SparkSession, dir: String): DataFrame = {
+    val split = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val input = s"/tmp/graft_stream_lbl_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    if (!new java.io.File(s"$input/_READY").exists()) {
+      new java.io.File(input).mkdirs()
+      val ev = Tables.read(s, dir, "events")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+      writeOrderedPiece(s, input, 0, ev.filter(col("ts") < lit(split)))
+      writeOrderedPiece(s, input, 1, ev.filter(col("ts") >= lit(split)))
+      // sentinels pass the right-side purchase filter, match nothing
+      // (unique negative user ids, strict forward window), and are
+      // dropped from the output by event_id >= 0
+      def sentinel(id: Long, ts: String) = s.sql(
+        s"""SELECT CAST($id AS BIGINT) AS event_id, CAST($id AS BIGINT) AS user_id,
+           |TIMESTAMP'$ts' AS ts, 'purchase' AS event_type,
+           |CAST(0.0 AS DOUBLE) AS value""".stripMargin)
+      writeOrderedPiece(s, input, 2, sentinel(-1L, "2034-01-01 00:00:00"))
+      writeOrderedPiece(s, input, 3, sentinel(-2L, "2035-01-01 00:00:00"))
+      new java.io.File(s"$input/_READY").createNewFile()
+    }
+    def stream() = SourceReader.readStream(s,
+      FileStreamSource(input, "parquet", "ts", maxFilesPerTrigger = Some(1)))
+    val left = stream()
+    val right = stream().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+        col("value").as("r_value"), lit(1).as("r_one"))
+    val name = "stream_lbl_" + java.util.UUID.randomUUID().toString.take(8)
+    StreamMaterializer.runStreamLabelJoinToCompletion(
+        left, "ts", right, "r_ts", Seq("user_id" -> "r_user_id"),
+        horizon = "1 day", watermarkDelay = "0 seconds", name)
+      .filter(col("event_id") >= 0)
+      .groupBy("event_id").agg(
+        count(col("r_one")).as("n_labels"),
+        round(sum(col("r_value")), 4).as("sum_label_value"))
+      .orderBy("event_id")
+  }
+
+  val streamLabelJoinSql: String =
+    """SELECT l.event_id AS event_id, count(r.user_id) AS n_labels,
+      |       round(sum(r.value), 4) AS sum_label_value
+      |FROM events l LEFT JOIN events r
+      |  ON r.user_id = l.user_id AND r.event_type = 'purchase'
+      | AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 1 DAY
+      |GROUP BY l.event_id ORDER BY event_id""".stripMargin
+
   /** Stream-static enrichment: the 2-file events replay joined per
     * micro-batch to the static customer dimension (broadcast), then the
     * enriched stream reduced to per-market-segment totals with a batch
@@ -382,6 +455,7 @@ object StreamQueries {
     "q_stream_window_agg" -> (streamWindowAgg _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_join" -> (streamJoin _),
+    "q_stream_label_join" -> (streamLabelJoin _),
     "q_stream_enrich" -> (streamEnrich _),
     "q_stream_topk" -> (streamTopK _),
     "q_stream_sessionize" -> (streamSessionize _),
@@ -392,6 +466,7 @@ object StreamQueries {
     "q_stream_window_agg" -> streamWindowAggSql,
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_join" -> streamJoinSql,
+    "q_stream_label_join" -> streamLabelJoinSql,
     "q_stream_enrich" -> streamEnrichSql,
     "q_stream_topk" -> streamTopKSql,
     "q_stream_sessionize" -> streamSessionizeSql,

@@ -234,6 +234,46 @@ object StreamMaterializer {
     * whole stream. `watermarkDelay` must cover the maximum event-time
     * disorder across micro-batches: state eviction is correctness here,
     * not just memory — a replay harness passes the full data span. */
+  /** Stream-stream LEFT OUTER forward (label) join: pair each left row
+    * with the right rows of the same key in (left_ts, left_ts+horizon]
+    * — and, when the watermark passes a left row's match bound with no
+    * partner seen, emit it ONCE with nulls. This is the streaming form
+    * of [[graft.operators.LabelJoin]]: "attach the outcome observed
+    * within the horizon, or conclude there was none" — the
+    * null-emission discipline is what makes the no-outcome conclusion
+    * DEFINITE instead of indefinitely pending.
+    *
+    * Correct use requires the replay/ingest to be watermark-monotone:
+    * outer results for the stream's tail only flush once the watermark
+    * passes their bounds, so a bounded replay must end with a sentinel
+    * row beyond max(left_ts)+horizon+delay (the test harness appends
+    * two). State is bounded exactly as in the inner variant: the time
+    * constraint lets both sides evict at watermark − horizon. */
+  def runStreamLabelJoinToCompletion(
+      left: DataFrame, leftTsCol: String,
+      right: DataFrame, rightTsCol: String,
+      joinKeys: Seq[(String, String)],
+      horizon: String,
+      watermarkDelay: String,
+      queryName: String): DataFrame = {
+    val spark = left.sparkSession
+    val l = left.withWatermark(leftTsCol, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTsCol, watermarkDelay).alias("r")
+    val keyCond = joinKeys
+      .map { case (a, b) => col(s"l.$a") === col(s"r.$b") }
+      .reduce(_ && _)
+    val timeCond = col(s"r.$rightTsCol") > col(s"l.$leftTsCol") &&
+      col(s"r.$rightTsCol") <= col(s"l.$leftTsCol") + expr(s"INTERVAL $horizon")
+    val q = l.join(r, keyCond && timeCond, "left_outer").writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   def runStreamJoinToCompletion(
       left: DataFrame, leftTsCol: String,
       right: DataFrame, rightTsCol: String,
