@@ -465,6 +465,48 @@ object CoreQueries {
       |       TRUE AS approx_ok
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Equi-depth quantile binning (feature discretization): quartile
+    * edges of o_totalprice from ONE exact-percentile aggregation
+    * (order-independent, so cross-engine exact — the mergeable
+    * approx_percentile / [[graft.functions.Drift.equiDepthEdges]] is
+    * the documented 100 TB swap), then bin assignment as a
+    * [[graft.functions.SearchSorted]] literal-bounds binary search in
+    * the projection — no join against an edges table — reduced to a
+    * per-bin profile. Edge semantics: value ≥ edge → upper bin,
+    * matching the drift binning. */
+  def quantileBin(s: SparkSession, dir: String): DataFrame = {
+    val o = pq(s, dir, "orders").filter(col("o_totalprice").isNotNull)
+    val edges = o.agg(expr(
+        "percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))").as("e"))
+      .head.getSeq[Double](0)
+    o.select(graft.functions.SearchSorted.column(
+        col("o_totalprice"), org.apache.spark.sql.types.DoubleType,
+        edges.map(x => x: Any)).as("bin"),
+        col("o_totalprice"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 6).as("min_price"),
+        round(max(col("o_totalprice")), 6).as("max_price"))
+      .orderBy("bin")
+  }
+
+  val quantileBinSql: String =
+    """WITH q AS (
+      |  SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+      |         quantile_cont(o_totalprice, 0.5) AS q2,
+      |         quantile_cont(o_totalprice, 0.75) AS q3
+      |  FROM orders WHERE o_totalprice IS NOT NULL),
+      |b AS (
+      |  SELECT CASE WHEN o_totalprice >= q.q3 THEN 3
+      |              WHEN o_totalprice >= q.q2 THEN 2
+      |              WHEN o_totalprice >= q.q1 THEN 1 ELSE 0 END AS bin,
+      |         o_totalprice
+      |  FROM orders, q WHERE o_totalprice IS NOT NULL)
+      |SELECT bin, COUNT(*) AS n,
+      |       round(MIN(o_totalprice), 6) AS min_price,
+      |       round(MAX(o_totalprice), 6) AS max_price
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
   /** Forward as-of label join ([[LabelJoin]] — the time-reversed dual
     * of the signature PIT join): every 5th event is an "anchor"
     * (prediction point); its label is the same user's EARLIEST event
@@ -776,6 +818,7 @@ object CoreQueries {
     "q_agg_pushdown" -> (aggPushdown _),
     "q_approx_distinct" -> (approxDistinct _),
     "q_approx_quantile" -> (approxQuantile _),
+    "q_quantile_bin" -> (quantileBin _),
     "q_label_join" -> (labelJoin _),
     "q_snapshot_diff" -> (snapshotDiff _),
     "q_broadcast_join_agg" -> (broadcastJoinAgg _),
@@ -802,6 +845,7 @@ object CoreQueries {
     "q_agg_pushdown" -> aggPushdownSql,
     "q_approx_distinct" -> approxDistinctSql,
     "q_approx_quantile" -> approxQuantileSql,
+    "q_quantile_bin" -> quantileBinSql,
     "q_label_join" -> labelJoinSql,
     "q_snapshot_diff" -> snapshotDiffSql,
     "q_broadcast_join_agg" -> broadcastJoinAggSql,

@@ -404,6 +404,49 @@ object HistoryQueries {
       |       SUM(n_base) AS n_base, SUM(n_cur) AS n_cur
       |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- feature standardization ---------------------------------------
+
+  /** Per-event-type z-score standardization of the value column — the
+    * feature-scaling transform in front of model training. Determinism
+    * contract: mean and variance derive from ROUNDED sums (s1, s2) via
+    * a fixed formula, so both engines fold identical doubles from
+    * identical inputs (raw float sums differ in the last ulp across
+    * aggregation orders; the 6-decimal round is far above ulp at this
+    * magnitude). Two passes: a 5-row stats aggregate (map-side
+    * combinable), broadcast-joined back onto the scan — nothing
+    * corpus-sized shuffles at any scale. */
+  def zscoreNorm(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).filter(col("value").isNotNull)
+    val stats = e.groupBy("event_type").agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("value")), 6).as("s1"),
+        round(sum(col("value") * col("value")), 6).as("s2"))
+      .withColumn("mean", round(col("s1") / col("cnt"), 6))
+      .withColumn("sd", round(sqrt(round(
+        (col("s2") - col("mean") * col("s1")) / (col("cnt") - 1), 6)), 6))
+      .select("event_type", "mean", "sd")
+    e.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("mean")) / col("sd"), 4).as("z"))
+      .orderBy("event_id")
+  }
+
+  val zscoreNormSql: String =
+    """WITH st AS (
+      |  SELECT event_type, COUNT(*) AS cnt,
+      |         round(SUM(value), 6) AS s1,
+      |         round(SUM(value * value), 6) AS s2
+      |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+      |d AS (SELECT event_type, cnt, s1, s2, round(s1 / cnt, 6) AS mean FROM st),
+      |f AS (SELECT event_type, mean,
+      |             round(sqrt(round((s2 - mean * s1) / (cnt - 1), 6)), 6) AS sd
+      |      FROM d)
+      |SELECT e.event_id, e.event_type, e.value,
+      |       round((e.value - f.mean) / f.sd, 4) AS z
+      |FROM events e JOIN f USING (event_type)
+      |WHERE e.value IS NOT NULL
+      |ORDER BY e.event_id""".stripMargin
+
   // ---- KS drift -------------------------------------------------------
 
   /** Exact Kolmogorov–Smirnov drift of the event value distribution per
@@ -514,7 +557,8 @@ object HistoryQueries {
     "q_profile" -> (profile _),
     "q_cdc_merge" -> (cdcMerge _),
     "q_ks_drift" -> (ksDrift _),
-    "q_nearest_join" -> (nearestJoin _))
+    "q_nearest_join" -> (nearestJoin _),
+    "q_zscore" -> (zscoreNorm _))
 
   val oracles: Map[String, String] = Map(
     "q_scd2_history" -> scd2HistorySql,
@@ -528,5 +572,6 @@ object HistoryQueries {
     "q_profile" -> profileSql,
     "q_cdc_merge" -> cdcMergeSql,
     "q_ks_drift" -> ksDriftSql,
-    "q_nearest_join" -> nearestJoinSql)
+    "q_nearest_join" -> nearestJoinSql,
+    "q_zscore" -> zscoreNormSql)
 }

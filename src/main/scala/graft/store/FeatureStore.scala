@@ -148,6 +148,37 @@ class FeatureStore(
       materialize(Seq(name), start, end)
     }
 
+  /** Chunked, resumable backfill: materialize [start, end] as
+    * `chunk`-sized slices, SKIPPING slices a view's recorded
+    * materialization intervals already fully cover. This is how deep
+    * history actually loads at 100 TB — one job per bounded window (the
+    * scan prunes to the slice via the ts filter + date partitions),
+    * each slice committing its interval to the registry on success, so
+    * a crashed backfill resumes where it stopped instead of
+    * rescanning years (rerunning a boundary instant is harmless:
+    * upserts are last-write-wins). Returns the slices actually run. */
+  def materializeBackfill(
+      viewNames: Seq[String], start: Timestamp, end: Timestamp,
+      chunk: java.time.Duration): Seq[(Timestamp, Timestamp)] = {
+    require(!chunk.isNegative && !chunk.isZero, "chunk must be positive")
+    require(!start.after(end), s"backfill start $start must be <= end $end")
+    def covered(view: String, s0: Timestamp, e0: Timestamp): Boolean =
+      registry.materializationIntervals(view).exists(iv =>
+        !iv.start.after(s0) && !iv.end.before(e0))
+    val slices = Iterator.iterate(start)(t => Timestamp.from(t.toInstant.plus(chunk)))
+      .takeWhile(_.before(end))
+      .map(s0 => {
+        val e0 = Timestamp.from(s0.toInstant.plus(chunk))
+        (s0, if (e0.after(end)) end else e0)
+      })
+      .toSeq
+    slices.flatMap { case (s0, e0) =>
+      val pending = viewNames.filter(v => !covered(v, s0, e0))
+      if (pending.isEmpty) None
+      else { materialize(pending, s0, e0); Some((s0, e0)) }
+    }
+  }
+
   // ---- online retrieval (feature_store.py:504-617) -------------------
   /** Point reads: for each entity row, the requested feature values +
     * PRESENT/NOT_FOUND statuses (O14/O15). Latency path — no Spark job

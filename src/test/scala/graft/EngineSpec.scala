@@ -530,6 +530,36 @@ class EngineSpec extends AnyFunSuite {
     fs.teardown()
   }
 
+  test("materializeBackfill: chunked slices, skip-covered resume, idempotent rerun") {
+    import spark.implicits._
+    val rows = (0 until 200).map { i =>
+      (i % 20L, new Timestamp(ts("2024-01-01 00:00:00").getTime + i * 3600_000L * 3), i.toDouble)
+    }
+    val df = rows.toDF("driver_id", "et", "v")
+    val fs = new FeatureStore("bf", new Registry(), new InMemoryOnlineStore(), spark)
+    fs.applyEntity(Entity("driver", GraftType.Int64, joinKeyOpt = Some("driver_id")))
+    fs.applyFeatureView(FeatureView("bf_v", Seq("driver"),
+      Seq(Feature("v", GraftType.Dbl)), Duration.ZERO, DataFrameSource(df, "et")))
+    // pre-cover the first week, as a crashed earlier backfill would have
+    fs.materialize(Seq("bf_v"), ts("2024-01-01 00:00:00"), ts("2024-01-08 00:00:00"))
+    val run = fs.materializeBackfill(Seq("bf_v"),
+      ts("2024-01-01 00:00:00"), ts("2024-01-26 00:00:00"), java.time.Duration.ofDays(7))
+    // 4 slices total (last one short); the covered first is skipped
+    assert(run.map(r => (r._1.toString, r._2.toString)) === Seq(
+      ("2024-01-08 00:00:00.0", "2024-01-15 00:00:00.0"),
+      ("2024-01-15 00:00:00.0", "2024-01-22 00:00:00.0"),
+      ("2024-01-22 00:00:00.0", "2024-01-26 00:00:00.0")))
+    // all keys online with their latest value in range
+    val resp = fs.getOnlineFeatures(Seq("bf_v:v"),
+      (0L until 20L).map(k => Map[String, Any]("driver_id" -> k)))
+    assert(resp.statuses("bf_v:v").forall(_ == "PRESENT"))
+    // rerun: everything covered now -> nothing runs
+    assert(fs.materializeBackfill(Seq("bf_v"),
+      ts("2024-01-01 00:00:00"), ts("2024-01-26 00:00:00"),
+      java.time.Duration.ofDays(7)).isEmpty)
+    fs.teardown()
+  }
+
   test("ParquetOnlineStore.expire: drops only aged rows, rewrites only touched buckets, idempotent") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graftexp").toString
