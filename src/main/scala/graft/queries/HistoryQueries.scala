@@ -404,6 +404,69 @@ object HistoryQueries {
       |       SUM(n_base) AS n_base, SUM(n_cur) AS n_cur
       |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- recent-history array feature ----------------------------------
+
+  /** Each user's last-3 event types, most recent first, as ONE array
+    * feature — the "recent actions" sequence feature every ranking
+    * model consumes. The cut rides [[graft.functions.Quota.topKPerKey]]'s
+    * bounded heap (≤ k rows per (key, map task) on the shuffle — a
+    * window row_number would ship hot users whole), ordered by a
+    * negated-μs recency key with the negated event id as tiebreak;
+    * reassembly is one more hash aggregation and the array is emitted
+    * as CSV so the hash compare stays scalar. */
+  def recentHistory(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).filter(col("ts").isNotNull)
+      .select(col("user_id"),
+        (-unix_micros(col("ts"))).as("__neg_ts"),
+        (-col("event_id")).as("__neg_id"),
+        col("event_type"))
+    graft.functions.Quota.topKPerKey(e, "user_id", "__neg_ts", 3)
+      .groupBy("user_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__neg_ts"), col("__neg_id"), col("event_type")))),
+        r => r.getField("event_type")), ",").as("recent_types"),
+        count(lit(1)).as("n_recent"))
+      .orderBy("user_id")
+  }
+
+  val recentHistorySql: String =
+    """SELECT user_id,
+      |       array_to_string(list(event_type ORDER BY ts DESC, event_id DESC)[1:3], ',')
+      |         AS recent_types,
+      |       least(COUNT(*), 3) AS n_recent
+      |FROM events WHERE ts IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---- group-aware train/eval split ----------------------------------
+
+  /** Deterministic GROUP-level train/eval split: the md5-threshold coin
+    * flips once per USER (the [[graft.functions.Dedup.mixtureSample]]
+    * primitive applied to the group key), so every event of a user
+    * lands on one side — the split that prevents per-user leakage
+    * across train and eval, vs a row-level sample that puts half a
+    * user's history in each. Narrow projection + one aggregation;
+    * replayable on any engine with md5. */
+  def groupSplit(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val h = substring(md5(concat(lit("split:"), col("user_id").cast("string")).cast("binary")), 1, 8)
+    val thr = lit(f"${math.floor(0.8 * 4294967296.0).toLong}%08x")
+    e.withColumn("split", when(h < thr, "train").otherwise("eval"))
+      .groupBy("split")
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy("split")
+  }
+
+  val groupSplitSql: String =
+    """SELECT CASE WHEN substr(md5('split:' || CAST(user_id AS VARCHAR)), 1, 8)
+      |            < printf('%08x', CAST(floor(0.8 * 4294967296.0) AS BIGINT))
+      |            THEN 'train' ELSE 'eval' END AS split,
+      |       COUNT(DISTINCT user_id) AS n_users,
+      |       COUNT(*) AS n_events,
+      |       round(SUM(value), 4) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY split""".stripMargin
+
   // ---- feature standardization ---------------------------------------
 
   /** Per-event-type z-score standardization of the value column — the
@@ -558,7 +621,9 @@ object HistoryQueries {
     "q_cdc_merge" -> (cdcMerge _),
     "q_ks_drift" -> (ksDrift _),
     "q_nearest_join" -> (nearestJoin _),
-    "q_zscore" -> (zscoreNorm _))
+    "q_zscore" -> (zscoreNorm _),
+    "q_recent_history" -> (recentHistory _),
+    "q_group_split" -> (groupSplit _))
 
   val oracles: Map[String, String] = Map(
     "q_scd2_history" -> scd2HistorySql,
@@ -573,5 +638,7 @@ object HistoryQueries {
     "q_cdc_merge" -> cdcMergeSql,
     "q_ks_drift" -> ksDriftSql,
     "q_nearest_join" -> nearestJoinSql,
-    "q_zscore" -> zscoreNormSql)
+    "q_zscore" -> zscoreNormSql,
+    "q_recent_history" -> recentHistorySql,
+    "q_group_split" -> groupSplitSql)
 }

@@ -88,7 +88,13 @@ object ScaleCheck {
       // rebuild), the replicated salted join, the drift spine, the
       // mergeable counter state, and the ROLLUP expand
       "q_span_scrub", "q_salted_join", "q_feature_drift",
-      "q_agg_incremental", "q_rollup")
+      "q_agg_incremental", "q_rollup",
+      // round-6 additions: the CDC changelog collapse + full-outer
+      // apply, the distinct-value KS windows, the nearest as-of
+      // min_by, the prefix-sum global rank, the bounded-heap history
+      // arrays, and the stats-broadcast standardization
+      "q_cdc_merge", "q_ks_drift", "q_nearest_join", "q_curriculum",
+      "q_recent_history", "q_zscore", "q_quantile_bin", "q_group_split")
     queries.foreach(q => time(q, baseDir)) // warm: codegen + analyzer JIT
     val lines = queries.map { q =>
       val t1 = time(q, baseDir)
