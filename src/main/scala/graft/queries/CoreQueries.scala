@@ -304,6 +304,47 @@ object CoreQueries {
       |      WHERE ts BETWEEN TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-25')
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** Schema evolution on ingest: the source dataset was written in two
+    * generations — an early batch WITHOUT the event_type column, a
+    * later batch with it — and is read through a FileSource with
+    * mergeSchema=true (parquet footer-union), the lakehouse
+    * add-a-column path: old files surface the new column as NULL, no
+    * rewrite of history. The oracle recomputes from the original table
+    * with event_type nulled before the schema cutover. */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val split = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val path = s"/tmp/graft_events_evo_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    if (!new java.io.File(path + "/_GEN2").exists()) {
+      val e = pq(s, dir, "events")
+      e.filter(col("ts") < lit(split))
+        .select("event_id", "user_id", "ts", "value") // gen-1 schema: no event_type
+        .write.mode("overwrite").parquet(path)
+      e.filter(col("ts") >= lit(split))
+        .select("event_id", "user_id", "ts", "value", "event_type")
+        .write.mode("append").parquet(path)
+      new java.io.File(path + "/_GEN2").createNewFile()
+    }
+    val src = FileSource(path, eventTimestampColumn = "ts",
+      options = Map("mergeSchema" -> "true"))
+    SourceReader.read(s, src)
+      .groupBy((col("ts") >= lit(split)).as("new_schema"))
+      .agg(count(lit(1)).as("n"),
+        count(col("event_type")).as("n_typed"),
+        count_distinct(col("event_type")).as("nd_type"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy("new_schema")
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT ts >= TIMESTAMP '2024-01-15 00:00:00' AS new_schema,
+      |       COUNT(*) AS n,
+      |       COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+      |                  THEN event_type END) AS n_typed,
+      |       COUNT(DISTINCT CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+      |                  THEN event_type END) AS nd_type,
+      |       round(SUM(value), 4) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY new_schema""".stripMargin
+
   /** Rolling 7-day per-user feature aggregation over the events table
     * ([[graft.operators.RollingFeatures]]): for every event, the count
     * and value-sum of that user's events in the trailing week. The
@@ -812,6 +853,7 @@ object CoreQueries {
     "q_date_partition_prune" -> (datePartitionPrune _),
     "q_csv_ingest" -> (csvIngest _),
     "q_json_ingest" -> (jsonIngest _),
+    "q_schema_evolution" -> (schemaEvolution _),
     "q_rolling_agg" -> (rollingAggQ _),
     "q_table_source" -> (tableSourceQ _),
     "q_query_source" -> (querySourceQ _),
@@ -839,6 +881,7 @@ object CoreQueries {
     "q_date_partition_prune" -> datePartitionPruneSql,
     "q_csv_ingest" -> csvIngestSql,
     "q_json_ingest" -> jsonIngestSql,
+    "q_schema_evolution" -> schemaEvolutionSql,
     "q_rolling_agg" -> rollingAggSql,
     "q_table_source" -> tableSourceSql,
     "q_query_source" -> querySourceSql,

@@ -404,6 +404,113 @@ object HistoryQueries {
       |       SUM(n_base) AS n_base, SUM(n_cur) AS n_cur
       |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- robust (median/MAD) outlier gate ------------------------------
+
+  /** Median/MAD outlier profile per event_type — the robust-statistics
+    * complement of [[zscoreNorm]] (one wild value shifts a mean/sd
+    * gate; the median/MAD gate holds). Two exact-percentile
+    * aggregations (order-independent → cross-engine exact): the 5-row
+    * median frame broadcasts back onto the scan for the |v − m|
+    * deviations, whose median scales by the normal-consistency
+    * constant 1.4826; outliers are |v − m| > 3·1.4826·MAD. At 100 TB
+    * swap both percentiles for approx_percentile (same shape,
+    * mergeable sketch). */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).filter(col("value").isNotNull)
+    val med = e.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("m"))
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("__ad", abs(col("value") - col("m")))
+    val mad = dev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min(col("m")).as("__m"),
+        expr("percentile(__ad, 0.5)").as("__mad"))
+    val outliers = dev
+      .join(broadcast(mad.select(col("event_type"), col("__mad"))), Seq("event_type"))
+      .filter(col("__ad") > lit(3.0) * lit(1.4826) * col("__mad"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_outliers"))
+    mad.select(col("event_type"), col("n"),
+        round(col("__m"), 6).as("median"),
+        round(col("__mad") * 1.4826, 6).as("sigma_robust"))
+      .join(outliers, Seq("event_type"), "left")
+      .na.fill(0L, Seq("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val madOutliersSql: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS m
+      |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+      |dev AS (
+      |  SELECT e.event_type, e.value, med.m, abs(e.value - med.m) AS ad
+      |  FROM events e JOIN med USING (event_type) WHERE e.value IS NOT NULL),
+      |mad AS (
+      |  SELECT event_type, COUNT(*) AS n, quantile_cont(ad, 0.5) AS mad_raw,
+      |         MIN(m) AS m
+      |  FROM dev GROUP BY event_type),
+      |outl AS (
+      |  SELECT d.event_type, COUNT(*) AS n_outliers
+      |  FROM dev d JOIN mad USING (event_type)
+      |  WHERE d.ad > 3 * 1.4826 * mad.mad_raw
+      |  GROUP BY d.event_type)
+      |SELECT mad.event_type, mad.n, round(mad.m, 6) AS median,
+      |       round(mad.mad_raw * 1.4826, 6) AS sigma_robust,
+      |       coalesce(outl.n_outliers, 0) AS n_outliers
+      |FROM mad LEFT JOIN outl USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
+  // ---- referential integrity audit -----------------------------------
+
+  /** Cross-table referential-integrity check (the dbt-style
+    * "relationship" test next to [[validateOrders]]'s row rules): do
+    * events.user_id and orders.o_custkey resolve against the customer
+    * dimension? One DISTINCT-reduced anti join per relation — the
+    * orphan side reduces to its key set BEFORE the join, so the fact
+    * tables never reshuffle whole. */
+  def refIntegrity(s: SparkSession, dir: String): DataFrame = {
+    val cust = graft.sources.Tables.read(s, dir, "customer")
+      .select(col("c_custkey").as("k"))
+    def audit(rel: String, keys: DataFrame): DataFrame = {
+      val d = keys.distinct()
+      val orphans = d.join(cust, d("k") <=> cust("k"), "left_anti")
+      d.agg(count(lit(1)).as("n_keys"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphan_keys")))
+        .select(lit(rel).as("relation"), col("n_keys"), col("n_orphan_keys"),
+          (col("n_orphan_keys") === 0).as("pass"))
+    }
+    audit("events.user_id->customer", ev(s, dir).select(col("user_id").as("k")))
+      .unionByName(audit("orders.o_custkey->customer",
+        graft.sources.Tables.read(s, dir, "orders").select(col("o_custkey").as("k"))))
+      .orderBy("relation")
+  }
+
+  val refIntegritySql: String =
+    """WITH e AS (SELECT DISTINCT user_id AS k FROM events),
+      |o AS (SELECT DISTINCT o_custkey AS k FROM orders),
+      |c AS (SELECT c_custkey AS k FROM customer)
+      |SELECT 'events.user_id->customer' AS relation,
+      |       (SELECT COUNT(*) FROM e) AS n_keys,
+      |       (SELECT COUNT(*) FROM e WHERE k NOT IN (SELECT k FROM c WHERE k IS NOT NULL)
+      |          AND k IS NOT NULL) +
+      |       (SELECT COUNT(*) FROM e WHERE k IS NULL
+      |          AND NOT EXISTS (SELECT 1 FROM c WHERE k IS NULL)) AS n_orphan_keys,
+      |       ((SELECT COUNT(*) FROM e WHERE k NOT IN (SELECT k FROM c WHERE k IS NOT NULL)
+      |          AND k IS NOT NULL) +
+      |        (SELECT COUNT(*) FROM e WHERE k IS NULL
+      |          AND NOT EXISTS (SELECT 1 FROM c WHERE k IS NULL))) = 0 AS pass
+      |UNION ALL
+      |SELECT 'orders.o_custkey->customer',
+      |       (SELECT COUNT(*) FROM o),
+      |       (SELECT COUNT(*) FROM o WHERE k NOT IN (SELECT k FROM c WHERE k IS NOT NULL)
+      |          AND k IS NOT NULL) +
+      |       (SELECT COUNT(*) FROM o WHERE k IS NULL
+      |          AND NOT EXISTS (SELECT 1 FROM c WHERE k IS NULL)),
+      |       ((SELECT COUNT(*) FROM o WHERE k NOT IN (SELECT k FROM c WHERE k IS NOT NULL)
+      |          AND k IS NOT NULL) +
+      |        (SELECT COUNT(*) FROM o WHERE k IS NULL
+      |          AND NOT EXISTS (SELECT 1 FROM c WHERE k IS NULL))) = 0
+      |ORDER BY relation""".stripMargin
+
   // ---- recent-history array feature ----------------------------------
 
   /** Each user's last-3 event types, most recent first, as ONE array
@@ -623,7 +730,9 @@ object HistoryQueries {
     "q_nearest_join" -> (nearestJoin _),
     "q_zscore" -> (zscoreNorm _),
     "q_recent_history" -> (recentHistory _),
-    "q_group_split" -> (groupSplit _))
+    "q_group_split" -> (groupSplit _),
+    "q_mad_outliers" -> (madOutliers _),
+    "q_ref_integrity" -> (refIntegrity _))
 
   val oracles: Map[String, String] = Map(
     "q_scd2_history" -> scd2HistorySql,
@@ -640,5 +749,7 @@ object HistoryQueries {
     "q_nearest_join" -> nearestJoinSql,
     "q_zscore" -> zscoreNormSql,
     "q_recent_history" -> recentHistorySql,
-    "q_group_split" -> groupSplitSql)
+    "q_group_split" -> groupSplitSql,
+    "q_mad_outliers" -> madOutliersSql,
+    "q_ref_integrity" -> refIntegritySql)
 }

@@ -52,6 +52,37 @@ object PipelineQueries {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Sentence segmentation stats: sentences = maximal runs of
+    * non-terminator chars closed by terminator(s) — an RE2-safe
+    * pattern (no lookbehind), so DuckDB executes the identical regex;
+    * trailing un-terminated text counts as a final sentence. Mean
+    * sentence length in whitespace tokens; codegen'd narrow projection
+    * at scan speed. */
+  def sentenceSplit(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      (size(regexp_extract_all(col("text"), lit("[^.!?]+[.!?]+"), lit(0))) +
+        when(regexp_extract(col("text"), "[^.!?\\s][^.!?]*$", 0) =!= "", 1)
+          .otherwise(0)).cast("long").as("n_sentences"),
+      TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+    .withColumn("mean_sentence_tokens",
+      round(col("n_tokens").cast("double") /
+        greatest(col("n_sentences").cast("double"), lit(1.0)), 4))
+    .orderBy("doc_id")
+
+  val sentenceSplitSql: String =
+    """SELECT doc_id, n_sentences, n_tokens,
+      |       round(CAST(n_tokens AS DOUBLE)
+      |             / greatest(CAST(n_sentences AS DOUBLE), 1.0), 4) AS mean_sentence_tokens
+      |FROM (
+      |  SELECT doc_id,
+      |         len(regexp_extract_all(text, '[^.!?]+[.!?]+'))
+      |         + CASE WHEN regexp_extract(text, '[^.!?\s][^.!?]*$', 0) <> ''
+      |                THEN 1 ELSE 0 END AS n_sentences,
+      |         len(regexp_extract_all(text, '\S+')) AS n_tokens
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   def langIdQ(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
       col("doc_id"),
@@ -1886,6 +1917,7 @@ object PipelineQueries {
     "q_dedup_incremental_fuzzy" -> (dedupIncrementalFuzzy _),
     "q_vocab_topk" -> (vocabTopK _),
     "q_text_stats" -> (textStats _),
+    "q_sentence_split" -> (sentenceSplit _),
     "q_lang_id" -> (langIdQ _),
     "q_pii_scrub" -> (piiScrub _),
     "q_url_extract" -> (urlExtract _),
@@ -1940,6 +1972,7 @@ object PipelineQueries {
     "q_dedup_incremental_fuzzy" -> dedupIncrementalFuzzySql,
     "q_vocab_topk" -> vocabTopKSql,
     "q_text_stats" -> textStatsSql,
+    "q_sentence_split" -> sentenceSplitSql,
     "q_lang_id" -> langIdSql,
     "q_pii_scrub" -> piiScrubSql,
     "q_url_extract" -> urlExtractSql,

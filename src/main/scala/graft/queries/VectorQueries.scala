@@ -297,7 +297,36 @@ object VectorQueries {
        |FROM ranked WHERE rank <= $AdcK ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- per-label centroids (mean pooling) ----------------------------
+
+  /** Elementwise mean embedding per label — the domain/class centroid
+    * (cluster profiling, classifier prototypes, k-means init).
+    * posexplode → one (label, dim) hash aggregation: map-side
+    * combinable, output = labels × dims regardless of corpus size.
+    * Determinism: the aggIncremental contract — divide the ROUNDED sum
+    * (bit-identical across aggregation orders at this magnitude) so
+    * the quotient is computed from identical doubles on both engines. */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("v").cast("double")), 6).as("__s"))
+      .select(col("label"), col("pos"), col("n"),
+        round(col("__s") / col("n"), 6).as("centroid"))
+      .orderBy("label", "pos")
+
+  val labelCentroidsSql: String =
+    """SELECT label, pos, COUNT(*) AS n,
+      |       round(round(SUM(CAST(v AS DOUBLE)), 6) / COUNT(*), 6) AS centroid
+      |FROM (SELECT label,
+      |             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+      |             unnest(embedding) AS v
+      |      FROM embeddings)
+      |GROUP BY label, pos ORDER BY label, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_label_centroids" -> (labelCentroids _),
     "q_ann_ivfpq" -> (annIvfPq _),
     "q_random_projection" -> (randomProjection _),
     "q_pq_encode" -> (pqEncode _),
@@ -305,6 +334,7 @@ object VectorQueries {
     "q_hash_embedding" -> (hashEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "q_label_centroids" -> labelCentroidsSql,
     "q_random_projection" -> randomProjectionSql,
     "q_pq_encode" -> pqEncodeSql,
     "q_ann_pq" -> annPqSql,
