@@ -1739,8 +1739,10 @@ object PipelineQueries {
     * never a query's full posting list. Per-doc score folds over
     * term-sorted contributions so the float sum is order-deterministic;
     * ranking ties break on doc_id in both engines. */
-  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
-    val k1 = 1.2; val b = 0.75; val topK = 10
+  /** BM25 (qid, doc_id, score-rounded-4) for [[RetrievalQueries]] —
+    * the shared scoring core of [[bm25TopK]] and [[hybridSearch]]. */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val k1 = 1.2; val b = 0.75
     import s.implicits._
     val qterms = RetrievalQueries.flatMap { case (qid, ts) => ts.map((qid, _)) }
       .toDF("qid", "term")
@@ -1753,7 +1755,7 @@ object PipelineQueries {
     val tf = hits.groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), first("__dl").as("__dl"))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dft), "term").crossJoin(broadcast(stats))
+    tf.join(broadcast(dft), "term").crossJoin(broadcast(stats))
       .withColumn("__s",
         log(lit(1.0) + (col("__n") - col("df").cast("double") + lit(0.5)) /
           (col("df").cast("double") + lit(0.5))) *
@@ -1766,12 +1768,15 @@ object PipelineQueries {
       .select(col("qid"), col("doc_id"),
         round(aggregate(col("__ts"), lit(0.0), (acc, t) => acc + t.getField("__s")), 4)
           .as("score"))
+  }
+
+  def bm25TopK(s: SparkSession, dir: String): DataFrame =
     graft.functions.Quota.topKPerKey(
-        scored.withColumn("__ord", struct((-col("score")).as("ns"), col("doc_id").as("id"))),
-        "qid", "__ord", topK)
+        bm25Scored(s, dir)
+          .withColumn("__ord", struct((-col("score")).as("ns"), col("doc_id").as("id"))),
+        "qid", "__ord", 10)
       .select(col("qid"), col("doc_id"), col("score"))
       .orderBy("qid", "doc_id")
-  }
 
   private val RetrievalQueries: Seq[(Long, Seq[String])] = Seq(
     (0L, Seq("data", "model")),
@@ -1812,6 +1817,141 @@ object PipelineQueries {
        |                               ORDER BY score DESC, doc_id ASC) AS rn
        |  FROM scored)
        |WHERE rn <= 10 ORDER BY qid, doc_id""".stripMargin
+  }
+
+  /** Hybrid retrieval with reciprocal-rank fusion (the canonical RAG
+    * retrieval stack): a SPARSE leg (BM25 top-10, [[bm25Scored]]) and
+    * a DENSE leg (cosine top-10 over model-free hashing-trick
+    * embeddings — integer dot products, so the scores are bit-exact
+    * cross-engine) fused per query as Σ 1/(60 + rank) over the legs a
+    * doc appears in (Cormack et al. 2009) — rank fusion needs no score
+    * calibration between legs, which is why RRF is the default in
+    * production hybrid search. All fusion arithmetic is on small
+    * integer ranks → deterministic. Per-leg cuts ride the bounded-heap
+    * top-k; the rank windows touch ≤ k rows per query. */
+  def hybridSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{Quota, VectorSketch}
+    import org.apache.spark.sql.expressions.Window
+    val K = 10; val Dim = 64; val C = 60
+
+    val sparseRank = Quota.topKPerKey(
+        bm25Scored(s, dir)
+          .withColumn("__ord", struct((-col("score")).as("ns"), col("doc_id").as("id"))),
+        "qid", "__ord", K)
+      .withColumn("sparse_rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("score"), col("doc_id"))))
+      .select("qid", "doc_id", "sparse_rank")
+
+    val qdf = RetrievalQueries.toDF("qid", "terms")
+      .withColumn("__qv", VectorSketch.hashingVector(col("terms"), Dim))
+      .withColumn("__qq", aggregate(transform(col("__qv"), x => x * x), lit(0L), _ + _))
+      .filter(col("__qq") > 0)
+    val dv = docs(s, dir)
+      .withColumn("__dv", VectorSketch.hashingVector(TF.words(col("text")), Dim))
+      .withColumn("__dd", aggregate(transform(col("__dv"), x => x * x), lit(0L), _ + _))
+      .filter(col("__dd") > 0)
+      .select("doc_id", "__dv", "__dd")
+    val dense = dv.crossJoin(broadcast(qdf))
+      .withColumn("__dot",
+        aggregate(zip_with(col("__qv"), col("__dv"), _ * _), lit(0L), _ + _))
+      .withColumn("cos", round(col("__dot").cast("double") /
+        (sqrt(col("__qq").cast("double")) * sqrt(col("__dd").cast("double"))), 6))
+      .select("qid", "doc_id", "cos")
+    val denseRank = Quota.topKPerKey(
+        dense.withColumn("__ord", struct((-col("cos")).as("nc"), col("doc_id").as("id"))),
+        "qid", "__ord", K)
+      .withColumn("dense_rank", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cos"), col("doc_id"))))
+      .select("qid", "doc_id", "dense_rank")
+
+    val fused = sparseRank.join(denseRank, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(C) + col("sparse_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(C) + col("dense_rank")), lit(0.0)), 6))
+    Quota.topKPerKey(
+        fused.withColumn("__ord", struct((-col("rrf")).as("nr"), col("doc_id").as("id"))),
+        "qid", "__ord", 5)
+      .select(col("qid"), col("doc_id"), col("sparse_rank"), col("dense_rank"), col("rrf"))
+      .orderBy("qid", "doc_id")
+  }
+
+  val hybridSearchSql: String = {
+    val qrows = RetrievalQueries.flatMap { case (q, ts) =>
+      ts.map(t => s"($q, '$t')")
+    }.mkString(", ")
+    s"""WITH q(qid, term) AS (VALUES $qrows),
+       |d AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(len(w) AS DOUBLE)) AS avgdl
+       |  FROM d),
+       |hits AS (
+       |  SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, unnest(w) AS term
+       |  FROM d),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf, first(dl) AS dl
+       |  FROM hits WHERE term IN (SELECT DISTINCT term FROM q)
+       |  GROUP BY doc_id, term),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT qid, doc_id,
+       |         round(list_aggregate(
+       |           list_transform(list_sort(list({'t': tf.term, 's':
+       |             ln(1.0 + (n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+       |             (CAST(tf AS DOUBLE) * 2.2) /
+       |             (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))})),
+       |             x -> x.s), 'sum'), 4) AS score
+       |  FROM tf JOIN dft USING (term) CROSS JOIN stats JOIN q ON q.term = tf.term
+       |  GROUP BY qid, doc_id),
+       |sr AS (
+       |  SELECT qid, doc_id, rn AS sparse_rank FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |                                 ORDER BY score DESC, doc_id ASC) AS rn
+       |    FROM scored)
+       |  WHERE rn <= 10),
+       |qv AS (
+       |  SELECT qid, ('0x' || substr(md5(term), 1, 4))::BIGINT % 64 AS bucket,
+       |         SUM(CASE WHEN ('0x' || substr(md5(term), 5, 1))::BIGINT % 2 = 0
+       |                  THEN 1 ELSE -1 END) AS v
+       |  FROM q GROUP BY 1, 2),
+       |dtok AS (SELECT doc_id, unnest(w) AS w FROM d),
+       |dvec AS (
+       |  SELECT doc_id, ('0x' || substr(md5(w), 1, 4))::BIGINT % 64 AS bucket,
+       |         SUM(CASE WHEN ('0x' || substr(md5(w), 5, 1))::BIGINT % 2 = 0
+       |                  THEN 1 ELSE -1 END) AS v
+       |  FROM dtok GROUP BY 1, 2),
+       |qn AS (SELECT qid, SUM(v * v) AS qq FROM qv GROUP BY qid HAVING SUM(v * v) > 0),
+       |dn AS (SELECT doc_id, SUM(v * v) AS dd FROM dvec GROUP BY doc_id HAVING SUM(v * v) > 0),
+       |dotj AS (
+       |  SELECT qv.qid, dvec.doc_id, SUM(qv.v * dvec.v) AS dot
+       |  FROM qv JOIN dvec USING (bucket) GROUP BY 1, 2),
+       |cosd AS (
+       |  SELECT qn.qid, dn.doc_id,
+       |         round(CAST(coalesce(dotj.dot, 0) AS DOUBLE)
+       |               / (sqrt(CAST(qn.qq AS DOUBLE)) * sqrt(CAST(dn.dd AS DOUBLE))), 6) AS cos
+       |  FROM qn CROSS JOIN dn
+       |  LEFT JOIN dotj ON dotj.qid = qn.qid AND dotj.doc_id = dn.doc_id),
+       |dr AS (
+       |  SELECT qid, doc_id, rn AS dense_rank FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |                                 ORDER BY cos DESC, doc_id ASC) AS rn
+       |    FROM cosd)
+       |  WHERE rn <= 10),
+       |fused AS (
+       |  SELECT coalesce(sr.qid, dr.qid) AS qid,
+       |         coalesce(sr.doc_id, dr.doc_id) AS doc_id,
+       |         sr.sparse_rank, dr.dense_rank,
+       |         round(coalesce(1.0 / (60 + sr.sparse_rank), 0)
+       |               + coalesce(1.0 / (60 + dr.dense_rank), 0), 6) AS rrf
+       |  FROM sr FULL OUTER JOIN dr
+       |    ON sr.qid = dr.qid AND sr.doc_id = dr.doc_id)
+       |SELECT qid, doc_id, sparse_rank, dense_rank, rrf FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |                               ORDER BY rrf DESC, doc_id ASC) AS rn
+       |  FROM fused)
+       |WHERE rn <= 5 ORDER BY qid, doc_id""".stripMargin
   }
 
   /** DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
@@ -1887,6 +2027,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_temperature_sample" -> (temperatureSample _),
     "q_bm25_topk" -> (bm25TopK _),
+    "q_hybrid_search" -> (hybridSearch _),
     "q_dsir_weight" -> (dsirWeight _),
     "q_winnow_fingerprint" -> (winnowFingerprint _),
     "q_resize_meta" -> (resizeMeta _),
@@ -1942,6 +2083,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q_temperature_sample" -> temperatureSampleSql,
     "q_bm25_topk" -> bm25TopKSql,
+    "q_hybrid_search" -> hybridSearchSql,
     "q_dsir_weight" -> dsirWeightSql,
     "q_winnow_fingerprint" -> winnowFingerprintSql,
     "q_resize_meta" -> resizeMetaSql,
