@@ -397,6 +397,24 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nCells: Int, nProbe: Int,
       kmeansIters: Int = 2, trainDf: Option[DataFrame] = None): DataFrame = {
+    val (anchors, assigned) =
+      ivfBuildIndex(corpus, idCol, vecCol, nCells, kmeansIters, trainDf)
+    ivfSearchIndex(queries, qIdCol, qVecCol, anchors, assigned, idCol, vecCol, k, nProbe)
+  }
+
+  /** Build the IVF index as two PERSISTABLE DataFrame artifacts —
+    * `(anchors: (cell_id, cell_vec), assigned: (idCol, vecCol, cell))`
+    * — so the expensive half (centroid training + full-corpus cell
+    * assignment) runs ONCE and is written out like any table; query
+    * batches then [[ivfSearchIndex]] against the loaded artifacts. At
+    * 100 TB this is the difference between an index build per query
+    * batch and an index build per corpus version (and the assigned
+    * table can be WRITTEN partitioned by cell, making each probe a
+    * partition-pruned read). */
+  def ivfBuildIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, kmeansIters: Int = 2,
+      trainDf: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     val anchors: DataFrame =
       if (kmeansIters > 0) {
@@ -413,16 +431,28 @@ object Similarity {
         .select(col(idCol).as("cell_id"), col(vecCol).as("cell_vec"))
     val anchorArr = broadcast(anchors.agg(
       collect_list(struct(col("cell_id"), col("cell_vec"))).as("cells")))
-
     val assigned = corpus.crossJoin(anchorArr)
       .withColumn("cell", nearestCells(col(vecCol), 1)(0)("cell_id"))
-      .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"), col("cell"))
+      .select(col(idCol), col(vecCol), col("cell"))
+    (anchors, assigned)
+  }
 
+  /** Search a prebuilt IVF index (the artifacts of [[ivfBuildIndex]],
+    * possibly round-tripped through parquet): probe each query's
+    * nProbe nearest cells, score only vectors assigned there, two-level
+    * skew-safe top-k. */
+  def ivfSearchIndex(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      anchors: DataFrame, assigned: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    val anchorArr = broadcast(anchors.agg(
+      collect_list(struct(col("cell_id"), col("cell_vec"))).as("cells")))
     val probed = queries.crossJoin(anchorArr)
       .select(col(qIdCol).as("__qid"), col(qVecCol).as("__qvec"),
         explode(transform(nearestCells(col(qVecCol), nProbe), c => c("cell_id"))).as("cell"))
-
-    val scored = assigned.join(broadcast(probed), "cell")
+    val scored = assigned
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"), col("cell"))
+      .join(broadcast(probed), "cell")
       .filter(col("__qid") =!= col("__cid"))
       .withColumn("__cos", cosine(col("__qvec"), col("__cvec")))
     twoLevelTopK(scored, k)

@@ -620,6 +620,35 @@ object PipelineQueries {
       |SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** IVF index persisted as a table artifact and searched after a
+    * parquet round trip ([[Similarity.ivfBuildIndex]] →
+    * write/read → [[Similarity.ivfSearchIndex]]) — the index-as-
+    * artifact lifecycle: centroids + cell assignments build once per
+    * corpus version, the assigned table writes PARTITIONED BY cell so
+    * every probe is a partition-pruned read, and query batches never
+    * re-run assignment. Same deterministic anchors and therefore the
+    * SAME oracle as q_ann_ivf: a hash match proves the round-tripped
+    * artifacts reproduce the in-memory search exactly. */
+  def annIvfPersisted(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_ivf_index_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    if (!new java.io.File(s"$path/_INDEX_OK").exists()) {
+      val e = embs(s, dir)
+      val (anchors, assigned) = Similarity.ivfBuildIndex(
+        e, "vec_id", "embedding", nCells = 16, kmeansIters = 0)
+      anchors.write.mode("overwrite").parquet(s"$path/anchors")
+      assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
+      new java.io.File(s"$path/_INDEX_OK").createNewFile()
+    }
+    val anchors = s.read.parquet(s"$path/anchors")
+    val assigned = s.read.parquet(s"$path/assigned")
+    val q = embs(s, dir).filter(col("vec_id") < 8)
+    Similarity.ivfSearchIndex(q, "vec_id", "embedding",
+        anchors, assigned, "vec_id", "embedding", k = 5, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   // ---- multimodal -------------------------------------------------------
 
   /** Binary-column plumbing: payload = utf-8 bytes of the text (stand-in
@@ -2077,6 +2106,7 @@ object PipelineQueries {
     "q_embedding_neardup" -> (embeddingNearDup _),
     "q_ann_brute_force" -> (annBruteForce _),
     "q_ann_ivf" -> (annIvf _),
+    "q_ann_ivf_persisted" -> (annIvfPersisted _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_image_phash" -> (imagePhash _))
 
@@ -2132,6 +2162,7 @@ object PipelineQueries {
     "q_embedding_neardup" -> embeddingNearDupSql,
     "q_ann_brute_force" -> annBruteForceSql,
     "q_ann_ivf" -> annIvfSql,
+    "q_ann_ivf_persisted" -> annIvfSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_image_phash" -> imagePhashSql)
 }
