@@ -147,8 +147,8 @@ object Drift {
     * exact for the bins, off from the raw KS by at most the probability
     * mass of one bin. The running-cumulative window then touches ≤
     * #bins rows per group. A group entirely absent from one side has
-    * n·0 products everywhere → d_num = 0 and KS = NaN (0/0): drop or
-    * pre-filter such groups. */
+    * no defined statistic: its `ks` is NULL (not the raw 0/0 NaN,
+    * whose representation differs across engines). */
   def ks(
       baseline: DataFrame,
       current: DataFrame,
@@ -187,9 +187,9 @@ object Drift {
         max(abs(col("__cb") * col("__n2") - col("__cc") * col("__n1"))).as("d_num"),
         max(col("__n1")).as("n_base"),
         max(col("__n2")).as("n_cur"))
-      .withColumn("ks", round(
+      .withColumn("ks", when(col("n_base") > 0 && col("n_cur") > 0, round(
         col("d_num").cast("double") /
-          (col("n_base").cast("double") * col("n_cur").cast("double")), 6))
+          (col("n_base").cast("double") * col("n_cur").cast("double")), 6)))
       .select((gCols :+ col("ks") :+ col("d_num") :+ col("n_base") :+ col("n_cur")): _*)
   }
 

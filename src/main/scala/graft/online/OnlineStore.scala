@@ -373,7 +373,10 @@ class ParquetOnlineStore(
     val touched = perBucket.keys.toSeq
     val tmp = p + ".tmp"
     store.filter(col(BucketCol).isin(touched: _*))
-      .filter(col(tsCol) >= lit(cutoff))
+      // negation of the discovery predicate, not (ts >= cutoff): a
+      // NULL-ts row is "not expired" on discovery and must survive the
+      // rewrite too, or it silently vanishes uncounted (review r6)
+      .filter(col(tsCol) >= lit(cutoff) || col(tsCol).isNull)
       .repartition(touched.size, col(BucketCol))
       .sortWithinPartitions(joinKeys.map(col): _*)
       .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp)

@@ -468,13 +468,17 @@ object HistoryQueries {
     * orphan side reduces to its key set BEFORE the join, so the fact
     * tables never reshuffle whole. */
   def refIntegrity(s: SparkSession, dir: String): DataFrame = {
+    // dim side deduped: a duplicated dimension key would multiply the
+    // joined rows and inflate n_keys
     val cust = graft.sources.Tables.read(s, dir, "customer")
-      .select(col("c_custkey").as("k"))
+      .select(col("c_custkey").as("k")).distinct().withColumn("__hit", lit(1))
     def audit(rel: String, keys: DataFrame): DataFrame = {
+      // ONE pass: count keys and orphans from the same left join — two
+      // consumers of the distinct would rescan the fact table (review r6)
       val d = keys.distinct()
-      val orphans = d.join(cust, d("k") <=> cust("k"), "left_anti")
-      d.agg(count(lit(1)).as("n_keys"))
-        .crossJoin(orphans.agg(count(lit(1)).as("n_orphan_keys")))
+      d.join(cust, d("k") <=> cust("k"), "left")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("__hit").isNull.cast("long")).as("n_orphan_keys"))
         .select(lit(rel).as("relation"), col("n_keys"), col("n_orphan_keys"),
           (col("n_orphan_keys") === 0).as("pass"))
     }
@@ -657,8 +661,10 @@ object HistoryQueries {
       |         SUM(nc) OVER (PARTITION BY g) AS n2
       |  FROM m)
       |SELECT g AS event_type,
-      |       round(CAST(MAX(abs(cb * n2 - cc * n1)) AS DOUBLE)
-      |             / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)), 6) AS ks,
+      |       CASE WHEN MAX(n1) > 0 AND MAX(n2) > 0 THEN
+      |         round(CAST(MAX(abs(cb * n2 - cc * n1)) AS DOUBLE)
+      |               / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)), 6)
+      |       END AS ks,
       |       MAX(abs(cb * n2 - cc * n1)) AS d_num,
       |       MAX(n1) AS n_base, MAX(n2) AS n_cur
       |FROM r GROUP BY g ORDER BY event_type""".stripMargin

@@ -92,13 +92,9 @@ object VersionedTable {
       // manifest owns its slot, so colliding with it would retry forever
       val next = (0 +: listedVersions(hfs, root)).max + 1
       val json = manifestJson(Manifest(next, parentFiles ++ written))
-      try {
-        val out = hfs.create(manifestPath(root, next), false) // exclusive claim
-        try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (claimAndWrite(hfs, manifestPath(root, next), json.getBytes("UTF-8")))
         return next
-      } catch {
-        case _: java.io.IOException => // lost the claim race; re-resolve head
-      }
+      // else: lost the claim race — re-resolve head and retry
     }
     throw new java.io.IOException(
       s"VersionedTable.commit: lost the version claim $maxRetries times at $dir")
@@ -149,6 +145,37 @@ object VersionedTable {
       }
     }
     (dropped, deletedFiles)
+  }
+
+  /** Atomically claim `path` and write `bytes`; false = slot taken.
+    * On the local filesystem Hadoop's create(overwrite = false) is an
+    * exists()-then-create TOCTOU race, NOT atomic — two concurrent
+    * committers could both "win" a version and one manifest would
+    * silently replace the other. There java.io.File.createNewFile
+    * (O_CREAT|O_EXCL) is the real atomic primitive; on HDFS and
+    * precondition-capable stores the namenode enforces exclusive
+    * create server-side. Non-claim I/O failures (permissions, disk
+    * full) PROPAGATE instead of masquerading as a lost race. */
+  private def claimAndWrite(hfs: FileSystem, path: Path, bytes: Array[Byte]): Boolean = {
+    hfs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        val f = new java.io.File(path.toUri.getPath)
+        f.getParentFile.mkdirs()
+        if (!f.createNewFile()) return false // atomic O_EXCL claim
+        val out = new java.io.FileOutputStream(f)
+        try out.write(bytes) finally out.close()
+        true
+      case _ =>
+        val out =
+          try hfs.create(path, false)
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+            case _: java.nio.file.FileAlreadyExistsException => return false
+          }
+        try out.write(bytes) finally out.close()
+        true
+    }
   }
 
   // ---- manifest (de)serialization: flat JSON, no library ------------

@@ -165,13 +165,15 @@ class FeatureStore(
     def covered(view: String, s0: Timestamp, e0: Timestamp): Boolean =
       registry.materializationIntervals(view).exists(iv =>
         !iv.start.after(s0) && !iv.end.before(e0))
-    val slices = Iterator.iterate(start)(t => Timestamp.from(t.toInstant.plus(chunk)))
-      .takeWhile(_.before(end))
-      .map(s0 => {
-        val e0 = Timestamp.from(s0.toInstant.plus(chunk))
-        (s0, if (e0.after(end)) end else e0)
-      })
-      .toSeq
+    val slices =
+      if (start.equals(end)) Seq((start, end)) // a single-instant backfill is work, not a no-op
+      else Iterator.iterate(start)(t => Timestamp.from(t.toInstant.plus(chunk)))
+        .takeWhile(_.before(end))
+        .map(s0 => {
+          val e0 = Timestamp.from(s0.toInstant.plus(chunk))
+          (s0, if (e0.after(end)) end else e0)
+        })
+        .toSeq
     slices.flatMap { case (s0, e0) =>
       val pending = viewNames.filter(v => !covered(v, s0, e0))
       if (pending.isEmpty) None

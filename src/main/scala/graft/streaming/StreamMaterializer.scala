@@ -223,17 +223,6 @@ object StreamMaterializer {
     spark.table(queryName)
   }
 
-  /** Stream-stream inner interval join: pair each left-stream row with
-    * the right-stream rows of the same key whose event time falls in
-    * [left_ts − lookback, left_ts] — the streaming enrichment shape
-    * ("this event, plus the user's activity over the trailing day").
-    * Both sides carry watermarks; the interval condition is what lets
-    * the engine BOUND the join state (a right row older than
-    * watermark − lookback can never match a future left row and is
-    * evicted) — an equi-join without the time bound would buffer the
-    * whole stream. `watermarkDelay` must cover the maximum event-time
-    * disorder across micro-batches: state eviction is correctness here,
-    * not just memory — a replay harness passes the full data span. */
   /** Stream-stream LEFT OUTER forward (label) join: pair each left row
     * with the right rows of the same key in (left_ts, left_ts+horizon]
     * — and, when the watermark passes a left row's match bound with no
@@ -274,6 +263,17 @@ object StreamMaterializer {
     spark.table(queryName)
   }
 
+  /** Stream-stream inner interval join: pair each left-stream row with
+    * the right-stream rows of the same key whose event time falls in
+    * [left_ts − lookback, left_ts] — the streaming enrichment shape
+    * ("this event, plus the user's activity over the trailing day").
+    * Both sides carry watermarks; the interval condition is what lets
+    * the engine BOUND the join state (a right row older than
+    * watermark − lookback can never match a future left row and is
+    * evicted) — an equi-join without the time bound would buffer the
+    * whole stream. `watermarkDelay` must cover the maximum event-time
+    * disorder across micro-batches: state eviction is correctness here,
+    * not just memory — a replay harness passes the full data span. */
   def runStreamJoinToCompletion(
       left: DataFrame, leftTsCol: String,
       right: DataFrame, rightTsCol: String,

@@ -564,9 +564,12 @@ class EngineSpec extends AnyFunSuite {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graftexp").toString
     val store = new ParquetOnlineStore(base, numBuckets = 8, smallStoreBytes = 0L)
-    // even keys old (expired), odd keys fresh
-    val df = (0L until 64L).map(k =>
-        (k, if (k % 2 == 0) ts("2024-01-01 00:00:00") else ts("2024-01-20 00:00:00"), k.toDouble))
+    // even keys old (expired), odd keys fresh, key 100 has NULL ts
+    // (must SURVIVE the sweep: "not expired" on discovery must mean
+    // "kept" on rewrite)
+    val df = ((0L until 64L).map(k =>
+        (k, if (k % 2 == 0) ts("2024-01-01 00:00:00") else ts("2024-01-20 00:00:00"), k.toDouble)) :+
+        ((100L, null.asInstanceOf[Timestamp], 100.0)))
       .toDF("driver_id", "et", "v")
     val view = FeatureView("ev", Seq("driver"), Seq(Feature("v", GraftType.Dbl)),
       Duration.ZERO, DataFrameSource(df, "et"))
@@ -585,7 +588,7 @@ class EngineSpec extends AnyFunSuite {
       ts("2024-01-10 00:00:00"))
     assert(expired === 32L)
     val snap = store.tableDf(spark, "p", "ev").select("driver_id").as[Long].collect().toSet
-    assert(snap === (1L until 64L by 2).toSet)
+    assert(snap === ((1L until 64L by 2).toSet + 100L))
     // survivors readable; expired keys NOT_FOUND
     val r = store.read("p", view, Seq("driver_id"),
       Seq(Seq("driver_id" -> 3L), Seq("driver_id" -> 4L)), Seq("v"))
