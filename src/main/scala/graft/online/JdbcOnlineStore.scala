@@ -113,6 +113,31 @@ class JdbcOnlineStore(
     }
   }
 
+  /** Keyed delete (CDC tombstones): distributed batched DELETE by
+    * canonical entity-key hex. Missing table = nothing was ever
+    * materialized = no-op. */
+  override def delete(project: String, view: FeatureView, joinKeys: Seq[String],
+      keysDf: DataFrame): Unit = {
+    val t = tableName(project, view.name)
+    val (u, keys, batch) = (url, joinKeys, writeBatchSize)
+    keysDf.select(joinKeys.map(col): _*).distinct()
+      .repartition(math.max(1, writeParallelism), joinKeys.map(col): _*)
+      .foreachPartition { (rows: Iterator[Row]) =>
+        if (rows.nonEmpty) {
+          try withConnection(u) { conn =>
+            val st = conn.prepareStatement(s"DELETE FROM $t WHERE entity_key = ?")
+            try rows.grouped(batch).foreach { g =>
+              g.foreach { r =>
+                st.setString(1, EntityKeyCodec.hexKey(keys.map(k => k -> r.getAs[Any](k))))
+                st.addBatch()
+              }
+              val _ = st.executeBatch()
+            } finally st.close()
+          } catch { case e: SQLException if isMissingTable(e) => () }
+        }
+      }
+  }
+
   def teardown(project: String, views: Seq[FeatureView]): Unit =
     withConnection(url) { conn =>
       views.foreach { v =>

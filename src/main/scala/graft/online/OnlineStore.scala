@@ -55,6 +55,18 @@ trait OnlineStore extends Serializable {
       entityKeys: Seq[Seq[(String, Any)]],
       features: Seq[String]): Seq[(Option[Timestamp], Map[String, FeatureValue])]
 
+  /** Delete the stored rows for the entity keys in `keysDf` (which
+    * must contain the view's join key columns) — the CDC tombstone
+    * path. Deleting an absent key is a no-op. Unconditional (no ts
+    * compare): callers applying a changelog must apply batches in feed
+    * order, which Structured Streaming's micro-batch sequence
+    * guarantees. Default: unsupported, so stores that cannot delete
+    * fail loudly instead of silently retaining tombstoned rows. */
+  def delete(project: String, view: FeatureView, joinKeys: Seq[String],
+      keysDf: DataFrame): Unit =
+    throw new UnsupportedOperationException(
+      s"${getClass.getSimpleName} does not support delete")
+
   def teardown(project: String, views: Seq[FeatureView]): Unit
 }
 
@@ -111,6 +123,13 @@ class InMemoryOnlineStore extends OnlineStore {
         case None =>
           (None, features.map(f => f -> FeatureValue(null, FeatureStatus.NotFound)).toMap)
       }
+    }
+
+  override def delete(project: String, view: FeatureView, joinKeys: Seq[String],
+      keysDf: DataFrame): Unit =
+    keysDf.select(joinKeys.map(col): _*).distinct().collect().foreach { row =>
+      val key = joinKeys.map(k => k -> row.getAs[Any](k))
+      table.remove(storeKey(project, view.name, key))
     }
 
   def teardown(project: String, views: Seq[FeatureView]): Unit = {
@@ -346,6 +365,50 @@ class ParquetOnlineStore(
   /** Snapshot of a view's store table (batch serving / debugging). */
   def tableDf(spark: SparkSession, project: String, view: String): DataFrame =
     spark.read.parquet(path(project, view)).drop(BucketCol)
+
+  /** Keyed delete (CDC tombstones): drop the stored rows for the keys
+    * in `keysDf`. Same touched-bucket discipline as upsert/expire —
+    * the incoming keys route to their buckets, only those buckets
+    * rewrite (left-anti on the key columns), per-bucket rename-aside
+    * swap; a bucket emptied by the delete disappears, which reads
+    * tolerate. */
+  override def delete(project: String, view: FeatureView, joinKeys: Seq[String],
+      keysDf: DataFrame): Unit = {
+    val spark = keysDf.sparkSession
+    val p = path(project, view.name)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = hp(p).getFileSystem(hconf)
+    if (!fs.exists(hp(p))) return
+    recover(fs, p)
+    val buckets = effectiveBuckets(fs, p)
+    val keys = keysDf
+      .select(OnlineStore.guardNullKeys(joinKeys, joinKeys, view.name): _*)
+      .distinct()
+      .withColumn(BucketCol, bucketExpr(joinKeys, buckets))
+    val cached = keys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched: Seq[Int] =
+        cached.select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq
+      if (touched.isEmpty) return
+      val tmp = p + ".tmp"
+      spark.read.parquet(p)
+        .filter(col(BucketCol).isin(touched: _*))
+        .join(cached.drop(BucketCol), joinKeys, "left_anti")
+        .repartition(touched.size, col(BucketCol))
+        .sortWithinPartitions(joinKeys.map(col): _*)
+        .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp)
+      val oldRoot = hp(p + ".old")
+      fs.mkdirs(oldRoot)
+      touched.foreach { b =>
+        val live = hp(s"$p/$BucketCol=$b")
+        val staged = hp(s"$tmp/$BucketCol=$b")
+        if (fs.exists(live)) fs.rename(live, hp(s"${p + ".old"}/$BucketCol=$b"))
+        if (fs.exists(staged)) fs.rename(staged, live)
+      }
+      fs.delete(oldRoot, true)
+      fs.delete(hp(tmp), true)
+    } finally cached.unpersist()
+  }
 
   /** TTL retention sweep: delete rows whose `tsCol` is strictly older
     * than `cutoff` — the online half of [[graft.sources.DatePartition.vacuum]]

@@ -303,6 +303,58 @@ object StreamQueries {
       | AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 1 DAY
       |GROUP BY l.event_id ORDER BY event_id""".stripMargin
 
+  /** Streaming CDC materialization: the event stream carries delete
+    * tombstones ('error' events tombstone the user; everything else
+    * upserts), replayed as a TIME-ORDERED 2-file split so cross-batch
+    * orderings are real — a user deleted in batch 1 and re-upserted in
+    * batch 2 must resurrect, one upserted then tombstoned must stay
+    * gone. Each micro-batch collapses to net changes and applies them
+    * through [[StreamMaterializer.materializeCdcStream]]; the oracle
+    * replays the whole feed as one batch: latest event per user,
+    * dropped if it is a tombstone — identical by the CDC collapse
+    * property (intermediate changes never matter). */
+  def streamCdc(s: SparkSession, dir: String): DataFrame = {
+    val split = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val input = s"/tmp/graft_stream_cdc_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    if (!new java.io.File(s"$input/_READY").exists()) {
+      new java.io.File(input).mkdirs()
+      val ev = Tables.read(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"))
+      writeOrderedPiece(s, input, 0, ev.filter(col("ts") < lit(split)))
+      writeOrderedPiece(s, input, 1, ev.filter(col("ts") >= lit(split)))
+      new java.io.File(s"$input/_READY").createNewFile()
+    }
+    val tmp = s"/tmp/graft_stream_cdc_run_${java.util.UUID.randomUUID().toString.take(8)}"
+    val fs = new FeatureStore("graft_cdc", new Registry(),
+      new ParquetOnlineStore(s"$tmp/store", numBuckets = 8), s)
+    fs.applyEntity(Entity("user", GraftType.Int64, joinKeyOpt = Some("user_id")))
+    fs.applyFeatureView(FeatureView(
+      name = "user_cdc_stream",
+      entities = Seq("user"),
+      features = Seq(Feature("event_type", GraftType.Str), Feature("value", GraftType.Dbl)),
+      ttl = Duration.ZERO,
+      batchSource = DataFrameSource(s.read.parquet(input), "ts"),
+      streamSource = Some(FileStreamSource(input, "parquet", "ts",
+        maxFilesPerTrigger = Some(1)))))
+    val q = StreamMaterializer.materializeCdcStream(fs, "user_cdc_stream",
+      opCol = "op", trigger = Trigger.AvailableNow(),
+      checkpointDir = Some(s"$tmp/ckpt"))
+    q.awaitTermination()
+    fs.onlineStore.asInstanceOf[ParquetOnlineStore]
+      .tableDf(s, "graft_cdc", "user_cdc_stream")
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
+  val streamCdcSql: String =
+    """SELECT user_id, epoch_ms(ts) AS ts_ms, event_type, value
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
   /** Stream-static enrichment: the 2-file events replay joined per
     * micro-batch to the static customer dimension (broadcast), then the
     * enriched stream reduced to per-market-segment totals with a batch
@@ -456,6 +508,7 @@ object StreamQueries {
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_label_join" -> (streamLabelJoin _),
+    "q_stream_cdc" -> (streamCdc _),
     "q_stream_enrich" -> (streamEnrich _),
     "q_stream_topk" -> (streamTopK _),
     "q_stream_sessionize" -> (streamSessionize _),
@@ -467,6 +520,7 @@ object StreamQueries {
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_join" -> streamJoinSql,
     "q_stream_label_join" -> streamLabelJoinSql,
+    "q_stream_cdc" -> streamCdcSql,
     "q_stream_enrich" -> streamEnrichSql,
     "q_stream_topk" -> streamTopKSql,
     "q_stream_sessionize" -> streamSessionizeSql,

@@ -53,6 +53,60 @@ object StreamMaterializer {
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
   }
 
+  /** CDC stream materialization: the stream carries an op column
+    * (upserts + delete tombstones). Each micro-batch first collapses
+    * to its NET change per key — max_by over (event_ts[, created_ts]),
+    * map-side combinable, so intermediate changes never reach the
+    * store — then applies upserts through the store's LWW merge and
+    * tombstones through [[OnlineStore.delete]]. Cross-batch ordering
+    * is the micro-batch sequence itself (delete-then-newer-upsert
+    * resurrects, upsert-then-delete removes — exactly the batch
+    * [[graft.operators.Merge.cdcApply]] semantics, applied
+    * incrementally). */
+  def materializeCdcStream(
+      fs: FeatureStore,
+      viewName: String,
+      opCol: String,
+      deleteOp: String = "D",
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val view = fs.registry.getFeatureView(viewName)
+    val src = view.streamSource.getOrElse(throw new IllegalArgumentException(
+      s"view $viewName has no stream source"))
+    val keys = fs.joinKeysOf(view)
+    val tsCol = src.eventTimestampColumn
+    val createdCol = src.createdTimestampColumn
+
+    val stream = SourceReader.readStream(fs.spark, src)
+    val writer = stream.writeStream
+      .outputMode("update")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // net change per key WITHIN the batch: latest row wins,
+          // carrying its op
+          val ordCols = (tsCol +: createdCol.toSeq)
+          val payloadCols = (ordCols ++ view.featureNames :+ opCol).distinct
+          val payload = struct(payloadCols.map(col): _*)
+          val ord = struct((ordCols.map(col) :+ payload.as("__payload")): _*)
+          val net = batch
+            .groupBy(keys.map(col): _*)
+            .agg(max_by(payload, ord).as("__net"))
+            .select(keys.map(col) :+ col("__net.*"): _*)
+            .localCheckpoint() // two consumers; don't recompute the collapse
+          val ups = net.filter(col(opCol) =!= lit(deleteOp)).drop(opCol)
+          val dels = net.filter(col(opCol) === lit(deleteOp)).select(keys.map(col): _*)
+          if (!ups.isEmpty)
+            fs.onlineStore.upsert(fs.project, view, keys,
+              fs.castKeyColumns(ups, view), tsCol, createdCol)
+          if (!dels.isEmpty)
+            fs.onlineStore.delete(fs.project, view, keys, fs.castKeyColumns(dels, view))
+        }
+        ()
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
+  }
+
   /** Stream -> offline log (the kappa pipeline's other half, pairing
     * with materializeStream's online upsert): append the decoded stream
     * to the view's batch FileSource path so batch retrievals see full

@@ -603,6 +603,32 @@ class EngineSpec extends AnyFunSuite {
     store.teardown("p", Seq(view))
   }
 
+  test("OnlineStore.delete: keyed tombstones across all three stores; absent keys no-op") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graftdel").toString
+    val stores: Seq[(String, graft.online.OnlineStore)] = Seq(
+      "parquet" -> new ParquetOnlineStore(s"$base/pq", numBuckets = 4, smallStoreBytes = 0L),
+      "memory" -> new InMemoryOnlineStore(),
+      "jdbc" -> new graft.online.JdbcOnlineStore(
+        s"jdbc:derby:$base/derby;create=true"))
+    val df = (0L until 20L).map(k => (k, ts("2024-01-01 00:00:00"), k.toDouble))
+      .toDF("driver_id", "et", "v")
+    val view = FeatureView("dv", Seq("driver"), Seq(Feature("v", GraftType.Dbl)),
+      Duration.ZERO, DataFrameSource(df, "et"))
+    stores.foreach { case (name, store) =>
+      store.upsert("p", view, Seq("driver_id"), df, "et", None)
+      // delete evens + an absent key (100): odd keys untouched
+      val dels = ((0L until 20L by 2) :+ 100L).toDF("driver_id")
+      store.delete("p", view, Seq("driver_id"), dels)
+      val r = store.read("p", view, Seq("driver_id"),
+        Seq(Seq("driver_id" -> 2L), Seq("driver_id" -> 3L)), Seq("v"))
+      assert(r(0)._2("v").status == "NOT_FOUND", s"$name: deleted key must be gone")
+      assert(r(1)._2("v").status == "PRESENT" && r(1)._2("v").value == 3.0,
+        s"$name: neighbor must survive")
+      store.teardown("p", Seq(view))
+    }
+  }
+
   test("ParquetOnlineStore upsert rewrites only buckets containing incoming keys") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graftbkt").toString
