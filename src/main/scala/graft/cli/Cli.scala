@@ -142,6 +142,8 @@ object RepoConfig {
   *   graft feature-views list <repo.json>
   *   graft registry-dump <repo.json>
   *   graft teardown <repo.json>
+  *   graft backfill <repo.json> <startTs> <endTs> <chunk-days>
+  *   graft expire-online <repo.json> <view> <as-of-ts>
   *   graft vacuum <repo.json> <view> <keep-from-date>
   *   graft compact <repo.json> <view>
   *
@@ -262,6 +264,20 @@ object Cli {
         fs.materializeIncremental(views, ts(end))
         out(s"materialized ${views.mkString(", ")} incrementally up to $end")
 
+      case Seq("backfill", cfgPath, start, end, chunkDays) =>
+        val (_, fs) = store(cfgPath)
+        val views = fs.registry.listFeatureViews.map(_.name)
+        val run = fs.materializeBackfill(views, ts(start), ts(end),
+          java.time.Duration.ofDays(chunkDays.toLong))
+        out(if (run.isEmpty) "backfill: all slices already covered"
+            else s"backfilled ${run.size} slice(s): " +
+              run.map { case (s0, e0) => s"[$s0, $e0]" }.mkString(", "))
+
+      case Seq("expire-online", cfgPath, viewName, asOf) =>
+        val (_, fs) = store(cfgPath)
+        val n = fs.expireOnline(viewName, ts(asOf))
+        out(s"$viewName: expired $n row(s) as of $asOf")
+
       case Seq("entities", "list", cfgPath) =>
         val (_, fs) = store(cfgPath)
         fs.registry.listEntities.foreach(e => out(s"${e.name}\t${e.joinKey}\t${e.dtype.name}"))
@@ -296,8 +312,10 @@ object Cli {
       case other =>
         throw new IllegalArgumentException(
           s"unknown command '${other.mkString(" ")}'; commands: init, apply, materialize, " +
-          "materialize-incremental, entities list, feature-views list, registry-dump, " +
-          "teardown, vacuum <cfg> <view> <keep-from-date>, compact <cfg> <view>")
+          "materialize-incremental, backfill <cfg> <start> <end> <chunk-days>, " +
+          "expire-online <cfg> <view> <as-of>, entities list, feature-views list, " +
+          "registry-dump, teardown, vacuum <cfg> <view> <keep-from-date>, " +
+          "compact <cfg> <view>")
     }
   }
 }

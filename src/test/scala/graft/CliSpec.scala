@@ -154,6 +154,46 @@ class CliSpec extends AnyFunSuite {
     }
   }
 
+  test("CLI backfill + expire-online drive the round-6 lifecycle through a repo config") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftcli_bf").toString
+    val rows = (0 until 40).map { i =>
+      (i % 8L, ts(f"2024-01-${1 + i % 20}%02d 10:00:00"), i.toDouble)
+    }
+    rows.toDF("driver_id", "event_timestamp", "conv_rate")
+      .write.parquet(s"$dir/stats")
+    val cfgPath = s"$dir/repo.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(cfgPath),
+      s"""{
+         |  "project": "bf",
+         |  "registry": "$dir/registry.json",
+         |  "online_store": {"type": "parquet", "path": "$dir/store"},
+         |  "entities": [
+         |    {"name": "driver", "dtype": "INT64", "join_key": "driver_id", "description": ""}
+         |  ],
+         |  "feature_views": [
+         |    {"name": "stats", "entities": ["driver"],
+         |     "features": [{"name": "conv_rate", "dtype": "DOUBLE"}],
+         |     "ttl_seconds": 86400,
+         |     "batch_source": {"kind": "file", "path": "$dir/stats",
+         |       "format": "parquet", "event_timestamp_column": "event_timestamp",
+         |       "created_timestamp_column": null, "field_mapping": {},
+         |       "date_partition_column": null},
+         |     "stream_source": null, "online": true}
+         |  ]
+         |}""".stripMargin.getBytes("UTF-8"))
+    val out = scala.collection.mutable.Buffer[String]()
+    Cli.run(Seq("apply", cfgPath), spark, out.append(_))
+    Cli.run(Seq("backfill", cfgPath, "2024-01-01", "2024-01-21", "7"), spark, out.append(_))
+    assert(out.last.contains("backfilled 3 slice(s)"))
+    // rerun: covered -> no slices
+    Cli.run(Seq("backfill", cfgPath, "2024-01-01", "2024-01-21", "7"), spark, out.append(_))
+    assert(out.last.contains("already covered"))
+    // every key's latest event is older than ttl=1d as of Feb 1: all expire
+    Cli.run(Seq("expire-online", cfgPath, "stats", "2024-02-01"), spark, out.append(_))
+    assert(out.last.contains("expired 8 row(s)"))
+  }
+
   test("CLI apply reconciles: definitions removed from the config are dropped") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftcli3").toString
