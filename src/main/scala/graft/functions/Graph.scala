@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analysis: fixed-iteration PageRank over an edge list —
+  * the domain-authority signal a crawl→training-data pipeline uses to
+  * weight sources (alongside the quality classifier and the per-domain
+  * quota of [[Quota]]).
+  *
+  * Scale shape: the graph lives as a distributed edge DataFrame keyed
+  * by src; every iteration is one src-keyed equi join (ranks × edges)
+  * and one dst-keyed hash aggregation — the standard distributed
+  * power-iteration, shuffling only node-sized frames (never edges × #
+  * iterations, lineage is cut with localCheckpoint per step so the plan
+  * stays O(1) per iteration instead of growing a join chain Catalyst
+  * must re-analyze). Dangling mass (nodes with no outlinks) is a
+  * one-row aggregate broadcast into the update, not a driver collect.
+  *
+  * Determinism contract (DuckDB oracle replay): ranks are rounded to
+  * 12 decimals after every iteration, so the per-dst contribution sums
+  * — the only aggregation-order-dependent arithmetic, with error
+  * ~1e-16 at any realistic fan-in — feed the next step bit-identically
+  * on both engines; the final projection rounds to 6.
+  */
+object Graph {
+
+  /** PageRank after `iters` power iterations with damping `d`:
+    *   r_0(v)     = 1/N
+    *   r_{k+1}(v) = (1-d)/N + d·(Σ_{u→v} r_k(u)/outdeg(u) + dangling_k/N)
+    * where dangling_k is the total rank parked on zero-outdegree nodes
+    * (redistributed uniformly — the standard teleport treatment, so
+    * Σ_v r(v) stays 1 every iteration).
+    *
+    * @param edges distinct directed edges; parallel duplicates should be
+    *              deduped by the caller (they would double-count)
+    * @return (node, rank) — rank rounded to 12 decimals; one row per
+    *         node appearing as src or dst
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    val nodes = e.select(col("__src").as("node"))
+      .unionByName(e.select(col("__dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    // outdeg rides every iteration's join: worth one small checkpoint
+    val outDeg = e.groupBy(col("__src").as("node"))
+      .agg(count(lit(1)).as("__deg"))
+      .localCheckpoint()
+
+    var ranks = nodes.withColumn("__r", round(lit(1.0) / n, 12))
+    for (_ <- 0 until iters) {
+      val withDeg = ranks.join(outDeg, Seq("node"), "left")
+      // one-row frame: total rank on dangling nodes this iteration
+      val dangling = withDeg.filter(col("__deg").isNull)
+        .agg(coalesce(round(sum(col("__r")), 12), lit(0.0)).as("__dm"))
+      val contribs = withDeg.filter(col("__deg").isNotNull)
+        .join(e, col("node") === col("__src"))
+        .groupBy(col("__dst").as("node"))
+        .agg(round(sum(col("__r") / col("__deg")), 12).as("__c"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .withColumn("__r",
+          round(lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("__c"), lit(0.0)) + col("__dm") / n), 12))
+        .select("node", "__r")
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("__r").as("rank"))
+  }
+}

@@ -457,4 +457,64 @@ object Similarity {
       .withColumn("__cos", cosine(col("__qvec"), col("__cvec")))
     twoLevelTopK(scored, k)
   }
+
+  /** Margin-based parallel-pair mining between two embedding sets
+    * (Artetxe & Schwenk 2019's ratio margin — the CCMatrix/LASER bitext
+    * mining criterion, equally the cross-corpus alignment step for any
+    * paired-modality training set): a pair (a, b) scores
+    *
+    *   margin(a,b) = cos(a,b) / ((avgTopK_a + avgTopK_b) / 2)
+    *
+    * where avgTopK_x is the mean cosine of x's `k` nearest neighbors in
+    * the OTHER set — normalizing away hubness (vectors that are close
+    * to everything). Emits each a-side vector's best candidate by
+    * margin, keeping pairs with margin >= `threshold`.
+    *
+    * Scale shape: candidates and both directions' top-k come from the
+    * skew-safe [[bruteForceTopK]] reduction (swap in [[ivfTopK]] /
+    * [[ivfSearchIndex]] for the candidate legs at corpus scale — the
+    * margin arithmetic is identical); the margin join touches only
+    * candidate rows (|A|·candK) against two node-sized avg frames, so
+    * nothing |A|×|B|-sized ever shuffles.
+    *
+    * Determinism contract (oracle replay): ranking inside top-k is on
+    * raw left-associative-fold cosines (the q_ann_brute_force
+    * contract); each avgTopK is round(Σ topK cos, 9)/k so the
+    * aggregation-order-dependent sum feeds the ratio bit-identically;
+    * the margin is rounded to 6 and the final best-per-a ranking orders
+    * by (rounded margin desc, b id asc).
+    *
+    * @param candK candidate pool per a-side vector (>= k); the best
+    *              margin pair is searched within this pool
+    * @return (src_id, dst_id, cos, margin) — at most one row per a-side
+    *         vector, margin >= threshold, cos rounded to 6
+    */
+  def marginMineTopPairs(
+      a: DataFrame, aIdCol: String, aVecCol: String,
+      b: DataFrame, bIdCol: String, bVecCol: String,
+      k: Int, candK: Int, threshold: Double): DataFrame = {
+    require(candK >= k, s"candK ($candK) must be >= k ($k)")
+    val candAB = bruteForceTopK(a, aIdCol, aVecCol, b, bIdCol, bVecCol, candK)
+    val topBA = bruteForceTopK(b, bIdCol, bVecCol, a, aIdCol, aVecCol, k)
+    def avgTop(cand: DataFrame): DataFrame = cand
+      .filter(col("rank") <= k)
+      .groupBy("query_id")
+      .agg((round(sum(col("cos")), 9) / k).as("avg_top"))
+    val avgA = avgTop(candAB).select(col("query_id").as("src_id"), col("avg_top").as("__avg_a"))
+    val avgB = avgTop(topBA).select(col("query_id").as("dst_id"), col("avg_top").as("__avg_b"))
+    val margins = candAB
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("dst_id"), col("cos"))
+      .join(avgA, "src_id")
+      .join(avgB, "dst_id")
+      .withColumn("margin",
+        round(col("cos") / ((col("__avg_a") + col("__avg_b")) / 2), 6))
+    // best margin per src: candidate pools are candK-bounded, so this
+    // window partitions over <= candK rows per key — skew-safe
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src_id").orderBy(col("margin").desc, col("dst_id").asc)
+    margins
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("margin") >= threshold)
+      .select(col("src_id"), col("dst_id"), round(col("cos"), 6).as("cos"), col("margin"))
+  }
 }

@@ -325,7 +325,70 @@ object VectorQueries {
       |      FROM embeddings)
       |GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
+  // ---- margin-based parallel-pair mining ------------------------------
+
+  private val MarginK = 4
+  private val MarginCandK = 8
+  private val MarginThresh = 1.02
+
+  /** Margin (ratio) mining between the even- and odd-id halves of the
+    * embeddings table standing in for two corpora to align (bitext
+    * mining / cross-modality pairing — Artetxe & Schwenk 2019): each
+    * even vector's best odd-side candidate by hubness-normalized
+    * margin, kept when margin >= 1.02. The oracle replays the same
+    * candidate pool (top-8 by raw cosine), the same round(Σ,9)/4
+    * neighborhood averages, and the same (margin desc, dst asc)
+    * best-pair ranking ([[graft.functions.Similarity.marginMineTopPairs]]). */
+  def marginMining(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    graft.functions.Similarity.marginMineTopPairs(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        k = MarginK, candK = MarginCandK, threshold = MarginThresh)
+      .orderBy("src_id")
+  }
+
+  val marginMiningSql: String = {
+    def cosSql(l: String, r: String): String =
+      s"list_dot_product($l, $r) / (sqrt(list_dot_product($l, $l)) * sqrt(list_dot_product($r, $r)))"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |a AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+       |b AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1),
+       |sab AS (
+       |  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+       |         ${cosSql("a.v", "b.v")} AS cos
+       |  FROM a CROSS JOIN b),
+       |rab AS (
+       |  SELECT src_id, dst_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY src_id
+       |                            ORDER BY cos DESC, dst_id ASC) AS rn
+       |  FROM sab),
+       |rba AS (
+       |  SELECT src_id, dst_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY dst_id
+       |                            ORDER BY cos DESC, src_id ASC) AS rn
+       |  FROM sab),
+       |avga AS (SELECT src_id, round(sum(cos), 9) / $MarginK AS avg_a
+       |         FROM rab WHERE rn <= $MarginK GROUP BY src_id),
+       |avgb AS (SELECT dst_id, round(sum(cos), 9) / $MarginK AS avg_b
+       |         FROM rba WHERE rn <= $MarginK GROUP BY dst_id),
+       |m AS (
+       |  SELECT r.src_id, r.dst_id, r.cos,
+       |         round(r.cos / ((avga.avg_a + avgb.avg_b) / 2), 6) AS margin
+       |  FROM rab r JOIN avga USING (src_id) JOIN avgb USING (dst_id)
+       |  WHERE r.rn <= $MarginCandK),
+       |best AS (
+       |  SELECT src_id, dst_id, cos, margin,
+       |         ROW_NUMBER() OVER (PARTITION BY src_id
+       |                            ORDER BY margin DESC, dst_id ASC) AS rn
+       |  FROM m)
+       |SELECT src_id, dst_id, round(cos, 6) AS cos, margin
+       |FROM best WHERE rn = 1 AND margin >= $MarginThresh
+       |ORDER BY src_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_margin_mining" -> (marginMining _),
     "q_label_centroids" -> (labelCentroids _),
     "q_ann_ivfpq" -> (annIvfPq _),
     "q_random_projection" -> (randomProjection _),
@@ -334,6 +397,7 @@ object VectorQueries {
     "q_hash_embedding" -> (hashEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "q_margin_mining" -> marginMiningSql,
     "q_label_centroids" -> labelCentroidsSql,
     "q_random_projection" -> randomProjectionSql,
     "q_pq_encode" -> pqEncodeSql,

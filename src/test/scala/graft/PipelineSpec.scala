@@ -705,4 +705,64 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(1) === ((2L, 2L, 0L, 0.0)))
     assert(got(2) === ((3L, 4L, 3L, 0.75)))
   }
+
+  test("pageRank: hand-computed 3-node chain with a dangling sink, mass conserved") {
+    import spark.implicits._
+    // 0 -> 1, 1 -> 2; node 2 dangles. One iteration from uniform 1/3:
+    //   dm = 1/3 (node 2's rank)
+    //   r'(0) = 0.05 + 0.85*(0 + dm/3)           = 0.1444...
+    //   r'(1) = 0.05 + 0.85*(1/3 + dm/3)         = 0.4277...
+    //   r'(2) = same as r'(1) (one inlink from 1, deg 1)
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val r1 = graft.functions.Graph.pageRank(edges, "src", "dst", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dm = 1.0 / 3
+    assert(math.abs(r1(0L) - (0.05 + 0.85 * (dm / 3))) < 1e-9)
+    assert(math.abs(r1(1L) - (0.05 + 0.85 * (1.0 / 3 + dm / 3))) < 1e-9)
+    assert(math.abs(r1(2L) - r1(1L)) < 1e-12)
+    // mass conservation across more iterations
+    val r3 = graft.functions.Graph.pageRank(edges, "src", "dst", iters = 3)
+      .agg(sum("rank")).head().getDouble(0)
+    assert(math.abs(r3 - 1.0) < 1e-9)
+  }
+
+  test("kAnonymityAudit + suppress: small classes masked, safe classes pass through") {
+    import spark.implicits._
+    // class (A): 3 rows, 3 distinct sensitive -> safe at k=3,l=2
+    // class (B): 2 rows -> at risk (k<3)
+    // class (C): 3 rows, 1 distinct sensitive -> at risk (l<2)
+    val df = Seq(
+      (1L, "A", 10.0), (2L, "A", 11.0), (3L, "A", 12.0),
+      (4L, "B", 20.0), (5L, "B", 21.0),
+      (6L, "C", 30.0), (7L, "C", 30.0), (8L, "C", 30.0)).toDF("id", "qi", "s")
+    val audit = graft.functions.Privacy.kAnonymityAudit(df, Seq("qi"), "s", minK = 3, minL = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(audit("A") === ((3L, 3L, 0)))
+    assert(audit("B") === ((2L, 2L, 1)))
+    assert(audit("C") === ((3L, 1L, 1)))
+    val sup = graft.functions.Privacy.suppress(df, Seq("qi"), "s", minK = 3, minL = 2)
+      .collect().map(r => r.getAs[Long]("id") -> (Option(r.getAs[String]("qi")), r.getAs[Int]("suppressed"))).toMap
+    assert(sup(1L) === ((Some("A"), 0)))
+    assert(sup(4L) === ((None, 1)))
+    assert(sup(6L) === ((None, 1)))
+  }
+
+  test("marginMineTopPairs: the true translation pair wins over a hub vector") {
+    import spark.implicits._
+    // b-side vector 101 is a HUB (moderately close to every a vector);
+    // 103 is the genuine counterpart of a-vector 0. Raw cosine ranks the
+    // hub competitively, but margin normalization must pick 103 for 0.
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val a = Seq(
+      (0L, v(1, 0, 0, 0)), (2L, v(0, 1, 0, 0)), (4L, v(0, 0, 1, 0))).toDF("id", "vec")
+    val b = Seq(
+      (101L, v(0.6, 0.6, 0.6, 0.2)),          // hub: cos ~0.58 with each axis
+      (103L, v(0.95, 0.05, 0, 0)),             // near-copy of a:0
+      (105L, v(0, 0.9, 0.1, 0))).toDF("id", "vec") // near-copy of a:2
+    val got = graft.functions.Similarity.marginMineTopPairs(
+        a, "id", "vec", b, "id", "vec", k = 2, candK = 3, threshold = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) === 103L)
+    assert(got(2L) === 105L)
+  }
 }
