@@ -462,6 +462,50 @@ object Dedup {
     df.filter(weightCol >= 1.0 || (weightCol > 0.0 && h < thr))
   }
 
+  /** Systematic probability-proportional-to-size sampling (the classic
+    * survey-sampling PPS design): lay the rows out on an integer line
+    * where each row occupies `weightCol` positions (its exclusive
+    * prefix sum in `idCol` order — [[Packing.withStartOffset]]'s
+    * distributed prefix sum, no global window), then drop `n` equally
+    * spaced grid points j·W/n (j = 0..n-1) on the line; a row is drawn
+    * once per grid point inside its interval. Heavy rows can draw more
+    * than once (`n_picks` > 1 — multiplicity is the PPS contract);
+    * expected draws = n·w/W exactly.
+    *
+    * Everything is BIGINT arithmetic — prefix sums, ceil-divisions —
+    * so the sample is bit-identical on any engine at any aggregation
+    * order: ceil(a/b) = (a + b − 1) div b with a·n kept in long (fine
+    * to ~2^53/W samples; a 100 TB corpus with n in the millions moves
+    * the products to decimal(38), changing no logic).
+    *
+    * @param weightCol non-negative INTEGER weights (e.g. token
+    *                  counts); zero-weight rows occupy no interval and
+    *                  are never drawn
+    * @return rows with n_picks >= 1: (all input columns, start_offset,
+    *         n_picks)
+    */
+  def systematicWeightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val w = col(weightCol).cast("long")
+    val total = df.agg(sum(w).as("__W"))
+    val prefixed = Packing.withStartOffset(df, idCol, weightCol)
+      .crossJoin(broadcast(total))
+    // ceil(a / W) in exact long arithmetic: (a + W - 1 - (a + W - 1) mod W) / W
+    def cdiv(a: Column): Column = {
+      val num = a + col("__W") - 1L
+      ((num - pmod(num, col("__W"))) / col("__W")).cast("long")
+    }
+    prefixed
+      .withColumn("n_picks",
+        cdiv((col("start_offset") + w) * n) - cdiv(col("start_offset") * n))
+      .filter(col("n_picks") >= 1)
+      .drop("__W")
+  }
+
   /** All ordered pairs (a<b) of an array column — used inside one LSH
     * bucket. */
   private def pairsOf(ids: Column): Column = {

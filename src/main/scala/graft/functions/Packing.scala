@@ -103,6 +103,20 @@ object Packing {
       .withColumn(outCol, col("__start"))
       .drop("__start", "__one")
 
+  /** Public face of the distributed prefix sum: `outCol` = tokens
+    * before this row in global `idCol` order (exclusive prefix) —
+    * for consumers outside the packing family (e.g. systematic
+    * weighted sampling). Integer token counts stay exact at any
+    * aggregation order; unique ids required, like [[packShards]]. */
+  def withStartOffset(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      outCol: String = "start_offset",
+      numPartitions: Option[Int] = None): DataFrame =
+    withPrefixOffset(df, idCol, tokenCol, numPartitions)
+      .withColumnRenamed("__start", outCol)
+
   /** The shared distributed prefix sum: appends `__start` = tokens
     * before this row in global `idCol` order (exclusive prefix). */
   private def withPrefixOffset(

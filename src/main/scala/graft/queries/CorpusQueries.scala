@@ -468,7 +468,46 @@ object CorpusQueries {
        |FROM r JOIN idx y ON y.i = r.nidx
        |ORDER BY anchor_id, neg_rank""".stripMargin
 
+  // ---- systematic PPS sampling ---------------------------------------
+
+  private val PpsN = 50
+
+  /** Token-weighted systematic sampling: 50 draws proportional to
+    * document token count via [[graft.functions.Dedup.systematicWeightedSample]]
+    * — the PPS design a token-budgeted eval set uses so long documents
+    * aren't under-represented per token. All-BIGINT arithmetic (prefix
+    * sums + ceil-divisions), so the oracle's running-window replay is
+    * exact with no FP contract; draws with multiplicity ride out as
+    * n_picks. */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.functions.Dedup.systematicWeightedSample(d, "doc_id", "n_tokens", PpsN)
+      .select("doc_id", "n_tokens", "start_offset", "n_picks")
+      .orderBy("doc_id")
+  }
+
+  val weightedSampleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, n_tokens,
+       |         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+       |  FROM t),
+       |tot AS (SELECT SUM(n_tokens) AS w FROM t)
+       |SELECT doc_id, n_tokens, start_offset,
+       |       ((start_offset + n_tokens) * $PpsN + w - 1) // w
+       |         - (start_offset * $PpsN + w - 1) // w AS n_picks
+       |FROM p CROSS JOIN tot
+       |WHERE ((start_offset + n_tokens) * $PpsN + w - 1) // w
+       |         - (start_offset * $PpsN + w - 1) // w >= 1
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weighted_sample" -> (weightedSample _),
     "q_negative_sample" -> (negativeSample _),
     "q_span_scrub" -> (spanScrub _),
     "q_bpe_merges" -> (bpeMerges _),
@@ -480,6 +519,7 @@ object CorpusQueries {
     "q_length_bucket" -> (lengthBucket _))
 
   val oracles: Map[String, String] = Map(
+    "q_weighted_sample" -> weightedSampleSql,
     "q_negative_sample" -> negativeSampleSql,
     "q_span_scrub" -> spanScrubSql,
     "q_bpe_merges" -> bpeMergesSql,

@@ -387,7 +387,100 @@ object VectorQueries {
        |ORDER BY src_id""".stripMargin
   }
 
+  // ---- kNN label-noise detection -------------------------------------
+
+  private val NoiseK = 8
+  private val NoiseThresh = 0.25
+
+  /** Confident-learning-style label-noise screen (the kNN variant of
+    * Northcutt et al. 2021): each vector's fraction of its 8 nearest
+    * neighbors (by cosine, self excluded) that share its label; a
+    * fraction under 0.25 flags the row as probably mislabeled — the
+    * triage list a labeling pipeline re-audits. Neighbor sets ride the
+    * skew-safe two-level top-k; the label joins touch k-bounded rows.
+    * Fraction is count/8.0 — exact dyadic rational, no FP contract
+    * needed. */
+  def labelNoise(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val knn = graft.functions.Similarity.bruteForceTopK(
+      e, "vec_id", "embedding", e, "vec_id", "embedding", NoiseK)
+    knn
+      .join(e.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")),
+        "neighbor_id")
+      .join(e.select(col("vec_id").as("query_id"), col("label")), "query_id")
+      .groupBy(col("query_id").as("vec_id"), col("label"))
+      .agg(sum(when(col("n_label") === col("label"), 1L).otherwise(0L)).as("n_same"))
+      .select(col("vec_id"), col("label"), col("n_same"),
+        (col("n_same").cast("double") / NoiseK).as("same_frac"),
+        (col("n_same").cast("double") / NoiseK < NoiseThresh).cast("int").as("suspect"))
+      .orderBy("vec_id")
+  }
+
+  val labelNoiseSql: String = {
+    def cosSql(l: String, r: String): String =
+      s"list_dot_product($l, $r) / (sqrt(list_dot_product($l, $l)) * sqrt(list_dot_product($r, $r)))"
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, q.label, c.vec_id AS neighbor_id,
+       |         c.label AS n_label, ${cosSql("q.v", "c.v")} AS cos
+       |  FROM e q CROSS JOIN e c WHERE q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, label, n_label,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, neighbor_id ASC) AS rn
+       |  FROM scored),
+       |agg AS (
+       |  SELECT query_id AS vec_id, label,
+       |         sum(CASE WHEN n_label = label THEN 1 ELSE 0 END) AS n_same
+       |  FROM ranked WHERE rn <= $NoiseK GROUP BY query_id, label)
+       |SELECT vec_id, label, CAST(n_same AS BIGINT) AS n_same,
+       |       CAST(n_same AS DOUBLE) / $NoiseK AS same_frac,
+       |       CASE WHEN CAST(n_same AS DOUBLE) / $NoiseK < $NoiseThresh
+       |            THEN 1 ELSE 0 END AS suspect
+       |FROM agg ORDER BY vec_id""".stripMargin
+  }
+
+  // ---- class-balance undersampling -----------------------------------
+
+  /** Deterministic class rebalancing: every label undersampled to the
+    * MINORITY class size, rows chosen by a salted-md5 priority (the
+    * [[graft.functions.Dedup.mixtureSample]] hash idiom — cross-engine
+    * replayable, stable under reruns). The per-label rank window is
+    * bounded by the class count, and classes are few by construction —
+    * a skewed-cardinality variant would ride [[graft.functions.Quota]]'s
+    * bounded heap instead. */
+  def classBalance(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val minN = e.groupBy("label").agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n")).as("__min_n"))
+    val h = substring(md5(concat(lit("bal:"), col("vec_id").cast("string")).cast("binary")), 1, 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(col("__h").asc, col("vec_id").asc)
+    e.select(col("vec_id"), col("label")).withColumn("__h", h)
+      .withColumn("__rn", row_number().over(w))
+      .crossJoin(broadcast(minN))
+      .filter(col("__rn") <= col("__min_n"))
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
+  val classBalanceSql: String =
+    """WITH m AS (
+      |  SELECT min(n) AS min_n FROM (
+      |    SELECT label, count(*) AS n FROM embeddings GROUP BY label)),
+      |r AS (
+      |  SELECT vec_id, label,
+      |         ROW_NUMBER() OVER (
+      |           PARTITION BY label
+      |           ORDER BY substr(md5('bal:' || CAST(vec_id AS VARCHAR)), 1, 8) ASC,
+      |                    vec_id ASC) AS rn
+      |  FROM embeddings)
+      |SELECT vec_id, label FROM r CROSS JOIN m
+      |WHERE rn <= min_n ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_label_noise" -> (labelNoise _),
+    "q_class_balance" -> (classBalance _),
     "q_margin_mining" -> (marginMining _),
     "q_label_centroids" -> (labelCentroids _),
     "q_ann_ivfpq" -> (annIvfPq _),
@@ -397,6 +490,8 @@ object VectorQueries {
     "q_hash_embedding" -> (hashEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "q_label_noise" -> labelNoiseSql,
+    "q_class_balance" -> classBalanceSql,
     "q_margin_mining" -> marginMiningSql,
     "q_label_centroids" -> labelCentroidsSql,
     "q_random_projection" -> randomProjectionSql,

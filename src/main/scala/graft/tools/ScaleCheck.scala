@@ -54,6 +54,11 @@ object ScaleCheck {
     // events: offset user_id too so per-user group sizes stay constant
     // (the realistic 10x: more users, not 10x-deeper histories)
     scaled("events", Seq("event_id", "user_id"))
+    // customer: offset the key only — QI columns (nation, segment,
+    // balance) replicate as-is, so equivalence classes keep their
+    // identity and grow 10x deep: the audit agg carries 10x rows
+    // through the same class-sized output
+    scaled("customer", Seq("c_custkey"))
 
     def force(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
     def time(name: String, dir: String): Double = {
@@ -94,7 +99,16 @@ object ScaleCheck {
       // min_by, the prefix-sum global rank, the bounded-heap history
       // arrays, and the stats-broadcast standardization
       "q_cdc_merge", "q_ks_drift", "q_nearest_join", "q_curriculum",
-      "q_recent_history", "q_zscore", "q_quantile_bin", "q_group_split")
+      "q_recent_history", "q_zscore", "q_quantile_bin", "q_group_split",
+      // round-7 additions: the class-sized privacy audit + its
+      // verdict-broadcast suppression join. Deliberately absent:
+      // q_pagerank (the planted graph's node/edge universe is FIXED at
+      // 20 domains by construction — 10x docs changes only the
+      // edge-derivation scan, which q_text_stats already pins) and
+      // q_margin_mining (brute-force candidates are quadratic by
+      // design at bench sf; the corpus-scale path swaps in the IVF legs
+      // whose scaling q_ann_ivf pins)
+      "q_k_anonymity", "q_k_suppress")
     queries.foreach(q => time(q, baseDir)) // warm: codegen + analyzer JIT
     val lines = queries.map { q =>
       val t1 = time(q, baseDir)

@@ -747,6 +747,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(sup(6L) === ((None, 1)))
   }
 
+  test("systematicWeightedSample: exactly n draws, heavy rows draw with multiplicity, zero weights never") {
+    import spark.implicits._
+    // weights: one dominant row (80 of 100 total), some small, one zero
+    val df = Seq((1L, 5L), (2L, 80L), (3L, 0L), (4L, 10L), (5L, 5L)).toDF("id", "w")
+    val got = Dedup.systematicWeightedSample(df, "id", "w", n = 10)
+      .select("id", "n_picks").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.sum === 10L)            // total draws = n always
+    assert(got(2L) === 8L)                    // 80% of mass -> 8 of 10 draws
+    assert(!got.contains(3L))                 // zero weight occupies no interval
+    // expected draws n*w/W = 0.5 for the 5-weight rows: 0 or 1 picks
+    assert(got.getOrElse(1L, 0L) <= 1L && got.getOrElse(5L, 0L) <= 1L)
+  }
+
+  test("labelNoise flags a planted mislabel inside a tight cluster") {
+    import spark.implicits._
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    // 9 vectors near axis-x labeled 0, except vec 3 mislabeled 1;
+    // 9 vectors near axis-y labeled 1. Each k=8 neighborhood stays
+    // in-cluster, so the mislabel's same-label fraction is 0/8.
+    val rows = (0 until 9).map(i => (i.toLong, v(1, 0.01 * i, 0, 0), if (i == 3) 1 else 0)) ++
+      (9 until 18).map(i => (i.toLong, v(0.01 * (i - 9), 1, 0, 0), 1))
+    val dir = java.nio.file.Files.createTempDirectory("graft_noise").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.queries.VectorQueries.labelNoise(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getInt(4))).toMap
+    assert(got(3L)._2 === 1)                  // planted mislabel flagged
+    assert(got(0L)._2 === 0)                  // honest cluster members pass
+    assert(got(10L)._2 === 0)
+  }
+
   test("marginMineTopPairs: the true translation pair wins over a hub vector") {
     import spark.implicits._
     // b-side vector 101 is a HUB (moderately close to every a vector);
