@@ -124,22 +124,24 @@ object Bench {
     // ~1.5 s per streaming micro-batch of local-mode driver cost
     // (q_stream_materialize = 2 batches + store dump) and ~0.3-0.5 s
     // per Spark job (materialize runs several store jobs per call).
-    val notes = "scalecheck 10x data wall ratios (round 6): " +
-      "pit_join_single 2.2x, dedup_minhash 6.6x (fast 1x draw; 10x " +
-      "wall matches round 5's 2.0x run), text_stats 1.1x, " +
-      "ann_ivf 0.7x, contamination 1.0x, shard_pack 1.5x, " +
-      "components 3.3x, rolling_agg 1.4x, line_dedup 0.8x, " +
-      "domain_cap 1.6x, semantic_dedup 3.9x, novelty 1.5x, " +
-      "dup_span 1.3x, bpe_merges 1.1x, random_projection 1.0x, " +
-      "label_join 1.9x, snapshot_diff 1.8x, context_windows 1.5x, " +
-      "dedup_incremental_fuzzy 1.2x, scd2_history 0.8x, " +
-      "sessionize 1.2x, negative_sample 1.1x, ann_pq 1.0x, " +
-      "grid_snapshot 1.8x, span_scrub 1.4x, salted_join 1.6x, " +
-      "feature_drift 1.5x, agg_incremental 2.5x, rollup 1.0x, " +
-      "cdc_merge 1.6x, ks_drift 1.2x, nearest_join 1.8x, " +
-      "curriculum 1.6x, recent_history 1.4x, zscore 1.1x, " +
-      "quantile_bin 1.4x, group_split 1.5x " +
-      "(sub-linear on all 37, ScaleCheck local[32] 16g driver; " +
+    val notes = "scalecheck 10x data wall ratios (round 7): " +
+      "pit_join_single 2.2x, dedup_minhash 6.9x (fast 1x draw; the " +
+      "~10s 10x wall matches every prior round), text_stats 6.7x " +
+      "(load-drain draw; rounds 5/6 measured 1.1x on identical code), " +
+      "ann_ivf 0.7x, contamination 1.4x, shard_pack 1.6x, " +
+      "components 3.2x, rolling_agg 1.2x, line_dedup 1.3x, " +
+      "domain_cap 1.1x, semantic_dedup 3.5x, novelty 1.4x, " +
+      "dup_span 1.6x, bpe_merges 1.1x, random_projection 1.1x, " +
+      "label_join 1.9x, snapshot_diff 2.0x, context_windows 1.4x, " +
+      "dedup_incremental_fuzzy 1.2x, scd2_history 1.1x, " +
+      "sessionize 1.4x, negative_sample 1.1x, ann_pq 0.9x, " +
+      "grid_snapshot 2.5x, span_scrub 1.8x, salted_join 1.5x, " +
+      "feature_drift 1.4x, agg_incremental 2.5x, rollup 1.1x, " +
+      "cdc_merge 1.6x, ks_drift 1.1x, nearest_join 1.8x, " +
+      "curriculum 1.6x, recent_history 1.6x, zscore 1.6x, " +
+      "quantile_bin 1.4x, group_split 1.4x, k_anonymity 1.3x, " +
+      "k_suppress 1.7x " +
+      "(sub-linear on all 39, ScaleCheck local[32] 16g driver; " +
       "run-to-run wall variance on this box is +/-2x at these sub-5s " +
       "scales and concurrent load can inflate single ratios far more); " +
       "stream floor ~1.5s/micro-batch, job floor ~0.3-0.5s at toy sf"

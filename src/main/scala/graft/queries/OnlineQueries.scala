@@ -281,7 +281,38 @@ object OnlineQueries {
       |FROM ent e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---- rendezvous shard routing --------------------------------------
+
+  private val RdvShards = 8
+
+  /** Rendezvous key→shard routing of every customer over 8 store
+    * shards ([[graft.functions.Sharding.rendezvousShard]]) — the
+    * documented growth path for a sharded online deployment. Record
+    * level so the oracle pins every routing decision, not just the
+    * balance. */
+  def rendezvousQ(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sharding.assignShards(
+        Tables.read(s, dir, "customer").select("c_custkey"),
+        "c_custkey", RdvShards)
+      .select(col("c_custkey"), col("shard").cast("int").as("shard"))
+      .orderBy("c_custkey")
+
+  val rendezvousSql: String =
+    s"""WITH scored AS (
+       |  SELECT c_custkey, t.s AS shard,
+       |         substr(md5('rdv:' || CAST(t.s AS VARCHAR) || ':'
+       |                    || CAST(c_custkey AS VARCHAR)), 1, 8) AS score
+       |  FROM customer, UNNEST(range(0, $RdvShards)) AS t(s)),
+       |r AS (
+       |  SELECT c_custkey, shard,
+       |         ROW_NUMBER() OVER (PARTITION BY c_custkey
+       |                            ORDER BY score DESC, shard DESC) AS rn
+       |  FROM scored)
+       |SELECT c_custkey, CAST(shard AS INTEGER) AS shard
+       |FROM r WHERE rn = 1 ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rendezvous" -> (rendezvousQ _),
     "q_derived_features" -> (derivedFeaturesQ _),
     "q_materialize_roundtrip" -> (materializeRoundtrip _),
     "q_online_multiget" -> (onlineMultiGet _),
@@ -289,6 +320,7 @@ object OnlineQueries {
     "q_feature_service" -> (featureServiceQ _))
 
   val oracles: Map[String, String] = Map(
+    "q_rendezvous" -> rendezvousSql,
     "q_materialize_roundtrip" -> materializeRoundtripSql,
     "q_online_multiget" -> onlineMultiGetSql,
     "q_historical_facade" -> historicalFacadeSql,

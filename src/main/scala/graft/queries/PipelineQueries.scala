@@ -1450,6 +1450,71 @@ object PipelineQueries {
       |SELECT doc_id, n_words, round(lp / CAST(n_words AS DOUBLE), 4) AS mean_logprob
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Bigram LM perplexity proxy with add-k smoothing (k = 0.5) — the
+    * KenLM-shaped fluency filter one notch above [[unigramLogprob]]:
+    * per-doc mean of ln((c(w1,w2)+0.5)/(c(w1·)+0.5·V)) over the
+    * corpus-trained bigram counts. c(w1·) derives from the bigram
+    * aggregate itself (one gram explode feeds everything — the tfidf/
+    * unigram single-scan discipline) and V from the distinct-unigram
+    * count. Same determinism contract as unigram: per-(doc, bigram)
+    * contributions fold in array_sort order, mean rounds to 4. Docs
+    * under two words have no bigram and drop from the output. */
+  def bigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val bgs = docs(s, dir)
+      .select(col("doc_id"),
+        explode(TF.wordNgramsAllFromWords(TF.words(col("text")), 2)).as("bg"))
+    val tf2 = bgs.groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+    val c2 = tf2.groupBy("bg").agg(sum("tf").as("c2"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val vocab = docs(s, dir)
+      .select(explode(TF.words(col("text"))).as("w"))
+      .agg(countDistinct(col("w")).cast("double").as("__v"))
+    tf2.join(c2, "bg").join(c1, "w1").crossJoin(broadcast(vocab))
+      .withColumn("__contrib",
+        col("tf").cast("double") *
+          log((col("c2").cast("double") + 0.5) /
+            (col("c1").cast("double") + lit(0.5) * col("__v"))))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        array_sort(collect_list(struct(col("bg"), col("__contrib")))).as("__terms"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(
+          aggregate(col("__terms"), lit(0.0), (acc, t) => acc + t.getField("__contrib")) /
+            col("n_bigrams").cast("double"),
+          4).as("mean_logprob"))
+      .orderBy("doc_id")
+  }
+
+  val bigramLogprobSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+      |bg AS (
+      |  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bg
+      |  FROM w, UNNEST(range(1, greatest(len(w) - 1, 0) + 1)) AS t(i)),
+      |tf2 AS (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY doc_id, bg),
+      |c2 AS (SELECT bg, split_part(bg, ' ', 1) AS w1, sum(tf) AS c2
+      |       FROM tf2 GROUP BY bg),
+      |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+      |v AS (SELECT CAST(count(DISTINCT u.w) AS DOUBLE) AS v
+      |      FROM (SELECT unnest(w) AS w FROM w) u),
+      |terms AS (
+      |  SELECT tf2.doc_id, tf2.bg, tf2.tf,
+      |         CAST(tf2.tf AS DOUBLE) *
+      |           ln((CAST(c2.c2 AS DOUBLE) + 0.5)
+      |              / (CAST(c1.c1 AS DOUBLE) + 0.5 * v.v)) AS contrib
+      |  FROM tf2 JOIN c2 USING (bg) JOIN c1 ON c1.w1 = c2.w1 CROSS JOIN v),
+      |agg AS (
+      |  SELECT doc_id, sum(tf) AS n_bigrams,
+      |         list_aggregate(
+      |           list_transform(
+      |             list_sort(list({'w': bg, 'c': contrib})), x -> x.c),
+      |           'sum') AS lp
+      |  FROM terms GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |       round(lp / CAST(n_bigrams AS DOUBLE), 4) AS mean_logprob
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   /** Quality-aware dedup representative: exact dedup on the content
     * fingerprint, but the survivor is the HIGHEST-quality duplicate
     * (ties → min doc_id), not the min id — real pipelines keep the
@@ -2067,6 +2132,7 @@ object PipelineQueries {
     "q_dedup_quality" -> (dedupQuality _),
     "q_url_filter" -> (urlFilter _),
     "q_unigram_logprob" -> (unigramLogprob _),
+    "q_bigram_logprob" -> (bigramLogprob _),
     "q_bm25" -> (bm25 _),
     "q_line_dedup" -> (lineDedup _),
     "q_gopher_rep" -> (gopherRep _),
@@ -2124,6 +2190,7 @@ object PipelineQueries {
     "q_dedup_quality" -> dedupQualitySql,
     "q_url_filter" -> urlFilterSql,
     "q_unigram_logprob" -> unigramLogprobSql,
+    "q_bigram_logprob" -> bigramLogprobSql,
     "q_bm25" -> bm25Sql,
     "q_line_dedup" -> lineDedupSql,
     "q_gopher_rep" -> gopherRepSql,

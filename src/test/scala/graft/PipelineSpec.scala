@@ -778,6 +778,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(10L)._2 === 0)
   }
 
+  test("rendezvousShard: adding a shard moves ~1/(n+1) of keys, all TO the new shard") {
+    import spark.implicits._
+    val keys = (0 until 2000).map(_.toLong).toDF("k")
+    val before = keys.select(col("k"),
+        graft.functions.Sharding.rendezvousShard(col("k"), 8).as("s8"))
+    val after = keys.select(col("k"),
+        graft.functions.Sharding.rendezvousShard(col("k"), 9).as("s9"))
+    val moved = before.join(after, "k").filter(col("s8") =!= col("s9"))
+      .select("s9").collect().map(_.getInt(0))
+    // the HRW property: every moved key lands on the NEW shard (8)
+    assert(moved.forall(_ === 8), "a moved key landed on an old shard")
+    // expected 2000/9 ~ 222 moves; generous band for hash variance
+    assert(moved.length > 130 && moved.length < 330,
+      s"moved ${moved.length} of 2000, expected ~222")
+    // balance: each of 8 shards holds ~250 of 2000
+    val counts = before.groupBy("s8").count().collect().map(_.getLong(1))
+    assert(counts.length === 8 && counts.forall(c => c > 150 && c < 350),
+      s"imbalanced: ${counts.mkString(",")}")
+  }
+
   test("marginMineTopPairs: the true translation pair wins over a hub vector") {
     import spark.implicits._
     // b-side vector 101 is a HUB (moderately close to every a vector);
