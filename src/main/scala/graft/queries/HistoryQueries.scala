@@ -721,7 +721,57 @@ object HistoryQueries {
       |FROM orders
       |ORDER BY col_name""".stripMargin
 
+  // ---- feature freshness / staleness SLA -----------------------------
+
+  private val FreshAsOfUs = 1706745600000000L // 2024-02-01 00:00:00 UTC, micros
+  private val FreshSlaDays = 7L
+
+  /** Per-view freshness audit — the batch face of the reference's
+    * ingestion row-lag metrics (docs/reference/metrics-reference.md:104-115
+    * `feast_ingestion_feature_row_lag_seconds`) and of the serving-side
+    * OUTSIDE_MAX_AGE gate: each key's lag = asOf − its latest event, per
+    * event_type the key count, exact p50/p95/max lag seconds and how
+    * many keys breach a 7-day SLA. Two hash aggregations (key-grained
+    * then type-grained), lag kept in integer MICROS until the final
+    * projection so the percentile inputs are exact on both engines; the
+    * approx_percentile swap documented at [[madOutliers]] applies
+    * unchanged at 100 TB. */
+  def freshness(s: SparkSession, dir: String): DataFrame = {
+    val perKey = ev(s, dir)
+      .groupBy("event_type", "user_id")
+      .agg(max(col("ts")).as("__mx"))
+      .withColumn("__lag_us", lit(FreshAsOfUs) - unix_micros(col("__mx")))
+    perKey.groupBy("event_type")
+      .agg(count(lit(1)).as("n_keys"),
+        expr("percentile(__lag_us, 0.5)").as("__p50"),
+        expr("percentile(__lag_us, 0.95)").as("__p95"),
+        max(col("__lag_us")).as("__mxl"),
+        sum((col("__lag_us") > FreshSlaDays * 86400L * 1000000L).cast("long"))
+          .as("n_stale"))
+      .select(col("event_type"), col("n_keys"),
+        round(col("__p50") / 1000000.0, 6).as("p50_lag_s"),
+        round(col("__p95") / 1000000.0, 6).as("p95_lag_s"),
+        round(col("__mxl") / lit(1000000.0), 6).as("max_lag_s"),
+        col("n_stale"))
+      .orderBy("event_type")
+  }
+
+  val freshnessSql: String =
+    s"""WITH pk AS (
+       |  SELECT event_type, user_id,
+       |         $FreshAsOfUs - epoch_us(max(ts)) AS lag_us
+       |  FROM events GROUP BY event_type, user_id)
+       |SELECT event_type,
+       |       CAST(count(*) AS BIGINT) AS n_keys,
+       |       round(quantile_cont(lag_us, 0.5) / 1000000.0, 6) AS p50_lag_s,
+       |       round(quantile_cont(lag_us, 0.95) / 1000000.0, 6) AS p95_lag_s,
+       |       round(max(lag_us) / 1000000.0, 6) AS max_lag_s,
+       |       CAST(sum(CASE WHEN lag_us > ${FreshSlaDays * 86400L * 1000000L}
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_stale
+       |FROM pk GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_freshness" -> (freshness _),
     "q_scd2_history" -> (scd2History _),
     "q_sessionize" -> (sessionize _),
     "q_grid_snapshot" -> (gridSnapshot _),
@@ -741,6 +791,7 @@ object HistoryQueries {
     "q_ref_integrity" -> (refIntegrity _))
 
   val oracles: Map[String, String] = Map(
+    "q_freshness" -> freshnessSql,
     "q_scd2_history" -> scd2HistorySql,
     "q_sessionize" -> sessionizeSql,
     "q_grid_snapshot" -> gridSnapshotSql,
