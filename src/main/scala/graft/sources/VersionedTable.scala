@@ -73,6 +73,45 @@ object VersionedTable {
   def commit(spark: SparkSession, dir: String, df: DataFrame,
       append: Boolean = false, maxRetries: Int = 10): Int = {
     val (hfs, root) = fs(spark, dir)
+    val (dataDir, written) = stage(hfs, root, df)
+    claimLoop(spark, hfs, root, dir, written, append, maxRetries)
+  }
+
+  /** Write-audit-publish (the WAP lakehouse pattern): stage the batch
+    * to a commit-private data dir, audit WHAT WAS WRITTEN (the staged
+    * files read back — so serialization itself is inside the audit),
+    * and only claim a manifest version when every [[graft.functions.Validate.Rule]]
+    * holds. A failed audit deletes the staged files and leaves the
+    * table head untouched — readers never see the bad batch, which is
+    * the whole point: the audit runs between write and publish, not
+    * after readers already scanned it.
+    *
+    * @return (Some(version), report) on publish; (None, report) on a
+    *         failed audit. The report frame is the [[graft.functions.Validate.report]]
+    *         per-rule verdict either way (collected before the staged
+    *         dir is deleted, so it stays valid on the failure path).
+    */
+  def commitAudited(spark: SparkSession, dir: String, df: DataFrame,
+      rules: Seq[graft.functions.Validate.Rule],
+      append: Boolean = false, maxRetries: Int = 10): (Option[Int], DataFrame) = {
+    val (hfs, root) = fs(spark, dir)
+    val (dataDir, written) = stage(hfs, root, df)
+    val staged = spark.read.parquet(dataDir.toString)
+    val reportRows = graft.functions.Validate.report(staged, rules).collect()
+    val report = spark.createDataFrame(
+      spark.sparkContext.parallelize(reportRows.toSeq, 1),
+      graft.functions.Validate.reportSchema)
+    if (reportRows.forall(_.getAs[Boolean]("pass")))
+      (Some(claimLoop(spark, hfs, root, dir, written, append, maxRetries)), report)
+    else {
+      hfs.delete(dataDir, true)
+      (None, report)
+    }
+  }
+
+  /** Stage a batch into a commit-private uuid'd data dir (invisible to
+    * readers until a manifest references it). */
+  private def stage(hfs: FileSystem, root: Path, df: DataFrame): (Path, Seq[String]) = {
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = new Path(new Path(root, "data"), s"commit-$uuid")
     df.write.parquet(dataDir.toString)
@@ -80,7 +119,11 @@ object VersionedTable {
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(f => s"data/commit-$uuid/${f.getPath.getName}")
       .sorted
+    (dataDir, written)
+  }
 
+  private def claimLoop(spark: SparkSession, hfs: FileSystem, root: Path,
+      dir: String, written: Seq[String], append: Boolean, maxRetries: Int): Int = {
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1

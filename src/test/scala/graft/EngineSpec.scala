@@ -477,6 +477,38 @@ class EngineSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("VersionedTable.commitAudited: failed audit publishes nothing, passing audit publishes") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    import graft.functions.Validate
+    val dir = java.nio.file.Files.createTempDirectory("graft_wap").toString
+    val v1 = VersionedTable.commit(spark, dir, Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"))
+    assert(v1 === 1)
+    val rules = Seq(
+      Validate.Rule("k_nonnull", col("k").isNotNull),
+      Validate.Rule("v_positive", col("v") > 0))
+
+    // bad batch: one negative value -> audit fails, head stays at v1,
+    // staged files are gone
+    val (vBad, repBad) = VersionedTable.commitAudited(spark, dir,
+      Seq((3L, -5.0), (4L, 40.0)).toDF("k", "v"), rules, append = true)
+    assert(vBad.isEmpty)
+    val bad = repBad.collect().map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(bad("v_positive") === ((1L, false)) && bad("k_nonnull") === ((0L, true)))
+    assert(VersionedTable.versions(spark, dir) === Seq(1))
+    assert(VersionedTable.read(spark, dir).count() === 2)
+    val dataDirs = new java.io.File(s"$dir/data").listFiles().filter(_.isDirectory)
+    assert(dataDirs.length === 1, "failed audit must delete its staged dir")
+
+    // good batch publishes as the next version (torn slots unaffected)
+    val (vOk, repOk) = VersionedTable.commitAudited(spark, dir,
+      Seq((3L, 30.0)).toDF("k", "v"), rules, append = true)
+    assert(vOk === Some(2))
+    assert(repOk.collect().forall(_.getBoolean(3)))
+    assert(VersionedTable.read(spark, dir).count() === 3)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("Merge.cdcApply: LWW collapse, tombstones, re-inserts, unseen-key deletes, pass-through") {
     import spark.implicits._
     import graft.operators.Merge
