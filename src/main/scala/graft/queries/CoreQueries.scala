@@ -838,7 +838,45 @@ object CoreQueries {
       |FROM orders
       |ORDER BY version""".stripMargin
 
+  // ---- join-key skew report ------------------------------------------
+
+  private val SkewTopK = 5
+
+  /** Join-key skew diagnostic — the report that decides whether a join
+    * needs [[saltedJoin]]'s replication: lineitem's orderkey
+    * distribution reduced to per-key counts (map-side combinable), then
+    * the global top-5 heavy keys with their share of all rows and the
+    * skew ratio vs a perfectly uniform key. The global top-k is a sort
+    * of the KEY-grained aggregate (TakeOrdered over per-partition
+    * heads), never of the row-grained input. */
+  def skewReport(s: SparkSession, dir: String): DataFrame = {
+    val counts = pq(s, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_rows"))
+    val totals = counts.agg(
+      sum(col("n_rows")).as("__total"), count(lit(1)).as("__n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .orderBy(col("n_rows").desc, col("l_orderkey").asc)
+      .limit(SkewTopK)
+      .select(col("l_orderkey"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("__total"), 6).as("share"),
+        round(col("n_rows").cast("double") /
+          (col("__total").cast("double") / col("__n_keys")), 6).as("skew_vs_uniform"))
+      .orderBy(col("n_rows").desc, col("l_orderkey").asc)
+  }
+
+  val skewReportSql: String =
+    s"""WITH c AS (
+       |  SELECT l_orderkey, count(*) AS n_rows FROM lineitem GROUP BY l_orderkey),
+       |t AS (SELECT sum(n_rows) AS total, count(*) AS n_keys FROM c)
+       |SELECT l_orderkey, CAST(n_rows AS BIGINT) AS n_rows,
+       |       round(CAST(n_rows AS DOUBLE) / total, 6) AS share,
+       |       round(CAST(n_rows AS DOUBLE)
+       |             / (CAST(total AS DOUBLE) / n_keys), 6) AS skew_vs_uniform
+       |FROM c CROSS JOIN t
+       |ORDER BY n_rows DESC, l_orderkey ASC LIMIT $SkewTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_report" -> (skewReport _),
     "q_time_travel" -> (timeTravel _),
     "q_salted_join" -> (saltedJoin _),
     "q_rollup" -> (rollupAgg _),
@@ -867,6 +905,7 @@ object CoreQueries {
     "q_window_topk" -> (windowTopK _))
 
   val oracles: Map[String, String] = Map(
+    "q_skew_report" -> skewReportSql,
     "q_time_travel" -> timeTravelSql,
     "q_salted_join" -> saltedJoinSql,
     "q_rollup" -> rollupAggSql,

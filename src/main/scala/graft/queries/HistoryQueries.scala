@@ -770,7 +770,36 @@ object HistoryQueries {
        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_stale
        |FROM pk GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- purged temporal split -----------------------------------------
+
+  /** Time-based train/test split with an EMBARGO gap (the purged split
+    * of financial ML, López de Prado 2018 §7: rows inside the gap are
+    * dropped from BOTH sides, so label horizons that straddle the
+    * cutoff can't leak test information into training — the temporal
+    * complement of [[groupSplit]]'s per-user anti-leakage split): train
+    * before Jan 20, a 2-day embargo, test from Jan 22. A pure narrow
+    * projection — no shuffle, no state, reproducible at any scale. */
+  def purgedSplit(s: SparkSession, dir: String): DataFrame = {
+    val c1 = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    val c2 = java.sql.Timestamp.valueOf("2024-01-22 00:00:00")
+    ev(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        when(col("ts") < lit(c1), "train")
+          .when(col("ts") < lit(c2), "embargo")
+          .otherwise("test").as("split"))
+      .orderBy("event_id")
+  }
+
+  val purgedSplitSql: String =
+    """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+      |       CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 'train'
+      |            WHEN ts < TIMESTAMP '2024-01-22' THEN 'embargo'
+      |            ELSE 'test' END AS split
+      |FROM events ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_purged_split" -> (purgedSplit _),
     "q_freshness" -> (freshness _),
     "q_scd2_history" -> (scd2History _),
     "q_sessionize" -> (sessionize _),
@@ -792,6 +821,7 @@ object HistoryQueries {
 
   val oracles: Map[String, String] = Map(
     "q_freshness" -> freshnessSql,
+    "q_purged_split" -> purgedSplitSql,
     "q_scd2_history" -> scd2HistorySql,
     "q_sessionize" -> sessionizeSql,
     "q_grid_snapshot" -> gridSnapshotSql,
