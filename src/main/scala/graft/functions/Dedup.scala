@@ -494,10 +494,19 @@ object Dedup {
     val total = df.agg(sum(w).as("__W"))
     val prefixed = Packing.withStartOffset(df, idCol, weightCol)
       .crossJoin(broadcast(total))
-    // ceil(a / W) in exact long arithmetic: (a + W - 1 - (a + W - 1) mod W) / W
+    // ceil(a / W) in exact long arithmetic: (a + W - 1 - (a + W - 1) mod W) / W.
+    // The quotient extraction divides an exact multiple of W in double
+    // precision, which is only exact while the numerator fits a double
+    // mantissa — guard loudly instead of sampling silently wrong
+    // (raise_error compiles to one branch per row; the decimal(38)
+    // swap documented above lifts the ceiling without changing logic).
     def cdiv(a: Column): Column = {
       val num = a + col("__W") - 1L
-      ((num - pmod(num, col("__W"))) / col("__W")).cast("long")
+      val guarded = when(num > lit(1L << 53),
+        raise_error(concat(lit("systematicWeightedSample: start*n exceeds 2^53 ("),
+          num.cast("string"), lit(") — switch to decimal arithmetic")))
+        .cast("long")).otherwise(num)
+      ((guarded - pmod(guarded, col("__W"))) / col("__W")).cast("long")
     }
     prefixed
       .withColumn("n_picks",

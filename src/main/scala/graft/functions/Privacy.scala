@@ -50,12 +50,21 @@ object Privacy {
       sensitiveCol: String,
       minK: Int,
       minL: Int = 2): DataFrame = {
+    // Null-SAFE equi join on the QI tuple: the audit's groupBy treats a
+    // null QI value as its own class, so the join-back must match it —
+    // a null-unsafe join would silently DROP null-QI records from the
+    // release instead of masking them. No broadcast hint: the verdict
+    // frame's cardinality is the distinct-QI count, which approaches
+    // |df| in exactly the many-singleton-classes case the audit exists
+    // to catch — AQE broadcasts it when it is actually small.
     val verdicts = kAnonymityAudit(df, qiCols, sensitiveCol, minK, minL)
-      .select(qiCols.map(col) :+ col("at_risk"): _*)
-    val joined = df.join(broadcast(verdicts), qiCols)
+      .select(qiCols.map(c => col(c).as(s"__v_$c")) :+ col("at_risk"): _*)
+    val cond = qiCols.map(c => col(c) <=> col(s"__v_$c")).reduce(_ && _)
+    val joined = df.join(verdicts, cond)
     val masked = qiCols.foldLeft(joined) { (acc, c) =>
       acc.withColumn(c, when(col("at_risk") === 1, lit(null)).otherwise(col(c)))
     }
-    masked.withColumn("suppressed", col("at_risk")).drop("at_risk")
+    masked.withColumn("suppressed", col("at_risk"))
+      .drop("at_risk").drop(qiCols.map(c => s"__v_$c"): _*)
   }
 }

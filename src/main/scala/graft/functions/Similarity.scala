@@ -479,7 +479,7 @@ object Similarity {
     *
     * Determinism contract (oracle replay): ranking inside top-k is on
     * raw left-associative-fold cosines (the q_ann_brute_force
-    * contract); each avgTopK is round(Σ topK cos, 9)/k so the
+    * contract); each avgTopK is round(Σ topK cos, 9) over the ACTUAL neighbor count so the
     * aggregation-order-dependent sum feeds the ratio bit-identically;
     * the margin is rounded to 6 and the final best-per-a ranking orders
     * by (rounded margin desc, b id asc).
@@ -496,10 +496,12 @@ object Similarity {
     require(candK >= k, s"candK ($candK) must be >= k ($k)")
     val candAB = bruteForceTopK(a, aIdCol, aVecCol, b, bIdCol, bVecCol, candK)
     val topBA = bruteForceTopK(b, bIdCol, bVecCol, a, aIdCol, aVecCol, k)
+    // divide by the ACTUAL neighbor count, not k: a side smaller than k
+    // would otherwise deflate the denominator and inflate every margin
     def avgTop(cand: DataFrame): DataFrame = cand
       .filter(col("rank") <= k)
       .groupBy("query_id")
-      .agg((round(sum(col("cos")), 9) / k).as("avg_top"))
+      .agg((round(sum(col("cos")), 9) / count(lit(1))).as("avg_top"))
     val avgA = avgTop(candAB).select(col("query_id").as("src_id"), col("avg_top").as("__avg_a"))
     val avgB = avgTop(topBA).select(col("query_id").as("dst_id"), col("avg_top").as("__avg_b"))
     val margins = candAB

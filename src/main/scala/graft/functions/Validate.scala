@@ -20,21 +20,6 @@ object Validate {
 
   final case class Rule(name: String, holds: Column)
 
-  /** Schema of [[report]]'s output — for callers that materialize the
-    * (rule-count-sized) report and rebuild it as a local frame, e.g.
-    * the write-audit-publish path that must keep the verdict alive
-    * after deleting the staged files it was computed from. */
-  val reportSchema: org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("rule",
-        org.apache.spark.sql.types.StringType, nullable = true),
-      org.apache.spark.sql.types.StructField("n_rows",
-        org.apache.spark.sql.types.LongType, nullable = true),
-      org.apache.spark.sql.types.StructField("n_violations",
-        org.apache.spark.sql.types.LongType, nullable = true),
-      org.apache.spark.sql.types.StructField("pass",
-        org.apache.spark.sql.types.BooleanType, nullable = true)))
-
   /** @return one row per rule: (rule, n_rows, n_violations, pass) in
     *         declaration order. */
   def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {

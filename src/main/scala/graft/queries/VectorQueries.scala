@@ -336,7 +336,7 @@ object VectorQueries {
     * mining / cross-modality pairing — Artetxe & Schwenk 2019): each
     * even vector's best odd-side candidate by hubness-normalized
     * margin, kept when margin >= 1.02. The oracle replays the same
-    * candidate pool (top-8 by raw cosine), the same round(Σ,9)/4
+    * candidate pool (top-8 by raw cosine), the same round(Σ,9)/count
     * neighborhood averages, and the same (margin desc, dst asc)
     * best-pair ranking ([[graft.functions.Similarity.marginMineTopPairs]]). */
   def marginMining(s: SparkSession, dir: String): DataFrame = {
@@ -368,9 +368,9 @@ object VectorQueries {
        |         ROW_NUMBER() OVER (PARTITION BY dst_id
        |                            ORDER BY cos DESC, src_id ASC) AS rn
        |  FROM sab),
-       |avga AS (SELECT src_id, round(sum(cos), 9) / $MarginK AS avg_a
+       |avga AS (SELECT src_id, round(sum(cos), 9) / count(*) AS avg_a
        |         FROM rab WHERE rn <= $MarginK GROUP BY src_id),
-       |avgb AS (SELECT dst_id, round(sum(cos), 9) / $MarginK AS avg_b
+       |avgb AS (SELECT dst_id, round(sum(cos), 9) / count(*) AS avg_b
        |         FROM rba WHERE rn <= $MarginK GROUP BY dst_id),
        |m AS (
        |  SELECT r.src_id, r.dst_id, r.cos,
@@ -398,21 +398,25 @@ object VectorQueries {
     * fraction under 0.25 flags the row as probably mislabeled — the
     * triage list a labeling pipeline re-audits. Neighbor sets ride the
     * skew-safe two-level top-k; the label joins touch k-bounded rows.
-    * Fraction is count/8.0 — exact dyadic rational, no FP contract
+    * Fraction is count over the actual neighbor count — exact rational, no FP contract
     * needed. */
   def labelNoise(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     val knn = graft.functions.Similarity.bruteForceTopK(
       e, "vec_id", "embedding", e, "vec_id", "embedding", NoiseK)
+    // fraction over the ACTUAL neighbor count (a corpus smaller than
+    // k+1 yields fewer neighbors; dividing by the constant k would
+    // deflate same_frac and flag honest rows)
     knn
       .join(e.select(col("vec_id").as("neighbor_id"), col("label").as("n_label")),
         "neighbor_id")
       .join(e.select(col("vec_id").as("query_id"), col("label")), "query_id")
       .groupBy(col("query_id").as("vec_id"), col("label"))
-      .agg(sum(when(col("n_label") === col("label"), 1L).otherwise(0L)).as("n_same"))
+      .agg(sum(when(col("n_label") === col("label"), 1L).otherwise(0L)).as("n_same"),
+        count(lit(1)).as("n_nb"))
       .select(col("vec_id"), col("label"), col("n_same"),
-        (col("n_same").cast("double") / NoiseK).as("same_frac"),
-        (col("n_same").cast("double") / NoiseK < NoiseThresh).cast("int").as("suspect"))
+        (col("n_same").cast("double") / col("n_nb")).as("same_frac"),
+        (col("n_same").cast("double") / col("n_nb") < NoiseThresh).cast("int").as("suspect"))
       .orderBy("vec_id")
   }
 
@@ -431,11 +435,12 @@ object VectorQueries {
        |  FROM scored),
        |agg AS (
        |  SELECT query_id AS vec_id, label,
-       |         sum(CASE WHEN n_label = label THEN 1 ELSE 0 END) AS n_same
+       |         sum(CASE WHEN n_label = label THEN 1 ELSE 0 END) AS n_same,
+       |         count(*) AS n_nb
        |  FROM ranked WHERE rn <= $NoiseK GROUP BY query_id, label)
        |SELECT vec_id, label, CAST(n_same AS BIGINT) AS n_same,
-       |       CAST(n_same AS DOUBLE) / $NoiseK AS same_frac,
-       |       CASE WHEN CAST(n_same AS DOUBLE) / $NoiseK < $NoiseThresh
+       |       CAST(n_same AS DOUBLE) / n_nb AS same_frac,
+       |       CASE WHEN CAST(n_same AS DOUBLE) / n_nb < $NoiseThresh
        |            THEN 1 ELSE 0 END AS suspect
        |FROM agg ORDER BY vec_id""".stripMargin
   }

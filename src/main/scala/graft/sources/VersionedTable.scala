@@ -97,10 +97,13 @@ object VersionedTable {
     val (hfs, root) = fs(spark, dir)
     val (dataDir, written) = stage(hfs, root, df)
     val staged = spark.read.parquet(dataDir.toString)
-    val reportRows = graft.functions.Validate.report(staged, rules).collect()
+    val reportDf = graft.functions.Validate.report(staged, rules)
+    // collect before any deletion; rebuild as a local frame with the
+    // report's OWN schema so the returned verdict stays valid after the
+    // staged dir is gone
+    val reportRows = reportDf.collect()
     val report = spark.createDataFrame(
-      spark.sparkContext.parallelize(reportRows.toSeq, 1),
-      graft.functions.Validate.reportSchema)
+      spark.sparkContext.parallelize(reportRows.toSeq, 1), reportDf.schema)
     if (reportRows.forall(_.getAs[Boolean]("pass")))
       (Some(claimLoop(spark, hfs, root, dir, written, append, maxRetries)), report)
     else {

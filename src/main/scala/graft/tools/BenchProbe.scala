@@ -48,11 +48,16 @@ object BenchProbe {
     }
 
     names.foreach { n =>
-      jobs.clear()
+      // the listener bus is async: give straggler events from the
+      // previous query time to drain before clearing (best-effort — a
+      // public waitUntilEmpty doesn't exist; 200 ms covers the bus at
+      // local-mode event rates, and this is a diagnostic tool, not a gate)
+      Thread.sleep(200); jobs.clear()
       val t0 = System.nanoTime()
       try force(graft.SparkEntry.queries(n)(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[probe] $n: ${e.getMessage}") }
       val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200) // let the final JobEnd land before reading
       import scala.jdk.CollectionConverters._
       val spans = jobs.asScala.values.toSeq.filter(_._2 > 0)
         .map { case (s, e) => (e - s) / 1e3 }.sorted.reverse

@@ -745,6 +745,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(sup(1L) === ((Some("A"), 0)))
     assert(sup(4L) === ((None, 1)))
     assert(sup(6L) === ((None, 1)))
+
+    // null QI values form their own equivalence class and must SURVIVE
+    // suppression (the null-safe join-back), not silently vanish
+    val withNull = df.union(Seq((9L, null.asInstanceOf[String], 90.0),
+      (10L, null.asInstanceOf[String], 91.0)).toDF("id", "qi", "s"))
+    val supN = graft.functions.Privacy.suppress(withNull, Seq("qi"), "s", minK = 3, minL = 2)
+    assert(supN.count() === withNull.count(), "null-QI rows must not be dropped")
+    val nullRows = supN.filter(col("id") >= 9L).collect()
+    assert(nullRows.forall(_.getAs[Int]("suppressed") === 1)) // k=2 < 3 -> at risk
   }
 
   test("systematicWeightedSample: exactly n draws, heavy rows draw with multiplicity, zero weights never") {
