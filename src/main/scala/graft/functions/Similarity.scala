@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double precision (same fold order as
-    * DuckDB's list_dot_product, so oracles match bit-for-bit). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product in double precision (same fold order
+    * as DuckDB's list_dot_product, so oracles match bit-for-bit). Backed
+    * by the fully-codegen'd [[DotProduct]] native expression — identical
+    * arithmetic to the aggregate/zip_with HOF it replaced, minus the
+    * interpreted-lambda boxing on the ANN hot loop. */
+  def dot(a: Column, b: Column): Column = DotProductExpr.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftshim.ColumnShim
 
-import graft.functions.{BoundedMinK, MinHashBandHashes, MinHashSignature, SearchSorted, SimHash64}
+import graft.functions.{BoundedMinK, DotProduct, MinHashBandHashes, MinHashSignature, SearchSorted, SimHash64}
 
 /** SQL surface for the engine's native expressions, exposed two ways:
   *
@@ -19,6 +19,7 @@ import graft.functions.{BoundedMinK, MinHashBandHashes, MinHashSignature, Search
   *   minhash_signature(elemHashes, k)            -> array<bigint>
   *   minhash_band_hashes(elemHashes, k, bands)   -> array<bigint>
   *   simhash64(elemHashes)                       -> bigint
+  *   vec_dot(a, b)                               -> double
   *   bounded_min_k(value, k)  [aggregate]        -> array<value type>
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -56,6 +57,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash64(elemHashes)")
         SimHash64(args(0))
+      }),
+    ("vec_dot",
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_dot(a, b)")
+        DotProduct(args(0), args(1))
       }),
     ("search_sorted",
       new ExpressionInfo(classOf[SearchSorted].getName, "search_sorted"),

@@ -787,6 +787,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(10L)._2 === 0)
   }
 
+  test("DotProduct native expression: HOF-identical values, null on mismatch/null element") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),   // 32.0
+      (2L, Array(0.5f, -1.5f), Array(2.0f, 2.0f))                // -2.0
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"), graft.functions.DotProductExpr.dot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // identical fold to the HOF formulation it replaced
+    val hof = df.select(col("id"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === hof)
+    // mismatched lengths -> null (the zip_with null-pad behavior)
+    val mm = Seq((1L, Array(1.0f, 2.0f), Array(1.0f))).toDF("id", "a", "b")
+      .select(graft.functions.DotProductExpr.dot(col("a"), col("b"))).collect()(0)
+    assert(mm.isNullAt(0))
+    // SQL surface
+    graft.spark.GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))").collect()(0)
+    assert(viaSql.getDouble(0) === 11.0)
+  }
+
   test("rendezvousShard: adding a shard moves ~1/(n+1) of keys, all TO the new shard") {
     import spark.implicits._
     val keys = (0 until 2000).map(_.toLong).toDF("k")
