@@ -5,6 +5,7 @@ import java.time.Duration
 
 import org.apache.spark.sql.SparkSession
 import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model._
@@ -455,5 +456,59 @@ class PropertySpec extends AnyFunSuite {
       got == expected
     }
     runCheck(prop, minTests = 30)
+  }
+
+  test("systematicWeightedSample: exactly n draws, PPS bounds, zero-weight exclusion (ScalaCheck)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val gen = for {
+      nRows <- Gen.choose(1, 60)
+      weights <- Gen.listOfN(nRows, Gen.choose(0L, 40L))
+      n <- Gen.choose(1, 30)
+      parts <- Gen.choose(1, 6)
+    } yield (weights, n, parts)
+    val prop = Prop.forAllNoShrink(gen) { case (weights, n, parts) =>
+      val total = weights.sum
+      total > 0 ==> {
+        val df = weights.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+          .toDF("id", "w").repartition(parts)
+        val got = graft.functions.Dedup.systematicWeightedSample(df, "id", "w", n)
+          .select("id", "w", "n_picks")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val sumOk = got.map(_._3).sum == n
+        // PPS bound: picks within 1 of the exact expectation n*w/W
+        val boundOk = got.forall { case (_, w, p) =>
+          val exp = n.toDouble * w / total
+          p >= math.floor(exp) && p <= math.ceil(exp) + 1e-9
+        }
+        val zeroOk = got.forall(_._2 > 0)
+        sumOk && boundOk && zeroOk
+      }
+    }
+    runCheck(prop, minTests = 30)
+  }
+
+  test("pageRank: mass conserved and strictly positive on arbitrary graphs (ScalaCheck)") {
+    import spark.implicits._
+    val gen = for {
+      nNodes <- Gen.choose(2, 8)
+      nEdges <- Gen.choose(1, 20)
+      edges <- Gen.listOfN(nEdges,
+        Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L)))
+      iters <- Gen.choose(1, 3)
+    } yield (nNodes, edges, iters)
+    val prop = Prop.forAllNoShrink(gen) { case (nNodes, edges0, iters) =>
+      val edges = edges0.map { case (a, b) => (a % nNodes, b % nNodes) }
+        .filter { case (a, b) => a != b }.distinct
+      edges.nonEmpty ==> {
+        val ranks = graft.functions.Graph.pageRank(
+            edges.toDF("src", "dst"), "src", "dst", iters)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val massOk = math.abs(ranks.values.sum - 1.0) < 1e-6
+        val positiveOk = ranks.values.forall(_ > 0)
+        massOk && positiveOk
+      }
+    }
+    runCheck(prop, minTests = 15)
   }
 }
