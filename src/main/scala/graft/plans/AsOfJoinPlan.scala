@@ -1,0 +1,258 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** A NATIVE as-of join operator: custom logical node, planner strategy,
+  * and physical sort-merge execution — the engine's signature operation
+  * (backward point-in-time lookup with TTL) expressed as first-class
+  * plan machinery instead of a candidate join + aggregation.
+  *
+  * Why a custom SparkPlan when the declarative formulation
+  * ([[graft.operators.PointInTimeJoin]]) already exists and is
+  * oracle-verified? SHAPE. The declarative plan is
+  *
+  *   entity ⋈ (range predicate) feature  →  max_by per entity row
+  *
+  * whose intermediate cardinality is Σ candidates: an entity row with a
+  * 400-day TTL over daily features materializes ~400 candidate rows
+  * that the aggregation immediately collapses. The sort-merge physical
+  * operator never materializes candidates: both sides arrive
+  * hash-clustered on the join keys and sorted by (keys, ts[, order
+  * cols]) — Spark's EnsureRequirements inserts exactly the exchanges
+  * and sorts the declared requirements demand, so AQE, codegen'd
+  * children, and reuse all still apply — and a single forward pointer
+  * per key tracks "latest feature row ≤ entity ts" in O(left + right)
+  * time and O(1) state per partition. At 100 TB this is the difference
+  * between shuffling candidate multiples of the fact table and
+  * shuffling each side exactly once.
+  *
+  * Semantics (matches PointInTimeJoin's winner rule): feature row with
+  * the LARGEST (ts, orderCols...) among rows with ts <= entityTs and —
+  * when ttl > 0 — ts >= entityTs − ttl, both edges inclusive. Rows
+  * arrive ascending, so the last valid row IS the max; ties beyond the
+  * order columns require unique order keys (the same uniqueness every
+  * oracle query's tie-break columns provide). Null join keys match null
+  * keys (the <=> semantics of the declarative path — natural orderings
+  * group nulls together); null timestamps never match.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTs: Expression,
+    rightTs: Expression,
+    rightOrder: Seq[Expression],
+    rightProject: Seq[Attribute],
+    ttlMicros: Long) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ rightProject.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinNode]] → [[AsOfJoinExec]]. Injected per-session via
+  * `spark.experimental.extraStrategies` (public API, works on live
+  * sessions) — see [[AsOfJoin.ensureStrategy]]. */
+object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lts, rts, ro, rp, ttl) =>
+      AsOfJoinExec(lk, rk, lts, rts, ro, rp, ttl, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTs: Expression,
+    rightTs: Expression,
+    rightOrder: Seq[Expression],
+    rightProject: Seq[Attribute],
+    ttlMicros: Long,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ rightProject.map(_.withNullability(true))
+
+  // both sides hash-clustered on the join keys: EnsureRequirements
+  // co-partitions them (the SortMergeJoinExec contract)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // left sorted by (keys, ts); right by (keys, ts, order cols) so the
+  // LAST valid row per entity row is the winner
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
+    (rightKeys ++ (rightTs +: rightOrder)).map(SortOrder(_, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val nRight = rightProject.size
+    val leftOut = left.output
+    val rightOut = right.output
+    val lk = leftKeys
+    val rk = rightKeys
+    val lt = leftTs
+    val rt = rightTs
+    val rp = rightProject
+    val ttl = ttlMicros
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lk, leftOut)
+      val rKeyProj = UnsafeProjection.create(rk, rightOut)
+      val lTsProj = UnsafeProjection.create(Seq(lt), leftOut)
+      val rTsProj = UnsafeProjection.create(Seq(rt), rightOut)
+      val rOutProj = UnsafeProjection.create(rp, rightOut)
+      // bind the output projection against NULLABLE right attrs: the
+      // right half of the joined row is the all-null miss row for
+      // unmatched entities, and a non-nullable binding would skip the
+      // null check and read garbage
+      val outProj = UnsafeProjection.create(output,
+        leftOut ++ rp.map(_.withNullability(true)))
+      val keyOrd: Ordering[InternalRow] =
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .createNaturalAscendingOrdering(keyTypes)
+      val nullRight = new GenericInternalRow(nRight)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        private var rHasCur = false
+        private var rKey: InternalRow = _      // copied key of curR
+        private var rRow: InternalRow = _      // the CURRENT right row (not yet consumed)
+        private var bestRow: InternalRow = _   // copied projected best candidate
+        private var bestTs = 0L
+        private var bestKey: InternalRow = _   // copied key the best belongs to
+
+        private var bestTsCandidate = 0L
+
+        // loop (not recurse): a long run of null-ts feature rows must
+        // not grow the stack
+        private def advanceRight(): Unit = {
+          while (rIter.hasNext) {
+            val r = rIter.next()
+            val ts = rTsProj(r)
+            if (!ts.isNullAt(0)) { // null feature ts never matches
+              rKey = rKeyProj(r).copy()
+              // projecting BEFORE buffering keeps copies narrow
+              rRow = rOutProj(r).copy()
+              bestTsCandidate = ts.getLong(0)
+              rHasCur = true
+              return
+            }
+          }
+          rHasCur = false
+        }
+
+        advanceRight()
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyProj(l)
+          val lTsRow = lTsProj(l)
+          if (lTsRow.isNullAt(0)) {
+            // null entity ts: no feature can be ≤ it
+            return outProj(joined(l, nullRight))
+          }
+          val lTsVal = lTsRow.getLong(0)
+          // drop right rows (and any stale best) for keys before ours
+          while (rHasCur && keyOrd.compare(rKey, lKey) < 0) advanceRight()
+          // consume right rows of OUR key with ts <= entity ts: each one
+          // seen in ascending (ts, order) — the last is the running max
+          while (rHasCur && keyOrd.compare(rKey, lKey) == 0 &&
+              bestTsCandidate <= lTsVal) {
+            bestRow = rRow
+            bestTs = bestTsCandidate
+            bestKey = rKey
+            advanceRight()
+          }
+          val valid = bestRow != null && bestKey != null &&
+            keyOrd.compare(bestKey, lKey) == 0 &&
+            bestTs <= lTsVal &&
+            (ttl == 0L || bestTs >= lTsVal - ttl)
+          outProj(joined(l, if (valid) bestRow else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** User-facing API over the custom plan machinery. */
+object AsOfJoin {
+  import org.apache.spark.sql.functions.col
+  import org.apache.spark.sql.graftshim.ColumnShim
+
+  /** Idempotently install [[AsOfJoinStrategy]] into the session's
+    * planner (experimental.extraStrategies is the public live-session
+    * injection point; `GraftExtensions` covers build-time sessions). */
+  def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+  }
+
+  /** Backward as-of join of `entity` against `feature`: for each entity
+    * row, the feature row with the largest (featureTs, orderCols) at or
+    * before `entityTsCol` and — when ttl is nonzero — within `ttl` of
+    * it. `orderCols` must make (keys, ts, orderCols) unique on the
+    * feature side (the created-ts/tie-break columns every oracle query
+    * already carries). Emits all entity columns plus `featureCols`. */
+  def join(
+      entity: DataFrame,
+      feature: DataFrame,
+      keys: Seq[String],
+      entityTsCol: String,
+      featureTsCol: String,
+      ttl: java.time.Duration,
+      orderCols: Seq[String],
+      featureCols: Seq[String]): DataFrame = {
+    val spark = entity.sparkSession
+    ensureStrategy(spark)
+    // fresh expression ids on the right side so self-joins (entity df
+    // derived from the feature table) resolve unambiguously
+    val rightNeeded = (keys ++ (featureTsCol +: orderCols) ++ featureCols).distinct
+    val rightAliased = feature.select(rightNeeded.map(c => col(c).as(s"__r_$c")): _*)
+    val lplan = entity.queryExecution.analyzed
+    val rplan = rightAliased.queryExecution.analyzed
+    def lAttr(n: String) = lplan.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"entity column $n not found"))
+    def rAttr(n: String) = rplan.output.find(_.name == s"__r_$n").getOrElse(
+      throw new IllegalArgumentException(s"feature column $n not found"))
+    require(ttl != null && !ttl.isNegative, "ttl must be >= 0 (0 = unbounded)")
+    require(lAttr(entityTsCol).dataType == org.apache.spark.sql.types.TimestampType &&
+      rAttr(featureTsCol).dataType == org.apache.spark.sql.types.TimestampType,
+      "as-of timestamps must be TimestampType (micros)")
+    val node = AsOfJoinNode(
+      lplan, rplan,
+      leftKeys = keys.map(lAttr),
+      rightKeys = keys.map(rAttr),
+      leftTs = lAttr(entityTsCol),
+      rightTs = rAttr(featureTsCol),
+      rightOrder = orderCols.map(rAttr),
+      rightProject = featureCols.map(rAttr),
+      ttlMicros = ttl.getSeconds * 1000000L + ttl.getNano / 1000L)
+    val out = ColumnShim.dataFrame(spark, node)
+    // drop the alias prefix on the emitted feature columns
+    out.select(entity.columns.map(col).toIndexedSeq ++
+      featureCols.map(c => col(s"__r_$c").as(c)): _*)
+  }
+}

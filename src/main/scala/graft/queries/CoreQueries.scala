@@ -71,6 +71,32 @@ object CoreQueries {
       |FROM ent e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** The SAME single-view as-of workload as [[pitJoinSingle]], executed
+    * through the custom sort-merge plan machinery
+    * ([[graft.plans.AsOfJoin]]: AsOfJoinNode → AsOfJoinStrategy →
+    * AsOfJoinExec) instead of the candidate-join + max_by declarative
+    * formulation — each side shuffles exactly once and no candidate
+    * rows materialize. Shares [[pitJoinSingleSql]] as its oracle, so a
+    * hash match proves the two physical paths compute identical
+    * results. */
+  def pitJoinSortMerge(s: SparkSession, dir: String): DataFrame = {
+    val entity = pq(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      (col("o_orderdate") + expr("INTERVAL 365 DAY")).as("event_timestamp"))
+    val feat = pq(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"))
+    graft.plans.AsOfJoin.join(entity, feat, Seq("o_orderkey"),
+        "event_timestamp", "l_shipdate", Duration.ofDays(400),
+        orderCols = Seq("l_linenumber"),
+        featureCols = Seq("l_quantity", "l_extendedprice", "l_returnflag"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_millis(col("event_timestamp")).as("event_ts_ms"),
+        col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
+      .orderBy("o_orderkey")
+  }
+
   /** O2: multi-view PIT join with full feature names. Entity df = events
     * rows; view 1 = events keyed by user_id (ttl 2d, event_id tiebreak),
     * view 2 = orders keyed by custkey (ttl 0 = unbounded). */
@@ -877,6 +903,7 @@ object CoreQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_report" -> (skewReport _),
+    "q_pit_sortmerge" -> (pitJoinSortMerge _),
     "q_time_travel" -> (timeTravel _),
     "q_salted_join" -> (saltedJoin _),
     "q_rollup" -> (rollupAgg _),
@@ -906,6 +933,7 @@ object CoreQueries {
 
   val oracles: Map[String, String] = Map(
     "q_skew_report" -> skewReportSql,
+    "q_pit_sortmerge" -> pitJoinSingleSql,
     "q_time_travel" -> timeTravelSql,
     "q_salted_join" -> saltedJoinSql,
     "q_rollup" -> rollupAggSql,

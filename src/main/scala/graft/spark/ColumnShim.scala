@@ -14,6 +14,14 @@ object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a (resolved) logical plan as a user-facing DataFrame —
+    * Dataset.ofRows is private[sql]; needed to hand custom LogicalPlan
+    * nodes (graft.plans) back to user code. */
+  def dataFrame(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a SQL function into a LIVE session's function registry
     * (sessionState is private[sql]; SparkSessionExtensions only applies
     * at session build time). */

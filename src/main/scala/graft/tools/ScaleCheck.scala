@@ -108,7 +108,10 @@ object ScaleCheck {
       // q_margin_mining (brute-force candidates are quadratic by
       // design at bench sf; the corpus-scale path swaps in the IVF legs
       // whose scaling q_ann_ivf pins)
-      "q_k_anonymity", "q_k_suppress")
+      "q_k_anonymity", "q_k_suppress",
+      // the custom sort-merge as-of SparkPlan vs its declarative twin
+      // (q_pit_join_single above): same oracle, different physical shape
+      "q_pit_sortmerge")
     queries.foreach(q => time(q, baseDir)) // warm: codegen + analyzer JIT
     val lines = queries.map { q =>
       val t1 = time(q, baseDir)

@@ -458,6 +458,51 @@ class PropertySpec extends AnyFunSuite {
     runCheck(prop, minTests = 30)
   }
 
+  test("sort-merge AsOfJoin (custom SparkPlan) agrees with the nested-loop oracle (ScalaCheck)") {
+    import spark.implicits._
+    val genCase = for {
+      nKeys <- Gen.choose(1, 6)
+      nRows <- Gen.choose(0, 150)
+      nEnt <- Gen.choose(1, 40)
+      ttlH <- Gen.oneOf(0, 1, 7, 48)
+      lParts <- Gen.choose(1, 5)
+      rParts <- Gen.choose(1, 5)
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (nKeys, nRows, nEnt, ttlH, lParts, rParts, seed)
+
+    val prop = Prop.forAllNoShrink(genCase) {
+      case (nKeys, nRows, nEnt, ttlH, lParts, rParts, seed) =>
+        val rnd = new scala.util.Random(seed)
+        def t(): Timestamp = new Timestamp(base + rnd.nextInt(100) * 3600_000L)
+        // unique fid makes (k, et, ct, fid) a total order on the right
+        val rows = (0 until nRows).map(i =>
+          (rnd.nextInt(nKeys).toLong, t(), t(), i.toLong, rnd.nextInt(500).toDouble))
+        val ents = (0 until nEnt).map(i => (rnd.nextInt(nKeys).toLong, t(), i.toLong))
+        val ttl = Duration.ofHours(ttlH.toLong)
+
+        val featDf = rows.toDF("k", "et", "ct", "fid", "v").repartition(rParts)
+        val entityDf = ents.toDF("k", "event_timestamp", "eid").repartition(lParts)
+        val got = graft.plans.AsOfJoin.join(entityDf, featDf, Seq("k"),
+            "event_timestamp", "et", ttl, orderCols = Seq("ct", "fid"), featureCols = Seq("fid", "v"))
+          .select("eid", "fid").collect()
+          .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+
+        def oracle(key: Long, ts: Timestamp): Option[Long] = {
+          val lower = ts.getTime - ttl.toMillis
+          val c = rows.filter { case (k, et, _, _, _) =>
+            k == key && et.getTime <= ts.getTime && (ttl.isZero || et.getTime >= lower)
+          }
+          if (c.isEmpty) None
+          else Some(c.maxBy { case (_, et, ct, fid, _) => (et.getTime, ct.getTime, fid) }._4)
+        }
+
+        got.size == ents.length && ents.forall { case (k, ts, eid) =>
+          got(eid) == oracle(k, ts)
+        }
+    }
+    runCheck(prop, minTests = 12)
+  }
+
   test("systematicWeightedSample: exactly n draws, PPS bounds, zero-weight exclusion (ScalaCheck)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
