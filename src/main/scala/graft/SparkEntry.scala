@@ -11,11 +11,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ OnlineQueries.queries ++ PipelineQueries.queries ++
       StreamQueries.queries ++ VectorQueries.queries ++ CorpusQueries.queries ++
-      HistoryQueries.queries ++ GraphQueries.queries
+      HistoryQueries.queries ++ GraphQueries.queries ++ TabularQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ OnlineQueries.oracles ++ PipelineQueries.oracles ++
       StreamQueries.oracles ++ VectorQueries.oracles ++ CorpusQueries.oracles ++
-      HistoryQueries.oracles ++ GraphQueries.oracles
+      HistoryQueries.oracles ++ GraphQueries.oracles ++ TabularQueries.oracles
 }

@@ -40,4 +40,44 @@ object Validate {
          |AS (rule, n_rows, n_violations)""".stripMargin))
       .withColumn("pass", col("n_violations") === 0L)
   }
+
+  /** Cohen's kappa (Cohen 1960) between two binary annotators — the
+    * inter-annotator agreement gate of a labeling pipeline: raw
+    * agreement p_o corrected by the agreement p_e two INDEPENDENT
+    * annotators with the same marginals would reach by chance
+    * (two raters that both say "yes" 95% of the time agree 90.5% by
+    * luck alone; kappa scores only the surplus).
+    *
+    *   kappa = (p_o − p_e) / (1 − p_e),
+    *   p_e = p_a·p_b + (1−p_a)(1−p_b)
+    *
+    * One conditional-sum aggregation over one scan (the [[report]]
+    * shape): the 2×2 contingency counts are integers — exact at any
+    * aggregation order — and every derived double is a fixed-order
+    * expression over them, so the statistic is bit-identical on any
+    * engine and at any scale. Rows where either annotator is null are
+    * excluded (un-annotated items rate nobody's agreement). Returns
+    * one row: (n, n_both, n_only_a, n_only_b, n_neither, po, pe,
+    * kappa), each rate rounded to 6dp; kappa is null for the
+    * degenerate p_e = 1 case (both raters constant).
+    */
+  def cohenKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val both = df.filter(aCol.isNotNull && bCol.isNotNull)
+      .select(aCol.cast("boolean").as("__a"), bCol.cast("boolean").as("__b"))
+    val c = both.agg(
+      count(lit(1)).as("n"),
+      sum((col("__a") && col("__b")).cast("long")).as("n_both"),
+      sum((col("__a") && !col("__b")).cast("long")).as("n_only_a"),
+      sum((!col("__a") && col("__b")).cast("long")).as("n_only_b"),
+      sum((!col("__a") && !col("__b")).cast("long")).as("n_neither"))
+    val nD = col("n").cast("double")
+    val po = (col("n_both") + col("n_neither")).cast("double") / nD
+    val pa = (col("n_both") + col("n_only_a")).cast("double") / nD
+    val pb = (col("n_both") + col("n_only_b")).cast("double") / nD
+    val pe = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+    c.select(col("n"), col("n_both"), col("n_only_a"), col("n_only_b"),
+      col("n_neither"),
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
 }
