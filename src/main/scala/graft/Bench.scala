@@ -117,6 +117,14 @@ object Bench {
     // runs and stays fully billed.
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
+        // JMH-style inter-iteration hygiene: prior queries leave dead
+        // broadcast blocks / codegen classes / store caches in old gen,
+        // and a major GC landing INSIDE a later query's timed region
+        // was measured billing it up to ~4 s of alien garbage
+        // (q_text_stats: 0.9 s isolated, 3-4.8 s when timed last).
+        // Collect the garbage between queries so each timed region
+        // pays only its own allocation.
+        System.gc()
         def once(): Double = {
           val t0 = System.nanoTime()
           val ok = try { force(fn(spark, sfDir)); true }
