@@ -38,6 +38,10 @@ object Funnel {
       steps: Seq[String],
       maxGap: Option[Duration] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // a zero/negative gap makes the strictly-after + within-gap pair
+    // unsatisfiable: steps 2..n would silently report 0 users
+    require(maxGap.forall(g => !g.isNegative && !g.isZero),
+      s"maxGap must be positive when set, got ${maxGap.get}")
 
     // step frames: (user, __t = time the user reached this step)
     val first = df.filter(col(stepCol) === steps.head)
@@ -92,10 +96,16 @@ object Funnel {
       periodDays: Int = 7): DataFrame = {
     require(periodDays > 0, s"periodDays must be positive, got $periodDays")
     val periodUs = periodDays * 86400L * 1000000L
-    // integer floor-div; caller guarantees ts >= origin (require below
-    // would need an action — instead negative periods would surface as
-    // negative cohort ids, visibly wrong rather than silently shifted)
-    val period = expr(s"(unix_micros($tsCol) - ${originUs}L) div ${periodUs}L")
+    // TRUE floor division on integer micros: `div` truncates toward
+    // zero, which would fold the full period BEFORE the origin into
+    // cohort 0 (e.g. origin−1s div week = 0, silently inflating
+    // cohort 0). Subtracting the nonnegative pmod remainder makes the
+    // dividend exactly divisible, so truncation equals floor and every
+    // pre-origin event lands in a visibly negative cohort.
+    val period = expr(
+      s"""((unix_micros($tsCol) - ${originUs}L)
+         |  - pmod(unix_micros($tsCol) - ${originUs}L, ${periodUs}L))
+         |  div ${periodUs}L""".stripMargin)
 
     val withP = df.select(col(userCol).as("__u"), period.as("__p"))
     val cohorts = withP.groupBy("__u").agg(min("__p").as("__cohort"))

@@ -75,7 +75,9 @@ object TabularQueries {
     val periodUs = RetentionPeriodDays * 86400L * 1000000L
     s"""WITH wp AS (
        |  SELECT user_id AS u,
-       |         (epoch_us(ts) - $RetentionOriginUs) // $periodUs AS p
+       |         ((epoch_us(ts) - $RetentionOriginUs)
+       |          - (((epoch_us(ts) - $RetentionOriginUs) % $periodUs
+       |              + $periodUs) % $periodUs)) // $periodUs AS p
        |  FROM events),
        |coh AS (SELECT u, min(p) AS c FROM wp GROUP BY 1),
        |act AS (SELECT DISTINCT u, p FROM wp),
