@@ -51,6 +51,20 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
             failures += 1
             continue
+        # Driver's hash is dtype-class sensitive: int64 5 != float64 5.0.
+        # DuckDB sum(int) -> HUGEINT -> float64 via pandas, Spark -> int64:
+        # that mismatch fails the driver even when values agree.
+        kind = lambda d: "f" if d.kind == "f" else ("i" if d.kind in "iub" else d.kind)
+        dt_bad = [
+            c for c in g.columns if kind(g[c].dtype) != kind(e[c].dtype)
+        ]
+        if dt_bad:
+            print(
+                f"FAIL {name}: dtype class differs on {dt_bad}: "
+                f"spark={[str(g[c].dtype) for c in dt_bad]} duck={[str(e[c].dtype) for c in dt_bad]}"
+            )
+            failures += 1
+            continue
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
             print(f"PASS {name} ({len(g)} rows)")

@@ -53,13 +53,17 @@ object Encoding {
     val prior = cf.agg(
       round(sum(col("__s_cf")).cast("double") / sum(col("__n_cf")), 6).as("__prior"))
 
+    // smoothing = 0 and a category seen only in fold f make the
+    // denominator 0: Spark's Divide yields NULL, IEEE engines yield
+    // NaN — emit NULL explicitly so both agree on the undefined case
+    val denom = (col("__n_c") - col("__n_cf")).cast("double") + lit(smoothing)
     cf.join(totals, Seq("category"))
       .crossJoin(broadcast(prior))
       .select(col("category"), col("fold"),
         (col("__n_c") - col("__n_cf")).as("n_holdout"),
-        round(
+        when(denom > 0, round(
           ((col("__s_c") - col("__s_cf")).cast("double") + lit(smoothing) * col("__prior")) /
-            ((col("__n_c") - col("__n_cf")).cast("double") + lit(smoothing)),
-          6).as("encoding"))
+            denom,
+          6)).as("encoding"))
   }
 }

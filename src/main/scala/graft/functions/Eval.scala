@@ -26,24 +26,41 @@ object Eval {
     * (each positive beats every lower-scored negative, half-beats each
     * tied negative; the numerator is kept ×2 so it stays an exact
     * BIGINT). Shape: one hash aggregation to the DISTINCT-SCORE grain,
-    * then a cumulative window over that value-grain frame — the
-    * [[Drift.ks]] shape: the window sorts distinct scores, never rows,
-    * and range-partitions at scale. Null scores/labels are excluded.
+    * then a DISTRIBUTED prefix sum over that value-grain frame:
+    * range-partition by score, cumulative window within each partition
+    * (bounded slice, never a global sort partition), and add the
+    * preceding partitions' totals via a broadcast of the
+    * partition-count-sized offset frame — so a continuous score column
+    * whose distinct grain is near row-scale still never funnels
+    * through one reducer. Null scores/labels are excluded.
     *
     * @return one row: (n_pos, n_neg, auc_num2, auc) — auc null when
     *         either class is empty (undefined, not 0).
     */
   def aucExact(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byScore = df
       .filter(scoreCol.isNotNull && labelCol.isNotNull)
       .select(scoreCol.as("__s"), labelCol.cast("boolean").as("__y"))
       .groupBy("__s")
       .agg(sum(col("__y").cast("long")).as("__pos"),
         sum((!col("__y")).cast("long")).as("__neg"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("__s").rowsBetween(Long.MinValue, -1)
-    byScore
-      .withColumn("__negBelow", coalesce(sum("__neg").over(w), lit(0L)))
+    // range partitioner keeps partition i's scores strictly below
+    // partition i+1's (AQE only coalesces adjacent ranges), so
+    // negBelow(s) = within-partition prefix + total of earlier ranges
+    val ranged = byScore.repartitionByRange(col("__s"))
+      .withColumn("__pid", spark_partition_id())
+    val wIn = Window.partitionBy("__pid").orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("__pid").agg(sum("__neg").as("__pt"))
+      .withColumn("__off", coalesce(sum("__pt").over(wOff), lit(0L)))
+      .select("__pid", "__off")
+    ranged
+      .withColumn("__nbIn", coalesce(sum("__neg").over(wIn), lit(0L)))
+      .join(broadcast(offsets), "__pid")
+      .withColumn("__negBelow", col("__nbIn") + col("__off"))
       .agg(sum("__pos").as("n_pos"), sum("__neg").as("n_neg"),
         sum(col("__pos") * (lit(2L) * col("__negBelow") + col("__neg")))
           .as("auc_num2"))
@@ -97,16 +114,19 @@ object Eval {
         cols.combinations(2).toSeq.map { case Seq(a, b) =>
           round(sum(col(a) * col(b)), 6).as(s"__p_${a}_$b") }
     val wide = complete.agg(sums.head, sums.tail: _*)
-    val pairs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+    // ONE projection over the 1-row aggregate, unpivoted by explode —
+    // per-pair selects unioned together would re-run the scan k·(k−1)/2
+    // times whenever exchange reuse fails to kick in
+    val pairStructs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
       val n = col("__n").cast("double")
       val cov = n * col(s"__p_${a}_$b") - col(s"__s_$a") * col(s"__s_$b")
       val va = n * col(s"__q_$a") - col(s"__s_$a") * col(s"__s_$a")
       val vb = n * col(s"__q_$b") - col(s"__s_$b") * col(s"__s_$b")
-      wide.select(lit(a).as("col_a"), lit(b).as("col_b"),
-        col("__n").as("n"),
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("__n").as("n"),
         when(va > 0 && vb > 0, round(cov / sqrt(va * vb), 6)).as("corr"))
     }
-    pairs.reduce(_ unionByName _)
+    wide.select(explode(array(pairStructs: _*)).as("__pair"))
+      .select("__pair.*")
   }
 
   /** Mutual information (nats) and Pearson χ² between two categorical

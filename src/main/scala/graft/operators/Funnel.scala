@@ -69,9 +69,14 @@ object Funnel {
     // funnel summary is #steps rows, nothing here touches data scale
     val base = counts.filter(col("step") === 1)
       .select(col("n_users").as("__n1"))
+    // guard the empty-funnel edge: with no step-1 users Spark's Divide
+    // yields NULL but IEEE engines yield inf/nan — NULL explicitly so
+    // the semantics are engine-independent
     counts.crossJoin(broadcast(base))
       .select(col("step"), col("step_name"), col("n_users"),
-        round(col("n_users").cast("double") / col("__n1"), 6).as("pct_of_first"))
+        when(col("__n1") > 0,
+          round(col("n_users").cast("double") / col("__n1"), 6))
+          .as("pct_of_first"))
       .orderBy("step")
   }
 

@@ -708,7 +708,7 @@ object CoreQueries {
       |  FROM events GROUP BY date_trunc('hour', ts) HAVING count(*) >= 20)
       |SELECT CAST(epoch_ms(w.ws) AS BIGINT) AS window_start_ms,
       |       count(*) AS n_events,
-      |       sum(CAST(round(e.value * 100) AS BIGINT)) AS sum_val_c
+      |       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_val_c
       |FROM events e JOIN w ON e.ts >= w.ws AND e.ts < w.we
       |GROUP BY w.ws ORDER BY window_start_ms""".stripMargin
 
@@ -766,11 +766,11 @@ object CoreQueries {
 
   val pivotEventsSql: String =
     """SELECT user_id,
-      |       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-      |       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-      |       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-      |       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-      |       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+      |       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+      |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** Set operations (EXCEPT / INTERSECT semantics): customer churn
@@ -856,11 +856,11 @@ object CoreQueries {
   val timeTravelSql: String =
     """SELECT 1 AS version, COUNT(*) AS n_rows,
       |       COUNT(DISTINCT o_orderkey) AS n_keys,
-      |       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents
+      |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
       |UNION ALL
       |SELECT 2, COUNT(*), COUNT(DISTINCT o_orderkey),
-      |       SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+      |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
       |FROM orders
       |ORDER BY version""".stripMargin
 

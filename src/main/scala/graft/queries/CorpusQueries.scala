@@ -494,13 +494,14 @@ object CorpusQueries {
        |  FROM documents),
        |p AS (
        |  SELECT doc_id, n_tokens,
-       |         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+       |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |           AS start_offset
        |  FROM t),
-       |tot AS (SELECT SUM(n_tokens) AS w FROM t)
+       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS w FROM t)
        |SELECT doc_id, n_tokens, start_offset,
-       |       ((start_offset + n_tokens) * $PpsN + w - 1) // w
-       |         - (start_offset * $PpsN + w - 1) // w AS n_picks
+       |       CAST(((start_offset + n_tokens) * $PpsN + w - 1) // w
+       |         - (start_offset * $PpsN + w - 1) // w AS BIGINT) AS n_picks
        |FROM p CROSS JOIN tot
        |WHERE ((start_offset + n_tokens) * $PpsN + w - 1) // w
        |         - (start_offset * $PpsN + w - 1) // w >= 1

@@ -81,7 +81,7 @@ object HistoryQueries {
        |  SELECT *, SUM(cut) OVER (PARTITION BY user_id ORDER BY ts, event_id
        |                           ROWS UNBOUNDED PRECEDING) AS session_idx
        |  FROM f)
-       |SELECT user_id, session_idx,
+       |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        |       epoch_ms(MIN(ts)) AS session_start_ms,
        |       epoch_ms(MAX(ts)) AS session_end_ms,
        |       COUNT(*) AS n_events, round(SUM(value), 6) AS sum_value
@@ -239,7 +239,8 @@ object HistoryQueries {
       |         (n_cur + 0.5::DOUBLE) / (SUM(n_cur) OVER () + 0.5::DOUBLE * k.nbins) AS pc
       |  FROM filled CROSS JOIN k)
       |SELECT round(SUM((pc - pb) * ln(pc / pb)), 6) AS psi,
-      |       SUM(n_base) AS n_base, SUM(n_cur) AS n_cur
+      |       CAST(SUM(n_base) AS BIGINT) AS n_base,
+      |       CAST(SUM(n_cur) AS BIGINT) AS n_cur
       |FROM p""".stripMargin
 
   // ---- CDC merge-apply ------------------------------------------------
@@ -344,10 +345,10 @@ object HistoryQueries {
   val validateOrdersSql: String =
     """WITH agg AS (
       |  SELECT COUNT(*) AS n,
-      |    SUM(CASE WHEN NOT coalesce(o_custkey IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS v_key,
-      |    SUM(CASE WHEN NOT coalesce(o_orderdate BETWEEN TIMESTAMP '1990-01-01' AND TIMESTAMP '2010-01-01', FALSE) THEN 1 ELSE 0 END) AS v_date,
-      |    SUM(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END) AS v_status,
-      |    SUM(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS v_price
+      |    CAST(SUM(CASE WHEN NOT coalesce(o_custkey IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_key,
+      |    CAST(SUM(CASE WHEN NOT coalesce(o_orderdate BETWEEN TIMESTAMP '1990-01-01' AND TIMESTAMP '2010-01-01', FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_date,
+      |    CAST(SUM(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+      |    CAST(SUM(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_price
       |  FROM orders)
       |SELECT 'custkey_nonnull' AS rule, n AS n_rows, v_key AS n_violations, v_key = 0 AS pass FROM agg
       |UNION ALL SELECT 'orderdate_in_range', n, v_date, v_date = 0 FROM agg
@@ -401,7 +402,8 @@ object HistoryQueries {
       |  FROM filled)
       |SELECT event_type,
       |       round(SUM((pc - pb) * ln(pc / pb)), 6) AS psi,
-      |       SUM(n_base) AS n_base, SUM(n_cur) AS n_cur
+      |       CAST(SUM(n_base) AS BIGINT) AS n_base,
+      |       CAST(SUM(n_cur) AS BIGINT) AS n_cur
       |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---- robust (median/MAD) outlier gate ------------------------------
@@ -665,8 +667,9 @@ object HistoryQueries {
       |         round(CAST(MAX(abs(cb * n2 - cc * n1)) AS DOUBLE)
       |               / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)), 6)
       |       END AS ks,
-      |       MAX(abs(cb * n2 - cc * n1)) AS d_num,
-      |       MAX(n1) AS n_base, MAX(n2) AS n_cur
+      |       CAST(MAX(abs(cb * n2 - cc * n1)) AS BIGINT) AS d_num,
+      |       CAST(MAX(n1) AS BIGINT) AS n_base,
+      |       CAST(MAX(n2) AS BIGINT) AS n_cur
       |FROM r GROUP BY g ORDER BY event_type""".stripMargin
 
   // ---- one-pass table profiling --------------------------------------
@@ -703,19 +706,19 @@ object HistoryQueries {
 
   val profileSql: String =
     """SELECT 'o_custkey' AS col_name, COUNT(*) AS n,
-      |       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+      |       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
       |       COUNT(DISTINCT o_custkey) AS n_distinct,
       |       CAST(MIN(o_custkey) AS DOUBLE) AS min_num,
       |       CAST(MAX(o_custkey) AS DOUBLE) AS max_num
       |FROM orders
       |UNION ALL
       |SELECT 'o_orderstatus', COUNT(*),
-      |       SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+      |       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
       |       COUNT(DISTINCT o_orderstatus), NULL, NULL
       |FROM orders
       |UNION ALL
       |SELECT 'o_totalprice', COUNT(*),
-      |       SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+      |       CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
       |       COUNT(DISTINCT o_totalprice),
       |       round(MIN(o_totalprice), 6), round(MAX(o_totalprice), 6)
       |FROM orders

@@ -800,8 +800,9 @@ object PipelineQueries {
       |              AS BIGINT) AS shard_id
       |  FROM (SELECT doc_id, text, len(regexp_extract_all(text, '\S+')) AS n_tokens
       |        FROM documents))
-      |SELECT shard_id, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
-      |       SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS checksum
+      |SELECT shard_id, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |       CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS checksum
       |FROM packed GROUP BY shard_id ORDER BY shard_id""".stripMargin
 
   /** Context-window assignment ([[graft.functions.Packing.contextWindows]]):
@@ -1441,7 +1442,7 @@ object PipelineQueries {
       |         CAST(tf AS DOUBLE) * ln(CAST(cnt AS DOUBLE) / t) AS contrib, tf
       |  FROM tf JOIN lm ON tf.w = lm.w CROSS JOIN total),
       |agg AS (
-      |  SELECT doc_id, sum(tf) AS n_words,
+      |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
       |         list_aggregate(
       |           list_transform(
       |             list_sort(list({'w': w, 'c': contrib})), x -> x.c),
@@ -1679,7 +1680,8 @@ object PipelineQueries {
       |              AS BIGINT) AS shard_id
       |  FROM (SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens
       |        FROM documents))
-      |SELECT shard_id, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+      |SELECT shard_id, count(*) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM p GROUP BY shard_id ORDER BY shard_id""".stripMargin
 
@@ -2099,7 +2101,7 @@ object PipelineQueries {
       |         substr(md5(unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))), 1, 2) AS b
       |  FROM documents),
       |db AS (SELECT doc_id, b, count(*) AS c FROM ex GROUP BY doc_id, b),
-      |dl AS (SELECT doc_id, sum(c) AS n_words FROM db GROUP BY doc_id),
+      |dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words FROM db GROUP BY doc_id),
       |tgt AS (SELECT doc_id FROM dl WHERE n_words >= 40),
       |rawc AS (SELECT b, sum(c) AS cr FROM db GROUP BY b),
       |tgtc AS (SELECT b, sum(c) AS ct FROM db WHERE doc_id IN (SELECT doc_id FROM tgt)

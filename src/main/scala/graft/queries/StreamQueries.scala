@@ -477,7 +477,7 @@ object StreamQueries {
       |         (n_cur + 0.5::DOUBLE) / (SUM(n_cur) OVER (PARTITION BY window_start_ms) + 2.5::DOUBLE) AS pc
       |  FROM filled)
       |SELECT window_start_ms, round(SUM((pc - pb) * ln(pc / pb)), 6) AS psi,
-      |       SUM(n_cur) AS n_cur
+      |       CAST(SUM(n_cur) AS BIGINT) AS n_cur
       |FROM p GROUP BY window_start_ms ORDER BY window_start_ms""".stripMargin
 
   /** The streaming file source can't read INT64-nanos timestamps, so the

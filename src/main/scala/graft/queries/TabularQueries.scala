@@ -54,8 +54,10 @@ object TabularQueries {
        |  UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
        |  UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4))
        |SELECT step, step_name, n_users,
-       |       round(CAST(n_users AS DOUBLE)
-       |             / (SELECT n_users FROM n WHERE step = 1), 6) AS pct_of_first
+       |       CASE WHEN (SELECT n_users FROM n WHERE step = 1) > 0
+       |            THEN round(CAST(n_users AS DOUBLE)
+       |                       / (SELECT n_users FROM n WHERE step = 1), 6)
+       |       END AS pct_of_first
        |FROM n ORDER BY step""".stripMargin
   }
 
@@ -116,7 +118,8 @@ object TabularQueries {
        |cf AS (
        |  SELECT category, fold, count(*) AS n_cf, sum(t) AS s_cf
        |  FROM base GROUP BY 1, 2),
-       |tot AS (SELECT category, sum(n_cf) AS n_c, sum(s_cf) AS s_c
+       |tot AS (SELECT category, CAST(sum(n_cf) AS BIGINT) AS n_c,
+       |               CAST(sum(s_cf) AS BIGINT) AS s_c
        |        FROM cf GROUP BY 1),
        |pr AS (SELECT round(CAST(sum(s_cf) AS DOUBLE) / sum(n_cf), 6) AS prior
        |       FROM cf)
@@ -192,10 +195,10 @@ object TabularQueries {
       |  FROM documents),
       |c AS (
       |  SELECT count(*) AS n,
-      |    sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n_both,
-      |    sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n_only_a,
-      |    sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS n_only_b,
-      |    sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n_neither
+      |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+      |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+      |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b,
+      |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
       |  FROM flags WHERE a IS NOT NULL AND b IS NOT NULL)
       |SELECT n, n_both, n_only_a, n_only_b, n_neither,
       |  round(CAST(n_both + n_neither AS DOUBLE) / n, 6) AS po,
@@ -241,8 +244,8 @@ object TabularQueries {
       |         coalesce(sum(neg) OVER (ORDER BY s
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
       |  FROM g)
-      |SELECT sum(pos) AS n_pos, sum(neg) AS n_neg,
-      |       sum(pos * (2 * nb + neg)) AS auc_num2,
+      |SELECT CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg,
+      |       CAST(sum(pos * (2 * nb + neg)) AS BIGINT) AS auc_num2,
       |       CASE WHEN sum(pos) > 0 AND sum(neg) > 0
       |            THEN round(CAST(sum(pos * (2 * nb + neg)) AS DOUBLE)
       |                       / (2.0 * sum(pos) * sum(neg)), 6) END AS auc
@@ -266,7 +269,7 @@ object TabularQueries {
       |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL)
       |SELECT LEAST(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
       |       count(*) AS n,
-      |       sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+      |       CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
       |       round(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
       |             / count(*), 6) AS frac_pos,
       |       round(round(sum(s), 6) / count(*), 6) AS mean_score
@@ -344,7 +347,7 @@ object TabularQueries {
       |xm AS (SELECT x, sum(nxy) AS nx FROM cells GROUP BY 1),
       |ym AS (SELECT y, sum(nxy) AS ny FROM cells GROUP BY 1),
       |t AS (SELECT sum(nxy) AS n FROM cells)
-      |SELECT max(t.n) AS n, count(*) AS n_cells,
+      |SELECT CAST(max(t.n) AS BIGINT) AS n, count(*) AS n_cells,
       |  round(sum((CAST(nxy AS DOUBLE) / t.n)
       |            * ln(CAST(nxy AS DOUBLE) * t.n
       |                 / (CAST(nx AS DOUBLE) * ny))), 6) AS mi,

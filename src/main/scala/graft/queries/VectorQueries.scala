@@ -197,7 +197,8 @@ object VectorQueries {
 
   val hashEmbeddingSql: String = {
     val sums = (0 until HashDim).map(i =>
-      s"SUM(CASE WHEN bucket = $i THEN sgn ELSE 0 END) AS h$i").mkString(",\n       ")
+      s"CAST(SUM(CASE WHEN bucket = $i THEN sgn ELSE 0 END) AS BIGINT) AS h$i")
+      .mkString(",\n       ")
     s"""WITH tok AS (
        |  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
        |  FROM documents),
