@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cluster-quality diagnostics over an embedding column — the audit
+  * that tells a pipeline whether its labels / cluster assignments
+  * actually separate in embedding space (before trusting them for
+  * semantic dedup buckets, stratified sampling, or classifier
+  * prototypes).
+  *
+  * Reference scope note: the reference (feast) has no vector surface —
+  * this is part of the training-data-pipeline extension, alongside
+  * [[Similarity]] and [[VectorSketch]].
+  */
+object Cluster {
+
+  /** Simplified (centroid-based) silhouette score per label —
+    * Rousseeuw 1987's silhouette with the O(n²) pairwise distances
+    * replaced by distances to class centroids (the standard large-scale
+    * variant, e.g. Hruschka 2004): for each vector, a = distance to its
+    * own label's centroid, b = the nearest OTHER centroid, s =
+    * (b−a)/max(a,b) ∈ [−1, 1]; the per-label mean diagnoses which
+    * classes are coherent (≈1), overlapping (≈0), or mis-assigned (<0).
+    *
+    * 100 TB shape: centroids are one posexplode + (label, dim) hash
+    * aggregation (map-side combinable, output = labels × dims), then
+    * collected — the label space is class-grain, bounded, exactly like
+    * the PQ/IVF anchor matrices — and every distance is a narrow
+    * codegen'd projection against centroid LITERALS via the native
+    * [[DotProductExpr]]: d²(x,c) = x·x − 2·x·c + c·c, so the corpus is
+    * scanned once with no joins and no shuffle beyond the final
+    * label-grain aggregation.
+    *
+    * Determinism contract (cross-engine): centroids divide ROUNDED
+    * sums (the [[graft.queries.VectorQueries.labelCentroids]]
+    * contract); every dot product is the ascending-index
+    * left-associative double fold shared by [[DotProduct]] and DuckDB's
+    * `list_dot_product`; per-row silhouettes are scaled to integer
+    * micros (round-half-away-from-zero, both engines) so the per-label
+    * sum is exact BIGINT arithmetic — identical under ANY aggregation
+    * order — and only the final mean divides doubles.
+    *
+    * @return one row per label: (label, n, mean_silhouette) with
+    *         mean_silhouette rounded to 6 decimals.
+    */
+  def simplifiedSilhouette(df: DataFrame, vecCol: String, labelCol: String): DataFrame = {
+    // class-grain centroid matrix, collected like the PQ anchor matrix
+    val centroids: Array[(Long, Array[Double])] = df
+      .select(col(labelCol).cast("long").as("__l"),
+        posexplode(col(vecCol)).as(Seq("__p", "__v")))
+      .groupBy("__l", "__p")
+      .agg(count(lit(1)).as("__n"), round(sum(col("__v").cast("double")), 6).as("__s"))
+      .select(col("__l"), col("__p"), round(col("__s") / col("__n"), 6).as("__c"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .toArray
+      .map { case (l, rows) =>
+        val c = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        (l, c)
+      }
+      .sortBy(_._1)
+    require(centroids.length >= 2,
+      s"simplifiedSilhouette needs >= 2 labels, got ${centroids.length}")
+
+    // c·c as a driver-side ascending fold — the same IEEE op sequence
+    // as list_dot_product(c, c) on the oracle side
+    def selfDot(c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
+      acc
+    }
+    val v = col(vecCol)
+    val xx = DotProductExpr.dot(v, v)
+    def centLit(c: Array[Double]): Column = array(c.map(lit(_)): _*)
+    // one d² column per label, each dot computed once in the projection
+    val d2Cols = centroids.map { case (l, c) =>
+      (xx - lit(2.0) * DotProductExpr.dot(v, centLit(c)) + lit(selfDot(c))).as(s"__d2_$l")
+    }
+    val withD2 = df.select(col(labelCol).cast("long").as("__l") +: d2Cols: _*)
+
+    val own = coalesce(centroids.map { case (l, _) =>
+      when(col("__l") === l, col(s"__d2_$l"))
+    }: _*)
+    val otherMin = least(centroids.map { case (l, _) =>
+      when(col("__l") === l, lit(Double.MaxValue)).otherwise(col(s"__d2_$l"))
+    }: _*)
+
+    val a = sqrt(greatest(own, lit(0.0)))
+    val b = sqrt(greatest(otherMin, lit(0.0)))
+    val sil = when(greatest(a, b) > 0, (b - a) / greatest(a, b)).otherwise(lit(0.0))
+
+    withD2
+      .select(col("__l"),
+        round(sil * lit(1e6), 0).cast("long").as("__m"))
+      .groupBy(col("__l").as("label"))
+      .agg(count(lit(1)).as("n"), sum("__m").as("__sm"))
+      .select(col("label"), col("n"),
+        round(col("__sm").cast("double") / col("n") / lit(1e6), 6)
+          .as("mean_silhouette"))
+      .orderBy("label")
+  }
+}

@@ -70,6 +70,39 @@ object VectorSketch {
     concat_ws("-", (0 until m).map(s =>
       pqCodeForSub(emb, anchors, s, subDim).cast("string")): _*)
 
+  /** Per-dimension standardization ("diagonal whitening"): every
+    * dimension of the embedding column rescaled to zero mean / unit
+    * variance over the corpus — the preprocessing step before
+    * PCA/ANN-index training that stops high-variance dims from
+    * dominating L2 distances. Output is long format: (id, pos, z) with
+    * z = (v − mean_pos)/sd_pos rounded to 6, NULL where sd = 0.
+    *
+    * Shape: posexplode → one (dim) hash aggregation (map-side
+    * combinable; output = dims rows at any corpus size) broadcast back
+    * onto the scan — the corpus never shuffles. Determinism: mean/sd
+    * derive from exact BIGINT sums of 1e6-scaled values via one fixed
+    * formula, so both engines divide identical doubles (decimal(38)
+    * swap documented for corpora where Σ(scaled²) nears the BIGINT
+    * range ~9e18: |v|≤6 → ~4e13 per row → safe to ~2e5 B rows/dim). */
+  def standardizeDims(df: org.apache.spark.sql.DataFrame, idCol: String,
+      vecCol: String): org.apache.spark.sql.DataFrame = {
+    val e = df
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "__f")))
+      .select(col(idCol), col("pos"), col("__f").cast("double").as("v"))
+      .withColumn("__sv", round(col("v") * lit(1e6), 0).cast("long"))
+    val stats = e.groupBy("pos").agg(
+      count(lit(1)).as("__n"),
+      sum(col("__sv")).as("__m"),
+      sum(col("__sv") * col("__sv")).as("__q"))
+    val mean = col("__m").cast("double") / col("__n") / lit(1e6)
+    val sd = sqrt(col("__q").cast("double") / col("__n") / lit(1e12) - mean * mean)
+    val withStats = stats.select(col("pos"), mean.as("__mean"), sd.as("__sd"))
+    e.join(broadcast(withStats), "pos")
+      .select(col(idCol), col("pos"),
+        when(col("__sd") > 0, round((col("v") - col("__mean")) / col("__sd"), 6))
+          .as("z"))
+  }
+
   /** Feature-hashing ("hashing trick", Weinberger et al. 2009) text
     * embedding: each token adds ±1 to one of `dim` buckets — bucket =
     * first 4 md5 hex digits mod dim, sign = parity of the 5th — giving

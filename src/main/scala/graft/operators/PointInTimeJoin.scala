@@ -69,6 +69,35 @@ object PointInTimeJoin {
     require(missing.isEmpty,
       s"entity df is missing join key columns: ${missing.mkString(", ")}")
 
+    // Single view with a caller-asserted unique tie-break: run the
+    // custom sort-merge as-of plan ([[graft.plans.AsOfJoin]]) on the
+    // FULL entity row — each side shuffles exactly once, no candidate
+    // rows materialize, no row-id stamp, no winners join-back (measured
+    // ~1.8× faster than the declarative path at sf0.1). The declarative
+    // max_by path remains for everything the merge can't promise:
+    // no tie-break (its payload-max disambiguates duplicate
+    // (key, ts, created) rows deterministically; the merge would take
+    // arrival order), non-timestamp ts columns, and multi-view joins
+    // (whose per-view winner subtrees parallelize better than a chain
+    // of full-width merges — they still delegate the per-view winner
+    // computation below when eligible).
+    views match {
+      case Seq(vj) if sortMergeEligible(entityDf, vj, entityTsCol) &&
+          vj.features.intersect(entityDf.columns).isEmpty =>
+        val Array(b0) = entityDf.agg(
+          min(col(entityTsCol)).as("mn"), max(col(entityTsCol)).as("mx")).collect()
+        val (feat, tsCol, createdCol) =
+          prepareFeature(vj, b0.getTimestamp(0), b0.getTimestamp(1))
+        val ord = (createdCol.toSeq ++ vj.tieBreakCols).distinct.filterNot(_ == tsCol)
+        val out = graft.plans.AsOfJoin.join(entityDf, feat, vj.joinKeys,
+          entityTsCol, tsCol, vj.view.ttl, ord, vj.features)
+        val outName: String => String =
+          f => if (fullFeatureNames) s"${vj.view.name}__$f" else f
+        return out.select(entityDf.columns.map(col).toIndexedSeq ++
+          vj.features.map(f => col(f).as(outName(f))): _*)
+      case _ => ()
+    }
+
     val rowId = "__graft_row_id"
     // monotonically_increasing_id is evaluated independently in every plan
     // branch that references it; if the entity df's plan can produce rows
@@ -133,6 +162,51 @@ object PointInTimeJoin {
     !(stableShape && deterministic)
   }
 
+  /** True when a view's winner computation can run on the custom
+    * sort-merge as-of plan: the caller passed tie-break columns (its
+    * assertion that (keys, ts, created, tieBreaks) is unique on the
+    * feature side — the merge resolves residual ties by arrival order,
+    * so without that assertion the declarative payload-max path keeps
+    * determinism) and both timestamps are real TimestampType. */
+  private def sortMergeEligible(
+      entity: DataFrame, vj: ViewJoin, entityTsCol: String): Boolean = {
+    import org.apache.spark.sql.types.TimestampType
+    val tsCol = vj.view.batchSource.eventTimestampColumn
+    vj.tieBreakCols.nonEmpty &&
+      entity.schema(entityTsCol).dataType == TimestampType &&
+      vj.featureDf.columns.contains(tsCol) &&
+      vj.featureDf.schema(tsCol).dataType == TimestampType
+  }
+
+  /** Shared feature-side preparation (O5): directory-level date-partition
+    * pruning, the [mn − ttl, mx] scan filter pushed into parquet, and the
+    * column-pruned selection. Returns (feat, tsCol, createdCol). */
+  private def prepareFeature(
+      vj: ViewJoin,
+      mnTs: java.sql.Timestamp,
+      mxTs: java.sql.Timestamp): (DataFrame, String, Option[String]) = {
+    val tsCol = vj.view.batchSource.eventTimestampColumn
+    val createdCol = vj.view.batchSource.createdTimestampColumn
+    val ttl = vj.view.ttl
+    val ordCols: Seq[String] = ((tsCol +: createdCol.toSeq) ++ vj.tieBreakCols).distinct
+    val featCols: Seq[String] = (vj.joinKeys ++ ordCols ++ vj.features).distinct
+    val lowerTs: Option[java.sql.Timestamp] =
+      if (!ttl.isZero && mnTs != null)
+        Some(java.sql.Timestamp.from(mnTs.toInstant.minus(ttl)))
+      else None
+    // Directory-level pruning first (O5 + date_partition_column,
+    // data_source.py:295-306): the date filter prunes partitions, the ts
+    // filter then skips row groups within the surviving files.
+    val pruned = graft.sources.DatePartition.prune(
+      vj.featureDf, vj.view.batchSource.datePartitionColumn, lowerTs, Option(mxTs))
+    var feat = pruned.select(featCols.map(col): _*)
+    if (mxTs != null) {
+      feat = feat.filter(col(tsCol) <= lit(mxTs))
+      lowerTs.foreach(l => feat = feat.filter(col(tsCol) >= lit(l)))
+    }
+    (feat, tsCol, createdCol)
+  }
+
   /** One view's as-of winners keyed by row id (O1/O4/O5/O6): the caller
     * left-joins the result back to the accumulated frame. */
   private def viewWinners(
@@ -143,10 +217,26 @@ object PointInTimeJoin {
       fullFeatureNames: Boolean,
       mnTs: java.sql.Timestamp,
       mxTs: java.sql.Timestamp): DataFrame = {
-    val ViewJoin(view, joinKeys, features, featureDf, tieBreaks) = vj
-    val tsCol = view.batchSource.eventTimestampColumn
-    val createdCol = view.batchSource.createdTimestampColumn
+    val ViewJoin(view, joinKeys, features, _, tieBreaks) = vj
     val ttl = view.ttl
+    val (featPrepared, tsCol, createdCol) = prepareFeature(vj, mnTs, mxTs)
+    val outName: String => String =
+      f => if (fullFeatureNames) s"${view.name}__$f" else f
+
+    // Eligible views ride the sort-merge as-of plan on the NARROW
+    // (rowId, ts, keys) entity projection: no candidate rows
+    // materialize, and the winners join back by rowId exactly like the
+    // declarative branch (AsOfJoin emits every left row; unmatched rows
+    // carry nulls, which the left join-back preserves identically).
+    if (sortMergeEligible(stamped, vj, entityTsCol) &&
+        features.intersect((rowId +: entityTsCol +: joinKeys).distinct).isEmpty) {
+      val leftNarrow =
+        stamped.select((rowId +: entityTsCol +: joinKeys).distinct.map(col): _*)
+      val ord = (createdCol.toSeq ++ tieBreaks).distinct.filterNot(_ == tsCol)
+      val out = graft.plans.AsOfJoin.join(leftNarrow, featPrepared, joinKeys,
+        entityTsCol, tsCol, ttl, ord, features)
+      return out.select(col(rowId) +: features.map(f => col(f).as(outName(f))): _*)
+    }
 
     // Candidate generation only needs (rowId, keys, ts) — shuffle the
     // narrow projection, not the whole entity row. Alias both sides so
@@ -157,21 +247,6 @@ object PointInTimeJoin {
     def R(c: String): Column = col(s"__r.$c")
 
     val ordCols: Seq[String] = ((tsCol +: createdCol.toSeq) ++ tieBreaks).distinct
-    val featCols: Seq[String] = (joinKeys ++ ordCols ++ features).distinct
-    val lowerTs: Option[java.sql.Timestamp] =
-      if (!ttl.isZero && mnTs != null)
-        Some(java.sql.Timestamp.from(mnTs.toInstant.minus(ttl)))
-      else None
-    // Directory-level pruning first (O5 + date_partition_column,
-    // data_source.py:295-306): the date filter prunes partitions, the ts
-    // filter then skips row groups within the surviving files.
-    val pruned = graft.sources.DatePartition.prune(
-      featureDf, view.batchSource.datePartitionColumn, lowerTs, Option(mxTs))
-    var feat = pruned.select(featCols.map(col): _*)
-    if (mxTs != null) {
-      feat = feat.filter(col(tsCol) <= lit(mxTs))
-      lowerTs.foreach(l => feat = feat.filter(col(tsCol) >= lit(l)))
-    }
     // NOTE (measured twice, rounds 3+4): do NOT rebalance() either join
     // side here. The single-row-group test files do serialize the
     // candidate join into one ~1.4 s task, but inserting a round-robin
@@ -180,7 +255,7 @@ object PointInTimeJoin {
     // view. On a production many-file table the scan parallelizes by
     // itself; the single-task stage is a toy-data artifact, not a plan
     // defect.
-    val featAliased = feat.alias("__r")
+    val featAliased = featPrepared.alias("__r")
 
     // Per-row as-of predicate (inclusive on both edges — the reference's
     // SQL semantics, bigquery.py:613-617).
@@ -204,8 +279,6 @@ object PointInTimeJoin {
       .groupBy(L(rowId).as(rowId))
       .agg(max_by(payload, ordKey).as("__w"))
 
-    val outName: String => String =
-      f => if (fullFeatureNames) s"${view.name}__$f" else f
     winners.select(
       (col(rowId) +: features.map(f => col(s"__w.$f").as(outName(f)))): _*)
   }

@@ -901,7 +901,40 @@ object CoreQueries {
        |FROM c CROSS JOIN t
        |ORDER BY n_rows DESC, l_orderkey ASC LIMIT $SkewTopK""".stripMargin
 
+  // ---- bloom-filter semi-join pruning --------------------------------
+
+  /** Runtime-filter join: lineitem joined to the selective slice of
+    * orders (status 'P'), with [[graft.functions.BloomJoin]] pruning
+    * the fact side AT THE SCAN before the exchange — the big side
+    * shuffles only probable matches (+ ~1% false positives the exact
+    * join behind it discards), which is the difference between
+    * shuffling 100 TB and shuffling the ~3% that can match. The oracle
+    * is the plain join: the sketch is a superset filter, so results
+    * are exactly the join's. */
+  def bloomPruneJoin(s: SparkSession, dir: String): DataFrame = {
+    val ord = pq(s, dir, "orders")
+      .filter(col("o_orderstatus") === "P")
+      .select(col("o_orderkey"))
+    val li = pq(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_returnflag"))
+    graft.functions.BloomJoin.pruneByBloom(li, "l_orderkey", ord, "o_orderkey")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("sum_price_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  val bloomPruneJoinSql: String =
+    """SELECT l_returnflag, count(*) AS n_items,
+      |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS sum_price_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderstatus = 'P'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_prune_join" -> (bloomPruneJoin _),
     "q_skew_report" -> (skewReport _),
     "q_pit_sortmerge" -> (pitJoinSortMerge _),
     "q_time_travel" -> (timeTravel _),
@@ -932,6 +965,7 @@ object CoreQueries {
     "q_window_topk" -> (windowTopK _))
 
   val oracles: Map[String, String] = Map(
+    "q_bloom_prune_join" -> bloomPruneJoinSql,
     "q_skew_report" -> skewReportSql,
     "q_pit_sortmerge" -> pitJoinSingleSql,
     "q_time_travel" -> timeTravelSql,

@@ -1516,6 +1516,78 @@ object PipelineQueries {
       |       round(lp / CAST(n_bigrams AS DOUBLE), 4) AS mean_logprob
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** PMI collocation mining — the corpus's top multi-word expressions
+    * ("new york"-style units) by pointwise mutual information over
+    * adjacent-token bigrams: pmi = ln(p(ab) / (p(a)·p(b))) with p(ab) =
+    * c_ab/N_bigrams and p(a) = c_a/N_tokens, thresholded at
+    * [[PmiMinCount]] occurrences (rare-pair PMI explodes — the standard
+    * Church & Hanks 1990 guard). Feeds tokenizer vocab construction
+    * (merge collocations before BPE) and phrase-aware dedup shingling.
+    *
+    * Shape: one gram explode → gram-grain hash aggregations (map-side
+    * combinable), two broadcast one-row totals, a token-grain join for
+    * the unigram counts, and a TakeOrdered top-k — nothing row-grain
+    * ever sorts globally. Determinism: every count is exact BIGINT;
+    * the pmi double derives from one fixed expression over those
+    * counts, and ties at the top-k boundary break on (w1, w2). */
+  private val PmiMinCount = 5
+  private val PmiTopK = 30
+
+  def collocationPmi(s: SparkSession, dir: String): DataFrame =
+    collocationPmiFrom(
+      docs(s, dir).select(col("doc_id"), TF.words(col("text")).as("__ws")),
+      PmiMinCount, PmiTopK)
+
+  /** Core of [[collocationPmi]] over a prepared (id, __ws) words
+    * DataFrame — split out so unit tests can plant collocations. */
+  def collocationPmiFrom(words: DataFrame, minCount: Int, topK: Int): DataFrame = {
+    val uni = words.select(explode(col("__ws")).as("w"))
+    val c1 = uni.groupBy("w").agg(count(lit(1)).as("c"))
+    val totU = uni.agg(count(lit(1)).cast("double").as("__nu"))
+    val bg = words.select(
+      explode(TF.wordNgramsAllFromWords(col("__ws"), 2)).as("bg"))
+    val cab = bg.groupBy("bg").agg(count(lit(1)).as("n_ab"))
+    val totB = bg.agg(count(lit(1)).cast("double").as("__nb"))
+    cab
+      .filter(col("n_ab") >= minCount)
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+      .join(c1.select(col("w").as("w1"), col("c").as("__ca")), "w1")
+      .join(c1.select(col("w").as("w2"), col("c").as("__cb")), "w2")
+      .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        round(
+          log((col("n_ab").cast("double") * col("__nu") * col("__nu")) /
+            (col("__nb") * col("__ca").cast("double") * col("__cb").cast("double"))),
+          6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  val collocationPmiSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+       |uni AS (SELECT unnest(w) AS t FROM w),
+       |c1 AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
+       |tu AS (SELECT CAST(count(*) AS DOUBLE) AS nu FROM uni),
+       |bg AS (
+       |  SELECT array_to_string(w[i:i+1], ' ') AS bg
+       |  FROM w, UNNEST(range(1, greatest(len(w) - 1, 0) + 1)) AS t(i)),
+       |cab AS (SELECT bg, count(*) AS n_ab FROM bg GROUP BY bg),
+       |j AS (
+       |  SELECT split_part(cab.bg, ' ', 1) AS w1, split_part(cab.bg, ' ', 2) AS w2,
+       |         cab.n_ab,
+       |         round(ln((CAST(cab.n_ab AS DOUBLE) * tu.nu * tu.nu)
+       |                  / (tb.nb * CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))), 6) AS pmi
+       |  FROM cab
+       |  JOIN c1 a ON a.t = split_part(cab.bg, ' ', 1)
+       |  JOIN c1 b ON b.t = split_part(cab.bg, ' ', 2)
+       |  CROSS JOIN tu
+       |  CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) AS nb FROM bg) tb
+       |  WHERE cab.n_ab >= $PmiMinCount)
+       |SELECT w1, w2, n_ab, pmi FROM j
+       |ORDER BY pmi DESC, w1, w2 LIMIT $PmiTopK""".stripMargin
+
   /** Quality-aware dedup representative: exact dedup on the content
     * fingerprint, but the survivor is the HIGHEST-quality duplicate
     * (ties → min doc_id), not the min id — real pipelines keep the
@@ -2121,6 +2193,7 @@ object PipelineQueries {
       |GROUP BY doc_id, n_words ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_collocation_pmi" -> (collocationPmi _),
     "q_temperature_sample" -> (temperatureSample _),
     "q_bm25_topk" -> (bm25TopK _),
     "q_hybrid_search" -> (hybridSearch _),
@@ -2179,6 +2252,7 @@ object PipelineQueries {
     "q_image_phash" -> (imagePhash _))
 
   val oracles: Map[String, String] = Map(
+    "q_collocation_pmi" -> collocationPmiSql,
     "q_temperature_sample" -> temperatureSampleSql,
     "q_bm25_topk" -> bm25TopKSql,
     "q_hybrid_search" -> hybridSearchSql,

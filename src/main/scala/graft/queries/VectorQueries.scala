@@ -484,7 +484,93 @@ object VectorQueries {
       |SELECT vec_id, label FROM r CROSS JOIN m
       |WHERE rn <= min_n ORDER BY vec_id""".stripMargin
 
+  // ---- simplified silhouette per label -------------------------------
+
+  /** Cluster-coherence audit: the centroid-based silhouette of every
+    * label over the embeddings table ([[graft.functions.Cluster
+    * .simplifiedSilhouette]] — a = own-centroid distance, b = nearest
+    * other centroid, s = (b−a)/max(a,b), averaged per label). One
+    * corpus scan against collected class-grain centroid literals; the
+    * per-label mean sums integer micros, so only the final division
+    * touches doubles. */
+  def silhouette(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Cluster.simplifiedSilhouette(embs(s, dir), "embedding", "label")
+
+  /** The oracle recomputes the same rounded-sum centroids, the same
+    * d² = x·x − 2·x·c + c·c via `list_dot_product` (ascending fold =
+    * the [[graft.functions.DotProduct]] order), and the same
+    * micros-scaled integer mean. */
+  val silhouetteSql: String =
+    """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |                  embedding::DOUBLE[] AS v FROM embeddings),
+      |cent AS (
+      |  SELECT label, pos, round(round(SUM(v), 6) / COUNT(*), 6) AS c
+      |  FROM (SELECT label, CAST(generate_subscripts(v, 1) AS INT) AS pos,
+      |               unnest(v) AS v
+      |        FROM e)
+      |  GROUP BY label, pos),
+      |cl AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+      |d AS (
+      |  SELECT e.vec_id, e.label, cl.label AS clabel,
+      |         list_dot_product(e.v, e.v)
+      |           - 2.0 * list_dot_product(e.v, cl.cv)
+      |           + list_dot_product(cl.cv, cl.cv) AS d2
+      |  FROM e CROSS JOIN cl),
+      |ab AS (
+      |  SELECT vec_id, label,
+      |         sqrt(greatest(MAX(CASE WHEN clabel = label THEN d2 END), 0)) AS a,
+      |         sqrt(greatest(MIN(CASE WHEN clabel <> label THEN d2 END), 0)) AS b
+      |  FROM d GROUP BY vec_id, label),
+      |s AS (
+      |  SELECT label,
+      |         CAST(round(
+      |           (CASE WHEN greatest(a, b) > 0
+      |                 THEN (b - a) / greatest(a, b) ELSE 0 END) * 1000000.0)
+      |           AS BIGINT) AS m
+      |  FROM ab)
+      |SELECT label, COUNT(*) AS n,
+      |       round(CAST(SUM(m) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6)
+      |         AS mean_silhouette
+      |FROM s GROUP BY label ORDER BY label""".stripMargin
+
+  // ---- per-dimension standardization (whitening) -----------------------
+
+  /** Embedding preprocessing: standardize every dimension to zero mean
+    * / unit variance over the corpus (the diagonal "whitening" step
+    * before PCA/ANN training that stops high-variance dims from
+    * dominating L2 distances). posexplode → one (dim) hash aggregation
+    * — 64 rows of stats at any corpus size — broadcast back onto the
+    * scan; the normalized values are a narrow projection. Determinism:
+    * mean/sd derive from exact BIGINT sums of 1e6-scaled values via one
+    * fixed formula ([[graft.queries.HistoryQueries.zscoreNorm]]'s
+    * contract, per dimension; decimal(38) swap documented for corpora
+    * where Σ(scaled²) nears the BIGINT range). */
+  def whitenDims(s: SparkSession, dir: String): DataFrame =
+    VectorSketch.standardizeDims(embs(s, dir), "vec_id", "embedding")
+      .orderBy("vec_id", "pos")
+
+  val whitenDimsSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |sc AS (SELECT vec_id, pos, v, CAST(round(v * 1000000.0) AS BIGINT) AS sv FROM e),
+      |st AS (SELECT pos, COUNT(*) AS n, CAST(SUM(sv) AS BIGINT) AS m,
+      |              CAST(SUM(sv * sv) AS BIGINT) AS q
+      |       FROM sc GROUP BY pos),
+      |f AS (SELECT pos,
+      |             CAST(m AS DOUBLE) / n / 1000000.0 AS mean,
+      |             sqrt(CAST(q AS DOUBLE) / n / 1000000000000.0
+      |                  - (CAST(m AS DOUBLE) / n / 1000000.0)
+      |                    * (CAST(m AS DOUBLE) / n / 1000000.0)) AS sd
+      |      FROM st)
+      |SELECT e.vec_id, e.pos,
+      |       CASE WHEN f.sd > 0 THEN round((e.v - f.mean) / f.sd, 6) END AS z
+      |FROM e JOIN f USING (pos) ORDER BY vec_id, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_silhouette" -> (silhouette _),
+    "q_whiten_dims" -> (whitenDims _),
     "q_label_noise" -> (labelNoise _),
     "q_class_balance" -> (classBalance _),
     "q_margin_mining" -> (marginMining _),
@@ -496,6 +582,8 @@ object VectorQueries {
     "q_hash_embedding" -> (hashEmbedding _))
 
   val oracles: Map[String, String] = Map(
+    "q_silhouette" -> silhouetteSql,
+    "q_whiten_dims" -> whitenDimsSql,
     "q_label_noise" -> labelNoiseSql,
     "q_class_balance" -> classBalanceSql,
     "q_margin_mining" -> marginMiningSql,

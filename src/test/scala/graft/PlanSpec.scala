@@ -32,13 +32,37 @@ class PlanSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
   test("PIT join: ts bounds pushed into the parquet scan, no window operator") {
+    // single view + caller tie-break → the custom sort-merge as-of plan:
+    // no candidate join, no max_by, each side shuffled exactly once
     val plan = graft.queries.CoreQueries.pitJoinSingle(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
       s"expected l_shipdate bound pushed to scan:\n$plan")
     assert(!plan.contains("Window"), s"PIT join must not use a window:\n$plan")
+    assert(plan.contains("AsOfJoin"),
+      s"single-view tie-broken PIT should ride the sort-merge as-of plan:\n$plan")
+  }
+
+  test("PIT join declarative fallback (no tie-break): partial max_by, no window") {
+    import org.apache.spark.sql.functions._
+    import java.time.Duration
+    import graft.model._
+    import graft.operators.PointInTimeJoin
+    // same workload as pitJoinSingle but WITHOUT tieBreakCols — the
+    // payload-max declarative path must keep its partial-agg shape
+    val entity = spark.read.parquet(s"$sfDir/orders.parquet").select(
+      col("o_orderkey"), (col("o_orderdate") + expr("INTERVAL 365 DAY")).as("event_timestamp"))
+    val src = FileSource(s"$sfDir/lineitem.parquet", eventTimestampColumn = "l_shipdate")
+    val view = FeatureView("li", Seq("order"),
+      Seq(Feature("l_quantity", GraftType.Dbl)), Duration.ofDays(400), src)
+    val feat = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"), col("l_quantity"))
+    val plan = PointInTimeJoin.join(entity,
+        Seq(PointInTimeJoin.ViewJoin(view, Seq("o_orderkey"), Seq("l_quantity"), feat)))
+      .queryExecution.executedPlan.toString
     assert(plan.contains("partial_max_by"),
-      s"PIT candidate reduction must be a partial-aggregating max_by:\n$plan")
+      s"declarative PIT candidate reduction must be a partial-aggregating max_by:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("AsOfJoin"))
   }
 
   test("pullLatest: partial aggregation before the shuffle") {
