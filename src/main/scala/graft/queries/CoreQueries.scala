@@ -901,6 +901,49 @@ object CoreQueries {
        |FROM c CROSS JOIN t
        |ORDER BY n_rows DESC, l_orderkey ASC LIMIT $SkewTopK""".stripMargin
 
+  // ---- z-order layout audit ------------------------------------------
+
+  private val ZBits = 14
+  private val ZBucketShift = 2 * ZBits - 8 // keep the top 8 z bits → ≤256 buckets
+
+  /** Z-order (Morton) clustering audit over orders on (custkey,
+    * order-day): every row's z-value from [[graft.functions.ZOrder
+    * .interleave]], bucketed by the top z bits — each bucket is the
+    * row set a z-ordered file would hold, and the per-bucket min/max of
+    * BOTH dimensions shows the tight rectangles that make file-stat
+    * pruning work on either predicate (the lakehouse OPTIMIZE ZORDER
+    * layout; the production move is repartitionByRange on the z-value
+    * ahead of the write). Pure integer bit arithmetic — exact on any
+    * engine. */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val mask = (1L << ZBits) - 1
+    val o = pq(s, dir, "orders").select(
+      col("o_custkey").bitwiseAND(lit(mask)).as("x"),
+      datediff(to_date(col("o_orderdate")), lit(java.sql.Date.valueOf("1970-01-01")))
+        .cast("long").bitwiseAND(lit(mask)).as("y"))
+    o.withColumn("z", graft.functions.ZOrder.interleave(col("x"), col("y"), ZBits))
+      .withColumn("bucket", shiftright(col("z"), ZBucketShift))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"))
+      .orderBy("bucket")
+  }
+
+  val zorderLayoutSql: String = {
+    val z = graft.functions.ZOrder.interleaveSql("x", "y", ZBits)
+    val mask = (1L << ZBits) - 1
+    s"""WITH base AS (
+       |  SELECT (o_custkey & $mask) AS x,
+       |         (date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) & $mask) AS y
+       |  FROM orders),
+       |zed AS (SELECT x, y, ($z) AS z FROM base)
+       |SELECT (z >> $ZBucketShift) AS bucket, COUNT(*) AS n_rows,
+       |       MIN(x) AS x_min, MAX(x) AS x_max,
+       |       MIN(y) AS y_min, MAX(y) AS y_max
+       |FROM zed GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
   // ---- bloom-filter semi-join pruning --------------------------------
 
   /** Runtime-filter join: lineitem joined to the selective slice of
@@ -934,6 +977,7 @@ object CoreQueries {
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder_layout" -> (zorderLayout _),
     "q_bloom_prune_join" -> (bloomPruneJoin _),
     "q_skew_report" -> (skewReport _),
     "q_pit_sortmerge" -> (pitJoinSortMerge _),
@@ -965,6 +1009,7 @@ object CoreQueries {
     "q_window_topk" -> (windowTopK _))
 
   val oracles: Map[String, String] = Map(
+    "q_zorder_layout" -> zorderLayoutSql,
     "q_bloom_prune_join" -> bloomPruneJoinSql,
     "q_skew_report" -> skewReportSql,
     "q_pit_sortmerge" -> pitJoinSingleSql,

@@ -620,6 +620,39 @@ object PipelineQueries {
       |SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** ANN recall@k evaluation — the index-quality harness every
+    * approximate similarity deployment needs: per query, the fraction
+    * of the exact brute-force top-k ([[annBruteForce]]) that the IVF
+    * index ([[annIvf]]) retrieved. Both legs are deterministic here, so
+    * even this EVALUATION is value-oracled — the DuckDB oracle recomputes
+    * both result sets and the same per-query overlap. Shape: the two
+    * k-bounded result sets join on (query, neighbor) — query-grain
+    * frames throughout, nothing corpus-sized after the legs
+    * themselves. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val bf = annBruteForce(s, dir).select(col("query_id"), col("neighbor_id"))
+    val iv = annIvf(s, dir).select(col("query_id"), col("neighbor_id"))
+      .withColumn("__hit", lit(1L))
+    bf.join(iv, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("__k"), sum(coalesce(col("__hit"), lit(0L))).as("n_common"))
+      .select(col("query_id"), col("n_common"),
+        round(col("n_common").cast("double") / col("__k"), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
+  val annRecallSql: String =
+    s"""WITH bf AS (
+       |  SELECT query_id, neighbor_id FROM ($annBruteForceSql)),
+       |iv AS (
+       |  SELECT query_id, neighbor_id FROM ($annIvfSql))
+       |SELECT bf.query_id,
+       |       CAST(COUNT(iv.neighbor_id) AS BIGINT) AS n_common,
+       |       round(COUNT(iv.neighbor_id) / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+       |FROM bf LEFT JOIN iv
+       |  ON iv.query_id = bf.query_id AND iv.neighbor_id = bf.neighbor_id
+       |GROUP BY bf.query_id ORDER BY query_id""".stripMargin
+
   /** IVF index persisted as a table artifact and searched after a
     * parquet round trip ([[Similarity.ivfBuildIndex]] →
     * write/read → [[Similarity.ivfSearchIndex]]) — the index-as-
@@ -2194,6 +2227,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_collocation_pmi" -> (collocationPmi _),
+    "q_ann_recall" -> (annRecall _),
     "q_temperature_sample" -> (temperatureSample _),
     "q_bm25_topk" -> (bm25TopK _),
     "q_hybrid_search" -> (hybridSearch _),
@@ -2253,6 +2287,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q_collocation_pmi" -> collocationPmiSql,
+    "q_ann_recall" -> annRecallSql,
     "q_temperature_sample" -> temperatureSampleSql,
     "q_bm25_topk" -> bm25TopKSql,
     "q_hybrid_search" -> hybridSearchSql,
