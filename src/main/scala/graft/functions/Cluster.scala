@@ -44,7 +44,11 @@ object Cluster {
     * @return one row per label: (label, n, mean_silhouette) with
     *         mean_silhouette rounded to 6 decimals.
     */
-  def simplifiedSilhouette(df: DataFrame, vecCol: String, labelCol: String): DataFrame = {
+  def simplifiedSilhouette(df0: DataFrame, vecCol: String, labelCol: String): DataFrame = {
+    // null labels have no centroid and no silhouette — drop them up
+    // front (a null surviving to the collected centroid rows would NPE
+    // on getLong with no hint at the cause)
+    val df = df0.filter(col(labelCol).isNotNull)
     // class-grain centroid matrix, collected like the PQ anchor matrix
     val centroids: Array[(Long, Array[Double])] = df
       .select(col(labelCol).cast("long").as("__l"),

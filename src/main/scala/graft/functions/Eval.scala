@@ -26,41 +26,30 @@ object Eval {
     * (each positive beats every lower-scored negative, half-beats each
     * tied negative; the numerator is kept ×2 so it stays an exact
     * BIGINT). Shape: one hash aggregation to the DISTINCT-SCORE grain,
-    * then a DISTRIBUTED prefix sum over that value-grain frame:
-    * range-partition by score, cumulative window within each partition
-    * (bounded slice, never a global sort partition), and add the
-    * preceding partitions' totals via a broadcast of the
-    * partition-count-sized offset frame — so a continuous score column
-    * whose distinct grain is near row-scale still never funnels
-    * through one reducer. Null scores/labels are excluded.
+    * then the shared DISTRIBUTED prefix sum
+    * ([[graft.functions.Packing.withStartOffset]]): negBelow(s) is the
+    * exclusive prefix of `__neg` in `__s` order. The slice id there is
+    * a pure function of the score (driver-sampled bounds +
+    * `SearchSorted`), NOT `spark_partition_id()` over a physical range
+    * exchange — so deriving both the per-slice offsets and the
+    * windowed prefix from the same frame is consistent by
+    * construction, with no dependency on Spark physically reusing an
+    * exchange (RangePartitioner samples with a per-execution seed;
+    * two instantiations may pick different bounds). A continuous
+    * score column whose distinct grain is near row-scale still never
+    * funnels through one reducer. Null scores/labels are excluded.
     *
     * @return one row: (n_pos, n_neg, auc_num2, auc) — auc null when
     *         either class is empty (undefined, not 0).
     */
   def aucExact(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val byScore = df
       .filter(scoreCol.isNotNull && labelCol.isNotNull)
       .select(scoreCol.as("__s"), labelCol.cast("boolean").as("__y"))
       .groupBy("__s")
       .agg(sum(col("__y").cast("long")).as("__pos"),
         sum((!col("__y")).cast("long")).as("__neg"))
-    // range partitioner keeps partition i's scores strictly below
-    // partition i+1's (AQE only coalesces adjacent ranges), so
-    // negBelow(s) = within-partition prefix + total of earlier ranges
-    val ranged = byScore.repartitionByRange(col("__s"))
-      .withColumn("__pid", spark_partition_id())
-    val wIn = Window.partitionBy("__pid").orderBy("__s")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wOff = Window.orderBy("__pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy("__pid").agg(sum("__neg").as("__pt"))
-      .withColumn("__off", coalesce(sum("__pt").over(wOff), lit(0L)))
-      .select("__pid", "__off")
-    ranged
-      .withColumn("__nbIn", coalesce(sum("__neg").over(wIn), lit(0L)))
-      .join(broadcast(offsets), "__pid")
-      .withColumn("__negBelow", col("__nbIn") + col("__off"))
+    Packing.withStartOffset(byScore, "__s", "__neg", outCol = "__negBelow")
       .agg(sum("__pos").as("n_pos"), sum("__neg").as("n_neg"),
         sum(col("__pos") * (lit(2L) * col("__negBelow") + col("__neg")))
           .as("auc_num2"))

@@ -651,7 +651,7 @@ object PipelineQueries {
        |       round(COUNT(iv.neighbor_id) / CAST(COUNT(*) AS DOUBLE), 6) AS recall
        |FROM bf LEFT JOIN iv
        |  ON iv.query_id = bf.query_id AND iv.neighbor_id = bf.neighbor_id
-       |GROUP BY bf.query_id ORDER BY query_id""".stripMargin
+       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
 
   /** IVF index persisted as a table artifact and searched after a
     * parquet round trip ([[Similarity.ivfBuildIndex]] →

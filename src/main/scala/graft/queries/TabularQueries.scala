@@ -124,8 +124,10 @@ object TabularQueries {
        |pr AS (SELECT round(CAST(sum(s_cf) AS DOUBLE) / sum(n_cf), 6) AS prior
        |       FROM cf)
        |SELECT cf.category, cf.fold, tot.n_c - cf.n_cf AS n_holdout,
-       |       round((CAST(tot.s_c - cf.s_cf AS DOUBLE) + $TeSmoothing * pr.prior)
-       |             / (CAST(tot.n_c - cf.n_cf AS DOUBLE) + $TeSmoothing), 6) AS encoding
+       |       CASE WHEN CAST(tot.n_c - cf.n_cf AS DOUBLE) + $TeSmoothing > 0 THEN
+       |         round((CAST(tot.s_c - cf.s_cf AS DOUBLE) + $TeSmoothing * pr.prior)
+       |               / (CAST(tot.n_c - cf.n_cf AS DOUBLE) + $TeSmoothing), 6)
+       |       END AS encoding
        |FROM cf JOIN tot USING (category) CROSS JOIN pr
        |ORDER BY category, fold""".stripMargin
 
