@@ -19,7 +19,18 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // Coalesce post-shuffle partitions by SIZE, not core count: with
+      // the default parallelismFirst=true AQE refuses to merge below
+      // defaultParallelism, so every tiny shuffle at bench sf runs 32
+      // dispatch-bound tasks (~5-10 ms each — measured to dominate the
+      // job wall). Size-based coalescing is also the 100 TB setting:
+      // there every shuffle dwarfs the advisory size and nothing
+      // under-parallelizes, while misestimated small stages stop
+      // fragmenting. 8 MB advisory keeps reduce tasks ~tens of ms.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

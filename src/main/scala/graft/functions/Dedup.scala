@@ -300,9 +300,9 @@ object Dedup {
     * (bytes / maxPartitionBytes), not `df.rdd.getNumPartitions` — the
     * latter forces physical planning + RDD DAG creation of the subtree
     * just to read a number. */
-  private[functions] def rebalance(df: DataFrame): DataFrame = {
+  private[graft] def rebalance(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val target = spark.sparkContext.defaultParallelism
+    val cores = spark.sparkContext.defaultParallelism
     val maxPartBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
     val sizeBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -313,7 +313,21 @@ object Dedup {
     val estParts =
       if (sizeBytes >= BigInt(Long.MaxValue)) df.rdd.getNumPartitions.toLong
       else (sizeBytes / maxPartBytes).toLong + 1
-    if (estParts < math.max(2, target / 2)) df.repartition(target) else df
+    if (estParts >= math.max(2, cores / 2)) return df
+    // Mis-partitioned (few fat partitions): spread — but SIZE the target
+    // to the data, not blindly to core count. Per-task floor ~64 KB of
+    // text: the per-row regex/hash work at ~1 MB/s/core makes that a
+    // ~60 ms task, comfortably above the ~5-10 ms dispatch cost a task
+    // must amortize; a 600 KB corpus split 32 ways would pay more in
+    // scheduling than it buys in parallelism (measured: most bench-sf
+    // job wall was pure task dispatch). Capped at core count — at real
+    // scale estParts is large and this branch never runs.
+    val bytes =
+      if (sizeBytes >= BigInt(Long.MaxValue)) BigInt(64L << 10) * cores
+      else sizeBytes
+    val target = math.max(1, math.min(cores.toLong,
+      (bytes / (64L << 10)).toLong + 1).toInt)
+    df.repartition(target)
   }
 
   /** Global line-level deduplication — the C4/RefinedWeb "drop any line

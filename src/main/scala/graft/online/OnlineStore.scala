@@ -294,18 +294,46 @@ class ParquetOnlineStore(
     val incoming = df.select(OnlineStore.guardNullKeys(cols, joinKeys, view.name): _*)
       .withColumn(BucketCol, bucketExpr(joinKeys, buckets))
     val tmp = p + ".tmp"
-    // repartition on the bucket column before partitionBy: partitionBy
-    // alone writes one file per (task × bucket) — up to tasks×buckets
-    // tiny files that every subsequent upsert has to re-list and
-    // re-open. With the repartition each bucket is one task -> one file.
-    // sortWithinPartitions on the keys: parquet row-group min/max stats
-    // become selective on the key columns, so future row-group-filtered
-    // point reads (and any key-ranged scan) skip most of a bucket.
-    def stage(d: DataFrame): Unit =
-      d.withColumn(BucketCol, bucketExpr(joinKeys, buckets))
+    // ONE-shuffle merge + layout (was: a latest-per-key groupBy shuffle
+    // FOLLOWED by a repartition-on-bucket shuffle — two exchanges per
+    // upsert where one suffices): route rows to their bucket partition,
+    // sort within each bucket by (keys ASC, order-key DESC), and keep
+    // the FIRST row of each consecutive key run in a narrow streaming
+    // pass. The order key is the exact latest-per-key total order
+    // ((ts, created, payload) — payload as the stable final tiebreak,
+    // PullLatest's contract), so "first after DESC sort" IS the LWW
+    // winner. The sort doubles as the store layout: each bucket is one
+    // task -> one file (partitionBy alone writes task×bucket files),
+    // and key-sorted row groups give selective min/max stats for
+    // point-read skipping. The keep-first pass is mapPartitions — a
+    // bounded iterator comparing adjacent rows, no hash table, spilling
+    // via the sort, so a bucket bigger than memory still merges.
+    // Callers with corpus-sized inputs pre-reduce map-side first
+    // (materialize's PullLatest): the shuffle here then carries
+    // key-grain rows, not input-grain.
+    def stage(d: DataFrame): Unit = {
+      val ordCols = (tsCol +: createdCol.toSeq).distinct
+      val payloadCols = (ordCols ++ view.featureNames).distinct
+      val outCols = (joinKeys ++ payloadCols).distinct :+ BucketCol
+      val payload = struct(payloadCols.map(col): _*)
+      val ordKey = struct((ordCols.map(col) :+ payload.as("__payload")): _*)
+      val sorted = d.withColumn(BucketCol, bucketExpr(joinKeys, buckets))
+        .select(outCols.map(col) :+ ordKey.as("__ord"): _*)
         .repartition(buckets, col(BucketCol))
-        .sortWithinPartitions(joinKeys.map(col): _*)
+        .sortWithinPartitions(
+          (col(BucketCol) +: joinKeys.map(col)) :+ col("__ord").desc: _*)
+      val kIdx = joinKeys.map(sorted.schema.fieldIndex)
+      val dedup = sorted.mapPartitions { it =>
+        var prev: Row = null
+        it.filter { r =>
+          val first = prev == null || kIdx.exists(i => r.get(i) != prev.get(i))
+          prev = r
+          first
+        }
+      }(org.apache.spark.sql.Encoders.row(sorted.schema))
+      dedup.drop("__ord")
         .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp)
+    }
 
     val liveBytes =
       if (fs.exists(hp(p))) fs.getContentSummary(hp(p)).getLength else -1L
@@ -313,7 +341,7 @@ class ParquetOnlineStore(
       // First write: nothing to merge — one pass, staging dir IS the
       // store. Marker goes into the staging dir BEFORE the rename so
       // data + marker appear atomically.
-      stage(PullLatest.latestPerKey(incoming, joinKeys, tsCol, createdCol, view.featureNames))
+      stage(incoming)
       writeBucketsMarker(fs, tmp)
       fs.rename(hp(tmp), hp(p))
     } else if (liveBytes <= smallStoreBytes) {
@@ -322,8 +350,7 @@ class ParquetOnlineStore(
       // .old before the swap reuses that name. Marker is staged with the
       // data, so the swap can't leave a marker-less bucketed table.
       val old = spark.read.parquet(p).select((cols :+ BucketCol).map(col): _*)
-      stage(PullLatest.latestPerKey(old.unionByName(incoming),
-        joinKeys, tsCol, createdCol, view.featureNames))
+      stage(old.unionByName(incoming))
       writeBucketsMarker(fs, tmp)
       val oldRoot = hp(p + ".old")
       fs.rename(hp(p), oldRoot)
@@ -342,8 +369,7 @@ class ParquetOnlineStore(
         val oldTouched = spark.read.parquet(p)
           .filter(col(BucketCol).isin(touched: _*))
           .select((cols :+ BucketCol).map(col): _*)
-        stage(PullLatest.latestPerKey(oldTouched.unionByName(cached),
-          joinKeys, tsCol, createdCol, view.featureNames))
+        stage(oldTouched.unionByName(cached))
         // Per-bucket rename-aside swap: old bucket moves OUT of the
         // dataset tree first (a `bucket=3.old` dir inside it would
         // corrupt partition discovery), then staged bucket renames in.

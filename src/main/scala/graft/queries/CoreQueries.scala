@@ -14,8 +14,13 @@ import graft.operators.PointInTimeJoin.ViewJoin
   *   - reads only /root/testdata parquet tables,
   *   - emits timestamps as epoch-millis BIGINT (removes µs/ns ambiguity),
   *   - rounds aggregated doubles,
-  *   - sorts rows on a unique key,
-  * so the Spark result and the DuckDB oracle hash identically.
+  * so the Spark result and the DuckDB oracle hash identically. The
+  * compare itself is ORDER-INSENSITIVE (the driver sorts both frames
+  * before hashing), so queries do NOT end in a cosmetic global
+  * `orderBy`: a presentation sort is a full range-exchange of the
+  * result — exactly the shuffle you would never add at 100 TB. Sorts
+  * survive only where they are semantic (top-k rank cuts, windowed
+  * sequences).
   */
 object CoreQueries {
 
@@ -50,7 +55,6 @@ object CoreQueries {
     out.select(col("o_orderkey"), col("o_custkey"),
         unix_millis(col("event_timestamp")).as("event_ts_ms"),
         col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
-      .orderBy("o_orderkey")
   }
 
   val pitJoinSingleSql: String =
@@ -94,7 +98,6 @@ object CoreQueries {
       .select(col("o_orderkey"), col("o_custkey"),
         unix_millis(col("event_timestamp")).as("event_ts_ms"),
         col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
-      .orderBy("o_orderkey")
   }
 
   /** O2: multi-view PIT join with full feature names. Entity df = events
@@ -128,7 +131,6 @@ object CoreQueries {
         unix_millis(col("event_timestamp")).as("event_ts_ms"),
         col("user_events__event_type"), col("user_events__value"),
         col("customer_orders__o_totalprice"), col("customer_orders__o_orderstatus"))
-      .orderBy("event_id")
   }
 
   val pitJoinMultiSql: String =
@@ -451,7 +453,6 @@ object CoreQueries {
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
 
   val aggPushdownSql: String =
     """SELECT l_returnflag, l_linestatus,
@@ -664,7 +665,6 @@ object CoreQueries {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
-      .orderBy("o_custkey", "rk")
   }
 
   val windowTopKSql: String =

@@ -50,7 +50,6 @@ object OnlineQueries {
     val out = store.tableDf(s, "graft_ci", "user_events")
       .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
         col("event_type"), col("value"))
-      .orderBy("user_id")
     val materialized = out.cache()
     materialized.count() // force before teardown
     store.teardown("graft_ci", Seq(fs.registry.getFeatureView("user_events")))

@@ -27,15 +27,18 @@ object PipelineQueries {
 
   // ---- text analysis --------------------------------------------------
 
+  /** [[Dedup.rebalance]] before the projection: a bench-sf documents
+    * table is one parquet file -> one scan task, serializing five
+    * regex passes on one core while the rest idle; at real scale the
+    * table is many files and the rebalance is a no-op. */
   def textStats(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(
+    Dedup.rebalance(docs(s, dir)).select(
       col("doc_id"),
       TF.tokenCount(col("text")).cast("long").as("n_tokens"),
       TF.bpeTokenEstimate(col("text")).cast("long").as("n_bpe_tokens"),
       TF.punctCount(col("text")).cast("long").as("punct_cnt"),
       TF.stopwordCount(col("text")).cast("long").as("stopword_cnt"),
       round(TF.qualityScore(col("text")), 4).as("quality"))
-    .orderBy("doc_id")
 
   val textStatsSql: String =
     """SELECT doc_id, n_tokens, n_bpe_tokens, punct_cnt, stopword_cnt,
@@ -430,7 +433,6 @@ object PipelineQueries {
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDupPairs(docsWithClones(s, dir), "doc_id", "text",
         shingleN = 3, k = 32, bands = 8, threshold = 0.999)
-      .orderBy("id_a", "id_b")
 
   val dedupMinhashSql: String =
     """WITH uni AS (
@@ -541,7 +543,6 @@ object PipelineQueries {
     Similarity.bruteForceTopK(q, "vec_id", "embedding", e, "vec_id", "embedding", k = 5)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cos"), 6).as("cos"), col("rank").cast("int").as("rank"))
-      .orderBy("query_id", "rank")
   }
 
   val annBruteForceSql: String =

@@ -59,7 +59,6 @@ object StreamQueries {
     val out = store.tableDf(s, "graft_stream", "user_events_stream")
       .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
         col("event_type"), col("value"))
-      .orderBy("user_id")
     val collected = out.cache(); collected.count()
     store.teardown("graft_stream", Seq(fs.registry.getFeatureView("user_events_stream")))
     collected

@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Dev probe: wall time of an AvailableNow foreachBatch(noop) over the
+  * same 2-file input q_stream_materialize replays — isolates the
+  * structured-streaming driver floor (query start, offset/commit WAL,
+  * micro-batch planning) from the store-upsert work. Dev-tool only. */
+object StreamFloor {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.sources.Tables.configure(spark)
+
+    val input = s"/tmp/graft_stream_in2_${Math.abs(sfDir.hashCode)}"
+    if (!new java.io.File(s"$input/_SUCCESS").exists()) {
+      graft.sources.Tables.read(spark, sfDir, "events")
+        .select("user_id", "ts", "event_type", "value")
+        .repartition(2)
+        .write.mode("overwrite").parquet(input)
+    }
+
+    def run(tag: String, maxFiles: Option[Int], body: DataFrame => Unit): Unit = {
+      val ckpt = s"/tmp/graft_floor_${java.util.UUID.randomUUID().toString.take(8)}"
+      val t0 = System.nanoTime()
+      val base = spark.readStream.format("parquet")
+        .schema(spark.read.parquet(input).schema)
+      val src = maxFiles.fold(base)(n => base.option("maxFilesPerTrigger", n))
+      val q = src.load(input)
+        .writeStream.outputMode("update").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => body(b) }
+        .start()
+      q.awaitTermination()
+      println(f"[floor] $tag wall=${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+
+    (0 until 3).foreach { i =>
+      run(s"noop-2batch run=$i", Some(1), _ => ())
+      run(s"noop-1batch run=$i", None, _ => ())
+      run(s"count-2batch run=$i", Some(1), b => { b.count(); () })
+    }
+    spark.stop()
+  }
+}
