@@ -92,18 +92,53 @@ object StreamFormat {
 object SourceReader {
   import org.apache.spark.sql.functions._
 
+  /** File-relation cache, the [[graft.sources.Tables.read]] policy
+    * applied to declared sources: resolving a file source builds a
+    * fresh file index (schema inference + listing job) per call, and
+    * feature-store sessions read the same immutable declared paths for
+    * every retrieval. Lazy logical plans only; stopped-session entries
+    * purged on access. Writers INSIDE the engine (ingest, stream->log)
+    * call [[invalidatePath]] after appending, so the next read re-lists;
+    * a path mutated by an external process mid-session needs a new
+    * session (same contract as [[graft.sources.Tables.read]]). */
+  private val fileRelCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String, Map[String, String]), DataFrame]()
+  private val volatilePaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def cachedFileRel(
+      spark: SparkSession, format: String, path: String,
+      options: Map[String, String]): DataFrame = {
+    if (volatilePaths.contains(path))
+      return spark.read.format(format).options(options).load(path)
+    fileRelCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    fileRelCache.computeIfAbsent((spark, format, path, options),
+      _ => spark.read.format(format).options(options).load(path))
+  }
+
+  /** Drop cached relations for `path` (every session/format/options) —
+    * called by engine writers after a one-shot append to a declared
+    * source path (ingest). */
+  def invalidatePath(path: String): Unit =
+    fileRelCache.keySet.removeIf(k => k._3 == path)
+
+  /** Mark `path` permanently uncacheable for this JVM — for paths a
+    * STREAMING sink appends to continuously (logStream), where a
+    * one-shot invalidation would still leave later reads stale. */
+  def markVolatilePath(path: String): Unit = {
+    volatilePaths.add(path)
+    invalidatePath(path)
+  }
+
   /** Batch read of a source: load, apply forward field mapping
     * (provider.py:251-260), leave timestamps native (session TZ is UTC —
     * O8 normalization happens at the session boundary). */
   def read(spark: SparkSession, source: DataSource): DataFrame = {
     val raw = source match {
-      case f: FileSource =>
-        spark.read.format(f.format).options(f.options).load(f.path)
+      case f: FileSource => cachedFileRel(spark, f.format, f.path, f.options)
       case t: TableSource => spark.table(t.table)
       case q: QuerySource => spark.sql(q.query)
       case d: DataFrameSource => d.df
-      case s: FileStreamSource =>
-        spark.read.format(s.format).load(s.path)
+      case s: FileStreamSource => cachedFileRel(spark, s.format, s.path, Map.empty)
       case k: KafkaSource =>
         throw new IllegalArgumentException(
           s"Kafka source ${k.topic} is stream-only; use graft.streaming")

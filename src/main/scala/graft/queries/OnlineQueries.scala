@@ -47,13 +47,13 @@ object OnlineQueries {
     val (fs, store) = freshStore(s, dir)
     fs.materialize(Seq("user_events"), T0, T1)
     fs.materialize(Seq("user_events"), T1b, T2)
-    val out = store.tableDf(s, "graft_ci", "user_events")
+    // Returned LAZY: the store lives under a per-call UUID dir, so no
+    // teardown is needed before the caller consumes it — the old
+    // cache+count+teardown tail cost a cache-fill job and a count job
+    // just to out-race the delete.
+    store.tableDf(s, "graft_ci", "user_events")
       .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
         col("event_type"), col("value"))
-    val materialized = out.cache()
-    materialized.count() // force before teardown
-    store.teardown("graft_ci", Seq(fs.registry.getFeatureView("user_events")))
-    materialized
   }
 
   val materializeRoundtripSql: String =

@@ -55,13 +55,12 @@ object StreamQueries {
       trigger = Trigger.AvailableNow(), checkpointDir = Some(s"$tmp/ckpt"))
     q.awaitTermination()
 
+    // Lazy dump — the store sits under this run's UUID tmp dir, so
+    // there is no teardown to out-race (see materializeRoundtrip).
     val store = fs.onlineStore.asInstanceOf[ParquetOnlineStore]
-    val out = store.tableDf(s, "graft_stream", "user_events_stream")
+    store.tableDf(s, "graft_stream", "user_events_stream")
       .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
         col("event_type"), col("value"))
-    val collected = out.cache(); collected.count()
-    store.teardown("graft_stream", Seq(fs.registry.getFeatureView("user_events_stream")))
-    collected
   }
 
   val streamMaterializeSql: String =

@@ -32,11 +32,26 @@ object Tables {
 
   /** Read a testdata table with all timestamp columns normalized to µs
     * TimestampType. `nanosLongCols` marks INT64-nanos physical columns
-    * (the `events.ts` case). */
+    * (the `events.ts` case).
+    *
+    * The resolved relation is CACHED per (session, dir, table) — what a
+    * catalog does. `spark.read.parquet` builds a fresh file index every
+    * call (schema inference + file listing = a driver job), so a bench
+    * or serving session issuing many queries over the same immutable
+    * tables re-paid listing per query. The cache holds lazy logical
+    * plans only (no data); entries of stopped sessions are purged on
+    * access. Testdata is immutable for a session's lifetime — a mutated
+    * dir would need an explicit new session (same contract as the
+    * multiget store cache). */
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
-    configure(spark)
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    normalize(df, if (name == "events") Seq("ts") else Nil)
+    relationCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    relationCache.computeIfAbsent((spark, dir, name), _ => {
+      configure(spark)
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      normalize(df, if (name == "events") Seq("ts") else Nil)
+    })
   }
 
   def normalize(df: DataFrame, nanosLongCols: Seq[String]): DataFrame =

@@ -112,6 +112,7 @@ class FeatureStore(
             graft.sources.DatePartition.write(renamed, f.path, f.eventTimestampColumn, dc, mode)
           case None => renamed.write.mode(mode).parquet(f.path)
         }
+        SourceReader.invalidatePath(f.path) // cached listings are stale now
       case other => throw new IllegalArgumentException(
         s"ingest supports FileSource views; ${view.name} reads from $other")
     }

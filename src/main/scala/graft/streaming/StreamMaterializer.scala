@@ -40,14 +40,16 @@ object StreamMaterializer {
       .outputMode("update")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          // No pre-reduction: upsert's merge already runs latest-per-key
-          // over (existing ∪ batch), so reducing the batch first would
-          // just add a shuffle per micro-batch. Keys cast to entity
-          // dtypes so bucket routing matches coerced reads.
-          fs.onlineStore.upsert(fs.project, view, keys,
-            fs.castKeyColumns(batch, view), tsCol, createdCol)
-        }
+        // No pre-reduction: upsert's merge already runs latest-per-key
+        // over (existing ∪ batch), so reducing the batch first would
+        // just add a shuffle per micro-batch. No isEmpty pre-check
+        // either: it cost a scan job + plan cycle on EVERY batch to
+        // save work only on the empty ones (rare under file triggers),
+        // and upserting an empty frame is a cheap no-op merge. Keys
+        // cast to entity dtypes so bucket routing matches coerced
+        // reads.
+        fs.onlineStore.upsert(fs.project, view, keys,
+          fs.castKeyColumns(batch, view), tsCol, createdCol)
         ()
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
@@ -146,6 +148,9 @@ object StreamMaterializer {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .trigger(trigger)
+    // The sink appends for as long as the query runs: cached listings
+    // of this path would go stale on every micro-batch.
+    SourceReader.markVolatilePath(sink.path)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer).start()
   }
 

@@ -33,6 +33,7 @@ object ProfileQ {
     @volatile var stages = 0
     @volatile var tasks = 0
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val starts0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val p = Option(js.properties)
@@ -40,6 +41,7 @@ object ProfileQ {
         val site = p.map(_.getProperty("callSite.short", "")).getOrElse("")
         val nTasks = js.stageInfos.map(_.numTasks).sum
         starts.put(js.jobId, (System.nanoTime(), s"tasks=$nTasks $site ${desc.replace('\n', ' ')}"))
+        starts0.put(js.jobId, System.nanoTime())
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(starts.remove(je.jobId)).foreach { case (t0, d) =>
@@ -62,7 +64,8 @@ object ProfileQ {
       val jobSum = jobs.map(_._2).sum / 1000.0
       println(f"[profile] run=$i wall=$wall%.3f s jobs=${jobs.size} jobWallSum=$jobSum%.3f s stages=$stages tasks=$tasks")
       jobs.sortBy(_._1).foreach { case (id, ms, d) =>
-        println(f"[profile]   job=$id%3d ${ms / 1000.0}%7.3f s  ${d.take(100)}")
+        val off = (starts0.getOrDefault(id, 0L) - t0) / 1e9
+        println(f"[profile]   job=$id%3d @$off%7.3f ${ms / 1000.0}%7.3f s  ${d.take(100)}")
       }
     }
     spark.stop()
