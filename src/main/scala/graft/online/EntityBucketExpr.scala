@@ -1,0 +1,103 @@
+package graft.online
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native bucket routing for the parquet online store: hash the
+  * canonical entity-key serialization ([[EntityKeyCodec]] — sorted key
+  * names, tag + LE length prefix + LE value) straight off the
+  * InternalRow and take it mod the bucket count.
+  *
+  * Replaces a Scala UDF over a struct of the key columns: the UDF paid
+  * a Catalyst->external Row conversion, per-row tuple allocation, and a
+  * re-sort of the key names for EVERY input row — on the store write
+  * path that meant boxing the full micro-batch before it ever reached
+  * the shuffle. Here the name-block prefix is serialized once at plan
+  * time and each row appends only its value bytes.
+  *
+  * MUST stay the exact twin of the driver-side
+  * [[EntityKeyCodec.hashKey]] % buckets (point reads route with that) —
+  * pinned by PureSpec against random key values.
+  */
+case class EntityBucketId(
+    children: Seq[Expression],
+    keyNames: Seq[String],
+    buckets: Int) extends Expression with CodegenFallback {
+  require(children.length == keyNames.length,
+    "one child expression per join key")
+  require(keyNames == keyNames.sorted,
+    "builder must pass keys pre-sorted by name (EntityKeyCodec order)")
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "entity_bucket_id"
+
+  private def writeLe32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+    out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+  }
+  private def writeLe64(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    writeLe32(out, v.toInt); writeLe32(out, (v >>> 32).toInt)
+  }
+
+  // name block is row-invariant: serialize once
+  private lazy val namePrefix: Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    keyNames.foreach { n =>
+      val nb = n.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      writeLe32(out, nb.length); out.write(nb, 0, nb.length)
+    }
+    out.toByteArray
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val out = new java.io.ByteArrayOutputStream(namePrefix.length + 16 * children.length)
+    out.write(namePrefix, 0, namePrefix.length)
+    var i = 0
+    while (i < children.length) {
+      val c = children(i)
+      val v = c.eval(input)
+      if (v == null) throw new IllegalArgumentException(
+        s"null entity key '${keyNames(i)}' reached bucket routing " +
+          "(guardNullKeys should reject these upstream)")
+      c.dataType match {
+        case StringType =>
+          val b = v.asInstanceOf[UTF8String].getBytes
+          out.write(1); writeLe32(out, b.length); out.write(b, 0, b.length)
+        case BinaryType =>
+          val b = v.asInstanceOf[Array[Byte]]
+          out.write(2); writeLe32(out, b.length); out.write(b, 0, b.length)
+        case IntegerType =>
+          out.write(3); writeLe32(out, 4); writeLe32(out, v.asInstanceOf[Int])
+        case LongType =>
+          out.write(4); writeLe32(out, 8); writeLe64(out, v.asInstanceOf[Long])
+        case other => throw new IllegalArgumentException(
+          s"unsupported entity key type for '${keyNames(i)}': $other " +
+            "(STRING/BYTES/INT32/INT64 only)")
+      }
+      i += 1
+    }
+    (EntityKeyCodec.murmur3Seed0(out.toByteArray) % buckets).toInt
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+object EntityBucketExpr {
+  import org.apache.spark.sql.graftshim.ColumnShim
+
+  /** bucket id column over `joinKeys` (any order; sorted internally to
+    * the canonical serialization order). */
+  def bucketId(joinKeys: Seq[String], buckets: Int): Column = {
+    val sorted = joinKeys.sorted
+    ColumnShim.column(EntityBucketId(
+      sorted.map(n => ColumnShim.expression(org.apache.spark.sql.functions.col(n))),
+      sorted, buckets))
+  }
+}

@@ -267,19 +267,11 @@ class ParquetOnlineStore(
     (EntityKeyCodec.hashKey(keys) % buckets).toInt
 
   /** Spark-side bucket id over the (sorted) join-key columns — must stay
-    * the driver-side bucketOf's exact twin. */
-  private def bucketExpr(joinKeys: Seq[String], buckets: Int): org.apache.spark.sql.Column = {
-    val sorted = joinKeys.sorted
-    val n = buckets
-    val f = new org.apache.spark.sql.api.java.UDF1[Row, Int] {
-      def call(r: Row): Int = {
-        val kvs = sorted.zipWithIndex.map { case (k, i) => k -> r.get(i) }
-        (EntityKeyCodec.hashKey(kvs) % n).toInt
-      }
-    }
-    udf(f, org.apache.spark.sql.types.IntegerType)
-      .apply(struct(sorted.map(col): _*))
-  }
+    * the driver-side bucketOf's exact twin ([[EntityBucketExpr]], the
+    * native expression that hashes the canonical serialization off the
+    * InternalRow without the old UDF's per-row struct boxing). */
+  private def bucketExpr(joinKeys: Seq[String], buckets: Int): org.apache.spark.sql.Column =
+    EntityBucketExpr.bucketId(joinKeys, buckets)
 
   def upsert(project: String, view: FeatureView, joinKeys: Seq[String],
       df: DataFrame, tsCol: String, createdCol: Option[String]): Unit = {

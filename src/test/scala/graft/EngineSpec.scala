@@ -1097,4 +1097,25 @@ class EngineSpec extends AnyFunSuite {
       .select("id", "w").as[(Long, String)].collect().toSet
     assert(got3 == Set((1L, "k1")))
   }
+
+  test("EntityBucketExpr matches driver-side EntityKeyCodec routing on random keys") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // mixed-type composite key (string + long), names deliberately NOT
+    // pre-sorted — the expression must sort to the canonical order
+    val rows = (0 until 500).map { i =>
+      (rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString, rnd.nextLong(), i)
+    }
+    val df = rows.toDF("zone", "user_id", "idx")
+    for (buckets <- Seq(1, 8, 32)) {
+      val got = df.withColumn("b",
+          graft.online.EntityBucketExpr.bucketId(Seq("user_id", "zone"), buckets))
+        .select("idx", "b").as[(Int, Int)].collect().toMap
+      rows.foreach { case (z, u, i) =>
+        val want = (graft.online.EntityKeyCodec.hashKey(
+          Seq("zone" -> z, "user_id" -> u)) % buckets).toInt
+        assert(got(i) == want, s"bucket mismatch for ($z, $u) at buckets=$buckets")
+      }
+    }
+  }
 }
