@@ -103,26 +103,75 @@ object Similarity {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,
       anchors: Array[Array[Float]], m: Int, subDim: Int,
-      k: Int, excludeSelf: Boolean = true): DataFrame = {
-    val qRows: Array[(Any, Array[Float])] = queries
-      .select(col(qIdCol), col(qVecCol))
-      .collect()
-      .map(r => (r.get(0), r.getSeq[Float](1).toArray))
-    if (qRows.isEmpty)
+      k: Int, excludeSelf: Boolean = true,
+      maxLiteralQueries: Int = 256): DataFrame = {
+    // Path gate: ONE bounded action (limit n+1) decides. At or below
+    // the threshold the collected rows ARE the query set and per-query
+    // LUTs inline as plan literals (plan size O(|Q|·m·c) — fastest for
+    // serving-style batches). Above it — the batch-scoring shape,
+    // "embed 1M docs, find their neighbors" — a literal plan would
+    // explode and the collect would OOM the driver, so LUTs are
+    // computed DISTRIBUTIVELY (plan size O(m·c·subDim), constant in
+    // |Q|) and joined to the code table. Both paths fold identically
+    // (ascending-d, ascending-s, left-associative), so they are
+    // bit-identical — pinned by PipelineSpec.
+    val qProbe = queries.select(col(qIdCol), col(qVecCol))
+      .limit(maxLiteralQueries + 1).collect()
+    if (qProbe.isEmpty)
       return emptyAdcResult(queries, qIdCol, corpus, idCol)
     // codes computed ONCE per corpus vector, shared by every query's ADC
     val coded = corpus.select(
       col(idCol).as("__cid") +: pqCodeCols(col(vecCol), anchors, m, subDim): _*)
-    val perQuery = qRows.map { case (qid, qv) =>
-      struct(lit(qid).as("qid"),
-        adcColumn(pqLut(qv, anchors, m, subDim), m).as("adc"))
+    val scored = if (qProbe.length <= maxLiteralQueries) {
+      val qRows = qProbe.map(r => (r.get(0), r.getSeq[Float](1).toArray))
+      val perQuery = qRows.map { case (qid, qv) =>
+        struct(lit(qid).as("qid"),
+          adcColumn(pqLut(qv, anchors, m, subDim), m).as("adc"))
+      }
+      coded
+        .select(col("__cid"), explode(array(perQuery.toIndexedSeq: _*)).as("__q"))
+        .select(col("__q.qid").as("__qid"), col("__cid"),
+          (-col("__q.adc")).as("__cos"))
+    } else {
+      val lutDf = queries.select(col(qIdCol).as("__qid"),
+        pqLutCol(col(qVecCol), anchors, m, subDim).as("__lut"))
+      // broadcast while the LUT table fits comfortably (~64 MB);
+      // beyond that the all-pairs scoring runs as a partitioned
+      // cross join — |Q|×|corpus| pair evaluation is inherent to
+      // full ADC scoring (IVF-PQ is the pruned variant)
+      val nQ = lutDf.count()
+      val lutSide =
+        if (nQ * m.toLong * anchors.length * 8L <= (64L << 20)) broadcast(lutDf)
+        else lutDf
+      coded.crossJoin(lutSide)
+        .select(col("__qid"), col("__cid"), (-lutAdcColumn(m)).as("__cos"))
     }
-    val scored = coded
-      .select(col("__cid"), explode(array(perQuery.toIndexedSeq: _*)).as("__q"))
-      .select(col("__q.qid").as("__qid"), col("__cid"),
-        (-col("__q.adc")).as("__cos"))
     adcTopK(scored, k, excludeSelf)
   }
+
+  /** Distributed twin of [[pqLut]]: the per-query LUT as ONE column
+    * expression over the query vector — plan size O(m·c·subDim),
+    * independent of |Q|. Fold order matches pqLut exactly
+    * ((q_i − a_i)² accumulated ascending d, left-associative), so both
+    * paths produce bit-identical distances. */
+  private def pqLutCol(vec: Column, anchors: Array[Array[Float]],
+      m: Int, subDim: Int): Column =
+    array((0 until m).map { s =>
+      array(anchors.toIndexedSeq.map { a =>
+        (0 until subDim).map { d =>
+          val i = s * subDim + d
+          val diff = element_at(vec, i + 1).cast("double") - lit(a(i).toDouble)
+          diff * diff
+        }.reduce(_ + _)
+      }: _*)
+    }: _*)
+
+  /** Σ_s __lut[s][__code_s] for the join path — the [[adcColumn]] fold
+    * (ascending s) over the joined LUT column instead of a literal. */
+  private def lutAdcColumn(m: Int): Column =
+    (0 until m).map(s =>
+      element_at(element_at(col("__lut"), s + 1), col(s"__code$s") + 1))
+      .reduce(_ + _)
 
   /** Per-subquantizer squared-L2 LUT for one query vector: LUT[s][c] =
     * ‖q_s − a_c,s‖², folded ascending-d left-associative — the SAME
@@ -200,17 +249,22 @@ object Similarity {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nCells: Int, nProbe: Int,
-      m: Int, subDim: Int, excludeSelf: Boolean = true): DataFrame = {
+      m: Int, subDim: Int, excludeSelf: Boolean = true,
+      maxLiteralQueries: Int = 256): DataFrame = {
     require(nProbe <= nCells, s"nProbe=$nProbe must be <= nCells=$nCells")
     val qSpark = queries.sparkSession
     val anchorRows = corpus.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol), col(vecCol)).collect()
     val anchors: Array[Array[Float]] = anchorRows.map(_.getSeq[Float](1).toArray)
     val cellIds: Array[Any] = anchorRows.map(_.get(0))
-    val qRows = queries.select(col(qIdCol), col(qVecCol)).collect()
-      .map(r => (r.get(0), r.getSeq[Float](1).toArray))
-    if (qRows.isEmpty || anchors.isEmpty)
+    // Path gate — same policy as [[pqAdcTopK]]: anchors are ALWAYS
+    // bounded (nCells rows) and collect fine; the QUERY batch is not.
+    // One limit(n+1) action decides literal vs distributed.
+    val qProbeRows = queries.select(col(qIdCol), col(qVecCol))
+      .limit(maxLiteralQueries + 1).collect()
+    if (qProbeRows.isEmpty || anchors.isEmpty)
       return emptyAdcResult(queries, qIdCol, corpus, idCol)
+    val qRows = qProbeRows.map(r => (r.get(0), r.getSeq[Float](1).toArray))
 
     // same fold order as list_dot_product / the `dot` column fn
     def ddot(a: Array[Float], b: Array[Float]): Double = {
@@ -236,37 +290,68 @@ object Similarity {
       .select(col(idCol).as("__cid") +: col("cell") +:
         pqCodeCols(col(vecCol), anchors, m, subDim): _*)
 
-    // probe the nProbe nearest cells per query by cosine (driver-side —
-    // queries and anchors are already collected); anchor position order
-    // IS ascending cell-id order, so the (cos desc, position asc) sort
-    // matches the oracle's (c DESC, cell_id ASC) tie-break
-    val probePairs: Seq[(Any, Int)] = qRows.zipWithIndex.toSeq.flatMap {
-      case ((_, qv), qi) =>
-        anchors.indices
-          .map(i => (dcos(qv, anchors(i)), i))
-          .sortBy { case (c, i) => (-c, i) }
-          .take(nProbe).map { case (_, i) => (cellIds(i), qi) }
+    val scored = if (qRows.length <= maxLiteralQueries) {
+      // LITERAL path (bounded serving batches): probe the nProbe
+      // nearest cells per query by cosine driver-side; anchor position
+      // order IS ascending cell-id order, so the (cos desc, position
+      // asc) sort matches the oracle's (c DESC, cell_id ASC) tie-break
+      val probePairs: Seq[(Any, Int)] = qRows.zipWithIndex.toSeq.flatMap {
+        case ((_, qv), qi) =>
+          anchors.indices
+            .map(i => (dcos(qv, anchors(i)), i))
+            .sortBy { case (c, i) => (-c, i) }
+            .take(nProbe).map { case (_, i) => (cellIds(i), qi) }
+      }
+      // broadcast (cell -> query) probe join: only PROBED (corpus row ×
+      // query) pairs ever materialize — the coarse pruning cuts row
+      // processing, not just ADC arithmetic (the ivfTopK shape)
+      val probedDf = qSpark.createDataFrame(
+        qSpark.sparkContext.parallelize(
+          probePairs.map { case (c, qi) => org.apache.spark.sql.Row(c, qi) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cell",
+            anchorRows.head.schema(0).dataType),
+          org.apache.spark.sql.types.StructField("__qi",
+            org.apache.spark.sql.types.IntegerType))))
+      // per-query qid/ADC resolved by query index: when-chains evaluate
+      // only on the probed pairs the join produced
+      val qidCol = coalesce(qRows.zipWithIndex.map { case ((qid, _), qi) =>
+        when(col("__qi") === qi, lit(qid)) }.toIndexedSeq: _*)
+      val adcCol = coalesce(qRows.zipWithIndex.map { case ((_, qv), qi) =>
+        when(col("__qi") === qi, adcColumn(pqLut(qv, anchors, m, subDim), m))
+      }.toIndexedSeq: _*)
+      coded.join(broadcast(probedDf), "cell")
+        .select(qidCol.as("__qid"), col("__cid"), (-adcCol).as("__cos"))
+    } else {
+      // DISTRIBUTED path (corpus-sized query batches — batch scoring):
+      // probes AND LUTs computed on executors with plan size
+      // O(nCells·dim + m·c·subDim), constant in |Q|. The per-anchor
+      // cosine reuses the codegen'd DotProduct with the exact ddot fold
+      // (ascending i, double products), and the probe cut replays the
+      // driver sort: ascending (negcos, pos). Probed (qid, lut, cell)
+      // rows join the code table ON CELL — the same pruned join shape
+      // as the literal path, so a hot cell shuffles, never a cross
+      // product. Bit-parity with the literal path is pinned by
+      // PipelineSpec.
+      val qFeat = queries.select(col(qIdCol).as("__qid"),
+        col(qVecCol).as("__qvec"),
+        pqLutCol(col(qVecCol), anchors, m, subDim).as("__lut"))
+      val cand = array(anchors.indices.map { i =>
+        val av = typedlit(anchors(i).map(_.toDouble).toSeq)
+        val cos = DotProductExpr.dot(col("__qvec"), av) /
+          (sqrt(DotProductExpr.dot(col("__qvec"), col("__qvec"))) *
+            sqrt(DotProductExpr.dot(av, av)))
+        struct((-cos).as("negcos"), lit(i).as("pos"))
+      }.toIndexedSeq: _*)
+      val cellIdArr = array(cellIds.toIndexedSeq.map(c => lit(c)): _*)
+      val probed = qFeat
+        .select(col("__qid"), col("__lut"),
+          explode(slice(array_sort(cand), 1, nProbe)).as("__p"))
+        .select(col("__qid"), col("__lut"),
+          element_at(cellIdArr, col("__p.pos") + 1).as("cell"))
+      coded.join(probed, "cell")
+        .select(col("__qid"), col("__cid"), (-lutAdcColumn(m)).as("__cos"))
     }
-    // broadcast (cell -> query) probe join: only PROBED (corpus row ×
-    // query) pairs ever materialize — the coarse pruning cuts row
-    // processing, not just ADC arithmetic (the ivfTopK shape)
-    val probedDf = qSpark.createDataFrame(
-      qSpark.sparkContext.parallelize(
-        probePairs.map { case (c, qi) => org.apache.spark.sql.Row(c, qi) }, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cell",
-          anchorRows.head.schema(0).dataType),
-        org.apache.spark.sql.types.StructField("__qi",
-          org.apache.spark.sql.types.IntegerType))))
-    // per-query qid/ADC resolved by query index: when-chains evaluate
-    // only on the probed pairs the join produced
-    val qidCol = coalesce(qRows.zipWithIndex.map { case ((qid, _), qi) =>
-      when(col("__qi") === qi, lit(qid)) }.toIndexedSeq: _*)
-    val adcCol = coalesce(qRows.zipWithIndex.map { case ((_, qv), qi) =>
-      when(col("__qi") === qi, adcColumn(pqLut(qv, anchors, m, subDim), m))
-    }.toIndexedSeq: _*)
-    val scored = coded.join(broadcast(probedDf), "cell")
-      .select(qidCol.as("__qid"), col("__cid"), (-adcCol).as("__cos"))
     adcTopK(scored, k, excludeSelf)
   }
 

@@ -121,6 +121,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= recall0, s"k-means recall $recall should be >= unrefined $recall0")
   }
 
+  test("ADC/IVF-PQ distributed-LUT path is bit-identical to the literal path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 300).map { i =>
+      (i.toLong, Array.fill(16)((rnd.nextGaussian() * 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 40)
+    val anchors = corpus.orderBy("vec_id").limit(8)
+      .collect().map(_.getSeq[Float](1).toArray)
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    // threshold above |Q| -> literal; below -> distributed join path
+    val litAdc = Similarity.pqAdcTopK(queries, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", anchors, m = 4, subDim = 4, k = 5,
+      maxLiteralQueries = 256)
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("rank").cast("int"))
+      .collect().map(key).toSet
+    val joinAdc = Similarity.pqAdcTopK(queries, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", anchors, m = 4, subDim = 4, k = 5,
+      maxLiteralQueries = 5)
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("rank").cast("int"))
+      .collect().map(key).toSet
+    assert(litAdc == joinAdc, "ADC literal vs distributed-LUT mismatch")
+    assert(litAdc.nonEmpty)
+
+    val litIvf = Similarity.ivfPqTopK(queries, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 5, nCells = 8, nProbe = 3,
+      m = 4, subDim = 4, maxLiteralQueries = 256)
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("rank").cast("int"))
+      .collect().map(key).toSet
+    val joinIvf = Similarity.ivfPqTopK(queries, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 5, nCells = 8, nProbe = 3,
+      m = 4, subDim = 4, maxLiteralQueries = 5)
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("rank").cast("int"))
+      .collect().map(key).toSet
+    assert(litIvf == joinIvf, "IVF-PQ literal vs distributed path mismatch")
+    assert(litIvf.nonEmpty)
+  }
+
   test("SQL surface: registered functions agree with the Column API") {
     import spark.implicits._
     graft.spark.GraftFunctions.register(spark)
