@@ -655,16 +655,27 @@ object CoreQueries {
       |  FROM a FULL OUTER JOIN b ON a.user_id = b.user_id)
       |SELECT * FROM d WHERE change IS NOT NULL ORDER BY user_id""".stripMargin
 
-  /** Window top-k per group (row_number — the reference's only window
-    * shape, bigquery.py:86-95). */
+  /** Window top-k per group — the reference's only window shape
+    * (ROW_NUMBER <= k, bigquery.py:86-95), executed SCALE-SAFE through
+    * [[graft.functions.BoundedMinK]] instead of a row_number window:
+    * the window formulation ships EVERY row of a hot key to one
+    * reducer before cutting, while the bounded heap carries at most
+    * k rows per (key, map task) on the shuffle — same results (the
+    * equivalence incl. hot keys is pinned by PipelineSpec's
+    * topKPerKey tests), same ROW_NUMBER oracle. Ranks are the
+    * positions of the heap's sorted output; (-price, orderkey)
+    * ascending IS (price DESC, orderkey ASC) — double negation is
+    * IEEE-exact. */
   def windowTopK(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val payload = struct((-col("o_totalprice")).as("np"),
+      col("o_orderkey").as("ok"), col("o_totalprice").as("price"))
     pq(s, dir, "orders")
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.BoundedMinK.column(payload, 3).as("__top"))
+      .select(col("o_custkey"), posexplode(col("__top")))
+      .select(col("o_custkey"), col("col.ok").as("o_orderkey"),
+        col("col.price").as("o_totalprice"),
+        (col("pos") + 1).cast("int").as("rk"))
   }
 
   val windowTopKSql: String =

@@ -111,7 +111,13 @@ object ScaleCheck {
       "q_k_anonymity", "q_k_suppress",
       // the custom sort-merge as-of SparkPlan vs its declarative twin
       // (q_pit_join_single above): same oracle, different physical shape
-      "q_pit_sortmerge")
+      "q_pit_sortmerge",
+      // round-6 additions (VERDICT r5): the centroid-literal silhouette
+      // scan, the corpus-grain PMI grid, the stats-literal whitening
+      // projection, the scan-level bloom semi-join prune, and the
+      // Z-order layout + range probe
+      "q_silhouette", "q_collocation_pmi", "q_whiten_dims",
+      "q_bloom_prune_join", "q_zorder_layout")
     queries.foreach(q => time(q, baseDir)) // warm: codegen + analyzer JIT
     val lines = queries.map { q =>
       val t1 = time(q, baseDir)
