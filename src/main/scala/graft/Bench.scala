@@ -169,27 +169,28 @@ object Bench {
     // ~1.5 s per streaming micro-batch of local-mode driver cost
     // (q_stream_materialize = 2 batches + store dump) and ~0.3-0.5 s
     // per Spark job (materialize runs several store jobs per call).
-    val notes = "scalecheck 10x data wall ratios (round 7): " +
-      "pit_join_single 2.2x, dedup_minhash 6.9x (fast 1x draw; the " +
-      "~10s 10x wall matches every prior round), text_stats 6.7x " +
-      "(load-drain draw; rounds 5/6 measured 1.1x on identical code), " +
-      "ann_ivf 0.7x, contamination 1.4x, shard_pack 1.6x, " +
-      "components 3.2x, rolling_agg 1.2x, line_dedup 1.3x, " +
-      "domain_cap 1.1x, semantic_dedup 3.5x, novelty 1.4x, " +
-      "dup_span 1.6x, bpe_merges 1.1x, random_projection 1.1x, " +
-      "label_join 1.9x, snapshot_diff 2.0x, context_windows 1.4x, " +
-      "dedup_incremental_fuzzy 1.2x, scd2_history 1.1x, " +
-      "sessionize 1.4x, negative_sample 1.1x, ann_pq 0.9x, " +
-      "grid_snapshot 2.5x, span_scrub 1.8x, salted_join 1.5x, " +
-      "feature_drift 1.4x, agg_incremental 2.5x, rollup 1.1x, " +
-      "cdc_merge 1.6x, ks_drift 1.1x, nearest_join 1.8x, " +
-      "curriculum 1.6x, recent_history 1.6x, zscore 1.6x, " +
-      "quantile_bin 1.4x, group_split 1.4x, k_anonymity 1.3x, " +
-      "k_suppress 1.7x " +
-      "(sub-linear on all 39, ScaleCheck local[32] 16g driver; " +
-      "run-to-run wall variance on this box is +/-2x at these sub-5s " +
-      "scales and concurrent load can inflate single ratios far more); " +
-      "stream floor ~1.5s/micro-batch, job floor ~0.3-0.5s at toy sf; " +
+    val notes = "scalecheck 10x data wall ratios (round 8, measured " +
+      "under concurrent load): text_stats 6.2x, components 3.9x, " +
+      "agg_incremental 3.6x, silhouette 3.3x, semantic_dedup 3.3x, " +
+      "collocation_pmi 3.1x, label_join 2.7x, dedup_minhash 2.6x, " +
+      "salted_join 2.4x, pit_join_single 2.3x, cdc_merge 2.2x, " +
+      "snapshot_diff 2.2x, span_scrub 2.1x, grid_snapshot 2.1x, " +
+      "curriculum 2.1x, nearest_join 2.1x, recent_history 2.0x, " +
+      "zscore 2.0x, k_suppress 1.9x, quantile_bin 1.8x, " +
+      "pit_sortmerge 1.8x, bloom_prune_join 1.7x, shard_pack 1.7x, " +
+      "dup_span 1.7x, k_anonymity 1.7x, domain_cap 1.7x, " +
+      "line_dedup 1.7x, group_split 1.6x, rolling_agg 1.6x, " +
+      "novelty 1.6x, context_windows 1.6x, whiten_dims 1.5x, " +
+      "sessionize 1.5x, ann_ivf 1.5x, zorder_layout 1.4x, " +
+      "feature_drift 1.4x, dedup_incremental_fuzzy 1.4x, " +
+      "contamination 1.4x, scd2_history 1.3x, rollup 1.3x, " +
+      "bpe_merges 1.2x, negative_sample 1.2x, random_projection 1.1x, " +
+      "ann_pq 1.1x, ks_drift 1.0x " +
+      "(sub-linear on ALL 44 incl. the round-6 additions; ScaleCheck " +
+      "local[32] 16g driver; run-to-run wall variance on this box is " +
+      "+/-2x at these sub-5s scales and concurrent load can inflate " +
+      "single ratios far more); stream floor ~0.3s/micro-batch after " +
+      "the r6 store-write fusion, job floor ~0.1-0.3s at toy sf; " +
       "queries = steady-state (min of 3 runs, JMH discipline — r4's " +
       "19.9s pit_join_multi was one alien GC/load spike in a single " +
       "timed run), queries_cold = 1st run incl. one-time " +

@@ -114,10 +114,12 @@ class EngineSpec extends AnyFunSuite {
       .toDF("driver_id", "et", "ct", "conv_rate")
       .withColumn("conv_rate", col("conv_rate").cast("double"))
 
+    val mini = new MiniRedis()
     for (store <- Seq(new InMemoryOnlineStore(),
         new ParquetOnlineStore(java.nio.file.Files.createTempDirectory("graftkv").toString),
         new graft.online.JdbcOnlineStore(graft.online.JdbcOnlineStore.derbyUrl(
-          java.nio.file.Files.createTempDirectory("graftjdbc").toString + "/db")))) {
+          java.nio.file.Files.createTempDirectory("graftjdbc").toString + "/db")),
+        new graft.online.RedisOnlineStore("127.0.0.1", mini.port))) {
       val fs = new FeatureStore("t", new Registry(), store, spark)
       fs.applyEntity(Entity("driver", GraftType.Int64, Some("driver_id")))
       fs.applyFeatureView(FeatureView("driver_stats", Seq("driver"),
@@ -152,6 +154,48 @@ class EngineSpec extends AnyFunSuite {
       fs.teardown()
       assert(fs.registry.listFeatureViews.isEmpty)
     }
+    assert(mini.keyCount == 0, "redis teardown must SCAN+DEL every store key")
+    mini.stop()
+  }
+
+  test("RedisOnlineStore: LWW replay idempotence, CDC delete, stale write rejected") {
+    import spark.implicits._
+    val mini = new MiniRedis()
+    val store = new graft.online.RedisOnlineStore("127.0.0.1", mini.port)
+    val fs = new FeatureStore("r", new Registry(), store, spark)
+    fs.applyEntity(Entity("user", GraftType.Int64, Some("user_id")))
+    val view = FeatureView("uv", Seq("user"),
+      Seq(Feature("v", GraftType.Dbl)), Duration.ZERO,
+      DataFrameSource(Seq((1L, ts("2024-01-02 00:00:00"), 2.0))
+        .toDF("user_id", "et", "v"), "et"))
+    fs.applyFeatureView(view)
+    val vv = fs.registry.getFeatureView("uv")
+
+    def put(rows: Seq[(Long, String, Double)]): Unit =
+      store.upsert("r", vv, Seq("user_id"),
+        rows.map { case (k, t, v) => (k, ts(t), v) }.toDF("user_id", "et", "v"),
+        "et", None)
+    def get(ids: Seq[Long]): Seq[Any] =
+      store.read("r", vv, Seq("user_id"),
+        ids.map(id => Seq("user_id" -> (id: Any))), Seq("v"))
+        .map(_._2("v").value)
+
+    put(Seq((1L, "2024-01-02 00:00:00", 2.0), (2L, "2024-01-01 00:00:00", 1.0)))
+    assert(get(Seq(1L, 2L)) == Seq(2.0, 1.0))
+    // stale replay (older ts) must NOT overwrite
+    put(Seq((1L, "2024-01-01 00:00:00", 9.9)))
+    assert(get(Seq(1L)) == Seq(2.0))
+    // newer write wins; replaying the SAME batch is idempotent
+    put(Seq((1L, "2024-01-03 00:00:00", 3.0)))
+    put(Seq((1L, "2024-01-03 00:00:00", 3.0)))
+    assert(get(Seq(1L)) == Seq(3.0))
+    // CDC delete drops the key; absent key delete is a no-op
+    store.delete("r", vv, Seq("user_id"),
+      Seq(1L, 42L).toDF("user_id"))
+    assert(get(Seq(1L, 2L)) == Seq(null, 1.0))
+    store.teardown("r", Seq(vv))
+    assert(mini.keyCount == 0)
+    mini.stop()
   }
 
   test("SkewJoin.salted equals the plain join (hot key, dup rows, inner + left); salt in the join key") {
