@@ -40,7 +40,7 @@ object StreamQueries {
     val tmp = s"/tmp/graft_stream_${java.util.UUID.randomUUID().toString.take(8)}"
 
     val fs = new FeatureStore("graft_stream", new Registry(),
-      new ParquetOnlineStore(s"$tmp/store", numBuckets = 8), s)
+      new ParquetOnlineStore(s"$tmp/store", numBuckets = 4), s)
     fs.applyEntity(Entity("user", GraftType.Int64, joinKeyOpt = Some("user_id")))
     fs.applyFeatureView(FeatureView(
       name = "user_events_stream",

@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
-  def configure(spark: SparkSession): Unit =
+  def configure(spark: SparkSession): Unit = {
     Seq(
       "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
       "spark.sql.legacy.parquet.nanosAsLong" -> "true",
@@ -29,6 +29,19 @@ object Tables {
     ).foreach { case (k, v) =>
       try spark.conf.set(k, v) catch { case _: Throwable => () }
     }
+    // v2 file-output commit: tasks rename their output into the
+    // destination directly, removing the committer's sequential
+    // driver-side rename pass at job commit. Safe here because every
+    // graft durable-write path (online-store buckets, versioned-table
+    // WAP, date partitions) already stages into a private dir and
+    // publishes via its own atomic dir rename ABOVE the committer —
+    // the committer's v1 crash atomicity is redundant. At cluster
+    // scale this is the same decision cloud committers make; in the
+    // local bench it is a measurable slice of every store write.
+    try spark.sparkContext.hadoopConfiguration
+      .set("mapreduce.fileoutputcommitter.algorithm.version", "2")
+    catch { case _: Throwable => () }
+  }
 
   /** Read a testdata table with all timestamp columns normalized to µs
     * TimestampType. `nanosLongCols` marks INT64-nanos physical columns
