@@ -48,6 +48,14 @@ trait OnlineStore extends Serializable {
   def upsert(project: String, view: FeatureView, joinKeys: Seq[String],
       df: DataFrame, tsCol: String, createdCol: Option[String]): Unit
 
+  /** Whether callers should reduce to latest-per-key BEFORE upsert.
+    * Stores that materialize the frame driver-side (collect) need the
+    * pre-reduction so the collect carries key-grain rows; a store whose
+    * upsert already reduces distributedly with map-side combine
+    * (ParquetOnlineStore) overrides to false, and materialize then
+    * runs ONE exchange total instead of two. */
+  def wantsPreReduced: Boolean = true
+
   /** Point multi-get (O14): for each entity key, the requested features.
     * Missing key -> all NOT_FOUND. Latency path — must not require a
     * Spark job on hot stores. */
@@ -210,6 +218,10 @@ class ParquetOnlineStore(
     smallStoreBytes: Long = 64L << 20) extends OnlineStore {
   import ParquetOnlineStore.{BucketCol, BucketsMarker}
 
+  /** upsert reduces internally ((bucket, keys) max_by with map-side
+    * combine) — callers need not PullLatest first. */
+  override def wantsPreReduced: Boolean = false
+
   private def path(project: String, view: String) = s"$basePath/$project/$view"
 
   private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -286,44 +298,35 @@ class ParquetOnlineStore(
     val incoming = df.select(OnlineStore.guardNullKeys(cols, joinKeys, view.name): _*)
       .withColumn(BucketCol, bucketExpr(joinKeys, buckets))
     val tmp = p + ".tmp"
-    // ONE-shuffle merge + layout (was: a latest-per-key groupBy shuffle
-    // FOLLOWED by a repartition-on-bucket shuffle — two exchanges per
-    // upsert where one suffices): route rows to their bucket partition,
-    // sort within each bucket by (keys ASC, order-key DESC), and keep
-    // the FIRST row of each consecutive key run in a narrow streaming
-    // pass. The order key is the exact latest-per-key total order
-    // ((ts, created, payload) — payload as the stable final tiebreak,
-    // PullLatest's contract), so "first after DESC sort" IS the LWW
-    // winner. The sort doubles as the store layout: each bucket is one
-    // task -> one file (partitionBy alone writes task×bucket files),
-    // and key-sorted row groups give selective min/max stats for
-    // point-read skipping. The keep-first pass is mapPartitions — a
-    // bounded iterator comparing adjacent rows, no hash table, spilling
-    // via the sort, so a bucket bigger than memory still merges.
-    // Callers with corpus-sized inputs pre-reduce map-side first
-    // (materialize's PullLatest): the shuffle here then carries
-    // key-grain rows, not input-grain.
+    // ONE-exchange merge + layout: the latest-per-key reduction IS the
+    // upsert. Grouping on (bucket, keys) — bucket is a pure function of
+    // the keys, so the grain is unchanged — plans a map-side partial
+    // max_by before the exchange, so the shuffle carries key-grain
+    // combiners even for input-grain callers (streaming micro-batches,
+    // raw materialize windows). The order key is the exact
+    // latest-per-key total order ((ts, created, payload) — payload as
+    // the stable final tiebreak, PullLatest's contract), so the max_by
+    // winner IS the LWW row. Because of this internal reduction,
+    // `wantsPreReduced` is false and materialize skips its own
+    // PullLatest exchange — ONE shuffle end to end where there were
+    // two. HashAggregate spills to sort-based automatically, so a
+    // bucket bigger than memory still merges. After the final agg a
+    // zero-shuffle sortWithinPartitions((bucket, keys)) clusters each
+    // task's output so dynamic partitionBy emits one file per
+    // (task, touched bucket) with key-sorted row groups — selective
+    // min/max stats for point-read skipping; reads list every file in
+    // a bucket dir, so several files per bucket (the cluster-scale
+    // shape — write parallelism within a bucket) are fine.
     def stage(d: DataFrame): Unit = {
       val ordCols = (tsCol +: createdCol.toSeq).distinct
       val payloadCols = (ordCols ++ view.featureNames).distinct
-      val outCols = (joinKeys ++ payloadCols).distinct :+ BucketCol
       val payload = struct(payloadCols.map(col): _*)
       val ordKey = struct((ordCols.map(col) :+ payload.as("__payload")): _*)
-      val sorted = d.withColumn(BucketCol, bucketExpr(joinKeys, buckets))
-        .select(outCols.map(col) :+ ordKey.as("__ord"): _*)
-        .repartition(buckets, col(BucketCol))
-        .sortWithinPartitions(
-          (col(BucketCol) +: joinKeys.map(col)) :+ col("__ord").desc: _*)
-      val kIdx = joinKeys.map(sorted.schema.fieldIndex)
-      val dedup = sorted.mapPartitions { it =>
-        var prev: Row = null
-        it.filter { r =>
-          val first = prev == null || kIdx.exists(i => r.get(i) != prev.get(i))
-          prev = r
-          first
-        }
-      }(org.apache.spark.sql.Encoders.row(sorted.schema))
-      dedup.drop("__ord")
+      d.withColumn(BucketCol, bucketExpr(joinKeys, buckets))
+        .groupBy(col(BucketCol) +: joinKeys.map(col): _*)
+        .agg(max_by(payload, ordKey).as("__row"))
+        .select((joinKeys.map(col) :+ col("__row.*")) :+ col(BucketCol): _*)
+        .sortWithinPartitions(col(BucketCol) +: joinKeys.map(col): _*)
         .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp)
     }
 

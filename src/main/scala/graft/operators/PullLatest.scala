@@ -36,6 +36,25 @@ object PullLatest {
     latestPerKey(filtered, joinKeys, tsCol, createdCol, featureCols, tieBreakCols)
   }
 
+  /** The materialization window WITHOUT the reduction: the ts BETWEEN
+    * filter and column projection only. For stores whose upsert is
+    * itself a map-side-combinable latest-per-key aggregation
+    * ([[graft.online.OnlineStore.wantsPreReduced]] = false) — running
+    * the full pullLatest first would add a second exchange carrying
+    * the same key-grain rows. */
+  def windowOnly(
+      df: DataFrame,
+      joinKeys: Seq[String],
+      tsCol: String,
+      createdCol: Option[String],
+      featureCols: Seq[String],
+      start: Timestamp,
+      end: Timestamp): DataFrame = {
+    val cols = (joinKeys ++ Seq(tsCol) ++ createdCol.toSeq ++ featureCols).distinct
+    df.filter(col(tsCol) >= lit(start) && col(tsCol) <= lit(end))
+      .select(cols.map(col): _*)
+  }
+
   /** Newest row per key without the range filter (used by streaming
     * micro-batches and online reads over a batch-serving table). */
   def latestPerKey(

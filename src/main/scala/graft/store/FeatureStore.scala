@@ -128,9 +128,20 @@ class FeatureStore(
       val df = graft.sources.DatePartition.prune(
         SourceReader.read(spark, src), src.datePartitionColumn, Some(start), Some(end))
       val keys = joinKeysOf(view)
-      val latest = PullLatest.pullLatest(
-        df, keys, src.eventTimestampColumn, src.createdTimestampColumn,
-        view.featureNames, start, end)
+      // Stores whose upsert reduces distributedly (wantsPreReduced =
+      // false) get the raw window — their internal (bucket, keys)
+      // max_by agg is the reduction, and running PullLatest first
+      // would just add a second exchange carrying the same key-grain
+      // rows. Driver-collecting stores still pre-reduce so the
+      // collect is key-grain.
+      val latest =
+        if (onlineStore.wantsPreReduced)
+          PullLatest.pullLatest(
+            df, keys, src.eventTimestampColumn, src.createdTimestampColumn,
+            view.featureNames, start, end)
+        else PullLatest.windowOnly(
+          df, keys, src.eventTimestampColumn, src.createdTimestampColumn,
+          view.featureNames, start, end)
       onlineStore.upsert(project, view, keys, castKeyColumns(latest, view),
         src.eventTimestampColumn, src.createdTimestampColumn)
       registry.applyMaterialization(view.name, start, end)
