@@ -21,13 +21,11 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Exact top-k by cosine for each query vector, two-level aggregation:
-    *
-    * level 1 groups by (query, shuffle-partition) and keeps only k
-    * candidates per partition; level 2 merges the per-partition winners.
-    * Neither level materializes all |corpus| rows per query the way a
-    * row_number() window would — the shuffle carries at most
-    * k × numPartitions rows per query, so a hot query key cannot skew.
+  /** Exact top-k by cosine for each query vector, one bounded-heap
+    * aggregation ([[graft.functions.BoundedMinK]]): map-side partials
+    * are k-capped, so the single exchange carries at most k candidates
+    * per (query, map task) — never all |corpus| rows per query the way
+    * a row_number() window would, so a hot query key cannot skew.
     *
     * @param queries (queryIdCol, vecCol) — small; broadcast
     * @param corpus  (idCol, vecCol)
@@ -52,22 +50,21 @@ object Similarity {
     twoLevelTopK(scored, k)
   }
 
-  /** Two-level skew-safe top-k over a scored (__qid, __cid, __cos)
-    * frame, shared by [[bruteForceTopK]] and [[ivfTopK]]: level 1 keeps
-    * k candidates per (query, partition), level 2 merges the winners. A
-    * single groupBy(__qid) would buffer EVERY surviving candidate of a
-    * hot query in one aggregation group; here the merge shuffle carries
-    * at most k × numPartitions rows per query. Candidates are ordered
-    * as (-cos, id): ascending struct sort == cos desc, id asc. Output
-    * (query_id, neighbor_id, cos, rank), rank 1..k. */
+  /** Skew-safe top-k over a scored (__qid, __cid, __cos) frame, shared
+    * by [[bruteForceTopK]] and [[ivfTopK]]: ONE bounded-heap
+    * aggregation ([[graft.functions.BoundedMinK]]). The partial heaps
+    * are k-capped on the map side, so the single exchange carries at
+    * most k candidates per (query, map task) no matter how hot the
+    * query — the same skew bound the old two-level
+    * (query, partition)-then-query formulation achieved with a second
+    * exchange. Candidates are ordered as (-cos, id): ascending heap
+    * order == cos desc, id asc. Output (query_id, neighbor_id, cos,
+    * rank), rank 1..k. */
   private def twoLevelTopK(scored: DataFrame, k: Int): DataFrame = {
     val cand = struct((-col("__cos")).as("negcos"), col("__cid").as("id"), col("__cos").as("cos"))
-    val level1 = scored
-      .groupBy(col("__qid"), spark_partition_id().as("__part"))
-      .agg(slice(array_sort(collect_list(cand)), 1, k).as("top"))
-    level1
+    scored
       .groupBy("__qid")
-      .agg(slice(array_sort(flatten(collect_list(col("top")))), 1, k).as("top"))
+      .agg(graft.functions.BoundedMinK.column(cand, k).as("top"))
       .select(col("__qid").as("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.id").as("neighbor_id"),
         col("col.cos").as("cos"), (col("pos") + 1).as("rank"))
@@ -85,8 +82,8 @@ object Similarity {
     * whole batch of queries scores in ONE narrow scan of the code table
     * (the per-query ADC structs explode from a single projection): no
     * join, no shuffle before the bounded top-k merge. Top-k uses the
-    * same two-level (query, partition) reduction as [[bruteForceTopK]],
-    * so a hot query never concentrates its candidates on one reducer.
+    * same k-capped bounded-heap reduction as [[bruteForceTopK]], so a
+    * hot query never concentrates its candidates on one reducer.
     *
     * Determinism contract (oracle replay): LUT entries fold ascending d
     * left-associative in double precision — the same order
@@ -205,7 +202,7 @@ object Similarity {
     (0 until m).map(s =>
       element_at(typedlit(lut(s).toSeq), col(s"__code$s") + 1)).reduce(_ + _)
 
-  /** Shared (-adc)-scored two-level top-k tail; negation is IEEE-exact,
+  /** Shared (-adc)-scored bounded-heap top-k tail; negation is IEEE-exact,
     * so ordering by __cos desc == adc asc. */
   private def adcTopK(scored0: DataFrame, k: Int, excludeSelf: Boolean): DataFrame = {
     val scored =
@@ -525,8 +522,8 @@ object Similarity {
 
   /** Search a prebuilt IVF index (the artifacts of [[ivfBuildIndex]],
     * possibly round-tripped through parquet): probe each query's
-    * nProbe nearest cells, score only vectors assigned there, two-level
-    * skew-safe top-k. */
+    * nProbe nearest cells, score only vectors assigned there,
+    * bounded-heap skew-safe top-k. */
   def ivfSearchIndex(
       queries: DataFrame, qIdCol: String, qVecCol: String,
       anchors: DataFrame, assigned: DataFrame, idCol: String, vecCol: String,

@@ -97,7 +97,7 @@ class PlanSpec extends AnyFunSuite {
       scan.withColumn("r", rand())))
   }
 
-  test("IVF top-k is two-level: per-partition partial top-k before the per-query merge") {
+  test("IVF top-k is one bounded-heap aggregation: k-capped partials, no window, no unbounded collect") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
     val corpus = (0 until 64)
@@ -108,12 +108,15 @@ class PlanSpec extends AnyFunSuite {
         q, "vec_id", "embedding", corpus, "vec_id", "embedding",
         k = 5, nCells = 8, nProbe = 2, kmeansIters = 0)
       .queryExecution.executedPlan.toString
-    // level 1 groups by (query, spark_partition_id); a single-level
-    // collect would buffer every candidate of a hot query in one group
-    assert(plan.toLowerCase.contains("spark_partition_id"),
-      s"IVF top-k must partial-aggregate per (query, partition):\n$plan")
-    assert("collect_list".r.findAllIn(plan).size >= 2,
-      s"IVF top-k must aggregate at two levels:\n$plan")
+    // bounded_min_k partials are k-capped map-side, so ONE exchange
+    // carries <= k candidates per (query, map task); a row_number
+    // window would buffer every candidate of a hot query on one
+    // reducer. (The anchors side still collect_lists — bounded at
+    // nCells rows by construction, not per-query.)
+    assert(plan.toLowerCase.contains("partial_bounded_min_k"),
+      s"IVF top-k must partial-aggregate through the bounded heap map-side:\n$plan")
+    assert(!plan.toLowerCase.contains("window"),
+      s"IVF top-k must not plan a window:\n$plan")
   }
 
   test("PQ ADC top-k: one joinless scan of the code table scores every query") {
@@ -129,14 +132,14 @@ class PlanSpec extends AnyFunSuite {
         anchors, m = 4, subDim = 4, k = 5)
       .queryExecution.executedPlan.toString
     // the whole point of ADC: codes + LUT lookups in a narrow
-    // projection — scoring joins nothing and shuffles only the bounded
-    // two-level top-k
+    // projection — scoring joins nothing and shuffles only the k-capped
+    // bounded-heap partials
     assert(!plan.toLowerCase.contains("join"),
       s"ADC scoring must not plan any join:\n$plan")
-    assert(plan.toLowerCase.contains("spark_partition_id"),
-      s"ADC top-k must partial-aggregate per (query, partition):\n$plan")
-    assert("collect_list".r.findAllIn(plan).size >= 2,
-      s"ADC top-k must aggregate at two levels:\n$plan")
+    assert(plan.toLowerCase.contains("partial_bounded_min_k"),
+      s"ADC top-k must partial-aggregate through the bounded heap map-side:\n$plan")
+    assert(!plan.toLowerCase.contains("collect_list") && !plan.toLowerCase.contains("window"),
+      s"ADC top-k must not plan an unbounded collect or window:\n$plan")
   }
 
   test("History.scd2 / sessionize: one shuffle on the key — windows share a single key partitioning") {
