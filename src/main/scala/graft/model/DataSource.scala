@@ -149,7 +149,10 @@ object SourceReader {
   /** Stream read (Structured Streaming). */
   def readStream(spark: SparkSession, source: DataSource): DataFrame = source match {
     case s: FileStreamSource =>
-      val schema = spark.read.format(s.format).load(s.path).schema
+      // schema from the cached batch relation — re-inferring per call
+      // re-paid the listing + footer read every time a stream starts
+      // over the same immutable replay dir
+      val schema = cachedFileRel(spark, s.format, s.path, Map.empty).schema
       val rdr = spark.readStream.schema(schema).format(s.format)
       val withOpt = s.maxFilesPerTrigger.fold(rdr)(n => rdr.option("maxFilesPerTrigger", n))
       applyFieldMapping(withOpt.load(s.path), s.fieldMapping)

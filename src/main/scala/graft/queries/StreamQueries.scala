@@ -47,7 +47,10 @@ object StreamQueries {
       entities = Seq("user"),
       features = Seq(Feature("event_type", GraftType.Str), Feature("value", GraftType.Dbl)),
       ttl = Duration.ZERO,
-      batchSource = DataFrameSource(s.read.parquet(input), "ts"),
+      // FileSource (not a raw spark.read df): rides the resolved-
+      // relation cache, so repeat invocations skip re-listing +
+      // re-inferring the immutable replay dir
+      batchSource = FileSource(input, eventTimestampColumn = "ts"),
       streamSource = Some(FileStreamSource(input, "parquet", "ts",
         maxFilesPerTrigger = Some(1)))))
 
@@ -332,7 +335,10 @@ object StreamQueries {
       entities = Seq("user"),
       features = Seq(Feature("event_type", GraftType.Str), Feature("value", GraftType.Dbl)),
       ttl = Duration.ZERO,
-      batchSource = DataFrameSource(s.read.parquet(input), "ts"),
+      // FileSource (not a raw spark.read df): rides the resolved-
+      // relation cache, so repeat invocations skip re-listing +
+      // re-inferring the immutable replay dir
+      batchSource = FileSource(input, eventTimestampColumn = "ts"),
       streamSource = Some(FileStreamSource(input, "parquet", "ts",
         maxFilesPerTrigger = Some(1)))))
     val q = StreamMaterializer.materializeCdcStream(fs, "user_cdc_stream",
