@@ -189,8 +189,16 @@ object Bench {
       "(sub-linear on ALL 44 incl. the round-6 additions; ScaleCheck " +
       "local[32] 16g driver; run-to-run wall variance on this box is " +
       "+/-2x at these sub-5s scales and concurrent load can inflate " +
-      "single ratios far more); stream floor ~0.3s/micro-batch after " +
-      "the r6 store-write fusion, job floor ~0.1-0.3s at toy sf; " +
+      "single ratios far more). Floor accounting for the two " +
+      "store-I/O queries (their DuckDB oracles compute a bare snapshot " +
+      "and do NO store I/O): a noop AvailableNow foreachBatch over the " +
+      "same 2-file input measures 0.37s (1 batch) / 0.51-0.58s (2 " +
+      "batches) of pure streaming WAL+planning driver floor " +
+      "(tools/StreamFloor), so q_stream_materialize = that floor + 2 " +
+      "real bucketed store upserts + the store dump; " +
+      "q_materialize_roundtrip = 2 materializes (each ONE exchange + " +
+      "bucketed atomic-swap write after the r6 upsert fusion) + the " +
+      "dump. Job floor ~0.1-0.3s at toy sf; " +
       "queries = steady-state (min of 3 runs, JMH discipline — r4's " +
       "19.9s pit_join_multi was one alien GC/load spike in a single " +
       "timed run), queries_cold = 1st run incl. one-time " +

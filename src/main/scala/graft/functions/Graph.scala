@@ -76,4 +76,58 @@ object Graph {
     }
     ranks.select(col("node"), col("__r").as("rank"))
   }
+
+  /** Synchronous label propagation (community detection, Raghavan et
+    * al. 2007): every node starts labeled with its own id; each sweep
+    * every node adopts the most frequent label among its UNDIRECTED
+    * neighbors, ties broken to the SMALLEST label. The classic async
+    * formulation updates in a random visit order — irreproducible by
+    * construction; this synchronous min-tie-break variant is fully
+    * deterministic, so the result is replayable and oracle-checkable.
+    *
+    * Scale shape mirrors [[pageRank]]: each sweep is one src-keyed
+    * equi join (labels × edges) and one two-stage aggregation —
+    * (node, label) counts partial-aggregate map-side, then one min_by
+    * per node picks the mode — all node/edge-grain frames, lineage cut
+    * per sweep. `iters` is FIXED (LPA converges in a handful of
+    * sweeps); a driver-side convergence loop would make the job count
+    * data-dependent, which a 100 TB scheduler budget can't accept.
+    *
+    * @return (node, community) — the label after `iters` sweeps; one
+    *         row per node appearing as src or dst
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    // undirected: each edge messages both ways; dedup so parallel
+    // edges don't double-vote
+    val und = e
+      .unionByName(e.select(col("__dst").as("__src"), col("__src").as("__dst")))
+      .filter(col("__src") =!= col("__dst"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = und.select(col("__src").as("node")).distinct().localCheckpoint()
+
+    var labels = nodes.withColumn("__lbl", col("node"))
+    for (_ <- 0 until iters) {
+      val msgs = und
+        .join(labels.withColumnRenamed("node", "__src"), Seq("__src"))
+        .select(col("__dst").as("node"), col("__lbl"))
+      // mode with deterministic ties: min over (-count, label)
+      val winners = msgs
+        .groupBy("node", "__lbl").agg(count(lit(1)).as("__n"))
+        .groupBy("node")
+        .agg(min_by(col("__lbl"),
+          struct((-col("__n")).as("nc"), col("__lbl").as("lb"))).as("__new"))
+      labels = labels
+        .join(winners, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__new"), col("__lbl")).as("__lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("node"), col("__lbl").as("community"))
+  }
 }

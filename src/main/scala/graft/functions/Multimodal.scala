@@ -97,6 +97,59 @@ object Multimodal {
       p => when(p * 64L > total, "1").otherwise("0")))
   }
 
+  /** Hamming near-duplicate pairs over fixed-width fingerprint
+    * bit-strings (the [[stubAverageHash]] output) via pigeonhole band
+    * blocking — image near-dup pairing at corpus scale. The 64-bit
+    * fingerprint splits into `bands` equal slices; two fingerprints
+    * within hamming distance `maxDist` < `bands` must agree on at
+    * least one WHOLE band (pigeonhole), so every qualifying pair meets
+    * in an equi-join bucket on (band_idx, band_value) and the
+    * quadratic all-pairs comparison never plans — the same blocking
+    * discipline as the MinHash-LSH dedup, but with EXACT recall
+    * (pigeonhole is a theorem, not a probability) for
+    * maxDist < bands. Degenerate buckets (a band value shared by a
+    * giant slice of the corpus) are dropped at `maxBucketSize` rows —
+    * the [[Dedup]] guard; candidates surviving the block are verified
+    * with the true hamming distance (bit_count of per-band XOR, a
+    * codegen'd integer pipeline). Output (id_a, id_b, hamming) with
+    * id_a < id_b, one row per pair regardless of how many bands
+    * matched. */
+  def phashNearDupPairs(
+      df: DataFrame, idCol: String, bitsCol: String,
+      bands: Int = 4, maxDist: Int = 3,
+      maxBucketSize: Int = 1 << 16): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxDist < bands,
+      s"pigeonhole exactness needs maxDist < bands, got maxDist=$maxDist bands=$bands")
+    val w = 64 / bands
+    val bandInts = array((0 until bands).map(i =>
+      conv(substring(col(bitsCol), i * w + 1, w), 2, 10).cast("long")): _*)
+    val expl = df
+      .select(col(idCol).as("__id"), bandInts.as("__bands"))
+      .select(col("__id"), col("__bands"),
+        posexplode(col("__bands")).as(Seq("__band_idx", "__band_val")))
+    val live = expl.join(
+      expl.groupBy("__band_idx", "__band_val").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxBucketSize)
+        .select("__band_idx", "__band_val"),
+      Seq("__band_idx", "__band_val"))
+    val a = live.select(col("__band_idx"), col("__band_val"),
+      col("__id").as("__ida"), col("__bands").as("__ba"))
+    val b = live.select(col("__band_idx"), col("__band_val"),
+      col("__id").as("__idb"), col("__bands").as("__bb"))
+    val ham = aggregate(
+      zip_with(col("__ba"), col("__bb"),
+        (x, y) => call_function("bit_count", x.bitwiseXOR(y)).cast("long")),
+      lit(0L), _ + _)
+    a.join(b, Seq("__band_idx", "__band_val"))
+      .filter(col("__ida") < col("__idb"))
+      .select(col("__ida"), col("__idb"), col("__ba"), col("__bb"))
+      .distinct()
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= maxDist)
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"), col("hamming"))
+  }
+
   /** Batched partition-level decode: the real-codec integration point.
     * Partitions are first re-sized by payload bytes (decoders want
     * balanced work by bytes, not by row count), then each partition is

@@ -79,6 +79,83 @@ object GraphQueries {
     sb.result()
   }
 
+  // ---- label-propagation communities ---------------------------------
+
+  private val LpIters = 3
+
+  /** Community detection over a two-cluster planted domain graph:
+    * domains 0-9 and 10-19 each link only within their decade
+    * (dst = (doc_id·7+3)%10 and (doc_id·13+5)%10 offset into src's
+    * decade), so [[Graph.labelPropagation]]'s synchronous
+    * min-tie-break sweeps must recover the two communities — and the
+    * oracle unrolls the identical 3 sweeps (mode per node, ties to the
+    * smallest label) as chained CTEs, pinning every intermediate
+    * labeling, not just the final grouping. */
+  def labelProp(s: SparkSession, dir: String): DataFrame = {
+    val src = pmod(col("doc_id"), lit(20L))
+    val decade = lit(10L) * floor(src / 10.0).cast("long")
+    val edges = docs(s, dir)
+      .select(src.as("src"),
+        explode(array(
+          pmod(col("doc_id") * 7 + 3, lit(10L)) + decade,
+          pmod(col("doc_id") * 13 + 5, lit(10L)) + decade,
+          // stride-1 and stride-2 ring chords: the doc-keyed edges
+          // alone are parity-flipping (7d+3 and 13d+5 invert d's
+          // parity mod 10), i.e. BIPARTITE — and synchronous LPA on a
+          // bipartite graph freezes into the two parity classes
+          // instead of the planted clusters. The odd cycles these
+          // chords create break that.
+          pmod(src + 1, lit(10L)) + decade,
+          pmod(src + 2, lit(10L)) + decade)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    Graph.labelPropagation(edges, "src", "dst", LpIters)
+      .orderBy("node")
+  }
+
+  val labelPropSql: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e0 AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT doc_id % 20 AS src,
+      |           (doc_id * 7 + 3) % 10 + 10 * ((doc_id % 20) // 10) AS dst
+      |    FROM documents
+      |    UNION ALL
+      |    SELECT doc_id % 20, (doc_id * 13 + 5) % 10 + 10 * ((doc_id % 20) // 10)
+      |    FROM documents
+      |    UNION ALL
+      |    SELECT doc_id % 20, (doc_id % 20 + 1) % 10 + 10 * ((doc_id % 20) // 10)
+      |    FROM documents
+      |    UNION ALL
+      |    SELECT doc_id % 20, (doc_id % 20 + 2) % 10 + 10 * ((doc_id % 20) // 10)
+      |    FROM documents)
+      |  WHERE src <> dst),
+      |und AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+      |  WHERE src <> dst),
+      |nodes AS (SELECT DISTINCT src AS node FROM und),
+      |l0 AS (SELECT node, node AS lbl FROM nodes)""".stripMargin
+    for (k <- 1 to LpIters) {
+      sb ++= s""",
+      |m$k AS (
+      |  SELECT u.dst AS node, l.lbl, count(*) AS n
+      |  FROM und u JOIN l${k - 1} l ON l.node = u.src
+      |  GROUP BY u.dst, l.lbl),
+      |w$k AS (
+      |  SELECT node, lbl FROM (
+      |    SELECT node, lbl,
+      |           ROW_NUMBER() OVER (PARTITION BY node ORDER BY n DESC, lbl ASC) AS rn
+      |    FROM m$k) WHERE rn = 1),
+      |l$k AS (
+      |  SELECT l.node, coalesce(w.lbl, l.lbl) AS lbl
+      |  FROM l${k - 1} l LEFT JOIN w$k w USING (node))""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT node, lbl AS community FROM l$LpIters ORDER BY node""".stripMargin
+    sb.result()
+  }
+
   // ---- k-anonymity / l-diversity audit -------------------------------
 
   private val MinK = 5
@@ -146,11 +223,13 @@ object GraphQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> (pagerank _),
+    "q_label_prop" -> (labelProp _),
     "q_k_anonymity" -> (kAnonymity _),
     "q_k_suppress" -> (kSuppress _))
 
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
+    "q_label_prop" -> labelPropSql,
     "q_k_anonymity" -> kAnonymitySql,
     "q_k_suppress" -> kSuppressSql)
 }

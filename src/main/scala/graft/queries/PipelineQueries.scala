@@ -743,6 +743,57 @@ object PipelineQueries {
       |FROM px JOIN s USING (doc_id)
       |GROUP BY px.doc_id ORDER BY doc_id""".stripMargin
 
+  /** Image near-dup pairs: the [[imagePhash]] fingerprints paired by
+    * [[Multimodal.phashNearDupPairs]] pigeonhole band blocking —
+    * 8 bands of 8 bits, so every pair within hamming distance 7 is
+    * found by an equi-join on a whole band (exact recall, a theorem
+    * not a probability) and no all-pairs comparison ever plans. The
+    * oracle replays the identical fingerprint, banding (bitstring →
+    * BIGINT per 8-bit slice), blocking join and bit_count(xor)
+    * verification. */
+  def phashNearDup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.phashNearDupPairs(
+        docs(s, dir)
+          .filter(length(col("text")) > 0)
+          .withColumn("phash_bits",
+            Multimodal.stubAverageHash(col("text").cast("binary")))
+          .select(col("doc_id"), col("phash_bits")),
+        "doc_id", "phash_bits", bands = 8, maxDist = 7)
+      .orderBy("id_a", "id_b")
+
+  val phashNearDupSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS len
+      |  FROM documents WHERE length(text) > 0),
+      |px AS (
+      |  SELECT doc_id, k,
+      |         (strpos('0123456789ABCDEF',
+      |            substring(h, CAST(trunc(k * (len - 1) / 63.0) AS INT) * 2 + 1, 1)) - 1) * 16
+      |         + (strpos('0123456789ABCDEF',
+      |            substring(h, CAST(trunc(k * (len - 1) / 63.0) AS INT) * 2 + 2, 1)) - 1) AS v
+      |  FROM p, UNNEST(range(0, 64)) AS t(k)),
+      |s AS (SELECT doc_id, sum(v) AS sv FROM px GROUP BY doc_id),
+      |ph AS (
+      |  SELECT px.doc_id,
+      |         string_agg(CASE WHEN v * 64 > sv THEN '1' ELSE '0' END, '' ORDER BY k) AS bits
+      |  FROM px JOIN s USING (doc_id) GROUP BY px.doc_id),
+      |bi AS (
+      |  SELECT doc_id, t.i AS band_idx,
+      |         (substring(bits, t.i * 8 + 1, 8)::BIT)::BIGINT AS band_val
+      |  FROM ph, UNNEST(range(0, 8)) AS t(i)),
+      |pr AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bi a JOIN bi b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |   AND a.doc_id < b.doc_id)
+      |SELECT * FROM (
+      |  SELECT pr.id_a, pr.id_b,
+      |         CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS BIGINT) AS hamming
+      |  FROM pr
+      |  JOIN bi x ON x.doc_id = pr.id_a
+      |  JOIN bi y ON y.doc_id = pr.id_b AND y.band_idx = x.band_idx
+      |  GROUP BY pr.id_a, pr.id_b)
+      |WHERE hamming <= 7 ORDER BY id_a, id_b""".stripMargin
+
   /** Token-budget shard packing (training-data export): documents
     * packed into ~2000-token shards in doc_id order via the
     * distributed prefix sum in [[graft.functions.Packing]]. The oracle
@@ -2284,7 +2335,8 @@ object PipelineQueries {
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_persisted" -> (annIvfPersisted _),
     "q_multimodal_meta" -> (multimodalMeta _),
-    "q_image_phash" -> (imagePhash _))
+    "q_image_phash" -> (imagePhash _),
+    "q_phash_neardup" -> (phashNearDup _))
 
   val oracles: Map[String, String] = Map(
     "q_collocation_pmi" -> collocationPmiSql,
@@ -2343,5 +2395,6 @@ object PipelineQueries {
     "q_ann_ivf" -> annIvfSql,
     "q_ann_ivf_persisted" -> annIvfSql,
     "q_multimodal_meta" -> multimodalMetaSql,
-    "q_image_phash" -> imagePhashSql)
+    "q_image_phash" -> imagePhashSql,
+    "q_phash_neardup" -> phashNearDupSql)
 }

@@ -889,4 +889,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(0L) === 103L)
     assert(got(2L) === 105L)
   }
+
+  test("labelPropagation: two triangles joined by a bridge resolve to their min labels") {
+    import spark.implicits._
+    // triangles {1,2,3} and {7,8,9} with bridge 3-7: each triangle is a
+    // majority for its own labels, so sweeps converge to the min label
+    // per triangle; the bridge must not merge them (one vote vs two)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (7L, 8L), (8L, 9L), (9L, 7L),
+      (3L, 7L)).toDF("src", "dst")
+    val got = graft.functions.Graph.labelPropagation(edges, "src", "dst", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(got(1L), got(2L), got(3L)).size === 1, s"left triangle split: $got")
+    assert(Set(got(7L), got(8L), got(9L)).size === 1, s"right triangle split: $got")
+    assert(got(1L) !== got(7L), s"bridge merged the triangles: $got")
+  }
+
+  test("phashNearDupPairs: pigeonhole blocking is EXACT vs brute force for maxDist < bands") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    def randBits(): String =
+      (0 until 64).map(_ => if (rnd.nextBoolean()) '1' else '0').mkString
+    def flip(s: String, n: Int): String = {
+      val idx = rnd.shuffle((0 until 64).toList).take(n).toSet
+      s.zipWithIndex.map { case (c, i) =>
+        if (idx(i)) (if (c == '1') '0' else '1') else c }.mkString
+    }
+    val base = (0 until 40).map(i => (i.toLong, randBits()))
+    // planted near-dups at every distance 0..9 — 8 and 9 must NOT pair
+    // (maxDist = 7), everything at <= 7 MUST, per the pigeonhole bound
+    val planted = base.take(10).zipWithIndex.map { case ((id, bits), d) =>
+      (100L + id, flip(bits, d)) }
+    val df = (base ++ planted).toDF("id", "bits")
+    val got = graft.functions.Multimodal.phashNearDupPairs(
+        df, "id", "bits", bands = 8, maxDist = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force truth over all pairs
+    val all = (base ++ planted)
+    val truth = (for {
+      (a, ab) <- all; (b, bb) <- all if a < b
+      d = ab.zip(bb).count { case (x, y) => x != y } if d <= 7
+    } yield (a, b, d.toLong)).toSet
+    assert(got === truth, s"banded pairs ${got.size} != brute-force ${truth.size}")
+    assert(truth.exists(_._3 == 7), "fixture must include a distance-7 pair")
+    // and the plan must block, never cross-join
+    val plan = graft.functions.Multimodal.phashNearDupPairs(
+      df, "id", "bits", bands = 8, maxDist = 7).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"phash near-dup must plan a bucketed equi join:\n$plan")
+  }
 }
