@@ -169,24 +169,26 @@ object Bench {
     // ~1.5 s per streaming micro-batch of local-mode driver cost
     // (q_stream_materialize = 2 batches + store dump) and ~0.3-0.5 s
     // per Spark job (materialize runs several store jobs per call).
-    val notes = "scalecheck 10x data wall ratios (round 8, measured " +
-      "under concurrent load): text_stats 6.2x, components 3.9x, " +
-      "agg_incremental 3.6x, silhouette 3.3x, semantic_dedup 3.3x, " +
-      "collocation_pmi 3.1x, label_join 2.7x, dedup_minhash 2.6x, " +
-      "salted_join 2.4x, pit_join_single 2.3x, cdc_merge 2.2x, " +
-      "snapshot_diff 2.2x, span_scrub 2.1x, grid_snapshot 2.1x, " +
-      "curriculum 2.1x, nearest_join 2.1x, recent_history 2.0x, " +
-      "zscore 2.0x, k_suppress 1.9x, quantile_bin 1.8x, " +
-      "pit_sortmerge 1.8x, bloom_prune_join 1.7x, shard_pack 1.7x, " +
-      "dup_span 1.7x, k_anonymity 1.7x, domain_cap 1.7x, " +
-      "line_dedup 1.7x, group_split 1.6x, rolling_agg 1.6x, " +
-      "novelty 1.6x, context_windows 1.6x, whiten_dims 1.5x, " +
-      "sessionize 1.5x, ann_ivf 1.5x, zorder_layout 1.4x, " +
-      "feature_drift 1.4x, dedup_incremental_fuzzy 1.4x, " +
-      "contamination 1.4x, scd2_history 1.3x, rollup 1.3x, " +
-      "bpe_merges 1.2x, negative_sample 1.2x, random_projection 1.1x, " +
-      "ann_pq 1.1x, ks_drift 1.0x " +
-      "(sub-linear on ALL 44 incl. the round-6 additions; ScaleCheck " +
+    val notes = "scalecheck 10x data wall ratios (round 9, measured " +
+      "under concurrent load): text_stats 7.0x, components 4.7x, " +
+      "dedup_minhash 3.8x, agg_incremental 3.1x, silhouette 3.1x, " +
+      "novelty 3.1x, semantic_dedup 2.8x, curriculum 2.5x, " +
+      "k_suppress 2.5x, cdc_merge 2.3x, nearest_join 2.1x, " +
+      "pit_sortmerge 2.1x, pit_join_single 2.1x, label_join 2.0x, " +
+      "bloom_prune_join 2.0x, salted_join 1.8x, collocation_pmi 1.8x, " +
+      "recent_history 1.8x, snapshot_diff 1.7x, span_scrub 1.7x, " +
+      "shard_pack 1.7x, grid_snapshot 1.7x, feature_drift 1.7x, " +
+      "quantile_bin 1.7x, k_anonymity 1.7x, zscore 1.6x, " +
+      "group_split 1.6x, dup_span 1.5x, context_windows 1.5x, " +
+      "materialize_roundtrip 1.4x, line_dedup 1.4x, " +
+      "dedup_incremental_fuzzy 1.3x, zorder_layout 1.3x, " +
+      "domain_cap 1.3x, rolling_agg 1.2x, whiten_dims 1.2x, " +
+      "negative_sample 1.2x, sessionize 1.1x, ks_drift 1.1x, " +
+      "bpe_merges 1.1x, contamination 1.0x, ann_pq 1.0x, " +
+      "ann_ivf 1.0x, rollup 1.0x, random_projection 1.0x, " +
+      "scd2_history 0.9x, phash_neardup 0.6x " +
+      "(sub-linear on ALL 46 incl. the round-8 additions — the " +
+      "one-exchange store roundtrip and the pigeonhole phash pairing; " +
       "local[32] 16g driver; run-to-run wall variance on this box is " +
       "+/-2x at these sub-5s scales and concurrent load can inflate " +
       "single ratios far more). Floor accounting for the two " +

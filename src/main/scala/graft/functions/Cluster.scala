@@ -76,17 +76,17 @@ object Cluster {
     }
     val v = col(vecCol)
     val xx = DotProductExpr.dot(v, v)
-    def centLit(c: Array[Double]): Column = array(c.map(lit(_)): _*)
+    def centLit(c: Array[Double]): Column = array(c.toIndexedSeq.map(lit(_)): _*)
     // one d² column per label, each dot computed once in the projection
     val d2Cols = centroids.map { case (l, c) =>
       (xx - lit(2.0) * DotProductExpr.dot(v, centLit(c)) + lit(selfDot(c))).as(s"__d2_$l")
     }
-    val withD2 = df.select(col(labelCol).cast("long").as("__l") +: d2Cols: _*)
+    val withD2 = df.select(col(labelCol).cast("long").as("__l") +: d2Cols.toIndexedSeq: _*)
 
-    val own = coalesce(centroids.map { case (l, _) =>
+    val own = coalesce(centroids.toIndexedSeq.map { case (l, _) =>
       when(col("__l") === l, col(s"__d2_$l"))
     }: _*)
-    val otherMin = least(centroids.map { case (l, _) =>
+    val otherMin = least(centroids.toIndexedSeq.map { case (l, _) =>
       when(col("__l") === l, lit(Double.MaxValue)).otherwise(col(s"__d2_$l"))
     }: _*)
 

@@ -43,7 +43,7 @@ object Drift {
     baseline.filter(col(valueCol).isNotNull)
       .agg(percentile_approx(col(valueCol).cast("double"),
         typedlit(probs), lit(accuracy)).as("edges"))
-      .head.getSeq[Double](0).distinct.sorted
+      .head().getSeq[Double](0).distinct.sorted
   }
 
   def psi(

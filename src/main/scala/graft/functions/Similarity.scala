@@ -50,6 +50,34 @@ object Similarity {
     twoLevelTopK(scored, k)
   }
 
+  /** Attribute-filtered exact top-k: each query's neighbors are
+    * restricted to corpus rows sharing its `attr` value (same label /
+    * language / tenant — the "filtered vector search" shape). The
+    * filter is applied PRE-scoring as the JOIN KEY itself: instead of
+    * a cross join + post-filter (which scores every pair and then
+    * drops most), the attribute equality becomes a hash equi join, so
+    * only qualifying pairs are ever scored — at corpus scale this is
+    * the difference between |Q|·|corpus| and Σ_attr |Q_a|·|C_a| pair
+    * evaluations. Top-k rides the same bounded-heap exchange as
+    * [[bruteForceTopK]]. */
+  def bruteForceTopKFiltered(
+      queries: DataFrame, qIdCol: String, qVecCol: String, qAttrCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String, attrCol: String,
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries
+      .select(col(qIdCol).as("__qid"), col(qVecCol).as("__qvec"),
+        col(qAttrCol).as("__attr"))
+      .withColumn("__qn", norm(col("__qvec"))))
+    val c = corpus
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"),
+        col(attrCol).as("__attr"))
+      .withColumn("__cn", norm(col("__cvec")))
+    var scored = c.join(q, Seq("__attr"))
+      .withColumn("__cos", dot(col("__qvec"), col("__cvec")) / (col("__qn") * col("__cn")))
+    if (excludeSelf) scored = scored.filter(col("__qid") =!= col("__cid"))
+    twoLevelTopK(scored, k)
+  }
+
   /** Skew-safe top-k over a scored (__qid, __cid, __cos) frame, shared
     * by [[bruteForceTopK]] and [[ivfTopK]]: ONE bounded-heap
     * aggregation ([[graft.functions.BoundedMinK]]). The partial heaps

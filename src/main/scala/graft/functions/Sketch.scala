@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable frequency sketches: count-min (Cormode & Muthukrishnan
+  * 2005) — the fixed-memory answer to "which tokens/domains/keys are
+  * hot?" over a corpus too large to count exactly per key.
+  *
+  * Scale shape: the sketch is a depth×width counter TABLE (a few
+  * thousand cells regardless of corpus size) built by ONE
+  * map-side-combinable aggregation — each occurrence contributes
+  * `depth` (row, bucket) increments, partial-aggregated before the
+  * exchange, so the shuffle carries at most depth×width cells per map
+  * task no matter how skewed the items. Estimates are overestimates
+  * only (collisions add, never subtract): est(x) = min over rows of
+  * cell(row, h_row(x)) ≥ true(x), within εN with probability 1−δ for
+  * width = e/ε, depth = ln(1/δ). Sketches over shards merge by cell
+  * addition — the property that makes this a streaming/partitioned
+  * structure, unlike an exact top-k.
+  *
+  * Determinism contract (DuckDB oracle replay): row hashes are
+  * md5("cm<row>:" || item) truncated to 8 hex chars and parsed as an
+  * integer — both engines lowercase-hex md5, so buckets, cells and
+  * minima replay bit-for-bit.
+  */
+object Sketch {
+
+  /** Bucket of `item` in hash row `row`: md5-derived, mod width. */
+  private def bucket(item: Column, row: Int, width: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"cm$row:"), item)), 1, 8), 16, 10)
+      .cast("long"), lit(width.toLong))
+
+  private def bucketsOf(item: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map(r => bucket(item, r, width)): _*)
+
+  /** The depth×width counter table: one row per non-empty cell,
+    * (row, bucket, cnt). One exploded narrow projection + one hash
+    * aggregation; output is sketch-sized, never corpus-sized. */
+  def countMinTable(
+      items: DataFrame, itemCol: String,
+      depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0, s"need depth/width > 0, got $depth/$width")
+    items
+      .select(posexplode(bucketsOf(col(itemCol), depth, width))
+        .as(Seq("row", "bucket")))
+      .groupBy("row", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Heavy hitters by count-min estimate: candidates are the DISTINCT
+    * items (vocabulary-grain, not corpus-grain), each probing its
+    * `depth` cells in the broadcast sketch; est = min over rows.
+    * `exact` rides along from an exact per-item count so callers see
+    * the overestimate (est ≥ exact always — a unit-pinned invariant).
+    * Keep items with est ≥ threshold: no false negatives (an item
+    * with true count ≥ threshold always estimates ≥ threshold). */
+  def countMinHeavyHitters(
+      items: DataFrame, itemCol: String,
+      depth: Int, width: Int, threshold: Long): DataFrame = {
+    val sketch = countMinTable(items, itemCol, depth, width)
+    val exact = items.groupBy(col(itemCol).as("item"))
+      .agg(count(lit(1)).as("exact"))
+    exact
+      .select(col("item"), col("exact"),
+        posexplode(bucketsOf(col("item"), depth, width)).as(Seq("row", "bucket")))
+      .join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy("item", "exact")
+      .agg(min("cnt").as("est"))
+      .filter(col("est") >= threshold)
+      .select(col("item"), col("est"), col("exact"))
+  }
+}

@@ -53,7 +53,7 @@ object VectorSketch {
     * ascending dim; argmin via array_position of the array minimum —
     * the first equal element, i.e. the smallest anchor index on ties. */
   def pqCodeForSub(emb: Column, anchors: Array[Array[Float]], s: Int, subDim: Int): Column = {
-    val dists = array(anchors.map { a =>
+    val dists = array(anchors.toIndexedSeq.map { a =>
       (0 until subDim).map { d =>
         val i = s * subDim + d
         val diff = element_at(emb, i + 1).cast("double") - lit(a(i).toDouble)

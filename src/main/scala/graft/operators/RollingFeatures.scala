@@ -45,6 +45,6 @@ object RollingFeatures {
     // expressions of a single select into one WindowExec (one per-key
     // sort pass); chained withColumn(...).over(w) plans a separate
     // Window + Sort per aggregate
-    df.select(df.columns.map(col) ++ aggs.map { case (name, a) => a.over(w).as(name) }: _*)
+    df.select(df.columns.toIndexedSeq.map(col) ++ aggs.map { case (name, a) => a.over(w).as(name) }: _*)
   }
 }

@@ -44,7 +44,7 @@ object SkewJoin {
     require(Seq("inner", "left", "left_outer", "leftouter").contains(joinType.toLowerCase),
       s"salted join supports inner/left only (right replication would duplicate " +
         s"outer rows), got $joinType")
-    val salt = pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor.toLong))
+    val salt = pmod(xxhash64(left.columns.toIndexedSeq.map(col): _*), lit(saltFactor.toLong))
     val l = left.withColumn("__graft_salt", salt)
     val r = right.withColumn("__graft_salt",
       explode(sequence(lit(0L), lit(saltFactor - 1L))))

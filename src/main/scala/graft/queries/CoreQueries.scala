@@ -546,7 +546,7 @@ object CoreQueries {
     val o = pq(s, dir, "orders").filter(col("o_totalprice").isNotNull)
     val edges = o.agg(expr(
         "percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))").as("e"))
-      .head.getSeq[Double](0)
+      .head().getSeq[Double](0)
     o.select(graft.functions.SearchSorted.column(
         col("o_totalprice"), org.apache.spark.sql.types.DoubleType,
         edges.map(x => x: Any)).as("bin"),

@@ -561,6 +561,36 @@ object PipelineQueries {
       |SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Label-filtered exact top-k ([[Similarity.bruteForceTopKFiltered]]):
+    * neighbors restricted to the query's own label, with the equality
+    * pushed pre-scoring as the join key — a hash equi join scores only
+    * same-label pairs instead of cross-joining and discarding. The
+    * oracle states the same predicate inside its join. */
+  def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val q = e.filter(col("vec_id") < 8)
+    Similarity.bruteForceTopKFiltered(q, "vec_id", "embedding", "label",
+        e, "vec_id", "embedding", "label", k = 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank").cast("int").as("rank"))
+  }
+
+  val annFilteredSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id, label, v FROM e WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |         list_dot_product(q.v, e.v)
+      |         / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+      |  FROM q JOIN e ON q.label = e.label AND q.vec_id <> e.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id
+      |                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** IVF-partitioned ANN (scale path), deterministic-anchor variant:
     * kmeansIters = 0 makes the anchors the first nCells corpus vectors
     * by id and every remaining step (assignment, probe, scoring, top-k)
@@ -934,6 +964,45 @@ object PipelineQueries {
       |        FROM documents))
       |SELECT ngram, count(*) AS doc_freq FROM g GROUP BY 1
       |ORDER BY doc_freq DESC, ngram LIMIT 100""".stripMargin
+
+  /** Count-min heavy-hitter tokens ([[graft.functions.Sketch]]):
+    * the fixed-memory hot-key detector — a depth×width counter table
+    * built in one map-side-combinable pass (sketch-sized on the
+    * shuffle regardless of corpus size or skew), probed at
+    * vocabulary grain. `exact` rides along so the overestimate-only
+    * bound is visible in the result; threshold filtering has no false
+    * negatives by construction. Oracle replays the md5-derived bucket
+    * arithmetic, the cell counts and the row-minimum exactly. */
+  def countMinHH(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Sketch.countMinHeavyHitters(
+        docs(s, dir).select(
+          explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("token")),
+        "token", depth = 4, width = 1024, threshold = 300L)
+      .select(col("item").as("token"), col("est"), col("exact"))
+      .orderBy("token")
+
+  val countMinHHSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      |  FROM documents),
+      |cells AS (
+      |  SELECT r.r AS rw,
+      |         CAST('0x' || substr(md5('cm' || CAST(r.r AS VARCHAR) || ':' || token), 1, 8)
+      |              AS BIGINT) % 1024 AS bucket,
+      |         count(*) AS cnt
+      |  FROM toks, UNNEST(range(0, 4)) AS r(r)
+      |  GROUP BY 1, 2),
+      |exact AS (SELECT token, count(*) AS exact FROM toks GROUP BY 1),
+      |probe AS (
+      |  SELECT token, exact, r.r AS rw,
+      |         CAST('0x' || substr(md5('cm' || CAST(r.r AS VARCHAR) || ':' || token), 1, 8)
+      |              AS BIGINT) % 1024 AS bucket
+      |  FROM exact, UNNEST(range(0, 4)) AS r(r))
+      |SELECT token, CAST(min(cnt) AS BIGINT) AS est, CAST(exact AS BIGINT) AS exact
+      |FROM probe JOIN cells USING (rw, bucket)
+      |GROUP BY token, exact
+      |HAVING min(cnt) >= 300
+      |ORDER BY token""".stripMargin
 
   /** Gopher-rule quality flags per document (flags cast to 0/1 ints so
     * the cross-engine dtype comparison is unambiguous). */
@@ -2313,6 +2382,7 @@ object PipelineQueries {
     "q_context_windows" -> (contextWindowsQ _),
     "q_dedup_incremental_fuzzy" -> (dedupIncrementalFuzzy _),
     "q_vocab_topk" -> (vocabTopK _),
+    "q_countmin_hh" -> (countMinHH _),
     "q_text_stats" -> (textStats _),
     "q_sentence_split" -> (sentenceSplit _),
     "q_lang_id" -> (langIdQ _),
@@ -2332,6 +2402,7 @@ object PipelineQueries {
     "q_dedup_simhash_exact" -> (dedupSimhashExact _),
     "q_embedding_neardup" -> (embeddingNearDup _),
     "q_ann_brute_force" -> (annBruteForce _),
+    "q_ann_filtered" -> (annFiltered _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_persisted" -> (annIvfPersisted _),
     "q_multimodal_meta" -> (multimodalMeta _),
@@ -2374,6 +2445,7 @@ object PipelineQueries {
     "q_context_windows" -> contextWindowsSql,
     "q_dedup_incremental_fuzzy" -> dedupIncrementalFuzzySql,
     "q_vocab_topk" -> vocabTopKSql,
+    "q_countmin_hh" -> countMinHHSql,
     "q_text_stats" -> textStatsSql,
     "q_sentence_split" -> sentenceSplitSql,
     "q_lang_id" -> langIdSql,
@@ -2392,6 +2464,7 @@ object PipelineQueries {
     "q_dedup_simhash_exact" -> dedupSimhashExactSql,
     "q_embedding_neardup" -> embeddingNearDupSql,
     "q_ann_brute_force" -> annBruteForceSql,
+    "q_ann_filtered" -> annFilteredSql,
     "q_ann_ivf" -> annIvfSql,
     "q_ann_ivf_persisted" -> annIvfSql,
     "q_multimodal_meta" -> multimodalMetaSql,

@@ -41,7 +41,7 @@ object ScaleCheck {
       val base = spark.read.parquet(s"$baseDir/$table.parquet")
       val reps = spark.range(factor).select(col("id").as("__rep"))
       base.crossJoin(broadcast(reps))
-        .select(base.columns.map { c =>
+        .select(base.columns.toIndexedSeq.map { c =>
           if (keys.contains(c)) (col(c) + col("__rep") * off).as(c) else col(c)
         }: _*)
         .repartition(32)
@@ -117,7 +117,14 @@ object ScaleCheck {
       // projection, the scan-level bloom semi-join prune, and the
       // Z-order layout + range probe
       "q_silhouette", "q_collocation_pmi", "q_whiten_dims",
-      "q_bloom_prune_join", "q_zorder_layout")
+      "q_bloom_prune_join", "q_zorder_layout",
+      // round-8 additions: the pigeonhole band-blocked hamming pairing
+      // (bucket join + bit_count verify — the shape that must not go
+      // quadratic) and the store queries whose upsert is now the
+      // one-exchange (bucket, keys) max_by. Deliberately absent:
+      // q_label_prop (like q_pagerank, its planted node universe is
+      // FIXED at 20 domains; 10x docs only rescans edge derivation)
+      "q_phash_neardup", "q_materialize_roundtrip")
     queries.foreach(q => time(q, baseDir)) // warm: codegen + analyzer JIT
     val lines = queries.map { q =>
       val t1 = time(q, baseDir)

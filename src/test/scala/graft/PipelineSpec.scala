@@ -890,6 +890,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2L) === 105L)
   }
 
+  test("countMinHeavyHitters: overestimate-only, no false negatives, even under forced collisions") {
+    import spark.implicits._
+    // width=8 over a 40-item universe FORCES bucket collisions in every
+    // row — the regime where the sketch's guarantees (est >= exact,
+    // threshold keeps every truly-heavy item) must still hold
+    val items = ((0 until 40).flatMap(i => Seq.fill(1 + i % 5)(s"tok$i"))
+      ++ Seq.fill(50)("hot")).toDF("t")
+    val got = graft.functions.Sketch.countMinHeavyHitters(
+        items, "t", depth = 4, width = 8, threshold = 50L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byItem = got.map(g => g._1 -> g).toMap
+    assert(byItem.contains("hot"), s"true heavy hitter missed (false negative): $got")
+    assert(byItem("hot")._3 === 50L)
+    got.foreach { case (t, est, exact) =>
+      assert(est >= exact, s"count-min must never underestimate: $t est=$est exact=$exact")
+    }
+    // with an honest width the estimates are exact here (40-item
+    // universe, width 1024 -> no collisions), so est == exact
+    val clean = graft.functions.Sketch.countMinHeavyHitters(
+        items, "t", depth = 4, width = 1024, threshold = 50L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    clean.foreach { case (est, exact) => assert(est === exact) }
+  }
+
   test("labelPropagation: two triangles joined by a bridge resolve to their min labels") {
     import spark.implicits._
     // triangles {1,2,3} and {7,8,9} with bridge 3-7: each triangle is a
