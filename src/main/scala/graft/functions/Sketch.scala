@@ -31,8 +31,13 @@ object Sketch {
     pmod(conv(substring(md5(concat(lit(s"cm$row:"), item)), 1, 8), 16, 10)
       .cast("long"), lit(width.toLong))
 
-  private def bucketsOf(item: Column, depth: Int, width: Int): Column =
+  /** The item's `depth` cell buckets as an array — public so streaming
+    * aggregations can maintain the sketch cells as their (bounded)
+    * state. */
+  def cellBuckets(item: Column, depth: Int, width: Int): Column =
     array((0 until depth).map(r => bucket(item, r, width)): _*)
+  private def bucketsOf(item: Column, depth: Int, width: Int): Column =
+    cellBuckets(item, depth, width)
 
   /** The depth×width counter table: one row per non-empty cell,
     * (row, bucket, cnt). One exploded narrow projection + one hash
@@ -57,8 +62,17 @@ object Sketch {
     * with true count ≥ threshold always estimates ≥ threshold). */
   def countMinHeavyHitters(
       items: DataFrame, itemCol: String,
+      depth: Int, width: Int, threshold: Long): DataFrame =
+    probeHeavyHitters(countMinTable(items, itemCol, depth, width),
+      items, itemCol, depth, width, threshold)
+
+  /** Probe a prebuilt sketch table (the [[countMinTable]] layout —
+    * possibly accumulated by a STREAMING aggregation whose state is
+    * the cells) with the distinct items of `items`; same estimate /
+    * threshold semantics as [[countMinHeavyHitters]]. */
+  def probeHeavyHitters(
+      sketch: DataFrame, items: DataFrame, itemCol: String,
       depth: Int, width: Int, threshold: Long): DataFrame = {
-    val sketch = countMinTable(items, itemCol, depth, width)
     val exact = items.groupBy(col(itemCol).as("item"))
       .agg(count(lit(1)).as("exact"))
     exact

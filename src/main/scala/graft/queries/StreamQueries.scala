@@ -506,7 +506,59 @@ object StreamQueries {
       |GROUP BY 1, 2
       |ORDER BY window_start_ms, event_type""".stripMargin
 
+  private val CmDepth = 4
+  private val CmWidth = 256
+  private val CmThreshold = 75L
+
+  /** Bounded-state streaming heavy hitters: the events replay drives a
+    * streaming aggregation whose STATE is the count-min cells
+    * (depth×width, fixed) rather than per-user counters — the state
+    * bound that survives unbounded key cardinality. The final sketch
+    * is probed offline at user grain; `exact` rides along so the
+    * overestimate-only bound stays visible. Oracle: the identical
+    * sketch arithmetic over the whole events table — streaming cell
+    * accumulation must equal the batch cell counts for the hashes to
+    * line up, so this also pins cross-batch sketch merging. */
+  def streamHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val input = prepared(s, dir)
+    val stream = SourceReader.readStream(s,
+      FileStreamSource(input, "parquet", "ts", maxFilesPerTrigger = Some(1)))
+      .select(col("user_id").cast("string").as("item"))
+    val name = "stream_cmhh_" + java.util.UUID.randomUUID().toString.take(8)
+    val cells = StreamMaterializer.runStreamCountMinToCompletion(
+      stream, "item", CmDepth, CmWidth, name)
+    val items = s.read.parquet(input)
+      .select(col("user_id").cast("string").as("item"))
+    graft.functions.Sketch
+      .probeHeavyHitters(cells, items, "item", CmDepth, CmWidth, CmThreshold)
+      .select(col("item").cast("long").as("user_id"), col("est"), col("exact"))
+      .orderBy("user_id")
+  }
+
+  val streamHeavyHittersSql: String =
+    s"""WITH toks AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
+       |cells AS (
+       |  SELECT r.r AS rw,
+       |         CAST('0x' || substr(md5('cm' || CAST(r.r AS VARCHAR) || ':' || item), 1, 8)
+       |              AS BIGINT) % $CmWidth AS bucket,
+       |         count(*) AS cnt
+       |  FROM toks, UNNEST(range(0, $CmDepth)) AS r(r)
+       |  GROUP BY 1, 2),
+       |exact AS (SELECT item, count(*) AS exact FROM toks GROUP BY 1),
+       |probe AS (
+       |  SELECT item, exact, r.r AS rw,
+       |         CAST('0x' || substr(md5('cm' || CAST(r.r AS VARCHAR) || ':' || item), 1, 8)
+       |              AS BIGINT) % $CmWidth AS bucket
+       |  FROM exact, UNNEST(range(0, $CmDepth)) AS r(r))
+       |SELECT CAST(item AS BIGINT) AS user_id, CAST(min(cnt) AS BIGINT) AS est,
+       |       CAST(exact AS BIGINT) AS exact
+       |FROM probe JOIN cells USING (rw, bucket)
+       |GROUP BY item, exact
+       |HAVING min(cnt) >= $CmThreshold
+       |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_heavy_hitters" -> (streamHeavyHitters _),
     "q_stream_materialize" -> (streamMaterialize _),
     "q_stream_window_agg" -> (streamWindowAgg _),
     "q_stream_dedup" -> (streamDedup _),
@@ -519,6 +571,7 @@ object StreamQueries {
     "q_stream_drift" -> (streamDrift _))
 
   val oracles: Map[String, String] = Map(
+    "q_stream_heavy_hitters" -> streamHeavyHittersSql,
     "q_stream_materialize" -> streamMaterializeSql,
     "q_stream_window_agg" -> streamWindowAggSql,
     "q_stream_dedup" -> streamDedupSql,

@@ -224,6 +224,41 @@ object StreamMaterializer {
     spark.table(queryName)
   }
 
+  /** Streaming count-min sketch: aggregate a stream into the
+    * depth×width counter cells of [[graft.functions.Sketch]] — the
+    * streaming STATE is the sketch (a few thousand cells), never
+    * per-key counters, so a stream with unbounded key cardinality
+    * (the 100 TB replay) runs in fixed state where a per-key
+    * streaming count would grow without bound. Complete-mode memory
+    * sink, run to completion on available input (same synchronous
+    * harness as [[runWindowedAggToCompletion]]); the returned cell
+    * table is probed offline with [[Sketch.probeHeavyHitters]].
+    * Sketch cells merge by addition, which is exactly what the
+    * streaming aggregation's state update does — the sketch IS the
+    * mergeable-state formulation of frequency counting. */
+  def runStreamCountMinToCompletion(
+      stream: DataFrame,
+      itemCol: String,
+      depth: Int,
+      width: Int,
+      queryName: String): DataFrame = {
+    val spark = stream.sparkSession
+    val cells = stream
+      .select(posexplode(
+        graft.functions.Sketch.cellBuckets(col(itemCol), depth, width))
+        .as(Seq("row", "bucket")))
+      .groupBy("row", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val q = cells.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Stateful streaming deduplication: drop records whose `keyCols`
     * were already seen, with the dedup state bounded by the event-time
     * watermark (a key older than the watermark can be evicted — the

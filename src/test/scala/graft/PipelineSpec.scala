@@ -890,6 +890,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2L) === 105L)
   }
 
+  test("q_ann_recall: mean recall@5 of the IVF index on the driver fixture >= 0.9") {
+    // the index-quality floor (VERDICT r5 #8): the recall EVALUATION is
+    // oracle-checked for correctness; this pins the recall LEVEL — the
+    // deterministic-anchor IVF at nProbe=4/16 must retrieve >= 90% of
+    // the exact top-5 on the driver's own embedding fixture
+    val recall = graft.queries.PipelineQueries
+      .annRecall(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getDouble(2))
+    assert(recall.nonEmpty)
+    val mean = recall.sum / recall.length
+    assert(mean >= 0.9, s"mean IVF recall@5 $mean < 0.9 (${recall.toSeq})")
+  }
+
   test("countMinHeavyHitters: overestimate-only, no false negatives, even under forced collisions") {
     import spark.implicits._
     // width=8 over a 40-item universe FORCES bucket collisions in every
