@@ -198,6 +198,26 @@ object InMemoryOnlineStore {
 object ParquetOnlineStore {
   /** Hash-partition directory column (`__bucket=<n>` dirs). */
   val BucketCol = "__bucket"
+
+  /** The one-exchange merged/laid-out frame an upsert stages (exposed
+    * for plan tests: exactly ONE Exchange — the (bucket, keys) max_by
+    * aggregation whose map-side partial combine collapses input-grain
+    * rows to one combiner per key before the shuffle — followed by a
+    * zero-shuffle sortWithinPartitions for the bucket layout). */
+  private[graft] def mergedFrame(
+      d: DataFrame, joinKeys: Seq[String], tsCol: String,
+      createdCol: Option[String], featureNames: Seq[String],
+      buckets: Int): DataFrame = {
+    val ordCols = (tsCol +: createdCol.toSeq).distinct
+    val payloadCols = (ordCols ++ featureNames).distinct
+    val payload = struct(payloadCols.map(col): _*)
+    val ordKey = struct((ordCols.map(col) :+ payload.as("__payload")): _*)
+    d.withColumn(BucketCol, EntityBucketExpr.bucketId(joinKeys, buckets))
+      .groupBy(col(BucketCol) +: joinKeys.map(col): _*)
+      .agg(max_by(payload, ordKey).as("__row"))
+      .select((joinKeys.map(col) :+ col("__row.*")) :+ col(BucketCol): _*)
+      .sortWithinPartitions(col(BucketCol) +: joinKeys.map(col): _*)
+  }
   /** Marker file inside each table dir recording the bucket count the
     * table was created with (underscore prefix: ignored by parquet
     * partition discovery). A store opened with a different configured
@@ -317,18 +337,10 @@ class ParquetOnlineStore(
     // min/max stats for point-read skipping; reads list every file in
     // a bucket dir, so several files per bucket (the cluster-scale
     // shape — write parallelism within a bucket) are fine.
-    def stage(d: DataFrame): Unit = {
-      val ordCols = (tsCol +: createdCol.toSeq).distinct
-      val payloadCols = (ordCols ++ view.featureNames).distinct
-      val payload = struct(payloadCols.map(col): _*)
-      val ordKey = struct((ordCols.map(col) :+ payload.as("__payload")): _*)
-      d.withColumn(BucketCol, bucketExpr(joinKeys, buckets))
-        .groupBy(col(BucketCol) +: joinKeys.map(col): _*)
-        .agg(max_by(payload, ordKey).as("__row"))
-        .select((joinKeys.map(col) :+ col("__row.*")) :+ col(BucketCol): _*)
-        .sortWithinPartitions(col(BucketCol) +: joinKeys.map(col): _*)
+    def stage(d: DataFrame): Unit =
+      ParquetOnlineStore.mergedFrame(d, joinKeys, tsCol, createdCol,
+          view.featureNames, buckets)
         .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp)
-    }
 
     val liveBytes =
       if (fs.exists(hp(p))) fs.getContentSummary(hp(p)).getLength else -1L

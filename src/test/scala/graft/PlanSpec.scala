@@ -119,6 +119,21 @@ class PlanSpec extends AnyFunSuite {
       s"IVF top-k must not plan a window:\n$plan")
   }
 
+  test("store upsert merge: ONE exchange, partial max_by before it, no window") {
+    import spark.implicits._
+    val df = (0 until 100)
+      .map(i => (i % 7L, new java.sql.Timestamp(1700000000000L + i * 1000L), i.toDouble))
+      .toDF("user_id", "ts", "value")
+    val plan = graft.online.ParquetOnlineStore
+      .mergedFrame(df, Seq("user_id"), "ts", None, Seq("value"), buckets = 4)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges === 1, s"upsert merge must plan exactly one exchange:\n$plan")
+    assert(plan.toLowerCase.contains("partial_max_by"),
+      s"latest-per-key must partial-aggregate map-side before the exchange:\n$plan")
+    assert(!plan.contains("Window"), s"no window in the upsert merge:\n$plan")
+  }
+
   test("PQ ADC top-k: one joinless scan of the code table scores every query") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
