@@ -187,7 +187,7 @@ object Bench {
       "bpe_merges 1.1x, contamination 1.0x, ann_pq 1.0x, " +
       "ann_ivf 1.0x, rollup 1.0x, random_projection 1.0x, " +
       "scd2_history 0.9x, phash_neardup 0.6x " +
-      "(sub-linear on ALL 46 incl. the round-8 additions — the " +
+      "(sub-linear on ALL 47 incl. the round-8 additions — the " +
       "one-exchange store roundtrip and the pigeonhole phash pairing; " +
       "local[32] 16g driver; run-to-run wall variance on this box is " +
       "+/-2x at these sub-5s scales and concurrent load can inflate " +

@@ -107,13 +107,19 @@ object Multimodal {
     * quadratic all-pairs comparison never plans — the same blocking
     * discipline as the MinHash-LSH dedup, but with EXACT recall
     * (pigeonhole is a theorem, not a probability) for
-    * maxDist < bands. Degenerate buckets (a band value shared by a
-    * giant slice of the corpus) are dropped at `maxBucketSize` rows —
-    * the [[Dedup]] guard; candidates surviving the block are verified
-    * with the true hamming distance (bit_count of per-band XOR, a
-    * codegen'd integer pipeline). Output (id_a, id_b, hamming) with
-    * id_a < id_b, one row per pair regardless of how many bands
-    * matched. */
+    * maxDist < bands, PROVIDED no band bucket exceeds
+    * `maxBucketSize`: degenerate buckets (a band value shared by a
+    * giant slice of the corpus — e.g. millions of identical blank
+    * images) are dropped at the cap, the [[Dedup]] guard, because
+    * their pair OUTPUT is itself quadratic — n identical fingerprints
+    * have n²/2 hamming-0 pairs no algorithm can avoid enumerating.
+    * Callers needing those should exact-group identical fingerprints
+    * first (a hash aggregation) and treat each group as one unit.
+    * Candidates surviving the block are verified with the true
+    * hamming distance — a flat per-band bit_count(XOR) sum that
+    * whole-stage-codegens (no higher-order-function lambdas on the
+    * pair path). Output (id_a, id_b, hamming) with id_a < id_b, one
+    * row per pair regardless of how many bands matched. */
   def phashNearDupPairs(
       df: DataFrame, idCol: String, bitsCol: String,
       bands: Int = 4, maxDist: Int = 3,
@@ -137,10 +143,11 @@ object Multimodal {
       col("__id").as("__ida"), col("__bands").as("__ba"))
     val b = live.select(col("__band_idx"), col("__band_val"),
       col("__id").as("__idb"), col("__bands").as("__bb"))
-    val ham = aggregate(
-      zip_with(col("__ba"), col("__bb"),
-        (x, y) => call_function("bit_count", x.bitwiseXOR(y)).cast("long")),
-      lit(0L), _ + _)
+    val ham = (0 until bands).map { i =>
+      call_function("bit_count",
+        element_at(col("__ba"), i + 1).bitwiseXOR(element_at(col("__bb"), i + 1)))
+        .cast("long")
+    }.reduce(_ + _)
     a.join(b, Seq("__band_idx", "__band_val"))
       .filter(col("__ida") < col("__idb"))
       .select(col("__ida"), col("__idb"), col("__ba"), col("__bb"))

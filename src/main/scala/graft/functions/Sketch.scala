@@ -36,8 +36,6 @@ object Sketch {
     * state. */
   def cellBuckets(item: Column, depth: Int, width: Int): Column =
     array((0 until depth).map(r => bucket(item, r, width)): _*)
-  private def bucketsOf(item: Column, depth: Int, width: Int): Column =
-    cellBuckets(item, depth, width)
 
   /** The depth×width counter table: one row per non-empty cell,
     * (row, bucket, cnt). One exploded narrow projection + one hash
@@ -47,7 +45,7 @@ object Sketch {
       depth: Int, width: Int): DataFrame = {
     require(depth > 0 && width > 0, s"need depth/width > 0, got $depth/$width")
     items
-      .select(posexplode(bucketsOf(col(itemCol), depth, width))
+      .select(posexplode(cellBuckets(col(itemCol), depth, width))
         .as(Seq("row", "bucket")))
       .groupBy("row", "bucket")
       .agg(count(lit(1)).as("cnt"))
@@ -77,7 +75,7 @@ object Sketch {
       .agg(count(lit(1)).as("exact"))
     exact
       .select(col("item"), col("exact"),
-        posexplode(bucketsOf(col("item"), depth, width)).as(Seq("row", "bucket")))
+        posexplode(cellBuckets(col("item"), depth, width)).as(Seq("row", "bucket")))
       .join(broadcast(sketch), Seq("row", "bucket"))
       .groupBy("item", "exact")
       .agg(min("cnt").as("est"))

@@ -47,6 +47,11 @@ class JdbcOnlineStore(
     writeParallelism: Int = 4) extends OnlineStore {
   import JdbcOnlineStore._
 
+  /** upsert reduces internally (latestPerKey before any round-trip)
+    * and writes via distributed foreachPartition — a caller-side
+    * PullLatest would just duplicate the exchange. */
+  override def wantsPreReduced: Boolean = false
+
   private def tableName(project: String, view: String): String =
     tableNameFor(project, view)
 

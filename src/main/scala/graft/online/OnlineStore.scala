@@ -208,11 +208,18 @@ object ParquetOnlineStore {
       d: DataFrame, joinKeys: Seq[String], tsCol: String,
       createdCol: Option[String], featureNames: Seq[String],
       buckets: Int): DataFrame = {
-    val ordCols = (tsCol +: createdCol.toSeq).distinct
-    val payloadCols = (ordCols ++ featureNames).distinct
-    val payload = struct(payloadCols.map(col): _*)
-    val ordKey = struct((ordCols.map(col) :+ payload.as("__payload")): _*)
-    d.withColumn(BucketCol, EntityBucketExpr.bucketId(joinKeys, buckets))
+    // ONE definition of the LWW total order, shared with PullLatest
+    // and the CDC stream collapse (review r6: three hand-built copies
+    // could silently diverge)
+    val (payload, ordKey, _) =
+      graft.operators.PullLatest.lwwKeys(tsCol, createdCol, featureNames)
+    // reuse an already-computed bucket id (upsert's incoming frame and
+    // the read-back of old rows both carry one) instead of re-hashing
+    // the canonical key serialization for every row
+    val withBucket =
+      if (d.columns.contains(BucketCol)) d
+      else d.withColumn(BucketCol, EntityBucketExpr.bucketId(joinKeys, buckets))
+    withBucket
       .groupBy(col(BucketCol) +: joinKeys.map(col): _*)
       .agg(max_by(payload, ordKey).as("__row"))
       .select((joinKeys.map(col) :+ col("__row.*")) :+ col(BucketCol): _*)

@@ -133,6 +133,11 @@ class RedisOnlineStore(
     writeParallelism: Int = 4) extends OnlineStore {
   import RespClient._
 
+  /** upsert reduces internally (latestPerKey before any round-trip)
+    * and writes via distributed foreachPartition — a caller-side
+    * PullLatest would just duplicate the exchange. */
+  override def wantsPreReduced: Boolean = false
+
   private def keyOf(project: String, view: String, hex: String): String =
     s"$project:$view:$hex"
 

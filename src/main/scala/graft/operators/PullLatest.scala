@@ -55,6 +55,30 @@ object PullLatest {
       .select(cols.map(col): _*)
   }
 
+  /** THE latest-per-key total order, shared by every LWW site (this
+    * operator, the parquet store's one-exchange upsert merge, the CDC
+    * stream's net-change collapse): winners order by
+    * (ts, created?, tieBreaks?, payload) with the feature payload
+    * appended as a stable final tiebreak — exact (ts, created)
+    * duplicates resolve to the max payload instead of the reference's
+    * nondeterministic ANY_VALUE (bigquery.py:645-660). One definition
+    * so the contract cannot silently diverge between the batch path
+    * and the store/stream paths.
+    *
+    * @return (payload struct, order-key struct, payload column names)
+    */
+  def lwwKeys(
+      tsCol: String,
+      createdCol: Option[String],
+      featureCols: Seq[String],
+      tieBreakCols: Seq[String] = Nil): (Column, Column, Seq[String]) = {
+    val ordCols: Seq[String] = ((tsCol +: createdCol.toSeq) ++ tieBreakCols).distinct
+    val payloadCols: Seq[String] = (ordCols ++ featureCols).distinct
+    val payload: Column = struct(payloadCols.map(col): _*)
+    val ordKey: Column = struct((ordCols.map(col) :+ payload.as("__payload")): _*)
+    (payload, ordKey, payloadCols)
+  }
+
   /** Newest row per key without the range filter (used by streaming
     * micro-batches and online reads over a batch-serving table). */
   def latestPerKey(
@@ -64,15 +88,8 @@ object PullLatest {
       createdCol: Option[String],
       featureCols: Seq[String],
       tieBreakCols: Seq[String] = Nil): DataFrame = {
-
-    val ordCols: Seq[String] = ((tsCol +: createdCol.toSeq) ++ tieBreakCols).distinct
-    val payloadCols: Seq[String] = (ordCols ++ featureCols).distinct
-    val payload: Column = struct(payloadCols.map(col): _*)
-    // Feature payload appended as a stable final tiebreak: exact
-    // (ts, created) duplicates resolve to the max payload instead of the
-    // reference's nondeterministic ANY_VALUE (bigquery.py:645-660).
-    val ordKey: Column = struct((ordCols.map(col) :+ payload.as("__payload")): _*)
-
+    val (payload, ordKey, payloadCols) =
+      lwwKeys(tsCol, createdCol, featureCols, tieBreakCols)
     df.groupBy(joinKeys.map(col): _*)
       .agg(max_by(payload, ordKey).as("__w"))
       .select((joinKeys.map(col) ++ payloadCols.map(c => col(s"__w.$c").as(c))): _*)

@@ -24,7 +24,9 @@ object DatePartition {
     val withDate =
       if (df.columns.contains(dateCol)) df
       else df.withColumn(dateCol, to_date(col(tsCol)))
-    withDate.write.mode(mode).partitionBy(dateCol).parquet(path)
+    // staged publish (StagedWrite): a failed direct write must never
+    // leave v2-committed task files visible in the live dataset
+    StagedWrite.parquet(withDate, path, mode, Seq(dateCol))
   }
 
   /** Inclusive date-range predicate over the partition column — a coarse

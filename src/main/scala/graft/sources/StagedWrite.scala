@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+
+/** Crash-safe publication for writes that target a LIVE dataset
+  * directory, independent of the committer algorithm: the job writes
+  * into a private staging dir next to the destination, and only after
+  * the job fully succeeds do the results publish —
+  *
+  *  - `append`: staged part files MOVE into the destination in one
+  *    driver-side rename pass. A job that dies mid-write leaves only
+  *    the staging dir; readers of the destination never see a partial
+  *    append. This is exactly the visibility guarantee the v1
+  *    committer's commitJob gave direct appends (and the same residual
+  *    window: a driver crash mid-rename-loop), restored on top of the
+  *    session-wide v2 committer.
+  *  - `overwrite`: whole-dir rename-aside swap (dest → dest.old,
+  *    staging → dest, delete .old) — STRICTLY stronger than either
+  *    committer version, which both delete the old data before the
+  *    new write lands; here a crash at any point leaves a complete
+  *    copy (old or new) discoverable on disk.
+  *
+  * Staging leftovers from crashed jobs (`.stage-*` dirs) are swept on
+  * the next write to the same destination.
+  */
+object StagedWrite {
+
+  def parquet(df: DataFrame, destPath: String, mode: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    require(mode == "append" || mode == "overwrite",
+      s"StagedWrite supports append/overwrite, got $mode")
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    val dest = new Path(destPath)
+    val fs = dest.getFileSystem(hconf)
+    // heal a crashed overwrite swap; sweep crashed staging dirs
+    val aside = new Path(destPath + ".old")
+    if (fs.exists(aside)) {
+      if (!fs.exists(dest)) fs.rename(aside, dest)
+      else fs.delete(aside, true)
+    }
+    val parent = dest.getParent
+    if (parent != null && fs.exists(parent)) {
+      fs.listStatus(parent).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(dest.getName + ".stage-")) fs.delete(st.getPath, true)
+      }
+    }
+
+    val staging = new Path(destPath + ".stage-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    val w0 = df.write.mode("overwrite")
+    val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+    w.parquet(staging.toString)
+
+    if (mode == "overwrite" || !fs.exists(dest)) {
+      if (fs.exists(dest)) {
+        fs.rename(dest, aside)
+        fs.rename(staging, dest)
+        fs.delete(aside, true)
+      } else fs.rename(staging, dest)
+    } else {
+      // append: move data files (and partition dirs) in; `_`-prefixed
+      // metadata files stay behind with the staging dir. Part-file
+      // names embed the write's job UUID, so cross-job collisions
+      // cannot occur.
+      def move(src: Path, dst: Path): Unit = {
+        if (!fs.exists(dst)) fs.mkdirs(dst)
+        fs.listStatus(src).foreach { st =>
+          val name = st.getPath.getName
+          if (!name.startsWith("_")) {
+            if (st.isDirectory) move(st.getPath, new Path(dst, name))
+            else fs.rename(st.getPath, new Path(dst, name))
+          }
+        }
+      }
+      move(staging, dest)
+      fs.delete(staging, true)
+    }
+  }
+}

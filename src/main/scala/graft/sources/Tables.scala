@@ -31,13 +31,18 @@ object Tables {
     }
     // v2 file-output commit: tasks rename their output into the
     // destination directly, removing the committer's sequential
-    // driver-side rename pass at job commit. Safe here because every
-    // graft durable-write path (online-store buckets, versioned-table
-    // WAP, date partitions) already stages into a private dir and
-    // publishes via its own atomic dir rename ABOVE the committer —
-    // the committer's v1 crash atomicity is redundant. At cluster
-    // scale this is the same decision cloud committers make; in the
-    // local bench it is a measurable slice of every store write.
+    // driver-side rename pass at job commit. Safe because every graft
+    // durable-write path stages into a private dir and publishes
+    // ABOVE the committer: online-store buckets and compaction swap
+    // staged dirs, VersionedTable claims a manifest over
+    // commit-private files, the streaming parquet sink has its own
+    // committed-file log, and the direct ingest/date-partition/zorder
+    // paths go through StagedWrite's move-on-success (which restores
+    // exactly v1's commit-time-only visibility for appends and beats
+    // both committers for overwrites). The committer's v1 crash
+    // atomicity is therefore redundant here. At cluster scale this is
+    // the same decision cloud committers make; in the local bench it
+    // is a measurable slice of every store write.
     try spark.sparkContext.hadoopConfiguration
       .set("mapreduce.fileoutputcommitter.algorithm.version", "2")
     catch { case _: Throwable => () }

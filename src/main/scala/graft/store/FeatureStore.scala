@@ -110,7 +110,10 @@ class FeatureStore(
         f.datePartitionColumn match {
           case Some(dc) =>
             graft.sources.DatePartition.write(renamed, f.path, f.eventTimestampColumn, dc, mode)
-          case None => renamed.write.mode(mode).parquet(f.path)
+          // staged publish, not a direct write: with the session-wide
+          // v2 committer a failed direct append would leave committed
+          // task files visible in the live dataset
+          case None => graft.sources.StagedWrite.parquet(renamed, f.path, mode)
         }
         SourceReader.invalidatePath(f.path) // cached listings are stale now
       case other => throw new IllegalArgumentException(

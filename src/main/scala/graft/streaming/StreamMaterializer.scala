@@ -87,11 +87,10 @@ object StreamMaterializer {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           // net change per key WITHIN the batch: latest row wins,
-          // carrying its op
-          val ordCols = (tsCol +: createdCol.toSeq)
-          val payloadCols = (ordCols ++ view.featureNames :+ opCol).distinct
-          val payload = struct(payloadCols.map(col): _*)
-          val ord = struct((ordCols.map(col) :+ payload.as("__payload")): _*)
+          // carrying its op — the shared LWW total order (PullLatest
+          // .lwwKeys), with the op column riding in the payload
+          val (payload, ord, _) = graft.operators.PullLatest.lwwKeys(
+            tsCol, createdCol, view.featureNames :+ opCol)
           val net = batch
             .groupBy(keys.map(col): _*)
             .agg(max_by(payload, ord).as("__net"))
