@@ -1162,4 +1162,38 @@ class EngineSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("StagedWrite: append/overwrite semantics, crash-leftover healing, staging sweep") {
+    import spark.implicits._
+    val dest = s"/tmp/graft_staged_${java.util.UUID.randomUUID().toString.take(8)}"
+    def read() = spark.read.parquet(dest).as[(Long, String)].collect().toSet
+    def listSiblings(): Seq[String] = {
+      val p = new java.io.File(dest).getParentFile
+      p.listFiles().map(_.getName).filter(_.startsWith(new java.io.File(dest).getName)).toSeq
+    }
+
+    graft.sources.StagedWrite.parquet(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dest, "append")
+    assert(read() === Set((1L, "a"), (2L, "b")))
+    graft.sources.StagedWrite.parquet(Seq((3L, "c")).toDF("k", "v"), dest, "append")
+    assert(read() === Set((1L, "a"), (2L, "b"), (3L, "c")), "append must preserve old rows")
+    graft.sources.StagedWrite.parquet(Seq((9L, "z")).toDF("k", "v"), dest, "overwrite")
+    assert(read() === Set((9L, "z")), "overwrite must replace")
+    assert(listSiblings() === Seq(new java.io.File(dest).getName),
+      s"no staging/.old leftovers after clean writes: ${listSiblings()}")
+
+    // crash leftovers: a stale staging dir is swept; a .old tree with
+    // the dest missing (overwrite died between the two renames) heals
+    // back to the old copy before the new write applies
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((7L, "stale")).toDF("k", "v").write.parquet(dest + ".stage-dead")
+    fs.rename(new org.apache.hadoop.fs.Path(dest),
+      new org.apache.hadoop.fs.Path(dest + ".old"))
+    graft.sources.StagedWrite.parquet(Seq((10L, "n")).toDF("k", "v"), dest, "append")
+    assert(read() === Set((9L, "z"), (10L, "n")),
+      "append after a crashed swap must heal the old copy and append to it")
+    assert(listSiblings() === Seq(new java.io.File(dest).getName),
+      s"crash leftovers must be swept: ${listSiblings()}")
+  }
 }
