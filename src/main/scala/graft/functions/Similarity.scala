@@ -456,10 +456,15 @@ object Similarity {
     transform(quantized("q"), q => q.cast("double") * quantized("scale"))
 
   /** Nearest `n` anchor cells for a vector, over a broadcast `cells`
-    * array column of (cell_id, cell_vec) structs. */
+    * array column of (cell_id, cell_vec) structs. Zero-norm vectors:
+    * Spark's non-ANSI divide yields NULL (which would sort FIRST in
+    * the struct sort and force-probe that cell) while the driver-side
+    * literal path computes IEEE NaN (sorts last) — coalesce to NaN so
+    * both probe paths rank degenerate cells identically (review r6). */
   private def nearestCells(vec: Column, n: Int): Column =
     slice(array_sort(transform(col("cells"), c =>
-      struct((-cosine(vec, c("cell_vec"))).as("negcos"), c("cell_id").as("cell_id")))),
+      struct(coalesce(-cosine(vec, c("cell_vec")), lit(Double.NaN)).as("negcos"),
+        c("cell_id").as("cell_id")))),
       1, n)
 
   /** Lloyd k-means over an embedding column, used to refine IVF anchors.

@@ -36,21 +36,12 @@ case class EntityBucketId(
   override def dataType: DataType = IntegerType
   override def prettyName: String = "entity_bucket_id"
 
-  private def writeLe32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
-    out.write(v & 0xff); out.write((v >>> 8) & 0xff)
-    out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
-  }
-  private def writeLe64(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
-    writeLe32(out, v.toInt); writeLe32(out, (v >>> 32).toInt)
-  }
-
-  // name block is row-invariant: serialize once
+  // name block is row-invariant: serialize once, via the codec's ONE
+  // layout definition (EntityKeyCodec write* helpers — no second copy
+  // of the tag bytes / LE encodings here)
   private lazy val namePrefix: Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    keyNames.foreach { n =>
-      val nb = n.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      writeLe32(out, nb.length); out.write(nb, 0, nb.length)
-    }
+    EntityKeyCodec.writeNameBlock(out, keyNames)
     out.toByteArray
   }
 
@@ -66,15 +57,13 @@ case class EntityBucketId(
           "(guardNullKeys should reject these upstream)")
       c.dataType match {
         case StringType =>
-          val b = v.asInstanceOf[UTF8String].getBytes
-          out.write(1); writeLe32(out, b.length); out.write(b, 0, b.length)
+          EntityKeyCodec.writeTaggedString(out, v.asInstanceOf[UTF8String].getBytes)
         case BinaryType =>
-          val b = v.asInstanceOf[Array[Byte]]
-          out.write(2); writeLe32(out, b.length); out.write(b, 0, b.length)
+          EntityKeyCodec.writeTaggedBytes(out, v.asInstanceOf[Array[Byte]])
         case IntegerType =>
-          out.write(3); writeLe32(out, 4); writeLe32(out, v.asInstanceOf[Int])
+          EntityKeyCodec.writeTaggedInt32(out, v.asInstanceOf[Int])
         case LongType =>
-          out.write(4); writeLe32(out, 8); writeLe64(out, v.asInstanceOf[Long])
+          EntityKeyCodec.writeTaggedInt64(out, v.asInstanceOf[Long])
         case other => throw new IllegalArgumentException(
           s"unsupported entity key type for '${keyNames(i)}': $other " +
             "(STRING/BYTES/INT32/INT64 only)")

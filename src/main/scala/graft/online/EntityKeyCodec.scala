@@ -21,33 +21,51 @@ import scala.util.hashing.MurmurHash3
   */
 object EntityKeyCodec {
 
-  private val TagString: Byte = 1
-  private val TagBytes: Byte = 2
-  private val TagInt32: Byte = 3
-  private val TagInt64: Byte = 4
+  // ---- the ONE definition of the canonical byte layout --------------
+  // Shared with the native EntityBucketId expression: tag bytes and LE
+  // encodings live only here, so the driver-side and expression-side
+  // serializers cannot drift (review r6 — two hand-written copies of a
+  // layout that "MUST stay exact twins" is how point reads misroute).
+  private[online] def writeLe32(out: java.io.ByteArrayOutputStream, v: Int): Unit =
+    out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array())
+  private[online] def writeLe64(out: java.io.ByteArrayOutputStream, v: Long): Unit =
+    out.write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v).array())
+  /** The row-invariant name block for pre-sorted key names. */
+  private[online] def writeNameBlock(
+      out: java.io.ByteArrayOutputStream, sortedNames: Seq[String]): Unit =
+    sortedNames.foreach { name =>
+      val nb = name.getBytes(StandardCharsets.UTF_8)
+      writeLe32(out, nb.length); out.write(nb)
+    }
+  private[online] def writeTaggedString(
+      out: java.io.ByteArrayOutputStream, b: Array[Byte]): Unit = {
+    out.write(1); writeLe32(out, b.length); out.write(b)
+  }
+  private[online] def writeTaggedBytes(
+      out: java.io.ByteArrayOutputStream, b: Array[Byte]): Unit = {
+    out.write(2); writeLe32(out, b.length); out.write(b)
+  }
+  private[online] def writeTaggedInt32(
+      out: java.io.ByteArrayOutputStream, i: Int): Unit = {
+    out.write(3); writeLe32(out, 4); writeLe32(out, i)
+  }
+  private[online] def writeTaggedInt64(
+      out: java.io.ByteArrayOutputStream, l: Long): Unit = {
+    out.write(4); writeLe32(out, 8); writeLe64(out, l)
+  }
 
   /** Serialize (joinKey -> value) pairs; key order-insensitive. */
   def serialize(keys: Seq[(String, Any)]): Array[Byte] = {
     require(keys.nonEmpty, "entity key must have at least one join key")
     val sorted = keys.sortBy(_._1)
     val out = new java.io.ByteArrayOutputStream()
-    def writeLe32(v: Int): Unit =
-      out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array())
-    def writeLe64(v: Long): Unit =
-      out.write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v).array())
-    sorted.foreach { case (name, _) =>
-      val nb = name.getBytes(StandardCharsets.UTF_8)
-      writeLe32(nb.length); out.write(nb)
-    }
+    writeNameBlock(out, sorted.map(_._1))
     sorted.foreach { case (name, value) =>
       value match {
-        case s: String =>
-          val b = s.getBytes(StandardCharsets.UTF_8)
-          out.write(TagString.toInt); writeLe32(b.length); out.write(b)
-        case b: Array[Byte] =>
-          out.write(TagBytes.toInt); writeLe32(b.length); out.write(b)
-        case i: Int => out.write(TagInt32.toInt); writeLe32(4); writeLe32(i)
-        case l: Long => out.write(TagInt64.toInt); writeLe32(8); writeLe64(l)
+        case s: String => writeTaggedString(out, s.getBytes(StandardCharsets.UTF_8))
+        case b: Array[Byte] => writeTaggedBytes(out, b)
+        case i: Int => writeTaggedInt32(out, i)
+        case l: Long => writeTaggedInt64(out, l)
         case other => throw new IllegalArgumentException(
           s"unsupported entity key type for '$name': " +
           s"${if (other == null) "null" else other.getClass.getName} " +

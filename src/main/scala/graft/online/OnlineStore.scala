@@ -354,8 +354,21 @@ class ParquetOnlineStore(
     if (liveBytes < 0) {
       // First write: nothing to merge — one pass, staging dir IS the
       // store. Marker goes into the staging dir BEFORE the rename so
-      // data + marker appear atomically.
+      // data + marker appear atomically. An EMPTY first batch (a
+      // stream's batch 0 over a not-yet-populated dir) must NOT create
+      // the table: a data-less parquet dir poisons every later read
+      // ('Unable to infer schema') — detected by a driver-side listing
+      // for data files, not a per-batch isEmpty Spark job (review r6).
       stage(incoming)
+      // directories always recurse (the __bucket=N partition dirs
+      // themselves start with '_'); only underscore FILES (_SUCCESS,
+      // markers) are non-data
+      def hasDataFile(dir: org.apache.hadoop.fs.Path): Boolean =
+        fs.exists(dir) && fs.listStatus(dir).exists { st =>
+          if (st.isDirectory) hasDataFile(st.getPath)
+          else !st.getPath.getName.startsWith("_")
+        }
+      if (!hasDataFile(hp(tmp))) { fs.delete(hp(tmp), true); return }
       writeBucketsMarker(fs, tmp)
       fs.rename(hp(tmp), hp(p))
     } else if (liveBytes <= smallStoreBytes) {

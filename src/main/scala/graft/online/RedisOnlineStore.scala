@@ -163,7 +163,9 @@ class RedisOnlineStore(
               val kvs = keys.map(k => k -> r.getAs[Any](k))
               val hex = EntityKeyCodec.hexKey(kvs)
               val et = r.getAs[Timestamp](ts)
-              val ct = created.map(c => r.getAs[Timestamp](c))
+              // Some(null) -> None: a null created_ts value must not
+              // NPE the _cts encoding below
+              val ct = created.flatMap(c => Option(r.getAs[Timestamp](c)))
               val payload = ValueCodec.encodeMap(feats.map(f => f -> r.getAs[Any](f)))
               (keyOf(project, viewName, hex), et, ct, payload)
             }
@@ -184,9 +186,13 @@ class RedisOnlineStore(
             // — acceptable for a KV store, same as the reference)
             var sent = 0
             prepared.zip(existing).foreach { case ((k, et, ct, payload), ex) =>
-              if (ex.forall(_ <= et.getTime)) {
+              // null event_ts is valid engine-wide (the parquet store's
+              // expire preserves such rows); treat it as minus infinity
+              // in the LWW compare instead of NPE-ing the task
+              val etMs = if (et == null) Long.MinValue else et.getTime
+              if (ex.forall(_ <= etMs)) {
                 val base = Seq(b("HSET"), b(k),
-                  b("_ts"), b(et.getTime.toString), b("payload"), payload)
+                  b("_ts"), b(etMs.toString), b("payload"), payload)
                 val withCt = ct.fold(base)(c =>
                   base ++ Seq(b("_cts"), b(c.getTime.toString)))
                 client.send(withCt)

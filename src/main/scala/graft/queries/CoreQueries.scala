@@ -670,6 +670,12 @@ object CoreQueries {
     val payload = struct((-col("o_totalprice")).as("np"),
       col("o_orderkey").as("ok"), col("o_totalprice").as("price"))
     pq(s, dir, "orders")
+      // NULL order keys can never hold a rank: the negated struct
+      // field would sort a NULL price FIRST (rank 1) where the
+      // ROW_NUMBER ... DESC oracle ranks it last — the same null
+      // filter Quota.topKPerKey applies (review r6; no null prices in
+      // this data, but the equivalence claim must not depend on that)
+      .filter(col("o_totalprice").isNotNull)
       .groupBy(col("o_custkey"))
       .agg(graft.functions.BoundedMinK.column(payload, 3).as("__top"))
       .select(col("o_custkey"), posexplode(col("__top")))

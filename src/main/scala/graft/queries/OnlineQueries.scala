@@ -25,12 +25,14 @@ object OnlineQueries {
 
   private def freshStore(s: SparkSession, dir: String): (FeatureStore, ParquetOnlineStore) = {
     val reg = new Registry()
+    val storePath =
+      s"/tmp/graft_online_${java.util.UUID.randomUUID().toString.take(8)}"
+    TmpSweeper.register(storePath)
     // Bucket count sized to the data, like shuffle partitions: 4 at test
     // sf (150 keys -> ~40/bucket); a production store at 100 TB would
     // use hundreds. Each bucket is one write task + one file per upsert,
     // so an oversized count at toy sf just buys task/commit overhead.
-    val store = new ParquetOnlineStore(
-      s"/tmp/graft_online_${java.util.UUID.randomUUID().toString.take(8)}", numBuckets = 4)
+    val store = new ParquetOnlineStore(storePath, numBuckets = 4)
     val fs = new FeatureStore("graft_ci", reg, store, s)
     fs.applyEntity(Entity("user", GraftType.Int64, joinKeyOpt = Some("user_id")))
     fs.applyFeatureView(FeatureView(

@@ -38,6 +38,7 @@ object StreamQueries {
         .write.mode("overwrite").parquet(input)
     }
     val tmp = s"/tmp/graft_stream_${java.util.UUID.randomUUID().toString.take(8)}"
+    TmpSweeper.register(tmp)
 
     val fs = new FeatureStore("graft_stream", new Registry(),
       new ParquetOnlineStore(s"$tmp/store", numBuckets = 4), s)

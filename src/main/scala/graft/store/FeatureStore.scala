@@ -305,7 +305,10 @@ class FeatureStore(
     * dropped partition names. */
   def vacuumSource(viewName: String, keepFrom: java.time.LocalDate): Seq[String] = {
     val (path, dateCol) = datePartitionedSource(viewName)
-    graft.sources.DatePartition.vacuum(spark, path, dateCol, keepFrom)
+    val dropped = graft.sources.DatePartition.vacuum(spark, path, dateCol, keepFrom)
+    // cached relations hold a file index listing the deleted partitions
+    SourceReader.invalidatePath(path)
+    dropped
   }
 
   /** Small-file compaction on a view's date-partitioned FileSource.
@@ -314,7 +317,11 @@ class FeatureStore(
   def compactSource(viewName: String, targetBytes: Long = 128L << 20,
       maxFiles: Int = 4): Seq[(String, Int, Int)] = {
     val (path, dateCol) = datePartitionedSource(viewName)
-    graft.sources.DatePartition.compact(spark, path, dateCol, targetBytes, maxFiles)
+    val rewritten =
+      graft.sources.DatePartition.compact(spark, path, dateCol, targetBytes, maxFiles)
+    // cached relations hold a file index listing the pre-compaction files
+    SourceReader.invalidatePath(path)
+    rewritten
   }
 
   /** TTL retention sweep on a view's ONLINE store: drop stored rows
