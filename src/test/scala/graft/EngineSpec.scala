@@ -1163,6 +1163,30 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("ParquetOnlineStore: an empty FIRST upsert creates no table; later upserts still work") {
+    import spark.implicits._
+    import graft.model._
+    val path = s"/tmp/graft_empty_first_${java.util.UUID.randomUUID().toString.take(8)}"
+    val store = new graft.online.ParquetOnlineStore(path, numBuckets = 4)
+    val view = FeatureView("v", Seq("user"),
+      Seq(Feature("value", GraftType.Dbl)), java.time.Duration.ZERO,
+      DataFrameSource(spark.emptyDataFrame, eventTimestampColumn = "ts"))
+    val empty = Seq.empty[(Long, Timestamp, Double)].toDF("user_id", "ts", "value")
+    // an empty stream batch 0 must NOT create a data-less parquet dir
+    // (it would poison every later read with 'Unable to infer schema')
+    store.upsert("p", view, Seq("user_id"), empty, "ts", None)
+    assert(!new java.io.File(s"$path/p/v").exists(), "empty first upsert must not create the table")
+    store.upsert("p", view, Seq("user_id"),
+      Seq((1L, ts("2024-01-01 00:00:00"), 0.5)).toDF("user_id", "ts", "value"), "ts", None)
+    val got = store.read("p", view, Seq("user_id"),
+      Seq(Seq("user_id" -> 1L)), Seq("value"))
+    assert(got.head._2("value").value === 0.5)
+    // and an empty LATER upsert over an existing table is a no-op merge
+    store.upsert("p", view, Seq("user_id"), empty, "ts", None)
+    assert(store.read("p", view, Seq("user_id"),
+      Seq(Seq("user_id" -> 1L)), Seq("value")).head._2("value").value === 0.5)
+  }
+
   test("StagedWrite: append/overwrite semantics, crash-leftover healing, staging sweep") {
     import spark.implicits._
     val dest = s"/tmp/graft_staged_${java.util.UUID.randomUUID().toString.take(8)}"
