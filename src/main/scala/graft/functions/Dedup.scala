@@ -39,28 +39,6 @@ object Dedup {
       xxhash64((slice(sig, b * rowsPer + 1, rowsPer) +: Seq(lit(b))): _*)
     }: _*)
 
-  /** MinHash-LSH near-duplicate pairs with exact Jaccard verification.
-    *
-    * Pipeline: shingle → minhash(k) → band → explode(band, hash) →
-    * bucket self-join (only within buckets; skew-guarded by
-    * maxBucketSize) → distinct candidate pairs → exact Jaccard on the
-    * shingle sets → threshold.
-    *
-    * @param df        input
-    * @param idCol     unique doc id (orderable)
-    * @param textCol   document text
-    * @param shingleN  word-n-gram size
-    * @param k         signature length (bands * rowsPerBand)
-    * @param bands     LSH bands; P(candidate) = 1-(1-j^r)^b
-    * @param threshold exact-Jaccard threshold for a reported pair
-    * @param maxBucketSize drop degenerate buckets larger than this
-    *                  (e.g. empty-text buckets) instead of exploding
-    *                  into n² pairs
-    * @return (id_a, id_b, jaccard) with id_a < id_b. Backed by a
-    *         self-releasing shingle cache: consume with exactly ONE
-    *         action (see [[unpersistAfterFirstUse]]) — extra probe
-    *         actions stay correct but forfeit the cache.
-    */
   /** Edit-distance near-dup pairs over a short key string (title, name,
     * canonical URL, text prefix) — the record-linkage / typo modality:
     * MinHash catches token-level rewrites and SimHash distributed bit
@@ -109,6 +87,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
 
+  /** MinHash-LSH near-duplicate pairs with exact Jaccard verification.
+    *
+    * Pipeline: shingle → minhash(k) → band → explode(band, hash) →
+    * bucket self-join (only within buckets; skew-guarded by
+    * maxBucketSize) → distinct candidate pairs → exact Jaccard on the
+    * shingle sets → threshold.
+    *
+    * @param df        input
+    * @param idCol     unique doc id (orderable)
+    * @param textCol   document text
+    * @param shingleN  word-n-gram size
+    * @param k         signature length (bands * rowsPerBand)
+    * @param bands     LSH bands; P(candidate) = 1-(1-j^r)^b
+    * @param threshold exact-Jaccard threshold for a reported pair
+    * @param maxBucketSize drop degenerate buckets larger than this
+    *                  (e.g. empty-text buckets) instead of exploding
+    *                  into n² pairs
+    * @return (id_a, id_b, jaccard) with id_a < id_b. Backed by a
+    *         self-releasing shingle cache: consume with exactly ONE
+    *         action (see [[unpersistAfterFirstUse]]) — extra probe
+    *         actions stay correct but forfeit the cache.
+    */
   def minhashNearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -183,9 +183,10 @@ object Dedup {
     * fingerprints; this one catches edited re-crawls). Both sides are
     * banded; candidates come from a (band, bucket) equi-join of the
     * batch bands against the corpus bands — never a self-join and never
-    * a batch×corpus product. Degenerate corpus buckets (boilerplate)
-    * are capped at `maxBucketSize` ids, mirroring the self-join
-    * variant. At production scale the corpus's band table is the thing
+    * a batch×corpus product. Degenerate buckets (boilerplate) are
+    * capped at `maxBucketSize` ids on EACH side — the per-bucket
+    * candidate count is the corpus×batch product, so both factors need
+    * the bound. At production scale the corpus's band table is the thing
     * a store would precompute and keep; here it derives from the frame.
     *
     * @return (corpus_id, batch_id, jaccard), exact-verified ≥ threshold.
@@ -220,13 +221,20 @@ object Dedup {
     val batchSh = shingleSide(batch, batchId, batchText)
 
     val corpusBands = bandSide(corpusSh)
-    // cap degenerate buckets by corpus-side occupancy BEFORE the join
-    val keptBuckets = corpusBands.groupBy("band", "bucket")
+    val batchBands = bandSide(batchSh).toDF("batch_id", "band", "bucket")
+    // cap degenerate buckets on BOTH sides before the join: the
+    // candidate count per (band, bucket) is corpus_n × batch_n, so a
+    // boilerplate-heavy batch (the degenerate case the cap exists for)
+    // can explode one bucket quadratically even when the corpus side is
+    // bounded — capping only one factor leaves the product unbounded
+    def keptBuckets(bands: DataFrame): DataFrame = bands
+      .groupBy("band", "bucket")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucketSize)
       .select("band", "bucket")
-    val candidates = bandSide(batchSh).toDF("batch_id", "band", "bucket")
-      .join(keptBuckets, Seq("band", "bucket"))
+    val candidates = batchBands
+      .join(keptBuckets(batchBands), Seq("band", "bucket"))
+      .join(keptBuckets(corpusBands), Seq("band", "bucket"))
       .join(corpusBands.toDF("corpus_id", "band", "bucket"), Seq("band", "bucket"))
       .select(col("corpus_id"), col("batch_id"))
       .distinct()
@@ -381,8 +389,12 @@ object Dedup {
           transform(array_sort(collect_list(struct(col("__idx").as("i"),
             col("__line").as("l")))), x => x.getField("l")),
           "\n").as("cleaned"))
+    // null text explodes to zero line rows, so its counters must land at
+    // 0 like the other two columns — an uncoalesced size(split(null))
+    // would emit n_lines = null against n_kept = 0, breaking the
+    // "one counting row per input row" contract
     df.select(col(idCol),
-        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+        coalesce(size(split(col(textCol), "\n")).cast("long"), lit(0L)).as("n_lines"))
       .join(reassembled.withColumnRenamed("__id", idCol), Seq(idCol), "left")
       .select(col(idCol), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
@@ -530,7 +542,9 @@ object Dedup {
   }
 
   /** All ordered pairs (a<b) of an array column — used inside one LSH
-    * bucket. */
+    * bucket. Type-agnostic: struct elements sort by natural struct
+    * ordering (first field — the id — leading), so every unordered pair
+    * is emitted exactly once as (lo, hi) regardless of arrival order. */
   private def pairsOf(ids: Column): Column = {
     val sorted = array_sort(ids)
     flatten(transform(sorted, (a, i) =>
@@ -596,6 +610,12 @@ object Dedup {
     // Banded simhash LSH: split 64 bits into `bands` segments; a pair
     // within hamming distance (bands-1) must agree exactly on >=1
     // segment (pigeonhole) — same guarantee simhash dedup uses at scale.
+    // bands=1 is rejected loudly: its 64-bit segment mask (1L << 64)
+    // wraps to 0 in the JVM, putting the whole corpus in one seg=0
+    // bucket that the size cap then silently drops — zero pairs, no
+    // error. bands > 32 would leave < 2 bits per segment.
+    require(bands >= 2 && bands <= 32 && 64 % bands == 0,
+      s"bands must divide 64 and lie in [2, 32], got $bands")
     val bits = 64 / bands
     val hashed = rebalance(df).select(col(idCol).as("id"),
       TextFunctions.simhash64(col(textCol)).as("sim"))
@@ -609,7 +629,7 @@ object Dedup {
       .agg(collect_list(struct(col("id"), col("sim"))).as("xs"))
       .filter(size(col("xs")).between(2, maxBucketSize))
     buckets
-      .select(explode(pairsOfStruct(col("xs"))).as("p"))
+      .select(explode(pairsOf(col("xs"))).as("p"))
       .select(col("p._1.id").as("id_a"), col("p._1.sim").as("sim_a"),
         col("p._2.id").as("id_b"), col("p._2.sim").as("sim_b"))
       .filter(col("id_a") < col("id_b"))
@@ -617,13 +637,5 @@ object Dedup {
       .withColumn("hamming", TextFunctions.hamming64(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
-  }
-
-  private def pairsOfStruct(xs: Column): Column = {
-    // sort by id so every unordered pair is emitted exactly as (lo, hi)
-    // regardless of bucket arrival order
-    val sorted = array_sort(xs)
-    flatten(transform(sorted, (a, i) =>
-      transform(slice(sorted, i + lit(2), size(sorted)), b => struct(a.as("_1"), b.as("_2")))))
   }
 }

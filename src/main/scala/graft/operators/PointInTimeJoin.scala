@@ -262,7 +262,13 @@ object PointInTimeJoin {
     val asOf: Column = {
       val upper = R(tsCol) <= L(entityTsCol)
       if (ttl.isZero) upper
-      else upper && R(tsCol) >= (L(entityTsCol) - expr(s"INTERVAL ${ttl.getSeconds} SECOND"))
+      else {
+        // micros, not whole seconds: a sub-second TTL must bound the
+        // window identically here and on the sort-merge path (which
+        // compares raw micros), or the two paths disagree on winners
+        val ttlMicros = ttl.getSeconds * 1000000L + ttl.getNano / 1000L
+        upper && R(tsCol) >= (L(entityTsCol) - expr(s"INTERVAL $ttlMicros MICROSECOND"))
+      }
     }
     val keyCond = joinKeys.map(k => L(k) <=> R(k)).reduce(_ && _)
     val candidates = left.join(featAliased, keyCond && asOf, "inner")

@@ -99,6 +99,15 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys :+ leftTs).map(SortOrder(_, Ascending))
 
+  // every left row survives (left-outer shape) and rows never move, so
+  // the left child's hash partitioning still describes the output —
+  // without this override the default UnknownPartitioning would make a
+  // downstream groupBy/join on the same keys re-shuffle the wide joined
+  // output (the third shuffle this operator's one-exchange-per-side
+  // design exists to avoid)
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyTypes = leftKeys.map(_.dataType)
     val nRight = rightProject.size
@@ -241,10 +250,32 @@ object AsOfJoin {
     require(lAttr(entityTsCol).dataType == org.apache.spark.sql.types.TimestampType &&
       rAttr(featureTsCol).dataType == org.apache.spark.sql.types.TimestampType,
       "as-of timestamps must be TimestampType (micros)")
+    // join-key type parity is load-bearing, not cosmetic: the merge's
+    // natural ordering and the hash co-partitioning are both built from
+    // the LEFT key types, so an int-vs-bigint mismatch would hash the
+    // same logical key to different partitions and silently miss every
+    // match (the declarative <=> path would have inserted implicit
+    // casts). Fail loudly instead.
+    keys.foreach { kName =>
+      val (lt, rt) = (lAttr(kName).dataType, rAttr(kName).dataType)
+      require(lt == rt,
+        s"as-of join key '$kName' type mismatch: entity side $lt vs feature " +
+          s"side $rt — cast the sides to a common type before joining")
+    }
+    // float/double keys: Spark's NormalizeFloatingNumbers rule rewrites
+    // join keys of known Join nodes only, not this custom node — without
+    // it -0.0 and 0.0 (equal under the merge ordering) hash to different
+    // partitions and never meet. Apply the same normalization here.
+    import org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    def normKey(e: Expression): Expression = e.dataType match {
+      case DoubleType | FloatType => NormalizeNaNAndZero(e)
+      case _ => e
+    }
     val node = AsOfJoinNode(
       lplan, rplan,
-      leftKeys = keys.map(lAttr),
-      rightKeys = keys.map(rAttr),
+      leftKeys = keys.map(k => normKey(lAttr(k))),
+      rightKeys = keys.map(k => normKey(rAttr(k))),
       leftTs = lAttr(entityTsCol),
       rightTs = rAttr(featureTsCol),
       rightOrder = orderCols.map(rAttr),

@@ -1412,7 +1412,7 @@ object PipelineQueries {
       |         string_agg(line, chr(10) ORDER BY idx) AS cleaned
       |  FROM win GROUP BY page_id)
       |SELECT p.page_id,
-      |       CAST(len(string_split(p.page, chr(10))) AS BIGINT) AS n_lines,
+      |       coalesce(CAST(len(string_split(p.page, chr(10))) AS BIGINT), 0) AS n_lines,
       |       coalesce(re.n_kept, 0) AS n_kept,
       |       coalesce(re.cleaned, '') AS cleaned
       |FROM pages p LEFT JOIN re ON p.page_id = re.page_id

@@ -85,6 +85,44 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("sub-second TTL bounds the window at micro precision on BOTH PIT paths (review r6)") {
+    import spark.implicits._
+    val entityTs = ts("2024-01-01 00:00:10")
+    // rows 1.2 s and 1.8 s before the entity ts: a 1.5 s TTL keeps the
+    // first and drops the second; truncating the TTL to whole seconds
+    // (the old declarative INTERVAL-SECOND rendering) would drop both
+    val rows = Seq(
+      (1L, new Timestamp(entityTs.getTime - 1200L), ts("2024-01-01 00:00:00"), 11.0),
+      (2L, new Timestamp(entityTs.getTime - 1800L), ts("2024-01-01 00:00:00"), 22.0))
+    val featDf = rows.toDF("k", "et", "ct", "v")
+    val entityDf = Seq((1L, entityTs), (2L, entityTs)).toDF("k", "event_timestamp")
+    val ttl = Duration.ofMillis(1500)
+
+    // declarative path (no tie-break columns)
+    val view = FeatureView("fv", Seq("e"), Seq(Feature("v", GraftType.Dbl)),
+      ttl, DataFrameSource(featDf, "et", createdTimestampColumn = Some("ct")))
+    val decl = PointInTimeJoin.join(entityDf, Seq(ViewJoin(view, Seq("k"), Seq("v"), featDf)))
+      .select("k", "v").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(decl(1L) === Some(11.0) && decl(2L) === None)
+
+    // native sort-merge path
+    val native = graft.plans.AsOfJoin.join(entityDf, featDf, Seq("k"),
+        "event_timestamp", "et", ttl, orderCols = Seq("ct"), featureCols = Seq("v"))
+      .select("k", "v").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(native === decl)
+  }
+
+  test("AsOfJoin rejects mismatched join-key types loudly (review r6)") {
+    import spark.implicits._
+    val ent = Seq((1, ts("2024-01-01 00:00:00"))).toDF("k", "event_timestamp")  // int key
+    val feat = Seq((1L, ts("2024-01-01 00:00:00"), 1.0)).toDF("k", "et", "v")  // bigint key
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoin.join(ent, feat, Seq("k"), "event_timestamp", "et",
+        Duration.ZERO, orderCols = Seq("et"), featureCols = Seq("v"))
+    }
+    assert(e.getMessage.contains("type mismatch"))
+  }
+
   test("inference: ts column, entity type, features") {
     import spark.implicits._
     val df = Seq((1L, "a", 2.0, ts("2024-01-01 00:00:00")))

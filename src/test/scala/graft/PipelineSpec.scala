@@ -559,6 +559,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(5) === ((6L, 3L, 3L, "title para\n\nmore text")))
   }
 
+  test("lineDedupGlobal: null text lands at (0, 0, \"\") not (null, 0, \"\") (review r6)") {
+    import spark.implicits._
+    val df = Seq((1L, Some("only line")), (2L, None)).toDF("id", "text")
+    val got = Dedup.lineDedupGlobal(df, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(got(0) === ((1L, 1L, 1L, "only line")))
+    assert(got(1) === ((2L, 0L, 0L, "")))
+  }
+
+  test("simhashNearDupPairs rejects degenerate band counts loudly (review r6)") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "a")).toDF("id", "text")
+    // bands=1 used to wrap the 64-bit segment mask to 0 and silently
+    // return zero pairs; bands=3 doesn't divide 64
+    for (bad <- Seq(1, 3, 64))
+      intercept[IllegalArgumentException](
+        Dedup.simhashNearDupPairs(df, "id", "text", bands = bad))
+  }
+
+  test("minhashCrossDupPairs caps BATCH-side degenerate buckets too (review r6)") {
+    import spark.implicits._
+    val text = "the same boilerplate text repeated across every document here"
+    val corpus = (1L to 3L).map(i => (i, text)).toDF("id", "text")
+    // 8 identical batch docs: every (band, bucket) holds 8 batch ids
+    val batch = (101L to 108L).map(i => (i, text)).toDF("id", "text")
+    def run(cap: Int) = Dedup.minhashCrossDupPairs(
+      corpus, "id", "text", batch, "id", "text",
+      k = 32, bands = 8, threshold = 0.999, maxBucketSize = cap).count()
+    assert(run(100) === 24L, "under the cap all 3x8 exact-dup pairs report")
+    assert(run(4) === 0L, "a batch bucket over the cap is dropped, not exploded")
+  }
+
   test("wordNgramsAllFromWords keeps multiplicity; distinct variant collapses") {
     import spark.implicits._
     val df = Seq("a b a b a").toDF("text")
