@@ -248,6 +248,72 @@ object Dedup {
     unpersistAfterFirstUse(out, corpusSh)
   }
 
+  /** Build the corpus's LSH band table as a PERSISTABLE artifact —
+    * (id, band, bucket), one row per (document, band) — the thing a
+    * production dedup store precomputes once per corpus version and
+    * keeps, so incoming batches never re-shingle the corpus
+    * ([[minhashSearchIndex]] is the query side). The mirror of
+    * [[graft.functions.Similarity.ivfBuildIndex]]'s index-as-artifact
+    * lifecycle: write it partitioned by band and a band-restricted probe
+    * is a partition-pruned read. Size: |corpus| × bands rows of three
+    * longs — ~1/1000th of a text corpus's bytes. */
+  def minhashBuildIndex(
+      corpus: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    rebalance(corpus)
+      .withColumn("__words", TextFunctions.words(col(textCol)))
+      .select(col(idCol).as("id"),
+        TextFunctions.wordNgramsFromWords(col("__words"), shingleN).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("__h", transform(col("shingles"), e => xxhash64(e)))
+      .select(col("id"), posexplode(MinHashExpr.bandHashes(col("__h"), k, bands)))
+      .toDF("id", "band", "bucket")
+  }
+
+  /** Match a batch against a prebuilt corpus band table (the artifact of
+    * [[minhashBuildIndex]], possibly round-tripped through parquet):
+    * band the batch with the SAME (shingleN, k, bands), join on
+    * (band, bucket) — capped on both sides like
+    * [[minhashCrossDupPairs]] — then exact-verify candidates by Jaccard
+    * on freshly computed shingles from both text frames. The corpus
+    * frame is touched only for the candidate rows' shingles (a
+    * candidate-sized join), never re-banded.
+    *
+    * @return (corpus_id, batch_id, jaccard), exact-verified >= threshold
+    */
+  def minhashSearchIndex(
+      index: DataFrame,
+      corpus: DataFrame, corpusId: String, corpusText: String,
+      batch: DataFrame, batchId: String, batchText: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val batchBands = minhashBuildIndex(batch, batchId, batchText, shingleN, k, bands)
+      .toDF("batch_id", "band", "bucket")
+    def keptBuckets(b: DataFrame): DataFrame = b
+      .groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize)
+      .select("band", "bucket")
+    val candidates = batchBands
+      .join(keptBuckets(batchBands), Seq("band", "bucket"))
+      .join(keptBuckets(index), Seq("band", "bucket"))
+      .join(index.toDF("corpus_id", "band", "bucket"), Seq("band", "bucket"))
+      .select(col("corpus_id"), col("batch_id"))
+      .distinct()
+    def shingled(df: DataFrame, id: String, text: String, outId: String, outSh: String) =
+      df.withColumn("__words", TextFunctions.words(col(text)))
+        .select(col(id).as(outId),
+          TextFunctions.wordNgramsFromWords(col("__words"), shingleN).as(outSh))
+    candidates
+      .join(shingled(corpus, corpusId, corpusText, "corpus_id", "sh_c"), "corpus_id")
+      .join(shingled(batch, batchId, batchText, "batch_id", "sh_b"), "batch_id")
+      .withColumn("jaccard", jaccard(col("sh_c"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("corpus_id"), col("batch_id"), col("jaccard"))
+  }
+
   private val callSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Deterministic cache lifetime for an intermediate persist feeding a

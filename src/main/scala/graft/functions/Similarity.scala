@@ -19,7 +19,13 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** try_divide, not `/`: a zero-norm vector makes the denominator 0,
+    * which ANSI mode turns into a runtime DIVIDE_BY_ZERO crash of the
+    * whole query (and non-ANSI into a NULL that would sort first in the
+    * top-k heap). try_divide yields NULL under BOTH modes and the
+    * ranking layer drops NULL scores, so degenerate vectors simply
+    * never rank (review r6). */
+  def cosine(a: Column, b: Column): Column = try_divide(dot(a, b), norm(a) * norm(b))
 
   /** Exact top-k by cosine for each query vector, one bounded-heap
     * aggregation ([[graft.functions.BoundedMinK]]): map-side partials
@@ -45,8 +51,9 @@ object Similarity {
       .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"))
       .withColumn("__cn", norm(col("__cvec")))
     var scored = c.crossJoin(q)
-      .withColumn("__cos", dot(col("__qvec"), col("__cvec")) / (col("__qn") * col("__cn")))
-    if (excludeSelf) scored = scored.filter(col("__qid") =!= col("__cid"))
+      .withColumn("__cos",
+        try_divide(dot(col("__qvec"), col("__cvec")), col("__qn") * col("__cn")))
+    if (excludeSelf) scored = scored.filter(!(col("__qid") <=> col("__cid")))
     twoLevelTopK(scored, k)
   }
 
@@ -73,8 +80,9 @@ object Similarity {
         col(attrCol).as("__attr"))
       .withColumn("__cn", norm(col("__cvec")))
     var scored = c.join(q, Seq("__attr"))
-      .withColumn("__cos", dot(col("__qvec"), col("__cvec")) / (col("__qn") * col("__cn")))
-    if (excludeSelf) scored = scored.filter(col("__qid") =!= col("__cid"))
+      .withColumn("__cos",
+        try_divide(dot(col("__qvec"), col("__cvec")), col("__qn") * col("__cn")))
+    if (excludeSelf) scored = scored.filter(!(col("__qid") <=> col("__cid")))
     twoLevelTopK(scored, k)
   }
 
@@ -87,8 +95,16 @@ object Similarity {
     * (query, partition)-then-query formulation achieved with a second
     * exchange. Candidates are ordered as (-cos, id): ascending heap
     * order == cos desc, id asc. Output (query_id, neighbor_id, cos,
-    * rank), rank 1..k. */
-  private def twoLevelTopK(scored: DataFrame, k: Int): DataFrame = {
+    * rank), rank 1..k.
+    *
+    * Degenerate candidates never rank: a zero-norm corpus vector scores
+    * cos = x/0 -> NULL under Spark's non-ANSI divide, and a NULL struct
+    * field sorts FIRST in the heap ordering — without the guard the
+    * zero vector would be rank-1 neighbor of EVERY query (review r6).
+    * NaN (the 0/0 driver-literal form of the same degenerate) is
+    * dropped for the same reason. */
+  private def twoLevelTopK(scored0: DataFrame, k: Int): DataFrame = {
+    val scored = scored0.filter(col("__cos").isNotNull && !isnan(col("__cos")))
     val cand = struct((-col("__cos")).as("negcos"), col("__cid").as("id"), col("__cos").as("cos"))
     scored
       .groupBy("__qid")
@@ -140,7 +156,11 @@ object Similarity {
     // |Q|) and joined to the code table. Both paths fold identically
     // (ascending-d, ascending-s, left-associative), so they are
     // bit-identical — pinned by PipelineSpec.
+    // null / null-element query vectors can have no neighbors (every
+    // distance is undefined) — drop them BEFORE the probe so the
+    // driver-side r.getSeq(...).toArray never unboxes a null (NPE)
     val qProbe = queries.select(col(qIdCol), col(qVecCol))
+      .filter(col(qVecCol).isNotNull && !exists(col(qVecCol), _.isNull))
       .limit(maxLiteralQueries + 1).collect()
     if (qProbe.isEmpty)
       return emptyAdcResult(queries, qIdCol, corpus, idCol)
@@ -233,8 +253,11 @@ object Similarity {
   /** Shared (-adc)-scored bounded-heap top-k tail; negation is IEEE-exact,
     * so ordering by __cos desc == adc asc. */
   private def adcTopK(scored0: DataFrame, k: Int, excludeSelf: Boolean): DataFrame = {
+    // null-SAFE exclusion: =!= is NULL (row dropped) whenever either id
+    // is NULL, which would silently discard null-id rows even though
+    // they cannot be "self" matches
     val scored =
-      if (excludeSelf) scored0.filter(col("__qid") =!= col("__cid")) else scored0
+      if (excludeSelf) scored0.filter(!(col("__qid") <=> col("__cid"))) else scored0
     twoLevelTopK(scored, k)
       .select(col("query_id"), col("neighbor_id"),
         (-col("cos")).as("adc"), col("rank"))
@@ -278,7 +301,13 @@ object Similarity {
       maxLiteralQueries: Int = 256): DataFrame = {
     require(nProbe <= nCells, s"nProbe=$nProbe must be <= nCells=$nCells")
     val qSpark = queries.sparkSession
-    val anchorRows = corpus.orderBy(col(idCol)).limit(nCells)
+    // null-vec rows are excluded from the codebook (a null vector cannot
+    // anchor a cell) and from the query probe — driver-side
+    // getSeq(...).toArray would NPE unboxing a null element
+    def nonNullVec(vc: String) =
+      col(vc).isNotNull && !exists(col(vc), _.isNull)
+    val anchorRows = corpus.filter(nonNullVec(vecCol))
+      .orderBy(col(idCol)).limit(nCells)
       .select(col(idCol), col(vecCol)).collect()
     val anchors: Array[Array[Float]] = anchorRows.map(_.getSeq[Float](1).toArray)
     val cellIds: Array[Any] = anchorRows.map(_.get(0))
@@ -286,6 +315,7 @@ object Similarity {
     // bounded (nCells rows) and collect fine; the QUERY batch is not.
     // One limit(n+1) action decides literal vs distributed.
     val qProbeRows = queries.select(col(qIdCol), col(qVecCol))
+      .filter(nonNullVec(qVecCol))
       .limit(maxLiteralQueries + 1).collect()
     if (qProbeRows.isEmpty || anchors.isEmpty)
       return emptyAdcResult(queries, qIdCol, corpus, idCol)
@@ -363,10 +393,15 @@ object Similarity {
         pqLutCol(col(qVecCol), anchors, m, subDim).as("__lut"))
       val cand = array(anchors.indices.map { i =>
         val av = typedlit(anchors(i).map(_.toDouble).toSeq)
-        val cos = DotProductExpr.dot(col("__qvec"), av) /
-          (sqrt(DotProductExpr.dot(col("__qvec"), col("__qvec"))) *
+        val cos = try_divide(DotProductExpr.dot(col("__qvec"), av),
+          sqrt(DotProductExpr.dot(col("__qvec"), col("__qvec"))) *
             sqrt(DotProductExpr.dot(av, av)))
-        struct((-cos).as("negcos"), lit(i).as("pos"))
+        // coalesce like nearestCells: a zero-norm anchor scores NULL
+        // here but NaN on the driver-literal path — NULL sorts FIRST
+        // (force-probing the junk cell), NaN sorts LAST; pin both
+        // paths to the NaN ranking so the literal/distributed
+        // bit-parity contract holds for degenerate anchors too
+        struct(coalesce(-cos, lit(Double.NaN)).as("negcos"), lit(i).as("pos"))
       }.toIndexedSeq: _*)
       val cellIdArr = array(cellIds.toIndexedSeq.map(c => lit(c)): _*)
       val probed = qFeat
@@ -390,9 +425,12 @@ object Similarity {
     val bits = (0 until planes).map { p =>
       val rnd = new java.util.Random(seed.toLong * 1000003L + p)
       val w = Seq.fill(dim)(rnd.nextDouble() * 2 - 1)
-      val d = aggregate(
-        zip_with(vec, typedlit(w), (x, wc) => x.cast("double") * wc),
-        lit(0.0), (acc, x) => acc + x)
+      // codegen'd DotProduct, not aggregate(zip_with(...)): identical
+      // ascending left-associative double fold (same buckets), minus
+      // the boxed product array + interpreted lambda per (row, plane)
+      // on the LSH hot path — bands x planesPerBand of these run per
+      // corpus row in embeddingNearDupPairs
+      val d = DotProductExpr.dot(vec, typedlit(w))
       when(d > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a + b)
@@ -457,7 +495,7 @@ object Similarity {
 
   /** Nearest `n` anchor cells for a vector, over a broadcast `cells`
     * array column of (cell_id, cell_vec) structs. Zero-norm vectors:
-    * Spark's non-ANSI divide yields NULL (which would sort FIRST in
+    * [[cosine]]'s try_divide yields NULL (which would sort FIRST in
     * the struct sort and force-probe that cell) while the driver-side
     * literal path computes IEEE NaN (sorts last) — coalesce to NaN so
     * both probe paths rank degenerate cells identically (review r6). */
@@ -468,16 +506,22 @@ object Similarity {
       1, n)
 
   /** Lloyd k-means over an embedding column, used to refine IVF anchors.
-    * Deterministic: initial centroids are a hash-ordered sample of the
-    * training frame. Each iteration is one scan of `train` (assign) plus
-    * a tiny (nCells × dim) aggregation; only the centroid table ever
-    * reaches the driver. At 100 TB pass a sample as `train` — centroid
-    * quality needs thousands of points per cell, not the full corpus. */
+    * The INIT is fully deterministic (hash-ordered sample with the id as
+    * tie-break); refined centroids are deterministic up to
+    * floating-point aggregation order — avg() accumulates in partition
+    * order, so different partition layouts can produce bit-different
+    * (equally valid) centroids. Consumers needing bit-replay across
+    * layouts should persist the centroid table (ivfBuildIndex's
+    * artifact shape) rather than re-train. Each iteration is one scan
+    * of `train` (assign) plus a tiny (nCells × dim) aggregation; only
+    * the centroid table ever reaches the driver. At 100 TB pass a
+    * sample as `train` — centroid quality needs thousands of points per
+    * cell, not the full corpus. */
   def kmeansCentroids(
       train: DataFrame, idCol: String, vecCol: String,
       nCells: Int, iters: Int): Seq[(Long, Seq[Double])] = {
     var cents: Seq[(Long, Seq[Double])] = train
-      .orderBy(xxhash64(col(idCol)))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(nCells)
       .select(col(vecCol).cast("array<double>"))
       .collect().toSeq.zipWithIndex
@@ -540,7 +584,8 @@ object Similarity {
         // whole corpus would add kmeansIters full-corpus shuffles to
         // every call at 100 TB
         val train = trainDf.getOrElse(
-          corpus.orderBy(xxhash64(col(idCol))).limit(math.max(nCells * 64, 4096)))
+          corpus.orderBy(xxhash64(col(idCol)), col(idCol))
+            .limit(math.max(nCells * 64, 4096)))
         kmeansCentroids(train, idCol, vecCol, nCells, kmeansIters)
           .toDF("cell_id", "cell_vec")
       } else corpus.orderBy(col(idCol)).limit(nCells)
@@ -560,18 +605,20 @@ object Similarity {
   def ivfSearchIndex(
       queries: DataFrame, qIdCol: String, qVecCol: String,
       anchors: DataFrame, assigned: DataFrame, idCol: String, vecCol: String,
-      k: Int, nProbe: Int): DataFrame = {
+      k: Int, nProbe: Int, excludeSelf: Boolean = true): DataFrame = {
     val anchorArr = broadcast(anchors.agg(
       collect_list(struct(col("cell_id"), col("cell_vec"))).as("cells")))
     val probed = queries.crossJoin(anchorArr)
       .select(col(qIdCol).as("__qid"), col(qVecCol).as("__qvec"),
         explode(transform(nearestCells(col(qVecCol), nProbe), c => c("cell_id"))).as("cell"))
-    val scored = assigned
+    var scored = assigned
       .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"), col("cell"))
       .join(broadcast(probed), "cell")
-      .filter(col("__qid") =!= col("__cid"))
-      .withColumn("__cos", cosine(col("__qvec"), col("__cvec")))
-    twoLevelTopK(scored, k)
+    // optional + null-safe like every other top-k entry point: across
+    // two DIFFERENT sets "self" does not exist (pass false), and =!=
+    // would silently drop null-id rows
+    if (excludeSelf) scored = scored.filter(!(col("__qid") <=> col("__cid")))
+    twoLevelTopK(scored.withColumn("__cos", cosine(col("__qvec"), col("__cvec"))), k)
   }
 
   /** Margin-based parallel-pair mining between two embedding sets
@@ -610,8 +657,13 @@ object Similarity {
       b: DataFrame, bIdCol: String, bVecCol: String,
       k: Int, candK: Int, threshold: Double): DataFrame = {
     require(candK >= k, s"candK ($candK) must be >= k ($k)")
-    val candAB = bruteForceTopK(a, aIdCol, aVecCol, b, bIdCol, bVecCol, candK)
-    val topBA = bruteForceTopK(b, bIdCol, bVecCol, a, aIdCol, aVecCol, k)
+    // excludeSelf = false: a and b are DIFFERENT sets, so an id shared
+    // across them (line-number ids in bitext mining) is a legitimate —
+    // often the correct — pair, not a self match
+    val candAB = bruteForceTopK(a, aIdCol, aVecCol, b, bIdCol, bVecCol, candK,
+      excludeSelf = false)
+    val topBA = bruteForceTopK(b, bIdCol, bVecCol, a, aIdCol, aVecCol, k,
+      excludeSelf = false)
     // divide by the ACTUAL neighbor count, not k: a side smaller than k
     // would otherwise deflate the denominator and inflate every margin
     def avgTop(cand: DataFrame): DataFrame = cand
@@ -625,7 +677,7 @@ object Similarity {
       .join(avgA, "src_id")
       .join(avgB, "dst_id")
       .withColumn("margin",
-        round(col("cos") / ((col("__avg_a") + col("__avg_b")) / 2), 6))
+        round(try_divide(col("cos"), (col("__avg_a") + col("__avg_b")) / 2), 6))
     // best margin per src: candidate pools are candK-bounded, so this
     // window partitions over <= candK rows per key — skew-safe
     val w = org.apache.spark.sql.expressions.Window

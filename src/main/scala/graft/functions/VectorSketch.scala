@@ -42,9 +42,12 @@ object VectorSketch {
     * needs a constant 1/√k factor, which a consumer applies (or not)
     * without touching per-element arithmetic. */
   def projectDim(emb: Column, signs: Array[Double]): Column =
-    signs.zipWithIndex.map { case (sgn, i) =>
-      element_at(emb, i + 1).cast("double") * lit(sgn)
-    }.reduce(_ + _)
+    // codegen'd DotProduct with the signs as ONE array literal:
+    // identical ascending left-associative fold (±1 multiplies exact),
+    // but O(1) plan nodes per output dim instead of O(d) — a k×d
+    // sketch with inline element_at chains is the codegen-blowup shape
+    // Similarity.hyperplaneBucket documents (>1 GB codegen memory)
+    DotProductExpr.dot(emb, typedlit(signs.toSeq))
 
   /** PQ code for one subvector: index (0-based) of the L2-nearest
     * anchor subvector, ties to the smallest index. `anchors` is the
@@ -90,8 +93,12 @@ object VectorSketch {
       .select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "__f")))
       .select(col(idCol), col("pos"), col("__f").cast("double").as("v"))
       .withColumn("__sv", round(col("v") * lit(1e6), 0).cast("long"))
+    // count the NON-NULL population the sums actually accumulate: with
+    // count(lit(1)) a dimension containing NULL elements would divide
+    // null-skipping sums by the full row count, biasing mean/sd for
+    // every row of that dimension (review r6)
     val stats = e.groupBy("pos").agg(
-      count(lit(1)).as("__n"),
+      count(col("__sv")).as("__n"),
       sum(col("__sv")).as("__m"),
       sum(col("__sv") * col("__sv")).as("__q"))
     val mean = col("__m").cast("double") / col("__n") / lit(1e6)
@@ -122,9 +129,13 @@ object VectorSketch {
     * [[TextFunctions.words]]). */
   def hashingVector(words: Column, dim: Int): Column = {
     require(dim >= 2, s"dim must be >= 2, got $dim")
-    val pairs = transform(words, w => struct(
-      (conv(substring(md5(w.cast("binary")), 1, 4), 16, 10).cast("long") % dim).as("b"),
-      when(conv(substring(md5(w.cast("binary")), 5, 1), 16, 10).cast("long") % 2 === 0,
+    // md5 bound ONCE per word via a first transform pass (HOFs get no
+    // common-subexpression elimination — deriving bucket and sign from
+    // two inline md5(w) calls hashed every word twice)
+    val hashes = transform(words, w => md5(w.cast("binary")))
+    val pairs = transform(hashes, h => struct(
+      (conv(substring(h, 1, 4), 16, 10).cast("long") % dim).as("b"),
+      when(conv(substring(h, 5, 1), 16, 10).cast("long") % 2 === 0,
         lit(1L)).otherwise(lit(-1L)).as("s")))
     aggregate(pairs, array_repeat(lit(0L), dim),
       (acc, p) => transform(acc, (v, i) => v + when(p("b") === i.cast("long"), p("s")).otherwise(lit(0L))))

@@ -478,6 +478,46 @@ object PipelineQueries {
       |FROM g c JOIN g b ON c.sig = b.sig AND b.doc_id % 10 = 0 AND c.ok AND b.ok
       |ORDER BY corpus_id, batch_id""".stripMargin
 
+  /** MinHash-LSH band table persisted as a parquet artifact and
+    * searched after a round trip ([[Dedup.minhashBuildIndex]] →
+    * write partitioned by band → read → [[Dedup.minhashSearchIndex]])
+    * — the dedup-index-as-artifact lifecycle the cross-corpus variant
+    * only simulates in-frame: the corpus is shingled/banded ONCE per
+    * version, and each incoming batch probes the loaded band table.
+    * Same provable-recall construction as q_dedup_incremental_fuzzy
+    * (threshold 0.999 ⇔ identical shingle sets), so the oracle states
+    * the pairs via canonical gram-set signatures; a hash match proves
+    * the round-tripped artifact reproduces the in-frame search
+    * exactly. */
+  def dedupIndexPersisted(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_lsh_index_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    if (!new java.io.File(s"$path/_INDEX_OK").exists()) {
+      Dedup.minhashBuildIndex(d, "doc_id", "text", shingleN = 3, k = 32, bands = 8)
+        .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+      new java.io.File(s"$path/_INDEX_OK").createNewFile()
+    }
+    val index = s.read.parquet(s"$path/bands").select("id", "band", "bucket")
+    val batch = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 4000000L).as("batch_id"), col("text"))
+    Dedup.minhashSearchIndex(index, d, "doc_id", "text",
+        batch, "batch_id", "text",
+        shingleN = 3, k = 32, bands = 8, threshold = 0.999)
+      .orderBy("corpus_id", "batch_id")
+  }
+
+  val dedupIndexPersistedSql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |         md5(array_to_string(list_sort(list_distinct(
+      |           list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+      |                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))), chr(10))) AS sig,
+      |         len(w) >= 3 AS ok
+      |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents))
+      |SELECT c.doc_id AS corpus_id, b.doc_id + 4000000 AS batch_id, 1.0 AS jaccard
+      |FROM g c JOIN g b ON c.sig = b.sig AND b.doc_id % 10 = 0 AND c.ok AND b.ok
+      |ORDER BY corpus_id, batch_id""".stripMargin
+
   /** SimHash near-dup pairs (hamming <= 3 over banded-LSH candidates).
     * xxhash64 isn't available in DuckDB -> rows-only check here; exact
     * semantics are pinned by GraftSpec unit tests. */
@@ -2381,6 +2421,7 @@ object PipelineQueries {
     "q_export_jsonl" -> (exportJsonl _),
     "q_context_windows" -> (contextWindowsQ _),
     "q_dedup_incremental_fuzzy" -> (dedupIncrementalFuzzy _),
+    "q_dedup_index_persisted" -> (dedupIndexPersisted _),
     "q_vocab_topk" -> (vocabTopK _),
     "q_countmin_hh" -> (countMinHH _),
     "q_text_stats" -> (textStats _),
@@ -2444,6 +2485,7 @@ object PipelineQueries {
     "q_export_jsonl" -> exportJsonlSql,
     "q_context_windows" -> contextWindowsSql,
     "q_dedup_incremental_fuzzy" -> dedupIncrementalFuzzySql,
+    "q_dedup_index_persisted" -> dedupIndexPersistedSql,
     "q_vocab_topk" -> vocabTopKSql,
     "q_countmin_hh" -> countMinHHSql,
     "q_text_stats" -> textStatsSql,

@@ -592,6 +592,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(run(4) === 0L, "a batch bucket over the cap is dropped, not exploded")
   }
 
+  test("minhashSearchIndex over a parquet-round-tripped band table matches minhashCrossDupPairs") {
+    import spark.implicits._
+    val corpus = (1L to 20L).map(i =>
+      (i, if (i % 5 == 0) "shared exact duplicate text body with enough words to shingle"
+          else s"unique document number $i with its own distinct running text body")).toDF("id", "text")
+    val batch = Seq((101L, "shared exact duplicate text body with enough words to shingle"),
+      (102L, "completely novel text that matches nothing else in the corpus at all"))
+      .toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lsh_idx_").toString
+    try {
+      graft.functions.Dedup.minhashBuildIndex(corpus, "id", "text", 3, 32, 8)
+        .write.mode("overwrite").partitionBy("band").parquet(dir)
+      val idx = spark.read.parquet(dir).select("id", "band", "bucket")
+      val viaIndex = graft.functions.Dedup.minhashSearchIndex(idx,
+          corpus, "id", "text", batch, "id", "text", 3, 32, 8, 0.999)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val direct = graft.functions.Dedup.minhashCrossDupPairs(
+          corpus, "id", "text", batch, "id", "text", 3, 32, 8, 0.999)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(viaIndex.toSeq === direct.toSeq)
+      assert(viaIndex.map(_._1).toSet === Set(5L, 10L, 15L, 20L))
+      assert(viaIndex.forall(_._2 == 101L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("wordNgramsAllFromWords keeps multiplicity; distinct variant collapses") {
     import spark.implicits._
     val df = Seq("a b a b a").toDF("text")
@@ -600,6 +627,45 @@ class PipelineSpec extends AnyFunSuite {
     val dis = df.select(TF.wordNgramsFromWords(col("w"), 2)).head().getSeq[String](0)
     assert(all === Seq("a b", "b a", "a b", "b a"))
     assert(dis.sorted === Seq("a b", "b a"))
+  }
+
+  test("degenerate vectors never rank: zero-norm corpus rows and null query vecs (review r6)") {
+    import spark.implicits._
+    import graft.functions.Similarity
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 0.0f)), // zero-norm: cos undefined
+      (4L, null.asInstanceOf[Array[Float]])) // null vec
+      .toDF("id", "vec")
+    val queries = Seq((100L, Array(1.0f, 0.0f))).toDF("id", "vec")
+    val got = Similarity.bruteForceTopK(queries, "id", "vec", corpus, "id", "vec", k = 3)
+      .select("neighbor_id", "rank").collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    // the zero/null vectors must not appear at ANY rank
+    assert(got.toSeq === Seq((1L, 1), (2L, 2)))
+
+    // null query vec on the driver-collect ADC path: no NPE, no rows
+    val anchors = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    val nullQ = Seq((200L, null.asInstanceOf[Array[Float]])).toDF("id", "vec")
+    val adc = Similarity.pqAdcTopK(nullQ, "id", "vec",
+      corpus.filter(col("id") < 3), "id", "vec", anchors, m = 1, subDim = 2, k = 2)
+    assert(adc.count() === 0L)
+  }
+
+  test("marginMineTopPairs keeps pairs whose ids collide across the two sets (review r6)") {
+    import spark.implicits._
+    import graft.functions.Similarity
+    // both sides use line-number ids 1..3; the aligned pair shares its id
+    val a = Seq((1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("id", "vec")
+    val b = Seq((1L, Array(1.0f, 0.1f, 0.0f)), (2L, Array(0.1f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.1f, 1.0f))).toDF("id", "vec")
+    val got = Similarity.marginMineTopPairs(a, "id", "vec", b, "id", "vec",
+        k = 2, candK = 3, threshold = 0.0)
+      .select("src_id", "dst_id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // each src's best margin pair IS its same-id twin — the old
+    // excludeSelf=true default silently dropped all three
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
   test("rademacherSign is deterministic ±1 and roughly balanced") {
