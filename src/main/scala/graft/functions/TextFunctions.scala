@@ -59,21 +59,34 @@ object TextFunctions {
   def langScore(c: Column, markers: Seq[String]): Column =
     size(regexp_extract_all(lower(c), lit("\\b(" + markers.mkString("|") + ")\\b"), lit(0)))
 
-  /** Argmax language with a fixed priority order on ties (en>de>fr>es). */
+  /** Argmax language with a fixed priority order on ties (en>de>fr>es).
+    * NULL text yields NULL, not a label: null scores make every
+    * comparison null, so the when-chain would otherwise fall through to
+    * the final otherwise branch and confidently classify a null
+    * document as the LAST language in the marker list (review r6). */
   def langId(c: Column): Column = {
     val scores = LangMarkers.map { case (lang, ms) => lang -> langScore(c, ms) }
-    scores.init.zipWithIndex.foldRight(lit(scores.last._1)) {
+    val argmax = scores.init.zipWithIndex.foldRight(lit(scores.last._1)) {
       case (((lang, s), i), elseCol) =>
         val rest = scores.drop(i + 1).map(_._2)
         val restMax = if (rest.size == 1) rest.head else greatest(rest: _*)
         when(s >= restMax, lang).otherwise(elseCol)
     }
+    when(c.isNull, lit(null).cast("string")).otherwise(argmax)
   }
 
-  /** Canonical text normalization: lowercase, strip non-alphanumerics,
-    * collapse whitespace. */
+  /** Canonical text normalization: lowercase, collapse ALL whitespace
+    * runs to one space, strip non-alphanumerics, collapse again, trim.
+    * The whitespace pass must come FIRST and be an explicit class
+    * ([ \t\n\r\f] — `\s` differs between regex dialects): the
+    * alnum-strip alone would DELETE newlines/tabs, gluing 'foo\nbar'
+    * into 'foobar' while 'foo bar' stayed two words — so two documents
+    * differing only in line-wrapping got different fingerprints and
+    * 'foo\nbar' falsely collided with the distinct 'foobar'
+    * (review r6). */
   def normalized(c: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+    trim(regexp_replace(regexp_replace(
+      regexp_replace(lower(c), "[ \t\n\r\f]+", " "), "[^a-z0-9 ]", ""), " +", " "))
 
   /** Content fingerprint: md5 of the normalized text — the exact-dedup
     * key (whitespace/punctuation/case-insensitive). */
@@ -96,10 +109,15 @@ object TextFunctions {
   }
 
   /** Repetition ratio in [0,1): 1 − |distinct words| / |words| — the
-    * boilerplate/spam signal used by web-corpus quality filters. */
+    * boilerplate/spam signal used by web-corpus quality filters. A
+    * document with NO words scores 0.0, not 1.0: the old
+    * greatest(n,1) guard made empty docs 1 − 0/1 = maximally
+    * repetitive, the strongest possible spam signal for text with no
+    * repetition at all (review r6). */
   def repetitionRatio(w: Column): Column =
-    lit(1.0) - size(array_distinct(w)).cast("double") /
-      greatest(size(w).cast("double"), lit(1.0))
+    when(size(w) > 0,
+      lit(1.0) - size(array_distinct(w)).cast("double") / size(w).cast("double"))
+      .otherwise(lit(0.0))
 
   /** Character array of the lowercased text (bind with .withColumn
     * before charEntropyFromChars — same contract as
@@ -210,16 +228,25 @@ object TextFunctions {
     * [[wordNgramsFromWords]]); per-row cost O(grams × window)
     * interpreted — fine for document-sized rows; the native-expression
     * upgrade path (one rolling pass) mirrors MinHashExpr if profiling
-    * ever demands it. */
+    * ever demands it.
+    *
+    * The gram-hash array is BOUND as a lambda variable (1-element
+    * transform) before the window slide: HOF lambdas get no CSE, so
+    * referencing the md5-over-all-grams expression directly inside the
+    * per-window lambda re-hashed every gram at every window position —
+    * O(grams²) md5 work per row against the documented
+    * O(grams × window) (review r6). */
   def winnowFingerprints(w: Column, k: Int, window: Int): Column = {
     require(window >= 1, s"window must be >= 1, got $window")
     val grams = wordNgramsAllFromWords(w, k)
-    val ghs = transform(grams, g => substring(md5(g.cast("binary")), 1, 8))
-    val nWin = size(ghs) - lit(window - 1)
-    val mins = transform(sequence(lit(1), nWin),
-      i => array_min(slice(ghs, i, lit(window))))
-    array_sort(array_distinct(
-      when(nWin < 1, array().cast("array<string>")).otherwise(mins)))
+    val ghsExpr = transform(grams, g => substring(md5(g.cast("binary")), 1, 8))
+    element_at(transform(array(ghsExpr), ghs => {
+      val nWin = size(ghs) - lit(window - 1)
+      val mins = transform(sequence(lit(1), nWin),
+        i => array_min(slice(ghs, i, lit(window))))
+      array_sort(array_distinct(
+        when(nWin < 1, array().cast("array<string>")).otherwise(mins)))
+    }), 1)
   }
 
   /** Gopher-style document quality rules (Rae et al. 2021, the rule
@@ -289,9 +316,14 @@ object TextFunctions {
   def canonicalizeUrl(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
-    val host = regexp_replace(
-      lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1)),
-      ":(80|443)$", "")
+    val rawHost = lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1))
+    // strip only the scheme's OWN default port: http://h:443/x is a
+    // real, distinct endpoint (443 is not http's default) — the old
+    // unconditional ':(80|443)$' strip merged it with http://h/x
+    // (review r6)
+    val host = when(scheme === "http", regexp_replace(rawHost, ":80$", ""))
+      .when(scheme === "https", regexp_replace(rawHost, ":443$", ""))
+      .otherwise(rawHost)
     val rest = regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+(.*)$", 1)
     // Anchor on the preceding separator (kept via $1) so only whole
     // query parameters named utm_*/gclid/fbclid are stripped — without
@@ -303,7 +335,13 @@ object TextFunctions {
     val clean = regexp_replace(
       regexp_replace(regexp_replace(noTrack, "&{2,}", "&"), "\\?&", "?"),
       "[?&]+$", "")
-    concat(scheme, lit("://"), host, clean)
+    // URLs that don't parse as scheme://host (scheme-relative '//cdn…',
+    // bare 'example.com/x' — both common in crawl data) pass through
+    // with only the fragment stripped: the old unconditional concat
+    // collapsed ALL of them to the literal '://', merging every
+    // unparseable URL into one dedup key (review r6)
+    when(length(rawHost) === 0, trim(noFrag))
+      .otherwise(concat(scheme, lit("://"), host, clean))
   }
 
   /** C4-style line cleaning (Raffel et al. 2020): keep only lines that

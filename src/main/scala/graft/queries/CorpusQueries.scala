@@ -107,17 +107,25 @@ object CorpusQueries {
       |         (CASE WHEN doc_id % 5 = 0 THEN '#sec' || CAST(doc_id AS VARCHAR) ELSE '' END)
       |         AS url
       |  FROM h),
+      |p AS (
+      |  SELECT doc_id, nofrag,
+      |         lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
+      |         lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?#]+)', 1)) AS rawhost
+      |  FROM (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS nofrag FROM u)),
       |c AS (
       |  SELECT doc_id,
-      |         lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) || '://' ||
-      |         regexp_replace(lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?#]+)', 1)),
-      |                        ':(80|443)$', '', 'g') ||
-      |         regexp_replace(regexp_replace(regexp_replace(
-      |           regexp_replace(regexp_extract(nofrag, '^[A-Za-z]+://[^/?#]+(.*)$', 1),
-      |                          '([?&])(utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*', '\1', 'g'),
-      |           '&{2,}', '&', 'g'),
-      |           '\?&', '?', 'g'), '[?&]+$', '', 'g') AS cu
-      |  FROM (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS nofrag FROM u))
+      |         CASE WHEN rawhost = '' THEN trim(nofrag)
+      |         ELSE scheme || '://' ||
+      |           (CASE WHEN scheme = 'http' THEN regexp_replace(rawhost, ':80$', '')
+      |                 WHEN scheme = 'https' THEN regexp_replace(rawhost, ':443$', '')
+      |                 ELSE rawhost END) ||
+      |           regexp_replace(regexp_replace(regexp_replace(
+      |             regexp_replace(regexp_extract(nofrag, '^[A-Za-z]+://[^/?#]+(.*)$', 1),
+      |                            '([?&])(utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*', '\1', 'g'),
+      |             '&{2,}', '&', 'g'),
+      |             '\?&', '?', 'g'), '[?&]+$', '', 'g')
+      |         END AS cu
+      |  FROM p)
       |SELECT cu AS canonical_url,
       |       CAST(count(*) AS BIGINT) AS n_docs,
       |       min(doc_id) AS min_doc_id

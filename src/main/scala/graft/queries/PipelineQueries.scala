@@ -328,7 +328,7 @@ object PipelineQueries {
        |         CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
        |              WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
        |              WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang,
-       |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+       |         md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'),
        |                                 ' +', ' ', 'g'))) AS fp
        |  FROM t WHERE len(w) > 0),
        |d AS (
@@ -386,7 +386,7 @@ object PipelineQueries {
   val dedupExactSql: String =
     """SELECT min(doc_id) AS doc_id, fp
       |FROM (SELECT doc_id,
-      |             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |             md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'),
       |                                     ' +', ' ', 'g'))) AS fp
       |      FROM documents)
       |GROUP BY fp ORDER BY doc_id""".stripMargin
@@ -1187,7 +1187,7 @@ object PipelineQueries {
       |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 20 = 0
       |), fp AS (
       |  SELECT doc_id,
-      |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |         md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'),
       |                                 ' +', ' ', 'g'))) AS f
       |  FROM uni
       |), e AS (
@@ -1341,9 +1341,9 @@ object PipelineQueries {
       |  UNION ALL
       |  SELECT doc_id + 1000000, text FROM corpus WHERE doc_id % 10 = 0)
       |SELECT b.doc_id FROM batch b
-      |WHERE md5(trim(regexp_replace(regexp_replace(lower(b.text), '[^a-z0-9 ]', '', 'g'),
+      |WHERE md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(b.text), '[ \t\n\r\f]+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'),
       |                              ' +', ' ', 'g')))
-      |      NOT IN (SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |      NOT IN (SELECT md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'),
       |                                             ' +', ' ', 'g')))
       |              FROM corpus)
       |ORDER BY doc_id""".stripMargin
@@ -1811,7 +1811,7 @@ object PipelineQueries {
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000,
-      |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |         trim(regexp_replace(regexp_replace(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'),
       |                             ' +', ' ', 'g'))
       |  FROM documents WHERE doc_id % 10 = 0),
       |q AS (
@@ -1820,7 +1820,7 @@ object PipelineQueries {
       |           * (1.0 - least(punct / greatest(CAST(n_tok AS DOUBLE), 1.0), 1.0))
       |           * (0.5 + least(stop / greatest(CAST(n_tok AS DOUBLE), 1.0) * 2.0, 0.5))
       |           AS quality,
-      |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |         md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'),
       |                                 ' +', ' ', 'g'))) AS fp
       |  FROM (SELECT doc_id, text,
       |               len(regexp_extract_all(text, '\S+')) AS n_tok,

@@ -40,17 +40,29 @@ object StreamMaterializer {
       .outputMode("update")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // No pre-reduction: upsert's one-shuffle sorted merge IS the
-        // latest-per-key reduction — an extra hash-agg exchange per
-        // micro-batch was measured net-negative (the agg's map-side
-        // combine saves shuffle bytes, but the added stage costs more
-        // scheduling than it saves at micro-batch sizes). No isEmpty
-        // pre-check either: it cost a scan job + plan cycle on EVERY
-        // batch to save work only on the rare empty ones — upserting
-        // an empty frame is a cheap no-op merge. Keys cast to entity
+        // Stores that reduce distributedly inside upsert
+        // (wantsPreReduced = false, e.g. the bucketed parquet store)
+        // get the raw batch: their one-shuffle sorted merge IS the
+        // latest-per-key reduction, and an extra hash-agg exchange per
+        // micro-batch was measured net-negative. Stores that consume
+        // input at key grain (wantsPreReduced = true — the trait
+        // default; InMemory collects driver-side) are pre-reduced with
+        // the shared LWW collapse first, mirroring
+        // FeatureStore.materialize — otherwise every micro-batch ships
+        // its full duplication to the store (review r6). No isEmpty
+        // pre-check: it cost a scan job + plan cycle on EVERY batch to
+        // save work only on the rare empty ones. Keys cast to entity
         // dtypes so bucket routing matches coerced reads.
+        val toUpsert =
+          if (fs.onlineStore.wantsPreReduced) {
+            val (payload, ord, _) = graft.operators.PullLatest.lwwKeys(
+              tsCol, createdCol, view.featureNames)
+            batch.groupBy(keys.map(col): _*)
+              .agg(max_by(payload, ord).as("__latest"))
+              .select(keys.map(col) :+ col("__latest.*"): _*)
+          } else batch
         fs.onlineStore.upsert(fs.project, view, keys,
-          fs.castKeyColumns(batch, view), tsCol, createdCol)
+          fs.castKeyColumns(toUpsert, view), tsCol, createdCol)
         ()
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
@@ -61,11 +73,21 @@ object StreamMaterializer {
     * to its NET change per key — max_by over (event_ts[, created_ts]),
     * map-side combinable, so intermediate changes never reach the
     * store — then applies upserts through the store's LWW merge and
-    * tombstones through [[OnlineStore.delete]]. Cross-batch ordering
-    * is the micro-batch sequence itself (delete-then-newer-upsert
-    * resurrects, upsert-then-delete removes — exactly the batch
-    * [[graft.operators.Merge.cdcApply]] semantics, applied
-    * incrementally). */
+    * tombstones through [[OnlineStore.delete]].
+    *
+    * ORDERING CONTRACT: within a micro-batch, out-of-order records are
+    * resolved by the LWW total order (event_ts, created_ts) — the
+    * [[graft.operators.Merge.cdcApply]] net. ACROSS batches the
+    * application order is the micro-batch sequence itself: upserts are
+    * ts-conditional (the store's LWW merge) but deletes are
+    * unconditional key drops, so a delete arriving in a LATER batch
+    * than a newer-ts upsert removes the key where cdcApply's global
+    * net would keep it. This is the standard CDC-sink contract — it is
+    * exact when the feed is per-key ordered across batches (what a
+    * database log / Kafka partition keying guarantees); a feed with
+    * cross-batch per-key ts disorder needs ts-aware tombstone state the
+    * stores deliberately do not carry. Records with a NULL op fail the
+    * batch loudly rather than silently vanishing from both branches. */
   def materializeCdcStream(
       fs: FeatureStore,
       viewName: String,
@@ -96,8 +118,16 @@ object StreamMaterializer {
             .agg(max_by(payload, ord).as("__net"))
             .select(keys.map(col) :+ col("__net.*"): _*)
             .localCheckpoint() // two consumers; don't recompute the collapse
-          val ups = net.filter(col(opCol) =!= lit(deleteOp)).drop(opCol)
-          val dels = net.filter(col(opCol) === lit(deleteOp)).select(keys.map(col): _*)
+          // strict two-way classification: a NULL op makes both plain
+          // predicates null, silently dropping the key's net change
+          // from BOTH branches — fail loudly instead (the null-join-key
+          // analog of OnlineStore.guardNullKeys)
+          val isDel = when(col(opCol).isNull,
+            raise_error(lit("materializeCdcStream: NULL op column — " +
+              "every CDC record must carry an op code")).cast("boolean"))
+            .otherwise(col(opCol) === lit(deleteOp))
+          val ups = net.filter(!isDel).drop(opCol)
+          val dels = net.filter(isDel).select(keys.map(col): _*)
           if (!ups.isEmpty)
             fs.onlineStore.upsert(fs.project, view, keys,
               fs.castKeyColumns(ups, view), tsCol, createdCol)
@@ -276,6 +306,12 @@ object StreamMaterializer {
       keyCols: Seq[String],
       watermarkDelay: String,
       queryName: String): DataFrame = {
+    // enforced, not just documented: without the event-time column in
+    // the dedup key, dropDuplicates never evicts state and the 100 TB
+    // replay grows state with key cardinality until executors OOM
+    require(keyCols.contains(tsCol),
+      s"streaming dedup keyCols must include the event-time column '$tsCol' " +
+        "so watermark eviction bounds the state")
     val spark = stream.sparkSession
     val deduped = stream
       .withWatermark(tsCol, watermarkDelay)

@@ -728,6 +728,50 @@ class PipelineSpec extends AnyFunSuite {
       "https://z.com/p?id=3"))
   }
 
+  test("canonicalizeUrl: scheme-less URLs pass through; only the scheme's own default port strips (review r6)") {
+    import spark.implicits._
+    val urls = Seq(
+      "example.com/page#frag",          // no scheme: keep, minus fragment
+      "//cdn.example.com/asset.js",     // protocol-relative: keep
+      "http://h:443/x",                 // 443 is NOT http's default port
+      "https://h:80/x",                 // 80 is NOT https's default port
+      "http://h:80/x",                  // http default: strip
+      "https://h:443/x")                // https default: strip
+    val got = urls.toDF("u")
+      .select(TF.canonicalizeUrl(col("u"))).collect().map(_.getString(0)).toSeq
+    assert(got === Seq(
+      "example.com/page",
+      "//cdn.example.com/asset.js",
+      "http://h:443/x",
+      "https://h:80/x",
+      "http://h/x",
+      "https://h/x"))
+  }
+
+  test("fingerprint is whitespace-insensitive: line wrap == space, and no false glue-collisions (review r6)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "foo bar"), (2L, "foo\nbar"), (3L, "foo\tbar"),
+      (4L, "foobar"), (5L, None.orNull.asInstanceOf[String]))
+      .toDF("id", "text")
+    val fps = df.select(col("id"), TF.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(fps(1L) === fps(2L) && fps(2L) === fps(3L),
+      "wrapping whitespace must not change the fingerprint")
+    assert(fps(1L) !== fps(4L), "'foo bar' must not collide with 'foobar'")
+    assert(fps(5L).isEmpty)
+    // empty docs score 0 repetition, not the maximal spam signal
+    val rep = Seq((1L, "a a a b"), (2L, ""))
+      .toDF("id", "text").withColumn("__w", TF.words(col("text")))
+      .select(col("id"), TF.repetitionRatio(col("__w")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rep(1L) === 0.5 && rep(2L) === 0.0)
+    // null text gets a null language, not a confident label
+    val lang = df.select(col("id"), TF.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(lang(5L).isEmpty)
+  }
+
   test("minhashCrossDupPairs finds an edited re-crawl in the corpus, skips fresh docs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

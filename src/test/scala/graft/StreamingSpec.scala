@@ -14,6 +14,7 @@ import graft.online.InMemoryOnlineStore
 import graft.operators.PullLatest
 import graft.registry.Registry
 import graft.store.FeatureStore
+import graft.streaming.StreamMaterializer
 
 /** Streaming semantics: out-of-order micro-batches and replays must
   * converge to the same online state as a batch materialize (idempotent
@@ -74,6 +75,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(resp.toMap("uv:v") == Seq(5.0, 2.0),
       "late data must not regress state; replays must be idempotent")
     fs.teardown()
+  }
+
+  test("materializeStream pre-reduces for key-grain stores and converges to LWW (review r6)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("msm_").toString
+    // one file = one micro-batch; heavy in-batch duplication exercises
+    // the wantsPreReduced collapse in front of the in-memory store
+    Seq((1L, ts("2024-01-03 00:00:00"), 3.0), (1L, ts("2024-01-05 00:00:00"), 5.0),
+        (1L, ts("2024-01-04 00:00:00"), 4.0), (2L, ts("2024-01-01 00:00:00"), 1.0))
+      .toDF("user_id", "ts", "v").coalesce(1).write.parquet(s"$dir/in")
+    val fs = new FeatureStore("msm_t", new Registry(), new InMemoryOnlineStore(), spark)
+    fs.applyEntity(Entity("user", GraftType.Int64, Some("user_id")))
+    fs.applyFeatureView(FeatureView("uv", Seq("user"),
+      Seq(Feature("v", GraftType.Dbl)), Duration.ZERO,
+      batchSource = FileSource(s"$dir/in", eventTimestampColumn = "ts"),
+      streamSource = Some(FileStreamSource(s"$dir/in", "parquet", "ts"))))
+    val q = StreamMaterializer.materializeStream(fs, "uv",
+      trigger = Trigger.AvailableNow(), checkpointDir = Some(s"$dir/ckpt"))
+    q.awaitTermination()
+    val resp = fs.getOnlineFeatures(Seq("uv:v"),
+      Seq(Map[String, Any]("user_id" -> 1L), Map[String, Any]("user_id" -> 2L)))
+    assert(resp.toMap("uv:v") == Seq(5.0, 1.0))
+    fs.teardown()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("streaming dedup rejects key sets that cannot evict state (review r6)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val stream = input.toDF().toDF("user_id", "ts")
+    val e = intercept[IllegalArgumentException] {
+      StreamMaterializer.runStreamDedupToCompletion(
+        stream, "ts", Seq("user_id"), "1 hour", "dedup_guard_t")
+    }
+    assert(e.getMessage.contains("event-time"))
   }
 
   test("logStream appends the stream to the view's date-partitioned offline log") {
