@@ -40,6 +40,18 @@ object Components {
       srcCol: String,
       dstCol: String,
       maxIter: Int = 30): DataFrame = {
+    // integral ids only, checked at plan time: the long cast would turn
+    // string ids (doc hashes, URLs) into NULLs under non-ANSI — every
+    // edge silently discarded, an EMPTY component map, and a dedup
+    // pipeline that deletes nothing — or a runtime cast error under
+    // ANSI. Callers with string ids hash them (xxhash64) first.
+    Seq(srcCol, dstCol).foreach { c =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val t = edges.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+        s"connectedComponents needs integral node ids; '$c' is $t — " +
+          "map string ids to longs (e.g. xxhash64) before calling")
+    }
     var e = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
@@ -67,10 +79,13 @@ object Components {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u").agg(min("v").as("mnv"))
         .select(col("u"), least(col("mnv"), col("u")).as("m"))
+      // m = min(Γ(u)∪{u}) <= u < v, so (m, v) is already canonical and
+      // never a self-loop — the least/greatest + self-loop refilter the
+      // paper's generic statement suggests is dead under this invariant
+      // (the small-star grouping by the larger endpoint relies on it)
       val ls = sym.join(mins, "u")
         .where(col("v") > col("u"))
-        .select(least(col("v"), col("m")).as("u"), greatest(col("v"), col("m")).as("v"))
-        .where(col("u") =!= col("v"))
+        .select(col("m").as("u"), col("v"))
         .distinct()
 
       // small-star: edges live at their larger endpoint; attach all its
@@ -85,6 +100,10 @@ object Components {
 
       val nextSig = signature(next)
       stable = nextSig == sig
+      // the superseded round's localCheckpoint blocks are dead the
+      // moment `next` is materialized (eager) — without the release a
+      // 30-round run retains 30 MEMORY_AND_DISK copies of the edge set
+      releaseCheckpoint(e)
       sig = nextSig
       e = next
       iter += 1
@@ -98,4 +117,16 @@ object Components {
       .union(e.select(col("u").as("id"), col("u").as("component")))
       .distinct()
   }
+
+  /** Release the cached blocks behind an EAGER localCheckpoint once the
+    * frame is superseded. `Dataset.unpersist` only talks to the SQL
+    * CacheManager; a localCheckpoint lives as RDD-level storage on the
+    * LogicalRDD leaf, so that leaf's RDD is unpersisted directly.
+    * Best-effort: a frame that is somehow still referenced just
+    * recomputes (correctness unaffected). */
+  private[functions] def releaseCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    } catch { case _: Throwable => () }
 }

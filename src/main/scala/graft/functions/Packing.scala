@@ -57,9 +57,12 @@ object Packing {
       budgetTokens: Long,
       numPartitions: Option[Int] = None): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    // exact long `div`, not floor of a DOUBLE quotient: past 2^53 total
+    // tokens the double mantissa silently misassigns shards — the same
+    // hazard systematicWeightedSample guards loudly; prefix sums are
+    // non-negative, so div == floor-div
     withPrefixOffset(df, idCol, tokenCol, numPartitions)
-      .withColumn("shard_id",
-        floor(col("__start") / lit(budgetTokens.toDouble)).cast("long"))
+      .withColumn("shard_id", expr(s"__start div ${budgetTokens}L"))
       .drop("__start")
   }
 
@@ -78,15 +81,16 @@ object Packing {
       numPartitions: Option[Int] = None): DataFrame = {
     require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
     val tok = col(tokenCol).cast("long")
-    val first = floor(col("__start") / lit(windowTokens.toDouble)).cast("long")
-    val last = floor((col("__start") + tok - 1) / lit(windowTokens.toDouble)).cast("long")
+    // exact long `div` over a bound end-offset column (same 2^53
+    // rationale as packShards)
     withPrefixOffset(df, idCol, tokenCol, numPartitions)
       .filter(tok > 0)
       .withColumn("start_offset", col("__start"))
-      .withColumn("first_window", first)
-      .withColumn("last_window", last)
-      .withColumn("n_windows", last - first + 1)
-      .drop("__start")
+      .withColumn("__end", col("__start") + tok - 1)
+      .withColumn("first_window", expr(s"__start div ${windowTokens}L"))
+      .withColumn("last_window", expr(s"__end div ${windowTokens}L"))
+      .withColumn("n_windows", col("last_window") - col("first_window") + 1)
+      .drop("__start", "__end")
   }
 
   /** Dense 0-based index of each row in global `idCol` order — the
@@ -113,9 +117,13 @@ object Packing {
       idCol: String,
       tokenCol: String,
       outCol: String = "start_offset",
-      numPartitions: Option[Int] = None): DataFrame =
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"input already has a '$outCol' column — pass a different outCol " +
+        "(a silent rename would leave two identically named columns)")
     withPrefixOffset(df, idCol, tokenCol, numPartitions)
       .withColumnRenamed("__start", outCol)
+  }
 
   /** The shared distributed prefix sum: appends `__start` = tokens
     * before this row in global `idCol` order (exclusive prefix). */
@@ -124,13 +132,29 @@ object Packing {
       idCol: String,
       tokenCol: String,
       numPartitions: Option[Int]): DataFrame = {
+    // internal working names are claimed with withColumn — a caller
+    // column with one of these names would be silently overwritten and
+    // then dropped; fail loudly instead
+    val reserved = Seq("__pid", "__cum", "__off", "__start", "__end", "__one")
+      .filterNot(_ == tokenCol) // withDenseIndex legitimately passes __one
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with the prefix-sum's " +
+        "internal working names — rename them first")
     val parts = numPartitions.getOrElse(df.sparkSession.sparkContext.defaultParallelism)
     val tok = col(tokenCol).cast("long")
 
     val idType = df.schema(idCol).dataType
     val bounds = sliceBounds(df, idCol, parts)
+    // a null id has no place in the global order: it would sort FIRST
+    // in the offsets window (inflating every real slice's offset) and
+    // then vanish through the null-unsafe __pid equi-join — silent data
+    // loss plus corrupted offsets. Fail per-row, loudly.
+    val guardedId = when(col(idCol).isNull,
+      raise_error(lit(s"Packing: null '$idCol' — the global order requires " +
+        "non-null unique ids"))).otherwise(col(idCol))
     val sliced = df.withColumn("__pid",
-      SearchSorted.column(col(idCol), idType, bounds))
+      SearchSorted.column(guardedId, idType, bounds))
 
     // inclusive running sum within the slice
     val cum = sliced.withColumn("__cum",

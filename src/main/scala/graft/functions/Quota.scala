@@ -161,8 +161,10 @@ object Quota {
   def topKPerKey(df: DataFrame, keyCol: String, ordCol: String, k: Int): DataFrame = {
     require(keyCol != ordCol, s"keyCol and ordCol must differ, got '$keyCol'")
     // backticks / getField address columns LITERALLY — a bare col("a.b")
-    // would parse a dotted column name as nested field access
-    def c0(c: String): Column = col(s"`$c`")
+    // would parse a dotted column name as nested field access; embedded
+    // backticks are doubled (the standard identifier escape) so a name
+    // containing one cannot produce a malformed quoted identifier
+    def c0(c: String): Column = col(s"`${c.replace("`", "``")}`")
     val payload = ordCol +: df.columns.filterNot(c => c == keyCol || c == ordCol).toIndexedSeq
     val rowStruct = struct(payload.map(c => c0(c).as(c)): _*)
     df.filter(c0(ordCol).isNotNull)

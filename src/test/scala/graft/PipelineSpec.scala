@@ -619,6 +619,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("packing and components input guards fail loudly, not silently (review r6)") {
+    import spark.implicits._
+    import graft.functions.{Components, Packing, Quota}
+    // null id: would corrupt every offset and then vanish in the join
+    val nullId = Seq((Some(1L), 10L), (None, 500L)).toDF("id", "n_tok")
+    val e1 = intercept[Exception] {
+      Packing.packShards(nullId, "id", "n_tok", 100L).collect()
+    }
+    assert(e1.getMessage.contains("non-null unique ids"))
+    // reserved working-name collision
+    val clash = Seq((1L, 10L, 0L)).toDF("id", "n_tok", "__cum")
+    intercept[IllegalArgumentException](Packing.packShards(clash, "id", "n_tok", 100L))
+    // duplicate output column
+    val dup = Seq((1L, 10L)).toDF("id", "start_offset")
+    intercept[IllegalArgumentException](Packing.withStartOffset(dup, "id", "start_offset"))
+    // string node ids: the long cast would null every edge silently
+    val strEdges = Seq(("a", "b")).toDF("s", "d")
+    val e2 = intercept[IllegalArgumentException](
+      Components.connectedComponents(strEdges, "s", "d"))
+    assert(e2.getMessage.contains("integral"))
+    // a backtick inside a column name still addresses literally
+    val tick = Seq((1L, 2L), (1L, 1L)).toDF("k", "a`b")
+    assert(Quota.topKPerKey(tick, "k", "a`b", 1).count() === 1L)
+  }
+
   test("wordNgramsAllFromWords keeps multiplicity; distinct variant collapses") {
     import spark.implicits._
     val df = Seq("a b a b a").toDF("text")
