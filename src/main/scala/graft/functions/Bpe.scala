@@ -86,7 +86,9 @@ object Bpe {
         case Some(best) =>
           val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
           out += ((round, l, r, cnt, l + r))
-          syms = syms.withColumn("s", mergeApply(col("s"), l, r)).localCheckpoint()
+          val next = syms.withColumn("s", mergeApply(col("s"), l, r)).localCheckpoint()
+          Components.releaseCheckpoint(syms) // superseded round's blocks
+          syms = next
           round += 1
       }
     }

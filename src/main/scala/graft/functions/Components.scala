@@ -122,10 +122,15 @@ object Components {
     * frame is superseded. `Dataset.unpersist` only talks to the SQL
     * CacheManager; a localCheckpoint lives as RDD-level storage on the
     * LogicalRDD leaf, so that leaf's RDD is unpersisted directly.
-    * Best-effort: a frame that is somehow still referenced just
-    * recomputes (correctness unaffected). */
+    *
+    * STRICT by design: only frames whose whole plan IS the checkpoint
+    * leaf are released. A localCheckpoint's lineage is truncated, so
+    * unpersisting one that other frames still reference (e.g. a
+    * shared `nodes` table a derived frame's plan merely CONTAINS)
+    * would make it unrecomputable — the strict match turns those
+    * calls into no-ops instead of data loss. */
   private[functions] def releaseCheckpoint(df: DataFrame): Unit =
-    try df.queryExecution.analyzed.foreach {
+    try df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
       case _ => ()
     } catch { case _: Throwable => () }

@@ -65,7 +65,7 @@ object Graph {
         .join(e, col("node") === col("__src"))
         .groupBy(col("__dst").as("node"))
         .agg(round(sum(col("__r") / col("__deg")), 12).as("__c"))
-      ranks = nodes
+      val next = nodes
         .join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .withColumn("__r",
@@ -73,6 +73,11 @@ object Graph {
             lit(damping) * (coalesce(col("__c"), lit(0.0)) + col("__dm") / n), 12))
         .select("node", "__r")
         .localCheckpoint()
+      // superseded round's blocks die here (strict release: the
+      // iteration-0 frame merely WRAPS the shared nodes checkpoint and
+      // is left alone — see Components.releaseCheckpoint)
+      Components.releaseCheckpoint(ranks)
+      ranks = next
     }
     ranks.select(col("node"), col("__r").as("rank"))
   }
@@ -123,10 +128,12 @@ object Graph {
         .groupBy("node")
         .agg(min_by(col("__lbl"),
           struct((-col("__n")).as("nc"), col("__lbl").as("lb"))).as("__new"))
-      labels = labels
+      val next = labels
         .join(winners, Seq("node"), "left")
         .select(col("node"), coalesce(col("__new"), col("__lbl")).as("__lbl"))
         .localCheckpoint()
+      Components.releaseCheckpoint(labels) // strict: sweep-0 wrapper is a no-op
+      labels = next
     }
     labels.select(col("node"), col("__lbl").as("community"))
   }

@@ -48,12 +48,13 @@ object History {
     require(attrs.nonEmpty, "scd2 needs at least one tracked attribute")
     val ord: Seq[Column] = (tsCol +: tieBreaks).map(col)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
-    // change flag: first event of the key, or any tracked attr differs
-    // from the previous event. Null-safe (<=>) so null→value and
-    // value→null transitions open versions too.
+    // change flag: any tracked attr differs null-safely from the
+    // previous event. ONE predicate covers the first row of each key
+    // too: attrStruct is a struct constructor (never null), so
+    // lag=null <=> struct is false and the negation opens the version —
+    // the oracle's single IS DISTINCT FROM formulation.
     val attrStruct = struct(attrs.map(col): _*)
-    val changed = lag(attrStruct, 1).over(w).isNull ||
-      !(lag(attrStruct, 1).over(w) <=> attrStruct)
+    val changed = !(lag(attrStruct, 1).over(w) <=> attrStruct)
     val opened = df
       .withColumn("__chg", changed)
       .filter(col("__chg"))

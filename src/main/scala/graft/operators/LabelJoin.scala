@@ -39,6 +39,16 @@ object LabelJoin {
       labelTsCol: String = "event_timestamp",
       tieBreaks: Seq[String] = Nil): DataFrame = {
     require(!horizon.isNegative && !horizon.isZero, "horizon must be positive")
+    require(joinKeys.nonEmpty,
+      "joinKeys must be non-empty (a global un-keyed label join would " +
+        "cross-join the label table against every entity row — add a " +
+        "constant key column deliberately if that is really intended)")
+    // the winners join back by name: a pre-existing output column would
+    // silently duplicate in the joined frame and break any later select
+    val outClash = (labelCols :+ "label_ts").intersect(entityDf.columns)
+    require(outClash.isEmpty,
+      s"entity df already has output column(s) ${outClash.mkString(", ")} — " +
+        "rename or drop them before the label join")
     val rowId = "__graft_row_id"
     val stampedRaw = entityDf.withColumn(rowId, monotonically_increasing_id())
     val stamped =
@@ -63,14 +73,7 @@ object LabelJoin {
       lit(java.sql.Timestamp.from(mxTs.toInstant.plus(horizon))))
     val labAliased = lab.alias("__r")
 
-    // Microsecond-granular horizon (TimestampType's own resolution) —
-    // getSeconds would silently truncate a sub-second horizon to an
-    // empty window (review r4). Durations too large for toNanos fall
-    // back to whole seconds, where sub-second precision is moot.
-    val horizonInterval =
-      if (horizon.compareTo(java.time.Duration.ofDays(365L * 200)) > 0)
-        expr(s"INTERVAL ${horizon.getSeconds} SECOND")
-      else expr(s"INTERVAL ${horizon.toNanos / 1000} MICROSECOND")
+    val horizonInterval = PointInTimeJoin.durationInterval(horizon)
     val window: Column = R(labelTsCol) > L(entityTsCol) &&
       R(labelTsCol) <= L(entityTsCol) + horizonInterval
     val keyCond = joinKeys.map(k => L(k) <=> R(k)).reduce(_ && _)

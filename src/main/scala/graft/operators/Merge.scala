@@ -12,10 +12,16 @@ import org.apache.spark.sql.functions._
   *
   * Semantics: per key, the changelog collapses to its LATEST row in
   * `orderCols` order (last-write-wins — intermediate changes never
-  * matter). If that row's op is `deleteOp` the key is dropped (even
-  * if absent from the base: a delete for an unseen key is a no-op);
-  * otherwise its values replace the base row (or insert a new key).
-  * Keys without changes pass through unchanged.
+  * matter), with residual ties resolved by the max payload — the SAME
+  * [[PullLatest.lwwKeys]] total order every other LWW site uses, so a
+  * feed with duplicate orderCols values collapses identically here and
+  * on the streaming CDC path (a bare struct(orderCols) order left the
+  * winner to partitioning luck). If that row's op is `deleteOp` the
+  * key is dropped (even if absent from the base: a delete for an
+  * unseen key is a no-op); otherwise its values replace the base row
+  * (or insert a new key). Keys without changes pass through unchanged.
+  * A NULL op fails the job loudly (the streaming dual's contract): it
+  * would otherwise insert a phantom all-null row for unseen keys.
   *
   * Shape at 100 TB: the changelog reduces map-side (max_by partial
   * aggregation) BEFORE its shuffle — a billion-row feed for a key
@@ -37,10 +43,15 @@ object Merge {
     require(keys.nonEmpty, "keys must be non-empty")
     require(orderCols.nonEmpty, "orderCols must be non-empty (LWW needs a total order)")
 
-    // latest change per key: carried payload = (op, values)
-    val payload = struct((opCol +: valueCols).map(col): _*)
-    val ord = struct(orderCols.map(col): _*)
-    val net = changes
+    val guarded = changes.withColumn(opCol,
+      when(col(opCol).isNull,
+        raise_error(lit("cdcApply: NULL op — every changelog row must carry " +
+          "an op code"))).otherwise(col(opCol)))
+    // latest change per key via the shared LWW order (op rides in the
+    // payload, like the streaming collapse)
+    val (payload, ord, _) = PullLatest.lwwKeys(
+      orderCols.head, None, opCol +: valueCols, tieBreakCols = orderCols.tail)
+    val net = guarded
       .groupBy(keys.map(col): _*)
       .agg(max_by(payload, ord).as("__net"))
       .select(keys.map(col) :+ col("__net.*"): _*)

@@ -30,6 +30,13 @@ object NearestJoin {
       featureTsCol: String = "event_timestamp",
       tieBreaks: Seq[String] = Nil): DataFrame = {
     require(!tolerance.isNegative && !tolerance.isZero, "tolerance must be positive")
+    require(joinKeys.nonEmpty,
+      "joinKeys must be non-empty (an un-keyed nearest join would " +
+        "cross-join the feature table against every entity row)")
+    val outClash = (featureCols :+ "matched_ts").intersect(entityDf.columns)
+    require(outClash.isEmpty,
+      s"entity df already has output column(s) ${outClash.mkString(", ")} — " +
+        "rename or drop them before the nearest join")
     val rowId = "__graft_row_id"
     val stampedRaw = entityDf.withColumn(rowId, monotonically_increasing_id())
     val stamped =
@@ -53,12 +60,7 @@ object NearestJoin {
       lit(java.sql.Timestamp.from(mxTs.toInstant.plus(tolerance))))
     val featAliased = feat.alias("__r")
 
-    // µs-granular tolerance, like LabelJoin's horizon (getSeconds would
-    // truncate sub-second tolerances to an empty window)
-    val tolInterval =
-      if (tolerance.compareTo(java.time.Duration.ofDays(365L * 200)) > 0)
-        expr(s"INTERVAL ${tolerance.getSeconds} SECOND")
-      else expr(s"INTERVAL ${tolerance.toNanos / 1000} MICROSECOND")
+    val tolInterval = PointInTimeJoin.durationInterval(tolerance)
     val window: Column =
       R(featureTsCol) >= L(entityTsCol) - tolInterval &&
         R(featureTsCol) <= L(entityTsCol) + tolInterval

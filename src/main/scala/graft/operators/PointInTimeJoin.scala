@@ -48,6 +48,16 @@ object PointInTimeJoin {
 
   val DefaultEntityTsCol = "event_timestamp"
 
+  /** One Duration → µs interval rendering for the whole as-of family
+    * (backward TTL, forward horizon, nearest tolerance): microsecond
+    * precision — TimestampType's own resolution — computed from
+    * (seconds, nanos) directly, so it neither truncates sub-second
+    * windows (the getSeconds bug, review r4) nor overflows the way
+    * Duration.toNanos does at ~292 years; long microseconds carry to
+    * ~292k years, beyond any meaningful window. */
+  private[operators] def durationInterval(d: java.time.Duration): Column =
+    expr(s"INTERVAL ${d.getSeconds * 1000000L + d.getNano / 1000L} MICROSECOND")
+
   /** One view's join spec, fully resolved (registry lookups done). */
   final case class ViewJoin(
       view: FeatureView,
@@ -262,13 +272,10 @@ object PointInTimeJoin {
     val asOf: Column = {
       val upper = R(tsCol) <= L(entityTsCol)
       if (ttl.isZero) upper
-      else {
-        // micros, not whole seconds: a sub-second TTL must bound the
-        // window identically here and on the sort-merge path (which
-        // compares raw micros), or the two paths disagree on winners
-        val ttlMicros = ttl.getSeconds * 1000000L + ttl.getNano / 1000L
-        upper && R(tsCol) >= (L(entityTsCol) - expr(s"INTERVAL $ttlMicros MICROSECOND"))
-      }
+      // micros, not whole seconds: a sub-second TTL must bound the
+      // window identically here and on the sort-merge path (which
+      // compares raw micros), or the two paths disagree on winners
+      else upper && R(tsCol) >= (L(entityTsCol) - durationInterval(ttl))
     }
     val keyCond = joinKeys.map(k => L(k) <=> R(k)).reduce(_ && _)
     val candidates = left.join(featAliased, keyCond && asOf, "inner")

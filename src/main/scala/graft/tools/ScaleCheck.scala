@@ -124,7 +124,11 @@ object ScaleCheck {
       // one-exchange (bucket, keys) max_by. Deliberately absent:
       // q_label_prop (like q_pagerank, its planted node universe is
       // FIXED at 20 domains; 10x docs only rescans edge derivation)
-      "q_phash_neardup", "q_materialize_roundtrip")
+      "q_phash_neardup", "q_materialize_roundtrip",
+      // round-9 addition: the persisted band-table probe (build once,
+      // batch joins the loaded index — the shape that must stay a
+      // bucket equi-join as the corpus scales)
+      "q_dedup_index_persisted")
     queries.foreach(q => time(q, baseDir)) // warm: codegen + analyzer JIT
     val lines = queries.map { q =>
       val t1 = time(q, baseDir)

@@ -509,6 +509,51 @@ class EngineSpec extends AnyFunSuite {
     assert(got3(0).getLong(0) == 300L)
   }
 
+  test("as-of family guards: empty keys and output-name collisions fail loudly (review r6)") {
+    import spark.implicits._
+    import graft.operators.{LabelJoin, NearestJoin}
+    val entity = Seq((1L, ts("2024-01-10 00:00:00"), 0.0))
+      .toDF("user_id", "event_timestamp", "label_value")
+    val labels = Seq((1L, ts("2024-01-11 00:00:00"), 2.0))
+      .toDF("user_id", "ts", "label_value")
+    intercept[IllegalArgumentException](
+      LabelJoin.join(entity, labels, Nil, Seq("label_value"),
+        java.time.Duration.ofDays(2), labelTsCol = "ts"))
+    // entity already carries label_value: the join-back would duplicate it
+    val e2 = intercept[IllegalArgumentException](
+      LabelJoin.join(entity, labels, Seq("user_id"), Seq("label_value"),
+        java.time.Duration.ofDays(2), labelTsCol = "ts"))
+    assert(e2.getMessage.contains("label_value"))
+    intercept[IllegalArgumentException](
+      NearestJoin.join(entity.withColumnRenamed("label_value", "matched_ts"),
+        labels, Seq("user_id"), Seq("label_value"),
+        java.time.Duration.ofDays(2), featureTsCol = "ts"))
+  }
+
+  test("cdcApply: NULL op fails loudly; duplicate-orderCols ties collapse by the shared LWW order (review r6)") {
+    import spark.implicits._
+    import graft.operators.Merge
+    val base = Seq((1L, "a", 1.0)).toDF("k", "t", "v")
+    val nullOp = Seq((2L, None.orNull.asInstanceOf[String], "z", 2.0, 5L))
+      .toDF("k", "op", "t", "v", "seq")
+    val e = intercept[Exception] {
+      Merge.cdcApply(base, nullOp, Seq("k"), "op", Seq("seq"), Seq("t", "v")).collect()
+    }
+    assert(e.getMessage.contains("NULL op"))
+    // same seq for an upsert and a delete of one key: the payload tail
+    // ('U' > 'D' in the max) makes the upsert win DETERMINISTICALLY —
+    // the bare struct(orderCols) order left this to partitioning luck
+    val tied = Seq(
+      (1L, "U", Some("b"), Some(9.0), 5L),
+      (1L, "D", None: Option[String], None: Option[Double], 5L))
+      .toDF("k", "op", "t", "v", "seq").repartition(4)
+    (1 to 3).foreach { _ =>
+      val out = Merge.cdcApply(base, tied, Seq("k"), "op", Seq("seq"), Seq("t", "v"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      assert(out.toSeq === Seq((1L, "b", 9.0)))
+    }
+  }
+
   test("SnapshotDiff: ADDED / REMOVED / CHANGED reported, unchanged dropped") {
     import spark.implicits._
     import graft.operators.SnapshotDiff
