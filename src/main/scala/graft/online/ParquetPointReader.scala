@@ -136,7 +136,7 @@ object ParquetPointReader {
     t.getPrimitiveTypeName match {
       case INT64 => t.getLogicalTypeAnnotation match {
         case ts: TimestampLogicalTypeAnnotation =>
-          timestampOf(g.getLong(i, 0), ts.getUnit)
+          timestampOf(g.getLong(i, 0), ts.getUnit, ts.isAdjustedToUTC)
         case _ => g.getLong(i, 0)
       }
       case INT32 => g.getInteger(i, 0)
@@ -153,18 +153,33 @@ object ParquetPointReader {
     }
   }
 
-  private def timestampOf(v: Long, unit: LogicalTypeAnnotation.TimeUnit): java.sql.Timestamp =
-    unit match {
-      case LogicalTypeAnnotation.TimeUnit.MILLIS => new java.sql.Timestamp(v)
+  /** `utcAdjusted = false` marks TIMESTAMP_NTZ: the stored micros
+    * encode a WALL-CLOCK datetime, not an epoch instant — decoding it
+    * as epoch would shift the rendered value by the serving JVM's zone
+    * offset and break online/offline parity with Spark's NTZ read
+    * (review r6). The wall-clock fields are reconstructed in UTC and
+    * re-expressed as a local java.sql.Timestamp with the SAME fields —
+    * exactly how Spark renders an NTZ value. */
+  private def timestampOf(v: Long, unit: LogicalTypeAnnotation.TimeUnit,
+      utcAdjusted: Boolean): java.sql.Timestamp = {
+    val (epochMillis, nanos) = unit match {
+      case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+        (v, (Math.floorMod(v, 1000L) * 1000000L).toInt)
       case LogicalTypeAnnotation.TimeUnit.MICROS =>
-        val ts = new java.sql.Timestamp(Math.floorDiv(v, 1000L))
-        ts.setNanos((Math.floorMod(v, 1000000L) * 1000L).toInt)
-        ts
+        (Math.floorDiv(v, 1000L), (Math.floorMod(v, 1000000L) * 1000L).toInt)
       case LogicalTypeAnnotation.TimeUnit.NANOS =>
-        val ts = new java.sql.Timestamp(Math.floorDiv(v, 1000000L))
-        ts.setNanos(Math.floorMod(v, 1000000000L).toInt)
-        ts
+        (Math.floorDiv(v, 1000000L), Math.floorMod(v, 1000000000L).toInt)
     }
+    if (utcAdjusted) {
+      val ts = new java.sql.Timestamp(epochMillis)
+      ts.setNanos(nanos)
+      ts
+    } else {
+      val ldt = java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(epochMillis, 1000L), nanos, java.time.ZoneOffset.UTC)
+      java.sql.Timestamp.valueOf(ldt)
+    }
+  }
 
   /** Legacy INT96: 8-byte LE nanos-of-day + 4-byte LE julian day. */
   private def int96Timestamp(bytes: Array[Byte]): java.sql.Timestamp = {

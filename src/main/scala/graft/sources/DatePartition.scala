@@ -31,10 +31,18 @@ object DatePartition {
 
   /** Inclusive date-range predicate over the partition column — a coarse
     * superset of the ts range [lower, upper], so stacking it under the
-    * exact ts filter never changes results, only prunes directories. */
+    * exact ts filter never changes results, only prunes directories.
+    *
+    * The window is widened by one day on each side: the partition dates
+    * were derived in the WRITER's session timezone while to_date(lit(ts))
+    * here evaluates in the READER's — with mismatched sessions an edge
+    * timestamp's date can differ by up to one calendar day, and an
+    * unwidened bound would prune a directory that holds matching rows
+    * (review r6). One extra directory per side is noise at any scale;
+    * a dropped partition is silent wrong results. */
   def pruneFilter(dateCol: String, lower: Option[Timestamp], upper: Option[Timestamp]): Option[Column] = {
-    val conds = lower.map(l => col(dateCol) >= to_date(lit(l))).toSeq ++
-      upper.map(u => col(dateCol) <= to_date(lit(u))).toSeq
+    val conds = lower.map(l => col(dateCol) >= date_sub(to_date(lit(l)), 1)).toSeq ++
+      upper.map(u => col(dateCol) <= date_add(to_date(lit(u)), 1)).toSeq
     conds.reduceOption(_ && _)
   }
 
@@ -67,6 +75,22 @@ object DatePartition {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return Nil
     val prefix = s"$dateCol="
+    // heal a crashed swap FIRST: a death between the two renames below
+    // leaves the partition's only copy in the underscore-hidden
+    // _compact_old_ dir, which every scan ignores — restore it when the
+    // live dir is missing, drop it as a stale duplicate otherwise
+    // (review r6; the StagedWrite/.old discipline, per partition)
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"_compact_old_$prefix"))
+      .foreach { orphan =>
+        val live = new org.apache.hadoop.fs.Path(root,
+          orphan.getPath.getName.stripPrefix("_compact_old_"))
+        if (!fs.exists(live)) {
+          if (!fs.rename(orphan.getPath, live))
+            throw new java.io.IOException(
+              s"compact: failed to restore crashed partition ${orphan.getPath}")
+        } else fs.delete(orphan.getPath, true)
+      }
     fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
       .flatMap { part =>

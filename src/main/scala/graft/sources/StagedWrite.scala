@@ -27,12 +27,21 @@ import org.apache.spark.sql.DataFrame
 object StagedWrite {
 
   def parquet(df: DataFrame, destPath: String, mode: String,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil,
+      options: Map[String, String] = Map.empty): Unit = {
     require(mode == "append" || mode == "overwrite",
       s"StagedWrite supports append/overwrite, got $mode")
     val hconf = df.sparkSession.sparkContext.hadoopConfiguration
     val dest = new Path(destPath)
     val fs = dest.getFileSystem(hconf)
+    // renames are CHECKED: Hadoop rename signals failure by returning
+    // false, and blowing past a false return destroyed data — e.g.
+    // deleting the .old copy after the staging->dest move silently
+    // failed (review r6)
+    def renameOrThrow(src: Path, dst: Path, what: String): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"StagedWrite: $what rename $src -> $dst failed")
     // heal a crashed overwrite swap; sweep crashed staging dirs
     val aside = new Path(destPath + ".old")
     if (fs.exists(aside)) {
@@ -49,16 +58,21 @@ object StagedWrite {
 
     val staging = new Path(destPath + ".stage-" +
       java.util.UUID.randomUUID().toString.take(8))
-    val w0 = df.write.mode("overwrite")
+    val w0 = df.write.mode("overwrite").options(options)
     val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
     w.parquet(staging.toString)
 
     if (mode == "overwrite" || !fs.exists(dest)) {
       if (fs.exists(dest)) {
-        fs.rename(dest, aside)
-        fs.rename(staging, dest)
+        renameOrThrow(dest, aside, "move-aside")
+        try renameOrThrow(staging, dest, "publish")
+        catch { case e: Throwable =>
+          // restore the old copy so the dataset never disappears; the
+          // new data stays in the staging dir for inspection
+          fs.rename(aside, dest); throw e
+        }
         fs.delete(aside, true)
-      } else fs.rename(staging, dest)
+      } else renameOrThrow(staging, dest, "publish")
     } else {
       // append: move data files (and partition dirs) in; `_`-prefixed
       // metadata files stay behind with the staging dir. Part-file
@@ -70,7 +84,7 @@ object StagedWrite {
           val name = st.getPath.getName
           if (!name.startsWith("_")) {
             if (st.isDirectory) move(st.getPath, new Path(dst, name))
-            else fs.rename(st.getPath, new Path(dst, name))
+            else renameOrThrow(st.getPath, new Path(dst, name), "append")
           }
         }
       }

@@ -38,7 +38,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object VersionedTable {
 
-  final case class Manifest(version: Int, files: Seq[String])
+  /** `schemaDdl` makes the zero-file version readable AS the table: a
+    * snapshot of an empty frame has a schema but no part files, and a
+    * schemaless emptyDataFrame would break every downstream column
+    * reference on exactly that version. Absent only in pre-upgrade
+    * manifests (read() then falls back). */
+  final case class Manifest(version: Int, files: Seq[String],
+      schemaDdl: Option[String] = None)
 
   private def fs(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val root = new Path(dir)
@@ -56,8 +62,12 @@ object VersionedTable {
     if (!hfs.exists(mdir)) return Nil
     hfs.listStatus(mdir).toSeq
       .map(_.getPath.getName)
+      // parse-guarded: one stray non-numeric v*.json (editor backup,
+      // manual copy) must not take down every read and commit with a
+      // NumberFormatException
       .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
-        n.stripPrefix("v").stripSuffix(".json").toInt }
+        scala.util.Try(n.stripPrefix("v").stripSuffix(".json").toInt).toOption }
+      .flatten
       .sorted
   }
 
@@ -74,7 +84,7 @@ object VersionedTable {
       append: Boolean = false, maxRetries: Int = 10): Int = {
     val (hfs, root) = fs(spark, dir)
     val (dataDir, written) = stage(hfs, root, df)
-    claimLoop(spark, hfs, root, dir, written, append, maxRetries)
+    claimLoop(spark, hfs, root, dir, written, append, maxRetries, df.schema.toDDL)
   }
 
   /** Write-audit-publish (the WAP lakehouse pattern): stage the batch
@@ -105,7 +115,8 @@ object VersionedTable {
     val report = spark.createDataFrame(
       spark.sparkContext.parallelize(reportRows.toSeq, 1), reportDf.schema)
     if (reportRows.forall(_.getAs[Boolean]("pass")))
-      (Some(claimLoop(spark, hfs, root, dir, written, append, maxRetries)), report)
+      (Some(claimLoop(spark, hfs, root, dir, written, append, maxRetries,
+        df.schema.toDDL)), report)
     else {
       hfs.delete(dataDir, true)
       (None, report)
@@ -126,24 +137,44 @@ object VersionedTable {
   }
 
   private def claimLoop(spark: SparkSession, hfs: FileSystem, root: Path,
-      dir: String, written: Seq[String], append: Boolean, maxRetries: Int): Int = {
+      dir: String, written: Seq[String], append: Boolean, maxRetries: Int,
+      schemaDdl: String): Int = {
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1
-      val valid = versions(spark, dir)
-      val parentFiles =
-        if (!append) Nil
-        else valid.lastOption.flatMap(v => readManifest(hfs, root, v)).map(_.files).getOrElse(Nil)
-      // allocate above every CLAIMED number, valid or torn — a torn
-      // manifest owns its slot, so colliding with it would retry forever
-      val next = (0 +: listedVersions(hfs, root)).max + 1
-      val json = manifestJson(Manifest(next, parentFiles ++ written))
-      if (claimAndWrite(hfs, manifestPath(root, next), json.getBytes("UTF-8")))
-        return next
-      // else: lost the claim race — re-resolve head and retry
+      // ONE listing resolves both the claim ceiling and the append
+      // parent. Resolving them from two listings (the old shape) lost
+      // updates: a commit landing between the listings advanced the
+      // ceiling without advancing the captured parent, so the new
+      // manifest chained off the stale parent and the interleaved
+      // commit's files silently left the head (and vacuum then deleted
+      // them as unreferenced).
+      val listed = listedVersions(hfs, root)
+      val ceiling = (0 +: listed).max
+      // newest VALID manifest via a descending scan — stops at the
+      // first hit instead of validating every manifest ever committed
+      val validHead: Option[Manifest] =
+        listed.sorted.reverse.iterator.map(v => readManifest(hfs, root, v))
+          .collectFirst { case Some(m) => m }
+      if (append && validHead.exists(_.version < ceiling)) {
+        // a claimed slot above the valid head is a claimant mid-write:
+        // appending over it would drop its files from the chain the
+        // moment it completes. Wait for it to finish (ms) or stay torn
+        // (crashed — vacuum clears it); bounded by maxRetries.
+        Thread.sleep(50L * attempt)
+      } else {
+        val parentFiles = if (append) validHead.map(_.files).getOrElse(Nil) else Nil
+        val next = ceiling + 1
+        val json = manifestJson(Manifest(next, parentFiles ++ written, Some(schemaDdl)))
+        if (claimAndWrite(hfs, manifestPath(root, next), json.getBytes("UTF-8")))
+          return next
+        // else: lost the claim race — re-resolve head and retry
+      }
     }
     throw new java.io.IOException(
-      s"VersionedTable.commit: lost the version claim $maxRetries times at $dir")
+      s"VersionedTable.commit: could not claim a version after $maxRetries " +
+        s"attempts at $dir — a torn manifest above the valid head blocks " +
+        "appends until vacuum() clears it, or contention is extreme")
   }
 
   /** Read a pinned `version`, or the latest valid one. */
@@ -153,7 +184,13 @@ object VersionedTable {
       throw new java.util.NoSuchElementException(s"no committed version at $dir")))
     val m = readManifest(hfs, root, v).getOrElse(
       throw new java.util.NoSuchElementException(s"no valid manifest v$v at $dir"))
-    if (m.files.isEmpty) spark.emptyDataFrame
+    if (m.files.isEmpty)
+      // empty-but-TYPED: the version's schema survives so downstream
+      // column references resolve exactly as on non-empty versions
+      m.schemaDdl.map { ddl =>
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      }.getOrElse(spark.emptyDataFrame)
     else spark.read.parquet(m.files.map(f => new Path(root, f).toString): _*)
   }
 
@@ -226,9 +263,13 @@ object VersionedTable {
 
   // ---- manifest (de)serialization: flat JSON, no library ------------
 
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
   private def manifestJson(m: Manifest): String = {
-    val files = m.files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-    s"""{"version":${m.version},"files":[${files.mkString(",")}],"complete":true}"""
+    val files = m.files.map(f => "\"" + esc(f) + "\"")
+    val schema = m.schemaDdl.map(d => s""","schema":"${esc(d)}"""").getOrElse("")
+    s"""{"version":${m.version},"files":[${files.mkString(",")}]$schema,"complete":true}"""
   }
 
   private[sources] def readManifest(hfs: FileSystem, root: Path, v: Int): Option[Manifest] = {
@@ -246,13 +287,18 @@ object VersionedTable {
     // was mid-write when its claimant died
     if (!raw.trim.endsWith("\"complete\":true}")) return None
     val filesRe = """"files":\[(.*?)\]""".r
+    // greedy to the single trailing marker, so escaped quotes inside
+    // the DDL cannot end the match early
+    val schemaRe = """"schema":"(.*)","complete"""".r
     filesRe.findFirstMatchIn(raw).map { m =>
       val body = m.group(1)
       val files =
         if (body.isEmpty) Nil
         else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")
           .replace("\\\"", "\"").replace("\\\\", "\\"))
-      Manifest(v, files)
+      val schema = schemaRe.findFirstMatchIn(raw)
+        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      Manifest(v, files, schema)
     }
   }
 }

@@ -71,19 +71,12 @@ object ZOrder {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-    // staged dir-swap publish: an overwrite of a live layout path must
-    // never destroy the old copy before the new one fully lands
-    val staging = path + ".stage-" + java.util.UUID.randomUUID().toString.take(8)
-    val w = sorted.write.mode("overwrite")
-    rowGroupBytes.fold(w)(b => w.option("parquet.block.size", b.toString))
-      .parquet(staging)
-    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
-    val dest = new org.apache.hadoop.fs.Path(path)
-    val fs = dest.getFileSystem(hconf)
-    val aside = new org.apache.hadoop.fs.Path(path + ".old")
-    if (fs.exists(aside)) fs.delete(aside, true)
-    if (fs.exists(dest)) fs.rename(dest, aside)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), dest)
-    fs.delete(aside, true)
+    // publication rides StagedWrite's checked, self-healing dir-swap —
+    // the hand-rolled swap this replaced ignored rename results and
+    // then deleted the .old copy unconditionally, so a failed publish
+    // destroyed the live layout (review r6); StagedWrite also heals a
+    // crashed swap and sweeps stale .stage-* dirs on the next write
+    StagedWrite.parquet(sorted, path, "overwrite",
+      options = rowGroupBytes.map(b => "parquet.block.size" -> b.toString).toMap)
   }
 }

@@ -420,6 +420,20 @@ class EngineSpec extends AnyFunSuite {
     assert(got === Seq((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 3.0)))
   }
 
+  test("sources.ZOrder.zValue2 and functions.ZOrder.interleave share one bit placement (drift tripwire)") {
+    import spark.implicits._
+    // two Morton implementations exist on purpose (mask-total for
+    // oracles vs raise-strict for layout writes) — their bit contract
+    // must never drift apart
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 9L), (255L, 17L), (1023L, 1023L))
+      .toDF("a", "b")
+    val got = df.select(
+      graft.sources.ZOrder.zValue2(col("a"), col("b"), bits = 10).as("s"),
+      graft.functions.ZOrder.interleave(col("a"), col("b"), bits = 10).as("f"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("DatePartition.compact rewrites only fragmented partitions; data intact") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cpt").toString + "/log"
@@ -443,6 +457,18 @@ class EngineSpec extends AnyFunSuite {
     // idempotent
     assert(graft.sources.DatePartition.compact(spark, dir, "event_date",
       targetBytes = 1L << 30, maxFiles = 4).isEmpty)
+
+    // crash window: death between the two swap renames leaves the
+    // partition only in _compact_old_* — the next compact run must
+    // restore it, not leave it invisible forever (review r6)
+    val live = new java.io.File(s"$dir/event_date=2024-01-02")
+    val orphan = new java.io.File(s"$dir/_compact_old_event_date=2024-01-02")
+    assert(live.renameTo(orphan))
+    assert(!live.exists())
+    graft.sources.DatePartition.compact(spark, dir, "event_date",
+      targetBytes = 1L << 30, maxFiles = 4)
+    assert(live.exists() && !orphan.exists(), "crashed partition restored")
+    assert(spark.read.parquet(dir).count() === 900L)
   }
 
   test("DatePartition.vacuum drops only expired partitions; survivors still read") {
@@ -579,19 +605,28 @@ class EngineSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, dir, Some(2)).count() === 3)
     assert(VersionedTable.read(spark, dir).as[(Long, String)].collect().toSet === Set((9L, "z")))
 
-    // torn manifest: claimed v4 but died mid-write -> invisible to reads,
-    // but its number stays claimed (next commit goes to v5)
+    // torn manifest: claimed v4 but died mid-write -> invisible to
+    // reads; a stray non-numeric manifest name is ignored, not a crash
     val torn = new java.io.File(s"$dir/_manifests/v${"%010d".format(4)}.json")
     java.nio.file.Files.write(torn.toPath, """{"version":4,"files":["data/x""".getBytes)
+    val stray = new java.io.File(s"$dir/_manifests/v0000000003 (copy).json")
+    java.nio.file.Files.write(stray.toPath, "junk".getBytes)
     assert(VersionedTable.versions(spark, dir) === Seq(1, 2, 3))
     assert(VersionedTable.read(spark, dir).count() === 1) // still v3
-    val v5 = VersionedTable.commit(spark, dir, Seq((10L, "y")).toDF("k", "t"), append = true)
+
+    // APPENDS refuse to chain over the torn slot (its claimant might
+    // still complete — skipping it was the lost-update bug, review r6);
+    // snapshots are unaffected. vacuum clears the wreckage.
+    intercept[java.io.IOException] {
+      VersionedTable.commit(spark, dir, Seq((10L, "y")).toDF("k", "t"),
+        append = true, maxRetries = 3)
+    }
+    val v5 = VersionedTable.commit(spark, dir, Seq((9L, "z"), (10L, "y")).toDF("k", "t"))
     assert(v5 === 5)
-    assert(VersionedTable.read(spark, dir).as[(Long, String)].collect().toSet
-      === Set((9L, "z"), (10L, "y")))
 
     // vacuum to the 2 newest valid versions: v1/v2 manifests + their
-    // now-unreferenced data files and the torn v4 manifest all go
+    // now-unreferenced data files, the torn v4 manifest, and the stray
+    // name all go
     val (dropped, deleted) = VersionedTable.vacuum(spark, dir, keepLast = 2)
     assert(dropped === Seq(1, 2) && deleted > 0)
     assert(!torn.exists())
@@ -601,6 +636,38 @@ class EngineSpec extends AnyFunSuite {
     intercept[java.util.NoSuchElementException] {
       VersionedTable.read(spark, dir, Some(1))
     }
+    // with the wreckage gone, appends flow again and chain off v5
+    val v6 = VersionedTable.commit(spark, dir, Seq((11L, "w")).toDF("k", "t"), append = true)
+    assert(v6 === 6)
+    assert(VersionedTable.read(spark, dir).as[(Long, String)].collect().toSet
+      === Set((9L, "z"), (10L, "y"), (11L, "w")))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("VersionedTable: empty snapshot stays TYPED; concurrent appends never lose a commit (review r6)") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_vt2").toString
+    // empty snapshot: the schema must survive so column refs resolve
+    val empty = Seq.empty[(Long, String)].toDF("k", "t")
+    VersionedTable.commit(spark, dir, empty)
+    val back = VersionedTable.read(spark, dir)
+    assert(back.count() === 0L)
+    assert(back.filter(col("k") > 0).count() === 0L, "typed empty frame resolves columns")
+
+    // concurrent appenders: every committed row must reach the head
+    // (the two-listing race silently dropped an interleaved commit)
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        VersionedTable.commit(spark, dir,
+          Seq((i.toLong, s"t$i")).toDF("k", "t"), append = true, maxRetries = 30)
+        ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val head = VersionedTable.read(spark, dir).as[(Long, String)].collect().toSet
+    assert(head === Set((1L, "t1"), (2L, "t2"), (3L, "t3"), (4L, "t4")),
+      s"lost update: head = $head")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
