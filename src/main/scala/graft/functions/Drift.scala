@@ -40,10 +40,30 @@ object Drift {
       accuracy: Int = 10000): Seq[Double] = {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     val probs = (1 until nBins).map(_.toDouble / nBins)
-    baseline.filter(col(valueCol).isNotNull)
+    val row = baseline.filter(col(valueCol).isNotNull)
       .agg(percentile_approx(col(valueCol).cast("double"),
         typedlit(probs), lit(accuracy)).as("edges"))
-      .head().getSeq[Double](0).distinct.sorted
+      .head()
+    // empty / all-null baselines aggregate to NULL — a clear error, not
+    // the opaque NPE .getSeq(0).distinct produced (review r6)
+    require(!row.isNullAt(0),
+      s"equiDepthEdges: baseline has no non-null '$valueCol' values")
+    row.getSeq[Double](0).distinct.sorted
+  }
+
+  /** Null-SAFE left equi-join keyed on `keys`: group columns can carry
+    * null values, and Spark's `join(df, usingColumns)` never matches
+    * them — the spine fill then silently zeroed the null group's real
+    * counts (PSI = 0 for an arbitrarily drifted group; review r6).
+    * Same trap Privacy.suppress documents; <=> is the fix. */
+  private def joinNullSafeLeft(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame = {
+    val lA = l.alias("__jl")
+    val rA = r.alias("__jr")
+    val cond = keys.map(k => col(s"__jl.$k") <=> col(s"__jr.$k")).reduce(_ && _)
+    val rValueCols = r.columns.filterNot(keys.contains)
+    lA.join(rA, cond, "left")
+      .select(l.columns.map(c => col(s"__jl.$c")).toIndexedSeq ++
+        rValueCols.map(c => col(s"__jr.$c")): _*)
   }
 
   def psi(
@@ -78,8 +98,7 @@ object Drift {
     val spine = groups.crossJoin(
       baseline.sparkSession.range(nBins).select(col("id").cast("int").as("bin")))
     val keys = groupCols :+ "bin"
-    val filled = spine
-      .join(b, keys, "left").join(c, keys, "left")
+    val filled = joinNullSafeLeft(joinNullSafeLeft(spine, b, keys), c, keys)
       .select((gCols :+ col("bin") :+
         coalesce(col("n_base"), lit(0L)).as("n_base") :+
         coalesce(col("n_cur"), lit(0L)).as("n_cur")): _*)
@@ -105,8 +124,11 @@ object Drift {
       .select((gCols :+ coalesce(col(catCol).cast("string"), lit("<null>")).as("bin")): _*)
       .groupBy((gCols :+ col("bin")): _*)
       .agg(count(lit(1)).as(out))
-    val b = counted(baseline, "n_base")
-    val c = counted(current, "n_cur")
+    // checkpointed at the tiny (group, category) grain: nBins needs an
+    // action, and without the cut that action plus the join each
+    // re-scanned baseline and current from scratch (review r6)
+    val b = counted(baseline, "n_base").localCheckpoint()
+    val c = counted(current, "n_cur").localCheckpoint()
     val cats = b.select(col("bin")).unionByName(c.select(col("bin"))).distinct()
     val nBins = cats.count().toInt // tiny: one row per category
     val groups =
@@ -114,8 +136,8 @@ object Drift {
         baseline.sparkSession.range(1).select(lit(1).as("__g")).drop("__g")
       else b.select(gCols: _*).unionByName(c.select(gCols: _*)).distinct()
     val keys = groupCols :+ "bin"
-    val filled = groups.crossJoin(broadcast(cats))
-      .join(b, keys, "left").join(c, keys, "left")
+    val filled = joinNullSafeLeft(joinNullSafeLeft(
+        groups.crossJoin(broadcast(cats)), b, keys), c, keys)
       .select((gCols :+ col("bin") :+
         coalesce(col("n_base"), lit(0L)).as("n_base") :+
         coalesce(col("n_cur"), lit(0L)).as("n_cur")): _*)
@@ -169,10 +191,17 @@ object Drift {
         .agg(count(lit(1)).as(out))
     }
     val keys = groupCols :+ "__v"
-    val merged = counted(baseline, "n_base").join(counted(current, "n_cur"), keys, "full_outer")
-      .select((keys.map(col) :+
-        coalesce(col("n_base"), lit(0L)).as("__nb") :+
-        coalesce(col("n_cur"), lit(0L)).as("__nc")): _*)
+    // null-SAFE full outer (explicit <=>, keys coalesced from both
+    // sides): the null-unsafe using-columns join never merged the null
+    // group's sides, so identical distributions scored KS ≈ 1.0 there
+    // (review r6)
+    val bC = counted(baseline, "n_base").alias("__jl")
+    val cC = counted(current, "n_cur").alias("__jr")
+    val cond = keys.map(k => col(s"__jl.$k") <=> col(s"__jr.$k")).reduce(_ && _)
+    val merged = bC.join(cC, cond, "full_outer")
+      .select(keys.map(k => coalesce(col(s"__jl.$k"), col(s"__jr.$k")).as(k)) :+
+        coalesce(col(s"__jl.n_base"), lit(0L)).as("__nb") :+
+        coalesce(col(s"__jr.n_cur"), lit(0L)).as("__nc"): _*)
     val w =
       if (groupCols.isEmpty) Window.partitionBy(lit(1))
       else Window.partitionBy(gCols: _*)

@@ -42,6 +42,16 @@ object Encoding {
       foldCol: String,
       smoothing: Double = 10.0): DataFrame = {
     require(smoothing >= 0, s"smoothing must be >= 0, got $smoothing")
+    // integral-target contract ENFORCED: cast("long") silently
+    // truncates a double target (0.7 -> 0) and every encoding comes
+    // out wrong with no error (review r6)
+    locally {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, BooleanType}
+      val t = df.schema(targetCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType, BooleanType).contains(t),
+        s"targetEncodeOof needs an integral/boolean target (exact sums); " +
+          s"'$targetCol' is $t — bin or round it explicitly first")
+    }
     val cf = df
       .filter(col(targetCol).isNotNull)
       .groupBy(col(catCol).as("category"), col(foldCol).as("fold"))
@@ -57,7 +67,15 @@ object Encoding {
     // denominator 0: Spark's Divide yields NULL, IEEE engines yield
     // NaN — emit NULL explicitly so both agree on the undefined case
     val denom = (col("__n_c") - col("__n_cf")).cast("double") + lit(smoothing)
-    cf.join(totals, Seq("category"))
+    // null-SAFE join: a null category is a real level (groupBy keeps
+    // it) but the using-columns equi-join dropped its rows from the
+    // encoding table, leaving null-category holdout rows unencoded
+    // (review r6)
+    cf.alias("__cf")
+      .join(totals.alias("__t"), col("__cf.category") <=> col("__t.category"))
+      .select(col("__cf.category").as("category"), col("__cf.fold").as("fold"),
+        col("__cf.__n_cf").as("__n_cf"), col("__cf.__s_cf").as("__s_cf"),
+        col("__t.__n_c").as("__n_c"), col("__t.__s_c").as("__s_c"))
       .crossJoin(broadcast(prior))
       .select(col("category"), col("fold"),
         (col("__n_c") - col("__n_cf")).as("n_holdout"),

@@ -72,7 +72,12 @@ object Eval {
       labelCol: Column,
       nBins: Int = 10): DataFrame = {
     require(nBins > 0, s"nBins must be positive, got $nBins")
-    val bin = least(floor(scoreCol * nBins).cast("long"), lit(nBins - 1L))
+    // clamp BOTH ends: scores fractionally outside [0,1] (float
+    // round-off from an upstream sigmoid) previously produced phantom
+    // negative bin ids on the low side while the high side folded into
+    // the top bin (review r6)
+    val bin = greatest(
+      least(floor(scoreCol * nBins).cast("long"), lit(nBins - 1L)), lit(0L))
     df.filter(scoreCol.isNotNull && labelCol.isNotNull)
       .groupBy(bin.as("bin"))
       .agg(count(lit(1)).as("n"),
@@ -95,22 +100,28 @@ object Eval {
     */
   def pearsonMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "pearsonMatrix needs at least two columns")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    // internal aliases are INDEX-keyed: name-keyed __p_${a}_$b collided
+    // for underscore-containing names ((a, b_c) vs (a_b, c) both made
+    // __p_a_b_c → ambiguous-reference AnalysisException; review r6)
+    val idx = cols.zipWithIndex.toMap
     val complete = df.filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
+    val pairIdx = cols.combinations(2).toSeq.map { case Seq(a, b) => (a, b) }
     val sums =
       Seq(count(lit(1)).as("__n")) ++
-        cols.map(c => round(sum(col(c)), 6).as(s"__s_$c")) ++
-        cols.map(c => round(sum(col(c) * col(c)), 6).as(s"__q_$c")) ++
-        cols.combinations(2).toSeq.map { case Seq(a, b) =>
-          round(sum(col(a) * col(b)), 6).as(s"__p_${a}_$b") }
+        cols.map(c => round(sum(col(c)), 6).as(s"__s_${idx(c)}")) ++
+        cols.map(c => round(sum(col(c) * col(c)), 6).as(s"__q_${idx(c)}")) ++
+        pairIdx.map { case (a, b) =>
+          round(sum(col(a) * col(b)), 6).as(s"__p_${idx(a)}_${idx(b)}") }
     val wide = complete.agg(sums.head, sums.tail: _*)
     // ONE projection over the 1-row aggregate, unpivoted by explode —
     // per-pair selects unioned together would re-run the scan k·(k−1)/2
     // times whenever exchange reuse fails to kick in
-    val pairStructs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+    val pairStructs = pairIdx.map { case (a, b) =>
       val n = col("__n").cast("double")
-      val cov = n * col(s"__p_${a}_$b") - col(s"__s_$a") * col(s"__s_$b")
-      val va = n * col(s"__q_$a") - col(s"__s_$a") * col(s"__s_$a")
-      val vb = n * col(s"__q_$b") - col(s"__s_$b") * col(s"__s_$b")
+      val cov = n * col(s"__p_${idx(a)}_${idx(b)}") - col(s"__s_${idx(a)}") * col(s"__s_${idx(b)}")
+      val va = n * col(s"__q_${idx(a)}") - col(s"__s_${idx(a)}") * col(s"__s_${idx(a)}")
+      val vb = n * col(s"__q_${idx(b)}") - col(s"__s_${idx(b)}") * col(s"__s_${idx(b)}")
       struct(lit(a).as("col_a"), lit(b).as("col_b"), col("__n").as("n"),
         when(va > 0 && vb > 0, round(cov / sqrt(va * vb), 6)).as("corr"))
     }

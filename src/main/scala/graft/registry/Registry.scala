@@ -78,20 +78,73 @@ class Registry(path: Option[String] = None, cacheTtl: Duration = Duration.ofSeco
     load().foreach(state = _)
     cachedAt = System.currentTimeMillis()
   }
+  /** Read-modify-write against the FRESH on-disk state under a
+    * best-effort exclusive-create lock file: a second writer process
+    * (or this one with a stale TTL cache) previously applied its
+    * mutation to a stale snapshot and persisted it wholesale,
+    * silently dropping every registration the other writer made
+    * (review r6). The lock is the same O_EXCL claim primitive
+    * VersionedTable uses; a crashed holder's lock expires after
+    * `lockStaleMs` so it cannot wedge the registry forever. */
   private def mutate(f: RegistryState => RegistryState): Unit = synchronized {
-    state = f(state).copy(versionId = java.util.UUID.randomUUID().toString)
-    cachedAt = System.currentTimeMillis()
-    persist()
+    withFileLock {
+      val base = if (path.isDefined) load().getOrElse(RegistryState()) else state
+      state = f(base).copy(versionId = java.util.UUID.randomUUID().toString)
+      cachedAt = System.currentTimeMillis()
+      persist()
+    }
+  }
+
+  private val lockStaleMs = 30000L
+  private def withFileLock[A](body: => A): A = path match {
+    case None => body
+    case Some(p) =>
+      val (fs, _) = hadoopFs(p)
+      val lock = new org.apache.hadoop.fs.Path(p + ".lock")
+      var attempt = 0
+      var held = false
+      while (!held && attempt < 100) {
+        attempt += 1
+        held =
+          try { fs.create(lock, false).close(); true }
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                 _: java.nio.file.FileAlreadyExistsException |
+                 _: java.io.IOException =>
+              // break a stale lock from a crashed holder
+              try {
+                val st = fs.getFileStatus(lock)
+                if (System.currentTimeMillis() - st.getModificationTime > lockStaleMs)
+                  fs.delete(lock, false)
+              } catch { case _: java.io.FileNotFoundException => () }
+              Thread.sleep(25L)
+              false
+          }
+      }
+      if (!held) throw new java.io.IOException(
+        s"registry: could not acquire $lock after $attempt attempts")
+      try body finally fs.delete(lock, false)
   }
 
   private def hadoopFs(p: String) = {
     val hp = new org.apache.hadoop.fs.Path(p)
-    (hp.getFileSystem(new org.apache.hadoop.conf.Configuration()), hp)
+    // the SESSION's Hadoop conf when one exists: spark.hadoop.* fs
+    // credentials/endpoints (the normal deployment pattern) are
+    // invisible to a bare new Configuration()
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    (hp.getFileSystem(conf), hp)
   }
 
   /** Crash-safe swap: write tmp, move the live file ASIDE (not delete),
     * rename tmp into place, then drop the old copy. A crash between the
-    * two renames leaves `.old` recoverable; load() falls back to it. */
+    * two renames leaves `.old` recoverable; load() falls back to it.
+    * The `.old` fallback is deleted only while a NEWER durable copy
+    * exists (live before the swap, the fresh install after) — deleting
+    * it up front made the post-crash-recovery persist a double-crash
+    * data-loss window (review r6); renames are checked. */
   private def persist(): Unit = path.foreach { p =>
     val (fs, hp) = hadoopFs(p)
     val tmp = new org.apache.hadoop.fs.Path(p + ".tmp")
@@ -99,10 +152,21 @@ class Registry(path: Option[String] = None, cacheTtl: Duration = Duration.ofSeco
     val out = fs.create(tmp, true)
     out.write(RegistryCodec.encode(state).render.getBytes("UTF-8"))
     out.close()
-    fs.delete(old, false)
-    if (fs.exists(hp)) fs.rename(hp, old)
-    fs.rename(tmp, hp)
-    fs.delete(old, false)
+    def renameOrThrow(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"registry persist: rename $src -> $dst failed")
+    if (fs.exists(hp)) {
+      // live copy present: it covers the .old fallback for the swap
+      fs.delete(old, false)
+      renameOrThrow(hp, old)
+      renameOrThrow(tmp, hp)
+      fs.delete(old, false)
+    } else {
+      // recovering from a crashed swap (or first write): install the
+      // new copy FIRST, only then drop the .old fallback
+      renameOrThrow(tmp, hp)
+      fs.delete(old, false)
+    }
   }
 
   private def load(): Option[RegistryState] = path.flatMap { p =>

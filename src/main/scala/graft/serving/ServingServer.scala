@@ -50,7 +50,15 @@ class ServingServer(fs: FeatureStore, port: Int = 0) {
   private def jsonToKeyValue(v: graft.util.JValue): Any = v match {
     case JStr(s) => s
     case JInt(l) => l // exact — int64 ids above 2^53 must not round-trip through Double
-    case n: JNum => if (n.v.isWhole) n.toLong else n.v
+    case n: JNum =>
+      // whole doubles beyond the long range would SATURATE via toLong
+      // (1e19 -> Long.MaxValue) and probe the store for a fabricated
+      // key — reject them as the invalid ids they are (review r6)
+      if (n.v.isWhole) {
+        if (n.v < Long.MinValue.toDouble || n.v > Long.MaxValue.toDouble)
+          throw new IllegalArgumentException(s"entity id ${n.v} exceeds int64 range")
+        n.toLong
+      } else n.v
     case JBool(b) => b
     case JNull => null
     case other => throw new IllegalArgumentException(s"unsupported entity value $other")
@@ -61,10 +69,19 @@ class ServingServer(fs: FeatureStore, port: Int = 0) {
     case s: String => JStr(s)
     case i: Int => Json.num(i.toLong)
     case l: Long => Json.num(l) // JInt — exact
-    case d: Double => Json.num(d)
-    case f: Float => Json.num(f.toDouble)
+    case d: Double =>
+      // bare NaN/Infinity tokens are not JSON — render them null like
+      // every standards-compliant serializer (review r6)
+      if (java.lang.Double.isFinite(d)) Json.num(d) else JNull
+    case f: Float =>
+      if (java.lang.Float.isFinite(f)) Json.num(f.toDouble) else JNull
     case b: Boolean => Json.bool(b)
     case t: java.sql.Timestamp => Json.num(t.getTime)
+    case bytes: Array[Byte] =>
+      // BYTES is a first-class feature type: base64, not JVM toString
+      JStr(java.util.Base64.getEncoder.encodeToString(bytes))
+    case xs: Seq[_] => graft.util.JValue.JArr(xs.toVector.map(anyToJson))
+    case xs: Array[_] => graft.util.JValue.JArr(xs.toVector.map(anyToJson))
     case other => JStr(other.toString)
   }
 

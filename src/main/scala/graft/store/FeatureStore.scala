@@ -109,7 +109,12 @@ class FeatureStore(
         val renamed = SourceReader.applyFieldMapping(df, reverse)
         f.datePartitionColumn match {
           case Some(dc) =>
-            graft.sources.DatePartition.write(renamed, f.path, f.eventTimestampColumn, dc, mode)
+            // the renamed frame carries SOURCE column names — map the
+            // ts/partition names through the same reverse mapping, or a
+            // mapped timestamp column fails to resolve (review r6)
+            graft.sources.DatePartition.write(renamed, f.path,
+              reverse.getOrElse(f.eventTimestampColumn, f.eventTimestampColumn),
+              reverse.getOrElse(dc, dc), mode)
           // staged publish, not a direct write: with the session-wide
           // v2 committer a failed direct append would leave committed
           // task files visible in the live dataset
@@ -272,7 +277,13 @@ class FeatureStore(
   def getOnlineFeatures(service: FeatureService,
       entityRows: Seq[Map[String, Any]]): OnlineResponse = {
     val base = getOnlineFeatures(service.featureRefs.map(_.toString), entityRows)
-    if (service.derived.isEmpty || entityRows.isEmpty) base
+    if (service.derived.isEmpty) base
+    else if (entityRows.isEmpty)
+      // shape-consistent with the non-empty case: the derived keys
+      // exist (as empty vectors) so callers can index resp.toMap
+      // unconditionally (review r6)
+      base.copy(fields = base.fields ++
+        service.derived.map(d => d.name -> Vector.empty[FeatureValue]))
     else {
       // bare-name input frame: entity keys + feature values (a service
       // projecting the same feature name from two views would collide —
@@ -453,9 +464,16 @@ final case class OnlineResponse(
         case _: java.lang.Float => FloatType
         case _: java.lang.Boolean => BooleanType
         case _: Timestamp => TimestampType
+        // BYTES and list features are first-class GraftTypes: falling
+        // back to StringType crashed createDataFrame for any service
+        // projecting them next to a derived feature (review r6)
+        case _: Array[Byte] => BinaryType
+        case xs: Seq[_] => ArrayType(sparkTypeOf(xs))
+        case xs: Array[_] => ArrayType(sparkTypeOf(xs.toSeq))
+        case _: java.math.BigDecimal => DecimalType(38, 18)
+        case _: scala.BigDecimal => DecimalType(38, 18)
       }.getOrElse(StringType)
 
-    val featNames = fields.map(_._1.replace(":", "__"))
     val schema = StructType(
       entityCols.map(c => StructField(c, sparkTypeOf(entityRows.map(_.getOrElse(c, null))))) ++
       fields.map { case (n, vs) => StructField(n.replace(":", "__"), sparkTypeOf(vs.map(_.value))) })

@@ -1074,14 +1074,17 @@ class EngineSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graftingest").toString
     val fs = new FeatureStore("ing", new Registry(), new InMemoryOnlineStore(), spark)
     fs.applyEntity(Entity("driver", GraftType.Int64, Some("driver_id")))
+    // the TS column is mapped too (src_ts -> et): ingest must derive
+    // the date partition from the SOURCE-named column after the
+    // reverse rename (review r6 — the feature name failed to resolve)
     fs.applyFeatureView(FeatureView("stats", Seq("driver"),
       Seq(Feature("conv_rate", GraftType.Dbl)), Duration.ZERO,
       FileSource(s"$dir/stats", eventTimestampColumn = "et",
-        fieldMapping = Map("drv" -> "driver_id"),
+        fieldMapping = Map("drv" -> "driver_id", "src_ts" -> "et"),
         datePartitionColumn = Some("event_date"))))
 
-    // df carries FEATURE names (driver_id); ingest reverse-maps to the
-    // source column (drv) and derives the date partition from et
+    // df carries FEATURE names (driver_id, et); ingest reverse-maps to
+    // the source columns (drv, src_ts) and derives the date partition
     val df = Seq(
       (1L, ts("2024-03-01 10:00:00"), 0.4),
       (1L, ts("2024-03-02 10:00:00"), 0.6),
@@ -1092,8 +1095,9 @@ class EngineSpec extends AnyFunSuite {
     val dirs = new java.io.File(s"$dir/stats").listFiles()
       .filter(_.isDirectory).map(_.getName).sorted
     assert(dirs.toSeq == Seq("event_date=2024-03-01", "event_date=2024-03-02"))
-    // source stores the reverse-mapped column name
-    assert(spark.read.parquet(s"$dir/stats").columns.contains("drv"))
+    // source stores the reverse-mapped column names
+    val storedCols = spark.read.parquet(s"$dir/stats").columns
+    assert(storedCols.contains("drv") && storedCols.contains("src_ts"))
 
     // forward path reads it back through the same source abstraction
     val entity = Seq((1L, ts("2024-03-03 00:00:00")), (2L, ts("2024-03-03 00:00:00")))

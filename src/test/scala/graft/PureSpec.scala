@@ -127,4 +127,33 @@ class PureSpec extends AnyFunSuite {
       FeatureView("v2", Seq("ghost"), Seq(Feature("f", GraftType.Dbl)),
         Duration.ZERO, FileSource("/tmp/x.parquet", "ts"))))
   }
+
+  test("Registry: crash-recovery persist keeps a durable copy; stale writers never drop registrations (review r6)") {
+    val path = java.nio.file.Files.createTempDirectory("graftreg2").toString + "/registry.json"
+    val reg = new Registry(Some(path))
+    reg.applyEntity(Entity("user", GraftType.Int64, Some("user_id")))
+    // simulate a crash between persist's two renames: only .old remains
+    val live = new java.io.File(path)
+    val old = new java.io.File(path + ".old")
+    assert(live.renameTo(old) && !live.exists())
+    val recovered = new Registry(Some(path))
+    assert(recovered.getEntity("user").joinKey == "user_id", "loads from .old")
+    // the next persist previously DELETED .old before installing the
+    // new live file — a second crash in that window lost everything;
+    // now the mutation lands durably and the live file is restored
+    recovered.applyEntity(Entity("item", GraftType.Int64, Some("item_id")))
+    assert(live.exists())
+    val reloaded = new Registry(Some(path))
+    assert(reloaded.getEntity("user").name == "user" && reloaded.getEntity("item").name == "item")
+
+    // two writer handles on one path: the second's mutation must not
+    // wipe the first's (read-modify-write over the FRESH disk state)
+    val a = new Registry(Some(path))
+    val b = new Registry(Some(path)) // loads now, would go stale
+    a.applyEntity(Entity("order", GraftType.Int64, Some("o_id")))
+    b.applyEntity(Entity("store", GraftType.Int64, Some("s_id")))
+    val check = new Registry(Some(path))
+    assert(check.listEntities.map(_.name).toSet ===
+      Set("user", "item", "order", "store"), "stale-writer lost update")
+  }
 }

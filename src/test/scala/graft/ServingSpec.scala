@@ -134,4 +134,71 @@ class ServingSpec extends AnyFunSuite {
       fs.teardown()
     }
   }
+
+  test("serving JSON stays valid and typed: NaN -> null, bytes -> base64, huge ids -> 400 (review r6)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Double.NaN, "sig-1".getBytes("UTF-8")),
+      (2L, ts("2024-01-02 10:00:00"), 0.5, "sig-2".getBytes("UTF-8")))
+      .toDF("driver_id", "et", "score", "sig")
+    val fs = new FeatureStore("srv2", new Registry(), new InMemoryOnlineStore(), spark)
+    fs.applyEntity(Entity("driver", GraftType.Int64, Some("driver_id")))
+    fs.applyFeatureView(FeatureView("sx", Seq("driver"),
+      Seq(Feature("score", GraftType.Dbl), Feature("sig", GraftType.Bytes)),
+      Duration.ZERO, DataFrameSource(df, "et")))
+    fs.materialize(Seq("sx"), ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"))
+    val server = new ServingServer(fs).start()
+    val base = s"http://localhost:${server.boundPort}"
+    val client = HttpClient.newHttpClient()
+    try {
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"$base/get-online-features"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"features": ["sx:score", "sx:sig"],
+              |"entity_rows": [{"driver_id": 1}, {"driver_id": 2}]}""".stripMargin))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200, resp.body())
+      // the body must PARSE — a bare NaN token is not JSON
+      val o = Json.parse(resp.body()).asInstanceOf[JObj]
+      val scores = (o("field_values").asInstanceOf[JObj]("sx:score"): @unchecked) match {
+        case JArr(xs) => xs
+      }
+      assert(scores == Vector(JNull, JNum(0.5)))
+      val sigs = (o("field_values").asInstanceOf[JObj]("sx:sig"): @unchecked) match {
+        case JArr(xs) => xs.map(_.asInstanceOf[JStr].v)
+      }
+      assert(sigs.map(s => new String(java.util.Base64.getDecoder.decode(s), "UTF-8"))
+        == Vector("sig-1", "sig-2"))
+
+      // a whole double beyond int64 is an invalid id, not Long.MaxValue
+      val huge = client.send(
+        HttpRequest.newBuilder(URI.create(s"$base/get-online-features"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"features": ["sx:score"], "entity_rows": [{"driver_id": 1e19}]}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(huge.statusCode() == 400 && huge.body().contains("int64"))
+    } finally {
+      server.stop()
+      fs.teardown()
+    }
+  }
+
+  test("getOnlineFeatures(service) with zero entity rows keeps the derived keys (review r6)") {
+    import spark.implicits._
+    val df = Seq((1L, ts("2024-01-01 10:00:00"), 2.0)).toDF("driver_id", "et", "v")
+    val fs = new FeatureStore("srv3", new Registry(), new InMemoryOnlineStore(), spark)
+    fs.applyEntity(Entity("driver", GraftType.Int64, Some("driver_id")))
+    fs.applyFeatureView(FeatureView("dv", Seq("driver"),
+      Seq(Feature("v", GraftType.Dbl)), Duration.ZERO, DataFrameSource(df, "et")))
+    fs.registry.applyFeatureService(FeatureService("svc",
+      Seq(FeatureViewProjection("dv", Seq("v"))),
+      derived = Seq(DerivedFeature("v2", "v * 2"))))
+    fs.materialize(Seq("dv"), ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"))
+    val resp = fs.getOnlineFeatures(fs.registry.getFeatureService("svc"), Seq.empty)
+    assert(resp.toMap.contains("v2") && resp.toMap("v2").isEmpty,
+      "derived key present with empty values")
+    fs.teardown()
+  }
 }

@@ -104,6 +104,34 @@ class TabularSpec extends AnyFunSuite {
     assert(got(("y", 0L)) === ((0L, prior)))
   }
 
+  test("drift and encoding treat a NULL group/category as a first-class level (review r6)") {
+    import spark.implicits._
+    import graft.functions.{Drift, Encoding}
+    // identical baseline/current for a NULL group: KS must be 0, not ~1
+    val base = Seq((Some("a"), 1.0), (Some("a"), 2.0),
+      (None: Option[String], 5.0), (None: Option[String], 6.0)).toDF("g", "v")
+    val ks = Drift.ks(base, base, "v", groupCols = Seq("g"))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(ks(Some("a")) === 0.0 && ks(None) === 0.0,
+      s"identical distributions must score KS 0 for every group: $ks")
+    // drifted NULL group: PSI must be large, not exactly 0
+    val cur = Seq((Some("a"), 1.0), (Some("a"), 2.0),
+      (None: Option[String], 50.0), (None: Option[String], 60.0)).toDF("g", "v")
+    val psi = Drift.psi(base, cur, "v", edges = Seq(3.0, 10.0), groupCols = Seq("g"))
+      .collect().map(r => Option(r.getString(0)) -> r.getAs[Double]("psi")).toMap
+    assert(psi(None) > 0.5, s"null group's drift must register: $psi")
+    // null category keeps an encoding row
+    val enc = Encoding.targetEncodeOof(
+      Seq((Some("x"), 1L, 0), (Some("x"), 0L, 1),
+        (None: Option[String], 1L, 0), (None: Option[String], 1L, 1)).toDF("c", "y", "f"),
+      "c", "y", "f")
+    assert(enc.filter(col("category").isNull).count() === 2L,
+      "null category must keep its (category, fold) encoding rows")
+    // non-integral targets are rejected, not silently truncated
+    intercept[IllegalArgumentException](Encoding.targetEncodeOof(
+      Seq(("x", 0.7, 0)).toDF("c", "y", "f"), "c", "y", "f"))
+  }
+
   test("golden record: per-field latest non-null beats row-level latest") {
     import spark.implicits._
     val df = Seq(
