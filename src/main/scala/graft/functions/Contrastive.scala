@@ -42,14 +42,29 @@ object Contrastive {
     val indexed = Packing
       .withDenseIndex(df.select(col(idCol)), idCol, "__idx", numPartitions)
       .persist()
-    val n = indexed.count() // also materializes the cache
-    // withDenseIndex's prefix sum is order-ambiguous under duplicate
-    // ids: a probe could resolve to the anchor's own duplicate (self
-    // pair) and index assignment would be unstable run-to-run — fail
-    // loudly; the distinct count reads from the cache just built
-    val nDistinct = indexed.select(col(idCol)).distinct().count()
-    require(nDistinct == n,
-      s"negativeSamples requires unique $idCol values: $n rows but $nDistinct distinct")
+    // the validation actions can throw (duplicate ids, null-id
+    // raise_error inside the prefix sum) — without the catch every
+    // failed call leaked the just-persisted frame into the cache
+    // manager for the session's lifetime (review r6)
+    val n = try {
+      val n0 = indexed.count() // also materializes the cache
+      // withDenseIndex's prefix sum is order-ambiguous under duplicate
+      // ids: a probe could resolve to the anchor's own duplicate (self
+      // pair) and index assignment would be unstable run-to-run — fail
+      // loudly; the distinct count reads from the cache just built
+      val nDistinct = indexed.select(col(idCol)).distinct().count()
+      require(nDistinct == n0,
+        s"negativeSamples requires unique $idCol values: $n0 rows but $nDistinct distinct")
+      // the LCG probe index idx*k + j must stay within 2^63/mulA or the
+      // multiply wraps (non-ANSI: silently diverging from the documented
+      // (a*x+b) mod n distribution and the exact-BIGINT oracle; ANSI:
+      // a mid-job overflow error) — the doc stated the bound, nothing
+      // enforced it (review r6)
+      require(n0 <= Long.MaxValue / mulA / k,
+        s"negativeSamples: n = $n0 at k = $k exceeds the exact-arithmetic " +
+          s"bound ${Long.MaxValue / mulA / k} — shard the corpus or reduce k")
+      n0
+    } catch { case e: Throwable => indexed.unpersist(); throw e }
     if (n < 2) { // no other rows to sample: empty result, fixed schema
       indexed.unpersist()
       return indexed.sparkSession.emptyDataFrame

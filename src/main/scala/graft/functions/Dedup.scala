@@ -33,11 +33,20 @@ object Dedup {
 
   /** LSH band hashes of a minhash signature: `bands` hashes of `rowsPer`
     * consecutive signature entries. Two docs share a band hash iff their
-    * signatures agree on that whole band. */
+    * signatures agree on that whole band. Produces EXACTLY the same
+    * band values as the fused [[MinHashExpr.bandHashes]] (same xxhash64
+    * fold), so band tables from the two public APIs are
+    * interchangeable; a NULL signature (empty input) stays NULL —
+    * xxhash64 would otherwise ignore the null slice and hash every
+    * empty doc into one bucket per band. */
   def bandHashes(sig: Column, bands: Int, rowsPer: Int): Column =
-    array((0 until bands).map { b =>
-      xxhash64((slice(sig, b * rowsPer + 1, rowsPer) +: Seq(lit(b))): _*)
-    }: _*)
+    when(sig.isNull, lit(null))
+      .otherwise(array((0 until bands).map { b =>
+        // the band index is hashed as a LONG (xxhash64 hashes an int
+        // literal through the 4-byte path, which would diverge from
+        // the fused expression's 8-byte fold)
+        xxhash64((slice(sig, b * rowsPer + 1, rowsPer) +: Seq(lit(b.toLong))): _*)
+      }: _*))
 
   /** Edit-distance near-dup pairs over a short key string (title, name,
     * canonical URL, text prefix) — the record-linkage / typo modality:

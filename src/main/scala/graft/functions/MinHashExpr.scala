@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -27,14 +27,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * stays whole-stage codegen'd and calls eval() once per row.
   */
 case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
   require(k > 0, s"k must be positive, got $k")
 
+  // declared input type: without it an array<int> child passed analysis
+  // and getLong then read garbage across packed 4-byte slots — silently
+  // wrong signatures (review r6); with it, integral arrays coerce
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_signature"
 
-  override protected def nullSafeEval(input: Any): Any =
-    new GenericArrayData(MinHashSignature.mins(input.asInstanceOf[ArrayData], k))
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    // empty input has NO signature: the all-MaxValue sentinel made
+    // every empty document collide perfectly in every band (review r6)
+    if (arr.numElements() == 0) null
+    else new GenericArrayData(MinHashSignature.mins(arr, k))
+  }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
@@ -67,26 +77,37 @@ object MinHashSignature {
   * elimination, so a shared signature column inlined into `bands`
   * slices would run the k-min pass `bands` times). */
 case class MinHashBandHashes(child: Expression, k: Int, bands: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
   require(k > 0 && bands > 0 && k % bands == 0,
     s"k=$k must be a positive multiple of bands=$bands")
   private val rowsPer = k / bands
 
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_band_hashes"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val mins = MinHashSignature.mins(input.asInstanceOf[ArrayData], k)
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) return null // see MinHashSignature
+    val mins = MinHashSignature.mins(arr, k)
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
-      var acc = 42L + b
+      // EXACTLY Spark's xxhash64(slice entries..., b) fold — seed 42,
+      // entries in band order, the band index hashed LAST — so a band
+      // table built from the signature-level Column pair
+      // (Dedup.minhashSignature + Dedup.bandHashes) is interchangeable
+      // with this fused path; the old 42+b-seeded fold produced
+      // incompatible buckets and silently ZERO collisions across the
+      // two public APIs (review r6)
+      var acc = 42L
       var r = 0
       while (r < rowsPer) {
         acc = XXH64.hashLong(mins(b * rowsPer + r), acc)
         r += 1
       }
-      out(b) = acc
+      out(b) = XXH64.hashLong(b.toLong, acc)
       b += 1
     }
     new GenericArrayData(out)
@@ -101,8 +122,9 @@ case class MinHashBandHashes(child: Expression, k: Int, bands: Int)
   * Replaces the 64-wide zip_with/aggregate HOF fold for the same
   * reasons as MinHashSignature (plan size + interpreted lambdas). */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
 
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 

@@ -88,13 +88,22 @@ object Multimodal {
     * Caller must filter empty payloads. */
   def stubAverageHash(bin: Column): Column = {
     val len = octet_length(bin)
-    val pixels = transform(sequence(lit(0), lit(63)), k => {
+    val pixelsExpr = transform(sequence(lit(0), lit(63)), k => {
       val pos = (floor(k.cast("double") * (len - 1).cast("double") / lit(63.0)) + 1).cast("int")
       conv(hex(bin.substr(pos, lit(1))), 16, 10).cast("long")
     })
-    val total = aggregate(pixels, lit(0L), (acc, p) => acc + p)
-    concat_ws("", transform(pixels,
-      p => when(p * 64L > total, "1").otherwise("0")))
+    // pixels AND their total are bound ONCE as lambda variables before
+    // the per-bit comparison (HOF lambdas get no CSE): referencing the
+    // aggregate directly inside the bit lambda re-sampled all 64
+    // pixels per output bit — 64x the documented one-pass cost, and a
+    // caller fanning the bit string into band slices multiplied it
+    // again (measured 70s for a 5k-doc pairing; review r6)
+    val bound = transform(array(pixelsExpr), pixels =>
+      struct(pixels.as("px"),
+        aggregate(pixels, lit(0L), (acc, p) => acc + p).as("tot")))
+    element_at(transform(bound, s =>
+      concat_ws("", transform(s.getField("px"),
+        p => when(p * 64L > s.getField("tot"), "1").otherwise("0")))), 1)
   }
 
   /** Hamming near-duplicate pairs over fixed-width fingerprint
@@ -128,8 +137,12 @@ object Multimodal {
     require(maxDist < bands,
       s"pigeonhole exactness needs maxDist < bands, got maxDist=$maxDist bands=$bands")
     val w = 64 / bands
-    val bandInts = array((0 until bands).map(i =>
-      conv(substring(col(bitsCol), i * w + 1, w), 2, 10).cast("long")): _*)
+    // bind the fingerprint ONCE before slicing into bands: bitsCol may
+    // be a computed expression (the stub hash), and an unbound
+    // reference would inline it `bands` times into this projection
+    val bandInts = element_at(transform(array(col(bitsCol)), bits =>
+      array((0 until bands).map(i =>
+        conv(substring(bits, i * w + 1, w), 2, 10).cast("long")): _*)), 1)
     val expl = df
       .select(col(idCol).as("__id"), bandInts.as("__bands"))
       .select(col("__id"), col("__bands"),

@@ -35,6 +35,36 @@ case class SearchSorted(child: Expression, bounds: IndexedSeq[Any])
   override def dataType: DataType = IntegerType
   override def prettyName: String = "search_sorted"
 
+  /** Orderability + bounds/input class parity checked at ANALYSIS: the
+    * ordering is built from child.dataType but applied to the
+    * caller-supplied bounds, so a mismatch (int input, long bounds)
+    * previously surfaced as a per-row ClassCastException deep inside a
+    * stage instead of a plan-time error (review r6). */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types._
+    if (!org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(child.dataType))
+      return TypeCheckResult.TypeCheckFailure(
+        s"$prettyName input type ${child.dataType} is not orderable")
+    val expected: Option[Class[_]] = child.dataType match {
+      case LongType | TimestampType | TimestampNTZType => Some(classOf[java.lang.Long])
+      case IntegerType | DateType => Some(classOf[java.lang.Integer])
+      case DoubleType => Some(classOf[java.lang.Double])
+      case FloatType => Some(classOf[java.lang.Float])
+      case ShortType => Some(classOf[java.lang.Short])
+      case ByteType => Some(classOf[java.lang.Byte])
+      case BooleanType => Some(classOf[java.lang.Boolean])
+      case StringType => Some(classOf[org.apache.spark.unsafe.types.UTF8String])
+      case _ => None
+    }
+    expected.flatMap(cls => bounds.find(b => b != null && !cls.isInstance(b))) match {
+      case Some(bad) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName bounds hold ${bad.getClass.getName} values but the " +
+          s"input is ${child.dataType} — pass the input's own type")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
   @transient private lazy val ord =
     TypeUtils.getInterpretedOrdering(child.dataType)
 

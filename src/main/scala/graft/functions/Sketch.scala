@@ -33,23 +33,29 @@ object Sketch {
 
   /** The item's `depth` cell buckets as an array — public so streaming
     * aggregations can maintain the sketch cells as their (bounded)
-    * state. */
-  def cellBuckets(item: Column, depth: Int, width: Int): Column =
+    * state. The guard lives HERE (the shared entry point): width=0
+    * through the streaming builder previously produced null buckets
+    * and a silently empty sketch instead of an error (review r6). */
+  def cellBuckets(item: Column, depth: Int, width: Int): Column = {
+    require(depth > 0 && width > 0, s"need depth/width > 0, got $depth/$width")
     array((0 until depth).map(r => bucket(item, r, width)): _*)
+  }
 
   /** The depth×width counter table: one row per non-empty cell,
     * (row, bucket, cnt). One exploded narrow projection + one hash
-    * aggregation; output is sketch-sized, never corpus-sized. */
+    * aggregation; output is sketch-sized, never corpus-sized. NULL
+    * items are excluded on build AND probe (a null has no hashable
+    * identity; its md5 buckets are null and would silently fall out of
+    * the probe join anyway — the filter makes the contract explicit). */
   def countMinTable(
       items: DataFrame, itemCol: String,
-      depth: Int, width: Int): DataFrame = {
-    require(depth > 0 && width > 0, s"need depth/width > 0, got $depth/$width")
+      depth: Int, width: Int): DataFrame =
     items
+      .filter(col(itemCol).isNotNull)
       .select(posexplode(cellBuckets(col(itemCol), depth, width))
         .as(Seq("row", "bucket")))
       .groupBy("row", "bucket")
       .agg(count(lit(1)).as("cnt"))
-  }
 
   /** Heavy hitters by count-min estimate: candidates are the DISTINCT
     * items (vocabulary-grain, not corpus-grain), each probing its
@@ -71,12 +77,19 @@ object Sketch {
   def probeHeavyHitters(
       sketch: DataFrame, items: DataFrame, itemCol: String,
       depth: Int, width: Int, threshold: Long): DataFrame = {
-    val exact = items.groupBy(col(itemCol).as("item"))
+    val exact = items.filter(col(itemCol).isNotNull)
+      .groupBy(col(itemCol).as("item"))
       .agg(count(lit(1)).as("exact"))
     exact
       .select(col("item"), col("exact"),
         posexplode(cellBuckets(col("item"), depth, width)).as(Seq("row", "bucket")))
-      .join(broadcast(sketch), Seq("row", "bucket"))
+      // LEFT join + 0-fill: the sketch stores only NON-EMPTY cells, so
+      // an item probing an absent cell has sketch estimate 0 for that
+      // row — the old inner join dropped the row from the min instead,
+      // letting an item absent from the sketch corpus inherit a hot
+      // colliding cell's count as its estimate (review r6)
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
       .groupBy("item", "exact")
       .agg(min("cnt").as("est"))
       .filter(col("est") >= threshold)

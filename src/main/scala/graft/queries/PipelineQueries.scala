@@ -490,7 +490,11 @@ object PipelineQueries {
     * the round-tripped artifact reproduces the in-frame search
     * exactly. */
   def dedupIndexPersisted(s: SparkSession, dir: String): DataFrame = {
-    val path = s"/tmp/graft_lsh_index_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    // the band-hash FORMAT version is part of the artifact path: an
+    // index persisted under one fold is garbage to a probe using
+    // another (zero collisions, silent empty result) — bumping the
+    // tag on any fold change forces a rebuild
+    val path = s"/tmp/graft_lsh_index_v2_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
     val d = docs(s, dir).select(col("doc_id"), col("text"))
     if (!new java.io.File(s"$path/_INDEX_OK").exists()) {
       Dedup.minhashBuildIndex(d, "doc_id", "text", shingleN = 3, k = 32, bands = 8)

@@ -644,6 +644,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(Quota.topKPerKey(tick, "k", "a`b", 1).count() === 1L)
   }
 
+  test("fused band hashes == signature-level Column banding; empty input has no signature (review r6)") {
+    import spark.implicits._
+    val df = Seq((1L, Seq("alpha", "beta", "gamma", "delta")),
+      (2L, Seq.empty[String])).toDF("id", "toks")
+      .withColumn("__h", transform(col("toks"), x => xxhash64(x)))
+    val got = df.select(col("id"),
+      graft.functions.MinHashExpr.bandHashes(col("__h"), 8, 4).as("fused"),
+      Dedup.bandHashes(Dedup.minhashSignature(col("__h"), 8), 4, 2).as("viaSig"))
+      .collect().map(r => (r.getLong(0), Option(r.getSeq[Long](1)), Option(r.getSeq[Long](2))))
+      .sortBy(_._1)
+    // the two public banding APIs must produce interchangeable band
+    // tables — the old fused fold seeded 42+b and collided with nothing
+    assert(got(0)._2 === got(0)._3)
+    assert(got(0)._2.get.length === 4)
+    // empty token arrays have NO signature (the all-MaxValue sentinel
+    // made every empty doc collide in every band)
+    assert(got(1)._2.isEmpty && got(1)._3.isEmpty)
+  }
+
   test("wordNgramsAllFromWords keeps multiplicity; distinct variant collapses") {
     import spark.implicits._
     val df = Seq("a b a b a").toDF("text")
