@@ -169,29 +169,29 @@ object Bench {
     // ~1.5 s per streaming micro-batch of local-mode driver cost
     // (q_stream_materialize = 2 batches + store dump) and ~0.3-0.5 s
     // per Spark job (materialize runs several store jobs per call).
-    val notes = "scalecheck 10x data wall ratios (round 9, measured " +
-      "under concurrent load): text_stats 7.0x, components 4.7x, " +
-      "dedup_minhash 3.8x, agg_incremental 3.1x, silhouette 3.1x, " +
-      "novelty 3.1x, semantic_dedup 2.8x, curriculum 2.5x, " +
-      "k_suppress 2.5x, cdc_merge 2.3x, nearest_join 2.1x, " +
-      "pit_sortmerge 2.1x, pit_join_single 2.1x, label_join 2.0x, " +
-      "bloom_prune_join 2.0x, salted_join 1.8x, collocation_pmi 1.8x, " +
-      "recent_history 1.8x, snapshot_diff 1.7x, span_scrub 1.7x, " +
-      "shard_pack 1.7x, grid_snapshot 1.7x, feature_drift 1.7x, " +
-      "quantile_bin 1.7x, k_anonymity 1.7x, zscore 1.6x, " +
-      "group_split 1.6x, dup_span 1.5x, context_windows 1.5x, " +
-      "materialize_roundtrip 1.4x, line_dedup 1.4x, " +
-      "dedup_incremental_fuzzy 1.3x, zorder_layout 1.3x, " +
-      "domain_cap 1.3x, rolling_agg 1.2x, whiten_dims 1.2x, " +
-      "negative_sample 1.2x, sessionize 1.1x, ks_drift 1.1x, " +
-      "bpe_merges 1.1x, contamination 1.0x, ann_pq 1.0x, " +
-      "ann_ivf 1.0x, rollup 1.0x, random_projection 1.0x, " +
-      "scd2_history 0.9x, phash_neardup 0.6x " +
-      "(sub-linear on ALL 47 incl. the round-8 additions — the " +
-      "one-exchange store roundtrip and the pigeonhole phash pairing; " +
-      "local[32] 16g driver; run-to-run wall variance on this box is " +
-      "+/-2x at these sub-5s scales and concurrent load can inflate " +
-      "single ratios far more). Floor accounting for the two " +
+    val notes = "scalecheck 10x data wall ratios (round 10, idle box): " +
+      "random_projection 8.2x, components 7.6x, dedup_minhash 6.8x, " +
+      "text_stats 6.7x, dedup_index_persisted 6.0x (incl. the one-time " +
+      "10x index BUILD), semantic_dedup 4.1x, agg_incremental 3.1x, " +
+      "silhouette 2.8x, cdc_merge 2.4x, pit_sortmerge 2.4x, " +
+      "k_suppress 2.3x, nearest_join 2.3x, collocation_pmi 2.3x, " +
+      "curriculum 2.2x, grid_snapshot 2.1x, salted_join 2.0x, " +
+      "group_split 2.0x, bloom_prune_join 2.0x, phash_neardup 2.0x, " +
+      "snapshot_diff 1.9x, novelty 1.9x, span_scrub 1.8x, " +
+      "pit_join_single 1.8x, label_join 1.7x, shard_pack 1.7x, " +
+      "recent_history 1.7x, quantile_bin 1.7x, zscore 1.6x, " +
+      "feature_drift 1.6x, context_windows 1.5x, dup_span 1.5x, " +
+      "k_anonymity 1.4x, whiten_dims 1.4x, materialize_roundtrip 1.4x, " +
+      "contamination 1.3x, sessionize 1.3x, dedup_incremental_fuzzy 1.3x, " +
+      "zorder_layout 1.3x, ann_ivf 1.2x, negative_sample 1.2x, " +
+      "line_dedup 1.1x, bpe_merges 1.1x, ann_pq 1.1x, ks_drift 1.1x, " +
+      "scd2_history 1.1x, rollup 1.0x, domain_cap 1.0x, rolling_agg 0.6x " +
+      "(sub-linear on ALL 48 incl. the round-9 persisted LSH index " +
+      "probe; the r6 phash HOF-binding fix cut its 1x wall 71.8s -> " +
+      "3.9s before ratioing; local[32] 16g driver; run-to-run wall " +
+      "variance on this box is +/-2x at these sub-5s scales and " +
+      "concurrent load can inflate single ratios far more). Floor " +
+      "accounting for the two " +
       "store-I/O queries (their DuckDB oracles compute a bare snapshot " +
       "and do NO store I/O): a noop AvailableNow foreachBatch over the " +
       "same 2-file input measures 0.37s (1 batch) / 0.51-0.58s (2 " +

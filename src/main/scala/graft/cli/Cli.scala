@@ -51,11 +51,24 @@ object RepoConfig {
           new graft.online.JdbcOnlineStore(url)
         case other => throw new IllegalArgumentException(s"unknown online store type $other")
       }
-      case _ => new InMemoryOnlineStore()
+      // a PRESENT but non-object value is a misconfiguration, not a
+      // request for the in-memory default — silently falling back made
+      // all online rows vanish with the process (review r6)
+      case Some(other) => throw new IllegalArgumentException(
+        s"online_store must be an object, got $other")
+      case None => new InMemoryOnlineStore()
     }
+    // a RELATIVE registry path resolves against the CONFIG's directory,
+    // not the process cwd: cwd-resolution gave every working directory
+    // its own empty registry (split-brain applies; review r6)
+    val rawReg = o("registry").asInstanceOf[JStr].v
+    val regPath =
+      if (rawReg.contains("://") || java.nio.file.Paths.get(rawReg).isAbsolute) rawReg
+      else java.nio.file.Paths.get(path).toAbsolutePath.getParent
+        .resolve(rawReg).normalize.toString
     RepoConfig(
       project = o("project").asInstanceOf[JStr].v,
-      registryPath = o("registry").asInstanceOf[JStr].v,
+      registryPath = regPath,
       onlineStore = store,
       entities = items("entities").map(RegistryCodec.decodeEntity),
       views = items("feature_views").map(RegistryCodec.decodeView),
@@ -70,45 +83,74 @@ object RepoConfig {
     * (reference `.feastignore`, repo_operations.py:41-57). */
   def loadRepo(path: String): RepoConfig = {
     val root = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.isDirectory(root)) return load(path)
+    if (!java.nio.file.Files.isDirectory(root)) return validated(load(path), path)
     val rootCfg = load(root.resolve("repo.json").toString)
     val patterns = ignorePatterns(root)
-    val registryFile = root.resolve(rootCfg.registryPath).normalize
-      .toAbsolutePath.toString
-    val fragments = {
+    val registryFile = java.nio.file.Paths.get(rootCfg.registryPath)
+      .normalize.toAbsolutePath.toString
+    val allJson = {
       val s = java.nio.file.Files.walk(root)
       try {
         import scala.jdk.CollectionConverters._
         s.iterator.asScala
           .filter(p => java.nio.file.Files.isRegularFile(p) && p.toString.endsWith(".json"))
-          .filterNot(_.normalize.toAbsolutePath.toString == registryFile)
           .map(p => (p, root.relativize(p).toString))
-          .filterNot(_._2 == "repo.json")
-          .filterNot { case (_, rel) => isIgnored(rel, patterns) }
           .toVector.sortBy(_._2)
       } finally s.close()
     }
-    fragments.foldLeft(rootCfg) { case (acc, (p, rel)) =>
+    // a NESTED repo.json marks a separate repo: its whole subtree is
+    // excluded — merging a sub-repo's definitions (or its registry
+    // dump) into the outer project either imported alien definitions
+    // or failed on phantom duplicates (review r6)
+    val nestedRepoDirs = allJson.collect {
+      case (_, rel) if rel != "repo.json" &&
+        java.nio.file.Paths.get(rel).getFileName.toString == "repo.json" =>
+        Option(java.nio.file.Paths.get(rel).getParent).map(_.toString + "/").getOrElse("")
+    }
+    val fragments = allJson
+      .filterNot(f => f._1.normalize.toAbsolutePath.toString == registryFile)
+      .filterNot(_._2 == "repo.json")
+      .filterNot { case (_, rel) => nestedRepoDirs.exists(rel.startsWith) }
+      .filterNot { case (_, rel) => isIgnored(rel, patterns) }
+    val merged = fragments.foldLeft(rootCfg) { case (acc, (p, rel)) =>
       // fragments carry definitions only; project/registry/online_store
       // keys in a fragment are ignored — the root repo.json owns those
       val o = Json.parse(new String(
         java.nio.file.Files.readAllBytes(p), "UTF-8")).asInstanceOf[JObj]
       def items(k: String): Vector[JValue] =
         o.get(k) match { case Some(JArr(xs)) => xs; case _ => Vector.empty }
-      val merged = acc.copy(
+      acc.copy(
         entities = acc.entities ++ items("entities").map(RegistryCodec.decodeEntity),
         views = acc.views ++ items("feature_views").map(RegistryCodec.decodeView),
         services = acc.services ++ items("feature_services").map(RegistryCodec.decodeService))
-      def dup[A](xs: Seq[A], name: A => String, kind: String): Unit = {
-        val d = xs.groupBy(name).collect { case (n, vs) if vs.size > 1 => n }
-        if (d.nonEmpty) throw new IllegalArgumentException(
-          s"duplicate $kind ${d.mkString(", ")} (while merging repo fragment $rel)")
-      }
-      dup(merged.entities, (_: Entity).name, "entity")
-      dup(merged.views, (_: FeatureView).name, "feature view")
-      dup(merged.services, (_: FeatureService).name, "feature service")
-      merged
     }
+    validated(merged, path)
+  }
+
+  /** Config-level validation, applied to the FINAL merged config so it
+    * holds regardless of file layout (the old in-fold dup check never
+    * ran for single-file configs — duplicates there were silent
+    * last-wins; review r6). Service projections must reference declared
+    * views: apply would otherwise happily delete a view a kept service
+    * still projects, and the dangling reference only surfaced at the
+    * next retrieval. */
+  private def validated(cfg: RepoConfig, where: String): RepoConfig = {
+    def dup[A](xs: Seq[A], name: A => String, kind: String): Unit = {
+      val d = xs.groupBy(name).collect { case (n, vs) if vs.size > 1 => n }
+      if (d.nonEmpty) throw new IllegalArgumentException(
+        s"duplicate $kind ${d.mkString(", ")} in repo config $where")
+    }
+    dup(cfg.entities, (_: Entity).name, "entity")
+    dup(cfg.views, (_: FeatureView).name, "feature view")
+    dup(cfg.services, (_: FeatureService).name, "feature service")
+    val viewNames = cfg.views.map(_.name).toSet
+    cfg.services.foreach { s =>
+      val missing = s.projections.map(_.viewName).filterNot(viewNames)
+      require(missing.isEmpty,
+        s"feature service ${s.name} projects undeclared view(s) " +
+          s"${missing.mkString(", ")} in repo config $where")
+    }
+    cfg
   }
 
   private def ignorePatterns(root: java.nio.file.Path): Seq[String] = {

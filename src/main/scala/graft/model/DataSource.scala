@@ -65,7 +65,13 @@ final case class KafkaSource(
     messageFormat: StreamFormat,
     eventTimestampColumn: String,
     createdTimestampColumn: Option[String] = None,
-    fieldMapping: Map[String, String] = Map.empty) extends DataSource {
+    fieldMapping: Map[String, String] = Map.empty,
+    // "latest" (Spark's default) starts at the head and SKIPS records
+    // produced before the query starts; a batch-materialize-then-stream
+    // handoff that must not lose the gap passes "earliest" (or a JSON
+    // per-partition offset map) — previously there was no way to opt
+    // out of the silent skip (review r6)
+    startingOffsets: String = "latest") extends DataSource {
   def datePartitionColumn: Option[String] = None
 }
 
@@ -155,11 +161,17 @@ object SourceReader {
       val schema = cachedFileRel(spark, s.format, s.path, Map.empty).schema
       val rdr = spark.readStream.schema(schema).format(s.format)
       val withOpt = s.maxFilesPerTrigger.fold(rdr)(n => rdr.option("maxFilesPerTrigger", n))
-      applyFieldMapping(withOpt.load(s.path), s.fieldMapping)
+      // normalize like the BATCH path (NTZ -> session TimestampType):
+      // without it the two paths over the same files disagreed on
+      // timestamp semantics whenever the session TZ isn't UTC
+      // (review r6); normalize is a pure projection, streaming-safe
+      applyFieldMapping(
+        graft.sources.Tables.normalize(withOpt.load(s.path), Nil), s.fieldMapping)
     case k: KafkaSource =>
       val raw = spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", k.bootstrapServers)
         .option("subscribe", k.topic)
+        .option("startingOffsets", k.startingOffsets)
         .load()
       applyFieldMapping(decodeKafkaValue(raw, k.messageFormat), k.fieldMapping)
     case other =>

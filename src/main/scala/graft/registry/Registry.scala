@@ -240,7 +240,11 @@ object RegistryCodec {
       "event_timestamp_column" -> jstr(f.eventTimestampColumn),
       "created_timestamp_column" -> f.createdTimestampColumn.map(jstr).getOrElse(JNull),
       "field_mapping" -> JObj(f.fieldMapping.toVector.sortBy(_._1).map { case (k, v) => k -> jstr(v) }),
-      "date_partition_column" -> f.datePartitionColumn.map(jstr).getOrElse(JNull))
+      "date_partition_column" -> f.datePartitionColumn.map(jstr).getOrElse(JNull),
+      // reader options survive the round-trip: dropping them turned a
+      // header:true CSV source into one that ingests its header row as
+      // data after any registry reload (review r6)
+      "options" -> JObj(f.options.toVector.sortBy(_._1).map { case (k, v) => k -> jstr(v) }))
     case t: TableSource => Json.obj(
       "kind" -> jstr("table"), "table" -> jstr(t.table),
       "event_timestamp_column" -> jstr(t.eventTimestampColumn),
@@ -261,7 +265,8 @@ object RegistryCodec {
       }),
       "event_timestamp_column" -> jstr(k.eventTimestampColumn),
       "created_timestamp_column" -> k.createdTimestampColumn.map(jstr).getOrElse(JNull),
-      "field_mapping" -> JObj(k.fieldMapping.toVector.sortBy(_._1).map { case (kk, v) => kk -> jstr(v) }))
+      "field_mapping" -> JObj(k.fieldMapping.toVector.sortBy(_._1).map { case (kk, v) => kk -> jstr(v) }),
+      "starting_offsets" -> jstr(k.startingOffsets))
     case s: FileStreamSource => Json.obj(
       "kind" -> jstr("file_stream"), "path" -> jstr(s.path), "format" -> jstr(s.format),
       "event_timestamp_column" -> jstr(s.eventTimestampColumn),
@@ -276,13 +281,15 @@ object RegistryCodec {
     val o = j.asInstanceOf[JObj]
     def s(k: String) = o(k).asInstanceOf[JStr].v
     def opt(k: String) = o.get(k).collect { case JStr(v) => v }
-    def fm = o("field_mapping") match {
-      case m: JObj => m.fields.map { case (k, JStr(v)) => k -> v; case (k, _) => k -> "" }.toMap
+    def strMap(key: String) = o.get(key) match {
+      case Some(m: JObj) => m.fields.map { case (k, JStr(v)) => k -> v; case (k, _) => k -> "" }.toMap
       case _ => Map.empty[String, String]
     }
+    def fm = strMap("field_mapping")
     s("kind") match {
       case "file" => FileSource(s("path"), s("event_timestamp_column"),
-        opt("created_timestamp_column"), fm, opt("date_partition_column"), s("format"))
+        opt("created_timestamp_column"), fm, opt("date_partition_column"), s("format"),
+        strMap("options"))
       case "table" => TableSource(s("table"), s("event_timestamp_column"),
         opt("created_timestamp_column"), fm, opt("date_partition_column"))
       case "query" => QuerySource(s("query"), s("event_timestamp_column"),
@@ -294,7 +301,8 @@ object RegistryCodec {
           case _ => StreamFormat.Json(mf("schema").asInstanceOf[JStr].v)
         }
         KafkaSource(s("bootstrap_servers"), s("topic"), fmt,
-          s("event_timestamp_column"), opt("created_timestamp_column"), fm)
+          s("event_timestamp_column"), opt("created_timestamp_column"), fm,
+          opt("starting_offsets").getOrElse("latest"))
       case "file_stream" => FileStreamSource(s("path"), s("format"),
         s("event_timestamp_column"), opt("created_timestamp_column"), fm,
         o.get("max_files_per_trigger").collect { case n @ (_: JNum | _: JInt) => Json.toLong(n).toInt })

@@ -266,6 +266,54 @@ class CliSpec extends AnyFunSuite {
     java.nio.file.Files.delete(dupPath)
   }
 
+  test("repo-config validation: single-file dups, dangling service refs, relative registry, nested repos (review r6)") {
+    val dir = java.nio.file.Files.createTempDirectory("graftcfg").toString
+    def write(rel: String, body: String): Unit = {
+      val p = java.nio.file.Paths.get(s"$dir/$rel")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+    }
+    // duplicate entity in a SINGLE file: the old in-fold check never
+    // ran here and the second silently won
+    write("dup.json",
+      """{"project": "p", "registry": "reg.json",
+        |"entities": [
+        |  {"name": "e", "dtype": "INT64", "join_key": "a", "description": ""},
+        |  {"name": "e", "dtype": "STRING", "join_key": "b", "description": ""}]}""".stripMargin)
+    val e1 = intercept[IllegalArgumentException](RepoConfig.loadRepo(s"$dir/dup.json"))
+    assert(e1.getMessage.contains("duplicate entity"))
+
+    // a service projecting an undeclared view fails at load, not at
+    // the first retrieval after an apparently-successful apply
+    write("svc.json",
+      """{"project": "p", "registry": "reg.json",
+        |"entities": [], "feature_views": [],
+        |"feature_services": [
+        |  {"name": "s", "projections": [{"view": "ghost", "features": ["f"]}],
+        |   "derived": []}]}""".stripMargin)
+    val e2 = intercept[IllegalArgumentException](RepoConfig.loadRepo(s"$dir/svc.json"))
+    assert(e2.getMessage.contains("undeclared view"))
+
+    // relative registry resolves against the CONFIG dir, not the cwd
+    write("rel/repo.json",
+      """{"project": "p", "registry": "registry.json", "entities": []}""")
+    val cfg = RepoConfig.loadRepo(s"$dir/rel")
+    assert(cfg.registryPath == s"$dir/rel/registry.json")
+
+    // a nested repo's subtree is a SEPARATE project, not fragments
+    write("outer/repo.json",
+      """{"project": "outer", "registry": "registry.json",
+        |"entities": [{"name": "driver", "dtype": "INT64", "join_key": "d", "description": ""}]}""".stripMargin)
+    write("outer/sub/repo.json",
+      """{"project": "sub", "registry": "registry.json",
+        |"entities": [{"name": "driver", "dtype": "INT64", "join_key": "d", "description": ""}]}""".stripMargin)
+    write("outer/sub/defs.json",
+      """{"entities": [{"name": "alien", "dtype": "INT64", "join_key": "x", "description": ""}]}""")
+    val outer = RepoConfig.loadRepo(s"$dir/outer")
+    assert(outer.entities.map(_.name) == Seq("driver"),
+      s"nested repo leaked into the outer project: ${outer.entities.map(_.name)}")
+  }
+
   test("CLI materialize-incremental picks up from the last interval end") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftcli2").toString

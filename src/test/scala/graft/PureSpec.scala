@@ -114,12 +114,17 @@ class PureSpec extends AnyFunSuite {
     reg.applyEntity(Entity("user", GraftType.Int64, Some("user_id")))
     reg.applyFeatureView(FeatureView("v", Seq("user"),
       Seq(Feature("f", GraftType.Dbl)), Duration.ZERO,
-      FileSource("/tmp/x.parquet", "ts")))
+      // reader options must survive the round-trip (review r6: they
+      // were silently dropped, turning header CSVs into garbage reads)
+      FileSource("/tmp/x.csv", "ts", format = "csv",
+        options = Map("header" -> "true", "sep" -> ";"))))
     reg.applyMaterialization("v",
       Timestamp.valueOf("2024-01-01 00:00:00"), Timestamp.valueOf("2024-01-02 00:00:00"))
     val reg2 = new Registry(Some(path))
     assert(reg2.getEntity("user").joinKey == "user_id")
     assert(reg2.getFeatureView("v").features.head.name == "f")
+    assert(reg2.getFeatureView("v").batchSource.asInstanceOf[FileSource].options
+      === Map("header" -> "true", "sep" -> ";"))
     assert(reg2.materializationIntervals("v").size == 1)
     intercept[NoSuchElementException](reg2.getFeatureView("missing"))
     // registering a view with unknown entity fails
