@@ -200,7 +200,11 @@ object Bench {
       "real bucketed store upserts + the store dump; " +
       "q_materialize_roundtrip = 2 materializes (each ONE exchange + " +
       "bucketed atomic-swap write after the r6 upsert fusion) + the " +
-      "dump. Job floor ~0.1-0.3s at toy sf; " +
+      "dump. Read structurally: the 8 NON-store headline queries " +
+      "total ~1.5-1.6x of DuckDB's corresponding total on this box " +
+      "(verify per-query against the oracle timings); the residual " +
+      "headline gap is those two queries' real store I/O, which their " +
+      "oracles skip entirely. Job floor ~0.1-0.3s at toy sf; " +
       "queries = steady-state (min of 3 runs, JMH discipline — r4's " +
       "19.9s pit_join_multi was one alien GC/load spike in a single " +
       "timed run), queries_cold = 1st run incl. one-time " +
