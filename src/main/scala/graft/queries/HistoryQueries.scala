@@ -389,12 +389,13 @@ object HistoryQueries {
       |  FROM binned GROUP BY event_type, bin),
       |spine AS (
       |  SELECT g.event_type, t.bin
-      |  FROM (SELECT DISTINCT event_type FROM events) g,
+      |  FROM (SELECT DISTINCT event_type FROM binned) g,
       |       UNNEST(range(0, 5)) AS t(bin)),
       |filled AS (
       |  SELECT s.event_type, s.bin,
       |         coalesce(c.n_base, 0) AS n_base, coalesce(c.n_cur, 0) AS n_cur
-      |  FROM spine s LEFT JOIN cnt c USING (event_type, bin)),
+      |  FROM spine s LEFT JOIN cnt c
+      |    ON s.event_type IS NOT DISTINCT FROM c.event_type AND s.bin = c.bin),
       |p AS (
       |  SELECT event_type, n_base, n_cur,
       |         (n_base + 0.5::DOUBLE) / (SUM(n_base) OVER (PARTITION BY event_type) + 2.5::DOUBLE) AS pb,
@@ -419,14 +420,21 @@ object HistoryQueries {
     * mergeable sketch). */
   def madOutliers(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir).filter(col("value").isNotNull)
+    // med and mad are ≤ #event_types rows but sit UNDER every
+    // downstream consumer's lineage: without the checkpoints the two
+    // dev consumers and the final join re-ran the median aggregation
+    // (a full events scan) once per reference — five scans where the
+    // two-phase algorithm needs three (review r6)
     val med = e.groupBy("event_type")
       .agg(expr("percentile(value, 0.5)").as("m"))
+      .localCheckpoint()
     val dev = e.join(broadcast(med), Seq("event_type"))
       .withColumn("__ad", abs(col("value") - col("m")))
     val mad = dev.groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         min(col("m")).as("__m"),
         expr("percentile(__ad, 0.5)").as("__mad"))
+      .localCheckpoint()
     val outliers = dev
       .join(broadcast(mad.select(col("event_type"), col("__mad"))), Seq("event_type"))
       .filter(col("__ad") > lit(3.0) * lit(1.4826) * col("__mad"))
@@ -652,7 +660,8 @@ object HistoryQueries {
       |  SELECT coalesce(b.event_type, c.event_type) AS g,
       |         coalesce(b.v, c.v) AS v,
       |         coalesce(nb, 0) AS nb, coalesce(nc, 0) AS nc
-      |  FROM b FULL OUTER JOIN c ON b.event_type = c.event_type AND b.v = c.v),
+      |  FROM b FULL OUTER JOIN c
+      |    ON b.event_type IS NOT DISTINCT FROM c.event_type AND b.v = c.v),
       |r AS (
       |  SELECT g, v,
       |         SUM(nb) OVER (PARTITION BY g ORDER BY v
@@ -776,12 +785,15 @@ object HistoryQueries {
   // ---- purged temporal split -----------------------------------------
 
   /** Time-based train/test split with an EMBARGO gap (the purged split
-    * of financial ML, López de Prado 2018 §7: rows inside the gap are
-    * dropped from BOTH sides, so label horizons that straddle the
-    * cutoff can't leak test information into training — the temporal
-    * complement of [[groupSplit]]'s per-user anti-leakage split): train
-    * before Jan 20, a 2-day embargo, test from Jan 22. A pure narrow
-    * projection — no shuffle, no state, reproducible at any scale. */
+    * of financial ML, López de Prado 2018 §7): gap rows belong to
+    * NEITHER side — they are kept in the output LABELED 'embargo' so a
+    * consumer filters `split = 'train'` / `split = 'test'` and the gap
+    * rows fall out of both (training on everything not labeled 'test'
+    * would re-create exactly the leakage the purge exists to prevent —
+    * the labeling makes the exclusion auditable instead of silent).
+    * Train before Jan 20, a 2-day embargo, test from Jan 22. A pure
+    * narrow projection — no shuffle, no state, reproducible at any
+    * scale. */
   def purgedSplit(s: SparkSession, dir: String): DataFrame = {
     val c1 = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
     val c2 = java.sql.Timestamp.valueOf("2024-01-22 00:00:00")
