@@ -80,12 +80,26 @@ object BloomJoin {
 
   /** Prune `big` to rows whose `bigKey` might appear in `small`'s
     * `smallKey` set (superset of the exact semi-join: all true matches
-    * survive, plus ~fpp false positives). Runs one exact count on the
-    * small side to size the sketch. Follow with the exact join — the
-    * pruned probe side is what makes that join's shuffle cheap. */
+    * survive, plus ~fpp false positives). Runs one exact DISTINCT count
+    * on the small side to size the sketch — a duplicate-heavy small
+    * side sized by raw row count shipped a sketch up to dup-factor×
+    * larger than needed to every task (review r6). INTEGRAL keys only
+    * (the codegen'd probe is mightContainLong), checked BEFORE the
+    * small-side jobs run rather than failing at probe analysis after
+    * both jobs already paid. Follow with the exact join — the pruned
+    * probe side is what makes that join's shuffle cheap. */
   def pruneByBloom(big: DataFrame, bigKey: String,
       small: DataFrame, smallKey: String, fpp: Double = 0.01): DataFrame = {
-    val n = small.select(smallKey).na.drop().count()
+    locally {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      Seq((big, bigKey), (small, smallKey)).foreach { case (df, k) =>
+        val t = df.schema(k).dataType
+        require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+          s"pruneByBloom needs integral keys; '$k' is $t — hash other " +
+            "key types to longs (e.g. xxhash64) on both sides first")
+      }
+    }
+    val n = small.agg(countDistinct(col(smallKey))).head().getLong(0)
     val bloom = small.stat.bloomFilter(smallKey, math.max(n, 1L), fpp)
     big.filter(mightContain(col(bigKey), bloom))
   }

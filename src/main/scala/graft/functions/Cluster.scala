@@ -45,10 +45,23 @@ object Cluster {
     *         mean_silhouette rounded to 6 decimals.
     */
   def simplifiedSilhouette(df0: DataFrame, vecCol: String, labelCol: String): DataFrame = {
-    // null labels have no centroid and no silhouette — drop them up
-    // front (a null surviving to the collected centroid rows would NPE
-    // on getLong with no hint at the cause)
-    val df = df0.filter(col(labelCol).isNotNull)
+    // labels must be integral at PLAN time: the long cast turns string
+    // labels into NULLs that only NPE driver-side at getLong, with no
+    // hint at the cause, and silently MERGES fractional numerics
+    // (1.0 and 1.7 both become 1) — review r6
+    locally {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val t = df0.schema(labelCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+        s"simplifiedSilhouette needs integral labels; '$labelCol' is $t — " +
+          "map labels to longs (e.g. a dictionary or xxhash64) first")
+    }
+    // null labels have no centroid; null / ragged vectors have no
+    // defined distance — a null d2 row previously scored EXACTLY +1.0
+    // (own coalesced to null -> a = 0 while least() skipped the nulls
+    // -> b = sqrt(MaxValue)) and inflated the per-label mean; exclude
+    // them from the scoring pass like the centroid pass already does
+    val df = df0.filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
     // class-grain centroid matrix, collected like the PQ anchor matrix
     val centroids: Array[(Long, Array[Double])] = df
       .select(col(labelCol).cast("long").as("__l"),
@@ -90,11 +103,17 @@ object Cluster {
       when(col("__l") === l, lit(Double.MaxValue)).otherwise(col(s"__d2_$l"))
     }: _*)
 
-    val a = sqrt(greatest(own, lit(0.0)))
-    val b = sqrt(greatest(otherMin, lit(0.0)))
+    val a = sqrt(greatest(col("__own"), lit(0.0)))
+    val b = sqrt(greatest(col("__omin"), lit(0.0)))
     val sil = when(greatest(a, b) > 0, (b - a) / greatest(a, b)).otherwise(lit(0.0))
 
     withD2
+      .select(col("__l"), own.as("__own"), otherMin.as("__omin"))
+      // a RAGGED vector (length != the centroid's) nulls its dot
+      // products: own would be null while least() skipped the nulls —
+      // the +1.0 inflation again, from a different door; such rows
+      // have no defined silhouette and are excluded
+      .filter(col("__own").isNotNull && col("__omin").isNotNull)
       .select(col("__l"),
         round(sil * lit(1e6), 0).cast("long").as("__m"))
       .groupBy(col("__l").as("label"))

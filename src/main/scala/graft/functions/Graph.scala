@@ -44,14 +44,21 @@ object Graph {
       iters: Int,
       damping: Double = 0.85): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    // the edge frame feeds every iteration: without the checkpoint the
+    // caller's upstream derivation (scan + explode + distinct is the
+    // common shape) re-executes per iteration's eager action
+    // (review r6)
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .localCheckpoint()
     val nodes = e.select(col("__src").as("node"))
       .unionByName(e.select(col("__dst").as("node")))
       .distinct()
       .localCheckpoint()
     val n = nodes.count()
-    // outdeg rides every iteration's join: worth one small checkpoint
-    val outDeg = e.groupBy(col("__src").as("node"))
+    // outdeg rides every iteration's join: worth one small checkpoint —
+    // built lazily so iters = 0 doesn't pay an aggregation job for a
+    // frame it never reads
+    lazy val outDeg = e.groupBy(col("__src").as("node"))
       .agg(count(lit(1)).as("__deg"))
       .localCheckpoint()
 
@@ -79,7 +86,17 @@ object Graph {
       Components.releaseCheckpoint(ranks)
       ranks = next
     }
-    ranks.select(col("node"), col("__r").as("rank"))
+    val out = ranks.select(col("node"), col("__r").as("rank"))
+    // with iters > 0 the result is its own checkpoint leaf — the
+    // scaffolding checkpoints are dead and their executor blocks are
+    // released (a long-lived session previously accumulated them per
+    // call); at iters = 0 the result still READS nodes, so they stay
+    if (iters > 0) {
+      Components.releaseCheckpoint(e)
+      Components.releaseCheckpoint(nodes)
+      Components.releaseCheckpoint(outDeg)
+    }
+    out
   }
 
   /** Synchronous label propagation (community detection, Raghavan et
@@ -115,7 +132,15 @@ object Graph {
       .filter(col("__src") =!= col("__dst"))
       .distinct()
       .localCheckpoint()
-    val nodes = und.select(col("__src").as("node")).distinct().localCheckpoint()
+    // nodes derive from the RAW edge list, BEFORE the self-loop filter:
+    // a node whose only edges are self-loops must still appear (with
+    // community = its own label — it receives no messages), per the
+    // 'one row per node appearing as src or dst' contract; deriving
+    // from `und` silently dropped it (review r6)
+    val nodes = e.select(col("__src").as("node"))
+      .unionByName(e.select(col("__dst").as("node")))
+      .distinct()
+      .localCheckpoint()
 
     var labels = nodes.withColumn("__lbl", col("node"))
     for (_ <- 0 until iters) {
@@ -135,6 +160,11 @@ object Graph {
       Components.releaseCheckpoint(labels) // strict: sweep-0 wrapper is a no-op
       labels = next
     }
-    labels.select(col("node"), col("__lbl").as("community"))
+    val out = labels.select(col("node"), col("__lbl").as("community"))
+    if (iters > 0) { // see pageRank: scaffolding checkpoints are dead now
+      Components.releaseCheckpoint(und)
+      Components.releaseCheckpoint(nodes)
+    }
+    out
   }
 }

@@ -35,7 +35,12 @@ object Sharding {
           .as("score"),
         lit(s).as("shard"))
     }: _*)
-    element_at(array_sort(scored), -1)("shard")
+    // a NULL key nulls every score; null struct fields sort FIRST, so
+    // the arg-max would deterministically pile every null key onto
+    // shard nShards-1 — a silent hotspot. A key that cannot be hashed
+    // has no shard: emit NULL and let the caller decide (review r6).
+    when(keyCol.isNull, lit(null).cast("int"))
+      .otherwise(element_at(array_sort(scored), -1)("shard"))
   }
 
   /** Frame-level convenience: append `shard` for every row. */

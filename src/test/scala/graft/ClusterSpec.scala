@@ -73,6 +73,39 @@ class ClusterSpec extends AnyFunSuite {
     assert(stats(2)._3 == 200L, "constant dim must standardize to NULL")
   }
 
+  test("graph/shard/silhouette degenerate-input contracts (review r6)") {
+    import spark.implicits._
+    // a self-loop-only node keeps its own community instead of
+    // vanishing; the triangle (odd cycle — sync LPA oscillates on
+    // bipartite shapes) converges to one community
+    val edges = Seq((1L, 1L), (2L, 3L), (3L, 4L), (4L, 2L)).toDF("s", "d")
+    val comm = graft.functions.Graph.labelPropagation(edges, "s", "d", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comm.keySet === Set(1L, 2L, 3L, 4L), s"self-loop-only node lost: $comm")
+    assert(comm(1L) === 1L && Set(comm(2L), comm(3L), comm(4L)).size === 1)
+    // null keys get a NULL shard, not a deterministic hotspot
+    val shards = Seq(Some(7L), None).toDF("k")
+      .select(graft.functions.Sharding.rendezvousShard(col("k"), 8).as("s"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(shards(0).isDefined && shards(1).isEmpty)
+    // bloom prune validates key types BEFORE any job
+    val strDf = Seq(("a", 1L)).toDF("k", "v")
+    val e1 = intercept[IllegalArgumentException](
+      graft.functions.BloomJoin.pruneByBloom(strDf, "k", strDf, "k"))
+    assert(e1.getMessage.contains("integral"))
+    // silhouette: null vectors are excluded, not scored +1.0; string
+    // labels rejected at plan time
+    val withNullVec = Seq(
+      (0, Array(10f, 0f)), (0, Array(10.01f, 0f)), (0, null.asInstanceOf[Array[Float]]),
+      (1, Array(0f, 10f)), (1, Array(0f, 10.01f)))
+      .toDF("label", "embedding")
+    val sil = graft.functions.Cluster.simplifiedSilhouette(withNullVec, "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sil(0L) === 2L, "null-vector row must not be scored")
+    intercept[IllegalArgumentException](graft.functions.Cluster.simplifiedSilhouette(
+      Seq(("spam", Array(1f))).toDF("label", "embedding"), "embedding", "label"))
+  }
+
   test("bloom prune keeps every true match and drops most non-matches") {
     import spark.implicits._
     val dim = (0L until 100L).filter(_ % 10 == 0).toDF("k") // 10 selective keys
