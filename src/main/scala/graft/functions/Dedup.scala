@@ -58,9 +58,18 @@ object Dedup {
     * buckets and a pair matches in EXACTLY one of the three (no dedup
     * pass needed); never an all-pairs product. Oversized buckets
     * (degenerate constant-length keys) are capped like the LSH
-    * variants. Verification is the codegen'd levenshtein built-in,
-    * definitionally identical in DuckDB, so the operator is fully
-    * value-oracled.
+    * variants — and that cap is a REAL ceiling, not a corner case,
+    * when every key has the same length (fixed-width prefixes, padded
+    * codes): the single length bucket then holds the whole corpus and
+    * the cap drops it wholesale past `maxBucketSize` rows — zero pairs,
+    * silently. Length blocking simply carries no entropy there; the
+    * exactness-preserving fix is PassJoin-style segment partitioning
+    * (Li et al. 2011: split each key into maxEdits+1 segments, a pair
+    * within maxEdits shares one segment as a substring within ±maxEdits
+    * offset), the documented upgrade path if a constant-length-key
+    * corpus at that scale materializes. Verification is the codegen'd
+    * levenshtein built-in, definitionally identical in DuckDB, so the
+    * operator is fully value-oracled.
     *
     * @return (id_a, id_b, dist) with id_a < id_b, dist <= maxEdits
     */

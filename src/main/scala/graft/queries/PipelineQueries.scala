@@ -738,7 +738,10 @@ object PipelineQueries {
     * SAME oracle as q_ann_ivf: a hash match proves the round-tripped
     * artifacts reproduce the in-memory search exactly. */
   def annIvfPersisted(s: SparkSession, dir: String): DataFrame = {
-    val path = s"/tmp/graft_ivf_index_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    // format-versioned like the LSH index path: a layout/fold change in
+    // ivfBuildIndex must force a rebuild, not silently probe stale
+    // cached artifacts from the previous build
+    val path = s"/tmp/graft_ivf_index_v2_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
     if (!new java.io.File(s"$path/_INDEX_OK").exists()) {
       val e = embs(s, dir)
       val (anchors, assigned) = Similarity.ivfBuildIndex(
@@ -942,13 +945,8 @@ object PipelineQueries {
       .orderBy("shard_id")
       .cache()
     manifest.count() // materialize off the export files...
-    deleteRecursively(new java.io.File(out)) // ...so the corpus copy can go
+    TmpSweeper.deleteRec(new java.io.File(out)) // ...so the corpus copy can go
     manifest
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
   }
 
   val exportJsonlSql: String =

@@ -30,7 +30,10 @@ object StreamQueries {
   def streamMaterialize(s: SparkSession, dir: String): DataFrame = {
     // Deterministic 2-file input copy, cached across invocations (the
     // store + checkpoint stay per-run under a fresh tmp dir).
-    val input = s"/tmp/graft_stream_in2_${Math.abs(dir.hashCode)}"
+    // sanitized dir path, not hashCode: distinct dirs can collide on
+    // hashCode (abs(Int.MinValue) stays negative) and silently share
+    // one replay copy across datasets
+    val input = s"/tmp/graft_stream_in2_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
     if (!new java.io.File(s"$input/_SUCCESS").exists()) {
       Tables.read(s, dir, "events")
         .select("user_id", "ts", "event_type", "value")
@@ -153,7 +156,7 @@ object StreamQueries {
     """WITH x AS (
       |  SELECT user_id, ts, value,
       |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-      |              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 6 HOUR
+      |              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 6 HOUR
       |              THEN 1 ELSE 0 END AS new_sess
       |  FROM events),
       |s AS (
@@ -328,6 +331,7 @@ object StreamQueries {
       new java.io.File(s"$input/_READY").createNewFile()
     }
     val tmp = s"/tmp/graft_stream_cdc_run_${java.util.UUID.randomUUID().toString.take(8)}"
+    TmpSweeper.register(tmp) // per-run store+checkpoint must not leak
     val fs = new FeatureStore("graft_cdc", new Registry(),
       new ParquetOnlineStore(s"$tmp/store", numBuckets = 8), s)
     fs.applyEntity(Entity("user", GraftType.Int64, joinKeyOpt = Some("user_id")))
@@ -488,7 +492,7 @@ object StreamQueries {
   /** The streaming file source can't read INT64-nanos timestamps, so the
     * stream input is a pre-normalized copy of events (µs timestamps). */
   private def prepared(s: SparkSession, dir: String): String = {
-    val tmp = s"/tmp/graft_stream_in_${Math.abs(dir.hashCode)}"
+    val tmp = s"/tmp/graft_stream_in_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
     val marker = new java.io.File(s"$tmp/_SUCCESS")
     if (!marker.exists()) {
       Tables.read(s, dir, "events")

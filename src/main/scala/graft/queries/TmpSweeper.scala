@@ -20,7 +20,8 @@ object TmpSweeper {
       }
     }, "graft-tmp-sweeper"))
   }
-  private def deleteRec(f: java.io.File): Unit = {
+  /** Package-shared recursive delete (also the sweep primitive). */
+  private[queries] def deleteRec(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRec)
     val _ = f.delete()

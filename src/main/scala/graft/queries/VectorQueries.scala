@@ -188,8 +188,12 @@ object VectorQueries {
   def hashEmbedding(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{TextFunctions => TF, VectorSketch}
     val d = Tables.read(s, dir, "documents")
-      .withColumn("__hv",
-        VectorSketch.hashingVector(TF.words(col("text")), HashDim))
+      .withColumn("__w", TF.words(col("text")))
+      // token-less docs have no embedding: the fold would emit an
+      // all-zero row while the token-exploding oracle omits the doc —
+      // the same symmetric guard hybridSearch carries (review r6)
+      .filter(size(col("__w")) > 0)
+      .withColumn("__hv", VectorSketch.hashingVector(col("__w"), HashDim))
     d.select(col("doc_id") +:
         (0 until HashDim).map(i => element_at(col("__hv"), i + 1).as(s"h$i")): _*)
       .orderBy("doc_id")
