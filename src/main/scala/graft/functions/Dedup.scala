@@ -175,10 +175,14 @@ object Dedup {
 
     // Candidates: ids sharing any (band, bucket). Self-join within
     // buckets only; cap bucket size to keep a degenerate bucket from
-    // producing O(n^2) pairs.
+    // producing O(n^2) pairs. bounded_collect caps the aggregation
+    // STATE, not just the output: a boilerplate flood sharing one
+    // bucket costs O(cap) buffer per task, never the full bucket
+    // (collect_list-then-filter built the whole list first — r6
+    // verdict).
     val buckets = banded.groupBy("band", "bucket")
-      .agg(collect_list("id").as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
+      .agg(BoundedCollect.column(col("id"), maxBucketSize).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
     val pairs = buckets
       .select(explode(pairsOf(col("ids"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
@@ -709,9 +713,11 @@ object Dedup {
             shiftright(col("sim"), b * bits).bitwiseAND(lit((1L << bits) - 1)).as("seg"))
         }: _*)))
       .select(col("id"), col("sim"), col("col.band").as("band"), col("col.seg").as("seg"))
+    // bounded_collect: O(maxBucketSize) aggregation state even when a
+    // degenerate segment holds the whole corpus (see minhash path)
     val buckets = banded.groupBy("band", "seg")
-      .agg(collect_list(struct(col("id"), col("sim"))).as("xs"))
-      .filter(size(col("xs")).between(2, maxBucketSize))
+      .agg(BoundedCollect.column(struct(col("id"), col("sim")), maxBucketSize).as("xs"))
+      .filter(col("xs").isNotNull && size(col("xs")) >= 2)
     buckets
       .select(explode(pairsOf(col("xs"))).as("p"))
       .select(col("p._1.id").as("id_a"), col("p._1.sim").as("sim_a"),

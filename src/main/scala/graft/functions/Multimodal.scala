@@ -133,7 +133,15 @@ object Multimodal {
       df: DataFrame, idCol: String, bitsCol: String,
       bands: Int = 4, maxDist: Int = 3,
       maxBucketSize: Int = 1 << 16): DataFrame = {
-    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    // bands >= 2 (mirroring simhashNearDupPairs' guard): at bands=1 the
+    // whole 64-bit fingerprint parses as one band via conv(..,2,10),
+    // whose unsigned value overflows the signed-long cast for any
+    // fingerprint with the MSB set — NULL band values fall out of the
+    // equi-join and half the fingerprint space silently loses its
+    // hamming-0 pairs. bands=1 only ever permits maxDist=0, which is
+    // exact duplication — a plain groupBy, not this operator.
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must divide 64 and be >= 2, got $bands")
     require(maxDist < bands,
       s"pigeonhole exactness needs maxDist < bands, got maxDist=$maxDist bands=$bands")
     val w = 64 / bands

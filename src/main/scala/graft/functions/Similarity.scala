@@ -450,9 +450,12 @@ object Similarity {
         posexplode(array((0 until bands).map(b =>
           hyperplaneBucket(col("vec"), planesPerBand, dim, seed = b)): _*)))
       .toDF("id", "band", "bucket")
+    // bounded_collect caps aggregation STATE at maxBucketSize (a
+    // degenerate hyperplane bucket — e.g. all-zero vectors — never
+    // materializes corpus-sized buffers; see Dedup.minhashNearDupPairs)
     val buckets = banded.groupBy("band", "bucket")
-      .agg(collect_list("id").as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
+      .agg(BoundedCollect.column(col("id"), maxBucketSize).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
     val sortedIds = array_sort(col("ids"))
     val pairs = buckets
       .select(explode(flatten(transform(sortedIds, (a, i) =>

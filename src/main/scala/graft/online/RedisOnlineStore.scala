@@ -191,8 +191,17 @@ class RedisOnlineStore(
               // in the LWW compare instead of NPE-ing the task
               val etMs = if (et == null) Long.MinValue else et.getTime
               if (ex.forall(_ <= etMs)) {
-                val base = Seq(b("HSET"), b(k),
-                  b("_ts"), b(etMs.toString), b("payload"), payload)
+                // null event_ts: omit the _ts field entirely so the read
+                // path round-trips None (null-ts parity with the parquet
+                // store); an absent _ts also keeps the row
+                // always-overwritable in the phase-1 probe, which is the
+                // minus-infinity LWW semantics. A null-ts write can only
+                // land on a key with no _ts (the guard above rejects it
+                // against any real _ts), so no stale _ts field survives.
+                val tsFields =
+                  if (et == null) Seq.empty else Seq(b("_ts"), b(etMs.toString))
+                val base = Seq(b("HSET"), b(k)) ++ tsFields ++
+                  Seq(b("payload"), payload)
                 val withCt = ct.fold(base)(c =>
                   base ++ Seq(b("_cts"), b(c.getTime.toString)))
                 client.send(withCt)

@@ -111,11 +111,32 @@ class Registry(path: Option[String] = None, cacheTtl: Duration = Duration.ofSeco
             case _: org.apache.hadoop.fs.FileAlreadyExistsException |
                  _: java.nio.file.FileAlreadyExistsException |
                  _: java.io.IOException =>
-              // break a stale lock from a crashed holder
+              // Break a stale lock from a crashed holder. Delete-based
+              // breaking was TOCTOU-racy: contender B observes stale,
+              // contender A breaks it and creates a FRESH lock, then
+              // B's delete removes A's fresh lock and two writers enter
+              // the critical section. Breaking by ATOMIC RENAME to a
+              // unique tombstone makes exactly one breaker win; the
+              // winner then re-stats what it actually captured (mtime
+              // survives rename) and restores it if it turns out to be
+              // a fresh lock stolen in the observe->rename window.
               try {
                 val st = fs.getFileStatus(lock)
-                if (System.currentTimeMillis() - st.getModificationTime > lockStaleMs)
-                  fs.delete(lock, false)
+                if (System.currentTimeMillis() - st.getModificationTime > lockStaleMs) {
+                  val tomb = new org.apache.hadoop.fs.Path(
+                    p + ".lock.breaking-" +
+                      java.util.UUID.randomUUID().toString.take(8))
+                  if (fs.rename(lock, tomb)) {
+                    val got = fs.getFileStatus(tomb)
+                    if (System.currentTimeMillis() - got.getModificationTime > lockStaleMs)
+                      fs.delete(tomb, false) // confirmed stale: broken
+                    else if (!fs.rename(tomb, lock))
+                      // captured a fresh lock AND the path was already
+                      // re-claimed: drop the tombstone; the victim's
+                      // release-delete degrades to a no-op
+                      fs.delete(tomb, false)
+                  }
+                }
               } catch { case _: java.io.FileNotFoundException => () }
               Thread.sleep(25L)
               false

@@ -22,9 +22,19 @@ import org.apache.spark.sql.DataFrame
   *    copy (old or new) discoverable on disk.
   *
   * Staging leftovers from crashed jobs (`.stage-*` dirs) are swept on
-  * the next write to the same destination.
+  * the next write to the same destination — AGE-GATED by directory
+  * modification time (the registry's lockStaleMs pattern): a fresh
+  * `.stage-*` dir may belong to a live concurrent writer, and deleting
+  * it mid-write would fail that job or publish a partial listing. Only
+  * dirs untouched for [[stageStaleMs]] are treated as crash debris.
   */
 object StagedWrite {
+
+  /** A `.stage-*` dir whose mtime is older than this is considered a
+    * crashed writer's leftover and is swept. Hadoop dir mtime updates
+    * on child create/delete, so an actively-writing job keeps its
+    * staging dir younger than this on any realistic task cadence. */
+  private[graft] val stageStaleMs: Long = 10 * 60 * 1000L
 
   def parquet(df: DataFrame, destPath: String, mode: String,
       partitionBy: Seq[String] = Nil,
@@ -50,9 +60,12 @@ object StagedWrite {
     }
     val parent = dest.getParent
     if (parent != null && fs.exists(parent)) {
+      val now = System.currentTimeMillis()
       fs.listStatus(parent).foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith(dest.getName + ".stage-")) fs.delete(st.getPath, true)
+        if (n.startsWith(dest.getName + ".stage-") &&
+            now - st.getModificationTime > stageStaleMs)
+          fs.delete(st.getPath, true)
       }
     }
 

@@ -156,7 +156,13 @@ object VersionedTable {
       val validHead: Option[Manifest] =
         listed.sorted.reverse.iterator.map(v => readManifest(hfs, root, v))
           .collectFirst { case Some(m) => m }
-      if (append && validHead.exists(_.version < ceiling)) {
+      // A claimed slot with no valid head below it (empty table, first
+      // appenders racing) is equally an in-flight or torn claimant:
+      // without the isEmpty arm, concurrent first appends chain
+      // parentFiles = Nil over a claimant mid-write on v1 — the same
+      // lost-update shape as the non-empty case.
+      if (append && ceiling > 0 &&
+          (validHead.isEmpty || validHead.exists(_.version < ceiling))) {
         // a claimed slot above the valid head is a claimant mid-write:
         // appending over it would drop its files from the chain the
         // moment it completes. Wait for it to finish (ms) or stay torn

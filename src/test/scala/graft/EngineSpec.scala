@@ -227,6 +227,19 @@ class EngineSpec extends AnyFunSuite {
     put(Seq((1L, "2024-01-03 00:00:00", 3.0)))
     put(Seq((1L, "2024-01-03 00:00:00", 3.0)))
     assert(get(Seq(1L)) == Seq(3.0))
+    // null event_ts round-trips as None (the _ts field is omitted, not
+    // a Long.MinValue sentinel — parquet-store parity), and the row
+    // stays always-overwritable (minus-infinity LWW)
+    store.upsert("r", vv, Seq("user_id"),
+      Seq((5L, Option.empty[java.sql.Timestamp], 7.0)).toDF("user_id", "et", "v"),
+      "et", None)
+    val (nullTs, nullVals) = store.read("r", vv, Seq("user_id"),
+      Seq(Seq("user_id" -> (5L: Any))), Seq("v")).head
+    assert(nullTs.isEmpty, s"null event_ts must read back None, got $nullTs")
+    assert(nullVals("v").value == 7.0)
+    put(Seq((5L, "2024-01-01 00:00:00", 8.0)))
+    assert(get(Seq(5L)) == Seq(8.0), "any real ts must beat a null-ts row")
+    store.delete("r", vv, Seq("user_id"), Seq(5L).toDF("user_id"))
     // CDC delete drops the key; absent key delete is a no-op
     store.delete("r", vv, Seq("user_id"),
       Seq(1L, 42L).toDF("user_id"))
@@ -1366,12 +1379,23 @@ class EngineSpec extends AnyFunSuite {
     val fs = new org.apache.hadoop.fs.Path(dest)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq((7L, "stale")).toDF("k", "v").write.parquet(dest + ".stage-dead")
+    // backdate past the staleness gate: the sweep is age-gated so a
+    // LIVE concurrent writer's staging dir is never deleted mid-write
+    fs.setTimes(new org.apache.hadoop.fs.Path(dest + ".stage-dead"),
+      System.currentTimeMillis() - graft.sources.StagedWrite.stageStaleMs - 60000L, -1L)
+    Seq((8L, "live")).toDF("k", "v").write.parquet(dest + ".stage-live")
     fs.rename(new org.apache.hadoop.fs.Path(dest),
       new org.apache.hadoop.fs.Path(dest + ".old"))
     graft.sources.StagedWrite.parquet(Seq((10L, "n")).toDF("k", "v"), dest, "append")
     assert(read() === Set((9L, "z"), (10L, "n")),
       "append after a crashed swap must heal the old copy and append to it")
+    val after = listSiblings()
+    assert(!after.contains(new java.io.File(dest + ".stage-dead").getName),
+      s"stale crash leftovers must be swept: $after")
+    assert(after.contains(new java.io.File(dest + ".stage-live").getName),
+      s"a fresh staging dir (possible live writer) must survive the sweep: $after")
+    fs.delete(new org.apache.hadoop.fs.Path(dest + ".stage-live"), true)
     assert(listSiblings() === Seq(new java.io.File(dest).getName),
-      s"crash leftovers must be swept: ${listSiblings()}")
+      s"no other leftovers: ${listSiblings()}")
   }
 }

@@ -538,6 +538,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("BoundedCollect: collect_list under cap, NULL past cap; survives serialize/merge") {
+    import spark.implicits._
+    // 500 groups across 2 partitions: > 128 distinct groups per
+    // ObjectHashAggregate forces the sort-based fallback (the
+    // serialize/deserialize path), and straddling partitions runs
+    // merge(). Group sizes 1..6 with cap 4 exercise both outcomes.
+    val rows = (0 until 500).flatMap(g =>
+      (0 to (g % 6)).map(i => (s"g$g", g.toLong * 100 + i)))
+    val df = rows.toDF("key", "v").repartition(2)
+    val got = df.groupBy("key")
+      .agg(graft.functions.BoundedCollect.column(col("v"), 4).as("xs"))
+      .select(col("key"), array_sort(col("xs")).as("xs"))
+      .collect().map(r => r.getString(0) -> Option(r.getSeq[Long](1))).toMap
+    val want = df.groupBy("key").agg(collect_list("v").as("xs"))
+      .select(col("key"), array_sort(col("xs")).as("xs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (k, xs) =>
+      if (xs.length > 4) assert(got(k).isEmpty, s"group $k (size ${xs.length}) must eval NULL")
+      else assert(got(k).contains(xs), s"group $k")
+    }
+    // null inputs are skipped, as in collect_list
+    val ns = Seq(("a", Some(2L)), ("a", None), ("a", Some(1L))).toDF("key", "v")
+      .groupBy("key")
+      .agg(array_sort(graft.functions.BoundedCollect.column(col("v"), 10)).as("xs"))
+      .collect()
+    assert(ns.head.getSeq[Long](1) === Seq(1L, 2L))
+  }
+
+  test("LSH bucket caps drop a degenerate flood without corpus-sized aggregation state") {
+    import spark.implicits._
+    // every doc identical: each (band, bucket) holds the whole corpus.
+    // With cap < corpus the bucket must drop (zero pairs, no error) —
+    // and the aggregation state stays O(cap) by construction now that
+    // the sites collect through BoundedCollect.
+    val text = "identical boilerplate text shared by every single document"
+    val docs = (1L to 12L).map(i => (i, text)).toDF("id", "text")
+    assert(Dedup.minhashNearDupPairs(docs, "id", "text", 3, 32, 8,
+      0.5, maxBucketSize = 8).count() === 0L)
+    assert(Dedup.simhashNearDupPairs(docs, "id", "text",
+      maxBucketSize = 8).count() === 0L)
+    val vecs = (1L to 12L).map(i => (i, Array.fill(8)(0.5f))).toDF("id", "vec")
+    assert(graft.functions.Similarity.embeddingNearDupPairs(
+      vecs, "id", "vec", dim = 8, maxBucketSize = 8).count() === 0L)
+    // under the cap the same corpus pairs fully
+    assert(Dedup.minhashNearDupPairs(docs, "id", "text", 3, 32, 8,
+      0.5, maxBucketSize = 100).count() === 66L) // C(12,2)
+  }
+
   test("lineDedupGlobal: first occurrence survives, repeats drop, blanks pass through") {
     import spark.implicits._
     val df = Seq(
