@@ -201,15 +201,36 @@ object Similarity {
     * paths produce bit-identical distances. */
   private def pqLutCol(vec: Column, anchors: Array[Array[Float]],
       m: Int, subDim: Int): Column =
-    array((0 until m).map { s =>
-      array(anchors.toIndexedSeq.map { a =>
-        (0 until subDim).map { d =>
-          val i = s * subDim + d
-          val diff = element_at(vec, i + 1).cast("double") - lit(a(i).toDouble)
-          diff * diff
-        }.reduce(_ + _)
+    pqLutColImpl(vec, anchors, m, subDim,
+      useMatrix = m.toLong * anchors.length * subDim > VectorSketch.maxInlineAnchorTerms)
+
+  /** Same inline-vs-matrix split as [[VectorSketch.pqCodeForSubImpl]]:
+    * the unrolled form codegens but grows O(m·c·subDim) plan nodes (the
+    * janino 64 KB wall at production dims); the matrix form folds the
+    * identical arithmetic through HOFs over the anchor matrix as ONE
+    * literal. Bit parity pinned by PipelineSpec. */
+  private[graft] def pqLutColImpl(vec: Column, anchors: Array[Array[Float]],
+      m: Int, subDim: Int, useMatrix: Boolean): Column =
+    if (!useMatrix)
+      array((0 until m).map { s =>
+        array(anchors.toIndexedSeq.map { a =>
+          (0 until subDim).map { d =>
+            val i = s * subDim + d
+            val diff = element_at(vec, i + 1).cast("double") - lit(a(i).toDouble)
+            diff * diff
+          }.reduce(_ + _)
+        }: _*)
       }: _*)
-    }: _*)
+    else {
+      val matrix = typedlit(anchors.toIndexedSeq.map(_.toIndexedSeq.map(_.toDouble)))
+      array((0 until m).map { s =>
+        transform(matrix, a =>
+          aggregate(
+            zip_with(slice(vec, s * subDim + 1, subDim), slice(a, s * subDim + 1, subDim),
+              (x, y) => { val diff = x.cast("double") - y; diff * diff }),
+            lit(0.0), (acc, v) => acc + v))
+      }: _*)
+    }
 
   /** Σ_s __lut[s][__code_s] for the join path — the [[adcColumn]] fold
     * (ascending s) over the joined LUT column instead of a literal. */

@@ -55,14 +55,43 @@ object VectorSketch {
     * (s+1)·subDim). Distances are Σ (x−a)² folded left-associative in
     * ascending dim; argmin via array_position of the array minimum —
     * the first equal element, i.e. the smallest anchor index on ties. */
-  def pqCodeForSub(emb: Column, anchors: Array[Array[Float]], s: Int, subDim: Int): Column = {
-    val dists = array(anchors.toIndexedSeq.map { a =>
-      (0 until subDim).map { d =>
-        val i = s * subDim + d
-        val diff = element_at(emb, i + 1).cast("double") - lit(a(i).toDouble)
-        diff * diff
-      }.reduce(_ + _)
-    }: _*)
+  def pqCodeForSub(emb: Column, anchors: Array[Array[Float]], s: Int, subDim: Int): Column =
+    pqCodeForSubImpl(emb, anchors, s, subDim,
+      useMatrix = anchors.length.toLong * subDim > maxInlineAnchorTerms)
+
+  /** Unrolling the per-(anchor, dim) arithmetic into plan nodes
+    * whole-stage-codegens, but the generated method grows with
+    * c × subDim and janino hard-fails past 64 KB (observed as driver
+    * OOM / silent interpreted fallback at production dims — r6
+    * verdict). Past this many inlined terms per code column the
+    * expression switches to [[pqCodeForSubImpl]]'s matrix form: the
+    * same fold as a HOF `aggregate` over the anchor matrix shipped as
+    * ONE nested-array literal — O(1) plan nodes, O(c × dim) literal
+    * DATA, arithmetic bit-identical (pinned by PipelineSpec). */
+  private[graft] val maxInlineAnchorTerms = 2048L
+
+  private[graft] def pqCodeForSubImpl(emb: Column, anchors: Array[Array[Float]],
+      s: Int, subDim: Int, useMatrix: Boolean): Column = {
+    val dists =
+      if (!useMatrix)
+        array(anchors.toIndexedSeq.map { a =>
+          (0 until subDim).map { d =>
+            val i = s * subDim + d
+            val diff = element_at(emb, i + 1).cast("double") - lit(a(i).toDouble)
+            diff * diff
+          }.reduce(_ + _)
+        }: _*)
+      else {
+        // identical arithmetic per term ((emb[i]:double) − (a[i]:double),
+        // squared, accumulated ascending-d left-associative — aggregate
+        // folds its array left-to-right, zip_with preserves index order)
+        val matrix = typedlit(anchors.toIndexedSeq.map(_.toIndexedSeq.map(_.toDouble)))
+        transform(matrix, a =>
+          aggregate(
+            zip_with(slice(emb, s * subDim + 1, subDim), slice(a, s * subDim + 1, subDim),
+              (x, y) => { val diff = x.cast("double") - y; diff * diff }),
+            lit(0.0), (acc, v) => acc + v))
+      }
     (array_position(dists, array_min(dists)) - 1).cast("long")
   }
 

@@ -797,6 +797,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === Map(0L -> "0-0", 1L -> "1-0", 2L -> "0-0"))
   }
 
+  test("PQ code/LUT matrix form is bit-identical to the inline literal form (r6 codegen fix)") {
+    import spark.implicits._
+    import graft.functions.{Similarity, VectorSketch}
+    val rnd = new scala.util.Random(11)
+    val dim = 24; val m = 3; val subDim = 8; val c = 10
+    val anchors = Array.fill(c)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val df = (0 until 60).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat))).toDF("id", "emb")
+    for (s <- 0 until m) {
+      df.select(
+          VectorSketch.pqCodeForSubImpl(col("emb"), anchors, s, subDim, useMatrix = false).as("a"),
+          VectorSketch.pqCodeForSubImpl(col("emb"), anchors, s, subDim, useMatrix = true).as("b"))
+        .collect().foreach(r => assert(r.getLong(0) === r.getLong(1), s"sub $s"))
+    }
+    // LUTs must match EXACTLY (same IEEE ops in the same order), not
+    // approximately — the ADC ranking contract depends on it
+    df.select(
+        Similarity.pqLutColImpl(col("emb"), anchors, m, subDim, useMatrix = false).as("a"),
+        Similarity.pqLutColImpl(col("emb"), anchors, m, subDim, useMatrix = true).as("b"))
+      .collect().foreach { r =>
+        assert(r.getSeq[Seq[Double]](0) === r.getSeq[Seq[Double]](1))
+      }
+  }
+
+  test("IVF-PQ above the inline-anchor budget completes with codegen fallback disabled") {
+    import spark.implicits._
+    import graft.functions.Similarity
+    // 24 cells x subDim 24 x m 4 = 2304 inline terms > the 2048 budget:
+    // this configuration takes the matrix path. With fallback disabled,
+    // any janino 64 KB failure would THROW instead of silently running
+    // the stage interpreted (the r6 silent-degrade hazard).
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rnd = new scala.util.Random(7)
+      val dim = 96; val nCells = 24
+      val corpus = (0 until 120).map(i =>
+        (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+      val queries = corpus.filter(col("vec_id") < 4)
+      assert(Similarity.ivfPqTopK(queries, "vec_id", "embedding",
+        corpus, "vec_id", "embedding", k = 3, nCells = nCells, nProbe = 4,
+        m = 4, subDim = 24).count() > 0)
+      val anchors = Array.fill(nCells)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+      assert(Similarity.pqAdcTopK(queries, "vec_id", "embedding",
+        corpus, "vec_id", "embedding", anchors, m = 4, subDim = 24, k = 3).count() > 0)
+      assert(Similarity.ivfTopK(queries, "vec_id", "embedding",
+        corpus, "vec_id", "embedding", k = 3, nCells = nCells, nProbe = 4,
+        kmeansIters = 2).count() > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("canonicalizeUrl folds case, strips ports, tracking params, and fragments") {
     import spark.implicits._
     val urls = Seq(
