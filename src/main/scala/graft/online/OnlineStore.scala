@@ -112,8 +112,20 @@ class InMemoryOnlineStore extends OnlineStore {
       val ts = row.getAs[Timestamp](tsCol)
       val created = createdCol.map(row.getAs[Timestamp])
       val values = feats.map(f => f -> row.getAs[Any](f)).toMap
-      put(storeKey(project, viewName, key), StoredRow(ts, created, values))
+      put(storeKey(project, viewName, key), StoredRow(ts, created, values, key))
     }
+  }
+
+  /** All stored (entity key, row) pairs of one view — the in-process
+    * dump analog of `ParquetOnlineStore.tableDf`. Driver-local by
+    * construction (the map IS in-process); assembling a typed frame is
+    * the schema-aware caller's job. Snapshot semantics: iteration over
+    * the concurrent map, no lock. */
+  def dump(project: String, viewName: String): Seq[(Seq[(String, Any)], StoredRow)] = {
+    val prefix = s"$project/$viewName/"
+    table.iterator.collect {
+      case (k, row) if k.startsWith(prefix) => (row.key, row)
+    }.toSeq
   }
 
   def read(project: String, view: FeatureView, joinKeys: Seq[String],
@@ -121,7 +133,7 @@ class InMemoryOnlineStore extends OnlineStore {
       features: Seq[String]): Seq[(Option[Timestamp], Map[String, FeatureValue])] =
     entityKeys.map { key =>
       table.get(storeKey(project, view.name, key)) match {
-        case Some(StoredRow(ts, _, values)) =>
+        case Some(StoredRow(ts, _, values, _)) =>
           (Some(ts), features.map { f =>
             f -> (values.get(f) match {
               case Some(v) if v != null => FeatureValue(v, FeatureStatus.Present)
@@ -147,7 +159,8 @@ class InMemoryOnlineStore extends OnlineStore {
 }
 
 object InMemoryOnlineStore {
-  final case class StoredRow(ts: Timestamp, created: Option[Timestamp], values: Map[String, Any])
+  final case class StoredRow(ts: Timestamp, created: Option[Timestamp],
+    values: Map[String, Any], key: Seq[(String, Any)] = Nil)
 
   private val table: CMap[String, StoredRow] =
     new ConcurrentHashMap[String, StoredRow]().asScala

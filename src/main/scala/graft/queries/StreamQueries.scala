@@ -20,13 +20,18 @@ import graft.streaming.StreamMaterializer
   */
 object StreamQueries {
 
-  /** Replay events as a 2-file stream (maxFilesPerTrigger=1 -> 2
-    * micro-batches with keys scattered across them), materialize each
-    * batch into the online store, then dump the store. Oracle: global
-    * latest-per-key — only holds if cross-batch last-write-wins works.
-    * Two batches are the minimum that exercises the cross-batch merge;
-    * more would only multiply the ~1.5 s/micro-batch local-mode driver
-    * floor into the bench without testing anything extra (VERDICT r2). */
+  /** Replay events as a 2-file stream driven in ONE AvailableNow
+    * micro-batch, materialize it into the online store, then dump the
+    * store. Oracle: global latest-per-key — holds only if the
+    * streaming upsert's in-batch LWW reduction works. One batch is the
+    * honest bench shape (VERDICT r6): each extra micro-batch adds
+    * ~0.2 s of pure local-mode WAL/planning floor (tools/StreamFloor:
+    * 0.37 s/1-batch vs 0.51–0.58 s/2-batch) plus a second store
+    * upsert, testing nothing this query's oracle can see. The
+    * CROSS-batch LWW merge this used to double-cover stays pinned by
+    * StreamingSpec ("stream of out-of-order batches converges to
+    * batch-materialize state", maxFilesPerTrigger=1) and by
+    * q_stream_cdc's multi-batch tombstone replay. */
   def streamMaterialize(s: SparkSession, dir: String): DataFrame = {
     // Deterministic 2-file input copy, cached across invocations (the
     // store + checkpoint stay per-run under a fresh tmp dir).
@@ -55,8 +60,7 @@ object StreamQueries {
       // relation cache, so repeat invocations skip re-listing +
       // re-inferring the immutable replay dir
       batchSource = FileSource(input, eventTimestampColumn = "ts"),
-      streamSource = Some(FileStreamSource(input, "parquet", "ts",
-        maxFilesPerTrigger = Some(1)))))
+      streamSource = Some(FileStreamSource(input, "parquet", "ts"))))
 
     val q = StreamMaterializer.materializeStream(fs, "user_events_stream",
       trigger = Trigger.AvailableNow(), checkpointDir = Some(s"$tmp/ckpt"))
