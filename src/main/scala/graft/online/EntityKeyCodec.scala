@@ -147,4 +147,100 @@ object EntityKeyCodec {
     val (h1, h2) = murmur3x64_128(serialize(keys))
     f"$h1%016x$h2%016x"
   }
+
+  // ---- byte-exact reference-codec twins (cross-store compat) --------
+  // The graft store's own layout above deliberately simplifies (1-byte
+  // tags, length-prefixed names); the functions below instead reproduce
+  // the reference's wire bytes EXACTLY, so a deployment can read or
+  // write a store populated by the reference. Pinned against
+  // hand-computed byte constants in PureSpec.
+
+  /** key_encoding_utils.py:22-48 `serialize_entity_key` (v1 layout):
+    * join keys sorted by name; per key `<I`(STRING=2) + utf8 name (no
+    * length prefix); per value `<I`(type enum) + `<I`(len) + LE bytes.
+    * NOTE: int64 packs as standard-size `<l` — FOUR bytes, silently
+    * truncating to 32 bits. That is the reference's own v1 behavior
+    * (its later serialization_version=2 switched to 8-byte `<q`); it
+    * is reproduced bit-for-bit here because byte compatibility with
+    * stores the reference wrote is the entire point of this function.
+    * Only STRING / BYTES / INT32 / INT64 key types exist, as in the
+    * reference. */
+  def referenceSerializeEntityKey(keys: Seq[(String, Any)]): Array[Byte] = {
+    require(keys.nonEmpty, "entity key must have at least one join key")
+    val sorted = keys.sortBy(_._1)
+    val out = new java.io.ByteArrayOutputStream()
+    sorted.foreach { case (name, _) =>
+      writeLe32(out, 2) // ValueType.STRING tags every join-key NAME
+      out.write(name.getBytes(StandardCharsets.UTF_8))
+    }
+    sorted.foreach { case (name, value) =>
+      value match {
+        case s: String =>
+          val b = s.getBytes(StandardCharsets.UTF_8)
+          writeLe32(out, 2); writeLe32(out, b.length); out.write(b)
+        case b: Array[Byte] =>
+          writeLe32(out, 1); writeLe32(out, b.length); out.write(b)
+        case i: Int =>
+          writeLe32(out, 3); writeLe32(out, 4); writeLe32(out, i)
+        case l: Long =>
+          writeLe32(out, 4); writeLe32(out, 4); writeLe32(out, l.toInt)
+        case other => throw new IllegalArgumentException(
+          s"unsupported entity key type for '$name': " +
+          s"${if (other == null) "null" else other.getClass.getName} " +
+          "(STRING/BYTES/INT32/INT64 only)")
+      }
+    }
+    out.toByteArray
+  }
+
+  /** helpers.py:49-56 `_mmh3`: the Redis HASH field name for one
+    * feature — murmur3_32 seed-0 of "view:feature", as its 4
+    * little-endian bytes. */
+  def referenceFeatureFieldName(view: String, feature: String): Array[Byte] = {
+    val h = murmur3Seed0(s"$view:$feature".getBytes(StandardCharsets.UTF_8))
+    Array[Byte](h.toByte, (h >>> 8).toByte, (h >>> 16).toByte, (h >>> 24).toByte)
+  }
+
+  /** helpers.py:40-46 `_redis_key`: the Redis key is the protobuf wire
+    * encoding of RedisKey(project=1, entity_names=2, entity_values=3)
+    * with values as feast.types.Value oneof fields (bytes_val=1,
+    * string_val=2, int32_val=3, int64_val=4), names/values in the
+    * caller's order (NOT sorted — only serialize_entity_key sorts).
+    * Python protobuf serializes fields in field-number order, which
+    * this writer reproduces. */
+  def referenceRedisKey(project: String, keys: Seq[(String, Any)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0L) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    def lenField(fieldNo: Int, payload: Array[Byte]): Unit = {
+      varint((fieldNo << 3) | 2); varint(payload.length); out.write(payload)
+    }
+    def valueMsg(name: String, value: Any): Array[Byte] = {
+      val m = new java.io.ByteArrayOutputStream()
+      def mv(v0: Long): Unit = {
+        var v = v0
+        while ((v & ~0x7fL) != 0L) { m.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+        m.write(v.toInt)
+      }
+      value match {
+        case b: Array[Byte] => mv((1 << 3) | 2); mv(b.length); m.write(b)
+        case s: String =>
+          val b = s.getBytes(StandardCharsets.UTF_8)
+          mv((2 << 3) | 2); mv(b.length); m.write(b)
+        case i: Int => mv((3 << 3) | 0); mv(i.toLong) // int32: varint, negatives 10-byte
+        case l: Long => mv((4 << 3) | 0); mv(l)
+        case other => throw new IllegalArgumentException(
+          s"unsupported entity key type for '$name': " +
+          s"${if (other == null) "null" else other.getClass.getName}")
+      }
+      m.toByteArray
+    }
+    lenField(1, project.getBytes(StandardCharsets.UTF_8))
+    keys.foreach { case (n, _) => lenField(2, n.getBytes(StandardCharsets.UTF_8)) }
+    keys.foreach { case (n, v) => lenField(3, valueMsg(n, v)) }
+    out.toByteArray
+  }
 }

@@ -49,6 +49,39 @@ class PureSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](EntityKeyCodec.serialize(Nil))
   }
 
+  test("reference-codec byte parity: entity key v1 layout, _mmh3 field names, RedisKey proto") {
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+    // Ground-truth constants computed INDEPENDENTLY (a from-scratch
+    // Python murmur3_x86_32 + struct.pack replay of the reference's
+    // key_encoding_utils.py:22-48 / helpers.py:40-56 logic) — not by
+    // this codec, so the assertion pins cross-compat, not
+    // self-consistency.
+    // serialize_entity_key({"driver_id": int64 1001}):
+    //   <I(STRING=2) + "driver_id" + <I(INT64=4) + <I(4) + <l(1001)
+    assert(hex(EntityKeyCodec.referenceSerializeEntityKey(Seq("driver_id" -> 1001L))) ===
+      "020000006472697665725f69640400000004000000e9030000")
+    // two keys enter sorted by name regardless of caller order:
+    // {"zone": "sf", "driver_id": int64 7}
+    val twoKey = "020000006472697665725f6964020000007a6f6e65" +
+      "04000000040000000700000002000000020000007366"
+    assert(hex(EntityKeyCodec.referenceSerializeEntityKey(
+      Seq("zone" -> "sf", "driver_id" -> 7L))) === twoKey)
+    assert(hex(EntityKeyCodec.referenceSerializeEntityKey(
+      Seq("driver_id" -> 7L, "zone" -> "sf"))) === twoKey)
+    // _mmh3("view:feature") — murmur3_32 seed 0, 4 LE bytes
+    assert(hex(EntityKeyCodec.referenceFeatureFieldName(
+      "driver_hourly_stats", "conv_rate")) === "6160e3da")
+    assert(hex(EntityKeyCodec.referenceFeatureFieldName(
+      "user_events", "value")) === "18560151")
+    assert(hex(EntityKeyCodec.referenceFeatureFieldName(
+      "feature_view", "feature")) === "a27f30d2")
+    // _redis_key("test_proj", {"driver_id": int64 1001}) — RedisKey
+    // protobuf wire bytes (field 1 project, 2 names, 3 Value msgs)
+    assert(hex(EntityKeyCodec.referenceRedisKey("test_proj",
+      Seq("driver_id" -> 1001L))) ===
+      "0a09746573745f70726f6a12096472697665725f69641a0320e907")
+  }
+
   test("Json round-trip") {
     val doc = """{"a":[1,2.5,"x\ny",true,null],"b":{"c":-3e2},"d":""}"""
     val parsed = Json.parse(doc)
