@@ -716,6 +716,101 @@ class EngineSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("WAP + streaming CDC composed: stage/claim crash invisible, bad batch unpublished, resume exactly-once") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    import graft.functions.Validate
+    val base = java.nio.file.Files.createTempDirectory("graft_wapcdc").toString
+    val input = s"$base/in"; val table = s"$base/table"; val ckpt = s"$base/ckpt"
+    new java.io.File(input).mkdirs()
+    val rules = Seq(
+      Validate.Rule("key_nonnull", col("user_id").isNotNull),
+      Validate.Rule("op_valid", col("op").isin("U", "D")))
+    var rejected = 0
+    def runStream(): Unit = {
+      val stream = spark.readStream
+        .schema("user_id LONG, ts TIMESTAMP, v DOUBLE, op STRING").parquet(input)
+      val q = stream.writeStream
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            // the CDC collapse (net change per key within the batch),
+            // then a WAP-audited append of the net changelog — the
+            // composition under test
+            val net = batch.groupBy("user_id")
+              .agg(max_by(struct(col("ts"), col("v"), col("op")),
+                struct(col("ts"))).as("n"))
+              .select(col("user_id"), col("n.ts").as("ts"),
+                col("n.v").as("v"), col("n.op").as("op"))
+            val (v, _) = VersionedTable.commitAudited(spark, table, net, rules, append = true)
+            if (v.isEmpty) rejected += 1
+          }
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def addFile(rows: Seq[(Long, java.sql.Timestamp, Double, String)], name: String): Unit =
+      rows.toDF("user_id", "ts", "v", "op").coalesce(1)
+        .write.parquet(s"$base/stage_$name") // stage then move one file in
+    def publish(name: String): Unit = {
+      val f = new java.io.File(s"$base/stage_$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(input, s"$name.parquet"))
+    }
+
+    addFile(Seq((1L, t("2024-01-01 10:00:00"), 1.0, "U"),
+      (2L, t("2024-01-01 10:00:00"), 2.0, "U")), "b1"); publish("b1")
+    runStream()
+    assert(VersionedTable.versions(spark, table) === Seq(1))
+
+    // crash injection: a staged-but-unclaimed commit dir is EXACTLY the
+    // on-disk state a writer crash between stage() and the manifest
+    // claim leaves behind
+    Seq((99L, t("2024-01-01 11:00:00"), 666.0, "U"))
+      .toDF("user_id", "ts", "v", "op").write.parquet(s"$table/data/commit-dead")
+    assert(VersionedTable.read(spark, table)
+      .filter(col("user_id") === 99L).count() === 0L,
+      "a reader must never see staged-but-unclaimed files")
+
+    // bad batch: invalid op fails the audit -> nothing publishes
+    addFile(Seq((3L, t("2024-01-01 12:00:00"), 3.0, "X")), "b2"); publish("b2")
+    runStream()
+    assert(rejected === 1)
+    assert(VersionedTable.versions(spark, table) === Seq(1),
+      "a failed audit must not advance the table")
+
+    // good batch after the crash debris + rejected batch: resume
+    // processes ONLY the new file (checkpoint exactly-once) and appends
+    addFile(Seq((1L, t("2024-01-02 10:00:00"), 1.5, "U"),
+      (2L, t("2024-01-02 10:00:00"), 0.0, "D")), "b3"); publish("b3")
+    runStream()
+    assert(rejected === 1)
+    assert(VersionedTable.versions(spark, table) === Seq(1, 2))
+    val log = VersionedTable.read(spark, table)
+    assert(log.count() === 4L, "changelog = batch1 (2 rows) + batch3 (2 rows), nothing replayed")
+    assert(log.filter(col("user_id") === 99L || col("user_id") === 3L).count() === 0L)
+    // reconstructed state: latest per key honoring tombstones
+    val state = log.groupBy("user_id")
+      .agg(max_by(struct(col("ts"), col("v"), col("op")), struct(col("ts"))).as("n"))
+      .filter(col("n.op") =!= "D")
+      .select(col("user_id"), col("n.v").as("v"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(state === Map(1L -> 1.5))
+
+    // vacuum clears the crashed writer's orphan files; live data intact
+    VersionedTable.vacuum(spark, table, keepLast = 2)
+    assert(!new java.io.File(s"$table/data/commit-dead").exists() ||
+      new java.io.File(s"$table/data/commit-dead").listFiles()
+        .forall(!_.getName.endsWith(".parquet")),
+      "vacuum must delete unreferenced staged files")
+    assert(VersionedTable.read(spark, table).count() === 4L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
   test("Merge.cdcApply: LWW collapse, tombstones, re-inserts, unseen-key deletes, pass-through") {
     import spark.implicits._
     import graft.operators.Merge
