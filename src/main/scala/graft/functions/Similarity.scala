@@ -212,24 +212,12 @@ object Similarity {
   private[graft] def pqLutColImpl(vec: Column, anchors: Array[Array[Float]],
       m: Int, subDim: Int, useMatrix: Boolean): Column =
     if (!useMatrix)
-      array((0 until m).map { s =>
-        array(anchors.toIndexedSeq.map { a =>
-          (0 until subDim).map { d =>
-            val i = s * subDim + d
-            val diff = element_at(vec, i + 1).cast("double") - lit(a(i).toDouble)
-            diff * diff
-          }.reduce(_ + _)
-        }: _*)
-      }: _*)
+      array((0 until m).map(s =>
+        VectorSketch.subDistsInline(vec, anchors, s, subDim)): _*)
     else {
-      val matrix = typedlit(anchors.toIndexedSeq.map(_.toIndexedSeq.map(_.toDouble)))
-      array((0 until m).map { s =>
-        transform(matrix, a =>
-          aggregate(
-            zip_with(slice(vec, s * subDim + 1, subDim), slice(a, s * subDim + 1, subDim),
-              (x, y) => { val diff = x.cast("double") - y; diff * diff }),
-            lit(0.0), (acc, v) => acc + v))
-      }: _*)
+      val matrix = VectorSketch.anchorMatrixLit(anchors)
+      array((0 until m).map(s =>
+        VectorSketch.subDistsMatrix(vec, matrix, s, subDim)): _*)
     }
 
   /** Σ_s __lut[s][__code_s] for the join path — the [[adcColumn]] fold
@@ -260,11 +248,16 @@ object Similarity {
       }
     }
 
-  /** The m per-subvector code columns `__code0..__code{m-1}`. */
+  /** The m per-subvector code columns `__code0..__code{m-1}` — budgeted
+    * on the TOTAL m·c·subDim inlined terms (all m land in one
+    * projection; see [[VectorSketch.pqUseMatrix]]). */
   private def pqCodeCols(vec: Column, anchors: Array[Array[Float]],
-      m: Int, subDim: Int): Seq[Column] =
+      m: Int, subDim: Int): Seq[Column] = {
+    val useMatrix = VectorSketch.pqUseMatrix(anchors, m, subDim)
     (0 until m).map(s =>
-      VectorSketch.pqCodeForSub(vec, anchors, s, subDim).cast("int").as(s"__code$s"))
+      VectorSketch.pqCodeForSubImpl(vec, anchors, s, subDim, useMatrix)
+        .cast("int").as(s"__code$s"))
+  }
 
   /** Σ_s LUT[s][__code_s], folded ascending s (left-associative). */
   private def adcColumn(lut: Array[Array[Double]], m: Int): Column =

@@ -70,37 +70,60 @@ object VectorSketch {
     * DATA, arithmetic bit-identical (pinned by PipelineSpec). */
   private[graft] val maxInlineAnchorTerms = 2048L
 
+  /** ONE definition of the per-(anchor, subvector) squared-L2 distance
+    * arithmetic, shared by code assignment here and the ADC LUTs in
+    * [[Similarity]] (their bit-parity contract requires identical IEEE
+    * ops in identical order — two hand-maintained copies is the
+    * exact-twins-drift hazard review r6 flagged for the key codec).
+    * Both forms fold (emb[i]:double − a[i]:double)² accumulated
+    * ascending-d left-associative; `aggregate` folds its array left to
+    * right and `zip_with` preserves index order, so the matrix form is
+    * bit-identical to the unrolled literal form. Returns the
+    * per-anchor distance ARRAY for subvector `s`. */
+  private[graft] def subDistsInline(emb: Column, anchors: Array[Array[Float]],
+      s: Int, subDim: Int): Column =
+    array(anchors.toIndexedSeq.map { a =>
+      (0 until subDim).map { d =>
+        val i = s * subDim + d
+        val diff = element_at(emb, i + 1).cast("double") - lit(a(i).toDouble)
+        diff * diff
+      }.reduce(_ + _)
+    }: _*)
+
+  private[graft] def anchorMatrixLit(anchors: Array[Array[Float]]): Column =
+    typedlit(anchors.toIndexedSeq.map(_.toIndexedSeq.map(_.toDouble)))
+
+  private[graft] def subDistsMatrix(emb: Column, matrix: Column,
+      s: Int, subDim: Int): Column =
+    transform(matrix, a =>
+      aggregate(
+        zip_with(slice(emb, s * subDim + 1, subDim), slice(a, s * subDim + 1, subDim),
+          (x, y) => { val diff = x.cast("double") - y; diff * diff }),
+        lit(0.0), (acc, v) => acc + v))
+
   private[graft] def pqCodeForSubImpl(emb: Column, anchors: Array[Array[Float]],
       s: Int, subDim: Int, useMatrix: Boolean): Column = {
     val dists =
-      if (!useMatrix)
-        array(anchors.toIndexedSeq.map { a =>
-          (0 until subDim).map { d =>
-            val i = s * subDim + d
-            val diff = element_at(emb, i + 1).cast("double") - lit(a(i).toDouble)
-            diff * diff
-          }.reduce(_ + _)
-        }: _*)
-      else {
-        // identical arithmetic per term ((emb[i]:double) − (a[i]:double),
-        // squared, accumulated ascending-d left-associative — aggregate
-        // folds its array left-to-right, zip_with preserves index order)
-        val matrix = typedlit(anchors.toIndexedSeq.map(_.toIndexedSeq.map(_.toDouble)))
-        transform(matrix, a =>
-          aggregate(
-            zip_with(slice(emb, s * subDim + 1, subDim), slice(a, s * subDim + 1, subDim),
-              (x, y) => { val diff = x.cast("double") - y; diff * diff }),
-            lit(0.0), (acc, v) => acc + v))
-      }
+      if (!useMatrix) subDistsInline(emb, anchors, s, subDim)
+      else subDistsMatrix(emb, anchorMatrixLit(anchors), s, subDim)
     (array_position(dists, array_min(dists)) - 1).cast("long")
   }
+
+  /** All m code columns land in ONE projection, so the codegen budget
+    * is the TOTAL m·c·subDim inlined terms, not one column's c·subDim —
+    * per-column budgeting let m columns of exactly-at-threshold size
+    * still blow the 64 KB generated method (review r7). */
+  private[graft] def pqUseMatrix(anchors: Array[Array[Float]], m: Int, subDim: Int): Boolean =
+    m.toLong * anchors.length * subDim > maxInlineAnchorTerms
 
   /** Full PQ code word: m per-subvector codes joined "c0-c1-…-cm" (the
     * string form keeps the driver-compare engine-neutral; a production
     * sink would pack the codes into a byte array). */
-  def pqCode(emb: Column, anchors: Array[Array[Float]], m: Int, subDim: Int): Column =
+  def pqCode(emb: Column, anchors: Array[Array[Float]], m: Int, subDim: Int): Column = {
+    val useMatrix = pqUseMatrix(anchors, m, subDim)
     concat_ws("-", (0 until m).map(s =>
-      pqCodeForSub(emb, anchors, s, subDim).cast("string")): _*)
+      pqCodeForSubImpl(emb, anchors, s, subDim, useMatrix).cast("string")): _*)
+  }
 
   /** Per-dimension standardization ("diagonal whitening"): every
     * dimension of the embedding column rescaled to zero mean / unit

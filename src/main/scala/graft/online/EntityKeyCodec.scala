@@ -209,38 +209,36 @@ object EntityKeyCodec {
     * Python protobuf serializes fields in field-number order, which
     * this writer reproduces. */
   def referenceRedisKey(project: String, keys: Seq[(String, Any)]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    def varint(v0: Long): Unit = {
+    // ONE varint encoder for both the outer message and the nested
+    // Value messages — byte-exactness is this function's whole job, so
+    // the encoding must not exist twice (negative ints arrive
+    // sign-extended to 64 bits → ten bytes, the protobuf contract)
+    def varint(o: java.io.ByteArrayOutputStream, v0: Long): Unit = {
       var v = v0
-      while ((v & ~0x7fL) != 0L) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
-      out.write(v.toInt)
+      while ((v & ~0x7fL) != 0L) { o.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      o.write(v.toInt)
     }
-    def lenField(fieldNo: Int, payload: Array[Byte]): Unit = {
-      varint((fieldNo << 3) | 2); varint(payload.length); out.write(payload)
+    def lenField(o: java.io.ByteArrayOutputStream, fieldNo: Int,
+        payload: Array[Byte]): Unit = {
+      varint(o, (fieldNo << 3) | 2); varint(o, payload.length.toLong); o.write(payload)
     }
     def valueMsg(name: String, value: Any): Array[Byte] = {
       val m = new java.io.ByteArrayOutputStream()
-      def mv(v0: Long): Unit = {
-        var v = v0
-        while ((v & ~0x7fL) != 0L) { m.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
-        m.write(v.toInt)
-      }
       value match {
-        case b: Array[Byte] => mv((1 << 3) | 2); mv(b.length); m.write(b)
-        case s: String =>
-          val b = s.getBytes(StandardCharsets.UTF_8)
-          mv((2 << 3) | 2); mv(b.length); m.write(b)
-        case i: Int => mv((3 << 3) | 0); mv(i.toLong) // int32: varint, negatives 10-byte
-        case l: Long => mv((4 << 3) | 0); mv(l)
+        case b: Array[Byte] => lenField(m, 1, b)
+        case s: String => lenField(m, 2, s.getBytes(StandardCharsets.UTF_8))
+        case i: Int => varint(m, (3 << 3) | 0); varint(m, i.toLong)
+        case l: Long => varint(m, (4 << 3) | 0); varint(m, l)
         case other => throw new IllegalArgumentException(
           s"unsupported entity key type for '$name': " +
           s"${if (other == null) "null" else other.getClass.getName}")
       }
       m.toByteArray
     }
-    lenField(1, project.getBytes(StandardCharsets.UTF_8))
-    keys.foreach { case (n, _) => lenField(2, n.getBytes(StandardCharsets.UTF_8)) }
-    keys.foreach { case (n, v) => lenField(3, valueMsg(n, v)) }
+    val out = new java.io.ByteArrayOutputStream()
+    lenField(out, 1, project.getBytes(StandardCharsets.UTF_8))
+    keys.foreach { case (n, _) => lenField(out, 2, n.getBytes(StandardCharsets.UTF_8)) }
+    keys.foreach { case (n, v) => lenField(out, 3, valueMsg(n, v)) }
     out.toByteArray
   }
 }

@@ -196,8 +196,13 @@ class RedisOnlineStore(
                 // store); an absent _ts also keeps the row
                 // always-overwritable in the phase-1 probe, which is the
                 // minus-infinity LWW semantics. A null-ts write can only
-                // land on a key with no _ts (the guard above rejects it
-                // against any real _ts), so no stale _ts field survives.
+                // land on a key whose probe returned <= MinValue — i.e.
+                // _ts absent, or the Long.MinValue SENTINEL a pre-r7
+                // writer stored for null ts. HDEL clears that legacy
+                // sentinel (HSET merges fields, so it would otherwise
+                // survive and read back as a year −292M timestamp);
+                // deleting an absent field is a no-op.
+                if (et == null) { client.send(Seq(b("HDEL"), b(k), b("_ts"))); sent += 1 }
                 val tsFields =
                   if (et == null) Seq.empty else Seq(b("_ts"), b(etMs.toString))
                 val base = Seq(b("HSET"), b(k)) ++ tsFields ++

@@ -101,12 +101,24 @@ class Registry(path: Option[String] = None, cacheTtl: Duration = Duration.ofSeco
     case Some(p) =>
       val (fs, _) = hadoopFs(p)
       val lock = new org.apache.hadoop.fs.Path(p + ".lock")
+      // per-acquisition ownership token, written INTO the lock file:
+      // release deletes the lock only while it still holds OUR token,
+      // so a holder whose lock was stale-broken and re-claimed can
+      // never delete the new claimant's live lock (the delete-cascade
+      // a bare release-delete allowed — review r7). A victim whose
+      // lock was stolen proceeds unlocked for the rest of its critical
+      // section — possible only if it held past lockStaleMs — but it
+      // can no longer let a THIRD writer in on exit.
+      val token = java.util.UUID.randomUUID().toString
       var attempt = 0
       var held = false
       while (!held && attempt < 100) {
         attempt += 1
         held =
-          try { fs.create(lock, false).close(); true }
+          try {
+            val out = fs.create(lock, false)
+            out.write(token.getBytes("UTF-8")); out.close(); true
+          }
           catch {
             case _: org.apache.hadoop.fs.FileAlreadyExistsException |
                  _: java.nio.file.FileAlreadyExistsException |
@@ -144,7 +156,16 @@ class Registry(path: Option[String] = None, cacheTtl: Duration = Duration.ofSeco
       }
       if (!held) throw new java.io.IOException(
         s"registry: could not acquire $lock after $attempt attempts")
-      try body finally fs.delete(lock, false)
+      try body finally {
+        // delete only while the lock still carries OUR token (see above)
+        try {
+          val in = fs.open(lock)
+          val buf = new Array[Byte](token.length + 1)
+          val n = in.read(buf); in.close()
+          if (n == token.length && new String(buf, 0, n, "UTF-8") == token)
+            fs.delete(lock, false)
+        } catch { case _: java.io.IOException => () } // stolen/broken: no-op
+      }
   }
 
   private def hadoopFs(p: String) = {

@@ -30,11 +30,24 @@ import org.apache.spark.sql.DataFrame
   */
 object StagedWrite {
 
-  /** A `.stage-*` dir whose mtime is older than this is considered a
-    * crashed writer's leftover and is swept. Hadoop dir mtime updates
-    * on child create/delete, so an actively-writing job keeps its
-    * staging dir younger than this on any realistic task cadence. */
+  /** A `.stage-*` dir whose NEWEST tree mtime is older than this is
+    * considered a crashed writer's leftover and is swept. The newest
+    * mtime over the whole tree, not the root dir's: a partitioned
+    * write creates its partition subdirs early and then only touches
+    * files inside them, leaving the root mtime frozen for the job's
+    * whole duration (review r7) — an active writer is only visible in
+    * its leaves. The recursive walk prices in as one listing of a
+    * candidate dir: crashed leftovers are small and live dirs return a
+    * fresh leaf quickly. */
   private[graft] val stageStaleMs: Long = 10 * 60 * 1000L
+
+  /** Newest modification time in the tree under `p`. */
+  private def newestMtime(fs: org.apache.hadoop.fs.FileSystem, p: Path): Long = {
+    val st = fs.getFileStatus(p)
+    if (!st.isDirectory) st.getModificationTime
+    else (st.getModificationTime +:
+      fs.listStatus(p).toSeq.map(c => newestMtime(fs, c.getPath))).max
+  }
 
   def parquet(df: DataFrame, destPath: String, mode: String,
       partitionBy: Seq[String] = Nil,
@@ -64,7 +77,7 @@ object StagedWrite {
       fs.listStatus(parent).foreach { st =>
         val n = st.getPath.getName
         if (n.startsWith(dest.getName + ".stage-") &&
-            now - st.getModificationTime > stageStaleMs)
+            now - newestMtime(fs, st.getPath) > stageStaleMs)
           fs.delete(st.getPath, true)
       }
     }

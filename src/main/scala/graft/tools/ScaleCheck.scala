@@ -128,7 +128,18 @@ object ScaleCheck {
       // round-9 addition: the persisted band-table probe (build once,
       // batch joins the loaded index — the shape that must stay a
       // bucket equi-join as the corpus scales)
-      "q_dedup_index_persisted")
+      "q_dedup_index_persisted",
+      // round-11 additions (VERDICT r6 ask #5): the attribute-filtered
+      // ANN whose filter IS the join key (must stay an equi join, never
+      // cross+post-filter), the fixed-size count-min sketch aggregation
+      // + heavy-hitter verification join, and the durable bucketed
+      // store roundtrip (q_materialize_roundtrip above now measures the
+      // in-process store per the r7 bench accounting, so the
+      // one-exchange parquet upsert needs its own ratio). q_label_prop
+      // stays deliberately absent for q_pagerank's reason: its planted
+      // node universe is FIXED at 20 domains, so 10x docs rescans edge
+      // derivation only.
+      "q_ann_filtered", "q_countmin_hh", "q_materialize_roundtrip_parquet")
     queries.foreach(q => time(q, baseDir)) // warm: codegen + analyzer JIT
     val lines = queries.map { q =>
       val t1 = time(q, baseDir)

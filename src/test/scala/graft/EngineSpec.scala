@@ -237,6 +237,33 @@ class EngineSpec extends AnyFunSuite {
       Seq(Seq("user_id" -> (5L: Any))), Seq("v")).head
     assert(nullTs.isEmpty, s"null event_ts must read back None, got $nullTs")
     assert(nullVals("v").value == 7.0)
+    // legacy-sentinel migration: a pre-r7 writer stored null ts as
+    // _ts=Long.MinValue. HSET merges fields, so without the HDEL a new
+    // null-ts upsert would leave the sentinel alive and the row would
+    // read back as a year −292M timestamp forever.
+    val sentinelKey = s"r:uv:${graft.online.EntityKeyCodec.hexKey(Seq("user_id" -> 5L))}"
+    locally {
+      val sock = new java.net.Socket("127.0.0.1", mini.port)
+      val o = sock.getOutputStream
+      val parts = Seq("HSET", sentinelKey, "_ts", Long.MinValue.toString)
+      o.write(s"*${parts.length}\r\n".getBytes("UTF-8"))
+      parts.foreach { p =>
+        o.write(s"$$${p.length}\r\n".getBytes("UTF-8"))
+        o.write(p.getBytes("UTF-8")); o.write("\r\n".getBytes("UTF-8"))
+      }
+      o.flush(); sock.getInputStream.read(); sock.close()
+    }
+    val (legacyTs, _) = store.read("r", vv, Seq("user_id"),
+      Seq(Seq("user_id" -> (5L: Any))), Seq("v")).head
+    assert(legacyTs.contains(new java.sql.Timestamp(Long.MinValue)),
+      "precondition: the planted legacy sentinel is visible")
+    store.upsert("r", vv, Seq("user_id"),
+      Seq((5L, Option.empty[java.sql.Timestamp], 7.5)).toDF("user_id", "et", "v"),
+      "et", None)
+    val (migratedTs, migratedVals) = store.read("r", vv, Seq("user_id"),
+      Seq(Seq("user_id" -> (5L: Any))), Seq("v")).head
+    assert(migratedTs.isEmpty, "null-ts upsert must HDEL the legacy Long.MinValue sentinel")
+    assert(migratedVals("v").value == 7.5)
     put(Seq((5L, "2024-01-01 00:00:00", 8.0)))
     assert(get(Seq(5L)) == Seq(8.0), "any real ts must beat a null-ts row")
     store.delete("r", vv, Seq("user_id"), Seq(5L).toDF("user_id"))
@@ -1474,10 +1501,16 @@ class EngineSpec extends AnyFunSuite {
     val fs = new org.apache.hadoop.fs.Path(dest)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq((7L, "stale")).toDF("k", "v").write.parquet(dest + ".stage-dead")
-    // backdate past the staleness gate: the sweep is age-gated so a
-    // LIVE concurrent writer's staging dir is never deleted mid-write
-    fs.setTimes(new org.apache.hadoop.fs.Path(dest + ".stage-dead"),
-      System.currentTimeMillis() - graft.sources.StagedWrite.stageStaleMs - 60000L, -1L)
+    // backdate the WHOLE tree past the staleness gate (the sweep keys
+    // off the newest tree mtime, so a single fresh leaf keeps a dir
+    // alive): the sweep is age-gated so a LIVE concurrent writer's
+    // staging dir is never deleted mid-write
+    def backdate(f: java.io.File): Unit = {
+      fs.setTimes(new org.apache.hadoop.fs.Path(f.toString),
+        System.currentTimeMillis() - graft.sources.StagedWrite.stageStaleMs - 60000L, -1L)
+      Option(f.listFiles()).foreach(_.foreach(backdate))
+    }
+    backdate(new java.io.File(dest + ".stage-dead"))
     Seq((8L, "live")).toDF("k", "v").write.parquet(dest + ".stage-live")
     fs.rename(new org.apache.hadoop.fs.Path(dest),
       new org.apache.hadoop.fs.Path(dest + ".old"))

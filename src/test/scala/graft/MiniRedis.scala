@@ -10,7 +10,7 @@ import scala.jdk.CollectionConverters._
 /** In-process RESP2 server for testing [[graft.online.RedisOnlineStore]]
   * without a real Redis (the env has no broker/server binaries): a
   * ConcurrentHashMap of hashes behind the exact wire protocol the
-  * client speaks. Supports HSET / HGET / HGETALL / DEL / SCAN / PING —
+  * client speaks. Supports HSET / HGET / HDEL / HGETALL / DEL / SCAN / PING —
   * the store's full command surface. Binary-safe values; keys and
   * fields are treated as UTF-8 strings (the store's keys are ASCII hex
   * paths). SCAN is single-shot (returns cursor 0 with every match) —
@@ -104,6 +104,13 @@ final class MiniRedis {
                 bulk(out, f.getBytes(UTF_8)); bulk(out, v)
               }
             }
+          case "HDEL" =>
+            val h = data.get(new String(args(1), UTF_8))
+            var n = 0L
+            if (h != null) args.drop(2).foreach { f =>
+              if (h.remove(new String(f, UTF_8)) != null) n += 1
+            }
+            out.write(s":$n\r\n".getBytes(UTF_8))
           case "DEL" =>
             var n = 0L
             args.drop(1).foreach { k =>
