@@ -186,29 +186,33 @@ object Bench {
     // AvailableNow streaming run of local-mode WAL/planning driver cost
     // (q_stream_materialize = 1 batch + store upsert + dump since r7)
     // and ~0.1-0.3 s per Spark job.
-    val notes = "scalecheck 10x data wall ratios (round 10, idle box): " +
-      "random_projection 8.2x, components 7.6x, dedup_minhash 6.8x, " +
-      "text_stats 6.7x, dedup_index_persisted 6.0x (incl. the one-time " +
-      "10x index BUILD), semantic_dedup 4.1x, agg_incremental 3.1x, " +
-      "silhouette 2.8x, cdc_merge 2.4x, pit_sortmerge 2.4x, " +
-      "k_suppress 2.3x, nearest_join 2.3x, collocation_pmi 2.3x, " +
-      "curriculum 2.2x, grid_snapshot 2.1x, salted_join 2.0x, " +
-      "group_split 2.0x, bloom_prune_join 2.0x, phash_neardup 2.0x, " +
-      "snapshot_diff 1.9x, novelty 1.9x, span_scrub 1.8x, " +
-      "pit_join_single 1.8x, label_join 1.7x, shard_pack 1.7x, " +
-      "recent_history 1.7x, quantile_bin 1.7x, zscore 1.6x, " +
-      "feature_drift 1.6x, context_windows 1.5x, dup_span 1.5x, " +
-      "k_anonymity 1.4x, whiten_dims 1.4x, materialize_roundtrip 1.4x, " +
-      "contamination 1.3x, sessionize 1.3x, dedup_incremental_fuzzy 1.3x, " +
-      "zorder_layout 1.3x, ann_ivf 1.2x, negative_sample 1.2x, " +
-      "line_dedup 1.1x, bpe_merges 1.1x, ann_pq 1.1x, ks_drift 1.1x, " +
-      "scd2_history 1.1x, rollup 1.0x, domain_cap 1.0x, rolling_agg 0.6x " +
-      "(sub-linear on ALL 48 incl. the round-9 persisted LSH index " +
-      "probe; the r6 phash HOF-binding fix cut its 1x wall 71.8s -> " +
-      "3.9s before ratioing; local[32] 16g driver; run-to-run wall " +
-      "variance on this box is +/-2x at these sub-5s scales and " +
-      "concurrent load can inflate single ratios far more). Floor " +
-      "accounting for the two " +
+    val notes = "scalecheck 10x data wall ratios (round 11, r7 box): " +
+      "dedup_minhash 6.5x, random_projection 5.4x, " +
+      "dedup_index_persisted 4.7x (incl. the one-time 10x index " +
+      "BUILD), semantic_dedup 3.7x, pit_sortmerge 3.6x, " +
+      "materialize_roundtrip 3.6x, agg_incremental 3.2x, components " +
+      "3.1x, silhouette 2.5x, collocation_pmi 2.4x, snapshot_diff " +
+      "2.2x, grid_snapshot 2.2x, label_join 2.2x, text_stats 2.1x, " +
+      "group_split 2.1x, salted_join 2.0x, cdc_merge 1.9x, " +
+      "nearest_join 1.9x, span_scrub 1.9x, whiten_dims 1.8x, " +
+      "shard_pack 1.8x, novelty 1.8x, materialize_roundtrip_parquet " +
+      "1.8x, bloom_prune_join 1.7x, countmin_hh 1.7x, context_windows " +
+      "1.7x, pit_join_single 1.6x, rolling_agg 1.6x, " +
+      "dedup_incremental_fuzzy 1.5x, ann_ivf 1.5x, dup_span 1.5x, " +
+      "quantile_bin 1.4x, curriculum 1.4x, phash_neardup 1.4x, zscore " +
+      "1.4x, line_dedup 1.4x, domain_cap 1.3x, k_anonymity 1.3x, " +
+      "zorder_layout 1.3x, recent_history 1.3x, k_suppress 1.2x, " +
+      "feature_drift 1.2x, bpe_merges 1.2x, sessionize 1.2x, " +
+      "ann_filtered 1.1x, contamination 1.1x, ann_pq 1.1x, " +
+      "negative_sample 1.0x, scd2_history 1.0x, rollup 0.9x, ks_drift " +
+      "0.8x (sub-linear on ALL 51 incl. the r6 verdict ask-#5 " +
+      "additions ann_filtered/countmin_hh and the new durable-store " +
+      "roundtrip; q_label_prop and q_pagerank stay deliberately " +
+      "absent — their planted node universes are FIXED at 20 domains, " +
+      "so 10x docs only rescans edge derivation; local[32] 16g " +
+      "driver; run-to-run wall variance on this box is +/-2x at " +
+      "these sub-5s scales and concurrent load can inflate single " +
+      "ratios far more). Floor accounting for the two " +
       "store-I/O queries (their DuckDB oracles compute a bare snapshot " +
       "and do NO store I/O), restructured per the r6 verdict ask #1: " +
       "q_stream_materialize now replays as ONE AvailableNow micro-batch " +
