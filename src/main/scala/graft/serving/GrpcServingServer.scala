@@ -1,0 +1,195 @@
+package graft.serving
+
+import java.util.concurrent.ConcurrentHashMap
+
+import io.netty.bootstrap.ServerBootstrap
+import io.netty.buffer.Unpooled
+import io.netty.channel.{ChannelHandlerContext, ChannelInboundHandlerAdapter, ChannelInitializer, ChannelOption}
+import io.netty.channel.nio.NioEventLoopGroup
+import io.netty.channel.socket.SocketChannel
+import io.netty.channel.socket.nio.NioServerSocketChannel
+import io.netty.handler.codec.http2._
+
+import graft.store.FeatureStore
+
+/** gRPC serving endpoint — the reference's actual wire protocol
+  * (`protos/feast/serving/ServingService.proto:30-36`), implemented
+  * directly on Netty's HTTP/2 codec (shipped with Spark) with the
+  * hand-rolled [[FeastProto]] message codecs, because the environment
+  * carries neither grpc-java nor protobuf-java. gRPC's framing is
+  * public and small (grpc.io PROTOCOL-HTTP2): a unary call is an
+  * HTTP/2 POST to `/package.Service/Method` with
+  * `content-type: application/grpc`, DATA frames carrying
+  * `[compressed flag: 1 byte][length: 4 bytes BE][proto message]`, and
+  * a trailers HEADERS frame with `grpc-status` (0 = OK).
+  *
+  * Methods:
+  *  - `/feast.serving.ServingService/GetOnlineFeaturesV2` — decodes
+  *    the request, calls [[FeatureStore.getOnlineFeatures]] (the same
+  *    latency path the HTTP/JSON [[ServingServer]] uses — no Spark job
+  *    on in-memory stores), answers one `GetOnlineFeaturesResponse`
+  *    with the entity values echoed and per-feature
+  *    PRESENT/NOT_FOUND/OUTSIDE_MAX_AGE statuses.
+  *  - `/feast.serving.ServingService/GetFeastServingInfo` — version +
+  *    ONLINE type.
+  *
+  * Unknown methods answer grpc-status 12 (UNIMPLEMENTED); decode
+  * errors 3 (INVALID_ARGUMENT); store failures 13 (INTERNAL). Cleartext
+  * h2c prior-knowledge only (no TLS/ALPN in this environment — a
+  * deployment fronts it with its ingress).
+  */
+object GrpcServingServer {
+  private final class StreamState(val path: String) {
+    val body = new java.io.ByteArrayOutputStream()
+  }
+  private final case class Unimplemented(method: String) extends RuntimeException(method)
+}
+
+class GrpcServingServer(fs: FeatureStore, port: Int = 0, version: String = "graft-0.1.0") {
+  import GrpcServingServer.{StreamState, Unimplemented}
+
+  private val boss = new NioEventLoopGroup(1)
+  private val workers = new NioEventLoopGroup(2)
+
+  private val bootstrap = new ServerBootstrap()
+    .group(boss, workers)
+    .channel(classOf[NioServerSocketChannel])
+    .childOption(ChannelOption.TCP_NODELAY, java.lang.Boolean.TRUE)
+    .childHandler(new ChannelInitializer[SocketChannel] {
+      override def initChannel(ch: SocketChannel): Unit = {
+        ch.pipeline().addLast(Http2FrameCodecBuilder.forServer().build())
+        ch.pipeline().addLast(new ChannelInboundHandlerAdapter {
+          private val streams = new ConcurrentHashMap[Integer, StreamState]()
+
+          override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit = msg match {
+            case h: Http2HeadersFrame =>
+              val id = Integer.valueOf(h.stream().id())
+              val path = Option(h.headers().path()).map(_.toString).getOrElse("")
+              streams.put(id, new StreamState(path))
+              if (h.isEndStream) complete(ctx, h.stream(), streams.remove(id))
+            case d: Http2DataFrame =>
+              val id = Integer.valueOf(d.stream().id())
+              val st = streams.get(id)
+              if (st != null) {
+                val buf = d.content()
+                val bytes = new Array[Byte](buf.readableBytes())
+                buf.readBytes(bytes)
+                st.body.write(bytes)
+              }
+              d.release()
+              if (d.isEndStream) complete(ctx, d.stream(), streams.remove(id))
+            case other: Http2SettingsFrame => () // codec handles the ack
+            case other => ctx.fireChannelRead(other)
+          }
+
+          private def complete(ctx: ChannelHandlerContext, stream: Http2FrameStream,
+              st: StreamState): Unit = {
+            if (st == null) return
+            try {
+              val reply = dispatch(st.path, grpcUnframe(st.body.toByteArray))
+              val headers = new DefaultHttp2Headers()
+                .status("200")
+              headers.set("content-type", "application/grpc")
+              ctx.write(new DefaultHttp2HeadersFrame(headers).stream(stream))
+              ctx.write(new DefaultHttp2DataFrame(
+                Unpooled.wrappedBuffer(grpcFrame(reply)), false).stream(stream))
+              val trailers = new DefaultHttp2Headers()
+              trailers.set("grpc-status", "0")
+              ctx.writeAndFlush(new DefaultHttp2HeadersFrame(trailers, true).stream(stream))
+            } catch {
+              case Unimplemented(m) => trailerOnly(ctx, stream, 12, s"unknown method $m")
+              case e @ (_: IllegalArgumentException | _: NoSuchElementException |
+                        _: ClassCastException | _: scala.MatchError) =>
+                trailerOnly(ctx, stream, 3,
+                  Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+              case e: Exception =>
+                trailerOnly(ctx, stream, 13,
+                  Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+            }
+          }
+
+          private def trailerOnly(ctx: ChannelHandlerContext, stream: Http2FrameStream,
+              status: Int, message: String): Unit = {
+            // trailers-only response: one HEADERS frame with :status,
+            // grpc-status and grpc-message, END_STREAM set
+            val h = new DefaultHttp2Headers().status("200")
+            h.set("content-type", "application/grpc")
+            h.set("grpc-status", status.toString)
+            h.set("grpc-message", java.net.URLEncoder.encode(message, "UTF-8"))
+            ctx.writeAndFlush(new DefaultHttp2HeadersFrame(h, true).stream(stream))
+          }
+        })
+      }
+    })
+
+  private val bound = bootstrap.bind(port).syncUninterruptibly().channel()
+
+  def boundPort: Int =
+    bound.localAddress().asInstanceOf[java.net.InetSocketAddress].getPort
+
+  def stop(): Unit = {
+    bound.close().syncUninterruptibly()
+    boss.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS)
+    workers.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS)
+    ()
+  }
+
+  /** `[flag][len BE][payload]` -> payload (unary: exactly one message;
+    * compression unsupported, as advertised by never sending
+    * grpc-encoding). */
+  private def grpcUnframe(bytes: Array[Byte]): Array[Byte] = {
+    require(bytes.length >= 5, s"gRPC frame too short: ${bytes.length} bytes")
+    require(bytes(0) == 0, "compressed gRPC frames are not supported")
+    val len = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
+      ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+    require(bytes.length >= 5 + len, "gRPC frame truncated")
+    java.util.Arrays.copyOfRange(bytes, 5, 5 + len)
+  }
+
+  private def grpcFrame(payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](5 + payload.length)
+    out(0) = 0
+    out(1) = ((payload.length >>> 24) & 0xff).toByte
+    out(2) = ((payload.length >>> 16) & 0xff).toByte
+    out(3) = ((payload.length >>> 8) & 0xff).toByte
+    out(4) = (payload.length & 0xff).toByte
+    System.arraycopy(payload, 0, out, 5, payload.length)
+    out
+  }
+
+  private def dispatch(path: String, request: Array[Byte]): Array[Byte] = path match {
+    case "/feast.serving.ServingService/GetFeastServingInfo" =>
+      FeastProto.encodeServingInfo(version)
+    case "/feast.serving.ServingService/GetOnlineFeaturesV2" =>
+      val req = FeastProto.decodeOnlineRequest(request)
+      val refs = req.features.map { case (table, name) => s"$table:$name" }
+      val rows = req.entityRows.map(_.fields.toMap)
+      // the request timestamp is the staleness clock (ServingService
+      // .proto:75-78: "used, together with maxAge, to determine
+      // feature staleness"); rows may carry different timestamps — the
+      // engine's asOf is per-call, so use the max (the conservative
+      // serving-time clock) when any is present
+      val asOf = req.entityRows.flatMap(_.tsSeconds).filter(_ != 0L) match {
+        case Nil => None
+        case ts => Some(new java.sql.Timestamp(ts.max * 1000L))
+      }
+      val resp = fs.getOnlineFeatures(refs, rows, asOf)
+      val out = rows.indices.map { i =>
+        // entity values echoed with PRESENT, then the features — the
+        // reference's FieldValues composition (online_response.py)
+        val entityVals = req.entityRows(i).fields.map { case (k, v) =>
+          (k, v: Any)
+        }
+        val entityStatuses = req.entityRows(i).fields.map { case (k, _) =>
+          (k, FeastProto.StatusPresent)
+        }
+        val featVals = resp.fields.map { case (name, vs) => (name, vs(i).value) }
+        val featStatuses = resp.fields.map { case (name, vs) =>
+          (name, FeastProto.statusEnum(vs(i).status))
+        }
+        (entityVals ++ featVals, entityStatuses ++ featStatuses)
+      }
+      FeastProto.encodeOnlineResponse(out)
+    case other => throw Unimplemented(other)
+  }
+}

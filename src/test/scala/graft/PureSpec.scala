@@ -82,6 +82,30 @@ class PureSpec extends AnyFunSuite {
       "0a09746573745f70726f6a12096472697665725f69641a0320e907")
   }
 
+  test("FeastProto Value oneof: every type round-trips the wire") {
+    import graft.serving.{FeastProto, ProtoWire}
+    def rt(v: Any): Any =
+      FeastProto.decodeValue(new ProtoWire.Reader(FeastProto.encodeValue(v).toBytes))
+    assert(rt(null) == null) // empty message = no oneof case
+    assert(rt("héllo") === "héllo")
+    assert(rt(42) === 42)
+    assert(rt(-7L) === -7L) // negative varint: 10-byte sign extension
+    assert(rt(Long.MaxValue) === Long.MaxValue)
+    assert(rt(3.25) === 3.25)
+    assert(rt(1.5f) === 1.5f)
+    assert(rt(true) === true)
+    assert(rt(java.sql.Timestamp.valueOf("2024-02-01 00:00:00")) ===
+      java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    assert(rt(Array[Byte](0, -1, 127)).asInstanceOf[Array[Byte]].toSeq === Seq[Byte](0, -1, 127))
+    assert(rt(Seq("a", "b")) === Seq("a", "b"))
+    assert(rt(Seq(1, 2, 3)) === Seq(1, 2, 3)) // packed varints
+    assert(rt(Seq(1L, -2L)) === Seq(1L, -2L))
+    assert(rt(Seq(0.5, -0.25)) === Seq(0.5, -0.25)) // packed fixed64
+    assert(rt(Seq(0.5f, 2.0f)) === Seq(0.5f, 2.0f)) // packed fixed32
+    assert(rt(Seq(true, false)) === Seq(true, false))
+    assert(rt(Seq.empty[String]) === Seq.empty)
+  }
+
   test("Json round-trip") {
     val doc = """{"a":[1,2.5,"x\ny",true,null],"b":{"c":-3e2},"d":""}"""
     val parsed = Json.parse(doc)

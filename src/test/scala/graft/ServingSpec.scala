@@ -135,6 +135,145 @@ class ServingSpec extends AnyFunSuite {
     }
   }
 
+  /** Minimal HTTP/2 gRPC client over netty (the same jars the server
+    * uses): one unary call, returns (merged headers incl. trailers,
+    * raw DATA payload). Exists because no grpc-java client is
+    * available in this environment — this drives the REAL wire. */
+  private def grpcCall(port: Int, path: String,
+      msg: Array[Byte]): (Map[String, String], Array[Byte]) = {
+    import io.netty.bootstrap.Bootstrap
+    import io.netty.buffer.Unpooled
+    import io.netty.channel.{ChannelHandlerContext, ChannelInboundHandlerAdapter, ChannelInitializer}
+    import io.netty.channel.nio.NioEventLoopGroup
+    import io.netty.channel.socket.nio.NioSocketChannel
+    import io.netty.handler.codec.http2._
+    val group = new NioEventLoopGroup(1)
+    try {
+      val done = new java.util.concurrent.CompletableFuture[(Map[String, String], Array[Byte])]()
+      val boot = new Bootstrap().group(group).channel(classOf[NioSocketChannel])
+        .handler(new ChannelInitializer[io.netty.channel.socket.SocketChannel] {
+          override def initChannel(ch: io.netty.channel.socket.SocketChannel): Unit = {
+            ch.pipeline().addLast(Http2FrameCodecBuilder.forClient().build())
+            ch.pipeline().addLast(new Http2MultiplexHandler(new ChannelInboundHandlerAdapter()))
+          }
+        })
+      val ch = boot.connect("127.0.0.1", port).syncUninterruptibly().channel()
+      val sb = new Http2StreamChannelBootstrap(ch)
+      sb.handler(new ChannelInitializer[Http2StreamChannel] {
+        override def initChannel(sc: Http2StreamChannel): Unit = {
+          sc.pipeline().addLast(new ChannelInboundHandlerAdapter {
+            private val buf = new java.io.ByteArrayOutputStream()
+            private var headers = Map.empty[String, String]
+            override def channelRead(ctx: ChannelHandlerContext, m: AnyRef): Unit = m match {
+              case h: Http2HeadersFrame =>
+                h.headers().forEach { e =>
+                  headers += (e.getKey.toString -> e.getValue.toString)
+                }
+                if (h.isEndStream) done.complete((headers, buf.toByteArray))
+                ()
+              case d: Http2DataFrame =>
+                val bts = new Array[Byte](d.content().readableBytes())
+                d.content().readBytes(bts)
+                buf.write(bts)
+                d.release()
+                if (d.isEndStream) done.complete((headers, buf.toByteArray))
+                ()
+              case _ => ()
+            }
+          })
+          ()
+        }
+      })
+      val stream = sb.open().syncUninterruptibly().getNow
+      val hdrs = new DefaultHttp2Headers()
+      hdrs.method("POST").path(path).scheme("http")
+      hdrs.set("content-type", "application/grpc")
+      stream.write(new DefaultHttp2HeadersFrame(hdrs, false))
+      val framed = new Array[Byte](5 + msg.length)
+      framed(0) = 0
+      framed(1) = ((msg.length >>> 24) & 0xff).toByte
+      framed(2) = ((msg.length >>> 16) & 0xff).toByte
+      framed(3) = ((msg.length >>> 8) & 0xff).toByte
+      framed(4) = (msg.length & 0xff).toByte
+      System.arraycopy(msg, 0, framed, 5, msg.length)
+      stream.writeAndFlush(new DefaultHttp2DataFrame(Unpooled.wrappedBuffer(framed), true))
+      val out = done.get(15, java.util.concurrent.TimeUnit.SECONDS)
+      ch.close().syncUninterruptibly()
+      out
+    } finally {
+      group.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS)
+      ()
+    }
+  }
+
+  test("gRPC serving endpoint: GetOnlineFeaturesV2 over the real HTTP/2 wire") {
+    import spark.implicits._
+    import graft.serving.FeastProto
+    import graft.serving.FeastProto.{EntityRowMsg, OnlineRequestMsg}
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 0.7, "us"),
+      (2L, ts("2024-01-02 10:00:00"), 0.9, "de"))
+      .toDF("driver_id", "et", "conv_rate", "region")
+    val fs = new FeatureStore("grpcsrv", new Registry(), new InMemoryOnlineStore(), spark)
+    fs.applyEntity(Entity("driver", GraftType.Int64, Some("driver_id")))
+    fs.applyFeatureView(FeatureView("stats", Seq("driver"),
+      Seq(Feature("conv_rate", GraftType.Dbl), Feature("region", GraftType.Str)),
+      Duration.ZERO, DataFrameSource(df, "et")))
+    fs.materialize(Seq("stats"), ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"))
+    val server = new graft.serving.GrpcServingServer(fs)
+    try {
+      // happy path: 2 present drivers + 1 missing, statuses per proto enum
+      val reqBytes = FeastProto.encodeOnlineRequest(OnlineRequestMsg(
+        features = Seq(("stats", "conv_rate"), ("stats", "region")),
+        entityRows = Seq(
+          EntityRowMsg(None, Seq("driver_id" -> 1L)),
+          EntityRowMsg(None, Seq("driver_id" -> 2L)),
+          EntityRowMsg(None, Seq("driver_id" -> 99L))),
+        project = None))
+      val (headers, body) = grpcCall(server.boundPort,
+        "/feast.serving.ServingService/GetOnlineFeaturesV2", reqBytes)
+      assert(headers.get(":status").contains("200"), headers)
+      assert(headers.get("grpc-status").contains("0"), headers)
+      assert(body.length >= 5 && body(0) == 0)
+      val len = ((body(1) & 0xff) << 24) | ((body(2) & 0xff) << 16) |
+        ((body(3) & 0xff) << 8) | (body(4) & 0xff)
+      val rows = FeastProto.decodeOnlineResponse(
+        java.util.Arrays.copyOfRange(body, 5, 5 + len))
+      assert(rows.length === 3)
+      val (v0, s0) = rows(0)
+      assert(v0("driver_id") === 1L && v0("stats:conv_rate") === 0.7 &&
+        v0("stats:region") === "us")
+      assert(s0("stats:conv_rate") === FeastProto.StatusPresent)
+      val (v2, s2) = rows(2)
+      assert(v2("stats:conv_rate") == null)
+      assert(s2("stats:conv_rate") === FeastProto.StatusNotFound &&
+        s2("stats:region") === FeastProto.StatusNotFound)
+
+      // serving info method
+      val (ih, ibody) = grpcCall(server.boundPort,
+        "/feast.serving.ServingService/GetFeastServingInfo", Array.emptyByteArray)
+      assert(ih.get("grpc-status").contains("0"))
+      assert(new String(ibody, "UTF-8").contains("graft"))
+
+      // unknown method -> grpc-status 12 UNIMPLEMENTED (trailers-only)
+      val (uh, _) = grpcCall(server.boundPort,
+        "/feast.serving.ServingService/NoSuchMethod", Array.emptyByteArray)
+      assert(uh.get("grpc-status").contains("12"), uh)
+
+      // wrong-typed entity key -> grpc-status 3 INVALID_ARGUMENT
+      val badReq = FeastProto.encodeOnlineRequest(OnlineRequestMsg(
+        features = Seq(("stats", "conv_rate")),
+        entityRows = Seq(EntityRowMsg(None, Seq("driver_id" -> "one"))),
+        project = None))
+      val (bh, _) = grpcCall(server.boundPort,
+        "/feast.serving.ServingService/GetOnlineFeaturesV2", badReq)
+      assert(bh.get("grpc-status").contains("3"), bh)
+    } finally {
+      server.stop()
+      fs.teardown()
+    }
+  }
+
   test("serving JSON stays valid and typed: NaN -> null, bytes -> base64, huge ids -> 400 (review r6)") {
     import spark.implicits._
     val df = Seq(
