@@ -106,6 +106,44 @@ class PureSpec extends AnyFunSuite {
     assert(rt(Seq.empty[String]) === Seq.empty)
   }
 
+  test("FeastProto request decoding matches independently-generated protobuf bytes") {
+    import graft.serving.{FeastProto, ProtoWire}
+    def unhex(s: String): Array[Byte] =
+      s.grouped(2).map(java.lang.Integer.parseInt(_, 16).toByte).toArray
+    // GetOnlineFeaturesRequestV2 bytes produced by a from-scratch Python
+    // protobuf writer (varint/struct.pack replay of the proto3 wire
+    // spec), NOT by FeastProto — so this pins cross-compat with any
+    // conforming protobuf implementation, not self-consistency:
+    //   entity_rows=[{timestamp: 2024-02-01T00:00:00Z,
+    //                 fields: {driver_id: int64 1001, zone: "eu"}}],
+    //   features=[{feature_table:"stats", name:"conv_rate"}],
+    //   project="proj_x"
+    val req = FeastProto.decodeOnlineRequest(unhex(
+      "12280a060880beebad0612100a096472697665725f6964120320e907120c0a047a" +
+        "6f6e6512041202657522120a0573746174731209636f6e765f726174652a067" +
+        "0726f6a5f78"))
+    assert(req.project === Some("proj_x"))
+    assert(req.features === Seq(("stats", "conv_rate")))
+    assert(req.entityRows.length === 1)
+    val row = req.entityRows.head
+    assert(row.tsSeconds === Some(1706745600L))
+    assert(row.fields.toMap === Map("driver_id" -> 1001L, "zone" -> "eu"))
+    // encode side: our writer reproduces the same bytes for the same
+    // message (field order matches python protobuf's field-number order)
+    assert(FeastProto.encodeOnlineRequest(FeastProto.OnlineRequestMsg(
+      features = Seq(("stats", "conv_rate")),
+      entityRows = Seq(FeastProto.EntityRowMsg(Some(1706745600L),
+        Seq("driver_id" -> 1001L, "zone" -> "eu"))),
+      project = Some("proj_x"))).map(b => f"${b & 0xff}%02x").mkString ===
+      "12280a060880beebad0612100a096472697665725f6964120320e907120c0a047a" +
+        "6f6e6512041202657522120a0573746174731209636f6e765f726174652a067" +
+        "0726f6a5f78")
+    // packed double list Value (field 15, 8-byte LE elements)
+    val dl = FeastProto.decodeValue(new ProtoWire.Reader(
+      unhex("7a120a10000000000000f83f000000000000e0bf")))
+    assert(dl === Seq(1.5, -0.5))
+  }
+
   test("Json round-trip") {
     val doc = """{"a":[1,2.5,"x\ny",true,null],"b":{"c":-3e2},"d":""}"""
     val parsed = Json.parse(doc)
