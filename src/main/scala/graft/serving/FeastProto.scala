@@ -54,28 +54,37 @@ object FeastProto {
   }
 
   private def encodeList(w: Writer, xs: Seq[Any]): Unit = {
-    // list field number from the ELEMENT type (empty lists of unknown
-    // element type encode as an empty string list — indistinguishable
-    // on the wire anyway, since all list messages are {repeated val=1})
+    // The list field number is chosen by inspecting ALL elements, not
+    // the first one: a mixed Int/Long list must promote to Int64List
+    // (first-element sniffing wrote Longs into an int32 list, which
+    // the decoder then truncated — review r7). Genuinely mixed types
+    // are an error, not a guess. Empty lists of unknown element type
+    // encode as an empty string list (indistinguishable on the wire:
+    // every list message is {repeated val = 1}).
     val body = new Writer
-    val field = xs.collectFirst {
-      case _: Array[Byte] => 11
-      case _: String => 12
-      case _: Int => 13
-      case _: Long => 14
-      case _: Double => 15
-      case _: Float => 16
-      case _: Boolean => 17
-    }.getOrElse(12)
+    def all(p: Any => Boolean): Boolean = xs.forall(p)
+    val field =
+      if (xs.isEmpty) 12
+      else if (all(_.isInstanceOf[Array[Byte]])) 11
+      else if (all(_.isInstanceOf[String])) 12
+      else if (all(_.isInstanceOf[Int])) 13
+      else if (all(x => x.isInstanceOf[Int] || x.isInstanceOf[Long])) 14
+      else if (all(_.isInstanceOf[Double])) 15
+      else if (all(_.isInstanceOf[Float])) 16
+      else if (all(_.isInstanceOf[Boolean])) 17
+      else if (all(_.isInstanceOf[java.sql.Timestamp])) 18
+      else throw new IllegalArgumentException(
+        s"mixed-type list feature value: ${xs.map(_.getClass.getSimpleName).distinct}")
     field match {
       case 11 => xs.foreach(x => body.bytesField(1, x.asInstanceOf[Array[Byte]]))
       case 12 => xs.foreach(x => body.stringField(1, x.asInstanceOf[String]))
-      case 13 | 14 | 17 =>
+      case 13 | 14 | 17 | 18 =>
         val p = new Writer
         xs.foreach {
           case i: Int => p.varintRaw(i.toLong)
           case l: Long => p.varintRaw(l)
           case b: Boolean => p.varintRaw(if (b) 1L else 0L)
+          case t: java.sql.Timestamp => p.varintRaw(t.getTime / 1000L)
           case other => throw new IllegalArgumentException(s"mixed list element $other")
         }
         body.msgField(1, p)
@@ -115,9 +124,9 @@ object FeastProto {
         case (7, WtVarint) => out = r.readVarint() != 0L
         case (8, WtVarint) => out = new java.sql.Timestamp(r.readVarint() * 1000L)
         case (11, WtLen) =>
-          val b = r.readLenReader(); out = decodeRepeated(b, isLen = true)(_.readLenBytes())
+          val b = r.readLenReader(); out = decodeRepeated(b)(_.readLenBytes())
         case (12, WtLen) =>
-          val b = r.readLenReader(); out = decodeRepeated(b, isLen = true)(_.readString())
+          val b = r.readLenReader(); out = decodeRepeated(b)(_.readString())
         case (13, WtLen) =>
           val b = r.readLenReader()
           out = decodePackedOrRepeated(b)(_.readVarint().toInt)
@@ -126,22 +135,25 @@ object FeastProto {
           out = decodePackedOrRepeated(b)(_.readVarint())
         case (15, WtLen) =>
           val b = r.readLenReader()
-          out = decodePackedFixed(b, 8)(rr => java.lang.Double.longBitsToDouble(rr.readI64()))
+          out = decodePackedOrRepeated(b)(rr => java.lang.Double.longBitsToDouble(rr.readI64()))
         case (16, WtLen) =>
           val b = r.readLenReader()
-          out = decodePackedFixed(b, 4)(rr => java.lang.Float.intBitsToFloat(rr.readI32()))
+          out = decodePackedOrRepeated(b)(rr => java.lang.Float.intBitsToFloat(rr.readI32()))
         case (17, WtLen) =>
           val b = r.readLenReader()
           out = decodePackedOrRepeated(b)(_.readVarint() != 0L)
+        case (18, WtLen) =>
+          val b = r.readLenReader()
+          out = decodePackedOrRepeated(b)(rr => new java.sql.Timestamp(rr.readVarint() * 1000L))
         case (_, w0) => r.skip(w0)
       }
     }
     out
   }
 
-  /** A *_list message: {repeated val = 1}. Length-delimited elements
-    * (bytes/string) are never packed. */
-  private def decodeRepeated[A](msg: Reader, isLen: Boolean)(one: Reader => A): Seq[A] = {
+  /** A *_list message of length-delimited elements (bytes/string —
+    * never packed): {repeated val = 1}. */
+  private def decodeRepeated[A](msg: Reader)(one: Reader => A): Seq[A] = {
     val buf = Vector.newBuilder[A]
     while (msg.hasNext) {
       val (f, wt) = msg.readTag()
@@ -150,22 +162,11 @@ object FeastProto {
     buf.result()
   }
 
-  /** Numeric repeated field: packed (field 1, WtLen, concatenated) or
-    * unpacked (one varint per tag). */
+  /** A numeric *_list message: packed (field 1, WtLen, concatenated
+    * elements — the proto3 default) or unpacked (one element per tag).
+    * The element reader's own width handling covers both varint and
+    * fixed-size elements. */
   private def decodePackedOrRepeated[A](msg: Reader)(one: Reader => A): Seq[A] = {
-    val buf = Vector.newBuilder[A]
-    while (msg.hasNext) {
-      val (f, wt) = msg.readTag()
-      if (f == 1 && wt == WtLen) {
-        val packed = msg.readLenReader()
-        while (packed.hasNext) buf += one(packed)
-      } else if (f == 1) buf += one(msg)
-      else msg.skip(wt)
-    }
-    buf.result()
-  }
-
-  private def decodePackedFixed[A](msg: Reader, width: Int)(one: Reader => A): Seq[A] = {
     val buf = Vector.newBuilder[A]
     while (msg.hasNext) {
       val (f, wt) = msg.readTag()

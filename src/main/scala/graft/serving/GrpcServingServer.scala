@@ -50,6 +50,11 @@ class GrpcServingServer(fs: FeatureStore, port: Int = 0, version: String = "graf
 
   private val boss = new NioEventLoopGroup(1)
   private val workers = new NioEventLoopGroup(2)
+  // Store calls run OFF the event loop: a slow online read (file/Spark
+  // backed stores) must not stall every connection sharing the loop —
+  // the same reason the HTTP ServingServer dispatches to an executor.
+  // Responses are written back on the channel's own event loop.
+  private val dispatchPool = java.util.concurrent.Executors.newFixedThreadPool(4)
 
   private val bootstrap = new ServerBootstrap()
     .group(boss, workers)
@@ -76,8 +81,24 @@ class GrpcServingServer(fs: FeatureStore, port: Int = 0, version: String = "graf
                 buf.readBytes(bytes)
                 st.body.write(bytes)
               }
+              // replenish the flow-control window for the consumed
+              // bytes: Http2FrameCodec's onDataRead consumes NOTHING
+              // itself, so without this update a connection that has
+              // carried >64 KB of request DATA stalls forever — a
+              // compliant client stops sending at window 0 (review r7)
+              val consumed = d.initialFlowControlledBytes()
+              if (consumed > 0)
+                ctx.writeAndFlush(
+                  new DefaultHttp2WindowUpdateFrame(consumed).stream(d.stream()))
+              val end = d.isEndStream
               d.release()
-              if (d.isEndStream) complete(ctx, d.stream(), streams.remove(id))
+              if (end) complete(ctx, d.stream(), streams.remove(id))
+            case r: Http2ResetFrame =>
+              // cancelled call (deadline exceeded / client RST): drop
+              // the buffered request or its state leaks for the
+              // connection's lifetime (review r7)
+              streams.remove(Integer.valueOf(r.stream().id()))
+              ()
             case other: Http2SettingsFrame => () // codec handles the ack
             case other => ctx.fireChannelRead(other)
           }
@@ -85,38 +106,44 @@ class GrpcServingServer(fs: FeatureStore, port: Int = 0, version: String = "graf
           private def complete(ctx: ChannelHandlerContext, stream: Http2FrameStream,
               st: StreamState): Unit = {
             if (st == null) return
-            try {
-              val reply = dispatch(st.path, grpcUnframe(st.body.toByteArray))
-              val headers = new DefaultHttp2Headers()
-                .status("200")
-              headers.set("content-type", "application/grpc")
-              ctx.write(new DefaultHttp2HeadersFrame(headers).stream(stream))
-              ctx.write(new DefaultHttp2DataFrame(
-                Unpooled.wrappedBuffer(grpcFrame(reply)), false).stream(stream))
-              val trailers = new DefaultHttp2Headers()
-              trailers.set("grpc-status", "0")
-              ctx.writeAndFlush(new DefaultHttp2HeadersFrame(trailers, true).stream(stream))
-            } catch {
-              case Unimplemented(m) => trailerOnly(ctx, stream, 12, s"unknown method $m")
-              case e @ (_: IllegalArgumentException | _: NoSuchElementException |
-                        _: ClassCastException | _: scala.MatchError) =>
-                trailerOnly(ctx, stream, 3,
-                  Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
-              case e: Exception =>
-                trailerOnly(ctx, stream, 13,
-                  Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+            // store call off the event loop; frames written back ON it
+            // (netty requires channel writes from the channel's loop)
+            dispatchPool.execute { () =>
+              val result: Either[(Int, String), Array[Byte]] =
+                try Right(dispatch(st.path, grpcUnframe(st.body.toByteArray)))
+                catch {
+                  case Unimplemented(m) => Left((12, s"unknown method $m"))
+                  case e @ (_: IllegalArgumentException | _: NoSuchElementException |
+                            _: ClassCastException | _: scala.MatchError) =>
+                    Left((3, Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+                  case e: Exception =>
+                    Left((13, Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+                }
+              ctx.channel().eventLoop().execute { () =>
+                result match {
+                  case Right(reply) =>
+                    val headers = new DefaultHttp2Headers().status("200")
+                    headers.set("content-type", "application/grpc")
+                    ctx.write(new DefaultHttp2HeadersFrame(headers).stream(stream))
+                    ctx.write(new DefaultHttp2DataFrame(
+                      Unpooled.wrappedBuffer(grpcFrame(reply)), false).stream(stream))
+                    val trailers = new DefaultHttp2Headers()
+                    trailers.set("grpc-status", "0")
+                    ctx.writeAndFlush(
+                      new DefaultHttp2HeadersFrame(trailers, true).stream(stream))
+                    ()
+                  case Left((status, message)) =>
+                    // trailers-only response: one HEADERS frame with
+                    // :status, grpc-status, grpc-message, END_STREAM
+                    val h = new DefaultHttp2Headers().status("200")
+                    h.set("content-type", "application/grpc")
+                    h.set("grpc-status", status.toString)
+                    h.set("grpc-message", grpcMessageEncode(message))
+                    ctx.writeAndFlush(new DefaultHttp2HeadersFrame(h, true).stream(stream))
+                    ()
+                }
+              }
             }
-          }
-
-          private def trailerOnly(ctx: ChannelHandlerContext, stream: Http2FrameStream,
-              status: Int, message: String): Unit = {
-            // trailers-only response: one HEADERS frame with :status,
-            // grpc-status and grpc-message, END_STREAM set
-            val h = new DefaultHttp2Headers().status("200")
-            h.set("content-type", "application/grpc")
-            h.set("grpc-status", status.toString)
-            h.set("grpc-message", java.net.URLEncoder.encode(message, "UTF-8"))
-            ctx.writeAndFlush(new DefaultHttp2HeadersFrame(h, true).stream(stream))
           }
         })
       }
@@ -131,7 +158,22 @@ class GrpcServingServer(fs: FeatureStore, port: Int = 0, version: String = "graf
     bound.close().syncUninterruptibly()
     boss.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS)
     workers.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS)
+    dispatchPool.shutdown()
     ()
+  }
+
+  /** gRPC PROTOCOL-HTTP2 grpc-message encoding: percent-encode %XX for
+    * bytes outside 0x20–0x7E and for '%' itself; printable ASCII
+    * (INCLUDING space) stays raw. URLEncoder is wrong here — its '+'
+    * for space is never decoded by gRPC clients (review r7). */
+  private def grpcMessageEncode(s: String): String = {
+    val sb = new StringBuilder
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      val u = b & 0xff
+      if (u >= 0x20 && u <= 0x7e && u != '%') sb.append(u.toChar)
+      else sb.append(f"%%$u%02X")
+    }
+    sb.toString
   }
 
   /** `[flag][len BE][payload]` -> payload (unary: exactly one message;
@@ -142,7 +184,10 @@ class GrpcServingServer(fs: FeatureStore, port: Int = 0, version: String = "graf
     require(bytes(0) == 0, "compressed gRPC frames are not supported")
     val len = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
       ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
-    require(bytes.length >= 5 + len, "gRPC frame truncated")
+    // strict ==: trailing bytes would mean a second message in a unary
+    // call — reject instead of silently answering from the first
+    require(len >= 0 && bytes.length == 5 + len,
+      s"unary gRPC call carried ${bytes.length - 5} body bytes, frame declares $len")
     java.util.Arrays.copyOfRange(bytes, 5, 5 + len)
   }
 
@@ -189,7 +234,13 @@ class GrpcServingServer(fs: FeatureStore, port: Int = 0, version: String = "graf
         }
         (entityVals ++ featVals, entityStatuses ++ featStatuses)
       }
-      FeastProto.encodeOnlineResponse(out)
+      // encode failures here are SERVER data problems (a stored value
+      // of an unsupported type), not client errors — reclassify so the
+      // catch block's 3-vs-13 split blames the right side
+      try FeastProto.encodeOnlineResponse(out)
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalStateException(s"response encoding failed: ${e.getMessage}", e)
+      }
     case other => throw Unimplemented(other)
   }
 }

@@ -102,17 +102,21 @@ object ProtoWire {
       pos += 4; acc
     }
 
-    /** Length-delimited payload as a sub-reader (no copy). */
+    /** Length-delimited payload as a sub-reader (no copy). The bound
+      * check is `len <= to - pos` (never `pos + len <= to`): a hostile
+      * length varint near Int.MaxValue overflows the sum negative and
+      * would pass the naive check, silently truncating the message
+      * (review r7). */
     def readLenReader(): Reader = {
       val len = readVarint().toInt
-      require(len >= 0 && pos + len <= to, "proto: truncated length-delimited field")
+      require(len >= 0 && len <= to - pos, "proto: truncated length-delimited field")
       val r = new Reader(bytes, pos, pos + len)
       pos += len; r
     }
 
     def readLenBytes(): Array[Byte] = {
       val len = readVarint().toInt
-      require(len >= 0 && pos + len <= to, "proto: truncated length-delimited field")
+      require(len >= 0 && len <= to - pos, "proto: truncated length-delimited field")
       val b = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
       pos += len; b
     }

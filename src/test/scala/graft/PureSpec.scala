@@ -104,6 +104,24 @@ class PureSpec extends AnyFunSuite {
     assert(rt(Seq(0.5f, 2.0f)) === Seq(0.5f, 2.0f)) // packed fixed32
     assert(rt(Seq(true, false)) === Seq(true, false))
     assert(rt(Seq.empty[String]) === Seq.empty)
+    // unix_timestamp_list (field 18) — second-granularity, like the scalar
+    val t1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-03-01 12:30:00")
+    assert(rt(Seq(t1, t2)) === Seq(t1, t2))
+    // mixed Int/Long promotes to Int64List (first-element sniffing used
+    // to truncate the Long through an int32 list — review r7)
+    assert(rt(Seq[Any](1, 5000000000L)) === Seq(1L, 5000000000L))
+    // genuinely mixed types are an error, not a guess
+    intercept[IllegalArgumentException](
+      graft.serving.FeastProto.encodeValue(Seq[Any](1, "a")))
+    // hostile length varint near Int.MaxValue must error, not silently
+    // truncate (overflowing bounds check — review r7)
+    intercept[IllegalArgumentException] {
+      val w = new ProtoWire.Writer
+      w.varintField(0, 0) // dummy to get a writer; craft raw bytes below
+      val evil = Array[Byte](0x12, -1, -1, -1, -1, 0x07) // field 2 LEN, len=0x7FFFFFFF
+      FeastProto.decodeValue(new ProtoWire.Reader(evil))
+    }
   }
 
   test("FeastProto request decoding matches independently-generated protobuf bytes") {

@@ -268,6 +268,26 @@ class ServingSpec extends AnyFunSuite {
       val (bh, _) = grpcCall(server.boundPort,
         "/feast.serving.ServingService/GetOnlineFeaturesV2", badReq)
       assert(bh.get("grpc-status").contains("3"), bh)
+
+      // >64 KB request body: exceeds the HTTP/2 initial flow-control
+      // window, so the call only completes if the server replenishes
+      // consumed bytes with WINDOW_UPDATE frames (review r7 — without
+      // them a compliant client stalls at window 0 forever)
+      val bigReq = FeastProto.encodeOnlineRequest(OnlineRequestMsg(
+        features = Seq(("stats", "conv_rate")),
+        entityRows = (1L to 5000L).map(i =>
+          EntityRowMsg(None, Seq("driver_id" -> i))),
+        project = None))
+      assert(bigReq.length > 70000, s"fixture must exceed the 64KB window, got ${bigReq.length}")
+      val (bigH, bigBody) = grpcCall(server.boundPort,
+        "/feast.serving.ServingService/GetOnlineFeaturesV2", bigReq)
+      assert(bigH.get("grpc-status").contains("0"), bigH)
+      val bigLen = ((bigBody(1) & 0xff) << 24) | ((bigBody(2) & 0xff) << 16) |
+        ((bigBody(3) & 0xff) << 8) | (bigBody(4) & 0xff)
+      val bigRows = FeastProto.decodeOnlineResponse(
+        java.util.Arrays.copyOfRange(bigBody, 5, 5 + bigLen))
+      assert(bigRows.length === 5000)
+      assert(bigRows.head._1("stats:conv_rate") === 0.7)
     } finally {
       server.stop()
       fs.teardown()
