@@ -276,6 +276,94 @@ class EngineSpec extends AnyFunSuite {
     mini.stop()
   }
 
+  test("ReferenceRedisStore: byte-exact reference layout on the wire, full round-trip") {
+    import spark.implicits._
+    def unhex(s: String): Array[Byte] =
+      s.grouped(2).map(java.lang.Integer.parseInt(_, 16).toByte).toArray
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+    // minimal raw RESP exchange (binary-safe) for the byte-level probe
+    def respCmd(port: Int, args: Seq[Array[Byte]]): Vector[Array[Byte]] = {
+      val sock = new java.net.Socket("127.0.0.1", port)
+      try {
+        val o = sock.getOutputStream
+        o.write(s"*${args.length}\r\n".getBytes("UTF-8"))
+        args.foreach { a =>
+          o.write(s"$$${a.length}\r\n".getBytes("UTF-8")); o.write(a); o.write("\r\n".getBytes)
+        }
+        o.flush()
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(sock.getInputStream))
+        def line(): String = {
+          val sb = new StringBuilder
+          var c = in.read()
+          while (c != '\r') { sb.append(c.toChar); c = in.read() }
+          in.read(); sb.toString
+        }
+        assert(in.read().toChar == '*', "expected array reply")
+        val n = line().toInt
+        Vector.fill(n) {
+          assert(in.read().toChar == '$')
+          val len = line().toInt
+          val b = new Array[Byte](len)
+          in.readFully(b); in.read(); in.read()
+          b
+        }
+      } finally sock.close()
+    }
+
+    val mini = new MiniRedis()
+    val store = new graft.online.ReferenceRedisStore("127.0.0.1", mini.port)
+    val fs = new FeatureStore("ref", new Registry(), store, spark)
+    fs.applyEntity(Entity("driver", GraftType.Int64, Some("driver_id")))
+    val et = new java.sql.Timestamp(1704103200L * 1000L) // 2024-01-01 10:00:00 UTC
+    val view = FeatureView("stats", Seq("driver"),
+      Seq(Feature("conv_rate", GraftType.Dbl), Feature("region", GraftType.Str)),
+      Duration.ZERO,
+      DataFrameSource(Seq((1001L, et, 0.7, "us"))
+        .toDF("driver_id", "et", "conv_rate", "region"), "et"))
+    fs.applyFeatureView(view)
+    fs.materialize(Seq("stats"),
+      new java.sql.Timestamp(1704067200000L), new java.sql.Timestamp(1704240000000L))
+
+    // ---- byte level: every key/field/value equals constants computed
+    // by an independent murmur3 + protobuf replay of redis.py/helpers.py
+    val key = unhex("0a0372656612096472697665725f69641a0320e907") // RedisKey proto
+    val flat = respCmd(mini.port, Seq("HGETALL".getBytes("UTF-8"), key))
+    assert(flat.nonEmpty, "the hand-computed RedisKey bytes must address the written hash")
+    val fields = flat.grouped(2).map { case Vector(f, v) => hex(f) -> hex(v) }.toMap
+    def fhex(s: String): String = hex(s.getBytes("UTF-8"))
+    assert(fields(fhex("_ts:stats")) === "08a09acaac06") // Timestamp{1704103200}
+    assert(fields(fhex("_ex:stats")) === "08ff82d1ffaf07") // Timestamp{EX_SECONDS}
+    assert(fields("d5713f9f") === "29666666666666e63f", // _mmh3(stats:conv_rate) -> Value{double 0.7}
+      s"fields were ${fields.keySet}")
+    assert(fields("5b304fa4") === "12027573") // _mmh3(stats:region) -> Value{string "us"}
+
+    // ---- round-trip through the engine's own serving path
+    val resp = fs.getOnlineFeatures(Seq("stats:conv_rate", "stats:region"),
+      Seq(Map[String, Any]("driver_id" -> 1001L), Map[String, Any]("driver_id" -> 7L)))
+    assert(resp.toMap("stats:conv_rate") === Seq(0.7, null))
+    assert(resp.statuses("stats:region") === Seq("PRESENT", "NOT_FOUND"))
+
+    // ---- write semantics are the REFERENCE's: unconditional overwrite
+    // (no staleness probe — redis.py:155-166), unlike RedisOnlineStore
+    store.upsert("ref", fs.registry.getFeatureView("stats"), Seq("driver_id"),
+      Seq((1001L, new java.sql.Timestamp(1703500000000L), 0.1, "de"))
+        .toDF("driver_id", "et", "conv_rate", "region"), "et", None)
+    val after = store.read("ref", fs.registry.getFeatureView("stats"), Seq("driver_id"),
+      Seq(Seq("driver_id" -> (1001L: Any))), Seq("conv_rate"))
+    assert(after.head._2("conv_rate").value === 0.1,
+      "reference semantics: an older write still overwrites")
+
+    store.delete("ref", fs.registry.getFeatureView("stats"), Seq("driver_id"),
+      Seq(1001L).toDF("driver_id"))
+    assert(store.read("ref", fs.registry.getFeatureView("stats"), Seq("driver_id"),
+      Seq(Seq("driver_id" -> (1001L: Any))), Seq("conv_rate"))
+      .head._2("conv_rate").value == null)
+    fs.teardown()
+    assert(mini.keyCount === 0, "teardown must remove every project key")
+    mini.stop()
+  }
+
   test("SkewJoin.salted equals the plain join (hot key, dup rows, inner + left); salt in the join key") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

@@ -2,7 +2,7 @@ package graft
 
 import java.io.{BufferedInputStream, BufferedOutputStream, InputStream, OutputStream}
 import java.net.{ServerSocket, Socket}
-import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
 import java.util.concurrent.ConcurrentHashMap
 
 import scala.jdk.CollectionConverters._
@@ -12,8 +12,10 @@ import scala.jdk.CollectionConverters._
   * ConcurrentHashMap of hashes behind the exact wire protocol the
   * client speaks. Supports HSET / HGET / HDEL / HGETALL / DEL / SCAN / PING —
   * the store's full command surface. Binary-safe values; keys and
-  * fields are treated as UTF-8 strings (the store's keys are ASCII hex
-  * paths). SCAN is single-shot (returns cursor 0 with every match) —
+  * fields are mapped through ISO-8859-1 (bijective byte<->char, so
+  * BINARY keys/fields — e.g. the reference layout's protobuf RedisKey
+  * and mmh3 field names — never collide through UTF-8 replacement
+  * chars). SCAN is single-shot (returns cursor 0 with every match) —
   * the cursor contract's degenerate but valid form. Test scope only.
   */
 final class MiniRedis {
@@ -84,37 +86,37 @@ final class MiniRedis {
         cmd match {
           case "PING" => out.write("+PONG\r\n".getBytes(UTF_8))
           case "HSET" =>
-            val k = new String(args(1), UTF_8)
+            val k = new String(args(1), ISO_8859_1)
             val h = data.computeIfAbsent(k, _ => new ConcurrentHashMap())
             var added = 0L
             args.drop(2).grouped(2).foreach { case Seq(f, v) =>
-              if (h.put(new String(f, UTF_8), v) == null) added += 1
+              if (h.put(new String(f, ISO_8859_1), v) == null) added += 1
             }
             out.write(s":$added\r\n".getBytes(UTF_8))
           case "HGET" =>
-            val h = data.get(new String(args(1), UTF_8))
-            bulk(out, if (h == null) null else h.get(new String(args(2), UTF_8)))
+            val h = data.get(new String(args(1), ISO_8859_1))
+            bulk(out, if (h == null) null else h.get(new String(args(2), ISO_8859_1)))
           case "HGETALL" =>
-            val h = data.get(new String(args(1), UTF_8))
+            val h = data.get(new String(args(1), ISO_8859_1))
             if (h == null) out.write("*0\r\n".getBytes(UTF_8))
             else {
               val entries = h.asScala.toVector
               out.write(s"*${entries.size * 2}\r\n".getBytes(UTF_8))
               entries.foreach { case (f, v) =>
-                bulk(out, f.getBytes(UTF_8)); bulk(out, v)
+                bulk(out, f.getBytes(ISO_8859_1)); bulk(out, v)
               }
             }
           case "HDEL" =>
-            val h = data.get(new String(args(1), UTF_8))
+            val h = data.get(new String(args(1), ISO_8859_1))
             var n = 0L
             if (h != null) args.drop(2).foreach { f =>
-              if (h.remove(new String(f, UTF_8)) != null) n += 1
+              if (h.remove(new String(f, ISO_8859_1)) != null) n += 1
             }
             out.write(s":$n\r\n".getBytes(UTF_8))
           case "DEL" =>
             var n = 0L
             args.drop(1).foreach { k =>
-              if (data.remove(new String(k, UTF_8)) != null) n += 1
+              if (data.remove(new String(k, ISO_8859_1)) != null) n += 1
             }
             out.write(s":$n\r\n".getBytes(UTF_8))
           case "SCAN" =>
@@ -130,7 +132,7 @@ final class MiniRedis {
             out.write("*2\r\n".getBytes(UTF_8))
             bulk(out, "0".getBytes(UTF_8))
             out.write(s"*${ks.size}\r\n".getBytes(UTF_8))
-            ks.foreach(k => bulk(out, k.getBytes(UTF_8)))
+            ks.foreach(k => bulk(out, k.getBytes(ISO_8859_1)))
           case other =>
             out.write(s"-ERR unknown command '$other'\r\n".getBytes(UTF_8))
         }
