@@ -29,8 +29,8 @@ import graft.serving.{FeastProto, ProtoWire}
   *
   * Write semantics are the reference's own: UNCONDITIONAL overwrite
   * per entity key (redis.py:155-166 performs no staleness probe) —
-  * within one upsert the caller-side latest-per-key reduction
-  * (`wantsPreReduced`) collapses duplicates, across upserts the last
+  * within one upsert the internal latest-per-key reduction collapses
+  * duplicates before any round-trip, across upserts the last
   * writer wins by arrival, exactly as the reference behaves. Callers
   * needing cross-batch (ts, created) LWW use [[RedisOnlineStore]];
   * this adapter's contract is byte compatibility, not a stronger one.
@@ -44,11 +44,13 @@ class ReferenceRedisStore(
     writeParallelism: Int = 4) extends OnlineStore {
   import RespClient._
 
-  private def tsProto(seconds: Long): Array[Byte] = {
-    val w = new ProtoWire.Writer
-    if (seconds != 0) w.varintField(1, seconds)
-    w.toBytes
-  }
+  /** upsert reduces internally before any round-trip (same policy as
+    * [[RedisOnlineStore]]) — a caller-side PullLatest would just
+    * duplicate the exchange on every materialize / micro-batch. */
+  override def wantsPreReduced: Boolean = false
+
+  private def tsProto(seconds: Long): Array[Byte] =
+    FeastProto.encodeTimestamp(seconds).toBytes
 
   private def tsField(view: String): Array[Byte] = s"_ts:$view".getBytes(UTF_8)
   private def exField(view: String): Array[Byte] = s"_ex:$view".getBytes(UTF_8)
@@ -68,6 +70,14 @@ class ReferenceRedisStore(
       .repartition(math.max(1, writeParallelism), joinKeys.map(col): _*)
       .foreachPartition { (rows: Iterator[Row]) =>
         if (rows.nonEmpty) {
+          // row-invariant bytes hoisted out of the row loop: field
+          // names, the _ex sentinel, and the HSET verb never change
+          val hset = "HSET".getBytes(UTF_8)
+          val tsF = tsField(viewName)
+          val exF = exField(viewName)
+          val exV = tsProto(ExSeconds)
+          val featFields = featNames.map(f =>
+            f -> EntityKeyCodec.referenceFeatureFieldName(viewName, f))
           val client = new RespClient(h, p)
           try rows.grouped(batch).foreach { group =>
             var sent = 0
@@ -76,15 +86,15 @@ class ReferenceRedisStore(
               val key = EntityKeyCodec.referenceRedisKey(project, kvs)
               val et = r.getAs[Timestamp](ts)
               val fields = Seq.newBuilder[Array[Byte]]
-              fields += tsField(viewName)
+              fields += tsF
               fields += tsProto(if (et == null) 0L else et.getTime / 1000L)
-              fields += exField(viewName)
-              fields += tsProto(ExSeconds)
-              featNames.foreach { f =>
-                fields += EntityKeyCodec.referenceFeatureFieldName(viewName, f)
+              fields += exF
+              fields += exV
+              featFields.foreach { case (f, name) =>
+                fields += name
                 fields += FeastProto.encodeValue(r.getAs[Any](f)).toBytes
               }
-              client.send(Array("HSET".getBytes(UTF_8), key) ++ fields.result())
+              client.send(Array(hset, key) ++ fields.result())
               sent += 1
             }
             client.flush()
@@ -102,6 +112,12 @@ class ReferenceRedisStore(
     try {
       ks.foreach(k => client.send(Seq("HGETALL".getBytes(UTF_8), k)))
       client.flush()
+      // per-call invariants: one murmur3 per FEATURE, not per
+      // (entity key, feature) — this is the ms-latency path
+      val tsName = new String(tsField(view.name), ISO_8859_1)
+      val featNames = features.map(f =>
+        f -> new String(
+          EntityKeyCodec.referenceFeatureFieldName(view.name, f), ISO_8859_1))
       ks.map { _ =>
         client.readReply() match {
           case Arr(items) if items != null && items.nonEmpty =>
@@ -109,20 +125,11 @@ class ReferenceRedisStore(
             val fields = items.grouped(2).collect {
               case Vector(Bulk(f), Bulk(v)) => new String(f, ISO_8859_1) -> v
             }.toMap
-            val tsOpt = fields.get(new String(tsField(view.name), ISO_8859_1))
-              .flatMap { b =>
-                val r = new ProtoWire.Reader(b)
-                var secs = 0L
-                while (r.hasNext) {
-                  val (f, wt) = r.readTag()
-                  if (f == 1 && wt == ProtoWire.WtVarint) secs = r.readVarint()
-                  else r.skip(wt)
-                }
-                if (secs == 0) None else Some(new Timestamp(secs * 1000L))
-              }
-            (tsOpt, features.map { f =>
-              val name = new String(
-                EntityKeyCodec.referenceFeatureFieldName(view.name, f), ISO_8859_1)
+            val tsOpt = fields.get(tsName).flatMap { b =>
+              val secs = FeastProto.decodeTimestampSeconds(new ProtoWire.Reader(b))
+              if (secs == 0) None else Some(new Timestamp(secs * 1000L))
+            }
+            (tsOpt, featNames.map { case (f, name) =>
               val v = fields.get(name)
                 .map(b => FeastProto.decodeValue(new ProtoWire.Reader(b))).orNull
               f -> (if (v != null) FeatureValue(v, FeatureStatus.Present)
@@ -162,12 +169,25 @@ class ReferenceRedisStore(
   }
 
   def teardown(project: String, views: Seq[FeatureView]): Unit = {
-    // RedisKey proto keys all start with lenField(1, project): match by
-    // that binary prefix over a cursor SCAN (client-side filter — the
-    // prefix is binary, glob-escaping it is not worth the trip saved)
+    // Teardown is scoped to the GIVEN views, like every other store:
+    // the hash keys of this layout are SHARED across views (one hash
+    // per entity key, fields namespaced by view), so DELing whole keys
+    // would destroy sibling views' serving data. Instead HDEL each
+    // view's own fields (_ts/_ex + its mmh3 feature names); Redis
+    // removes a hash key when its last field goes, so tearing down
+    // every view of a project leaves no keys. Candidate keys come from
+    // a cursor SCAN filtered client-side by the project's RedisKey
+    // prefix (the length-prefix byte makes project-name prefixes
+    // collision-safe; the prefix is binary, so glob-escaping it is not
+    // worth the trip saved).
     val prefixW = new ProtoWire.Writer
     prefixW.stringField(1, project)
     val prefix = new String(prefixW.toBytes, ISO_8859_1)
+    val hdel = "HDEL".getBytes(UTF_8)
+    val viewFields: Seq[Array[Byte]] = views.flatMap { v =>
+      tsField(v.name) +: exField(v.name) +:
+        v.featureNames.map(f => EntityKeyCodec.referenceFeatureFieldName(v.name, f))
+    }
     val client = new RespClient(host, port)
     try {
       var cursor = "0"
@@ -183,10 +203,10 @@ class ReferenceRedisStore(
             val mine = ks.collect {
               case Bulk(k) if new String(k, ISO_8859_1).startsWith(prefix) => k
             }
-            if (mine.nonEmpty) {
-              client.send("DEL".getBytes(UTF_8) +: mine)
+            if (mine.nonEmpty && viewFields.nonEmpty) {
+              mine.foreach(k => client.send(hdel +: k +: viewFields))
               client.flush()
-              client.readReply()
+              mine.foreach(_ => client.readReply())
             }
           case other => throw new IllegalStateException(s"SCAN: $other")
         }

@@ -179,6 +179,27 @@ object FeastProto {
     buf.result()
   }
 
+  // ---- google.protobuf.Timestamp ----------------------------------
+
+  /** `Timestamp{seconds=1}` (nanos unused across the serving surface).
+    * ONE definition — the request codec and the reference-layout Redis
+    * store both speak it, and byte-layout definitions must not exist
+    * twice (review r7). */
+  def encodeTimestamp(seconds: Long): Writer = {
+    val w = new Writer
+    if (seconds != 0) w.varintField(1, seconds)
+    w
+  }
+
+  def decodeTimestampSeconds(r: Reader): Long = {
+    var secs = 0L
+    while (r.hasNext) {
+      val (f, wt) = r.readTag()
+      if (f == 1 && wt == WtVarint) secs = r.readVarint() else r.skip(wt)
+    }
+    secs
+  }
+
   // ---- GetOnlineFeaturesRequestV2 ---------------------------------
 
   final case class EntityRowMsg(tsSeconds: Option[Long], fields: Seq[(String, Any)])
@@ -212,13 +233,7 @@ object FeastProto {
           while (m.hasNext) {
             val (f, w0) = m.readTag()
             if (f == 1 && w0 == WtLen) { // google.protobuf.Timestamp
-              val t = m.readLenReader()
-              var secs = 0L
-              while (t.hasNext) {
-                val (tf, tw) = t.readTag()
-                if (tf == 1 && tw == WtVarint) secs = t.readVarint() else t.skip(tw)
-              }
-              ts = Some(secs)
+              ts = Some(decodeTimestampSeconds(m.readLenReader()))
             } else if (f == 2 && w0 == WtLen) { // map entry {key=1, value=2:Value}
               val e = m.readLenReader()
               var k = ""; var v: Any = null
@@ -335,11 +350,7 @@ object FeastProto {
     val w = new Writer
     req.entityRows.foreach { row =>
       val m = new Writer
-      row.tsSeconds.foreach { s =>
-        val t = new Writer
-        if (s != 0) t.varintField(1, s)
-        m.msgField(1, t)
-      }
+      row.tsSeconds.foreach(s => m.msgField(1, encodeTimestamp(s)))
       row.fields.foreach { case (k, v) =>
         val e = new Writer
         e.stringField(1, k)

@@ -359,8 +359,31 @@ class EngineSpec extends AnyFunSuite {
     assert(store.read("ref", fs.registry.getFeatureView("stats"), Seq("driver_id"),
       Seq(Seq("driver_id" -> (1001L: Any))), Seq("conv_rate"))
       .head._2("conv_rate").value == null)
+
+    // ---- teardown is VIEW-scoped: this layout shares one hash per
+    // entity across views, so tearing down one view must not destroy a
+    // sibling view's fields in the same hash (review r7)
+    val view2 = FeatureView("stats2", Seq("driver"),
+      Seq(Feature("score", GraftType.Dbl)), Duration.ZERO,
+      DataFrameSource(Seq((5L, et, 1.5))
+        .toDF("driver_id", "et", "score"), "et"))
+    fs.applyFeatureView(view2)
+    store.upsert("ref", fs.registry.getFeatureView("stats"), Seq("driver_id"),
+      Seq((5L, et, 0.4, "fr")).toDF("driver_id", "et", "conv_rate", "region"), "et", None)
+    store.upsert("ref", fs.registry.getFeatureView("stats2"), Seq("driver_id"),
+      Seq((5L, et, 1.5)).toDF("driver_id", "et", "score"), "et", None)
+    store.teardown("ref", Seq(fs.registry.getFeatureView("stats")))
+    val surviving = store.read("ref", fs.registry.getFeatureView("stats2"),
+      Seq("driver_id"), Seq(Seq("driver_id" -> (5L: Any))), Seq("score"))
+    assert(surviving.head._2("score").value === 1.5,
+      "sibling view's fields must survive a scoped teardown")
+    assert(store.read("ref", fs.registry.getFeatureView("stats"), Seq("driver_id"),
+      Seq(Seq("driver_id" -> (5L: Any))), Seq("conv_rate"))
+      .head._2("conv_rate").value == null, "torn-down view's fields are gone")
+    store.teardown("ref", Seq(fs.registry.getFeatureView("stats2")))
     fs.teardown()
-    assert(mini.keyCount === 0, "teardown must remove every project key")
+    assert(mini.keyCount === 0,
+      "tearing down every view must leave no keys (empty hashes vanish)")
     mini.stop()
   }
 

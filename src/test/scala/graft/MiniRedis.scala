@@ -107,10 +107,15 @@ final class MiniRedis {
               }
             }
           case "HDEL" =>
-            val h = data.get(new String(args(1), ISO_8859_1))
+            val k = new String(args(1), ISO_8859_1)
+            val h = data.get(k)
             var n = 0L
-            if (h != null) args.drop(2).foreach { f =>
-              if (h.remove(new String(f, ISO_8859_1)) != null) n += 1
+            if (h != null) {
+              args.drop(2).foreach { f =>
+                if (h.remove(new String(f, ISO_8859_1)) != null) n += 1
+              }
+              // real Redis removes a hash key when its last field goes
+              if (h.isEmpty) data.remove(k)
             }
             out.write(s":$n\r\n".getBytes(UTF_8))
           case "DEL" =>
