@@ -162,6 +162,42 @@ class PureSpec extends AnyFunSuite {
     assert(dl === Seq(1.5, -0.5))
   }
 
+  test("registry lock: stale locks break atomically, fresh locks block until released (review r7)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock")
+    val p = s"$dir/registry.json"
+    val lockFile = new java.io.File(p + ".lock")
+
+    // a STALE lock (older than lockStaleMs=30s) from a crashed holder
+    // must be broken by the rename-to-tombstone path, the mutation must
+    // proceed, and no .lock.breaking-* tombstone may be left behind
+    assert(lockFile.createNewFile())
+    assert(lockFile.setLastModified(System.currentTimeMillis() - 60000L))
+    val reg = new Registry(Some(p))
+    reg.applyEntity(Entity("user", GraftType.Int64, Some("user_id")))
+    assert(reg.listEntities.map(_.name) === Seq("user"))
+    assert(!lockFile.exists(), "released after the mutation")
+    val leftovers = new java.io.File(dir.toString).listFiles()
+      .map(_.getName).filter(_.contains(".lock."))
+    assert(leftovers.isEmpty, s"no tombstone leftovers: ${leftovers.toSeq}")
+
+    // a FRESH foreign lock must BLOCK the mutation until its holder
+    // releases — never be stolen
+    assert(lockFile.createNewFile()) // fresh mtime = live holder
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => {
+      reg.applyEntity(Entity("order", GraftType.Int64, Some("o_id")))
+      done.countDown()
+    })
+    t.start()
+    assert(!done.await(600, java.util.concurrent.TimeUnit.MILLISECONDS),
+      "a fresh foreign lock must hold the mutation off")
+    assert(lockFile.delete()) // the holder releases
+    assert(done.await(10, java.util.concurrent.TimeUnit.SECONDS),
+      "the blocked mutation must complete once the lock frees")
+    assert(reg.listEntities.map(_.name) === Seq("order", "user"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir.toString))
+  }
+
   test("Json round-trip") {
     val doc = """{"a":[1,2.5,"x\ny",true,null],"b":{"c":-3e2},"d":""}"""
     val parsed = Json.parse(doc)
