@@ -533,6 +533,46 @@ class PropertySpec extends AnyFunSuite {
     runCheck(prop, minTests = 30)
   }
 
+  test("bounded_collect agrees with collect_list-then-filter on arbitrary inputs (ScalaCheck)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gen = for {
+      nGroups <- Gen.choose(1, 12)
+      nRows <- Gen.choose(0, 300)
+      cap <- Gen.choose(1, 8)
+      withNulls <- Gen.oneOf(true, false)
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (nGroups, nRows, cap, withNulls, seed)
+    val prop = Prop.forAllNoShrink(gen) { case (nGroups, nRows, cap, withNulls, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until nRows).map { i =>
+        val v: Option[Long] =
+          if (withNulls && rnd.nextInt(5) == 0) None else Some(rnd.nextInt(50).toLong)
+        (s"g${rnd.nextInt(nGroups)}", v)
+      }
+      val df = rows.toDF("k", "v").repartition(3)
+      val got = df.groupBy("k")
+        .agg(graft.functions.BoundedCollect.column(col("v"), cap).as("xs"))
+        .select(col("k"), array_sort(col("xs")).as("xs"))
+        .collect().map(r => r.getString(0) -> Option(r.getSeq[Long](1))).toMap
+      val want = rows.groupBy(_._1).map { case (k, grp) =>
+        val vs = grp.flatMap(_._2).sorted
+        k -> (if (vs.length > cap) None else Some(vs))
+      }
+      // groups whose values are ALL null produce an empty (not null)
+      // array, same as collect_list
+      got.keySet == want.keySet && want.forall { case (k, w) =>
+        (got(k), w) match {
+          case (Some(xs), Some(ws)) => xs == ws
+          case (None, None) => true
+          case (Some(xs), None) => false
+          case (None, Some(ws)) => false
+        }
+      }
+    }
+    runCheck(prop, minTests = 25)
+  }
+
   test("pageRank: mass conserved and strictly positive on arbitrary graphs (ScalaCheck)") {
     import spark.implicits._
     val gen = for {
