@@ -153,11 +153,17 @@ class EngineSpec extends AnyFunSuite {
       .withColumn("conv_rate", col("conv_rate").cast("double"))
 
     val mini = new MiniRedis()
+    // 6 stores: the 4 engine-native ones plus the two REFERENCE-layout
+    // interop adapters (their unconditional-overwrite write semantics
+    // still satisfy this suite — its windows never replay stale rows)
     for (store <- Seq(new InMemoryOnlineStore(),
         new ParquetOnlineStore(java.nio.file.Files.createTempDirectory("graftkv").toString),
         new graft.online.JdbcOnlineStore(graft.online.JdbcOnlineStore.derbyUrl(
           java.nio.file.Files.createTempDirectory("graftjdbc").toString + "/db")),
-        new graft.online.RedisOnlineStore("127.0.0.1", mini.port))) {
+        new graft.online.RedisOnlineStore("127.0.0.1", mini.port),
+        new graft.online.ReferenceRedisStore("127.0.0.1", mini.port),
+        new graft.online.ReferenceSqlStore(graft.online.JdbcOnlineStore.derbyUrl(
+          java.nio.file.Files.createTempDirectory("graftrefdb").toString + "/db")))) {
       val fs = new FeatureStore("t", new Registry(), store, spark)
       fs.applyEntity(Entity("driver", GraftType.Int64, Some("driver_id")))
       fs.applyFeatureView(FeatureView("driver_stats", Seq("driver"),
@@ -385,6 +391,67 @@ class EngineSpec extends AnyFunSuite {
     assert(mini.keyCount === 0,
       "tearing down every view must leave no keys (empty hashes vanish)")
     mini.stop()
+  }
+
+  test("ReferenceSqlStore: reference sqlite row layout on Derby, round-trip, delete, teardown") {
+    import spark.implicits._
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+    val db = java.nio.file.Files.createTempDirectory("graftrefsql").toString + "/db"
+    val url = graft.online.JdbcOnlineStore.derbyUrl(db)
+    val store = new graft.online.ReferenceSqlStore(url)
+    val fs = new FeatureStore("ref", new Registry(), store, spark)
+    fs.applyEntity(Entity("driver", GraftType.Int64, Some("driver_id")))
+    val et = new java.sql.Timestamp(1704103200L * 1000L)
+    fs.applyFeatureView(FeatureView("stats", Seq("driver"),
+      Seq(Feature("conv_rate", GraftType.Dbl), Feature("region", GraftType.Str)),
+      Duration.ZERO,
+      DataFrameSource(Seq((1001L, et, 0.7, "us"))
+        .toDF("driver_id", "et", "conv_rate", "region"), "et")))
+    fs.materialize(Seq("stats"),
+      new java.sql.Timestamp(1704067200000L), new java.sql.Timestamp(1704240000000L))
+
+    // ---- raw row level: table name, entity_key bytes, Value protos
+    // against the same independently-computed constants the redis
+    // fixture uses (one row per (entity_key, feature_name))
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "SELECT entity_key, feature_name, value, event_ts FROM ref_stats")
+      val rows = Iterator.continually(rs).takeWhile(_.next())
+        .map(r => (hex(r.getBytes(1)), r.getString(2), hex(r.getBytes(3)))).toList
+      rs.close()
+      val ek = "020000006472697665725f69640400000004000000e9030000"
+      assert(rows.toSet === Set(
+        (ek, "conv_rate", "29666666666666e63f"), // Value{double_val 0.7}
+        (ek, "region", "12027573")))             // Value{string_val "us"}
+    } finally conn.close()
+
+    // ---- round-trip through the engine's serving path
+    val resp = fs.getOnlineFeatures(Seq("stats:conv_rate", "stats:region"),
+      Seq(Map[String, Any]("driver_id" -> 1001L), Map[String, Any]("driver_id" -> 7L)))
+    assert(resp.toMap("stats:conv_rate") === Seq(0.7, null))
+    assert(resp.statuses("stats:region") === Seq("PRESENT", "NOT_FOUND"))
+
+    // ---- reference write semantics: unconditional overwrite
+    store.upsert("ref", fs.registry.getFeatureView("stats"), Seq("driver_id"),
+      Seq((1001L, new java.sql.Timestamp(1703500000000L), 0.1, "de"))
+        .toDF("driver_id", "et", "conv_rate", "region"), "et", None)
+    assert(store.read("ref", fs.registry.getFeatureView("stats"), Seq("driver_id"),
+      Seq(Seq("driver_id" -> (1001L: Any))), Seq("conv_rate"))
+      .head._2("conv_rate").value === 0.1)
+
+    // ---- CDC delete, then teardown DROPs the table
+    store.delete("ref", fs.registry.getFeatureView("stats"), Seq("driver_id"),
+      Seq(1001L).toDF("driver_id"))
+    assert(store.read("ref", fs.registry.getFeatureView("stats"), Seq("driver_id"),
+      Seq(Seq("driver_id" -> (1001L: Any))), Seq("conv_rate"))
+      .head._2("conv_rate").value == null)
+    fs.teardown()
+    val conn2 = java.sql.DriverManager.getConnection(url)
+    try {
+      intercept[java.sql.SQLException](
+        conn2.createStatement().executeQuery("SELECT 1 FROM ref_stats"))
+    } finally conn2.close()
   }
 
   test("SkewJoin.salted equals the plain join (hot key, dup rows, inner + left); salt in the join key") {
