@@ -157,7 +157,9 @@ class JdbcOnlineStore(
 
 object JdbcOnlineStore {
 
-  private val ReadChunk = 100
+  // shared with ReferenceSqlStore (one definition of the JDBC plumbing
+  // — helper drift is how sibling adapters rot; review r7)
+  private[online] val ReadChunk = 100
 
   /** Collision-safe identifier: a sanitized readable prefix plus a
     * 64-bit hash of the RAW (project, view) pair, length-prefixed so no
@@ -182,7 +184,7 @@ object JdbcOnlineStore {
     * executors and point reads on the driver talk to a server store
     * from JVMs with different default timezones. Per-use instance —
     * Calendar is mutable and not thread-safe. */
-  private def utcCalendar(): java.util.Calendar =
+  private[online] def utcCalendar(): java.util.Calendar =
     java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC"))
 
   /** Derby embedded URL for a database directory (`;create=true`). */
@@ -190,14 +192,14 @@ object JdbcOnlineStore {
 
   // Derby 10.15+ registers its driver via the ServiceLoader; forcing the
   // class load here keeps non-ServiceLoader JDBC setups working too.
-  private def withConnection[A](url: String)(f: Connection => A): A = {
+  private[online] def withConnection[A](url: String)(f: Connection => A): A = {
     try Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
     catch { case _: ClassNotFoundException => () }
     val conn = DriverManager.getConnection(url)
     try f(conn) finally conn.close()
   }
 
-  private def isMissingTable(e: SQLException): Boolean =
+  private[online] def isMissingTable(e: SQLException): Boolean =
     e.getSQLState == "42X05" || e.getSQLState == "42Y55"
 
   private def ensureTable(conn: Connection, t: String): Unit =

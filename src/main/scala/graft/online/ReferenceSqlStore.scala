@@ -41,7 +41,7 @@ import graft.serving.{FeastProto, ProtoWire}
   * reference's own (`entity_key BLOB, ... PRIMARY KEY(entity_key,
   * feature_name)`). The in-sandbox database is embedded Derby (the one
   * JDBC engine on Spark's classpath), whose byte-typed indexed column
-  * spells `VARCHAR (1024) FOR BIT DATA`; the STORED BYTES — the
+  * spells `VARCHAR (8192) FOR BIT DATA`; the STORED BYTES — the
   * interop surface — are identical either way and byte-pinned in
   * EngineSpec.
   */
@@ -50,6 +50,7 @@ class ReferenceSqlStore(
     writeBatchSize: Int = 500,
     writeParallelism: Int = 4) extends OnlineStore {
   import ReferenceSqlStore._
+  import JdbcOnlineStore.{utcCalendar, withConnection, isMissingTable, ReadChunk}
 
   /** upsert reduces internally (latestPerKey before any round-trip). */
   override def wantsPreReduced: Boolean = false
@@ -99,13 +100,26 @@ class ReferenceSqlStore(
                     ins.setBytes(3, valBytes)
                     ins.setTimestamp(4, et, utc)
                     ins.setTimestamp(5, ct, utc)
+                    // a concurrent first INSERT of the same (key,
+                    // feature) can win the race: re-run the UPDATE so
+                    // THIS writer's value still lands (last-by-arrival
+                    // means the later statement wins, not "first
+                    // inserter wins" — review r7)
                     try ins.executeUpdate()
-                    catch { case e: SQLException if isDuplicateKey(e) => () }
+                    catch { case e: SQLException if isDuplicateKey(e) =>
+                      upd.executeUpdate(); ()
+                    }
                   }
                 }
               }
               conn.commit()
             }
+          } catch { case e: Throwable =>
+            // roll back before withConnection's close: embedded Derby
+            // refuses to close mid-transaction and that secondary error
+            // would SUPERSEDE the root cause (review r7)
+            try conn.rollback() catch { case _: SQLException => () }
+            throw e
           } finally { upd.close(); ins.close() }
         }
       }
@@ -118,7 +132,7 @@ class ReferenceSqlStore(
     val keyBytes = entityKeys.map(EntityKeyCodec.referenceSerializeEntityKey)
     // ISO-8859-1 keys the byte arrays in a map (byte-bijective)
     def iso(b: Array[Byte]) = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
-    val found: Map[String, (Timestamp, Map[String, Any])] =
+    val found: Map[String, (Option[Timestamp], Map[String, Any])] =
       try withConnection(url) { conn =>
         val utc = utcCalendar()
         keyBytes.map(iso).distinct.grouped(ReadChunk).flatMap { chunk =>
@@ -140,8 +154,12 @@ class ReferenceSqlStore(
               val values = grp.map { case (_, f, vb, _) =>
                 f -> FeastProto.decodeValue(new ProtoWire.Reader(vb))
               }.toMap
-              // max ts for determinism (reference: arbitrary last row)
-              k -> (grp.map(_._4).maxBy(_.getTime), values)
+              // max ts for determinism (reference: arbitrary last row);
+              // null event_ts is valid engine-wide and must not NPE —
+              // an all-null group reads back None (review r7)
+              val tss = grp.map(_._4).filter(_ != null)
+              val tsOpt = if (tss.isEmpty) None else Some(tss.maxBy(_.getTime))
+              k -> (tsOpt, values)
             }
           } finally st.close()
         }.toMap
@@ -151,7 +169,7 @@ class ReferenceSqlStore(
     keyBytes.map { kb =>
       found.get(iso(kb)) match {
         case Some((ts, values)) =>
-          (Some(ts), features.map { f =>
+          (ts, features.map { f =>
             val v = values.getOrElse(f, null)
             f -> (if (v != null) FeatureValue(v, FeatureStatus.Present)
                   else FeatureValue(null, FeatureStatus.NotFound))
@@ -164,7 +182,11 @@ class ReferenceSqlStore(
   }
 
   /** CDC tombstones: the table is per-(project, view), so deleting the
-    * key's rows is exactly the view-scoped delete. */
+    * key's rows is exactly the view-scoped delete. A never-materialized
+    * view is a no-op (the OnlineStore contract — a deletes-only first
+    * CDC batch must not kill the stream), statements batch per
+    * `writeBatchSize`, and parallelism is bounded like the write path
+    * (review r7). */
   override def delete(project: String, view: FeatureView, joinKeys: Seq[String],
       keysDf: DataFrame): Unit = {
     val t = tableId(project, view.name)
@@ -172,18 +194,29 @@ class ReferenceSqlStore(
     val viewName = view.name
     keysDf.select(OnlineStore.guardNullKeys(keys, keys, viewName): _*)
       .distinct()
+      .repartition(math.max(1, writeParallelism), joinKeys.map(col): _*)
       .foreachPartition { (rows: Iterator[Row]) =>
-        if (rows.nonEmpty) withConnection(u) { conn =>
-          conn.setAutoCommit(false)
-          val st = conn.prepareStatement(s"DELETE FROM $t WHERE entity_key = ?")
-          try rows.grouped(batch).foreach { group =>
-            group.foreach { r =>
-              st.setBytes(1, EntityKeyCodec.referenceSerializeEntityKey(
-                keys.map(k => k -> r.getAs[Any](k))))
-              st.executeUpdate()
-            }
-            conn.commit()
-          } finally st.close()
+        if (rows.nonEmpty) {
+          try withConnection(u) { conn =>
+            conn.setAutoCommit(false)
+            val st = conn.prepareStatement(s"DELETE FROM $t WHERE entity_key = ?")
+            try {
+              rows.grouped(batch).foreach { group =>
+                group.foreach { r =>
+                  st.setBytes(1, EntityKeyCodec.referenceSerializeEntityKey(
+                    keys.map(k => k -> r.getAs[Any](k))))
+                  st.addBatch()
+                }
+                st.executeBatch()
+                conn.commit()
+              }
+            } catch { case e: Throwable =>
+              try conn.rollback() catch { case _: SQLException => () }
+              throw e
+            } finally st.close()
+          } catch {
+            case e: SQLException if JdbcOnlineStore.isMissingTable(e) => ()
+          }
         }
       }
   }
@@ -201,25 +234,14 @@ class ReferenceSqlStore(
 
 object ReferenceSqlStore {
 
-  private val ReadChunk = 100
+  // the JDBC plumbing (connections, UTC binds, chunk size, SQLStates)
+  // is JdbcOnlineStore's — ONE definition for both adapters
+  import JdbcOnlineStore.{utcCalendar, withConnection, isMissingTable, ReadChunk}
 
   /** sqlite.py:198-199 `_table_id` — verbatim, including the absence of
     * sanitization: interop means using the reference's names. */
   private[graft] def tableId(project: String, view: String): String =
     s"${project}_$view"
-
-  private def utcCalendar(): java.util.Calendar =
-    java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC"))
-
-  private def withConnection[A](url: String)(f: Connection => A): A = {
-    try Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
-    catch { case _: ClassNotFoundException => () }
-    val conn = DriverManager.getConnection(url)
-    try f(conn) finally conn.close()
-  }
-
-  private def isMissingTable(e: SQLException): Boolean =
-    e.getSQLState == "42X05" || e.getSQLState == "42Y55"
 
   private def isDuplicateKey(e: SQLException): Boolean =
     e.getSQLState == "23505"
@@ -229,11 +251,16 @@ object ReferenceSqlStore {
       val st = conn.createStatement()
       // reference DDL (sqlite.py:180-184) in Derby's dialect: BLOB
       // cannot key/index in Derby, so the byte-typed indexed column is
-      // VARCHAR FOR BIT DATA — the stored bytes are identical
+      // VARCHAR FOR BIT DATA — the stored bytes are identical. 8192 is
+      // the largest declared size whose MAX-length keys Derby still
+      // indexes (probed: 2048/4096 hit the btree page limit, 8192
+      // auto-sizes pages) — far beyond any practical serialized entity
+      // key; the reference's sqlite BLOB is unbounded but 8 KB of join
+      // keys would break its serving long before this column does
       try {
         st.executeUpdate(
           s"""CREATE TABLE $t (
-             |  entity_key VARCHAR (1024) FOR BIT DATA NOT NULL,
+             |  entity_key VARCHAR (8192) FOR BIT DATA NOT NULL,
              |  feature_name VARCHAR (256) NOT NULL,
              |  value BLOB,
              |  event_ts TIMESTAMP,

@@ -440,12 +440,27 @@ class EngineSpec extends AnyFunSuite {
       Seq(Seq("driver_id" -> (1001L: Any))), Seq("conv_rate"))
       .head._2("conv_rate").value === 0.1)
 
+    // ---- null event_ts round-trips as None (engine-wide contract)
+    store.upsert("ref", fs.registry.getFeatureView("stats"), Seq("driver_id"),
+      Seq((77L, Option.empty[java.sql.Timestamp], 0.3, "it"))
+        .toDF("driver_id", "et", "conv_rate", "region"), "et", None)
+    val (nullTs, nullVals) = store.read("ref", fs.registry.getFeatureView("stats"),
+      Seq("driver_id"), Seq(Seq("driver_id" -> (77L: Any))), Seq("conv_rate")).head
+    assert(nullTs.isEmpty && nullVals("conv_rate").value === 0.3)
+
     // ---- CDC delete, then teardown DROPs the table
     store.delete("ref", fs.registry.getFeatureView("stats"), Seq("driver_id"),
-      Seq(1001L).toDF("driver_id"))
+      Seq(1001L, 77L).toDF("driver_id"))
     assert(store.read("ref", fs.registry.getFeatureView("stats"), Seq("driver_id"),
       Seq(Seq("driver_id" -> (1001L: Any))), Seq("conv_rate"))
       .head._2("conv_rate").value == null)
+    // a deletes-only view that never materialized is a NO-OP, not a
+    // missing-table crash (the CDC first-batch contract)
+    fs.applyFeatureView(FeatureView("never_mat", Seq("driver"),
+      Seq(Feature("x", GraftType.Dbl)), Duration.ZERO,
+      DataFrameSource(Seq((1L, et, 1.0)).toDF("driver_id", "et", "x"), "et")))
+    store.delete("ref", fs.registry.getFeatureView("never_mat"), Seq("driver_id"),
+      Seq(1L).toDF("driver_id"))
     fs.teardown()
     val conn2 = java.sql.DriverManager.getConnection(url)
     try {
