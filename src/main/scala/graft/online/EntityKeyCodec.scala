@@ -201,6 +201,24 @@ object EntityKeyCodec {
     Array[Byte](h.toByte, (h >>> 8).toByte, (h >>> 16).toByte, (h >>> 24).toByte)
   }
 
+  /** helpers.py:59-65 `compute_entity_id` — the document id the
+    * reference's DynamoDB/Datastore stores key items by: the raw
+    * 16-byte murmur3 x64_128 digest of the v1-serialized entity key,
+    * hex-encoded. `mmh3.hash_bytes` emits the digest as h1 then h2,
+    * each LITTLE-endian (the canonical C MurmurHash3_x64_128 output
+    * order) — not the big-endian rendering [[entityId]] uses for the
+    * graft-native id. Pinned against an independent Python replay in
+    * PureSpec. */
+  def referenceEntityId(keys: Seq[(String, Any)]): String = {
+    val (h1, h2) = murmur3x64_128(referenceSerializeEntityKey(keys))
+    val sb = new StringBuilder(32)
+    Seq(h1, h2).foreach { h =>
+      var i = 0
+      while (i < 8) { sb.append(f"${(h >>> (8 * i)) & 0xff}%02x"); i += 1 }
+    }
+    sb.toString
+  }
+
   /** helpers.py:40-46 `_redis_key`: the Redis key is the protobuf wire
     * encoding of RedisKey(project=1, entity_names=2, entity_values=3)
     * with values as feast.types.Value oneof fields (bytes_val=1,

@@ -80,6 +80,13 @@ class PureSpec extends AnyFunSuite {
     assert(hex(EntityKeyCodec.referenceRedisKey("test_proj",
       Seq("driver_id" -> 1001L))) ===
       "0a09746573745f70726f6a12096472697665725f69641a0320e907")
+    // compute_entity_id — mmh3.hash_bytes digest hex (h1 LE || h2 LE)
+    // of the v1-serialized key: the DynamoDB/Datastore document id
+    assert(EntityKeyCodec.referenceEntityId(Seq("driver_id" -> 1001L)) ===
+      "4502dfea47294cccf23a78c07a9fb3e5")
+    assert(EntityKeyCodec.referenceEntityId(
+      Seq("zone" -> "sf", "driver_id" -> 7L)) ===
+      "d01768f699de6457fdf41c61089c5ff2")
   }
 
   test("FeastProto Value oneof: every type round-trips the wire") {
