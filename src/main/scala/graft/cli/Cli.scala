@@ -27,6 +27,13 @@ final case class RepoConfig(
     services: Seq[FeatureService])
 
 object RepoConfig {
+  private def jdbcUrlOf(s: JObj, what: String): String =
+    s.get("url").map(_.asInstanceOf[JStr].v)
+      .orElse(s.get("path").map(p =>
+        graft.online.JdbcOnlineStore.derbyUrl(p.asInstanceOf[JStr].v)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$what online store needs a 'url' or 'path'"))
+
   def load(path: String): RepoConfig = {
     val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
     val o = Json.parse(text).asInstanceOf[JObj]
@@ -43,12 +50,19 @@ object RepoConfig {
         case JStr("jdbc") =>
           // "url" for any JDBC server; "path" shorthand for an embedded
           // Derby database dir (the reference's sqlite-store analog)
-          val url = s.get("url").map(_.asInstanceOf[JStr].v)
-            .orElse(s.get("path").map(p =>
-              graft.online.JdbcOnlineStore.derbyUrl(p.asInstanceOf[JStr].v)))
-            .getOrElse(throw new IllegalArgumentException(
-              "jdbc online store needs a 'url' or 'path'"))
-          new graft.online.JdbcOnlineStore(url)
+          new graft.online.JdbcOnlineStore(jdbcUrlOf(s, "jdbc"))
+        case JStr("redis") =>
+          new graft.online.RedisOnlineStore(
+            s.get("host").map(_.asInstanceOf[JStr].v).getOrElse("127.0.0.1"),
+            Json.toLong(s("port")).toInt)
+        // the byte-exact interop layouts — point these at a keyspace /
+        // database a reference deployment populated (or will read)
+        case JStr("reference_redis") =>
+          new graft.online.ReferenceRedisStore(
+            s.get("host").map(_.asInstanceOf[JStr].v).getOrElse("127.0.0.1"),
+            Json.toLong(s("port")).toInt)
+        case JStr("reference_sql") =>
+          new graft.online.ReferenceSqlStore(jdbcUrlOf(s, "reference_sql"))
         case other => throw new IllegalArgumentException(s"unknown online store type $other")
       }
       // a PRESENT but non-object value is a misconfiguration, not a

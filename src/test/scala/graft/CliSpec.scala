@@ -100,6 +100,79 @@ class CliSpec extends AnyFunSuite {
     assert(reg2.listFeatureViews.isEmpty && reg2.listEntities.isEmpty)
   }
 
+  test("repo config wires the reference-layout interop stores (reference_sql, reference_redis)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftcli_ref").toString
+    Seq(
+      (1001L, ts("2024-01-01 10:00:00"), 0.2),
+      (1001L, ts("2024-01-02 10:00:00"), 0.8),
+      (2002L, ts("2024-01-01 12:00:00"), 0.5))
+      .toDF("driver_id", "event_timestamp", "conv_rate")
+      .write.parquet(s"$dir/driver_stats.parquet")
+    def cfgJson(project: String, store: String): String =
+      s"""{
+         |  "project": "$project",
+         |  "registry": "$dir/registry_$project.json",
+         |  "online_store": $store,
+         |  "entities": [
+         |    {"name": "driver", "dtype": "INT64", "join_key": "driver_id", "description": ""}
+         |  ],
+         |  "feature_views": [
+         |    {"name": "driver_hourly_stats", "entities": ["driver"],
+         |     "features": [{"name": "conv_rate", "dtype": "DOUBLE"}],
+         |     "ttl_seconds": 0,
+         |     "batch_source": {"kind": "file", "path": "$dir/driver_stats.parquet",
+         |       "format": "parquet", "event_timestamp_column": "event_timestamp",
+         |       "created_timestamp_column": null, "field_mapping": {},
+         |       "date_partition_column": null},
+         |     "stream_source": null, "online": true}
+         |  ]
+         |}""".stripMargin
+    def drive(cfgPath: String): Unit = {
+      val out = scala.collection.mutable.Buffer[String]()
+      Cli.run(Seq("apply", cfgPath), spark, out.append(_))
+      Cli.run(Seq("materialize", cfgPath, "2024-01-01", "2024-01-03"), spark, out.append(_))
+      val cfg = RepoConfig.load(cfgPath)
+      val fs = new FeatureStore(cfg.project, new Registry(Some(cfg.registryPath)),
+        cfg.onlineStore, spark)
+      val resp = fs.getOnlineFeatures(Seq("driver_hourly_stats:conv_rate"),
+        Seq(Map[String, Any]("driver_id" -> 1001L),
+          Map[String, Any]("driver_id" -> 2002L),
+          Map[String, Any]("driver_id" -> 404L)))
+      assert(resp.toMap("driver_hourly_stats:conv_rate") == Seq(0.8, 0.5, null))
+    }
+
+    // reference_sql: serve through the config, then check the raw rows
+    // are reference-layout (v1 entity_key bytes)
+    val sqlCfg = s"$dir/repo_sql.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(sqlCfg),
+      cfgJson("e2esql",
+        s"""{"type": "reference_sql", "path": "$dir/refdb"}""").getBytes("UTF-8"))
+    drive(sqlCfg)
+    val conn = java.sql.DriverManager.getConnection(
+      graft.online.JdbcOnlineStore.derbyUrl(s"$dir/refdb"))
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "SELECT entity_key FROM e2esql_driver_hourly_stats")
+      val eks = Iterator.continually(rs).takeWhile(_.next())
+        .map(r => r.getBytes(1).map(b => f"${b & 0xff}%02x").mkString).toSet
+      rs.close()
+      assert(eks.contains("020000006472697665725f69640400000004000000e9030000"),
+        s"v1-serialized driver_id=1001 key expected, got $eks")
+    } finally conn.close()
+
+    // reference_redis against the in-process RESP server
+    val mini = new MiniRedis()
+    val redisCfg = s"$dir/repo_redis.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(redisCfg),
+      cfgJson("e2ered",
+        s"""{"type": "reference_redis", "host": "127.0.0.1", "port": ${mini.port}}""")
+        .getBytes("UTF-8"))
+    drive(redisCfg)
+    assert(mini.keyCount > 0)
+    mini.stop()
+  }
+
   test("CLI vacuum + compact maintain a date-partitioned source through the repo config") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftcli_vac").toString
