@@ -170,6 +170,14 @@ class CliSpec extends AnyFunSuite {
         .getBytes("UTF-8"))
     drive(redisCfg)
     assert(mini.keyCount > 0)
+
+    // the engine-native redis store parses from the config too
+    val nativeCfg = s"$dir/repo_redis_native.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(nativeCfg),
+      cfgJson("e2ern",
+        s"""{"type": "redis", "host": "127.0.0.1", "port": ${mini.port}}""")
+        .getBytes("UTF-8"))
+    drive(nativeCfg)
     mini.stop()
   }
 
