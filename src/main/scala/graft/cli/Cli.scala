@@ -365,13 +365,32 @@ object Cli {
         out(if (done.isEmpty) s"$viewName: nothing to compact"
             else done.map { case (p, b, a) => s"$viewName: $p $b -> $a files" }.mkString("\n"))
 
+      case "serve" +: cfgPath +: rest =>
+        // the `feast serve` analog: both serving surfaces over the
+        // repo's online store — HTTP/JSON and the reference's own gRPC
+        // wire (GetOnlineFeaturesV2). Blocks until maxSeconds elapses
+        // (0 / absent = until the process is interrupted); tests pass a
+        // bound and probe the printed ports.
+        val (_, fs) = store(cfgPath)
+        val httpPort = rest.lift(0).map(_.toInt).getOrElse(0)
+        val grpcPort = rest.lift(1).map(_.toInt).getOrElse(0)
+        val maxSeconds = rest.lift(2).map(_.toLong).getOrElse(0L)
+        val http = new graft.serving.ServingServer(fs, httpPort).start()
+        val grpc = new graft.serving.GrpcServingServer(fs, grpcPort)
+        out(s"serving http=${http.boundPort} grpc=${grpc.boundPort}")
+        try {
+          if (maxSeconds > 0) Thread.sleep(maxSeconds * 1000L)
+          else while (true) Thread.sleep(60000L)
+        } catch { case _: InterruptedException => () }
+        finally { http.stop(); grpc.stop() }
+
       case other =>
         throw new IllegalArgumentException(
           s"unknown command '${other.mkString(" ")}'; commands: init, apply, materialize, " +
           "materialize-incremental, backfill <cfg> <start> <end> <chunk-days>, " +
           "expire-online <cfg> <view> <as-of>, entities list, feature-views list, " +
           "registry-dump, teardown, vacuum <cfg> <view> <keep-from-date>, " +
-          "compact <cfg> <view>")
+          "compact <cfg> <view>, serve <cfg> [http-port] [grpc-port] [max-seconds]")
     }
   }
 }

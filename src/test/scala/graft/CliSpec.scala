@@ -181,6 +181,67 @@ class CliSpec extends AnyFunSuite {
     mini.stop()
   }
 
+  test("CLI serve: both serving surfaces come up from the repo config and shut down") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftcli_serve").toString
+    Seq((1001L, ts("2024-01-01 10:00:00"), 0.7))
+      .toDF("driver_id", "event_timestamp", "conv_rate")
+      .write.parquet(s"$dir/driver_stats.parquet")
+    val cfgPath = s"$dir/repo.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(cfgPath),
+      s"""{
+         |  "project": "srvcli",
+         |  "registry": "$dir/registry.json",
+         |  "online_store": {"type": "memory"},
+         |  "entities": [
+         |    {"name": "driver", "dtype": "INT64", "join_key": "driver_id", "description": ""}
+         |  ],
+         |  "feature_views": [
+         |    {"name": "stats", "entities": ["driver"],
+         |     "features": [{"name": "conv_rate", "dtype": "DOUBLE"}],
+         |     "ttl_seconds": 0,
+         |     "batch_source": {"kind": "file", "path": "$dir/driver_stats.parquet",
+         |       "format": "parquet", "event_timestamp_column": "event_timestamp",
+         |       "created_timestamp_column": null, "field_mapping": {},
+         |       "date_partition_column": null},
+         |     "stream_source": null, "online": true}
+         |  ]
+         |}""".stripMargin.getBytes("UTF-8"))
+    val out = scala.collection.mutable.Buffer[String]()
+    Cli.run(Seq("apply", cfgPath), spark, out.append(_))
+    Cli.run(Seq("materialize", cfgPath, "2024-01-01", "2024-01-03"), spark, out.append(_))
+    val served = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val t = new Thread(() =>
+      Cli.run(Seq("serve", cfgPath, "0", "0", "15"), spark, line =>
+        if (line.startsWith("serving ")) served.set(line)))
+    t.start()
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      while (served.get() == null && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val line = served.get()
+      assert(line != null, "serve must announce its ports")
+      val ports = "\\d+".r.findAllIn(line).map(_.toInt).toSeq
+      val Seq(httpPort, grpcPort) = ports
+      // HTTP surface answers with materialized data
+      val client = java.net.http.HttpClient.newHttpClient()
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://localhost:$httpPort/get-online-features"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            """{"features": ["stats:conv_rate"], "entity_rows": [{"driver_id": 1001}]}"""))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200 && resp.body().contains("0.7"), resp.body())
+      // gRPC surface is listening (full wire exercised in ServingSpec)
+      val s = new java.net.Socket("127.0.0.1", grpcPort)
+      s.close()
+    } finally {
+      t.interrupt()
+      t.join(10000)
+      assert(!t.isAlive, "serve must shut down on interrupt")
+    }
+  }
+
   test("CLI vacuum + compact maintain a date-partitioned source through the repo config") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftcli_vac").toString
