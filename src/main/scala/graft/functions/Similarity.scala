@@ -363,34 +363,40 @@ object Similarity {
       // LITERAL path (bounded serving batches): probe the nProbe
       // nearest cells per query by cosine driver-side; anchor position
       // order IS ascending cell-id order, so the (cos desc, position
-      // asc) sort matches the oracle's (c DESC, cell_id ASC) tie-break
-      val probePairs: Seq[(Any, Int)] = qRows.zipWithIndex.toSeq.flatMap {
-        case ((_, qv), qi) =>
+      // asc) sort matches the oracle's (c DESC, cell_id ASC) tie-break.
+      // The per-query LUTs ride the broadcast probe table as DATA
+      // (cell, qid, lut) — scoring is the O(m)-codegen lutAdcColumn
+      // fold, constant in |Q|. (A previous formulation inlined a
+      // coalesce(when(__qi===i, adcColumn(LUT_i literals)))) chain —
+      // O(|Q|·m·c) generated code that blew janino's 64 KB method wall
+      // at |Q|=40, m=4, c=8, forcing the whole probe join stage to run
+      // interpreted. Same doubles, same ascending-s left-associative
+      // fold, so bit-parity with the distributed path is unchanged.)
+      val probeRows: Seq[org.apache.spark.sql.Row] = qRows.toSeq.flatMap {
+        case (qid, qv) =>
+          val lut: Seq[Seq[Double]] = pqLut(qv, anchors, m, subDim).map(_.toSeq).toSeq
           anchors.indices
             .map(i => (dcos(qv, anchors(i)), i))
             .sortBy { case (c, i) => (-c, i) }
-            .take(nProbe).map { case (_, i) => (cellIds(i), qi) }
+            .take(nProbe)
+            .map { case (_, i) => org.apache.spark.sql.Row(cellIds(i), qid, lut) }
       }
       // broadcast (cell -> query) probe join: only PROBED (corpus row ×
       // query) pairs ever materialize — the coarse pruning cuts row
       // processing, not just ADC arithmetic (the ivfTopK shape)
       val probedDf = qSpark.createDataFrame(
-        qSpark.sparkContext.parallelize(
-          probePairs.map { case (c, qi) => org.apache.spark.sql.Row(c, qi) }, 1),
+        qSpark.sparkContext.parallelize(probeRows, 1),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("cell",
             anchorRows.head.schema(0).dataType),
-          org.apache.spark.sql.types.StructField("__qi",
-            org.apache.spark.sql.types.IntegerType))))
-      // per-query qid/ADC resolved by query index: when-chains evaluate
-      // only on the probed pairs the join produced
-      val qidCol = coalesce(qRows.zipWithIndex.map { case ((qid, _), qi) =>
-        when(col("__qi") === qi, lit(qid)) }.toIndexedSeq: _*)
-      val adcCol = coalesce(qRows.zipWithIndex.map { case ((_, qv), qi) =>
-        when(col("__qi") === qi, adcColumn(pqLut(qv, anchors, m, subDim), m))
-      }.toIndexedSeq: _*)
+          org.apache.spark.sql.types.StructField("__qid",
+            queries.schema(qIdCol).dataType),
+          org.apache.spark.sql.types.StructField("__lut",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType))))))
       coded.join(broadcast(probedDf), "cell")
-        .select(qidCol.as("__qid"), col("__cid"), (-adcCol).as("__cos"))
+        .select(col("__qid"), col("__cid"), (-lutAdcColumn(m)).as("__cos"))
     } else {
       // DISTRIBUTED path (corpus-sized query batches — batch scoring):
       // probes AND LUTs computed on executors with plan size

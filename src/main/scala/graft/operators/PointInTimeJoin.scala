@@ -79,18 +79,20 @@ object PointInTimeJoin {
     require(missing.isEmpty,
       s"entity df is missing join key columns: ${missing.mkString(", ")}")
 
-    // Single view with a caller-asserted unique tie-break: run the
-    // custom sort-merge as-of plan ([[graft.plans.AsOfJoin]]) on the
-    // FULL entity row — each side shuffles exactly once, no candidate
-    // rows materialize, no row-id stamp, no winners join-back (measured
-    // ~1.8× faster than the declarative path at sf0.1). The declarative
-    // max_by path remains for everything the merge can't promise:
-    // no tie-break (its payload-max disambiguates duplicate
-    // (key, ts, created) rows deterministically; the merge would take
-    // arrival order), non-timestamp ts columns, and multi-view joins
-    // (whose per-view winner subtrees parallelize better than a chain
-    // of full-width merges — they still delegate the per-view winner
-    // computation below when eligible).
+    // Single view on TimestampType columns: run the custom sort-merge
+    // as-of plan ([[graft.plans.AsOfJoin]]) on the FULL entity row —
+    // each side shuffles exactly once, no candidate rows materialize,
+    // no row-id stamp, no winners join-back (measured ~1.8× faster than
+    // the declarative path at sf0.1). Since r8 the exec's right-side
+    // ordering carries the feature payload suffix, so it reproduces the
+    // declarative max_by(payload, struct(ordCols, payload)) total order
+    // exactly — including on fully-duplicate (key, ts, created,
+    // tiebreak) rows — and no tie-break/uniqueness precondition gates
+    // this route anymore. The declarative path remains for
+    // non-timestamp ts columns and multi-view joins (whose per-view
+    // winner subtrees parallelize better than a chain of full-width
+    // merges — they still delegate the per-view winner computation
+    // below when eligible).
     views match {
       case Seq(vj) if sortMergeEligible(entityDf, vj, entityTsCol) &&
           vj.features.intersect(entityDf.columns).isEmpty =>
@@ -173,17 +175,19 @@ object PointInTimeJoin {
   }
 
   /** True when a view's winner computation can run on the custom
-    * sort-merge as-of plan: the caller passed tie-break columns (its
-    * assertion that (keys, ts, created, tieBreaks) is unique on the
-    * feature side — the merge resolves residual ties by arrival order,
-    * so without that assertion the declarative payload-max path keeps
-    * determinism) and both timestamps are real TimestampType. */
+    * sort-merge as-of plan: both timestamps are real TimestampType.
+    * No tie-break precondition since r8 — the exec sorts the right side
+    * by (keys, ts, ordCols, payload), the same total order the
+    * declarative max_by maximizes, so residual ties resolve identically
+    * on both paths. (Unorderable feature types — maps — would fail the
+    * exec's required sort, but they fail the declarative max_by's
+    * struct ordering the same way, so orderability is not a routing
+    * criterion.) */
   private def sortMergeEligible(
       entity: DataFrame, vj: ViewJoin, entityTsCol: String): Boolean = {
     import org.apache.spark.sql.types.TimestampType
     val tsCol = vj.view.batchSource.eventTimestampColumn
-    vj.tieBreakCols.nonEmpty &&
-      entity.schema(entityTsCol).dataType == TimestampType &&
+    entity.schema(entityTsCol).dataType == TimestampType &&
       vj.featureDf.columns.contains(tsCol) &&
       vj.featureDf.schema(tsCol).dataType == TimestampType
   }

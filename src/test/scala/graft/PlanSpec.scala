@@ -43,20 +43,25 @@ class PlanSpec extends AnyFunSuite {
       s"single-view tie-broken PIT should ride the sort-merge as-of plan:\n$plan")
   }
 
-  test("PIT join declarative fallback (no tie-break): partial max_by, no window") {
+  test("PIT join declarative fallback (date-typed feature ts): partial max_by, no window") {
     import org.apache.spark.sql.functions._
     import java.time.Duration
     import graft.model._
     import graft.operators.PointInTimeJoin
-    // same workload as pitJoinSingle but WITHOUT tieBreakCols — the
-    // payload-max declarative path must keep its partial-agg shape
+    // same workload as pitJoinSingle but with a DATE-typed feature ts —
+    // sort-merge eligibility requires TimestampType on both sides (the
+    // exec compares raw micros), so this must take the declarative
+    // payload-max path and keep its partial-agg shape. (Since r8 the
+    // exec carries the payload tie-break itself, so tie-break presence
+    // no longer routes — only the ts types do.)
     val entity = spark.read.parquet(s"$sfDir/orders.parquet").select(
       col("o_orderkey"), (col("o_orderdate") + expr("INTERVAL 365 DAY")).as("event_timestamp"))
     val src = FileSource(s"$sfDir/lineitem.parquet", eventTimestampColumn = "l_shipdate")
     val view = FeatureView("li", Seq("order"),
       Seq(Feature("l_quantity", GraftType.Dbl)), Duration.ofDays(400), src)
     val feat = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"), col("l_quantity"))
+      .select(col("l_orderkey").as("o_orderkey"),
+        col("l_shipdate").cast("date").as("l_shipdate"), col("l_quantity"))
     val plan = PointInTimeJoin.join(entity,
         Seq(PointInTimeJoin.ViewJoin(view, Seq("o_orderkey"), Seq("l_quantity"), feat)))
       .queryExecution.executedPlan.toString
