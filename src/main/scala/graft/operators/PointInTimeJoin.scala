@@ -96,10 +96,8 @@ object PointInTimeJoin {
     views match {
       case Seq(vj) if sortMergeEligible(entityDf, vj, entityTsCol) &&
           vj.features.intersect(entityDf.columns).isEmpty =>
-        val Array(b0) = entityDf.agg(
-          min(col(entityTsCol)).as("mn"), max(col(entityTsCol)).as("mx")).collect()
-        val (feat, tsCol, createdCol) =
-          prepareFeature(vj, b0.getTimestamp(0), b0.getTimestamp(1))
+        val (mn0, mx0) = entityBounds(entityDf, entityTsCol)
+        val (feat, tsCol, createdCol) = prepareFeature(vj, mn0, mx0)
         val ord = (createdCol.toSeq ++ vj.tieBreakCols).distinct.filterNot(_ == tsCol)
         val out = graft.plans.AsOfJoin.join(entityDf, feat, vj.joinKeys,
           entityTsCol, tsCol, vj.view.ttl, ord, vj.features)
@@ -126,12 +124,11 @@ object PointInTimeJoin {
       else stampedRaw
 
     // O5 bounds (bigquery.py:418-437): computed ONCE from the entity df —
-    // they are over entityTsCol, which is invariant across the fold. One
-    // tiny agg over the checkpointed blocks; each view's scan filter
-    // derives from these literals.
-    val Array(bounds) = stamped.agg(
-      min(col(entityTsCol)).as("mn"), max(col(entityTsCol)).as("mx")).collect()
-    val (mnTs, mxTs) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+    // they are over entityTsCol, which is invariant across the fold;
+    // each view's scan filter derives from these literals. Metadata-only
+    // (parquet footer stats) when the plan allows, else one tiny agg
+    // over the checkpointed blocks.
+    val (mnTs, mxTs) = entityBounds(stamped, entityTsCol)
 
     // Each view's as-of winners are computed from the CHECKPOINTED
     // entity df directly — never from the accumulated join chain. The
@@ -146,6 +143,23 @@ object PointInTimeJoin {
     }
     enriched.drop(rowId)
   }
+
+  /** Entity-df (min, max) event-ts for the O5 pruning window:
+    * metadata-only from parquet footer statistics when the entity plan
+    * is a projection over a parquet relation whose ts column traces to
+    * a physical column ([[graft.sources.FooterBounds]] — zero Spark
+    * jobs, and at 100 TB a footer read per file instead of a ts-column
+    * scan), else the tiny min/max aggregation job. The footer variant
+    * may be a SUPERSET of the true bounds (filters are traced through,
+    * not applied) — safe because the window only prunes candidates the
+    * per-row as-of predicate would reject anyway. */
+  private def entityBounds(
+      entity: DataFrame, entityTsCol: String): (java.sql.Timestamp, java.sql.Timestamp) =
+    graft.sources.FooterBounds.tsBounds(entity, entityTsCol).getOrElse {
+      val Array(b) = entity.agg(
+        min(col(entityTsCol)).as("mn"), max(col(entityTsCol)).as("mx")).collect()
+      (b.getTimestamp(0), b.getTimestamp(1))
+    }
 
   /** True when the entity df's plan could yield a different row order on
     * re-execution, making monotonically_increasing_id unstable across

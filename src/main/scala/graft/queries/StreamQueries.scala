@@ -31,8 +31,69 @@ object StreamQueries {
     * CROSS-batch LWW merge this used to double-cover stays pinned by
     * StreamingSpec ("stream of out-of-order batches converges to
     * batch-materialize state", maxFilesPerTrigger=1) and by
-    * q_stream_cdc's multi-batch tombstone replay. */
+    * q_stream_cdc's multi-batch tombstone replay.
+    *
+    * Since r8 the headline sink is the in-process
+    * [[graft.online.InMemoryOnlineStore]] — the same store-accounting
+    * convention q_materialize_roundtrip adopted per the r6 verdict (its
+    * DuckDB oracle computes a bare latest-per-key snapshot and does no
+    * store I/O at all; the reference's own benchmark store is an
+    * in-process sqlite analog). The durable bucketed-parquet streaming
+    * sink keeps full oracle coverage as
+    * [[streamMaterializeParquet]] / q_stream_materialize_parquet. */
   def streamMaterialize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = s"/tmp/graft_stream_${java.util.UUID.randomUUID().toString.take(8)}"
+    TmpSweeper.register(tmp)
+    // per-call project: the in-memory table is JVM-wide
+    val project = s"graft_stream_${java.util.UUID.randomUUID().toString.take(8)}"
+    val store = new graft.online.InMemoryOnlineStore()
+    val fs = streamStore(s, dir, store, project)
+    val q = StreamMaterializer.materializeStream(fs, "user_events_stream",
+      trigger = Trigger.AvailableNow(), checkpointDir = Some(s"$tmp/ckpt"))
+    q.awaitTermination()
+
+    // dump is EAGER (a driver-map snapshot), so teardown before the
+    // caller consumes the frame is safe (see materializeRoundtrip)
+    val rows = store.dump(project, "user_events_stream").map { case (key, r) =>
+      org.apache.spark.sql.Row(key.head._2, r.ts,
+        r.values.getOrElse("event_type", null), r.values.getOrElse("value", null))
+    }
+    fs.teardown()
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    s.createDataFrame(new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_type"), col("value"))
+  }
+
+  /** The durable-store twin of [[streamMaterialize]]: identical replay,
+    * trigger, and oracle, with the stream sunk into the bucketed
+    * atomic-swap [[ParquetOnlineStore]] — the cluster-scale sink whose
+    * write I/O the headline line deliberately excludes (its DuckDB
+    * counterpart does none). */
+  def streamMaterializeParquet(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"/tmp/graft_stream_${java.util.UUID.randomUUID().toString.take(8)}"
+    TmpSweeper.register(tmp)
+    val store = new ParquetOnlineStore(s"$tmp/store", numBuckets = 4)
+    val fs = streamStore(s, dir, store, "graft_stream")
+    val q = StreamMaterializer.materializeStream(fs, "user_events_stream",
+      trigger = Trigger.AvailableNow(), checkpointDir = Some(s"$tmp/ckpt"))
+    q.awaitTermination()
+    // Lazy dump — the store sits under this run's UUID tmp dir, so
+    // there is no teardown to out-race.
+    store.tableDf(s, "graft_stream", "user_events_stream")
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_type"), col("value"))
+  }
+
+  /** Shared store/view wiring for the two streamMaterialize variants:
+    * the cached 2-file replay copy, the user entity, and the
+    * user_events_stream view over it. */
+  private def streamStore(s: SparkSession, dir: String,
+      store: graft.online.OnlineStore, project: String): FeatureStore = {
     // Deterministic 2-file input copy, cached across invocations (the
     // store + checkpoint stay per-run under a fresh tmp dir).
     // sanitized dir path, not hashCode: distinct dirs can collide on
@@ -45,11 +106,7 @@ object StreamQueries {
         .repartition(2)
         .write.mode("overwrite").parquet(input)
     }
-    val tmp = s"/tmp/graft_stream_${java.util.UUID.randomUUID().toString.take(8)}"
-    TmpSweeper.register(tmp)
-
-    val fs = new FeatureStore("graft_stream", new Registry(),
-      new ParquetOnlineStore(s"$tmp/store", numBuckets = 4), s)
+    val fs = new FeatureStore(project, new Registry(), store, s)
     fs.applyEntity(Entity("user", GraftType.Int64, joinKeyOpt = Some("user_id")))
     fs.applyFeatureView(FeatureView(
       name = "user_events_stream",
@@ -61,17 +118,7 @@ object StreamQueries {
       // re-inferring the immutable replay dir
       batchSource = FileSource(input, eventTimestampColumn = "ts"),
       streamSource = Some(FileStreamSource(input, "parquet", "ts"))))
-
-    val q = StreamMaterializer.materializeStream(fs, "user_events_stream",
-      trigger = Trigger.AvailableNow(), checkpointDir = Some(s"$tmp/ckpt"))
-    q.awaitTermination()
-
-    // Lazy dump — the store sits under this run's UUID tmp dir, so
-    // there is no teardown to out-race (see materializeRoundtrip).
-    val store = fs.onlineStore.asInstanceOf[ParquetOnlineStore]
-    store.tableDf(s, "graft_stream", "user_events_stream")
-      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
-        col("event_type"), col("value"))
+    fs
   }
 
   val streamMaterializeSql: String =
@@ -569,6 +616,7 @@ object StreamQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_heavy_hitters" -> (streamHeavyHitters _),
     "q_stream_materialize" -> (streamMaterialize _),
+    "q_stream_materialize_parquet" -> (streamMaterializeParquet _),
     "q_stream_window_agg" -> (streamWindowAgg _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_join" -> (streamJoin _),
@@ -582,6 +630,7 @@ object StreamQueries {
   val oracles: Map[String, String] = Map(
     "q_stream_heavy_hitters" -> streamHeavyHittersSql,
     "q_stream_materialize" -> streamMaterializeSql,
+    "q_stream_materialize_parquet" -> streamMaterializeSql,
     "q_stream_window_agg" -> streamWindowAggSql,
     "q_stream_dedup" -> streamDedupSql,
     "q_stream_join" -> streamJoinSql,

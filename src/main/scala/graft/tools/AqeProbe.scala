@@ -36,7 +36,12 @@ object AqeProbe {
     def force(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // same warm policy as Bench
+    // Warm mirrors only Bench's table-schema + multiget-store stages —
+    // NOT its full q_agg_pushdown/dedup-pipeline/PIT-shape warms. The
+    // one-time analyzer JIT of the unwarmed shapes lands in each
+    // query's first AQE-ON run; min-of-3 absorbs it in the headline,
+    // but single-run on/off deltas carry that cold-run noise in the ON
+    // arm only.
     Seq("orders", "lineitem", "events", "documents", "embeddings")
       .foreach(t => graft.sources.Tables.read(spark, sfDir, t).schema)
     try force(graft.SparkEntry.queries("q_online_multiget")(spark, sfDir))
@@ -61,8 +66,13 @@ object AqeProbe {
     rows.foreach { case (q, on, off) =>
       println(f"$q%-28s $on%8.3f $off%8.3f  ${on - off}%+.3f")
     }
-    val (ton, toff) = (rows.map(_._2).sum, rows.map(_._3).sum)
-    println(f"TOTAL on=$ton%.3f off=$toff%.3f bestMix=${rows.map(r => math.min(r._2, r._3)).sum}%.3f")
+    // a query whose 3 runs all failed carries the -1.0 sentinel — keep
+    // it visible per-row above but OUT of the totals
+    val ok = rows.filter(r => r._2 >= 0 && r._3 >= 0)
+    if (ok.size < rows.size)
+      System.err.println(s"[probe] ${rows.size - ok.size} queries failed all runs; excluded from totals")
+    val (ton, toff) = (ok.map(_._2).sum, ok.map(_._3).sum)
+    println(f"TOTAL on=$ton%.3f off=$toff%.3f bestMix=${ok.map(r => math.min(r._2, r._3)).sum}%.3f")
     spark.stop()
   }
 }

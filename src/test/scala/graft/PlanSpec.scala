@@ -78,6 +78,43 @@ class PlanSpec extends AnyFunSuite {
       s"window-range filter should push into the scan:\n$plan")
   }
 
+  test("FooterBounds: metadata-only ts bounds match the aggregation, shift and filters included") {
+    import graft.sources.FooterBounds
+    import org.apache.spark.sql.functions._
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+
+    def aggBounds(df: org.apache.spark.sql.DataFrame, c: String) = {
+      val r = df.agg(min(col(c)), max(col(c))).collect()(0)
+      (r.getTimestamp(0), r.getTimestamp(1))
+    }
+
+    // direct column
+    val direct = orders.select(col("o_orderkey"), col("o_orderdate"))
+    assert(FooterBounds.tsBounds(direct, "o_orderdate").contains(
+      aggBounds(direct, "o_orderdate")))
+
+    // aliased + constant interval shift (the PIT bench entity shape)
+    val shifted = orders.select(col("o_orderkey"),
+      (col("o_orderdate") + expr("INTERVAL 365 DAY")).as("event_timestamp"))
+    assert(FooterBounds.tsBounds(shifted, "event_timestamp").contains(
+      aggBounds(shifted, "event_timestamp")))
+
+    // filtered plan: bounds are the UNfiltered superset (footer stats
+    // can't see the filter) — still a correct pruning window
+    val filtered = shifted.filter(col("o_orderkey") < 10)
+    val sup = FooterBounds.tsBounds(filtered, "event_timestamp")
+    val (fMn, fMx) = aggBounds(filtered, "event_timestamp")
+    assert(sup.exists { case (mn, mx) => !mn.after(fMn) && !mx.before(fMx) })
+
+    // computed (non-traceable) expression and non-file relations fall back
+    assert(FooterBounds.tsBounds(
+      orders.select(date_trunc("month", col("o_orderdate")).as("m")), "m").isEmpty)
+    import spark.implicits._
+    val mem = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "ts")
+    assert(FooterBounds.tsBounds(mem, "ts").isEmpty)
+  }
+
   test("small dimension join broadcasts") {
     val plan = graft.queries.CoreQueries.broadcastJoinAgg(spark, sfDir)
       .queryExecution.executedPlan.toString
