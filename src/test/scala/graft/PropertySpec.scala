@@ -529,11 +529,14 @@ class PropertySpec extends AnyFunSuite {
         val rnd = new scala.util.Random(seed)
         def et(): Timestamp = new Timestamp(base + rnd.nextInt(12) * 3600_000L)
         def ct(): Timestamp = new Timestamp(base + rnd.nextInt(3) * 3600_000L)
-        // fid from {0..3}, v from {0..4}: full (k, et, ct, fid)
-        // duplicates occur regularly; only the payload differs
+        // fid from {0..3}, v from {null, 0..3}: full (k, et, ct, fid)
+        // duplicates occur regularly; only the payload differs. Null v
+        // pins the null rule — SortOrder's nulls-first and the struct
+        // ordering's null-smallest must agree (null loses every tie).
         val rows = (0 until nRows).map(_ =>
           (rnd.nextInt(nKeys).toLong, et(), ct(), rnd.nextInt(4).toLong,
-            rnd.nextInt(5).toDouble))
+            if (rnd.nextInt(5) == 0) null
+            else java.lang.Double.valueOf(rnd.nextInt(4).toDouble)))
         val ents = (0 until nEnt).map(i => (rnd.nextInt(nKeys).toLong, et(), i.toLong))
         val ttl = Duration.ofHours(ttlH.toLong)
 
@@ -544,18 +547,21 @@ class PropertySpec extends AnyFunSuite {
             featureCols = Seq("fid", "v"))
           .select("eid", "fid", "v").collect()
           .map(r => r.getLong(0) ->
-            Option(r.get(1)).map(_ => (r.getLong(1), r.getDouble(2)))).toMap
+            Option(r.get(1)).map(_ =>
+              (r.getLong(1), if (r.isNullAt(2)) null else r.get(2)))).toMap
 
-        def oracle(key: Long, ts: Timestamp): Option[(Long, Double)] = {
+        def oracle(key: Long, ts: Timestamp): Option[(Long, Any)] = {
           val lower = ts.getTime - ttl.toMillis
           val c = rows.filter { case (k, e, _, _, _) =>
             k == key && e.getTime <= ts.getTime && (ttl.isZero || e.getTime >= lower)
           }
           if (c.isEmpty) None
           // full declarative total order: (et, ct, payload) with
-          // payload = (fid, v) — the max_by struct the oracle SQL pins
+          // payload = (fid, v), null v smallest — the max_by struct the
+          // oracle SQL pins
           else Some(c.maxBy { case (_, e, c0, fid, v) =>
-            (e.getTime, c0.getTime, fid, v)
+            (e.getTime, c0.getTime, fid,
+              if (v == null) Double.NegativeInfinity else v.doubleValue())
           } match { case (_, _, _, fid, v) => (fid, v) })
         }
 
