@@ -221,11 +221,27 @@ object Similarity {
     }
 
   /** Σ_s __lut[s][__code_s] for the join path — the [[adcColumn]] fold
-    * (ascending s) over the joined LUT column instead of a literal. */
+    * (ascending s) over the joined LUT column instead of a literal.
+    *
+    * The coalesce wrapper is an OPTIMIZER BARRIER, not arithmetic: the
+    * consumer's null/NaN guard (isnotnull + !isnan of this sum, the
+    * twoLevelTopK zero-vector rule) is null-intolerant term by term, so
+    * constraint inference would decompose it into isnotnull(__code_s)
+    * and push those below the code-assignment projection — where each
+    * __code_s substitutes to its full inline argmin chain, inflating
+    * the corpus-side filter to a multi-MB expression tree that OOMs a
+    * default-heap driver during optimization/janino and re-evaluates
+    * the whole PQ assignment per row (observed: q_ann_ivfpq at 1 g).
+    * Coalesce is not NullIntolerant, so inference stops here; a null
+    * sum (never produced — codes index in range) would surface as NaN
+    * and be dropped by the same guard, identical to the bare sum's
+    * dropped-null row. Values are bit-identical. */
   private def lutAdcColumn(m: Int): Column =
-    (0 until m).map(s =>
-      element_at(element_at(col("__lut"), s + 1), col(s"__code$s") + 1))
-      .reduce(_ + _)
+    coalesce(
+      (0 until m).map(s =>
+        element_at(element_at(col("__lut"), s + 1), col(s"__code$s") + 1))
+        .reduce(_ + _),
+      lit(Double.NaN))
 
   /** Per-subquantizer squared-L2 LUT for one query vector: LUT[s][c] =
     * ‖q_s − a_c,s‖², folded ascending-d left-associative — the SAME
