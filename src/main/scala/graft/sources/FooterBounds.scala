@@ -10,11 +10,11 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, TimestampAddInterval}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, IntegralDivide, Literal, MicrosToTimestamp, TimestampAddInterval}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.{DayTimeIntervalType, TimestampType}
+import org.apache.spark.sql.types.{DayTimeIntervalType, LongType, TimestampType}
 
 /** Metadata-only timestamp bounds: min/max of a column straight from
   * parquet footer statistics, with NO Spark job.
@@ -28,28 +28,40 @@ import org.apache.spark.sql.types.{DayTimeIntervalType, TimestampType}
   * filters the trace ignores. When the entity frame is a projection
   * over a parquet relation and the ts column traces (through aliases,
   * optionally plus a constant day-time interval — the `orderdate +
-  * INTERVAL 365 DAY` shape) to a physical INT64-micros column, the
-  * bounds come from column-chunk statistics: one footer read per file
-  * instead of a full-column aggregation job. At 100 TB that replaces a
-  * scan of the ts column with O(files) driver metadata reads — bounded
-  * here at [[MaxFooterFiles]] files, beyond which the distributed agg
-  * (itself a narrow column scan) is the better plan anyway.
+  * INTERVAL 365 DAY` shape — and through the ingest layer's
+  * nanos→micros conversion `timestamp_micros(ts div 1000)`, the
+  * TIMESTAMP(NANOS) normalization in [[Tables.normalize]]) to a
+  * physical INT64 timestamp column, the bounds come from column-chunk
+  * statistics: one footer read per file instead of a full-column
+  * aggregation job. At 100 TB that replaces a scan of the ts column
+  * with O(files) driver metadata reads — bounded here at
+  * [[MaxFooterFiles]] files, beyond which the distributed agg (itself
+  * a narrow column scan) is the better plan anyway.
   *
   * Returns None whenever ANY precondition fails — unexpected plan
-  * shape, non-parquet relation, partition-derived or non-timestamp
-  * column, a file whose footer lacks stats for the column, INT96
-  * timestamps (no usable stats) — and the caller falls back to the
-  * aggregation job. Nulls need no care: parquet min/max stats ignore
-  * nulls exactly like the agg's min()/max(), and a file with no
-  * non-null value reports empty stats (skipped; it cannot contribute a
-  * bound). An all-null column across all files yields None → fallback
-  * agg returns (null, null), the already-handled no-bounds case.
+  * shape, non-parquet relation, partition-derived column, a file whose
+  * footer lacks stats for the column, INT96 timestamps (no usable
+  * stats), unit mismatch between the plan's conversion and the file's
+  * annotation — and the caller falls back to the aggregation job.
+  * Nulls need no care: parquet min/max stats ignore nulls exactly like
+  * the agg's min()/max(), and a file with no non-null value reports
+  * empty stats (skipped; it cannot contribute a bound). An all-null
+  * column across all files yields None → fallback agg returns
+  * (null, null), the already-handled no-bounds case.
   */
 object FooterBounds {
 
   /** Above this many files the distributed agg beats serial
     * driver-side footer reads. */
   val MaxFooterFiles = 64
+
+  /** What the traced plan expression does to the physical long before
+    * it becomes TimestampType micros. */
+  private sealed trait Unit
+  private case object Micros extends Unit   // value IS micros (TimestampType column)
+  private case object Nanos extends Unit    // floorDiv(value, 1000) = micros
+
+  private final case class Trace(attr: Attribute, shiftMicros: Long, unit: Unit)
 
   /** (min, max) of `tsCol` over `df` from parquet footers alone, or
     * None when the plan/files don't support a metadata-only answer.
@@ -61,11 +73,11 @@ object FooterBounds {
       val plan = df.queryExecution.analyzed
       for {
         attr0 <- plan.output.find(_.name == tsCol)
-        (attr, shiftMicros) <- trace(plan, attr0, 0L)
+        t <- trace(plan, attr0, 0L, Micros)
         rel <- leafRelation(plan)
-        colName <- physicalName(rel, attr)
-        bounds <- footerMinMax(df, rel, colName)
-      } yield (tsOf(bounds._1 + shiftMicros), tsOf(bounds._2 + shiftMicros))
+        colName <- physicalName(rel, t)
+        bounds <- footerMinMax(df, rel, colName, t.unit)
+      } yield (tsOf(bounds._1 + t.shiftMicros), tsOf(bounds._2 + t.shiftMicros))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -79,32 +91,42 @@ object FooterBounds {
 
   /** Trace `attr` down through Project/SubqueryAlias/Filter layers to
     * the relation's own attribute, accumulating any constant day-time
-    * interval shifts (`ts + INTERVAL ...`). Filters are skipped — safe
-    * because the caller's contract is a superset window. */
+    * interval shifts (`ts + INTERVAL ...`) and at most one physical-unit
+    * conversion (the innermost nanos→micros layer). Filters are
+    * skipped — safe because the caller's contract is a superset
+    * window. */
   @annotation.tailrec
-  private def trace(plan: LogicalPlan, attr: org.apache.spark.sql.catalyst.expressions.Attribute,
-      shift: Long): Option[(org.apache.spark.sql.catalyst.expressions.Attribute, Long)] =
+  private def trace(plan: LogicalPlan, attr: Attribute, shift: Long,
+      unit: Unit): Option[Trace] =
     plan match {
       case p: Project =>
         p.projectList.find(_.exprId == attr.exprId) match {
           case Some(ne) => unwrap(ne) match {
-            case Some((a, d)) => trace(p.child, a, shift + d)
+            case Some((a, d, layerUnit)) =>
+              // a unit conversion may appear at most once (there is only
+              // one physical column under the chain); a second one means
+              // a shape this trace doesn't understand
+              if (layerUnit != Micros && unit != Micros) None
+              else trace(p.child, a, shift + d,
+                if (layerUnit != Micros) layerUnit else unit)
             case None => None
           }
           case None => None // attr not produced here — unexpected shape
         }
-      case s: SubqueryAlias => trace(s.child, attr, shift)
+      case s: SubqueryAlias => trace(s.child, attr, shift, unit)
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-        trace(f.child, attr, shift)
+        trace(f.child, attr, shift, unit)
       case _: LogicalRelation =>
-        if (plan.output.exists(_.exprId == attr.exprId)) Some((attr, shift)) else None
+        if (plan.output.exists(_.exprId == attr.exprId)) Some(Trace(attr, shift, unit))
+        else None
       case _ => None
     }
 
-  /** One projection layer: attr, alias-of-attr, or alias-of
-    * (attr + constant day-time interval), modulo identity
+  /** One projection layer: attr, alias-of-attr, alias-of
+    * (attr + constant day-time interval), or the ingest nanos→micros
+    * conversion `timestamp_micros(attr div 1000)` — modulo identity
     * timestamp→timestamp casts the analyzer inserts around the add. */
-  private def unwrap(e: Expression): Option[(org.apache.spark.sql.catalyst.expressions.Attribute, Long)] = {
+  private def unwrap(e: Expression): Option[(Attribute, Long, Unit)] = {
     def stripNoopCast(x: Expression): Expression = x match {
       case c: org.apache.spark.sql.catalyst.expressions.Cast
           if c.dataType == TimestampType && c.child.dataType == TimestampType =>
@@ -112,11 +134,14 @@ object FooterBounds {
       case other => other
     }
     e match {
-      case a: AttributeReference => Some((a, 0L))
+      case a: AttributeReference => Some((a, 0L, Micros))
       case Alias(child, _) => stripNoopCast(child) match {
-        case a: AttributeReference => Some((a, 0L))
+        case a: AttributeReference => Some((a, 0L, Micros))
         case TimestampAddInterval(a: AttributeReference,
-            Literal(micros: Long, _: DayTimeIntervalType), _) => Some((a, micros))
+            Literal(micros: Long, _: DayTimeIntervalType), _) => Some((a, micros, Micros))
+        case MicrosToTimestamp(IntegralDivide(a: AttributeReference,
+            Literal(1000L, LongType), _)) if a.dataType == LongType =>
+          Some((a, 0L, Nanos))
         case _ => None
       }
       case _ => None
@@ -132,21 +157,28 @@ object FooterBounds {
       case _ => None
     }
 
-  /** The physical parquet column name for `attr`, provided it is a
-    * top-level TimestampType DATA column (partition columns have no
-    * footer stats). */
-  private def physicalName(rel: HadoopFsRelation,
-      attr: org.apache.spark.sql.catalyst.expressions.Attribute): Option[String] =
-    if (attr.dataType == TimestampType &&
-        rel.dataSchema.fieldNames.contains(attr.name) &&
-        !rel.partitionSchema.fieldNames.contains(attr.name))
-      Some(attr.name)
+  /** The physical parquet column name for the traced attribute: a
+    * top-level DATA column (partition columns have no footer stats) of
+    * the Spark type the trace's unit implies — TimestampType for
+    * micros, the nanosAsLong LongType for nanos. */
+  private def physicalName(rel: HadoopFsRelation, t: Trace): Option[String] = {
+    val expected = t.unit match {
+      case Micros => TimestampType
+      case Nanos => LongType
+    }
+    if (t.attr.dataType == expected &&
+        rel.dataSchema.fieldNames.contains(t.attr.name) &&
+        !rel.partitionSchema.fieldNames.contains(t.attr.name))
+      Some(t.attr.name)
     else None
+  }
 
-  /** Min/max micros across every file's column-chunk stats; None if any
-    * file lacks usable INT64-micros stats for the column. */
+  /** Min/max MICROS across every file's column-chunk stats; None if any
+    * file lacks usable INT64 timestamp stats of the expected unit for
+    * the column. Nanos stats floor-divide to micros — monotone, exactly
+    * the ingest conversion. */
   private def footerMinMax(df: DataFrame, rel: HadoopFsRelation,
-      colName: String): Option[(Long, Long)] = {
+      colName: String, unit: Unit): Option[(Long, Long)] = {
     val files = rel.location.inputFiles
     if (files.isEmpty || files.length > MaxFooterFiles) return None
     val conf = df.sparkSession.sessionState.newHadoopConf()
@@ -161,13 +193,16 @@ object FooterBounds {
         val fld = schema.getFields.get(schema.getFieldIndex(colName))
         if (!fld.isPrimitive) return None
         val prim = fld.asPrimitiveType()
-        val micros = prim.getPrimitiveTypeName == PrimitiveTypeName.INT64 &&
+        val expectedUnit = unit match {
+          case Micros => org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
+          case Nanos => org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS
+        }
+        val ok = prim.getPrimitiveTypeName == PrimitiveTypeName.INT64 &&
           (prim.getLogicalTypeAnnotation match {
-            case t: TimestampLogicalTypeAnnotation =>
-              t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
+            case t: TimestampLogicalTypeAnnotation => t.getUnit == expectedUnit
             case _ => false
           })
-        if (!micros) return None
+        if (!ok) return None
         val idx = schema.getFieldIndex(colName)
         reader.getFooter.getBlocks.asScala.foreach { block =>
           val chunk = block.getColumns.get(idx)
@@ -176,8 +211,9 @@ object FooterBounds {
           if (stats == null || stats.isEmpty) {
             if (block.getRowCount > 0 && chunk.getValueCount > 0) return None
           } else if (stats.hasNonNullValue) {
-            val lo = stats.genericGetMin.asInstanceOf[java.lang.Long].longValue()
-            val hi = stats.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+            var lo = stats.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+            var hi = stats.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+            if (unit == Nanos) { lo = Math.floorDiv(lo, 1000L); hi = Math.floorDiv(hi, 1000L) }
             if (lo < mn) mn = lo
             if (hi > mx) mx = hi
             seen = true

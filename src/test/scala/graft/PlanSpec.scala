@@ -106,6 +106,14 @@ class PlanSpec extends AnyFunSuite {
     val (fMn, fMx) = aggBounds(filtered, "event_timestamp")
     assert(sup.exists { case (mn, mx) => !mn.after(fMn) && !mx.before(fMx) })
 
+    // TIMESTAMP(NANOS) physical column read through the ingest layer's
+    // nanosAsLong + timestamp_micros(ts div 1000) normalization: footer
+    // nanos stats floor-divide to the same micros the conversion yields
+    val events = graft.sources.Tables.read(spark, sfDir, "events")
+      .select(col("event_id"), col("ts").as("event_timestamp"))
+    assert(FooterBounds.tsBounds(events, "event_timestamp").contains(
+      aggBounds(events, "event_timestamp")))
+
     // computed (non-traceable) expression and non-file relations fall back
     assert(FooterBounds.tsBounds(
       orders.select(date_trunc("month", col("o_orderdate")).as("m")), "m").isEmpty)
