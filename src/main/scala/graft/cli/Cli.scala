@@ -63,6 +63,8 @@ object RepoConfig {
             Json.toLong(s("port")).toInt)
         case JStr("reference_sql") =>
           new graft.online.ReferenceSqlStore(jdbcUrlOf(s, "reference_sql"))
+        case JStr("reference_doc") =>
+          new graft.online.ReferenceDocStore(jdbcUrlOf(s, "reference_doc"))
         case other => throw new IllegalArgumentException(s"unknown online store type $other")
       }
       // a PRESENT but non-object value is a misconfiguration, not a

@@ -139,7 +139,17 @@ object ScaleCheck {
       // stays deliberately absent for q_pagerank's reason: its planted
       // node universe is FIXED at 20 domains, so 10x docs rescans edge
       // derivation only.
-      "q_ann_filtered", "q_countmin_hh", "q_materialize_roundtrip_parquet")
+      "q_ann_filtered", "q_countmin_hh", "q_materialize_roundtrip_parquet",
+      // round-12 additions (VERDICT r7 ask #4): the PPS systematic
+      // sample's distributed prefix sum, the two-level freshness agg,
+      // the per-key rendezvous scoring window (8 rows per key), the
+      // per-label balanced-undersample window, and the bigram-LM gram
+      // join. Deliberately absent: q_label_noise — its kNN legs are
+      // brute-force all-pairs BY DESIGN at bench sf (like
+      // q_margin_mining above); the corpus-scale path swaps in the IVF
+      // candidate generation whose scaling q_ann_ivf pins.
+      "q_weighted_sample", "q_freshness", "q_rendezvous",
+      "q_class_balance", "q_bigram_logprob")
     queries.foreach(q => time(q, baseDir)) // warm: codegen + analyzer JIT
     val lines = queries.map { q =>
       val t1 = time(q, baseDir)

@@ -153,7 +153,7 @@ class EngineSpec extends AnyFunSuite {
       .withColumn("conv_rate", col("conv_rate").cast("double"))
 
     val mini = new MiniRedis()
-    // 6 stores: the 4 engine-native ones plus the two REFERENCE-layout
+    // 7 stores: the 4 engine-native ones plus the three REFERENCE-layout
     // interop adapters (their unconditional-overwrite write semantics
     // still satisfy this suite — its windows never replay stale rows)
     for (store <- Seq(new InMemoryOnlineStore(),
@@ -163,7 +163,9 @@ class EngineSpec extends AnyFunSuite {
         new graft.online.RedisOnlineStore("127.0.0.1", mini.port),
         new graft.online.ReferenceRedisStore("127.0.0.1", mini.port),
         new graft.online.ReferenceSqlStore(graft.online.JdbcOnlineStore.derbyUrl(
-          java.nio.file.Files.createTempDirectory("graftrefdb").toString + "/db")))) {
+          java.nio.file.Files.createTempDirectory("graftrefdb").toString + "/db")),
+        new graft.online.ReferenceDocStore(graft.online.JdbcOnlineStore.derbyUrl(
+          java.nio.file.Files.createTempDirectory("graftdocdb").toString + "/db")))) {
       val fs = new FeatureStore("t", new Registry(), store, spark)
       fs.applyEntity(Entity("driver", GraftType.Int64, Some("driver_id")))
       fs.applyFeatureView(FeatureView("driver_stats", Seq("driver"),
@@ -466,6 +468,93 @@ class EngineSpec extends AnyFunSuite {
     try {
       intercept[java.sql.SQLException](
         conn2.createStatement().executeQuery("SELECT 1 FROM ref_stats"))
+    } finally conn2.close()
+  }
+
+  test("ReferenceDocStore: document id + layout, whole-document replace, delete, teardown") {
+    import spark.implicits._
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+    val db = java.nio.file.Files.createTempDirectory("graftrefdoc").toString + "/db"
+    val url = graft.online.JdbcOnlineStore.derbyUrl(db)
+    val store = new graft.online.ReferenceDocStore(url)
+    val fs = new FeatureStore("ref", new Registry(), store, spark)
+    fs.applyEntity(Entity("driver", GraftType.Int64, Some("driver_id")))
+    val et = new java.sql.Timestamp(1704103200L * 1000L)
+    val view = FeatureView("stats", Seq("driver"),
+      Seq(Feature("conv_rate", GraftType.Dbl), Feature("region", GraftType.Str)),
+      Duration.ZERO,
+      DataFrameSource(Seq((1001L, et, 0.7, "us"))
+        .toDF("driver_id", "et", "conv_rate", "region"), "et"))
+    fs.applyFeatureView(view)
+    fs.materialize(Seq("stats"),
+      new java.sql.Timestamp(1704067200000L), new java.sql.Timestamp(1704240000000L))
+
+    // ---- raw document level: ONE row per entity key; entity_id is the
+    // byte-pinned compute_entity_id digest (the DynamoDB partition key /
+    // Datastore Row name — PureSpec pins the same constant), entity_key
+    // the v1 serialization, and the values map entries carry the exact
+    // Value proto bytes the sqlite/redis twins store
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "SELECT entity_id, entity_key, values_doc FROM ref_stats_doc")
+      val rows = Iterator.continually(rs).takeWhile(_.next())
+        .map(r => (r.getString(1), hex(r.getBytes(2)),
+          graft.online.ReferenceDocStore.decodeValues(r.getBytes(3))
+            .map { case (n, b) => n -> hex(b) })).toList
+      rs.close()
+      assert(rows.size === 1)
+      val (id, ek, values) = rows.head
+      assert(id === "4502dfea47294cccf23a78c07a9fb3e5") // compute_entity_id(driver_id=1001)
+      assert(ek === "020000006472697665725f69640400000004000000e9030000")
+      assert(values.toMap === Map(
+        "conv_rate" -> "29666666666666e63f", // Value{double_val 0.7}
+        "region" -> "12027573"))             // Value{string_val "us"}
+    } finally conn.close()
+
+    // ---- round-trip through the engine's serving path
+    val resp = fs.getOnlineFeatures(Seq("stats:conv_rate", "stats:region"),
+      Seq(Map[String, Any]("driver_id" -> 1001L), Map[String, Any]("driver_id" -> 7L)))
+    assert(resp.toMap("stats:conv_rate") === Seq(0.7, null))
+    assert(resp.statuses("stats:region") === Seq("PRESENT", "NOT_FOUND"))
+
+    // ---- put_item semantics, both halves: (a) NO staleness probe — an
+    // older-ts write that arrives later still wins; (b) the WHOLE
+    // document is replaced — a write carrying only conv_rate drops the
+    // stored region (the per-feature-row sqlite layout would keep it)
+    val narrow = view.copy(features = Seq(Feature("conv_rate", GraftType.Dbl)))
+    store.upsert("ref", narrow, Seq("driver_id"),
+      Seq((1001L, new java.sql.Timestamp(1703500000000L), 0.1))
+        .toDF("driver_id", "et", "conv_rate"), "et", None)
+    val after = store.read("ref", view, Seq("driver_id"),
+      Seq(Seq("driver_id" -> (1001L: Any))), Seq("conv_rate", "region")).head
+    assert(after._2("conv_rate").value === 0.1)       // older ts overwrote
+    assert(after._2("region").status === "NOT_FOUND") // document replaced
+    assert(after._1.contains(new java.sql.Timestamp(1703500000000L)))
+
+    // ---- null event_ts round-trips as None (engine-wide contract)
+    store.upsert("ref", view, Seq("driver_id"),
+      Seq((77L, Option.empty[java.sql.Timestamp], 0.3, "it"))
+        .toDF("driver_id", "et", "conv_rate", "region"), "et", None)
+    val (nullTs, nullVals) = store.read("ref", view,
+      Seq("driver_id"), Seq(Seq("driver_id" -> (77L: Any))), Seq("conv_rate")).head
+    assert(nullTs.isEmpty && nullVals("conv_rate").value === 0.3)
+
+    // ---- CDC delete, never-materialized no-op, teardown DROPs
+    store.delete("ref", view, Seq("driver_id"), Seq(1001L, 77L).toDF("driver_id"))
+    assert(store.read("ref", view, Seq("driver_id"),
+      Seq(Seq("driver_id" -> (1001L: Any))), Seq("conv_rate"))
+      .head._2("conv_rate").value == null)
+    fs.applyFeatureView(FeatureView("never_mat", Seq("driver"),
+      Seq(Feature("x", GraftType.Dbl)), Duration.ZERO,
+      DataFrameSource(Seq((1L, et, 1.0)).toDF("driver_id", "et", "x"), "et")))
+    store.delete("ref", fs.registry.getFeatureView("never_mat"), Seq("driver_id"),
+      Seq(1L).toDF("driver_id"))
+    fs.teardown()
+    val conn2 = java.sql.DriverManager.getConnection(url)
+    try {
+      intercept[java.sql.SQLException](
+        conn2.createStatement().executeQuery("SELECT 1 FROM ref_stats_doc"))
     } finally conn2.close()
   }
 
