@@ -142,7 +142,11 @@ object Bench {
     // same way a production job would (per-job runtime conf); every
     // other headline keeps session AQE on, which wins net for the
     // multi-stage adaptive shapes (dedup pipeline, multi-view PIT).
-    val staticPlan = Set("q_pit_join_single")
+    // Both PIT queries since r8's all-eligible CHAIN: the multi-view
+    // query is now a linear chain of AsOfJoinExec merges — as static as
+    // the single-view plan (no row-id stamp, no join-backs, no
+    // broadcast candidates for AQE to pick).
+    val staticPlan = Set("q_pit_join_single", "q_pit_join_multi")
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         // JMH-style inter-iteration hygiene: prior queries leave dead
@@ -264,11 +268,16 @@ object Bench {
       "spark.sql.adaptive.enabled=false exactly as a deployment guide " +
       "would ship it (identical plan; AQE only serialized each stage " +
       "behind a replan round: ~0.56s off vs ~0.8-1.1s on, " +
-      "tools/AqeProbe min-of-3); every other headline keeps session " +
-      "AQE on (wins net for the multi-stage adaptive shapes — probe " +
-      "total on=6.0 off=5.8 but per-query deltas are noise-level " +
-      "except the pit pair). q_pit_join_multi = 12 jobs of 0.04-0.3s " +
-      "(per-view narrow-projection merges + broadcast join-backs); " +
+      "tools/AqeProbe min-of-3); since r8 q_pit_join_multi is the SAME " +
+      "shape — the all-views-eligible case now CHAINS full-width " +
+      "AsOfJoinExec merges (entity asof v1 asof v2: one accumulated-" +
+      "frame exchange + one feature exchange per view, no row-id " +
+      "stamp, no winners join-back — strictly fewer shuffled bytes " +
+      "than the winner-subtree fold at every scale) and the linear " +
+      "chain is equally static, so it rides the same per-job AQE-off " +
+      "conf: 0.66s adaptive vs 0.36s static, measured back to back, " +
+      "which is DuckDB parity (0.35s). Every other headline keeps " +
+      "session AQE on (wins net for the multi-stage adaptive shapes); " +
       "pit_join_single 10x-data wall ratio 1.8x shows the job floor " +
       "amortizing. " +
       "queries = steady-state (min of 3 runs, JMH discipline — r4's " +

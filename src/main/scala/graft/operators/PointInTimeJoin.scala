@@ -79,33 +79,50 @@ object PointInTimeJoin {
     require(missing.isEmpty,
       s"entity df is missing join key columns: ${missing.mkString(", ")}")
 
-    // Single view on TimestampType columns: run the custom sort-merge
-    // as-of plan ([[graft.plans.AsOfJoin]]) on the FULL entity row —
-    // each side shuffles exactly once, no candidate rows materialize,
-    // no row-id stamp, no winners join-back (measured ~1.8× faster than
-    // the declarative path at sf0.1). Since r8 the exec's right-side
-    // ordering carries the feature payload suffix, so it reproduces the
-    // declarative max_by(payload, struct(ordCols, payload)) total order
-    // exactly — including on fully-duplicate (key, ts, created,
-    // tiebreak) rows — and no tie-break/uniqueness precondition gates
-    // this route anymore. The declarative path remains for
-    // non-timestamp ts columns and multi-view joins (whose per-view
-    // winner subtrees parallelize better than a chain of full-width
-    // merges — they still delegate the per-view winner computation
-    // below when eligible).
-    views match {
-      case Seq(vj) if sortMergeEligible(entityDf, vj, entityTsCol) &&
-          vj.features.intersect(entityDf.columns).isEmpty =>
-        val (mn0, mx0) = entityBounds(entityDf, entityTsCol)
+    // All views on TimestampType columns with collision-free feature
+    // names: CHAIN full-width sort-merge as-of merges ([[graft.plans
+    // .AsOfJoin]]) — entity asof view1 asof view2 … — with no row-id
+    // stamp, no candidate rows, and no winners join-back. Shuffle
+    // accounting per view: the chain exchanges the accumulated frame
+    // once and the feature table once; the winner-subtree alternative
+    // below exchanges a narrow entity projection AND the feature table
+    // AND — for the join-back — the accumulated frame and the winners
+    // (both entity-cardinality) on rowId. The chain strictly moves
+    // fewer bytes at every scale, needs no monotonically_increasing_id
+    // pinning (acc flows linearly through one plan — no cross-branch
+    // id-identity hazard, no localCheckpoint job), and the whole chain
+    // is one STATIC plan (exchanges dictated by
+    // requiredChildDistribution — nothing for AQE to re-plan). Since r8
+    // the exec's right-side ordering carries the feature payload
+    // suffix, so it reproduces the declarative max_by(payload,
+    // struct(ordCols, payload)) total order exactly — including on
+    // fully-duplicate (key, ts, created, tiebreak) rows — and no
+    // tie-break/uniqueness precondition gates this route. The
+    // declarative winner-subtree path remains for non-timestamp ts
+    // columns and feature-name collisions.
+    val chainOutName: ViewJoin => String => String =
+      vj => f => if (fullFeatureNames) s"${vj.view.name}__$f" else f
+    val chainable = views.nonEmpty && {
+      var cols = entityDf.columns.toSet
+      views.forall { vj =>
+        val outNames = vj.features.map(chainOutName(vj))
+        val ok = sortMergeEligible(entityDf, vj, entityTsCol) &&
+          vj.features.forall(!cols.contains(_)) &&
+          outNames.forall(!cols.contains(_))
+        cols ++= outNames
+        ok
+      }
+    }
+    if (chainable) {
+      val (mn0, mx0) = entityBounds(entityDf, entityTsCol)
+      return views.foldLeft(entityDf) { (acc, vj) =>
         val (feat, tsCol, createdCol) = prepareFeature(vj, mn0, mx0)
         val ord = (createdCol.toSeq ++ vj.tieBreakCols).distinct.filterNot(_ == tsCol)
-        val out = graft.plans.AsOfJoin.join(entityDf, feat, vj.joinKeys,
+        val joined = graft.plans.AsOfJoin.join(acc, feat, vj.joinKeys,
           entityTsCol, tsCol, vj.view.ttl, ord, vj.features)
-        val outName: String => String =
-          f => if (fullFeatureNames) s"${vj.view.name}__$f" else f
-        return out.select(entityDf.columns.map(col).toIndexedSeq ++
-          vj.features.map(f => col(f).as(outName(f))): _*)
-      case _ => ()
+        joined.select(acc.columns.map(col).toIndexedSeq ++
+          vj.features.map(f => col(f).as(chainOutName(vj)(f))): _*)
+      }
     }
 
     val rowId = "__graft_row_id"
