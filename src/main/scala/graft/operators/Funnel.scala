@@ -50,7 +50,11 @@ object Funnel {
       val p = prev.select(col(userCol), col("__t").as("__pt"))
       val gapOk: Column = maxGap match {
         case Some(g) =>
-          unix_micros(col(tsCol)) <= unix_micros(col("__pt")) + lit(g.toNanos / 1000L)
+          // (seconds, nanos) → micros directly: Duration.toNanos
+          // overflows at ~292 years where long micros carry to ~292k
+          // (same rationale as PointInTimeJoin.durationInterval)
+          unix_micros(col(tsCol)) <=
+            unix_micros(col("__pt")) + lit(g.getSeconds * 1000000L + g.getNano / 1000L)
         case None => lit(true)
       }
       df.filter(col(stepCol) === step)

@@ -80,6 +80,70 @@ class PropertySpec extends AnyFunSuite {
     runCheck(prop, minTests = 8)
   }
 
+  test("multi-view PIT chain agrees with per-view nested-loop oracles (ScalaCheck)") {
+    import spark.implicits._
+    // Exercises the r8 all-eligible CHAIN route (entity asof v1 asof
+    // v2): tiny key/ts domains force duplicate (key, ts, created) rows
+    // so the payload tie-break engages, distinct TTLs per view, and
+    // fullFeatureNames prefixing. Each view enriches independently, so
+    // the oracle is the single-view as-of rule per view.
+    val genCase = for {
+      nKeys <- Gen.choose(1, 5)
+      nRows1 <- Gen.choose(0, 80)
+      nRows2 <- Gen.choose(0, 80)
+      nEnt <- Gen.choose(1, 30)
+      ttl1 <- Gen.oneOf(0, 1, 24)
+      ttl2 <- Gen.oneOf(0, 6, 48)
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (nKeys, nRows1, nRows2, nEnt, ttl1, ttl2, seed)
+
+    val prop = Prop.forAllNoShrink(genCase) {
+      case (nKeys, nRows1, nRows2, nEnt, ttl1H, ttl2H, seed) =>
+        val rnd = new scala.util.Random(seed)
+        def t(): Timestamp = new Timestamp(base + rnd.nextInt(30) * 3600_000L)
+        val rows1 = (0 until nRows1).map(_ =>
+          (rnd.nextInt(nKeys).toLong, t(), t(), rnd.nextInt(5).toDouble))
+        val rows2 = (0 until nRows2).map(_ =>
+          (rnd.nextInt(nKeys).toLong, t(), s"s${rnd.nextInt(4)}"))
+        val ents = (0 until nEnt).map(_ => (rnd.nextInt(nKeys).toLong, t()))
+        val (ttl1, ttl2) = (Duration.ofHours(ttl1H.toLong), Duration.ofHours(ttl2H.toLong))
+
+        val f1 = rows1.toDF("k", "et", "ct", "v")
+        val f2 = rows2.toDF("k", "et2", "s")
+        val entityDf = ents.toDF("k", "event_timestamp")
+        val v1 = FeatureView("a", Seq("e"), Seq(Feature("v", GraftType.Dbl)),
+          ttl1, DataFrameSource(f1, "et", createdTimestampColumn = Some("ct")))
+        val v2 = FeatureView("b", Seq("e"), Seq(Feature("s", GraftType.Str)),
+          ttl2, DataFrameSource(f2, "et2"))
+        val got = PointInTimeJoin.join(entityDf,
+            Seq(ViewJoin(v1, Seq("k"), Seq("v"), f1),
+              ViewJoin(v2, Seq("k"), Seq("s"), f2)),
+            fullFeatureNames = true)
+          .select("k", "event_timestamp", "a__v", "b__s").collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1),
+            Option(r.get(2)).map(_.asInstanceOf[Double]),
+            Option(r.get(3)).map(_.asInstanceOf[String])))
+
+        def inWin(et: Timestamp, ts: Timestamp, ttl: Duration): Boolean =
+          et.getTime <= ts.getTime &&
+            (ttl.isZero || et.getTime >= ts.getTime - ttl.toMillis)
+        def o1(key: Long, ts: Timestamp): Option[Double] = {
+          val c = rows1.filter { case (k, et, _, _) => k == key && inWin(et, ts, ttl1) }
+          if (c.isEmpty) None
+          else Some(c.maxBy { case (_, et, ct, v) => (et.getTime, ct.getTime, v) }._4)
+        }
+        def o2(key: Long, ts: Timestamp): Option[String] = {
+          val c = rows2.filter { case (k, et, _) => k == key && inWin(et, ts, ttl2) }
+          if (c.isEmpty) None
+          else Some(c.maxBy { case (_, et, s) => (et.getTime, s) }._3)
+        }
+        got.length == ents.length && got.forall { case (k, ts, v, sv) =>
+          v == o1(k, ts) && sv == o2(k, ts)
+        }
+    }
+    runCheck(prop, minTests = 8)
+  }
+
   test("LabelJoin agrees with the nested-loop forward oracle on arbitrary inputs (ScalaCheck)") {
     import spark.implicits._
     val genCase = for {
