@@ -207,33 +207,40 @@ object Bench {
     // AvailableNow streaming run of local-mode WAL/planning driver cost
     // (q_stream_materialize = 1 batch + store upsert + dump since r7)
     // and ~0.1-0.3 s per Spark job.
-    val notes = "scalecheck 10x data wall ratios (round 11, r7 box): " +
-      "dedup_minhash 6.5x, random_projection 5.4x, " +
-      "dedup_index_persisted 4.7x (incl. the one-time 10x index " +
-      "BUILD), semantic_dedup 3.7x, pit_sortmerge 3.6x, " +
-      "materialize_roundtrip 3.6x, agg_incremental 3.2x, components " +
-      "3.1x, silhouette 2.5x, collocation_pmi 2.4x, snapshot_diff " +
-      "2.2x, grid_snapshot 2.2x, label_join 2.2x, text_stats 2.1x, " +
-      "group_split 2.1x, salted_join 2.0x, cdc_merge 1.9x, " +
-      "nearest_join 1.9x, span_scrub 1.9x, whiten_dims 1.8x, " +
-      "shard_pack 1.8x, novelty 1.8x, materialize_roundtrip_parquet " +
-      "1.8x, bloom_prune_join 1.7x, countmin_hh 1.7x, context_windows " +
-      "1.7x, pit_join_single 1.6x, rolling_agg 1.6x, " +
-      "dedup_incremental_fuzzy 1.5x, ann_ivf 1.5x, dup_span 1.5x, " +
-      "quantile_bin 1.4x, curriculum 1.4x, phash_neardup 1.4x, zscore " +
-      "1.4x, line_dedup 1.4x, domain_cap 1.3x, k_anonymity 1.3x, " +
-      "zorder_layout 1.3x, recent_history 1.3x, k_suppress 1.2x, " +
-      "feature_drift 1.2x, bpe_merges 1.2x, sessionize 1.2x, " +
-      "ann_filtered 1.1x, contamination 1.1x, ann_pq 1.1x, " +
-      "negative_sample 1.0x, scd2_history 1.0x, rollup 0.9x, ks_drift " +
-      "0.8x (sub-linear on ALL 51 incl. the r6 verdict ask-#5 " +
-      "additions ann_filtered/countmin_hh and the new durable-store " +
-      "roundtrip; q_label_prop and q_pagerank stay deliberately " +
-      "absent — their planted node universes are FIXED at 20 domains, " +
-      "so 10x docs only rescans edge derivation; local[32] 16g " +
-      "driver; run-to-run wall variance on this box is +/-2x at " +
-      "these sub-5s scales and concurrent load can inflate single " +
-      "ratios far more). Floor accounting for the two " +
+    val notes = "scalecheck 10x data wall ratios (round 12, r8 box): " +
+      "random_projection 10.4x, text_stats 6.1x, " +
+      "dedup_index_persisted 6.0x (incl. the one-time 10x index " +
+      "BUILD), semantic_dedup 4.2x, dedup_minhash 4.0x, components " +
+      "3.2x, agg_incremental 3.1x, silhouette 2.8x, cdc_merge 2.5x, " +
+      "materialize_roundtrip 2.5x, collocation_pmi 2.3x, " +
+      "grid_snapshot 2.1x, salted_join 2.1x, k_suppress 2.0x, " +
+      "snapshot_diff 2.0x, nearest_join 2.0x, bloom_prune_join 2.0x, " +
+      "freshness 1.9x, label_join 1.9x, novelty 1.9x, curriculum " +
+      "1.8x, phash_neardup 1.8x, pit_join_single 1.8x, feature_drift " +
+      "1.8x, quantile_bin 1.8x, context_windows 1.7x, pit_sortmerge " +
+      "1.7x, zscore 1.6x, span_scrub 1.6x, shard_pack 1.5x, " +
+      "recent_history 1.5x, ann_filtered 1.5x, bigram_logprob 1.5x, " +
+      "k_anonymity 1.4x, rolling_agg 1.4x, weighted_sample 1.4x, " +
+      "ann_ivf 1.4x, materialize_roundtrip_parquet 1.4x, dup_span " +
+      "1.3x, group_split 1.3x, whiten_dims 1.3x, line_dedup 1.2x, " +
+      "rendezvous 1.2x, dedup_incremental_fuzzy 1.2x, domain_cap " +
+      "1.2x, bpe_merges 1.1x, scd2_history 1.1x, contamination 1.1x, " +
+      "sessionize 1.1x, negative_sample 1.1x, rollup 1.1x, ann_pq " +
+      "1.0x, class_balance 1.0x, zorder_layout 1.0x, countmin_hh " +
+      "0.9x, ks_drift 0.9x (56 operators incl. the r7 verdict ask-#4 " +
+      "additions weighted_sample/freshness/rendezvous/class_balance/" +
+      "bigram_logprob; all sub-linear at 10x data except " +
+      "random_projection's 10.4x, whose 1x wall is 0.18s of pure job " +
+      "floor — the 10x run is the first where its narrow JL " +
+      "projection outweighs dispatch. q_label_prop and q_pagerank " +
+      "stay deliberately absent — their planted node universes are " +
+      "FIXED at 20 domains, so 10x docs only rescans edge " +
+      "derivation; q_label_noise likewise: its kNN legs are " +
+      "brute-force all-pairs BY DESIGN at bench sf, the corpus-scale " +
+      "path rides the IVF candidates whose ratio q_ann_ivf pins; " +
+      "local[32] 16g driver; run-to-run wall variance on this box is " +
+      "+/-2x at these sub-5s scales and concurrent load can inflate " +
+      "single ratios far more). Floor accounting for the two " +
       "store-I/O queries (their DuckDB oracles compute a bare snapshot " +
       "and do NO store I/O), restructured per the r6 verdict ask #1: " +
       "q_stream_materialize replays as ONE AvailableNow micro-batch " +
