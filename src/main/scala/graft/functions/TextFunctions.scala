@@ -20,21 +20,26 @@ object TextFunctions {
     * language ID, stopword ratio). */
   def words(c: Column): Column = regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
 
-  def tokenCount(c: Column): Column = size(tokens(c))
+  // The COUNT faces ride native single-pass byte scans
+  // ([[TextScanExpr]]) instead of size(regexp_extract_all(...)):
+  // byte-exact same semantics (property-pinned), no match-array
+  // allocation, no regex NFA — the per-row cost that dominates a
+  // 100 TB corpus scan. `tokens`/`words` stay regex: they return the
+  // match arrays themselves.
+  def tokenCount(c: Column): Column = TextScanExpr.tokenCount(c)
 
   /** BPE-ish token estimate: runs of letters, single digits, or single
     * punctuation — approximates subword tokenizer output without a
     * vocabulary. */
   def bpeTokenEstimate(c: Column): Column =
-    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+    TextScanExpr.bpeEstimateCount(lower(c))
 
   val StopwordsEn = Seq("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
 
   def stopwordCount(c: Column): Column =
-    size(regexp_extract_all(lower(c), lit("\\b(" + StopwordsEn.mkString("|") + ")\\b"), lit(0)))
+    TextScanExpr.wordSetCount(lower(c), StopwordsEn)
 
-  def punctCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("[^a-zA-Z0-9\\s]"), lit(0)))
+  def punctCount(c: Column): Column = TextScanExpr.punctCount(c)
 
   /** Heuristic document quality in [0,1]: length saturation × low-punct
     * × stopword-informed naturalness (shape follows the usual
@@ -57,7 +62,7 @@ object TextFunctions {
     "es" -> Seq("el", "los", "las", "de", "y", "por", "una", "es", "del", "como"))
 
   def langScore(c: Column, markers: Seq[String]): Column =
-    size(regexp_extract_all(lower(c), lit("\\b(" + markers.mkString("|") + ")\\b"), lit(0)))
+    TextScanExpr.wordSetCount(lower(c), markers)
 
   /** Argmax language with a fixed priority order on ties (en>de>fr>es).
     * NULL text yields NULL, not a label: null scores make every

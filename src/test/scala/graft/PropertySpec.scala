@@ -144,6 +144,42 @@ class PropertySpec extends AnyFunSuite {
     runCheck(prop, minTests = 8)
   }
 
+  test("native text-scan counters equal their regex formulations (ScalaCheck)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    // Adversarial alphabet: every java-\s char, word chars incl. '_',
+    // ASCII punctuation, 2-/3-/4-byte UTF-8 code points (é, €, emoji),
+    // a combining mark, a non-breaking space (NOT \s in java default
+    // mode), and whole stopwords to exercise the \b word-set path.
+    val atoms = Gen.oneOf(
+      Gen.oneOf(" ", "\t", "\n", "", "\f", "\r", " "),
+      Gen.oneOf("a", "Z", "7", "_", ".", ",", "!", "-", "'"),
+      Gen.oneOf("é", "€", "😀", "́", "ß", "İ"),
+      Gen.oneOf(TextFunctions.StopwordsEn),
+      Gen.oneOf("theory", "android", "it4", "on_", "the"))
+    val genText = Gen.listOf(atoms).map(_.mkString)
+    val prop = Prop.forAllNoShrink(Gen.listOfN(24, genText)) { texts =>
+      val df = (texts :+ "").zipWithIndex.map(_.swap).toDF("i", "t")
+      val sw = TextFunctions.StopwordsEn
+      val got = df.select(
+          TextFunctions.tokenCount(col("t")),
+          TextFunctions.bpeTokenEstimate(col("t")),
+          TextFunctions.punctCount(col("t")),
+          TextFunctions.stopwordCount(col("t")),
+          // regex formulations the natives replaced
+          size(regexp_extract_all(col("t"), lit("\\S+"), lit(0))),
+          size(regexp_extract_all(lower(col("t")), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))),
+          size(regexp_extract_all(col("t"), lit("[^a-zA-Z0-9\\s]"), lit(0))),
+          size(regexp_extract_all(lower(col("t")),
+            lit("\\b(" + sw.mkString("|") + ")\\b"), lit(0))))
+        .collect()
+      got.forall(r => r.getInt(0) == r.getInt(4) && r.getInt(1) == r.getInt(5) &&
+        r.getInt(2) == r.getInt(6) && r.getInt(3) == r.getInt(7))
+    }
+    runCheck(prop, minTests = 12)
+  }
+
   test("LabelJoin agrees with the nested-loop forward oracle on arbitrary inputs (ScalaCheck)") {
     import spark.implicits._
     val genCase = for {
