@@ -75,6 +75,25 @@ final case class KafkaSource(
   def datePartitionColumn: Option[String] = None
 }
 
+/** Kinesis stream source (reference data_source.py:465-547,
+  * DataSource.proto:100-113) — declarative registry metadata, exactly
+  * the reference's own treatment: it ships no in-tree Kinesis
+  * consumer either (its KinesisSource never implements validation or
+  * a query string). Views carry it through the registry round-trip so
+  * a reference repo migrates losslessly; consuming it would ride a
+  * Kinesis Structured-Streaming connector's readStream contract,
+  * which this environment does not ship — [[SourceReader.readStream]]
+  * fails loudly rather than silently reading nothing. */
+final case class KinesisSource(
+    region: String,
+    streamName: String,
+    recordFormat: StreamFormat,
+    eventTimestampColumn: String,
+    createdTimestampColumn: Option[String] = None,
+    fieldMapping: Map[String, String] = Map.empty) extends DataSource {
+  def datePartitionColumn: Option[String] = None
+}
+
 /** File-backed stream source: replays a path as a stream via
   * spark.readStream (used for tests/bench where no broker exists). */
 final case class FileStreamSource(
@@ -174,6 +193,14 @@ object SourceReader {
         .option("startingOffsets", k.startingOffsets)
         .load()
       applyFieldMapping(decodeKafkaValue(raw, k.messageFormat), k.fieldMapping)
+    case k: KinesisSource =>
+      // declarative-only, like the reference (no in-tree consumer
+      // there either); this env ships no Kinesis connector — fail
+      // loudly instead of silently reading nothing
+      throw new UnsupportedOperationException(
+        s"KinesisSource(${k.region}/${k.streamName}) is registry metadata: " +
+          "no Kinesis Structured-Streaming connector is available in this " +
+          "environment (the reference SDK declares but never consumes it)")
     case other =>
       throw new IllegalArgumentException(s"source $other is not streamable")
   }

@@ -309,6 +309,16 @@ object RegistryCodec {
       "created_timestamp_column" -> k.createdTimestampColumn.map(jstr).getOrElse(JNull),
       "field_mapping" -> JObj(k.fieldMapping.toVector.sortBy(_._1).map { case (kk, v) => kk -> jstr(v) }),
       "starting_offsets" -> jstr(k.startingOffsets))
+    case k: KinesisSource => Json.obj(
+      "kind" -> jstr("kinesis"), "region" -> jstr(k.region),
+      "stream_name" -> jstr(k.streamName),
+      "record_format" -> (k.recordFormat match {
+        case StreamFormat.Avro(s) => Json.obj("format" -> jstr("avro"), "schema" -> jstr(s))
+        case StreamFormat.Json(d) => Json.obj("format" -> jstr("json"), "schema" -> jstr(d))
+      }),
+      "event_timestamp_column" -> jstr(k.eventTimestampColumn),
+      "created_timestamp_column" -> k.createdTimestampColumn.map(jstr).getOrElse(JNull),
+      "field_mapping" -> JObj(k.fieldMapping.toVector.sortBy(_._1).map { case (kk, v) => kk -> jstr(v) }))
     case s: FileStreamSource => Json.obj(
       "kind" -> jstr("file_stream"), "path" -> jstr(s.path), "format" -> jstr(s.format),
       "event_timestamp_column" -> jstr(s.eventTimestampColumn),
@@ -345,6 +355,14 @@ object RegistryCodec {
         KafkaSource(s("bootstrap_servers"), s("topic"), fmt,
           s("event_timestamp_column"), opt("created_timestamp_column"), fm,
           opt("starting_offsets").getOrElse("latest"))
+      case "kinesis" =>
+        val rf = o("record_format").asInstanceOf[JObj]
+        val fmt = rf("format").asInstanceOf[JStr].v match {
+          case "avro" => StreamFormat.Avro(rf("schema").asInstanceOf[JStr].v)
+          case _ => StreamFormat.Json(rf("schema").asInstanceOf[JStr].v)
+        }
+        KinesisSource(s("region"), s("stream_name"), fmt,
+          s("event_timestamp_column"), opt("created_timestamp_column"), fm)
       case "file_stream" => FileStreamSource(s("path"), s("format"),
         s("event_timestamp_column"), opt("created_timestamp_column"), fm,
         o.get("max_files_per_trigger").collect { case n @ (_: JNum | _: JInt) => Json.toLong(n).toInt })

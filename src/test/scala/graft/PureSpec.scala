@@ -221,7 +221,15 @@ class PureSpec extends AnyFunSuite {
         Duration.ofHours(6),
         FileSource("/data/x.parquet", "ts", Some("created"), Map("a" -> "b"), Some("date")),
         streamSource = Some(KafkaSource("broker:9092", "topic",
-          StreamFormat.Json("user_id LONG, f1 DOUBLE, ts TIMESTAMP"), "ts")))),
+          StreamFormat.Json("user_id LONG, f1 DOUBLE, ts TIMESTAMP"), "ts"))),
+        // Kinesis: declarative-only stream metadata, the reference's
+        // own treatment — must survive the round-trip losslessly
+        "v2" -> FeatureView("v2", Seq("user"),
+          Seq(Feature("f3", GraftType.Flt)), Duration.ZERO,
+          FileSource("/data/y.parquet", "ts"),
+          streamSource = Some(KinesisSource("us-east-1", "events-stream",
+            StreamFormat.Avro("""{"type":"record","name":"r","fields":[]}"""), "ts",
+            fieldMapping = Map("src" -> "f3"))))),
       services = Map("svc" -> FeatureService("svc",
         Seq(FeatureViewProjection("v1", Seq("f1"))))),
       materializations = Map("v1" -> Seq(MaterializationInterval(
