@@ -17,8 +17,9 @@ object TextFunctions {
   def tokens(c: Column): Column = regexp_extract_all(c, lit("\\S+"), lit(0))
 
   /** Alphanumeric words of the lowercased text (unit for n-grams,
-    * language ID, stopword ratio). */
-  def words(c: Column): Column = regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+    * language ID, stopword ratio) — native byte scan, byte-exact with
+    * `regexp_extract_all(lower(c), "[a-z0-9]+")` (property-pinned). */
+  def words(c: Column): Column = TextScanExpr.wordsExtract(c)
 
   // The COUNT faces ride native single-pass byte scans
   // ([[TextScanExpr]]) instead of size(regexp_extract_all(...)):
@@ -167,32 +168,25 @@ object TextFunctions {
     regexp_replace(email, "\\+?[0-9][0-9()\\-. ]{7,}[0-9]", "<PHONE>")
   }
 
-  /** Word n-grams (shingles) from a *pre-bound words column*, distinct.
-    * Empty array when the document has fewer than n words (guards
-    * Spark's descending `sequence(1, 0)`).
-    *
-    * PERFORMANCE CONTRACT: `w` must be a plain column attribute (bind
-    * `words(text)` with .withColumn first). Spark evaluates
-    * higher-order-function lambdas interpreted and without common
-    * subexpression elimination, so a non-trivial expression referenced
-    * inside the lambda is recomputed PER ARRAY ELEMENT — an inline
-    * regexp here turns n-gram extraction quadratic. */
-  def wordNgramsFromWords(w: Column, n: Int): Column = {
-    val grams = transform(sequence(lit(1), size(w) - lit(n - 1)),
-      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j))): _*))
-    array_distinct(when(size(w) < n, array().cast("array<string>")).otherwise(grams))
-  }
+  /** Word n-grams (shingles) from a words column, distinct (first-
+    * occurrence order, `array_distinct` semantics). Empty array when
+    * the document has fewer than n words. Native one-pass expression
+    * ([[WordNgramsExpr]]) — byte-exact with the historical
+    * `transform(sequence(...), i -> concat_ws(" ", element_at...))` +
+    * `array_distinct` HOF chain (property-pinned) without its
+    * interpreted per-element lambdas; the old bind-`w`-first
+    * performance contract is obsolete (the expression reads its input
+    * array once), though binding first still helps any OTHER
+    * HOF consumers sharing the column. */
+  def wordNgramsFromWords(w: Column, n: Int): Column =
+    TextScanExpr.wordNgrams(w, n, distinct = true)
 
-  /** Word n-grams WITH multiplicity (no distinct) from a *pre-bound*
-    * words column — the unit for frequency-weighted signals like the
-    * Gopher top-n-gram character fraction, where how OFTEN a gram
-    * repeats is the signal [[wordNgramsFromWords]]'s set semantics
-    * would erase. Same PERFORMANCE CONTRACT: bind `w` first. */
-  def wordNgramsAllFromWords(w: Column, n: Int): Column = {
-    val grams = transform(sequence(lit(1), size(w) - lit(n - 1)),
-      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j))): _*))
-    when(size(w) < n, array().cast("array<string>")).otherwise(grams)
-  }
+  /** Word n-grams WITH multiplicity (no distinct) — the unit for
+    * frequency-weighted signals like the Gopher top-n-gram character
+    * fraction, where how OFTEN a gram repeats is the signal
+    * [[wordNgramsFromWords]]'s set semantics would erase. */
+  def wordNgramsAllFromWords(w: Column, n: Int): Column =
+    TextScanExpr.wordNgrams(w, n, distinct = false)
 
   /** 64-bit SimHash over whitespace tokens (xxhash64 token hashes; bit
     * j set iff the +1/-1 vote sum over tokens is positive). Token

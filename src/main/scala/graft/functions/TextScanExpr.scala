@@ -196,6 +196,69 @@ object TextScan {
     }
     count
   }
+
+  @inline private def isLowerAlnum(b: Byte): Boolean =
+    isAlphaLower(b) || isDigit(b)
+
+  /** `regexp_extract_all(lowered, "[a-z0-9]+")` as one byte scan:
+    * zero-copy word slices over one lowered byte array. Takes the RAW
+    * text and lowercases internally (same UTF8String.toLowerCase the
+    * `lower()` column wraps). */
+  def wordsExtract(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val lowered = s.toLowerCase
+    val b = lowered.getBytes
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    val n = b.length
+    while (i < n) {
+      if (isLowerAlnum(b(i))) {
+        val start = i
+        i += 1
+        while (i < n && isLowerAlnum(b(i))) i += 1
+        out += UTF8String.fromBytes(b, start, i - start)
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Word n-grams from a words array: each gram is the concat_ws(" ")
+    * of `n` consecutive elements (nulls skipped, exactly concat_ws);
+    * `distinct` keeps the FIRST occurrence order (array_distinct).
+    * Fewer than `n` words → empty array — the
+    * [[TextFunctions.wordNgramsFromWords]] contract. */
+  def wordNgrams(arr: org.apache.spark.sql.catalyst.util.ArrayData, n: Int,
+      distinct: Boolean): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val m = arr.numElements()
+    if (m < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val words = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) {
+      words(i) = if (arr.isNullAt(i)) null
+        else arr.getUTF8String(i)
+      i += 1
+    }
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      i = 0
+      while (i <= m - n) {
+        seen.add(UTF8String.concatWs(Space, java.util.Arrays.copyOfRange(words, i, i + n): _*))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        seen.toArray.asInstanceOf[Array[AnyRef]])
+    } else {
+      val out = new Array[Any](m - n + 1)
+      i = 0
+      while (i <= m - n) {
+        out(i) = UTF8String.concatWs(Space, java.util.Arrays.copyOfRange(words, i, i + n): _*)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
 }
 
 sealed abstract class TextScanCount
@@ -248,9 +311,52 @@ case class WordSetCount(child: Expression, words: Seq[String]) extends TextScanC
     copy(child = newChild)
 }
 
+/** `regexp_extract_all(lower(c), "[a-z0-9]+")` — the words unit of the
+  * whole corpus family — as one native byte scan over the lowered
+  * UTF-8 payload (ASCII class: multibyte code points never join a run,
+  * and ASCII bytes never occur inside a multibyte sequence, so the
+  * byte scan is exact). */
+case class WordsExtractExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "words_extract"
+  override protected def nullSafeEval(input: Any): Any =
+    TextScan.wordsExtract(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): WordsExtractExpr =
+    copy(child = newChild)
+}
+
+/** Word n-grams over a words array — the
+  * `transform(sequence(...), i -> concat_ws(" ", element_at...))`
+  * (+ `array_distinct` when `distinct`) HOF chain as one native pass:
+  * no interpreted lambdas, no sequence array, no per-gram element_at
+  * boxing. */
+case class WordNgramsExpr(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(n >= 1, s"n must be positive, got $n")
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(StringType))
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = if (distinct) "word_ngrams" else "word_ngrams_all"
+  override protected def nullSafeEval(input: Any): Any =
+    TextScan.wordNgrams(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n, distinct)
+  override protected def withNewChildInternal(newChild: Expression): WordNgramsExpr =
+    copy(child = newChild)
+}
+
 object TextScanExpr {
   import org.apache.spark.sql.graftshim.ColumnShim
 
+  def wordsExtract(c: Column): Column =
+    ColumnShim.column(WordsExtractExpr(ColumnShim.expression(c)))
+  def wordNgrams(c: Column, n: Int, distinct: Boolean): Column =
+    ColumnShim.column(WordNgramsExpr(ColumnShim.expression(c), n, distinct))
   def tokenCount(c: Column): Column =
     ColumnShim.column(TokenCount(ColumnShim.expression(c)))
   def bpeEstimateCount(c: Column): Column =

@@ -180,6 +180,43 @@ class PropertySpec extends AnyFunSuite {
     runCheck(prop, minTests = 12)
   }
 
+  test("native words/ngrams equal their regex/HOF formulations (ScalaCheck)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    val atoms = Gen.oneOf(
+      Gen.oneOf(" ", "\t", "\n", ".", "-", "_", "é", "😀", "İ", "ß"),
+      Gen.oneOf("a", "b9", "Qx", "the", "and", "word"),
+      // repeats so array_distinct has real work
+      Gen.const("dup dup dup"))
+    val genText = Gen.listOf(atoms).map(_.mkString)
+    val prop = Prop.forAllNoShrink(Gen.listOfN(20, genText), Gen.choose(1, 4)) {
+      (texts, n) =>
+        val df = (texts :+ "").zipWithIndex.map(_.swap).toDF("i", "t")
+          .withColumn("__w", TextFunctions.words(col("t")))
+          .withColumn("__wr", regexp_extract_all(lower(col("t")), lit("[a-z0-9]+"), lit(0)))
+        def hofGrams(w: org.apache.spark.sql.Column, distinct: Boolean) = {
+          val grams = transform(sequence(lit(1), size(w) - lit(n - 1)),
+            i => concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j))): _*))
+          val g = when(size(w) < n, array().cast("array<string>")).otherwise(grams)
+          if (distinct) array_distinct(g) else g
+        }
+        val got = df.select(
+            col("__w"), col("__wr"),
+            TextFunctions.wordNgramsFromWords(col("__wr"), n),
+            hofGrams(col("__wr"), distinct = true),
+            TextFunctions.wordNgramsAllFromWords(col("__wr"), n),
+            hofGrams(col("__wr"), distinct = false))
+          .collect()
+        got.forall { r =>
+          r.getSeq[String](0) == r.getSeq[String](1) &&
+            r.getSeq[String](2) == r.getSeq[String](3) &&
+            r.getSeq[String](4) == r.getSeq[String](5)
+        }
+    }
+    runCheck(prop, minTests = 12)
+  }
+
   test("LabelJoin agrees with the nested-loop forward oracle on arbitrary inputs (ScalaCheck)") {
     import spark.implicits._
     val genCase = for {
