@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -262,7 +262,7 @@ object TextScan {
 }
 
 sealed abstract class TextScanCount
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
@@ -317,7 +317,7 @@ case class WordSetCount(child: Expression, words: Seq[String]) extends TextScanC
   * and ASCII bytes never occur inside a multibyte sequence, so the
   * byte scan is exact). */
 case class WordsExtractExpr(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
@@ -335,7 +335,7 @@ case class WordsExtractExpr(child: Expression)
   * no interpreted lambdas, no sequence array, no per-gram element_at
   * boxing. */
 case class WordNgramsExpr(child: Expression, n: Int, distinct: Boolean)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
   require(n >= 1, s"n must be positive, got $n")
   override def inputTypes: Seq[DataType] =
     Seq(org.apache.spark.sql.types.ArrayType(StringType))
