@@ -33,9 +33,16 @@ class PropertySpec extends AnyFunSuite {
 
   private val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
 
+  /** GRAFT_PROP_FACTOR multiplies every test's iteration count — the
+    * soak knob (e.g. =10 for a long adversarial run); default 1 keeps
+    * the suite fast. */
+  private val propFactor: Int =
+    sys.env.get("GRAFT_PROP_FACTOR").map(_.toInt).getOrElse(1)
+
   private def runCheck(prop: Prop, minTests: Int): Unit = {
     val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(minTests).withWorkers(1), prop)
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(minTests * propFactor).withWorkers(1), prop)
     assert(res.passed, res.status.toString)
   }
 
