@@ -145,8 +145,21 @@ object Bench {
     // Both PIT queries since r8's all-eligible CHAIN: the multi-view
     // query is now a linear chain of AsOfJoinExec merges — as static as
     // the single-view plan (no row-id stamp, no join-backs, no
-    // broadcast candidates for AQE to pick).
-    val staticPlan = Set("q_pit_join_single", "q_pit_join_multi")
+    // broadcast candidates for AQE to pick). Same argument, probed
+    // per-query with tools/AqeProbe, admits three more members whose
+    // physical plan AQE cannot change: q_agg_pushdown and
+    // q_window_topk are scan -> partial agg -> ONE exchange -> final
+    // agg with no join at all, and q_ann_brute_force's only join is an
+    // explicit broadcast() hint (Similarity.bruteForceTopK) feeding
+    // the same single BoundedMinK exchange — in all three AQE can only
+    // coalesce the one post-shuffle stage (already sized by
+    // shuffle.partitions=cores) at the cost of a replan round per
+    // stage: measured 0.311->0.247 s (window_topk), 0.211->0.180 s
+    // (ann_brute_force), 0.195->0.180 s (agg_pushdown) on identical
+    // plans. Multi-stage adaptive shapes (dedup pipeline, store
+    // queries, streaming) keep session AQE on, which wins net there.
+    val staticPlan = Set("q_pit_join_single", "q_pit_join_multi",
+      "q_agg_pushdown", "q_window_topk", "q_ann_brute_force")
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         // JMH-style inter-iteration hygiene: prior queries leave dead
@@ -283,10 +296,18 @@ object Bench {
       "than the winner-subtree fold at every scale) and the linear " +
       "chain is equally static, so it rides the same per-job AQE-off " +
       "conf: 0.66s adaptive vs 0.36s static, measured back to back, " +
-      "which is DuckDB parity (0.35s). Every other headline keeps " +
-      "session AQE on (wins net for the multi-stage adaptive shapes); " +
-      "pit_join_single 10x-data wall ratio 1.8x shows the job floor " +
-      "amortizing. " +
+      "which is DuckDB parity (0.35s). The same static-plan argument, " +
+      "probed per query (tools/AqeProbe min-of-3 on identical plans), " +
+      "admits q_agg_pushdown + q_window_topk (scan -> partial agg -> " +
+      "ONE exchange -> final, no join at all) and q_ann_brute_force " +
+      "(its only join is an explicit broadcast() hint feeding the one " +
+      "BoundedMinK exchange): AQE can only coalesce the single " +
+      "post-shuffle stage — already sized by shuffle.partitions=cores " +
+      "— at a replan round per stage (0.311->0.247s, 0.195->0.180s, " +
+      "0.211->0.180s). The multi-stage adaptive shapes (dedup " +
+      "pipeline, store/stream queries) keep session AQE on, the net " +
+      "win there; pit_join_single 10x-data wall ratio 1.8x shows the " +
+      "job floor amortizing. " +
       "queries = steady-state (min of 3 runs, JMH discipline — r4's " +
       "19.9s pit_join_multi was one alien GC/load spike in a single " +
       "timed run), queries_cold = 1st run incl. one-time " +

@@ -61,8 +61,10 @@ case class BoundedCollect(
 
   override def update(buf: BoundedCollect.Buf, input: InternalRow): BoundedCollect.Buf = {
     val v = child.eval(input)
-    // copyValue detaches UTF8Strings / InternalRows from reused buffers
-    if (v != null) buf.offer(InternalRow.copyValue(v))
+    // copy (detaching UTF8Strings / InternalRows from reused buffers)
+    // happens inside offer ONLY when the value is actually kept — an
+    // overflowed group absorbs the rest of its input allocation-free
+    if (v != null) buf.offer(v, BoundedCollect.copyIn)
     buf
   }
 
@@ -103,7 +105,8 @@ case class BoundedCollect(
         in.readFully(b)
         val row = new UnsafeRow(1)
         row.pointTo(b, len)
-        buf.offer(InternalRow.copyValue(row.get(0, child.dataType)))
+        // freshly read bytes are owned by this buffer — no re-copy
+        buf.offer(row.get(0, child.dataType), BoundedCollect.identityCopy)
         i += 1
       }
     }
@@ -121,19 +124,26 @@ case class BoundedCollect(
 object BoundedCollect {
   import org.apache.spark.sql.graftshim.ColumnShim
 
-  /** cap-bounded value list with a sticky overflow bit. */
+  /** Detach a value from reused upstream buffers (update path). */
+  val copyIn: Any => Any = InternalRow.copyValue
+  /** Pass-through for values that already own their storage. */
+  val identityCopy: Any => Any = v => v
+
+  /** cap-bounded value list with a sticky overflow bit. `copy` runs
+    * ONLY when the value is kept — overflowed groups reject
+    * allocation-free. */
   final class Buf(cap: Int) {
     private val xs = new scala.collection.mutable.ArrayBuffer[Any]()
     private var over = false
     def overflowed: Boolean = over
     def markOverflowed(): Unit = { over = true; xs.clear() }
-    def offer(v: Any): Unit =
+    def offer(v: Any, copy: Any => Any): Unit =
       if (!over) {
-        if (xs.length == cap) markOverflowed() else xs += v
+        if (xs.length == cap) markOverflowed() else xs += copy(v)
       }
     def absorb(other: Buf): Unit =
       if (other.over) markOverflowed()
-      else other.xs.foreach(offer)
+      else other.xs.foreach(offer(_, identityCopy))
     def size: Int = xs.length
     def foreach(f: Any => Unit): Unit = xs.foreach(f)
     def toArray: Array[Any] = xs.toArray

@@ -55,8 +55,29 @@ case class BoundedMinK(
     else TypeCheckResult.TypeCheckFailure(
       s"bounded_min_k requires an orderable non-null type, got ${child.dataType}")
 
-  @transient private lazy val ord: Ordering[Any] =
-    TypeUtils.getInterpretedOrdering(child.dataType)
+  // Struct values (the topKPerKey whole-row carrier) compare through a
+  // CODEGEN'd ordering — InterpretedOrdering walks the field list with
+  // per-field boxing on EVERY heap comparison, measured as the
+  // dominant per-row cost of the aggregate. Same SQL ordering
+  // semantics (NaN/-0.0 normalization included) either way.
+  @transient private lazy val ord: Ordering[Any] = child.dataType match {
+    case st: StructType =>
+      org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+        .create(st).asInstanceOf[Ordering[Any]]
+    case dt => TypeUtils.getInterpretedOrdering(dt)
+  }
+
+  // Copy applied ONLY when a value is admitted to the heap (offer
+  // compares first on the transient value): once a group's heap is
+  // full, the common rejected row costs eval + one compiled compare,
+  // zero allocation. Struct admits copy through a compact
+  // UnsafeProjection instead of a generic field-by-field copy.
+  @transient private lazy val copyV: Any => Any = child.dataType match {
+    case st: StructType =>
+      val proj = UnsafeProjection.create(st)
+      (v: Any) => proj(v.asInstanceOf[InternalRow]).copy()
+    case _ => (v: Any) => InternalRow.copyValue(v)
+  }
 
   @transient private lazy val valueProj: UnsafeProjection =
     UnsafeProjection.create(Array(child.dataType))
@@ -66,13 +87,14 @@ case class BoundedMinK(
 
   override def update(buf: BoundedMinK.Heap, input: InternalRow): BoundedMinK.Heap = {
     val v = child.eval(input)
-    // copyValue detaches UTF8Strings / InternalRows from reused buffers
-    if (v != null) buf.offer(InternalRow.copyValue(v))
+    if (v != null) buf.offer(v, copyV)
     buf
   }
 
   override def merge(buf: BoundedMinK.Heap, other: BoundedMinK.Heap): BoundedMinK.Heap = {
-    other.foreach(buf.offer)
+    // other's values are already detached copies owned by a buffer that
+    // is discarded after the merge — share, don't re-copy
+    other.foreach(buf.offer(_, BoundedMinK.identityCopy))
     buf
   }
 
@@ -106,7 +128,8 @@ case class BoundedMinK(
       in.readFully(b)
       val row = new UnsafeRow(1)
       row.pointTo(b, len)
-      buf.offer(InternalRow.copyValue(row.get(0, child.dataType)))
+      // the freshly read bytes are owned by this heap — no re-copy
+      buf.offer(row.get(0, child.dataType), BoundedMinK.identityCopy)
       i += 1
     }
     buf
@@ -123,12 +146,18 @@ case class BoundedMinK(
 object BoundedMinK {
   import org.apache.spark.sql.graftshim.ColumnShim
 
-  /** k-capped max-at-head heap of the k SMALLEST values seen. */
+  /** Pass-through for values that already own their storage (merge /
+    * deserialize paths). */
+  val identityCopy: Any => Any = v => v
+
+  /** k-capped max-at-head heap of the k SMALLEST values seen. `copy`
+    * detaches a value from reused upstream buffers and runs ONLY on
+    * admission — a full heap rejects without allocating. */
   final class Heap(k: Int, ord: Ordering[Any]) {
     private val pq = new scala.collection.mutable.PriorityQueue[Any]()(ord)
-    def offer(v: Any): Unit =
-      if (pq.size < k) pq.enqueue(v)
-      else if (ord.lt(v, pq.head)) { pq.dequeue(); pq.enqueue(v) }
+    def offer(v: Any, copy: Any => Any): Unit =
+      if (pq.size < k) pq.enqueue(copy(v))
+      else if (ord.lt(v, pq.head)) { pq.dequeue(); pq.enqueue(copy(v)) }
     def size: Int = pq.size
     def foreach(f: Any => Unit): Unit = pq.iterator.foreach(f)
     def sortedAscending(): Array[Any] = pq.toArray.sorted(ord)
@@ -168,8 +197,11 @@ object Quota {
     val payload = ordCol +: df.columns.filterNot(c => c == keyCol || c == ordCol).toIndexedSeq
     val rowStruct = struct(payload.map(c => c0(c).as(c)): _*)
     df.filter(c0(ordCol).isNotNull)
+      // pre-project the row struct: built by the codegen'd stage once
+      // per row instead of interpreted inside the aggregate's update
+      .select(c0(keyCol), rowStruct.as("__rowstruct"))
       .groupBy(c0(keyCol))
-      .agg(BoundedMinK.column(rowStruct, k).as("__mink"))
+      .agg(BoundedMinK.column(col("__rowstruct"), k).as("__mink"))
       .select(c0(keyCol), explode(col("__mink")).as("__row"))
       .select(c0(keyCol) +: payload.map(c => col("__row").getField(c).as(c)): _*)
   }

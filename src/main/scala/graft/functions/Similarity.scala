@@ -107,8 +107,12 @@ object Similarity {
     val scored = scored0.filter(col("__cos").isNotNull && !isnan(col("__cos")))
     val cand = struct((-col("__cos")).as("negcos"), col("__cid").as("id"), col("__cos").as("cos"))
     scored
+      // pre-project the candidate struct so the codegen'd stage builds
+      // it once per row; the aggregate's child stays a bound attribute
+      // (an interpreted struct eval per row otherwise dominates update)
+      .select(col("__qid"), cand.as("__cand"))
       .groupBy("__qid")
-      .agg(graft.functions.BoundedMinK.column(cand, k).as("top"))
+      .agg(graft.functions.BoundedMinK.column(col("__cand"), k).as("top"))
       .select(col("__qid").as("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.id").as("neighbor_id"),
         col("col.cos").as("cos"), (col("pos") + 1).as("rank"))

@@ -661,8 +661,11 @@ object CoreQueries {
       // filter Quota.topKPerKey applies (review r6; no null prices in
       // this data, but the equivalence claim must not depend on that)
       .filter(col("o_totalprice").isNotNull)
+      // pre-projected payload: the scan stage's codegen builds the
+      // struct; the aggregate's child is a bound attribute
+      .select(col("o_custkey"), payload.as("__payload"))
       .groupBy(col("o_custkey"))
-      .agg(graft.functions.BoundedMinK.column(payload, 3).as("__top"))
+      .agg(graft.functions.BoundedMinK.column(col("__payload"), 3).as("__top"))
       .select(col("o_custkey"), posexplode(col("__top")))
       .select(col("o_custkey"), col("col.ok").as("o_orderkey"),
         col("col.price").as("o_totalprice"),

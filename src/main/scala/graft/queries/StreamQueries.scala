@@ -20,7 +20,7 @@ import graft.streaming.StreamMaterializer
   */
 object StreamQueries {
 
-  /** Replay events as a 2-file stream driven in ONE AvailableNow
+  /** Replay events as an 8-file stream driven in ONE AvailableNow
     * micro-batch, materialize it into the online store, then dump the
     * store. Oracle: global latest-per-key — holds only if the
     * streaming upsert's in-batch LWW reduction works. One batch is the
@@ -90,20 +90,28 @@ object StreamQueries {
   }
 
   /** Shared store/view wiring for the two streamMaterialize variants:
-    * the cached 2-file replay copy, the user entity, and the
+    * the cached 8-file replay copy, the user entity, and the
     * user_events_stream view over it. */
   private def streamStore(s: SparkSession, dir: String,
       store: graft.online.OnlineStore, project: String): FeatureStore = {
-    // Deterministic 2-file input copy, cached across invocations (the
-    // store + checkpoint stay per-run under a fresh tmp dir).
+    // Deterministic 8-file input copy, cached across invocations (the
+    // store + checkpoint stay per-run under a fresh tmp dir). 8 files
+    // = 8-way scan parallelism inside the single AvailableNow
+    // micro-batch (a parquet file is one split per row group; the
+    // 2-file copy ran the batch scan on 2 cores of 32) — file count
+    // is exactly how a partitioned Kafka topic or a bucketed landing
+    // dir parallelizes the same stream at scale. Batch count and the
+    // oracle are unchanged: AvailableNow without maxFilesPerTrigger
+    // drains all files in ONE batch; the cross-batch LWW contract
+    // stays pinned by StreamingSpec with maxFilesPerTrigger=1.
     // sanitized dir path, not hashCode: distinct dirs can collide on
     // hashCode (abs(Int.MinValue) stays negative) and silently share
     // one replay copy across datasets
-    val input = s"/tmp/graft_stream_in2_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val input = s"/tmp/graft_stream_in8_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
     if (!new java.io.File(s"$input/_SUCCESS").exists()) {
       Tables.read(s, dir, "events")
         .select("user_id", "ts", "event_type", "value")
-        .repartition(2)
+        .repartition(8)
         .write.mode("overwrite").parquet(input)
     }
     val fs = new FeatureStore(project, new Registry(), store, s)

@@ -27,7 +27,21 @@ object Tables {
       // INT64-micros timestamps instead of legacy INT96: modern readers
       // (and the job-free ParquetPointReader on the online path) get a
       // plain annotated int64.
-      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS"
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
+      // ObjectHashAggregate (the exec that runs every
+      // TypedImperativeAggregate: BoundedMinK top-k, bounded_collect,
+      // count-min) falls back to SORT-BASED aggregation past 128
+      // distinct groups per task — a guard sized for unbounded
+      // collect_list states. Every graft typed agg carries an
+      // explicitly BOUNDED per-group state by design (k-heaps, capped
+      // collects, fixed sketch cells), so the hash path's memory is
+      // O(groups * cap) and the conservative default only buys an
+      // extra sort of the full input per task (key-grain group counts
+      // routinely exceed 128 in every partition). Raised so the hash
+      // path is the norm; the sort fallback's serialize/merge
+      // correctness stays spec-pinned (PipelineSpec) and still
+      // engages on genuinely huge per-task group counts.
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "4194304"
     ).foreach { case (k, v) =>
       try spark.conf.set(k, v) catch { case _: Throwable => () }
     }

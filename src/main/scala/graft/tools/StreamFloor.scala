@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 
 /** Dev probe: wall time of an AvailableNow foreachBatch(noop) over the
-  * same 2-file input q_stream_materialize replays — isolates the
+  * same 8-file input q_stream_materialize replays — isolates the
   * structured-streaming driver floor (query start, offset/commit WAL,
   * micro-batch planning) from the store-upsert work. Dev-tool only. */
 object StreamFloor {
@@ -20,16 +20,20 @@ object StreamFloor {
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.Tables.configure(spark)
 
-    val input = s"/tmp/graft_stream_in2_${Math.abs(sfDir.hashCode)}"
+    val input = s"/tmp/graft_stream_in8_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
     if (!new java.io.File(s"$input/_SUCCESS").exists()) {
       graft.sources.Tables.read(spark, sfDir, "events")
         .select("user_id", "ts", "event_type", "value")
-        .repartition(2)
+        .repartition(8)
         .write.mode("overwrite").parquet(input)
     }
 
+    // optional 2nd arg: checkpoint base dir (probe /tmp-on-disk vs
+    // /dev/shm tmpfs — the WAL floor is partly fs metadata latency)
+    val ckptBase = if (args.length > 1) args(1) else "/tmp"
+
     def run(tag: String, maxFiles: Option[Int], body: DataFrame => Unit): Unit = {
-      val ckpt = s"/tmp/graft_floor_${java.util.UUID.randomUUID().toString.take(8)}"
+      val ckpt = s"$ckptBase/graft_floor_${java.util.UUID.randomUUID().toString.take(8)}"
       val t0 = System.nanoTime()
       val base = spark.readStream.format("parquet")
         .schema(spark.read.parquet(input).schema)
@@ -44,9 +48,9 @@ object StreamFloor {
     }
 
     (0 until 3).foreach { i =>
-      run(s"noop-2batch run=$i", Some(1), _ => ())
+      run(s"noop-8batch run=$i", Some(1), _ => ())
       run(s"noop-1batch run=$i", None, _ => ())
-      run(s"count-2batch run=$i", Some(1), b => { b.count(); () })
+      run(s"count-8batch run=$i", Some(1), b => { b.count(); () })
     }
     spark.stop()
   }

@@ -523,20 +523,25 @@ class PipelineSpec extends AnyFunSuite {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     // ObjectHashAggregate falls back to sort-based aggregation past
-    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold (128)
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold
     // distinct groups per partition — THE path that round-trips every
-    // heap through serialize/deserialize. 500 groups in one partition
-    // forces it; values straddle partitions so merge() runs too.
-    val rows = (0 until 500).flatMap(g =>
-      (0 until 12).map(i => (s"g$g", ((i * 37 + g * 13) % 97).toLong)))
-    val df = rows.toDF("key", "v").repartition(2)
-    val got = graft.functions.Quota.topKPerKey(df.coalesce(1), "key", "v", 3)
-      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
-    val want = df.withColumn("rn",
-        row_number().over(Window.partitionBy("key").orderBy("v")))
-      .filter(col("rn") <= 3).select("key", "v")
-      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
-    assert(got.toSeq === want.toSeq)
+    // heap through serialize/deserialize. Pinned to 128 here (the
+    // Spark default; Tables.configure raises it in product sessions)
+    // so 500 groups in one partition force it regardless of session
+    // config drift; values straddle partitions so merge() runs too.
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128")
+    try {
+      val rows = (0 until 500).flatMap(g =>
+        (0 until 12).map(i => (s"g$g", ((i * 37 + g * 13) % 97).toLong)))
+      val df = rows.toDF("key", "v").repartition(2)
+      val got = graft.functions.Quota.topKPerKey(df.coalesce(1), "key", "v", 3)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+      val want = df.withColumn("rn",
+          row_number().over(Window.partitionBy("key").orderBy("v")))
+        .filter(col("rn") <= 3).select("key", "v")
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+      assert(got.toSeq === want.toSeq)
+    } finally spark.conf.unset("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
   }
 
   test("BoundedCollect: collect_list under cap, NULL past cap; survives serialize/merge") {
@@ -545,21 +550,26 @@ class PipelineSpec extends AnyFunSuite {
     // ObjectHashAggregate forces the sort-based fallback (the
     // serialize/deserialize path), and straddling partitions runs
     // merge(). Group sizes 1..6 with cap 4 exercise both outcomes.
-    val rows = (0 until 500).flatMap(g =>
-      (0 to (g % 6)).map(i => (s"g$g", g.toLong * 100 + i)))
-    val df = rows.toDF("key", "v").repartition(2)
-    val got = df.groupBy("key")
-      .agg(graft.functions.BoundedCollect.column(col("v"), 4).as("xs"))
-      .select(col("key"), array_sort(col("xs")).as("xs"))
-      .collect().map(r => r.getString(0) -> Option(r.getSeq[Long](1))).toMap
-    val want = df.groupBy("key").agg(collect_list("v").as("xs"))
-      .select(col("key"), array_sort(col("xs")).as("xs"))
-      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
-    assert(got.keySet === want.keySet)
-    want.foreach { case (k, xs) =>
-      if (xs.length > 4) assert(got(k).isEmpty, s"group $k (size ${xs.length}) must eval NULL")
-      else assert(got(k).contains(xs), s"group $k")
-    }
+    // Threshold pinned to the Spark default (Tables.configure raises
+    // it in product sessions) so the fallback path stays covered.
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128")
+    try {
+      val rows = (0 until 500).flatMap(g =>
+        (0 to (g % 6)).map(i => (s"g$g", g.toLong * 100 + i)))
+      val df = rows.toDF("key", "v").repartition(2)
+      val got = df.groupBy("key")
+        .agg(graft.functions.BoundedCollect.column(col("v"), 4).as("xs"))
+        .select(col("key"), array_sort(col("xs")).as("xs"))
+        .collect().map(r => r.getString(0) -> Option(r.getSeq[Long](1))).toMap
+      val want = df.groupBy("key").agg(collect_list("v").as("xs"))
+        .select(col("key"), array_sort(col("xs")).as("xs"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(got.keySet === want.keySet)
+      want.foreach { case (k, xs) =>
+        if (xs.length > 4) assert(got(k).isEmpty, s"group $k (size ${xs.length}) must eval NULL")
+        else assert(got(k).contains(xs), s"group $k")
+      }
+    } finally spark.conf.unset("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
     // null inputs are skipped, as in collect_list
     val ns = Seq(("a", Some(2L)), ("a", None), ("a", Some(1L))).toDF("key", "v")
       .groupBy("key")
