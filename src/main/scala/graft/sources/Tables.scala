@@ -37,11 +37,12 @@ object Tables {
       // collects, fixed sketch cells), so the hash path's memory is
       // O(groups * cap) and the conservative default only buys an
       // extra sort of the full input per task (key-grain group counts
-      // routinely exceed 128 in every partition). Raised so the hash
-      // path is the norm; the sort fallback's serialize/merge
-      // correctness stays spec-pinned (PipelineSpec) and still
-      // engages on genuinely huge per-task group counts.
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "4194304"
+      // routinely exceed 128 in every partition). 64k keeps worst-case
+      // hash-state per task bounded (~64k groups x ~1-2 KB bounded
+      // state ≈ 100 MB) while covering real per-task group counts;
+      // the sort fallback still engages above it, and its
+      // serialize/merge correctness stays spec-pinned (PipelineSpec).
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "65536"
     ).foreach { case (k, v) =>
       try spark.conf.set(k, v) catch { case _: Throwable => () }
     }
@@ -92,8 +93,9 @@ object Tables {
     df.schema.fields.foldLeft(df) { (acc, f) =>
       f.dataType match {
         case LongType if nanosLongCols.contains(f.name) =>
-          // floor ns -> µs with integer division (a double division would
-          // lose precision above 2^53 ns)
+          // ns -> µs with truncating integer division (a double
+          // division would lose precision above 2^53 ns); FooterBounds
+          // mirrors this `div` exactly when pruning from footer stats
           acc.withColumn(f.name, timestamp_micros(expr(s"${f.name} div 1000")))
         case TimestampNTZType =>
           acc.withColumn(f.name, col(f.name).cast(TimestampType))

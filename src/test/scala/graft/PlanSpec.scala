@@ -123,6 +123,55 @@ class PlanSpec extends AnyFunSuite {
     assert(FooterBounds.tsBounds(mem, "ts").isEmpty)
   }
 
+  test("FooterBounds: leaf-path chunk lookup survives a struct column before ts; pre-1970 nanos truncate like div") {
+    import graft.sources.FooterBounds
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_footer_spec").toString
+
+    // (1) group-typed field BEFORE the ts column: getColumns() is
+    // leaf-ordered, so a top-level-field-index lookup would read
+    // profile.s's statistics (an INT64 leaf — the type gate on the
+    // NAMED field cannot catch it) as the ts bounds
+    val structFirst = s"$tmp/structfirst"
+    Seq(
+      (5L, 7L, java.sql.Timestamp.valueOf("2024-03-01 12:00:00"), 1L),
+      (9L, 2L, java.sql.Timestamp.valueOf("2024-06-15 08:30:00"), 2L))
+      .toDF("uid", "s", "ts0", "id")
+      .select(struct(col("uid"), col("s")).as("profile"), col("ts0").as("ts"), col("id"))
+      .coalesce(1).write.mode("overwrite").parquet(structFirst)
+    val df = spark.read.parquet(structFirst).select(col("id"), col("ts"))
+    assert(FooterBounds.tsBounds(df, "ts").contains(
+      (java.sql.Timestamp.valueOf("2024-03-01 12:00:00"),
+       java.sql.Timestamp.valueOf("2024-06-15 08:30:00"))))
+
+    // (2) TIMESTAMP(NANOS) with pre-1970 values: Spark's `div`
+    // truncates toward zero (-1500 div 1000 = -1), floorDiv would
+    // report -2 and the max bound would sit 1µs BELOW the true
+    // converted max — hand-written via parquet-mr (Spark can't write
+    // NANOS)
+    val nanosDir = new java.io.File(s"$tmp/nanos"); nanosDir.mkdirs()
+    val nanosFile = s"$nanosDir/part-0.parquet"
+    val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      "message m { required int64 id; required int64 ts (TIMESTAMP(NANOS,true)); }")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, conf)
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(nanosFile)).withConf(conf).build()
+    val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+    Seq((1L, -2500L), (2L, -1500L), (3L, 1999L)).foreach { case (id, ns) =>
+      w.write(gf.newGroup().append("id", id).append("ts", ns))
+    }
+    w.close()
+    val raw = spark.read.parquet(s"$tmp/nanos") // nanosAsLong via Tables.configure
+    val converted = raw.select(col("id"),
+      timestamp_micros(expr("ts div 1000")).as("event_timestamp"))
+    val r = converted.agg(min(col("event_timestamp")), max(col("event_timestamp"))).collect()(0)
+    val got = FooterBounds.tsBounds(converted, "event_timestamp")
+    assert(got.contains((r.getTimestamp(0), r.getTimestamp(1))),
+      s"footer bounds $got must equal the div-converted agg bounds (${r.getTimestamp(0)}, ${r.getTimestamp(1)})")
+  }
+
   test("small dimension join broadcasts") {
     val plan = graft.queries.CoreQueries.broadcastJoinAgg(spark, sfDir)
       .queryExecution.executedPlan.toString
