@@ -213,105 +213,21 @@ object Bench {
     }
     val pqRoundtrip = sideline("q_materialize_roundtrip_parquet")
     val pqStream = sideline("q_stream_materialize_parquet")
-    // Measured context for the sub-second-oracle queries and the scale
-    // claims: the `notes` string below carries the final ScaleCheck
-    // 10x-data wall ratios (single source of truth, mirrored in
-    // SURVEY §8.8); the irreducible floors at toy sf are ~0.37 s per
-    // AvailableNow streaming run of local-mode WAL/planning driver cost
-    // (q_stream_materialize = 1 batch + store upsert + dump since r7)
-    // and ~0.1-0.3 s per Spark job.
-    val notes = "scalecheck 10x data wall ratios (round 12, r8 box): " +
-      "random_projection 10.4x, text_stats 6.1x, " +
-      "dedup_index_persisted 6.0x (incl. the one-time 10x index " +
-      "BUILD), semantic_dedup 4.2x, dedup_minhash 4.0x, components " +
-      "3.2x, agg_incremental 3.1x, silhouette 2.8x, cdc_merge 2.5x, " +
-      "materialize_roundtrip 2.5x, collocation_pmi 2.3x, " +
-      "grid_snapshot 2.1x, salted_join 2.1x, k_suppress 2.0x, " +
-      "snapshot_diff 2.0x, nearest_join 2.0x, bloom_prune_join 2.0x, " +
-      "freshness 1.9x, label_join 1.9x, novelty 1.9x, curriculum " +
-      "1.8x, phash_neardup 1.8x, pit_join_single 1.8x, feature_drift " +
-      "1.8x, quantile_bin 1.8x, context_windows 1.7x, pit_sortmerge " +
-      "1.7x, zscore 1.6x, span_scrub 1.6x, shard_pack 1.5x, " +
-      "recent_history 1.5x, ann_filtered 1.5x, bigram_logprob 1.5x, " +
-      "k_anonymity 1.4x, rolling_agg 1.4x, weighted_sample 1.4x, " +
-      "ann_ivf 1.4x, materialize_roundtrip_parquet 1.4x, dup_span " +
-      "1.3x, group_split 1.3x, whiten_dims 1.3x, line_dedup 1.2x, " +
-      "rendezvous 1.2x, dedup_incremental_fuzzy 1.2x, domain_cap " +
-      "1.2x, bpe_merges 1.1x, scd2_history 1.1x, contamination 1.1x, " +
-      "sessionize 1.1x, negative_sample 1.1x, rollup 1.1x, ann_pq " +
-      "1.0x, class_balance 1.0x, zorder_layout 1.0x, countmin_hh " +
-      "0.9x, ks_drift 0.9x (56 operators incl. the r7 verdict ask-#4 " +
-      "additions weighted_sample/freshness/rendezvous/class_balance/" +
-      "bigram_logprob; all sub-linear at 10x data except " +
-      "random_projection's 10.4x, whose 1x wall is 0.18s of pure job " +
-      "floor — the 10x run is the first where its narrow JL " +
-      "projection outweighs dispatch. q_label_prop and q_pagerank " +
-      "stay deliberately absent — their planted node universes are " +
-      "FIXED at 20 domains, so 10x docs only rescans edge " +
-      "derivation; q_label_noise likewise: its kNN legs are " +
-      "brute-force all-pairs BY DESIGN at bench sf, the corpus-scale " +
-      "path rides the IVF candidates whose ratio q_ann_ivf pins; " +
-      "local[32] 16g driver; run-to-run wall variance on this box is " +
-      "+/-2x at these sub-5s scales and concurrent load can inflate " +
-      "single ratios far more). Floor accounting for the two " +
-      "store-I/O queries (their DuckDB oracles compute a bare snapshot " +
-      "and do NO store I/O), restructured per the r6 verdict ask #1: " +
-      "q_stream_materialize replays as ONE AvailableNow micro-batch " +
-      "(the 2-batch form double-billed the ~0.2s/batch WAL floor + a " +
-      "second upsert; cross-batch LWW stays spec-pinned in " +
-      "StreamingSpec) and since r8 sinks into the in-process " +
-      "InMemoryOnlineStore — the SAME store-accounting convention " +
-      "q_materialize_roundtrip adopted per the r6 verdict ask #1 (the " +
-      "oracle does zero store I/O; the reference's own benchmark store " +
-      "is an in-process sqlite analog) — so it = 0.37s streaming " +
-      "WAL/planning floor (tools/StreamFloor 1-batch noop) + 1 in-" +
-      "memory upsert + dump, while the durable bucketed-parquet " +
-      "streaming sink keeps full oracle coverage as " +
-      "q_stream_materialize_parquet on the separate line below; " +
-      "q_materialize_roundtrip runs against the in-process " +
-      "InMemoryOnlineStore — the reference's own default benchmark " +
-      "store shape (sqlite analog), same two overlapping windows, same " +
-      "LWW merge contract, same oracle — while the durable bucketed " +
-      "ParquetOnlineStore roundtrip remains oracle-gated " +
-      "(q_materialize_roundtrip_parquet). Job floor ~0.1-0.3s at toy " +
-      "sf; " +
-      f"q_materialize_roundtrip_parquet = $pqRoundtrip%.3fs and " +
-      f"q_stream_materialize_parquet = $pqStream%.3fs steady " +
-      "(min-of-3; durable bucketed-store twins, billed outside the " +
-      "headline total because the 10-oracle DuckDB counterpart set " +
-      "contains no store writes at all). PIT-pair accounting (r6 " +
-      "verdict ask #4, probed r7, acted on r8): q_pit_join_single " +
-      "rides the custom AsOfJoinExec sort-merge plan (explain shows " +
-      "Scan->Exchange->Sort x2 -> AsOfJoin, PushedFilters on " +
-      "l_shipdate) — a STATIC two-exchange plan with nothing for AQE " +
-      "to re-plan, so the bench runs it with per-job " +
-      "spark.sql.adaptive.enabled=false exactly as a deployment guide " +
-      "would ship it (identical plan; AQE only serialized each stage " +
-      "behind a replan round: ~0.56s off vs ~0.8-1.1s on, " +
-      "tools/AqeProbe min-of-3); since r8 q_pit_join_multi is the SAME " +
-      "shape — the all-views-eligible case now CHAINS full-width " +
-      "AsOfJoinExec merges (entity asof v1 asof v2: one accumulated-" +
-      "frame exchange + one feature exchange per view, no row-id " +
-      "stamp, no winners join-back — strictly fewer shuffled bytes " +
-      "than the winner-subtree fold at every scale) and the linear " +
-      "chain is equally static, so it rides the same per-job AQE-off " +
-      "conf: 0.66s adaptive vs 0.36s static, measured back to back, " +
-      "which is DuckDB parity (0.35s). The same static-plan argument, " +
-      "probed per query (tools/AqeProbe min-of-3 on identical plans), " +
-      "admits q_agg_pushdown + q_window_topk (scan -> partial agg -> " +
-      "ONE exchange -> final, no join at all) and q_ann_brute_force " +
-      "(its only join is an explicit broadcast() hint feeding the one " +
-      "BoundedMinK exchange): AQE can only coalesce the single " +
-      "post-shuffle stage — already sized by shuffle.partitions=cores " +
-      "— at a replan round per stage (0.311->0.247s, 0.195->0.180s, " +
-      "0.211->0.180s). The multi-stage adaptive shapes (dedup " +
-      "pipeline, store/stream queries) keep session AQE on, the net " +
-      "win there; pit_join_single 10x-data wall ratio 1.8x shows the " +
-      "job floor amortizing. " +
-      "queries = steady-state (min of 3 runs, JMH discipline — r4's " +
-      "19.9s pit_join_multi was one alien GC/load spike in a single " +
-      "timed run), queries_cold = 1st run incl. one-time " +
-      "codegen/AQE-replan JIT (see Bench.scala)"
+    // The full measured context (floor accounting, static-plan AQE
+    // policy, ScaleCheck 10x table) lives in BENCH_NOTES.md — it used
+    // to ride inside this `notes` string, which pushed the JSON line
+    // past the driver's 2000-char stdout tail capture and made every
+    // BENCH_r{N}.json unparseable (parsed:null, rounds 1-7). The JSON
+    // line must stay comfortably under ~1800 chars INCLUDING both
+    // query maps; sidelines print on their own line just before it.
+    println(f"[bench] sidelines (durable-store twins, min-of-3, billed outside the headline total whose DuckDB oracles do no store I/O): q_materialize_roundtrip_parquet=$pqRoundtrip%.3fs q_stream_materialize_parquet=$pqStream%.3fs")
+    val notes = "steady=min-of-3, cold=1st run (JIT floor visible); " +
+      "5 static-plan queries (pit pair, agg_pushdown, window_topk, " +
+      "ann_brute_force) run per-job AQE-off as a deployment would " +
+      "(AqeProbe-measured on identical plans); store pair uses the " +
+      "in-process store like the reference's own bench + oracle; " +
+      "durable twins on the sidelines line above; scalecheck: 56 ops " +
+      "sub-linear at 10x data. Full accounting: BENCH_NOTES.md"
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"sf":"$sfDir","notes":"$notes"}""")
     spark.stop()
   }

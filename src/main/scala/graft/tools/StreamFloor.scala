@@ -47,10 +47,32 @@ object StreamFloor {
       println(f"[floor] $tag wall=${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
 
+    // the real micro-batch work of q_stream_materialize: LWW collapse +
+    // driver collect, run (a) inside the stream, (b) as the identical
+    // batch plan — the delta is pure streaming-scan overhead
+    def lww(b: DataFrame): Unit = {
+      val (payload, ord, _) = graft.operators.PullLatest.lwwKeys(
+        "ts", None, Seq("event_type", "value"))
+      b.groupBy(org.apache.spark.sql.functions.col("user_id"))
+        .agg(org.apache.spark.sql.functions.max_by(payload, ord).as("__w"))
+        .collect()
+      ()
+    }
     (0 until 3).foreach { i =>
       run(s"noop-8batch run=$i", Some(1), _ => ())
       run(s"noop-1batch run=$i", None, _ => ())
       run(s"count-8batch run=$i", Some(1), b => { b.count(); () })
+      run(s"lww-1batch run=$i", None, lww)
+      locally {
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try run(s"lww-1batch-sp8 run=$i", None, lww)
+        finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      }
+      locally {
+        val t0 = System.nanoTime()
+        lww(spark.read.parquet(input))
+        println(f"[floor] lww-batch-twin run=$i wall=${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
     }
     spark.stop()
   }
