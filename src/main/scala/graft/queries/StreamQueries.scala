@@ -260,6 +260,53 @@ object StreamQueries {
     """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Streaming changelog derivation ([[graft.streaming.Changelog]],
+    * flatMapGroupsWithState): per user, emit only the events whose
+    * event_type CHANGES vs the last emitted state — the store-write
+    * suppressor in front of a materialization, and the streaming face
+    * of the batch SCD2 run-collapse. Replayed as a time-ordered 2-file
+    * split with maxFilesPerTrigger=1, so ~half of each user's
+    * transitions straddle the batch boundary and only per-key STATE
+    * carried across batches can suppress/emit correctly there (a
+    * per-batch LAG would re-emit every batch's first row). Oracle: the
+    * LAG window formulation — valid because the operator's "differs
+    * from last emitted" invariant equals "differs from the previous
+    * row in (ts, event_id) order" (a suppressed row's value equals the
+    * last emitted value by construction). */
+  def streamChangelog(s: SparkSession, dir: String): DataFrame = {
+    val split = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val input = s"/tmp/graft_stream_chg_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    if (!new java.io.File(s"$input/_READY").exists()) {
+      new java.io.File(input).mkdirs()
+      val ev = Tables.read(s, dir, "events")
+        .select("event_id", "user_id", "ts", "event_type")
+      writeOrderedPiece(s, input, 0, ev.filter(col("ts") < lit(split)))
+      writeOrderedPiece(s, input, 1, ev.filter(col("ts") >= lit(split)))
+      new java.io.File(s"$input/_READY").createNewFile()
+    }
+    val stream = SourceReader.readStream(s,
+      FileStreamSource(input, "parquet", "ts", maxFilesPerTrigger = Some(1)))
+    val name = "stream_chg_" + java.util.UUID.randomUUID().toString.take(8)
+    StreamMaterializer.runChangelogToCompletion(
+        stream, "ts", Seq("user_id"), Seq("event_id"), Seq("event_type"),
+        watermarkDelay = "3650 days", stateTtl = java.time.Duration.ofDays(3650),
+        queryName = name)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_type"))
+      .orderBy("user_id", "ts_ms", "event_id")
+  }
+
+  val streamChangelogSql: String =
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |         lag(event_type) OVER w AS prev_et,
+      |         row_number() OVER w AS rn
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type
+      |FROM x WHERE rn = 1 OR event_type IS DISTINCT FROM prev_et
+      |ORDER BY user_id, ts_ms, event_id""".stripMargin
+
   /** Stream-stream interval join: each event enriched with the same
     * user's events over the trailing day (self-inclusive), as two
     * independent streams of the same 2-file replay with
@@ -627,6 +674,7 @@ object StreamQueries {
     "q_stream_materialize_parquet" -> (streamMaterializeParquet _),
     "q_stream_window_agg" -> (streamWindowAgg _),
     "q_stream_dedup" -> (streamDedup _),
+    "q_stream_changelog" -> (streamChangelog _),
     "q_stream_join" -> (streamJoin _),
     "q_stream_label_join" -> (streamLabelJoin _),
     "q_stream_cdc" -> (streamCdc _),
@@ -641,6 +689,7 @@ object StreamQueries {
     "q_stream_materialize_parquet" -> streamMaterializeSql,
     "q_stream_window_agg" -> streamWindowAggSql,
     "q_stream_dedup" -> streamDedupSql,
+    "q_stream_changelog" -> streamChangelogSql,
     "q_stream_join" -> streamJoinSql,
     "q_stream_label_join" -> streamLabelJoinSql,
     "q_stream_cdc" -> streamCdcSql,

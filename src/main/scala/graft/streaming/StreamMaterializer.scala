@@ -326,6 +326,30 @@ object StreamMaterializer {
     spark.table(queryName)
   }
 
+  /** [[Changelog.derive]] driven to completion on available input into
+    * a memory sink (same synchronous harness as the other runners). */
+  def runChangelogToCompletion(
+      stream: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      valueCols: Seq[String],
+      watermarkDelay: String,
+      stateTtl: java.time.Duration,
+      queryName: String): DataFrame = {
+    val spark = stream.sparkSession
+    val q = Changelog
+      .derive(stream, tsCol, keyCols, orderCols, valueCols, watermarkDelay, stateTtl)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Stream-static (dimension) join: each streaming row enriched with
     * a batch dimension table — the standard micro-batch enrichment in
     * front of a stream materialization (event → user profile / catalog

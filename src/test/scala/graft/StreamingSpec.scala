@@ -270,4 +270,90 @@ class StreamingSpec extends AnyFunSuite {
     val w10 = ts("2024-01-01 10:00:00").getTime
     assert(rows(w10) == 1L, s"late row must be dropped, got $rows")
   }
+
+  test("changelog: cross-batch suppression, transitions, replay idempotence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String)]
+    val chg = graft.streaming.Changelog.derive(
+      input.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      "ts", Seq("user_id"), Seq("event_id"), Seq("event_type"),
+      watermarkDelay = "365 days", stateTtl = Duration.ofDays(365))
+    val q = chg.writeStream.outputMode("append")
+      .format("memory").queryName("chg_basic").start()
+    // batch 1: first value emits; same-batch ties resolve by event_id
+    input.addData((1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:00:00"), 2L, "a")) // tie: later event_id, same value -> suppressed
+    q.processAllAvailable()
+    // batch 2: unchanged value straddling the batch boundary must be
+    // SUPPRESSED by carried state (a per-batch LAG would re-emit it),
+    // and an at-least-once replay of event 2 must stay silent
+    input.addData((1L, ts("2024-01-01 11:00:00"), 3L, "a"),
+      (1L, ts("2024-01-01 10:00:00"), 2L, "a"))
+    q.processAllAvailable()
+    // batch 3: a genuine transition emits; a second key baselines
+    input.addData((1L, ts("2024-01-01 12:00:00"), 4L, "b"),
+      (2L, ts("2024-01-01 12:00:00"), 5L, "z"))
+    q.processAllAvailable()
+    // batch 4: flap back -> emits (dropDuplicates would eat this one)
+    input.addData((1L, ts("2024-01-01 13:00:00"), 6L, "a"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("chg_basic")
+      .select("user_id", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === Set((1L, 1L, "a"), (1L, 4L, "b"), (2L, 5L, "z"), (1L, 6L, "a")),
+      s"changelog must emit exactly the transitions, got $got")
+  }
+
+  test("changelog: out-of-order row behind the frontier is dropped, not retro-inserted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String)]
+    val chg = graft.streaming.Changelog.derive(
+      input.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      "ts", Seq("user_id"), Seq("event_id"), Seq("event_type"),
+      watermarkDelay = "365 days", stateTtl = Duration.ofDays(365))
+    val q = chg.writeStream.outputMode("append")
+      .format("memory").queryName("chg_ooo").start()
+    input.addData((1L, ts("2024-01-01 10:00:00"), 1L, "a"))
+    q.processAllAvailable()
+    // older than the frontier: a changelog cannot rewrite emitted
+    // history, so this "b" must NOT appear
+    input.addData((1L, ts("2024-01-01 09:00:00"), 0L, "b"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("chg_ooo").select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L), s"stale row must be dropped, got $got")
+  }
+
+  test("changelog: event-time timeout evicts idle state and the key re-baselines") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String)]
+    val chg = graft.streaming.Changelog.derive(
+      input.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      "ts", Seq("user_id"), Seq("event_id"), Seq("event_type"),
+      watermarkDelay = "0 seconds", stateTtl = Duration.ofHours(1))
+    val q = chg.writeStream.outputMode("append")
+      .format("memory").queryName("chg_ttl").start()
+    input.addData((1L, ts("2024-01-01 10:00:00"), 1L, "a"))
+    q.processAllAvailable()
+    // push the watermark past key 1's 11:00 timeout (watermark updates
+    // lag a batch, so feed two advancing batches on another key)
+    input.addData((2L, ts("2024-01-01 13:00:00"), 2L, "x"))
+    q.processAllAvailable()
+    input.addData((2L, ts("2024-01-01 14:00:00"), 3L, "y"))
+    q.processAllAvailable()
+    // key 1 returns with the SAME value: with state evicted it must
+    // re-baseline (emit); with state alive it would be suppressed
+    input.addData((1L, ts("2024-01-01 15:00:00"), 4L, "a"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("chg_ttl")
+      .filter(col("user_id") === 1L).select("event_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got === Set(1L, 4L),
+      s"ttl-evicted key must re-baseline on next activity, got $got")
+  }
 }
