@@ -149,9 +149,18 @@ object ScaleCheck {
       // q_margin_mining above); the corpus-scale path swaps in the IVF
       // candidate generation whose scaling q_ann_ivf pins.
       "q_weighted_sample", "q_freshness", "q_rendezvous",
-      "q_class_balance", "q_bigram_logprob")
-    queries.foreach(q => time(q, baseDir)) // warm: codegen + analyzer JIT
-    val lines = queries.map { q =>
+      "q_class_balance", "q_bigram_logprob",
+      // round-13 addition: the flatMapGroupsWithState changelog — the
+      // ratio pins that per-key state stays live-key-bounded and the
+      // per-batch group sort stays slice-local (10x = more users, same
+      // per-user history depth, so the sort cost per key is constant)
+      "q_stream_changelog")
+    // optional 4th arg: comma-separated query filter (iterate on one
+    // operator without re-timing the full set; replica build unchanged)
+    val only = args.lift(3).map(_.split(",").toSet)
+    val selected = only.fold(queries)(f => queries.filter(f))
+    selected.foreach(q => time(q, baseDir)) // warm: codegen + analyzer JIT
+    val lines = selected.map { q =>
       val t1 = time(q, baseDir)
       System.err.println(s"[scalecheck] $q 1x done: $t1")
       val tn = time(q, outDir)
