@@ -344,6 +344,22 @@ object FeastProto {
     w.toBytes
   }
 
+  /** (version, serving type enum) — the CLIENT side of
+    * GetFeastServingInfo. */
+  def decodeServingInfo(bytes: Array[Byte]): (String, Int) = {
+    val r = new Reader(bytes)
+    var version = ""
+    var tpe = 0
+    while (r.hasNext) {
+      r.readTag() match {
+        case (1, 2) => version = r.readString()
+        case (2, 0) => tpe = r.readVarint().toInt
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    (version, tpe)
+  }
+
   /** Encode a request (the CLIENT side — used by the spec to drive the
     * server over the real wire). */
   def encodeOnlineRequest(req: OnlineRequestMsg): Array[Byte] = {

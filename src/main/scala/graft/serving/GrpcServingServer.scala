@@ -162,45 +162,11 @@ class GrpcServingServer(fs: FeatureStore, port: Int = 0, version: String = "graf
     ()
   }
 
-  /** gRPC PROTOCOL-HTTP2 grpc-message encoding: percent-encode %XX for
-    * bytes outside 0x20–0x7E and for '%' itself; printable ASCII
-    * (INCLUDING space) stays raw. URLEncoder is wrong here — its '+'
-    * for space is never decoded by gRPC clients (review r7). */
-  private def grpcMessageEncode(s: String): String = {
-    val sb = new StringBuilder
-    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
-      val u = b & 0xff
-      if (u >= 0x20 && u <= 0x7e && u != '%') sb.append(u.toChar)
-      else sb.append(f"%%$u%02X")
-    }
-    sb.toString
-  }
-
-  /** `[flag][len BE][payload]` -> payload (unary: exactly one message;
-    * compression unsupported, as advertised by never sending
-    * grpc-encoding). */
-  private def grpcUnframe(bytes: Array[Byte]): Array[Byte] = {
-    require(bytes.length >= 5, s"gRPC frame too short: ${bytes.length} bytes")
-    require(bytes(0) == 0, "compressed gRPC frames are not supported")
-    val len = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
-      ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
-    // strict ==: trailing bytes would mean a second message in a unary
-    // call — reject instead of silently answering from the first
-    require(len >= 0 && bytes.length == 5 + len,
-      s"unary gRPC call carried ${bytes.length - 5} body bytes, frame declares $len")
-    java.util.Arrays.copyOfRange(bytes, 5, 5 + len)
-  }
-
-  private def grpcFrame(payload: Array[Byte]): Array[Byte] = {
-    val out = new Array[Byte](5 + payload.length)
-    out(0) = 0
-    out(1) = ((payload.length >>> 24) & 0xff).toByte
-    out(2) = ((payload.length >>> 16) & 0xff).toByte
-    out(3) = ((payload.length >>> 8) & 0xff).toByte
-    out(4) = (payload.length & 0xff).toByte
-    System.arraycopy(payload, 0, out, 5, payload.length)
-    out
-  }
+  // framing + grpc-message percent encoding live in [[GrpcWire]],
+  // shared with GrpcServingClient so the two endpoints cannot drift
+  private def grpcMessageEncode(s: String): String = GrpcWire.messageEncode(s)
+  private def grpcUnframe(bytes: Array[Byte]): Array[Byte] = GrpcWire.unframe(bytes)
+  private def grpcFrame(payload: Array[Byte]): Array[Byte] = GrpcWire.frame(payload)
 
   private def dispatch(path: String, request: Array[Byte]): Array[Byte] = path match {
     case "/feast.serving.ServingService/GetFeastServingInfo" =>

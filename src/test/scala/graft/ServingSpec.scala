@@ -294,6 +294,61 @@ class ServingSpec extends AnyFunSuite {
     }
   }
 
+  test("GrpcServingClient round-trips against the real server (client.py analog)") {
+    import spark.implicits._
+    import graft.serving.{FeastProto, GrpcServingClient, GrpcStatusException}
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 0.7, "us"),
+      (2L, ts("2024-01-02 10:00:00"), 0.9, "de"))
+      .toDF("driver_id", "et", "conv_rate", "region")
+    val fs = new FeatureStore("grpccli", new Registry(), new InMemoryOnlineStore(), spark)
+    fs.applyEntity(Entity("driver", GraftType.Int64, Some("driver_id")))
+    fs.applyFeatureView(FeatureView("stats", Seq("driver"),
+      Seq(Feature("conv_rate", GraftType.Dbl), Feature("region", GraftType.Str)),
+      Duration.ZERO, DataFrameSource(df, "et")))
+    fs.materialize(Seq("stats"), ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"))
+    val server = new graft.serving.GrpcServingServer(fs)
+    val client = new GrpcServingClient("127.0.0.1", server.boundPort)
+    try {
+      // two calls on ONE connection (the client multiplexes streams)
+      val (version, tpe) = client.servingInfo()
+      assert(version.contains("graft") && tpe == 1)
+
+      val rows = client.getOnlineFeatures(
+        Seq("stats:conv_rate", "stats:region"),
+        Seq(Map[String, Any]("driver_id" -> 1L),
+          Map[String, Any]("driver_id" -> 99L)))
+      assert(rows.length == 2)
+      val (v0, s0) = rows(0)
+      assert(v0("driver_id") == 1L && v0("stats:conv_rate") == 0.7 &&
+        v0("stats:region") == "us")
+      assert(s0("stats:conv_rate") == FeastProto.StatusPresent)
+      val (v1, s1) = rows(1)
+      assert(v1("stats:conv_rate") == null &&
+        s1("stats:conv_rate") == FeastProto.StatusNotFound)
+
+      // big batch exceeding the 64 KB window BOTH ways: exercises the
+      // client's response-side WINDOW_UPDATE replenish too
+      val big = client.getOnlineFeatures(
+        Seq("stats:conv_rate"),
+        (1L to 5000L).map(i => Map[String, Any]("driver_id" -> i)))
+      assert(big.length == 5000 && big.head._1("stats:conv_rate") == 0.7)
+
+      // server-side INVALID_ARGUMENT surfaces as a typed exception
+      val e = intercept[GrpcStatusException] {
+        client.getOnlineFeatures(Seq("stats:conv_rate"),
+          Seq(Map[String, Any]("driver_id" -> "one")))
+      }
+      assert(e.status == 3, e.getMessage)
+      // the connection survives an errored call
+      assert(client.servingInfo()._1.contains("graft"))
+    } finally {
+      client.close()
+      server.stop()
+      fs.teardown()
+    }
+  }
+
   test("serving JSON stays valid and typed: NaN -> null, bytes -> base64, huge ids -> 400 (review r6)") {
     import spark.implicits._
     val df = Seq(
