@@ -44,7 +44,7 @@ final class GrpcServingClient(host: String, port: Int, callTimeoutMs: Long = 150
       }
     })
     .connect(host, port).syncUninterruptibly().channel()
-  private val streams = new Http2StreamChannelBootstrap(channel)
+
 
   /** Point read over the wire: feature refs as (table, name) pairs,
     * one entity row per lookup. Returns per row (values, statuses) —
@@ -84,7 +84,13 @@ final class GrpcServingClient(host: String, port: Int, callTimeoutMs: Long = 150
     * collect DATA + trailers, enforce grpc-status. */
   private def call(path: String, msg: Array[Byte]): Array[Byte] = {
     val done = new CompletableFuture[(Map[String, String], Array[Byte])]()
-    val open = streams.handler(new ChannelInitializer[Http2StreamChannel] {
+    // a FRESH stream bootstrap per call: Http2StreamChannelBootstrap
+    // holds its handler as mutable state, so sharing one across
+    // concurrent calls races handler() against open() and wires a
+    // stream to another call's future (caught by the ServingSpec
+    // concurrency test — 8 overlapping lookups cross-wired)
+    val open = new Http2StreamChannelBootstrap(channel)
+      .handler(new ChannelInitializer[Http2StreamChannel] {
       override def initChannel(sc: Http2StreamChannel): Unit = {
         sc.pipeline().addLast(new ChannelInboundHandlerAdapter {
           private val buf = new java.io.ByteArrayOutputStream()

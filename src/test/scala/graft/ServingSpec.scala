@@ -334,6 +334,27 @@ class ServingSpec extends AnyFunSuite {
         (1L to 5000L).map(i => Map[String, Any]("driver_id" -> i)))
       assert(big.length == 5000 && big.head._1("stats:conv_rate") == 0.7)
 
+      // overlapping calls multiplex on the one connection (the client's
+      // stated thread-safety contract): 8 concurrent lookups, each must
+      // get ITS OWN driver's answer back on its own stream
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks = (1 to 8).map { i =>
+          val id = if (i % 2 == 0) 1L else 2L
+          (() => {
+            val r = client.getOnlineFeatures(Seq("stats:region"),
+              Seq(Map[String, Any]("driver_id" -> id)))
+            (id, r.head._1("stats:region"))
+          }): java.util.concurrent.Callable[(Long, Any)]
+        }
+        pool.invokeAll(tasks.asJava).asScala.foreach { f =>
+          val (id, region) = f.get(15, java.util.concurrent.TimeUnit.SECONDS)
+          assert(region == (if (id == 1L) "us" else "de"),
+            s"driver $id got cross-wired answer $region")
+        }
+      } finally pool.shutdown()
+
       // server-side INVALID_ARGUMENT surfaces as a typed exception
       val e = intercept[GrpcStatusException] {
         client.getOnlineFeatures(Seq("stats:conv_rate"),
