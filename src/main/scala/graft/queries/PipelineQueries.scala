@@ -962,6 +962,43 @@ object PipelineQueries {
       |       CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS checksum
       |FROM packed GROUP BY shard_id ORDER BY shard_id""".stripMargin
 
+  /** TFRecord / tf.train.Example export round-trip
+    * ([[graft.functions.TfRecord]]): write the documents table as 4
+    * TFRecord shards — hand-rolled framing (masked crc32c per record)
+    * and Example protos — then READ THE SHARDS BACK with the streaming
+    * parser (both crcs verified per record) and return the decoded
+    * rows. The oracle is the source projection itself, so a hash match
+    * proves the export round-trips every value byte-for-byte through
+    * the interchange format every TF data pipeline consumes, and that
+    * no record was lost, duplicated, or torn across shard boundaries. */
+  def tfrecordRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_tfrec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val src = docs(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    graft.functions.TfRecord.writeShards(src, out, numShards = 4)
+    val back = graft.functions.TfRecord.readShards(s, out,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType))))
+      .orderBy("doc_id")
+      .cache()
+    back.count() // materialize off the shard files...
+    TmpSweeper.deleteRec(new java.io.File(out)) // ...so the export copy can go
+    back
+  }
+
+  val tfrecordRoundtripSql: String =
+    """SELECT doc_id, text, lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Context-window assignment ([[graft.functions.Packing.contextWindows]]):
     * each doc's interval in the 512-token window slicing of the
     * doc_id-ordered token stream — documents cross window boundaries,
@@ -2421,6 +2458,7 @@ object PipelineQueries {
     "q_shard_pack" -> (shardPack _),
     "q_curriculum" -> (curriculumRank _),
     "q_export_jsonl" -> (exportJsonl _),
+    "q_tfrecord_roundtrip" -> (tfrecordRoundtrip _),
     "q_context_windows" -> (contextWindowsQ _),
     "q_dedup_incremental_fuzzy" -> (dedupIncrementalFuzzy _),
     "q_dedup_index_persisted" -> (dedupIndexPersisted _),
@@ -2485,6 +2523,7 @@ object PipelineQueries {
     "q_shard_pack" -> shardPackSql,
     "q_curriculum" -> curriculumRankSql,
     "q_export_jsonl" -> exportJsonlSql,
+    "q_tfrecord_roundtrip" -> tfrecordRoundtripSql,
     "q_context_windows" -> contextWindowsSql,
     "q_dedup_incremental_fuzzy" -> dedupIncrementalFuzzySql,
     "q_dedup_index_persisted" -> dedupIndexPersistedSql,

@@ -325,4 +325,57 @@ class PureSpec extends AnyFunSuite {
     assert(check.listEntities.map(_.name).toSet ===
       Set("user", "item", "order", "store"), "stale-writer lost update")
   }
+
+  test("TFRecord framing: masked crc32c and record layout match the public spec") {
+    import graft.functions.TfRecord
+    // crc32c("123456789") = 0xe3069283 is the Castagnoli check value;
+    // mask(crc) = rotr(crc,15) + 0xa282ead8 -> 0xc78ab0e5. Both pinned
+    // against an independent bit-level implementation (not this code).
+    assert(TfRecord.maskedCrc32c("123456789".getBytes("UTF-8")) == 0xc78ab0e5)
+    // frame("abc"): [03 00*7][masked crc(len)=0x0e4999b0 LE][abc][0x21f1576e LE]
+    val f = TfRecord.frame("abc".getBytes("UTF-8"))
+    assert(f.length == 8 + 4 + 3 + 4)
+    assert(f.take(8).toSeq == Seq[Byte](3, 0, 0, 0, 0, 0, 0, 0))
+    def le32(off: Int): Int =
+      (f(off) & 0xff) | ((f(off + 1) & 0xff) << 8) |
+        ((f(off + 2) & 0xff) << 16) | ((f(off + 3) & 0xff) << 24)
+    assert(le32(8) == 0x0e4999b0, f"len crc ${le32(8)}%08x")
+    assert(new String(f.slice(12, 15), "UTF-8") == "abc")
+    assert(le32(15) == 0x21f1576e, f"data crc ${le32(15)}%08x")
+
+    // parseShard round-trips concatenated records and REJECTS corruption
+    val shard = TfRecord.frame("abc".getBytes("UTF-8")) ++ TfRecord.frame(Array.emptyByteArray)
+    val recs = TfRecord.parseShard(shard).toSeq
+    assert(recs.map(new String(_, "UTF-8")) == Seq("abc", ""))
+    val corrupt = shard.clone(); corrupt(13) = 'X'.toByte // inside record 1 data
+    intercept[IllegalArgumentException](TfRecord.parseShard(corrupt).toSeq)
+    intercept[Exception](TfRecord.parseShard(shard.dropRight(1)).toSeq) // torn tail
+  }
+
+  test("tf.Example codec: scalars, arrays, null omission, double->float narrowing") {
+    import graft.functions.TfRecord
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("b", BinaryType), StructField("flag", BooleanType),
+      StructField("d", DoubleType), StructField("tags", ArrayType(StringType)),
+      StructField("ids", ArrayType(LongType)), StructField("vec", ArrayType(FloatType)),
+      StructField("missing", StringType)))
+    val row = Row(7L, "héllo", Array[Byte](1, 2), true, 0.25, Seq("a", "b"),
+      Seq(1L, -5L, 300L), Seq(1.5f, -2.0f), null)
+    val back = TfRecord.decodeExample(schema, TfRecord.encodeExample(schema, row))
+    assert(back.getLong(0) == 7L && back.getString(1) == "héllo")
+    assert(back.getAs[Array[Byte]](2).toSeq == Seq[Byte](1, 2))
+    assert(back.getBoolean(3) && back.getDouble(4) == 0.25)
+    assert(back.getAs[Seq[String]](5) == Seq("a", "b"))
+    assert(back.getAs[Seq[Long]](6) == Seq(1L, -5L, 300L)) // negatives via varint
+    assert(back.getAs[Seq[Float]](7) == Seq(1.5f, -2.0f))
+    assert(back.isNullAt(8), "null field must be omitted and decode to null")
+    // double really narrows to float32 (tf.Example has no double list)
+    val dSchema = StructType(Seq(StructField("d", DoubleType)))
+    val narrowed = TfRecord.decodeExample(dSchema,
+      TfRecord.encodeExample(dSchema, Row(0.1))).getDouble(0)
+    assert(narrowed == 0.1f.toDouble && narrowed != 0.1)
+  }
 }
