@@ -154,7 +154,11 @@ object ScaleCheck {
       // ratio pins that per-key state stays live-key-bounded and the
       // per-batch group sort stays slice-local (10x = more users, same
       // per-user history depth, so the sort cost per key is constant)
-      "q_stream_changelog")
+      "q_stream_changelog",
+      // round-13 addition: the TFRecord export+read-back — per-shard
+      // streaming writes and crc-verified reads must scale with rows,
+      // not shards (shard count is held at 4 by the query)
+      "q_tfrecord_roundtrip")
     // optional 4th arg: comma-separated query filter (iterate on one
     // operator without re-timing the full set; replica build unchanged)
     val only = args.lift(3).map(_.split(",").toSet)
