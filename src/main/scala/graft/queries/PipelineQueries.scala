@@ -999,6 +999,40 @@ object PipelineQueries {
     """SELECT doc_id, text, lang, source, n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** WebDataset (ustar tar shard) export round-trip
+    * ([[graft.functions.WebDataset]]): each document becomes the
+    * canonical two-member sample — `<doc_id>.txt` with the raw text,
+    * `<doc_id>.json` with the metadata — across 4 tar shards, then the
+    * shards are READ BACK (header checksums verified, samples grouped
+    * by adjacency) and the json part re-parsed. Oracle = the source
+    * projection: a hash match proves the tar bytes round-trip text and
+    * metadata exactly through the format multimodal pipelines consume.
+    * PureSpec additionally pins interop against the SYSTEM tar in both
+    * directions. */
+  def webdatasetRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_wds_${java.util.UUID.randomUUID().toString.take(8)}"
+    val src = docs(s, dir).select(col("doc_id"), col("text"),
+      to_json(struct(col("lang"), col("source"), col("n_chars"))).as("meta"))
+    graft.functions.WebDataset.writeShards(src, out, numShards = 4,
+      keyCol = "doc_id", parts = Seq("txt" -> "text", "json" -> "meta"))
+    val metaSchema = "lang STRING, source STRING, n_chars LONG"
+    val back = graft.functions.WebDataset.readShards(s, out, Seq("txt", "json"))
+      .select(col("key").cast("long").as("doc_id"), col("txt").as("text"),
+        from_json(col("json"), org.apache.spark.sql.types.StructType.fromDDL(metaSchema))
+          .as("m"))
+      .select(col("doc_id"), col("text"), col("m.lang").as("lang"),
+        col("m.source").as("source"), col("m.n_chars").as("n_chars"))
+      .orderBy("doc_id")
+      .cache()
+    back.count() // materialize off the shard files...
+    TmpSweeper.deleteRec(new java.io.File(out)) // ...so the export copy can go
+    back
+  }
+
+  val webdatasetRoundtripSql: String =
+    """SELECT doc_id, text, lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Context-window assignment ([[graft.functions.Packing.contextWindows]]):
     * each doc's interval in the 512-token window slicing of the
     * doc_id-ordered token stream — documents cross window boundaries,
@@ -2459,6 +2493,7 @@ object PipelineQueries {
     "q_curriculum" -> (curriculumRank _),
     "q_export_jsonl" -> (exportJsonl _),
     "q_tfrecord_roundtrip" -> (tfrecordRoundtrip _),
+    "q_webdataset_roundtrip" -> (webdatasetRoundtrip _),
     "q_context_windows" -> (contextWindowsQ _),
     "q_dedup_incremental_fuzzy" -> (dedupIncrementalFuzzy _),
     "q_dedup_index_persisted" -> (dedupIndexPersisted _),
@@ -2524,6 +2559,7 @@ object PipelineQueries {
     "q_curriculum" -> curriculumRankSql,
     "q_export_jsonl" -> exportJsonlSql,
     "q_tfrecord_roundtrip" -> tfrecordRoundtripSql,
+    "q_webdataset_roundtrip" -> webdatasetRoundtripSql,
     "q_context_windows" -> contextWindowsSql,
     "q_dedup_incremental_fuzzy" -> dedupIncrementalFuzzySql,
     "q_dedup_index_persisted" -> dedupIndexPersistedSql,

@@ -378,4 +378,50 @@ class PureSpec extends AnyFunSuite {
       TfRecord.encodeExample(dSchema, Row(0.1))).getDouble(0)
     assert(narrowed == 0.1f.toDouble && narrowed != 0.1)
   }
+
+  test("WebDataset tar: round-trip, adjacency grouping, checksum reject, SYSTEM tar interop") {
+    import graft.functions.WebDataset
+    // our writer -> our parser
+    val shard = WebDataset.tarMember("42.txt", "hello wörld".getBytes("UTF-8")) ++
+      WebDataset.tarMember("42.json", """{"lang":"de"}""".getBytes("UTF-8")) ++
+      WebDataset.tarMember("43.txt", Array.fill[Byte](513)('x'.toByte)) ++ // pad spill
+      WebDataset.Trailer
+    val members = WebDataset.parseTar(shard).toSeq
+    assert(members.map(_._1) == Seq("42.txt", "42.json", "43.txt"))
+    assert(new String(members.head._2, "UTF-8") == "hello wörld")
+    assert(members(2)._2.length == 513)
+    // adjacency grouping: 2 samples, suffix = past the FIRST dot
+    val samples = WebDataset.groupSamples(WebDataset.parseTar(shard)).toSeq
+    assert(samples.map(_._1) == Seq("42", "43"))
+    assert(samples.head._2.keySet == Set("txt", "json"))
+    // corrupt header byte -> checksum reject
+    val corrupt = shard.clone(); corrupt(0) = 'Z'.toByte
+    intercept[IllegalArgumentException](WebDataset.parseTar(corrupt).toSeq)
+
+    // interop both directions against the system tar, when present
+    val sysTar = new java.io.File("/usr/bin/tar")
+    assume(sysTar.exists, "system tar not available")
+    val dir = java.nio.file.Files.createTempDirectory("wds_").toFile
+    try {
+      // 1) our shard -> system tar extracts the same contents
+      val ours = new java.io.File(dir, "ours.tar")
+      java.nio.file.Files.write(ours.toPath, shard)
+      val ex = new ProcessBuilder("/usr/bin/tar", "-xf", ours.getAbsolutePath,
+        "-C", dir.getAbsolutePath).inheritIO().start().waitFor()
+      assert(ex == 0, "system tar rejected our ustar shard")
+      val extracted = java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "42.txt").toPath)
+      assert(new String(extracted, "UTF-8") == "hello wörld")
+      // 2) system tar's output -> our parser
+      val theirs = new java.io.File(dir, "theirs.tar")
+      val cr = new ProcessBuilder("/usr/bin/tar", "--format=ustar",
+        "-cf", theirs.getAbsolutePath, "-C", dir.getAbsolutePath,
+        "42.txt", "42.json").inheritIO().start().waitFor()
+      assert(cr == 0)
+      val reparsed = WebDataset.parseTar(
+        java.nio.file.Files.readAllBytes(theirs.toPath)).toMap
+      assert(new String(reparsed("42.txt"), "UTF-8") == "hello wörld")
+      assert(new String(reparsed("42.json"), "UTF-8") == """{"lang":"de"}""")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }
