@@ -386,13 +386,40 @@ object Cli {
         } catch { case _: InterruptedException => () }
         finally { http.stop(); grpc.stop() }
 
+      case Seq("export", cfgPath, viewName, format, outDir, shards) =>
+        // training-data hand-off: a view's batch source as TFRecord
+        // (tf.train.Example per row) or WebDataset (tar of
+        // <row-key>.json members — the view's join key as sample key,
+        // remaining columns as json metadata) shards
+        val (_, fs) = store(cfgPath)
+        val view = fs.registry.getFeatureView(viewName)
+        val df = graft.model.SourceReader.read(spark, view.batchSource)
+        val n = shards.toInt
+        format match {
+          case "tfrecord" =>
+            graft.functions.TfRecord.writeShards(df, outDir, n)
+          case "webdataset" =>
+            import org.apache.spark.sql.functions.col
+            val key = fs.joinKeysOf(view).head
+            val meta = df.columns.filterNot(_ == key).toSeq
+            graft.functions.WebDataset.writeShards(
+              df.select(col(key),
+                org.apache.spark.sql.functions.to_json(
+                  org.apache.spark.sql.functions.struct(meta.map(col): _*)).as("__meta")),
+              outDir, n, key, Seq("json" -> "__meta"))
+          case other => throw new IllegalArgumentException(
+            s"unknown export format '$other' (tfrecord | webdataset)")
+        }
+        out(s"$viewName: exported $n $format shard(s) to $outDir")
+
       case other =>
         throw new IllegalArgumentException(
           s"unknown command '${other.mkString(" ")}'; commands: init, apply, materialize, " +
           "materialize-incremental, backfill <cfg> <start> <end> <chunk-days>, " +
           "expire-online <cfg> <view> <as-of>, entities list, feature-views list, " +
           "registry-dump, teardown, vacuum <cfg> <view> <keep-from-date>, " +
-          "compact <cfg> <view>, serve <cfg> [http-port] [grpc-port] [max-seconds]")
+          "compact <cfg> <view>, serve <cfg> [http-port] [grpc-port] [max-seconds], " +
+          "export <cfg> <view> <tfrecord|webdataset> <out-dir> <num-shards>")
     }
   }
 }

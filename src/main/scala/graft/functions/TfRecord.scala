@@ -32,7 +32,8 @@ import graft.serving.ProtoWire
   *
   * Type mapping (the tf.Example universe is bytes/float32/int64):
   * string→BytesList(utf8), binary→BytesList, byte/short/int/long→
-  * Int64List, boolean→Int64List(0/1), float→FloatList, double→
+  * Int64List, boolean→Int64List(0/1), timestamp→Int64List epoch
+  * MICROS, date→Int64List epoch days, float→FloatList, double→
   * FloatList (NARROWED to float32 — tf.Example has no double list;
   * callers needing exact doubles export the bit pattern as int64
   * themselves), arrays of those→the multi-valued list. A NULL field
@@ -105,6 +106,11 @@ object TfRecord {
       case ShortType => wrap(3, int64List(Seq(x.asInstanceOf[Short].toLong)))
       case ByteType => wrap(3, int64List(Seq(x.asInstanceOf[Byte].toLong)))
       case BooleanType => wrap(3, int64List(Seq(if (x.asInstanceOf[Boolean]) 1L else 0L)))
+      case TimestampType => wrap(3, int64List(Seq( // epoch micros, the tf convention
+        x.asInstanceOf[java.sql.Timestamp].getTime * 1000L +
+          (x.asInstanceOf[java.sql.Timestamp].getNanos / 1000L) % 1000L)))
+      case DateType => wrap(3, int64List(Seq( // epoch days
+        x.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay)))
       case FloatType => wrap(2, floatList(Seq(x.asInstanceOf[Float])))
       case DoubleType => wrap(2, floatList(Seq(x.asInstanceOf[Double].toFloat)))
       case other => throw new IllegalArgumentException(
@@ -241,6 +247,13 @@ object TfRecord {
           case (LongType, 3) => int64Values(payload).headOption.map(Long.box).orNull
           case (IntegerType, 3) => int64Values(payload).headOption.map(l => Int.box(l.toInt)).orNull
           case (BooleanType, 3) => int64Values(payload).headOption.map(l => Boolean.box(l != 0L)).orNull
+          case (TimestampType, 3) => int64Values(payload).headOption.map { us =>
+            val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+            t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+            t
+          }.orNull
+          case (DateType, 3) => int64Values(payload).headOption
+            .map(d => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d))).orNull
           case (FloatType, 2) => floatValues(payload).headOption.map(Float.box).orNull
           case (DoubleType, 2) => floatValues(payload).headOption.map(f0 => Double.box(f0.toDouble)).orNull
           case (ArrayType(StringType, _), 1) =>

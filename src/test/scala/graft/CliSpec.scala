@@ -481,4 +481,38 @@ class CliSpec extends AnyFunSuite {
     assert(ivs.size == 2 && ivs(1).start == ivs(0).end
       && ivs(1).end == ts("2024-02-05 00:00:00"))
   }
+
+  test("CLI export: a view's source lands as TFRecord and WebDataset shards") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftcli3").toString
+    Seq((1L, ts("2024-02-01 10:00:00"), 0.5), (2L, ts("2024-02-01 11:00:00"), 0.7))
+      .toDF("driver_id", "event_timestamp", "v")
+      .write.parquet(s"$dir/src.parquet")
+    val cfgPath = s"$dir/repo.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(cfgPath),
+      s"""{"project": "e2e3", "registry": "$dir/registry.json",
+         | "online_store": {"type": "memory"},
+         | "entities": [{"name": "driver", "dtype": "INT64", "join_key": "driver_id", "description": ""}],
+         | "feature_views": [{"name": "v", "entities": ["driver"],
+         |  "features": [{"name": "v", "dtype": "DOUBLE"}], "ttl_seconds": 0,
+         |  "batch_source": {"kind": "file", "path": "$dir/src.parquet", "format": "parquet",
+         |   "event_timestamp_column": "event_timestamp", "created_timestamp_column": null,
+         |   "field_mapping": {}, "date_partition_column": null},
+         |  "stream_source": null, "online": true}]}""".stripMargin.getBytes("UTF-8"))
+    Cli.run(Seq("apply", cfgPath), spark, _ => ())
+    var said = Vector.empty[String]
+    Cli.run(Seq("export", cfgPath, "v", "tfrecord", s"$dir/tfr", "2"), spark, said :+= _)
+    Cli.run(Seq("export", cfgPath, "v", "webdataset", s"$dir/wds", "2"), spark, said :+= _)
+    assert(said.exists(_.contains("2 tfrecord")) && said.exists(_.contains("2 webdataset")))
+    // both exports read back complete through the library readers
+    import org.apache.spark.sql.types._
+    val tfr = graft.functions.TfRecord.readShards(spark, s"$dir/tfr",
+      StructType(Seq(StructField("driver_id", LongType), StructField("v", DoubleType))))
+    assert(tfr.count() == 2 &&
+      tfr.select("driver_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    val wds = graft.functions.WebDataset.readShards(spark, s"$dir/wds", Seq("json"))
+    assert(wds.count() == 2 &&
+      wds.select("key").collect().map(_.getString(0)).toSet == Set("1", "2"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }

@@ -377,6 +377,12 @@ class PureSpec extends AnyFunSuite {
     val narrowed = TfRecord.decodeExample(dSchema,
       TfRecord.encodeExample(dSchema, Row(0.1))).getDouble(0)
     assert(narrowed == 0.1f.toDouble && narrowed != 0.1)
+    // timestamp rides int64 epoch-MICROS and round-trips exactly
+    val tSchema = StructType(Seq(StructField("ts", TimestampType)))
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 10:20:30.123456")
+    val t1 = TfRecord.decodeExample(tSchema,
+      TfRecord.encodeExample(tSchema, Row(t0))).getTimestamp(0)
+    assert(t1 == t0, s"micros timestamp must round-trip, got $t1")
   }
 
   test("WebDataset tar: round-trip, adjacency grouping, checksum reject, SYSTEM tar interop") {
