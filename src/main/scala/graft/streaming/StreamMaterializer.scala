@@ -139,6 +139,49 @@ object StreamMaterializer {
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
   }
 
+  /** [[materializeStream]] with [[Changelog.derive]] in front of the
+    * sink: only rows whose FEATURE VALUES changed reach the store — a
+    * snapshot-style feed that re-delivers every key each scan (the
+    * common CDC-less export shape) costs store writes only for keys
+    * that moved, instead of a full-store rewrite per micro-batch. The
+    * store contract is unchanged (LWW upserts, idempotent replays);
+    * what changes is WRITE VOLUME: proportional to churn, not feed
+    * size. `stateTtl` bounds the changelog state to live keys; an
+    * evicted key re-baselines with one extra (harmless, idempotent)
+    * upsert. */
+  def materializeChangelogStream(
+      fs: FeatureStore,
+      viewName: String,
+      watermarkDelay: String,
+      stateTtl: java.time.Duration,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val view = fs.registry.getFeatureView(viewName)
+    val src = view.streamSource.getOrElse(throw new IllegalArgumentException(
+      s"view $viewName has no stream source"))
+    val keys = fs.joinKeysOf(view)
+    val tsCol = src.eventTimestampColumn
+    val createdCol = src.createdTimestampColumn
+
+    val stream = SourceReader.readStream(fs.spark, src)
+    val changed = Changelog.derive(stream, tsCol, keys,
+      orderCols = createdCol.toSeq, valueCols = view.featureNames,
+      watermarkDelay = watermarkDelay, stateTtl = stateTtl)
+    val writer = changed.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the batch holds transition rows only (possibly several per
+        // key); the store's LWW merge keeps the newest, and replays
+        // straddling restarts are absorbed the same way — no extra
+        // reduction needed at transition-grain volume
+        fs.onlineStore.upsert(fs.project, view, keys,
+          fs.castKeyColumns(batch, view), tsCol, createdCol)
+        ()
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
+  }
+
   /** Stream -> offline log (the kappa pipeline's other half, pairing
     * with materializeStream's online upsert): append the decoded stream
     * to the view's batch FileSource path so batch retrievals see full

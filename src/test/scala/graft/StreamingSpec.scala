@@ -271,6 +271,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(w10) == 1L, s"late row must be dropped, got $rows")
   }
 
+  test("materializeChangelogStream: only changed values reach the store; state converges to LWW") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mcs_").toString
+    // snapshot-style feed: 3 time-ordered files re-delivering BOTH keys
+    // each scan; key 1 changes once, key 2 never changes
+    val batches = Seq(
+      Seq((1L, ts("2024-01-01 10:00:00"), "a", 1.0), (2L, ts("2024-01-01 10:00:00"), "z", 9.0)),
+      Seq((1L, ts("2024-01-01 11:00:00"), "a", 1.0), (2L, ts("2024-01-01 11:00:00"), "z", 9.0)),
+      Seq((1L, ts("2024-01-01 12:00:00"), "b", 2.0), (2L, ts("2024-01-01 12:00:00"), "z", 9.0)))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val piece = s"$dir/in/part-0000$i.parquet"
+      val tmp = s"$dir/tmp$i"
+      rows.toDF("user_id", "ts", "event_type", "value").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      new java.io.File(s"$dir/in").mkdirs()
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(piece))
+      new java.io.File(piece).setLastModified(1700000000000L + i * 60000L)
+    }
+    // counting wrapper: how many ROWS actually reach upsert
+    val rowsWritten = new java.util.concurrent.atomic.AtomicLong()
+    val store = new InMemoryOnlineStore() {
+      override def upsert(project: String, view: FeatureView, joinKeys: Seq[String],
+          df: org.apache.spark.sql.DataFrame, tsCol: String,
+          createdCol: Option[String]): Unit = {
+        val n = df.count()
+        rowsWritten.addAndGet(n)
+        super.upsert(project, view, joinKeys, df, tsCol, createdCol)
+      }
+    }
+    val fs = new FeatureStore("mcs_t", new Registry(), store, spark)
+    fs.applyEntity(Entity("user", GraftType.Int64, Some("user_id")))
+    fs.applyFeatureView(FeatureView("uv", Seq("user"),
+      Seq(Feature("event_type", GraftType.Str), Feature("value", GraftType.Dbl)),
+      Duration.ZERO,
+      batchSource = FileSource(s"$dir/in", eventTimestampColumn = "ts"),
+      streamSource = Some(FileStreamSource(s"$dir/in", "parquet", "ts",
+        maxFilesPerTrigger = Some(1)))))
+    val q = graft.streaming.StreamMaterializer.materializeChangelogStream(
+      fs, "uv", watermarkDelay = "3650 days", stateTtl = Duration.ofDays(3650),
+      trigger = Trigger.AvailableNow(), checkpointDir = Some(s"$dir/ckpt"))
+    q.awaitTermination()
+    // 6 feed rows, but only 3 transitions (1:a, 2:z, 1:b) may be written
+    assert(rowsWritten.get() == 3L,
+      s"changelog materialize must suppress no-op writes, wrote ${rowsWritten.get()}")
+    val resp = fs.getOnlineFeatures(Seq("uv:event_type", "uv:value"),
+      Seq(Map[String, Any]("user_id" -> 1L), Map[String, Any]("user_id" -> 2L)))
+    assert(resp.toMap("uv:event_type") == Seq("b", "z") &&
+      resp.toMap("uv:value") == Seq(2.0, 9.0), "store must hold the LWW state")
+    fs.teardown()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("changelog: cross-batch suppression, transitions, replay idempotence") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
