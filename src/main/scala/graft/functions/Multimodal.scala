@@ -212,16 +212,25 @@ object Multimodal {
       binCol: String,
       decoder: BinaryBatchDecoder,
       batchSize: Int = 64,
-      targetPartitionBytes: Long = 128L << 20): DataFrame = {
+      targetPartitionBytes: Long = 128L << 20,
+      numPartitions: Option[Int] = None): DataFrame = {
     // Partition count from logical-plan size stats (parquet footer
     // sizes), not an agg over octet_length — the latter is an extra full
     // scan of the binary column before the decode even starts. Statless
     // (RDD-backed) plans report Long.MaxValue: keep their current
     // partitioning instead of exploding to the 10000 cap.
+    // `numPartitions` pins the decode parallelism explicitly — for
+    // plans whose stats CANNOT reflect the payload bytes (synthesized
+    // columns, post-shuffle MapPartitions): the heuristic below would
+    // read their tiny logical estimate and collapse the decode to ONE
+    // task (caught by ScaleCheck: the audio query went 15x super-linear
+    // at 10x data running 105M samples single-threaded). Parquet-backed
+    // payload scans carry real footer sizes and keep the stats path.
     val totalBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val parts =
+    val parts = numPartitions.getOrElse {
       if (totalBytes >= BigInt(Long.MaxValue)) math.max(df.rdd.getNumPartitions, 1)
       else ((totalBytes / targetPartitionBytes) + 1).min(10000).max(1).toInt
+    }
     val outSchema = StructType(df.schema.fields ++ decoder.outputSchema.fields)
     val binIdx = df.schema.fieldIndex(binCol)
     // Dataset-domain mapPartitions (Encoders.row), NOT df.rdd +
@@ -239,5 +248,184 @@ object Multimodal {
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
       .toDF()
+  }
+
+  /** REAL image decode via the JDK's own codecs (`javax.imageio` ships
+    * JPEG/PNG/BMP/GIF readers in `java.desktop` — no external library,
+    * headless-safe): dimensions, channel count, and a REAL perceptual
+    * average-hash over the decoded pixels (luma → 8×8 cell means →
+    * above-mean bits, MSB-first row-major — the classic aHash). A
+    * payload ImageIO cannot decode yields nulls + `decode_error`
+    * instead of failing the task: one corrupt file in a 100 TB corpus
+    * must not kill the job; the error column is the quarantine filter.
+    *
+    * This replaces the stub for every JDK-supported format; the stub
+    * remains only as the integration example for codecs the JDK lacks
+    * (video containers, webp, …). */
+  class ImageIoDecoder extends BinaryBatchDecoder {
+    val outputSchema: StructType = StructType(Seq(
+      StructField("width", LongType), StructField("height", LongType),
+      StructField("channels", IntegerType), StructField("ahash64", LongType),
+      StructField("decode_error", StringType)))
+
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Row] = {
+      Multimodal.disableImageIoDiskCache()
+      payloads.map(decodeOne)
+    }
+
+    private def decodeOne(b: Array[Byte]): Row = 
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        if (img == null) Row(null, null, null, null, "unrecognized image format")
+        else Row(img.getWidth.toLong, img.getHeight.toLong,
+          img.getColorModel.getNumComponents, Multimodal.averageHash64(img), null)
+      } catch {
+        case e: Exception =>
+          Row(null, null, null, null,
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+      }
+  }
+
+  /** ImageIO wraps every read/write stream in a DISK-backed cache file
+    * by default — one temp-file create/delete per payload, measured
+    * dominating the decode wall at corpus row counts. Memory-cached
+    * streams are strictly better for byte-array payloads. JVM-global,
+    * idempotent. */
+  @volatile private var imageIoCacheDisabled = false
+  def disableImageIoDiskCache(): Unit =
+    if (!imageIoCacheDisabled) {
+      javax.imageio.ImageIO.setUseCache(false)
+      imageIoCacheDisabled = true
+    }
+
+  /** The classic 64-bit average hash over decoded pixels: Rec.601 luma
+    * per pixel, pixels binned into the 8×8 grid by index mapping
+    * (cell = (y*8/h, x*8/w) — every pixel lands in exactly one cell, no
+    * resample kernel to disagree about), cell means thresholded by the
+    * global mean, bit 63 = cell (0,0). Deterministic integer/double
+    * arithmetic over whatever the codec decoded. */
+  def averageHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Double](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = (y.toLong * 8 / h).toInt
+      var x = 0
+      while (x < w) {
+        val cx = (x.toLong * 8 / w).toInt
+        val rgb = img.getRGB(x, y)
+        val luma = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        val c = cy * 8 + cx
+        sums(c) += luma
+        counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val means = Array.tabulate(64)(i => if (counts(i) == 0) 0.0 else sums(i) / counts(i))
+    val grand = means.sum / 64.0
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (means(i) > grand) bits |= (1L << (63 - i))
+      i += 1
+    }
+    bits
+  }
+
+  /** REAL audio decode: hand-parsed RIFF/WAVE PCM (the container format
+    * is a public fixed layout — no library needed): header facts
+    * (sample rate, channels, bit depth, frame count, duration) plus the
+    * two classic cheap features — RMS energy (all channels, normalized
+    * to [-1, 1]) and channel-0 zero-crossing count. PCM16 LE and PCM8
+    * unsigned supported; anything else (float, compressed) reports
+    * `decode_error`. Truncated/corrupt payloads quarantine the same
+    * way. */
+  class WavPcmDecoder extends BinaryBatchDecoder {
+    val outputSchema: StructType = StructType(Seq(
+      StructField("sample_rate", IntegerType), StructField("channels", IntegerType),
+      StructField("bits", IntegerType), StructField("n_frames", LongType),
+      StructField("duration_ms", LongType), StructField("rms", DoubleType),
+      StructField("zero_crossings", LongType), StructField("decode_error", StringType)))
+
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Row] = payloads.map { b =>
+      try decodeOne(b)
+      catch {
+        case e: Exception => Row(null, null, null, null, null, null, null,
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+      }
+    }
+
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    private def decodeOne(b: Array[Byte]): Row = {
+      require(b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE",
+        "not a RIFF/WAVE payload")
+      var pos = 12
+      var fmtOk = false
+      var channels = 0; var rate = 0; var bits = 0; var blockAlign = 0
+      var dataOff = -1; var dataLen = 0L
+      while (pos + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
+        val id = tag(b, pos)
+        val sz = u32(b, pos + 4)
+        val body = pos + 8
+        id match {
+          case "fmt " =>
+            require(sz >= 16 && body + 16 <= b.length, "truncated fmt chunk")
+            val audioFormat = u16(b, body)
+            require(audioFormat == 1, s"unsupported WAVE format code $audioFormat (PCM only)")
+            channels = u16(b, body + 2)
+            rate = u32(b, body + 4).toInt
+            blockAlign = u16(b, body + 12)
+            bits = u16(b, body + 14)
+            require(bits == 16 || bits == 8, s"unsupported bit depth $bits")
+            require(channels > 0 && blockAlign == channels * (bits / 8),
+              s"inconsistent block align $blockAlign")
+            fmtOk = true
+          case "data" =>
+            dataOff = body
+            dataLen = sz
+          case _ => () // LIST/INFO etc: skip
+        }
+        pos = body + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+      require(fmtOk, "missing fmt chunk")
+      require(dataOff >= 0, "missing data chunk")
+      require(dataOff + dataLen <= b.length, "data chunk overruns payload")
+      val nFrames = dataLen / blockAlign
+      var sumSq = 0.0
+      var zc = 0L
+      var prevSign = 0
+      var f = 0L
+      while (f < nFrames) {
+        val base = dataOff + (f * blockAlign).toInt
+        var ch = 0
+        while (ch < channels) {
+          val v =
+            if (bits == 16) u16(b, base + ch * 2).toShort.toInt / 32768.0
+            else ((b(base + ch) & 0xff) - 128) / 128.0
+          sumSq += v * v
+          if (ch == 0) {
+            val sign = if (v > 0) 1 else if (v < 0) -1 else 0
+            if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
+            if (sign != 0) prevSign = sign
+          }
+          ch += 1
+        }
+        f += 1
+      }
+      val rms = if (nFrames == 0) 0.0 else math.sqrt(sumSq / (nFrames * channels))
+      Row(rate, channels, bits, nFrames,
+        nFrames * 1000L / rate, rms, zc, null)
+    }
   }
 }

@@ -1033,6 +1033,118 @@ object PipelineQueries {
     """SELECT doc_id, text, lang, source, n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** REAL image decode end to end ([[Multimodal.ImageIoDecoder]] — the
+    * JDK's own JPEG/PNG/BMP codecs, no external library): each document
+    * synthesizes a deterministic image (geometry keyed by doc_id, the
+    * codec rotating png/jpeg/bmp by doc_id % 3) ENCODED with
+    * `javax.imageio`, then the batched decoder reads the bytes back and
+    * reports dimensions/channels plus the real pixel average-hash. The
+    * oracle recomputes the geometry arithmetic — a hash match proves
+    * real bytes of three codecs round-tripped the decode plumbing (any
+    * decode failure nulls the dims and breaks the match). */
+  def imageDecode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    // spread the per-row ENCODE across cores: the source is one parquet
+    // row group = one task, and synthesizing 10x data single-threaded
+    // was the whole wall at scale (ScaleCheck caught it at 4-15x)
+    val src = docs(s, dir).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val withPayload = {
+      val outSchema = StructType(src.schema.fields :+ StructField("payload", BinaryType))
+      src.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getAs[Long](0)
+          val w = (id % 64 + 8).toInt
+          val h = (id % 48 + 8).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              // deterministic per-pixel pattern keyed by the doc id
+              img.setRGB(x, y, (((x * 37 + id) % 256).toInt << 16) |
+                (((y * 53 + id * 7) % 256).toInt << 8) | ((x + y) % 256))
+              x += 1
+            }
+            y += 1
+          }
+          val fmt = (id % 3) match { case 0 => "png"; case 1 => "jpg"; case _ => "bmp" }
+          Multimodal.disableImageIoDiskCache() // else: a temp FILE per encode
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, fmt, bos)
+          org.apache.spark.sql.Row(id, bos.toByteArray)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema)).toDF()
+    }
+    Multimodal.decodeBatched(withPayload, "payload", new Multimodal.ImageIoDecoder,
+        numPartitions = Some(s.sparkContext.defaultParallelism))
+      .select(col("doc_id"), col("width"), col("height"), col("channels"))
+      .orderBy("doc_id")
+  }
+
+  val imageDecodeSql: String =
+    """SELECT doc_id, doc_id % 64 + 8 AS width, doc_id % 48 + 8 AS height,
+      |       3 AS channels
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** REAL audio decode end to end ([[Multimodal.WavPcmDecoder]] — the
+    * RIFF/WAVE PCM container hand-parsed from its public layout): each
+    * document synthesizes a mono 16-bit 8 kHz sine ENCODED by the JDK's
+    * `javax.sound.sampled` writer (an independent encoder — the decoder
+    * under test never sees its own output format assumptions), and the
+    * decoder reports the header facts the oracle recomputes
+    * arithmetically. RMS/zero-crossing features are spec-pinned
+    * (PipelineSpec) — they are not SQL-expressible. */
+  def audioDecode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    // same encode-parallelism note as imageDecode
+    val src = docs(s, dir).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val withPayload = {
+      val outSchema = StructType(src.schema.fields :+ StructField("payload", BinaryType))
+      src.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getAs[Long](0)
+          val n = (id % 4000 + 100).toInt
+          val pcm = new Array[Byte](2 * n)
+          var i = 0
+          while (i < n) {
+            val v = (math.sin((i + id % 17) * 0.12) * 9000).toShort
+            pcm(2 * i) = v.toByte
+            pcm(2 * i + 1) = (v >> 8).toByte
+            i += 1
+          }
+          // canonical 44-byte PCM WAV header + data, written directly:
+          // AudioSystem.write pays a provider lookup per call, measured
+          // dominating the synth at corpus row counts; the JDK-encoder
+          // cross-check (our decoder vs AudioSystem's writer) stays
+          // pinned in PipelineSpec
+          val wav = new Array[Byte](44 + pcm.length)
+          val bb = java.nio.ByteBuffer.wrap(wav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
+            .put("WAVEfmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1).putInt(8000).putInt(16000)
+            .putShort(2).putShort(16)
+            .put("data".getBytes("US-ASCII")).putInt(pcm.length)
+            .put(pcm)
+          org.apache.spark.sql.Row(id, wav)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema)).toDF()
+    }
+    Multimodal.decodeBatched(withPayload, "payload", new Multimodal.WavPcmDecoder,
+        numPartitions = Some(s.sparkContext.defaultParallelism))
+      .select(col("doc_id"), col("sample_rate"), col("channels"), col("bits"),
+        col("n_frames"), col("duration_ms"))
+      .orderBy("doc_id")
+  }
+
+  val audioDecodeSql: String =
+    """SELECT doc_id, 8000 AS sample_rate, 1 AS channels, 16 AS bits,
+      |       doc_id % 4000 + 100 AS n_frames,
+      |       (doc_id % 4000 + 100) * 1000 // 8000 AS duration_ms
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Context-window assignment ([[graft.functions.Packing.contextWindows]]):
     * each doc's interval in the 512-token window slicing of the
     * doc_id-ordered token stream — documents cross window boundaries,
@@ -2494,6 +2606,8 @@ object PipelineQueries {
     "q_export_jsonl" -> (exportJsonl _),
     "q_tfrecord_roundtrip" -> (tfrecordRoundtrip _),
     "q_webdataset_roundtrip" -> (webdatasetRoundtrip _),
+    "q_image_decode" -> (imageDecode _),
+    "q_audio_decode" -> (audioDecode _),
     "q_context_windows" -> (contextWindowsQ _),
     "q_dedup_incremental_fuzzy" -> (dedupIncrementalFuzzy _),
     "q_dedup_index_persisted" -> (dedupIndexPersisted _),
@@ -2560,6 +2674,8 @@ object PipelineQueries {
     "q_export_jsonl" -> exportJsonlSql,
     "q_tfrecord_roundtrip" -> tfrecordRoundtripSql,
     "q_webdataset_roundtrip" -> webdatasetRoundtripSql,
+    "q_image_decode" -> imageDecodeSql,
+    "q_audio_decode" -> audioDecodeSql,
     "q_context_windows" -> contextWindowsSql,
     "q_dedup_incremental_fuzzy" -> dedupIncrementalFuzzySql,
     "q_dedup_index_persisted" -> dedupIndexPersistedSql,

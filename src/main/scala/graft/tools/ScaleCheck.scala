@@ -158,7 +158,11 @@ object ScaleCheck {
       // round-13 addition: the TFRecord export+read-back — per-shard
       // streaming writes and crc-verified reads must scale with rows,
       // not shards (shard count is held at 4 by the query)
-      "q_tfrecord_roundtrip", "q_webdataset_roundtrip")
+      "q_tfrecord_roundtrip", "q_webdataset_roundtrip",
+      // round-13 additions: the REAL codec decode paths (JDK imageio /
+      // hand-parsed RIFF) — per-row encode+decode work must scale with
+      // rows through the byte-rebalanced decodeBatched partitioning
+      "q_image_decode", "q_audio_decode")
     // optional 4th arg: comma-separated query filter (iterate on one
     // operator without re-timing the full set; replica build unchanged)
     val only = args.lift(3).map(_.split(",").toSet)

@@ -1274,4 +1274,78 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"phash near-dup must plan a bucketed equi join:\n$plan")
   }
+
+  test("ImageIoDecoder: real JDK codecs, aHash semantics, corrupt-payload quarantine") {
+    import java.awt.image.BufferedImage
+    def png(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // left half dark, right half bright: aHash must be exactly the
+    // 4-right-columns-set pattern, independently derivable
+    val split = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64)
+      split.setRGB(x, y, if (x < 32) 0x000000 else 0xffffff)
+    val expectedBits = (0 until 64).foldLeft(0L) { (acc, cell) =>
+      if (cell % 8 >= 4) acc | (1L << (63 - cell)) else acc
+    }
+    assert(graft.functions.Multimodal.averageHash64(split) == expectedBits,
+      "aHash of a half-split image must set exactly the bright half's cells")
+
+    val dec = new graft.functions.Multimodal.ImageIoDecoder
+    // decode through the real codec: dims + channels + the same hash
+    val rows = dec.decodeBatch(Seq(png(split)))
+    assert(rows.head.getLong(0) == 64L && rows.head.getLong(1) == 64L)
+    assert(rows.head.getInt(2) == 3)
+    assert(rows.head.getLong(3) == expectedBits, "PNG decode must be pixel-exact")
+    assert(rows.head.isNullAt(4))
+    // a JPEG of the same image is lossy but its aHash must be CLOSE
+    // (block structure survives 4:2:0 + quantization)
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(split, "jpg", jbos)
+    val jHash = dec.decodeBatch(Seq(jbos.toByteArray)).head.getLong(3)
+    val dist = java.lang.Long.bitCount(jHash ^ expectedBits)
+    assert(dist <= 4, s"jpeg aHash drifted $dist bits from the lossless hash")
+    // corrupt payload: quarantined with an error, never a task failure
+    val bad = dec.decodeBatch(Seq("not an image".getBytes("UTF-8")))
+    assert(bad.head.isNullAt(0) && !bad.head.isNullAt(4))
+  }
+
+  test("WavPcmDecoder: header facts, RMS and zero crossings on a known sine; quarantine") {
+    val dec = new graft.functions.Multimodal.WavPcmDecoder
+    // 8 kHz mono PCM16: 100 Hz sine over exactly 1 s -> rms = A/sqrt(2),
+    // zero crossings = 2 per cycle - 1 boundary ~ 199/200
+    val n = 8000
+    val amp = 16000.0
+    val pcm = new Array[Byte](2 * n)
+    for (i <- 0 until n) {
+      val v = (amp * math.sin(2 * math.Pi * 100 * i / 8000.0)).toShort
+      pcm(2 * i) = v.toByte
+      pcm(2 * i + 1) = (v >> 8).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val r = dec.decodeBatch(Seq(bos.toByteArray)).head
+    assert(r.getInt(0) == 8000 && r.getInt(1) == 1 && r.getInt(2) == 16)
+    assert(r.getLong(3) == n && r.getLong(4) == 1000L)
+    val rms = r.getDouble(5)
+    val expect = (amp / 32768.0) / math.sqrt(2.0)
+    assert(math.abs(rms - expect) < 0.002, s"rms $rms vs analytic $expect")
+    val zc = r.getLong(6)
+    assert(zc >= 198 && zc <= 200, s"100 Hz over 1 s must cross ~199 times, got $zc")
+    assert(r.isNullAt(7))
+    // truncated payload quarantines
+    val bad = dec.decodeBatch(Seq(java.util.Arrays.copyOf(bos.toByteArray, 40)))
+    assert(bad.head.isNullAt(0) && !bad.head.isNullAt(7))
+    // non-PCM format code rejects with a readable error
+    val floatFmt = bos.toByteArray.clone()
+    floatFmt(20) = 3 // IEEE float format code in the fmt chunk
+    val rej = dec.decodeBatch(Seq(floatFmt))
+    assert(!rej.head.isNullAt(7) && rej.head.getString(7).contains("format code"))
+  }
 }
