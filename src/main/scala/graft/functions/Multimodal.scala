@@ -286,6 +286,76 @@ object Multimodal {
       }
   }
 
+  /** REAL image resize (the resize integration point, no longer a
+    * stub for JDK-decodable formats): decode via `javax.imageio`,
+    * aspect-preserving fit-within-box (never upscaling), AREA-AVERAGE
+    * downsample by exact cell mapping (each source pixel contributes
+    * to the one output cell `(y*outH/h, x*outW/w)` — deterministic
+    * integer mapping, no resample kernel or Graphics2D to disagree
+    * about), re-encoded as PNG (lossless — the resized payload
+    * round-trips pixel-exact). Output geometry is the same arithmetic
+    * as [[stubResize]], so the SQL oracle can recompute it; undecodable
+    * payloads quarantine via `decode_error` like [[ImageIoDecoder]]. */
+  class ImageResizer(boxW: Int, boxH: Int) extends BinaryBatchDecoder {
+    require(boxW > 0 && boxH > 0, s"resize box must be positive, got ${boxW}x$boxH")
+    val outputSchema: StructType = StructType(Seq(
+      StructField("resized", BinaryType),
+      StructField("out_width", LongType), StructField("out_height", LongType),
+      StructField("decode_error", StringType)))
+
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Row] = {
+      Multimodal.disableImageIoDiskCache()
+      payloads.map { b =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+          if (img == null) Row(null, null, null, "unrecognized image format")
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val scale = math.min(math.min(boxW.toDouble / w, boxH.toDouble / h), 1.0)
+            val outW = math.max(1, math.floor(w * scale).toInt)
+            val outH = math.max(1, math.floor(h * scale).toInt)
+            val sums = new Array[Long](outW * outH * 3)
+            val counts = new Array[Long](outW * outH)
+            var y = 0
+            while (y < h) {
+              val cy = math.min((y.toLong * outH / h).toInt, outH - 1)
+              var x = 0
+              while (x < w) {
+                val cx = math.min((x.toLong * outW / w).toInt, outW - 1)
+                val rgb = img.getRGB(x, y)
+                val c = cy * outW + cx
+                sums(c * 3) += (rgb >> 16) & 0xff
+                sums(c * 3 + 1) += (rgb >> 8) & 0xff
+                sums(c * 3 + 2) += rgb & 0xff
+                counts(c) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val out = new java.awt.image.BufferedImage(
+              outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var c = 0
+            while (c < outW * outH) {
+              val n = math.max(counts(c), 1L)
+              out.setRGB(c % outW, c / outW,
+                (((sums(c * 3) / n).toInt & 0xff) << 16) |
+                (((sums(c * 3 + 1) / n).toInt & 0xff) << 8) |
+                ((sums(c * 3 + 2) / n).toInt & 0xff))
+              c += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Row(bos.toByteArray, outW.toLong, outH.toLong, null)
+          }
+        } catch {
+          case e: Exception => Row(null, null, null,
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+        }
+      }
+    }
+  }
+
   /** ImageIO wraps every read/write stream in a DISK-backed cache file
     * by default — one temp-file create/delete per payload, measured
     * dominating the decode wall at corpus row counts. Memory-cached

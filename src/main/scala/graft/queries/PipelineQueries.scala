@@ -1145,6 +1145,66 @@ object PipelineQueries {
       |       (doc_id % 4000 + 100) * 1000 // 8000 AS duration_ms
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** REAL image resize end to end ([[Multimodal.ImageResizer]]):
+    * encode (doc_id-keyed geometry, rotating codecs) → area-average
+    * resize to fit 16×12 → RE-DECODE the resized PNG payload with
+    * [[Multimodal.ImageIoDecoder]]. The oracle recomputes the
+    * fit-within-box floor arithmetic — a hash match proves the resized
+    * bytes are a VALID image of exactly the contract geometry (both
+    * decode steps run real codecs; IEEE double scale math is identical
+    * in Spark and DuckDB). */
+  def imageResize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val src = docs(s, dir).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val withPayload = {
+      val outSchema = StructType(src.schema.fields :+ StructField("payload", BinaryType))
+      src.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getAs[Long](0)
+          val w = (id % 64 + 8).toInt
+          val h = (id % 48 + 8).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, (((x * 37 + id) % 256).toInt << 16) |
+                (((y * 53 + id * 7) % 256).toInt << 8) | ((x + y) % 256))
+              x += 1
+            }
+            y += 1
+          }
+          val fmt = (id % 3) match { case 0 => "png"; case 1 => "jpg"; case _ => "bmp" }
+          Multimodal.disableImageIoDiskCache()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, fmt, bos)
+          org.apache.spark.sql.Row(id, bos.toByteArray)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema)).toDF()
+    }
+    val resized = Multimodal.decodeBatched(withPayload, "payload",
+        new Multimodal.ImageResizer(16, 12),
+        numPartitions = Some(s.sparkContext.defaultParallelism))
+      .select(col("doc_id"), col("resized"))
+    Multimodal.decodeBatched(resized, "resized", new Multimodal.ImageIoDecoder,
+        numPartitions = Some(s.sparkContext.defaultParallelism))
+      .select(col("doc_id"), col("width"), col("height"), col("channels"))
+      .orderBy("doc_id")
+  }
+
+  val imageResizeSql: String =
+    """SELECT doc_id,
+      |       CAST(floor((doc_id % 64 + 8) *
+      |         least(16.0 / (doc_id % 64 + 8), 12.0 / (doc_id % 48 + 8), 1.0))
+      |         AS BIGINT) AS width,
+      |       CAST(floor((doc_id % 48 + 8) *
+      |         least(16.0 / (doc_id % 64 + 8), 12.0 / (doc_id % 48 + 8), 1.0))
+      |         AS BIGINT) AS height,
+      |       3 AS channels
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Context-window assignment ([[graft.functions.Packing.contextWindows]]):
     * each doc's interval in the 512-token window slicing of the
     * doc_id-ordered token stream — documents cross window boundaries,
@@ -2608,6 +2668,7 @@ object PipelineQueries {
     "q_webdataset_roundtrip" -> (webdatasetRoundtrip _),
     "q_image_decode" -> (imageDecode _),
     "q_audio_decode" -> (audioDecode _),
+    "q_image_resize" -> (imageResize _),
     "q_context_windows" -> (contextWindowsQ _),
     "q_dedup_incremental_fuzzy" -> (dedupIncrementalFuzzy _),
     "q_dedup_index_persisted" -> (dedupIndexPersisted _),
@@ -2676,6 +2737,7 @@ object PipelineQueries {
     "q_webdataset_roundtrip" -> webdatasetRoundtripSql,
     "q_image_decode" -> imageDecodeSql,
     "q_audio_decode" -> audioDecodeSql,
+    "q_image_resize" -> imageResizeSql,
     "q_context_windows" -> contextWindowsSql,
     "q_dedup_incremental_fuzzy" -> dedupIncrementalFuzzySql,
     "q_dedup_index_persisted" -> dedupIndexPersistedSql,

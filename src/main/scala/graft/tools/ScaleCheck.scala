@@ -162,7 +162,7 @@ object ScaleCheck {
       // round-13 additions: the REAL codec decode paths (JDK imageio /
       // hand-parsed RIFF) — per-row encode+decode work must scale with
       // rows through the byte-rebalanced decodeBatched partitioning
-      "q_image_decode", "q_audio_decode")
+      "q_image_decode", "q_audio_decode", "q_image_resize")
     // optional 4th arg: comma-separated query filter (iterate on one
     // operator without re-timing the full set; replica build unchanged)
     val only = args.lift(3).map(_.split(",").toSet)

@@ -1312,6 +1312,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad.head.isNullAt(0) && !bad.head.isNullAt(4))
   }
 
+  test("ImageResizer: area-average downscale preserves structure, never upscales, quarantines") {
+    import java.awt.image.BufferedImage
+    val dec = new graft.functions.Multimodal.ImageIoDecoder
+    val rz = new graft.functions.Multimodal.ImageResizer(16, 16)
+    // 64x64 half-split -> 16x16: structure (and so the aHash) must
+    // survive the downscale EXACTLY (area average of a constant block
+    // is the constant)
+    val split = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64)
+      split.setRGB(x, y, if (x < 32) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(split, "png", bos)
+    val out = rz.decodeBatch(Seq(bos.toByteArray)).head
+    assert(out.getLong(1) == 16L && out.getLong(2) == 16L && out.isNullAt(3))
+    val re = dec.decodeBatch(Seq(out.getAs[Array[Byte]](0))).head
+    assert(re.getLong(0) == 16L && re.getLong(1) == 16L)
+    assert(re.getLong(3) == graft.functions.Multimodal.averageHash64(split),
+      "resize must preserve the split image's aHash bit-for-bit")
+    // never upscale: an 8x6 image through a 32x32 box stays 8x6
+    val tiny = new BufferedImage(8, 6, BufferedImage.TYPE_INT_RGB)
+    val tb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(tiny, "png", tb)
+    val big = new graft.functions.Multimodal.ImageResizer(32, 32)
+      .decodeBatch(Seq(tb.toByteArray)).head
+    assert(big.getLong(1) == 8L && big.getLong(2) == 6L)
+    // corrupt payload quarantines
+    val bad = rz.decodeBatch(Seq("junk".getBytes("UTF-8"))).head
+    assert(bad.isNullAt(0) && !bad.isNullAt(3))
+  }
+
   test("WavPcmDecoder: header facts, RMS and zero crossings on a known sine; quarantine") {
     val dec = new graft.functions.Multimodal.WavPcmDecoder
     // 8 kHz mono PCM16: 100 Hz sine over exactly 1 s -> rms = A/sqrt(2),
