@@ -226,7 +226,7 @@ object Bench {
       "ann_brute_force) run per-job AQE-off as a deployment would " +
       "(AqeProbe-measured on identical plans); store pair uses the " +
       "in-process store like the reference's own bench + oracle; " +
-      "durable twins on the sidelines line above; scalecheck: 61 ops " +
+      "durable twins on the sidelines line above; scalecheck: 62 ops " +
       "sub-linear at 10x data. Full accounting: BENCH_NOTES.md"
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"sf":"$sfDir","notes":"$notes"}""")
     spark.stop()
