@@ -8,11 +8,15 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with typed metadata structs; decode /
   * feature-extraction runs as batched partition-level functions.
   *
-  * The actual codecs are NOT available in this environment, so the
-  * decode step is STUBBED with a deterministic fake
-  * (`StubImageDecoder`) — the Spark-side plumbing (schema, batching,
-  * partition sizing) is real and tested; swap the decoder for a JNI/
-  * library-backed one in production.
+  * Decode is REAL for every JDK-native format — [[Multimodal.ImageIoDecoder]]
+  * (JPEG/PNG/BMP/GIF via `javax.imageio`, true dimensions + pixel
+  * average-hash), [[Multimodal.ImageResizer]] (area-average downscale,
+  * lossless re-encode), and [[Multimodal.WavPcmDecoder]] (hand-parsed
+  * RIFF/PCM header facts + RMS + zero crossings) — no external codec
+  * library needed. The deterministic stub (`StubImageDecoder`) remains
+  * only as the integration example for formats the JDK cannot decode
+  * (video containers, webp, …): swap in a JNI/library-backed
+  * [[Multimodal.BinaryBatchDecoder]] with the same column contract.
   */
 object Multimodal {
 
@@ -47,8 +51,9 @@ object Multimodal {
       lit(3).as("channels"))
   }
 
-  /** Deterministic resize STUB (the image-resize integration point —
-    * no codec libs in this container): computes the fit-within-box
+  /** Deterministic resize-GEOMETRY stub (kept for payloads no JDK
+    * codec can decode — [[ImageResizer]] is the real path for
+    * jpeg/png/bmp/gif): computes the fit-within-box
     * output geometry (aspect-preserving, never upscaling) and the
     * resulting byte estimate from the stub-decoded dimensions. The
     * arithmetic is pure integer/double columns, so the plumbing is
@@ -77,9 +82,10 @@ object Multimodal {
     * downscale — the image near-dup fingerprint: real pipelines decode
     * → downscale to an 8×8 grayscale tile → threshold each cell by the
     * tile mean → 64-bit hash; hamming distance between hashes is the
-    * near-dup signal. With codecs unavailable, the "tile" is 64 evenly
-    * spaced payload bytes (the same deterministic sampling as
-    * [[sampleFrames]]) — the thresholding, packing, and downstream
+    * near-dup signal. This BYTE-domain variant (for payloads no JDK
+    * codec decodes; [[averageHash64]] is the real pixel-domain hash)
+    * tiles 64 evenly spaced payload bytes (the same deterministic
+    * sampling as [[sampleFrames]]) — the thresholding, packing, and downstream
     * banding are the real algorithm. Thresholding is pure integer
     * arithmetic (64·pixel > sum, never a float mean), and the hash is
     * emitted as a 64-char bit string, so the oracle replays it
