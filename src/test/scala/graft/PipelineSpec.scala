@@ -1312,6 +1312,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad.head.isNullAt(0) && !bad.head.isNullAt(4))
   }
 
+  test("real multimodal near-dup end to end: decode -> pixel aHash -> banded pairing finds re-encoded twins") {
+    import java.awt.image.BufferedImage
+    import spark.implicits._
+    // 12 visually DISTINCT images + 3 of them re-encoded as JPEG (the
+    // classic near-dup: same picture, different codec/bytes). The real
+    // pipeline must pair each jpeg with its png original and nothing
+    // else — byte-level hashing can never do this (the payloads share
+    // no bytes); only decoded-pixel hashing can.
+    def img(seed: Int): BufferedImage = {
+      val im = new BufferedImage(40, 40, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 40; x <- 0 until 40) {
+        // coarse 2-tone 10px blocks, each block's tone an independent
+        // hash of (block, seed): structure survives jpeg quantization
+        // (fine noise would not) and distinct seeds give distinct
+        // patterns (weaker mixes — seed*7 % 3, a single multiply's
+        // bit — left periodic collisions that paired distinct seeds)
+        val b = (x / 10) * 4 + (y / 10)
+        val on = (scala.util.hashing.MurmurHash3.productHash((b, seed)) & 1) == 1
+        im.setRGB(x, y, if (on) 0xffffff else 0x202020)
+      }
+      im
+    }
+    def enc(im: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, fmt, bos)
+      bos.toByteArray
+    }
+    val rows =
+      (0 until 12).map(i => (i.toLong, enc(img(i), "png"))) ++
+      (0 until 3).map(i => (100L + i, enc(img(i), "jpg")))
+    val df = rows.toDF("id", "payload")
+    val hashed = graft.functions.Multimodal.decodeBatched(
+        df, "payload", new graft.functions.Multimodal.ImageIoDecoder,
+        numPartitions = Some(4))
+      .filter(col("decode_error").isNull)
+      // phashNearDupPairs consumes 64-char bit strings
+      .select(col("id"), lpad(bin(col("ahash64")), 64, "0").as("bits"))
+    val pairs = graft.functions.Multimodal.phashNearDupPairs(
+        hashed, "id", "bits", bands = 8, maxDist = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 100L), (1L, 101L), (2L, 102L)),
+      s"each jpeg must pair with exactly its png original, got $pairs")
+  }
+
   test("ImageResizer: area-average downscale preserves structure, never upscales, quarantines") {
     import java.awt.image.BufferedImage
     val dec = new graft.functions.Multimodal.ImageIoDecoder
