@@ -362,6 +362,125 @@ object Multimodal {
     }
   }
 
+  /** REAL video-container metadata: the ISO base media file format
+    * (MP4/MOV, ISO 14496-12) is a public box tree — `[size u32 BE]
+    * [type 4cc][payload]`, children nested in container boxes — so
+    * duration, dimensions, and track layout parse with NO codec:
+    *
+    *  - `moov/mvhd`: movie timescale + duration (version 0: u32s at
+    *    offsets 12/16 of the box payload; version 1: u64 duration)
+    *  - `moov/trak/tkhd`: track width/height as 16.16 fixed point in
+    *    the last 8 bytes of the box; a non-zero size marks the video
+    *    track
+    *  - `moov/trak/mdia/hdlr`: handler 4cc (`vide`/`soun`) counted per
+    *    kind
+    *
+    * This is the routing/dedup metadata a video pipeline needs (frame
+    * DECODE genuinely requires codec libraries and stays stubbed).
+    * Truncated/alien payloads quarantine via `decode_error`. */
+  class Mp4MetaDecoder extends BinaryBatchDecoder {
+    val outputSchema: StructType = StructType(Seq(
+      StructField("duration_ms", LongType),
+      StructField("width", LongType), StructField("height", LongType),
+      StructField("video_tracks", IntegerType), StructField("audio_tracks", IntegerType),
+      StructField("decode_error", StringType)))
+
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Row] = payloads.map { b =>
+      try decodeOne(b)
+      catch {
+        case e: Exception => Row(null, null, null, null, null,
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+      }
+    }
+
+    private def u32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def u64(b: Array[Byte], o: Int): Long =
+      (u32(b, o) << 32) | u32(b, o + 4)
+    private def cc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Walk one box level in [from, to); calls f(type, bodyFrom, bodyTo). */
+    private def boxes(b: Array[Byte], from: Int, to: Int)(
+        f: (String, Int, Int) => Unit): Unit = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val size0 = u32(b, pos)
+        val tpe = cc(b, pos + 4)
+        val (body, end) =
+          if (size0 == 1) { // 64-bit largesize
+            require(pos + 16 <= to, s"truncated largesize box at $pos")
+            val sz = u64(b, pos + 8)
+            require(sz >= 16 && pos + sz <= to, s"box '$tpe' overruns payload")
+            (pos + 16, pos + sz.toInt)
+          } else if (size0 == 0) (pos + 8, to) // box extends to EOF
+          else {
+            require(size0 >= 8 && pos + size0 <= to, s"box '$tpe' overruns payload")
+            (pos + 8, pos + size0.toInt)
+          }
+        f(tpe, body, end)
+        pos = end
+      }
+    }
+
+    private def decodeOne(b: Array[Byte]): Row = {
+      // sanity: an ISO-BMFF file opens with a box whose type is ftyp /
+      // moov / mdat / free / wide / styp — reject alien bytes early
+      require(b.length >= 12, "payload too short for an ISO-BMFF box")
+      val first = cc(b, 4)
+      require(Set("ftyp", "moov", "mdat", "free", "wide", "styp").contains(first),
+        s"not an ISO-BMFF payload (first box '$first')")
+      var durationMs: Any = null
+      var width: Any = null
+      var height: Any = null
+      var vTracks = 0
+      var aTracks = 0
+      boxes(b, 0, b.length) { (t0, b0, e0) =>
+        if (t0 == "moov") boxes(b, b0, e0) { (t1, b1, e1) =>
+          t1 match {
+            case "mvhd" =>
+              val version = b(b1) & 0xff
+              // v0: ver/flags(4) ctime(4) mtime(4) timescale(4) dur(4)
+              // v1: ver/flags(4) ctime(8) mtime(8) timescale(4) dur(8)
+              val (timescale, duration) =
+                if (version == 1) (u32(b, b1 + 20), u64(b, b1 + 24))
+                else (u32(b, b1 + 12), u32(b, b1 + 16))
+              if (timescale > 0) durationMs = duration * 1000L / timescale
+            case "trak" =>
+              var isVideo = false
+              var isAudio = false
+              var tw = 0L
+              var th = 0L
+              boxes(b, b1, e1) { (t2, b2, e2) =>
+                t2 match {
+                  case "tkhd" =>
+                    // width/height: 16.16 fixed point, the LAST 8 bytes
+                    tw = u32(b, e2 - 8) >> 16
+                    th = u32(b, e2 - 4) >> 16
+                  case "mdia" => boxes(b, b2, e2) { (t3, b3, _) =>
+                    if (t3 == "hdlr") cc(b, b3 + 8) match {
+                      case "vide" => isVideo = true
+                      case "soun" => isAudio = true
+                      case _ => ()
+                    }
+                  }
+                  case _ => ()
+                }
+              }
+              if (isVideo) {
+                vTracks += 1
+                if (tw > 0 && th > 0) { width = tw; height = th }
+              }
+              if (isAudio) aTracks += 1
+            case _ => ()
+          }
+        }
+      }
+      Row(durationMs, width, height, vTracks, aTracks, null)
+    }
+  }
+
   /** ImageIO wraps every read/write stream in a DISK-backed cache file
     * by default — one temp-file create/delete per payload, measured
     * dominating the decode wall at corpus row counts. Memory-cached

@@ -1386,6 +1386,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad.isNullAt(0) && !bad.isNullAt(3))
   }
 
+  test("Mp4MetaDecoder: box-tree walk yields duration/dims/tracks; v1 mvhd; quarantine") {
+    // hand-built ISO-BMFF fixture, each field cited to ISO 14496-12
+    // §8.2/8.3 layouts (no mp4 writer exists in this environment)
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ tpe.getBytes("US-ASCII") ++ payload
+    def mvhdV0(timescale: Long, duration: Long): Array[Byte] =
+      box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(timescale) ++ be32(duration) ++ new Array[Byte](80))
+    def mvhdV1(timescale: Long, duration: Long): Array[Byte] =
+      box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+        be32(timescale) ++ be64(duration) ++ new Array[Byte](80))
+    def tkhd(w: Long, h: Long): Array[Byte] =
+      // v0 tkhd is 84 payload bytes; width/height 16.16 are the last 8
+      box("tkhd", new Array[Byte](76) ++ be32(w << 16) ++ be32(h << 16))
+    def trak(kind: String, w: Long, h: Long): Array[Byte] =
+      box("trak", tkhd(w, h) ++ box("mdia",
+        box("hdlr", be32(0) ++ be32(0) ++ kind.getBytes("US-ASCII") ++ new Array[Byte](13))))
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(512))
+
+    val dec = new graft.functions.Multimodal.Mp4MetaDecoder
+    // v0: 90s at timescale 600, one 640x360 video + one audio track
+    val f0 = ftyp ++ box("moov",
+      mvhdV0(600, 54000) ++ trak("vide", 640, 360) ++ trak("soun", 0, 0)) ++
+      box("mdat", Array[Byte](1, 2, 3))
+    val r0 = dec.decodeBatch(Seq(f0)).head
+    assert(r0.getLong(0) == 90000L && r0.getLong(1) == 640L && r0.getLong(2) == 360L)
+    assert(r0.getInt(3) == 1 && r0.getInt(4) == 1 && r0.isNullAt(5))
+    // v1 mvhd (64-bit duration): 2h at timescale 1000
+    val f1 = ftyp ++ box("moov", mvhdV1(1000, 7200000) ++ trak("vide", 1920, 1080))
+    val r1 = dec.decodeBatch(Seq(f1)).head
+    assert(r1.getLong(0) == 7200000L && r1.getLong(1) == 1920L && r1.getLong(2) == 1080L)
+    // alien / truncated payloads quarantine
+    val bad = dec.decodeBatch(Seq("definitely not an mp4 file..".getBytes("UTF-8"))).head
+    assert(bad.isNullAt(0) && !bad.isNullAt(5))
+    val torn = dec.decodeBatch(Seq(java.util.Arrays.copyOf(f0, 40))).head
+    assert(bad.isNullAt(0) && !torn.isNullAt(5))
+  }
+
   test("WavPcmDecoder: header facts, RMS and zero crossings on a known sine; quarantine") {
     val dec = new graft.functions.Multimodal.WavPcmDecoder
     // 8 kHz mono PCM16: 100 Hz sine over exactly 1 s -> rms = A/sqrt(2),
