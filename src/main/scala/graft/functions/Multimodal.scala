@@ -13,9 +13,12 @@ import org.apache.spark.sql.types._
   * average-hash), [[Multimodal.ImageResizer]] (area-average downscale,
   * lossless re-encode), and [[Multimodal.WavPcmDecoder]] (hand-parsed
   * RIFF/PCM header facts + RMS + zero crossings) — no external codec
-  * library needed. The deterministic stub (`StubImageDecoder`) remains
-  * only as the integration example for formats the JDK cannot decode
-  * (video containers, webp, …): swap in a JNI/library-backed
+  * library needed — and [[Multimodal.Mp4MetaDecoder]] walks the ISO-BMFF
+  * box tree (a public layout, codec-free) for video duration /
+  * dimensions / track counts. The deterministic stub
+  * (`StubImageDecoder`) remains only as the integration example for
+  * payloads whose DECODE truly needs codec libraries (video frames,
+  * webp, …): swap in a JNI/library-backed
   * [[Multimodal.BinaryBatchDecoder]] with the same column contract.
   */
 object Multimodal {
@@ -37,7 +40,11 @@ object Multimodal {
   def sniffFormat(bin: Column): Column =
     when(hex(substring(bin, 1, 3)) === "FFD8FF", "jpeg")
       .when(hex(substring(bin, 1, 8)) === "89504E470D0A1A0A", "png")
+      .when(substring(bin, 1, 2).cast("string") === "BM", "bmp")
+      .when(substring(bin, 1, 4).cast("string") === "RIFF" &&
+        substring(bin, 9, 4).cast("string") === "WAVE", "wav")
       .when(substring(bin, 1, 4).cast("string") === "RIFF", "riff")
+      .when(substring(bin, 5, 4).cast("string") === "ftyp", "mp4")
       .otherwise("unknown")
 
   /** Deterministic fake image decode — STUB standing in for a real
