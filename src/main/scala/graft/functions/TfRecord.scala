@@ -95,9 +95,18 @@ object TfRecord {
     w
   }
 
-  /** Feature oneof for one Spark value; None for null (feature omitted). */
-  private def featureOf(dt: DataType, v: Any): Option[ProtoWire.Writer] = {
+  /** Feature oneof for one Spark value; None for null (feature omitted).
+    * tf.Example lists cannot represent element nulls, so a null array
+    * ELEMENT is rejected loudly (naming the field) instead of NPE-ing
+    * inside the encoder. */
+  private def featureOf(name: String, dt: DataType, v: Any): Option[ProtoWire.Writer] = {
     if (v == null) return None
+    def seqOf(v: Any): Seq[Any] = {
+      val s = TfRecord.seqOf(v)
+      if (s.exists(_ == null)) throw new IllegalArgumentException(
+        s"feature '$name': tf.Example lists cannot hold null elements")
+      s
+    }
     def one(elem: DataType, x: Any): ProtoWire.Writer = elem match {
       case StringType => wrap(1, bytesList(Seq(x.asInstanceOf[String].getBytes(StandardCharsets.UTF_8))))
       case BinaryType => wrap(1, bytesList(Seq(x.asInstanceOf[Array[Byte]])))
@@ -152,7 +161,7 @@ object TfRecord {
   private[graft] def encodeExample(schema: StructType, row: Row): Array[Byte] = {
     val features = new ProtoWire.Writer()
     schema.fields.zipWithIndex.foreach { case (f, i) =>
-      featureOf(f.dataType, if (row.isNullAt(i)) null else row.get(i)).foreach { feat =>
+      featureOf(f.name, f.dataType, if (row.isNullAt(i)) null else row.get(i)).foreach { feat =>
         val entry = new ProtoWire.Writer()
         entry.stringField(1, f.name)
         entry.msgField(2, feat)
@@ -246,6 +255,8 @@ object TfRecord {
           case (BinaryType, 1) => bytesValues(payload).headOption.orNull
           case (LongType, 3) => int64Values(payload).headOption.map(Long.box).orNull
           case (IntegerType, 3) => int64Values(payload).headOption.map(l => Int.box(l.toInt)).orNull
+          case (ShortType, 3) => int64Values(payload).headOption.map(l => Short.box(l.toShort)).orNull
+          case (ByteType, 3) => int64Values(payload).headOption.map(l => Byte.box(l.toByte)).orNull
           case (BooleanType, 3) => int64Values(payload).headOption.map(l => Boolean.box(l != 0L)).orNull
           case (TimestampType, 3) => int64Values(payload).headOption.map { us =>
             val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))

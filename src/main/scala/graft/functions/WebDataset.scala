@@ -128,6 +128,7 @@ object WebDataset {
     }
     val keyIdx = schema.fieldIndex(keyCol)
     val partIdx = parts.map { case (sfx, c) => (sfx, schema.fieldIndex(c)) }
+    val maxSfxBytes = parts.map(_._1.getBytes(StandardCharsets.UTF_8).length).max
     val confMap: Map[String, String] = {
       import scala.jdk.CollectionConverters._
       df.sparkSession.sparkContext.hadoopConfiguration.asScala
@@ -146,6 +147,16 @@ object WebDataset {
         rows.foreach { r =>
           require(!r.isNullAt(keyIdx), s"null sample key '$keyCol'")
           val key = r.get(keyIdx).toString
+          // The read-side grouping rule splits at the FIRST dot past the
+          // last slash, so a dotted key ('user.1' → member 'user.1.json')
+          // would read back as key 'user' / part '1.json' — silently
+          // corrupted. Fail fast at write time instead; same for the
+          // ustar 100-byte name limit with the longest suffix appended.
+          require(key.indexOf('.', key.lastIndexOf('/') + 1) < 0,
+            s"sample key '$key' contains '.' past its last '/': WebDataset " +
+              "keys must be dot-free (the first dot delimits the part suffix)")
+          require(key.getBytes(StandardCharsets.UTF_8).length + 1 + maxSfxBytes <= 100,
+            s"sample key '$key' + longest part suffix exceeds the ustar 100-byte member-name limit")
           partIdx.foreach { case (sfx, i) =>
             if (!r.isNullAt(i)) {
               val data = r.get(i) match {

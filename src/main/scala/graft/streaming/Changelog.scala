@@ -75,7 +75,12 @@ object Changelog {
       s"stateTtl must be positive, got $stateTtl")
 
     val projCols = (keyCols ++ Seq(tsCol) ++ orderCols ++ valueCols).distinct
+    // Spark's watermark does NOT filter null event times out of
+    // flatMapGroupsWithState input; one null-ts row would NPE the group
+    // function (getAs[Timestamp].getTime) and kill the query. A row
+    // with no event time has no place on the changelog — drop it here.
     val projected = stream
+      .filter(col(tsCol).isNotNull)
       .withWatermark(tsCol, watermarkDelay)
       .select(projCols.map(col): _*)
     val schema = projected.schema

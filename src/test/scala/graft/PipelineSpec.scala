@@ -1464,4 +1464,28 @@ class PipelineSpec extends AnyFunSuite {
     val rej = dec.decodeBatch(Seq(floatFmt))
     assert(!rej.head.isNullAt(7) && rej.head.getString(7).contains("format code"))
   }
+
+  test("webdataset write rejects dotted keys and over-long names at WRITE time") {
+    import spark.implicits._
+    // read-side grouping splits at the first dot, so 'user.1' would
+    // silently read back as key 'user' part '1.json' — must fail fast
+    val dir = java.nio.file.Files.createTempDirectory("graftwds").toString
+    val dotted = Seq(("user.1", "x")).toDF("k", "txt")
+    val e = intercept[Exception] {
+      graft.functions.WebDataset.writeShards(dotted, s"$dir/a", 1, "k", Seq(("txt", "txt")))
+    }
+    assert(e.getMessage.contains("dot-free") ||
+      Option(e.getCause).exists(_.getMessage.contains("dot-free")))
+    val longKey = Seq(("k" * 99, "x")).toDF("k", "txt")
+    val e2 = intercept[Exception] {
+      graft.functions.WebDataset.writeShards(longKey, s"$dir/b", 1, "k", Seq(("txt", "txt")))
+    }
+    assert(e2.getMessage.contains("100-byte") ||
+      Option(e2.getCause).exists(_.getMessage.contains("100-byte")))
+    // a slash-path key with dots only BEFORE the last slash is legal
+    val ok = Seq(("a.b/c", "x")).toDF("k", "txt")
+    graft.functions.WebDataset.writeShards(ok, s"$dir/c", 1, "k", Seq(("txt", "txt")))
+    val back = graft.functions.WebDataset.readShards(spark, s"$dir/c", Seq("txt")).collect()
+    assert(back.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("a.b/c", "x")))
+  }
 }

@@ -383,6 +383,18 @@ class PureSpec extends AnyFunSuite {
     val t1 = TfRecord.decodeExample(tSchema,
       TfRecord.encodeExample(tSchema, Row(t0))).getTimestamp(0)
     assert(t1 == t0, s"micros timestamp must round-trip, got $t1")
+    // short/byte ride Int64List on write AND read back at their schema
+    // width (the r8 codec was write-only for these — ADVICE item)
+    val sbSchema = StructType(Seq(StructField("sh", ShortType), StructField("by", ByteType)))
+    val sb = TfRecord.decodeExample(sbSchema,
+      TfRecord.encodeExample(sbSchema, Row(12345.toShort, (-7).toByte)))
+    assert(sb.getShort(0) == 12345.toShort && sb.getByte(1) == (-7).toByte)
+    // a null ARRAY ELEMENT is unrepresentable in tf.Example lists: the
+    // encoder must reject it loudly, naming the field (not NPE)
+    val aSchema = StructType(Seq(StructField("tags", ArrayType(StringType))))
+    val e = intercept[IllegalArgumentException](
+      TfRecord.encodeExample(aSchema, Row(Seq("a", null, "c"))))
+    assert(e.getMessage.contains("tags") && e.getMessage.contains("null"))
   }
 
   test("WebDataset tar: round-trip, adjacency grouping, checksum reject, SYSTEM tar interop") {

@@ -408,4 +408,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set(1L, 4L),
       s"ttl-evicted key must re-baseline on next activity, got $got")
   }
+
+  test("changelog: a null event-time row is dropped, not a query-killing NPE") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String)]
+    val chg = graft.streaming.Changelog.derive(
+      input.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      "ts", Seq("user_id"), Seq("event_id"), Seq("event_type"),
+      watermarkDelay = "365 days", stateTtl = Duration.ofDays(365))
+    val q = chg.writeStream.outputMode("append")
+      .format("memory").queryName("chg_nullts").start()
+    // the watermark does NOT filter null event times before
+    // flatMapGroupsWithState; without the explicit filter this batch
+    // NPEs the group function and kills the query
+    input.addData(
+      (1L, null.asInstanceOf[Timestamp], 0L, "junk"),
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"))
+    q.processAllAvailable()
+    input.addData((1L, ts("2024-01-01 11:00:00"), 2L, "b"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("chg_nullts").select("event_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L), s"null-ts row must vanish silently, got $got")
+  }
 }
