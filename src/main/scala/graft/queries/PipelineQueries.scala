@@ -523,12 +523,48 @@ object PipelineQueries {
       |ORDER BY corpus_id, batch_id""".stripMargin
 
   /** SimHash near-dup pairs (hamming <= 3 over banded-LSH candidates).
-    * xxhash64 isn't available in DuckDB -> rows-only check here; exact
-    * semantics are pinned by GraftSpec unit tests. */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    * xxhash64 has no DuckDB analog, so the SIGNATURES are staged as a
+    * parquet artifact (the q_dedup_index_persisted pattern) and the
+    * oracle restates everything DOWNSTREAM of the hash — 4-band
+    * 16-bit LSH, the 1000-cap bucket drop (bounded_collect's NULL ⇔
+    * count > cap is deterministic), hamming verify — over the staged
+    * values. A hash match proves the banding/verify machinery exact;
+    * the simhash bits themselves stay pinned by PipelineSpec units.
+    * The stage path is fixed (last-writer-wins): the oracle always
+    * replays the most recent Verify run's signatures, which the
+    * driver executes immediately before its DuckDB pass. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val sigs = docsWithClones(s, dir).select(col("doc_id"),
+      graft.functions.TextFunctions.simhash64(col("text")).as("sim"))
+    sigs.coalesce(1).write.mode("overwrite").parquet(dedupSimhashStage)
     Dedup.simhashNearDupPairs(docsWithClones(s, dir), "doc_id", "text",
         maxHamming = 3)
       .orderBy("id_a", "id_b")
+  }
+
+  private val dedupSimhashStage = "/tmp/graft_simhash_sigs_current"
+
+  /** DuckDB replay of [[Dedup.simhashNearDupPairs]] over the staged
+    * signatures: same 4×16-bit banding (arithmetic `>>` + mask, as in
+    * the JVM), same 2..1000 bucket-size window, same hamming<=3 verify. */
+  val dedupSimhashSql: String =
+    s"""WITH s AS (SELECT doc_id, sim FROM '$dedupSimhashStage/*.parquet'),
+      |b AS (
+      |  SELECT s.doc_id, s.sim, r.range AS band,
+      |         (s.sim >> (r.range::INT * 16)) & 65535 AS seg
+      |  FROM s, range(4) r),
+      |ok AS (
+      |  SELECT band, seg FROM b GROUP BY band, seg
+      |  HAVING count(*) BETWEEN 2 AND 1000),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, a.sim AS sim_a,
+      |                  c.doc_id AS id_b, c.sim AS sim_b
+      |  FROM b a
+      |  JOIN ok o ON o.band = a.band AND o.seg = a.seg
+      |  JOIN b c ON a.band = c.band AND a.seg = c.seg AND a.doc_id < c.doc_id)
+      |SELECT id_a, id_b, bit_count(xor(sim_a, sim_b))::INT AS hamming
+      |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** SimHash prefilter + exact verify — gives the hash-dependent
     * operator family a value oracle: the result is exactly the pairs
@@ -2758,6 +2794,7 @@ object PipelineQueries {
     "q_dedup_typo" -> dedupTypoSql,
     "q_ngram_jaccard_chain" -> ngramJaccardChainSql,
     "q_dedup_minhash" -> dedupMinhashSql,
+    "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_simhash_exact" -> dedupSimhashExactSql,
     "q_embedding_neardup" -> embeddingNearDupSql,
     "q_ann_brute_force" -> annBruteForceSql,
