@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses the LAST stdout line of `sbt "runMain
+// graft.Bench"` as JSON. Two sbt behaviors broke that every round:
+// the forked process's stdout was re-logged with an `[info] ` prefix,
+// and sbt appended its own `[success] Total time` banner after it.
+// Raw pass-through + no success banner keep the metric line last and
+// prefix-free (stderr stays separate, so Spark WARN chatter cannot
+// interleave into stdout).
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

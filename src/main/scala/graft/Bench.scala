@@ -213,6 +213,42 @@ object Bench {
     }
     val pqRoundtrip = sideline("q_materialize_roundtrip_parquet")
     val pqStream = sideline("q_stream_materialize_parquet")
+    // Same-box DuckDB baseline on the identical 10 oracle SQLs (two
+    // independent min-of-3 draws — this box drifts ~25% run-to-run, so
+    // both draws ride the artifact and bracket the ratio). Shelled to
+    // the driver-side python duckdb; absent/broken → null, the engine
+    // numbers stand alone.
+    val duckDraws: Option[(Double, Double)] = try {
+      val script = Seq("scripts/duckdb_bench.py", "/root/repo/scripts/duckdb_bench.py")
+        .find(p => new java.io.File(p).exists())
+      script.flatMap { path =>
+        def esc(s: String): String = "\"" + s.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case '\r' => "\\r"
+          case '\t' => "\\t"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
+        val oracleJson = headline
+          .flatMap(n => SparkEntry.oracleSql.get(n).map(sql => s"${esc(n)}: ${esc(sql)}"))
+          .mkString("{", ",", "}")
+        val pb = new ProcessBuilder("python3", path, sfDir)
+        pb.redirectErrorStream(false)
+        val proc = pb.start()
+        val w = new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8")
+        w.write(oracleJson); w.close()
+        val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+        proc.waitFor()
+        val m = """"draws":\s*\[([0-9.]+),\s*([0-9.]+)\]""".r.findFirstMatchIn(out)
+        m.map(g => (g.group(1).toDouble, g.group(2).toDouble))
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] duckdb baseline skipped: ${e.getMessage}"); None
+    }
+    val baselineField = duckDraws
+      .map { case (a, b) => f"[$a%.3f,$b%.3f]" }.getOrElse("null")
     // The full measured context (floor accounting, static-plan AQE
     // policy, ScaleCheck 10x table) lives in BENCH_NOTES.md — it used
     // to ride inside this `notes` string, which pushed the JSON line
@@ -222,13 +258,16 @@ object Bench {
     // query maps; sidelines print on their own line just before it.
     println(f"[bench] sidelines (durable-store twins, min-of-3, billed outside the headline total whose DuckDB oracles do no store I/O): q_materialize_roundtrip_parquet=$pqRoundtrip%.3fs q_stream_materialize_parquet=$pqStream%.3fs")
     val notes = "steady=min-of-3, cold=1st run (JIT floor visible); " +
-      "5 static-plan queries (pit pair, agg_pushdown, window_topk, " +
-      "ann_brute_force) run per-job AQE-off as a deployment would " +
-      "(AqeProbe-measured on identical plans); store pair uses the " +
-      "in-process store like the reference's own bench + oracle; " +
-      "durable twins on the sidelines line above; scalecheck: 62 ops " +
-      "sub-linear at 10x data. Full accounting: BENCH_NOTES.md"
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"sf":"$sfDir","notes":"$notes"}""")
+      "baseline_duckdb_s=two same-box min-of-3 draws on the identical " +
+      "10 oracle SQLs; 5 static-plan queries run per-job AQE-off " +
+      "(AqeProbe-measured); store pair uses the in-process store like " +
+      "the reference's own bench + oracle; durable twins on the " +
+      "sidelines line above. Full accounting: BENCH_NOTES.md"
+    // Stop Spark BEFORE the metric line: the driver machine-parses the
+    // LAST stdout line, so nothing (executor shutdown chatter, sbt's
+    // success banner — suppressed in build.sbt) may print after it.
     spark.stop()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"baseline_duckdb_s":$baselineField,"sf":"$sfDir","notes":"$notes"}""")
+    System.out.flush()
   }
 }
