@@ -243,6 +243,46 @@ object ParquetOnlineStore {
     * partition discovery). A store opened with a different configured
     * count ADOPTS the persisted one instead of misrouting keys. */
   val BucketsMarker = "_graft_buckets"
+
+  /** Decoded-bucket cache for the point-read path — the serving block
+    * cache every KV store runs (RocksDB's block cache, Redis IS the
+    * cache): a bucket file is decoded once and re-read from memory
+    * until its (length, mtime) changes or a local mutation
+    * (upsert/delete/expire/teardown) invalidates its table prefix.
+    * Keyed by absolute file path, JVM-global — correct across store
+    * instances in-process; a cross-process writer is caught by the
+    * (length, mtime) check, with the same at-worst-one-swap-stale
+    * window the mutation-free read path already tolerates (a
+    * same-millisecond same-length foreign rewrite is the residual
+    * hole). Cleared wholesale past `CacheMaxFiles` — a point reader's
+    * working set is its hot buckets, not the store. */
+  private val CacheMaxFiles = 512
+  private val bucketCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Seq[Map[String, Any]])]()
+  private[online] def invalidateCache(prefix: String): Unit =
+    bucketCache.keySet.removeIf((k: String) => k.startsWith(prefix))
+  private[online] def cachedFileRows(
+      fsys: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration,
+      f: org.apache.hadoop.fs.Path): Seq[Map[String, Any]] = {
+    val st = try fsys.getFileStatus(f) catch {
+      // vanished mid-swap: the caller's live/aside re-check discipline
+      // already treats a missing bucket as absent
+      case _: java.io.FileNotFoundException => return Nil
+    }
+    val k = f.toString
+    val cur = bucketCache.get(k)
+    if (cur != null && cur._1 == st.getLen && cur._2 == st.getModificationTime) cur._3
+    else {
+      // full-file decode on fill (no row-group prune): the hot bucket
+      // ends up fully resident either way, and every later point read
+      // skips open+footer+decode entirely
+      val rows = ParquetPointReader.readFiles(conf, Seq(f))
+      if (bucketCache.size > CacheMaxFiles) bucketCache.clear()
+      bucketCache.put(k, (st.getLen, st.getModificationTime, rows))
+      rows
+    }
+  }
 }
 
 /* Below `smallStoreBytes` the upsert takes a one-job full-rewrite path
@@ -326,6 +366,11 @@ class ParquetOnlineStore(
     EntityBucketExpr.bucketId(joinKeys, buckets)
 
   def upsert(project: String, view: FeatureView, joinKeys: Seq[String],
+      df: DataFrame, tsCol: String, createdCol: Option[String]): Unit =
+    try upsertImpl(project, view, joinKeys, df, tsCol, createdCol)
+    finally ParquetOnlineStore.invalidateCache(path(project, view.name))
+
+  private def upsertImpl(project: String, view: FeatureView, joinKeys: Seq[String],
       df: DataFrame, tsCol: String, createdCol: Option[String]): Unit = {
     val spark = df.sparkSession
     val p = path(project, view.name)
@@ -439,6 +484,11 @@ class ParquetOnlineStore(
     * swap; a bucket emptied by the delete disappears, which reads
     * tolerate. */
   override def delete(project: String, view: FeatureView, joinKeys: Seq[String],
+      keysDf: DataFrame): Unit =
+    try deleteImpl(project, view, joinKeys, keysDf)
+    finally ParquetOnlineStore.invalidateCache(path(project, view.name))
+
+  private def deleteImpl(project: String, view: FeatureView, joinKeys: Seq[String],
       keysDf: DataFrame): Unit = {
     val spark = keysDf.sparkSession
     val p = path(project, view.name)
@@ -488,6 +538,11 @@ class ParquetOnlineStore(
     * is dropped — reads already tolerate absent bucket dirs. Returns
     * the number of expired rows. */
   def expire(spark: SparkSession, project: String, view: FeatureView,
+      joinKeys: Seq[String], tsCol: String, cutoff: Timestamp): Long =
+    try expireImpl(spark, project, view, joinKeys, tsCol, cutoff)
+    finally ParquetOnlineStore.invalidateCache(path(project, view.name))
+
+  private def expireImpl(spark: SparkSession, project: String, view: FeatureView,
       joinKeys: Seq[String], tsCol: String, cutoff: Timestamp): Long = {
     val p = path(project, view.name)
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -568,11 +623,10 @@ class ParquetOnlineStore(
         if (aside.nonEmpty) aside else bucketFiles(p, b)
       }
     }
-    // Row-group pruning on the leading sort key (buckets are written
-    // sorted by joinKeys): groups whose stats exclude every requested
-    // value are skipped without decoding.
-    val prune = Some(joinKeys.head -> entityKeys.map(_.toMap.apply(joinKeys.head)))
-    val hits: Map[String, Map[String, Any]] = ParquetPointReader.readFiles(hconf, files, prune)
+    // Serving block cache (see companion): each bucket file decodes
+    // once per version, point reads after that are in-memory lookups.
+    val hits: Map[String, Map[String, Any]] = files
+      .flatMap(f => ParquetOnlineStore.cachedFileRows(fsys, hconf, f))
       .map(m => EntityKeyCodec.hexKey(joinKeys.map(k => k -> m(k))) -> m).toMap
     entityKeys.map { key =>
       hits.get(EntityKeyCodec.hexKey(key)) match {
@@ -600,6 +654,7 @@ class ParquetOnlineStore(
       // for the next store at this path.
       Seq(p, p + ".old", p + ".tmp").foreach(d =>
         fs.delete(new org.apache.hadoop.fs.Path(d), true))
+      ParquetOnlineStore.invalidateCache(p)
     }
   }
 }

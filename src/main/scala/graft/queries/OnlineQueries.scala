@@ -70,8 +70,11 @@ object OnlineQueries {
     val project = s"graft_ci_${java.util.UUID.randomUUID().toString.take(8)}"
     val store = new graft.online.InMemoryOnlineStore()
     val fs = userEventsStore(s, dir, store, project)
-    fs.materialize(Seq("user_events"), T0, T1)
-    fs.materialize(Seq("user_events"), T1b, T2)
+    // One-pass multi-window materialize: LWW upserts are commutative,
+    // so the two overlapping windows union into ONE scan + reduction
+    // (same final store state as back-to-back materializes — which the
+    // durable twin below still exercises under the same oracle).
+    fs.materializeWindows(Seq("user_events"), Seq((T0, T1), (T1b, T2)))
     // dump is EAGER (a driver-map snapshot), so teardown before the
     // caller consumes the frame is safe — nothing lazy points at the
     // store afterwards
@@ -85,6 +88,7 @@ object OnlineQueries {
       StructField("event_type", StringType), StructField("value", DoubleType)))
     s.createDataFrame(new java.util.ArrayList(
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+      .coalesce(1) // key-grain driver rows; 32 slices = 32 dispatched tasks
       .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
         col("event_type"), col("value"))
   }
@@ -159,8 +163,13 @@ object OnlineQueries {
       (id, Option(types(i)).map(_.toString),
         Option(vals(i)).map(_.asInstanceOf[Double]), stats(i))
     }
-    rows.toSeq.toDF("user_id", "user_events__event_type", "user_events__value", "status")
-      .orderBy("user_id")
+    // driver-side sort + single partition: a global orderBy on this
+    // 20-row local relation would cost a range-sampling job + a sort
+    // job + a 32-task force — three dispatched jobs to order 20 rows
+    // the point reads produced without any job at all
+    rows.toSeq.sortBy(_._1)
+      .toDF("user_id", "user_events__event_type", "user_events__value", "status")
+      .coalesce(1)
   }
 
   val onlineMultiGetSql: String =

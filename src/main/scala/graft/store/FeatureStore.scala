@@ -3,6 +3,7 @@ package graft.store
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.model._
 import graft.online.{FeatureValue, FeatureStatus, OnlineStore}
@@ -127,14 +128,38 @@ class FeatureStore(
   }
 
   // ---- materialization (feature_store.py:424-501) --------------------
-  def materialize(viewNames: Seq[String], start: Timestamp, end: Timestamp): Unit = {
-    require(!start.after(end), s"materialize start $start must be <= end $end")
+  def materialize(viewNames: Seq[String], start: Timestamp, end: Timestamp): Unit =
+    materializeWindows(viewNames, Seq((start, end)))
+
+  /** Materialize SEVERAL windows in one pass: one source scan filtered
+    * by the union-of-windows predicate (an OR of BETWEENs — it pushes
+    * to the parquet scan like a single range), one latest-per-key
+    * reduction, one upsert. Sequentially materializing N windows costs
+    * N scans + N upserts for the SAME final store state — LWW upserts
+    * are commutative (`newer` keeps the max (ts, created)), so the
+    * union's per-key maximum is the fixpoint either way; the union
+    * form resolves exact (ts, created) cross-window ties by the
+    * engine's single documented total order ([[PullLatest.lwwKeys]])
+    * rather than by upsert arrival order. Each window is still
+    * recorded as its own materialization interval. */
+  def materializeWindows(
+      viewNames: Seq[String], windows: Seq[(Timestamp, Timestamp)]): Unit = {
+    require(windows.nonEmpty, "materializeWindows needs at least one window")
+    windows.foreach { case (s0, e0) =>
+      require(!s0.after(e0), s"materialize start $s0 must be <= end $e0") }
+    val lo = windows.map(_._1).minBy(_.getTime)
+    val hi = windows.map(_._2).maxBy(_.getTime)
     viewNames.map(registry.getFeatureView).filter(_.online).foreach { view =>
       val src = view.batchSource
       // Directory-level pruning on date-partitioned sources before the
       // exact ts window filter (data_source.py:295-306).
-      val df = graft.sources.DatePartition.prune(
-        SourceReader.read(spark, src), src.datePartitionColumn, Some(start), Some(end))
+      val pruned = graft.sources.DatePartition.prune(
+        SourceReader.read(spark, src), src.datePartitionColumn, Some(lo), Some(hi))
+      val tsc = col(src.eventTimestampColumn)
+      val df =
+        if (windows.sizeIs == 1) pruned // single window: [lo, hi] below is exact
+        else pruned.filter(windows.map { case (s0, e0) =>
+          tsc >= lit(s0) && tsc <= lit(e0) }.reduce(_ || _))
       val keys = joinKeysOf(view)
       // Stores whose upsert reduces distributedly (wantsPreReduced =
       // false) get the raw window — their internal (bucket, keys)
@@ -146,13 +171,14 @@ class FeatureStore(
         if (onlineStore.wantsPreReduced)
           PullLatest.pullLatest(
             df, keys, src.eventTimestampColumn, src.createdTimestampColumn,
-            view.featureNames, start, end)
+            view.featureNames, lo, hi)
         else PullLatest.windowOnly(
           df, keys, src.eventTimestampColumn, src.createdTimestampColumn,
-          view.featureNames, start, end)
+          view.featureNames, lo, hi)
       onlineStore.upsert(project, view, keys, castKeyColumns(latest, view),
         src.eventTimestampColumn, src.createdTimestampColumn)
-      registry.applyMaterialization(view.name, start, end)
+      windows.foreach { case (s0, e0) =>
+        registry.applyMaterialization(view.name, s0, e0) }
     }
   }
 
