@@ -648,15 +648,22 @@ object Similarity {
   def ivfSearchIndex(
       queries: DataFrame, qIdCol: String, qVecCol: String,
       anchors: DataFrame, assigned: DataFrame, idCol: String, vecCol: String,
-      k: Int, nProbe: Int, excludeSelf: Boolean = true): DataFrame = {
+      k: Int, nProbe: Int, excludeSelf: Boolean = true,
+      broadcastProbes: Boolean = true): DataFrame = {
     val anchorArr = broadcast(anchors.agg(
       collect_list(struct(col("cell_id"), col("cell_vec"))).as("cells")))
     val probed = queries.crossJoin(anchorArr)
       .select(col(qIdCol).as("__qid"), col(qVecCol).as("__qvec"),
         explode(transform(nearestCells(col(qVecCol), nProbe), c => c("cell_id"))).as("cell"))
+    // broadcastProbes fits a query BATCH (the serving shape: probes =
+    // |batch| × nProbe rows, corpus side never shuffles). When the
+    // query side IS the corpus (self-kNN sweeps: label noise, semantic
+    // dedup), broadcasting it would ship the whole corpus to every
+    // task — shuffle both sides on the cell key instead; the
+    // candidate blow-up still lands in the bounded top-k heap.
     var scored = assigned
       .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"), col("cell"))
-      .join(broadcast(probed), "cell")
+      .join(if (broadcastProbes) broadcast(probed) else probed, "cell")
     // optional + null-safe like every other top-k entry point: across
     // two DIFFERENT sets "self" does not exist (pass false), and =!=
     // would silently drop null-id rows

@@ -162,7 +162,12 @@ object ScaleCheck {
       // round-13 additions: the REAL codec decode paths (JDK imageio /
       // hand-parsed RIFF) — per-row encode+decode work must scale with
       // rows through the byte-rebalanced decodeBatched partitioning
-      "q_image_decode", "q_audio_decode", "q_image_resize")
+      "q_image_decode", "q_audio_decode", "q_image_resize",
+      // round-14 addition (VERDICT r8 #4): label noise on the IVF
+      // candidate path — the corpus-scale default whose scored pairs
+      // grow N²·nProbe/nCells, with the probe frame shuffled on the
+      // cell key (never broadcast: the query side IS the corpus)
+      "q_label_noise_ivf")
     // optional 4th arg: comma-separated query filter (iterate on one
     // operator without re-timing the full set; replica build unchanged)
     val only = args.lift(3).map(_.split(",").toSet)
