@@ -204,6 +204,69 @@ object Multimodal {
     def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Row]
   }
 
+  /** Backend contract for real video FRAME extraction — the one decode
+    * the container cannot do natively (JDK ships no video codec; the
+    * ISO-BMFF METADATA walk is [[Mp4MetaDecoder]]). A deployment with
+    * codec jars (jcodec, javacv/ffmpeg bindings) implements this
+    * one-method trait and names the class via
+    * `-Dgraft.video.backend=<fqcn>` (or the constructor arg) — frames
+    * flow through the same [[decodeBatched]] plumbing with no fork.
+    * Implementations need a no-arg constructor and must be
+    * serializable (instantiated per executor). */
+  trait VideoFrameBackend extends Serializable {
+    /** `n` frames sampled evenly across the clip, each an encoded
+      * still image (the downstream contract: feed [[ImageIoDecoder]] /
+      * [[ImageResizer]]). */
+    def frames(payload: Array[Byte], n: Int): Seq[Array[Byte]]
+  }
+
+  /** Video frame extraction behind the [[VideoFrameBackend]] SPI.
+    * Without a configured backend this fails LOUDLY at construction,
+    * naming exactly what to provide (the KinesisSource pattern:
+    * declare the capability, never silently stub the data path —
+    * byte-slice [[sampleFrames]] exists separately and says what it
+    * is). Per-payload decode failures quarantine into `decode_error`
+    * like every other decoder, so one corrupt clip cannot fail a
+    * 100 TB scan. */
+  class VideoFrameDecoder(n: Int, backendClass: Option[String] = None)
+      extends BinaryBatchDecoder {
+    require(n > 0, s"frame count must be positive, got $n")
+    private val clsName: String = backendClass
+      .orElse(sys.props.get("graft.video.backend"))
+      .getOrElse(throw new UnsupportedOperationException(
+        "no video frame backend configured: video frame decode needs a codec " +
+          "library this environment does not ship. Provide a class implementing " +
+          "graft.functions.Multimodal.VideoFrameBackend (e.g. backed by jcodec or " +
+          "javacv/ffmpeg) on the classpath and name it via " +
+          "-Dgraft.video.backend=<fqcn> or the VideoFrameDecoder constructor. " +
+          "For metadata use Mp4MetaDecoder; for codec-free byte sampling use sampleFrames."))
+    // fail fast on the DRIVER if the class is absent/wrong — a doomed
+    // decode must not ship to a thousand executors first
+    locally {
+      val c = try Class.forName(clsName) catch {
+        case e: ClassNotFoundException => throw new UnsupportedOperationException(
+          s"video frame backend '$clsName' is not on the classpath", e)
+      }
+      require(classOf[VideoFrameBackend].isAssignableFrom(c),
+        s"video frame backend '$clsName' does not implement VideoFrameBackend")
+    }
+    // instantiated lazily per executor JVM (the decoder object itself
+    // serializes as just the class name + n)
+    @transient private lazy val backend: VideoFrameBackend =
+      Class.forName(clsName).getDeclaredConstructor()
+        .newInstance().asInstanceOf[VideoFrameBackend]
+
+    val outputSchema: StructType = StructType(Seq(
+      StructField("frames", ArrayType(BinaryType)),
+      StructField("decode_error", StringType)))
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Row] = payloads.map { b =>
+      try Row(backend.frames(b, n), null)
+      catch { case e: Exception =>
+        Row(null, s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
+      }
+    }
+  }
+
   /** Deterministic stub decoder (no codec libs in this container). */
   class StubImageDecoder extends BinaryBatchDecoder {
     val outputSchema: StructType = StructType(Seq(

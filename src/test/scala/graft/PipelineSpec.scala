@@ -6,6 +6,18 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{Dedup, Multimodal, Packing, Similarity, TextFunctions => TF}
 
+/** Test video-frame backend: splits a payload into two equal halves
+  * ("frames") — exercises the SPI wiring without codec libraries.
+  * Top-level with a no-arg constructor, as the SPI requires. */
+class SliceFrameBackend extends graft.functions.Multimodal.VideoFrameBackend {
+  def frames(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    if (payload.length < n * 2) throw new IllegalArgumentException(
+      s"short clip: ${payload.length} bytes")
+    val w = payload.length / n
+    (0 until n).map(i => java.util.Arrays.copyOfRange(payload, i * w, i * w + w))
+  }
+}
+
 /** Unit tests for the training-data pipeline operators not fully covered
   * by the DuckDB oracle (hash-dependent: MinHash accuracy, SimHash,
   * IVF recall, multimodal batch plumbing). */
@@ -1463,6 +1475,39 @@ class PipelineSpec extends AnyFunSuite {
     floatFmt(20) = 3 // IEEE float format code in the fmt chunk
     val rej = dec.decodeBatch(Seq(floatFmt))
     assert(!rej.head.isNullAt(7) && rej.head.getString(7).contains("format code"))
+  }
+
+  test("video frame SPI: loud capability error without a backend; real wiring with one") {
+    import graft.functions.Multimodal
+    // no backend anywhere -> construction fails naming the swap point
+    val e = intercept[UnsupportedOperationException](new Multimodal.VideoFrameDecoder(4))
+    assert(e.getMessage.contains("graft.video.backend") &&
+      e.getMessage.contains("VideoFrameBackend"))
+    // a named class that is absent fails fast on the driver
+    val e2 = intercept[UnsupportedOperationException](
+      new Multimodal.VideoFrameDecoder(4, Some("no.such.Backend")))
+    assert(e2.getMessage.contains("no.such.Backend"))
+    // a class that is not a backend is rejected
+    intercept[IllegalArgumentException](
+      new Multimodal.VideoFrameDecoder(4, Some("java.lang.String")))
+    // real wiring: a classpath backend flows frames through the same
+    // decodeBatched plumbing as every other decoder
+    import spark.implicits._
+    val clips = Seq(
+      (1L, Array.tabulate[Byte](64)(_.toByte)),
+      (2L, "cut".getBytes("UTF-8")),                     // < n*2 bytes: backend throws -> quarantined
+      (3L, Array.tabulate[Byte](128)(i => (i * 3).toByte)))
+      .toDF("clip_id", "payload")
+    val out = Multimodal.decodeBatched(clips, "payload",
+        new Multimodal.VideoFrameDecoder(2, Some(classOf[SliceFrameBackend].getName)),
+        batchSize = 2)
+      .select($"clip_id", $"frames", $"decode_error")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val f1 = out(1L).getSeq[Array[Byte]](1)
+    assert(f1.size == 2 && f1(0).toSeq == (0 until 32).map(_.toByte) &&
+      out(1L).isNullAt(2))
+    assert(out(2L).isNullAt(1) && out(2L).getString(2).contains("short clip"))
+    assert(out(3L).getSeq[Array[Byte]](1).size == 2 && out(3L).isNullAt(2))
   }
 
   test("webdataset write rejects dotted keys and over-long names at WRITE time") {
