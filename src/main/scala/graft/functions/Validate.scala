@@ -29,8 +29,12 @@ object Validate {
     // identifier characters instead of trying to escape
     rules.foreach(r => require(r.name.matches("[A-Za-z0-9_]+"),
       s"rule name must match [A-Za-z0-9_]+, got '${r.name}'"))
+    // coalesce to 0: over an EMPTY batch sum() is null, which would
+    // make n_violations null and pass = null — a gate that neither
+    // passes nor fails. An empty batch violates nothing.
     val aggs = count(lit(1)).as("__n") +:
-      rules.map(r => sum((!coalesce(r.holds, lit(false))).cast("long")).as(s"__v_${r.name}"))
+      rules.map(r => coalesce(
+        sum((!coalesce(r.holds, lit(false))).cast("long")), lit(0L)).as(s"__v_${r.name}"))
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = rules.map(r =>
       s"'${r.name}', __n, `__v_${r.name}`").mkString(",\n  ")

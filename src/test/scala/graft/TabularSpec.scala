@@ -170,4 +170,18 @@ class TabularSpec extends AnyFunSuite {
     val r2 = Validate.cohenKappa(const, col("a"), col("b")).collect().head
     assert(r2.isNullAt(7))
   }
+
+  test("validate report: an EMPTY batch passes every rule (not null-pass)") {
+    import spark.implicits._
+    // sum() over an empty frame is null; without the coalesce the gate
+    // reported n_violations = null and pass = null — neither pass nor
+    // fail, which a promotion gate would misread
+    val empty = Seq.empty[(Long, Double)].toDF("k", "v")
+    val rep = Validate.report(empty, Seq(
+        Validate.Rule("k_nonnull", col("k").isNotNull),
+        Validate.Rule("v_positive", col("v") > 0)))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rep("k_nonnull") === ((0L, 0L, true)))
+    assert(rep("v_positive") === ((0L, 0L, true)))
+  }
 }
