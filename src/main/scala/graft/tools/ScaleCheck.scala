@@ -22,7 +22,11 @@ object ScaleCheck {
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // At N× data a deployment sizes shuffle partitions to the data
+      // (AQE coalesces small ones back); pinning 32 at 100× starves
+      // wide aggregations into spill
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -35,21 +39,35 @@ object ScaleCheck {
     // clear of the +1_000_000 clone offset the dedup queries add.
     val off = 10_000_000L
 
-    def scaled(table: String, keys: Seq[String]): Unit = {
+    def scaled(table: String, keys: Seq[String],
+        textCols: Seq[String] = Nil): Unit = {
       val dst = s"$outDir/$table.parquet"
       if (new java.io.File(s"$dst/_SUCCESS").exists()) return
       val base = spark.read.parquet(s"$baseDir/$table.parquet")
       val reps = spark.range(factor).select(col("id").as("__rep"))
       base.crossJoin(broadcast(reps))
         .select(base.columns.toIndexedSeq.map { c =>
-          if (keys.contains(c)) (col(c) + col("__rep") * off).as(c) else col(c)
+          if (keys.contains(c)) (col(c) + col("__rep") * off).as(c)
+          // Replica-DISJOINT vocabulary for text: suffix every token
+          // with the replica id. Without this, each doc has (factor-1)
+          // byte-identical twins, so the TRUE near-dup pair set itself
+          // grows ~factor² — an N× run then measures output size, not
+          // operator scaling (the 100x q_dedup_minhash wall looked
+          // 185x for exactly this reason: ~10,000x more genuine LSH
+          // candidates). N× data must mean N× more DOCUMENTS; the
+          // within-replica clone planting (doc_id % 10) still supplies
+          // the duplicate signal at every factor.
+          else if (textCols.contains(c))
+            array_join(transform(split(col(c), " "),
+              w => concat(w, lit("_r"), col("__rep"))), " ").as(c)
+          else col(c)
         }: _*)
         .repartition(32)
         .write.mode("overwrite").parquet(dst)
     }
     scaled("orders", Seq("o_orderkey"))
     scaled("lineitem", Seq("l_orderkey"))
-    scaled("documents", Seq("doc_id"))
+    scaled("documents", Seq("doc_id"), textCols = Seq("text"))
     scaled("embeddings", Seq("vec_id"))
     // events: offset user_id too so per-user group sizes stay constant
     // (the realistic 10x: more users, not 10x-deeper histories)
