@@ -62,17 +62,35 @@ object IntervalJoin {
       startCol: String,
       endCol: String,
       binWidthSec: Long,
-      equiKeys: Seq[(String, String)] = Nil): DataFrame = {
+      equiKeys: Seq[(String, String)] = Nil,
+      maxBinsPerInterval: Long = 1L << 20): DataFrame = {
     require(binWidthSec > 0, s"binWidthSec must be positive, got $binWidthSec")
+    require(maxBinsPerInterval > 0,
+      s"maxBinsPerInterval must be positive, got $maxBinsPerInterval")
     val w = binWidthSec * 1000000L
 
     val probeB = probe.withColumn("__bin", binOfMicros(unix_micros(col(tsCol)), w))
     // end is exclusive: the last covered bin is the one holding end-1µs
+    val binLo = binOfMicros(unix_micros(col(startCol)), w)
+    val binHi = binOfMicros(unix_micros(col(endCol)) - 1, w)
     val intB = intervals
       .filter(col(endCol) > col(startCol))
-      .withColumn("__bin", explode(sequence(
-        binOfMicros(unix_micros(col(startCol)), w),
-        binOfMicros(unix_micros(col(endCol)) - 1, w))))
+      // One bad interval (a year-9999 end, a micros-vs-millis unit slip)
+      // would explode sequence() into millions of bins on one task — an
+      // opaque executor OOM at 100 TB. Fail loudly naming the row's
+      // bounds instead; a deployment with legitimately huge intervals
+      // raises the cap (shuffle replication grows with it) or widens
+      // the bins.
+      .withColumn("__nbins", binHi - binLo + 1)
+      .withColumn("__bin", explode(sequence(binLo,
+        when(col("__nbins") > maxBinsPerInterval, raise_error(concat(
+          lit(s"IntervalJoin.binned: interval covers more than $maxBinsPerInterval bins ("),
+          col("__nbins"), lit(" at width "), lit(binWidthSec), lit("s): ["),
+          col(startCol).cast("string"), lit(", "), col(endCol).cast("string"),
+          lit(") — widen binWidthSec or raise maxBinsPerInterval")))
+          .cast("long"))
+          .otherwise(binHi))))
+      .drop("__nbins")
 
     val cond = equiKeys.foldLeft(probeB("__bin") === intB("__bin")) {
       case (c, (pk, ik)) => c && probeB(pk) === intB(ik)

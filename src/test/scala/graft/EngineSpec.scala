@@ -1711,6 +1711,19 @@ class EngineSpec extends AnyFunSuite {
     val got3 = IntervalJoin.binned(kp, "ts", ki, "ws", "we", 3600, Seq("u" -> "iu"))
       .select("id", "w").as[(Long, String)].collect().toSet
     assert(got3 == Set((1L, "k1")))
+    // a runaway interval (unit slip / year-9999 end) fails LOUDLY naming
+    // its bounds instead of exploding sequence() into an executor OOM
+    val runaway = Seq(("bad", ts("2024-01-01 00:00:00"), ts("9999-01-01 00:00:00")))
+      .toDF("w", "ws", "we")
+    val e = intercept[Exception] {
+      IntervalJoin.binned(probe, "ts", runaway, "ws", "we", 3600,
+          maxBinsPerInterval = 1000)
+        .count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("more than 1000 bins")),
+      s"expected the bin-cap error, got ${msgs(e)}")
   }
 
   test("EntityBucketExpr matches driver-side EntityKeyCodec routing on random keys") {
