@@ -809,4 +809,62 @@ class PropertySpec extends AnyFunSuite {
     }
     runCheck(prop, minTests = 15)
   }
+
+  test("materializeWindows equals sequential per-window materializes (ScalaCheck)") {
+    // The one-pass union materialize must reach the same LWW fixpoint
+    // as N back-to-back materializes, for ANY windows (overlapping,
+    // nested, disjoint) and ANY duplicate-laden event set. Ties are
+    // the interesting surface: rows with identical (key, ts) land in
+    // exactly the same SET of ts-range windows (membership is a
+    // function of ts), so the per-window pullLatest resolves them by
+    // the same payload-max order the union pass uses — equivalence is
+    // exact, not modulo ties. The hourly ts grid + tiny value domains
+    // below make such ties constant, not rare.
+    import spark.implicits._
+    import graft.online.InMemoryOnlineStore
+    import graft.registry.Registry
+    import graft.store.FeatureStore
+    val gen = for {
+      nKeys <- Gen.choose(1, 5)
+      nRows <- Gen.choose(0, 120)
+      nWin <- Gen.choose(1, 3)
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (nKeys, nRows, nWin, seed)
+    val prop = Prop.forAllNoShrink(gen) { case (nKeys, nRows, nWin, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until nRows).map { _ =>
+        (rnd.nextInt(nKeys).toLong,
+          new Timestamp(base + rnd.nextInt(96) * 3600000L),
+          rnd.nextInt(4).toString,
+          rnd.nextInt(3).toDouble)
+      }
+      val df = rows.toDF("user_id", "ts", "event_type", "value")
+      val windows = (0 until nWin).map { _ =>
+        val a = rnd.nextInt(96)
+        val b = a + rnd.nextInt(48)
+        (new Timestamp(base + a * 3600000L), new Timestamp(base + b * 3600000L))
+      }
+      def finalState(sequential: Boolean): Map[String, (Timestamp, Map[String, Any])] = {
+        val project = s"prop_mw_${java.util.UUID.randomUUID().toString.take(8)}"
+        val st = new InMemoryOnlineStore()
+        val fs = new FeatureStore(project, new Registry(), st, spark)
+        fs.applyEntity(Entity("user", GraftType.Int64, joinKeyOpt = Some("user_id")))
+        fs.applyFeatureView(FeatureView("v", Seq("user"),
+          Seq(Feature("event_type", GraftType.Str), Feature("value", GraftType.Dbl)),
+          Duration.ZERO, DataFrameSource(df, eventTimestampColumn = "ts")))
+        if (sequential) windows.foreach { case (s0, e0) =>
+          fs.materialize(Seq("v"), s0, e0) }
+        else fs.materializeWindows(Seq("v"), windows)
+        val dump = st.dump(project, "v").map { case (key, r) =>
+          key.map(kv => s"${kv._1}=${kv._2}").mkString(",") -> ((r.ts, r.values))
+        }.toMap
+        fs.teardown()
+        dump
+      }
+      val seqState = finalState(sequential = true)
+      val uniState = finalState(sequential = false)
+      (seqState == uniState) :| s"sequential=$seqState union=$uniState windows=$windows"
+    }
+    runCheck(prop, minTests = 8)
+  }
 }
