@@ -1347,6 +1347,51 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("serving block cache: local mutations invalidate; a foreign rewrite is caught by (length, mtime)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graftbc").toString
+    val store = new ParquetOnlineStore(base, numBuckets = 2)
+    val view = FeatureView("cv", Seq("e"), Seq(Feature("v", GraftType.Dbl)),
+      Duration.ZERO, DataFrameSource(
+        Seq((1L, ts("2024-01-01 10:00:00"), 1.0)).toDF("k", "et", "v"), "et"))
+    def read(k: Long): Any = store.read("p", view, Seq("k"),
+      Seq(Seq("k" -> k)), Seq("v"))(0)._2("v").value
+    store.upsert("p", view, Seq("k"),
+      Seq((1L, ts("2024-01-01 10:00:00"), 1.0)).toDF("k", "et", "v"), "et", None)
+    assert(read(1L) == 1.0)
+    assert(read(1L) == 1.0) // cached path
+    // local upsert invalidates: the read must see the new value
+    store.upsert("p", view, Seq("k"),
+      Seq((1L, ts("2024-01-01 11:00:00"), 2.0)).toDF("k", "et", "v"), "et", None)
+    assert(read(1L) == 2.0)
+    // FOREIGN rewrite (another process): replace the bucket file bytes
+    // directly on disk — no in-JVM invalidation fires, so only the
+    // (length, mtime) check can catch it
+    read(1L) // ensure cached
+    val dirF = new java.io.File(s"$base/p/cv")
+    val bucketFiles = dirF.listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(bucketFiles.nonEmpty)
+    // write a DIFFERENT store elsewhere with the same schema/key and
+    // copy its bucket file bytes over ours
+    val alt = java.nio.file.Files.createTempDirectory("graftbc2").toString
+    val store2 = new ParquetOnlineStore(alt, numBuckets = 2)
+    store2.upsert("p", view, Seq("k"),
+      Seq((1L, ts("2024-01-01 12:00:00"), 7.0)).toDF("k", "et", "v"), "et", None)
+    val altFiles = new java.io.File(s"$alt/p/cv").listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    bucketFiles.zip(altFiles).foreach { case (dst, src) =>
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // force a visible mtime change even on coarse-granularity clocks
+      dst.setLastModified(dst.lastModified() + 2000)
+      // drop the stale .crc so the checksum fs accepts the new bytes
+      val crc = new java.io.File(dst.getParentFile, s".${dst.getName}.crc")
+      if (crc.exists()) crc.delete()
+    }
+    assert(read(1L) == 7.0, "a foreign bucket rewrite must be re-decoded, not served stale")
+  }
+
   test("store recovers from a crashed swap; bucket count persisted and adopted; int-typed keys route correctly") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graftrec").toString
