@@ -21,17 +21,24 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def draw(con, oracles):
+def draw(con, oracles, failed):
     total = 0.0
     per = {}
     for name, sql in oracles.items():
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            con.execute(sql).fetchall()
+            try:
+                con.execute(sql).fetchall()
+            except Exception as e:  # one broken oracle must not null the whole baseline
+                print(f"[duckdb_bench] {name} failed: {e}", file=sys.stderr)
+                failed.add(name)
+                best = float("inf")
+                break
             best = min(best, time.perf_counter() - t0)
-        per[name] = round(best, 3)
-        total += best
+        if best != float("inf"):
+            per[name] = round(best, 3)
+            total += best
     return round(total, 3), per
 
 
@@ -40,11 +47,13 @@ def main(sf_dir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(sys.stdin)
-    t1, per1 = draw(con, oracles)
-    t2, per2 = draw(con, oracles)
+    failed = set()
+    t1, per1 = draw(con, oracles, failed)
+    t2, per2 = draw(con, oracles, failed)
     print(json.dumps({
         "draws": [t1, t2],
-        "queries": {k: min(per1[k], per2[k]) for k in per1},
+        "queries": {k: min(per1[k], per2.get(k, per1[k])) for k in per1},
+        "failed": sorted(failed),
     }))
 
 
