@@ -249,6 +249,11 @@ object Multimodal {
       }
       require(classOf[VideoFrameBackend].isAssignableFrom(c),
         s"video frame backend '$clsName' does not implement VideoFrameBackend")
+      try { val _ = c.getDeclaredConstructor() } catch {
+        case _: NoSuchMethodException => throw new IllegalArgumentException(
+          s"video frame backend '$clsName' needs a no-arg constructor " +
+            "(it is instantiated per executor)")
+      }
     }
     // instantiated lazily per executor JVM (the decoder object itself
     // serializes as just the class name + n)

@@ -18,6 +18,12 @@ class SliceFrameBackend extends graft.functions.Multimodal.VideoFrameBackend {
   }
 }
 
+/** Backend with only a parameterized constructor — must be rejected at
+  * VideoFrameDecoder construction, driver-side. */
+class CtorFrameBackend(n: Int) extends graft.functions.Multimodal.VideoFrameBackend {
+  def frames(payload: Array[Byte], k: Int): Seq[Array[Byte]] = Seq.empty
+}
+
 /** Unit tests for the training-data pipeline operators not fully covered
   * by the DuckDB oracle (hash-dependent: MinHash accuracy, SimHash,
   * IVF recall, multimodal batch plumbing). */
@@ -1490,6 +1496,11 @@ class PipelineSpec extends AnyFunSuite {
     // a class that is not a backend is rejected
     intercept[IllegalArgumentException](
       new Multimodal.VideoFrameDecoder(4, Some("java.lang.String")))
+    // a backend without a no-arg constructor is rejected on the DRIVER,
+    // not as an opaque NoSuchMethodException on a thousand executors
+    val e3 = intercept[IllegalArgumentException](
+      new Multimodal.VideoFrameDecoder(4, Some(classOf[CtorFrameBackend].getName)))
+    assert(e3.getMessage.contains("no-arg constructor"))
     // real wiring: a classpath backend flows frames through the same
     // decodeBatched plumbing as every other decoder
     import spark.implicits._
