@@ -117,6 +117,42 @@ object OnlineQueries {
       |      WHERE ts BETWEEN TIMESTAMP '2024-01-01' AND TIMESTAMP '2024-01-31')
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** [[materializeRoundtrip]]'s windows OVERLAP, so their union equals
+    * one big range — a union-predicate bug that filtered [min, max]
+    * instead would pass its oracle. This variant materializes two
+    * DISJOINT windows in one pass: rows in the gap must be EXCLUDED
+    * from the store, which only the true OR-of-BETWEENs delivers. */
+  def materializeWindowsGap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val project = s"graft_gap_${java.util.UUID.randomUUID().toString.take(8)}"
+    val store = new graft.online.InMemoryOnlineStore()
+    val fs = userEventsStore(s, dir, store, project)
+    fs.materializeWindows(Seq("user_events"), Seq(
+      (T0, Timestamp.valueOf("2024-01-08 00:00:00")),
+      (Timestamp.valueOf("2024-01-20 00:00:00"), T2)))
+    val rows = store.dump(project, "user_events").map { case (key, r) =>
+      org.apache.spark.sql.Row(key.head._2, r.ts,
+        r.values.getOrElse("event_type", null), r.values.getOrElse("value", null))
+    }
+    fs.teardown()
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    s.createDataFrame(new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+      .coalesce(1)
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_type"), col("value"))
+  }
+
+  val materializeWindowsGapSql: String =
+    """SELECT user_id, epoch_ms(ts) AS ts_ms, event_type, value
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+      |      FROM events
+      |      WHERE ts BETWEEN TIMESTAMP '2024-01-01' AND TIMESTAMP '2024-01-08'
+      |         OR ts BETWEEN TIMESTAMP '2024-01-20' AND TIMESTAMP '2024-01-31')
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   /** One materialized store per sf dir, built on first use and shared by
     * every subsequent onlineMultiGet call in the session (never torn
     * down — it lives under /tmp for the session's lifetime). The
@@ -373,6 +409,7 @@ object OnlineQueries {
     "q_rendezvous" -> (rendezvousQ _),
     "q_derived_features" -> (derivedFeaturesQ _),
     "q_materialize_roundtrip" -> (materializeRoundtrip _),
+    "q_materialize_windows_gap" -> (materializeWindowsGap _),
     "q_materialize_roundtrip_parquet" -> (materializeRoundtripParquet _),
     "q_online_multiget" -> (onlineMultiGet _),
     "q_historical_facade" -> (historicalFacade _),
@@ -381,6 +418,7 @@ object OnlineQueries {
   val oracles: Map[String, String] = Map(
     "q_rendezvous" -> rendezvousSql,
     "q_materialize_roundtrip" -> materializeRoundtripSql,
+    "q_materialize_windows_gap" -> materializeWindowsGapSql,
     "q_materialize_roundtrip_parquet" -> materializeRoundtripSql,
     "q_online_multiget" -> onlineMultiGetSql,
     "q_historical_facade" -> historicalFacadeSql,
