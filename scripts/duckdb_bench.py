@@ -48,11 +48,18 @@ def main(sf_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(sys.stdin)
     failed = set()
-    t1, per1 = draw(con, oracles, failed)
-    t2, per2 = draw(con, oracles, failed)
+    _, per1 = draw(con, oracles, failed)
+    _, per2 = draw(con, oracles, failed)
+    # Totals over the COMMON query set only, so the two draws time the
+    # same workload; an empty intersection (systemic failure) emits
+    # draws=null — a [0.0, 0.0] "baseline" would claim DuckDB ran the
+    # suite in zero seconds.
+    common = sorted(set(per1) & set(per2))
+    draws = ([round(sum(per1[k] for k in common), 3),
+              round(sum(per2[k] for k in common), 3)] if common else None)
     print(json.dumps({
-        "draws": [t1, t2],
-        "queries": {k: min(per1[k], per2.get(k, per1[k])) for k in per1},
+        "draws": draws,
+        "queries": {k: min(per1[k], per2[k]) for k in common},
         "failed": sorted(failed),
     }))
 

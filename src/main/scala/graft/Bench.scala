@@ -256,12 +256,27 @@ object Bench {
           .flatMap(n => SparkEntry.oracleSql.get(n).map(sql => s"${esc(n)}: ${esc(sql)}"))
           .mkString("{", ",", "}")
         val pb = new ProcessBuilder("python3", path, sfDir)
-        pb.redirectErrorStream(false)
+        // stderr INHERITED, not piped: an undrained pipe filling with
+        // per-oracle failure lines would block the child mid-write and
+        // deadlock the whole bench behind readAllBytes
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         val proc = pb.start()
         val w = new java.io.OutputStreamWriter(proc.getOutputStream, "UTF-8")
         w.write(oracleJson); w.close()
-        val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-        proc.waitFor()
+        // stdout read off-thread + bounded process wait: a hung python
+        // must degrade to baseline=null, never hang the bench
+        // (destroyForcibly closes the pipe, unblocking the reader)
+        val outRef = new java.util.concurrent.atomic.AtomicReference[String]("")
+        val reader = new Thread(() => outRef.set(
+          new String(proc.getInputStream.readAllBytes(), "UTF-8")))
+        reader.setDaemon(true)
+        reader.start()
+        if (!proc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)) {
+          System.err.println("[bench] duckdb baseline timed out; killed")
+          proc.destroyForcibly(); ()
+        }
+        reader.join(5000)
+        val out = outRef.get()
         val m = """"draws":\s*\[([0-9.]+),\s*([0-9.]+)\]""".r.findFirstMatchIn(out)
         m.map(g => (g.group(1).toDouble, g.group(2).toDouble))
       }

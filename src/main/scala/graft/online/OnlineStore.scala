@@ -246,41 +246,72 @@ object ParquetOnlineStore {
 
   /** Decoded-bucket cache for the point-read path — the serving block
     * cache every KV store runs (RocksDB's block cache, Redis IS the
-    * cache): a bucket file is decoded once and re-read from memory
-    * until its (length, mtime) changes or a local mutation
+    * cache): a bucket file is decoded ONCE into a hexKey→row index and
+    * point reads after that are O(requested keys) map lookups, until
+    * the file's (length, mtime) changes or a local mutation
     * (upsert/delete/expire/teardown) invalidates its table prefix.
-    * Keyed by absolute file path, JVM-global — correct across store
-    * instances in-process; a cross-process writer is caught by the
-    * (length, mtime) check, with the same at-worst-one-swap-stale
-    * window the mutation-free read path already tolerates (a
-    * same-millisecond same-length foreign rewrite is the residual
-    * hole). Cleared wholesale past `CacheMaxFiles` — a point reader's
-    * working set is its hot buckets, not the store. */
+    * Keys are SCHEME-STRIPPED URI paths (`Path.toUri.getPath`) on both
+    * the cache and the invalidation side — listStatus returns
+    * scheme-qualified paths (`file:/...`) while table prefixes are the
+    * raw configured basePath, and a raw-vs-qualified mismatch would
+    * turn every invalidation into a silent no-op. JVM-global — correct
+    * across store instances in-process; a cross-process writer is
+    * caught by the (length, mtime) check, with the same
+    * at-worst-one-swap-stale window the mutation-free read path
+    * already tolerates (a same-millisecond same-length foreign rewrite
+    * is the residual hole). Bounded BOTH by file count and by total
+    * SOURCE bytes (cleared wholesale past either cap — a point
+    * reader's working set is its hot buckets, not the store), and
+    * files above `CacheableFileBytes` never enter it: they take the
+    * original row-group-pruned streaming decode, so one huge bucket
+    * can neither evict the hot set nor balloon the heap. */
   private val CacheMaxFiles = 512
+  private val CacheMaxTotalBytes = 256L << 20
+  private val CacheableFileBytes = 32L << 20
   private val bucketCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Seq[Map[String, Any]])]()
-  private[online] def invalidateCache(prefix: String): Unit =
-    bucketCache.keySet.removeIf((k: String) => k.startsWith(prefix))
-  private[online] def cachedFileRows(
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Map[String, Map[String, Any]])]()
+  private[online] def invalidateCache(prefix: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(prefix).toUri.getPath
+    bucketCache.keySet.removeIf((k: String) => k.startsWith(p))
+  }
+  /** Test hook: the cached (scheme-stripped) file paths. */
+  private[graft] def cachedPaths(): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    bucketCache.keySet().asScala.toSet
+  }
+  private[online] def cachedFileIndex(
       fsys: org.apache.hadoop.fs.FileSystem,
       conf: org.apache.hadoop.conf.Configuration,
-      f: org.apache.hadoop.fs.Path): Seq[Map[String, Any]] = {
+      f: org.apache.hadoop.fs.Path,
+      joinKeys: Seq[String],
+      prune: Option[(String, Seq[Any])]): Map[String, Map[String, Any]] = {
     val st = try fsys.getFileStatus(f) catch {
       // vanished mid-swap: the caller's live/aside re-check discipline
       // already treats a missing bucket as absent
-      case _: java.io.FileNotFoundException => return Nil
+      case _: java.io.FileNotFoundException => return Map.empty
     }
-    val k = f.toString
+    def index(rows: Seq[Map[String, Any]]): Map[String, Map[String, Any]] =
+      rows.map(m => EntityKeyCodec.hexKey(joinKeys.map(k => k -> m(k))) -> m).toMap
+    if (st.getLen > CacheableFileBytes)
+      return index(ParquetPointReader.readFiles(conf, Seq(f), prune))
+    val k = f.toUri.getPath
     val cur = bucketCache.get(k)
     if (cur != null && cur._1 == st.getLen && cur._2 == st.getModificationTime) cur._3
     else {
-      // full-file decode on fill (no row-group prune): the hot bucket
-      // ends up fully resident either way, and every later point read
-      // skips open+footer+decode entirely
-      val rows = ParquetPointReader.readFiles(conf, Seq(f))
-      if (bucketCache.size > CacheMaxFiles) bucketCache.clear()
-      bucketCache.put(k, (st.getLen, st.getModificationTime, rows))
-      rows
+      // full-file decode on fill (no row-group prune): the hot small
+      // bucket ends up fully resident either way, and every later
+      // point read skips open+footer+decode+index entirely
+      val idx = index(ParquetPointReader.readFiles(conf, Seq(f)))
+      val totalBytes = {
+        var s = 0L
+        val it = bucketCache.values().iterator()
+        while (it.hasNext) s += it.next()._1
+        s
+      }
+      if (bucketCache.size >= CacheMaxFiles ||
+          totalBytes + st.getLen > CacheMaxTotalBytes) bucketCache.clear()
+      bucketCache.put(k, (st.getLen, st.getModificationTime, idx))
+      idx
     }
   }
 }
@@ -623,11 +654,14 @@ class ParquetOnlineStore(
         if (aside.nonEmpty) aside else bucketFiles(p, b)
       }
     }
-    // Serving block cache (see companion): each bucket file decodes
-    // once per version, point reads after that are in-memory lookups.
+    // Serving block cache (see companion): each small bucket file
+    // decodes + indexes once per version — point reads after that are
+    // O(requested keys) lookups; oversized files stay on the
+    // row-group-pruned streaming decode.
+    val prune = Some(joinKeys.head -> entityKeys.map(_.toMap.apply(joinKeys.head)))
     val hits: Map[String, Map[String, Any]] = files
-      .flatMap(f => ParquetOnlineStore.cachedFileRows(fsys, hconf, f))
-      .map(m => EntityKeyCodec.hexKey(joinKeys.map(k => k -> m(k))) -> m).toMap
+      .map(f => ParquetOnlineStore.cachedFileIndex(fsys, hconf, f, joinKeys, prune))
+      .foldLeft(Map.empty[String, Map[String, Any]])(_ ++ _)
     entityKeys.map { key =>
       hits.get(EntityKeyCodec.hexKey(key)) match {
         case Some(m) =>

@@ -1360,9 +1360,21 @@ class EngineSpec extends AnyFunSuite {
       Seq((1L, ts("2024-01-01 10:00:00"), 1.0)).toDF("k", "et", "v"), "et", None)
     assert(read(1L) == 1.0)
     assert(read(1L) == 1.0) // cached path
-    // local upsert invalidates: the read must see the new value
+    // the cache must actually HOLD this table's files under a key the
+    // invalidation prefix matches: listStatus returns scheme-qualified
+    // paths (file:/...) while the prefix is the raw basePath — a
+    // raw-vs-qualified mismatch turns every invalidation into a silent
+    // no-op that only new file names were papering over
+    val tablePrefix = new org.apache.hadoop.fs.Path(s"$base/p/cv").toUri.getPath
+    assert(graft.online.ParquetOnlineStore.cachedPaths().exists(_.startsWith(tablePrefix)),
+      s"expected cached entries under $tablePrefix, got ${graft.online.ParquetOnlineStore.cachedPaths()}")
+    // local upsert invalidates: the read must see the new value, and
+    // the stale entries must be GONE from the cache (not merely
+    // shadowed by fresh file names)
     store.upsert("p", view, Seq("k"),
       Seq((1L, ts("2024-01-01 11:00:00"), 2.0)).toDF("k", "et", "v"), "et", None)
+    assert(!graft.online.ParquetOnlineStore.cachedPaths().exists(_.startsWith(tablePrefix)),
+      "upsert must invalidate every cached entry under its table prefix")
     assert(read(1L) == 2.0)
     // FOREIGN rewrite (another process): replace the bucket file bytes
     // directly on disk — no in-JVM invalidation fires, so only the
