@@ -302,7 +302,11 @@ object Bench {
     // Stop Spark BEFORE the metric line: the driver machine-parses the
     // LAST stdout line, so nothing (executor shutdown chatter, sbt's
     // success banner — suppressed in build.sbt) may print after it.
-    spark.stop()
+    // A throwing stop (resident streaming queries, event-log flush)
+    // must not cost the round its fully-measured artifact.
+    try spark.stop() catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
+    }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"baseline_duckdb_s":$baselineField,"sf":"$sfDir","notes":"$notes"}""")
     System.out.flush()
   }

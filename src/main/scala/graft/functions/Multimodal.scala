@@ -265,8 +265,14 @@ object Multimodal {
       StructField("frames", ArrayType(BinaryType)),
       StructField("decode_error", StringType)))
     def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Row] = payloads.map { b =>
-      try Row(backend.frames(b, n), null)
-      catch { case e: Exception =>
+      try {
+        val fr = backend.frames(b, n)
+        // a backend returning null instead of throwing must still
+        // quarantine: frames=null with decode_error=null would read as
+        // a SUCCESSFUL decode with no data downstream
+        if (fr == null) Row(null, "backend returned null frames")
+        else Row(fr, null)
+      } catch { case e: Exception =>
         Row(null, s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
       }
     }

@@ -128,7 +128,8 @@ object WebDataset {
     }
     val keyIdx = schema.fieldIndex(keyCol)
     val partIdx = parts.map { case (sfx, c) => (sfx, schema.fieldIndex(c)) }
-    val maxSfxBytes = parts.map(_._1.getBytes(StandardCharsets.UTF_8).length).max
+    val sfxBytes: Map[String, Int] =
+      parts.map(p => p._1 -> p._1.getBytes(StandardCharsets.UTF_8).length).toMap
     val confMap: Map[String, String] = {
       import scala.jdk.CollectionConverters._
       df.sparkSession.sparkContext.hadoopConfiguration.asScala
@@ -151,12 +152,18 @@ object WebDataset {
           // last slash, so a dotted key ('user.1' → member 'user.1.json')
           // would read back as key 'user' / part '1.json' — silently
           // corrupted. Fail fast at write time instead; same for the
-          // ustar 100-byte name limit with the longest suffix appended.
+          // ustar 100-byte name limit — checked against the longest
+          // suffix this ROW actually writes (a null part emits no
+          // member, so its suffix must not veto the row).
           require(key.indexOf('.', key.lastIndexOf('/') + 1) < 0,
             s"sample key '$key' contains '.' past its last '/': WebDataset " +
               "keys must be dot-free (the first dot delimits the part suffix)")
-          require(key.getBytes(StandardCharsets.UTF_8).length + 1 + maxSfxBytes <= 100,
-            s"sample key '$key' + longest part suffix exceeds the ustar 100-byte member-name limit")
+          val rowMaxSfx = partIdx.collect {
+            case (sfx, i) if !r.isNullAt(i) => sfxBytes(sfx)
+          }.maxOption.getOrElse(0)
+          require(key.getBytes(StandardCharsets.UTF_8).length + 1 + rowMaxSfx <= 100,
+            s"sample key '$key' + its longest non-null part suffix exceeds " +
+              "the ustar 100-byte member-name limit")
           partIdx.foreach { case (sfx, i) =>
             if (!r.isNullAt(i)) {
               val data = r.get(i) match {

@@ -268,13 +268,24 @@ object ParquetOnlineStore {
   private val CacheMaxFiles = 512
   private val CacheMaxTotalBytes = 256L << 20
   private val CacheableFileBytes = 32L << 20
+  // keys are FULLY QUALIFIED path strings (listStatus form) — two
+  // filesystems sharing a path string never collide on lookups;
+  // invalidation compares scheme-stripped forms, which at worst
+  // over-invalidates the same path on a sibling filesystem (a safe
+  // re-decode, never a stale serve)
   private val bucketCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Map[String, Map[String, Any]])]()
   private[online] def invalidateCache(prefix: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(prefix).toUri.getPath
-    bucketCache.keySet.removeIf((k: String) => k.startsWith(p))
+    val p0 = new org.apache.hadoop.fs.Path(prefix)
+    // a relative basePath yields a relative prefix that would never
+    // match the absolute cached keys — resolve it like the local fs does
+    val stripped =
+      if (p0.isAbsolute || p0.toUri.getScheme != null) p0.toUri.getPath
+      else new java.io.File(prefix).getAbsolutePath
+    bucketCache.keySet.removeIf((k: String) =>
+      new org.apache.hadoop.fs.Path(k).toUri.getPath.startsWith(stripped))
   }
-  /** Test hook: the cached (scheme-stripped) file paths. */
+  /** Test hook: the cached file paths (qualified). */
   private[graft] def cachedPaths(): Set[String] = {
     import scala.jdk.CollectionConverters._
     bucketCache.keySet().asScala.toSet
@@ -294,7 +305,7 @@ object ParquetOnlineStore {
       rows.map(m => EntityKeyCodec.hexKey(joinKeys.map(k => k -> m(k))) -> m).toMap
     if (st.getLen > CacheableFileBytes)
       return index(ParquetPointReader.readFiles(conf, Seq(f), prune))
-    val k = f.toUri.getPath
+    val k = fsys.makeQualified(f).toString
     val cur = bucketCache.get(k)
     if (cur != null && cur._1 == st.getLen && cur._2 == st.getModificationTime) cur._3
     else {
@@ -302,14 +313,24 @@ object ParquetOnlineStore {
       // bucket ends up fully resident either way, and every later
       // point read skips open+footer+decode+index entirely
       val idx = index(ParquetPointReader.readFiles(conf, Seq(f)))
-      val totalBytes = {
+      // Over either cap, evict arbitrary entries one at a time until
+      // the newcomer fits — a working set larger than the cache then
+      // churns one entry per miss instead of wiping the whole hot set
+      // (a wholesale clear made >CacheMaxFiles-bucket stores re-decode
+      // EVERYTHING on a cycle). st.getLen <= CacheableFileBytes <<
+      // CacheMaxTotalBytes, so the loop always terminates with room.
+      def totalBytes: Long = {
         var s = 0L
         val it = bucketCache.values().iterator()
         while (it.hasNext) s += it.next()._1
         s
       }
-      if (bucketCache.size >= CacheMaxFiles ||
-          totalBytes + st.getLen > CacheMaxTotalBytes) bucketCache.clear()
+      while (!bucketCache.isEmpty &&
+          (bucketCache.size >= CacheMaxFiles ||
+            totalBytes + st.getLen > CacheMaxTotalBytes)) {
+        val it = bucketCache.keySet().iterator()
+        if (it.hasNext) { it.next(); it.remove() }
+      }
       bucketCache.put(k, (st.getLen, st.getModificationTime, idx))
       idx
     }

@@ -36,6 +36,30 @@ object OnlineQueries {
     fs
   }
 
+  /** THE store-dump-to-frame convention, shared by every in-process
+    * user-events store query (roundtrip, windows-gap, stream
+    * materialize): (user_id, ts_ms, event_type, value) at key grain,
+    * single slice (key-grain driver rows; 32 slices = 32 dispatched
+    * tasks). Eager — the rows snapshot the store at call time, so a
+    * caller may tear the store down before consuming the frame. */
+  private[queries] def dumpUserEventsFrame(s: SparkSession,
+      store: graft.online.InMemoryOnlineStore,
+      project: String, view: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = store.dump(project, view).map { case (key, r) =>
+      org.apache.spark.sql.Row(key.head._2, r.ts,
+        r.values.getOrElse("event_type", null), r.values.getOrElse("value", null))
+    }
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    s.createDataFrame(new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+      .coalesce(1)
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_type"), col("value"))
+  }
+
   private def freshStore(s: SparkSession, dir: String): (FeatureStore, ParquetOnlineStore) = {
     val storePath =
       s"/tmp/graft_online_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -64,7 +88,6 @@ object OnlineQueries {
     * [[materializeRoundtripParquet]] and reported as its own bench
     * line. */
   def materializeRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
     // per-call project: the in-memory table is JVM-wide, so a shared
     // name would merge state across bench repetitions
     val project = s"graft_ci_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -75,22 +98,9 @@ object OnlineQueries {
     // (same final store state as back-to-back materializes — which the
     // durable twin below still exercises under the same oracle).
     fs.materializeWindows(Seq("user_events"), Seq((T0, T1), (T1b, T2)))
-    // dump is EAGER (a driver-map snapshot), so teardown before the
-    // caller consumes the frame is safe — nothing lazy points at the
-    // store afterwards
-    val rows = store.dump(project, "user_events").map { case (key, r) =>
-      org.apache.spark.sql.Row(key.head._2, r.ts,
-        r.values.getOrElse("event_type", null), r.values.getOrElse("value", null))
-    }
+    val out = dumpUserEventsFrame(s, store, project, "user_events")
     fs.teardown()
-    val schema = StructType(Seq(
-      StructField("user_id", LongType), StructField("ts", TimestampType),
-      StructField("event_type", StringType), StructField("value", DoubleType)))
-    s.createDataFrame(new java.util.ArrayList(
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
-      .coalesce(1) // key-grain driver rows; 32 slices = 32 dispatched tasks
-      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
-        col("event_type"), col("value"))
+    out
   }
 
   /** The durable-store twin of [[materializeRoundtrip]]: identical
@@ -123,26 +133,15 @@ object OnlineQueries {
     * DISJOINT windows in one pass: rows in the gap must be EXCLUDED
     * from the store, which only the true OR-of-BETWEENs delivers. */
   def materializeWindowsGap(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
     val project = s"graft_gap_${java.util.UUID.randomUUID().toString.take(8)}"
     val store = new graft.online.InMemoryOnlineStore()
     val fs = userEventsStore(s, dir, store, project)
     fs.materializeWindows(Seq("user_events"), Seq(
       (T0, Timestamp.valueOf("2024-01-08 00:00:00")),
       (Timestamp.valueOf("2024-01-20 00:00:00"), T2)))
-    val rows = store.dump(project, "user_events").map { case (key, r) =>
-      org.apache.spark.sql.Row(key.head._2, r.ts,
-        r.values.getOrElse("event_type", null), r.values.getOrElse("value", null))
-    }
+    val out = dumpUserEventsFrame(s, store, project, "user_events")
     fs.teardown()
-    val schema = StructType(Seq(
-      StructField("user_id", LongType), StructField("ts", TimestampType),
-      StructField("event_type", StringType), StructField("value", DoubleType)))
-    s.createDataFrame(new java.util.ArrayList(
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
-      .coalesce(1)
-      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
-        col("event_type"), col("value"))
+    out
   }
 
   val materializeWindowsGapSql: String =

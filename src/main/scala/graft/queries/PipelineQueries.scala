@@ -695,7 +695,9 @@ object PipelineQueries {
     * then exact top-5 within probed cells. */
   val annIvfSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |anchors AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
+      |anchors AS (  -- first 16 BY ORDER, as the JVM side takes them: 'vec_id < 16'
+      |  -- would silently diverge on 1-based or gapped id spaces
+      |  SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
       |assign_scored AS (
       |  SELECT e.vec_id, e.v, a.cell_id,
       |         list_dot_product(e.v, a.cv)

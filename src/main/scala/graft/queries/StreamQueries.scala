@@ -42,7 +42,6 @@ object StreamQueries {
     * sink keeps full oracle coverage as
     * [[streamMaterializeParquet]] / q_stream_materialize_parquet. */
   def streamMaterialize(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
     // Entries bound to stopped sessions hold dead queries — purge.
     liveStreams.keySet.removeIf(k => k._1.sparkContext.isStopped)
     var ls = liveStreams.computeIfAbsent((s, dir), _ => startLiveStream(s, dir))
@@ -60,18 +59,7 @@ object StreamQueries {
     // dump is EAGER (a driver-map snapshot); the store persists across
     // calls — LWW over a replayed generation is idempotent, so every
     // call dumps the same latest-per-key state the oracle expects
-    val rows = ls.store.dump(ls.project, "user_events_stream").map { case (key, r) =>
-      org.apache.spark.sql.Row(key.head._2, r.ts,
-        r.values.getOrElse("event_type", null), r.values.getOrElse("value", null))
-    }
-    val schema = StructType(Seq(
-      StructField("user_id", LongType), StructField("ts", TimestampType),
-      StructField("event_type", StringType), StructField("value", DoubleType)))
-    s.createDataFrame(new java.util.ArrayList(
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
-      .coalesce(1) // key-grain driver rows; 32 slices = 32 dispatched tasks
-      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
-        col("event_type"), col("value"))
+    OnlineQueries.dumpUserEventsFrame(s, ls.store, ls.project, "user_events_stream")
   }
 
   /** One resident streaming materializer per (session, sf dir): a

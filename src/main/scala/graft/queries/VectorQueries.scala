@@ -456,7 +456,9 @@ object VectorQueries {
     def cosSql(l: String, r: String): String =
       s"list_dot_product($l, $r) / (sqrt(list_dot_product($l, $l)) * sqrt(list_dot_product($r, $r)))"
     s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-       |anchors AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
+       |anchors AS (  -- first 16 BY ORDER, as the JVM side takes them: 'vec_id < 16'
+      |  -- would silently diverge on 1-based or gapped id spaces
+      |  SELECT vec_id AS cell_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
        |assign_scored AS (
        |  SELECT e.vec_id, e.v, e.label, a.cell_id, ${cosSql("e.v", "a.cv")} AS c
        |  FROM e CROSS JOIN anchors a),

@@ -1366,14 +1366,17 @@ class EngineSpec extends AnyFunSuite {
     // raw-vs-qualified mismatch turns every invalidation into a silent
     // no-op that only new file names were papering over
     val tablePrefix = new org.apache.hadoop.fs.Path(s"$base/p/cv").toUri.getPath
-    assert(graft.online.ParquetOnlineStore.cachedPaths().exists(_.startsWith(tablePrefix)),
+    def cachedUnderTable(): Set[String] =
+      graft.online.ParquetOnlineStore.cachedPaths().filter(k =>
+        new org.apache.hadoop.fs.Path(k).toUri.getPath.startsWith(tablePrefix))
+    assert(cachedUnderTable().nonEmpty,
       s"expected cached entries under $tablePrefix, got ${graft.online.ParquetOnlineStore.cachedPaths()}")
     // local upsert invalidates: the read must see the new value, and
     // the stale entries must be GONE from the cache (not merely
     // shadowed by fresh file names)
     store.upsert("p", view, Seq("k"),
       Seq((1L, ts("2024-01-01 11:00:00"), 2.0)).toDF("k", "et", "v"), "et", None)
-    assert(!graft.online.ParquetOnlineStore.cachedPaths().exists(_.startsWith(tablePrefix)),
+    assert(cachedUnderTable().isEmpty,
       "upsert must invalidate every cached entry under its table prefix")
     assert(read(1L) == 2.0)
     // FOREIGN rewrite (another process): replace the bucket file bytes
