@@ -186,12 +186,12 @@ object Bench {
         System.gc()
         if (staticPlan(name)) spark.conf.set("spark.sql.adaptive.enabled", "false")
         var prepared: DataFrame = null
-        def once(): Double = {
+        def once(fresh: Boolean): Double = {
           val t0 = System.nanoTime()
           val ok = try {
-            val df = if (prepared != null) prepared else {
+            val df = if (!fresh && prepared != null) prepared else {
               val d = fn(spark, sfDir)
-              if (reusablePlan(name)) prepared = d
+              if (reusablePlan(name) && !fresh) prepared = d
               d
             }
             force(df); true
@@ -199,22 +199,39 @@ object Bench {
               System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
           if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         }
-        val cold = once()
-        val timed = if (cold >= 0) Seq(once(), once()).filter(_ >= 0) else Nil
+        val cold = once(fresh = false)
+        val timed =
+          if (cold >= 0) Seq(once(false), once(false)).filter(_ >= 0) else Nil
+        // No-reuse counterpart (r9 VERDICT #1: the artifact must carry
+        // BOTH accountings): two extra runs that re-CONSTRUCT the
+        // DataFrame each time, so Catalyst re-analysis is billed per
+        // run exactly as DuckDB re-parses per execute(). Non-reusable
+        // queries already construct fresh every run — steady IS their
+        // no-reuse number.
+        val noreuseRuns =
+          if (cold >= 0 && reusablePlan(name))
+            Seq(once(fresh = true), once(fresh = true)).filter(_ >= 0)
+          else Nil
         if (staticPlan(name)) spark.conf.set("spark.sql.adaptive.enabled",
           sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
         val steady =
           if (cold < 0) -1.0
           else if (timed.isEmpty) cold
           else (cold +: timed).min
-        (name, steady, cold)
+        val noreuse =
+          if (cold < 0) -1.0
+          else if (!reusablePlan(name)) steady
+          // cold also constructed fresh, so it belongs in this min
+          else (cold +: noreuseRuns).min
+        (name, steady, cold, noreuse)
       }
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val qsCold = results.map { case (k, _, c) => "\"" + k + "\":" + f"$c%.3f" }
+    val qsCold = results.map { case (k, _, c, _) => "\"" + k + "\":" + f"$c%.3f" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val totalNoreuse = results.collect { case (_, _, _, n) if n >= 0 => n }.sum
     // Durable-store counterpart of q_materialize_roundtrip, reported as
     // a SEPARATE line in notes (not in the headline total, whose DuckDB
     // counterpart set is the 10 headline oracles): same windows + same
@@ -239,7 +256,7 @@ object Bench {
     // both draws ride the artifact and bracket the ratio). Shelled to
     // the driver-side python duckdb; absent/broken → null, the engine
     // numbers stand alone.
-    val duckDraws: Option[(Double, Double)] = try {
+    val duckDraws: Option[(Double, Double, String)] = try {
       val script = Seq("scripts/duckdb_bench.py", "/root/repo/scripts/duckdb_bench.py")
         .find(p => new java.io.File(p).exists())
       script.flatMap { path =>
@@ -278,13 +295,20 @@ object Bench {
         reader.join(5000)
         val out = outRef.get()
         val m = """"draws":\s*\[([0-9.]+),\s*([0-9.]+)\]""".r.findFirstMatchIn(out)
-        m.map(g => (g.group(1).toDouble, g.group(2).toDouble))
+        // per-query best-of-draws map, re-emitted verbatim (the python
+        // side prints flat {"name": sec} with json.dumps — valid JSON
+        // to splice; r9 VERDICT #2: the per-query 2x status must reach
+        // the artifact, not die in the script's stdout)
+        val perQ = """"queries":\s*(\{[^}]*\})""".r.findFirstMatchIn(out).map(_.group(1))
+        m.map(g => (g.group(1).toDouble, g.group(2).toDouble,
+          perQ.getOrElse("null")))
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] duckdb baseline skipped: ${e.getMessage}"); None
     }
     val baselineField = duckDraws
-      .map { case (a, b) => f"[$a%.3f,$b%.3f]" }.getOrElse("null")
+      .map { case (a, b, _) => f"[$a%.3f,$b%.3f]" }.getOrElse("null")
+    val baselineQueries = duckDraws.map(_._3).getOrElse("null")
     // The full measured context (floor accounting, static-plan AQE
     // policy, ScaleCheck 10x table) lives in BENCH_NOTES.md — it used
     // to ride inside this `notes` string, which pushed the JSON line
@@ -293,21 +317,36 @@ object Bench {
     // line must stay comfortably under ~1800 chars INCLUDING both
     // query maps; sidelines print on their own line just before it.
     println(f"[bench] sidelines (durable-store twins, min-of-3, billed outside the headline total whose DuckDB oracles do no store I/O): q_materialize_roundtrip_parquet=$pqRoundtrip%.3fs q_stream_materialize_parquet=$pqStream%.3fs")
-    val notes = "steady=min-of-3, cold=1st run (JIT floor visible); " +
-      "baseline_duckdb_s=two same-box min-of-3 draws on the identical " +
-      "10 oracle SQLs; 5 static-plan queries run per-job AQE-off " +
-      "(AqeProbe-measured); store pair uses the in-process store like " +
-      "the reference's own bench + oracle; durable twins on the " +
-      "sidelines line above. Full accounting: BENCH_NOTES.md"
+    val notes = "steady=min-of-3 (6 pure queries reuse the analyzed " +
+      "plan), total_noreuse=re-analyzed per run like DuckDB re-parses; " +
+      "baseline=two same-box min-of-3 draws + per-query best on the " +
+      "identical 10 oracle SQLs. Full accounting: BENCH_NOTES.md"
     // Stop Spark BEFORE the metric line: the driver machine-parses the
     // LAST stdout line, so nothing (executor shutdown chatter, sbt's
     // success banner — suppressed in build.sbt) may print after it.
-    // A throwing stop (resident streaming queries, event-log flush)
-    // must not cost the round its fully-measured artifact.
-    try spark.stop() catch { case e: Throwable =>
-      System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
-    }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"baseline_duckdb_s":$baselineField,"sf":"$sfDir","notes":"$notes"}""")
+    // Neither a THROWING stop nor a HANGING one (a stuck streaming
+    // trigger thread awaiting ProcessingTime(0) — the resident
+    // q_stream_materialize queries are still live here) may cost the
+    // round its fully-measured artifact: resident streams stop first,
+    // then spark.stop(), all on a daemon thread with a bounded join;
+    // on timeout the metric line prints and the JVM halts (skipping
+    // the Spark shutdown hook that would hang the same way).
+    val stopper = new Thread(() => {
+      try graft.queries.StreamQueries.shutdownLiveStreams(spark) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] stream shutdown failed: ${e.getMessage}")
+      }
+      try spark.stop() catch { case e: Throwable =>
+        System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
+      }
+    })
+    stopper.setDaemon(true)
+    stopper.start()
+    stopper.join(60000)
+    val hung = stopper.isAlive
+    if (hung) System.err.println("[bench] spark.stop timed out; halting after the metric line")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_noreuse":$totalNoreuse%.3f,"queries":$qs,"queries_cold":$qsCold,"baseline_duckdb_s":$baselineField,"baseline_queries_s":$baselineQueries,"sf":"$sfDir","notes":"$notes"}""")
     System.out.flush()
+    if (hung) Runtime.getRuntime.halt(0)
   }
 }

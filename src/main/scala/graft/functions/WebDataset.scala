@@ -160,10 +160,14 @@ object WebDataset {
               "keys must be dot-free (the first dot delimits the part suffix)")
           val rowMaxSfx = partIdx.collect {
             case (sfx, i) if !r.isNullAt(i) => sfxBytes(sfx)
-          }.maxOption.getOrElse(0)
-          require(key.getBytes(StandardCharsets.UTF_8).length + 1 + rowMaxSfx <= 100,
-            s"sample key '$key' + its longest non-null part suffix exceeds " +
-              "the ustar 100-byte member-name limit")
+          }.maxOption
+          // all-null row: no member is written, so no name exists to
+          // exceed the limit — the key-length check must not veto it
+          rowMaxSfx.foreach { sfx =>
+            require(key.getBytes(StandardCharsets.UTF_8).length + 1 + sfx <= 100,
+              s"sample key '$key' + its longest non-null part suffix exceeds " +
+                "the ustar 100-byte member-name limit")
+          }
           partIdx.foreach { case (sfx, i) =>
             if (!r.isNullAt(i)) {
               val data = r.get(i) match {

@@ -275,6 +275,13 @@ object ParquetOnlineStore {
   // re-decode, never a stale serve)
   private val bucketCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Map[String, Map[String, Any]])]()
+  // All size-changing ops (fill, eviction, invalidation) run under this
+  // lock with a RUNNING byte total: concurrent fills could otherwise
+  // both pass the capacity check and overshoot CacheMaxTotalBytes, and
+  // re-summing every entry per eviction was O(n²) at the cap. Lookups
+  // stay lock-free on the CHM.
+  private val cacheLock = new Object
+  private var cacheBytes = 0L
   private[online] def invalidateCache(prefix: String): Unit = {
     val p0 = new org.apache.hadoop.fs.Path(prefix)
     // a relative basePath yields a relative prefix that would never
@@ -282,8 +289,16 @@ object ParquetOnlineStore {
     val stripped =
       if (p0.isAbsolute || p0.toUri.getScheme != null) p0.toUri.getPath
       else new java.io.File(prefix).getAbsolutePath
-    bucketCache.keySet.removeIf((k: String) =>
-      new org.apache.hadoop.fs.Path(k).toUri.getPath.startsWith(stripped))
+    cacheLock.synchronized {
+      val it = bucketCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (new org.apache.hadoop.fs.Path(e.getKey).toUri.getPath.startsWith(stripped)) {
+          cacheBytes -= e.getValue._1
+          it.remove()
+        }
+      }
+    }
   }
   /** Test hook: the cached file paths (qualified). */
   private[graft] def cachedPaths(): Set[String] = {
@@ -319,19 +334,19 @@ object ParquetOnlineStore {
       // (a wholesale clear made >CacheMaxFiles-bucket stores re-decode
       // EVERYTHING on a cycle). st.getLen <= CacheableFileBytes <<
       // CacheMaxTotalBytes, so the loop always terminates with room.
-      def totalBytes: Long = {
-        var s = 0L
-        val it = bucketCache.values().iterator()
-        while (it.hasNext) s += it.next()._1
-        s
+      // The decode above ran OUTSIDE the lock (it is the expensive
+      // part); only the capacity check + evictions + put are atomic.
+      cacheLock.synchronized {
+        while (!bucketCache.isEmpty &&
+            (bucketCache.size >= CacheMaxFiles ||
+              cacheBytes + st.getLen > CacheMaxTotalBytes)) {
+          val it = bucketCache.entrySet().iterator()
+          if (it.hasNext) { cacheBytes -= it.next().getValue._1; it.remove() }
+        }
+        val prev = bucketCache.put(k, (st.getLen, st.getModificationTime, idx))
+        if (prev != null) cacheBytes -= prev._1
+        cacheBytes += st.getLen
       }
-      while (!bucketCache.isEmpty &&
-          (bucketCache.size >= CacheMaxFiles ||
-            totalBytes + st.getLen > CacheMaxTotalBytes)) {
-        val it = bucketCache.keySet().iterator()
-        if (it.hasNext) { it.next(); it.remove() }
-      }
-      bucketCache.put(k, (st.getLen, st.getModificationTime, idx))
       idx
     }
   }

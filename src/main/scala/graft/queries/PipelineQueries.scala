@@ -530,24 +530,60 @@ object PipelineQueries {
     * count > cap is deterministic), hamming verify — over the staged
     * values. A hash match proves the banding/verify machinery exact;
     * the simhash bits themselves stay pinned by PipelineSpec units.
-    * The stage path is fixed (last-writer-wins): the oracle always
-    * replays the most recent Verify run's signatures, which the
-    * driver executes immediately before its DuckDB pass. */
+    * The stage path is keyed by (sanitized dir, content fingerprint)
+    * with a _SUCCESS guard: staging runs once per dataset VERSION
+    * (repeat timed runs skip the double simhash the r9 fixed path
+    * re-billed every run), concurrent sessions on different datasets
+    * write disjoint paths instead of clobbering one shared stage, and
+    * a regenerated dataset re-stages instead of replaying stale
+    * signatures. [[dedupSimhashSql]] reads the path of the LAST run in
+    * this JVM — Verify dumps oracle SQL after running the queries, so
+    * the driver's DuckDB pass always replays its own run's dataset. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val sigs = docsWithClones(s, dir).select(col("doc_id"),
-      graft.functions.TextFunctions.simhash64(col("text")).as("sim"))
-    sigs.coalesce(1).write.mode("overwrite").parquet(dedupSimhashStage)
+    val stage = simhashStageFor(dir)
+    if (!new java.io.File(s"$stage/_SUCCESS").exists()) {
+      // drop stages of older fingerprints of the same dir so /tmp holds
+      // one live stage per dataset, not one per regeneration
+      val f = new java.io.File(stage)
+      val prefix = f.getName.takeWhile(_ != '@')
+      Option(f.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(o => o.getName.startsWith(prefix) && o.getName != f.getName)
+        .foreach(TmpSweeper.deleteRec)
+      docsWithClones(s, dir).select(col("doc_id"),
+          graft.functions.TextFunctions.simhash64(col("text")).as("sim"))
+        .write.mode("overwrite").parquet(stage)
+    }
+    dedupSimhashStage = stage
     Dedup.simhashNearDupPairs(docsWithClones(s, dir), "doc_id", "text",
         maxHamming = 3)
       .orderBy("id_a", "id_b")
   }
 
-  private val dedupSimhashStage = "/tmp/graft_simhash_sigs_current"
+  /** Stage path for `dir`'s signatures: sanitized dir + a cheap
+    * recursive (name, length, mtime) fingerprint of documents.parquet,
+    * so the _SUCCESS guard can never accept a stale stage. `@` splits
+    * the dataset identity from its version for the cleanup above. */
+  private def simhashStageFor(dir: String): String = {
+    def fp(f: java.io.File): Long = {
+      val own = (f.getName.hashCode.toLong * 31 + f.length) * 31 + f.lastModified
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .sortBy(_.getName).map(fp).foldLeft(own)(_ * 31 + _)
+      else own
+    }
+    val tag = java.lang.Long.toHexString(fp(new java.io.File(s"$dir/documents.parquet")))
+    s"/tmp/graft_simhash_sigs_v2_${dir.replaceAll("[^A-Za-z0-9]", "_")}@$tag"
+  }
+
+  @volatile private var dedupSimhashStage =
+    simhashStageFor("/root/testdata/sf0.01")
 
   /** DuckDB replay of [[Dedup.simhashNearDupPairs]] over the staged
     * signatures: same 4×16-bit banding (arithmetic `>>` + mask, as in
-    * the JVM), same 2..1000 bucket-size window, same hamming<=3 verify. */
-  val dedupSimhashSql: String =
+    * the JVM), same 2..1000 bucket-size window, same hamming<=3 verify.
+    * A `def`: the stage path is resolved at dump time, after the query
+    * ran and pinned [[dedupSimhashStage]] to its dataset's stage. */
+  def dedupSimhashSql: String =
     s"""WITH s AS (SELECT doc_id, sim FROM '$dedupSimhashStage/*.parquet'),
       |b AS (
       |  SELECT s.doc_id, s.sim, r.range AS band,
@@ -2738,7 +2774,10 @@ object PipelineQueries {
     "q_image_phash" -> (imagePhash _),
     "q_phash_neardup" -> (phashNearDup _))
 
-  val oracles: Map[String, String] = Map(
+  // a def, not a val: dedupSimhashSql resolves its stage path at dump
+  // time (set by the query run in this JVM), so the map must be rebuilt
+  // per access rather than freezing the class-init default
+  def oracles: Map[String, String] = Map(
     "q_collocation_pmi" -> collocationPmiSql,
     "q_ann_recall" -> annRecallSql,
     "q_temperature_sample" -> temperatureSampleSql,

@@ -82,6 +82,24 @@ object StreamQueries {
   private val liveStreams =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), LiveStream]()
 
+  /** Stop every resident streaming query bound to `s` — the bench's
+    * pre-shutdown hook: spark.stop() with a live ProcessingTime(0)
+    * query can block indefinitely on the stuck trigger thread, and a
+    * hung stop after full measurement would cost the round its
+    * artifact. Each stop failure is reported, never rethrown. */
+  def shutdownLiveStreams(s: SparkSession): Unit = {
+    val it = liveStreams.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        try e.getValue.q.stop() catch { case ex: Throwable =>
+          System.err.println(s"[stream] live-query stop failed: ${ex.getMessage}")
+        }
+        it.remove()
+      }
+    }
+  }
+
   private def startLiveStream(s: SparkSession, dir: String): LiveStream = {
     val tmp = s"/tmp/graft_stream_live_${java.util.UUID.randomUUID().toString.take(8)}"
     TmpSweeper.register(tmp)

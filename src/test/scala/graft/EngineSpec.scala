@@ -1395,7 +1395,19 @@ class EngineSpec extends AnyFunSuite {
       Seq((1L, ts("2024-01-01 12:00:00"), 7.0)).toDF("k", "et", "v"), "et", None)
     val altFiles = new java.io.File(s"$alt/p/cv").listFiles().filter(_.isDirectory)
       .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
-    bucketFiles.zip(altFiles).foreach { case (dst, src) =>
+    // pair by BUCKET DIR, not listFiles() order (unspecified): the same
+    // key + same bucket count lands in the same bucket=N dir in both
+    // stores, and a mispaired/empty zip would copy nothing and let the
+    // final assert fail confusingly (or vacuously pass)
+    val altByBucket = altFiles.groupBy(_.getParentFile.getName)
+    val pairs = bucketFiles.flatMap(dst =>
+      altByBucket.getOrElse(dst.getParentFile.getName, Array.empty[java.io.File])
+        .headOption.map(dst -> _))
+    assert(pairs.nonEmpty && pairs.size == bucketFiles.size,
+      s"every live bucket file needs a foreign twin to overwrite it: " +
+        s"live=${bucketFiles.map(_.getParentFile.getName).toSeq} " +
+        s"alt=${altFiles.map(_.getParentFile.getName).toSeq}")
+    pairs.foreach { case (dst, src) =>
       java.nio.file.Files.copy(src.toPath, dst.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       // force a visible mtime change even on coarse-granularity clocks
