@@ -587,6 +587,59 @@ object Similarity {
     cents
   }
 
+  /** Per-subquantizer k-means codebooks (Lloyd), assembled into the
+    * c×dim anchor-matrix layout every PQ entry point already takes
+    * ([[VectorSketch.pqCode]], [[pqAdcTopK]], [[ivfPqTopK]]): row j's
+    * subvector-s slice is subquantizer s's trained centroid j, so a
+    * trained codebook is a drop-in swap at the `anchors` argument —
+    * and `iters = 0` returns exactly the deterministic first-c
+    * construction the toy oracles use. Each iteration is ONE scan of
+    * `train` (code assignment through the same expressions the encoder
+    * runs, so training can never drift from encoding) plus an
+    * (m·c·subDim)-row aggregation; only that centroid grain reaches
+    * the driver. At 100 TB pass a bounded sample as `train` — codebook
+    * quality needs thousands of points per centroid, not the corpus.
+    * An emptied centroid keeps its previous value ([[kmeansCentroids]]
+    * rule). Deterministic given the training CONTENT (init = first c
+    * rows by id), but like [[kmeansCentroids]] the averaged doubles
+    * can differ at ulp level across partition layouts — consumers
+    * needing bit replay persist the codebook (the q_ann_pq_trained
+    * staging pattern) rather than retrain. */
+  def trainPqCodebooks(
+      train: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int, c: Int, iters: Int): Array[Array[Float]] = {
+    val clean = train
+      .filter(col(vecCol).isNotNull && !exists(col(vecCol), _.isNull))
+    var cur: Array[Array[Float]] = clean
+      .orderBy(col(idCol)).limit(c)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(cur.length == c, s"need >= $c training vectors, got ${cur.length}")
+    for (_ <- 0 until iters) {
+      val coded = clean.select(
+        col(vecCol).cast("array<double>").as("__v") +:
+          pqCodeCols(col(vecCol), cur, m, subDim): _*)
+      val subStructs = (0 until m).map(s =>
+        struct(lit(s).as("s"), col(s"__code$s").as("code"),
+          slice(col("__v"), s * subDim + 1, subDim).as("sub")))
+      val means = coded
+        .select(explode(array(subStructs: _*)).as("e"))
+        .select(col("e.s").as("s"), col("e.code").as("code"),
+          posexplode(col("e.sub")).as(Seq("pos", "v")))
+        .groupBy("s", "code", "pos").agg(avg("v").as("mv"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
+        .toMap
+      cur = Array.tabulate(c) { j =>
+        Array.tabulate(m * subDim) { d =>
+          means.get((d / subDim, j, d % subDim))
+            .map(_.toFloat).getOrElse(cur(j)(d))
+        }
+      }
+    }
+    cur
+  }
+
   /** IVF-style ANN: assign corpus vectors to their nearest of `nCells`
     * anchor vectors (inverted file), then search a query only against
     * the `nProbe` cells nearest to it. Anchors are k-means centroids

@@ -540,15 +540,9 @@ object PipelineQueries {
     * this JVM — Verify dumps oracle SQL after running the queries, so
     * the driver's DuckDB pass always replays its own run's dataset. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val stage = simhashStageFor(dir)
+    val stage = Staging.pathFor(dir, "simhash_sigs_v2", "documents.parquet")
     if (!new java.io.File(s"$stage/_SUCCESS").exists()) {
-      // drop stages of older fingerprints of the same dir so /tmp holds
-      // one live stage per dataset, not one per regeneration
-      val f = new java.io.File(stage)
-      val prefix = f.getName.takeWhile(_ != '@')
-      Option(f.getParentFile.listFiles()).getOrElse(Array.empty)
-        .filter(o => o.getName.startsWith(prefix) && o.getName != f.getName)
-        .foreach(TmpSweeper.deleteRec)
+      Staging.dropStaleSiblings(stage)
       docsWithClones(s, dir).select(col("doc_id"),
           graft.functions.TextFunctions.simhash64(col("text")).as("sim"))
         .write.mode("overwrite").parquet(stage)
@@ -559,24 +553,8 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
-  /** Stage path for `dir`'s signatures: sanitized dir + a cheap
-    * recursive (name, length, mtime) fingerprint of documents.parquet,
-    * so the _SUCCESS guard can never accept a stale stage. `@` splits
-    * the dataset identity from its version for the cleanup above. */
-  private def simhashStageFor(dir: String): String = {
-    def fp(f: java.io.File): Long = {
-      val own = (f.getName.hashCode.toLong * 31 + f.length) * 31 + f.lastModified
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty)
-          .sortBy(_.getName).map(fp).foldLeft(own)(_ * 31 + _)
-      else own
-    }
-    val tag = java.lang.Long.toHexString(fp(new java.io.File(s"$dir/documents.parquet")))
-    s"/tmp/graft_simhash_sigs_v2_${dir.replaceAll("[^A-Za-z0-9]", "_")}@$tag"
-  }
-
   @volatile private var dedupSimhashStage =
-    simhashStageFor("/root/testdata/sf0.01")
+    Staging.pathFor("/root/testdata/sf0.01", "simhash_sigs_v2", "documents.parquet")
 
   /** DuckDB replay of [[Dedup.simhashNearDupPairs]] over the staged
     * signatures: same 4×16-bit banding (arithmetic `>>` + mask, as in

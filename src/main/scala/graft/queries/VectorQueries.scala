@@ -128,12 +128,66 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** ADC search with TRAINED per-subquantizer k-means codebooks
+    * ([[Similarity.trainPqCodebooks]], 2 Lloyd iterations from the
+    * deterministic first-c init) — the production PQ quality path the
+    * first-c variants only stand in for. The trained codebook (tiny:
+    * c×dim floats) is staged as a parquet artifact and READ BACK for
+    * encoding, so engine and oracle score from byte-identical floats:
+    * distributed k-means averaging is ulp-sensitive to partition
+    * layout ([[Similarity.kmeansCentroids]] note), so the oracle
+    * replays encode + LUT + ADC exactly from the staged values (the
+    * q_dedup_simhash staging pattern) — a hash match proves the whole
+    * scoring machinery bit-identical downstream of training, and the
+    * codebook QUALITY is pinned by the PipelineSpec recall/distortion
+    * floors next to q_ann_recall's. */
+  def annPqTrained(s: SparkSession, dir: String): DataFrame = {
+    val stage = Staging.pathFor(dir, "pq_codebook_v1", "embeddings.parquet")
+    val e = embs(s, dir)
+    if (!new java.io.File(s"$stage/_SUCCESS").exists()) {
+      Staging.dropStaleSiblings(stage)
+      val cb = graft.functions.Similarity.trainPqCodebooks(
+        e, "vec_id", "embedding", PqM, PqSubDim, PqC, iters = 2)
+      import s.implicits._
+      cb.zipWithIndex
+        .map { case (a, j) => (j.toLong, a.toSeq) }
+        .toSeq.toDF("aidx", "aemb")
+        .write.mode("overwrite").parquet(stage)
+    }
+    val anchors: Array[Array[Float]] = s.read.parquet(stage)
+      .orderBy("aidx").select("aemb").collect()
+      .map(_.getSeq[Float](0).toArray)
+    pqTrainedStage = stage
+    val q = e.filter(col("vec_id") < AdcQ)
+    graft.functions.Similarity.pqAdcTopK(
+        q, "vec_id", "embedding", e, "vec_id", "embedding",
+        anchors, PqM, PqSubDim, k = AdcK)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adc"), 6).as("adc"), col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  @volatile private var pqTrainedStage =
+    Staging.pathFor("/root/testdata/sf0.01", "pq_codebook_v1", "embeddings.parquet")
+
+  /** [[annPqSqlFrom]] over the staged trained codebook: identical
+    * scoring SQL, anchors read from the artifact instead of derived. */
+  def annPqTrainedSql: String =
+    annPqSqlFrom(s"SELECT aidx, aemb FROM '$pqTrainedStage/*.parquet'")
+
   /** The oracle rebuilds codes exactly as [[pqEncodeSql]], computes the
     * same per-(query, subvector, anchor) LUT with the identical
     * ascending-d left-associative fold, pivots the m per-subvector LUT
     * hits into columns, and sums them left-to-right — so every ADC
     * double is bit-identical and (adc, neighbor_id) ranks agree. */
-  val annPqSql: String = {
+  val annPqSql: String = annPqSqlFrom(
+    s"""SELECT aemb, ROW_NUMBER() OVER (ORDER BY avid) - 1 AS aidx
+       |  FROM (SELECT vec_id AS avid, embedding AS aemb
+       |        FROM embeddings ORDER BY vec_id LIMIT $PqC)""".stripMargin)
+
+  /** The ADC replay parametrized on the anchors CTE — shared by the
+    * deterministic first-c variant and the staged trained codebook. */
+  private def annPqSqlFrom(anchorsCte: String): String = {
     def diffSum(left: String, right: String): String =
       (1 to PqSubDim).map { d =>
         val idx = s"t.s * $PqSubDim + $d"
@@ -144,9 +198,7 @@ object VectorQueries {
       s"MAX(CASE WHEN c.s = $s THEN l END) AS l$s").mkString(",\n         ")
     val adcSum = (0 until PqM).map(s => s"l$s").mkString(" + ")
     s"""WITH a AS (
-       |  SELECT aemb, ROW_NUMBER() OVER (ORDER BY avid) - 1 AS aidx
-       |  FROM (SELECT vec_id AS avid, embedding AS aemb
-       |        FROM embeddings ORDER BY vec_id LIMIT $PqC)),
+       |  $anchorsCte),
        |cd AS (
        |  SELECT e.vec_id, t.s, a.aidx,
        |         ${diffSum("e.embedding", "a.aemb")} AS dist
@@ -652,9 +704,12 @@ object VectorQueries {
     "q_random_projection" -> (randomProjection _),
     "q_pq_encode" -> (pqEncode _),
     "q_ann_pq" -> (annPq _),
+    "q_ann_pq_trained" -> (annPqTrained _),
     "q_hash_embedding" -> (hashEmbedding _))
 
-  val oracles: Map[String, String] = Map(
+  // a def: annPqTrainedSql resolves its stage path at dump time (set by
+  // the query run in this JVM), same contract as PipelineQueries.oracles
+  def oracles: Map[String, String] = Map(
     "q_silhouette" -> silhouetteSql,
     "q_whiten_dims" -> whitenDimsSql,
     "q_label_noise" -> labelNoiseSql,
@@ -665,6 +720,7 @@ object VectorQueries {
     "q_random_projection" -> randomProjectionSql,
     "q_pq_encode" -> pqEncodeSql,
     "q_ann_pq" -> annPqSql,
+    "q_ann_pq_trained" -> annPqTrainedSql,
     "q_ann_ivfpq" -> annIvfPqSql,
     "q_hash_embedding" -> hashEmbeddingSql)
 }
