@@ -345,8 +345,17 @@ object Bench {
     stopper.join(60000)
     val hung = stopper.isAlive
     if (hung) System.err.println("[bench] spark.stop timed out; halting after the metric line")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_noreuse":$totalNoreuse%.3f,"queries":$qs,"queries_cold":$qsCold,"baseline_duckdb_s":$baselineField,"baseline_queries_s":$baselineQueries,"sf":"$sfDir","notes":"$notes"}""")
-    System.out.flush()
+    // The driver machine-parses the LAST stdout line. If the stop hung,
+    // Spark threads are still live and a stray System.out write landing
+    // mid-metric-line would corrupt it — park the PUBLIC System.out on
+    // a sink and write the line on the captured real stream, so late
+    // writers race a null device instead of the artifact. (A writer
+    // that captured the stream before this swap is out of reach; Spark's
+    // default console appender targets stderr, so that residue is nil.)
+    val realOut = System.out
+    System.setOut(new java.io.PrintStream(java.io.OutputStream.nullOutputStream()))
+    realOut.println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_noreuse":$totalNoreuse%.3f,"queries":$qs,"queries_cold":$qsCold,"baseline_duckdb_s":$baselineField,"baseline_queries_s":$baselineQueries,"sf":"$sfDir","notes":"$notes"}""")
+    realOut.flush()
     if (hung) Runtime.getRuntime.halt(0)
   }
 }

@@ -41,7 +41,51 @@ object Similarity {
   def bruteForceTopK(
       queries: DataFrame, qIdCol: String, qVecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, excludeSelf: Boolean = true): DataFrame = {
+      k: Int, excludeSelf: Boolean = true,
+      maxLiteralQueries: Int = 256): DataFrame = {
+    // Path gate (the [[pqAdcTopK]] policy): small float-vector query
+    // batches — the ground-truth/serving shape — inline as plan
+    // LITERALS, so the steady plan is ONE job (scan -> per-row scores
+    // -> bounded heap) with no broadcast-relation build job and no
+    // join machinery; under prepared-plan reuse the query collect is
+    // construction-time, paid once. Null / null-element query vectors
+    // are skipped at the probe: their dot is NULL for every corpus row
+    // ([[DotProduct]] null semantics), so the broadcast path emits no
+    // rows for them either — identical output. Big or non-float query
+    // batches keep the broadcast cross join, whose query side may be
+    // corpus-sized (margin mining, semantic dedup).
+    val floatVecs = queries.schema(qVecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    val qProbe =
+      if (floatVecs)
+        queries.select(col(qIdCol), col(qVecCol))
+          .filter(col(qVecCol).isNotNull && !exists(col(qVecCol), _.isNull))
+          .limit(maxLiteralQueries + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (floatVecs && qProbe.nonEmpty && qProbe.length <= maxLiteralQueries) {
+      // driver-side norm with the exact ddot fold (ascending i, double
+      // products, left-associative) — bit-identical to norm(__qvec)
+      val perQuery = qProbe.toIndexedSeq.map { r =>
+        val qv = r.getSeq[Float](1).toArray
+        var s = 0.0; var i = 0
+        while (i < qv.length) { s += qv(i).toDouble * qv(i).toDouble; i += 1 }
+        val qn = math.sqrt(s)
+        struct(lit(r.get(0)).as("qid"),
+          try_divide(dot(typedlit(qv.toSeq), col("__cvec")),
+            lit(qn) * col("__cn")).as("cos"))
+      }
+      var scored = corpus
+        .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"))
+        .withColumn("__cn", norm(col("__cvec")))
+        .select(col("__cid"), explode(array(perQuery: _*)).as("__q"))
+        .select(col("__q.qid").as("__qid"), col("__cid"),
+          col("__q.cos").as("__cos"))
+      if (excludeSelf) scored = scored.filter(!(col("__qid") <=> col("__cid")))
+      return twoLevelTopK(scored, k)
+    }
     // norms precomputed per side: the cross join evaluates one dot
     // product per pair instead of three
     val q = broadcast(queries
@@ -326,32 +370,60 @@ object Similarity {
     * (per-subvector L2, [[VectorSketch.pqCodeForSub]]). Query probes
     * and LUTs are computed driver-side with the same left-associative
     * fold the SQL oracle replays. A production build swaps k-means
-    * centroids in for both without changing the plan. */
+    * centroids in for both without changing the plan: pass `coarse`
+    * ([[kmeansCentroids]] output — trained cell centroids with their
+    * synthetic Long ids) and/or `codebook` ([[trainPqCodebooks]]
+    * output) and the SAME literal/distributed machinery scores against
+    * the trained artifacts; the coarse cells and the PQ codebook are
+    * fully decoupled (c need not equal nCells). Quality of the trained
+    * path is floor-pinned by PipelineSpec ("ivfPqTopK trained"). */
   def ivfPqTopK(
       queries: DataFrame, qIdCol: String, qVecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nCells: Int, nProbe: Int,
       m: Int, subDim: Int, excludeSelf: Boolean = true,
-      maxLiteralQueries: Int = 256): DataFrame = {
-    require(nProbe <= nCells, s"nProbe=$nProbe must be <= nCells=$nCells")
+      maxLiteralQueries: Int = 256,
+      coarse: Option[Seq[(Long, Array[Float])]] = None,
+      codebook: Option[Array[Array[Float]]] = None): DataFrame = {
     val qSpark = queries.sparkSession
     // null-vec rows are excluded from the codebook (a null vector cannot
     // anchor a cell) and from the query probe — driver-side
     // getSeq(...).toArray would NPE unboxing a null element
     def nonNullVec(vc: String) =
       col(vc).isNotNull && !exists(col(vc), _.isNull)
-    val anchorRows = corpus.filter(nonNullVec(vecCol))
-      .orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol), col(vecCol)).collect()
-    val anchors: Array[Array[Float]] = anchorRows.map(_.getSeq[Float](1).toArray)
-    val cellIds: Array[Any] = anchorRows.map(_.get(0))
+    // coarse cells: trained centroids when given, else the first-nCells
+    // deterministic construction the toy oracles replay
+    val (cellIds: Array[Any], cellVecs: Array[Array[Float]],
+         cellIdType: org.apache.spark.sql.types.DataType,
+         cellVecType: org.apache.spark.sql.types.DataType) = coarse match {
+      case Some(cs) =>
+        (cs.map(_._1: Any).toArray, cs.map(_._2).toArray,
+          org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = false))
+      case None =>
+        val rows = corpus.filter(nonNullVec(vecCol))
+          .orderBy(col(idCol)).limit(nCells)
+          .select(col(idCol), col(vecCol)).collect()
+        if (rows.isEmpty)
+          (Array.empty[Any], Array.empty[Array[Float]],
+            corpus.schema(idCol).dataType, corpus.schema(vecCol).dataType)
+        else
+          (rows.map(_.get(0)), rows.map(_.getSeq[Float](1).toArray),
+            rows.head.schema(0).dataType, rows.head.schema(1).dataType)
+    }
+    require(nProbe <= cellVecs.length || cellVecs.isEmpty,
+      s"nProbe=$nProbe must be <= nCells=${cellVecs.length}")
+    // PQ codebook: trained subquantizer centroids when given, else the
+    // coarse cell vectors double as the codebook (first-c convention)
+    val anchors: Array[Array[Float]] = codebook.getOrElse(cellVecs)
     // Path gate — same policy as [[pqAdcTopK]]: anchors are ALWAYS
     // bounded (nCells rows) and collect fine; the QUERY batch is not.
     // One limit(n+1) action decides literal vs distributed.
     val qProbeRows = queries.select(col(qIdCol), col(qVecCol))
       .filter(nonNullVec(qVecCol))
       .limit(maxLiteralQueries + 1).collect()
-    if (qProbeRows.isEmpty || anchors.isEmpty)
+    if (qProbeRows.isEmpty || anchors.isEmpty || cellVecs.isEmpty)
       return emptyAdcResult(queries, qIdCol, corpus, idCol)
     val qRows = qProbeRows.map(r => (r.get(0), r.getSeq[Float](1).toArray))
 
@@ -365,14 +437,14 @@ object Similarity {
       ddot(a, b) / (math.sqrt(ddot(a, a)) * math.sqrt(ddot(b, b)))
 
     // one pass over the corpus: coarse cell + PQ codes, both narrow
+    val cellRows = cellIds.indices.map(i =>
+      org.apache.spark.sql.Row(cellIds(i), cellVecs(i).toSeq))
     val anchorArr = broadcast(
       qSpark.createDataFrame(
-        qSpark.sparkContext.parallelize(anchorRows.toSeq, 1),
+        qSpark.sparkContext.parallelize(cellRows, 1),
         org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("cell_id",
-            anchorRows.head.schema(0).dataType),
-          org.apache.spark.sql.types.StructField("cell_vec",
-            anchorRows.head.schema(1).dataType))))
+          org.apache.spark.sql.types.StructField("cell_id", cellIdType),
+          org.apache.spark.sql.types.StructField("cell_vec", cellVecType))))
         .agg(collect_list(struct(col("cell_id"), col("cell_vec"))).as("cells")))
     val coded = corpus.crossJoin(anchorArr)
       .withColumn("cell", nearestCells(col(vecCol), 1)(0)("cell_id"))
@@ -395,8 +467,8 @@ object Similarity {
       val probeRows: Seq[org.apache.spark.sql.Row] = qRows.toSeq.flatMap {
         case (qid, qv) =>
           val lut: Seq[Seq[Double]] = pqLut(qv, anchors, m, subDim).map(_.toSeq).toSeq
-          anchors.indices
-            .map(i => (dcos(qv, anchors(i)), i))
+          cellVecs.indices
+            .map(i => (dcos(qv, cellVecs(i)), i))
             .sortBy { case (c, i) => (-c, i) }
             .take(nProbe)
             .map { case (_, i) => org.apache.spark.sql.Row(cellIds(i), qid, lut) }
@@ -407,8 +479,7 @@ object Similarity {
       val probedDf = qSpark.createDataFrame(
         qSpark.sparkContext.parallelize(probeRows, 1),
         org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("cell",
-            anchorRows.head.schema(0).dataType),
+          org.apache.spark.sql.types.StructField("cell", cellIdType),
           org.apache.spark.sql.types.StructField("__qid",
             queries.schema(qIdCol).dataType),
           org.apache.spark.sql.types.StructField("__lut",
@@ -431,8 +502,8 @@ object Similarity {
       val qFeat = queries.select(col(qIdCol).as("__qid"),
         col(qVecCol).as("__qvec"),
         pqLutCol(col(qVecCol), anchors, m, subDim).as("__lut"))
-      val cand = array(anchors.indices.map { i =>
-        val av = typedlit(anchors(i).map(_.toDouble).toSeq)
+      val cand = array(cellVecs.indices.map { i =>
+        val av = typedlit(cellVecs(i).map(_.toDouble).toSeq)
         val cos = try_divide(DotProductExpr.dot(col("__qvec"), av),
           sqrt(DotProductExpr.dot(col("__qvec"), col("__qvec"))) *
             sqrt(DotProductExpr.dot(av, av)))

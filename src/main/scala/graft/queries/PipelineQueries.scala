@@ -541,11 +541,10 @@ object PipelineQueries {
     * the driver's DuckDB pass always replays its own run's dataset. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val stage = Staging.pathFor(dir, "simhash_sigs_v2", "documents.parquet")
-    if (!new java.io.File(s"$stage/_SUCCESS").exists()) {
-      Staging.dropStaleSiblings(stage)
+    Staging.publishOnce(stage) { tmp =>
       docsWithClones(s, dir).select(col("doc_id"),
           graft.functions.TextFunctions.simhash64(col("text")).as("sim"))
-        .write.mode("overwrite").parquet(stage)
+        .write.mode("overwrite").parquet(tmp)
     }
     dedupSimhashStage = stage
     Dedup.simhashNearDupPairs(docsWithClones(s, dir), "doc_id", "text",

@@ -139,20 +139,20 @@ object VectorQueries {
     * replays encode + LUT + ADC exactly from the staged values (the
     * q_dedup_simhash staging pattern) — a hash match proves the whole
     * scoring machinery bit-identical downstream of training, and the
-    * codebook QUALITY is pinned by the PipelineSpec recall/distortion
-    * floors next to q_ann_recall's. */
+    * codebook QUALITY is pinned by PipelineSpec's trainPqCodebooks
+    * floors (distortion strictly below first-c, recall@5 no worse,
+    * iters=0 ≡ first-c, emptied centroids keep their value). */
   def annPqTrained(s: SparkSession, dir: String): DataFrame = {
     val stage = Staging.pathFor(dir, "pq_codebook_v1", "embeddings.parquet")
     val e = embs(s, dir)
-    if (!new java.io.File(s"$stage/_SUCCESS").exists()) {
-      Staging.dropStaleSiblings(stage)
+    Staging.publishOnce(stage) { tmp =>
       val cb = graft.functions.Similarity.trainPqCodebooks(
         e, "vec_id", "embedding", PqM, PqSubDim, PqC, iters = 2)
       import s.implicits._
       cb.zipWithIndex
         .map { case (a, j) => (j.toLong, a.toSeq) }
         .toSeq.toDF("aidx", "aemb")
-        .write.mode("overwrite").parquet(stage)
+        .write.mode("overwrite").parquet(tmp)
     }
     val anchors: Array[Array[Float]] = s.read.parquet(stage)
       .orderBy("aidx").select("aemb").collect()
