@@ -432,6 +432,13 @@ class ParquetOnlineStore(
   private def bucketExpr(joinKeys: Seq[String], buckets: Int): org.apache.spark.sql.Column =
     EntityBucketExpr.bucketId(joinKeys, buckets)
 
+  /** Evict this table's decoded-bucket serving blocks. Bench/dev hook
+    * for COLD-cache latency measurement (tools/ServingSlo); production
+    * eviction is the size-bounded LRU plus write-path invalidation —
+    * this just forces the next point read to re-decode its bucket. */
+  def dropServingCache(project: String, view: String): Unit =
+    ParquetOnlineStore.invalidateCache(path(project, view))
+
   def upsert(project: String, view: FeatureView, joinKeys: Seq[String],
       df: DataFrame, tsCol: String, createdCol: Option[String]): Unit =
     try upsertImpl(project, view, joinKeys, df, tsCol, createdCol)

@@ -45,7 +45,8 @@ object GrpcServingServer {
   private final case class Unimplemented(method: String) extends RuntimeException(method)
 }
 
-class GrpcServingServer(fs: FeatureStore, port: Int = 0, version: String = "graft-0.1.0") {
+class GrpcServingServer(fs: FeatureStore, port: Int = 0,
+    version: String = "graft-0.1.0", dispatchThreads: Int = 4) {
   import GrpcServingServer.{StreamState, Unimplemented}
 
   private val boss = new NioEventLoopGroup(1)
@@ -54,7 +55,11 @@ class GrpcServingServer(fs: FeatureStore, port: Int = 0, version: String = "graf
   // backed stores) must not stall every connection sharing the loop —
   // the same reason the HTTP ServingServer dispatches to an executor.
   // Responses are written back on the channel's own event loop.
-  private val dispatchPool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  // dispatchThreads bounds in-flight store calls — size to expected
+  // client concurrency (tools/ServingSlo measures under-sizing as tail
+  // latency).
+  private val dispatchPool =
+    java.util.concurrent.Executors.newFixedThreadPool(dispatchThreads)
 
   private val bootstrap = new ServerBootstrap()
     .group(boss, workers)

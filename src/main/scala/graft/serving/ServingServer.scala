@@ -29,10 +29,26 @@ import graft.util.JValue._
   * (O16 coercion then adapts to the registered entity dtype), other
   * numbers as Double (rejected for key use by O16), strings as String.
   */
-class ServingServer(fs: FeatureStore, port: Int = 0) {
+object ServingServer {
+  // TCP_NODELAY for the JDK HttpServer (read once by its ServerConfig
+  // on class load): without it, header+body landing in separate
+  // segments interlocks Nagle with the peer's delayed ACK — a flat
+  // ~40 ms floor on EVERY small point read (measured by
+  // tools/ServingSlo: p50 44 ms -> ~2 ms). Set-if-absent so an
+  // operator's explicit setting wins; no effect if an HttpServer was
+  // already created in this JVM.
+  if (System.getProperty("sun.net.httpserver.nodelay") == null)
+    System.setProperty("sun.net.httpserver.nodelay", "true")
+}
+
+class ServingServer(fs: FeatureStore, port: Int = 0, poolSize: Int = 4) {
+  ServingServer // force companion init (nodelay) before server creation
 
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
-  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  // poolSize bounds in-flight getOnlineFeatures calls — size it to the
+  // expected client concurrency (tools/ServingSlo measures the p50/p99
+  // cost of under-sizing it: queueing shows up directly as tail latency)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
   server.setExecutor(pool)
 
   /** Bound port (useful when constructed with port 0). */

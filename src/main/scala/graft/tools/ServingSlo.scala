@@ -1,0 +1,142 @@
+package graft.tools
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.sql.Timestamp
+import java.time.Duration
+
+import org.apache.spark.sql.SparkSession
+
+import graft.model._
+import graft.online.ParquetOnlineStore
+import graft.registry.Registry
+import graft.serving.{GrpcServingClient, GrpcServingServer, ServingServer}
+import graft.store.FeatureStore
+
+/** Serving-tier latency SLO harness (dev tool, never part of the
+  * library surface): p50/p99 of getOnlineFeatures over BOTH transports
+  * (HTTP/JSON and gRPC) at 1 / 8 / 32 concurrent clients, decoded-
+  * bucket serving cache warm and cold, against the durable bucketed
+  * [[ParquetOnlineStore]] — the reference's online path is THE latency
+  * surface (its serving benchmark drives GetOnlineFeaturesV2 the same
+  * way). One request = one entity row (pure point-read latency), keys
+  * rotating across the materialized key space plus a miss share, like
+  * a production key stream. Cold passes drop the bucket cache before
+  * every call, so each request pays footer + row-group decode; warm
+  * passes measure the steady block-cache path. Prints a markdown table
+  * for BENCH_NOTES.md. The warm single-client floor is regression-
+  * pinned in ServingSpec ("serving latency SLO").
+  *
+  *   runMain graft.tools.ServingSlo [sfDir]
+  */
+object ServingSlo {
+
+  private def pct(sorted: Array[Long], p: Double): Double =
+    sorted((p * (sorted.length - 1)).round.toInt) / 1e6
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.sources.Tables.configure(spark)
+
+    val tmp = s"/tmp/graft_slo_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.queries.TmpSweeper.register(tmp)
+    val store = new ParquetOnlineStore(s"$tmp/store", numBuckets = 32)
+    val fs = new FeatureStore("slo", new Registry(), store, spark)
+    fs.applyEntity(Entity("user", GraftType.Int64, joinKeyOpt = Some("user_id")))
+    fs.applyFeatureView(FeatureView(
+      name = "user_events", entities = Seq("user"),
+      features = Seq(Feature("event_type", GraftType.Str), Feature("value", GraftType.Dbl)),
+      ttl = Duration.ZERO,
+      batchSource = DataFrameSource(
+        graft.sources.Tables.read(spark, sfDir, "events"), eventTimestampColumn = "ts")))
+    fs.materialize(Seq("user_events"),
+      Timestamp.valueOf("2024-01-01 00:00:00"), Timestamp.valueOf("2024-01-31 00:00:00"))
+
+    // serving pools sized to the top client concurrency measured — the
+    // deployment guidance the harness itself demonstrates (a 4-thread
+    // pool at 32 clients shows up directly as queueing tail)
+    val http = new ServingServer(fs, poolSize = 32).start()
+    val grpc = new GrpcServingServer(fs, dispatchThreads = 32)
+    val httpPort = http.boundPort
+    val grpcPort = grpc.boundPort
+
+    val keySpace = 200L // materialized ids ~0..149 + a NOT_FOUND share
+    val refs = Seq("user_events:event_type", "user_events:value")
+
+    def httpCall(client: HttpClient, id: Long): Unit = {
+      val body =
+        s"""{"features":["user_events:event_type","user_events:value"],"entity_rows":[{"user_id":$id}]}"""
+      val resp = client.send(HttpRequest.newBuilder()
+          .uri(URI.create(s"http://127.0.0.1:$httpPort/get-online-features"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode() == 200, s"http ${resp.statusCode()}: ${resp.body()}")
+    }
+
+    final case class Cell(proto: String, clients: Int, cache: String,
+        n: Int, p50: Double, p99: Double, max: Double, rps: Double)
+
+    def run(proto: String, clients: Int, cache: String, perThread: Int): Cell = {
+      val lats = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val t0 = System.nanoTime()
+      val threads = (0 until clients).map { t =>
+        new Thread(() => {
+          val httpClient = if (proto == "http") HttpClient.newHttpClient() else null
+          val grpcClient =
+            if (proto == "grpc") new GrpcServingClient("127.0.0.1", grpcPort) else null
+          try {
+            var i = 0
+            while (i < perThread) {
+              val id = (t.toLong * 7919 + i * 13) % keySpace
+              if (cache == "cold") store.dropServingCache("slo", "user_events")
+              val s = System.nanoTime()
+              if (proto == "http") httpCall(httpClient, id)
+              else { grpcClient.getOnlineFeatures(refs, Seq(Map("user_id" -> id))); () }
+              lats.add(System.nanoTime() - s)
+              i += 1
+            }
+          } finally if (grpcClient != null) grpcClient.close()
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val wall = (System.nanoTime() - t0) / 1e9
+      val sorted = {
+        val it = lats.iterator(); val b = Array.newBuilder[Long]
+        while (it.hasNext) b += it.next()
+        b.result().sorted
+      }
+      Cell(proto, clients, cache, sorted.length,
+        pct(sorted, 0.50), pct(sorted, 0.99), sorted.last / 1e6, sorted.length / wall)
+    }
+
+    // JIT + codec warmup on both transports, off the books
+    run("http", 4, "warm", 150)
+    run("grpc", 4, "warm", 150)
+
+    val cells = for {
+      proto <- Seq("http", "grpc")
+      clients <- Seq(1, 8, 32)
+      cache <- Seq("cold", "warm")
+    } yield run(proto, clients, cache,
+      perThread = if (cache == "cold") 60 else 300)
+
+    println(s"\nSLO sfDir=$sfDir store=bucketed-parquet(32) 1 row/req keys=0..${keySpace - 1}")
+    println("| transport | clients | cache | n | p50 ms | p99 ms | max ms | req/s |")
+    println("|---|---|---|---|---|---|---|---|")
+    cells.foreach { c =>
+      println(f"| ${c.proto} | ${c.clients} | ${c.cache} | ${c.n} | ${c.p50}%.2f | ${c.p99}%.2f | ${c.max}%.2f | ${c.rps}%.0f |")
+    }
+
+    grpc.stop(); http.stop()
+    spark.stop()
+  }
+}
