@@ -102,10 +102,17 @@ object Packing {
       df: DataFrame,
       idCol: String,
       outCol: String = "row_idx",
-      numPartitions: Option[Int] = None): DataFrame =
+      numPartitions: Option[Int] = None): DataFrame = {
+    // __one is exempt from withPrefixOffset's reserved-name guard (it
+    // IS the token column here), so guard the overwrite explicitly — a
+    // caller's __one would silently become the constant 1 and then drop
+    require(!df.columns.contains("__one"),
+      "input column '__one' collides with withDenseIndex's internal " +
+        "constant-token column — rename it first")
     withPrefixOffset(df.withColumn("__one", lit(1L)), idCol, "__one", numPartitions)
       .withColumn(outCol, col("__start"))
       .drop("__start", "__one")
+  }
 
   /** Public face of the distributed prefix sum: `outCol` = tokens
     * before this row in global `idCol` order (exclusive prefix) —

@@ -22,6 +22,7 @@ object SnapshotDiff {
       after: DataFrame,
       keys: Seq[String],
       compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshot diff needs at least one key column")
     val a = before.select((keys ++ compareCols).distinct.map(col): _*)
       .withColumn("__pa", lit(1)).alias("__a")
     val b = after.select((keys ++ compareCols).distinct.map(col): _*)
@@ -29,7 +30,10 @@ object SnapshotDiff {
     def A(c: String): Column = col(s"__a.$c")
     def B(c: String): Column = col(s"__b.$c")
     val keyCond = keys.map(k => A(k) <=> B(k)).reduce(_ && _)
-    val sameVals = compareCols.map(c => A(c) <=> B(c)).reduce(_ && _)
+    // no compare columns = presence-only audit: ADDED/REMOVED still
+    // report, nothing can be CHANGED
+    val sameVals = compareCols.map(c => A(c) <=> B(c))
+      .reduceOption(_ && _).getOrElse(lit(true))
     val change = when(A("__pa").isNull, "ADDED")
       .when(B("__pb").isNull, "REMOVED")
       .when(!sameVals, "CHANGED")
