@@ -102,7 +102,13 @@ final case class FileStreamSource(
     eventTimestampColumn: String,
     createdTimestampColumn: Option[String] = None,
     fieldMapping: Map[String, String] = Map.empty,
-    maxFilesPerTrigger: Option[Int] = None) extends DataSource {
+    maxFilesPerTrigger: Option[Int] = None,
+    // extra reader options, passed through verbatim — a LONG-LIVED
+    // watched landing dir needs `cleanSource` (delete/archive) so the
+    // per-trigger directory listing stays O(unprocessed files) instead
+    // of growing with everything ever processed (measured: latestOffset
+    // 39 -> 107 ms inside a few generations without it)
+    options: Map[String, String] = Map.empty) extends DataSource {
   def datePartitionColumn: Option[String] = None
 }
 
@@ -178,7 +184,7 @@ object SourceReader {
       // re-paid the listing + footer read every time a stream starts
       // over the same immutable replay dir
       val schema = cachedFileRel(spark, s.format, s.path, Map.empty).schema
-      val rdr = spark.readStream.schema(schema).format(s.format)
+      val rdr = spark.readStream.schema(schema).format(s.format).options(s.options)
       val withOpt = s.maxFilesPerTrigger.fold(rdr)(n => rdr.option("maxFilesPerTrigger", n))
       // normalize like the BATCH path (NTZ -> session TimestampType):
       // without it the two paths over the same files disagreed on

@@ -53,8 +53,16 @@ object StreamQueries {
     // data copy) unless this is the entry's first call, whose gen-0
     // files are already pending in the feed dir.
     val gen = ls.gen.getAndIncrement()
+    val __t0 = System.nanoTime()
     if (gen > 0) feedGeneration(ls.srcFiles, ls.feedDir, gen)
+    val __t1 = System.nanoTime()
     ls.q.processAllAvailable()
+    val __t2 = System.nanoTime()
+    if (sys.env.contains("GRAFT_STREAM_TRACE")) {
+      System.err.println(f"[streamtrace] gen=$gen feed=${(__t1 - __t0) / 1e9}%.3f paa=${(__t2 - __t1) / 1e9}%.3f")
+      Option(ls.q.lastProgress).foreach(p =>
+        System.err.println(s"[streamtrace] durations=${p.durationMs}"))
+    }
 
     // dump is EAGER (a driver-map snapshot); the store persists across
     // calls — LWW over a replayed generation is idempotent, so every
@@ -107,7 +115,13 @@ object StreamQueries {
     new java.io.File(feedDir).mkdirs()
     val project = s"graft_stream_${java.util.UUID.randomUUID().toString.take(8)}"
     val store = new graft.online.InMemoryOnlineStore()
-    val fs = streamStore(s, dir, store, project, watchDir = Some(feedDir))
+    // cleanSource=delete: processed feed files (hardlinks; the replay
+    // copy keeps the bytes) are removed after commit, so the
+    // per-trigger listing stays O(one generation) for the lifetime of
+    // the resident query instead of growing 8 files per generation
+    // (measured latestOffset 39 -> 107 ms within 3 generations)
+    val fs = streamStore(s, dir, store, project, watchDir = Some(feedDir),
+      srcOptions = Map("cleanSource" -> "delete"))
     val srcFiles = new java.io.File(replayDir(s, dir)).listFiles()
       .filter(_.getName.endsWith(".parquet")).toSeq.sortBy(_.getName)
     feedGeneration(srcFiles, feedDir, 0)
@@ -178,7 +192,8 @@ object StreamQueries {
     * with maxFilesPerTrigger=1). */
   private def streamStore(s: SparkSession, dir: String,
       store: graft.online.OnlineStore, project: String,
-      watchDir: Option[String] = None): FeatureStore = {
+      watchDir: Option[String] = None,
+      srcOptions: Map[String, String] = Map.empty): FeatureStore = {
     val input = replayDir(s, dir)
     val fs = new FeatureStore(project, new Registry(), store, s)
     fs.applyEntity(Entity("user", GraftType.Int64, joinKeyOpt = Some("user_id")))
@@ -191,7 +206,8 @@ object StreamQueries {
       // relation cache, so repeat invocations skip re-listing +
       // re-inferring the immutable replay dir
       batchSource = FileSource(input, eventTimestampColumn = "ts"),
-      streamSource = Some(FileStreamSource(watchDir.getOrElse(input), "parquet", "ts"))))
+      streamSource = Some(FileStreamSource(watchDir.getOrElse(input), "parquet", "ts",
+        options = srcOptions))))
     fs
   }
 
