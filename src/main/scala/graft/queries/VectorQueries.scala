@@ -142,18 +142,27 @@ object VectorQueries {
     * codebook QUALITY is pinned by PipelineSpec's trainPqCodebooks
     * floors (distortion strictly below first-c, recall@5 no worse,
     * iters=0 ≡ first-c, emptied centroids keep their value). */
-  def annPqTrained(s: SparkSession, dir: String): DataFrame = {
+  /** Stage (or reuse) the trained PQ codebook artifact for `dir` and
+    * return its path — shared by [[annPqTrained]] and
+    * [[annIvfPqTrained]], so both queries score (and both oracles
+    * replay) from ONE set of trained floats. */
+  private def stagedPqCodebook(s: SparkSession, dir: String): String = {
     val stage = Staging.pathFor(dir, "pq_codebook_v1", "embeddings.parquet")
-    val e = embs(s, dir)
     Staging.publishOnce(stage) { tmp =>
       val cb = graft.functions.Similarity.trainPqCodebooks(
-        e, "vec_id", "embedding", PqM, PqSubDim, PqC, iters = 2)
+        embs(s, dir), "vec_id", "embedding", PqM, PqSubDim, PqC, iters = 2)
       import s.implicits._
       cb.zipWithIndex
         .map { case (a, j) => (j.toLong, a.toSeq) }
         .toSeq.toDF("aidx", "aemb")
         .write.mode("overwrite").parquet(tmp)
     }
+    stage
+  }
+
+  def annPqTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val stage = stagedPqCodebook(s, dir)
     val anchors: Array[Array[Float]] = s.read.parquet(stage)
       .orderBy("aidx").select("aemb").collect()
       .map(_.getSeq[Float](0).toArray)
@@ -334,6 +343,127 @@ object VectorQueries {
        |  SELECT q.qid, t.s, a.aidx,
        |         ${diffSum("q.embedding", "a.aemb")} AS l
        |  FROM q CROSS JOIN a, UNNEST(range(0, $PqM)) AS t(s)),
+       |cand AS (
+       |  SELECT p.qid, s2.vec_id
+       |  FROM probed p JOIN assigned s2 ON s2.cell = p.cell
+       |  WHERE p.qid <> s2.vec_id),
+       |piv AS (
+       |  SELECT l.qid, c.vec_id,
+       |         $pivots
+       |  FROM code c
+       |  JOIN lut l ON l.s = c.s AND l.aidx = c.aidx
+       |  JOIN cand ON cand.vec_id = c.vec_id AND cand.qid = l.qid
+       |  GROUP BY l.qid, c.vec_id),
+       |ranked AS (
+       |  SELECT qid AS query_id, vec_id AS neighbor_id, $adcSum AS adc,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |                            ORDER BY $adcSum ASC, vec_id ASC) AS rank
+       |  FROM piv)
+       |SELECT query_id, neighbor_id, round(adc, 6) AS adc, CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= $AdcK ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** IVF-PQ with TRAINED artifacts end to end — k-means coarse cells
+    * ([[Similarity.kmeansCentroids]], 2 Lloyd iterations) AND trained
+    * per-subquantizer codebooks (the [[annPqTrained]] artifact, shared)
+    * — the full production quality path through the same
+    * literal/distributed scoring machinery (ivfPqTopK's coarse/codebook
+    * swap points). Both artifacts are tiny (nCells·dim and c·dim
+    * floats), staged as parquet, and READ BACK for scoring, so engine
+    * and oracle work from byte-identical floats (distributed averaging
+    * is ulp-sensitive to partition layout); the oracle replays coarse
+    * assignment, probing, encode, LUT, and ADC from the staged values
+    * with the identical fold and tie-breaks. Cell ids are the
+    * kmeansCentroids 0..nCells-1 synthetic ids; probe and assignment
+    * ties go to the smaller cell id on both sides. */
+  def annIvfPqTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cellStage = Staging.pathFor(dir, "ivf_cells_v1", "embeddings.parquet")
+    Staging.publishOnce(cellStage) { tmp =>
+      val cents = graft.functions.Similarity.kmeansCentroids(
+        e, "vec_id", "embedding", IvfPqCells, iters = 2)
+      import s.implicits._
+      cents.map { case (id, v) => (id, v.map(_.toFloat)) }
+        .toDF("cell_id", "cell_vec")
+        .write.mode("overwrite").parquet(tmp)
+    }
+    val cbStage = stagedPqCodebook(s, dir)
+    val cells: Seq[(Long, Array[Float])] = s.read.parquet(cellStage)
+      .orderBy("cell_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    val cb: Array[Array[Float]] = s.read.parquet(cbStage)
+      .orderBy("aidx").select("aemb").collect()
+      .map(_.getSeq[Float](0).toArray)
+    ivfTrainedCellStage = cellStage
+    ivfTrainedCbStage = cbStage
+    val q = e.filter(col("vec_id") < AdcQ)
+    graft.functions.Similarity.ivfPqTopK(
+        q, "vec_id", "embedding", e, "vec_id", "embedding",
+        k = AdcK, nCells = IvfPqCells, nProbe = IvfPqProbe,
+        m = PqM, subDim = PqSubDim,
+        coarse = Some(cells), codebook = Some(cb))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adc"), 6).as("adc"), col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  @volatile private var ivfTrainedCellStage =
+    Staging.pathFor("/root/testdata/sf0.01", "ivf_cells_v1", "embeddings.parquet")
+  @volatile private var ivfTrainedCbStage =
+    Staging.pathFor("/root/testdata/sf0.01", "pq_codebook_v1", "embeddings.parquet")
+
+  /** [[annIvfPqSql]]'s replay with the cells and codebook CTEs read
+    * from the staged trained artifacts instead of derived from the
+    * first-nCells corpus rows — coarse assignment/probing against
+    * `cells` (cosine DESC, cell_id ASC), encode/LUT/ADC against `cb`,
+    * identical folds. A def: stage paths resolve at dump time, after
+    * the query run pinned them to its dataset. */
+  def annIvfPqTrainedSql: String = {
+    def diffSum(left: String, right: String): String =
+      (1 to PqSubDim).map { d =>
+        val idx = s"t.s * $PqSubDim + $d"
+        s"((CAST($left[$idx] AS DOUBLE) - CAST($right[$idx] AS DOUBLE)) * " +
+          s"(CAST($left[$idx] AS DOUBLE) - CAST($right[$idx] AS DOUBLE)))"
+      }.mkString(" + ")
+    def cosSql(l: String, r: String): String =
+      s"list_dot_product($l, $r) / (sqrt(list_dot_product($l, $l)) * sqrt(list_dot_product($r, $r)))"
+    val pivots = (0 until PqM).map(s =>
+      s"MAX(CASE WHEN c.s = $s THEN l END) AS l$s").mkString(",\n         ")
+    val adcSum = (0 until PqM).map(s => s"l$s").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM embeddings),
+       |cells AS (
+       |  SELECT cell_id, cell_vec::DOUBLE[] AS cv
+       |  FROM '$ivfTrainedCellStage/*.parquet'),
+       |cb AS (SELECT aidx, aemb FROM '$ivfTrainedCbStage/*.parquet'),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, cells.cell_id AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY ${cosSql("e.v", "cells.cv")} DESC,
+       |                                       cells.cell_id ASC) AS rn
+       |    FROM e CROSS JOIN cells) WHERE rn = 1),
+       |cd AS (
+       |  SELECT e.vec_id, t.s, cb.aidx,
+       |         ${diffSum("e.embedding", "cb.aemb")} AS dist
+       |  FROM embeddings e CROSS JOIN cb, UNNEST(range(0, $PqM)) AS t(s)),
+       |code AS (
+       |  SELECT vec_id, s, aidx FROM (
+       |    SELECT vec_id, s, aidx,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, aidx) AS rn
+       |    FROM cd) WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, embedding, embedding::DOUBLE[] AS qv
+       |      FROM embeddings WHERE vec_id < $AdcQ),
+       |probed AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.qid, cells.cell_id AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY q.qid
+       |                              ORDER BY ${cosSql("q.qv", "cells.cv")} DESC,
+       |                                       cells.cell_id ASC) AS rn
+       |    FROM q CROSS JOIN cells) WHERE rn <= $IvfPqProbe),
+       |lut AS (
+       |  SELECT q.qid, t.s, cb.aidx,
+       |         ${diffSum("q.embedding", "cb.aemb")} AS l
+       |  FROM q CROSS JOIN cb, UNNEST(range(0, $PqM)) AS t(s)),
        |cand AS (
        |  SELECT p.qid, s2.vec_id
        |  FROM probed p JOIN assigned s2 ON s2.cell = p.cell
@@ -701,6 +831,7 @@ object VectorQueries {
     "q_margin_mining" -> (marginMining _),
     "q_label_centroids" -> (labelCentroids _),
     "q_ann_ivfpq" -> (annIvfPq _),
+    "q_ann_ivfpq_trained" -> (annIvfPqTrained _),
     "q_random_projection" -> (randomProjection _),
     "q_pq_encode" -> (pqEncode _),
     "q_ann_pq" -> (annPq _),
@@ -722,5 +853,6 @@ object VectorQueries {
     "q_ann_pq" -> annPqSql,
     "q_ann_pq_trained" -> annPqTrainedSql,
     "q_ann_ivfpq" -> annIvfPqSql,
+    "q_ann_ivfpq_trained" -> annIvfPqTrainedSql,
     "q_hash_embedding" -> hashEmbeddingSql)
 }
