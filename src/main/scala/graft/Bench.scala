@@ -320,7 +320,10 @@ object Bench {
     val notes = "steady=min-of-3 (6 pure queries reuse the analyzed " +
       "plan), total_noreuse=re-analyzed per run like DuckDB re-parses; " +
       "baseline=two same-box min-of-3 draws + per-query best on the " +
-      "identical 10 oracle SQLs. Full accounting: BENCH_NOTES.md"
+      "identical 10 oracle SQLs. Measured floors (BENCH_NOTES r11): " +
+      "stream=~0.45s framework (90ms WAL + 160ms per-batch catalyst + " +
+      "50ms listing), ann/window/mat=0.10-0.15s per-job dispatch on " +
+      "sub-0.3s walls; post-shuffle stages at/below DuckDB walls"
     // Stop Spark BEFORE the metric line: the driver machine-parses the
     // LAST stdout line, so nothing (executor shutdown chatter, sbt's
     // success banner — suppressed in build.sbt) may print after it.
