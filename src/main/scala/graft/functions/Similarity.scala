@@ -412,8 +412,10 @@ object Similarity {
           (rows.map(_.get(0)), rows.map(_.getSeq[Float](1).toArray),
             rows.head.schema(0).dataType, rows.head.schema(1).dataType)
     }
-    require(nProbe <= cellVecs.length || cellVecs.isEmpty,
-      s"nProbe=$nProbe must be <= nCells=${cellVecs.length}")
+    // guard the PARAMETER, not the realized cell count: a corpus with
+    // fewer than nCells rows yields fewer cells and the probe take()
+    // naturally probes them all (the pre-r11 behavior)
+    require(nProbe <= nCells, s"nProbe=$nProbe must be <= nCells=$nCells")
     // PQ codebook: trained subquantizer centroids when given, else the
     // coarse cell vectors double as the codebook (first-c convention)
     val anchors: Array[Array[Float]] = codebook.getOrElse(cellVecs)
