@@ -412,10 +412,13 @@ object Similarity {
           (rows.map(_.get(0)), rows.map(_.getSeq[Float](1).toArray),
             rows.head.schema(0).dataType, rows.head.schema(1).dataType)
     }
-    // guard the PARAMETER, not the realized cell count: a corpus with
+    // with trained coarse cells the caller's list IS the cell count
+    // (nCells is unused); without, guard the PARAMETER — a corpus with
     // fewer than nCells rows yields fewer cells and the probe take()
     // naturally probes them all (the pre-r11 behavior)
-    require(nProbe <= nCells, s"nProbe=$nProbe must be <= nCells=$nCells")
+    val cellCount = coarse.fold(nCells)(_.length)
+    require(nProbe <= cellCount,
+      s"nProbe=$nProbe must be <= cells=$cellCount")
     // PQ codebook: trained subquantizer centroids when given, else the
     // coarse cell vectors double as the codebook (first-c convention)
     val anchors: Array[Array[Float]] = codebook.getOrElse(cellVecs)

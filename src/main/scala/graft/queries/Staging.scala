@@ -26,7 +26,11 @@ object Staging {
     * [[dropStaleSiblings]]; the raw-dir hash makes distinct dirs
     * distinct identities even when sanitization collides. */
   def pathFor(dir: String, name: String, table: String): String = {
-    val tag = java.lang.Long.toHexString(fp(new java.io.File(s"$dir/$table")))
+    // build stamp folded HERE, where every stage key passes through —
+    // a rebuild changes the tag, so no stage outlives the build whose
+    // arithmetic produced it
+    val tag = java.lang.Long.toHexString(
+      fp(new java.io.File(s"$dir/$table")) * 31 + buildStamp)
     val raw = java.lang.Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(dir))
     s"/tmp/graft_${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$raw@$tag"
@@ -45,11 +49,12 @@ object Staging {
     } catch { case _: Exception => 0L }
 
   /** Recursive (name, length, mtime) fingerprint — cheap (metadata
-    * only), order-stable, and any rewrite of any part changes it —
-    * seeded with [[buildStamp]] so code versions never share stages.
-    * Residual risk (accepted): a same-length regeneration inside one
-    * mtime granule of the SAME build is invisible; fails in the safe
-    * direction (driver oracle mismatch, never silent wrong-pass). */
+    * only), order-stable, and any rewrite of any part changes it.
+    * [[pathFor]] folds [[buildStamp]] on top so code versions never
+    * share stages. Residual risk (accepted): a same-length
+    * regeneration inside one mtime granule of the SAME build is
+    * invisible; fails in the safe direction (driver oracle mismatch,
+    * never silent wrong-pass). */
   private def fp(f: java.io.File): Long = {
     val own = (f.getName.hashCode.toLong * 31 + f.length) * 31 + f.lastModified
     if (f.isDirectory)
@@ -86,6 +91,15 @@ object Staging {
     val dst = new java.io.File(stage)
     if (new java.io.File(dst, "_SUCCESS").exists()) return
     dropStaleSiblings(stage)
+    // hard-crash hygiene: a SIGKILL mid-write strands a temp dir no
+    // finally block can reap. Sweep ABANDONED temps (hours old — any
+    // live concurrent writer finishes in minutes) so repeated crashes
+    // can't grow /tmp without bound; same-age-guarded so a racing
+    // session's in-flight temp is never touched.
+    Option(dst.getParentFile.listFiles()).getOrElse(Array.empty)
+      .filter(o => o.getName.startsWith(".graft_stage_tmp_") &&
+        o.lastModified < System.currentTimeMillis() - 6L * 3600 * 1000)
+      .foreach(TmpSweeper.deleteRec)
     val tmp = new java.io.File(dst.getParentFile,
       s".graft_stage_tmp_${java.util.UUID.randomUUID().toString.take(12)}")
     try {

@@ -54,10 +54,12 @@ object IndexScale {
         .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
       val build = (System.nanoTime() - tb0) / 1e9
       def probeOnce(): Double = {
+        // the index LOAD (listing + footer/schema read) is part of what
+        // a per-batch probe pays — inside the timer, not setup
+        val tp0 = System.nanoTime()
         val index = spark.read.parquet(s"$path/bands").select("id", "band", "bucket")
         val batch = d.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 4000000L).as("batch_id"), col("text"))
-        val tp0 = System.nanoTime()
         force(Dedup.minhashSearchIndex(index, d, "doc_id", "text",
           batch, "batch_id", "text",
           shingleN = 3, k = 32, bands = 8, threshold = 0.999))

@@ -1387,6 +1387,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(trained >= 0.1, s"trained IVF-PQ recall@5 $trained below collapse floor 0.1")
   }
 
+  test("Staging.publishOnce: idempotent, loser no-op, abandoned temps swept, build-stamped paths") {
+    val dir = java.nio.file.Files.createTempDirectory("staging_spec").toFile
+    try {
+      val stage = new java.io.File(dir, "graft_t_x@abc").getAbsolutePath
+      def writer(tag: String)(tmp: String): Unit = {
+        val d = new java.io.File(tmp); d.mkdirs()
+        java.nio.file.Files.writeString(new java.io.File(d, "data").toPath, tag)
+        new java.io.File(d, "_SUCCESS").createNewFile(); ()
+      }
+      graft.queries.Staging.publishOnce(stage)(writer("v1"))
+      assert(java.nio.file.Files.readString(
+        new java.io.File(stage, "data").toPath) === "v1")
+      // second publish with different content is a no-op: _SUCCESS wins
+      graft.queries.Staging.publishOnce(stage)(writer("v2"))
+      assert(java.nio.file.Files.readString(
+        new java.io.File(stage, "data").toPath) === "v1")
+      // an abandoned crash-leftover temp (hours old) is swept on the
+      // next publish to any stage in the dir; a FRESH temp (a racing
+      // session's in-flight write) is left alone
+      val stale = new java.io.File(dir, ".graft_stage_tmp_deadbeef")
+      stale.mkdirs()
+      stale.setLastModified(System.currentTimeMillis() - 7L * 3600 * 1000)
+      val fresh = new java.io.File(dir, ".graft_stage_tmp_cafebabe")
+      fresh.mkdirs()
+      graft.queries.Staging.publishOnce(
+        new java.io.File(dir, "graft_t_y@def").getAbsolutePath)(writer("v3"))
+      assert(!stale.exists(), "abandoned temp must be swept")
+      assert(fresh.exists(), "a fresh (possibly live) temp must be left alone")
+      // the build stamp reaches the path tag: same (dir, name, table)
+      // on the same build is stable, and the tag differs from a
+      // data-only fingerprint (can't assert across builds in one JVM,
+      // but stability is the load-bearing half)
+      val p1 = graft.queries.Staging.pathFor("/tmp", "t", "nonexistent")
+      val p2 = graft.queries.Staging.pathFor("/tmp", "t", "nonexistent")
+      assert(p1 === p2)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("labelPropagation: two triangles joined by a bridge resolve to their min labels") {
     import spark.implicits._
     // triangles {1,2,3} and {7,8,9} with bridge 3-7: each triangle is a
