@@ -149,8 +149,14 @@ object VectorQueries {
   private def stagedPqCodebook(s: SparkSession, dir: String): String = {
     val stage = Staging.pathFor(dir, "pq_codebook_v1", "embeddings.parquet")
     Staging.publishOnce(stage) { tmp =>
+      // bounded deterministic training sample — the documented 100 TB
+      // shape (codebook quality needs thousands of points per
+      // centroid, not the corpus): hash-ordered top-k, one scan, no
+      // full sort, stable across partition layouts
+      val train = embs(s, dir)
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(4096)
       val cb = graft.functions.Similarity.trainPqCodebooks(
-        embs(s, dir), "vec_id", "embedding", PqM, PqSubDim, PqC, iters = 2)
+        train, "vec_id", "embedding", PqM, PqSubDim, PqC, iters = 2)
       import s.implicits._
       cb.zipWithIndex
         .map { case (a, j) => (j.toLong, a.toSeq) }
@@ -380,8 +386,13 @@ object VectorQueries {
     val e = embs(s, dir)
     val cellStage = Staging.pathFor(dir, "ivf_cells_v1", "embeddings.parquet")
     Staging.publishOnce(cellStage) { tmp =>
+      // same bounded hash-ordered training sample ivfBuildIndex
+      // defaults to — k-means over the whole corpus would add
+      // iters full-corpus shuffles per index build at 100 TB
+      val train = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(math.max(IvfPqCells * 64, 4096))
       val cents = graft.functions.Similarity.kmeansCentroids(
-        e, "vec_id", "embedding", IvfPqCells, iters = 2)
+        train, "vec_id", "embedding", IvfPqCells, iters = 2)
       import s.implicits._
       cents.map { case (id, v) => (id, v.map(_.toFloat)) }
         .toDF("cell_id", "cell_vec")
