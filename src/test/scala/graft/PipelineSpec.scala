@@ -1387,6 +1387,62 @@ class PipelineSpec extends AnyFunSuite {
     assert(trained >= 0.1, s"trained IVF-PQ recall@5 $trained below collapse floor 0.1")
   }
 
+  test("bruteForceTopK literal-probe path is bit-identical to the broadcast path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // degenerate rows ride along: a zero-norm corpus vector (cos NULL,
+    // must never rank), a null-element query (no output rows), and a
+    // duplicated vector (cos tie -> neighbor_id tie-break)
+    val base = (0 until 200).map { i =>
+      (i.toLong, Array.fill(12)((rnd.nextGaussian() * 2).toFloat).toSeq)
+    }
+    val corpus = (base :+ (200L, Seq.fill(12)(0f)) :+ (201L, base(5)._2))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 10)
+      .unionByName(Seq((999L, Seq[java.lang.Float](1f, null, 1f, 1f, 1f, 1f,
+        1f, 1f, 1f, 1f, 1f, 1f))).toDF("vec_id", "embedding"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    def run(maxLit: Int) = Similarity.bruteForceTopK(
+        queries, "vec_id", "embedding", corpus, "vec_id", "embedding",
+        k = 5, maxLiteralQueries = maxLit)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank").cast("int"))
+      .collect().map(key).toSet
+    val lit = run(256) // 10 non-null queries <= 256 -> literal plan
+    val bc = run(0)    // threshold 0 -> broadcast cross join
+    assert(lit == bc, "brute-force literal vs broadcast mismatch")
+    assert(lit.nonEmpty && !lit.exists(_._2 == 200L),
+      "zero-norm corpus vector must never rank")
+    assert(!lit.exists(_._1 == 999L),
+      "null-element query must produce no rows on either path")
+  }
+
+  test("ivfPqTopK trained literal path is bit-identical to the trained distributed path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val corpus = (0 until 300).map { i =>
+      (i.toLong, Array.fill(16)((rnd.nextGaussian() * 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 30)
+    val cells = Similarity.kmeansCentroids(corpus, "vec_id", "embedding", 8, 2)
+      .map { case (id, v) => id -> v.map(_.toFloat).toArray }
+    val cb = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding",
+      m = 4, subDim = 4, c = 8, iters = 2)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    def run(maxLit: Int) = Similarity.ivfPqTopK(
+        queries, "vec_id", "embedding", corpus, "vec_id", "embedding",
+        k = 5, nCells = 8, nProbe = 3, m = 4, subDim = 4,
+        maxLiteralQueries = maxLit,
+        coarse = Some(cells), codebook = Some(cb))
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("rank").cast("int"))
+      .collect().map(key).toSet
+    val lit = run(256)
+    val dist = run(2)
+    assert(lit == dist, "trained IVF-PQ literal vs distributed mismatch")
+    assert(lit.nonEmpty)
+  }
+
   test("Staging.publishOnce: idempotent, loser no-op, abandoned temps swept, build-stamped paths") {
     val dir = java.nio.file.Files.createTempDirectory("staging_spec").toFile
     try {
