@@ -17,17 +17,21 @@ import graft.store.FeatureStore
   * library surface): p50/p99 of getOnlineFeatures over BOTH transports
   * (HTTP/JSON and gRPC) at 1 / 8 / 32 concurrent clients, decoded-
   * bucket serving cache warm and cold, against the durable bucketed
-  * [[ParquetOnlineStore]] — the reference's online path is THE latency
-  * surface (its serving benchmark drives GetOnlineFeaturesV2 the same
-  * way). One request = one entity row (pure point-read latency), keys
-  * rotating across the materialized key space plus a miss share, like
-  * a production key stream. Cold passes drop the bucket cache before
-  * every call, so each request pays footer + row-group decode; warm
-  * passes measure the steady block-cache path. Prints a markdown table
-  * for BENCH_NOTES.md. The warm single-client floor is regression-
-  * pinned in ServingSpec ("serving latency SLO").
+  * [[ParquetOnlineStore]] — the reference's online read
+  * (`sdk/python/feast/infra/online_stores/sqlite.py:130-164`, served
+  * as GetOnlineFeaturesV2, `protos/feast/serving/ServingService
+  * .proto:30-36`) is THE latency surface. Default request = one entity
+  * row (pure point-read latency), keys rotating across the
+  * materialized key space plus a miss share, like a production key
+  * stream; pass a second arg to measure batched requests (the
+  * reference serving benchmark's shape — N entity rows per call).
+  * Cold passes drop the bucket cache before every call, so each
+  * request pays footer + row-group decode; warm passes measure the
+  * steady block-cache path. Prints a markdown table for BENCH_NOTES
+  * .md. The warm single-client floor is regression-pinned in
+  * ServingSpec ("serving latency SLO").
   *
-  *   runMain graft.tools.ServingSlo [sfDir]
+  *   runMain graft.tools.ServingSlo [sfDir] [rowsPerRequest]
   */
 object ServingSlo {
 
@@ -70,11 +74,15 @@ object ServingSlo {
     val grpcPort = grpc.boundPort
 
     val keySpace = 200L // materialized ids ~0..149 + a NOT_FOUND share
+    val rowsPerReq = args.lift(1).map(_.toInt).getOrElse(1)
     val refs = Seq("user_events:event_type", "user_events:value")
+    def reqIds(seed: Long): Seq[Long] =
+      (0 until rowsPerReq).map(r => (seed + r * 31) % keySpace)
 
-    def httpCall(client: HttpClient, id: Long): Unit = {
+    def httpCall(client: HttpClient, seed: Long): Unit = {
+      val rows = reqIds(seed).map(id => s"""{"user_id":$id}""").mkString(",")
       val body =
-        s"""{"features":["user_events:event_type","user_events:value"],"entity_rows":[{"user_id":$id}]}"""
+        s"""{"features":["user_events:event_type","user_events:value"],"entity_rows":[$rows]}"""
       val resp = client.send(HttpRequest.newBuilder()
           .uri(URI.create(s"http://127.0.0.1:$httpPort/get-online-features"))
           .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
@@ -96,11 +104,15 @@ object ServingSlo {
           try {
             var i = 0
             while (i < perThread) {
-              val id = (t.toLong * 7919 + i * 13) % keySpace
+              val seed = (t.toLong * 7919 + i * 13) % keySpace
               if (cache == "cold") store.dropServingCache("slo", "user_events")
               val s = System.nanoTime()
-              if (proto == "http") httpCall(httpClient, id)
-              else { grpcClient.getOnlineFeatures(refs, Seq(Map("user_id" -> id))); () }
+              if (proto == "http") httpCall(httpClient, seed)
+              else {
+                grpcClient.getOnlineFeatures(refs,
+                  reqIds(seed).map(id => Map[String, Any]("user_id" -> id)))
+                ()
+              }
               lats.add(System.nanoTime() - s)
               i += 1
             }
@@ -129,7 +141,7 @@ object ServingSlo {
     } yield run(proto, clients, cache,
       perThread = if (cache == "cold") 60 else 300)
 
-    println(s"\nSLO sfDir=$sfDir store=bucketed-parquet(32) 1 row/req keys=0..${keySpace - 1}")
+    println(s"\nSLO sfDir=$sfDir store=bucketed-parquet(32) $rowsPerReq row(s)/req keys=0..${keySpace - 1}")
     println("| transport | clients | cache | n | p50 ms | p99 ms | max ms | req/s |")
     println("|---|---|---|---|---|---|---|---|")
     cells.foreach { c =>
