@@ -77,12 +77,15 @@ object Drift {
     val nBins = edges.size + 1
     val gCols = groupCols.map(col)
 
-    // null values are EXCLUDED (explicitly, not by the null bin
-    // silently missing the spine join): PSI is a distribution measure
-    // over observed values — track null-rate drift with Validate /
-    // profile, which count nulls first-class
+    // null AND non-castable values are EXCLUDED (explicitly — the
+    // filter is on the CAST, so a 'NA' string that casts to null is
+    // dropped here rather than becoming a null bin the spine join
+    // silently loses): PSI is a distribution measure over measurable
+    // values — track null/dirty-rate drift with Validate / profile,
+    // which count those first-class. [[ks]] applies the same policy so
+    // the two numeric drift measures agree on which rows they see.
     def counted(df: DataFrame, out: String): DataFrame = df
-      .filter(col(valueCol).isNotNull)
+      .filter(col(valueCol).cast("double").isNotNull)
       .select((gCols :+ SearchSorted.column(
         col(valueCol).cast("double"), DoubleType, edges.map(x => x: Any)).as("bin")): _*)
       .groupBy((gCols :+ col("bin")): _*)
@@ -185,7 +188,10 @@ object Drift {
           col(valueCol).cast("double"), DoubleType, e.map(x => x: Any)).cast("double")
         case None => col(valueCol).cast("double")
       }
-      df.filter(col(valueCol).isNotNull)
+      // cast-based filter, matching [[psi]]: a non-castable value must
+      // be excluded on BOTH measures, not dropped by one (psi's spine
+      // join) while the other ranks it as a smallest-value bucket
+      df.filter(col(valueCol).cast("double").isNotNull)
         .select((gCols :+ v.as("__v")): _*)
         .groupBy((gCols :+ col("__v")): _*)
         .agg(count(lit(1)).as(out))

@@ -43,8 +43,15 @@ object Sharding {
       .otherwise(element_at(array_sort(scored), -1)("shard"))
   }
 
-  /** Frame-level convenience: append `shard` for every row. */
+  /** Frame-level convenience: append `shard` for every row. Refuses a
+    * frame that already carries one — withColumn would silently
+    * REPLACE it, and the resharding-audit shape this exists for (old
+    * routing vs new) would then compare the new column to itself. */
   def assignShards(
-      df: DataFrame, keyCol: String, nShards: Int, salt: String = "rdv"): DataFrame =
+      df: DataFrame, keyCol: String, nShards: Int, salt: String = "rdv"): DataFrame = {
+    require(!df.columns.contains("shard"),
+      "input already has a 'shard' column — rename it first (e.g. to " +
+        "shard_old) so old and new routing stay comparable")
     df.withColumn("shard", rendezvousShard(col(keyCol), nShards, salt))
+  }
 }

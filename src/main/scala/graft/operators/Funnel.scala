@@ -110,13 +110,20 @@ object Funnel {
     // cohort 0 (e.g. origin−1s div week = 0, silently inflating
     // cohort 0). Subtracting the nonnegative pmod remainder makes the
     // dividend exactly divisible, so truncation equals floor and every
-    // pre-origin event lands in a visibly negative cohort.
-    val period = expr(
-      s"""((unix_micros($tsCol) - ${originUs}L)
-         |  - pmod(unix_micros($tsCol) - ${originUs}L, ${periodUs}L))
-         |  div ${periodUs}L""".stripMargin)
-
-    val withP = df.select(col(userCol).as("__u"), period.as("__p"))
+    // pre-origin event lands in a visibly negative cohort. The user's
+    // ts column is bound via the Column API (a raw interpolation into
+    // expr() misparses names like "t-s" as arithmetic); only the
+    // internal __us name reaches the SQL string — `div` (exact long
+    // division; a double quotient loses micros past 2^53) has no
+    // Column-API form. Null-ts events carry no cohort information and
+    // would otherwise flow through min/distinct into phantom
+    // (cohort, NULL-offset) rows — excluded up front.
+    val withP = df
+      .filter(col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        (unix_micros(col(tsCol)) - lit(originUs)).as("__us"))
+      .select(col("__u"),
+        expr(s"(__us - pmod(__us, ${periodUs}L)) div ${periodUs}L").as("__p"))
     val cohorts = withP.groupBy("__u").agg(min("__p").as("__cohort"))
     val activity = withP.distinct()
     val joined = activity.join(cohorts, Seq("__u"))

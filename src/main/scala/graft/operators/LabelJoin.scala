@@ -57,9 +57,11 @@ object LabelJoin {
 
     // Scan bounds, computed once (the forward mirror of the backward
     // join's O5 pruning): labels live in (min_ts, max_ts + horizon].
-    val Array(bounds) = stamped.agg(
-      min(col(entityTsCol)).as("mn"), max(col(entityTsCol)).as("mx")).collect()
-    val (mnTs, mxTs) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+    // Shared with the PIT join: metadata-only from parquet footers when
+    // the entity plan allows (zero Spark jobs), else the tiny agg — a
+    // footer SUPERSET of the true bounds only widens the label window,
+    // never drops a match.
+    val (mnTs, mxTs) = PointInTimeJoin.entityBounds(stamped, entityTsCol)
 
     val left = stamped
       .select((rowId +: entityTsCol +: joinKeys).distinct.map(col): _*).alias("__l")

@@ -43,9 +43,9 @@ object NearestJoin {
       if (PointInTimeJoin.needsRowIdPinning(entityDf)) stampedRaw.localCheckpoint()
       else stampedRaw
 
-    val Array(bounds) = stamped.agg(
-      min(col(entityTsCol)).as("mn"), max(col(entityTsCol)).as("mx")).collect()
-    val (mnTs, mxTs) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+    // shared zero-job footer-bounds path (agg fallback) — a footer
+    // SUPERSET of the true bounds only widens the ±tolerance window
+    val (mnTs, mxTs) = PointInTimeJoin.entityBounds(stamped, entityTsCol)
 
     val left = stamped
       .select((rowId +: entityTsCol +: joinKeys).distinct.map(col): _*).alias("__l")

@@ -78,6 +78,26 @@ object PointInTimeJoin {
     val missing = views.flatMap(_.joinKeys).distinct.filterNot(entityDf.columns.contains)
     require(missing.isEmpty,
       s"entity df is missing join key columns: ${missing.mkString(", ")}")
+    // OUTPUT-name collisions fail loudly on every path (the reference
+    // rejects them at ref resolution, feature_store.py:636-657): the
+    // declarative join-back would otherwise emit DUPLICATE column names
+    // and downstream selects die with AMBIGUOUS_REFERENCE far from the
+    // cause. (Distinct from a view's SOURCE feature name matching an
+    // entity column under fullFeatureNames=true — that is legal and
+    // routes to the declarative path, which renames on output.)
+    locally {
+      var seen = entityDf.columns.toSet
+      val clashes = views.flatMap { vj =>
+        vj.features.map(f =>
+          if (fullFeatureNames) s"${vj.view.name}__$f" else f).flatMap { o =>
+          if (seen.contains(o)) Some(o) else { seen += o; None }
+        }
+      }
+      require(clashes.isEmpty,
+        s"output feature name(s) ${clashes.mkString(", ")} collide with an " +
+          "entity column or another view's feature — set " +
+          "fullFeatureNames=true or rename the feature")
+    }
 
     // All views on TimestampType columns with collision-free feature
     // names: CHAIN full-width sort-merge as-of merges ([[graft.plans
@@ -170,7 +190,7 @@ object PointInTimeJoin {
     * may be a SUPERSET of the true bounds (filters are traced through,
     * not applied) — safe because the window only prunes candidates the
     * per-row as-of predicate would reject anyway. */
-  private def entityBounds(
+  private[operators] def entityBounds(
       entity: DataFrame, entityTsCol: String): (java.sql.Timestamp, java.sql.Timestamp) =
     graft.sources.FooterBounds.tsBounds(entity, entityTsCol).getOrElse {
       val Array(b) = entity.agg(
@@ -220,7 +240,15 @@ object PointInTimeJoin {
     val tsCol = vj.view.batchSource.eventTimestampColumn
     entity.schema(entityTsCol).dataType == TimestampType &&
       vj.featureDf.columns.contains(tsCol) &&
-      vj.featureDf.schema(tsCol).dataType == TimestampType
+      vj.featureDf.schema(tsCol).dataType == TimestampType &&
+      // join-key TYPE parity is an exec precondition (AsOfJoin.join
+      // fails loudly on e.g. int-vs-bigint keys, whose hash
+      // co-partitioning would otherwise silently miss every match);
+      // the declarative fallback plans the same keys through <=> with
+      // an implicit cast — so a mismatch is a ROUTING criterion, not
+      // an error
+      vj.joinKeys.forall(k => vj.featureDf.columns.contains(k) &&
+        entity.schema(k).dataType == vj.featureDf.schema(k).dataType)
   }
 
   /** Shared feature-side preparation (O5): directory-level date-partition
