@@ -67,6 +67,14 @@ object IntervalJoin {
     require(binWidthSec > 0, s"binWidthSec must be positive, got $binWidthSec")
     require(maxBinsPerInterval > 0,
       s"maxBinsPerInterval must be positive, got $maxBinsPerInterval")
+    // internal working names are claimed with withColumn — a caller
+    // column named __bin/__nbins would be silently replaced and then
+    // dropped from the output (the Packing reserved-name policy)
+    val clash = (probe.columns.filter(_ == "__bin") ++
+      intervals.columns.filter(c => c == "__bin" || c == "__nbins")).distinct
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with the interval " +
+        "join's internal working names — rename them first")
     val w = binWidthSec * 1000000L
 
     val probeB = probe.withColumn("__bin", binOfMicros(unix_micros(col(tsCol)), w))

@@ -44,7 +44,17 @@ object SkewJoin {
     require(Seq("inner", "left", "left_outer", "leftouter").contains(joinType.toLowerCase),
       s"salted join supports inner/left only (right replication would duplicate " +
         s"outer rows), got $joinType")
-    val salt = pmod(xxhash64(left.columns.toIndexedSeq.map(col): _*), lit(saltFactor.toLong))
+    // salt entropy from the HASHABLE left columns only: Spark refuses
+    // xxhash64 over MapType (unordered — no canonical hash), so a fact
+    // table carrying a map column crashed the whole salted join at
+    // analysis. An all-map frame degrades to salt 0 (valid join, no
+    // spread) rather than failing.
+    val hashable = left.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toIndexedSeq
+    val salt =
+      if (hashable.isEmpty) lit(0L)
+      else pmod(xxhash64(hashable: _*), lit(saltFactor.toLong))
     val l = left.withColumn("__graft_salt", salt)
     val r = right.withColumn("__graft_salt",
       explode(sequence(lit(0L), lit(saltFactor - 1L))))

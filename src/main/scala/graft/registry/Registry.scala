@@ -89,9 +89,14 @@ class Registry(path: Option[String] = None, cacheTtl: Duration = Duration.ofSeco
   private def mutate(f: RegistryState => RegistryState): Unit = synchronized {
     withFileLock {
       val base = if (path.isDefined) load().getOrElse(RegistryState()) else state
-      state = f(base).copy(versionId = java.util.UUID.randomUUID().toString)
+      val next = f(base).copy(versionId = java.util.UUID.randomUUID().toString)
+      // persist FIRST: a failed write must leave this instance serving
+      // the old state (assigning before persist let a thrown persist
+      // hand reads a registration the caller was told failed, for up
+      // to a full cache TTL)
+      persist(next)
+      state = next
       cachedAt = System.currentTimeMillis()
-      persist()
     }
   }
 
@@ -110,9 +115,24 @@ class Registry(path: Option[String] = None, cacheTtl: Duration = Duration.ofSeco
       // section — possible only if it held past lockStaleMs — but it
       // can no longer let a THIRD writer in on exit.
       val token = java.util.UUID.randomUUID().toString
+      def readToken(at: org.apache.hadoop.fs.Path): Option[String] =
+        try {
+          // full read, never a single read() — InputStream legally
+          // returns short on remote filesystems, and a short-read token
+          // mismatch made release leak its own live lock
+          val in = fs.open(at)
+          try Some(new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+          finally in.close()
+        } catch { case _: java.io.IOException => None }
+      // Wait out a full staleness window before giving up: a crashed
+      // holder's lock only becomes breakable after lockStaleMs, so an
+      // attempt budget shorter than that turned every mutate() in the
+      // interim into a hard failure instead of a wait.
+      val deadline = System.currentTimeMillis() + lockStaleMs + 5000L
       var attempt = 0
       var held = false
-      while (!held && attempt < 100) {
+      while (!held && System.currentTimeMillis() < deadline) {
         attempt += 1
         held =
           try {
@@ -128,43 +148,46 @@ class Registry(path: Option[String] = None, cacheTtl: Duration = Duration.ofSeco
               // contender A breaks it and creates a FRESH lock, then
               // B's delete removes A's fresh lock and two writers enter
               // the critical section. Breaking by ATOMIC RENAME to a
-              // unique tombstone makes exactly one breaker win; the
-              // winner then re-stats what it actually captured (mtime
-              // survives rename) and restores it if it turns out to be
-              // a fresh lock stolen in the observe->rename window.
+              // unique tombstone makes exactly one breaker win. The
+              // winner then identifies what it actually captured by the
+              // lock's TOKEN CONTENT — bytes survive any rename, unlike
+              // mtime, which object stores (S3A copy-rename) RESET on
+              // rename: the old mtime re-check concluded its own
+              // captured stale lock was "fresh", renamed it back with
+              // yet another fresh mtime, and livelocked the registry
+              // until manual cleanup. Same token as observed-stale →
+              // the crashed holder's lock: delete. Different token → a
+              // new claimant's fresh lock stolen in the observe->rename
+              // window: restore it (or drop the tombstone if the path
+              // was already re-claimed; the victim's guarded
+              // release-delete degrades to a no-op).
               try {
                 val st = fs.getFileStatus(lock)
                 if (System.currentTimeMillis() - st.getModificationTime > lockStaleMs) {
+                  val staleToken = readToken(lock)
                   val tomb = new org.apache.hadoop.fs.Path(
                     p + ".lock.breaking-" +
                       java.util.UUID.randomUUID().toString.take(8))
-                  if (fs.rename(lock, tomb)) {
-                    val got = fs.getFileStatus(tomb)
-                    if (System.currentTimeMillis() - got.getModificationTime > lockStaleMs)
-                      fs.delete(tomb, false) // confirmed stale: broken
+                  if (staleToken.isDefined && fs.rename(lock, tomb)) {
+                    if (readToken(tomb) == staleToken)
+                      fs.delete(tomb, false) // confirmed the stale lock: broken
                     else if (!fs.rename(tomb, lock))
-                      // captured a fresh lock AND the path was already
-                      // re-claimed: drop the tombstone; the victim's
-                      // release-delete degrades to a no-op
                       fs.delete(tomb, false)
                   }
                 }
               } catch { case _: java.io.FileNotFoundException => () }
-              Thread.sleep(25L)
+              Thread.sleep(50L)
               false
           }
       }
       if (!held) throw new java.io.IOException(
-        s"registry: could not acquire $lock after $attempt attempts")
+        s"registry: could not acquire $lock after $attempt attempts " +
+          s"over ${lockStaleMs + 5000L} ms")
       try body finally {
         // delete only while the lock still carries OUR token (see above)
-        try {
-          val in = fs.open(lock)
-          val buf = new Array[Byte](token.length + 1)
-          val n = in.read(buf); in.close()
-          if (n == token.length && new String(buf, 0, n, "UTF-8") == token)
-            fs.delete(lock, false)
-        } catch { case _: java.io.IOException => () } // stolen/broken: no-op
+        if (readToken(lock).contains(token))
+          try fs.delete(lock, false)
+          catch { case _: java.io.IOException => () } // stolen/broken: no-op
       }
   }
 
@@ -187,12 +210,12 @@ class Registry(path: Option[String] = None, cacheTtl: Duration = Duration.ofSeco
     * exists (live before the swap, the fresh install after) — deleting
     * it up front made the post-crash-recovery persist a double-crash
     * data-loss window (review r6); renames are checked. */
-  private def persist(): Unit = path.foreach { p =>
+  private def persist(toWrite: RegistryState): Unit = path.foreach { p =>
     val (fs, hp) = hadoopFs(p)
     val tmp = new org.apache.hadoop.fs.Path(p + ".tmp")
     val old = new org.apache.hadoop.fs.Path(p + ".old")
     val out = fs.create(tmp, true)
-    out.write(RegistryCodec.encode(state).render.getBytes("UTF-8"))
+    out.write(RegistryCodec.encode(toWrite).render.getBytes("UTF-8"))
     out.close()
     def renameOrThrow(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
       if (!fs.rename(src, dst))
@@ -324,7 +347,11 @@ object RegistryCodec {
       "event_timestamp_column" -> jstr(s.eventTimestampColumn),
       "created_timestamp_column" -> s.createdTimestampColumn.map(jstr).getOrElse(JNull),
       "field_mapping" -> JObj(s.fieldMapping.toVector.sortBy(_._1).map { case (k, v) => k -> jstr(v) }),
-      "max_files_per_trigger" -> s.maxFilesPerTrigger.map(n => Json.num(n.toLong)).getOrElse(JNull))
+      "max_files_per_trigger" -> s.maxFilesPerTrigger.map(n => Json.num(n.toLong)).getOrElse(JNull),
+      // reader options round-trip like FileSource's (r6 fix there): a
+      // reload that dropped header/cleanSource would silently ingest
+      // header rows as data / regrow the landing-dir listing
+      "options" -> JObj(s.options.toVector.sortBy(_._1).map { case (k, v) => k -> jstr(v) }))
     case d: DataFrameSource =>
       throw new IllegalArgumentException("DataFrameSource is in-memory only and cannot be registered")
   }
@@ -365,7 +392,8 @@ object RegistryCodec {
           s("event_timestamp_column"), opt("created_timestamp_column"), fm)
       case "file_stream" => FileStreamSource(s("path"), s("format"),
         s("event_timestamp_column"), opt("created_timestamp_column"), fm,
-        o.get("max_files_per_trigger").collect { case n @ (_: JNum | _: JInt) => Json.toLong(n).toInt })
+        o.get("max_files_per_trigger").collect { case n @ (_: JNum | _: JInt) => Json.toLong(n).toInt },
+        strMap("options"))
       case other => throw new IllegalArgumentException(s"unknown source kind $other")
     }
   }

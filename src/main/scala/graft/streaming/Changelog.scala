@@ -124,10 +124,26 @@ object Changelog {
       }
       0
     }
+    // deep equality: BinaryType values (GraftType.Bytes features)
+    // surface as Array[Byte], where Objects.equals is REFERENCE
+    // equality — every re-delivered unchanged bytes value would read
+    // as "changed" and the changelog would emit the full feed every
+    // batch, defeating the operator's change-suppression contract.
+    // Array-typed feature values generally (ArrayType columns surface
+    // as Seq, but nested binary elements are arrays again) compare
+    // element-wise via deepEq.
+    def deepEq(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+      case (x: Array[_], y: Array[_]) =>
+        x.length == y.length && x.indices.forall(i => deepEq(x(i), y(i)))
+      case (x: scala.collection.Seq[_], y: scala.collection.Seq[_]) =>
+        x.length == y.length && x.indices.forall(i => deepEq(x(i), y(i)))
+      case _ => java.util.Objects.equals(a, b)
+    }
     def valuesEqual(row: Row, st: Row): Boolean = {
       var i = 0
       while (i < valIdx.length) {
-        if (!java.util.Objects.equals(row.get(valIdx(i)), st.get(valInState(i))))
+        if (!deepEq(row.get(valIdx(i)), st.get(valInState(i))))
           return false
         i += 1
       }

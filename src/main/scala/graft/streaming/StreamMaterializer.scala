@@ -54,13 +54,13 @@ object StreamMaterializer {
         // save work only on the rare empty ones. Keys cast to entity
         // dtypes so bucket routing matches coerced reads.
         val toUpsert =
-          if (fs.onlineStore.wantsPreReduced) {
-            val (payload, ord, _) = graft.operators.PullLatest.lwwKeys(
-              tsCol, createdCol, view.featureNames)
-            batch.groupBy(keys.map(col): _*)
-              .agg(max_by(payload, ord).as("__latest"))
-              .select(keys.map(col) :+ col("__latest.*"): _*)
-          } else batch
+          if (fs.onlineStore.wantsPreReduced)
+            // THE batch-path operator, not an inline re-statement of it
+            // — one definition of the LWW collapse means the streaming
+            // and batch materialize paths cannot drift (review r11)
+            graft.operators.PullLatest.latestPerKey(
+              batch, keys, tsCol, createdCol, view.featureNames)
+          else batch
         fs.onlineStore.upsert(fs.project, view, keys,
           fs.castKeyColumns(toUpsert, view), tsCol, createdCol)
         ()

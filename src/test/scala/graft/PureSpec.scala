@@ -229,7 +229,16 @@ class PureSpec extends AnyFunSuite {
           FileSource("/data/y.parquet", "ts"),
           streamSource = Some(KinesisSource("us-east-1", "events-stream",
             StreamFormat.Avro("""{"type":"record","name":"r","fields":[]}"""), "ts",
-            fieldMapping = Map("src" -> "f3"))))),
+            fieldMapping = Map("src" -> "f3")))),
+        // FileStreamSource reader options must survive the round-trip
+        // (review r11: a reload that dropped header/cleanSource would
+        // silently ingest header rows as data)
+        "v3" -> FeatureView("v3", Seq("user"),
+          Seq(Feature("f4", GraftType.Dbl)), Duration.ZERO,
+          FileSource("/data/z.parquet", "ts"),
+          streamSource = Some(FileStreamSource("/landing/z", "csv", "ts",
+            maxFilesPerTrigger = Some(2),
+            options = Map("header" -> "true", "cleanSource" -> "delete"))))),
       services = Map("svc" -> FeatureService("svc",
         Seq(FeatureViewProjection("v1", Seq("f1"))))),
       materializations = Map("v1" -> Seq(MaterializationInterval(

@@ -358,6 +358,35 @@ class StreamingSpec extends AnyFunSuite {
       s"changelog must emit exactly the transitions, got $got")
   }
 
+  test("changelog: BINARY feature values compare by content, not reference (review r11)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Row.get on a BinaryType column yields a fresh Array[Byte] per
+    // deserialized row — reference equality read every re-delivered
+    // unchanged blob as "changed" and the changelog re-emitted the
+    // full feed every batch
+    val input = MemoryStream[(Long, Timestamp, Long, Array[Byte])]
+    val chg = graft.streaming.Changelog.derive(
+      input.toDF().toDF("user_id", "ts", "event_id", "blob"),
+      "ts", Seq("user_id"), Seq("event_id"), Seq("blob"),
+      watermarkDelay = "365 days", stateTtl = Duration.ofDays(365))
+    val q = chg.writeStream.outputMode("append")
+      .format("memory").queryName("chg_bytes").start()
+    input.addData((1L, ts("2024-01-01 10:00:00"), 1L, Array[Byte](1, 2, 3)))
+    q.processAllAvailable()
+    // identical CONTENT, distinct array instance -> must be suppressed
+    input.addData((1L, ts("2024-01-01 11:00:00"), 2L, Array[Byte](1, 2, 3)))
+    q.processAllAvailable()
+    // changed content -> must emit
+    input.addData((1L, ts("2024-01-01 12:00:00"), 3L, Array[Byte](9, 9)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("chg_bytes").select("event_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got === Set(1L, 3L),
+      s"unchanged bytes must suppress, changed bytes must emit — got $got")
+  }
+
   test("changelog: out-of-order row behind the frontier is dropped, not retro-inserted") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
