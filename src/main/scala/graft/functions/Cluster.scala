@@ -67,7 +67,11 @@ object Cluster {
       .select(col(labelCol).cast("long").as("__l"),
         posexplode(col(vecCol)).as(Seq("__p", "__v")))
       .groupBy("__l", "__p")
-      .agg(count(lit(1)).as("__n"), round(sum(col("__v").cast("double")), 6).as("__s"))
+      // count the non-null ELEMENTS, not the rows: sum() skips a null
+      // element but count(lit(1)) counted it, biasing that dimension's
+      // centroid toward zero — while the same vector is excluded from
+      // scoring as undefined (review r11)
+      .agg(count(col("__v")).as("__n"), round(sum(col("__v").cast("double")), 6).as("__s"))
       .select(col("__l"), col("__p"), round(col("__s") / col("__n"), 6).as("__c"))
       .collect()
       .groupBy(_.getLong(0))

@@ -52,10 +52,16 @@ object Encoding {
         s"targetEncodeOof needs an integral/boolean target (exact sums); " +
           s"'$targetCol' is $t — bin or round it explicitly first")
     }
+    // the pair grain comes from the UNFILTERED frame: a (category,
+    // fold) whose rows all carry null targets is still a real holdout
+    // cell (its encoding derives from the OTHER folds) — pre-filtering
+    // dropped its encoding-table row entirely and left those holdout
+    // rows unencoded (review r11). Null targets contribute to neither
+    // count nor sum.
     val cf = df
-      .filter(col(targetCol).isNotNull)
       .groupBy(col(catCol).as("category"), col(foldCol).as("fold"))
-      .agg(count(lit(1)).as("__n_cf"), sum(col(targetCol).cast("long")).as("__s_cf"))
+      .agg(count(col(targetCol)).as("__n_cf"),
+        coalesce(sum(col(targetCol).cast("long")), lit(0L)).as("__s_cf"))
 
     // everything below operates on the category×fold-grain frame
     val totals = cf.groupBy("category")

@@ -53,7 +53,19 @@ object Eval {
       .agg(sum("__pos").as("n_pos"), sum("__neg").as("n_neg"),
         sum(col("__pos") * (lit(2L) * col("__negBelow") + col("__neg")))
           .as("auc_num2"))
-      .select(col("n_pos"), col("n_neg"), col("auc_num2"),
+      // exact-BIGINT range guard (the systematicWeightedSample
+      // policy): auc_num2's maximum is 2·n_pos·n_neg — past
+      // Long.MaxValue that sum wraps silently under ANSI-off and an
+      // AUC outside [0, 1] emerges with no error (ANSI-on throws an
+      // opaque ARITHMETIC_OVERFLOW mid-aggregation). The division form
+      // of the check cannot itself overflow.
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_neg") > 0L &&
+            col("n_pos") > lit(Long.MaxValue / 2L) / col("n_neg"),
+          raise_error(lit("aucExact: n_pos*n_neg exceeds the exact-BIGINT " +
+            "pair range (~4.6e18) — sample the scores before exact AUC"))
+            .cast("long"))
+          .otherwise(col("auc_num2")).as("auc_num2"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
           round(col("auc_num2").cast("double") /
             (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
@@ -78,10 +90,21 @@ object Eval {
     // the top bin (review r6)
     val bin = greatest(
       least(floor(scoreCol * nBins).cast("long"), lit(nBins - 1L)), lit(0L))
-    df.filter(scoreCol.isNotNull && labelCol.isNotNull)
+    // a label that does not cast to boolean (e.g. 'pos'/'neg' strings)
+    // silently nulled out of n_pos while still counted in n, deflating
+    // frac_pos with no error — fail per-row instead (the Encoding r6
+    // loud-cast policy). NaN scores are excluded like nulls: floor(NaN)
+    // lands in bin 0 on Spark and diverges on other engines, and a
+    // single NaN poisons the bin's mean_score.
+    val yb = when(labelCol.isNotNull && labelCol.cast("boolean").isNull,
+      raise_error(lit("calibrationBins: label value does not cast to " +
+        "boolean — binarize the label explicitly first")).cast("boolean"))
+      .otherwise(labelCol.cast("boolean"))
+    df.filter(scoreCol.isNotNull && labelCol.isNotNull &&
+        !isnan(scoreCol.cast("double")))
       .groupBy(bin.as("bin"))
       .agg(count(lit(1)).as("n"),
-        sum(labelCol.cast("boolean").cast("long")).as("n_pos"),
+        sum(yb.cast("long")).as("n_pos"),
         round(sum(scoreCol), 6).as("__ss"))
       .select(col("bin"), col("n"), col("n_pos"),
         round(col("n_pos").cast("double") / col("n"), 6).as("frac_pos"),
@@ -142,7 +165,11 @@ object Eval {
     * without materializing the spine. Both statistics are fixed-order
     * expressions over integer counts (marginals re-aggregate from the
     * contingency frame — cell-count-sized, not data-sized). Null
-    * categories are their own level (like [[Drift.categoricalPsi]]).
+    * categories are their own level (like [[Drift.categoricalPsi]]),
+    * REPRESENTED by the "<null>" sentinel — a column that also carries
+    * the literal string "<null>" (CSV/JSON-laundered data) has those
+    * two levels MERGED into one cell; pre-map such values if the
+    * distinction matters.
     *
     * @return one row: (n, n_cells, mi, chi2)
     */

@@ -36,11 +36,21 @@ object AggState {
         min(col(valueCol)).as("min"),
         max(col(valueCol)).as("max"))
 
-  /** Merge two state tables (either may have keys the other lacks). */
+  /** Merge two state tables (either may have keys the other lacks).
+    * Key columns are INFERRED as everything outside [[StateCols]] — so
+    * both sides must carry exactly (keys ++ StateCols): a stray extra
+    * column (a leftover updated_at stamp, a partition column) would
+    * silently become a grouping key and break per-key uniqueness. The
+    * schema-equality require makes that loud. */
   def merge(state: DataFrame, delta: DataFrame): DataFrame = {
     require(StateCols.forall(state.columns.contains) &&
       StateCols.forall(delta.columns.contains),
       s"state tables need columns $StateCols")
+    require(state.columns.sorted.sameElements(delta.columns.sorted),
+      s"state/delta column sets differ (${state.columns.sorted.mkString(",")} " +
+        s"vs ${delta.columns.sorted.mkString(",")}) — every non-state column " +
+        "is treated as a key, so a stray column would silently change the " +
+        "key grain; project both sides to (keys ++ cnt,sum,min,max) first")
     val keys = state.columns.filterNot(StateCols.contains).toSeq
     state.unionByName(delta)
       .groupBy(keys.map(col): _*)

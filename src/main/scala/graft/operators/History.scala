@@ -46,6 +46,9 @@ object History {
       attrs: Seq[String],
       tieBreaks: Seq[String] = Nil): DataFrame = {
     require(attrs.nonEmpty, "scd2 needs at least one tracked attribute")
+    require(!df.columns.contains("__chg"),
+      "input column '__chg' collides with scd2's internal change flag — " +
+        "rename it first (it would be silently replaced and dropped)")
     val ord: Seq[Column] = (tsCol +: tieBreaks).map(col)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
     // change flag: any tracked attr differs null-safely from the
@@ -92,6 +95,13 @@ object History {
       tieBreaks: Seq[String] = Nil,
       aggs: Seq[Column] = Nil): DataFrame = {
     require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    // session_idx is an OUTPUT column; a pre-existing one (e.g. the
+    // result of a prior sessionize joined back to events) would be
+    // silently replaced, and __cut is an internal working name
+    val clash = df.columns.filter(c => c == "__cut" || c == "session_idx")
+    require(clash.isEmpty,
+      s"input column(s) ${clash.mkString(", ")} collide with sessionize's " +
+        "output/working names — rename them first")
     val ord: Seq[Column] = (tsCol +: tieBreaks).map(col)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
     val prevTs = lag(col(tsCol), 1).over(w)

@@ -113,10 +113,12 @@ object TabularQueries {
   val targetEncodeSql: String =
     s"""WITH base AS (
        |  SELECT event_type AS category, user_id % 5 AS fold,
-       |         CAST(floor(value) AS BIGINT) AS t
-       |  FROM events WHERE value IS NOT NULL),
+       |         CASE WHEN value IS NOT NULL
+       |              THEN CAST(floor(value) AS BIGINT) END AS t
+       |  FROM events),
        |cf AS (
-       |  SELECT category, fold, count(*) AS n_cf, sum(t) AS s_cf
+       |  SELECT category, fold, count(t) AS n_cf,
+       |         coalesce(sum(t), 0) AS s_cf
        |  FROM base GROUP BY 1, 2),
        |tot AS (SELECT category, CAST(sum(n_cf) AS BIGINT) AS n_c,
        |               CAST(sum(s_cf) AS BIGINT) AS s_c
@@ -128,8 +130,9 @@ object TabularQueries {
        |         round((CAST(tot.s_c - cf.s_cf AS DOUBLE) + $TeSmoothing * pr.prior)
        |               / (CAST(tot.n_c - cf.n_cf AS DOUBLE) + $TeSmoothing), 6)
        |       END AS encoding
-       |FROM cf JOIN tot USING (category) CROSS JOIN pr
-       |ORDER BY category, fold""".stripMargin
+       |FROM cf JOIN tot ON cf.category IS NOT DISTINCT FROM tot.category
+       |CROSS JOIN pr
+       |ORDER BY cf.category, cf.fold""".stripMargin
 
   // ---- golden-record survivorship -------------------------------------
 
@@ -268,8 +271,9 @@ object TabularQueries {
     """WITH sc AS (
       |  SELECT LEAST(value, 30.0) / 30.0 AS s,
       |         event_type = 'purchase' AS y
-      |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL)
-      |SELECT LEAST(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+      |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      |    AND NOT isnan(CAST(value AS DOUBLE)))
+      |SELECT GREATEST(LEAST(CAST(floor(s * 10) AS BIGINT), 9), 0) AS bin,
       |       count(*) AS n,
       |       CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
       |       round(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)

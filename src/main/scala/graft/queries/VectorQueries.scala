@@ -769,7 +769,7 @@ object VectorQueries {
     """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
       |                  embedding::DOUBLE[] AS v FROM embeddings),
       |cent AS (
-      |  SELECT label, pos, round(round(SUM(v), 6) / COUNT(*), 6) AS c
+      |  SELECT label, pos, round(round(SUM(v), 6) / COUNT(v), 6) AS c
       |  FROM (SELECT label, CAST(generate_subscripts(v, 1) AS INT) AS pos,
       |               unnest(v) AS v
       |        FROM e)
