@@ -22,7 +22,16 @@ object ZOrder {
   /** Morton-interleave the low `bits` bits of two non-negative integer
     * columns: result bit 2i is a's bit i, bit 2i+1 is b's bit i.
     * Callers clamp/scale inputs into [0, 2^bits) first (masking keeps
-    * the expression total on dirty data). */
+    * the expression total on dirty data).
+    *
+    * DELIBERATE TWIN of [[graft.sources.ZOrder.zValueN]] with a
+    * different dirty-data contract: this form is TOTAL (caller masks,
+    * out-of-range silently wraps — the analytics-expression shape),
+    * while the sources variant RAISES on out-of-range dims because it
+    * decides durable file layout, where silent aliasing quietly
+    * destroys the cubic clustering of written data. Do not merge them
+    * without picking one contract: layouts already written with one
+    * bit order must keep reading with it. */
   def interleave(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     (0 until bits).map { i =>

@@ -169,10 +169,20 @@ object SourceReader {
       case t: TableSource => spark.table(t.table)
       case q: QuerySource => spark.sql(q.query)
       case d: DataFrameSource => d.df
-      case s: FileStreamSource => cachedFileRel(spark, s.format, s.path, Map.empty)
+      // the declared reader options apply to the batch view too:
+      // inferring a csv/header source without them reads header rows
+      // as data and misnames every column (review r11)
+      case s: FileStreamSource => cachedFileRel(spark, s.format, s.path, s.options)
       case k: KafkaSource =>
         throw new IllegalArgumentException(
           s"Kafka source ${k.topic} is stream-only; use graft.streaming")
+      case k: KinesisSource =>
+        // a descriptive error, not a MatchError: Kinesis is declarative
+        // registry metadata (like the reference), with no batch view
+        throw new IllegalArgumentException(
+          s"Kinesis source ${k.streamName} is stream-only declarative " +
+            "metadata; no batch read exists (and this environment ships " +
+            "no Kinesis connector)")
     }
     applyFieldMapping(graft.sources.Tables.normalize(raw, Nil), source.fieldMapping)
   }
@@ -182,8 +192,12 @@ object SourceReader {
     case s: FileStreamSource =>
       // schema from the cached batch relation — re-inferring per call
       // re-paid the listing + footer read every time a stream starts
-      // over the same immutable replay dir
-      val schema = cachedFileRel(spark, s.format, s.path, Map.empty).schema
+      // over the same immutable replay dir. Inference runs WITH the
+      // declared reader options: inferring csv without header=true
+      // named the columns _c0.._cN and typed everything string, then
+      // handed that schema to a stream that DOES apply the options
+      // (review r11)
+      val schema = cachedFileRel(spark, s.format, s.path, s.options).schema
       val rdr = spark.readStream.schema(schema).format(s.format).options(s.options)
       val withOpt = s.maxFilesPerTrigger.fold(rdr)(n => rdr.option("maxFilesPerTrigger", n))
       // normalize like the BATCH path (NTZ -> session TimestampType):

@@ -36,13 +36,54 @@ object Bucketing {
     // sortBy order (multi-file buckets force a Sort below SMJ — Spark
     // only trusts per-file order) and avoids the
     // files-per-bucket-per-writer small-file explosion at scale.
+    //
+    // STAGED publication, like every other graft durable write: a
+    // direct mode(overwrite) saveAsTable deletes the live data BEFORE
+    // writing, and under the session's v2 committer (Tables.configure)
+    // task output is visible before job commit — a crash mid-write
+    // destroyed the only copy and left a torn file set readable
+    // (review r11). Data is written to a staged dir under a staging
+    // catalog name, the dir is swapped in with CHECKED renames
+    // (the StagedWrite dance), then the catalog entry swaps —
+    // metadata-only, the bucket spec rides along. The only crash
+    // residue is a staging table/dir (inspectable) or a brief
+    // table-name gap between DROP and RENAME; the data dir is never
+    // torn.
+    val spark = df.sparkSession
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val stagePathS = s"$path.stage-$uid"
+    val stageTable = s"${table}_stage_$uid"
     df.repartition(buckets, keys.map(org.apache.spark.sql.functions.col): _*)
-      .write.mode("overwrite")
-      .option("path", path)
+      .write.mode("errorifexists")
+      .option("path", stagePathS)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
-      .saveAsTable(table)
+      .saveAsTable(stageTable)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val stage = new org.apache.hadoop.fs.Path(stagePathS)
+    val aside = new org.apache.hadoop.fs.Path(path + ".old")
+    val fs = dest.getFileSystem(hconf)
+    def renameOrThrow(src: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path, what: String): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"writeBucketed: $what rename $src -> $dst failed")
+    if (fs.exists(aside)) { // heal a crashed predecessor's swap
+      if (!fs.exists(dest)) renameOrThrow(aside, dest, "crash-heal")
+      else fs.delete(aside, true)
+    }
+    if (fs.exists(dest)) {
+      renameOrThrow(dest, aside, "move-aside")
+      try renameOrThrow(stage, dest, "publish")
+      catch { case e: Throwable => fs.rename(aside, dest); throw e }
+      fs.delete(aside, true)
+    } else renameOrThrow(stage, dest, "publish")
+    def q(n: String) = n.split('.').map(p => s"`$p`").mkString(".")
+    spark.sql(s"ALTER TABLE ${q(stageTable)} SET LOCATION '${path.replace("'", "''")}'")
+    spark.sql(s"DROP TABLE IF EXISTS ${q(table)}")
+    spark.sql(s"ALTER TABLE ${q(stageTable)} RENAME TO ${q(table)}")
+    ()
   }
 
   def readBucketed(spark: SparkSession, table: String): DataFrame =

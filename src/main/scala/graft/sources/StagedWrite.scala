@@ -65,10 +65,15 @@ object StagedWrite {
       if (!fs.rename(src, dst))
         throw new java.io.IOException(
           s"StagedWrite: $what rename $src -> $dst failed")
-    // heal a crashed overwrite swap; sweep crashed staging dirs
+    // heal a crashed overwrite swap; sweep crashed staging dirs. The
+    // heal rename is CHECKED like every other rename here: ignoring a
+    // false return let an append that followed a crashed overwrite
+    // conclude "dest missing" and publish the append batch as the
+    // ENTIRE dataset, after which the next heal deleted the .old copy
+    // — the only surviving pre-crash data (review r11).
     val aside = new Path(destPath + ".old")
     if (fs.exists(aside)) {
-      if (!fs.exists(dest)) fs.rename(aside, dest)
+      if (!fs.exists(dest)) renameOrThrow(aside, dest, "crash-heal")
       else fs.delete(aside, true)
     }
     val parent = dest.getParent
@@ -76,9 +81,16 @@ object StagedWrite {
       val now = System.currentTimeMillis()
       fs.listStatus(parent).foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith(dest.getName + ".stage-") &&
-            now - newestMtime(fs, st.getPath) > stageStaleMs)
-          fs.delete(st.getPath, true)
+        // a concurrent writer can sweep (or finish publishing) the same
+        // stale dir mid-walk — a vanished subtree means someone else
+        // handled it, never a reason to abort THIS healthy write
+        val stale =
+          try n.startsWith(dest.getName + ".stage-") &&
+            now - newestMtime(fs, st.getPath) > stageStaleMs
+          catch { case _: java.io.FileNotFoundException => false }
+        if (stale)
+          try { fs.delete(st.getPath, true); () }
+          catch { case _: java.io.FileNotFoundException => () }
       }
     }
 

@@ -96,7 +96,10 @@ object Tables {
           // ns -> µs with truncating integer division (a double
           // division would lose precision above 2^53 ns); FooterBounds
           // mirrors this `div` exactly when pruning from footer stats
-          acc.withColumn(f.name, timestamp_micros(expr(s"${f.name} div 1000")))
+          // backquoted: a raw interpolation misparses names carrying
+          // operator chars ("a-b" -> subtraction) or dots (struct
+          // resolution); `div` itself has no Column-API form
+          acc.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000")))
         case TimestampNTZType =>
           acc.withColumn(f.name, col(f.name).cast(TimestampType))
         case _ => acc

@@ -84,7 +84,11 @@ object VersionedTable {
       append: Boolean = false, maxRetries: Int = 10): Int = {
     val (hfs, root) = fs(spark, dir)
     val (dataDir, written) = stage(hfs, root, df)
-    claimLoop(spark, hfs, root, dir, written, append, maxRetries, df.schema.toDDL)
+    // a commit that never claims a manifest must not leak its staged
+    // copy (each failed attempt otherwise parked a full batch on disk
+    // until vacuum — the failed-audit path already deletes)
+    try claimLoop(spark, hfs, root, dir, written, append, maxRetries, df.schema.toDDL)
+    catch { case e: Throwable => hfs.delete(dataDir, true); throw e }
   }
 
   /** Write-audit-publish (the WAP lakehouse pattern): stage the batch
@@ -115,8 +119,11 @@ object VersionedTable {
     val report = spark.createDataFrame(
       spark.sparkContext.parallelize(reportRows.toSeq, 1), reportDf.schema)
     if (reportRows.forall(_.getAs[Boolean]("pass")))
-      (Some(claimLoop(spark, hfs, root, dir, written, append, maxRetries,
-        df.schema.toDDL)), report)
+      (Some(
+        try claimLoop(spark, hfs, root, dir, written, append, maxRetries,
+          df.schema.toDDL)
+        catch { case e: Throwable => hfs.delete(dataDir, true); throw e }),
+        report)
     else {
       hfs.delete(dataDir, true)
       (None, report)
@@ -183,11 +190,19 @@ object VersionedTable {
         "appends until vacuum() clears it, or contention is extreme")
   }
 
-  /** Read a pinned `version`, or the latest valid one. */
+  /** Read a pinned `version`, or the latest valid one. Latest is
+    * resolved by the claimLoop's DESCENDING scan — first valid hit
+    * wins — not by validating every manifest ever committed: an
+    * append-heavy table (one manifest per micro-batch) otherwise paid
+    * O(total versions) manifest reads on every table resolve,
+    * forever (review r11). */
   def read(spark: SparkSession, dir: String, version: Option[Int] = None): DataFrame = {
     val (hfs, root) = fs(spark, dir)
-    val v = version.getOrElse(versions(spark, dir).lastOption.getOrElse(
-      throw new java.util.NoSuchElementException(s"no committed version at $dir")))
+    val v = version.getOrElse(
+      listedVersions(hfs, root).sorted.reverse.iterator
+        .find(cand => readManifest(hfs, root, cand).isDefined)
+        .getOrElse(
+          throw new java.util.NoSuchElementException(s"no committed version at $dir")))
     val m = readManifest(hfs, root, v).getOrElse(
       throw new java.util.NoSuchElementException(s"no valid manifest v$v at $dir"))
     if (m.files.isEmpty)

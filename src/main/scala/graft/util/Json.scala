@@ -140,7 +140,15 @@ object Json {
               case 'f' => sb.append('\f'); case 'n' => sb.append('\n')
               case 'r' => sb.append('\r'); case 't' => sb.append('\t')
               case 'u' =>
-                sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar); i += 4
+                // bounds + hex validated: a torn write truncating the
+                // file mid-escape must surface as the positioned parse
+                // error every other malformed input gets, not a raw
+                // StringIndexOutOfBounds / NumberFormatException
+                if (i + 5 > s.length) fail("eof in \\u escape")
+                val hex = s.substring(i + 1, i + 5)
+                if (!hex.forall(c => Character.digit(c, 16) >= 0))
+                  fail(s"bad \\u escape \\u$hex")
+                sb.append(Integer.parseInt(hex, 16).toChar); i += 4
               case c => fail(s"bad escape \\$c")
             }
             i += 1
