@@ -45,12 +45,20 @@ object SkewJoin {
       s"salted join supports inner/left only (right replication would duplicate " +
         s"outer rows), got $joinType")
     // salt entropy from the HASHABLE left columns only: Spark refuses
-    // xxhash64 over MapType (unordered — no canonical hash), so a fact
-    // table carrying a map column crashed the whole salted join at
-    // analysis. An all-map frame degrades to salt 0 (valid join, no
-    // spread) rather than failing.
+    // xxhash64 over MapType (unordered — no canonical hash) and the
+    // rejection is RECURSIVE — a map nested inside a struct or array
+    // column fails analysis just like a top-level map (ADVICE r11; the
+    // original fix filtered only top-level maps). An all-map frame
+    // degrades to salt 0 (valid join, no spread) rather than failing.
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def containsMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case ArrayType(et, _) => containsMap(et)
+      case st: StructType => st.fields.exists(f => containsMap(f.dataType))
+      case _ => false
+    }
     val hashable = left.schema.fields
-      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .filterNot(f => containsMap(f.dataType))
       .map(f => col(f.name)).toIndexedSeq
     val salt =
       if (hashable.isEmpty) lit(0L)

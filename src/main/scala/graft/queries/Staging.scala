@@ -36,16 +36,35 @@ object Staging {
     s"/tmp/graft_${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$raw@$tag"
   }
 
-  /** Build stamp folded into every fingerprint: mtime of the jar /
-    * classes dir this object loaded from. A rebuild re-stages even if
-    * the dataset is byte-identical — the staged values may embed the
-    * OLD build's arithmetic. 0 when the code source is unknowable
-    * (e.g. a bootstrap classloader), degrading to data-only keying. */
+  /** Build stamp folded into every fingerprint: mtime of THIS CLASS's
+    * own .class resource (jar entry or classes-dir file). A rebuild
+    * re-stages even if the dataset is byte-identical — the staged
+    * values may embed the OLD build's arithmetic. Keying off the
+    * class-file resource, not the code-source ROOT, matters for
+    * classes-directory classpaths (sbt dev/test runs): recompiling a
+    * nested .class does not touch the root dir's mtime, so a root
+    * stamp silently replayed a previous build's staged floats in dev
+    * (ADVICE r11). URLConnection.getLastModified resolves both
+    * protocols: the entry file's mtime under `file:`, the enclosing
+    * jar's entry/file time under `jar:`. 0 when unknowable (bootstrap
+    * classloader), degrading to data-only keying. */
   private val buildStamp: Long =
     try {
-      val src = getClass.getProtectionDomain.getCodeSource
-      if (src == null || src.getLocation == null) 0L
-      else new java.io.File(src.getLocation.toURI).lastModified
+      val res = getClass.getResource("Staging.class")
+      if (res == null) 0L
+      else {
+        val conn = res.openConnection()
+        conn.setUseCaches(false)
+        val t = conn.getLastModified
+        // jar entries can carry 0 timestamps (reproducible builds):
+        // fall back to the jar file itself, then to nothing
+        if (t != 0L) t
+        else {
+          val src = getClass.getProtectionDomain.getCodeSource
+          if (src == null || src.getLocation == null) 0L
+          else new java.io.File(src.getLocation.toURI).lastModified
+        }
+      }
     } catch { case _: Exception => 0L }
 
   /** Recursive (name, length, mtime) fingerprint — cheap (metadata

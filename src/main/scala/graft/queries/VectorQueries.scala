@@ -405,8 +405,8 @@ object VectorQueries {
     val cb: Array[Array[Float]] = s.read.parquet(cbStage)
       .orderBy("aidx").select("aemb").collect()
       .map(_.getSeq[Float](0).toArray)
-    ivfTrainedCellStage = cellStage
-    ivfTrainedCbStage = cbStage
+    ivfTrainedCellStage = Some(cellStage)
+    ivfTrainedCbStage = Some(cbStage)
     val q = e.filter(col("vec_id") < AdcQ)
     graft.functions.Similarity.ivfPqTopK(
         q, "vec_id", "embedding", e, "vec_id", "embedding",
@@ -418,10 +418,12 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
-  @volatile private var ivfTrainedCellStage =
-    Staging.pathFor("/root/testdata/sf0.01", "ivf_cells_v1", "embeddings.parquet")
-  @volatile private var ivfTrainedCbStage =
-    Staging.pathFor("/root/testdata/sf0.01", "pq_codebook_v1", "embeddings.parquet")
+  // None until annIvfPqTrained pins them to ITS dataset's stages: a
+  // hardcoded default (pre-r12) let an oracle dump that preceded the
+  // query run silently read another dataset's — or a nonexistent —
+  // stage instead of failing loudly (ADVICE r11)
+  @volatile private var ivfTrainedCellStage: Option[String] = None
+  @volatile private var ivfTrainedCbStage: Option[String] = None
 
   /** [[annIvfPqSql]]'s replay with the cells and codebook CTEs read
     * from the staged trained artifacts instead of derived from the
@@ -430,6 +432,12 @@ object VectorQueries {
     * identical folds. A def: stage paths resolve at dump time, after
     * the query run pinned them to its dataset. */
   def annIvfPqTrainedSql: String = {
+    // dump-before-run is a caller bug, not a silent cross-dataset read
+    val cellStage = ivfTrainedCellStage.getOrElse(throw new IllegalStateException(
+      "annIvfPqTrainedSql dumped before annIvfPqTrained ran — the oracle's " +
+        "staged cell/codebook paths are pinned by the query run"))
+    val cbStage = ivfTrainedCbStage.getOrElse(throw new IllegalStateException(
+      "annIvfPqTrainedSql dumped before annIvfPqTrained ran"))
     def diffSum(left: String, right: String): String =
       (1 to PqSubDim).map { d =>
         val idx = s"t.s * $PqSubDim + $d"
@@ -444,8 +452,8 @@ object VectorQueries {
     s"""WITH e AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM embeddings),
        |cells AS (
        |  SELECT cell_id, cell_vec::DOUBLE[] AS cv
-       |  FROM '$ivfTrainedCellStage/*.parquet'),
-       |cb AS (SELECT aidx, aemb FROM '$ivfTrainedCbStage/*.parquet'),
+       |  FROM '$cellStage/*.parquet'),
+       |cb AS (SELECT aidx, aemb FROM '$cbStage/*.parquet'),
        |assigned AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT e.vec_id, cells.cell_id AS cell,

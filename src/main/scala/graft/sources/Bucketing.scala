@@ -53,6 +53,36 @@ object Bucketing {
     val uid = java.util.UUID.randomUUID().toString.take(8)
     val stagePathS = s"$path.stage-$uid"
     val stageTable = s"${table}_stage_$uid"
+    // Crash-residue sweep on entry (ADVICE r11 — this path previously
+    // leaked a `<path>.stage-<uid>` dir AND a `<table>_stage_<uid>`
+    // catalog entry forever if the JVM died before the swap): stale
+    // staged DIRS go first (StagedWrite's age-guarded sweep — same
+    // naming scheme, same live-writer guard), then catalog entries
+    // whose staged dir no longer exists are orphans and are dropped.
+    // The dir-existence check alone would race THIS function's own
+    // publish window (between the data rename and ALTER SET LOCATION
+    // the live stage table's dir is already gone), so entries younger
+    // than the stale window are never touched.
+    locally {
+      val hconf0 = spark.sparkContext.hadoopConfiguration
+      val dest0 = new org.apache.hadoop.fs.Path(path)
+      val fs0 = dest0.getFileSystem(hconf0)
+      StagedWrite.sweepStaleStages(fs0, dest0)
+      val cat = spark.sessionState.catalog
+      val (db, bare) = table.lastIndexOf('.') match {
+        case -1 => (cat.getCurrentDatabase, table)
+        case i => (table.substring(0, i), table.substring(i + 1))
+      }
+      try cat.listTables(db, s"${bare}_stage_*").foreach { ident =>
+        try {
+          val meta = cat.getTableMetadata(ident)
+          val loc = new org.apache.hadoop.fs.Path(meta.location)
+          val old = System.currentTimeMillis() - meta.createTime > StagedWrite.stageStaleMs
+          if (old && !fs0.exists(loc))
+            cat.dropTable(ident, ignoreIfNotExists = true, purge = false)
+        } catch { case _: Exception => () } // raced: someone else handled it
+      } catch { case _: Exception => () }   // db listing unavailable: skip sweep
+    }
     df.repartition(buckets, keys.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("errorifexists")
       .option("path", stagePathS)

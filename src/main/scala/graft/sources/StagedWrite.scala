@@ -41,6 +41,32 @@ object StagedWrite {
     * fresh leaf quickly. */
   private[graft] val stageStaleMs: Long = 10 * 60 * 1000L
 
+  /** Sweep crash debris: `<dest>.stage-*` siblings whose newest tree
+    * mtime is older than [[stageStaleMs]]. Shared with
+    * [[Bucketing.writeBucketed]], whose staged dirs follow the same
+    * naming and previously leaked forever on a pre-swap crash
+    * (ADVICE r11). A concurrent writer can sweep (or finish
+    * publishing) the same stale dir mid-walk — a vanished subtree
+    * means someone else handled it, never a reason to abort THIS
+    * healthy write. */
+  private[graft] def sweepStaleStages(
+      fs: org.apache.hadoop.fs.FileSystem, dest: Path): Unit = {
+    val parent = dest.getParent
+    if (parent != null && fs.exists(parent)) {
+      val now = System.currentTimeMillis()
+      fs.listStatus(parent).foreach { st =>
+        val n = st.getPath.getName
+        val stale =
+          try n.startsWith(dest.getName + ".stage-") &&
+            now - newestMtime(fs, st.getPath) > stageStaleMs
+          catch { case _: java.io.FileNotFoundException => false }
+        if (stale)
+          try { fs.delete(st.getPath, true); () }
+          catch { case _: java.io.FileNotFoundException => () }
+      }
+    }
+  }
+
   /** Newest modification time in the tree under `p`. */
   private def newestMtime(fs: org.apache.hadoop.fs.FileSystem, p: Path): Long = {
     val st = fs.getFileStatus(p)
@@ -76,23 +102,7 @@ object StagedWrite {
       if (!fs.exists(dest)) renameOrThrow(aside, dest, "crash-heal")
       else fs.delete(aside, true)
     }
-    val parent = dest.getParent
-    if (parent != null && fs.exists(parent)) {
-      val now = System.currentTimeMillis()
-      fs.listStatus(parent).foreach { st =>
-        val n = st.getPath.getName
-        // a concurrent writer can sweep (or finish publishing) the same
-        // stale dir mid-walk — a vanished subtree means someone else
-        // handled it, never a reason to abort THIS healthy write
-        val stale =
-          try n.startsWith(dest.getName + ".stage-") &&
-            now - newestMtime(fs, st.getPath) > stageStaleMs
-          catch { case _: java.io.FileNotFoundException => false }
-        if (stale)
-          try { fs.delete(st.getPath, true); () }
-          catch { case _: java.io.FileNotFoundException => () }
-      }
-    }
+    sweepStaleStages(fs, dest)
 
     val staging = new Path(destPath + ".stage-" +
       java.util.UUID.randomUUID().toString.take(8))

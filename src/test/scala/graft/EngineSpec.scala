@@ -579,6 +579,16 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.operators.SkewJoin.salted(left, right, Seq("k"), 8, "right")
     }
+    // NESTED maps (struct<…, map>, array<map>) are rejected by xxhash64
+    // just like top-level maps (ADVICE r11) — the salt must skip them
+    // rather than fail analysis, and still join correctly
+    val nested = left
+      .withColumn("s", struct(col("v").as("d"), map(lit("a"), col("v")).as("m")))
+      .withColumn("am", array(map(lit("b"), col("v"))))
+    val saltedNested = graft.operators.SkewJoin.salted(nested, right, Seq("k"), 8, "inner")
+    val plainNested = nested.join(right, Seq("k"), "inner")
+    assert(saltedNested.count() === plainNested.count())
+    assert(saltedNested.queryExecution.executedPlan.toString.contains("__graft_salt"))
   }
 
   test("ZOrder: Morton interleave correct; z-layout prunes row groups on BOTH dims, linear on one") {

@@ -306,6 +306,57 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("writeBucketed sweeps a crashed predecessor's stage dir and orphaned catalog entry") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bkt_crash").toString
+    val path = s"$tmp/t"
+    // crash residue 1: a staged DATA dir from a writer that died before
+    // the swap, old enough to clear the live-writer age guard
+    val staleDir = new java.io.File(s"$path.stage-deadbeef")
+    assert(staleDir.mkdirs())
+    val staleFile = new java.io.File(staleDir, "part-0.parquet")
+    java.nio.file.Files.write(staleFile.toPath, Array[Byte](1, 2, 3))
+    val old = System.currentTimeMillis() - graft.sources.StagedWrite.stageStaleMs - 60000
+    assert(staleFile.setLastModified(old) && staleDir.setLastModified(old))
+    // crash residue 2: the same writer's catalog entry, pointing at a
+    // staged dir that no longer exists (swept / never written)
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    val cat = spark.sessionState.catalog
+    val orphan = TableIdentifier("graft_bkt_crash_t_stage_cafe0000")
+    cat.createTable(CatalogTable(
+      identifier = orphan,
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new java.net.URI(s"file:$tmp/vanished"))),
+      schema = new org.apache.spark.sql.types.StructType()
+        .add("user_id", "long").add("value", "double"),
+      provider = Some("parquet"),
+      createTime = old), ignoreIfExists = false)
+    // a FRESH entry with a missing dir must survive (it could be a live
+    // writer inside its own publish window)
+    val young = TableIdentifier("graft_bkt_crash_t_stage_cafe1111")
+    cat.createTable(CatalogTable(
+      identifier = young,
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new java.net.URI(s"file:$tmp/also_vanished"))),
+      schema = new org.apache.spark.sql.types.StructType().add("user_id", "long"),
+      provider = Some("parquet")), ignoreIfExists = false)
+    try {
+      val df = (0 until 100).map(i => (i.toLong % 7, i * 1.0)).toDF("user_id", "value")
+      graft.sources.Bucketing.writeBucketed(df, path, "graft_bkt_crash_t", Seq("user_id"), 4)
+      assert(!staleDir.exists(), "stale stage dir must be swept on entry")
+      assert(!cat.tableExists(orphan), "orphaned old stage catalog entry must be dropped")
+      assert(cat.tableExists(young), "fresh stage entry (possible live writer) must survive")
+      assert(graft.sources.Bucketing.readBucketed(spark, "graft_bkt_crash_t").count() == 100)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_crash_t")
+      spark.sql(s"DROP TABLE IF EXISTS ${young.table}")
+      spark.sql(s"DROP TABLE IF EXISTS ${orphan.table}")
+    }
+  }
+
   test("packShards: no unpartitioned window over the data — only over per-slice totals") {
     import spark.implicits._
     val df = (0 until 200).map(i => (i.toLong, 10L)).toDF("id", "tok")
