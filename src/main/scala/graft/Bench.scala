@@ -158,8 +158,14 @@ object Bench {
     // (ann_brute_force), 0.195->0.180 s (agg_pushdown) on identical
     // plans. Multi-stage adaptive shapes (dedup pipeline, store
     // queries, streaming) keep session AQE on, which wins net there.
-    val staticPlan = Set("q_pit_join_single", "q_pit_join_multi",
-      "q_agg_pushdown", "q_window_topk", "q_ann_brute_force")
+    // (r12: the PIT pair no longer needs the bench-side conf flip — the
+    // ENGINE re-roots its static as-of shapes onto an AQE-off session
+    // clone itself, graft.plans.StaticPlan, so a default-session user
+    // gets the same plan this bench measures. The three remaining
+    // members are generic DataFrame queries with no engine operator to
+    // own the policy; the per-job conf here is the documented
+    // deployment conf, same as before.)
+    val staticPlan = Set("q_agg_pushdown", "q_window_topk", "q_ann_brute_force")
     // Prepared-plan reuse (PlanReuseProbe-measured: ~0.2 s/run of pure
     // Catalyst re-construction + re-analysis on ann/window_topk, ~0.05 s
     // on the PIT pair): the side-effect-free declarative queries build
@@ -174,64 +180,185 @@ object Bench {
     // DATA, e.g. q_dedup_minhash's persisted shingles).
     val reusablePlan = Set("q_pit_join_single", "q_pit_join_multi",
       "q_agg_pushdown", "q_window_topk", "q_ann_brute_force", "q_text_stats")
-    val results = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        // JMH-style inter-iteration hygiene: prior queries leave dead
-        // broadcast blocks / codegen classes / store caches in old gen,
-        // and a major GC landing INSIDE a later query's timed region
-        // was measured billing it up to ~4 s of alien garbage
-        // (q_text_stats: 0.9 s isolated, 3-4.8 s when timed last).
-        // Collect the garbage between queries so each timed region
-        // pays only its own allocation.
-        System.gc()
-        if (staticPlan(name)) spark.conf.set("spark.sql.adaptive.enabled", "false")
-        var prepared: DataFrame = null
-        def once(fresh: Boolean): Double = {
-          val t0 = System.nanoTime()
-          val ok = try {
-            val df = if (!fresh && prepared != null) prepared else {
-              val d = fn(spark, sfDir)
-              if (reusablePlan(name) && !fresh) prepared = d
-              d
-            }
-            force(df); true
-          } catch { case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-        }
-        val cold = once(fresh = false)
-        val timed =
-          if (cold >= 0) Seq(once(false), once(false)).filter(_ >= 0) else Nil
-        // No-reuse counterpart (r9 VERDICT #1: the artifact must carry
-        // BOTH accountings): two extra runs that re-CONSTRUCT the
-        // DataFrame each time, so Catalyst re-analysis is billed per
-        // run exactly as DuckDB re-parses per execute(). Non-reusable
-        // queries already construct fresh every run — steady IS their
-        // no-reuse number.
-        val noreuseRuns =
-          if (cold >= 0 && reusablePlan(name))
-            Seq(once(fresh = true), once(fresh = true)).filter(_ >= 0)
-          else Nil
-        if (staticPlan(name)) spark.conf.set("spark.sql.adaptive.enabled",
-          sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-        val steady =
-          if (cold < 0) -1.0
-          else if (timed.isEmpty) cold
-          else (cold +: timed).min
-        val noreuse =
-          if (cold < 0) -1.0
-          else if (!reusablePlan(name)) steady
-          // cold also constructed fresh, so it belongs in this min
-          else (cold +: noreuseRuns).min
-        (name, steady, cold, noreuse)
+    // ---- machine-checkable floors (VERDICT r11 #2): measured in THIS
+    // session, so the artifact can be read as work-above-floor vs
+    // DuckDB. floor_s[q] = jobs[q] × dispatchFloor + batches[q] ×
+    // streamBatchFloor, with jobs/batches counted on a warm steady run
+    // of q and both unit floors probed below.
+    val jobCounter = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCounter.incrementAndGet(); ()
       }
+    })
+    val batchCounter = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        batchCounter.incrementAndGet(); ()
+      }
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
+    // per-JOB dispatch floor: the smallest forcible query (one job, one
+    // task) through the same noop-write machinery the timed runs use
+    val dispatchFloor = {
+      val probe = spark.range(1).toDF("graft_floor_probe")
+      force(probe)
+      (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); force(probe); (System.nanoTime() - t0) / 1e9
+      }.min
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+    // per-BATCH streaming framework floor: noop AvailableNow over 8
+    // one-file triggers (offset/commit WAL + per-batch planning +
+    // listing), start cost amortized across the batches — the
+    // StreamFloor probe's method, run in-session
+    val streamBatchFloor = try {
+      val in = s"/tmp/graft_bench_floor_in8"
+      if (!new java.io.File(s"$in/_SUCCESS").exists()) {
+        import spark.implicits._
+        (0 until 64).map(i => (i.toLong, i.toDouble)).toDF("k", "v")
+          .repartition(8).write.mode("overwrite").parquet(in)
+      }
+      val ckpt = s"/tmp/graft_bench_floor_ck_${java.util.UUID.randomUUID().toString.take(8)}"
+      val t0 = System.nanoTime()
+      val q = spark.readStream.format("parquet")
+        .schema(spark.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", 1).load(in)
+        .writeStream.outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (_: DataFrame, _: Long) => () }
+        .start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      locally { // reap the probe checkpoint (bounded: one dir per bench run)
+        def rm(f: java.io.File): Unit = {
+          val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+        }
+        rm(new java.io.File(ckpt))
+      }
+      wall / 8.0
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] stream floor probe failed: ${e.getMessage}"); 0.0
+    }
+
+    // ---- steady timing (JMH discipline), MEDIAN across engine passes
+    // (VERDICT r11 #3): each query still takes the min of its in-pass
+    // runs (min = the standard noise-free wall estimate; BENCH_r04
+    // recorded a 19.9 s GC spike a single-run bench would have
+    // published), and the headline value is now the MEDIAN of three
+    // full engine passes separated in time — one alien event (load
+    // spike, page-cache eviction) can land in at most one pass, so it
+    // can no longer masquerade as a per-query regression in the round's
+    // permanent record (r11's q_pit_join_multi 0.507 vs 0.346/0.378).
+    // Pass 0 additionally measures cold (one-time plan-shape costs,
+    // reported separately) and the no-reuse accounting; the last pass
+    // counts jobs/batches for the floor field.
+    class QState {
+      var prepared: DataFrame = null
+      var cold = -1.0
+      var noreuseMin = Double.MaxValue
+      val passMins = scala.collection.mutable.ArrayBuffer[Double]()
+      var jobs = 0L
+      var batches = 0L
+      var failed = false
+    }
+    val states = scala.collection.mutable.LinkedHashMap(
+      headline.filter(SparkEntry.queries.contains).map(n => n -> new QState): _*)
+    val passes = 3
+    for (pass <- 0 until passes; (name, st) <- states if !st.failed) {
+      val fn = SparkEntry.queries(name)
+      // JMH-style inter-iteration hygiene: prior queries leave dead
+      // broadcast blocks / codegen classes / store caches in old gen,
+      // and a major GC landing INSIDE a later query's timed region
+      // was measured billing it up to ~4 s of alien garbage
+      // (q_text_stats: 0.9 s isolated, 3-4.8 s when timed last).
+      System.gc()
+      if (staticPlan(name)) spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def once(fresh: Boolean): Double = {
+        val t0 = System.nanoTime()
+        val ok = try {
+          val df = if (!fresh && st.prepared != null) st.prepared else {
+            val d = fn(spark, sfDir)
+            if (reusablePlan(name) && !fresh) st.prepared = d
+            d
+          }
+          force(df); true
+        } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      if (pass == 0) {
+        st.cold = once(fresh = false)
+        if (st.cold < 0) st.failed = true
+        else {
+          val timed = Seq(once(false), once(false)).filter(_ >= 0)
+          st.passMins += (st.cold +: timed).min
+          // No-reuse counterpart (r9 VERDICT #1: the artifact carries
+          // BOTH accountings): runs that re-CONSTRUCT the DataFrame so
+          // Catalyst re-analysis is billed per run exactly as DuckDB
+          // re-parses per execute(). Non-reusable queries construct
+          // fresh every run — steady IS their no-reuse number.
+          if (reusablePlan(name)) {
+            val nr = Seq(once(fresh = true), once(fresh = true)).filter(_ >= 0)
+            st.noreuseMin = (st.cold +: nr).min
+          }
+        }
+      } else {
+        val isLast = pass == passes - 1
+        if (isLast) {
+          // floor accounting: count jobs/batches across ONE warm run
+          // (listener events are async — drain briefly; the sleep sits
+          // outside every timed region)
+          val j0 = jobCounter.get; val b0 = batchCounter.get
+          val w = once(false)
+          Thread.sleep(200)
+          st.jobs = jobCounter.get - j0
+          st.batches = batchCounter.get - b0
+          val w2 = once(false)
+          Seq(w, w2).filter(_ >= 0) match {
+            case Nil => ()
+            case ws => st.passMins += ws.min
+          }
+        } else {
+          Seq(once(false), once(false)).filter(_ >= 0) match {
+            case Nil => ()
+            case ws => st.passMins += ws.min
+          }
+        }
+      }
+      if (staticPlan(name)) spark.conf.set("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) -1.0 else s(s.size / 2)
+    }
+    val results = states.toSeq.map { case (name, st) =>
+      val steady = if (st.failed || st.passMins.isEmpty) -1.0 else median(st.passMins.toSeq)
+      val spread =
+        if (st.failed || st.passMins.isEmpty) 0.0
+        else st.passMins.max - st.passMins.min
+      val noreuse =
+        if (st.failed) -1.0
+        else if (st.noreuseMin < Double.MaxValue) st.noreuseMin
+        else steady
+      val floor = st.jobs * dispatchFloor + st.batches * streamBatchFloor
+      (name, steady, st.cold, noreuse, spread, floor)
+    }
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val qsCold = results.map { case (k, _, c, _) => "\"" + k + "\":" + f"$c%.3f" }
+    val qsCold = results.map { case (k, _, c, _, _, _) => "\"" + k + "\":" + f"$c%.3f" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
-    val totalNoreuse = results.collect { case (_, _, _, n) if n >= 0 => n }.sum
+    val qsFloor = results.map { case (k, _, _, _, _, fl) => "\"" + k + "\":" + f"$fl%.3f" }
+      .mkString("{", ",", "}")
+    val spreadMax = results.map(_._5).max
+    val total = results.collect { case (_, v, _, _, _, _) if v >= 0 => v }.sum
+    val totalNoreuse = results.collect { case (_, _, _, n, _, _) if n >= 0 => n }.sum
     // Durable-store counterpart of q_materialize_roundtrip, reported as
     // a SEPARATE line in notes (not in the headline total, whose DuckDB
     // counterpart set is the 10 headline oracles): same windows + same
@@ -317,13 +444,19 @@ object Bench {
     // line must stay comfortably under ~1800 chars INCLUDING both
     // query maps; sidelines print on their own line just before it.
     println(f"[bench] sidelines (durable-store twins, min-of-3, billed outside the headline total whose DuckDB oracles do no store I/O): q_materialize_roundtrip_parquet=$pqRoundtrip%.3fs q_stream_materialize_parquet=$pqStream%.3fs")
-    val notes = "steady=min-of-3 (6 pure queries reuse the analyzed " +
-      "plan), total_noreuse=re-analyzed per run like DuckDB re-parses; " +
-      "baseline=two same-box min-of-3 draws + per-query best on the " +
-      "identical 10 oracle SQLs. Measured floors (BENCH_NOTES r11): " +
-      "stream=~0.45s framework (90ms WAL + 160ms per-batch catalyst + " +
-      "50ms listing), ann/window/mat=0.10-0.15s per-job dispatch on " +
-      "sub-0.3s walls; post-shuffle stages at/below DuckDB walls"
+    // full per-pass detail on its own line (BENCH_NOTES material; the
+    // machine-parsed JSON line must stay < ~1800 chars)
+    println("[bench] pass mins (median->headline): " + results.map {
+      case (k, _, _, _, sp, _) =>
+        f"$k=${states(k).passMins.map(m => f"$m%.3f").mkString("/")}(~$sp%.3f)"
+    }.mkString(" "))
+    println(f"[bench] floor units: dispatch=$dispatchFloor%.4fs/job stream=$streamBatchFloor%.3fs/batch; " +
+      "per-query floor_s = jobs*dispatch + batches*streamBatch, counted on a warm run")
+    val notes = "steady=median of 3 engine passes (each min-of-runs; " +
+      f"max pass spread $spreadMax%.3fs); noreuse=re-analyzed per run " +
+      "like DuckDB re-parses; floor_s=jobs*dispatch+batches*streamWAL " +
+      f"probed in-session (${dispatchFloor}%.3f/$streamBatchFloor%.3fs); " +
+      "baseline=two same-box min-of-3 DuckDB draws, identical oracle SQLs"
     // Stop Spark BEFORE the metric line: the driver machine-parses the
     // LAST stdout line, so nothing (executor shutdown chatter, sbt's
     // success banner — suppressed in build.sbt) may print after it.
@@ -357,7 +490,7 @@ object Bench {
     // default console appender targets stderr, so that residue is nil.)
     val realOut = System.out
     System.setOut(new java.io.PrintStream(java.io.OutputStream.nullOutputStream()))
-    realOut.println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_noreuse":$totalNoreuse%.3f,"queries":$qs,"queries_cold":$qsCold,"baseline_duckdb_s":$baselineField,"baseline_queries_s":$baselineQueries,"sf":"$sfDir","notes":"$notes"}""")
+    realOut.println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_noreuse":$totalNoreuse%.3f,"spread_max_s":$spreadMax%.3f,"queries":$qs,"queries_cold":$qsCold,"queries_floor":$qsFloor,"baseline_duckdb_s":$baselineField,"baseline_queries_s":$baselineQueries,"sf":"$sfDir","notes":"$notes"}""")
     realOut.flush()
     if (hung) Runtime.getRuntime.halt(0)
   }

@@ -55,7 +55,7 @@ object PointInTimeJoin {
     * windows (the getSeconds bug, review r4) nor overflows the way
     * Duration.toNanos does at ~292 years; long microseconds carry to
     * ~292k years, beyond any meaningful window. */
-  private[operators] def durationInterval(d: java.time.Duration): Column =
+  private[graft] def durationInterval(d: java.time.Duration): Column =
     expr(s"INTERVAL ${d.getSeconds * 1000000L + d.getNano / 1000L} MICROSECOND")
 
   /** One view's join spec, fully resolved (registry lookups done). */
@@ -133,13 +133,31 @@ object PointInTimeJoin {
         ok
       }
     }
-    if (chainable) {
+    // Route decision, made ONCE from the ORIGINAL entity frame and held
+    // for every view: the as-of output is row-for-row the entity frame,
+    // so if the entity fits the broadcast gate, so does every
+    // accumulated intermediate — but the intermediates' own OPTIMIZER
+    // stats (join-estimate inflated) would flip later links to
+    // sortmerge mid-plan if re-consulted. One decision, one shape. The
+    // right-side gate uses the LARGEST view source (pre-pruning — an
+    // over-estimate, the safe direction: the broadcast route's win
+    // scales with the feature shuffle it deletes).
+    val strat =
+      if (views.isEmpty) graft.plans.AsOfJoin.SortMerge
+      else {
+        val biggest = views.map(_.featureDf).maxBy(
+          _.queryExecution.optimizedPlan.stats.sizeInBytes)
+        graft.plans.AsOfJoin.chooseStrategy(entityDf, biggest)
+      }
+
+    if (chainable && strat == graft.plans.AsOfJoin.SortMerge) {
       val (mn0, mx0) = entityBounds(entityDf, entityTsCol)
       return views.foldLeft(entityDf) { (acc, vj) =>
         val (feat, tsCol, createdCol) = prepareFeature(vj, mn0, mx0)
         val ord = (createdCol.toSeq ++ vj.tieBreakCols).distinct.filterNot(_ == tsCol)
         val joined = graft.plans.AsOfJoin.join(acc, feat, vj.joinKeys,
-          entityTsCol, tsCol, vj.view.ttl, ord, vj.features)
+          entityTsCol, tsCol, vj.view.ttl, ord, vj.features,
+          strategy = graft.plans.AsOfJoin.SortMerge)
         joined.select(acc.columns.map(col).toIndexedSeq ++
           vj.features.map(f => col(f).as(chainOutName(vj)(f))): _*)
       }
@@ -174,11 +192,23 @@ object PointInTimeJoin {
     // their candidate joins as parallel stages, and view N's plan does
     // not re-traverse views 1..N-1's join-backs.
     val enriched = views.foldLeft(stamped) { (acc, vj) =>
+      val w = viewWinners(stamped, vj, entityTsCol, rowId, fullFeatureNames,
+        mnTs, mxTs, strat)
+      // winners are entity-cardinality: under the broadcast route the
+      // join-backs are hinted broadcast hash joins, so the whole
+      // enrichment is ONE codegen pipeline over the stamped frame —
+      // scan → BHJ(w1) → BHJ(w2) → … with zero exchanges
       acc.join(
-        viewWinners(stamped, vj, entityTsCol, rowId, fullFeatureNames, mnTs, mxTs),
+        if (strat == graft.plans.AsOfJoin.Broadcast) broadcast(w) else w,
         Seq(rowId), "left")
     }
-    enriched.drop(rowId)
+    val result = enriched.drop(rowId)
+    // the all-eligible broadcast shape is as static as the chain (every
+    // join hinted, the only exchanges are the tiny per-view winner
+    // reductions): engine-owned AQE policy applies (StaticPlan)
+    if (chainable && strat == graft.plans.AsOfJoin.Broadcast)
+      graft.plans.StaticPlan.applyPolicy(result)
+    else result
   }
 
   /** Entity-df (min, max) event-ts for the O5 pruning window:
@@ -289,25 +319,32 @@ object PointInTimeJoin {
       rowId: String,
       fullFeatureNames: Boolean,
       mnTs: java.sql.Timestamp,
-      mxTs: java.sql.Timestamp): DataFrame = {
+      mxTs: java.sql.Timestamp,
+      strat: String = graft.plans.AsOfJoin.SortMerge): DataFrame = {
     val ViewJoin(view, joinKeys, features, _, tieBreaks) = vj
     val ttl = view.ttl
     val (featPrepared, tsCol, createdCol) = prepareFeature(vj, mnTs, mxTs)
     val outName: String => String =
       f => if (fullFeatureNames) s"${view.name}__$f" else f
 
-    // Eligible views ride the sort-merge as-of plan on the NARROW
-    // (rowId, ts, keys) entity projection: no candidate rows
-    // materialize, and the winners join back by rowId exactly like the
-    // declarative branch (AsOfJoin emits every left row; unmatched rows
-    // carry nulls, which the left join-back preserves identically).
+    // Eligible views ride an as-of winner computation on the NARROW
+    // (rowId, ts, keys) entity projection: no candidate rows shuffle,
+    // and the winners join back by rowId exactly like the declarative
+    // branch (unmatched rows carry nulls, which the left join-back
+    // preserves identically). Route by the held strategy: broadcast
+    // (feature scan never exchanged or sorted — see
+    // AsOfJoin.broadcastWinners) or the sort-merge exec.
     if (sortMergeEligible(stamped, vj, entityTsCol) &&
         features.intersect((rowId +: entityTsCol +: joinKeys).distinct).isEmpty) {
       val leftNarrow =
         stamped.select((rowId +: entityTsCol +: joinKeys).distinct.map(col): _*)
       val ord = (createdCol.toSeq ++ tieBreaks).distinct.filterNot(_ == tsCol)
+      if (strat == graft.plans.AsOfJoin.Broadcast)
+        return graft.plans.AsOfJoin.broadcastWinners(leftNarrow, featPrepared,
+          joinKeys, entityTsCol, tsCol, ttl, ord, features, rowId, outName)
       val out = graft.plans.AsOfJoin.join(leftNarrow, featPrepared, joinKeys,
-        entityTsCol, tsCol, ttl, ord, features)
+        entityTsCol, tsCol, ttl, ord, features,
+        strategy = graft.plans.AsOfJoin.SortMerge)
       return out.select(col(rowId) +: features.map(f => col(f).as(outName(f))): _*)
     }
 
@@ -341,7 +378,12 @@ object PointInTimeJoin {
       else upper && R(tsCol) >= (L(entityTsCol) - durationInterval(ttl))
     }
     val keyCond = joinKeys.map(k => L(k) <=> R(k)).reduce(_ && _)
-    val candidates = left.join(featAliased, keyCond && asOf, "inner")
+    // held broadcast route: hint the narrow entity side so the candidate
+    // join is a build-on-entity BHJ (no feature-side exchange) even when
+    // this view fell to the declarative branch
+    val leftHinted =
+      if (strat == graft.plans.AsOfJoin.Broadcast) broadcast(left) else left
+    val candidates = leftHinted.join(featAliased, keyCond && asOf, "inner")
 
     // As-of winner per entity row: max_by over a lexicographic struct
     // (event_ts desc, created_ts desc, tiebreaks desc, then the feature

@@ -104,6 +104,34 @@ object CoreQueries {
         col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
   }
 
+  /** The SAME single-view as-of workload as [[pitJoinSingle]], executed
+    * through the BROADCAST route ([[graft.plans.AsOfJoin]] strategy
+    * `broadcast`, r12): the narrow entity projection is broadcast, the
+    * feature scan streams through a broadcast hash join whose
+    * candidates collapse map-side into per-row max_by partials, and
+    * the feature table is never exchanged or sorted — the 100 TB shape
+    * for entity ≪ feature retrievals. Shares [[pitJoinSingleSql]] as
+    * its oracle, so the route is hash-pinned against the same DuckDB
+    * replay as the sort-merge and declarative paths at both scale
+    * factors regardless of where the auto gate routes. */
+  def pitJoinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val entity = pq(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      (col("o_orderdate") + expr("INTERVAL 365 DAY")).as("event_timestamp"))
+    val feat = pq(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"))
+    graft.plans.AsOfJoin.join(entity, feat, Seq("o_orderkey"),
+        "event_timestamp", "l_shipdate", Duration.ofDays(400),
+        orderCols = Seq("l_linenumber"),
+        featureCols = Seq("l_quantity", "l_extendedprice", "l_returnflag"),
+        strategy = graft.plans.AsOfJoin.Broadcast)
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_millis(col("event_timestamp")).as("event_ts_ms"),
+        col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
+  }
+
   /** O2: multi-view PIT join with full feature names. Entity df = events
     * rows; view 1 = events keyed by user_id (ttl 2d, event_id tiebreak),
     * view 2 = orders keyed by custkey (ttl 0 = unbounded). */
@@ -986,6 +1014,7 @@ object CoreQueries {
     "q_bloom_prune_join" -> (bloomPruneJoin _),
     "q_skew_report" -> (skewReport _),
     "q_pit_sortmerge" -> (pitJoinSortMerge _),
+    "q_pit_broadcast" -> (pitJoinBroadcast _),
     "q_time_travel" -> (timeTravel _),
     "q_salted_join" -> (saltedJoin _),
     "q_rollup" -> (rollupAgg _),
@@ -1018,6 +1047,7 @@ object CoreQueries {
     "q_bloom_prune_join" -> bloomPruneJoinSql,
     "q_skew_report" -> skewReportSql,
     "q_pit_sortmerge" -> pitJoinSingleSql,
+    "q_pit_broadcast" -> pitJoinSingleSql,
     "q_time_travel" -> timeTravelSql,
     "q_salted_join" -> saltedJoinSql,
     "q_rollup" -> rollupAggSql,

@@ -432,12 +432,17 @@ object VectorQueries {
     * identical folds. A def: stage paths resolve at dump time, after
     * the query run pinned them to its dataset. */
   def annIvfPqTrainedSql: String = {
-    // dump-before-run is a caller bug, not a silent cross-dataset read
-    val cellStage = ivfTrainedCellStage.getOrElse(throw new IllegalStateException(
-      "annIvfPqTrainedSql dumped before annIvfPqTrained ran — the oracle's " +
-        "staged cell/codebook paths are pinned by the query run"))
-    val cbStage = ivfTrainedCbStage.getOrElse(throw new IllegalStateException(
-      "annIvfPqTrainedSql dumped before annIvfPqTrained ran"))
+    // Dump-before-run is a caller bug, not a silent cross-dataset read
+    // (pre-r12 a hardcoded sf0.01 default made it exactly that). A
+    // SENTINEL, not a throw: oracle maps evaluate their values when the
+    // map is BUILT (e.g. Bench assembling the headline subset), which
+    // can legitimately happen before this query runs — the sentinel
+    // only detonates if something actually EXECUTES the unpinned
+    // oracle, and then loudly (DuckDB: relation does not exist).
+    val (cellStage, cbStage) = (ivfTrainedCellStage, ivfTrainedCbStage) match {
+      case (Some(cell), Some(cb)) => (cell, cb)
+      case _ => return "SELECT * FROM graft_error_ivfpq_trained_stage_not_pinned_run_query_first"
+    }
     def diffSum(left: String, right: String): String =
       (1 to PqSubDim).map { d =>
         val idx = s"t.s * $PqSubDim + $d"

@@ -22,6 +22,17 @@ object ColumnShim {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Clone a live session: shared SparkContext/SharedState (same
+    * executors, cache manager, catalog data), but an independent
+    * SessionState whose runtime conf starts as a snapshot of the
+    * parent's and can then diverge — the per-plan conf-scoping
+    * primitive (cloneSession is private[sql]). Unlike the public
+    * newSession(), the clone KEEPS the parent's runtime conf
+    * (session timezone, shuffle partitions, …), which is load-bearing
+    * for result parity. */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
   /** Register a SQL function into a LIVE session's function registry
     * (sessionState is private[sql]; SparkSessionExtensions only applies
     * at session build time). */

@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Sort-merge vs broadcast as-of route at scale (VERDICT r11 #1): the
+  * production retrieval shape is a SMALL entity frame (a training
+  * batch) against a LARGE feature log — the case the broadcast route
+  * exists for. This probe holds the entity frame fixed (sf0.1 orders,
+  * ~150k rows) and grows the feature side through the ScaleCheck
+  * replicas (sf0.1 lineitem 1× = 11 MB / 600k rows, 10× = 110 MB / 6M,
+  * 100× = 1.1 GB / 60M), timing BOTH routes on the identical workload.
+  * Calibrates `graft.asof.broadcastRightMin` and backs the BENCH_NOTES
+  * r12 scaling row.
+  *
+  * usage: AsofScale [entityDir] [featureDir1x] [replica10x] [replica100x]
+  */
+object AsofScale {
+  def main(args: Array[String]): Unit = {
+    val entDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val feat1 = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val feat10 = args.lift(2).getOrElse("/tmp/graft_scale10")
+    val feat100 = args.lift(3).getOrElse("/tmp/graft_scale100")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.sources.Tables.configure(spark)
+
+    // shuffle accounting: wall time on local[32] hides the exchange cost
+    // (shuffles are RAM-speed in one JVM); at cluster scale shuffled
+    // bytes cross the network and ARE the cost — report both
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          shuffleWrite.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+
+    val entity = graft.sources.Tables.read(spark, entDir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      (col("o_orderdate") + expr("INTERVAL 365 DAY")).as("event_timestamp"))
+
+    def run(tag: String, featDir: String): Unit = {
+      val feat = graft.sources.Tables.read(spark, featDir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          col("l_returnflag"))
+      for (strategy <- Seq(graft.plans.AsOfJoin.SortMerge, graft.plans.AsOfJoin.Broadcast)) {
+        val df = graft.plans.AsOfJoin.join(entity, feat, Seq("o_orderkey"),
+          "event_timestamp", "l_shipdate", java.time.Duration.ofDays(400),
+          orderCols = Seq("l_linenumber"),
+          featureCols = Seq("l_quantity", "l_extendedprice", "l_returnflag"),
+          strategy = strategy)
+        def force(): Unit = df.write.format("noop").mode("overwrite").save()
+        force() // cold: codegen + listings
+        shuffleWrite.set(0)
+        val walls = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); force(); (System.nanoTime() - t0) / 1e9
+        }
+        Thread.sleep(500) // let the listener bus drain task-end events
+        val shufMb = shuffleWrite.get / 3.0 / 1e6
+        println(f"[asof-scale] $tag%-5s $strategy%-10s min=${walls.min}%7.3f s " +
+          f"shuffleWrite=$shufMb%9.2f MB/run " +
+          f"walls=${walls.map(w => f"$w%.3f").mkString(",")}")
+      }
+    }
+    run("1x", feat1)
+    if (new java.io.File(s"$feat10/lineitem.parquet").exists()) run("10x", feat10)
+    else println("[asof-scale] 10x replica missing (run ScaleCheck first)")
+    if (new java.io.File(s"$feat100/lineitem.parquet").exists()) run("100x", feat100)
+    else println("[asof-scale] 100x replica missing (run ScaleCheck first)")
+    spark.stop()
+  }
+}

@@ -626,10 +626,16 @@ class PropertySpec extends AnyFunSuite {
 
         val featDf = rows.toDF("k", "et", "ct", "fid", "v").repartition(rParts)
         val entityDf = ents.toDF("k", "event_timestamp", "eid").repartition(lParts)
-        val got = graft.plans.AsOfJoin.join(entityDf, featDf, Seq("k"),
-            "event_timestamp", "et", ttl, orderCols = Seq("ct", "fid"), featureCols = Seq("fid", "v"))
-          .select("eid", "fid").collect()
-          .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+        def run(strategy: String): Map[Long, Option[Long]] =
+          graft.plans.AsOfJoin.join(entityDf, featDf, Seq("k"),
+              "event_timestamp", "et", ttl, orderCols = Seq("ct", "fid"),
+              featureCols = Seq("fid", "v"), strategy = strategy)
+            .select("eid", "fid").collect()
+            .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+        val got = run(graft.plans.AsOfJoin.SortMerge)
+        // the broadcast route must realize the SAME total order across
+        // the same partition layouts (r12)
+        val gotB = run(graft.plans.AsOfJoin.Broadcast)
 
         def oracle(key: Long, ts: Timestamp): Option[Long] = {
           val lower = ts.getTime - ttl.toMillis
@@ -640,9 +646,11 @@ class PropertySpec extends AnyFunSuite {
           else Some(c.maxBy { case (_, et, ct, fid, _) => (et.getTime, ct.getTime, fid) }._4)
         }
 
-        got.size == ents.length && ents.forall { case (k, ts, eid) =>
-          got(eid) == oracle(k, ts)
-        }
+        got.size == ents.length && gotB.size == ents.length &&
+          ents.forall { case (k, ts, eid) =>
+            val o = oracle(k, ts)
+            got(eid) == o && gotB(eid) == o
+          }
     }
     runCheck(prop, minTests = 12)
   }
@@ -686,13 +694,18 @@ class PropertySpec extends AnyFunSuite {
 
         val featDf = rows.toDF("k", "et", "ct", "fid", "v").repartition(rParts)
         val entityDf = ents.toDF("k", "event_timestamp", "eid").repartition(lParts)
-        val got = graft.plans.AsOfJoin.join(entityDf, featDf, Seq("k"),
-            "event_timestamp", "et", ttl, orderCols = Seq("ct"),
-            featureCols = Seq("fid", "v"))
-          .select("eid", "fid", "v").collect()
-          .map(r => r.getLong(0) ->
-            Option(r.get(1)).map(_ =>
-              (r.getLong(1), if (r.isNullAt(2)) null else r.get(2)))).toMap
+        def run(strategy: String): Map[Long, Option[(Long, Any)]] =
+          graft.plans.AsOfJoin.join(entityDf, featDf, Seq("k"),
+              "event_timestamp", "et", ttl, orderCols = Seq("ct"),
+              featureCols = Seq("fid", "v"), strategy = strategy)
+            .select("eid", "fid", "v").collect()
+            .map(r => r.getLong(0) ->
+              Option(r.get(1)).map(_ =>
+                (r.getLong(1), if (r.isNullAt(2)) null else r.get(2)))).toMap
+        val got = run(graft.plans.AsOfJoin.SortMerge)
+        // broadcast route: same duplicate-collision classes, same
+        // payload-max winner rule, same partition layouts (r12)
+        val gotB = run(graft.plans.AsOfJoin.Broadcast)
 
         def oracle(key: Long, ts: Timestamp): Option[(Long, Any)] = {
           val lower = ts.getTime - ttl.toMillis
@@ -709,9 +722,11 @@ class PropertySpec extends AnyFunSuite {
           } match { case (_, _, _, fid, v) => (fid, v) })
         }
 
-        got.size == ents.length && ents.forall { case (k, ts, eid) =>
-          got(eid) == oracle(k, ts)
-        }
+        got.size == ents.length && gotB.size == ents.length &&
+          ents.forall { case (k, ts, eid) =>
+            val o = oracle(k, ts)
+            got(eid) == o && gotB(eid) == o
+          }
     }
     runCheck(prop, minTests = 12)
   }
