@@ -531,6 +531,169 @@ object Similarity {
     adcTopK(scored, k, excludeSelf)
   }
 
+  /** Persisted IVF-PQ index build — the full trained-ANN LIFECYCLE's
+    * one-scan ENCODE step (train → encode → probe; the
+    * [[ivfBuildIndex]]/[[ivfSearchIndex]] pattern for the PQ stack).
+    * Emits one NARROW row per corpus vector: (id, cell,
+    * __code0..__code{m-1}) — the FAISS inverted-list payload, m ints +
+    * the coarse cell id instead of dim floats (a 32–64× compression).
+    * Write it `partitionBy("cell")`: [[ivfPqSearchIndex]] prunes to the
+    * probed cells with a LITERAL isin filter, so a probe reads
+    * nProbe/nCells of the files — at 100 TB the per-batch scan is a few
+    * cells' worth of code bytes and nothing else, and the corpus floats
+    * are never read again after this one encode pass. */
+  def ivfPqBuildIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      coarse: Seq[(Long, Array[Float])],
+      codebook: Array[Array[Float]],
+      m: Int, subDim: Int): DataFrame = {
+    require(coarse.nonEmpty, "ivfPqBuildIndex needs trained coarse cells")
+    require(codebook.nonEmpty, "ivfPqBuildIndex needs a trained codebook")
+    import org.apache.spark.sql.types._
+    val spark = corpus.sparkSession
+    // null-vec rows cannot anchor or encode — same exclusion ivfPqTopK
+    // applies implicitly through its null-cell join
+    val nonNull = col(vecCol).isNotNull && !exists(col(vecCol), _.isNull)
+    val cellRows = coarse.map { case (id, v) => org.apache.spark.sql.Row(id, v.toSeq) }
+    val anchorArr = broadcast(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(cellRows, 1),
+        StructType(Seq(
+          StructField("cell_id", LongType),
+          StructField("cell_vec", ArrayType(FloatType, containsNull = false)))))
+        .agg(collect_list(struct(col("cell_id"), col("cell_vec"))).as("cells")))
+    corpus.filter(nonNull).crossJoin(anchorArr)
+      .withColumn("cell", nearestCells(col(vecCol), 1)(0)("cell_id"))
+      .select(col(idCol).as("id") +: col("cell") +:
+        pqCodeCols(col(vecCol), codebook, m, subDim): _*)
+  }
+
+  /** Probe step of the persisted IVF-PQ lifecycle: score a BOUNDED
+    * query batch against an [[ivfPqBuildIndex]] table without touching
+    * the corpus floats. Probes and LUTs are computed driver-side from
+    * the same trained artifacts the index was encoded with (cosine
+    * probe, ties to the smaller cell id; LUT folds ascending-d — the
+    * exact [[ivfPqTopK]] literal-path arithmetic, parity-pinned by
+    * PipelineSpec), the index is pruned to the probed cells with a
+    * literal filter (partition pruning on a cell-partitioned table),
+    * and scoring is the O(m) LUT fold into the bounded-heap top-k.
+    * Serving path only: query batches beyond `maxLiteralQueries` are
+    * refused — batch scoring belongs to [[ivfPqTopK]]'s distributed
+    * route, which re-encodes in-plan instead of reading an index. */
+  def ivfPqSearchIndex(
+      index: DataFrame,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      coarse: Seq[(Long, Array[Float])],
+      codebook: Array[Array[Float]],
+      k: Int, nProbe: Int, m: Int, subDim: Int,
+      excludeSelf: Boolean = true,
+      maxLiteralQueries: Int = 4096): DataFrame = {
+    require(coarse.nonEmpty && codebook.nonEmpty,
+      "ivfPqSearchIndex needs the trained artifacts the index was built with")
+    require(nProbe <= coarse.length, s"nProbe=$nProbe must be <= cells=${coarse.length}")
+    import org.apache.spark.sql.types._
+    val spark = queries.sparkSession
+    val nonNull = col(qVecCol).isNotNull && !exists(col(qVecCol), _.isNull)
+    val qRows = queries.select(col(qIdCol), col(qVecCol)).filter(nonNull)
+      .limit(maxLiteralQueries + 1).collect()
+    require(qRows.length <= maxLiteralQueries,
+      s"ivfPqSearchIndex is the bounded serving path (> $maxLiteralQueries queries); " +
+        "use ivfPqTopK for corpus-sized batch scoring")
+    if (qRows.isEmpty) return emptyAdcResult(queries, qIdCol, index, "id")
+    val cellIds = coarse.map(_._1).toArray
+    val cellVecs = coarse.map(_._2).toArray
+    def ddot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def dcos(a: Array[Float], b: Array[Float]): Double =
+      ddot(a, b) / (math.sqrt(ddot(a, a)) * math.sqrt(ddot(b, b)))
+    val probeRows: Seq[org.apache.spark.sql.Row] =
+      qRows.toSeq.map(r => (r.get(0), r.getSeq[Float](1).toArray)).flatMap {
+        case (qid, qv) =>
+          val lut: Seq[Seq[Double]] = pqLut(qv, codebook, m, subDim).map(_.toSeq).toSeq
+          cellVecs.indices
+            .map(i => (dcos(qv, cellVecs(i)), i))
+            .sortBy { case (c, i) => (-c, i) }
+            .take(nProbe)
+            .map { case (_, i) => org.apache.spark.sql.Row(cellIds(i), qid, lut) }
+      }
+    val probedDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows, 1),
+      StructType(Seq(
+        StructField("cell", LongType),
+        StructField("__qid", queries.schema(qIdCol).dataType),
+        StructField("__lut", ArrayType(ArrayType(DoubleType))))))
+    // literal cell pruning: on a partitionBy("cell") index this is
+    // directory-level partition pruning — unprobed cells are never read
+    val probedCells = probeRows.map(_.getLong(0)).distinct
+    val pruned = index.filter(col("cell").isin(probedCells: _*))
+    val scored = pruned.join(broadcast(probedDf), "cell")
+      .select(col("__qid"), col("id").as("__cid"), (-lutAdcColumn(m)).as("__cos"))
+    adcTopK(scored, k, excludeSelf)
+  }
+
+  /** ADC re-ranking — the FAISS refine stage (IndexRefineFlat; Jégou
+    * et al. 2011 §VII report R=10–100× k): [[ivfPqTopK]] prunes and
+    * ADC-scores the corpus down to the `rerankR` best candidates per
+    * query, then ONLY those rows are re-scored EXACTLY against the full
+    * float vectors and the final top-k is taken by exact squared L2.
+    * This is the production quality lever for quantized indexes —
+    * recall lost to PQ quantization is recovered by exact-scoring an
+    * R ≫ k candidate set at the cost of R full-precision distances per
+    * query instead of a corpus scan.
+    *
+    * Scale shape: the candidate set is ≤ |Q|·R rows (bounded,
+    * broadcastable); the corpus's float vectors are touched by ONE
+    * broadcast-candidate hash join that fetches exactly the needed
+    * rows — the corpus is never shuffled and the wide vector column
+    * never moves except for the |Q|·R winners.
+    *
+    * Determinism contract (oracle replay): exact distance =
+    * dot(q,q) − 2·dot(q,e) + dot(e,e), each dot the codegen'd
+    * ascending left-associative double fold ([[DotProductExpr]] ==
+    * DuckDB list_dot_product), combined in that literal operator
+    * order, so every refined distance is bit-identical cross-engine;
+    * final ranks by (l2 asc, neighbor_id asc).
+    *
+    * @return (query_id, neighbor_id, l2, rank) rank 1..k */
+  def ivfPqRerankTopK(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, rerankR: Int, nCells: Int, nProbe: Int,
+      m: Int, subDim: Int, excludeSelf: Boolean = true,
+      maxLiteralQueries: Int = 256,
+      coarse: Option[Seq[(Long, Array[Float])]] = None,
+      codebook: Option[Array[Array[Float]]] = None): DataFrame = {
+    require(rerankR >= k, s"rerankR=$rerankR must be >= k=$k")
+    val cand = ivfPqTopK(queries, qIdCol, qVecCol, corpus, idCol, vecCol,
+        rerankR, nCells, nProbe, m, subDim, excludeSelf, maxLiteralQueries,
+        coarse, codebook)
+      .select(col("query_id"), col("neighbor_id"))
+    // self-exclusion already applied at the candidate stage; null-vector
+    // queries/corpus rows never produced candidates there either
+    val qv = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
+    val ev = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__ev"))
+    val withQ = cand.join(qv, "query_id")
+    // bounded serving batches (the literal-path gate): broadcast the
+    // |Q|·R candidate set so the exact-vector fetch streams the corpus
+    // with no shuffle; corpus-sized batch scoring leaves the join
+    // unhinted (|Q|·R is itself corpus-scale there — Catalyst/AQE pick
+    // the shuffle plan both sides need)
+    val bounded =
+      queries.select(col(qIdCol)).limit(maxLiteralQueries + 1).count() <= maxLiteralQueries
+    val fetched = ev.join(if (bounded) broadcast(withQ) else withQ, "neighbor_id")
+    val l2 = DotProductExpr.dot(col("__qv"), col("__qv")) -
+      lit(2.0) * DotProductExpr.dot(col("__qv"), col("__ev")) +
+      DotProductExpr.dot(col("__ev"), col("__ev"))
+    val scored = fetched.select(col("query_id").as("__qid"),
+      col("neighbor_id").as("__cid"), (-l2).as("__cos"))
+    twoLevelTopK(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("cos")).as("l2"), col("rank"))
+  }
+
   /** Random-hyperplane signature: bit p = sign(vec · h_p). Hyperplane
     * weights are seeded pseudo-randoms computed driver-side and shipped
     * as array literals — no stored model, reproducible across runs, and

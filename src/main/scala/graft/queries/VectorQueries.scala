@@ -305,7 +305,12 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
-  val annIvfPqSql: String = {
+  /** Shared untrained-IVF-PQ oracle CTE chain, ending at `ranked`
+    * (per-query ADC-ranked candidates, unbounded rank). Tail-appended
+    * by [[annIvfPqSql]] (ADC top-k) and [[annIvfPqRerankSql]] (exact
+    * refine over the top-R) so the two oracles replay ONE candidate
+    * pipeline. */
+  private val ivfPqRankedCtes: String = {
     def diffSum(left: String, right: String): String =
       (1 to PqSubDim).map { d =>
         val idx = s"t.s * $PqSubDim + $d"
@@ -364,10 +369,56 @@ object VectorQueries {
        |  SELECT qid AS query_id, vec_id AS neighbor_id, $adcSum AS adc,
        |         ROW_NUMBER() OVER (PARTITION BY qid
        |                            ORDER BY $adcSum ASC, vec_id ASC) AS rank
-       |  FROM piv)
+       |  FROM piv)""".stripMargin
+  }
+
+  val annIvfPqSql: String =
+    s"""$ivfPqRankedCtes
        |SELECT query_id, neighbor_id, round(adc, 6) AS adc, CAST(rank AS INTEGER) AS rank
        |FROM ranked WHERE rank <= $AdcK ORDER BY query_id, rank""".stripMargin
+
+  // ---- IVF-PQ + exact re-rank (the FAISS refine stage) ---------------
+
+  private val RerankR = 15
+
+  /** [[annIvfPq]]'s candidate pipeline widened to top-R (R=15), then
+    * ONLY those candidates re-scored EXACTLY against the full float
+    * vectors and cut to the final top-k by exact squared L2
+    * ([[Similarity.ivfPqRerankTopK]] — candidates broadcast, corpus
+    * fetched by one hash join, never shuffled). Exact distance =
+    * dot(q,q) − 2·dot(q,e) + dot(e,e) with the shared ascending
+    * double fold, so the oracle replays it bit-identically; recall
+    * floor vs the unrefined path pinned in PipelineSpec. */
+  def annIvfPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val q = e.filter(col("vec_id") < AdcQ)
+    graft.functions.Similarity.ivfPqRerankTopK(
+        q, "vec_id", "embedding", e, "vec_id", "embedding",
+        k = AdcK, rerankR = RerankR, nCells = IvfPqCells, nProbe = IvfPqProbe,
+        m = PqM, subDim = PqSubDim)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("l2"), 6).as("l2"), col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
   }
+
+  val annIvfPqRerankSql: String =
+    s"""$ivfPqRankedCtes,
+       |cand_r AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= $RerankR),
+       |refine AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         list_dot_product(q.qv, q.qv)
+       |           - 2 * list_dot_product(q.qv, e2.v)
+       |           + list_dot_product(e2.v, e2.v) AS l2
+       |  FROM cand_r c
+       |  JOIN q ON q.qid = c.query_id
+       |  JOIN e e2 ON e2.vec_id = c.neighbor_id),
+       |fin AS (
+       |  SELECT query_id, neighbor_id, l2,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY l2 ASC, neighbor_id ASC) AS rn
+       |  FROM refine)
+       |SELECT query_id, neighbor_id, round(l2, 6) AS l2, CAST(rn AS INTEGER) AS rank
+       |FROM fin WHERE rn <= $AdcK ORDER BY query_id, rank""".stripMargin
 
   /** IVF-PQ with TRAINED artifacts end to end — k-means coarse cells
     * ([[Similarity.kmeansCentroids]], 2 Lloyd iterations) AND trained
@@ -382,7 +433,10 @@ object VectorQueries {
     * with the identical fold and tie-breaks. Cell ids are the
     * kmeansCentroids 0..nCells-1 synthetic ids; probe and assignment
     * ties go to the smaller cell id on both sides. */
-  def annIvfPqTrained(s: SparkSession, dir: String): DataFrame = {
+  /** Stage (or reuse) the trained coarse-cell artifact for `dir` and
+    * return its path — shared by [[annIvfPqTrained]] and
+    * [[annIvfPqPersisted]]. */
+  private def stagedIvfCells(s: SparkSession, dir: String): String = {
     val e = embs(s, dir)
     val cellStage = Staging.pathFor(dir, "ivf_cells_v1", "embeddings.parquet")
     Staging.publishOnce(cellStage) { tmp =>
@@ -398,6 +452,14 @@ object VectorQueries {
         .toDF("cell_id", "cell_vec")
         .write.mode("overwrite").parquet(tmp)
     }
+    cellStage
+  }
+
+  /** Read the trained artifacts back from their stages (byte-identical
+    * floats for engine AND oracle) and pin the oracle's stage vars. */
+  private def trainedArtifacts(s: SparkSession, dir: String)
+      : (Seq[(Long, Array[Float])], Array[Array[Float]]) = {
+    val cellStage = stagedIvfCells(s, dir)
     val cbStage = stagedPqCodebook(s, dir)
     val cells: Seq[(Long, Array[Float])] = s.read.parquet(cellStage)
       .orderBy("cell_id").collect()
@@ -407,6 +469,12 @@ object VectorQueries {
       .map(_.getSeq[Float](0).toArray)
     ivfTrainedCellStage = Some(cellStage)
     ivfTrainedCbStage = Some(cbStage)
+    (cells, cb)
+  }
+
+  def annIvfPqTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val (cells, cb) = trainedArtifacts(s, dir)
     val q = e.filter(col("vec_id") < AdcQ)
     graft.functions.Similarity.ivfPqTopK(
         q, "vec_id", "embedding", e, "vec_id", "embedding",
@@ -418,7 +486,35 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
-  // None until annIvfPqTrained pins them to ITS dataset's stages: a
+  /** The PERSISTED trained IVF-PQ lifecycle (r12): the same trained
+    * artifacts as [[annIvfPqTrained]], but the corpus is ENCODED ONCE
+    * into a cell-partitioned code table
+    * ([[graft.functions.Similarity.ivfPqBuildIndex]], staged like the
+    * other trained artifacts) and the query batch probes THAT —
+    * [[graft.functions.Similarity.ivfPqSearchIndex]] reads only the
+    * probed cells' partitions and never touches the corpus floats.
+    * Scores are bit-identical to the in-plan trained path (parity also
+    * pinned in PipelineSpec), so this SHARES [[annIvfPqTrainedSql]]:
+    * the oracle replays encode from the same staged floats. */
+  def annIvfPqPersisted(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val (cells, cb) = trainedArtifacts(s, dir)
+    val idxStage = Staging.pathFor(dir, "ivfpq_index_v1", "embeddings.parquet")
+    Staging.publishOnce(idxStage) { tmp =>
+      graft.functions.Similarity.ivfPqBuildIndex(
+          e, "vec_id", "embedding", cells, cb, PqM, PqSubDim)
+        .write.partitionBy("cell").mode("overwrite").parquet(tmp)
+    }
+    val q = e.filter(col("vec_id") < AdcQ)
+    graft.functions.Similarity.ivfPqSearchIndex(
+        s.read.parquet(idxStage), q, "vec_id", "embedding",
+        cells, cb, k = AdcK, nProbe = IvfPqProbe, m = PqM, subDim = PqSubDim)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adc"), 6).as("adc"), col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  // None until a trained query pins them to ITS dataset's stages: a
   // hardcoded default (pre-r12) let an oracle dump that preceded the
   // query run silently read another dataset's — or a nonexistent —
   // stage instead of failing loudly (ADVICE r11)
@@ -855,7 +951,9 @@ object VectorQueries {
     "q_margin_mining" -> (marginMining _),
     "q_label_centroids" -> (labelCentroids _),
     "q_ann_ivfpq" -> (annIvfPq _),
+    "q_ann_ivfpq_rerank" -> (annIvfPqRerank _),
     "q_ann_ivfpq_trained" -> (annIvfPqTrained _),
+    "q_ann_ivfpq_persisted" -> (annIvfPqPersisted _),
     "q_random_projection" -> (randomProjection _),
     "q_pq_encode" -> (pqEncode _),
     "q_ann_pq" -> (annPq _),
@@ -877,6 +975,8 @@ object VectorQueries {
     "q_ann_pq" -> annPqSql,
     "q_ann_pq_trained" -> annPqTrainedSql,
     "q_ann_ivfpq" -> annIvfPqSql,
+    "q_ann_ivfpq_rerank" -> annIvfPqRerankSql,
     "q_ann_ivfpq_trained" -> annIvfPqTrainedSql,
+    "q_ann_ivfpq_persisted" -> annIvfPqTrainedSql,
     "q_hash_embedding" -> hashEmbeddingSql)
 }
