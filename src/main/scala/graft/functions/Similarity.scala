@@ -356,6 +356,70 @@ object Similarity {
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
   }
 
+  /** Exact driver-side double-fold dot/cosine — the literal-path probe
+    * arithmetic. ONE definition shared by [[ivfPqTopK]]'s literal path
+    * and [[ivfPqSearchIndex]] so the persisted probe can never drift
+    * from the in-plan probe it shares an oracle with (review r12). */
+  private def driverDdot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+  private def driverDcos(a: Array[Float], b: Array[Float]): Double =
+    driverDdot(a, b) / (math.sqrt(driverDdot(a, a)) * math.sqrt(driverDdot(b, b)))
+
+  /** The broadcast single-row coarse-cell frame (`cells` array of
+    * (cell_id, cell_vec) structs) every encode pass cross-joins —
+    * shared by [[ivfPqTopK]] and [[ivfPqBuildIndex]]. */
+  private def coarseCellsFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      cellIds: Array[Any], cellVecs: Array[Array[Float]],
+      cellIdType: org.apache.spark.sql.types.DataType,
+      cellVecType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val cellRows = cellIds.indices.map(i =>
+      org.apache.spark.sql.Row(cellIds(i), cellVecs(i).toSeq))
+    broadcast(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(cellRows, 1),
+        StructType(Seq(
+          StructField("cell_id", cellIdType),
+          StructField("cell_vec", cellVecType))))
+        .agg(collect_list(struct(col("cell_id"), col("cell_vec"))).as("cells")))
+  }
+
+  /** Driver-side literal probe construction: per query, the nProbe
+    * nearest cells by cosine (ties to the smaller anchor position ==
+    * ascending cell-id order) each carrying the query id and its full
+    * per-subquantizer LUT — the (cell, __qid, __lut) rows the probe
+    * join broadcasts. ONE definition for the in-plan and persisted
+    * probe paths. */
+  private def literalProbeRows(
+      qRows: Seq[(Any, Array[Float])],
+      cellIds: Array[Any], cellVecs: Array[Array[Float]],
+      anchors: Array[Array[Float]],
+      m: Int, subDim: Int, nProbe: Int): Seq[org.apache.spark.sql.Row] =
+    qRows.flatMap { case (qid, qv) =>
+      val lut: Seq[Seq[Double]] = pqLut(qv, anchors, m, subDim).map(_.toSeq).toSeq
+      cellVecs.indices
+        .map(i => (driverDcos(qv, cellVecs(i)), i))
+        .sortBy { case (c, i) => (-c, i) }
+        .take(nProbe)
+        .map { case (_, i) => org.apache.spark.sql.Row(cellIds(i), qid, lut) }
+    }
+
+  /** Schema of the broadcast probe table. */
+  private def probeSchema(
+      cellIdType: org.apache.spark.sql.types.DataType,
+      qidType: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("cell", cellIdType),
+      StructField("__qid", qidType),
+      StructField("__lut", ArrayType(ArrayType(DoubleType)))))
+  }
+
   /** IVF-PQ search (the FAISS IVFPQ shape, Jégou 2011 §V): coarse
     * inverted-file cells prune the corpus to `nProbe / nCells` of its
     * rows, and WITHIN the probed cells distances are PQ asymmetric —
@@ -384,7 +448,23 @@ object Similarity {
       m: Int, subDim: Int, excludeSelf: Boolean = true,
       maxLiteralQueries: Int = 256,
       coarse: Option[Seq[(Long, Array[Float])]] = None,
-      codebook: Option[Array[Array[Float]]] = None): DataFrame = {
+      codebook: Option[Array[Array[Float]]] = None): DataFrame =
+    ivfPqTopKImpl(queries, qIdCol, qVecCol, corpus, idCol, vecCol,
+      k, nCells, nProbe, m, subDim, excludeSelf, maxLiteralQueries,
+      coarse, codebook)._1
+
+  /** [[ivfPqTopK]] plus the path taken: `_2` is true when the query
+    * batch fit the bounded LITERAL path — [[ivfPqRerankTopK]] reuses it
+    * for its own broadcast decision instead of paying a second
+    * limit+count action on the same frame (review r12). */
+  private def ivfPqTopKImpl(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int, nProbe: Int,
+      m: Int, subDim: Int, excludeSelf: Boolean,
+      maxLiteralQueries: Int,
+      coarse: Option[Seq[(Long, Array[Float])]],
+      codebook: Option[Array[Array[Float]]]): (DataFrame, Boolean) = {
     val qSpark = queries.sparkSession
     // null-vec rows are excluded from the codebook (a null vector cannot
     // anchor a cell) and from the query probe — driver-side
@@ -429,28 +509,13 @@ object Similarity {
       .filter(nonNullVec(qVecCol))
       .limit(maxLiteralQueries + 1).collect()
     if (qProbeRows.isEmpty || anchors.isEmpty || cellVecs.isEmpty)
-      return emptyAdcResult(queries, qIdCol, corpus, idCol)
+      return (emptyAdcResult(queries, qIdCol, corpus, idCol), true)
     val qRows = qProbeRows.map(r => (r.get(0), r.getSeq[Float](1).toArray))
 
-    // same fold order as list_dot_product / the `dot` column fn
-    def ddot(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      s
-    }
-    def dcos(a: Array[Float], b: Array[Float]): Double =
-      ddot(a, b) / (math.sqrt(ddot(a, a)) * math.sqrt(ddot(b, b)))
-
     // one pass over the corpus: coarse cell + PQ codes, both narrow
-    val cellRows = cellIds.indices.map(i =>
-      org.apache.spark.sql.Row(cellIds(i), cellVecs(i).toSeq))
-    val anchorArr = broadcast(
-      qSpark.createDataFrame(
-        qSpark.sparkContext.parallelize(cellRows, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("cell_id", cellIdType),
-          org.apache.spark.sql.types.StructField("cell_vec", cellVecType))))
-        .agg(collect_list(struct(col("cell_id"), col("cell_vec"))).as("cells")))
+    // (driver cosine/LUT arithmetic and the cells frame live in the
+    // shared helpers — ONE definition with the persisted-index path)
+    val anchorArr = coarseCellsFrame(qSpark, cellIds, cellVecs, cellIdType, cellVecType)
     val coded = corpus.crossJoin(anchorArr)
       .withColumn("cell", nearestCells(col(vecCol), 1)(0)("cell_id"))
       .select(col(idCol).as("__cid") +: col("cell") +:
@@ -469,28 +534,14 @@ object Similarity {
       // at |Q|=40, m=4, c=8, forcing the whole probe join stage to run
       // interpreted. Same doubles, same ascending-s left-associative
       // fold, so bit-parity with the distributed path is unchanged.)
-      val probeRows: Seq[org.apache.spark.sql.Row] = qRows.toSeq.flatMap {
-        case (qid, qv) =>
-          val lut: Seq[Seq[Double]] = pqLut(qv, anchors, m, subDim).map(_.toSeq).toSeq
-          cellVecs.indices
-            .map(i => (dcos(qv, cellVecs(i)), i))
-            .sortBy { case (c, i) => (-c, i) }
-            .take(nProbe)
-            .map { case (_, i) => org.apache.spark.sql.Row(cellIds(i), qid, lut) }
-      }
+      val probeRows = literalProbeRows(qRows.toSeq, cellIds, cellVecs,
+        anchors, m, subDim, nProbe)
       // broadcast (cell -> query) probe join: only PROBED (corpus row ×
       // query) pairs ever materialize — the coarse pruning cuts row
       // processing, not just ADC arithmetic (the ivfTopK shape)
       val probedDf = qSpark.createDataFrame(
         qSpark.sparkContext.parallelize(probeRows, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("cell", cellIdType),
-          org.apache.spark.sql.types.StructField("__qid",
-            queries.schema(qIdCol).dataType),
-          org.apache.spark.sql.types.StructField("__lut",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.DoubleType))))))
+        probeSchema(cellIdType, queries.schema(qIdCol).dataType))
       coded.join(broadcast(probedDf), "cell")
         .select(col("__qid"), col("__cid"), (-lutAdcColumn(m)).as("__cos"))
     } else {
@@ -528,7 +579,7 @@ object Similarity {
       coded.join(probed, "cell")
         .select(col("__qid"), col("__cid"), (-lutAdcColumn(m)).as("__cos"))
     }
-    adcTopK(scored, k, excludeSelf)
+    (adcTopK(scored, k, excludeSelf), qRows.length <= maxLiteralQueries)
   }
 
   /** Persisted IVF-PQ index build — the full trained-ANN LIFECYCLE's
@@ -554,14 +605,9 @@ object Similarity {
     // null-vec rows cannot anchor or encode — same exclusion ivfPqTopK
     // applies implicitly through its null-cell join
     val nonNull = col(vecCol).isNotNull && !exists(col(vecCol), _.isNull)
-    val cellRows = coarse.map { case (id, v) => org.apache.spark.sql.Row(id, v.toSeq) }
-    val anchorArr = broadcast(
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(cellRows, 1),
-        StructType(Seq(
-          StructField("cell_id", LongType),
-          StructField("cell_vec", ArrayType(FloatType, containsNull = false)))))
-        .agg(collect_list(struct(col("cell_id"), col("cell_vec"))).as("cells")))
+    val anchorArr = coarseCellsFrame(spark,
+      coarse.map(_._1: Any).toArray, coarse.map(_._2).toArray,
+      LongType, ArrayType(FloatType, containsNull = false))
     corpus.filter(nonNull).crossJoin(anchorArr)
       .withColumn("cell", nearestCells(col(vecCol), 1)(0)("cell_id"))
       .select(col(idCol).as("id") +: col("cell") +:
@@ -600,31 +646,17 @@ object Similarity {
       s"ivfPqSearchIndex is the bounded serving path (> $maxLiteralQueries queries); " +
         "use ivfPqTopK for corpus-sized batch scoring")
     if (qRows.isEmpty) return emptyAdcResult(queries, qIdCol, index, "id")
-    val cellIds = coarse.map(_._1).toArray
+    val cellIds = coarse.map(_._1: Any).toArray
     val cellVecs = coarse.map(_._2).toArray
-    def ddot(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      s
-    }
-    def dcos(a: Array[Float], b: Array[Float]): Double =
-      ddot(a, b) / (math.sqrt(ddot(a, a)) * math.sqrt(ddot(b, b)))
-    val probeRows: Seq[org.apache.spark.sql.Row] =
-      qRows.toSeq.map(r => (r.get(0), r.getSeq[Float](1).toArray)).flatMap {
-        case (qid, qv) =>
-          val lut: Seq[Seq[Double]] = pqLut(qv, codebook, m, subDim).map(_.toSeq).toSeq
-          cellVecs.indices
-            .map(i => (dcos(qv, cellVecs(i)), i))
-            .sortBy { case (c, i) => (-c, i) }
-            .take(nProbe)
-            .map { case (_, i) => org.apache.spark.sql.Row(cellIds(i), qid, lut) }
-      }
+    // probe/LUT arithmetic is the SHARED literal-path helper — the
+    // persisted probe can never drift from the in-plan probe whose
+    // oracle it shares (review r12)
+    val probeRows = literalProbeRows(
+      qRows.toSeq.map(r => (r.get(0), r.getSeq[Float](1).toArray)),
+      cellIds, cellVecs, codebook, m, subDim, nProbe)
     val probedDf = spark.createDataFrame(
       spark.sparkContext.parallelize(probeRows, 1),
-      StructType(Seq(
-        StructField("cell", LongType),
-        StructField("__qid", queries.schema(qIdCol).dataType),
-        StructField("__lut", ArrayType(ArrayType(DoubleType))))))
+      probeSchema(LongType, queries.schema(qIdCol).dataType))
     // literal cell pruning: on a partitionBy("cell") index this is
     // directory-level partition pruning — unprobed cells are never read
     val probedCells = probeRows.map(_.getLong(0)).distinct
@@ -667,22 +699,21 @@ object Similarity {
       coarse: Option[Seq[(Long, Array[Float])]] = None,
       codebook: Option[Array[Array[Float]]] = None): DataFrame = {
     require(rerankR >= k, s"rerankR=$rerankR must be >= k=$k")
-    val cand = ivfPqTopK(queries, qIdCol, qVecCol, corpus, idCol, vecCol,
-        rerankR, nCells, nProbe, m, subDim, excludeSelf, maxLiteralQueries,
-        coarse, codebook)
-      .select(col("query_id"), col("neighbor_id"))
+    val (candFull, bounded) = ivfPqTopKImpl(queries, qIdCol, qVecCol,
+      corpus, idCol, vecCol, rerankR, nCells, nProbe, m, subDim,
+      excludeSelf, maxLiteralQueries, coarse, codebook)
+    val cand = candFull.select(col("query_id"), col("neighbor_id"))
     // self-exclusion already applied at the candidate stage; null-vector
     // queries/corpus rows never produced candidates there either
     val qv = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
     val ev = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__ev"))
     val withQ = cand.join(qv, "query_id")
-    // bounded serving batches (the literal-path gate): broadcast the
-    // |Q|·R candidate set so the exact-vector fetch streams the corpus
-    // with no shuffle; corpus-sized batch scoring leaves the join
-    // unhinted (|Q|·R is itself corpus-scale there — Catalyst/AQE pick
-    // the shuffle plan both sides need)
-    val bounded =
-      queries.select(col(qIdCol)).limit(maxLiteralQueries + 1).count() <= maxLiteralQueries
+    // bounded serving batches (the literal-path gate, reused from the
+    // candidate stage — no extra action): broadcast the |Q|·R candidate
+    // set so the exact-vector fetch streams the corpus with no shuffle;
+    // corpus-sized batch scoring leaves the join unhinted (|Q|·R is
+    // itself corpus-scale there — Catalyst/AQE pick the shuffle plan
+    // both sides need)
     val fetched = ev.join(if (bounded) broadcast(withQ) else withQ, "neighbor_id")
     val l2 = DotProductExpr.dot(col("__qv"), col("__qv")) -
       lit(2.0) * DotProductExpr.dot(col("__qv"), col("__ev")) +

@@ -144,7 +144,10 @@ object PointInTimeJoin {
     // scales with the feature shuffle it deletes).
     val strat =
       if (views.isEmpty) graft.plans.AsOfJoin.SortMerge
-      else {
+      else graft.plans.AsOfJoin.pinnedStrategy(entityDf.sparkSession).getOrElse {
+        // stats only when the route is actually open: the maxBy runs the
+        // optimizer over every view's source, wasted under a pinned
+        // session (review r12)
         val biggest = views.map(_.featureDf).maxBy(
           _.queryExecution.optimizedPlan.stats.sizeInBytes)
         graft.plans.AsOfJoin.chooseStrategy(entityDf, biggest)

@@ -299,6 +299,19 @@ object AsOfJoin {
     *    the fixed costs under any disk/network-backed shuffle while
     *    local walls stay within ~20%; single-node-only users can raise
     *    it (or pin `graft.asof.strategy=sortmerge`). */
+  /** The session's pinned strategy, if `graft.asof.strategy` names one
+    * — lets callers skip the plan-stat probes entirely when the route
+    * is forced (the stats require an analyze+optimize pass per frame,
+    * wasted work under a pinned session). */
+  def pinnedStrategy(spark: org.apache.spark.sql.SparkSession): Option[String] =
+    spark.conf.get("graft.asof.strategy", Auto).toLowerCase match {
+      case Auto => None
+      case s =>
+        require(s == SortMerge || s == Broadcast,
+          s"graft.asof.strategy must be auto|sortmerge|broadcast, got $s")
+        Some(s)
+    }
+
   def chooseStrategy(left: DataFrame, right: DataFrame): String = {
     val spark = left.sparkSession
     spark.conf.get("graft.asof.strategy", Auto).toLowerCase match {
@@ -352,6 +365,11 @@ object AsOfJoin {
       featureCols: Seq[String],
       rowId: String,
       outName: String => String = identity): DataFrame = {
+    // the same loud rejection AsOfJoin.join applies — without it a
+    // negative TTL silently meant UNBOUNDED here while the exec route
+    // errors and the declarative fallback yields an empty window, so
+    // results would flip with the routing stats (review r12)
+    require(ttl != null && !ttl.isNegative, "ttl must be >= 0 (0 = unbounded)")
     // fresh expression ids on the right so self-joins resolve
     val rightNeeded = (keys ++ (featureTsCol +: orderCols) ++ featureCols).distinct
     val r = feature.select(rightNeeded.map(c => col(c).as(s"__r_$c")): _*)
@@ -362,7 +380,7 @@ object AsOfJoin {
     // micros, not whole seconds — the same window arithmetic as the
     // merge exec's raw-micros compare and the declarative fallback
     val asOf =
-      if (ttl.isZero || ttl.isNegative) upper
+      if (ttl.isZero) upper
       else upper && R(featureTsCol) >=
         (L(entityTsCol) - graft.operators.PointInTimeJoin.durationInterval(ttl))
     val candidates = r.join(broadcast(leftNarrow), keyCond && asOf, "inner")

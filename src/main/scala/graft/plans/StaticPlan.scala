@@ -29,13 +29,20 @@ import org.apache.spark.sql.graftshim.ColumnShim
   * so results are bit-identical — the oracle gate runs through this
   * path.
   *
-  * Scope caveat (documented contract): frames DERIVED from a re-rooted
-  * result keep executing on the static clone, so a long downstream
-  * pipeline built on an as-of result also runs AQE-off, and session
-  * changes made on the parent AFTER the first as-of call (runtime
-  * confs, late-registered SQL functions) are not visible to it. Set
-  * `graft.asof.aqe=on` to keep results on the caller's session and let
-  * AQE wrap the as-of plans too.
+  * Scope caveats (documented contract):
+  *  - frames DERIVED from a re-rooted result keep executing on the
+  *    static clone, so a long downstream pipeline built on an as-of
+  *    result also runs AQE-off;
+  *  - session changes made on the parent AFTER the first as-of call
+  *    (runtime confs, late-registered SQL functions) are not visible
+  *    to it (the clone's conf is a snapshot);
+  *  - SESSION-SCOPED registrations made THROUGH a re-rooted result
+  *    land on the clone: `result.createOrReplaceTempView("v")`
+  *    registers `v` in the clone's temp catalog, and
+  *    `parent.sql("SELECT … FROM v")` will not see it — register temp
+  *    views via `parent.createDataFrame`-side frames, or opt out.
+  * Set `graft.asof.aqe=on` to keep results on the caller's session and
+  * let AQE wrap the as-of plans too.
   */
 object StaticPlan {
 
@@ -43,11 +50,18 @@ object StaticPlan {
     * (chained as-of links re-enter with frames already on the clone). */
   private val Marker = "graft.internal.staticSession"
 
-  // WeakHashMap keyed by the parent session: one clone per live parent,
-  // created lazily at the first static-plan request (by then the
-  // session's extensions/functions/confs are in place and snapshot
-  // cleanly)
-  private val clones = new java.util.WeakHashMap[SparkSession, SparkSession]
+  // Weak keys AND weak values: the clone strongly references the
+  // parent's SessionState (cloneSession passes it as the parent
+  // state), which reaches back to the parent session — a strong map
+  // value would therefore pin its own key and the WeakHashMap would
+  // never collect anything (review r12: a per-request-session driver
+  // leaked two full SessionStates per request). With a WeakReference
+  // value the cache pins nothing: any live re-rooted DataFrame keeps
+  // its clone alive through its own sparkSession field, and a
+  // collected clone is simply re-cloned on next use (fresh conf
+  // snapshot — same contract as the first call).
+  private val clones =
+    new java.util.WeakHashMap[SparkSession, java.lang.ref.WeakReference[SparkSession]]
 
   private[graft] def isStatic(spark: SparkSession): Boolean =
     spark.conf.getOption(Marker).contains("true")
@@ -56,13 +70,16 @@ object StaticPlan {
     * already a static clone). */
   def sessionFor(spark: SparkSession): SparkSession = clones.synchronized {
     if (isStatic(spark)) spark
-    else Option(clones.get(spark)).getOrElse {
-      val c = ColumnShim.cloneSession(spark)
-      c.conf.set("spark.sql.adaptive.enabled", "false")
-      c.conf.set(Marker, "true")
-      AsOfJoin.ensureStrategy(c)
-      clones.put(spark, c)
-      c
+    else {
+      val cached = Option(clones.get(spark)).flatMap(r => Option(r.get))
+      cached.getOrElse {
+        val c = ColumnShim.cloneSession(spark)
+        c.conf.set("spark.sql.adaptive.enabled", "false")
+        c.conf.set(Marker, "true")
+        AsOfJoin.ensureStrategy(c)
+        clones.put(spark, new java.lang.ref.WeakReference(c))
+        c
+      }
     }
   }
 

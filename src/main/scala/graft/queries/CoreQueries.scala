@@ -95,10 +95,15 @@ object CoreQueries {
       .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"),
         col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
         col("l_returnflag"))
+    // strategy PINNED: this query's whole purpose is to gate the
+    // sort-merge exec against its oracle — the Auto default could
+    // silently route it to the broadcast path under a session override
+    // or threshold change (review r12)
     graft.plans.AsOfJoin.join(entity, feat, Seq("o_orderkey"),
         "event_timestamp", "l_shipdate", Duration.ofDays(400),
         orderCols = Seq("l_linenumber"),
-        featureCols = Seq("l_quantity", "l_extendedprice", "l_returnflag"))
+        featureCols = Seq("l_quantity", "l_extendedprice", "l_returnflag"),
+        strategy = graft.plans.AsOfJoin.SortMerge)
       .select(col("o_orderkey"), col("o_custkey"),
         unix_millis(col("event_timestamp")).as("event_ts_ms"),
         col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
