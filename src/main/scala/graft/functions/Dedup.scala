@@ -704,6 +704,15 @@ object Dedup {
     // error. bands > 32 would leave < 2 bits per segment.
     require(bands >= 2 && bands <= 32 && 64 % bands == 0,
       s"bands must divide 64 and lie in [2, 32], got $bands")
+    // the pigeonhole guarantee covers hamming <= bands-1 ONLY: beyond
+    // it a pair whose differing bits span every segment shares no
+    // bucket and silently drops from output that claims completeness —
+    // the same silent-recall-loss class the bands=1 reject guards
+    // (review r12)
+    require(maxHamming <= bands - 1,
+      s"maxHamming=$maxHamming exceeds the pigeonhole guarantee of " +
+        s"bands-1=${bands - 1} exact-segment matches — raise bands or " +
+        "lower maxHamming")
     val bits = 64 / bands
     val hashed = rebalance(df).select(col(idCol).as("id"),
       TextFunctions.simhash64(col(textCol)).as("sim"))

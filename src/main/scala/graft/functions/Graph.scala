@@ -95,6 +95,12 @@ object Graph {
       Components.releaseCheckpoint(e)
       Components.releaseCheckpoint(nodes)
       Components.releaseCheckpoint(outDeg)
+    } else {
+      // iters = 0: the result reads only the nodes checkpoint — the
+      // edge blocks were materialized solely to derive it and leaked
+      // per call in a long-lived session (review r12); outDeg is lazy
+      // and was never built
+      Components.releaseCheckpoint(e)
     }
     out
   }

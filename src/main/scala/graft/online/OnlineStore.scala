@@ -134,7 +134,10 @@ class InMemoryOnlineStore extends OnlineStore {
     entityKeys.map { key =>
       table.get(storeKey(project, view.name, key)) match {
         case Some(StoredRow(ts, _, values, _)) =>
-          (Some(ts), features.map { f =>
+          // Option(ts), not Some(ts): a stored null ts must read as
+          // ts-less (staleness gate skipped), not Some(null) that NPEs
+          // the gate's ts.before(cutoff) at serve time
+          (Option(ts), features.map { f =>
             f -> (values.get(f) match {
               case Some(v) if v != null => FeatureValue(v, FeatureStatus.Present)
               case _ => FeatureValue(null, FeatureStatus.NotFound)
@@ -175,8 +178,14 @@ object InMemoryOnlineStore {
       case _ => Some(row)
     }
   }
+  private def tsMs(t: Timestamp): Long =
+    if (t == null) Long.MinValue else t.getTime
   private def newer(old: StoredRow, nw: StoredRow): Boolean = {
-    val c = old.ts.compareTo(nw.ts)
+    // null event-ts orders SMALLEST (any timestamped row supersedes it)
+    // instead of NPE-ing the whole upsert batch — the parquet twin
+    // already keeps null-ts rows alive through expire, so the stores
+    // must agree on dirty data (review r12)
+    val c = java.lang.Long.compare(tsMs(old.ts), tsMs(nw.ts))
     if (c != 0) c > 0
     else (old.created.map(_.getTime).getOrElse(Long.MinValue)
       > nw.created.map(_.getTime).getOrElse(Long.MinValue))
@@ -282,7 +291,17 @@ object ParquetOnlineStore {
   // stay lock-free on the CHM.
   private val cacheLock = new Object
   private var cacheBytes = 0L
+  // Resolved bucket-count per table path: the marker is immutable once a
+  // table exists, but the point-read path was re-fetching it (exists +
+  // open + read, twice on a mid-swap miss) before every bucket lookup —
+  // on object stores that's 2-4 metadata round trips ahead of the cached
+  // O(map-lookup) read (review r12). Only FOUND markers are cached (a
+  // default for a not-yet-created table must not stick); write-path
+  // invalidation drops the entry alongside the block cache.
+  private val markerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]()
   private[online] def invalidateCache(prefix: String): Unit = {
+    markerCache.remove(prefix) // same raw path() string the reads use
     val p0 = new org.apache.hadoop.fs.Path(prefix)
     // a relative basePath yields a relative prefix that would never
     // match the absolute cached keys — resolve it like the local fs does
@@ -293,7 +312,13 @@ object ParquetOnlineStore {
       val it = bucketCache.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
-        if (new org.apache.hadoop.fs.Path(e.getKey).toUri.getPath.startsWith(stripped)) {
+        val keyPath = new org.apache.hadoop.fs.Path(e.getKey).toUri.getPath
+        // separator-anchored: a bare startsWith(stripped) also matched
+        // SIBLING views extending the name (writing 'clicks' wiped
+        // 'clicks_v2''s hot cache on every batch — review r12); cached
+        // keys are files under the table dir or its rename-aside twin
+        if (keyPath.startsWith(stripped + "/") ||
+            keyPath.startsWith(stripped + ".old/")) {
           cacheBytes -= e.getValue._1
           it.remove()
         }
@@ -391,11 +416,21 @@ class ParquetOnlineStore(
   }
 
   private def effectiveBuckets(fs: org.apache.hadoop.fs.FileSystem, p: String): Int =
-    markerAt(fs, p).orElse(markerAt(fs, p + ".old")).getOrElse(numBuckets)
+    Option(ParquetOnlineStore.markerCache.get(p)).getOrElse {
+      val found = markerAt(fs, p).orElse(markerAt(fs, p + ".old"))
+      found.foreach(n => ParquetOnlineStore.markerCache.put(p, n))
+      found.getOrElse(numBuckets)
+    }
 
-  private def writeBucketsMarker(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+  private def writeBucketsMarker(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      count: Int): Unit = {
+    // the EFFECTIVE count, never the configured default: the small-store
+    // rewrite re-stages a table whose adopted marker may differ from this
+    // instance's numBuckets, and writing the default would publish a
+    // mod-adopted-bucketed table with a lying marker — every later read
+    // then hashes into the wrong dirs (review r12)
     val out = fs.create(hp(s"$dir/$BucketsMarker"), true)
-    try out.write(numBuckets.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(count.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** Crash recovery, run ONLY from the write path (upsert/teardown own
@@ -501,7 +536,7 @@ class ParquetOnlineStore(
           else !st.getPath.getName.startsWith("_")
         }
       if (!hasDataFile(hp(tmp))) { fs.delete(hp(tmp), true); return }
-      writeBucketsMarker(fs, tmp)
+      writeBucketsMarker(fs, tmp, buckets)
       fs.rename(hp(tmp), hp(p))
     } else if (liveBytes <= smallStoreBytes) {
       // Small store: one-job full rewrite (old ∪ incoming), whole-dir
@@ -510,7 +545,7 @@ class ParquetOnlineStore(
       // data, so the swap can't leave a marker-less bucketed table.
       val old = spark.read.parquet(p).select((cols :+ BucketCol).map(col): _*)
       stage(old.unionByName(incoming))
-      writeBucketsMarker(fs, tmp)
+      writeBucketsMarker(fs, tmp, buckets)
       val oldRoot = hp(p + ".old")
       fs.rename(hp(p), oldRoot)
       fs.rename(hp(tmp), hp(p))
@@ -568,8 +603,13 @@ class ParquetOnlineStore(
     val p = path(project, view.name)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = hp(p).getFileSystem(hconf)
-    if (!fs.exists(hp(p))) return
+    // recover FIRST: after a crashed whole-table swap the live tree is
+    // absent and the data sits in `p.old` — an exists-first return made
+    // CDC deletes silent no-ops while reads kept serving the rows via
+    // the .old fallback, and the next upsert's heal resurrected the
+    // tombstoned keys permanently (review r12)
     recover(fs, p)
+    if (!fs.exists(hp(p))) return
     val buckets = effectiveBuckets(fs, p)
     val keys = keysDf
       .select(OnlineStore.guardNullKeys(joinKeys, joinKeys, view.name): _*)
@@ -585,7 +625,11 @@ class ParquetOnlineStore(
         .filter(col(BucketCol).isin(touched: _*))
         .join(cached.drop(BucketCol), joinKeys, "left_anti")
         .repartition(touched.size, col(BucketCol))
-        .sortWithinPartitions(joinKeys.map(col): _*)
+        // BucketCol must LEAD the sort (mergedFrame's layout): without
+        // it FileFormatWriter inserts its own sort on the partition
+        // column, discarding the within-bucket key order the point
+        // reader's min/max skipping relies on (review r12)
+        .sortWithinPartitions(col(BucketCol) +: joinKeys.map(col): _*)
         .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp)
       val oldRoot = hp(p + ".old")
       fs.mkdirs(oldRoot)
@@ -621,8 +665,8 @@ class ParquetOnlineStore(
     val p = path(project, view.name)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = hp(p).getFileSystem(hconf)
+    recover(fs, p) // before the exists check — see deleteImpl
     if (!fs.exists(hp(p))) return 0L
-    recover(fs, p)
     val store = spark.read.parquet(p)
     val perBucket = store.filter(col(tsCol) < lit(cutoff))
       .groupBy(col(BucketCol)).agg(count(lit(1)).as("n"))
@@ -636,7 +680,7 @@ class ParquetOnlineStore(
       // rewrite too, or it silently vanishes uncounted (review r6)
       .filter(col(tsCol) >= lit(cutoff) || col(tsCol).isNull)
       .repartition(touched.size, col(BucketCol))
-      .sortWithinPartitions(joinKeys.map(col): _*)
+      .sortWithinPartitions(col(BucketCol) +: joinKeys.map(col): _*)
       .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp)
     val oldRoot = hp(p + ".old")
     fs.mkdirs(oldRoot)
@@ -660,7 +704,14 @@ class ParquetOnlineStore(
     // serialization. Cost is O(rows in touched buckets), independent of
     // store size; for ms-latency front with InMemoryOnlineStore.
     val hconf = SparkSession.active.sparkContext.hadoopConfiguration
-    val tsCol = view.batchSource.eventTimestampColumn
+    // the stored event-ts column is whatever the WRITER passed to
+    // upsert: batch materialize passes the batch source's name, the
+    // stream materializer the stream source's — a view whose two
+    // sources name their ts differently previously read None here and
+    // silently disabled the staleness gate (rows older than ttl served
+    // PRESENT instead of OUTSIDE_MAX_AGE; review r12). Try both.
+    val tsCands = (view.batchSource.eventTimestampColumn +:
+      view.streamSource.toSeq.map(_.eventTimestampColumn)).distinct
     val p = path(project, view.name)
     val fsys = hp(p).getFileSystem(hconf)
     // Reads NEVER run recovery (ADVICE r2): a read racing an in-flight
@@ -708,7 +759,8 @@ class ParquetOnlineStore(
     entityKeys.map { key =>
       hits.get(EntityKeyCodec.hexKey(key)) match {
         case Some(m) =>
-          (m.get(tsCol).collect { case t: Timestamp => t }, features.map { f =>
+          (tsCands.iterator.map(m.get).collectFirst { case Some(t: Timestamp) => t },
+            features.map { f =>
             val v = m.getOrElse(f, null)
             f -> (if (v != null) FeatureValue(v, FeatureStatus.Present)
                   else FeatureValue(null, FeatureStatus.NotFound))

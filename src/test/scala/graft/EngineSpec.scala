@@ -1282,6 +1282,125 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("ParquetOnlineStore: small-store rewrite preserves the ADOPTED bucket marker (review r12)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graftmk").toString
+    val df1 = (0L until 40L).map(k => (k, ts("2024-01-01 10:00:00"), k.toDouble))
+      .toDF("driver_id", "et", "v")
+    val view = FeatureView("mk", Seq("driver"), Seq(Feature("v", GraftType.Dbl)),
+      Duration.ZERO, DataFrameSource(df1, "et"))
+    // created with 8 buckets (default smallStoreBytes -> small-store path)
+    new ParquetOnlineStore(base, numBuckets = 8)
+      .upsert("p", view, Seq("driver_id"), df1, "et", None)
+    def marker(): String = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/p/mk/_graft_buckets")), "UTF-8").trim
+    assert(marker() === "8")
+    // reopened with a DIFFERENT configured count: the rewrite must keep
+    // writing the adopted 8 — pre-fix it published mod-8 data under a
+    // marker saying 4, misrouting every later point read
+    val store4 = new ParquetOnlineStore(base, numBuckets = 4)
+    val df2 = (40L until 48L).map(k => (k, ts("2024-01-02 10:00:00"), k.toDouble))
+      .toDF("driver_id", "et", "v")
+    store4.upsert("p", view, Seq("driver_id"), df2, "et", None)
+    assert(marker() === "8", "rewrite must persist the adopted count, not the configured one")
+    val r = store4.read("p", view, Seq("driver_id"),
+      Seq(Seq("driver_id" -> 3L), Seq("driver_id" -> 44L)), Seq("v"))
+    assert(r(0)._2("v").status == "PRESENT" && r(0)._2("v").value == 3.0)
+    assert(r(1)._2("v").status == "PRESENT" && r(1)._2("v").value == 44.0)
+    store4.teardown("p", Seq(view))
+  }
+
+  test("ParquetOnlineStore: delete heals a crashed whole-table swap instead of no-opping (review r12)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graftheal").toString
+    val store = new ParquetOnlineStore(base, numBuckets = 4)
+    val df = (0L until 10L).map(k => (k, ts("2024-01-01 10:00:00"), k.toDouble))
+      .toDF("driver_id", "et", "v")
+    val view = FeatureView("hl", Seq("driver"), Seq(Feature("v", GraftType.Dbl)),
+      Duration.ZERO, DataFrameSource(df, "et"))
+    store.upsert("p", view, Seq("driver_id"), df, "et", None)
+    // simulate a crash between rename-aside and rename-in: the whole
+    // table is parked at `.old`, the live tree is gone
+    val live = new java.io.File(s"$base/p/hl")
+    assert(live.renameTo(new java.io.File(s"$base/p/hl.old")))
+    // pre-fix: delete saw !exists(live) and returned silently, while
+    // reads kept serving via the .old fallback and the next upsert
+    // resurrected the tombstoned keys
+    store.delete("p", view, Seq("driver_id"), Seq(2L).toDF("driver_id"))
+    val r = store.read("p", view, Seq("driver_id"),
+      Seq(Seq("driver_id" -> 2L), Seq("driver_id" -> 3L)), Seq("v"))
+    assert(r(0)._2("v").status == "NOT_FOUND", "tombstone must apply through the heal")
+    assert(r(1)._2("v").status == "PRESENT" && r(1)._2("v").value == 3.0)
+    store.teardown("p", Seq(view))
+  }
+
+  test("InMemoryOnlineStore tolerates null event ts: no NPE, ts-less read, real ts supersedes (review r12)") {
+    import spark.implicits._
+    val store = new InMemoryOnlineStore()
+    val nullDf = Seq((7L, null.asInstanceOf[Timestamp], 1.0)).toDF("driver_id", "et", "v")
+    val view = FeatureView("nt", Seq("driver"), Seq(Feature("v", GraftType.Dbl)),
+      Duration.ZERO, DataFrameSource(nullDf, "et"))
+    store.upsert("p", view, Seq("driver_id"), nullDf, "et", None)
+    // second null-ts upsert exercised the LWW compare that NPE'd pre-fix
+    store.upsert("p", view, Seq("driver_id"), nullDf, "et", None)
+    val r0 = store.read("p", view, Seq("driver_id"), Seq(Seq("driver_id" -> 7L)), Seq("v"))
+    assert(r0.head._1.isEmpty, "stored null ts must read as ts-less, not Some(null)")
+    assert(r0.head._2("v").value == 1.0)
+    // any timestamped row supersedes the null-ts row
+    val tsDf = Seq((7L, ts("2024-01-05 00:00:00"), 2.0)).toDF("driver_id", "et", "v")
+    store.upsert("p", view, Seq("driver_id"), tsDf, "et", None)
+    val r1 = store.read("p", view, Seq("driver_id"), Seq(Seq("driver_id" -> 7L)), Seq("v"))
+    assert(r1.head._1.contains(ts("2024-01-05 00:00:00")) && r1.head._2("v").value == 2.0)
+    store.teardown("p", Seq(view))
+  }
+
+  test("serving cache invalidation is view-scoped: writing 'clicks' keeps 'clicks_v2' hot (review r12)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graftsib").toString
+    val store = new ParquetOnlineStore(base, numBuckets = 2)
+    def mkView(n: String, df: org.apache.spark.sql.DataFrame) =
+      FeatureView(n, Seq("driver"), Seq(Feature("v", GraftType.Dbl)),
+        Duration.ZERO, DataFrameSource(df, "et"))
+    val df = (0L until 8L).map(k => (k, ts("2024-01-01 10:00:00"), k.toDouble))
+      .toDF("driver_id", "et", "v")
+    val (v1, v2) = (mkView("clicks", df), mkView("clicks_v2", df))
+    store.upsert("p", v1, Seq("driver_id"), df, "et", None)
+    store.upsert("p", v2, Seq("driver_id"), df, "et", None)
+    // fill both views' decoded-bucket caches
+    store.read("p", v1, Seq("driver_id"), Seq(Seq("driver_id" -> 1L)), Seq("v"))
+    store.read("p", v2, Seq("driver_id"), Seq(Seq("driver_id" -> 1L)), Seq("v"))
+    val v2Cached = ParquetOnlineStore.cachedPaths().filter(_.contains("/clicks_v2/"))
+    assert(v2Cached.nonEmpty, "precondition: clicks_v2 buckets cached")
+    // a write to the SIBLING-NAMED view must not evict clicks_v2's blocks
+    store.upsert("p", v1, Seq("driver_id"),
+      Seq((9L, ts("2024-01-02 10:00:00"), 9.0)).toDF("driver_id", "et", "v"), "et", None)
+    assert(v2Cached.subsetOf(ParquetOnlineStore.cachedPaths()),
+      "clicks_v2 cache entries must survive a write to clicks")
+    assert(!ParquetOnlineStore.cachedPaths().exists(p => p.contains("/clicks/")),
+      "clicks' own cache entries must be invalidated by its write")
+    store.teardown("p", Seq(v1, v2))
+  }
+
+  test("ParquetOnlineStore.read resolves the stream source's ts column for the staleness gate (review r12)") {
+    import spark.implicits._
+    // batch and stream sources name their event-ts differently; the
+    // stream materializer upserts under the STREAM name — the read
+    // previously looked up only the batch name, got None, and silently
+    // disabled the ttl gate
+    val base = java.nio.file.Files.createTempDirectory("graftts").toString
+    val store = new ParquetOnlineStore(base, numBuckets = 2)
+    val batchDf = Seq((1L, ts("2024-01-01 00:00:00"), 1.0)).toDF("driver_id", "event_timestamp", "v")
+    val streamDf = Seq((1L, ts("2024-01-03 00:00:00"), 3.0)).toDF("driver_id", "evt_ts", "v")
+    val view = FeatureView("tsv", Seq("driver"), Seq(Feature("v", GraftType.Dbl)),
+      Duration.ofDays(7), DataFrameSource(batchDf, "event_timestamp"),
+      streamSource = Some(DataFrameSource(streamDf, "evt_ts")))
+    store.upsert("p", view, Seq("driver_id"), streamDf, "evt_ts", None)
+    val r = store.read("p", view, Seq("driver_id"), Seq(Seq("driver_id" -> 1L)), Seq("v"))
+    assert(r.head._1.contains(ts("2024-01-03 00:00:00")),
+      "read must find the event ts under the stream source's column name")
+    store.teardown("p", Seq(view))
+  }
+
   test("ParquetOnlineStore upsert rewrites only buckets containing incoming keys") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graftbkt").toString

@@ -1062,6 +1062,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2) === ((3L, 4L, 3L, 0.75)))
   }
 
+  test("pageRank iters=0: edge checkpoint released, only the nodes snapshot stays (review r12)") {
+    import spark.implicits._
+    val edges = (0L until 200L).map(i => (i, (i + 1) % 200)).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = graft.functions.Graph.pageRank(edges, "src", "dst", iters = 0)
+    assert(out.count() === 200)
+    // the result reads the nodes checkpoint (must stay); the edge
+    // frame's blocks were scaffolding and previously leaked per call
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"iters=0 must keep at most the nodes checkpoint, found ${leaked.size} new persistent RDDs")
+  }
+
   test("pageRank: hand-computed 3-node chain with a dangling sink, mass conserved") {
     import spark.implicits._
     // 0 -> 1, 1 -> 2; node 2 dangles. One iteration from uniform 1/3:
