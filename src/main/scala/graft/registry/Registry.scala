@@ -74,9 +74,22 @@ class Registry(path: Option[String] = None, cacheTtl: Duration = Duration.ofSeco
         System.currentTimeMillis() - cachedAt > cacheTtl.toMillis) refresh()
     state
   }
-  def refresh(): Unit = synchronized {
-    load().foreach(state = _)
-    cachedAt = System.currentTimeMillis()
+  def refresh(): Unit = {
+    // load OUTSIDE the monitor: remote-FS IO under `this` would stall
+    // every concurrent read, and mutate previously held the same
+    // monitor through its whole file-lock spin (up to ~35 s) — a
+    // TTL-expired point read could park behind a contended writer for
+    // tens of seconds (review r12). The swap itself is guarded, and a
+    // refresh that raced a newer mutate must NOT clobber it: skip the
+    // assignment when someone advanced the cache after our load began.
+    val t0 = System.currentTimeMillis()
+    val loaded = load()
+    synchronized {
+      if (cachedAt < t0) {
+        loaded.foreach(state = _)
+        cachedAt = t0
+      }
+    }
   }
   /** Read-modify-write against the FRESH on-disk state under a
     * best-effort exclusive-create lock file: a second writer process
@@ -86,7 +99,11 @@ class Registry(path: Option[String] = None, cacheTtl: Duration = Duration.ofSeco
     * (review r6). The lock is the same O_EXCL claim primitive
     * VersionedTable uses; a crashed holder's lock expires after
     * `lockStaleMs` so it cannot wedge the registry forever. */
-  private def mutate(f: RegistryState => RegistryState): Unit = synchronized {
+  // local writers serialize on a DEDICATED monitor so readers'
+  // `this`-scoped state swap never waits behind the cross-process
+  // file-lock spin (review r12)
+  private val writerLock = new Object
+  private def mutate(f: RegistryState => RegistryState): Unit = writerLock.synchronized {
     withFileLock {
       val base = if (path.isDefined) load().getOrElse(RegistryState()) else state
       val next = f(base).copy(versionId = java.util.UUID.randomUUID().toString)
@@ -95,8 +112,10 @@ class Registry(path: Option[String] = None, cacheTtl: Duration = Duration.ofSeco
       // hand reads a registration the caller was told failed, for up
       // to a full cache TTL)
       persist(next)
-      state = next
-      cachedAt = System.currentTimeMillis()
+      synchronized {
+        state = next
+        cachedAt = System.currentTimeMillis()
+      }
     }
   }
 
@@ -165,10 +184,27 @@ class Registry(path: Option[String] = None, cacheTtl: Duration = Duration.ofSeco
                 val st = fs.getFileStatus(lock)
                 if (System.currentTimeMillis() - st.getModificationTime > lockStaleMs) {
                   val staleToken = readToken(lock)
+                  // CONFIRMATION WINDOW (review r12): the status read
+                  // and the token read are not atomic — another breaker
+                  // can break-and-recreate between them, and we would
+                  // capture the FRESH lock's token believing it stale,
+                  // then "confirm" and delete it (two writers enter).
+                  // Re-observe after a pause: the same token under the
+                  // same stale mtime across both looks can only be the
+                  // crashed holder's lock — a replacement is CREATED
+                  // fresh, so its mtime fails the stale check.
+                  Thread.sleep(100L)
+                  val stillStale =
+                    try {
+                      val st2 = fs.getFileStatus(lock)
+                      st2.getModificationTime == st.getModificationTime &&
+                        System.currentTimeMillis() - st2.getModificationTime > lockStaleMs &&
+                        readToken(lock) == staleToken
+                    } catch { case _: java.io.FileNotFoundException => false }
                   val tomb = new org.apache.hadoop.fs.Path(
                     p + ".lock.breaking-" +
                       java.util.UUID.randomUUID().toString.take(8))
-                  if (staleToken.isDefined && fs.rename(lock, tomb)) {
+                  if (staleToken.isDefined && stillStale && fs.rename(lock, tomb)) {
                     if (readToken(tomb) == staleToken)
                       fs.delete(tomb, false) // confirmed the stale lock: broken
                     else if (!fs.rename(tomb, lock))
@@ -236,18 +272,34 @@ class Registry(path: Option[String] = None, cacheTtl: Duration = Duration.ofSeco
 
   private def load(): Option[RegistryState] = path.flatMap { p =>
     val (fs, hp) = hadoopFs(p)
-    val target =
-      if (fs.exists(hp)) Some(hp)
-      else {
-        val old = new org.apache.hadoop.fs.Path(p + ".old")
-        if (fs.exists(old)) Some(old) else None
+    def attempt(): Option[RegistryState] = {
+      val target =
+        if (fs.exists(hp)) Some(hp)
+        else {
+          val old = new org.apache.hadoop.fs.Path(p + ".old")
+          if (fs.exists(old)) Some(old) else None
+        }
+      target.map { t =>
+        val in = fs.open(t)
+        val bytes = org.apache.commons.io.IOUtils.toByteArray(in)
+        in.close()
+        RegistryCodec.decode(Json.parse(new String(bytes, "UTF-8")))
       }
-    target.map { t =>
-      val in = fs.open(t)
-      val bytes = org.apache.commons.io.IOUtils.toByteArray(in)
-      in.close()
-      RegistryCodec.decode(Json.parse(new String(bytes, "UTF-8")))
     }
+    // exists->open races another process's persist swap (live renamed
+    // aside between the two calls): retry through the tiny window
+    // instead of 500-ing a TTL refresh on the serving path (review r12)
+    var tries = 0
+    while (true) {
+      try return attempt()
+      catch {
+        case e: java.io.FileNotFoundException =>
+          tries += 1
+          if (tries >= 3) throw e
+          Thread.sleep(50L)
+      }
+    }
+    None // unreachable
   }
 }
 

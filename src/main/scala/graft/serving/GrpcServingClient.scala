@@ -82,8 +82,31 @@ final class GrpcServingClient(host: String, port: Int, callTimeoutMs: Long = 150
 
   /** One unary call: open a stream, send headers + the framed message,
     * collect DATA + trailers, enforce grpc-status. */
-  private def call(path: String, msg: Array[Byte]): Array[Byte] = {
+  private def call(path: String, msg: Array[Byte]): Array[Byte] =
+    try callImpl(path, msg)
+    catch {
+      case g: GrpcStatusException => throw g
+      // stream open / write on a dead connection throws raw netty
+      // channel exceptions — surface the typed UNAVAILABLE the caller
+      // handles instead (review r12)
+      case e: Exception => throw new GrpcStatusException(14,
+        s"transport failure: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}", e)
+    }
+
+  private def callImpl(path: String, msg: Array[Byte]): Array[Byte] = {
     val done = new CompletableFuture[(Map[String, String], Array[Byte])]()
+    // parent-connection death fails the call NOW (child-stream close
+    // propagation is not guaranteed for handlers added around the close
+    // window): hook the parent closeFuture for the call's duration
+    val onParentClose = new io.netty.channel.ChannelFutureListener {
+      override def operationComplete(f: io.netty.channel.ChannelFuture): Unit = {
+        done.completeExceptionally(new GrpcStatusException(14,
+          "connection closed mid-call"))
+        ()
+      }
+    }
+    channel.closeFuture().addListener(onParentClose)
+    done.whenComplete((_, _) => { channel.closeFuture().removeListener(onParentClose); () })
     // a FRESH stream bootstrap per call: Http2StreamChannelBootstrap
     // holds its handler as mutable state, so sharing one across
     // concurrent calls races handler() against open() and wires a
@@ -118,7 +141,24 @@ final class GrpcServingClient(host: String, port: Int, callTimeoutMs: Long = 150
               d.release()
               if (end) done.complete((headers, buf.toByteArray))
               ()
+            case r: Http2ResetFrame =>
+              // server cancelled the stream: fail NOW as UNAVAILABLE
+              // instead of parking the caller for the full deadline
+              // (review r12)
+              done.completeExceptionally(new GrpcStatusException(14,
+                s"stream reset by peer (error ${r.errorCode})"))
+              ()
             case _ => ()
+          }
+          override def channelInactive(ctx: ChannelHandlerContext): Unit = {
+            // connection died mid-call (server stopped, TCP reset):
+            // completing here surfaces a prompt UNAVAILABLE — without it
+            // the caller blocked callTimeoutMs and then reported a
+            // misleading deadline-exceeded (review r12)
+            done.completeExceptionally(new GrpcStatusException(14,
+              "connection closed mid-call"))
+            ctx.fireChannelInactive()
+            ()
           }
           override def exceptionCaught(ctx: ChannelHandlerContext, e: Throwable): Unit = {
             done.completeExceptionally(e)
@@ -134,9 +174,19 @@ final class GrpcServingClient(host: String, port: Int, callTimeoutMs: Long = 150
     hdrs.method("POST").path(path).scheme("http")
     hdrs.set("content-type", "application/grpc")
     hdrs.set("te", "trailers")
-    open.write(new DefaultHttp2HeadersFrame(hdrs, false))
+    // failed writes must complete the call NOW: a stream opened on an
+    // already-dead connection never fires channelInactive on a handler
+    // added after the close, so without these listeners the caller
+    // blocked the full deadline and reported a misleading
+    // deadline-exceeded (review r12)
+    val failFast = new io.netty.channel.ChannelFutureListener {
+      override def operationComplete(f: io.netty.channel.ChannelFuture): Unit = {
+        if (!f.isSuccess) { done.completeExceptionally(f.cause); () }
+      }
+    }
+    open.write(new DefaultHttp2HeadersFrame(hdrs, false)).addListener(failFast)
     open.writeAndFlush(new DefaultHttp2DataFrame(
-      Unpooled.wrappedBuffer(GrpcWire.frame(msg)), true))
+      Unpooled.wrappedBuffer(GrpcWire.frame(msg)), true)).addListener(failFast)
 
     val (headers, body) =
       try done.get(callTimeoutMs, TimeUnit.MILLISECONDS)
@@ -147,6 +197,14 @@ final class GrpcServingClient(host: String, port: Int, callTimeoutMs: Long = 150
           open.write(new DefaultHttp2ResetFrame(Http2Error.CANCEL))
           open.flush()
           throw new GrpcStatusException(4, s"deadline exceeded after ${callTimeoutMs}ms", e)
+        // unwrap handler-side completions (stream reset / connection
+        // closed / pipeline exceptions) to the typed status the caller
+        // handles, instead of a raw ExecutionException
+        case e: java.util.concurrent.ExecutionException => e.getCause match {
+          case g: GrpcStatusException => throw g
+          case c => throw new GrpcStatusException(14,
+            s"transport failure: ${Option(c.getMessage).getOrElse(c.getClass.getSimpleName)}", c)
+        }
       }
     val status = headers.getOrElse("grpc-status", "2").toInt
     if (status != 0)

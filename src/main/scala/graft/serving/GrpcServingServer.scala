@@ -39,6 +39,12 @@ import graft.store.FeatureStore
   * deployment fronts it with its ingress).
   */
 object GrpcServingServer {
+  /** Inbound message cap — grpc-java's default maxInboundMessageSize.
+    * Without it a client streaming DATA frames forever (the window is
+    * auto-replenished) grows one stream's buffer until the serving JVM
+    * OOMs, taking every tenant down (review r12). Oversized requests
+    * answer RESOURCE_EXHAUSTED (8), the real gRPC behavior. */
+  private val MaxInboundBytes = 4 * 1024 * 1024
   private final class StreamState(val path: String) {
     val body = new java.io.ByteArrayOutputStream()
   }
@@ -82,9 +88,24 @@ class GrpcServingServer(fs: FeatureStore, port: Int = 0,
               val st = streams.get(id)
               if (st != null) {
                 val buf = d.content()
-                val bytes = new Array[Byte](buf.readableBytes())
-                buf.readBytes(bytes)
-                st.body.write(bytes)
+                if (st.body.size() + buf.readableBytes() > GrpcServingServer.MaxInboundBytes) {
+                  // oversized request: trailers-only RESOURCE_EXHAUSTED
+                  // and drop the stream state — later frames for this
+                  // stream find no state and are discarded unbuffered
+                  streams.remove(id)
+                  val h = new DefaultHttp2Headers().status("200")
+                  h.set("content-type", "application/grpc")
+                  h.set("grpc-status", "8")
+                  h.set("grpc-message", grpcMessageEncode(
+                    s"request exceeds ${GrpcServingServer.MaxInboundBytes} bytes"))
+                  ctx.writeAndFlush(
+                    new DefaultHttp2HeadersFrame(h, true).stream(d.stream()))
+                  ()
+                } else {
+                  val bytes = new Array[Byte](buf.readableBytes())
+                  buf.readBytes(bytes)
+                  st.body.write(bytes)
+                }
               }
               // replenish the flow-control window for the consumed
               // bytes: Http2FrameCodec's onDataRead consumes NOTHING
@@ -161,8 +182,15 @@ class GrpcServingServer(fs: FeatureStore, port: Int = 0,
 
   def stop(): Unit = {
     bound.close().syncUninterruptibly()
+    dispatchPool.shutdown() // previously leaked its threads per server
+    // AWAIT loop termination: shutdownGracefully only initiates it, so
+    // stop() used to return with established connections still open —
+    // callers (tests, redeploys) observed a half-dead server for up to
+    // a second (review r12)
     boss.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS)
+      .syncUninterruptibly()
     workers.shutdownGracefully(0, 1, java.util.concurrent.TimeUnit.SECONDS)
+      .syncUninterruptibly()
     dispatchPool.shutdown()
     ()
   }

@@ -54,13 +54,15 @@ private[serving] object GrpcWire {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        try {
-          out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
-          i += 3
-        } catch {
-          case _: NumberFormatException => out.write(c.toInt); i += 1
-        }
+      def hex(ch: Char): Boolean =
+        (ch >= '0' && ch <= '9') || (ch >= 'a' && ch <= 'f') || (ch >= 'A' && ch <= 'F')
+      // STRICT two-hex-digit escapes only: parseInt(_, 16) accepts
+      // '+'/'-' signs, so "%-1" decoded to byte 0xFF (invalid UTF-8)
+      // instead of passing through verbatim as the spec requires for
+      // unknown sequences (review r12)
+      if (c == '%' && i + 2 < s.length && hex(s.charAt(i + 1)) && hex(s.charAt(i + 2))) {
+        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
       } else { out.write(c.toInt); i += 1 }
     }
     new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)

@@ -71,7 +71,12 @@ class ServingServer(fs: FeatureStore, port: Int = 0, poolSize: Int = 4) {
       // (1e19 -> Long.MaxValue) and probe the store for a fabricated
       // key — reject them as the invalid ids they are (review r6)
       if (n.v.isWhole) {
-        if (n.v < Long.MinValue.toDouble || n.v > Long.MaxValue.toDouble)
+        // >= at the top: Long.MaxValue.toDouble rounds UP to 2^63, so a
+        // strict > admitted 2^63..2^63+1024 and saturated them via
+        // toLong into Long.MaxValue — the exact fabricated-key probe
+        // this guard rejects (review r12). Long.MinValue.toDouble is
+        // -2^63 exactly and IS a valid long, so < stands there.
+        if (n.v < Long.MinValue.toDouble || n.v >= Long.MaxValue.toDouble)
           throw new IllegalArgumentException(s"entity id ${n.v} exceeds int64 range")
         n.toLong
       } else n.v

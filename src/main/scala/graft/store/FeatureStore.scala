@@ -187,7 +187,12 @@ class FeatureStore(
   def materializeIncremental(viewNames: Seq[String], end: Timestamp): Unit =
     viewNames.foreach { name =>
       val view = registry.getFeatureView(name)
-      val start = registry.materializationIntervals(name).lastOption.map(_.end).getOrElse {
+      // MAX recorded end, not the last-appended interval's: a backfill
+      // of old history appended after newer materializations would
+      // otherwise drag the next incremental start years back and
+      // re-scan the whole span (review r12)
+      val start = registry.materializationIntervals(name)
+        .map(_.end.getTime).maxOption.map(new Timestamp(_)).getOrElse {
         if (view.ttl.isZero) new Timestamp(0L)
         else Timestamp.from(end.toInstant.minus(view.ttl))
       }
@@ -319,6 +324,14 @@ class FeatureStore(
       require(dups.isEmpty,
         s"derived features need unique bare feature names; duplicated: ${dups.mkString(", ")}")
       val entityCols = entityRows.head.keys.toSeq
+      // a bare feature name colliding with an ENTITY column would build
+      // a frame with duplicate column names and die downstream with an
+      // ambiguous-reference AnalysisException far from the cause — the
+      // same loud-rejection policy as the offline clash guard (review r12)
+      val entClash = bare.map(_._1).toSet.intersect(entityCols.toSet)
+      require(entClash.isEmpty,
+        s"derived features need bare feature names distinct from entity " +
+          s"columns; colliding: ${entClash.mkString(", ")}")
       val inputDf = base.toDf(spark, entityCols).toDF(
         (entityCols ++ bare.map(_._1)): _*)
       val evaluated = service.derived.foldLeft(inputDf)((df, d) =>

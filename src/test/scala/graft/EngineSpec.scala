@@ -197,6 +197,16 @@ class EngineSpec extends AnyFunSuite {
       val ivs = fs.registry.materializationIntervals("driver_stats")
       assert(ivs.size == 2 && ivs(1).start == ivs(0).end)
 
+      // incremental start = MAX recorded end, not the last-APPENDED
+      // interval's (review r12): a backfill of old history appended
+      // after newer materializations must not drag the start back
+      fs.registry.applyMaterialization("driver_stats",
+        ts("2020-01-01 00:00:00"), ts("2020-02-01 00:00:00"))
+      fs.materializeIncremental(Seq("driver_stats"), ts("2024-01-05 00:00:00"))
+      val ivs2 = fs.registry.materializationIntervals("driver_stats")
+      assert(ivs2.last.start == ts("2024-01-04 00:00:00"),
+        s"start must be the max recorded end, got ${ivs2.last.start}")
+
       fs.teardown()
       assert(fs.registry.listFeatureViews.isEmpty)
     }

@@ -414,10 +414,72 @@ class ServingSpec extends AnyFunSuite {
           .build(),
         HttpResponse.BodyHandlers.ofString())
       assert(huge.statusCode() == 400 && huge.body().contains("int64"))
+      // the off-by-one at the TOP of the range (review r12):
+      // Long.MaxValue.toDouble rounds UP to 2^63, so 9223372036854775808
+      // previously slipped the strict > check and saturated to
+      // Long.MaxValue, probing a fabricated key
+      val boundary = client.send(
+        HttpRequest.newBuilder(URI.create(s"$base/get-online-features"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"features": ["sx:score"], "entity_rows": [{"driver_id": 9223372036854775808.0}]}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(boundary.statusCode() == 400 && boundary.body().contains("int64"),
+        s"2^63 must be rejected: ${boundary.statusCode()} ${boundary.body().take(120)}")
     } finally {
       server.stop()
       fs.teardown()
     }
+  }
+
+  test("gRPC hardening: oversized request RESOURCE_EXHAUSTED; dead server fails fast (review r12)") {
+    import spark.implicits._
+    val df = Seq((1L, ts("2024-01-01 10:00:00"), 2.0)).toDF("driver_id", "et", "v")
+    val fs = new FeatureStore("srv_g12", new Registry(), new InMemoryOnlineStore(), spark)
+    fs.applyEntity(Entity("driver", GraftType.Int64, Some("driver_id")))
+    fs.applyFeatureView(FeatureView("gv", Seq("driver"),
+      Seq(Feature("v", GraftType.Dbl)), Duration.ZERO, DataFrameSource(df, "et")))
+    fs.materialize(Seq("gv"), ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"))
+    val server = new graft.serving.GrpcServingServer(fs)
+    val client = new graft.serving.GrpcServingClient("localhost", server.boundPort)
+    try {
+      // a >4 MiB request must answer grpc-status 8 (RESOURCE_EXHAUSTED),
+      // never buffer without bound: 5 MiB of entity rows
+      val bigRows = (0 until 120000).map(i =>
+        graft.serving.FeastProto.EntityRowMsg(Some(1706745600L),
+          Seq("driver_id" -> i.toLong, "pad" -> ("x" * 24))))
+      val e = intercept[graft.serving.GrpcStatusException] {
+        client.getOnlineFeatures(Seq(("gv", "v")), bigRows, project = Some("srv_g12"))
+      }
+      assert(e.status == 8, s"expected RESOURCE_EXHAUSTED, got ${e.status}: ${e.getMessage}")
+      // a small call still works on the same connection
+      val ok = client.getOnlineFeatures(Seq(("gv", "v")),
+        Seq(graft.serving.FeastProto.EntityRowMsg(Some(1706745600L),
+          Seq("driver_id" -> 1L))), project = Some("srv_g12"))
+      assert(ok.nonEmpty && ok.head._1("gv:v") == 2.0)
+    } finally client.close()
+    // dead server: a call on an ESTABLISHED connection must fail
+    // PROMPTLY as a transport status, not block the full 15 s deadline
+    // and claim deadline-exceeded. One exchange first: a connection
+    // still sitting in the kernel accept backlog at stop() time is
+    // never registered with a loop, so nothing closes it — THAT case is
+    // what the deadline backstop exists for (observed as a suite-load
+    // flake), and it is not the property under test here.
+    val port = server.boundPort
+    val client2 = new graft.serving.GrpcServingClient("localhost", port)
+    assert(client2.servingInfo()._1.nonEmpty)
+    server.stop()
+    val t0 = System.nanoTime()
+    val e2 = intercept[graft.serving.GrpcStatusException] {
+      client2.getOnlineFeatures(Seq(("gv", "v")),
+        Seq(graft.serving.FeastProto.EntityRowMsg(Some(1706745600L),
+          Seq("driver_id" -> 1L))), project = Some("srv_g12"))
+    }
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(e2.status != 4 && elapsed < 10.0,
+      s"dead server must fail fast as transport error, got status ${e2.status} after $elapsed s")
+    client2.close()
+    fs.teardown()
   }
 
   test("getOnlineFeatures(service) with zero entity rows keeps the derived keys (review r6)") {
