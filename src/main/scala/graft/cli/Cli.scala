@@ -399,14 +399,25 @@ object Cli {
           case "tfrecord" =>
             graft.functions.TfRecord.writeShards(df, outDir, n)
           case "webdataset" =>
-            import org.apache.spark.sql.functions.col
-            val key = fs.joinKeysOf(view).head
-            val meta = df.columns.filterNot(_ == key).toSeq
+            import org.apache.spark.sql.functions.{col, concat_ws, struct, to_json}
+            // loud on entity-less views (head of empty list was a bare
+            // NoSuchElementException) and COMPOSITE keys join all parts
+            // — keying by the first join key alone collided rows
+            // differing only in later keys (review r12)
+            val keys = fs.joinKeysOf(view)
+            require(keys.nonEmpty,
+              s"view '$viewName' has no entities/join keys — webdataset " +
+                "export needs a sample key")
+            val keyCol =
+              if (keys.size == 1) col(keys.head).cast("string")
+              else concat_ws("_", keys.map(k => col(k).cast("string")): _*)
+            // every column (keys included) rides the json part, so the
+            // read-back is lossless for composite keys too
+            val meta = df.columns.toSeq
             graft.functions.WebDataset.writeShards(
-              df.select(col(key),
-                org.apache.spark.sql.functions.to_json(
-                  org.apache.spark.sql.functions.struct(meta.map(col): _*)).as("__meta")),
-              outDir, n, key, Seq("json" -> "__meta"))
+              df.select(keyCol.as("__wds_key"),
+                to_json(struct(meta.map(col): _*)).as("__meta")),
+              outDir, n, "__wds_key", Seq("json" -> "__meta"))
           case other => throw new IllegalArgumentException(
             s"unknown export format '$other' (tfrecord | webdataset)")
         }

@@ -109,6 +109,10 @@ object Packing {
     require(!df.columns.contains("__one"),
       "input column '__one' collides with withDenseIndex's internal " +
         "constant-token column — rename it first")
+    require(!df.columns.contains(outCol),
+      s"input already has a '$outCol' column — pass a different outCol " +
+        "(a silent overwrite would destroy caller data; same guard as " +
+        "withStartOffset)")
     withPrefixOffset(df.withColumn("__one", lit(1L)), idCol, "__one", numPartitions)
       .withColumn(outCol, col("__start"))
       .drop("__start", "__one")
@@ -142,6 +146,15 @@ object Packing {
     // internal working names are claimed with withColumn — a caller
     // column with one of these names would be silently overwritten and
     // then dropped; fail loudly instead
+    // ONLY '__one' may double as the token column (withDenseIndex's
+    // internal constant): exempting WHATEVER tokenCol is named let a
+    // caller token column called '__cum'/'__pid'/'__start' pass the
+    // guard and then resolve against the internal working column of the
+    // same name — every offset silently corrupted (review r12)
+    require(tokenCol == "__one" ||
+      !Seq("__pid", "__cum", "__off", "__start", "__end", "__one").contains(tokenCol),
+      s"token column '$tokenCol' collides with the prefix-sum's internal " +
+        "working names — rename it first")
     val reserved = Seq("__pid", "__cum", "__off", "__start", "__end", "__one")
       .filterNot(_ == tokenCol) // withDenseIndex legitimately passes __one
     val clash = df.columns.filter(reserved.contains)
@@ -157,6 +170,14 @@ object Packing {
     // in the offsets window (inflating every real slice's offset) and
     // then vanish through the null-unsafe __pid equi-join — silent data
     // loss plus corrupted offsets. Fail per-row, loudly.
+    // null token counts are the same dirty-data hazard as null ids:
+    // sum() skips them, so __start (and downstream shard_id) silently
+    // came out null and the row fell out of every shard uncounted
+    // (review r12). Fail per-row, loudly, like the id guard below.
+    val guardedTok = when(tok.isNull,
+      raise_error(lit(s"Packing: null '$tokenCol' — token counts must be " +
+        "non-null (filter or fill dirty rows first)")).cast("long"))
+      .otherwise(tok)
     val guardedId = when(col(idCol).isNull,
       raise_error(lit(s"Packing: null '$idCol' — the global order requires " +
         "non-null unique ids"))).otherwise(col(idCol))
@@ -165,17 +186,17 @@ object Packing {
 
     // inclusive running sum within the slice
     val cum = sliced.withColumn("__cum",
-      sum(tok).over(Window.partitionBy("__pid").orderBy(idCol)))
+      sum(guardedTok).over(Window.partitionBy("__pid").orderBy(idCol)))
     // per-slice totals -> exclusive prefix across slices; the
     // unpartitioned window runs over #slices rows only
-    val totals = sliced.groupBy("__pid").agg(sum(tok).as("__ptot"))
+    val totals = sliced.groupBy("__pid").agg(sum(guardedTok).as("__ptot"))
     val offsets = totals.withColumn("__off",
         coalesce(sum(col("__ptot")).over(
           Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__off"))
 
     cum.join(broadcast(offsets), Seq("__pid"))
-      .withColumn("__start", col("__off") + col("__cum") - tok)
+      .withColumn("__start", col("__off") + col("__cum") - guardedTok)
       .drop("__pid", "__cum", "__off")
   }
 

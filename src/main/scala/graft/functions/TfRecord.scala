@@ -115,11 +115,13 @@ object TfRecord {
       case ShortType => wrap(3, int64List(Seq(x.asInstanceOf[Short].toLong)))
       case ByteType => wrap(3, int64List(Seq(x.asInstanceOf[Byte].toLong)))
       case BooleanType => wrap(3, int64List(Seq(if (x.asInstanceOf[Boolean]) 1L else 0L)))
-      case TimestampType => wrap(3, int64List(Seq( // epoch micros, the tf convention
-        x.asInstanceOf[java.sql.Timestamp].getTime * 1000L +
-          (x.asInstanceOf[java.sql.Timestamp].getNanos / 1000L) % 1000L)))
-      case DateType => wrap(3, int64List(Seq( // epoch days
-        x.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay)))
+      // match on the VALUE, not a cast: sessions with
+      // spark.sql.datetime.java8API.enabled=true carry
+      // java.time.Instant/LocalDate in external rows, and the old
+      // asInstanceOf crashed every timestamped export with an opaque
+      // executor ClassCastException (review r12)
+      case TimestampType => wrap(3, int64List(Seq(tsMicros(name, x))))
+      case DateType => wrap(3, int64List(Seq(epochDays(name, x))))
       case FloatType => wrap(2, floatList(Seq(x.asInstanceOf[Float])))
       case DoubleType => wrap(2, floatList(Seq(x.asInstanceOf[Double].toFloat)))
       case other => throw new IllegalArgumentException(
@@ -139,8 +141,40 @@ object TfRecord {
         wrap(2, floatList(seqOf(v).map(_.asInstanceOf[Float])))
       case ArrayType(DoubleType, _) =>
         wrap(2, floatList(seqOf(v).map(_.asInstanceOf[Double].toFloat)))
+      // the remaining documented int64-kind scalars in list form — the
+      // scaladoc promised these and the fall-through threw (review r12)
+      case ArrayType(ShortType, _) =>
+        wrap(3, int64List(seqOf(v).map(_.asInstanceOf[Short].toLong)))
+      case ArrayType(ByteType, _) =>
+        wrap(3, int64List(seqOf(v).map(_.asInstanceOf[Byte].toLong)))
+      case ArrayType(BooleanType, _) =>
+        wrap(3, int64List(seqOf(v).map(b => if (b.asInstanceOf[Boolean]) 1L else 0L)))
+      case ArrayType(TimestampType, _) =>
+        wrap(3, int64List(seqOf(v).map(x => tsMicros(name, x))))
+      case ArrayType(DateType, _) =>
+        wrap(3, int64List(seqOf(v).map(x => epochDays(name, x))))
       case scalar => one(scalar, v)
     })
+  }
+
+  /** Timestamp value → epoch micros, accepting both external forms
+    * (java.sql.Timestamp, and java.time.Instant under
+    * spark.sql.datetime.java8API.enabled). */
+  private def tsMicros(name: String, x: Any): Long = x match {
+    case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    case i: java.time.Instant =>
+      java.lang.Math.addExact(
+        java.lang.Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+    case other => throw new IllegalArgumentException(
+      s"feature '$name': unsupported timestamp value ${other.getClass}")
+  }
+
+  /** Date value → epoch days (java.sql.Date or java.time.LocalDate). */
+  private def epochDays(name: String, x: Any): Long = x match {
+    case d: java.sql.Date => d.toLocalDate.toEpochDay
+    case l: java.time.LocalDate => l.toEpochDay
+    case other => throw new IllegalArgumentException(
+      s"feature '$name': unsupported date value ${other.getClass}")
   }
 
   /** Feature{<field>=list} — the oneof wrapper. */
@@ -246,32 +280,50 @@ object TfRecord {
       out.result()
     }
 
+    // a SCALAR schema against a multi-valued stored list is a loud
+    // mismatch, not a silent head-truncation (review r12) — consistent
+    // with the list-kind mismatch throw below
+    def single[A](name: String, xs: Seq[A]): Option[A] = {
+      if (xs.size > 1) throw new IllegalArgumentException(
+        s"feature '$name': stored list holds ${xs.size} values but the " +
+          "schema declares a scalar — read it as an array type")
+      xs.headOption
+    }
+    def tsOf(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
     val values = schema.fields.map { f =>
       feats.get(f.name) match {
         case None => null
         case Some((kind, payload)) => (f.dataType, kind) match {
-          case (StringType, 1) => bytesValues(payload).headOption
+          case (StringType, 1) => single(f.name, bytesValues(payload))
             .map(new String(_, StandardCharsets.UTF_8)).orNull
-          case (BinaryType, 1) => bytesValues(payload).headOption.orNull
-          case (LongType, 3) => int64Values(payload).headOption.map(Long.box).orNull
-          case (IntegerType, 3) => int64Values(payload).headOption.map(l => Int.box(l.toInt)).orNull
-          case (ShortType, 3) => int64Values(payload).headOption.map(l => Short.box(l.toShort)).orNull
-          case (ByteType, 3) => int64Values(payload).headOption.map(l => Byte.box(l.toByte)).orNull
-          case (BooleanType, 3) => int64Values(payload).headOption.map(l => Boolean.box(l != 0L)).orNull
-          case (TimestampType, 3) => int64Values(payload).headOption.map { us =>
-            val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
-            t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-            t
-          }.orNull
-          case (DateType, 3) => int64Values(payload).headOption
+          case (BinaryType, 1) => single(f.name, bytesValues(payload)).orNull
+          case (LongType, 3) => single(f.name, int64Values(payload)).map(Long.box).orNull
+          case (IntegerType, 3) => single(f.name, int64Values(payload)).map(l => Int.box(l.toInt)).orNull
+          case (ShortType, 3) => single(f.name, int64Values(payload)).map(l => Short.box(l.toShort)).orNull
+          case (ByteType, 3) => single(f.name, int64Values(payload)).map(l => Byte.box(l.toByte)).orNull
+          case (BooleanType, 3) => single(f.name, int64Values(payload)).map(l => Boolean.box(l != 0L)).orNull
+          case (TimestampType, 3) => single(f.name, int64Values(payload)).map(tsOf).orNull
+          case (DateType, 3) => single(f.name, int64Values(payload))
             .map(d => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d))).orNull
-          case (FloatType, 2) => floatValues(payload).headOption.map(Float.box).orNull
-          case (DoubleType, 2) => floatValues(payload).headOption.map(f0 => Double.box(f0.toDouble)).orNull
+          case (FloatType, 2) => single(f.name, floatValues(payload)).map(Float.box).orNull
+          case (DoubleType, 2) => single(f.name, floatValues(payload)).map(f0 => Double.box(f0.toDouble)).orNull
           case (ArrayType(StringType, _), 1) =>
             bytesValues(payload).map(new String(_, StandardCharsets.UTF_8))
           case (ArrayType(BinaryType, _), 1) => bytesValues(payload)
           case (ArrayType(LongType, _), 3) => int64Values(payload)
           case (ArrayType(IntegerType, _), 3) => int64Values(payload).map(_.toInt)
+          // list forms of the remaining int64-kind scalars (write-side
+          // parity, review r12)
+          case (ArrayType(ShortType, _), 3) => int64Values(payload).map(_.toShort)
+          case (ArrayType(ByteType, _), 3) => int64Values(payload).map(_.toByte)
+          case (ArrayType(BooleanType, _), 3) => int64Values(payload).map(_ != 0L)
+          case (ArrayType(TimestampType, _), 3) => int64Values(payload).map(tsOf)
+          case (ArrayType(DateType, _), 3) => int64Values(payload)
+            .map(d => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d)))
           case (ArrayType(FloatType, _), 2) => floatValues(payload)
           case (ArrayType(DoubleType, _), 2) => floatValues(payload).map(_.toDouble)
           case (dt, k) => throw new IllegalArgumentException(

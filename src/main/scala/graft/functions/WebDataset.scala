@@ -74,9 +74,18 @@ object WebDataset {
   private[graft] def parseTar(bytes: Array[Byte]): Iterator[(String, Array[Byte])] =
     new Iterator[(String, Array[Byte])] {
       private var pos = 0
-      private def atTrailer: Boolean =
-        pos + BlockSize > bytes.length ||
-          (0 until BlockSize).forall(i => bytes(pos + i) == 0)
+      // a shard SHORTER than one block at the cursor is torn, not ended:
+      // folding it into the trailer test made the torn-header require
+      // unreachable and a truncated shard read back as a clean archive
+      // with silently missing samples (review r12)
+      private def atTrailer: Boolean = {
+        if (pos >= bytes.length)
+          throw new IllegalArgumentException(
+            s"torn tar shard: ended at $pos without a zero trailer")
+        if (pos + BlockSize > bytes.length)
+          throw new IllegalArgumentException(s"torn tar header at $pos")
+        (0 until BlockSize).forall(i => bytes(pos + i) == 0)
+      }
       override def hasNext: Boolean = !atTrailer
       override def next(): (String, Array[Byte]) = {
         require(pos + BlockSize <= bytes.length, s"torn tar header at $pos")
@@ -87,6 +96,11 @@ object WebDataset {
           var v = 0L
           var i = pos + off
           val end = pos + off + len
+          // POSIX permits LEADING spaces/NULs in numeric fields (BSD and
+          // older GNU tar pad left) — skip them, then parse to the first
+          // terminator; stopping at a leading space read the field as 0
+          // and failed the checksum on valid foreign archives (review r12)
+          while (i < end && (bytes(i) == ' ' || bytes(i) == 0)) i += 1
           while (i < end && bytes(i) != 0 && bytes(i) != ' ') {
             v = v * 8 + (bytes(i) - '0'); i += 1
           }
@@ -144,10 +158,21 @@ object WebDataset {
       val dest = new Path(dir, f"shard-$pid%05d.tar")
       val tmp = new Path(dir, f".shard-$pid%05d.tar.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       val out = new DataOutputStream(new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16))
+      // WebDataset keys must be UNIQUE per shard: the read-side
+      // adjacency grouping merges same-key members into one sample
+      // (dropping all but the last duplicate part) — silent row loss on
+      // round-trip for any per-entity multi-row source (review r12).
+      // O(rows/shard) key strings of tracking, bounded by shard size.
+      val seenKeys = new java.util.HashSet[String]()
       try {
         rows.foreach { r =>
           require(!r.isNullAt(keyIdx), s"null sample key '$keyCol'")
           val key = r.get(keyIdx).toString
+          require(seenKeys.add(key),
+            s"duplicate sample key '$key' in shard $pid: WebDataset keys " +
+              "must be unique per shard (the reader's adjacency grouping " +
+              "would merge the rows) — aggregate to one row per key or " +
+              "export a unique row id as the key")
           // The read-side grouping rule splits at the FIRST dot past the
           // last slash, so a dotted key ('user.1' → member 'user.1.json')
           // would read back as key 'user' / part '1.json' — silently

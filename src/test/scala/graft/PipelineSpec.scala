@@ -712,6 +712,21 @@ class PipelineSpec extends AnyFunSuite {
     // duplicate output column
     val dup = Seq((1L, 10L)).toDF("id", "start_offset")
     intercept[IllegalArgumentException](Packing.withStartOffset(dup, "id", "start_offset"))
+    // a TOKEN column named like an internal working column resolved
+    // against the internal one and silently corrupted every offset
+    // (review r12) — must reject, not exempt
+    val tokClash = Seq((1L, 10L)).toDF("id", "__cum")
+    intercept[IllegalArgumentException](Packing.packShards(tokClash, "id", "__cum", 100L))
+    // withDenseIndex must not silently overwrite an existing outCol
+    val denseClash = Seq((1L, 5L)).toDF("id", "row_idx")
+    intercept[IllegalArgumentException](Packing.withDenseIndex(denseClash, "id"))
+    // null TOKEN count fails loudly like a null id (it previously made
+    // shard_id null and dropped the row from every shard uncounted)
+    val nullTok = Seq((1L, Some(10L)), (2L, None)).toDF("id", "n_tok")
+    val eTok = intercept[Exception] {
+      Packing.packShards(nullTok, "id", "n_tok", 100L).collect()
+    }
+    assert(eTok.getMessage.contains("token counts must be non-null"))
     // string node ids: the long cast would null every edge silently
     val strEdges = Seq(("a", "b")).toDF("s", "d")
     val e2 = intercept[IllegalArgumentException](
@@ -1887,5 +1902,14 @@ class PipelineSpec extends AnyFunSuite {
     graft.functions.WebDataset.writeShards(ok, s"$dir/c", 1, "k", Seq(("txt", "txt")))
     val back = graft.functions.WebDataset.readShards(spark, s"$dir/c", Seq("txt")).collect()
     assert(back.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("a.b/c", "x")))
+    // DUPLICATE keys in one shard: the reader's adjacency grouping
+    // would merge the rows (silent row loss on round-trip) — the
+    // writer must reject at write time (review r12)
+    val dupKeys = Seq(("u1", "a"), ("u1", "b")).toDF("k", "txt")
+    val e3 = intercept[Exception] {
+      graft.functions.WebDataset.writeShards(dupKeys, s"$dir/d", 1, "k", Seq(("txt", "txt")))
+    }
+    assert(e3.getMessage.contains("duplicate sample key") ||
+      Option(e3.getCause).exists(_.getMessage.contains("duplicate sample key")))
   }
 }

@@ -406,6 +406,37 @@ class PureSpec extends AnyFunSuite {
     assert(e.getMessage.contains("tags") && e.getMessage.contains("null"))
   }
 
+  test("WebDataset tar: truncated shard fails loudly; space-padded octal fields parse (review r12)") {
+    import graft.functions.WebDataset
+    // a shard truncated mid-archive (trailer and later members gone)
+    // must throw, never read back as a clean shorter archive
+    val full = WebDataset.tarMember("1.txt", "abc".getBytes("UTF-8")) ++
+      WebDataset.tarMember("2.txt", "def".getBytes("UTF-8")) ++ WebDataset.Trailer
+    val torn = full.take(WebDataset.tarMember("1.txt", "abc".getBytes("UTF-8")).length + 100)
+    val e = intercept[IllegalArgumentException] {
+      WebDataset.parseTar(torn).toSeq
+    }
+    assert(e.getMessage.contains("torn"))
+    // POSIX-legal space-padded numeric fields (BSD/older tar): rewrite
+    // the size field of a valid header as space-padded octal and restate
+    // the checksum in the same spaced form — must parse, not read size 0
+    val m = WebDataset.tarMember("5.txt", "hello".getBytes("UTF-8"))
+    val h = java.util.Arrays.copyOf(m, m.length)
+    val sizeField = "      5 ".getBytes("UTF-8") // leading spaces, space terminator
+    System.arraycopy(sizeField, 0, h, 124, 8); h(132) = 0
+    // recompute checksum over the modified header (chksum as spaces)
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L
+    (0 until 512).foreach(i => sum += h(i) & 0xff)
+    val chk = ("%06o".format(sum) + "  ").getBytes("UTF-8")
+    System.arraycopy(chk, 0, h, 148, 8)
+    val spaced = h ++ WebDataset.Trailer
+    val parsed = WebDataset.parseTar(spaced).toSeq
+    assert(parsed.size == 1 && parsed.head._1 == "5.txt" &&
+      new String(parsed.head._2, "UTF-8") == "hello",
+      "space-padded size/chksum fields must parse")
+  }
+
   test("WebDataset tar: round-trip, adjacency grouping, checksum reject, SYSTEM tar interop") {
     import graft.functions.WebDataset
     // our writer -> our parser
