@@ -526,6 +526,102 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Prefix-filter set-containment join (the prefix-filtering principle
+    * of the set-similarity-join literature — SSJoin, Chaudhuri et al.
+    * ICDE'06; PPJoin, Xiao et al. WWW'08): (needle, haystack) pairs
+    * whose word-n-gram containment |G(n) ∩ G(h)| / |G(n)| ≥ `threshold`.
+    *
+    * The asymmetric complement of [[minhashNearDupPairs]]: a short
+    * quote or excerpt inside a long document has containment ≈ 1 but
+    * Jaccard ≈ |G(n)|/|G(h)| → 0, so Jaccard-tuned LSH bands
+    * systematically miss exactly the pairs a licensing / provenance
+    * sweep is after. No LSH here — candidate recall is EXACT:
+    *
+    * Each needle's grams are ordered by ascending document frequency in
+    * the haystack corpus (ties by gram text). If containment ≥ t then
+    * at most |G(n)| − ⌈t·|G(n)|⌉ of the needle's grams are absent from
+    * the haystack, so among ANY L = |G(n)| − ⌈t·|G(n)|⌉ + 1 of its
+    * grams at least one is present (pigeonhole) — equi-joining the L
+    * RAREST against the haystack's inverted postings finds every
+    * qualifying pair, and rarest-first makes the candidate volume per
+    * needle the MINIMUM the principle allows (Σ df over the prefix; at
+    * t = 1.0 the prefix is the single globally-rarest gram). Grams
+    * absent from every haystack carry df 0: free to keep (they match no
+    * postings) and each one provably spends an "absence" the pigeonhole
+    * bound already budgets.
+    *
+    * Scale shape: postings/df are one exploded aggregation over the
+    * haystack (map-side combinable counts); prefix selection is a
+    * per-needle sort of its OWN gram list (state = the gram array the
+    * needle already carries); the candidate join keys on single grams —
+    * a shuffle equi-join, never a cross product — and exact
+    * verification touches candidates only. Worst case is a needle whose
+    * rarest gram is corpus-wide boilerplate: candidates degrade to that
+    * gram's df, which is the irreducible cost of an exact answer (any
+    * correct algorithm must consider every haystack that could contain
+    * the needle); AQE's skew handling splits such a hot gram's join
+    * side, and both inputs to the verify join are id-keyed.
+    *
+    * @return (needle_id, haystack_id, containment), every pair with
+    *         containment ≥ threshold, needles with empty gram sets
+    *         excluded. Consume with ONE action (self-releasing caches —
+    *         see [[unpersistAfterFirstUse]]). */
+  def containmentJoin(
+      needles: DataFrame, needleId: String, needleText: String,
+      haystack: DataFrame, hayId: String, hayText: String,
+      shingleN: Int = 3,
+      threshold: Double = 1.0): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold=$threshold must be in (0, 1]")
+    // grams are SETS here (array_distinct): containment's denominator
+    // is |G(n)| distinct and array_intersect dedups anyway
+    def gramSets(df: DataFrame, id: String, text: String, outId: String) =
+      rebalance(df)
+        .withColumn("__w", TextFunctions.words(col(text)))
+        .select(col(id).as(outId),
+          array_distinct(
+            TextFunctions.wordNgramsFromWords(col("__w"), shingleN)).as("__grams"),
+          lit(callSeq.incrementAndGet()).as("__ct_call"))
+        .filter(size(col("__grams")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val hay = gramSets(haystack, hayId, hayText, "__hid")
+    val ndl = gramSets(needles, needleId, needleText, "__nid")
+
+    // Inverted postings + document frequency over the haystack corpus.
+    val postings = hay.select(col("__hid"), explode(col("__grams")).as("__g"))
+    val dfreq = postings.groupBy("__g").agg(count(lit(1)).as("__df"))
+
+    // Per-needle prefix: the L rarest grams by (haystack df, gram).
+    val prefixes = ndl
+      .select(col("__nid"), size(col("__grams")).as("__n"),
+        explode(col("__grams")).as("__g"))
+      .join(dfreq, Seq("__g"), "left")
+      .na.fill(0L, Seq("__df"))
+      .groupBy("__nid")
+      .agg(first(col("__n")).as("__n"),
+        sort_array(collect_list(struct(col("__df"), col("__g")))).as("__ord"))
+      .withColumn("__L",
+        greatest(col("__n") - ceil(lit(threshold) * col("__n")) + 1, lit(1L))
+          .cast("int"))
+      .select(col("__nid"), explode(slice(col("__ord"), lit(1), col("__L"))).as("__p"))
+      .select(col("__nid"), col("__p.__g").as("__g"))
+
+    val cand = prefixes.join(postings, "__g")
+      .select(col("__nid"), col("__hid")).distinct()
+
+    val out = cand
+      .join(ndl.select(col("__nid"), col("__grams").as("__gn")), "__nid")
+      .join(hay.select(col("__hid"), col("__grams").as("__gh")), "__hid")
+      .withColumn("containment",
+        size(array_intersect(col("__gn"), col("__gh"))).cast("double")
+          / size(col("__gn")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("__nid").as("needle_id"), col("__hid").as("haystack_id"),
+        col("containment"))
+    unpersistAfterFirstUse(unpersistAfterFirstUse(out, hay), ndl)
+  }
+
   /** Deterministic stratified sample for corpus mixing: per-stratum
     * sampling fractions (e.g. {"en" -> 1.0, "web" -> 0.1}) applied with
     * a seeded hash of the id column — reproducible across runs and

@@ -42,7 +42,43 @@ object Similarity {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, excludeSelf: Boolean = true,
-      maxLiteralQueries: Int = 256): DataFrame = {
+      maxLiteralQueries: Int = 256): DataFrame =
+    twoLevelTopK(scoreAllPairs(queries, qIdCol, qVecCol,
+      corpus, idCol, vecCol, excludeSelf, maxLiteralQueries), k)
+
+  /** Cosine radius (range) search: every (query, corpus) pair with
+    * cosine ≥ `minCos` — the range-search surface next to top-k (what
+    * FAISS calls range_search). No heap and NO exchange at all: the
+    * corpus is scanned once, each row scored against the query batch,
+    * and the threshold filter runs inside the same whole-stage-codegen
+    * stage — output volume is data-dependent, so the caller chooses
+    * the radius, not k. Same literal-probe policy as
+    * [[bruteForceTopK]]: a small float query batch inlines as plan
+    * literals (steady plan = ONE job, no broadcast build); bigger
+    * batches ride a broadcast cross join. Degenerate scores never
+    * pass: a zero-norm vector scores NULL (fails ≥), and NaN is
+    * filtered explicitly — Spark orders NaN ABOVE every number, so a
+    * bare `__cos >= minCos` would rank the 0/0 degenerate as a
+    * neighbor of everything.
+    * @return (query_id, neighbor_id, cos), unranked. */
+  def rangeSearch(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, excludeSelf: Boolean = true,
+      maxLiteralQueries: Int = 256): DataFrame =
+    scoreAllPairs(queries, qIdCol, qVecCol,
+      corpus, idCol, vecCol, excludeSelf, maxLiteralQueries)
+      .filter(!isnan(col("__cos")) && col("__cos") >= minCos)
+      .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
+        col("__cos").as("cos"))
+
+  /** All-pairs cosine scoring shared by [[bruteForceTopK]] /
+    * [[rangeSearch]]: (__qid, __cid, __cos), one row per
+    * (query, corpus) pair. */
+  private def scoreAllPairs(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      excludeSelf: Boolean, maxLiteralQueries: Int): DataFrame = {
     // Path gate (the [[pqAdcTopK]] policy): small float-vector query
     // batches — the ground-truth/serving shape — inline as plan
     // LITERALS, so the steady plan is ONE job (scan -> per-row scores
@@ -66,25 +102,41 @@ object Similarity {
           .limit(maxLiteralQueries + 1).collect()
       else Array.empty[org.apache.spark.sql.Row]
     if (floatVecs && qProbe.nonEmpty && qProbe.length <= maxLiteralQueries) {
-      // driver-side norm with the exact ddot fold (ascending i, double
-      // products, left-associative) — bit-identical to norm(__qvec)
-      val perQuery = qProbe.toIndexedSeq.map { r =>
-        val qv = r.getSeq[Float](1).toArray
+      // The whole batch rides as ONE array-of-structs literal (a single
+      // codegen reference object) and is scored by ONE post-explode dot
+      // expression — per-query inlined `dot(typedlit(...))` expressions
+      // made generated code O(|Q|·dim) and blew janino's 64 KB method
+      // limit around |Q|≈150 at dim 64 (q_margin_mining's corpus-half
+      // batches), silently de-codegening the whole scoring stage.
+      // Driver-side norm keeps the exact ddot fold (ascending i, double
+      // products, left-associative) — bit-identical to norm(__qvec).
+      val qidType = queries.schema(qIdCol).dataType
+      val batchType = org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("qid", qidType),
+          org.apache.spark.sql.types.StructField("qvec",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)),
+          org.apache.spark.sql.types.StructField("qn",
+            org.apache.spark.sql.types.DoubleType))),
+        containsNull = false)
+      val batch = qProbe.toIndexedSeq.map { r =>
+        val qv = r.getSeq[Float](1)
         var s = 0.0; var i = 0
         while (i < qv.length) { s += qv(i).toDouble * qv(i).toDouble; i += 1 }
-        val qn = math.sqrt(s)
-        struct(lit(r.get(0)).as("qid"),
-          try_divide(dot(typedlit(qv.toSeq), col("__cvec")),
-            lit(qn) * col("__cn")).as("cos"))
+        org.apache.spark.sql.Row(r.get(0), qv, math.sqrt(s))
       }
+      val qlit = org.apache.spark.sql.graftshim.ColumnShim.column(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(batch, batchType))
       var scored = corpus
         .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"))
         .withColumn("__cn", norm(col("__cvec")))
-        .select(col("__cid"), explode(array(perQuery: _*)).as("__q"))
+        .select(col("__cid"), col("__cvec"), col("__cn"), explode(qlit).as("__q"))
         .select(col("__q.qid").as("__qid"), col("__cid"),
-          col("__q.cos").as("__cos"))
+          try_divide(dot(col("__q.qvec"), col("__cvec")),
+            col("__q.qn") * col("__cn")).as("__cos"))
       if (excludeSelf) scored = scored.filter(!(col("__qid") <=> col("__cid")))
-      return twoLevelTopK(scored, k)
+      return scored
     }
     // norms precomputed per side: the cross join evaluates one dot
     // product per pair instead of three
@@ -98,7 +150,7 @@ object Similarity {
       .withColumn("__cos",
         try_divide(dot(col("__qvec"), col("__cvec")), col("__qn") * col("__cn")))
     if (excludeSelf) scored = scored.filter(!(col("__qid") <=> col("__cid")))
-    twoLevelTopK(scored, k)
+    scored
   }
 
   /** Attribute-filtered exact top-k: each query's neighbors are

@@ -478,6 +478,55 @@ object PipelineQueries {
       |FROM g c JOIN g b ON c.sig = b.sig AND b.doc_id % 10 = 0 AND c.ok AND b.ok
       |ORDER BY corpus_id, batch_id""".stripMargin
 
+  /** Prefix-filter set-containment join ([[Dedup.containmentJoin]]):
+    * needles = every 10th document truncated to its first ⌈w/2⌉ words
+    * (ids + 2,000,000), whose word-3-gram sets are subsets of the full
+    * document's by construction — the quote-inside-a-document shape
+    * whose Jaccard (≈ ½ here, → 0 for short quotes) Jaccard-tuned LSH
+    * bands systematically miss. At threshold 1.0 a reported pair ⇔
+    * G(needle) ⊆ G(haystack), which the oracle states set-theoretically
+    * (|∩| = |G(n)|) with an implementation-independent candidate prune
+    * (a containing haystack must contain the needle's FIRST gram — any
+    * gram works for subset). The operator's rarest-gram prefix
+    * candidates have recall exactly 1 at t = 1.0, so reported pairs ≡
+    * oracle pairs. */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val needles = d.filter(col("doc_id") % 10 === 0)
+      .withColumn("__w", TF.words(col("text")))
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ",
+          slice(col("__w"), lit(1),
+            ceil(size(col("__w")) / 2.0).cast("int"))).as("text"))
+    Dedup.containmentJoin(needles, "doc_id", "text", d, "doc_id", "text",
+        shingleN = 3, threshold = 1.0)
+      .select(col("needle_id"), col("haystack_id"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy("needle_id", "haystack_id")
+  }
+
+  val dedupContainmentSql: String =
+    """WITH base AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+      |hay AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+      |  FROM base),
+      |ndl AS (
+      |  SELECT doc_id + 2000000 AS doc_id,
+      |         list_distinct(list_transform(range(1, greatest(len(h) - 2, 0) + 1),
+      |         i -> h[i] || ' ' || h[i+1] || ' ' || h[i+2])) AS grams
+      |  FROM (SELECT doc_id, list_slice(w, 1, CAST(ceil(len(w) / 2.0) AS INT)) AS h
+      |        FROM base WHERE doc_id % 10 = 0)
+      |  WHERE len(h) >= 3),
+      |cand AS (
+      |  SELECT DISTINCT n.doc_id AS nid, hg.doc_id AS hid
+      |  FROM (SELECT doc_id, grams[1] AS g FROM ndl) n
+      |  JOIN (SELECT doc_id, unnest(grams) AS g FROM hay) hg ON n.g = hg.g)
+      |SELECT c.nid AS needle_id, c.hid AS haystack_id, 1.0 AS containment
+      |FROM cand c JOIN ndl n ON n.doc_id = c.nid JOIN hay h ON h.doc_id = c.hid
+      |WHERE len(list_intersect(n.grams, h.grams)) = len(n.grams)
+      |ORDER BY needle_id, haystack_id""".stripMargin
+
   /** MinHash-LSH band table persisted as a parquet artifact and
     * searched after a round trip ([[Dedup.minhashBuildIndex]] →
     * write partitioned by band → read → [[Dedup.minhashSearchIndex]])
@@ -653,6 +702,34 @@ object PipelineQueries {
       |  FROM scored)
       |SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Cosine radius search ([[Similarity.rangeSearch]]): every (query,
+    * neighbor) pair with cosine ≥ 0.2 — the range-search complement of
+    * q_ann_brute_force's top-k (no rank; the radius, not k, sets the
+    * output). Same literal-probe single-job steady plan; the oracle
+    * states the identical predicate over DuckDB's own dot products
+    * (bit-parity of the double arithmetic is pinned by the top-k
+    * family's hash matches). */
+  def annRange(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val q = e.filter(col("vec_id") < 8)
+    Similarity.rangeSearch(q, "vec_id", "embedding",
+        e, "vec_id", "embedding", minCos = 0.2)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  val annRangeSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id, v FROM e WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |         list_dot_product(q.v, e.v)
+      |         / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+      |  FROM q CROSS JOIN e WHERE q.vec_id <> e.vec_id)
+      |SELECT query_id, neighbor_id, round(cos, 6) AS cos
+      |FROM scored WHERE cos >= 0.2
+      |ORDER BY query_id, neighbor_id""".stripMargin
 
   /** Label-filtered exact top-k ([[Similarity.bruteForceTopKFiltered]]):
     * neighbors restricted to the query's own label, with the equality
@@ -2740,10 +2817,12 @@ object PipelineQueries {
     "q_dedup_typo" -> (dedupTypo _),
     "q_ngram_jaccard_chain" -> (ngramJaccardChain _),
     "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_containment" -> (dedupContainment _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash_exact" -> (dedupSimhashExact _),
     "q_embedding_neardup" -> (embeddingNearDup _),
     "q_ann_brute_force" -> (annBruteForce _),
+    "q_ann_range" -> (annRange _),
     "q_ann_filtered" -> (annFiltered _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_persisted" -> (annIvfPersisted _),
@@ -2812,10 +2891,12 @@ object PipelineQueries {
     "q_dedup_typo" -> dedupTypoSql,
     "q_ngram_jaccard_chain" -> ngramJaccardChainSql,
     "q_dedup_minhash" -> dedupMinhashSql,
+    "q_dedup_containment" -> dedupContainmentSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_simhash_exact" -> dedupSimhashExactSql,
     "q_embedding_neardup" -> embeddingNearDupSql,
     "q_ann_brute_force" -> annBruteForceSql,
+    "q_ann_range" -> annRangeSql,
     "q_ann_filtered" -> annFilteredSql,
     "q_ann_ivf" -> annIvfSql,
     "q_ann_ivf_persisted" -> annIvfSql,

@@ -1912,4 +1912,85 @@ class PipelineSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("duplicate sample key") ||
       Option(e3.getCause).exists(_.getMessage.contains("duplicate sample key")))
   }
+
+  test("containmentJoin matches the nested-loop containment oracle at t=0.6 and t=1.0") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val cvocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    def doc(n: Int) = Vector.fill(n)(cvocab(rnd.nextInt(cvocab.size))).mkString(" ")
+    val hayRows = (0 until 40).map(i => (i.toLong, doc(12 + rnd.nextInt(10))))
+    // needles: prefixes of every 3rd haystack (gram subsets by
+    // construction), short random docs (partial containment), and a
+    // 2-word needle (no 3-grams -> must be excluded, not crash)
+    val needleRows =
+      hayRows.filter(_._1 % 3 == 0).map { case (id, t) =>
+        val w = t.split(" "); (1000L + id, w.take(w.length / 2 + 2).mkString(" "))
+      } ++
+      (0 until 10).map(i => (2000L + i, doc(5 + rnd.nextInt(6)))) :+
+      ((3000L, "alpha beta"))
+    def grams(t: String): Set[String] =
+      "[a-z0-9]+".r.findAllIn(t.toLowerCase).toVector
+        .sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    def oracle(t: Double) = (for {
+      (nid, nt) <- needleRows; gn = grams(nt); if gn.nonEmpty
+      (hid, ht) <- hayRows; gh = grams(ht)
+      c = (gn & gh).size.toDouble / gn.size; if c >= t
+    } yield (nid, hid, c)).toSet
+    for (t <- Seq(0.6, 1.0)) {
+      val got = Dedup.containmentJoin(
+          needleRows.toDF("nid", "text"), "nid", "text",
+          hayRows.toDF("hid", "text"), "hid", "text",
+          shingleN = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = oracle(t)
+      assert(got == want,
+        s"t=$t: missed ${want -- got}; extra ${got -- want}")
+      assert(want.nonEmpty, s"t=$t oracle degenerate (empty) — fixture broken")
+      assert(!got.exists(_._1 == 3000L), "gram-less needle must be excluded")
+    }
+    // every planted prefix needle must be reported at t=1.0 (recall 1)
+    val full = Dedup.containmentJoin(
+        needleRows.toDF("nid", "text"), "nid", "text",
+        hayRows.toDF("hid", "text"), "hid", "text", 3, 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    hayRows.filter(_._1 % 3 == 0).foreach { case (id, _) =>
+      assert(full.contains((1000L + id, id)),
+        s"planted prefix needle ${1000L + id} not found inside haystack $id")
+    }
+  }
+
+  test("rangeSearch literal path is bit-identical to broadcast; degenerates never pass") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val base = (0 until 150).map { i =>
+      (i.toLong, Array.fill(10)(rnd.nextGaussian().toFloat).toSeq)
+    }
+    val corpus = (base :+ (200L, Seq.fill(10)(0f)) :+ (201L, Seq.fill(10)(Float.NaN)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 8 || col("vec_id") >= 200L)
+    def run(maxLit: Int) = Similarity.rangeSearch(
+        queries, "vec_id", "embedding", corpus, "vec_id", "embedding",
+        minCos = 0.15, maxLiteralQueries = maxLit)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lit = run(256) // 10 queries <= 256 -> literal plan
+    val bc = run(0)    // threshold 0 -> broadcast cross join
+    assert(lit == bc, "rangeSearch literal vs broadcast mismatch")
+    assert(lit.nonEmpty, "radius 0.15 over gaussian vectors must match some pairs")
+    assert(!lit.exists(t => t._1 == 200L || t._2 == 200L),
+      "zero-norm vector (cos NULL) must never pass the radius")
+    assert(!lit.exists(t => t._1 == 201L || t._2 == 201L),
+      "NaN vector must never pass the radius (NaN sorts above every number)")
+    // the predicate itself vs a nested-loop oracle (same ddot fold order)
+    val expected = (for {
+      (qid, qv) <- base.take(8); (cid, cv) <- base; if qid != cid
+      dot = qv.indices.foldLeft(0.0)((s, i) => s + qv(i).toDouble * cv(i).toDouble)
+      qn = math.sqrt(qv.indices.foldLeft(0.0)((s, i) => s + qv(i).toDouble * qv(i).toDouble))
+      cn = math.sqrt(cv.indices.foldLeft(0.0)((s, i) => s + cv(i).toDouble * cv(i).toDouble))
+      cos = dot / (qn * cn); if cos >= 0.15
+    } yield (qid, cid)).toSet
+    assert(lit.map(t => (t._1, t._2)) == expected,
+      "rangeSearch pair set must equal the nested-loop radius oracle")
+    lit.foreach { case (_, _, c) => assert(c >= 0.15 && c <= 1.0 + 1e-9) }
+  }
 }

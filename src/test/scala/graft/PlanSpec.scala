@@ -508,6 +508,35 @@ class PlanSpec extends AnyFunSuite {
       s"LSH dedup must stay bucketed, never all-pairs:\n$plan")
   }
 
+  test("containmentJoin plans equi joins only — no cartesian, no nested loop") {
+    import spark.implicits._
+    val docs = (0 until 40)
+      .map(i => (i.toLong, s"alpha beta gamma doc $i body words tokens sample"))
+      .toDF("doc_id", "text")
+    val needles = (0 until 5).map(i => (100L + i, s"alpha beta gamma doc $i"))
+      .toDF("doc_id", "text")
+    val plan = graft.functions.Dedup.containmentJoin(
+        needles, "doc_id", "text", docs, "doc_id", "text", 3, 0.8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix-filter candidates must ride gram equi joins, never all-pairs:\n$plan")
+  }
+
+  test("rangeSearch literal-probe plan has no exchange (single codegen stage)") {
+    import spark.implicits._
+    val corpus = (0 until 200)
+      .map(i => (i.toLong, Array.fill(8)((i * 31 % 17).toFloat / 17f).toSeq))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 4)
+    val plan = graft.functions.Similarity.rangeSearch(
+        queries, "vec_id", "embedding", corpus, "vec_id", "embedding", minCos = 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"literal-batch radius scan must be scan->score->filter, no shuffle/broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"literal path must not plan a join at all:\n$plan")
+  }
+
   test("interval join plans a hash equi join on the bin, never a nested loop") {
     import spark.implicits._
     import java.sql.Timestamp
