@@ -538,7 +538,7 @@ object Dedup {
     * sweep is after. No LSH here — candidate recall is EXACT:
     *
     * Each needle's grams are ordered by ascending document frequency in
-    * the haystack corpus (ties by gram text). If containment ≥ t then
+    * the haystack corpus (ties by gram hash). If containment ≥ t then
     * at most |G(n)| − ⌈t·|G(n)|⌉ of the needle's grams are absent from
     * the haystack, so among ANY L = |G(n)| − ⌈t·|G(n)|⌉ + 1 of its
     * grams at least one is present (pigeonhole) — equi-joining the L
@@ -550,18 +550,32 @@ object Dedup {
     * postings) and each one provably spends an "absence" the pigeonhole
     * bound already budgets.
     *
-    * Scale shape: postings/df are one exploded aggregation over the
-    * haystack (map-side combinable counts); prefix selection is a
-    * per-needle sort of its OWN gram list (state = the gram array the
-    * needle already carries); the candidate join keys on single grams —
-    * a shuffle equi-join, never a cross product — and exact
-    * verification touches candidates only. Worst case is a needle whose
-    * rarest gram is corpus-wide boilerplate: candidates degrade to that
-    * gram's df, which is the irreducible cost of an exact answer (any
-    * correct algorithm must consider every haystack that could contain
-    * the needle); AQE's skew handling splits such a hot gram's join
-    * side, and both inputs to the verify join are id-keyed.
+    * Scale shape — the engine OWNS every join strategy here, because
+    * size estimates downstream of an explode are width-ratio guesses
+    * that once misplanned a 10× replica's posting list (corpus-scale)
+    * as a BROADCAST and OOM'd the driver. Document frequencies are
+    * computed only for grams that appear in some needle (semantically
+    * free: the df of any other gram is never read), so the df
+    * aggregate's shuffle carries needle-gram grain, not corpus grain;
+    * prefix selection is a per-needle sort of its OWN gram list (state
+    * = the gram array the needle already carries). The routing gate is
+    * the measured optimizer bytes of the PRE-explode needle input (file
+    * scan stats, the reliable kind — same policy as
+    * [[ngramContamination]]): a small needle frame (the licensing /
+    * provenance sweep shape) BROADCASTS its gram set, prefixes, and df
+    * table, so the corpus-sized posting stream is filtered in place and
+    * never shuffled before candidates exist; a corpus-sized needle
+    * frame pins sort-merge (`merge` hints) on every gram join — AQE
+    * skew-splits a hot gram's SMJ side, and nothing corpus-scale is
+    * ever a build side. The one always-SMJ edge is the verify fetch of
+    * haystack gram arrays (id-keyed, candidates only on the probe
+    * side). Worst case is a needle whose rarest gram is corpus-wide
+    * boilerplate: candidates degrade to that gram's df, which is the
+    * irreducible cost of an exact answer (any correct algorithm must
+    * consider every haystack that could contain the needle).
     *
+    * @param broadcastNeedles force the needle-side broadcast route
+    *        (None = measured-bytes gate at 4 MB pre-explode)
     * @return (needle_id, haystack_id, containment), every pair with
     *         containment ≥ threshold, needles with empty gram sets
     *         excluded. Consume with ONE action (self-releasing caches —
@@ -570,17 +584,29 @@ object Dedup {
       needles: DataFrame, needleId: String, needleText: String,
       haystack: DataFrame, hayId: String, hayText: String,
       shingleN: Int = 3,
-      threshold: Double = 1.0): DataFrame = {
+      threshold: Double = 1.0,
+      broadcastNeedles: Option[Boolean] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold=$threshold must be in (0, 1]")
+    val needleBytes = needles.queryExecution.optimizedPlan.stats.sizeInBytes
+    val smallNeedles = broadcastNeedles.getOrElse(needleBytes < BigInt(4L << 20))
+    // needle-derived frames broadcast on the small route, else nothing
+    // here is ever a broadcast build side
+    def ndlSide(df: DataFrame): DataFrame =
+      if (smallNeedles) broadcast(df) else df.hint("merge")
     // grams are SETS here (array_distinct): containment's denominator
-    // is |G(n)| distinct and array_intersect dedups anyway
+    // is |G(n)| distinct and array_intersect dedups anyway. Grams ride
+    // as xxhash64 LONGS everywhere (the [[ngramContamination]]
+    // convention): 8 bytes per key across every shuffle/sort/intersect
+    // instead of the gram text, with collision-freeness shared with the
+    // oracle's true-gram restatement.
     def gramSets(df: DataFrame, id: String, text: String, outId: String) =
       rebalance(df)
         .withColumn("__w", TextFunctions.words(col(text)))
         .select(col(id).as(outId),
-          array_distinct(
-            TextFunctions.wordNgramsFromWords(col("__w"), shingleN)).as("__grams"),
+          array_distinct(transform(
+            TextFunctions.wordNgramsFromWords(col("__w"), shingleN),
+            g => xxhash64(g))).as("__grams"),
           lit(callSeq.incrementAndGet()).as("__ct_call"))
         .filter(size(col("__grams")) > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -588,15 +614,24 @@ object Dedup {
     val hay = gramSets(haystack, hayId, hayText, "__hid")
     val ndl = gramSets(needles, needleId, needleText, "__nid")
 
-    // Inverted postings + document frequency over the haystack corpus.
+    // Inverted postings over the haystack corpus; document frequencies
+    // only for grams that occur in some needle (the df of any other
+    // gram is never read — the left join below starts FROM needle
+    // grams), so on the small route the semi filter runs inside the
+    // posting scan and the count's shuffle carries needle-gram grain.
     val postings = hay.select(col("__hid"), explode(col("__grams")).as("__g"))
-    val dfreq = postings.groupBy("__g").agg(count(lit(1)).as("__df"))
+    val needleGrams = ndl.select(explode(col("__grams")).as("__g")).distinct()
+    val dfreq = postings
+      .join(ndlSide(needleGrams), Seq("__g"), "leftsemi")
+      .groupBy("__g").agg(count(lit(1)).as("__df"))
 
     // Per-needle prefix: the L rarest grams by (haystack df, gram).
+    // dfreq is needle-gram grain by construction, so it rides the
+    // needle-side route too.
     val prefixes = ndl
       .select(col("__nid"), size(col("__grams")).as("__n"),
         explode(col("__grams")).as("__g"))
-      .join(dfreq, Seq("__g"), "left")
+      .join(ndlSide(dfreq), Seq("__g"), "left")
       .na.fill(0L, Seq("__df"))
       .groupBy("__nid")
       .agg(first(col("__n")).as("__n"),
@@ -607,12 +642,16 @@ object Dedup {
       .select(col("__nid"), explode(slice(col("__ord"), lit(1), col("__L"))).as("__p"))
       .select(col("__nid"), col("__p.__g").as("__g"))
 
-    val cand = prefixes.join(postings, "__g")
+    // Candidate join: on the small route the prefixes broadcast and the
+    // corpus posting stream is filtered where it stands — no corpus
+    // bytes move until a candidate exists.
+    val cand = postings.join(ndlSide(prefixes), "__g")
       .select(col("__nid"), col("__hid")).distinct()
 
     val out = cand
-      .join(ndl.select(col("__nid"), col("__grams").as("__gn")), "__nid")
-      .join(hay.select(col("__hid"), col("__grams").as("__gh")), "__hid")
+      .join(ndlSide(ndl.select(col("__nid"), col("__grams").as("__gn"))), "__nid")
+      .join(hay.select(col("__hid"), col("__grams").as("__gh")).hint("merge"),
+        "__hid")
       .withColumn("containment",
         size(array_intersect(col("__gn"), col("__gh"))).cast("double")
           / size(col("__gn")).cast("double"))

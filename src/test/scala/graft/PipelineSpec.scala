@@ -1958,6 +1958,15 @@ class PipelineSpec extends AnyFunSuite {
       assert(full.contains((1000L + id, id)),
         s"planted prefix needle ${1000L + id} not found inside haystack $id")
     }
+    // the broadcast (small-needle) and merge (corpus-needle) routes are
+    // strategy-only — identical pair sets and containment values
+    def route(bc: Boolean) = Dedup.containmentJoin(
+        needleRows.toDF("nid", "text"), "nid", "text",
+        hayRows.toDF("hid", "text"), "hid", "text", 3, 0.6,
+        broadcastNeedles = Some(bc))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(route(true) == route(false),
+      "containmentJoin broadcast vs merge route mismatch")
   }
 
   test("rangeSearch literal path is bit-identical to broadcast; degenerates never pass") {

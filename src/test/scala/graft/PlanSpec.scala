@@ -520,6 +520,24 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"prefix-filter candidates must ride gram equi joins, never all-pairs:\n$plan")
+    // corpus-needle route: NOTHING broadcasts — size estimates below an
+    // explode are width-ratio guesses, and the static planner once
+    // broadcast a 10x replica's corpus-sized posting list off one
+    val mergePlan = graft.functions.Dedup.containmentJoin(
+        needles, "doc_id", "text", docs, "doc_id", "text", 3, 0.8,
+        broadcastNeedles = Some(false))
+      .queryExecution.executedPlan.toString
+    assert(!mergePlan.contains("BroadcastExchange"),
+      s"merge route must never elect a broadcast build side:\n$mergePlan")
+    // small-needle route: the corpus posting stream is probe side of
+    // broadcast joins — filtered in place, zero corpus-side sorts
+    // before candidates exist (the verify fetch is the one merge join)
+    val bcPlan = graft.functions.Dedup.containmentJoin(
+        needles, "doc_id", "text", docs, "doc_id", "text", 3, 0.8,
+        broadcastNeedles = Some(true))
+      .queryExecution.executedPlan.toString
+    assert(bcPlan.contains("BroadcastHashJoin"),
+      s"small-needle route must broadcast the needle-derived frames:\n$bcPlan")
   }
 
   test("rangeSearch literal-probe plan has no exchange (single codegen stage)") {
