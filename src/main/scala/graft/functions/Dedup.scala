@@ -97,12 +97,39 @@ object Dedup {
     val right = sized
       .select(explode(array(col("__b") - 1, col("__b"), col("__b") + 1)).as("__b"),
         col("id").as("id_b"), col("key").as("key_b"))
-    left.join(right, "__b")
+    // the exploded right side is 3× the corpus — routed, never an
+    // estimate-elected broadcast build (the bucket-ID list above is the
+    // only legitimate broadcast here: bounded by the key-length domain)
+    left.join(mergeUnlessTiny(df)(right), "__b")
       .filter(col("id_a") < col("id_b"))
       .filter(abs(length(col("key_a")) - length(col("key_b"))) <= maxEdits)
       .withColumn("dist", levenshtein(col("key_a"), col("key_b")))
       .filter(col("dist") <= maxEdits)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
+  /** Join-strategy router for corpus-derived frames (the
+    * `tools/BroadcastAudit` find): size estimates below a projection,
+    * explode, or aggregate are width-ratio extrapolations of COMPRESSED
+    * scan bytes, so the static planner happily elects a corpus-scaling
+    * frame — a gram-grain aggregate, an exploded posting side, a
+    * doc-grain rebuild carrying full text — as a broadcast build side
+    * whenever the source compresses well, and a broadcast build of
+    * corpus-scale actuals kills the driver. The pre-derivation INPUT's
+    * bytes are the reliable signal (file-scan grain, grows linearly
+    * with the data): below the bound the toy-scale plan stands
+    * (broadcast election included — the bench floors); above it the
+    * derived frame pins sort-merge — skew-safe, spillable, never a
+    * build side. The gate takes the MAX of the input's and the derived
+    * frame's estimates (a caller may hand an already-aggregated input
+    * whose own stats are post-agg guesses — q_line_dedup's page frames)
+    * and bounds at 1 MB: a column-pruned scan of a well-compressed
+    * corpus reports ~30% of file bytes, so a 4 MB bound left 10×
+    * replicas electing corpus broadcasts. */
+  private[graft] def mergeUnlessTiny(input: DataFrame)(derived: DataFrame): DataFrame = {
+    val est = input.queryExecution.optimizedPlan.stats.sizeInBytes
+      .max(derived.queryExecution.optimizedPlan.stats.sizeInBytes)
+    if (est < BigInt(1L << 20)) derived else derived.hint("merge")
   }
 
   /** MinHash-LSH near-duplicate pairs with exact Jaccard verification.
@@ -160,17 +187,25 @@ object Dedup {
     // distinct, so the consumption listener of one call can never match
     // (sameResult) a sibling call's identical pipeline and unpersist the
     // sibling's cache before its first use (review r3).
+    // Shingles ride as xxhash64 LONGS from the start (the banding
+    // hashed them anyway — this also deletes that re-hash): the cached
+    // relation, the verify join payloads, and the Jaccard intersects
+    // all carry 8 bytes per gram instead of the gram text, bounding the
+    // decompressed-actual-vs-compressed-estimate blowup that makes
+    // estimate-elected broadcasts of text frames dangerous. Exactness
+    // is modulo xxhash64 collisions, the same contract the banding and
+    // [[ngramContamination]] already carry.
     val shingleProj = rebalance(df)
       .withColumn("__words", TextFunctions.words(col(textCol)))
       .select(col(idCol).as("id"),
-        TextFunctions.wordNgramsFromWords(col("__words"), shingleN).as("shingles"),
+        transform(TextFunctions.wordNgramsFromWords(col("__words"), shingleN),
+          e => xxhash64(e)).as("shingles"),
         lit(callSeq.incrementAndGet()).as("__mh_call"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shingled = shingleProj.filter(size(col("shingles")) > 0)
 
     val banded = shingled
-      .withColumn("__h", transform(col("shingles"), e => xxhash64(e)))
-      .select(col("id"), posexplode(MinHashExpr.bandHashes(col("__h"), k, bands)))
+      .select(col("id"), posexplode(MinHashExpr.bandHashes(col("shingles"), k, bands)))
       .toDF("id", "band", "bucket")
 
     // Candidates: ids sharing any (band, bucket). Self-join within
@@ -188,11 +223,13 @@ object Dedup {
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
       .distinct()
 
-    // Exact verification on candidates only.
+    // Exact verification on candidates only. The shingle sides are
+    // corpus-scaling — routed, never an estimate-elected build side.
     val sh = shingled
+    val route = mergeUnlessTiny(df) _
     val out = pairs
-      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .join(route(sh.select(col("id").as("id_a"), col("shingles").as("sh_a"))), "id_a")
+      .join(route(sh.select(col("id").as("id_b"), col("shingles").as("sh_b"))), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -223,15 +260,16 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
 
+    // hashed-long shingles end to end (see the self-join variant)
     def shingleSide(df: DataFrame, id: String, text: String): DataFrame =
       rebalance(df)
         .withColumn("__words", TextFunctions.words(col(text)))
         .select(col(id).as("id"),
-          TextFunctions.wordNgramsFromWords(col("__words"), shingleN).as("shingles"))
+          transform(TextFunctions.wordNgramsFromWords(col("__words"), shingleN),
+            e => xxhash64(e)).as("shingles"))
         .filter(size(col("shingles")) > 0)
     def bandSide(sh: DataFrame): DataFrame = sh
-      .withColumn("__h", transform(col("shingles"), e => xxhash64(e)))
-      .select(col("id"), posexplode(MinHashExpr.bandHashes(col("__h"), k, bands)))
+      .select(col("id"), posexplode(MinHashExpr.bandHashes(col("shingles"), k, bands)))
       .toDF("id", "band", "bucket")
 
     // corpus shingles feed banding AND verification — persist the
@@ -254,16 +292,21 @@ object Dedup {
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucketSize)
       .select("band", "bucket")
+    // corpus-derived sides routed (see mergeUnlessTiny); batch-derived
+    // sides routed against the batch input — small batches keep their
+    // broadcast election, corpus-sized ones pin sort-merge
+    val routeC = mergeUnlessTiny(corpus) _
+    val routeB = mergeUnlessTiny(batch) _
     val candidates = batchBands
-      .join(keptBuckets(batchBands), Seq("band", "bucket"))
-      .join(keptBuckets(corpusBands), Seq("band", "bucket"))
-      .join(corpusBands.toDF("corpus_id", "band", "bucket"), Seq("band", "bucket"))
+      .join(routeB(keptBuckets(batchBands)), Seq("band", "bucket"))
+      .join(routeC(keptBuckets(corpusBands)), Seq("band", "bucket"))
+      .join(routeC(corpusBands.toDF("corpus_id", "band", "bucket")), Seq("band", "bucket"))
       .select(col("corpus_id"), col("batch_id"))
       .distinct()
 
     val out = candidates
-      .join(corpusSh.select(col("id").as("corpus_id"), col("shingles").as("sh_c")), "corpus_id")
-      .join(batchSh.select(col("id").as("batch_id"), col("shingles").as("sh_b")), "batch_id")
+      .join(routeC(corpusSh.select(col("id").as("corpus_id"), col("shingles").as("sh_c"))), "corpus_id")
+      .join(routeB(batchSh.select(col("id").as("batch_id"), col("shingles").as("sh_b"))), "batch_id")
       .withColumn("jaccard", jaccard(col("sh_c"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("corpus_id"), col("batch_id"), col("jaccard"))
@@ -324,13 +367,20 @@ object Dedup {
       .join(index.toDF("corpus_id", "band", "bucket"), Seq("band", "bucket"))
       .select(col("corpus_id"), col("batch_id"))
       .distinct()
+    // hashed-long shingles for the verify payloads (see
+    // minhashNearDupPairs); corpus/batch verify sides routed — a
+    // corpus-scaling shingle frame must never be an estimate-elected
+    // broadcast build side
     def shingled(df: DataFrame, id: String, text: String, outId: String, outSh: String) =
       df.withColumn("__words", TextFunctions.words(col(text)))
         .select(col(id).as(outId),
-          TextFunctions.wordNgramsFromWords(col("__words"), shingleN).as(outSh))
+          transform(TextFunctions.wordNgramsFromWords(col("__words"), shingleN),
+            e => xxhash64(e)).as(outSh))
     candidates
-      .join(shingled(corpus, corpusId, corpusText, "corpus_id", "sh_c"), "corpus_id")
-      .join(shingled(batch, batchId, batchText, "batch_id", "sh_b"), "batch_id")
+      .join(mergeUnlessTiny(corpus)(
+        shingled(corpus, corpusId, corpusText, "corpus_id", "sh_c")), "corpus_id")
+      .join(mergeUnlessTiny(batch)(
+        shingled(batch, batchId, batchText, "batch_id", "sh_b")), "batch_id")
       .withColumn("jaccard", jaccard(col("sh_c"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("corpus_id"), col("batch_id"), col("jaccard"))
@@ -483,7 +533,10 @@ object Dedup {
     // "one counting row per input row" contract
     df.select(col(idCol),
         coalesce(size(split(col(textCol), "\n")).cast("long"), lit(0L)).as("n_lines"))
-      .join(reassembled.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      // reassembled is doc-grain WITH the full cleaned text — routed,
+      // never an estimate-elected broadcast build side
+      .join(mergeUnlessTiny(df)(reassembled.withColumnRenamed("__id", idCol)),
+        Seq(idCol), "left")
       .select(col(idCol), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("cleaned"), lit("")).as("cleaned"))
@@ -515,10 +568,12 @@ object Dedup {
     val c = grams(corpus, corpusId, corpusText, "corpus_id")
     val e = grams(eval_, evalId, evalText, "eval_id")
     // gram-table size ≈ a few × eval text bytes (one (id, hash) row per
-    // word); 4 MB of input keeps even the exploded broadcast well under
-    // typical driver/executor headroom
+    // word); 1 MB of input keeps even the exploded broadcast well under
+    // typical driver/executor headroom (the mergeUnlessTiny calibration:
+    // a pruned scan of well-compressed text reports ~30% of file bytes,
+    // and the broadcast payload is the DECOMPRESSED gram table)
     val evalBytes = eval_.queryExecution.optimizedPlan.stats.sizeInBytes
-    val forceBroadcast = broadcastEval.getOrElse(evalBytes < BigInt(4L << 20))
+    val forceBroadcast = broadcastEval.getOrElse(evalBytes < BigInt(1L << 20))
     val evalSide = if (forceBroadcast) broadcast(e) else e
     c.join(evalSide, "__gh")
       .groupBy("corpus_id", "eval_id")
@@ -575,7 +630,7 @@ object Dedup {
     * consider every haystack that could contain the needle).
     *
     * @param broadcastNeedles force the needle-side broadcast route
-    *        (None = measured-bytes gate at 4 MB pre-explode)
+    *        (None = measured-bytes gate at 1 MB pre-explode)
     * @return (needle_id, haystack_id, containment), every pair with
     *         containment ≥ threshold, needles with empty gram sets
     *         excluded. Consume with ONE action (self-releasing caches —
@@ -588,8 +643,11 @@ object Dedup {
       broadcastNeedles: Option[Boolean] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold=$threshold must be in (0, 1]")
+    // 1 MB compressed-estimate bound (the mergeUnlessTiny calibration:
+    // pruned scans of well-compressed text report ~30% of file bytes,
+    // and the broadcast payload is the DECOMPRESSED gram table)
     val needleBytes = needles.queryExecution.optimizedPlan.stats.sizeInBytes
-    val smallNeedles = broadcastNeedles.getOrElse(needleBytes < BigInt(4L << 20))
+    val smallNeedles = broadcastNeedles.getOrElse(needleBytes < BigInt(1L << 20))
     // needle-derived frames broadcast on the small route, else nothing
     // here is ever a broadcast build side
     def ndlSide(df: DataFrame): DataFrame =

@@ -35,7 +35,10 @@ object CorpusQueries {
     val totals = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val novel = grams.groupBy("gram").agg(min(col("doc_id")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
-    totals.join(novel, Seq("doc_id"), "left")
+    // novel is doc-grain (corpus-scaling) — routed, never an
+    // estimate-elected broadcast build side (Dedup.mergeUnlessTiny)
+    totals.join(graft.functions.Dedup.mergeUnlessTiny(df)(novel),
+        Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"),
         (coalesce(col("n_novel"), lit(0L)).cast("double") /
@@ -230,13 +233,16 @@ object CorpusQueries {
     val grams = toks
       .select(col("doc_id"), posexplode(TF.wordNgramsAllFromWords(col("__w"), 8)))
       .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("gram"))
+    // gram-grain and doc-grain aggregates are corpus-scaling — routed,
+    // never estimate-elected broadcast build sides
+    val route = graft.functions.Dedup.mergeUnlessTiny(withClones) _
     val minDoc = grams.groupBy("gram").agg(min(col("doc_id")).as("min_doc"))
-    val cov = grams.join(minDoc, "gram")
+    val cov = grams.join(route(minDoc), "gram")
       .filter(col("min_doc") < col("doc_id"))
       .select(col("doc_id"), explode(sequence(col("i"), col("i") + 7)).as("pos"))
       .distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup_pos"))
-    n.join(cov, Seq("doc_id"), "left")
+    n.join(route(cov), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
         (coalesce(col("n_dup_pos"), lit(0L)).cast("double") /
@@ -287,22 +293,25 @@ object CorpusQueries {
     val grams = toks
       .select(col("doc_id"), posexplode(TF.wordNgramsAllFromWords(col("__w"), 8)))
       .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("gram"))
+    // gram/position/doc-grain frames are corpus-scaling — routed, never
+    // estimate-elected broadcast build sides
+    val route = graft.functions.Dedup.mergeUnlessTiny(withClones) _
     val minDoc = grams.groupBy("gram").agg(min(col("doc_id")).as("min_doc"))
-    val covered = grams.join(minDoc, "gram")
+    val covered = grams.join(route(minDoc), "gram")
       .filter(col("min_doc") < col("doc_id"))
       .select(col("doc_id"), explode(sequence(col("i"), col("i") + 7)).as("pos"))
       .distinct()
     val tokens = toks
       .select(col("doc_id"), posexplode(col("__w")))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("word"))
-    val rebuilt = tokens.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = tokens.join(route(covered), Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ",
           transform(array_sort(collect_list(struct(col("pos"), col("word")))),
             x => x("word"))).as("cleaned_text"))
     toks.select(col("doc_id"), size(col("__w")).cast("long").as("n_tokens"))
-      .join(rebuilt, Seq("doc_id"), "left")
+      .join(route(rebuilt), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))

@@ -398,7 +398,9 @@ object PipelineQueries {
       .withColumn("__w", TF.words(col("text")))
       .select(col("doc_id"), TF.wordNgramsFromWords(col("__w"), 3).as("grams"))
     val a = g.alias("a"); val b = g.alias("b")
-    a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+    // the neighbor side carries corpus-scaling gram arrays — routed,
+    // never an estimate-elected broadcast build side
+    a.join(Dedup.mergeUnlessTiny(g)(b), col("b.doc_id") === col("a.doc_id") + 1)
       .select(col("a.doc_id").as("doc_id"),
         Dedup.jaccard(col("a.grams"), col("b.grams")).as("jaccard"))
       .orderBy("doc_id")
