@@ -574,7 +574,12 @@ object Dedup {
     // and the broadcast payload is the DECOMPRESSED gram table)
     val evalBytes = eval_.queryExecution.optimizedPlan.stats.sizeInBytes
     val forceBroadcast = broadcastEval.getOrElse(evalBytes < BigInt(1L << 20))
-    val evalSide = if (forceBroadcast) broadcast(e) else e
+    // above the gate the exploded eval gram table must not be left to
+    // static estimate election either — its width-ratio estimate can
+    // sit under the broadcast threshold with 50-100x decompressed
+    // actuals (the mergeUnlessTiny gap class), and a broadcast build
+    // has no shuffle below it for AQE to re-decide
+    val evalSide = if (forceBroadcast) broadcast(e) else e.hint("merge")
     c.join(evalSide, "__gh")
       .groupBy("corpus_id", "eval_id")
       .agg(countDistinct(col("__gh")).as("n_shared"))
@@ -694,9 +699,19 @@ object Dedup {
       .groupBy("__nid")
       .agg(first(col("__n")).as("__n"),
         sort_array(collect_list(struct(col("__df"), col("__g")))).as("__ord"))
+      // m = fewest matching grams that satisfy the verify predicate's
+      // OWN double arithmetic (i / n >= t). ceil(t*n) alone can round
+      // UP across an exact integer product (0.07 * 100 =
+      // 7.000000000000001 -> 8) and silently shrink the prefix below
+      // the pigeonhole bound — the one-step-down check restores
+      // consistency (the product's error is < 1, so m is never more
+      // than one below the computed ceil).
+      .withColumn("__m0", ceil(lit(threshold) * col("__n")))
+      .withColumn("__m",
+        when((col("__m0") - 1).cast("double") / col("__n").cast("double")
+          >= threshold, col("__m0") - 1).otherwise(col("__m0")))
       .withColumn("__L",
-        greatest(col("__n") - ceil(lit(threshold) * col("__n")) + 1, lit(1L))
-          .cast("int"))
+        greatest(col("__n") - col("__m") + 1, lit(1L)).cast("int"))
       .select(col("__nid"), explode(slice(col("__ord"), lit(1), col("__L"))).as("__p"))
       .select(col("__nid"), col("__p.__g").as("__g"))
 

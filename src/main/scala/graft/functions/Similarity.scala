@@ -139,10 +139,19 @@ object Similarity {
       return scored
     }
     // norms precomputed per side: the cross join evaluates one dot
-    // product per pair instead of three
-    val q = broadcast(queries
+    // product per pair instead of three. The query side broadcasts only
+    // under a measured-bytes gate — margin mining / label noise feed
+    // corpus-half query frames through this path, and an unconditional
+    // broadcast of a corpus-scale float table dies at the first build
+    // (the Dedup.mergeUnlessTiny gap class); above the gate the
+    // all-pairs product runs shuffle-replicated, no build side at all.
+    val qProj = queries
       .select(col(qIdCol).as("__qid"), col(qVecCol).as("__qvec"))
-      .withColumn("__qn", norm(col("__qvec"))))
+      .withColumn("__qn", norm(col("__qvec")))
+    val q =
+      if (queries.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(1L << 20))
+        broadcast(qProj)
+      else qProj.hint("shuffle_replicate_nl")
     val c = corpus
       .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"))
       .withColumn("__cn", norm(col("__cvec")))

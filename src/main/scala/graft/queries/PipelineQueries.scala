@@ -394,13 +394,15 @@ object PipelineQueries {
   /** Exact word-3-gram Jaccard between consecutive documents (the
     * verification primitive used inside LSH dedup, checked standalone). */
   def ngramJaccardChain(s: SparkSession, dir: String): DataFrame = {
-    val g = docs(s, dir)
+    val d = docs(s, dir)
+    val g = d
       .withColumn("__w", TF.words(col("text")))
       .select(col("doc_id"), TF.wordNgramsFromWords(col("__w"), 3).as("grams"))
     val a = g.alias("a"); val b = g.alias("b")
     // the neighbor side carries corpus-scaling gram arrays — routed,
-    // never an estimate-elected broadcast build side
-    a.join(Dedup.mergeUnlessTiny(g)(b), col("b.doc_id") === col("a.doc_id") + 1)
+    // never an estimate-elected broadcast build side; the gate reads
+    // the UNPRUNED docs scan (the reliable grain), not the projected g
+    a.join(Dedup.mergeUnlessTiny(d)(b), col("b.doc_id") === col("a.doc_id") + 1)
       .select(col("a.doc_id").as("doc_id"),
         Dedup.jaccard(col("a.grams"), col("b.grams")).as("jaccard"))
       .orderBy("doc_id")

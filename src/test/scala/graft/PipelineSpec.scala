@@ -1969,6 +1969,25 @@ class PipelineSpec extends AnyFunSuite {
       "containmentJoin broadcast vs merge route mismatch")
   }
 
+  test("containmentJoin prefix length survives ceil rounding across an exact product") {
+    import spark.implicits._
+    // t=0.07, |G(n)|=100: double 0.07*100 = 7.000000000000001, so a
+    // bare ceil(t*n) reads 8 and shrinks the prefix to the 93 rarest
+    // grams — exactly the df-0 grams — silently dropping every
+    // qualifying pair (review r12). Needle = 102 distinct words (100
+    // grams); haystacks = the needle's first 9 words (its 7 most
+    // frequent grams, df=10), containment 7/100 = 0.07 >= t.
+    val words = (1 to 102).map(i => s"w$i")
+    val needle = Seq((1L, words.mkString(" "))).toDF("nid", "text")
+    val hay = (0 until 10).map(h => (h.toLong, words.take(9).mkString(" ")))
+      .toDF("hid", "text")
+    val got = Dedup.containmentJoin(needle, "nid", "text", hay, "hid", "text",
+        shingleN = 3, threshold = 0.07)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == (0 until 10).map(h => (1L, h.toLong, 0.07)).toSet,
+      s"all 10 boundary-containment pairs must be reported, got $got")
+  }
+
   test("rangeSearch literal path is bit-identical to broadcast; degenerates never pass") {
     import spark.implicits._
     val rnd = new scala.util.Random(37)
