@@ -531,6 +531,50 @@ object PipelineQueries {
       |WHERE len(list_intersect(n.grams, h.grams)) = len(n.grams)
       |ORDER BY needle_id, haystack_id""".stripMargin
 
+  /** The containment join's PRODUCTION shape ([[Dedup.containmentJoin]]
+    * broadcast route): a tiny fixed needle set — three 12-word quotes
+    * lifted from specific documents — swept against the whole corpus at
+    * t = 1.0. The needle side measures far under the route gate, so the
+    * plan broadcasts the needle-derived frames and the corpus posting
+    * stream is filtered IN PLACE: zero corpus shuffles before
+    * candidates exist (the verify fetch is the one merge join,
+    * PlanSpec-pinned). The complement of [[dedupContainment]], whose
+    * corpus-sized needle fixture pins the merge route. */
+  def containmentSweep(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val needles = d.filter(col("doc_id").isin(3L, 17L, 42L))
+      .withColumn("__w", TF.words(col("text")))
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat_ws(" ", slice(col("__w"), lit(1), lit(12))).as("text"))
+    Dedup.containmentJoin(needles, "doc_id", "text", d, "doc_id", "text",
+        shingleN = 3, threshold = 1.0)
+      .select(col("needle_id"), col("haystack_id"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy("needle_id", "haystack_id")
+  }
+
+  val containmentSweepSql: String =
+    """WITH base AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+      |hay AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+      |  FROM base),
+      |ndl AS (
+      |  SELECT doc_id + 5000000 AS doc_id,
+      |         list_distinct(list_transform(range(1, greatest(len(h) - 2, 0) + 1),
+      |         i -> h[i] || ' ' || h[i+1] || ' ' || h[i+2])) AS grams
+      |  FROM (SELECT doc_id, list_slice(w, 1, 12) AS h
+      |        FROM base WHERE doc_id IN (3, 17, 42))
+      |  WHERE len(h) >= 3),
+      |cand AS (
+      |  SELECT DISTINCT n.doc_id AS nid, hg.doc_id AS hid
+      |  FROM (SELECT doc_id, grams[1] AS g FROM ndl) n
+      |  JOIN (SELECT doc_id, unnest(grams) AS g FROM hay) hg ON n.g = hg.g)
+      |SELECT c.nid AS needle_id, c.hid AS haystack_id, 1.0 AS containment
+      |FROM cand c JOIN ndl n ON n.doc_id = c.nid JOIN hay h ON h.doc_id = c.hid
+      |WHERE len(list_intersect(n.grams, h.grams)) = len(n.grams)
+      |ORDER BY needle_id, haystack_id""".stripMargin
+
   /** MinHash-LSH band table persisted as a parquet artifact and
     * searched after a round trip ([[Dedup.minhashBuildIndex]] →
     * write partitioned by band → read → [[Dedup.minhashSearchIndex]])
@@ -2822,6 +2866,7 @@ object PipelineQueries {
     "q_ngram_jaccard_chain" -> (ngramJaccardChain _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_containment" -> (dedupContainment _),
+    "q_containment_sweep" -> (containmentSweep _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash_exact" -> (dedupSimhashExact _),
     "q_embedding_neardup" -> (embeddingNearDup _),
@@ -2896,6 +2941,7 @@ object PipelineQueries {
     "q_ngram_jaccard_chain" -> ngramJaccardChainSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_containment" -> dedupContainmentSql,
+    "q_containment_sweep" -> containmentSweepSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_simhash_exact" -> dedupSimhashExactSql,
     "q_embedding_neardup" -> embeddingNearDupSql,

@@ -195,9 +195,11 @@ object ScaleCheck {
       // lifecycle's train/encode/probe SPLIT is tools/TrainedAnnScale.
       "q_pit_broadcast", "q_ann_ivfpq_rerank", "q_ann_ivfpq_persisted",
       // containment join (candidate volume = Σ df over rarest-gram
-      // prefixes — must track corpus growth, not pairs) and the
-      // radius scan (single codegen stage, no exchange)
-      "q_dedup_containment", "q_ann_range")
+      // prefixes — must track corpus growth, not pairs; the _sweep
+      // variant pins the broadcast route: tiny needles, corpus postings
+      // filtered in place, zero corpus shuffles before candidates) and
+      // the radius scan (single codegen stage, no exchange)
+      "q_dedup_containment", "q_containment_sweep", "q_ann_range")
     // optional 4th arg: comma-separated query filter (iterate on one
     // operator without re-timing the full set; replica build unchanged)
     val only = args.lift(3).map(_.split(",").toSet)

@@ -538,6 +538,8 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(bcPlan.contains("BroadcastHashJoin"),
       s"small-needle route must broadcast the needle-derived frames:\n$bcPlan")
+    assert("SortMergeJoin".r.findAllIn(bcPlan).size == 1,
+      s"broadcast route: the hay verify fetch must be the ONE merge join:\n$bcPlan")
   }
 
   test("rangeSearch literal-probe plan has no exchange (single codegen stage)") {
