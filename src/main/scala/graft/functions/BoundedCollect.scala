@@ -80,14 +80,7 @@ case class BoundedCollect(
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeBoolean(buf.overflowed)
-    if (!buf.overflowed) {
-      out.writeInt(buf.size)
-      buf.foreach { v =>
-        val row = valueProj(new GenericInternalRow(Array[Any](v)))
-        out.writeInt(row.getSizeInBytes)
-        out.write(row.getBytes)
-      }
-    }
+    if (!buf.overflowed) ValueFraming.write(out, buf.size, buf.foreach, valueProj)
     out.flush()
     bos.toByteArray
   }
@@ -96,20 +89,9 @@ case class BoundedCollect(
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val buf = createAggregationBuffer()
     if (in.readBoolean()) buf.markOverflowed()
-    else {
-      val n = in.readInt()
-      var i = 0
-      while (i < n) {
-        val len = in.readInt()
-        val b = new Array[Byte](len)
-        in.readFully(b)
-        val row = new UnsafeRow(1)
-        row.pointTo(b, len)
-        // freshly read bytes are owned by this buffer — no re-copy
-        buf.offer(row.get(0, child.dataType), BoundedCollect.identityCopy)
-        i += 1
-      }
-    }
+    // freshly read bytes are owned by this buffer — no re-copy
+    else ValueFraming.read(in, child.dataType)(
+      buf.offer(_, BoundedCollect.identityCopy))
     buf
   }
 

@@ -55,14 +55,6 @@ object Contrastive {
       val nDistinct = indexed.select(col(idCol)).distinct().count()
       require(nDistinct == n0,
         s"negativeSamples requires unique $idCol values: $n0 rows but $nDistinct distinct")
-      // the LCG probe index idx*k + j must stay within 2^63/mulA or the
-      // multiply wraps (non-ANSI: silently diverging from the documented
-      // (a*x+b) mod n distribution and the exact-BIGINT oracle; ANSI:
-      // a mid-job overflow error) — the doc stated the bound, nothing
-      // enforced it (review r6)
-      require(n0 <= Long.MaxValue / mulA / k,
-        s"negativeSamples: n = $n0 at k = $k exceeds the exact-arithmetic " +
-          s"bound ${Long.MaxValue / mulA / k} — shard the corpus or reduce k")
       n0
     } catch { case e: Throwable => indexed.unpersist(); throw e }
     if (n < 2) { // no other rows to sample: empty result, fixed schema
@@ -71,14 +63,33 @@ object Contrastive {
         .select(lit(null).cast(df.schema(idCol).dataType).as("anchor_id"),
           lit(0L).as("neg_rank"),
           lit(null).cast(df.schema(idCol).dataType).as("negative_id"))
-        .limit(0)
     }
+    val aEff = try {
+      // the LCG's uniformity needs gcd(a, n) = 1 — n a multiple of
+      // mulA (or a caller multiplier sharing a factor with n) collapses
+      // the probe sequence onto n/gcd residues, in the worst case ONE
+      // constant negative for the whole corpus plus a single hot join
+      // key. (mulA % n)·x ≡ mulA·x (mod n), so reducing first and
+      // walking to the next coprime changes NOTHING whenever the
+      // default (prime) multiplier is already coprime (review r12).
+      val a = Iterator.iterate(mulA % n)(x => (x + 1) % n)
+        .find(x => x != 0 && BigInt(x).gcd(BigInt(n)) == 1).get
+      // the probe index idx*k + j must stay within 2^63/a or the
+      // multiply wraps (non-ANSI: silently diverging from the documented
+      // (a*x+b) mod n distribution and the exact-BIGINT oracle; ANSI:
+      // a mid-job overflow error) — the doc stated the bound, nothing
+      // enforced it (review r6)
+      require(n <= Long.MaxValue / a / k,
+        s"negativeSamples: n = $n at k = $k exceeds the exact-arithmetic " +
+          s"bound ${Long.MaxValue / a / k} — shard the corpus or reduce k")
+      a
+    } catch { case e: Throwable => indexed.unpersist(); throw e }
     val lookup = indexed.select(col("__idx").as("__nidx"), col(idCol).as("negative_id"))
     val probes = indexed
       .select(col(idCol).as("anchor_id"), col("__idx"),
         explode(sequence(lit(0L), lit(k - 1L))).as("neg_rank"))
       .withColumn("__h",
-        pmod(lit(mulA) * (col("__idx") * lit(k.toLong) + col("neg_rank")) + lit(addB), lit(n)))
+        pmod(lit(aEff) * (col("__idx") * lit(k.toLong) + col("neg_rank")) + lit(addB), lit(n)))
       .withColumn("__nidx",
         when(col("__h") === col("__idx"), pmod(col("__h") + 1, lit(n)))
           .otherwise(col("__h")))

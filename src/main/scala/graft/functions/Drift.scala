@@ -41,7 +41,7 @@ object Drift {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     val probs = (1 until nBins).map(_.toDouble / nBins)
     val row = baseline.filter(col(valueCol).isNotNull)
-      .agg(percentile_approx(col(valueCol).cast("double"),
+      .agg(percentile_approx(col(valueCol).try_cast("double"),
         typedlit(probs), lit(accuracy)).as("edges"))
       .head()
     // empty / all-null baselines aggregate to NULL — a clear error, not
@@ -51,6 +51,15 @@ object Drift {
     row.getSeq[Double](0).distinct.sorted
   }
 
+  /** Literal column addressing (the Quota.topKPerKey convention): a
+    * bare col("geo.country") parses the dot as nested-field access and
+    * misresolves any group column whose NAME contains a dot; backticks
+    * quote it literally, embedded backticks doubled (review r12). */
+  private def qcol(prefix: String, c: String): Column =
+    col(s"$prefix.`${c.replace("`", "``")}`")
+  private[functions] def gcol(c: String): Column =
+    col(s"`${c.replace("`", "``")}`")
+
   /** Null-SAFE left equi-join keyed on `keys`: group columns can carry
     * null values, and Spark's `join(df, usingColumns)` never matches
     * them — the spine fill then silently zeroed the null group's real
@@ -59,11 +68,11 @@ object Drift {
   private def joinNullSafeLeft(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame = {
     val lA = l.alias("__jl")
     val rA = r.alias("__jr")
-    val cond = keys.map(k => col(s"__jl.$k") <=> col(s"__jr.$k")).reduce(_ && _)
+    val cond = keys.map(k => qcol("__jl", k) <=> qcol("__jr", k)).reduce(_ && _)
     val rValueCols = r.columns.filterNot(keys.contains)
     lA.join(rA, cond, "left")
-      .select(l.columns.map(c => col(s"__jl.$c")).toIndexedSeq ++
-        rValueCols.map(c => col(s"__jr.$c")): _*)
+      .select(l.columns.map(c => qcol("__jl", c)).toIndexedSeq ++
+        rValueCols.map(c => qcol("__jr", c)): _*)
   }
 
   def psi(
@@ -73,9 +82,14 @@ object Drift {
       edges: Seq[Double],
       groupCols: Seq[String] = Nil): DataFrame = {
     require(edges.nonEmpty, "psi needs at least one bin edge")
-    require(edges == edges.sorted, s"edges must be ascending, got $edges")
+    // STRICTLY ascending: a duplicate edge creates a structurally
+    // unreachable bin that still receives Laplace mass, biasing every
+    // real bin's probability ([[equiDepthEdges]] dedups its own output;
+    // manual edges must arrive clean — review r12)
+    require(edges == edges.sorted && edges.distinct == edges,
+      s"edges must be strictly ascending, got $edges")
     val nBins = edges.size + 1
-    val gCols = groupCols.map(col)
+    val gCols = groupCols.map(gcol)
 
     // null AND non-castable values are EXCLUDED (explicitly — the
     // filter is on the CAST, so a 'NA' string that casts to null is
@@ -85,9 +99,9 @@ object Drift {
     // which count those first-class. [[ks]] applies the same policy so
     // the two numeric drift measures agree on which rows they see.
     def counted(df: DataFrame, out: String): DataFrame = df
-      .filter(col(valueCol).cast("double").isNotNull)
+      .filter(col(valueCol).try_cast("double").isNotNull)
       .select((gCols :+ SearchSorted.column(
-        col(valueCol).cast("double"), DoubleType, edges.map(x => x: Any)).as("bin")): _*)
+        col(valueCol).try_cast("double"), DoubleType, edges.map(x => x: Any)).as("bin")): _*)
       .groupBy((gCols :+ col("bin")): _*)
       .agg(count(lit(1)).as(out))
 
@@ -116,13 +130,16 @@ object Drift {
     * contributes, via smoothing, instead of being dropped); nulls
     * become the "<null>" category — categorical drift DOES track null
     * shifts, unlike the numeric path, because here null is a value of
-    * the feature, not an unmeasurable point. */
+    * the feature, not an unmeasurable point. KNOWN COLLISION: a data
+    * value that is literally the string "<null>" merges with the real
+    * null population — if an upstream system stringifies its nulls,
+    * map that marker to a distinct value before calling (review r12). */
   def categoricalPsi(
       baseline: DataFrame,
       current: DataFrame,
       catCol: String,
       groupCols: Seq[String] = Nil): DataFrame = {
-    val gCols = groupCols.map(col)
+    val gCols = groupCols.map(gcol)
     def counted(df: DataFrame, out: String): DataFrame = df
       .select((gCols :+ coalesce(col(catCol).cast("string"), lit("<null>")).as("bin")): _*)
       .groupBy((gCols :+ col("bin")): _*)
@@ -181,17 +198,17 @@ object Drift {
       groupCols: Seq[String] = Nil,
       edges: Option[Seq[Double]] = None): DataFrame = {
     edges.foreach(e => require(e.nonEmpty && e == e.sorted, s"edges must be ascending, got $e"))
-    val gCols = groupCols.map(col)
+    val gCols = groupCols.map(gcol)
     def counted(df: DataFrame, out: String): DataFrame = {
       val v = edges match {
         case Some(e) => SearchSorted.column(
-          col(valueCol).cast("double"), DoubleType, e.map(x => x: Any)).cast("double")
-        case None => col(valueCol).cast("double")
+          col(valueCol).try_cast("double"), DoubleType, e.map(x => x: Any)).cast("double")
+        case None => col(valueCol).try_cast("double")
       }
       // cast-based filter, matching [[psi]]: a non-castable value must
       // be excluded on BOTH measures, not dropped by one (psi's spine
       // join) while the other ranks it as a smallest-value bucket
-      df.filter(col(valueCol).cast("double").isNotNull)
+      df.filter(col(valueCol).try_cast("double").isNotNull)
         .select((gCols :+ v.as("__v")): _*)
         .groupBy((gCols :+ col("__v")): _*)
         .agg(count(lit(1)).as(out))
@@ -203,9 +220,9 @@ object Drift {
     // (review r6)
     val bC = counted(baseline, "n_base").alias("__jl")
     val cC = counted(current, "n_cur").alias("__jr")
-    val cond = keys.map(k => col(s"__jl.$k") <=> col(s"__jr.$k")).reduce(_ && _)
+    val cond = keys.map(k => qcol("__jl", k) <=> qcol("__jr", k)).reduce(_ && _)
     val merged = bC.join(cC, cond, "full_outer")
-      .select(keys.map(k => coalesce(col(s"__jl.$k"), col(s"__jr.$k")).as(k)) :+
+      .select(keys.map(k => coalesce(qcol("__jl", k), qcol("__jr", k)).as(k)) :+
         coalesce(col(s"__jl.n_base"), lit(0L)).as("__nb") :+
         coalesce(col(s"__jr.n_cur"), lit(0L)).as("__nc"): _*)
     val w =
@@ -234,7 +251,7 @@ object Drift {
     * contract, shared by [[psi]] and the streaming drift monitor
     * (whose bin counts come from a windowed streaming aggregation). */
   def psiFromCounts(filled: DataFrame, groupCols: Seq[String], nBins: Int): DataFrame = {
-    val gCols = groupCols.map(col)
+    val gCols = groupCols.map(gcol)
     val w =
       if (groupCols.isEmpty) Window.partitionBy(lit(1))
       else Window.partitionBy(gCols: _*)
@@ -243,11 +260,20 @@ object Drift {
     val pCur = (col("n_cur") + lit(0.5)) /
       (sum(col("n_cur")).over(w) + lit(0.5 * nBins))
     val term: Column = (pCur - pBase) * log(pCur / pBase)
+    // a group absent from one side entirely has NO defined drift — the
+    // smoothing would otherwise invent a uniform pseudo-distribution
+    // for the missing side and can score a brand-new group "stable"
+    // exactly where drift is maximal; psi goes null there, the same
+    // policy [[ks]] applies to side-absent groups (review r12)
     filled
       .withColumn("__term", term)
       .groupBy(gCols: _*)
-      .agg(round(sum(col("__term")), 6).as("psi"),
+      .agg(sum(col("__term")).as("__psi"),
         sum(col("n_base")).as("n_base"),
         sum(col("n_cur")).as("n_cur"))
+      .select((gCols :+
+        when(col("n_base") > 0 && col("n_cur") > 0,
+          round(col("__psi"), 6)).as("psi") :+
+        col("n_base") :+ col("n_cur")): _*)
   }
 }

@@ -101,37 +101,21 @@ case class BoundedMinK(
   override def eval(buf: BoundedMinK.Heap): Any =
     new GenericArrayData(buf.sortedAscending())
 
-  // Values cross the partial->final boundary as length-prefixed
-  // single-field UnsafeRows — works uniformly for every orderable type
-  // (incl. the struct rows topKPerKey aggregates).
+  // Wire framing shared with BoundedCollect — see [[ValueFraming]].
   override def serialize(buf: BoundedMinK.Heap): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.foreach { v =>
-      val row = valueProj(new GenericInternalRow(Array[Any](v)))
-      out.writeInt(row.getSizeInBytes)
-      out.write(row.getBytes)
-    }
+    ValueFraming.write(out, buf.size, buf.foreach, valueProj)
     out.flush()
     bos.toByteArray
   }
 
   override def deserialize(bytes: Array[Byte]): BoundedMinK.Heap = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val n = in.readInt()
     val buf = createAggregationBuffer()
-    var i = 0
-    while (i < n) {
-      val len = in.readInt()
-      val b = new Array[Byte](len)
-      in.readFully(b)
-      val row = new UnsafeRow(1)
-      row.pointTo(b, len)
-      // the freshly read bytes are owned by this heap — no re-copy
-      buf.offer(row.get(0, child.dataType), BoundedMinK.identityCopy)
-      i += 1
-    }
+    // the freshly read bytes are owned by this heap — no re-copy
+    ValueFraming.read(in, child.dataType)(
+      buf.offer(_, BoundedMinK.identityCopy))
     buf
   }
 

@@ -66,8 +66,16 @@ object Validate {
     * degenerate p_e = 1 case (both raters constant).
     */
   def cohenKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
-    val both = df.filter(aCol.isNotNull && bCol.isNotNull)
-      .select(aCol.cast("boolean").as("__a"), bCol.cast("boolean").as("__b"))
+    // the null filter runs on the CASTED values: a raw value that casts
+    // to null (e.g. an 'unsure' string annotation) would otherwise pass
+    // the raw-column filter, count into n, and vanish from every
+    // contingency cell — deflating po and the marginals silently.
+    // try_cast, not cast: ANSI mode (the Spark 4 default) makes a plain
+    // cast THROW on the malformed value instead of nulling it
+    // (review r12)
+    val both = df
+      .select(aCol.try_cast("boolean").as("__a"), bCol.try_cast("boolean").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
     val c = both.agg(
       count(lit(1)).as("n"),
       sum((col("__a") && col("__b")).cast("long")).as("n_both"),

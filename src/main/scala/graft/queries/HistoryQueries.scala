@@ -238,7 +238,8 @@ object HistoryQueries {
       |         (n_base + 0.5::DOUBLE) / (SUM(n_base) OVER () + 0.5::DOUBLE * k.nbins) AS pb,
       |         (n_cur + 0.5::DOUBLE) / (SUM(n_cur) OVER () + 0.5::DOUBLE * k.nbins) AS pc
       |  FROM filled CROSS JOIN k)
-      |SELECT round(SUM((pc - pb) * ln(pc / pb)), 6) AS psi,
+      |SELECT CASE WHEN SUM(n_base) > 0 AND SUM(n_cur) > 0
+      |            THEN round(SUM((pc - pb) * ln(pc / pb)), 6) END AS psi,
       |       CAST(SUM(n_base) AS BIGINT) AS n_base,
       |       CAST(SUM(n_cur) AS BIGINT) AS n_cur
       |FROM p""".stripMargin
@@ -402,7 +403,8 @@ object HistoryQueries {
       |         (n_cur + 0.5::DOUBLE) / (SUM(n_cur) OVER (PARTITION BY event_type) + 2.5::DOUBLE) AS pc
       |  FROM filled)
       |SELECT event_type,
-      |       round(SUM((pc - pb) * ln(pc / pb)), 6) AS psi,
+      |       CASE WHEN SUM(n_base) > 0 AND SUM(n_cur) > 0
+      |            THEN round(SUM((pc - pb) * ln(pc / pb)), 6) END AS psi,
       |       CAST(SUM(n_base) AS BIGINT) AS n_base,
       |       CAST(SUM(n_cur) AS BIGINT) AS n_cur
       |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin

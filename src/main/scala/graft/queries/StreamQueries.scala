@@ -669,11 +669,13 @@ object StreamQueries {
       |  LEFT JOIN cur c ON c.window_start_ms = s.window_start_ms AND c.bin = s.bin
       |  LEFT JOIN base b ON b.bin = s.bin),
       |p AS (
-      |  SELECT window_start_ms, n_cur,
+      |  SELECT window_start_ms, n_base, n_cur,
       |         (n_base + 0.5::DOUBLE) / (SUM(n_base) OVER (PARTITION BY window_start_ms) + 2.5::DOUBLE) AS pb,
       |         (n_cur + 0.5::DOUBLE) / (SUM(n_cur) OVER (PARTITION BY window_start_ms) + 2.5::DOUBLE) AS pc
       |  FROM filled)
-      |SELECT window_start_ms, round(SUM((pc - pb) * ln(pc / pb)), 6) AS psi,
+      |SELECT window_start_ms,
+      |       CASE WHEN SUM(n_base) > 0 AND SUM(n_cur) > 0
+      |            THEN round(SUM((pc - pb) * ln(pc / pb)), 6) END AS psi,
       |       CAST(SUM(n_cur) AS BIGINT) AS n_cur
       |FROM p GROUP BY window_start_ms ORDER BY window_start_ms""".stripMargin
 

@@ -328,6 +328,22 @@ class PropertySpec extends AnyFunSuite {
     runCheck(prop, minTests = 8)
   }
 
+  test("Contrastive.negativeSamples: a multiplier sharing a factor with n still spreads (review r12)") {
+    import spark.implicits._
+    // gcd(mulA=5, n=10) = 5: the raw LCG visits only 2 residues — every
+    // anchor's negatives collapse onto {2, 7} and the join funnels onto
+    // two keys. The coprime walk (5 -> 7) must restore spread while
+    // keeping the k/no-self/deterministic contract.
+    val df = (0L until 10L).toDF("id")
+    val got = graft.functions.Contrastive.negativeSamples(df, "id", k = 3, mulA = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 30)
+    assert(got.forall { case (a, _, neg) => a != neg })
+    val distinctNegs = got.map(_._3).distinct.length
+    assert(distinctNegs > 3,
+      s"degenerate multiplier must not collapse negatives onto gcd residues: $distinctNegs distinct")
+  }
+
   test("History.scd2 agrees with the sequential run-collapse oracle on arbitrary inputs (ScalaCheck)") {
     import spark.implicits._
     val genCase = for {

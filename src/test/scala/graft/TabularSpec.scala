@@ -169,6 +169,39 @@ class TabularSpec extends AnyFunSuite {
     val const = Seq((true, true), (true, true)).toDF("a", "b")
     val r2 = Validate.cohenKappa(const, col("a"), col("b")).collect().head
     assert(r2.isNullAt(7))
+    // string annotators whose values cast to null ('unsure') must be
+    // EXCLUDED like nulls — a raw-column filter counted them into n
+    // while every contingency cell skipped them (review r12)
+    val str = Seq(("yes", "yes"), ("yes", "no"), ("no", "no"),
+      ("unsure", "yes"), ("yes", "unsure")).toDF("a", "b")
+    val r3 = Validate.cohenKappa(str, col("a"), col("b")).collect().head
+    assert(r3.getLong(0) === 3L, s"non-castable annotations must not count into n: $r3")
+    assert(r3.getLong(1) + r3.getLong(2) + r3.getLong(3) + r3.getLong(4) === 3L,
+      "contingency cells must sum to n")
+  }
+
+  test("psi: a group with zero baseline rows scores NULL, never 'stable' (review r12)") {
+    import spark.implicits._
+    import graft.functions.Drift
+    val base = Seq(("a", 1.0), ("a", 2.0), ("a", 8.0)).toDF("g", "v")
+    // group "b" exists ONLY in current, spread near-uniformly across
+    // bins — smoothing against a uniform pseudo-baseline would score
+    // it ~0 ("stable") exactly where drift is maximal
+    val cur = Seq(("a", 1.0), ("a", 2.0), ("a", 8.0),
+      ("b", 1.0), ("b", 4.0), ("b", 20.0)).toDF("g", "v")
+    val psi = Drift.psi(base, cur, "v", edges = Seq(3.0, 10.0), groupCols = Seq("g"))
+      .collect().map(r => r.getString(0) -> Option(r.getAs[java.lang.Double]("psi"))).toMap
+    assert(psi("a").exists(_ < 0.01), s"identical group must be ~0: $psi")
+    assert(psi("b").isEmpty, s"no-baseline group has NO defined drift: $psi")
+    // duplicate edges create a structurally unreachable bin — rejected
+    intercept[IllegalArgumentException](
+      Drift.psi(base, cur, "v", edges = Seq(0.0, 1.0, 1.0, 5.0)))
+    // dotted group-column names address literally, not as nested fields
+    val dotted = base.withColumnRenamed("g", "geo.country")
+    val cur2 = cur.withColumnRenamed("g", "geo.country")
+    val byDotted = Drift.psi(dotted, cur2, "v", Seq(3.0, 10.0), Seq("geo.country"))
+      .collect()
+    assert(byDotted.length === 2, "dotted group column must resolve literally")
   }
 
   test("validate report: an EMPTY batch passes every rule (not null-pass)") {
