@@ -92,6 +92,10 @@ object Bpe {
           round += 1
       }
     }
+    // the FINAL round's checkpoint was never superseded inside the loop
+    // — without this release every trainMerges call stranded one full
+    // symbol-table copy in the block manager until driver GC (review r12)
+    Components.releaseCheckpoint(syms)
     out.result().toDF("round", "l", "r", "pair_count", "new_symbol")
   }
 }

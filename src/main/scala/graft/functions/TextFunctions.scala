@@ -67,18 +67,25 @@ object TextFunctions {
 
   /** Argmax language with a fixed priority order on ties (en>de>fr>es).
     * NULL text yields NULL, not a label: null scores make every
-    * comparison null, so the when-chain would otherwise fall through to
+    * comparison null, so a when-chain would otherwise fall through to
     * the final otherwise branch and confidently classify a null
-    * document as the LAST language in the marker list (review r6). */
+    * document as the LAST language in the marker list (review r6).
+    *
+    * The argmax folds over ONE array of (score, lang) structs, so each
+    * marker counter runs exactly once per row — the when-chain form
+    * re-referenced the scores up to ~9 times, and the counters are
+    * CodegenFallback expressions (no subexpression elimination in the
+    * interpreted path), so every reference re-lowercased and re-scanned
+    * the whole document (review r12). Strict `>` keeps the EARLIER
+    * language on ties — the same priority order; the -1 seed loses to
+    * every real (non-negative) count. */
   def langId(c: Column): Column = {
-    val scores = LangMarkers.map { case (lang, ms) => lang -> langScore(c, ms) }
-    val argmax = scores.init.zipWithIndex.foldRight(lit(scores.last._1)) {
-      case (((lang, s), i), elseCol) =>
-        val rest = scores.drop(i + 1).map(_._2)
-        val restMax = if (rest.size == 1) rest.head else greatest(rest: _*)
-        when(s >= restMax, lang).otherwise(elseCol)
-    }
-    when(c.isNull, lit(null).cast("string")).otherwise(argmax)
+    val arr = array(LangMarkers.map { case (lang, ms) =>
+      struct(langScore(c, ms).as("s"), lit(lang).as("l"))
+    }: _*)
+    val best = aggregate(arr, struct(lit(-1).as("s"), lit("").as("l")),
+      (acc, x) => when(x("s") > acc("s"), x).otherwise(acc))
+    when(c.isNull, lit(null).cast("string")).otherwise(best("l"))
   }
 
   /** Canonical text normalization: lowercase, collapse ALL whitespace
@@ -158,14 +165,19 @@ object TextFunctions {
     * phone-like digit runs replaced with placeholder tokens. Patterns
     * are RE2-compatible (no lookaround/backrefs) so the same expressions
     * run identically on Spark (java.util.regex) and the DuckDB oracle
-    * (RE2). Order matters — most-specific first: IPs (the loose phone
-    * pattern would otherwise eat a dotted quad), then emails (their
-    * digits would match the phone pattern), then phones. */
+    * (RE2). Order matters — most-specific first: EMAILS first, with a
+    * dotted-quad alternation in the domain (IP-first turned
+    * 'john.doe@192.168.1.1' into 'john.doe@<IP>', leaving the
+    * IDENTIFYING local part unscrubbed forever — the alpha-TLD email
+    * pattern can never match '<IP>'; review r12), then bare IPs (the
+    * loose phone pattern would otherwise eat a dotted quad), then
+    * phones. */
   def scrubPii(c: Column): Column = {
-    val ip = regexp_replace(c, "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>")
-    val email = regexp_replace(ip,
-      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    regexp_replace(email, "\\+?[0-9][0-9()\\-. ]{7,}[0-9]", "<PHONE>")
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@([A-Za-z0-9.-]+\\.[A-Za-z]{2,}|([0-9]{1,3}\\.){3}[0-9]{1,3})",
+      "<EMAIL>")
+    val ip = regexp_replace(email, "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>")
+    regexp_replace(ip, "\\+?[0-9][0-9()\\-. ]{7,}[0-9]", "<PHONE>")
   }
 
   /** Word n-grams (shingles) from a words column, distinct (first-
@@ -299,8 +311,13 @@ object TextFunctions {
     val fLen = least(nTok / lit(100.0), lit(1.0))
     val fPunct = punctCount(c).cast("double") / denom
     val fStop = stopwordCount(c).cast("double") / denom
-    val fRep = lit(1.0) - size(array_distinct(w)).cast("double") /
-      greatest(size(w).cast("double"), lit(1.0))
+    // zero-word docs have ZERO repetition, not maximal: the old
+    // 1 − 0/greatest(0,1) = 1.0 shape scored an empty doc as the most
+    // repetitive text possible — the exact bug [[repetitionRatio]]'s
+    // review-r6 fix removed, re-implemented here (review r12)
+    val fRep = when(size(w) > 0,
+      lit(1.0) - size(array_distinct(w)).cast("double") /
+        size(w).cast("double")).otherwise(lit(0.0))
     lit(bias) + lit(wLen) * fLen + lit(wPunct) * fPunct +
       lit(wStop) * fStop + lit(wRep) * fRep
   }
@@ -330,7 +347,12 @@ object TextFunctions {
     // ('?id_gclid=7') would be eaten (review r4). The separator of a
     // following stripped param is consumed by the previous match, so
     // runs of '&' can remain — collapsed before the existing cleanup.
-    val noTrack = regexp_replace(rest, "([?&])(utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*", "$1")
+    // utm names may carry digits and FURTHER underscores
+    // (utm_source_platform, utm_creative_format — standard GA4 params);
+    // 'utm_[a-zA-Z]+' stopped at the second '_' and left such params
+    // as distinct dedup keys for identical pages (review r12)
+    val noTrack = regexp_replace(rest,
+      "([?&])(utm_[a-zA-Z0-9_]+|gclid|fbclid)=[^&#]*", "$1")
     val clean = regexp_replace(
       regexp_replace(regexp_replace(noTrack, "&{2,}", "&"), "\\?&", "?"),
       "[?&]+$", "")

@@ -125,15 +125,21 @@ object TextScan {
   }
 
   /** Pattern.hasBaseCharacter: scanning backward from the mark, skip
-    * marks; true iff a letter/digit is found first. */
+    * marks; true iff a letter/digit is found first. java.util.regex
+    * scans UTF-16 CODE UNITS, so a supplementary-plane letter before a
+    * mark is seen as its LOW SURROGATE (type SURROGATE — neither
+    * letter nor mark) and is NOT a base; decoding full code points
+    * here silently diverged from the regex twin on exactly those
+    * inputs (review r12, confirmed against java.util.regex). */
   private def hasBase(s: UTF8String, pos: Int): Boolean = {
     var j = pos
     while (j > 0) {
       j -= 1
       while (j > 0 && isCont(s.getByte(j))) j -= 1
       val cp = codePointAt(s, j)
-      if (Character.isLetterOrDigit(cp)) return true
-      if (Character.getType(cp) != Character.NON_SPACING_MARK) return false
+      if (cp <= 0xFFFF && Character.isLetterOrDigit(cp)) return true
+      if (cp > 0xFFFF ||
+        Character.getType(cp) != Character.NON_SPACING_MARK) return false
     }
     false
   }

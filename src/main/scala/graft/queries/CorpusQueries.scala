@@ -124,7 +124,7 @@ object CorpusQueries {
       |                 ELSE rawhost END) ||
       |           regexp_replace(regexp_replace(regexp_replace(
       |             regexp_replace(regexp_extract(nofrag, '^[A-Za-z]+://[^/?#]+(.*)$', 1),
-      |                            '([?&])(utm_[a-zA-Z]+|gclid|fbclid)=[^&#]*', '\1', 'g'),
+      |                            '([?&])(utm_[a-zA-Z0-9_]+|gclid|fbclid)=[^&#]*', '\1', 'g'),
       |             '&{2,}', '&', 'g'),
       |             '\?&', '?', 'g'), '[?&]+$', '', 'g')
       |         END AS cu
@@ -164,7 +164,7 @@ object CorpusQueries {
        |         $QBias + $QWLen * least(ntok / 100.0, 1.0)
        |                + ($QWPunct) * (np / greatest(ntok, 1.0))
        |                + $QWStop * (nst / greatest(ntok, 1.0))
-       |                + ($QWRep) * (1.0 - ndw / greatest(nw, 1.0)) AS score
+       |                + ($QWRep) * (CASE WHEN nw > 0 THEN 1.0 - ndw / nw ELSE 0.0 END) AS score
        |  FROM f)
        |SELECT doc_id, score,
        |       CASE WHEN score >= $QThresh THEN 1 ELSE 0 END AS keep

@@ -197,8 +197,8 @@ object PipelineQueries {
       |        text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
       |             || ' or call +1 (555) 010-' || CAST(doc_id % 10000 AS VARCHAR)
       |             || ' from 10.0.0.1',
-      |        '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
-      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |        '[A-Za-z0-9._%+-]+@([A-Za-z0-9.-]+\.[A-Za-z]{2,}|([0-9]{1,3}\.){3}[0-9]{1,3})', '<EMAIL>', 'g'),
+      |      '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
       |    '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
       |FROM documents ORDER BY doc_id""".stripMargin
 

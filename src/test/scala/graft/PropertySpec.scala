@@ -162,12 +162,19 @@ class PropertySpec extends AnyFunSuite {
     val atoms = Gen.oneOf(
       Gen.oneOf(" ", "\t", "\n", "", "\f", "\r", " "),
       Gen.oneOf("a", "Z", "7", "_", ".", ",", "!", "-", "'"),
-      Gen.oneOf("é", "€", "😀", "́", "ß", "İ"),
+      // 𝕒 = U+1D552, a supplementary-plane LETTER: java.util.regex
+      // scans \b in code units, so 𝕒 followed by a combining mark has
+      // a boundary (the low surrogate is no base char) where a naive
+      // code-point scan sees none — the adjacency the review-r12
+      // hasBase fix pins
+      Gen.oneOf("é", "€", "😀", "́", "ß", "İ", "𝕒"),
       Gen.oneOf(TextFunctions.StopwordsEn),
       Gen.oneOf("theory", "android", "it4", "on_", "the"))
     val genText = Gen.listOf(atoms).map(_.mkString)
     val prop = Prop.forAllNoShrink(Gen.listOfN(24, genText)) { texts =>
-      val df = (texts :+ "").zipWithIndex.map(_.swap).toDF("i", "t")
+      // pinned: the confirmed r12 divergence input rides every run
+      val df = (texts :+ "" :+ "𝕒̀the")
+        .zipWithIndex.map(_.swap).toDF("i", "t")
       val sw = TextFunctions.StopwordsEn
       val got = df.select(
           TextFunctions.tokenCount(col("t")),
@@ -447,7 +454,9 @@ class PropertySpec extends AnyFunSuite {
       val (baseRows, curRows) = (gen(nBase), gen(nCur))
       val got = graft.functions.Drift.psi(
           baseRows.toDF("g", "v"), curRows.toDF("g", "v"), "v", edges, Seq("g"))
-        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3)))
+        .collect().map(r => r.getString(0) ->
+          (Option(r.getAs[java.lang.Double]("psi")).map(_.doubleValue),
+            r.getLong(2), r.getLong(3)))
         .toMap
 
       def bin(v: Double) = edges.count(_ <= v)
@@ -456,15 +465,21 @@ class PropertySpec extends AnyFunSuite {
       groups.forall { g =>
         val b = baseRows.filter(_._1 == g).map(r => bin(r._2))
         val c = curRows.filter(_._1 == g).map(r => bin(r._2))
-        val psi = (0 until nBins).map { i =>
-          val pb = (b.count(_ == i) + 0.5) / (b.size + 0.5 * nBins)
-          val pc = (c.count(_ == i) + 0.5) / (c.size + 0.5 * nBins)
-          (pc - pb) * math.log(pc / pb)
-        }.sum
         val (gotPsi, gotNb, gotNc) = got(g)
-        // gotPsi is rounded to 6 decimals; compare against the unrounded
-        // sequential value with the rounding slack (boundary-safe)
-        gotNb == b.size && gotNc == c.size && math.abs(gotPsi - psi) < 5.01e-7
+        val counts = gotNb == b.size && gotNc == c.size
+        // a group absent from either side has NO defined drift — psi is
+        // null there (review r12), never a smoothed pseudo-score
+        if (b.isEmpty || c.isEmpty) counts && gotPsi.isEmpty
+        else {
+          val psi = (0 until nBins).map { i =>
+            val pb = (b.count(_ == i) + 0.5) / (b.size + 0.5 * nBins)
+            val pc = (c.count(_ == i) + 0.5) / (c.size + 0.5 * nBins)
+            (pc - pb) * math.log(pc / pb)
+          }.sum
+          // rounded to 6 decimals; compare against the unrounded
+          // sequential value with the rounding slack (boundary-safe)
+          counts && gotPsi.exists(p => math.abs(p - psi) < 5.01e-7)
+        }
       } && got.keySet == groups
     }
     runCheck(prop, minTests = 8)
