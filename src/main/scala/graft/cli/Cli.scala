@@ -27,6 +27,12 @@ final case class RepoConfig(
     services: Seq[FeatureService])
 
 object RepoConfig {
+  /** Definition arrays from a config object: absent or non-array keys
+    * read as empty (shared by single-file load and the repo-scan merge
+    * fold — one place for any future tolerance change; review r12). */
+  private def jsonItems(o: JObj, k: String): Vector[JValue] =
+    o.get(k) match { case Some(JArr(xs)) => xs; case _ => Vector.empty }
+
   private def jdbcUrlOf(s: JObj, what: String): String =
     s.get("url").map(_.asInstanceOf[JStr].v)
       .orElse(s.get("path").map(p =>
@@ -37,8 +43,7 @@ object RepoConfig {
   def load(path: String): RepoConfig = {
     val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
     val o = Json.parse(text).asInstanceOf[JObj]
-    def items(k: String): Vector[JValue] =
-      o.get(k) match { case Some(JArr(xs)) => xs; case _ => Vector.empty }
+    def items(k: String): Vector[JValue] = jsonItems(o, k)
     val store = o.get("online_store") match {
       case Some(s: JObj) => s("type") match {
         case JStr("parquet") =>
@@ -133,8 +138,7 @@ object RepoConfig {
       // keys in a fragment are ignored — the root repo.json owns those
       val o = Json.parse(new String(
         java.nio.file.Files.readAllBytes(p), "UTF-8")).asInstanceOf[JObj]
-      def items(k: String): Vector[JValue] =
-        o.get(k) match { case Some(JArr(xs)) => xs; case _ => Vector.empty }
+      def items(k: String): Vector[JValue] = jsonItems(o, k)
       acc.copy(
         entities = acc.entities ++ items("entities").map(RegistryCodec.decodeEntity),
         views = acc.views ++ items("feature_views").map(RegistryCodec.decodeView),
@@ -252,10 +256,15 @@ object Cli {
             (id, Timestamp.valueOf(s"2024-01-0$id 12:00:00"), id * 0.2)))
           .toDF("driver_id", "event_timestamp", "conv_rate")
           .coalesce(1).write.mode("overwrite").parquet(s"$dir/data/driver_stats.parquet")
+        // paths are rendered through the Json encoder: a directory name
+        // containing a quote or backslash (legal on Linux) otherwise
+        // produced repo files init itself cannot re-parse (review r12)
+        def jstr(s: String): String =
+          graft.util.Json.render(graft.util.JValue.JStr(s))
         Files.write(repoJson,
           s"""{
-             |  "project": "$name",
-             |  "registry": "$dir/registry.json",
+             |  "project": ${jstr(name)},
+             |  "registry": ${jstr(s"$dir/registry.json")},
              |  "online_store": {"type": "memory"},
              |  "entities": [],
              |  "feature_views": []
@@ -276,7 +285,7 @@ object Cli {
              |    {"name": "driver_hourly_stats", "entities": ["driver"],
              |     "features": [{"name": "conv_rate", "dtype": "DOUBLE"}],
              |     "ttl_seconds": 0,
-             |     "batch_source": {"kind": "file", "path": "$dir/data/driver_stats.parquet",
+             |     "batch_source": {"kind": "file", "path": ${jstr(s"$dir/data/driver_stats.parquet")},
              |       "format": "parquet", "event_timestamp_column": "event_timestamp",
              |       "created_timestamp_column": null, "field_mapping": {},
              |       "date_partition_column": null},
@@ -378,7 +387,12 @@ object Cli {
         val grpcPort = rest.lift(1).map(_.toInt).getOrElse(0)
         val maxSeconds = rest.lift(2).map(_.toLong).getOrElse(0L)
         val http = new graft.serving.ServingServer(fs, httpPort).start()
-        val grpc = new graft.serving.GrpcServingServer(fs, grpcPort)
+        // GrpcServingServer binds its port in the CONSTRUCTOR: a bind
+        // failure there previously leaked the already-started HTTP
+        // server (and its port) for the JVM lifetime (review r12)
+        val grpc =
+          try new graft.serving.GrpcServingServer(fs, grpcPort)
+          catch { case e: Throwable => http.stop(); throw e }
         out(s"serving http=${http.boundPort} grpc=${grpc.boundPort}")
         try {
           if (maxSeconds > 0) Thread.sleep(maxSeconds * 1000L)
@@ -399,7 +413,7 @@ object Cli {
           case "tfrecord" =>
             graft.functions.TfRecord.writeShards(df, outDir, n)
           case "webdataset" =>
-            import org.apache.spark.sql.functions.{col, concat_ws, struct, to_json}
+            import org.apache.spark.sql.functions.{coalesce, col, concat_ws, lit, regexp_replace, struct, to_json}
             // loud on entity-less views (head of empty list was a bare
             // NoSuchElementException) and COMPOSITE keys join all parts
             // — keying by the first join key alone collided rows
@@ -408,9 +422,17 @@ object Cli {
             require(keys.nonEmpty,
               s"view '$viewName' has no entities/join keys — webdataset " +
                 "export needs a sample key")
+            // composite keys join UNAMBIGUOUSLY: bare '_' made
+            // ('a_b','c') and ('a','b_c') collide (and concat_ws SKIPS
+            // null parts, so (null,'x') keyed as 'x'); '-' escaped as
+            // '-d', '_' as '-u', null as the distinct token '-n', parts
+            // joined with '_' — injective, tar-name-safe (review r12)
+            def esc(c: org.apache.spark.sql.Column) =
+              coalesce(regexp_replace(regexp_replace(c.cast("string"),
+                "-", "-d"), "_", "-u"), lit("-n"))
             val keyCol =
               if (keys.size == 1) col(keys.head).cast("string")
-              else concat_ws("_", keys.map(k => col(k).cast("string")): _*)
+              else concat_ws("_", keys.map(k => esc(col(k))): _*)
             // every column (keys included) rides the json part, so the
             // read-back is lossless for composite keys too
             val meta = df.columns.toSeq

@@ -70,8 +70,11 @@ object Multimodal {
     val w = decoded.getField("width").cast("double")
     val h = decoded.getField("height").cast("double")
     val scale = least(lit(boxW.toDouble) / w, lit(boxH.toDouble) / h, lit(1.0))
-    val outW = floor(w * scale).cast("long")
-    val outH = floor(h * scale).cast("long")
+    // clamp to 1px exactly like [[ImageResizer]] (math.max(1, floor)):
+    // an extreme aspect ratio (1×1000 into 100×10) otherwise emits a
+    // zero-width geometry the real resizer never produces (review r12)
+    val outW = greatest(floor(w * scale).cast("long"), lit(1L))
+    val outH = greatest(floor(h * scale).cast("long"), lit(1L))
     struct(outW.as("width"), outH.as("height"),
       (outW * outH * decoded.getField("channels").cast("long")).as("size_bytes"))
   }
@@ -285,8 +288,13 @@ object Multimodal {
       StructField("channels", IntegerType)))
     def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Row] =
       payloads.map { b =>
-        val n = b.length.toLong
-        Row(n % 640L + 16L, (n * 7L) % 480L + 16L, 3)
+        // NULL binary cells quarantine like every real decoder (an NPE
+        // here killed the whole task ×4 retries — review r12)
+        if (b == null) Row(null, null, null)
+        else {
+          val n = b.length.toLong
+          Row(n % 640L + 16L, (n * 7L) % 480L + 16L, 3)
+        }
       }
   }
 
@@ -329,6 +337,14 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           val decoded = decoder.decodeBatch(batch.map(_.getAs[Array[Byte]](binIdx)))
+          // lazyZip TRUNCATES to the shorter side: a third-party SPI
+          // decoder that drops failed payloads (instead of emitting
+          // error rows) would silently lose the tail of every batch AND
+          // misalign the survivors — fail loudly (review r12)
+          require(decoded.size == batch.size,
+            s"decoder ${decoder.getClass.getName} returned ${decoded.size} rows " +
+              s"for a ${batch.size}-payload batch — one output row per input " +
+              "payload is the decodeBatch contract (emit error rows, don't drop)")
           batch.lazyZip(decoded).map { (row, extra) =>
             Row.fromSeq(row.toSeq ++ extra.toSeq)
           }
@@ -404,13 +420,20 @@ object Multimodal {
             val outH = math.max(1, math.floor(h * scale).toInt)
             val sums = new Array[Long](outW * outH * 3)
             val counts = new Array[Long](outW * outH)
+            // bulk row reads: per-pixel getRGB(x, y) pays a color-model
+            // conversion + bounds check PER CALL and dominated the
+            // resize wall on the corpus-scale decode path this class
+            // advertises; the bulk form converts a row at a time with
+            // identical values (review r12)
+            val rowBuf = new Array[Int](w)
             var y = 0
             while (y < h) {
               val cy = math.min((y.toLong * outH / h).toInt, outH - 1)
+              img.getRGB(0, y, w, 1, rowBuf, 0, w)
               var x = 0
               while (x < w) {
                 val cx = math.min((x.toLong * outW / w).toInt, outW - 1)
-                val rgb = img.getRGB(x, y)
+                val rgb = rowBuf(x)
                 val c = cy * outW + cx
                 sums(c * 3) += (rgb >> 16) & 0xff
                 sums(c * 3 + 1) += (rgb >> 8) & 0xff
@@ -521,7 +544,13 @@ object Multimodal {
         if (t0 == "moov") boxes(b, b0, e0) { (t1, b1, e1) =>
           t1 match {
             case "mvhd" =>
+              // fixed-offset reads must stay INSIDE the declared box: a
+              // truncated mvhd otherwise reads the NEXT box's bytes as
+              // timescale/duration — garbage metadata reported as a
+              // SUCCESSFUL decode (review r12)
               val version = b(b1) & 0xff
+              require(e1 - b1 >= (if (version == 1) 32 else 20),
+                s"truncated mvhd box (${e1 - b1} bytes, version $version)")
               // v0: ver/flags(4) ctime(4) mtime(4) timescale(4) dur(4)
               // v1: ver/flags(4) ctime(8) mtime(8) timescale(4) dur(8)
               val (timescale, duration) =
@@ -536,11 +565,14 @@ object Multimodal {
               boxes(b, b1, e1) { (t2, b2, e2) =>
                 t2 match {
                   case "tkhd" =>
-                    // width/height: 16.16 fixed point, the LAST 8 bytes
+                    // width/height: 16.16 fixed point, the LAST 8 bytes;
+                    // a body under 8 bytes would reach back into the box
+                    // HEADER (review r12)
+                    require(e2 - b2 >= 8, s"truncated tkhd box (${e2 - b2} bytes)")
                     tw = u32(b, e2 - 8) >> 16
                     th = u32(b, e2 - 4) >> 16
-                  case "mdia" => boxes(b, b2, e2) { (t3, b3, _) =>
-                    if (t3 == "hdlr") cc(b, b3 + 8) match {
+                  case "mdia" => boxes(b, b2, e2) { (t3, b3, e3) =>
+                    if (t3 == "hdlr" && e3 - b3 >= 12) cc(b, b3 + 8) match {
                       case "vide" => isVideo = true
                       case "soun" => isAudio = true
                       case _ => ()
@@ -585,13 +617,16 @@ object Multimodal {
     val h = img.getHeight
     val sums = new Array[Double](64)
     val counts = new Array[Long](64)
+    // bulk row reads — same rationale as [[ImageResizer]] (review r12)
+    val rowBuf = new Array[Int](w)
     var y = 0
     while (y < h) {
       val cy = (y.toLong * 8 / h).toInt
+      img.getRGB(0, y, w, 1, rowBuf, 0, w)
       var x = 0
       while (x < w) {
         val cx = (x.toLong * 8 / w).toInt
-        val rgb = img.getRGB(x, y)
+        val rgb = rowBuf(x)
         val luma = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
           0.114 * (rgb & 0xff)
         val c = cy * 8 + cx
@@ -672,7 +707,13 @@ object Multimodal {
             dataLen = sz
           case _ => () // LIST/INFO etc: skip
         }
-        pos = body + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        val next = body + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        // a corrupt 32-bit chunk size (e.g. 0xFFFFFFF8 -> sz.toInt = -8)
+        // can make `next` fail to advance — an infinite loop is a HANG,
+        // not an Exception, so the quarantine wrapper would never fire;
+        // fail loudly into decode_error instead (review r12)
+        require(next > pos, s"corrupt chunk size $sz at offset $pos")
+        pos = next
       }
       require(fmtOk, "missing fmt chunk")
       require(dataOff >= 0, "missing data chunk")

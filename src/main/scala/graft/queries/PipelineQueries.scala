@@ -2462,9 +2462,10 @@ object PipelineQueries {
       |sc AS (
       |  SELECT doc_id, w, h, least(224.0 / w, 224.0 / h, 1.0) AS s FROM d)
       |SELECT doc_id,
-      |       CAST(floor(w * s) AS BIGINT) AS out_w,
-      |       CAST(floor(h * s) AS BIGINT) AS out_h,
-      |       CAST(floor(w * s) AS BIGINT) * CAST(floor(h * s) AS BIGINT) * 3 AS out_bytes
+      |       greatest(CAST(floor(w * s) AS BIGINT), 1) AS out_w,
+      |       greatest(CAST(floor(h * s) AS BIGINT), 1) AS out_h,
+      |       greatest(CAST(floor(w * s) AS BIGINT), 1)
+      |         * greatest(CAST(floor(h * s) AS BIGINT), 1) * 3 AS out_bytes
       |FROM sc ORDER BY doc_id""".stripMargin
 
   /** Temperature-flattened domain sampling (the multilingual-BERT /

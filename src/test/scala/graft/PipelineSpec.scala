@@ -1840,6 +1840,51 @@ class PipelineSpec extends AnyFunSuite {
     floatFmt(20) = 3 // IEEE float format code in the fmt chunk
     val rej = dec.decodeBatch(Seq(floatFmt))
     assert(!rej.head.isNullAt(7) && rej.head.getString(7).contains("format code"))
+    // a corrupt 32-bit chunk size whose advance is <= 0 must QUARANTINE,
+    // not spin the chunk walk forever (a hang is not an Exception — the
+    // wrapper could never catch it; review r12): RIFF/WAVE + a JUNK
+    // chunk declaring size 0xFFFFFFF8 (-8 as Int)
+    val loop = new java.io.ByteArrayOutputStream()
+    loop.write("RIFF".getBytes("US-ASCII")); loop.write(Array[Byte](36, 0, 0, 0))
+    loop.write("WAVE".getBytes("US-ASCII"))
+    loop.write("JUNK".getBytes("US-ASCII"))
+    loop.write(Array[Byte](0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte))
+    loop.write(new Array[Byte](16))
+    val spun = dec.decodeBatch(Seq(loop.toByteArray))
+    assert(spun.head.isNullAt(0) && !spun.head.isNullAt(7) &&
+      spun.head.getString(7).contains("corrupt chunk size"),
+      s"corrupt chunk size must quarantine: ${spun.head}")
+  }
+
+  test("decodeBatched fails loudly on a decoder that drops rows; stub quarantines nulls") {
+    import spark.implicits._
+    import graft.functions.Multimodal
+    // a misbehaving SPI decoder returning n-1 rows silently LOST the
+    // batch tail via lazyZip truncation and misaligned the survivors
+    class DroppingDecoder extends Multimodal.BinaryBatchDecoder {
+      val outputSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType)))
+      def decodeBatch(ps: Seq[Array[Byte]]) =
+        ps.tail.map(b => org.apache.spark.sql.Row(b.length.toLong))
+    }
+    val df = (1 to 8).map(i => (i.toLong, Array.fill(i)(i.toByte))).toDF("id", "payload")
+    val e = intercept[Exception] {
+      Multimodal.decodeBatched(df, "payload", new DroppingDecoder, batchSize = 4)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("one output row per input payload")),
+      s"row-count mismatch must name the contract: ${msgs(e)}")
+    // a NULL payload cell quarantines through the stub decoder instead
+    // of NPE-killing the task
+    val withNull = Seq((1L, Array[Byte](1, 2, 3)), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val out = Multimodal.decodeBatched(withNull, "payload",
+        new Multimodal.StubImageDecoder, batchSize = 2)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(!out(1L) && out(2L), "null payload must yield null decode columns")
   }
 
   test("video frame SPI: loud capability error without a backend; real wiring with one") {
