@@ -98,6 +98,11 @@ object PointInTimeJoin {
           "entity column or another view's feature — set " +
           "fullFeatureNames=true or rename the feature")
     }
+    // zero views = the input unchanged: the declarative path below
+    // would otherwise stamp row ids, possibly localCheckpoint the whole
+    // entity frame (an eager job, and the LogicalRDD swap loses source
+    // pushdown), and run the bounds job — for a no-op (review r12)
+    if (views.isEmpty) return entityDf
 
     // All views on TimestampType columns with collision-free feature
     // names: CHAIN full-width sort-merge as-of merges ([[graft.plans
@@ -150,7 +155,12 @@ object PointInTimeJoin {
         // session (review r12)
         val biggest = views.map(_.featureDf).maxBy(
           _.queryExecution.optimizedPlan.stats.sizeInBytes)
-        graft.plans.AsOfJoin.chooseStrategy(entityDf, biggest)
+        // the broadcast route ships each view's WINNERS (entity rows ×
+        // that view's feature payload) — gate on the union of all
+        // views' feature widths, the conservative bound (review r12)
+        val payload = views.flatMap(vj =>
+          vj.features.map(f => vj.featureDf.schema(f).dataType))
+        graft.plans.AsOfJoin.chooseStrategy(entityDf, biggest, payload)
       }
 
     if (chainable && strat == graft.plans.AsOfJoin.SortMerge) {
@@ -224,12 +234,23 @@ object PointInTimeJoin {
     * not applied) — safe because the window only prunes candidates the
     * per-row as-of predicate would reject anyway. */
   private[operators] def entityBounds(
-      entity: DataFrame, entityTsCol: String): (java.sql.Timestamp, java.sql.Timestamp) =
-    graft.sources.FooterBounds.tsBounds(entity, entityTsCol).getOrElse {
+      entity: DataFrame, entityTsCol: String): (java.sql.Timestamp, java.sql.Timestamp) = {
+    // non-TimestampType entity ts (DATE / NTZ / epoch longs — the exact
+    // types the declarative fallback route exists for) skips the prune
+    // window instead of crashing: getTimestamp on a Date/LocalDateTime
+    // min/max threw ClassCastException before the join was even built,
+    // and a Timestamp-literal filter against a non-timestamp feature ts
+    // would be type-unsound anyway. Null bounds = no pruning — the
+    // window is an optimization, superset-correct by contract
+    // (review r12).
+    if (entity.schema(entityTsCol).dataType !=
+      org.apache.spark.sql.types.TimestampType) (null, null)
+    else graft.sources.FooterBounds.tsBounds(entity, entityTsCol).getOrElse {
       val Array(b) = entity.agg(
         min(col(entityTsCol)).as("mn"), max(col(entityTsCol)).as("mx")).collect()
       (b.getTimestamp(0), b.getTimestamp(1))
     }
+  }
 
   /** True when the entity df's plan could yield a different row order on
     * re-execution, making monotonically_increasing_id unstable across
@@ -345,7 +366,10 @@ object PointInTimeJoin {
       if (strat == graft.plans.AsOfJoin.Broadcast)
         return graft.plans.AsOfJoin.broadcastWinners(leftNarrow, featPrepared,
           joinKeys, entityTsCol, tsCol, ttl, ord, features, rowId, outName)
-      val out = graft.plans.AsOfJoin.join(leftNarrow, featPrepared, joinKeys,
+      // join0: the winner frame is a SUBTREE of the outer enrichment —
+      // the OUTER join() owns the AQE policy for the final frame
+      // (review r12)
+      val out = graft.plans.AsOfJoin.join0(leftNarrow, featPrepared, joinKeys,
         entityTsCol, tsCol, ttl, ord, features,
         strategy = graft.plans.AsOfJoin.SortMerge)
       return out.select(col(rowId) +: features.map(f => col(f).as(outName(f))): _*)
@@ -394,7 +418,16 @@ object PointInTimeJoin {
     // ANY_VALUE here is nondeterministic, bigquery.py:645-660; we pin
     // max-payload). Partial-agg friendly — no window, no second wide
     // shuffle.
-    val payload = struct((features.map(R) :+ R(tsCol).as("__feat_ts")): _*)
+    // payload = the feature columns ONLY: tsCol is the first ordCol, so
+    // candidates tying on ordCols always tie on it too — a __feat_ts
+    // member could never discriminate and was dead weight in every
+    // map-side partial, and it made this total order STRUCTURALLY
+    // different from the sort-merge exec's (ordCols, featureCols)
+    // suffix for no reason (review r12). Kept only for the degenerate
+    // zero-feature view, where struct() would be invalid.
+    val payload =
+      if (features.isEmpty) struct(R(tsCol).as("__feat_ts"))
+      else struct(features.map(R): _*)
     val ordKey = struct((ordCols.map(R) :+ payload.as("__payload")): _*)
     val winners = candidates
       .groupBy(L(rowId).as(rowId))

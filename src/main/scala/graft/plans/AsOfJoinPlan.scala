@@ -312,7 +312,8 @@ object AsOfJoin {
         Some(s)
     }
 
-  def chooseStrategy(left: DataFrame, right: DataFrame): String = {
+  def chooseStrategy(left: DataFrame, right: DataFrame,
+      broadcastPayload: Seq[org.apache.spark.sql.types.DataType] = Nil): String = {
     val spark = left.sparkSession
     spark.conf.get("graft.asof.strategy", Auto).toLowerCase match {
       case Auto =>
@@ -323,7 +324,20 @@ object AsOfJoin {
           spark.conf.get("graft.asof.broadcastRightMin", "1GB"))
         val size = left.queryExecution.optimizedPlan.stats.sizeInBytes
         val rsize = right.queryExecution.optimizedPlan.stats.sizeInBytes
-        if (thr > 0 && size > 0 && size <= thr && rsize >= rightMin)
+        // what the route actually BROADCASTS is the winners frame:
+        // entity CARDINALITY × (rowId + feature payload) width. Gating
+        // the entity frame's own bytes let a narrow 9 MB entity with
+        // 100 wide feature columns approve a ~240 MB broadcast
+        // (review r12) — scale the estimate by the width ratio
+        // (schema defaultSize grain; an estimate correction, not a
+        // promise).
+        val bSize =
+          if (broadcastPayload.isEmpty) size
+          else {
+            val leftWidth = math.max(1, left.schema.map(_.dataType.defaultSize).sum)
+            size * (8 + broadcastPayload.map(_.defaultSize).sum) / leftWidth
+          }
+        if (thr > 0 && size > 0 && bSize <= thr && rsize >= rightMin)
           Broadcast
         else SortMerge
       case s =>
@@ -428,6 +442,28 @@ object AsOfJoin {
       orderCols: Seq[String],
       featureCols: Seq[String],
       strategy: String = Auto,
+      uniqueIdCol: Option[String] = None): DataFrame =
+    StaticPlan.applyPolicy(join0(entity, feature, keys, entityTsCol,
+      featureTsCol, ttl, orderCols, featureCols, strategy, uniqueIdCol))
+
+  /** [[join]] WITHOUT the engine-owned AQE policy applied — for callers
+    * that embed the result as a SUBTREE of a larger plan they build on
+    * the parent session (PointInTimeJoin's per-view winners): applying
+    * the policy per view re-analyzed each winner frame on the static
+    * clone only for the outer join-back to rebuild the tree on the
+    * parent session anyway — one wasted analysis pass per view and a
+    * misleading cross-session plan (review r12). The OUTER caller owns
+    * the policy for its final frame. */
+  private[graft] def join0(
+      entity: DataFrame,
+      feature: DataFrame,
+      keys: Seq[String],
+      entityTsCol: String,
+      featureTsCol: String,
+      ttl: java.time.Duration,
+      orderCols: Seq[String],
+      featureCols: Seq[String],
+      strategy: String = Auto,
       uniqueIdCol: Option[String] = None): DataFrame = {
     val spark = entity.sparkSession
     ensureStrategy(spark)
@@ -442,6 +478,9 @@ object AsOfJoin {
     def rAttr(n: String) = rplan.output.find(_.name == s"__r_$n").getOrElse(
       throw new IllegalArgumentException(s"feature column $n not found"))
     require(ttl != null && !ttl.isNegative, "ttl must be >= 0 (0 = unbounded)")
+    // loud here, not empty.reduce / ClusteredDistribution(Nil) three
+    // plan layers down (review r12)
+    require(keys.nonEmpty, "as-of join needs at least one join key")
     require(lAttr(entityTsCol).dataType == org.apache.spark.sql.types.TimestampType &&
       rAttr(featureTsCol).dataType == org.apache.spark.sql.types.TimestampType,
       "as-of timestamps must be TimestampType (micros)")
@@ -458,7 +497,8 @@ object AsOfJoin {
           s"side $rt — cast the sides to a common type before joining")
     }
     val route = strategy.toLowerCase match {
-      case Auto => chooseStrategy(entity, feature)
+      case Auto =>
+        chooseStrategy(entity, feature, featureCols.map(c => rAttr(c).dataType))
       case s =>
         require(s == SortMerge || s == Broadcast,
           s"strategy must be auto|sortmerge|broadcast, got $strategy")
@@ -493,10 +533,9 @@ object AsOfJoin {
       // per-side attribute refs: unambiguous even if a feature column
       // shares a name with an entity column (the exec path emits
       // duplicate names in that case; this matches)
-      val out = stamped.join(broadcast(winners), Seq(rowId), "left")
+      return stamped.join(broadcast(winners), Seq(rowId), "left")
         .select(entity.columns.map(c => stamped(c)).toIndexedSeq ++
           featureCols.map(f => winners(f)): _*)
-      return StaticPlan.applyPolicy(out)
     }
 
     // ---- sort-merge route: the custom exec
@@ -521,8 +560,7 @@ object AsOfJoin {
       ttlMicros = ttl.getSeconds * 1000000L + ttl.getNano / 1000L)
     val out = ColumnShim.dataFrame(spark, node)
     // drop the alias prefix on the emitted feature columns
-    StaticPlan.applyPolicy(
-      out.select(entity.columns.map(col).toIndexedSeq ++
-        featureCols.map(c => col(s"__r_$c").as(c)): _*))
+    out.select(entity.columns.map(col).toIndexedSeq ++
+      featureCols.map(c => col(s"__r_$c").as(c)): _*)
   }
 }

@@ -62,6 +62,39 @@ class EngineSpec extends AnyFunSuite {
     else Some(cands.maxBy { case (_, et, ct, v) => (et.getTime, ct.getTime, v) }._4)
   }
 
+  test("PIT join with a DATE-typed ENTITY ts takes the declarative route without crashing") {
+    import spark.implicits._
+    // the prune-window bounds job read min/max with getTimestamp — a
+    // DATE entity ts threw ClassCastException before the join was even
+    // built, killing exactly the fallback route non-timestamp ts types
+    // exist for; non-timestamp ts now skips the (optional) prune window
+    // (review r12)
+    val featDf = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-01"), 10.0),
+      (1L, java.sql.Date.valueOf("2024-01-05"), 20.0),
+      (2L, java.sql.Date.valueOf("2024-01-03"), 30.0)).toDF("k", "et", "v")
+    val entityDf = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-04")),
+      (2L, java.sql.Date.valueOf("2024-01-02"))).toDF("k", "event_timestamp")
+    val view = FeatureView("fv", Seq("e"), Seq(Feature("v", GraftType.Dbl)),
+      Duration.ZERO, DataFrameSource(featDf, "et"))
+    val got = PointInTimeJoin.join(entityDf,
+        Seq(ViewJoin(view, Seq("k"), Seq("v"), featDf)))
+      .select("k", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L).contains(10.0), s"as-of 2024-01-04 must pick the 01-01 row: $got")
+    assert(got(2L).isEmpty, s"feature dated AFTER the entity date must not match: $got")
+  }
+
+  test("PIT join with zero views returns the input frame untouched") {
+    import spark.implicits._
+    // previously stamped row ids, possibly localCheckpointed the whole
+    // frame, and ran the bounds job — two jobs for a no-op (review r12)
+    val entityDf = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("k", "event_timestamp")
+    assert(PointInTimeJoin.join(entityDf, Nil) eq entityDf)
+  }
+
   test("PIT join agrees with nested-loop as-of oracle on random data (dup ts, created dedup)") {
     import spark.implicits._
     val data = genData(seed = 42, nKeys = 20, nRows = 2000)
