@@ -430,8 +430,14 @@ object Cli {
             def esc(c: org.apache.spark.sql.Column) =
               coalesce(regexp_replace(regexp_replace(c.cast("string"),
                 "-", "-d"), "_", "-u"), lit("-n"))
+            // the single-key path rides the SAME escaping as the
+            // composite one: a bare cast emitted a NULL sample key for
+            // a null single key (the exact silent-NULL hazard the
+            // composite fix closed) and left '-'/'_' handling
+            // different across key arities (review r13). Lossless
+            // either way — the json part carries the raw columns.
             val keyCol =
-              if (keys.size == 1) col(keys.head).cast("string")
+              if (keys.size == 1) esc(col(keys.head))
               else concat_ws("_", keys.map(k => esc(col(k))): _*)
             // every column (keys included) rides the json part, so the
             // read-back is lossless for composite keys too

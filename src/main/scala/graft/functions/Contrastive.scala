@@ -72,8 +72,25 @@ object Contrastive {
       // key. (mulA % n)·x ≡ mulA·x (mod n), so reducing first and
       // walking to the next coprime changes NOTHING whenever the
       // default (prime) multiplier is already coprime (review r12).
-      val a = Iterator.iterate(mulA % n)(x => (x + 1) % n)
-        .find(x => x != 0 && BigInt(x).gcd(BigInt(n)) == 1).get
+      // a = mulA % n whenever that is a non-degenerate coprime — the
+      // common case, and the only one the exact-BIGINT oracle replays
+      // (the oracle multiplies by mulA directly, ≡ mod n). Otherwise
+      // (shared factor, or the degenerate 0/1 residues whose LCG is
+      // constant/sequential) walk to a coprime from a MIXED start:
+      // incrementing from the bad residue settled on a = 1 for
+      // n | mulA, degenerating the probe sequence to near-sequential
+      // dense indices — uniform, but unscrambled (review r13). n ≤ 2
+      // has no multiplier > 1; a = 1 is the only (correct) choice.
+      val r0 = mulA % n
+      val a =
+        if (r0 > 1 && BigInt(r0).gcd(BigInt(n)) == 1) r0
+        else {
+          val mix = Math.floorMod(
+            java.lang.Long.reverse(mulA) * 0x9E3779B97F4A7C15L, n)
+          Iterator.iterate(mix)(x => (x + 1) % n)
+            .find(x => (x > 1 || n <= 2) && x != 0 &&
+              BigInt(x).gcd(BigInt(n)) == 1).get
+        }
       // the probe index idx*k + j must stay within 2^63/a or the
       // multiply wraps (non-ANSI: silently diverging from the documented
       // (a*x+b) mod n distribution and the exact-BIGINT oracle; ANSI:

@@ -197,7 +197,13 @@ object Drift {
       valueCol: String,
       groupCols: Seq[String] = Nil,
       edges: Option[Seq[Double]] = None): DataFrame = {
-    edges.foreach(e => require(e.nonEmpty && e == e.sorted, s"edges must be ascending, got $e"))
+    // same strictness as [[psi]]'s edges: a duplicate edge is a
+    // zero-width bin — psi rejects it, and accepting it here would
+    // leave the two numeric drift measures with different
+    // edge-validity policies (a duplicate silently creates an
+    // unreachable bin value under SearchSorted)
+    edges.foreach(e => require(e.nonEmpty && e == e.sorted && e.distinct == e,
+      s"edges must be strictly ascending, got $e"))
     val gCols = groupCols.map(gcol)
     def counted(df: DataFrame, out: String): DataFrame = {
       val v = edges match {

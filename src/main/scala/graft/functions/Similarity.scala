@@ -42,9 +42,10 @@ object Similarity {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, excludeSelf: Boolean = true,
-      maxLiteralQueries: Int = 256): DataFrame =
+      maxLiteralQueries: Int = 256,
+      gateInput: Option[DataFrame] = None): DataFrame =
     twoLevelTopK(scoreAllPairs(queries, qIdCol, qVecCol,
-      corpus, idCol, vecCol, excludeSelf, maxLiteralQueries), k)
+      corpus, idCol, vecCol, excludeSelf, maxLiteralQueries, gateInput), k)
 
   /** Cosine radius (range) search: every (query, corpus) pair with
     * cosine ≥ `minCos` — the range-search surface next to top-k (what
@@ -65,9 +66,10 @@ object Similarity {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,
       minCos: Double, excludeSelf: Boolean = true,
-      maxLiteralQueries: Int = 256): DataFrame =
+      maxLiteralQueries: Int = 256,
+      gateInput: Option[DataFrame] = None): DataFrame =
     scoreAllPairs(queries, qIdCol, qVecCol,
-      corpus, idCol, vecCol, excludeSelf, maxLiteralQueries)
+      corpus, idCol, vecCol, excludeSelf, maxLiteralQueries, gateInput)
       .filter(!isnan(col("__cos")) && col("__cos") >= minCos)
       .select(col("__qid").as("query_id"), col("__cid").as("neighbor_id"),
         col("__cos").as("cos"))
@@ -78,7 +80,8 @@ object Similarity {
   private def scoreAllPairs(
       queries: DataFrame, qIdCol: String, qVecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,
-      excludeSelf: Boolean, maxLiteralQueries: Int): DataFrame = {
+      excludeSelf: Boolean, maxLiteralQueries: Int,
+      gateInput: Option[DataFrame] = None): DataFrame = {
     // Path gate (the [[pqAdcTopK]] policy): small float-vector query
     // batches — the ground-truth/serving shape — inline as plan
     // LITERALS, so the steady plan is ONE job (scan -> per-row scores
@@ -148,9 +151,16 @@ object Similarity {
     val qProj = queries
       .select(col(qIdCol).as("__qid"), col(qVecCol).as("__qvec"))
       .withColumn("__qn", norm(col("__qvec")))
+    // Dedup.mergeUnlessTiny's max-of-both policy: a post-explode /
+    // post-agg query frame's own width-ratio estimate can undershoot
+    // 1 MB while its actuals are corpus-scale — callers handing a
+    // DERIVED query frame pass the pre-derivation input via
+    // `gateInput`, and the gate takes the max of both estimates
+    // (review r13, the mergeUnlessTiny gap class at this call shape)
+    val qEst = (queries +: gateInput.toSeq)
+      .map(_.queryExecution.optimizedPlan.stats.sizeInBytes).max
     val q =
-      if (queries.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(1L << 20))
-        broadcast(qProj)
+      if (qEst < BigInt(1L << 20)) broadcast(qProj)
       else qProj.hint("shuffle_replicate_nl")
     val c = corpus
       .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"))

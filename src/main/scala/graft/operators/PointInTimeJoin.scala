@@ -157,9 +157,11 @@ object PointInTimeJoin {
           _.queryExecution.optimizedPlan.stats.sizeInBytes)
         // the broadcast route ships each view's WINNERS (entity rows ×
         // that view's feature payload) — gate on the union of all
-        // views' feature widths, the conservative bound (review r12)
+        // views' feature widths, the conservative bound (review r12);
+        // each column rides with its source frame so variable-width
+        // payloads can answer from footer actuals (review r13)
         val payload = views.flatMap(vj =>
-          vj.features.map(f => vj.featureDf.schema(f).dataType))
+          vj.features.map(f => (vj.featureDf, f)))
         graft.plans.AsOfJoin.chooseStrategy(entityDf, biggest, payload)
       }
 

