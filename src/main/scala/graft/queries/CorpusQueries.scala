@@ -456,6 +456,127 @@ object CorpusQueries {
       |FROM dw JOIN wsym USING (word)
       |GROUP BY dw.doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- unigram-LM tokenizer training ---------------------------------
+
+  private val UniPieceLen = 3
+  private val UniWordLen = 12
+  private val UniSeed = 200
+  private val UniRounds = 2
+  private val UniTop = 100
+
+  /** Unigram-LM (SentencePiece-style) tokenizer training
+    * ([[graft.functions.UnigramLm]]): seed substring vocabulary + 2 EM
+    * rounds of integer-cost Viterbi segmentation over the WORD table.
+    * The oracle replays the identical train: the DP and its backtrace
+    * unroll into per-position CTEs (quantized BIGINT costs, so every
+    * min/tie decision is exact integer arithmetic in both engines —
+    * the only FP is the shared floor(−ln(p)·1e6+0.5) quantization,
+    * the repo-wide ln discipline). */
+  def unigramLm(s: SparkSession, dir: String): DataFrame =
+    graft.functions.UnigramLm.train(docs(s, dir), "text",
+      maxPieceLen = UniPieceLen, maxWordLen = UniWordLen,
+      seedMulti = UniSeed, rounds = UniRounds, topK = UniTop)
+
+  /** Generated round-replay oracle: for each EM round, quantized costs,
+    * one DP CTE per word position (least over piece lengths, sentinel
+    * 1e15 for unreachable), a dp lookup table, one backtrace CTE per
+    * step (longest-match-first CASE order = the Spark fold's
+    * when-chain), then the usage-count aggregation. */
+  val unigramLmSql: String = {
+    val P = UniPieceLen
+    val W = UniWordLen
+    val BIG = graft.functions.UnigramLm.Sentinel.toString
+    val sb = new StringBuilder
+    sb ++= s"""WITH uwf AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq, length(word) AS len
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+       |        FROM documents)
+       |  WHERE length(word) <= $W
+       |  GROUP BY word),
+       |cand AS MATERIALIZED (
+       |  SELECT substring(word, i, l) AS piece, sum(freq) AS cnt
+       |  FROM uwf, UNNEST(range(1, len + 1)) AS t(i), UNNEST(range(1, $P + 1)) AS u(l)
+       |  WHERE i + l - 1 <= len
+       |  GROUP BY 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM cand WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM (
+       |    SELECT piece, cnt FROM cand WHERE length(piece) > 1
+       |    ORDER BY cnt DESC, piece LIMIT $UniSeed))""".stripMargin
+    for (r <- 1 to UniRounds) {
+      val pv = s"v${r - 1}"
+      sb ++= s""",
+         |tot$r AS MATERIALIZED (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM $pv),
+         |cst$r AS MATERIALIZED (
+         |  SELECT piece,
+         |         CAST(floor(-ln(CAST(cnt AS DOUBLE) / t) * 1000000 + 0.5) AS BIGINT) AS c
+         |  FROM $pv, tot$r),
+         |d${r}_0 AS MATERIALIZED (SELECT word, freq, len, CAST(0 AS BIGINT) AS v FROM uwf)""".stripMargin
+      for (i <- 1 to W) {
+        val ls = 1 to math.min(P, i)
+        val terms = ls.map(l => s"COALESCE(p$l.v + c$l.c, $BIG)").mkString(", ")
+        val joins = ls.map { l =>
+          s"  JOIN d${r}_${i - l} p$l ON p$l.word = w.word\n" +
+            s"  LEFT JOIN cst$r c$l ON c$l.piece = substring(w.word, ${i - l + 1}, $l)"
+        }.mkString("\n")
+        sb ++= s""",
+           |d${r}_$i AS MATERIALIZED (
+           |  SELECT w.word, w.freq, w.len, least($terms) AS v
+           |  FROM uwf w
+           |$joins
+           |  WHERE w.len >= $i)""".stripMargin
+      }
+      val dptUnion = (0 to W)
+        .map(i => s"SELECT word, $i AS i, v FROM d${r}_$i")
+        .mkString("\n  UNION ALL ")
+      sb ++= s""",
+         |dpt$r AS MATERIALIZED (
+         |  $dptUnion),
+         |bt${r}_0 AS MATERIALIZED (
+         |  SELECT word, freq, len, len AS pos, CAST(NULL AS VARCHAR) AS piece
+         |  FROM uwf)""".stripMargin
+      for (st <- 1 to W) {
+        val posCase = (P to 2 by -1).map(l =>
+          s"WHEN b.pos >= $l AND COALESCE(d$l.v + c$l.c, $BIG) = dc.v THEN b.pos - $l")
+          .mkString("\n         ")
+        val pieceCase = (P to 2 by -1).map(l =>
+          s"WHEN b.pos >= $l AND COALESCE(d$l.v + c$l.c, $BIG) = dc.v " +
+            s"THEN substring(b.word, b.pos - ${l - 1}, $l)")
+          .mkString("\n         ")
+        val joins = (2 to P).map { l =>
+          s"  LEFT JOIN dpt$r d$l ON d$l.word = b.word AND d$l.i = b.pos - $l\n" +
+            s"  LEFT JOIN cst$r c$l ON c$l.piece = substring(b.word, b.pos - ${l - 1}, $l)"
+        }.mkString("\n")
+        sb ++= s""",
+           |bt${r}_$st AS MATERIALIZED (
+           |  SELECT b.word, b.freq, b.len,
+           |    CASE WHEN b.pos <= 0 THEN b.pos
+           |         $posCase
+           |         ELSE b.pos - 1 END AS pos,
+           |    CASE WHEN b.pos <= 0 THEN CAST(NULL AS VARCHAR)
+           |         $pieceCase
+           |         ELSE substring(b.word, b.pos, 1) END AS piece
+           |  FROM bt${r}_${st - 1} b
+           |  LEFT JOIN dpt$r dc ON dc.word = b.word AND dc.i = b.pos
+           |$joins)""".stripMargin
+      }
+      val btUnion = (1 to W).map(st => s"SELECT freq, piece FROM bt${r}_$st")
+        .mkString("\n  UNION ALL ")
+      sb ++= s""",
+         |v$r AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM ($btUnion)
+         |  WHERE piece IS NOT NULL GROUP BY piece)""".stripMargin
+    }
+    sb ++= s"""
+       |SELECT piece, cnt,
+       |       CAST(floor(-ln(CAST(cnt AS DOUBLE) / tt.t) * 1000000 + 0.5) AS BIGINT) AS cost
+       |FROM v$UniRounds, (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM v$UniRounds) tt
+       |ORDER BY cnt DESC, piece LIMIT $UniTop""".stripMargin
+    sb.result()
+  }
+
   // ---- contrastive negative sampling ---------------------------------
 
   private val NegK = 4
@@ -530,6 +651,7 @@ object CorpusQueries {
     "q_span_scrub" -> (spanScrub _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_bpe_encode" -> (bpeEncode _),
+    "q_unigram_lm" -> (unigramLm _),
     "q_dup_span" -> (dupSpan _),
     "q_novelty" -> (novelty _),
     "q_url_canonical" -> (urlCanonical _),
@@ -542,6 +664,7 @@ object CorpusQueries {
     "q_span_scrub" -> spanScrubSql,
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_encode" -> bpeEncodeSql,
+    "q_unigram_lm" -> unigramLmSql,
     "q_dup_span" -> dupSpanSql,
     "q_novelty" -> noveltySql,
     "q_url_canonical" -> urlCanonicalSql,

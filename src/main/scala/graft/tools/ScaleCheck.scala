@@ -204,7 +204,12 @@ object ScaleCheck {
       // variant pins the broadcast route: tiny needles, corpus postings
       // filtered in place, zero corpus shuffles before candidates) and
       // the radius scan (single codegen stage, no exchange)
-      "q_dedup_containment", "q_containment_sweep", "q_ann_range")
+      "q_dedup_containment", "q_containment_sweep", "q_ann_range",
+      // driver-round-13 addition: unigram-LM tokenizer training — the
+      // corpus is scanned once (word-freq agg); the EM rounds run at
+      // vocabulary grain, so the wall must track the corpus scan +
+      // word-table growth, never rounds × corpus
+      "q_unigram_lm")
     // optional 4th arg: comma-separated query filter (iterate on one
     // operator without re-timing the full set; replica build unchanged)
     val only = args.lift(3).map(_.split(",").toSet)

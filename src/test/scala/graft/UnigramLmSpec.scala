@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.UnigramLm
+
+class UnigramLmSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    graft.sources.Tables.configure(s)
+    s
+  }
+
+  test("degenerate corpus: repeated bigram word collapses to its char, cost 0") {
+    import spark.implicits._
+    // corpus = three occurrences of word "aa". Seed: a:6, aa:3
+    // (total 9) → c(a)=floor(ln(9/6)·1e6+.5)=405465,
+    // c(aa)=floor(ln(3)·1e6+.5)=1098612; dp("aa") prefers the two
+    // singles (810930 < 1098612), so "aa" gets zero usage and drops;
+    // round 2 re-counts a:6 at probability 1 → cost 0. Every number
+    // independently hand-computed.
+    val out = UnigramLm.train(Seq("aa aa aa").toDF("text"), "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("a", 6L, 0L)))
+  }
+
+  test("char-coverage conservation: piece usage x length == total word chars each round") {
+    // every word is fully segmented every round, so Σ cnt·len(piece)
+    // over the E-step counts must equal Σ freq·len(word) — the
+    // invariant that catches dropped rows, truncated backtraces, or a
+    // DP that double-consumes characters
+    val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val wf = UnigramLm.wordFreq(docs, "text", 12).localCheckpoint()
+    val totalChars = wf.agg(sum(length(col("word")) * col("freq")))
+      .collect()(0).getLong(0)
+    var vocab = UnigramLm.seedVocab(UnigramLm.seedCandidates(wf, 3), 200)
+    for (r <- 1 to 2) {
+      val rows = vocab.collect().map(x => (x.getString(0), x.getLong(1))).toIndexedSeq
+      vocab = UnigramLm.viterbiCounts(wf, UnigramLm.quantizedCosts(rows), 3, 12)
+      val covered = vocab.agg(sum(length(col("piece")) * col("cnt")))
+        .collect()(0).getLong(0)
+      assert(covered == totalChars,
+        s"round $r covered $covered chars of $totalChars")
+    }
+  }
+
+  test("tie-break prefers the longest matching piece") {
+    import spark.implicits._
+    // force an exact integer-cost tie: vocab {x:4, yx:2, y:2} (total 8)
+    // → c(x)=ln2·1e6 quantized=693147, c(y)=1386294, c(yx)=1386294;
+    // word "yx" paths: y+x = 1386294+693147 = 2079441 vs yx = 1386294 —
+    // no tie there; word "xyx": x+yx = 693147+1386294 vs x+y+x =
+    // 693147+1386294+693147 — longest-piece rule decides ONLY between
+    // equal-cost paths, so pin the simplest observable: a direct
+    // viterbiCounts call with hand-built equal costs where ab (len 2)
+    // and a+b (two singles) cost the same — the longer piece must win.
+    val wf = Seq(("ab", 5L)).toDF("word", "freq")
+    val counts = UnigramLm.viterbiCounts(wf,
+      Map("a" -> 100L, "b" -> 100L, "ab" -> 200L), 3, 12)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts == Map("ab" -> 5L),
+      s"equal-cost paths must resolve to the longest piece, got $counts")
+  }
+
+  test("unsegmentable word stays deterministic (sentinel paths, no hang/crash)") {
+    import spark.implicits._
+    // vocab lacks 'q': word "qa" has NO real segmentation — every dp
+    // path through position 1 is sentinel-valued (dp[1]=1e15, and
+    // dp[2] = min(1e15 + c(a), sentinel) = 1e15 exactly, a TIE between
+    // the sentinel l=2 path and the sentinel-prefixed l=1 path). The
+    // longest-first tie-break therefore deterministically emits the
+    // whole word as one out-of-vocab piece — identical COALESCE
+    // arithmetic to the oracle, bounded steps, never a crash. (In real
+    // training this path is unreachable: the seed covers every single
+    // char, and later rounds keep each word's own previous pieces.)
+    val wf = Seq(("qa", 1L)).toDF("word", "freq")
+    val counts = UnigramLm.viterbiCounts(wf, Map("a" -> 1L), 3, 12)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts == Map("qa" -> 1L))
+  }
+}
