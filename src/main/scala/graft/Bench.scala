@@ -180,6 +180,16 @@ object Bench {
     // DATA, e.g. q_dedup_minhash's persisted shingles).
     val reusablePlan = Set("q_pit_join_single", "q_pit_join_multi",
       "q_agg_pushdown", "q_window_topk", "q_ann_brute_force", "q_text_stats")
+    // Sub-floor queries measure per-CALL time over a BATCH of calls
+    // (VERDICT r12 #8): q_online_multiget's single-call wall is
+    // 0.03-0.07 s against a ~0.04 s forced-noop dispatch floor, so the
+    // single-call line read as 1.6x-2.4x vs DuckDB on pure draw luck.
+    // Each batched run constructs the query N times (every construction
+    // re-executes the job-free point reads — the actual serving work)
+    // and pays ONE noop force; wall and floor both divide by N, so the
+    // line measures point-read throughput above floor. The per-call
+    // LATENCY story stays honestly measured by tools/ServingSlo.
+    val repeat = Map("q_online_multiget" -> 10)
     // ---- machine-checkable floors (VERDICT r11 #2): measured in THIS
     // session, so the artifact can be read as work-above-floor vs
     // DuckDB. floor_s[q] = jobs[q] × dispatchFloor + batches[q] ×
@@ -280,17 +290,22 @@ object Bench {
       System.gc()
       if (staticPlan(name)) spark.conf.set("spark.sql.adaptive.enabled", "false")
       def once(fresh: Boolean): Double = {
+        val r = repeat.getOrElse(name, 1)
         val t0 = System.nanoTime()
         val ok = try {
-          val df = if (!fresh && st.prepared != null) st.prepared else {
+          var df = if (!fresh && st.prepared != null) st.prepared else {
             val d = fn(spark, sfDir)
             if (reusablePlan(name) && !fresh) st.prepared = d
             d
           }
+          // batched sub-floor queries: construct r times (each
+          // construction re-runs the eager point reads), force once
+          var i = 1
+          while (i < r) { df = fn(spark, sfDir); i += 1 }
           force(df); true
         } catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        if (ok) (System.nanoTime() - t0) / 1e9 / r else -1.0
       }
       if (pass == 0) {
         st.cold = once(fresh = false)
@@ -347,7 +362,10 @@ object Bench {
         if (st.failed) -1.0
         else if (st.noreuseMin < Double.MaxValue) st.noreuseMin
         else steady
-      val floor = st.jobs * dispatchFloor + st.batches * streamBatchFloor
+      // batched queries' jobs/batches were counted over the whole
+      // batch — divide like the wall so floor stays per-call
+      val floor = (st.jobs * dispatchFloor + st.batches * streamBatchFloor) /
+        repeat.getOrElse(name, 1)
       (name, steady, st.cold, noreuse, spread, floor)
     }
     val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
@@ -456,7 +474,9 @@ object Bench {
       f"max pass spread $spreadMax%.3fs); noreuse=re-analyzed per run " +
       "like DuckDB re-parses; floor_s=jobs*dispatch+batches*streamWAL " +
       f"probed in-session (${dispatchFloor}%.3f/$streamBatchFloor%.3fs); " +
-      "baseline=two same-box min-of-3 DuckDB draws, identical oracle SQLs"
+      "baseline=two same-box min-of-3 DuckDB draws, identical oracle SQLs; " +
+      "q_online_multiget=per-call over a 10-call batch (one noop force), " +
+      "per-call latency in tools/ServingSlo"
     // Stop Spark BEFORE the metric line: the driver machine-parses the
     // LAST stdout line, so nothing (executor shutdown chatter, sbt's
     // success banner — suppressed in build.sbt) may print after it.

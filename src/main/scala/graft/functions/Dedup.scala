@@ -336,6 +336,36 @@ object Dedup {
       .toDF("id", "band", "bucket")
   }
 
+  /** INCREMENTAL persisted-index lifecycle ([[minhashBuildIndex]] on
+    * [[graft.sources.VersionedTable]]): commit a frame's band rows as a
+    * new index version — `append = false` snapshots (first corpus
+    * build), `append = true` adds ONLY this frame's bands to the
+    * existing artifact (the daily-ingest shape: the corpus is never
+    * re-shingled or re-banded; commit cost is O(batch)). Banding is
+    * row-local, so init(corpus) + append(batch) is row-for-row
+    * identical to build(corpus ∪ batch) — spec-pinned — and
+    * VersionedTable's manifest claim makes the append atomic: a probe
+    * pinned at the previous version never sees a half-written batch,
+    * and a crashed append leaves an unreferenced staging dir (vacuumed
+    * later), not a torn index. Rows are range-clustered by band so
+    * band-restricted probes prune at row-group grain.
+    * @return the committed index version */
+  def minhashIndexCommit(
+      dir: String, df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      append: Boolean = false): Int = {
+    val rows = minhashBuildIndex(df, idCol, textCol, shingleN, k, bands)
+      .repartitionByRange(col("band"))
+      .sortWithinPartitions("band", "bucket")
+    graft.sources.VersionedTable.commit(df.sparkSession, dir, rows, append = append)
+  }
+
+  /** Read a committed band index (head or a pinned version) —
+    * the `index` input of [[minhashSearchIndex]]. */
+  def minhashReadIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      version: Option[Int] = None): DataFrame =
+    graft.sources.VersionedTable.read(spark, dir, version).select("id", "band", "bucket")
+
   /** Match a batch against a prebuilt corpus band table (the artifact of
     * [[minhashBuildIndex]], possibly round-tripped through parquet):
     * band the batch with the SAME (shingleN, k, bands), join on

@@ -685,6 +685,38 @@ object Similarity {
         pqCodeCols(col(vecCol), codebook, m, subDim): _*)
   }
 
+  /** INCREMENTAL persisted IVF-PQ lifecycle ([[ivfPqBuildIndex]] on
+    * [[graft.sources.VersionedTable]]): commit a frame's codes as a new
+    * index version — `append = false` snapshots (the initial corpus
+    * encode), `append = true` encodes ONLY this frame with the SAME
+    * trained artifacts and adds its codes to the existing index (the
+    * daily-ingest shape: the corpus floats are never re-read;
+    * commit cost is O(batch)). Encoding is row-local given fixed
+    * (coarse, codebook), so init(corpus) + append(batch) ≡
+    * build(corpus ∪ batch) row-for-row — spec-pinned. Codes are
+    * range-clustered by cell so [[ivfPqSearchIndex]]'s literal cell
+    * filter prunes at row-group grain on the manifest-listed files
+    * (the VersionedTable read path hands Spark a file list, so the
+    * pruning signal is parquet min/max stats rather than directory
+    * names — same skipped bytes, append-safe).
+    * @return the committed index version */
+  def ivfPqIndexCommit(
+      dir: String, df: DataFrame, idCol: String, vecCol: String,
+      coarse: Seq[(Long, Array[Float])],
+      codebook: Array[Array[Float]],
+      m: Int, subDim: Int, append: Boolean = false): Int = {
+    val codes = ivfPqBuildIndex(df, idCol, vecCol, coarse, codebook, m, subDim)
+      .repartitionByRange(col("cell"))
+      .sortWithinPartitions("cell")
+    graft.sources.VersionedTable.commit(df.sparkSession, dir, codes, append = append)
+  }
+
+  /** Read a committed IVF-PQ code index (head or a pinned version) —
+    * the `index` input of [[ivfPqSearchIndex]]. */
+  def ivfPqReadIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      version: Option[Int] = None): DataFrame =
+    graft.sources.VersionedTable.read(spark, dir, version)
+
   /** Probe step of the persisted IVF-PQ lifecycle: score a BOUNDED
     * query batch against an [[ivfPqBuildIndex]] table without touching
     * the corpus floats. Probes and LUTs are computed driver-side from

@@ -336,11 +336,12 @@ object ParquetOnlineStore {
       f: org.apache.hadoop.fs.Path,
       joinKeys: Seq[String],
       prune: Option[(String, Seq[Any])]): Map[String, Map[String, Any]] = {
-    val st = try fsys.getFileStatus(f) catch {
-      // vanished mid-swap: the caller's live/aside re-check discipline
-      // already treats a missing bucket as absent
-      case _: java.io.FileNotFoundException => return Map.empty
-    }
+    // a LISTED file that has vanished by stat/decode time is a mid-swap
+    // RACE signal, not absence — the FileNotFoundException propagates
+    // to read()'s bounded re-resolve retry. (Pre-r13 this returned an
+    // empty index, so a read racing a swap served transient NOT_FOUNDs
+    // for present keys — found by the serve-during-maintenance stress.)
+    val st = fsys.getFileStatus(f)
     def index(rows: Seq[Map[String, Any]]): Map[String, Map[String, Any]] =
       rows.map(m => EntityKeyCodec.hexKey(joinKeys.map(k => k -> m(k))) -> m).toMap
     if (st.getLen > CacheableFileBytes)
@@ -737,7 +738,7 @@ class ParquetOnlineStore(
         case _: java.io.FileNotFoundException => Nil
       }
     }
-    val files: Seq[org.apache.hadoop.fs.Path] = buckets.flatMap { b =>
+    def resolveFiles(): Seq[org.apache.hadoop.fs.Path] = buckets.flatMap { b =>
       val live = bucketFiles(p, b)
       if (live.nonEmpty) live
       else {
@@ -752,10 +753,47 @@ class ParquetOnlineStore(
     // decodes + indexes once per version — point reads after that are
     // O(requested keys) lookups; oversized files stay on the
     // row-group-pruned streaming decode.
+    //
+    // Bounded mid-swap RETRY: between listing a bucket's files and
+    // opening them, a concurrent swap's rename/delete can land — the
+    // listed file then stats/opens as FileNotFound. That is a race
+    // signal, never absence (an absent bucket lists empty, no
+    // exception), so re-resolve from the live tree and retry with a
+    // tiny backoff; the swap window is milliseconds, one retry
+    // converges in practice. Past the bound the FNF propagates loudly —
+    // at that point the table is actually damaged, and a silent
+    // NOT_FOUND would be worse (the serve-during-maintenance stress
+    // caught exactly the pre-r13 silent path).
     val prune = Some(joinKeys.head -> entityKeys.map(_.toMap.apply(joinKeys.head)))
-    val hits: Map[String, Map[String, Any]] = files
-      .map(f => ParquetOnlineStore.cachedFileIndex(fsys, hconf, f, joinKeys, prune))
-      .foldLeft(Map.empty[String, Map[String, Any]])(_ ++ _)
+    var hits: Map[String, Map[String, Any]] = null
+    var attempt = 0
+    while (hits == null) {
+      try {
+        val files = resolveFiles()
+        // a requested bucket resolving EMPTY while the rename-aside
+        // root exists is the other race shape (a second swap's
+        // rename-out landing between our re-checks) — same retry; a
+        // genuinely absent bucket (no swap in flight) stays a clean
+        // NOT_FOUND with no exception and no retry
+        if (files.isEmpty && buckets.nonEmpty && attempt < 6 &&
+            fsys.exists(hp(p + ".old"))) {
+          attempt += 1
+          Thread.sleep(1L << attempt)
+        } else hits = files
+          .map(f => ParquetOnlineStore.cachedFileIndex(fsys, hconf, f, joinKeys, prune))
+          .foldLeft(Map.empty[String, Map[String, Any]])(_ ++ _)
+      } catch {
+        // IOException, not just FileNotFound: a dir vanishing MID-LIST
+        // surfaces as AccessDeniedException on the local fs (Hadoop
+        // throws it when File.list() returns null) and as "Invalid
+        // directory" from the parquet reader — all the same race. The
+        // attempt bound keeps a persistent real failure loud: it still
+        // propagates after ~126 ms of retries.
+        case _: java.io.IOException if attempt < 6 =>
+          attempt += 1
+          Thread.sleep(1L << attempt) // 2..64 ms, ~126 ms worst case
+      }
+    }
     entityKeys.map { key =>
       hits.get(EntityKeyCodec.hexKey(key)) match {
         case Some(m) =>

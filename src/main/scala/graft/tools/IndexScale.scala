@@ -41,7 +41,7 @@ object IndexScale {
     def force(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    def split(dir: String): (Double, Double) = {
+    def split(dir: String): (Double, Double, Double) = {
       val path = s"/tmp/graft_idxscale_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       graft.queries.TmpSweeper.register(path)
       val fs = org.apache.hadoop.fs.FileSystem.getLocal(
@@ -66,15 +66,33 @@ object IndexScale {
         (System.nanoTime() - tp0) / 1e9
       }
       val probe = math.min(probeOnce(), probeOnce())
-      (build, probe)
+      // APPEND cost (r13: the incremental lifecycle): commit the corpus
+      // once as a VersionedTable index, then time appending a FIXED
+      // batch (the base corpus's doc_id % 10 slice — same batch at
+      // every factor). Append must track the BATCH, not the corpus:
+      // its wall ratio staying ~1 across factors is the whole point of
+      // the incremental path (a rebuild pays the `build` column).
+      val vdir = s"${path}_versioned"
+      graft.queries.TmpSweeper.register(vdir)
+      fs.delete(new org.apache.hadoop.fs.Path(vdir), true)
+      Dedup.minhashIndexCommit(vdir, d, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 8)
+      val batchFixed = spark.read.parquet(s"$baseDir/documents.parquet")
+        .select((col("doc_id") + 8000000L).as("doc_id"), col("text"))
+        .filter(col("doc_id") % 10 === 0)
+      val ta0 = System.nanoTime()
+      Dedup.minhashIndexCommit(vdir, batchFixed, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 8, append = true)
+      val append = (System.nanoTime() - ta0) / 1e9
+      (build, probe, append)
     }
 
     split(baseDir) // warm: codegen + analyzer JIT, off the books
-    val (b1, p1) = split(baseDir)
-    System.err.println(f"[indexscale] 1x build=$b1%.2f probe=$p1%.2f")
-    val (bn, pn) = split(scaledDir)
-    System.err.println(f"[indexscale] ${factor}x build=$bn%.2f probe=$pn%.2f")
-    println(f"""{"factor":$factor,"build":{"t1":$b1%.2f,"t$factor":$bn%.2f,"wall_ratio":${bn / b1}%.2f},"probe":{"t1":$p1%.2f,"t$factor":$pn%.2f,"wall_ratio":${pn / p1}%.2f}}""")
+    val (b1, p1, a1) = split(baseDir)
+    System.err.println(f"[indexscale] 1x build=$b1%.2f probe=$p1%.2f append=$a1%.2f")
+    val (bn, pn, an) = split(scaledDir)
+    System.err.println(f"[indexscale] ${factor}x build=$bn%.2f probe=$pn%.2f append=$an%.2f")
+    println(f"""{"factor":$factor,"build":{"t1":$b1%.2f,"t$factor":$bn%.2f,"wall_ratio":${bn / b1}%.2f},"probe":{"t1":$p1%.2f,"t$factor":$pn%.2f,"wall_ratio":${pn / p1}%.2f},"append":{"t1":$a1%.2f,"t$factor":$an%.2f,"wall_ratio":${an / a1}%.2f}}""")
     spark.stop()
   }
 }

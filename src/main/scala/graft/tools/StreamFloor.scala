@@ -74,6 +74,42 @@ object StreamFloor {
         println(f"[floor] lww-batch-twin run=$i wall=${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
     }
+
+    // ---- async / amortized progress tracking probe (VERDICT r12 #5):
+    // can the per-batch offset/commit WAL be taken off the hot path?
+    // (a) Spark's built-in asyncProgressTracking on this exact shape —
+    //     expected to be REFUSED (it supports only Kafka sinks and
+    //     ProcessingTime triggers; foreachBatch + AvailableNow is the
+    //     materializer's replayable contract), but measure, don't
+    //     assume.
+    // (b) the WAL's fs-latency share: same run with the checkpoint on
+    //     tmpfs (/dev/shm) — an async tracker could at best hide the
+    //     WAL fsync, so ckpt-on-tmpfs bounds the winnable time from
+    //     above without giving up exactly-once.
+    def runAsync(tag: String, maxFiles: Option[Int]): Unit = {
+      val ckpt = s"$ckptBase/graft_floor_${java.util.UUID.randomUUID().toString.take(8)}"
+      try {
+        val t0 = System.nanoTime()
+        val base = spark.readStream.format("parquet")
+          .schema(spark.read.parquet(input).schema)
+        val src = maxFiles.fold(base)(n => base.option("maxFilesPerTrigger", n))
+        val q = src.load(input)
+          .writeStream.outputMode("update").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .option("asyncProgressTrackingEnabled", "true")
+          .foreachBatch { (_: DataFrame, _: Long) => () }
+          .start()
+        q.awaitTermination()
+        println(f"[floor] $tag wall=${(System.nanoTime() - t0) / 1e9}%.3f s")
+      } catch {
+        case e: Throwable =>
+          println(s"[floor] $tag REFUSED: ${e.getClass.getSimpleName}: " +
+            s"${Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(160)}")
+      }
+    }
+    (0 until 2).foreach { i =>
+      runAsync(s"async-noop-8batch run=$i", Some(1))
+    }
     spark.stop()
   }
 }

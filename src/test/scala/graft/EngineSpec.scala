@@ -2065,4 +2065,97 @@ class EngineSpec extends AnyFunSuite {
     assert(listSiblings() === Seq(new java.io.File(dest).getName),
       s"no other leftovers: ${listSiblings()}")
   }
+
+  test("serve-during-maintenance stress: concurrent reads vs upsert/expire — no torn reads, at-worst-one-swap-stale") {
+    import spark.implicits._
+    // VERDICT r12 next-round #7: the block cache, rename-aside swaps
+    // and expiry are individually crash/stale-pinned; this hammers
+    // `read` from N threads WHILE upsert + expire loop and asserts the
+    // cross-cutting contract: every read returns internally CONSISTENT
+    // rows (v2 == v1*1000+7 — both columns from the same committed
+    // batch, never torn across a swap) at a version no older than ONE
+    // completed swap behind the fence the reader observed.
+    val base = java.nio.file.Files.createTempDirectory("graftstress").toString
+    val store = new ParquetOnlineStore(base, numBuckets = 4)
+    val keys = (0L until 32L).toIndexedSeq
+    val view = FeatureView("sv", Seq("driver"),
+      Seq(Feature("v1", GraftType.Dbl), Feature("v2", GraftType.Dbl)),
+      Duration.ZERO, DataFrameSource(Seq.empty[(Long, Timestamp, Double, Double)]
+        .toDF("driver_id", "et", "v1", "v2"), "et"))
+    def mainBatch(i: Int) = keys.map(k =>
+        (k, ts(f"2024-02-01 10:00:${i % 60}%02d"), i.toDouble, i.toDouble * 1000 + 7))
+      .toDF("driver_id", "et", "v1", "v2")
+    // ephemeral keys with pre-cutoff timestamps: each expire pass has
+    // real rows to remove, so the bucket-rewrite swap runs under load
+    def ephBatch(i: Int) = Seq((1000L + i, ts("2020-01-01 00:00:00"),
+      -1.0, -993.0)).toDF("driver_id", "et", "v1", "v2")
+    store.upsert("p", view, Seq("driver_id"), mainBatch(0), "et", None)
+    val saved = java.nio.file.Files.createTempDirectory("graftstress_saved").toString
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$base/p/sv"), new java.io.File(saved))
+
+    // the checker both the live readers and the red-path reuse: returns
+    // the violations of (consistency, staleness-bound) for one read
+    def violations(fence: Int): Seq[String] = {
+      val picked = keys.take(8)
+      val r = store.read("p", view, Seq("driver_id"),
+        picked.map(k => Seq("driver_id" -> k)), Seq("v1", "v2"))
+      r.zip(picked).flatMap { case ((_, m), k) =>
+        if (m("v1").status != "PRESENT" || m("v2").status != "PRESENT")
+          Seq(s"key $k missing during maintenance: ${m("v1").status}/${m("v2").status}")
+        else {
+          val (a, b) = (m("v1").value.asInstanceOf[Double], m("v2").value.asInstanceOf[Double])
+          val torn = if (b != a * 1000 + 7) Seq(s"key $k TORN: v1=$a v2=$b") else Nil
+          val stale = if (a < fence - 1)
+            Seq(s"key $k STALE beyond one swap: v1=$a fence=$fence") else Nil
+          torn ++ stale
+        }
+      }
+    }
+
+    @volatile var completed = 0
+    @volatile var stop = false
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reads = new java.util.concurrent.atomic.AtomicLong(0L)
+    val readers = (1 to 4).map { _ =>
+      val t = new Thread(() => {
+        while (!stop) {
+          val fence = completed
+          try violations(fence).foreach(errors.add)
+          catch { case e: Throwable => errors.add(s"read threw: $e") }
+          reads.incrementAndGet()
+        }
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    val rounds = 15
+    for (i <- 1 to rounds) {
+      store.upsert("p", view, Seq("driver_id"),
+        mainBatch(i).unionByName(ephBatch(i)), "et", None)
+      completed = i
+      if (i % 5 == 0) {
+        val n = store.expire(spark, "p", view, Seq("driver_id"), "et",
+          ts("2021-01-01 00:00:00"))
+        assert(n >= 1, s"expire pass $i must remove the ephemeral rows, got $n")
+      }
+    }
+    stop = true
+    readers.foreach(_.join(30000))
+    assert(reads.get() >= 20, s"stress must actually interleave reads, got ${reads.get()}")
+    assert(errors.isEmpty, s"torn/stale/missing reads: ${errors.toArray.take(5).mkString("; ")}")
+
+    // RED-PATH: a deliberately BROKEN swap — the live table silently
+    // replaced with the pre-stress copy (no invalidation, mtime/length
+    // changed) — must be caught by the SAME checker: the re-decoded
+    // rows are version 0, far beyond the one-swap staleness bound
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$base/p/sv"))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(saved), new java.io.File(s"$base/p/sv"))
+    val caught = violations(rounds)
+    assert(caught.exists(_.contains("STALE")),
+      s"checker must flag the broken swap, got: $caught")
+    store.teardown("p", Seq(view))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(saved))
+  }
 }
