@@ -91,14 +91,23 @@ object UnigramLm {
   }
 
   /** One E-step: Viterbi-segment every word under `costs` and return
-    * the new (piece, cnt) usage counts, freq-weighted.
+    * the new (piece, cnt) usage counts, freq-weighted. */
+  def viterbiCounts(wf: DataFrame, costs: Map[String, Long],
+      maxPieceLen: Int, maxWordLen: Int): DataFrame =
+    viterbiSegments(wf, costs, maxPieceLen, maxWordLen)
+      .select(col("freq"), explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+
+  /** Viterbi segmentation of every word under `costs`: the input
+    * columns plus a `pieces` array (the min-cost segmentation,
+    * left-to-right).
     *
     * The DP and backtrace are pure codegen'd column expressions
     * (higher-order `aggregate` folds) — per word O(len·maxPieceLen),
-    * no join, no shuffle until the final count aggregation. Tie-break:
-    * the LONGEST piece whose path cost equals dp[pos] wins (checked
-    * longest-first — the identical CASE order the oracle unrolls). */
-  def viterbiCounts(wf: DataFrame, costs: Map[String, Long],
+    * no join, no shuffle. Tie-break: the LONGEST piece whose path cost
+    * equals dp[pos] wins (checked longest-first — the identical CASE
+    * order the oracle unrolls). */
+  def viterbiSegments(wf: DataFrame, costs: Map[String, Long],
       maxPieceLen: Int, maxWordLen: Int): DataFrame = {
     val costMap = typedlit(costs)
     def costOf(piece: Column): Column = element_at(costMap, piece)
@@ -146,9 +155,33 @@ object UnigramLm {
       })
 
     wf.withColumn("__dp", dpExpr)
-      .withColumn("__pieces", btExpr.getField("ps"))
-      .select(col("freq"), explode(col("__pieces")).as("piece"))
-      .groupBy("piece").agg(sum("freq").as("cnt"))
+      .withColumn("pieces", btExpr.getField("ps"))
+      .drop("__dp")
+  }
+
+  /** Trained-model ENCODE (the [[graft.functions.Bpe]] `bpeEncode`
+    * lifecycle for the unigram family): train `rounds` EM rounds, then
+    * Viterbi-segment the WORD TABLE once more under the final model's
+    * costs and return (word, n_pieces) — the per-word token counts a
+    * caller joins back to the corpus for document-level token/
+    * compression stats. Words beyond `maxWordLen` are outside the
+    * training universe and absent here too (the caller's join keeps
+    * the same universe). */
+  def encodeWords(df: DataFrame, textCol: String,
+      maxPieceLen: Int = 3, maxWordLen: Int = 12,
+      seedMulti: Int = 200, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1 && maxPieceLen >= 1 && maxWordLen >= maxPieceLen)
+    val wf = wordFreq(df, textCol, maxWordLen).localCheckpoint()
+    var vocab = seedVocab(seedCandidates(wf, maxPieceLen), seedMulti)
+    for (_ <- 1 to rounds) {
+      val rows = vocab.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+      vocab = viterbiCounts(wf, quantizedCosts(rows), maxPieceLen, maxWordLen)
+    }
+    val finalRows = vocab.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+    viterbiSegments(wf, quantizedCosts(finalRows), maxPieceLen, maxWordLen)
+      .select(col("word"), size(col("pieces")).cast("long").as("n_pieces"))
   }
 
   /** Full train: returns the final vocabulary as

@@ -477,25 +477,20 @@ object CorpusQueries {
       maxPieceLen = UniPieceLen, maxWordLen = UniWordLen,
       seedMulti = UniSeed, rounds = UniRounds, topK = UniTop)
 
-  /** Generated round-replay oracle: for each EM round, quantized costs,
-    * one DP CTE per word position (least over piece lengths, sentinel
-    * 1e15 for unreachable), a dp lookup table, one backtrace CTE per
-    * step (longest-match-first CASE order = the Spark fold's
-    * when-chain), then the usage-count aggregation. */
-  val unigramLmSql: String = {
-    val P = UniPieceLen
-    val W = UniWordLen
-    val BIG = graft.functions.UnigramLm.Sentinel.toString
-    val sb = new StringBuilder
+  /** Shared WITH-prefix of the generated unigram oracles: word table,
+    * seed candidates, v0. Every CTE is MATERIALIZED — DuckDB otherwise
+    * re-INLINES the recursive DP chain (d_i references d_{i-1..i-3})
+    * exponentially. */
+  private def uniPrefix(sb: StringBuilder): Unit =
     sb ++= s"""WITH uwf AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq, length(word) AS len
        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
        |        FROM documents)
-       |  WHERE length(word) <= $W
+       |  WHERE length(word) <= $UniWordLen
        |  GROUP BY word),
        |cand AS MATERIALIZED (
        |  SELECT substring(word, i, l) AS piece, sum(freq) AS cnt
-       |  FROM uwf, UNNEST(range(1, len + 1)) AS t(i), UNNEST(range(1, $P + 1)) AS u(l)
+       |  FROM uwf, UNNEST(range(1, len + 1)) AS t(i), UNNEST(range(1, $UniPieceLen + 1)) AS u(l)
        |  WHERE i + l - 1 <= len
        |  GROUP BY 1),
        |v0 AS MATERIALIZED (
@@ -504,76 +499,152 @@ object CorpusQueries {
        |  SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM (
        |    SELECT piece, cnt FROM cand WHERE length(piece) > 1
        |    ORDER BY cnt DESC, piece LIMIT $UniSeed))""".stripMargin
-    for (r <- 1 to UniRounds) {
-      val pv = s"v${r - 1}"
+
+  /** One EM round's DP machinery: quantized costs from v{r−1}, one DP
+    * CTE per word position (least over piece lengths, sentinel 1e15
+    * for unreachable), a dp lookup table, one backtrace CTE per step
+    * (longest-match-first CASE order = the Spark fold's when-chain). */
+  private def uniRoundBlock(sb: StringBuilder, r: Int): Unit = {
+    val P = UniPieceLen
+    val W = UniWordLen
+    val BIG = graft.functions.UnigramLm.Sentinel.toString
+    val pv = s"v${r - 1}"
+    sb ++= s""",
+       |tot$r AS MATERIALIZED (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM $pv),
+       |cst$r AS MATERIALIZED (
+       |  SELECT piece,
+       |         CAST(floor(-ln(CAST(cnt AS DOUBLE) / t) * 1000000 + 0.5) AS BIGINT) AS c
+       |  FROM $pv, tot$r),
+       |d${r}_0 AS MATERIALIZED (SELECT word, freq, len, CAST(0 AS BIGINT) AS v FROM uwf)""".stripMargin
+    for (i <- 1 to W) {
+      val ls = 1 to math.min(P, i)
+      val terms = ls.map(l => s"COALESCE(p$l.v + c$l.c, $BIG)").mkString(", ")
+      val joins = ls.map { l =>
+        s"  JOIN d${r}_${i - l} p$l ON p$l.word = w.word\n" +
+          s"  LEFT JOIN cst$r c$l ON c$l.piece = substring(w.word, ${i - l + 1}, $l)"
+      }.mkString("\n")
       sb ++= s""",
-         |tot$r AS MATERIALIZED (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM $pv),
-         |cst$r AS MATERIALIZED (
-         |  SELECT piece,
-         |         CAST(floor(-ln(CAST(cnt AS DOUBLE) / t) * 1000000 + 0.5) AS BIGINT) AS c
-         |  FROM $pv, tot$r),
-         |d${r}_0 AS MATERIALIZED (SELECT word, freq, len, CAST(0 AS BIGINT) AS v FROM uwf)""".stripMargin
-      for (i <- 1 to W) {
-        val ls = 1 to math.min(P, i)
-        val terms = ls.map(l => s"COALESCE(p$l.v + c$l.c, $BIG)").mkString(", ")
-        val joins = ls.map { l =>
-          s"  JOIN d${r}_${i - l} p$l ON p$l.word = w.word\n" +
-            s"  LEFT JOIN cst$r c$l ON c$l.piece = substring(w.word, ${i - l + 1}, $l)"
-        }.mkString("\n")
-        sb ++= s""",
-           |d${r}_$i AS MATERIALIZED (
-           |  SELECT w.word, w.freq, w.len, least($terms) AS v
-           |  FROM uwf w
-           |$joins
-           |  WHERE w.len >= $i)""".stripMargin
-      }
-      val dptUnion = (0 to W)
-        .map(i => s"SELECT word, $i AS i, v FROM d${r}_$i")
-        .mkString("\n  UNION ALL ")
-      sb ++= s""",
-         |dpt$r AS MATERIALIZED (
-         |  $dptUnion),
-         |bt${r}_0 AS MATERIALIZED (
-         |  SELECT word, freq, len, len AS pos, CAST(NULL AS VARCHAR) AS piece
-         |  FROM uwf)""".stripMargin
-      for (st <- 1 to W) {
-        val posCase = (P to 2 by -1).map(l =>
-          s"WHEN b.pos >= $l AND COALESCE(d$l.v + c$l.c, $BIG) = dc.v THEN b.pos - $l")
-          .mkString("\n         ")
-        val pieceCase = (P to 2 by -1).map(l =>
-          s"WHEN b.pos >= $l AND COALESCE(d$l.v + c$l.c, $BIG) = dc.v " +
-            s"THEN substring(b.word, b.pos - ${l - 1}, $l)")
-          .mkString("\n         ")
-        val joins = (2 to P).map { l =>
-          s"  LEFT JOIN dpt$r d$l ON d$l.word = b.word AND d$l.i = b.pos - $l\n" +
-            s"  LEFT JOIN cst$r c$l ON c$l.piece = substring(b.word, b.pos - ${l - 1}, $l)"
-        }.mkString("\n")
-        sb ++= s""",
-           |bt${r}_$st AS MATERIALIZED (
-           |  SELECT b.word, b.freq, b.len,
-           |    CASE WHEN b.pos <= 0 THEN b.pos
-           |         $posCase
-           |         ELSE b.pos - 1 END AS pos,
-           |    CASE WHEN b.pos <= 0 THEN CAST(NULL AS VARCHAR)
-           |         $pieceCase
-           |         ELSE substring(b.word, b.pos, 1) END AS piece
-           |  FROM bt${r}_${st - 1} b
-           |  LEFT JOIN dpt$r dc ON dc.word = b.word AND dc.i = b.pos
-           |$joins)""".stripMargin
-      }
-      val btUnion = (1 to W).map(st => s"SELECT freq, piece FROM bt${r}_$st")
-        .mkString("\n  UNION ALL ")
-      sb ++= s""",
-         |v$r AS MATERIALIZED (
-         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
-         |  FROM ($btUnion)
-         |  WHERE piece IS NOT NULL GROUP BY piece)""".stripMargin
+         |d${r}_$i AS MATERIALIZED (
+         |  SELECT w.word, w.freq, w.len, least($terms) AS v
+         |  FROM uwf w
+         |$joins
+         |  WHERE w.len >= $i)""".stripMargin
     }
+    val dptUnion = (0 to W)
+      .map(i => s"SELECT word, $i AS i, v FROM d${r}_$i")
+      .mkString("\n  UNION ALL ")
+    sb ++= s""",
+       |dpt$r AS MATERIALIZED (
+       |  $dptUnion),
+       |bt${r}_0 AS MATERIALIZED (
+       |  SELECT word, freq, len, len AS pos, CAST(NULL AS VARCHAR) AS piece
+       |  FROM uwf)""".stripMargin
+    for (st <- 1 to W) {
+      val posCase = (P to 2 by -1).map(l =>
+        s"WHEN b.pos >= $l AND COALESCE(d$l.v + c$l.c, $BIG) = dc.v THEN b.pos - $l")
+        .mkString("\n         ")
+      val pieceCase = (P to 2 by -1).map(l =>
+        s"WHEN b.pos >= $l AND COALESCE(d$l.v + c$l.c, $BIG) = dc.v " +
+          s"THEN substring(b.word, b.pos - ${l - 1}, $l)")
+        .mkString("\n         ")
+      val joins = (2 to P).map { l =>
+        s"  LEFT JOIN dpt$r d$l ON d$l.word = b.word AND d$l.i = b.pos - $l\n" +
+          s"  LEFT JOIN cst$r c$l ON c$l.piece = substring(b.word, b.pos - ${l - 1}, $l)"
+      }.mkString("\n")
+      sb ++= s""",
+         |bt${r}_$st AS MATERIALIZED (
+         |  SELECT b.word, b.freq, b.len,
+         |    CASE WHEN b.pos <= 0 THEN b.pos
+         |         $posCase
+         |         ELSE b.pos - 1 END AS pos,
+         |    CASE WHEN b.pos <= 0 THEN CAST(NULL AS VARCHAR)
+         |         $pieceCase
+         |         ELSE substring(b.word, b.pos, 1) END AS piece
+         |  FROM bt${r}_${st - 1} b
+         |  LEFT JOIN dpt$r dc ON dc.word = b.word AND dc.i = b.pos
+         |$joins)""".stripMargin
+    }
+  }
+
+  /** Round r's M-step usage counts v{r} from its backtrace CTEs. */
+  private def uniCountCte(sb: StringBuilder, r: Int): Unit = {
+    val btUnion = (1 to UniWordLen).map(st => s"SELECT freq, piece FROM bt${r}_$st")
+      .mkString("\n  UNION ALL ")
+    sb ++= s""",
+       |v$r AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM ($btUnion)
+       |  WHERE piece IS NOT NULL GROUP BY piece)""".stripMargin
+  }
+
+  /** Generated round-replay oracle for [[unigramLm]]. */
+  val unigramLmSql: String = {
+    val sb = new StringBuilder
+    uniPrefix(sb)
+    for (r <- 1 to UniRounds) { uniRoundBlock(sb, r); uniCountCte(sb, r) }
     sb ++= s"""
        |SELECT piece, cnt,
        |       CAST(floor(-ln(CAST(cnt AS DOUBLE) / tt.t) * 1000000 + 0.5) AS BIGINT) AS cost
        |FROM v$UniRounds, (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM v$UniRounds) tt
        |ORDER BY cnt DESC, piece LIMIT $UniTop""".stripMargin
+    sb.result()
+  }
+
+  /** Trained-model ENCODE — the unigram family's [[bpeEncode]]
+    * lifecycle: the word table is Viterbi-segmented ONCE under the
+    * final trained costs ([[graft.functions.UnigramLm.encodeWords]] —
+    * merges fold over the word table, never the corpus), then
+    * broadcast-joined back to the exploded document words for
+    * per-document token counts and the compression ratio vs
+    * character-level. Words beyond the training length cap are outside
+    * the model's universe on both sides (inner join = the same
+    * filter). */
+  def unigramEncode(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val wsym = graft.functions.UnigramLm.encodeWords(d, "text",
+      maxPieceLen = UniPieceLen, maxWordLen = UniWordLen,
+      seedMulti = UniSeed, rounds = UniRounds)
+    val dw = d.select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
+    dw.join(broadcast(wsym), Seq("word"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("word"))).as("n_chars"),
+        sum(col("n_pieces")).as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_chars").cast("double"))
+          .as("compression"))
+      .orderBy("doc_id")
+  }
+
+  /** [[unigramEncode]]'s oracle: the training CTEs, one MORE DP +
+    * backtrace pass under the FINAL model's costs (round R+1's block —
+    * exactly the encode the Spark side runs), per-word piece counts,
+    * and the same doc join + sums as the BPE encode oracle. */
+  val unigramEncodeSql: String = {
+    val sb = new StringBuilder
+    uniPrefix(sb)
+    for (r <- 1 to UniRounds) { uniRoundBlock(sb, r); uniCountCte(sb, r) }
+    val enc = UniRounds + 1
+    uniRoundBlock(sb, enc)
+    val btUnion = (1 to UniWordLen)
+      .map(st => s"SELECT word, piece FROM bt${enc}_$st")
+      .mkString("\n  UNION ALL ")
+    sb ++= s""",
+       |wsym AS MATERIALIZED (
+       |  SELECT word, CAST(count(piece) AS BIGINT) AS n_pieces
+       |  FROM ($btUnion)
+       |  WHERE piece IS NOT NULL GROUP BY word),
+       |dw AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+       |  FROM documents)
+       |SELECT dw.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(length(dw.word)) AS BIGINT) AS n_chars,
+       |       CAST(sum(wsym.n_pieces) AS BIGINT) AS n_tokens,
+       |       CAST(sum(wsym.n_pieces) AS DOUBLE)
+       |         / CAST(sum(length(dw.word)) AS DOUBLE) AS compression
+       |FROM dw JOIN wsym USING (word)
+       |GROUP BY dw.doc_id ORDER BY doc_id""".stripMargin
     sb.result()
   }
 
@@ -652,6 +723,7 @@ object CorpusQueries {
     "q_bpe_merges" -> (bpeMerges _),
     "q_bpe_encode" -> (bpeEncode _),
     "q_unigram_lm" -> (unigramLm _),
+    "q_unigram_encode" -> (unigramEncode _),
     "q_dup_span" -> (dupSpan _),
     "q_novelty" -> (novelty _),
     "q_url_canonical" -> (urlCanonical _),
@@ -665,6 +737,7 @@ object CorpusQueries {
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_encode" -> bpeEncodeSql,
     "q_unigram_lm" -> unigramLmSql,
+    "q_unigram_encode" -> unigramEncodeSql,
     "q_dup_span" -> dupSpanSql,
     "q_novelty" -> noveltySql,
     "q_url_canonical" -> urlCanonicalSql,

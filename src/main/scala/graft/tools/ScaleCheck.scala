@@ -208,8 +208,10 @@ object ScaleCheck {
       // driver-round-13 addition: unigram-LM tokenizer training — the
       // corpus is scanned once (word-freq agg); the EM rounds run at
       // vocabulary grain, so the wall must track the corpus scan +
-      // word-table growth, never rounds × corpus
-      "q_unigram_lm")
+      // word-table growth, never rounds × corpus. The encode adds the
+      // broadcast word→token-count join back to the corpus (the
+      // bpeEncode shape).
+      "q_unigram_lm", "q_unigram_encode")
     // optional 4th arg: comma-separated query filter (iterate on one
     // operator without re-timing the full set; replica build unchanged)
     val only = args.lift(3).map(_.split(",").toSet)

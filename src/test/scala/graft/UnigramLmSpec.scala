@@ -70,6 +70,21 @@ class UnigramLmSpec extends AnyFunSuite {
       s"equal-cost paths must resolve to the longest piece, got $counts")
   }
 
+  test("encodeWords: piece counts bounded by the DP geometry on every word") {
+    // each piece covers 1..maxPieceLen chars and the segmentation
+    // covers the word exactly once, so for every word:
+    //   ceil(len / maxPieceLen) <= n_pieces <= len
+    val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val enc = UnigramLm.encodeWords(docs, "text", maxPieceLen = 3, maxWordLen = 12)
+    val bad = enc
+      .filter(col("n_pieces") > length(col("word")) ||
+        col("n_pieces") * 3 < length(col("word")))
+      .count()
+    assert(bad == 0, s"$bad words violate the piece-count geometry bounds")
+    assert(enc.filter(length(col("word")) > 12).count() == 0,
+      "words beyond the training cap must be outside the encode universe")
+  }
+
   test("unsegmentable word stays deterministic (sentinel paths, no hang/crash)") {
     import spark.implicits._
     // vocab lacks 'q': word "qa" has NO real segmentation — every dp
