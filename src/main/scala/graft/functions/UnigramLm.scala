@@ -154,9 +154,33 @@ object UnigramLm {
           struct((pos - lStar).as("pos"), concat(s.getField("ps"), array(piece)).as("ps")))
       })
 
+    // the backtrace walks END → START, so the accumulated array is the
+    // segmentation reversed — reverse once so the public contract
+    // ("left-to-right") holds for callers using the pieces as an
+    // actual tokenization (counts/sizes are order-blind) (review r13)
     wf.withColumn("__dp", dpExpr)
-      .withColumn("pieces", btExpr.getField("ps"))
+      .withColumn("pieces", reverse(btExpr.getField("ps")))
       .drop("__dp")
+  }
+
+  /** The shared EM core: word table (checkpointed once) + `rounds`
+    * E/M rounds; returns (wf, final vocabulary counts). Both [[train]]
+    * and [[encodeWords]] ride this — a second copy of the loop would
+    * let the two entry points' training contracts drift (review r13). */
+  private def emRounds(df: DataFrame, textCol: String,
+      maxPieceLen: Int, maxWordLen: Int,
+      seedMulti: Int, rounds: Int): (DataFrame, DataFrame) = {
+    require(rounds >= 1 && maxPieceLen >= 1 && maxWordLen >= maxPieceLen)
+    // the word table feeds the seed AND every round's E-step — pin it
+    // once (the bpeEncode checkpoint precedent, review r4)
+    val wf = wordFreq(df, textCol, maxWordLen).localCheckpoint()
+    var vocab = seedVocab(seedCandidates(wf, maxPieceLen), seedMulti)
+    for (_ <- 1 to rounds) {
+      val rows = vocab.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+      vocab = viterbiCounts(wf, quantizedCosts(rows), maxPieceLen, maxWordLen)
+    }
+    (wf, vocab)
   }
 
   /** Trained-model ENCODE (the [[graft.functions.Bpe]] `bpeEncode`
@@ -170,14 +194,7 @@ object UnigramLm {
   def encodeWords(df: DataFrame, textCol: String,
       maxPieceLen: Int = 3, maxWordLen: Int = 12,
       seedMulti: Int = 200, rounds: Int = 2): DataFrame = {
-    require(rounds >= 1 && maxPieceLen >= 1 && maxWordLen >= maxPieceLen)
-    val wf = wordFreq(df, textCol, maxWordLen).localCheckpoint()
-    var vocab = seedVocab(seedCandidates(wf, maxPieceLen), seedMulti)
-    for (_ <- 1 to rounds) {
-      val rows = vocab.collect()
-        .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
-      vocab = viterbiCounts(wf, quantizedCosts(rows), maxPieceLen, maxWordLen)
-    }
+    val (wf, vocab) = emRounds(df, textCol, maxPieceLen, maxWordLen, seedMulti, rounds)
     val finalRows = vocab.collect()
       .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
     viterbiSegments(wf, quantizedCosts(finalRows), maxPieceLen, maxWordLen)
@@ -190,16 +207,7 @@ object UnigramLm {
   def train(df: DataFrame, textCol: String,
       maxPieceLen: Int = 3, maxWordLen: Int = 12,
       seedMulti: Int = 200, rounds: Int = 2, topK: Int = 100): DataFrame = {
-    require(rounds >= 1 && maxPieceLen >= 1 && maxWordLen >= maxPieceLen)
-    // the word table feeds the seed AND every round's E-step — pin it
-    // once (the bpeEncode checkpoint precedent, review r4)
-    val wf = wordFreq(df, textCol, maxWordLen).localCheckpoint()
-    var vocab = seedVocab(seedCandidates(wf, maxPieceLen), seedMulti)
-    for (_ <- 1 to rounds) {
-      val rows = vocab.collect()
-        .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
-      vocab = viterbiCounts(wf, quantizedCosts(rows), maxPieceLen, maxWordLen)
-    }
+    val (_, vocab) = emRounds(df, textCol, maxPieceLen, maxWordLen, seedMulti, rounds)
     val tot = vocab.agg(sum(col("cnt")).cast("double").as("__t"))
     vocab.crossJoin(broadcast(tot))
       .select(col("piece"), col("cnt"),

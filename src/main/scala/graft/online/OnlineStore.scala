@@ -738,16 +738,24 @@ class ParquetOnlineStore(
         case _: java.io.FileNotFoundException => Nil
       }
     }
-    def resolveFiles(): Seq[org.apache.hadoop.fs.Path] = buckets.flatMap { b =>
-      val live = bucketFiles(p, b)
-      if (live.nonEmpty) live
-      else {
-        val aside = bucketFiles(p + ".old", b)
-        // Both empty can mean the swap completed (deleting `.old`)
-        // between our two looks — the bucket is back in the live tree
-        // now, so look there once more before concluding NOT_FOUND.
-        if (aside.nonEmpty) aside else bucketFiles(p, b)
+    // per-bucket resolution, keeping WHICH buckets resolved empty — the
+    // empty-race retry below must trigger when ANY requested bucket is
+    // empty mid-swap, not only when all are (review r13: a two-bucket
+    // read whose second bucket hit the window still served NOT_FOUND
+    // while the first bucket's files made the global list non-empty)
+    def resolveFiles(): (Seq[org.apache.hadoop.fs.Path], Boolean) = {
+      val perBucket = buckets.map { b =>
+        val live = bucketFiles(p, b)
+        if (live.nonEmpty) live
+        else {
+          val aside = bucketFiles(p + ".old", b)
+          // Both empty can mean the swap completed (deleting `.old`)
+          // between our two looks — the bucket is back in the live tree
+          // now, so look there once more before concluding NOT_FOUND.
+          if (aside.nonEmpty) aside else bucketFiles(p, b)
+        }
       }
+      (perBucket.flatten, perBucket.exists(_.isEmpty))
     }
     // Serving block cache (see companion): each small bucket file
     // decodes + indexes once per version — point reads after that are
@@ -769,14 +777,13 @@ class ParquetOnlineStore(
     var attempt = 0
     while (hits == null) {
       try {
-        val files = resolveFiles()
-        // a requested bucket resolving EMPTY while the rename-aside
+        val (files, someEmpty) = resolveFiles()
+        // ANY requested bucket resolving EMPTY while the rename-aside
         // root exists is the other race shape (a second swap's
         // rename-out landing between our re-checks) — same retry; a
         // genuinely absent bucket (no swap in flight) stays a clean
         // NOT_FOUND with no exception and no retry
-        if (files.isEmpty && buckets.nonEmpty && attempt < 6 &&
-            fsys.exists(hp(p + ".old"))) {
+        if (someEmpty && attempt < 6 && fsys.exists(hp(p + ".old"))) {
           attempt += 1
           Thread.sleep(1L << attempt)
         } else hits = files

@@ -323,9 +323,9 @@ object AsOfJoin {
     * same estimate-vs-actual class BroadcastAudit closed for the
     * corpus operators). None = unmeasurable variable width → the
     * caller refuses the broadcast route. */
-  private def payloadColWidth(src: DataFrame, c: String): Option[Double] = {
+  private def varWidth(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
-    def varWidth(dt: DataType): Boolean = dt match {
+    dt match {
       case _: StringType => true
       case BinaryType => true
       case _: ArrayType => true
@@ -333,9 +333,27 @@ object AsOfJoin {
       case st: StructType => st.exists(f => varWidth(f.dataType))
       case _ => false
     }
-    val dt = src.schema(c).dataType
-    if (!varWidth(dt)) Some(dt.defaultSize.toDouble)
-    else graft.sources.FooterBounds.avgRowBytes(src, c)
+  }
+
+  /** Widths for every payload column, ONE footer sweep per distinct
+    * source frame (a view with many variable-width features would
+    * otherwise re-parse the same footers once per column). None =
+    * variable width the footers can't answer. */
+  private def payloadWidths(payload: Seq[(DataFrame, String)]): Seq[Option[Double]] = {
+    val out = new Array[Option[Double]](payload.size)
+    payload.zipWithIndex.groupBy(_._1._1).foreach { case (src, entries) =>
+      val varCols = entries.collect {
+        case ((_, c), _) if varWidth(src.schema(c).dataType) => c
+      }
+      val measured =
+        if (varCols.isEmpty) Map.empty[String, Double]
+        else graft.sources.FooterBounds.avgRowBytes(src, varCols)
+      entries.foreach { case ((_, c), i) =>
+        val dt = src.schema(c).dataType
+        out(i) = if (!varWidth(dt)) Some(dt.defaultSize.toDouble) else measured.get(c)
+      }
+    }
+    out.toIndexedSeq
   }
 
   def chooseStrategy(left: DataFrame, right: DataFrame,
@@ -361,7 +379,7 @@ object AsOfJoin {
         // (review r13: defaultSize rated document text at a flat
         // 20 bytes/row, so a borderline entity frame could approve a
         // multi-GB winners broadcast).
-        val widths = broadcastPayload.map { case (src, c) => payloadColWidth(src, c) }
+        val widths = payloadWidths(broadcastPayload)
         val bSize: Option[BigInt] =
           if (broadcastPayload.isEmpty) Some(size)
           else if (widths.exists(_.isEmpty)) None

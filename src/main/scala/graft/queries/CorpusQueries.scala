@@ -428,7 +428,11 @@ object CorpusQueries {
     }
     val wsym = encoded.select(col("word"), size(col("s")).cast("long").as("n_sym"))
     val dw = d.select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
-    dw.join(broadcast(wsym), Seq("word"))
+    // the word table is NOT bounded by construction (vocabulary grows
+    // with the corpus, especially noisy crawls) — routed like every
+    // corpus-derived join side, never an unconditional broadcast
+    // (review r13; the toy-scale broadcast survives the gate)
+    dw.join(graft.functions.Dedup.mergeUnlessTiny(d)(wsym), Seq("word"))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_words"),
         sum(length(col("word"))).as("n_char_syms"),
@@ -605,7 +609,8 @@ object CorpusQueries {
       maxPieceLen = UniPieceLen, maxWordLen = UniWordLen,
       seedMulti = UniSeed, rounds = UniRounds)
     val dw = d.select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
-    dw.join(broadcast(wsym), Seq("word"))
+    // word-grain frame — routed, same policy as bpeEncode (review r13)
+    dw.join(graft.functions.Dedup.mergeUnlessTiny(d)(wsym), Seq("word"))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_words"),
         sum(length(col("word"))).as("n_chars"),

@@ -103,22 +103,36 @@ object FooterBounds {
     * unmeasurable (refuse, or fall back to its own bound). Filters are
     * traced through, so the returned width is the FILE's average, not
     * the filtered subset's — an estimate by contract. */
-  def avgRowBytes(df: DataFrame, colName: String): Option[Double] = {
+  def avgRowBytes(df: DataFrame, colName: String): Option[Double] =
+    avgRowBytes(df, Seq(colName)).get(colName)
+
+  /** Multi-column variant: ONE footer sweep measures every requested
+    * column (the as-of gate asks about every payload column of a view —
+    * a per-column sweep re-parsed the same footers once per column,
+    * review r13). Returns only the measurable columns; a column whose
+    * trace fails or whose field is absent from any file is simply not
+    * in the map. */
+  def avgRowBytes(df: DataFrame, colNames: Seq[String]): Map[String, Double] = {
     try {
       val plan = df.queryExecution.analyzed
-      for {
-        attr0 <- plan.output.find(_.name == colName)
-        attr <- traceAlias(plan, attr0)
-        rel <- leafRelation(plan)
-        physName <- Some(attr.name)
-          .filter(n => rel.dataSchema.fieldNames.contains(n) &&
-            !rel.partitionSchema.fieldNames.contains(n))
-        w <- footerAvgRowBytes(df, rel, physName)
-      } yield w
+      leafRelation(plan) match {
+        case None => Map.empty
+        case Some(rel) =>
+          val phys: Map[String, String] = colNames.distinct.flatMap { c =>
+            for {
+              attr0 <- plan.output.find(_.name == c)
+              attr <- traceAlias(plan, attr0)
+              if rel.dataSchema.fieldNames.contains(attr.name) &&
+                !rel.partitionSchema.fieldNames.contains(attr.name)
+            } yield c -> attr.name
+          }.toMap
+          if (phys.isEmpty) Map.empty
+          else footerAvgRowBytes(df, rel, phys)
+      }
     } catch {
       case scala.util.control.NonFatal(e) =>
         if (sys.env.contains("GRAFT_FOOTER_DEBUG")) e.printStackTrace()
-        None
+        Map.empty
     }
   }
 
@@ -142,34 +156,42 @@ object FooterBounds {
       case _ => None
     }
 
-  /** Σ totalUncompressedSize of every leaf chunk under top-level column
-    * `colName`, over Σ file rows — nested columns (arrays/structs) fan
-    * out into several leaves that all share the top-level path head, so
-    * summing by path head covers exactly the column's bytes
-    * (repetition/definition levels included — the right side of the
-    * estimate for an in-memory row representation). */
+  /** Σ totalUncompressedSize of every leaf chunk under each requested
+    * top-level column, over Σ file rows, in ONE sweep — nested columns
+    * (arrays/structs) fan out into several leaves that all share the
+    * top-level path head, so summing by path head covers exactly the
+    * column's bytes (repetition/definition levels included — the right
+    * side of the estimate for an in-memory row representation). A
+    * column absent from any file's schema drops out of the result
+    * (schema evolution — no per-file answer would bound it). */
   private def footerAvgRowBytes(df: DataFrame, rel: HadoopFsRelation,
-      colName: String): Option[Double] = {
+      phys: Map[String, String]): Map[String, Double] = {
     val files = rel.location.inputFiles
-    if (files.isEmpty || files.length > MaxFooterFiles) return None
+    if (files.isEmpty || files.length > MaxFooterFiles) return Map.empty
     val conf = df.sparkSession.sessionState.newHadoopConf()
     var rows = 0L
-    var bytes = 0L
+    val bytes = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    var alive = phys // (outCol -> physName) still measurable
     files.foreach { f =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
       try {
         val schema = reader.getFooter.getFileMetaData.getSchema
-        if (!schema.containsField(colName)) return None
+        alive = alive.filter { case (_, pn) => schema.containsField(pn) }
+        if (alive.isEmpty) return Map.empty
+        val byPhys = alive.groupMap(_._2)(_._1)
         reader.getFooter.getBlocks.asScala.foreach { block =>
           rows += block.getRowCount
           block.getColumns.asScala.foreach { c =>
             val p = c.getPath.toArray
-            if (p.nonEmpty && p(0) == colName) bytes += c.getTotalUncompressedSize
+            if (p.nonEmpty) byPhys.get(p(0)).foreach(_.foreach { outCol =>
+              bytes(outCol) += c.getTotalUncompressedSize
+            })
           }
         }
       } finally reader.close()
     }
-    if (rows > 0) Some(bytes.toDouble / rows) else None
+    if (rows > 0) alive.keys.map(c => c -> bytes(c).toDouble / rows).toMap
+    else Map.empty
   }
 
   /** Exact micros-since-epoch → Timestamp (sub-ms precision kept via

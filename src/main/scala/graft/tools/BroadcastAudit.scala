@@ -31,13 +31,29 @@ object BroadcastAudit {
     * estimate of the built subtree, the head of its operator chain, and
     * the distinct leaf tables it scans (parquet dir names, `.parquet`
     * stripped). `nestedLoop` marks a BroadcastNestedLoopJoin instead of
-    * an exchange. */
+    * an exchange; `scalarBuild` marks a build side whose top aggregate
+    * has NO grouping keys — a global aggregate, provably ONE row
+    * regardless of what the optimizer estimates (the scalar-attach
+    * crossJoin class: totals, thresholds, stats rows). */
   final case class Hit(est: Option[BigInt], chain: String, scans: Seq[String],
-      nestedLoop: Boolean = false) {
+      nestedLoop: Boolean = false, scalarBuild: Boolean = false) {
     def scansAnyOf(tables: Set[String]): Boolean = scans.exists(tables.contains)
     override def toString: String =
-      if (nestedLoop) s"NESTEDLOOP[$chain]"
+      if (nestedLoop) s"NESTEDLOOP[$chain, scalar=$scalarBuild]"
       else s"bcast[est=${est.getOrElse("?")}, $chain, scans=${scans.mkString(",")}]"
+  }
+
+  /** Does this subtree's FIRST aggregate (walking down through
+    * exchanges/projections) group by nothing — i.e. produce exactly one
+    * row? */
+  private def isScalarAgg(plan: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.aggregate._
+    plan match {
+      case h: HashAggregateExec => h.groupingExpressions.isEmpty
+      case h: ObjectHashAggregateExec => h.groupingExpressions.isEmpty
+      case s: SortAggregateExec => s.groupingExpressions.isEmpty
+      case other => other.children.size == 1 && isScalarAgg(other.children.head)
+    }
   }
 
   /** Collect every broadcast build side of `df`'s (initial) physical
@@ -64,7 +80,17 @@ object BroadcastAudit {
           .mkString("<-")
         Hit(est, chain, leaves.distinct)
       case b: BroadcastNestedLoopJoinExec =>
-        Hit(None, b.joinType.toString, Nil, nestedLoop = true)
+        val build = b.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+        }
+        val leaves = build.collectLeaves().collect {
+          case f: FileSourceScanExec =>
+            f.relation.location.rootPaths.map(p =>
+              p.getName.stripSuffix(".parquet")).mkString("+")
+        }
+        Hit(None, b.joinType.toString, leaves.distinct,
+          nestedLoop = true, scalarBuild = isScalarAgg(build))
     }
   }
 

@@ -55,7 +55,11 @@ class BroadcastTripwireSpec extends AnyFunSuite {
     "q_dedup_minhash", "q_dedup_typo", "q_line_dedup",
     "q_dedup_containment", "q_containment_sweep",
     "q_semantic_dedup", "q_dedup_incremental_fuzzy",
-    "q_contamination", "q_margin_mining")
+    "q_contamination", "q_margin_mining",
+    // r13 additions: the word-grain encode joins (word tables grow
+    // with corpus vocabulary — routed, not broadcast) and the unigram
+    // trainer whose EM runs at vocabulary grain
+    "q_bpe_encode", "q_unigram_lm", "q_unigram_encode")
 
   /** Bounded-shape allowlist: broadcast build sides that scan a corpus
     * table but are BOUNDED BY CONSTRUCTION, verified per shape.
@@ -86,6 +90,10 @@ class BroadcastTripwireSpec extends AnyFunSuite {
       val df = graft.SparkEntry.queries(name)(spark, dir)
       graft.tools.BroadcastAudit.auditDf(df)
         .filter(h => h.nestedLoop || h.scansAnyOf(corpusTables))
+        // a nested-loop whose build side is a GLOBAL aggregate is the
+        // bounded scalar-attach class (totals/thresholds crossJoined
+        // onto a frame — provably one row, not an estimate)
+        .filterNot(h => h.nestedLoop && h.scalarBuild)
         .filterNot(h => !h.nestedLoop && allowed(name, h))
         .map(h => s"$name: $h")
     }

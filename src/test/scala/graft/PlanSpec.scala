@@ -113,13 +113,16 @@ class PlanSpec extends AnyFunSuite {
     assert(est * 28 / leftWidth < thrBetween &&
       thrBetween < est * BigInt(8 + w.get.toLong) / leftWidth,
       "fixture: threshold must sit between the blind and measured estimates")
+    // ONE try/finally for the whole conf-mutating block: an assert
+    // failing mid-way must not leak either conf into the shared session
+    // (a leaked rightMin=1b flips routes in later tests — review r13)
     spark.conf.set("graft.asof.broadcastRightMin", "1b")
     spark.conf.set("graft.asof.broadcastThreshold", s"${thrBetween}b")
-    try assert(graft.plans.AsOfJoin.chooseStrategy(entity, docs,
-      Seq((docs, "text"))) == graft.plans.AsOfJoin.SortMerge,
-      "wide-text payload must pin sortmerge under a width-blind-approving threshold")
-    finally spark.conf.unset("graft.asof.broadcastThreshold")
     try {
+      assert(graft.plans.AsOfJoin.chooseStrategy(entity, docs,
+        Seq((docs, "text"))) == graft.plans.AsOfJoin.SortMerge,
+        "wide-text payload must pin sortmerge under a width-blind-approving threshold")
+      spark.conf.unset("graft.asof.broadcastThreshold")
       // a genuinely small measured payload still passes the default gate
       assert(graft.plans.AsOfJoin.chooseStrategy(entity, docs,
         Seq((docs, "lang"))) == graft.plans.AsOfJoin.Broadcast,
@@ -133,7 +136,10 @@ class PlanSpec extends AnyFunSuite {
       assert(graft.plans.AsOfJoin.chooseStrategy(entity, mem,
         Seq((mem, "s"))) == graft.plans.AsOfJoin.SortMerge,
         "unmeasurable variable-width payload must refuse the broadcast route")
-    } finally spark.conf.unset("graft.asof.broadcastRightMin")
+    } finally {
+      spark.conf.unset("graft.asof.broadcastThreshold")
+      spark.conf.unset("graft.asof.broadcastRightMin")
+    }
   }
 
   test("engine-owned AQE policy: PIT chain is static through the public API in an AQE-on session") {
