@@ -653,6 +653,52 @@ object CorpusQueries {
     sb.result()
   }
 
+  // ---- span corruption (denoising pairs) ------------------------------
+
+  /** T5/UL2-style span-corruption training pairs
+    * ([[graft.functions.Denoise.spanCorruption]]): deterministic
+    * block-local span schedule, sentinel-masked input + span targets —
+    * one codegen'd projection, no join, no randomness. The oracle
+    * restates the identical integer schedule over DuckDB list
+    * lambdas. */
+  def spanCorruption(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Denoise.spanCorruption(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val spanCorruptionSql: String = {
+    val B = graft.functions.Denoise.BlockSize
+    val M = graft.functions.Denoise.OffsetMod
+    val LB = graft.functions.Denoise.LenBase
+    val LM = graft.functions.Denoise.LenMod
+    val S = s"((doc_id*1009 + k*9176) % $M)"
+    val L = s"($LB + (doc_id + k) % $LM)"
+    val LO = s"(k*$B + $S)"
+    val HI = s"least($LO + $L, n)"
+    val Sp = s"((doc_id*1009 + (p//$B)*9176) % $M)"
+    val Lp = s"($LB + (doc_id + (p//$B)) % $LM)"
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         COALESCE(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |                  CAST([] AS VARCHAR[])) AS ws
+       |  FROM documents),
+       |b AS (SELECT doc_id, ws, len(ws) AS n FROM w)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+       |  CAST(COALESCE(list_aggregate(list_transform(
+       |    list_filter(range(0, (n + ${B - 1})//$B), k -> $LO < n),
+       |    k -> $HI - $LO), 'sum'), 0) AS BIGINT) AS n_masked,
+       |  COALESCE(array_to_string(list_filter(list_transform(range(0, n), p ->
+       |    CASE WHEN (p % $B) >= $Sp AND (p % $B) < $Sp + $Lp
+       |         THEN CASE WHEN (p % $B) = $Sp
+       |                   THEN '<extra_id_' || CAST(p//$B AS VARCHAR) || '>'
+       |                   END
+       |         ELSE ws[p+1] END), x -> x IS NOT NULL), ' '), '') AS input_text,
+       |  COALESCE(array_to_string(list_transform(
+       |    list_filter(range(0, (n + ${B - 1})//$B), k -> $LO < n),
+       |    k -> '<extra_id_' || CAST(k AS VARCHAR) || '> ' ||
+       |         array_to_string(ws[$LO + 1 : $HI], ' ')), ' '), '') AS targets
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
   // ---- contrastive negative sampling ---------------------------------
 
   private val NegK = 4
@@ -729,6 +775,7 @@ object CorpusQueries {
     "q_bpe_encode" -> (bpeEncode _),
     "q_unigram_lm" -> (unigramLm _),
     "q_unigram_encode" -> (unigramEncode _),
+    "q_span_corruption" -> (spanCorruption _),
     "q_dup_span" -> (dupSpan _),
     "q_novelty" -> (novelty _),
     "q_url_canonical" -> (urlCanonical _),
@@ -743,6 +790,7 @@ object CorpusQueries {
     "q_bpe_encode" -> bpeEncodeSql,
     "q_unigram_lm" -> unigramLmSql,
     "q_unigram_encode" -> unigramEncodeSql,
+    "q_span_corruption" -> spanCorruptionSql,
     "q_dup_span" -> dupSpanSql,
     "q_novelty" -> noveltySql,
     "q_url_canonical" -> urlCanonicalSql,

@@ -75,6 +75,58 @@ object AsofScale {
     else println("[asof-scale] 10x replica missing (run ScaleCheck first)")
     if (new java.io.File(s"$feat100/lineitem.parquet").exists()) run("100x", feat100)
     else println("[asof-scale] 100x replica missing (run ScaleCheck first)")
+
+    // ---- TEXT-payload rows (VERDICT r12 #1): a feature view whose
+    // payload is document text — the LLM-retrieval shape whose winners
+    // frame the defaultSize gate under-priced ~15x (flat 20 B vs
+    // measured footer actuals). Per scale: the measured width, what the
+    // BLIND (defaultSize) gate would have decided vs what the
+    // width-aware gate decides, and both routes forced — the
+    // shuffled/broadcast bytes show what the refused route would have
+    // shipped.
+    def runText(tag: String, dir: String): Unit = {
+      val p = s"$dir/documents.parquet"
+      if (!new java.io.File(p).exists()) {
+        println(s"[asof-scale] $tag text: documents replica missing"); return
+      }
+      val docsRaw = spark.read.parquet(p)
+      val feat = docsRaw.select(col("doc_id"),
+        (lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")) +
+          expr("make_interval(0,0,0,CAST(doc_id % 28 AS INT),0,0,0)")).as("f_ts"),
+        col("text"))
+      val ent = docsRaw.select(col("doc_id"),
+        lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00")).as("event_timestamp"))
+      val w = graft.sources.FooterBounds.avgRowBytes(feat, "text")
+      val est = ent.queryExecution.optimizedPlan.stats.sizeInBytes
+      val leftW = ent.schema.map(_.dataType.defaultSize).sum
+      val blindB = est * (8 + 20) / leftW
+      val measuredB = w.map(x => est * BigInt((8 + x).toLong) / leftW)
+      spark.conf.set("graft.asof.broadcastRightMin", "1b")
+      val decided =
+        try graft.plans.AsOfJoin.chooseStrategy(ent, feat, Seq((feat, "text")))
+        finally spark.conf.unset("graft.asof.broadcastRightMin")
+      println(f"[asof-scale] $tag%-5s text: width=${w.map(x => f"$x%.0f").getOrElse("?")} B/row " +
+        s"entityEst=$est blindWinnersEst=$blindB measuredWinnersEst=${measuredB.getOrElse("?")} " +
+        s"gate=$decided (blind would ${if (blindB <= (10L << 20)) "APPROVE" else "refuse"} at 10MB)")
+      for (strategy <- Seq(graft.plans.AsOfJoin.SortMerge, graft.plans.AsOfJoin.Broadcast)) {
+        val df = graft.plans.AsOfJoin.join(ent, feat, Seq("doc_id"),
+          "event_timestamp", "f_ts", java.time.Duration.ZERO,
+          orderCols = Nil, featureCols = Seq("text"), strategy = strategy)
+        def force(): Unit = df.write.format("noop").mode("overwrite").save()
+        force()
+        shuffleWrite.set(0)
+        val walls = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); force(); (System.nanoTime() - t0) / 1e9
+        }
+        Thread.sleep(500)
+        val shufMb = shuffleWrite.get / 3.0 / 1e6
+        println(f"[asof-scale] $tag%-5s text-$strategy%-10s min=${walls.min}%7.3f s " +
+          f"shuffleWrite=$shufMb%9.2f MB/run")
+      }
+    }
+    runText("1x", feat1)
+    runText("10x", feat10)
+    runText("100x", feat100)
     spark.stop()
   }
 }

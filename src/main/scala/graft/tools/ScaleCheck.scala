@@ -211,7 +211,11 @@ object ScaleCheck {
       // word-table growth, never rounds × corpus. The encode adds the
       // broadcast word→token-count join back to the corpus (the
       // bpeEncode shape).
-      "q_unigram_lm", "q_unigram_encode")
+      "q_unigram_lm", "q_unigram_encode",
+      // span corruption: one codegen'd projection, no join — the ratio
+      // pins that the per-position schedule stays embarrassingly
+      // parallel (wall ≈ scan growth)
+      "q_span_corruption")
     // optional 4th arg: comma-separated query filter (iterate on one
     // operator without re-timing the full set; replica build unchanged)
     val only = args.lift(3).map(_.split(",").toSet)

@@ -244,6 +244,27 @@ class PlanSpec extends AnyFunSuite {
     assert(FooterBounds.tsBounds(mem, "ts").isEmpty)
   }
 
+  test("FooterBounds.avgRowBytes: one sweep measures many columns; schema evolution drops, never guesses") {
+    import graft.sources.FooterBounds
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftfw").toString
+    // two files with EVOLVED schemas: 'extra' exists only in the second
+    Seq((1L, "aaaaaaaaaa")).toDF("id", "s").write.parquet(s"$dir/t/p1")
+    Seq((2L, "bbbbbbbbbb", "cc")).toDF("id", "s", "extra").write.parquet(s"$dir/t/p2")
+    val df = spark.read.option("mergeSchema", "true").parquet(s"$dir/t/p1", s"$dir/t/p2")
+    val m = FooterBounds.avgRowBytes(df, Seq("id", "s", "extra", "nope"))
+    // measurable columns answer; a column absent from ANY file has no
+    // per-file bound and must DROP from the result (not default)
+    assert(m.contains("id") && m.contains("s"),
+      s"id/s must measure, got $m")
+    assert(!m.contains("extra"), s"evolved column must drop, got $m")
+    assert(!m.contains("nope"), s"unknown column must drop, got $m")
+    assert(m("s") > m("id") / 2, s"string bytes should register, got $m")
+    // single-column facade agrees with the sweep
+    assert(FooterBounds.avgRowBytes(df, "s").contains(m("s")))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("FooterBounds: leaf-path chunk lookup survives a struct column before ts; pre-1970 nanos truncate like div") {
     import graft.sources.FooterBounds
     import org.apache.spark.sql.functions._

@@ -913,4 +913,58 @@ class PropertySpec extends AnyFunSuite {
     }
     runCheck(prop, minTests = 8)
   }
+
+  test("unigram Viterbi fold agrees with a plain-Scala DP oracle on arbitrary words/costs (ScalaCheck)") {
+    import spark.implicits._
+    // independent nested-loop DP: same semantics stated twice — integer
+    // costs, sentinel 1e15 for out-of-vocab pieces, min over piece
+    // lengths, backtrace preferring the LONGEST piece whose path cost
+    // equals dp[pos], emitted left-to-right
+    val SENT = graft.functions.UnigramLm.Sentinel
+    def oracleSegment(word: String, costs: Map[String, Long], maxLen: Int): Seq[String] = {
+      val n = word.length
+      val dp = Array.fill(n + 1)(0L)
+      // exactly the engine arithmetic: COALESCE(dp + cost, SENT)
+      def term(i: Int, l: Int): Long =
+        costs.get(word.substring(i - l, i)).map(dp(i - l) + _).getOrElse(SENT)
+      for (i <- 1 to n) dp(i) = (1 to math.min(maxLen, i)).map(l => term(i, l)).min
+      var pos = n
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var steps = 0
+      while (pos > 0 && steps <= word.length) {
+        val l = (math.min(maxLen, pos) to 1 by -1)
+          .find(l => term(pos, l) == dp(pos)).getOrElse(1)
+        out += word.substring(pos - l, pos)
+        pos -= l
+        steps += 1
+      }
+      out.reverse.toSeq
+    }
+    val genCase = for {
+      nWords <- Gen.choose(1, 12)
+      words <- Gen.listOfN(nWords,
+        Gen.choose(1, 12).flatMap(n =>
+          Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+      // vocab: random subset of substrings with random positive costs;
+      // singles sometimes missing on purpose (sentinel paths must agree)
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (words.distinct, seed)
+    val prop = Prop.forAllNoShrink(genCase) { case (words, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val subs = words.flatMap(w =>
+        for (i <- 0 until w.length; l <- 1 to math.min(3, w.length - i))
+          yield w.substring(i, i + l)).distinct
+      val vocab = subs.filter(_ => rnd.nextDouble() < 0.7)
+        .map(p => p -> (1L + rnd.nextInt(1000000).toLong)).toMap
+      if (vocab.isEmpty) Prop.passed
+      else {
+        val wf = words.map(w => (w, 1L + rnd.nextInt(50).toLong)).toDF("word", "freq")
+        val got = graft.functions.UnigramLm.viterbiSegments(wf, vocab, 3, 12)
+          .collect().map(r => r.getString(0) -> r.getSeq[String](2).toSeq).toMap
+        val want = words.map(w => w -> oracleSegment(w, vocab, 3)).toMap
+        (got == want) :| s"engine=$got oracle=$want vocab=${vocab.take(8)}"
+      }
+    }
+    runCheck(prop, 40)
+  }
 }

@@ -101,4 +101,34 @@ class UnigramLmSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(counts == Map("qa" -> 1L))
   }
+
+  test("spanCorruption: substituting targets back into the input reconstructs the document") {
+    // THE denoising invariant: input with each <extra_id_k> replaced by
+    // target span k must equal the original word sequence — pins the
+    // schedule, the sentinel placement, the span slicing, and the
+    // left-to-right ordering all at once, on every real document
+    val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val out = graft.functions.Denoise.spanCorruption(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toSeq
+    val words = docs.selectExpr("doc_id",
+        "array_join(coalesce(regexp_extract_all(lower(text), '[a-z0-9]+', 0), array()), ' ') AS w")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    var maskedTotal = 0L
+    var wordsTotal = 0L
+    out.foreach { case (id, nWords, nMasked, input, targets) =>
+      maskedTotal += nMasked; wordsTotal += nWords
+      // parse targets into span-k -> words
+      val spanMap = "<extra_id_(\\d+)>".r.findAllMatchIn(targets).map(_.group(1).toInt).toSeq
+      val parts = targets.split("<extra_id_\\d+> ?").toSeq.filter(_.nonEmpty).map(_.trim)
+      val bySpan = spanMap.zip(parts).toMap
+      val rebuilt = "<extra_id_(\\d+)>".r.replaceAllIn(input,
+        m => java.util.regex.Matcher.quoteReplacement(bySpan(m.group(1).toInt)))
+      assert(rebuilt == words(id),
+        s"doc $id failed reconstruction:\nGOT $rebuilt\nWANT ${words(id)}")
+      assert(nMasked <= nWords)
+    }
+    val rate = maskedTotal.toDouble / math.max(1, wordsTotal)
+    assert(rate > 0.1 && rate < 0.3, s"corruption rate $rate outside the T5 neighborhood")
+  }
 }
