@@ -44,7 +44,11 @@ object Denoise {
       typedlit(Seq.empty[String]))
     val n = size(words)
 
-    def s(k: Column) = pmod(d * 1009 + k * 9176, lit(OffsetMod))
+    // k rides as an INT (sequence element / floored position); the
+    // 9176 multiply must run in LONG or it wraps for block indexes
+    // past ~234k (~3.7M-word documents — plausible in noisy crawls)
+    // while the oracle's BIGINT schedule doesn't (review r13)
+    def s(k: Column) = pmod(d * 1009 + k.cast("long") * 9176L, lit(OffsetMod))
     def len(k: Column) = lit(LenBase) + pmod(d + k, lit(LenMod))
     def lo(k: Column) = k * BlockSize + s(k)
     def hi(k: Column) = least(lo(k) + len(k), n)

@@ -43,16 +43,29 @@ object BroadcastAudit {
       else s"bcast[est=${est.getOrElse("?")}, $chain, scans=${scans.mkString(",")}]"
   }
 
-  /** Does this subtree's FIRST aggregate (walking down through
-    * exchanges/projections) group by nothing — i.e. produce exactly one
-    * row? */
+  /** Does this subtree's FIRST aggregate group by nothing — i.e.
+    * produce exactly one row — reached only through operators that
+    * cannot MULTIPLY rows? The walk is a WHITELIST (project / filter /
+    * sort / exchanges / codegen wrappers), not "any single-child node":
+    * a Generate/Expand above a global aggregate fans its one row out
+    * again, and walking through it would mark a corpus-scale explode
+    * 'provably one row' (review r13). */
   private def isScalarAgg(plan: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution._
     import org.apache.spark.sql.execution.aggregate._
     plan match {
       case h: HashAggregateExec => h.groupingExpressions.isEmpty
       case h: ObjectHashAggregateExec => h.groupingExpressions.isEmpty
       case s: SortAggregateExec => s.groupingExpressions.isEmpty
-      case other => other.children.size == 1 && isScalarAgg(other.children.head)
+      case other =>
+        val rowPreserving = other match {
+          case _: ProjectExec | _: FilterExec | _: SortExec => true
+          case _: exchange.Exchange => true
+          case _: WholeStageCodegenExec | _: InputAdapter => true
+          case _: adaptive.AQEShuffleReadExec => true
+          case _ => false
+        }
+        rowPreserving && other.children.size == 1 && isScalarAgg(other.children.head)
     }
   }
 

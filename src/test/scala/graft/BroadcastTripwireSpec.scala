@@ -16,9 +16,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * it in all affected queries — but the audit was a manually-run tool,
   * so NOTHING enforced that the next corpus operator routes through it.
   *
-  * This spec is the enforcement: it plans (never runs) every
-  * corpus-routed query against a 10× replica of the sf0.1 corpus
-  * tables — the scale where the r12 misbroadcasts actually planned —
+  * This spec is the enforcement: it PLANS every corpus-routed query
+  * against a 10× replica of the sf0.1 corpus tables — the scale where
+  * the r12 misbroadcasts actually planned — and audits the physical
+  * plan only (construction-time training jobs run for the tokenizer
+  * trio, see the routed list) —
   * and fails on ANY broadcast build side whose subtree scans a corpus
   * table, except the explicit bounded-shape allowlist below.
   * Mutation-style red: drop `mergeUnlessTiny` from a routed call site
@@ -57,9 +59,16 @@ class BroadcastTripwireSpec extends AnyFunSuite {
     "q_semantic_dedup", "q_dedup_incremental_fuzzy",
     "q_contamination", "q_margin_mining",
     // r13 additions: the word-grain encode joins (word tables grow
-    // with corpus vocabulary — routed, not broadcast) and the unigram
-    // trainer whose EM runs at vocabulary grain
-    "q_bpe_encode", "q_unigram_lm", "q_unigram_encode")
+    // with corpus vocabulary — routed, not broadcast), the unigram
+    // trainer whose EM runs at vocabulary grain, and the span-corruption
+    // projection (joinless today; listed so a future join side gets
+    // coverage from day one). NOTE: the tokenizer trio RUNS its
+    // bounded training jobs (word-freq aggs + vocab collects) at
+    // construction time — the audited artifact is still only the PLAN,
+    // but these three cost real 10x-replica jobs, deliberately: the
+    // audit of the real query beats a cheaper proxy of it.
+    "q_bpe_encode", "q_unigram_lm", "q_unigram_encode",
+    "q_span_corruption")
 
   /** Bounded-shape allowlist: broadcast build sides that scan a corpus
     * table but are BOUNDED BY CONSTRUCTION, verified per shape.
