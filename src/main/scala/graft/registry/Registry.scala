@@ -83,7 +83,21 @@ class Registry(path: Option[String] = None, cacheTtl: Duration = Duration.ofSeco
     // refresh that raced a newer mutate must NOT clobber it: skip the
     // assignment when someone advanced the cache after our load began.
     val t0 = System.currentTimeMillis()
-    val loaded = load()
+    val loaded =
+      try load()
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          // a TTL refresh on the SERVING path holds a perfectly usable
+          // cached state — a transient remote-FS failure (throttle,
+          // network blip; only FileNotFound is retried inside load)
+          // must serve stale + retry after the next TTL window, not
+          // 500 a point read (review r13). The constructor's initial
+          // load still propagates: starting EMPTY against a broken
+          // registry would silently serve nothing.
+          System.err.println(s"[registry] refresh failed, serving cached " +
+            s"state (${e.getClass.getSimpleName}: ${e.getMessage})")
+          None
+      }
     synchronized {
       if (cachedAt < t0) {
         loaded.foreach(state = _)
@@ -98,7 +112,22 @@ class Registry(path: Option[String] = None, cacheTtl: Duration = Duration.ofSeco
     * silently dropping every registration the other writer made
     * (review r6). The lock is the same O_EXCL claim primitive
     * VersionedTable uses; a crashed holder's lock expires after
-    * `lockStaleMs` so it cannot wedge the registry forever. */
+    * `lockStaleMs` so it cannot wedge the registry forever.
+    *
+    * LEASE ASSUMPTIONS (review r13, stated rather than silently
+    * relied on): staleness is judged by the lock file's mtime against
+    * the OBSERVER's clock — an mtime lease, not a heartbeat. It is
+    * sound when (a) writer clocks and the filesystem's clock agree to
+    * well under `lockStaleMs` (NTP-class sync; the stale bound is
+    * 30 s) and (b) no holder's critical section (one registry load +
+    * one JSON persist) approaches `lockStaleMs` — registries are
+    * kilobytes, so both hold by orders of magnitude on any sane
+    * deployment. If a holder IS broken mid-section anyway, the
+    * break/release tombstone discipline keeps the failure at
+    * last-writer-wins on a kilobyte JSON document, never a torn file —
+    * deployments needing more than lease semantics should raise
+    * `graft.registry.lockStaleMs` or front the registry with a real
+    * coordination service. */
   // local writers serialize on a DEDICATED monitor so readers'
   // `this`-scoped state swap never waits behind the cross-process
   // file-lock spin (review r12)
@@ -119,7 +148,10 @@ class Registry(path: Option[String] = None, cacheTtl: Duration = Duration.ofSeco
     }
   }
 
-  private val lockStaleMs = 30000L
+  // overridable where the lease assumptions above are tight (slow
+  // object store, known clock skew): -Dgraft.registry.lockStaleMs=...
+  private val lockStaleMs =
+    sys.props.get("graft.registry.lockStaleMs").map(_.toLong).getOrElse(30000L)
   private def withFileLock[A](body: => A): A = path match {
     case None => body
     case Some(p) =>
@@ -220,10 +252,24 @@ class Registry(path: Option[String] = None, cacheTtl: Duration = Duration.ofSeco
         s"registry: could not acquire $lock after $attempt attempts " +
           s"over ${lockStaleMs + 5000L} ms")
       try body finally {
-        // delete only while the lock still carries OUR token (see above)
-        if (readToken(lock).contains(token))
-          try fs.delete(lock, false)
-          catch { case _: java.io.IOException => () } // stolen/broken: no-op
+        // RELEASE BY ATOMIC RENAME (review r13): the old read-token-
+        // then-delete was itself a TOCTOU — between our token read and
+        // our delete, a breaker could break this (now-stale) lock AND a
+        // new claimant create a fresh one, and our delete then removed
+        // the claimant's LIVE lock (the exact cascade the breaker's
+        // tombstone machinery closes). Capture atomically instead:
+        // rename to a unique tombstone; ours → released; someone
+        // else's (we were broken and replaced mid-section) → restore
+        // it, or drop the tombstone if the path was re-claimed
+        // meanwhile (the breaker's own documented degraded mode).
+        val tomb = new org.apache.hadoop.fs.Path(
+          p + ".lock.release-" + java.util.UUID.randomUUID().toString.take(8))
+        try {
+          if (fs.rename(lock, tomb)) {
+            if (readToken(tomb).contains(token)) fs.delete(tomb, false)
+            else if (!fs.rename(tomb, lock)) fs.delete(tomb, false)
+          }
+        } catch { case _: java.io.IOException => () } // gone already: no-op
       }
   }
 
@@ -277,7 +323,17 @@ class Registry(path: Option[String] = None, cacheTtl: Duration = Duration.ofSeco
         if (fs.exists(hp)) Some(hp)
         else {
           val old = new org.apache.hadoop.fs.Path(p + ".old")
-          if (fs.exists(old)) Some(old) else None
+          if (fs.exists(old)) Some(old)
+          // BOTH missing can mean another process's persist completed
+          // its whole swap between our two looks (live renamed aside
+          // before the first check, re-installed and .old deleted
+          // before the second) — the live copy is back NOW, so look
+          // once more before concluding the registry is empty (a None
+          // here caches an EMPTY state for the whole TTL on the
+          // serving path; review r13). A genuinely fresh path stays
+          // None through all three looks.
+          else if (fs.exists(hp)) Some(hp)
+          else None
         }
       target.map { t =>
         val in = fs.open(t)

@@ -92,6 +92,28 @@ object Changelog {
     val ordIdx = (tsCol +: orderCols.filterNot(_ == tsCol)).map(schema.fieldIndex).toArray
     val valIdx = valueCols.map(schema.fieldIndex).toArray
 
+    // order columns are compared with the per-field Comparable order
+    // inside the GROUP FUNCTION — validate comparability HERE, at plan
+    // time, not on the first matching row of a long-running query
+    // (an array/struct/binary tie-break would otherwise start the
+    // query, create state + checkpoint, and THEN die mid-batch with
+    // the cmpAny IllegalArgumentException — review r13). Binary is
+    // excluded too: it surfaces as Array[Byte], which is not
+    // Comparable.
+    ordIdx.foreach { i =>
+      val f = schema(i)
+      import org.apache.spark.sql.types._
+      val ok = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType | _: DecimalType | _: StringType |
+             TimestampType | TimestampNTZType | DateType | BooleanType => true
+        case _ => false
+      }
+      require(ok, s"changelog order column '${f.name}' of type " +
+        s"${f.dataType} has no total order the state compare supports — " +
+        "use an atomic (non-binary) type")
+    }
+
     // state row layout: order-key fields then value fields (dedup'd —
     // a column may serve as both)
     val stateIdx: Array[Int] = (ordIdx ++ valIdx).distinct
@@ -138,6 +160,23 @@ object Changelog {
         x.length == y.length && x.indices.forall(i => deepEq(x(i), y(i)))
       case (x: scala.collection.Seq[_], y: scala.collection.Seq[_]) =>
         x.length == y.length && x.indices.forall(i => deepEq(x(i), y(i)))
+      // MapType values and struct Rows recurse too: Map.equals compares
+      // VALUES with ==, which is reference equality for nested byte
+      // arrays — a map<string,binary> feature would read as "changed"
+      // on every re-delivery, defeating the suppression contract
+      // (review r13). Binary map KEYS stay unsupported (no equality to
+      // look them up by) — vanishingly rare, and they fail closed: the
+      // value reads as changed, never as falsely-equal.
+      case (x: scala.collection.Map[_, _], y: scala.collection.Map[_, _]) =>
+        x.size == y.size && x.asInstanceOf[scala.collection.Map[Any, Any]]
+          .forall { case (k, v) =>
+            y.asInstanceOf[scala.collection.Map[Any, Any]].get(k) match {
+              case Some(v2) => deepEq(v, v2)
+              case None => false
+            }
+          }
+      case (x: Row, y: Row) =>
+        x.length == y.length && (0 until x.length).forall(i => deepEq(x.get(i), y.get(i)))
       case _ => java.util.Objects.equals(a, b)
     }
     def valuesEqual(row: Row, st: Row): Boolean = {

@@ -107,32 +107,46 @@ object StreamMaterializer {
       .outputMode("update")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // UNLIKE materializeStream (whose r6 measurement dropped its
+        // pre-check as net-negative), this body runs a cache fill +
+        // up to four probe/consume actions — on an IDLE CDC feed at a
+        // 10 s trigger, one cheap isEmpty per empty batch beats paying
+        // that pipeline for nothing, and non-empty batches amortize
+        // the probe against real store I/O.
         if (!batch.isEmpty) {
           // net change per key WITHIN the batch: latest row wins,
           // carrying its op — the shared LWW total order (PullLatest
           // .lwwKeys), with the op column riding in the payload
           val (payload, ord, _) = graft.operators.PullLatest.lwwKeys(
             tsCol, createdCol, view.featureNames :+ opCol)
+          // persist, NOT localCheckpoint (review r13): checkpoint
+          // blocks are unreplicated and lineage-truncated, so losing
+          // one executor between the fill and the ups/dels consumers
+          // failed the batch unrecoverably and terminated the query;
+          // a persist recomputes the collapse from the batch source on
+          // block loss — same dedup benefit, cluster-survivable
           val net = batch
             .groupBy(keys.map(col): _*)
             .agg(max_by(payload, ord).as("__net"))
             .select(keys.map(col) :+ col("__net.*"): _*)
-            .localCheckpoint() // two consumers; don't recompute the collapse
-          // strict two-way classification: a NULL op makes both plain
-          // predicates null, silently dropping the key's net change
-          // from BOTH branches — fail loudly instead (the null-join-key
-          // analog of OnlineStore.guardNullKeys)
-          val isDel = when(col(opCol).isNull,
-            raise_error(lit("materializeCdcStream: NULL op column — " +
-              "every CDC record must carry an op code")).cast("boolean"))
-            .otherwise(col(opCol) === lit(deleteOp))
-          val ups = net.filter(!isDel).drop(opCol)
-          val dels = net.filter(isDel).select(keys.map(col): _*)
-          if (!ups.isEmpty)
-            fs.onlineStore.upsert(fs.project, view, keys,
-              fs.castKeyColumns(ups, view), tsCol, createdCol)
-          if (!dels.isEmpty)
-            fs.onlineStore.delete(fs.project, view, keys, fs.castKeyColumns(dels, view))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            // strict two-way classification: a NULL op makes both plain
+            // predicates null, silently dropping the key's net change
+            // from BOTH branches — fail loudly instead (the
+            // null-join-key analog of OnlineStore.guardNullKeys)
+            val isDel = when(col(opCol).isNull,
+              raise_error(lit("materializeCdcStream: NULL op column — " +
+                "every CDC record must carry an op code")).cast("boolean"))
+              .otherwise(col(opCol) === lit(deleteOp))
+            val ups = net.filter(!isDel).drop(opCol)
+            val dels = net.filter(isDel).select(keys.map(col): _*)
+            if (!ups.isEmpty)
+              fs.onlineStore.upsert(fs.project, view, keys,
+                fs.castKeyColumns(ups, view), tsCol, createdCol)
+            if (!dels.isEmpty)
+              fs.onlineStore.delete(fs.project, view, keys, fs.castKeyColumns(dels, view))
+          } finally { net.unpersist(); () }
         }
         ()
       }

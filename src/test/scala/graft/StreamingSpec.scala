@@ -462,4 +462,43 @@ class StreamingSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet
     assert(got === Set(1L, 2L), s"null-ts row must vanish silently, got $got")
   }
+
+  test("changelog: MAP-of-binary values compare by content; non-comparable order col fails at derive (review r13)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // map<string,binary>: Map.equals compares VALUES with reference
+    // equality for byte arrays — each micro-batch deserializes fresh
+    // arrays, so an unchanged map read as "changed" every re-delivery
+    val input = MemoryStream[(Long, Timestamp, Long, Map[String, Array[Byte]])]
+    val chg = graft.streaming.Changelog.derive(
+      input.toDF().toDF("user_id", "ts", "event_id", "m"),
+      "ts", Seq("user_id"), Seq("event_id"), Seq("m"),
+      watermarkDelay = "365 days", stateTtl = Duration.ofDays(365))
+    val q = chg.writeStream.outputMode("append")
+      .format("memory").queryName("chg_map").start()
+    input.addData((1L, ts("2024-01-01 10:00:00"), 1L, Map("k" -> Array[Byte](1, 2))))
+    q.processAllAvailable()
+    // same map content, fresh arrays, later event: must be SUPPRESSED
+    input.addData((1L, ts("2024-01-01 11:00:00"), 2L, Map("k" -> Array[Byte](1, 2))))
+    q.processAllAvailable()
+    // changed nested bytes: must emit
+    input.addData((1L, ts("2024-01-01 12:00:00"), 3L, Map("k" -> Array[Byte](9, 9))))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("chg_map").select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 3L),
+      s"unchanged map-of-binary must suppress, changed must emit; got $got")
+
+    // an array-typed ORDER column has no Comparable surface — the old
+    // per-row check killed the query on its first matching batch; now
+    // derive() fails at plan time, before any state/checkpoint exists
+    val bad = MemoryStream[(Long, Timestamp, Seq[Long], String)]
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Changelog.derive(
+        bad.toDF().toDF("user_id", "ts", "ord", "v"),
+        "ts", Seq("user_id"), Seq("ord"), Seq("v"),
+        watermarkDelay = "1 hour", stateTtl = Duration.ofDays(1))
+    }
+    assert(e.getMessage.contains("no total order"))
+  }
 }
