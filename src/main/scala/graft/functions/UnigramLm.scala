@@ -163,56 +163,140 @@ object UnigramLm {
       .drop("__dp")
   }
 
+  /** Likelihood-based vocabulary prune (the step real SentencePiece
+    * runs each EM round — Kudo 2018 §3.2's "prune the bottom X% by
+    * likelihood loss", here with the loss simplified to the piece's
+    * total quantized-cost contribution cnt·cost so the whole prune is
+    * exact BIGINT arithmetic and replays in the oracle): single-char
+    * pieces always survive (every word stays segmentable by
+    * construction), multi-char pieces keep the top
+    * m − ⌊m·prunePct/100⌋ by (loss desc, piece asc) — the drop count
+    * is INTEGER floor division so both engines compute the identical
+    * boundary with no FP ceil at the edge. */
+  def pruneVocab(rows: IndexedSeq[(String, Long)], prunePct: Int)
+      : IndexedSeq[(String, Long)] = {
+    require(prunePct >= 0 && prunePct < 100, s"prunePct must be in [0, 100), got $prunePct")
+    if (prunePct == 0) return rows
+    val costs = quantizedCosts(rows)
+    val (singles, multi) = rows.partition(_._1.length == 1)
+    val keep = multi.size - multi.size * prunePct / 100
+    singles ++ multi
+      .sortBy { case (p, c) => (-(c * costs(p)), p) }
+      .take(keep)
+  }
+
   /** The shared EM core: word table (checkpointed once) + `rounds`
-    * E/M rounds; returns (wf, final vocabulary counts). Both [[train]]
-    * and [[encodeWords]] ride this — a second copy of the loop would
-    * let the two entry points' training contracts drift (review r13). */
+    * E/M rounds (each optionally followed by the [[pruneVocab]] step);
+    * returns (wf, final vocabulary counts as driver rows — the
+    * vocabulary is bounded ≤ singles + seedMulti, the same bounded
+    * artifact every round already collected). [[train]], [[model]] and
+    * [[encodeWords]] all ride this — a second copy of the loop would
+    * let the entry points' training contracts drift (review r13). */
   private def emRounds(df: DataFrame, textCol: String,
       maxPieceLen: Int, maxWordLen: Int,
-      seedMulti: Int, rounds: Int): (DataFrame, DataFrame) = {
+      seedMulti: Int, rounds: Int,
+      prunePct: Int): (DataFrame, IndexedSeq[(String, Long)]) = {
     require(rounds >= 1 && maxPieceLen >= 1 && maxWordLen >= maxPieceLen)
     // the word table feeds the seed AND every round's E-step — pin it
     // once (the bpeEncode checkpoint precedent, review r4)
     val wf = wordFreq(df, textCol, maxWordLen).localCheckpoint()
-    var vocab = seedVocab(seedCandidates(wf, maxPieceLen), seedMulti)
+    var rows = seedVocab(seedCandidates(wf, maxPieceLen), seedMulti)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
     for (_ <- 1 to rounds) {
-      val rows = vocab.collect()
-        .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
-      vocab = viterbiCounts(wf, quantizedCosts(rows), maxPieceLen, maxWordLen)
+      rows = viterbiCounts(wf, quantizedCosts(rows), maxPieceLen, maxWordLen)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+      rows = pruneVocab(rows, prunePct)
     }
-    (wf, vocab)
+    (wf, rows)
   }
 
-  /** Trained-model ENCODE (the [[graft.functions.Bpe]] `bpeEncode`
-    * lifecycle for the unigram family): train `rounds` EM rounds, then
-    * Viterbi-segment the WORD TABLE once more under the final model's
-    * costs and return (word, n_pieces) — the per-word token counts a
-    * caller joins back to the corpus for document-level token/
-    * compression stats. Words beyond `maxWordLen` are outside the
-    * training universe and absent here too (the caller's join keeps
-    * the same universe). */
+  /** Trained-model ENCODE, fused train+encode form: train `rounds` EM
+    * rounds, then Viterbi-segment the WORD TABLE once more under the
+    * final model's costs and return (word, n_pieces) — the per-word
+    * token counts a caller joins back to the corpus for document-level
+    * token/compression stats. Words beyond `maxWordLen` are outside
+    * the training universe and absent here too (the caller's join
+    * keeps the same universe).
+    *
+    * This RE-RUNS the EM train on every call (VERDICT r13 #1) — the
+    * production lifecycle is [[model]] → persist the artifact →
+    * [[encodeWordsWithModel]], which never re-pays training; this
+    * fused form stays as the one-shot convenience and the oracle's
+    * replay twin. */
   def encodeWords(df: DataFrame, textCol: String,
       maxPieceLen: Int = 3, maxWordLen: Int = 12,
       seedMulti: Int = 200, rounds: Int = 2): DataFrame = {
-    val (wf, vocab) = emRounds(df, textCol, maxPieceLen, maxWordLen, seedMulti, rounds)
-    val finalRows = vocab.collect()
-      .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+    val (wf, finalRows) =
+      emRounds(df, textCol, maxPieceLen, maxWordLen, seedMulti, rounds, 0)
     viterbiSegments(wf, quantizedCosts(finalRows), maxPieceLen, maxWordLen)
       .select(col("word"), size(col("pieces")).cast("long").as("n_pieces"))
   }
 
+  /** ENCODE FROM A TRAINED MODEL (the persisted-lifecycle encode —
+    * the tokenizer family's `ivfPqSearchIndex`): Viterbi-segment the
+    * word table of `df` under the artifact's (piece, cost) map, NO EM
+    * — cost is O(batch words), so an incremental batch never re-pays
+    * the corpus train. `costs` is [[model]]'s (piece → cost) read back
+    * from the persisted artifact (bounded vocabulary — a driver map by
+    * construction). `maxPieceLen`/`maxWordLen` must be the values the
+    * model was trained with (they bound the DP the costs were fitted
+    * under). Words containing characters outside the trained charset
+    * have no finite-cost path: they still segment deterministically
+    * (sentinel arithmetic, longest-first tie-break — spec-pinned), the
+    * unigram analog of an <unk> token. */
+  def encodeWordsWithModel(df: DataFrame, textCol: String,
+      costs: Map[String, Long],
+      maxPieceLen: Int = 3, maxWordLen: Int = 12): DataFrame = {
+    require(costs.nonEmpty, "empty unigram model")
+    viterbiSegments(wordFreq(df, textCol, maxWordLen), costs, maxPieceLen, maxWordLen)
+      .select(col("word"), size(col("pieces")).cast("long").as("n_pieces"))
+  }
+
+  /** Driver-side (piece, cnt, cost) rows from final counts — the one
+    * cost quantization, shared by [[train]] and [[model]] so the
+    * persisted artifact's costs are bit-identical to the fused path's
+    * ([[quantizedCosts]] and the oracle's ln both realize
+    * java.lang.Math.log — the repo-wide ln discipline). */
+  private def withCosts(rows: IndexedSeq[(String, Long)])
+      : IndexedSeq[(String, Long, Long)] = {
+    val costs = quantizedCosts(rows)
+    rows.map { case (p, c) => (p, c, costs(p)) }
+  }
+
   /** Full train: returns the final vocabulary as
     * (piece, cnt, cost BIGINT) — cost quantized from the final counts —
-    * top `topK` by (cnt desc, piece asc). */
+    * top `topK` by (cnt desc, piece asc). `prunePct` > 0 additionally
+    * runs the [[pruneVocab]] likelihood prune after every EM round. */
   def train(df: DataFrame, textCol: String,
       maxPieceLen: Int = 3, maxWordLen: Int = 12,
-      seedMulti: Int = 200, rounds: Int = 2, topK: Int = 100): DataFrame = {
-    val (_, vocab) = emRounds(df, textCol, maxPieceLen, maxWordLen, seedMulti, rounds)
-    val tot = vocab.agg(sum(col("cnt")).cast("double").as("__t"))
-    vocab.crossJoin(broadcast(tot))
-      .select(col("piece"), col("cnt"),
-        floor(-log(col("cnt").cast("double") / col("__t")) * Quant + 0.5)
-          .cast("long").as("cost"))
-      .orderBy(col("cnt").desc, col("piece").asc).limit(topK)
+      seedMulti: Int = 200, rounds: Int = 2, topK: Int = 100,
+      prunePct: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (wf, rows) =
+      emRounds(df, textCol, maxPieceLen, maxWordLen, seedMulti, rounds, prunePct)
+    Components.releaseCheckpoint(wf) // train returns a local frame — wf is done
+    withCosts(rows)
+      .sortBy { case (p, c, _) => (-c, p) }.take(topK)
+      .toDF("piece", "cnt", "cost")
+  }
+
+  /** The MODEL ARTIFACT: the complete final vocabulary (piece, cnt,
+    * cost) — no topK cut, because the encode DP needs every trained
+    * piece ([[train]] is the top-K inspection view). Persist this
+    * (e.g. via [[graft.sources.VersionedTable]] or a staging dir) and
+    * encode new batches with [[encodeWordsWithModel]] without ever
+    * re-running EM. */
+  def model(df: DataFrame, textCol: String,
+      maxPieceLen: Int = 3, maxWordLen: Int = 12,
+      seedMulti: Int = 200, rounds: Int = 2, prunePct: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (wf, rows) =
+      emRounds(df, textCol, maxPieceLen, maxWordLen, seedMulti, rounds, prunePct)
+    Components.releaseCheckpoint(wf)
+    withCosts(rows)
+      .sortBy { case (p, c, _) => (-c, p) }
+      .toDF("piece", "cnt", "cost")
   }
 }

@@ -421,6 +421,19 @@ object CorpusQueries {
     val wf = Bpe.wordFreq(d, "text").localCheckpoint()
     val merges = Bpe.trainMergesOnWords(wf, BpeRounds)
       .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    bpeApplyAndDocStats(d, wf, merges.toIndexedSeq)
+  }
+
+  /** The shared BPE encode tail — merge fold over the word table +
+    * doc-grain stats join: ONE definition for the fused and persisted
+    * encodes, which share `bpeEncodeSql`; a second copy could silently
+    * diverge from the oracle both hash against (review r14). The word
+    * table is NOT bounded by construction (vocabulary grows with the
+    * corpus, especially noisy crawls) — routed like every
+    * corpus-derived join side, never an unconditional broadcast
+    * (review r13). */
+  private def bpeApplyAndDocStats(d: DataFrame, wf: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
     val encoded = merges.foldLeft(
         wf.select(col("word"))
           .withColumn("s", filter(split(col("word"), ""), c => c =!= ""))) {
@@ -428,10 +441,6 @@ object CorpusQueries {
     }
     val wsym = encoded.select(col("word"), size(col("s")).cast("long").as("n_sym"))
     val dw = d.select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
-    // the word table is NOT bounded by construction (vocabulary grows
-    // with the corpus, especially noisy crawls) — routed like every
-    // corpus-derived join side, never an unconditional broadcast
-    // (review r13; the toy-scale broadcast survives the gate)
     dw.join(graft.functions.Dedup.mergeUnlessTiny(d)(wsym), Seq("word"))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_words"),
@@ -459,6 +468,24 @@ object CorpusQueries {
       |         / CAST(sum(length(dw.word)) AS DOUBLE) AS compression
       |FROM dw JOIN wsym USING (word)
       |GROUP BY dw.doc_id ORDER BY doc_id""".stripMargin
+
+  /** The PERSISTED BPE lifecycle (VERDICT r13 #1's "same for Bpe
+    * merges"): the merge list trains ONCE into a staged parquet
+    * artifact and the encode replays it from the artifact — the merge
+    * fold is applied to the fresh word table with NO pair-counting
+    * rounds, so an incremental batch pays O(batch · rounds) fold work,
+    * never the train. Merge application is deterministic given the
+    * ordered merge list, so this SHARES [[bpeEncodeSql]]'s oracle. */
+  def bpeEncodePersisted(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val stage = Staging.pathFor(dir, "bpe_merges_v1", "documents.parquet")
+    Staging.publishOnce(stage) { tmp =>
+      Bpe.trainMerges(d, "text", BpeRounds).write.parquet(tmp)
+    }
+    val merges = s.read.parquet(stage).orderBy("round").collect()
+      .map(r => (r.getAs[String]("l"), r.getAs[String]("r")))
+    bpeApplyAndDocStats(d, Bpe.wordFreq(d, "text"), merges.toIndexedSeq)
+  }
 
   // ---- unigram-LM tokenizer training ---------------------------------
 
@@ -504,15 +531,18 @@ object CorpusQueries {
        |    SELECT piece, cnt FROM cand WHERE length(piece) > 1
        |    ORDER BY cnt DESC, piece LIMIT $UniSeed))""".stripMargin
 
-  /** One EM round's DP machinery: quantized costs from v{r−1}, one DP
-    * CTE per word position (least over piece lengths, sentinel 1e15
-    * for unreachable), a dp lookup table, one backtrace CTE per step
-    * (longest-match-first CASE order = the Spark fold's when-chain). */
-  private def uniRoundBlock(sb: StringBuilder, r: Int): Unit = {
+  /** One EM round's DP machinery: quantized costs from the previous
+    * round's vocabulary CTE (`pvOverride`, default v{r−1} — the pruned
+    * oracle chains p{r−1} instead), one DP CTE per word position
+    * (least over piece lengths, sentinel 1e15 for unreachable), a dp
+    * lookup table, one backtrace CTE per step (longest-match-first
+    * CASE order = the Spark fold's when-chain). */
+  private def uniRoundBlock(sb: StringBuilder, r: Int,
+      pvOverride: Option[String] = None): Unit = {
     val P = UniPieceLen
     val W = UniWordLen
     val BIG = graft.functions.UnigramLm.Sentinel.toString
-    val pv = s"v${r - 1}"
+    val pv = pvOverride.getOrElse(s"v${r - 1}")
     sb ++= s""",
        |tot$r AS MATERIALIZED (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM $pv),
        |cst$r AS MATERIALIZED (
@@ -594,22 +624,70 @@ object CorpusQueries {
     sb.result()
   }
 
-  /** Trained-model ENCODE — the unigram family's [[bpeEncode]]
-    * lifecycle: the word table is Viterbi-segmented ONCE under the
-    * final trained costs ([[graft.functions.UnigramLm.encodeWords]] —
-    * merges fold over the word table, never the corpus), then
-    * broadcast-joined back to the exploded document words for
-    * per-document token counts and the compression ratio vs
-    * character-level. Words beyond the training length cap are outside
-    * the model's universe on both sides (inner join = the same
-    * filter). */
-  def unigramEncode(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val wsym = graft.functions.UnigramLm.encodeWords(d, "text",
+  // ---- unigram-LM: likelihood-pruned train ----------------------------
+
+  private val UniPrunePct = 25
+
+  /** [[unigramLm]] with the per-round likelihood prune
+    * ([[graft.functions.UnigramLm.pruneVocab]] — real SentencePiece's
+    * bottom-X% vocabulary drop, loss = cnt·cost in exact BIGINT): each
+    * EM round's M-step counts are pruned before feeding the next
+    * round's costs, and the final vocabulary is the pruned one. The
+    * oracle replays the prune as a rank-over-loss CTE per round
+    * (integer floor-division drop count, (loss desc, piece asc) total
+    * order) chained between the DP blocks. */
+  def unigramLmPruned(s: SparkSession, dir: String): DataFrame =
+    graft.functions.UnigramLm.train(docs(s, dir), "text",
       maxPieceLen = UniPieceLen, maxWordLen = UniWordLen,
-      seedMulti = UniSeed, rounds = UniRounds)
+      seedMulti = UniSeed, rounds = UniRounds, topK = UniTop,
+      prunePct = UniPrunePct)
+
+  /** Round r's prune CTE p{r} from its count CTE v{r}: costs from the
+    * FULL v{r} (quantizedCosts' contract — totals over every count,
+    * singles included), loss = cnt·cost, singles always kept, multi
+    * keeps the top m − m·pct/100 (integer floor division) by
+    * (loss desc, piece asc). */
+  private def uniPruneCte(sb: StringBuilder, r: Int, pct: Int): Unit =
+    sb ++= s""",
+       |ptot$r AS MATERIALIZED (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM v$r),
+       |pcst$r AS MATERIALIZED (
+       |  SELECT piece,
+       |         CAST(floor(-ln(CAST(cnt AS DOUBLE) / t) * 1000000 + 0.5) AS BIGINT) AS c
+       |  FROM v$r, ptot$r),
+       |p$r AS MATERIALIZED (
+       |  SELECT piece, cnt FROM v$r WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT v.piece, v.cnt,
+       |           row_number() OVER (ORDER BY (v.cnt * c.c) DESC, v.piece ASC) AS rn,
+       |           count(*) OVER () AS m
+       |    FROM v$r v JOIN pcst$r c USING (piece)
+       |    WHERE length(v.piece) > 1)
+       |  WHERE rn <= m - (m * $pct) // 100)""".stripMargin
+
+  /** Generated round-replay oracle for [[unigramLmPruned]]. */
+  val unigramLmPrunedSql: String = {
+    val sb = new StringBuilder
+    uniPrefix(sb)
+    for (r <- 1 to UniRounds) {
+      uniRoundBlock(sb, r, if (r == 1) None else Some(s"p${r - 1}"))
+      uniCountCte(sb, r)
+      uniPruneCte(sb, r, UniPrunePct)
+    }
+    sb ++= s"""
+       |SELECT piece, cnt,
+       |       CAST(floor(-ln(CAST(cnt AS DOUBLE) / tt.t) * 1000000 + 0.5) AS BIGINT) AS cost
+       |FROM p$UniRounds, (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM p$UniRounds) tt
+       |ORDER BY cnt DESC, piece LIMIT $UniTop""".stripMargin
+    sb.result()
+  }
+
+  /** The shared document-grain token-stats tail: per-word piece counts
+    * joined back to the exploded corpus words (routed, never an
+    * estimate-elected broadcast — review r13), doc-level sums and the
+    * compression ratio vs character-level. */
+  private def docTokenStats(d: DataFrame, wsym: DataFrame): DataFrame = {
     val dw = d.select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
-    // word-grain frame — routed, same policy as bpeEncode (review r13)
     dw.join(graft.functions.Dedup.mergeUnlessTiny(d)(wsym), Seq("word"))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_words"),
@@ -619,6 +697,49 @@ object CorpusQueries {
         (col("n_tokens").cast("double") / col("n_chars").cast("double"))
           .as("compression"))
       .orderBy("doc_id")
+  }
+
+  /** Trained-model ENCODE, fused form — the word table is
+    * Viterbi-segmented ONCE under the final trained costs
+    * ([[graft.functions.UnigramLm.encodeWords]] — merges fold over the
+    * word table, never the corpus), then joined back to the exploded
+    * document words for per-document token counts. Words beyond the
+    * training length cap are outside the model's universe on both
+    * sides (inner join = the same filter). */
+  def unigramEncode(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val wsym = graft.functions.UnigramLm.encodeWords(d, "text",
+      maxPieceLen = UniPieceLen, maxWordLen = UniWordLen,
+      seedMulti = UniSeed, rounds = UniRounds)
+    docTokenStats(d, wsym)
+  }
+
+  /** The PERSISTED tokenizer lifecycle (VERDICT r13 #1 — the trained-
+    * ANN index precedent applied to the tokenizer family): the unigram
+    * model trains ONCE into a staged parquet artifact
+    * ([[graft.functions.UnigramLm.model]] — full vocabulary with
+    * quantized integer costs, published via the same idempotent
+    * cross-JVM staging the PQ codebooks use), and the encode reads the
+    * artifact back and segments under its costs
+    * ([[graft.functions.UnigramLm.encodeWordsWithModel]]) with NO EM —
+    * an incremental batch pays O(batch), never the corpus train.
+    * Artifact costs are the exact integers the fused path derives, so
+    * this SHARES [[unigramEncodeSql]]'s oracle — the same
+    * hash-matching contract the persisted ANN queries use. */
+  def unigramEncodePersisted(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val stage = Staging.pathFor(dir, "unigram_model_v1", "documents.parquet")
+    Staging.publishOnce(stage) { tmp =>
+      graft.functions.UnigramLm.model(d, "text",
+          maxPieceLen = UniPieceLen, maxWordLen = UniWordLen,
+          seedMulti = UniSeed, rounds = UniRounds)
+        .write.parquet(tmp)
+    }
+    val costs = s.read.parquet(stage).select("piece", "cost").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wsym = graft.functions.UnigramLm.encodeWordsWithModel(d, "text", costs,
+      maxPieceLen = UniPieceLen, maxWordLen = UniWordLen)
+    docTokenStats(d, wsym)
   }
 
   /** [[unigramEncode]]'s oracle: the training CTEs, one MORE DP +
@@ -699,6 +820,51 @@ object CorpusQueries {
        |FROM b ORDER BY doc_id""".stripMargin
   }
 
+  // ---- content-defined chunk dedup -----------------------------------
+
+  /** Content-defined chunking + chunk-grain duplicate coverage
+    * ([[graft.functions.Chunking.cdcDupCoverage]]): md5-gated word
+    * boundaries (P = 1/16, local content only — insertion-robust,
+    * the rsync/FastCDC idea at word grain), per-doc fraction of
+    * chunks whose fingerprint appears in another document. The
+    * oracle replays boundary rule, running-sum chunk ids, ordered
+    * chunk fingerprints and the >1-distinct-doc dup set in plain
+    * SQL — md5 string arithmetic end to end, no FP contract. */
+  def cdcDedup(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Chunking.cdcDupCoverage(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val cdcDedupSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) - 1 AS pos
+      |  FROM w),
+      |f AS (
+      |  SELECT doc_id, word, pos,
+      |         CASE WHEN pos > 0 AND (substr(md5('cdc:' || word), 1, 1) = '0'
+      |                                OR pos % 4096 = 0)
+      |              THEN 1 ELSE 0 END AS b
+      |  FROM t),
+      |c AS (
+      |  SELECT doc_id, pos, word,
+      |         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_idx
+      |  FROM f),
+      |ch AS (
+      |  SELECT doc_id, chunk_idx, count(*) AS n_words,
+      |         md5(string_agg(word, ' ' ORDER BY pos)) AS fp
+      |  FROM c GROUP BY doc_id, chunk_idx),
+      |shared AS (
+      |  SELECT fp FROM ch GROUP BY fp HAVING count(DISTINCT doc_id) > 1)
+      |SELECT doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_chunks,
+      |       CAST(sum(CASE WHEN fp IN (SELECT fp FROM shared) THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_dup_chunks,
+      |       CAST(sum(CASE WHEN fp IN (SELECT fp FROM shared) THEN 1 ELSE 0 END)
+      |         AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_fraction
+      |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- contrastive negative sampling ---------------------------------
 
   private val NegK = 4
@@ -773,9 +939,13 @@ object CorpusQueries {
     "q_span_scrub" -> (spanScrub _),
     "q_bpe_merges" -> (bpeMerges _),
     "q_bpe_encode" -> (bpeEncode _),
+    "q_bpe_encode_persisted" -> (bpeEncodePersisted _),
     "q_unigram_lm" -> (unigramLm _),
+    "q_unigram_lm_pruned" -> (unigramLmPruned _),
     "q_unigram_encode" -> (unigramEncode _),
+    "q_unigram_encode_persisted" -> (unigramEncodePersisted _),
     "q_span_corruption" -> (spanCorruption _),
+    "q_cdc_dedup" -> (cdcDedup _),
     "q_dup_span" -> (dupSpan _),
     "q_novelty" -> (novelty _),
     "q_url_canonical" -> (urlCanonical _),
@@ -788,9 +958,13 @@ object CorpusQueries {
     "q_span_scrub" -> spanScrubSql,
     "q_bpe_merges" -> bpeMergesSql,
     "q_bpe_encode" -> bpeEncodeSql,
+    "q_bpe_encode_persisted" -> bpeEncodeSql,
     "q_unigram_lm" -> unigramLmSql,
+    "q_unigram_lm_pruned" -> unigramLmPrunedSql,
     "q_unigram_encode" -> unigramEncodeSql,
+    "q_unigram_encode_persisted" -> unigramEncodeSql,
     "q_span_corruption" -> spanCorruptionSql,
+    "q_cdc_dedup" -> cdcDedupSql,
     "q_dup_span" -> dupSpanSql,
     "q_novelty" -> noveltySql,
     "q_url_canonical" -> urlCanonicalSql,

@@ -212,6 +212,15 @@ object ScaleCheck {
       // broadcast word→token-count join back to the corpus (the
       // bpeEncode shape).
       "q_unigram_lm", "q_unigram_encode",
+      // r14: pruned train (same shape + a per-round bounded prune) and
+      // the PERSISTED encodes — these amortize train into a staged
+      // artifact, so their N× wall must track the encode join alone;
+      // the train/encode split has its own tool (TokenizerScale)
+      "q_unigram_lm_pruned", "q_unigram_encode_persisted",
+      "q_bpe_encode_persisted",
+      // CDC chunk dedup: explode + doc-keyed window + two hash aggs +
+      // one routed join — must track corpus growth, never pairs
+      "q_cdc_dedup",
       // span corruption: one codegen'd projection, no join — the ratio
       // pins that the per-position schedule stays embarrassingly
       // parallel (wall ≈ scan growth)
@@ -228,7 +237,8 @@ object ScaleCheck {
     // q_dedup_index_persisted lesson; the builds have their own split
     // rows via IndexScale / TrainedAnnScale)
     val staged = Set("q_ann_ivfpq_persisted", "q_ann_ivfpq_trained",
-      "q_ann_pq_trained", "q_dedup_simhash")
+      "q_ann_pq_trained", "q_dedup_simhash",
+      "q_unigram_encode_persisted", "q_bpe_encode_persisted")
     selected.filter(staged).foreach(q => time(q, outDir))
     val lines = selected.map { q =>
       val t1 = time(q, baseDir)

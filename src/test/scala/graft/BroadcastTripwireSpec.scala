@@ -68,7 +68,18 @@ class BroadcastTripwireSpec extends AnyFunSuite {
     // but these three cost real 10x-replica jobs, deliberately: the
     // audit of the real query beats a cheaper proxy of it.
     "q_bpe_encode", "q_unigram_lm", "q_unigram_encode",
-    "q_span_corruption")
+    "q_span_corruption",
+    // r14: the PERSISTED encodes — their final plans carry the same
+    // word-grain doc join (the artifact train happens at construction
+    // against the replica, the staged model is fingerprint-cached
+    // across runs of one build). q_unigram_lm_pruned is NOT listed:
+    // train now returns a driver-local frame (bounded vocab), so its
+    // plan has no join side to audit — the EM job shapes are covered
+    // by q_unigram_lm/q_unigram_encode.
+    "q_unigram_encode_persisted", "q_bpe_encode_persisted",
+    // r14: chunk-grain CDC dedup — the shared-fingerprint side is
+    // chunk-grain (corpus-scaling), routed through mergeUnlessTiny
+    "q_cdc_dedup")
 
   /** Bounded-shape allowlist: broadcast build sides that scan a corpus
     * table but are BOUNDED BY CONSTRUCTION, verified per shape.
