@@ -70,6 +70,22 @@ object RepoConfig {
           new graft.online.ReferenceSqlStore(jdbcUrlOf(s, "reference_sql"))
         case JStr("reference_doc") =>
           new graft.online.ReferenceDocStore(jdbcUrlOf(s, "reference_doc"))
+        // HRW-sharded composite over N parquet shards: "paths" lists
+        // the shard base paths IN RING ORDER (growing = append one and
+        // run rebalance; reordering misroutes — the ring is positional)
+        case JStr("sharded_parquet") =>
+          val paths = s.get("paths") match {
+            case Some(JArr(ps)) if ps.nonEmpty => ps.map {
+              case JStr(p) => p
+              case other => throw new IllegalArgumentException(
+                s"sharded_parquet paths must be strings, got $other")
+            }
+            case _ => throw new IllegalArgumentException(
+              "sharded_parquet online store needs a non-empty 'paths' array")
+          }
+          val buckets = s.get("num_buckets").map(Json.toLong(_).toInt).getOrElse(32)
+          new graft.online.ShardedOnlineStore(
+            paths.toIndexedSeq.map(p => new ParquetOnlineStore(p, numBuckets = buckets)))
         case other => throw new IllegalArgumentException(s"unknown online store type $other")
       }
       // a PRESENT but non-object value is a misconfiguration, not a

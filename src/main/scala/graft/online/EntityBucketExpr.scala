@@ -45,7 +45,24 @@ case class EntityBucketId(
     out.toByteArray
   }
 
-  override def eval(input: InternalRow): Any = {
+  override def eval(input: InternalRow): Any =
+    (EntityKeyCodec.murmur3Seed0(CanonicalKeyEval.bytes(
+      children, keyNames, namePrefix, input, "bucket routing")) % buckets).toInt
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/** The ONE per-row canonical-serialization walk shared by
+  * [[EntityBucketId]] and [[EntityKeyHex]] — both are spec-pinned
+  * byte-for-byte twins of [[EntityKeyCodec.serialize]], and a codec
+  * change (new key type, altered tags) must have exactly one
+  * expression-side site to update or routing agreement breaks
+  * (review r14). */
+private[online] object CanonicalKeyEval {
+  def bytes(children: Seq[Expression], keyNames: Seq[String],
+      namePrefix: Array[Byte], input: InternalRow, purpose: String): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(namePrefix.length + 16 * children.length)
     out.write(namePrefix, 0, namePrefix.length)
     var i = 0
@@ -53,7 +70,7 @@ case class EntityBucketId(
       val c = children(i)
       val v = c.eval(input)
       if (v == null) throw new IllegalArgumentException(
-        s"null entity key '${keyNames(i)}' reached bucket routing " +
+        s"null entity key '${keyNames(i)}' reached $purpose " +
           "(guardNullKeys should reject these upstream)")
       c.dataType match {
         case StringType =>
@@ -70,8 +87,37 @@ case class EntityBucketId(
       }
       i += 1
     }
-    (EntityKeyCodec.murmur3Seed0(out.toByteArray) % buckets).toInt
+    out.toByteArray
   }
+}
+
+/** Hex string of the canonical entity-key serialization — the
+  * Spark-side twin of [[EntityKeyCodec.hexKey]], for routing layers
+  * that hash the canonical key with something other than murmur3-mod
+  * (the sharded store's rendezvous routing feeds this into md5 HRW
+  * scores). Shares [[EntityBucketId]]'s serialization discipline:
+  * plan-time name block, per-row value bytes, loud null/type errors. */
+case class EntityKeyHex(
+    children: Seq[Expression],
+    keyNames: Seq[String]) extends Expression with CodegenFallback {
+  require(children.length == keyNames.length,
+    "one child expression per join key")
+  require(keyNames == keyNames.sorted,
+    "builder must pass keys pre-sorted by name (EntityKeyCodec order)")
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = StringType
+  override def prettyName: String = "entity_key_hex"
+
+  private lazy val namePrefix: Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    EntityKeyCodec.writeNameBlock(out, keyNames)
+    out.toByteArray
+  }
+
+  override def eval(input: InternalRow): Any =
+    UTF8String.fromString(EntityKeyCodec.toHex(CanonicalKeyEval.bytes(
+      children, keyNames, namePrefix, input, "shard routing")))
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
@@ -88,5 +134,14 @@ object EntityBucketExpr {
     ColumnShim.column(EntityBucketId(
       sorted.map(n => ColumnShim.expression(org.apache.spark.sql.functions.col(n))),
       sorted, buckets))
+  }
+
+  /** canonical-serialization hex column over `joinKeys` — must stay
+    * the exact twin of [[EntityKeyCodec.hexKey]] (PureSpec-pinned). */
+  def keyHex(joinKeys: Seq[String]): Column = {
+    val sorted = joinKeys.sorted
+    ColumnShim.column(EntityKeyHex(
+      sorted.map(n => ColumnShim.expression(org.apache.spark.sql.functions.col(n))),
+      sorted))
   }
 }

@@ -83,8 +83,12 @@ object EntityKeyCodec {
   def hashKey(keys: Seq[(String, Any)]): Long = murmur3Seed0(serialize(keys))
 
   /** Hex digest used as a compact store key. */
-  def hexKey(keys: Seq[(String, Any)]): String = {
-    val b = serialize(keys)
+  def hexKey(keys: Seq[(String, Any)]): String = toHex(serialize(keys))
+
+  /** Lowercase hex — ONE definition shared with the Spark-side
+    * [[EntityKeyHex]] expression so routing layers hashing the hex
+    * string (sharded HRW) agree byte-for-byte across paths. */
+  def toHex(b: Array[Byte]): String = {
     val sb = new StringBuilder(b.length * 2)
     b.foreach(x => sb.append(f"${x & 0xff}%02x"))
     sb.toString

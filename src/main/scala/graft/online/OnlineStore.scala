@@ -399,6 +399,29 @@ class ParquetOnlineStore(
 
   private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
 
+  /** Table-scoped WRITER LEASE (VERDICT r13 #2): two concurrent
+    * mutating jobs on the same table (a backfill upsert racing a
+    * streaming materializer, an expire racing a CDC delete) each do
+    * read-buckets → merge → rename-aside swap, and the interleaved
+    * loser's merge silently discards the winner's rows — a lost
+    * update at bucket grain. Every mutating path (upsert / delete /
+    * expire / teardown) serializes on a per-table
+    * [[graft.util.FileLease]] — the Registry's O_EXCL + tombstone
+    * discipline at table scope — with the mtime HEARTBEAT on, so an
+    * arbitrarily long merge job keeps the lease visibly alive while a
+    * crashed writer's lease still expires within `writerLeaseMs`.
+    * READS never touch the lease (they stay mutation-free and
+    * swap-tolerant — ADVICE r2), so serving latency is unaffected.
+    * The lock file is a SIBLING of the table dir
+    * (`<table>.writer.lock`), never inside it — partition discovery
+    * and the recovery sweep cannot see it. */
+  private val writerLeaseMs =
+    sys.props.get("graft.online.writerLeaseMs").map(_.toLong).getOrElse(30000L)
+  private def withWriterLease[A](fs: org.apache.hadoop.fs.FileSystem,
+      p: String)(body: => A): A =
+    graft.util.FileLease.withLock(fs, hp(p + ".writer.lock"), writerLeaseMs,
+      heartbeat = true)(body)
+
   /** The bucket count in force for a table: the persisted marker wins
     * over the configured default, so reopening an existing store with a
     * different `numBuckets` cannot misroute keys. The marker is written
@@ -486,6 +509,7 @@ class ParquetOnlineStore(
     val p = path(project, view.name)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = hp(p).getFileSystem(hconf)
+    withWriterLease(fs, p) {
     recover(fs, p)
     val buckets = effectiveBuckets(fs, p)
 
@@ -581,6 +605,7 @@ class ParquetOnlineStore(
         fs.delete(hp(tmp), true)
       } finally cached.unpersist()
     }
+    }
   }
 
   /** Snapshot of a view's store table (batch serving / debugging). */
@@ -604,6 +629,7 @@ class ParquetOnlineStore(
     val p = path(project, view.name)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = hp(p).getFileSystem(hconf)
+    withWriterLease(fs, p) {
     // recover FIRST: after a crashed whole-table swap the live tree is
     // absent and the data sits in `p.old` — an exists-first return made
     // CDC deletes silent no-ops while reads kept serving the rows via
@@ -643,6 +669,7 @@ class ParquetOnlineStore(
       fs.delete(oldRoot, true)
       fs.delete(hp(tmp), true)
     } finally cached.unpersist()
+    }
   }
 
   /** TTL retention sweep: delete rows whose `tsCol` is strictly older
@@ -666,6 +693,7 @@ class ParquetOnlineStore(
     val p = path(project, view.name)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = hp(p).getFileSystem(hconf)
+    withWriterLease(fs, p) {
     recover(fs, p) // before the exists check — see deleteImpl
     if (!fs.exists(hp(p))) return 0L
     val store = spark.read.parquet(p)
@@ -694,6 +722,7 @@ class ParquetOnlineStore(
     fs.delete(oldRoot, true)
     fs.delete(hp(tmp), true)
     perBucket.values.sum
+    }
   }
 
   def read(project: String, view: FeatureView, joinKeys: Seq[String],
@@ -775,15 +804,30 @@ class ParquetOnlineStore(
     val prune = Some(joinKeys.head -> entityKeys.map(_.toMap.apply(joinKeys.head)))
     var hits: Map[String, Map[String, Any]] = null
     var attempt = 0
+    // previous pass's resolution, for the NO-PROGRESS early exit: an
+    // ORPHANED `.old` dir from a crashed swap otherwise made every
+    // read of a genuinely absent bucket pay the full ~126 ms backoff
+    // forever (ADVICE r13). Identical consecutive listings mean no
+    // swap is making progress — but only AFTER at least two backoff
+    // sleeps (~6 ms of window): a live swap sits between rename-out
+    // and rename-in for a moment, and accepting the first identical
+    // pair (~2 ms apart) would re-open the very false-NOT_FOUND race
+    // this retry exists to close (review r14). The orphaned-.old
+    // penalty drops 126 ms → ~6 ms; a genuinely absent bucket with no
+    // .old dir still returns immediately with no retry at all.
+    var prevPass: Seq[String] = null
     while (hits == null) {
       try {
         val (files, someEmpty) = resolveFiles()
+        val thisPass = files.map(_.toString).sorted
         // ANY requested bucket resolving EMPTY while the rename-aside
         // root exists is the other race shape (a second swap's
         // rename-out landing between our re-checks) — same retry; a
         // genuinely absent bucket (no swap in flight) stays a clean
         // NOT_FOUND with no exception and no retry
-        if (someEmpty && attempt < 6 && fsys.exists(hp(p + ".old"))) {
+        if (someEmpty && attempt < 6 && fsys.exists(hp(p + ".old")) &&
+            !(attempt >= 2 && thisPass == prevPass)) {
+          prevPass = thisPass
           attempt += 1
           Thread.sleep(1L << attempt)
         } else hits = files
@@ -797,6 +841,10 @@ class ParquetOnlineStore(
         // attempt bound keeps a persistent real failure loud: it still
         // propagates after ~126 ms of retries.
         case _: java.io.IOException if attempt < 6 =>
+          // an exception IS progress evidence (a swap's rename landed
+          // mid-decode) — the no-progress early exit must not fire off
+          // a pass separated by one
+          prevPass = null
           attempt += 1
           Thread.sleep(1L << attempt) // 2..64 ms, ~126 ms worst case
       }
@@ -825,9 +873,14 @@ class ParquetOnlineStore(
       // Delete crash leftovers too: a `.old` tree surviving teardown
       // would resurrect torn-down rows through the read fallback, and
       // its stale bucket-count marker would override the configured one
-      // for the next store at this path.
-      Seq(p, p + ".old", p + ".tmp").foreach(d =>
-        fs.delete(new org.apache.hadoop.fs.Path(d), true))
+      // for the next store at this path. Leased like every mutating
+      // path — a teardown racing an in-flight upsert's swap would
+      // otherwise leave the upsert's staged tree as the resurrected
+      // table.
+      withWriterLease(fs, p) {
+        Seq(p, p + ".old", p + ".tmp").foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(d), true))
+      }
       ParquetOnlineStore.invalidateCache(p)
     }
   }

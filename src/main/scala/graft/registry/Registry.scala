@@ -110,24 +110,26 @@ class Registry(path: Option[String] = None, cacheTtl: Duration = Duration.ofSeco
     * (or this one with a stale TTL cache) previously applied its
     * mutation to a stale snapshot and persisted it wholesale,
     * silently dropping every registration the other writer made
-    * (review r6). The lock is the same O_EXCL claim primitive
-    * VersionedTable uses; a crashed holder's lock expires after
+    * (review r6). The lock discipline lives in
+    * [[graft.util.FileLease]] (extracted r14 so the online store's
+    * writer lease shares it); a crashed holder's lock expires after
     * `lockStaleMs` so it cannot wedge the registry forever.
     *
     * LEASE ASSUMPTIONS (review r13, stated rather than silently
-    * relied on): staleness is judged by the lock file's mtime against
-    * the OBSERVER's clock — an mtime lease, not a heartbeat. It is
-    * sound when (a) writer clocks and the filesystem's clock agree to
-    * well under `lockStaleMs` (NTP-class sync; the stale bound is
-    * 30 s) and (b) no holder's critical section (one registry load +
-    * one JSON persist) approaches `lockStaleMs` — registries are
-    * kilobytes, so both hold by orders of magnitude on any sane
-    * deployment. If a holder IS broken mid-section anyway, the
-    * break/release tombstone discipline keeps the failure at
-    * last-writer-wins on a kilobyte JSON document, never a torn file —
-    * deployments needing more than lease semantics should raise
-    * `graft.registry.lockStaleMs` or front the registry with a real
-    * coordination service. */
+    * relied on — the full protocol and its documented degraded modes
+    * are on [[graft.util.FileLease]]): staleness is judged by the
+    * lock file's mtime against the OBSERVER's clock — an mtime lease,
+    * not a heartbeat. It is sound when (a) writer clocks and the
+    * filesystem's clock agree to well under `lockStaleMs` (NTP-class
+    * sync; the stale bound is 30 s) and (b) no holder's critical
+    * section (one registry load + one JSON persist) approaches
+    * `lockStaleMs` — registries are kilobytes, so both hold by orders
+    * of magnitude on any sane deployment. If a holder IS broken
+    * mid-section anyway, the break/release tombstone discipline keeps
+    * the failure at last-writer-wins on a kilobyte JSON document,
+    * never a torn file — deployments needing more than lease
+    * semantics should raise `graft.registry.lockStaleMs` or front the
+    * registry with a real coordination service. */
   // local writers serialize on a DEDICATED monitor so readers'
   // `this`-scoped state swap never waits behind the cross-process
   // file-lock spin (review r12)
@@ -156,121 +158,13 @@ class Registry(path: Option[String] = None, cacheTtl: Duration = Duration.ofSeco
     case None => body
     case Some(p) =>
       val (fs, _) = hadoopFs(p)
-      val lock = new org.apache.hadoop.fs.Path(p + ".lock")
-      // per-acquisition ownership token, written INTO the lock file:
-      // release deletes the lock only while it still holds OUR token,
-      // so a holder whose lock was stale-broken and re-claimed can
-      // never delete the new claimant's live lock (the delete-cascade
-      // a bare release-delete allowed — review r7). A victim whose
-      // lock was stolen proceeds unlocked for the rest of its critical
-      // section — possible only if it held past lockStaleMs — but it
-      // can no longer let a THIRD writer in on exit.
-      val token = java.util.UUID.randomUUID().toString
-      def readToken(at: org.apache.hadoop.fs.Path): Option[String] =
-        try {
-          // full read, never a single read() — InputStream legally
-          // returns short on remote filesystems, and a short-read token
-          // mismatch made release leak its own live lock
-          val in = fs.open(at)
-          try Some(new String(
-            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
-          finally in.close()
-        } catch { case _: java.io.IOException => None }
-      // Wait out a full staleness window before giving up: a crashed
-      // holder's lock only becomes breakable after lockStaleMs, so an
-      // attempt budget shorter than that turned every mutate() in the
-      // interim into a hard failure instead of a wait.
-      val deadline = System.currentTimeMillis() + lockStaleMs + 5000L
-      var attempt = 0
-      var held = false
-      while (!held && System.currentTimeMillis() < deadline) {
-        attempt += 1
-        held =
-          try {
-            val out = fs.create(lock, false)
-            out.write(token.getBytes("UTF-8")); out.close(); true
-          }
-          catch {
-            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-                 _: java.nio.file.FileAlreadyExistsException |
-                 _: java.io.IOException =>
-              // Break a stale lock from a crashed holder. Delete-based
-              // breaking was TOCTOU-racy: contender B observes stale,
-              // contender A breaks it and creates a FRESH lock, then
-              // B's delete removes A's fresh lock and two writers enter
-              // the critical section. Breaking by ATOMIC RENAME to a
-              // unique tombstone makes exactly one breaker win. The
-              // winner then identifies what it actually captured by the
-              // lock's TOKEN CONTENT — bytes survive any rename, unlike
-              // mtime, which object stores (S3A copy-rename) RESET on
-              // rename: the old mtime re-check concluded its own
-              // captured stale lock was "fresh", renamed it back with
-              // yet another fresh mtime, and livelocked the registry
-              // until manual cleanup. Same token as observed-stale →
-              // the crashed holder's lock: delete. Different token → a
-              // new claimant's fresh lock stolen in the observe->rename
-              // window: restore it (or drop the tombstone if the path
-              // was already re-claimed; the victim's guarded
-              // release-delete degrades to a no-op).
-              try {
-                val st = fs.getFileStatus(lock)
-                if (System.currentTimeMillis() - st.getModificationTime > lockStaleMs) {
-                  val staleToken = readToken(lock)
-                  // CONFIRMATION WINDOW (review r12): the status read
-                  // and the token read are not atomic — another breaker
-                  // can break-and-recreate between them, and we would
-                  // capture the FRESH lock's token believing it stale,
-                  // then "confirm" and delete it (two writers enter).
-                  // Re-observe after a pause: the same token under the
-                  // same stale mtime across both looks can only be the
-                  // crashed holder's lock — a replacement is CREATED
-                  // fresh, so its mtime fails the stale check.
-                  Thread.sleep(100L)
-                  val stillStale =
-                    try {
-                      val st2 = fs.getFileStatus(lock)
-                      st2.getModificationTime == st.getModificationTime &&
-                        System.currentTimeMillis() - st2.getModificationTime > lockStaleMs &&
-                        readToken(lock) == staleToken
-                    } catch { case _: java.io.FileNotFoundException => false }
-                  val tomb = new org.apache.hadoop.fs.Path(
-                    p + ".lock.breaking-" +
-                      java.util.UUID.randomUUID().toString.take(8))
-                  if (staleToken.isDefined && stillStale && fs.rename(lock, tomb)) {
-                    if (readToken(tomb) == staleToken)
-                      fs.delete(tomb, false) // confirmed the stale lock: broken
-                    else if (!fs.rename(tomb, lock))
-                      fs.delete(tomb, false)
-                  }
-                }
-              } catch { case _: java.io.FileNotFoundException => () }
-              Thread.sleep(50L)
-              false
-          }
-      }
-      if (!held) throw new java.io.IOException(
-        s"registry: could not acquire $lock after $attempt attempts " +
-          s"over ${lockStaleMs + 5000L} ms")
-      try body finally {
-        // RELEASE BY ATOMIC RENAME (review r13): the old read-token-
-        // then-delete was itself a TOCTOU — between our token read and
-        // our delete, a breaker could break this (now-stale) lock AND a
-        // new claimant create a fresh one, and our delete then removed
-        // the claimant's LIVE lock (the exact cascade the breaker's
-        // tombstone machinery closes). Capture atomically instead:
-        // rename to a unique tombstone; ours → released; someone
-        // else's (we were broken and replaced mid-section) → restore
-        // it, or drop the tombstone if the path was re-claimed
-        // meanwhile (the breaker's own documented degraded mode).
-        val tomb = new org.apache.hadoop.fs.Path(
-          p + ".lock.release-" + java.util.UUID.randomUUID().toString.take(8))
-        try {
-          if (fs.rename(lock, tomb)) {
-            if (readToken(tomb).contains(token)) fs.delete(tomb, false)
-            else if (!fs.rename(tomb, lock)) fs.delete(tomb, false)
-          }
-        } catch { case _: java.io.IOException => () } // gone already: no-op
-      }
+      // the full claim/break/release protocol (per-acquisition tokens,
+      // tombstone-rename breaking, guarded release) lives in FileLease
+      // — extracted verbatim from this method's r6–r13 evolution so the
+      // online store's writer lease shares it (r14). Registry critical
+      // sections are milliseconds, so no heartbeat.
+      graft.util.FileLease.withLock(fs,
+        new org.apache.hadoop.fs.Path(p + ".lock"), lockStaleMs)(body)
   }
 
   private def hadoopFs(p: String) = {

@@ -100,6 +100,62 @@ class CliSpec extends AnyFunSuite {
     assert(reg2.listFeatureViews.isEmpty && reg2.listEntities.isEmpty)
   }
 
+  test("repo config wires the HRW-sharded composite store (sharded_parquet)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftcli_shard").toString
+    Seq(
+      (1001L, ts("2024-01-01 10:00:00"), 0.2),
+      (1001L, ts("2024-01-02 10:00:00"), 0.8),
+      (2002L, ts("2024-01-01 12:00:00"), 0.5))
+      .toDF("driver_id", "event_timestamp", "conv_rate")
+      .write.parquet(s"$dir/driver_stats.parquet")
+    val cfgPath = s"$dir/repo.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(cfgPath),
+      s"""{
+         |  "project": "shd",
+         |  "registry": "$dir/registry.json",
+         |  "online_store": {"type": "sharded_parquet",
+         |    "paths": ["$dir/s0", "$dir/s1", "$dir/s2"], "num_buckets": 2},
+         |  "entities": [
+         |    {"name": "driver", "dtype": "INT64", "join_key": "driver_id", "description": ""}
+         |  ],
+         |  "feature_views": [
+         |    {"name": "driver_hourly_stats", "entities": ["driver"],
+         |     "features": [{"name": "conv_rate", "dtype": "DOUBLE"}],
+         |     "ttl_seconds": 0,
+         |     "batch_source": {"kind": "file", "path": "$dir/driver_stats.parquet",
+         |       "format": "parquet", "event_timestamp_column": "event_timestamp",
+         |       "created_timestamp_column": null, "field_mapping": {},
+         |       "date_partition_column": null},
+         |     "stream_source": null, "online": true}
+         |  ]
+         |}""".stripMargin.getBytes("UTF-8"))
+    val out = scala.collection.mutable.Buffer[String]()
+    Cli.run(Seq("apply", cfgPath), spark, out.append(_))
+    Cli.run(Seq("materialize", cfgPath, "2024-01-01", "2024-01-03"), spark, out.append(_))
+    val cfg = RepoConfig.load(cfgPath)
+    assert(cfg.onlineStore.isInstanceOf[graft.online.ShardedOnlineStore])
+    val fs = new FeatureStore(cfg.project, new Registry(Some(cfg.registryPath)),
+      cfg.onlineStore, spark)
+    val resp = fs.getOnlineFeatures(Seq("driver_hourly_stats:conv_rate"),
+      Seq(Map[String, Any]("driver_id" -> 1001L),
+        Map[String, Any]("driver_id" -> 2002L),
+        Map[String, Any]("driver_id" -> 404L)))
+    assert(resp.toMap("driver_hourly_stats:conv_rate") == Seq(0.8, 0.5, null))
+    // misconfig: missing/empty paths is a loud error, not a default
+    intercept[IllegalArgumentException] {
+      RepoConfig.load {
+        val p = s"$dir/bad.json"
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          s"""{"project":"x","registry":"$dir/r.json",
+             |"online_store":{"type":"sharded_parquet","paths":[]},
+             |"entities":[],"feature_views":[]}""".stripMargin.getBytes("UTF-8"))
+        p
+      }
+    }
+    Cli.run(Seq("teardown", cfgPath), spark, out.append(_))
+  }
+
   test("repo config wires the reference-layout interop stores (reference_sql, reference_redis)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftcli_ref").toString
