@@ -1125,21 +1125,30 @@ object Similarity {
     *
     * @param candK candidate pool per a-side vector (>= k); the best
     *              margin pair is searched within this pool
+    * @param aGateInput / bGateInput pre-derivation inputs for the
+    *              broadcast gate when `a`/`b` are DERIVED frames
+    *              (filtered halves, post-explode projections) whose
+    *              own size estimate can undershoot corpus-scale
+    *              actuals — threaded to [[bruteForceTopK]]'s
+    *              max-of-both gate (ADVICE r13: the gate plumbing
+    *              needs production callers, not just the parameter)
     * @return (src_id, dst_id, cos, margin) — at most one row per a-side
     *         vector, margin >= threshold, cos rounded to 6
     */
   def marginMineTopPairs(
       a: DataFrame, aIdCol: String, aVecCol: String,
       b: DataFrame, bIdCol: String, bVecCol: String,
-      k: Int, candK: Int, threshold: Double): DataFrame = {
+      k: Int, candK: Int, threshold: Double,
+      aGateInput: Option[DataFrame] = None,
+      bGateInput: Option[DataFrame] = None): DataFrame = {
     require(candK >= k, s"candK ($candK) must be >= k ($k)")
     // excludeSelf = false: a and b are DIFFERENT sets, so an id shared
     // across them (line-number ids in bitext mining) is a legitimate —
     // often the correct — pair, not a self match
     val candAB = bruteForceTopK(a, aIdCol, aVecCol, b, bIdCol, bVecCol, candK,
-      excludeSelf = false)
+      excludeSelf = false, gateInput = aGateInput)
     val topBA = bruteForceTopK(b, bIdCol, bVecCol, a, aIdCol, aVecCol, k,
-      excludeSelf = false)
+      excludeSelf = false, gateInput = bGateInput)
     // divide by the ACTUAL neighbor count, not k: a side smaller than k
     // would otherwise deflate the denominator and inflate every margin
     def avgTop(cand: DataFrame): DataFrame = cand

@@ -648,10 +648,15 @@ object VectorQueries {
     * best-pair ranking ([[graft.functions.Similarity.marginMineTopPairs]]). */
   def marginMining(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
+    // both mining sides are DERIVED (filtered halves of the corpus):
+    // hand the PRE-derivation frame to the broadcast gate so the
+    // max-of-both estimate can never undershoot corpus-scale actuals
+    // (ADVICE r13 — the gateInput plumbing gets its production caller)
     graft.functions.Similarity.marginMineTopPairs(
         e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
         e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
-        k = MarginK, candK = MarginCandK, threshold = MarginThresh)
+        k = MarginK, candK = MarginCandK, threshold = MarginThresh,
+        aGateInput = Some(e), bGateInput = Some(e))
       .orderBy("src_id")
   }
 

@@ -107,11 +107,18 @@ object Changelog {
         case ByteType | ShortType | IntegerType | LongType |
              FloatType | DoubleType | _: DecimalType | _: StringType |
              TimestampType | TimestampNTZType | DateType | BooleanType => true
+        // DayTimeIntervalType surfaces as java.time.Duration, which IS
+        // Comparable — it worked through cmpAny before the r13 plan-time
+        // whitelist and stays admitted (ADVICE r13). YearMonthInterval
+        // stays OUT deliberately: its runtime java.time.Period does not
+        // implement Comparable (months vs days is ambiguous), so it
+        // would die in the group function's compare.
+        case _: DayTimeIntervalType => true
         case _ => false
       }
       require(ok, s"changelog order column '${f.name}' of type " +
         s"${f.dataType} has no total order the state compare supports — " +
-        "use an atomic (non-binary) type")
+        "use an atomic (non-binary, non-year-month-interval) type")
     }
 
     // state row layout: order-key fields then value fields (dedup'd —

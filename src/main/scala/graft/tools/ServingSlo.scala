@@ -148,6 +148,106 @@ object ServingSlo {
       println(f"| ${c.proto} | ${c.clients} | ${c.cache} | ${c.n} | ${c.p50}%.2f | ${c.p99}%.2f | ${c.max}%.2f | ${c.rps}%.0f |")
     }
 
+    // ---- SLO UNDER MAINTENANCE CHURN (VERDICT r13 #5) ----------------
+    // The steady table above is the happy path; the mid-swap read retry
+    // (bounded re-resolve + backoff) and the write-path cache
+    // invalidation engage exactly when an upsert/expire storm is
+    // swapping buckets. A maintenance thread loops upsert batches (all
+    // 200 keys + ephemeral pre-cutoff rows) with an expire pass every
+    // third round, WHILE the grpc clients hammer point reads — the
+    // tails show what the retry actually costs a serving tier.
+    {
+      import spark.implicits._
+      val vv = fs.registry.getFeatureView("user_events")
+      val base = Timestamp.valueOf("2024-01-31 00:00:00").getTime
+      @volatile var churnStop = false
+      @volatile var maintRounds = 0
+      @volatile var maintError: Throwable = null
+      val maintenance = new Thread(() => {
+        try maintLoop()
+        catch { case e: Throwable => maintError = e }
+        def maintLoop(): Unit = {
+        var i = 0
+        while (!churnStop) {
+          val main = (0L until keySpace)
+            .map(k => (k, new Timestamp(base + i * 1000L), "churn", k * 1.0))
+          val eph = Seq((100000L + i, Timestamp.valueOf("2020-01-01 00:00:00"),
+            "eph", -1.0))
+          (main ++ eph).toDF("user_id", "ts", "event_type", "value")
+            .createOrReplaceTempView("__churn_batch")
+          store.upsert("slo", vv, Seq("user_id"),
+            spark.table("__churn_batch"), "ts", None)
+          if (i % 3 == 2)
+            store.expire(spark, "slo", vv, Seq("user_id"), "ts",
+              Timestamp.valueOf("2021-01-01 00:00:00"))
+          i += 1
+          maintRounds = i
+        }
+        }
+      }, "slo-churn-maintenance")
+      maintenance.setDaemon(true)
+      maintenance.start()
+      // reads run UNTIL several maintenance rounds complete under them
+      // (a fixed read count finished before the first multi-second
+      // upsert job even landed — zero swaps measured), so every cell's
+      // tail actually contains bucket swaps + cache invalidations
+      def runChurn(clients: Int, minRounds: Int): Cell = {
+        val lats = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        val startRound = maintRounds
+        @volatile var stopReads = false
+        val t0 = System.nanoTime()
+        val threads = (0 until clients).map { t =>
+          new Thread(() => {
+            val cli = new graft.serving.GrpcServingClient("127.0.0.1", grpcPort)
+            try {
+              var i = 0
+              while (!stopReads) {
+                val seed = (t.toLong * 7919 + i * 13) % keySpace
+                val s = System.nanoTime()
+                cli.getOnlineFeatures(refs,
+                  reqIds(seed).map(id => Map[String, Any]("user_id" -> id)))
+                lats.add(System.nanoTime() - s)
+                i += 1
+              }
+            } finally cli.close()
+          })
+        }
+        threads.foreach(_.start())
+        // a dead maintenance thread must FAIL the run, not wedge it:
+        // the round-wait otherwise spins forever with clients hammering
+        // the server and no output (review r14)
+        while (maintRounds < startRound + minRounds) {
+          if (!maintenance.isAlive) {
+            stopReads = true
+            threads.foreach(_.join(30000))
+            throw new IllegalStateException(
+              "churn maintenance thread died mid-measurement", maintError)
+          }
+          Thread.sleep(50L)
+        }
+        stopReads = true
+        threads.foreach(_.join(30000))
+        val wall = (System.nanoTime() - t0) / 1e9
+        val sorted = {
+          val it = lats.iterator(); val b = Array.newBuilder[Long]
+          while (it.hasNext) b += it.next()
+          b.result().sorted
+        }
+        Cell("grpc", clients, "churn", sorted.length,
+          pct(sorted, 0.50), pct(sorted, 0.99), sorted.last / 1e6, sorted.length / wall)
+      }
+      val churnCells = Seq(1, 8, 32).map(c => runChurn(c, minRounds = 6))
+      churnStop = true
+      maintenance.join(60000)
+      println(s"\nSLO UNDER CHURN: grpc, warm cache, sustained upsert+expire loop " +
+        s"(>=6 maintenance rounds per cell; $maintRounds total rounds)")
+      println("| transport | clients | n | p50 ms | p99 ms | max ms | req/s |")
+      println("|---|---|---|---|---|---|---|")
+      churnCells.foreach { c =>
+        println(f"| ${c.proto} | ${c.clients} | ${c.n} | ${c.p50}%.2f | ${c.p99}%.2f | ${c.max}%.2f | ${c.rps}%.0f |")
+      }
+    }
+
     grpc.stop(); http.stop()
     spark.stop()
   }
