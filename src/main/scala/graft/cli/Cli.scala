@@ -83,6 +83,11 @@ object RepoConfig {
             case _ => throw new IllegalArgumentException(
               "sharded_parquet online store needs a non-empty 'paths' array")
           }
+          // a repeated path makes two ring positions share one
+          // directory — rebalance would then upsert a "moved" row into
+          // its own source and immediately delete it (silent loss)
+          require(paths.distinct.size == paths.size,
+            s"sharded_parquet paths must be distinct, got $paths")
           val buckets = s.get("num_buckets").map(Json.toLong(_).toInt).getOrElse(32)
           new graft.online.ShardedOnlineStore(
             paths.toIndexedSeq.map(p => new ParquetOnlineStore(p, numBuckets = buckets)))

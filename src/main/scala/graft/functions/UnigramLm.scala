@@ -263,6 +263,20 @@ object UnigramLm {
     rows.map { case (p, c) => (p, c, costs(p)) }
   }
 
+  /** ONE train → sorted (piece, cnt, cost) rows — [[train]] and
+    * [[model]] are views of this (a second copy of the tail was one
+    * prune/cost edit away from breaking the "train is the top-K view
+    * of model" contract — review r14). */
+  private def trainedRows(df: DataFrame, textCol: String,
+      maxPieceLen: Int, maxWordLen: Int,
+      seedMulti: Int, rounds: Int, prunePct: Int)
+      : IndexedSeq[(String, Long, Long)] = {
+    val (wf, rows) =
+      emRounds(df, textCol, maxPieceLen, maxWordLen, seedMulti, rounds, prunePct)
+    Components.releaseCheckpoint(wf) // both callers return local frames — wf is done
+    withCosts(rows).sortBy { case (p, c, _) => (-c, p) }
+  }
+
   /** Full train: returns the final vocabulary as
     * (piece, cnt, cost BIGINT) — cost quantized from the final counts —
     * top `topK` by (cnt desc, piece asc). `prunePct` > 0 additionally
@@ -273,12 +287,8 @@ object UnigramLm {
       prunePct: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val (wf, rows) =
-      emRounds(df, textCol, maxPieceLen, maxWordLen, seedMulti, rounds, prunePct)
-    Components.releaseCheckpoint(wf) // train returns a local frame — wf is done
-    withCosts(rows)
-      .sortBy { case (p, c, _) => (-c, p) }.take(topK)
-      .toDF("piece", "cnt", "cost")
+    trainedRows(df, textCol, maxPieceLen, maxWordLen, seedMulti, rounds, prunePct)
+      .take(topK).toDF("piece", "cnt", "cost")
   }
 
   /** The MODEL ARTIFACT: the complete final vocabulary (piece, cnt,
@@ -292,11 +302,7 @@ object UnigramLm {
       seedMulti: Int = 200, rounds: Int = 2, prunePct: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val (wf, rows) =
-      emRounds(df, textCol, maxPieceLen, maxWordLen, seedMulti, rounds, prunePct)
-    Components.releaseCheckpoint(wf)
-    withCosts(rows)
-      .sortBy { case (p, c, _) => (-c, p) }
+    trainedRows(df, textCol, maxPieceLen, maxWordLen, seedMulti, rounds, prunePct)
       .toDF("piece", "cnt", "cost")
   }
 }

@@ -417,10 +417,17 @@ class ParquetOnlineStore(
     * and the recovery sweep cannot see it. */
   private val writerLeaseMs =
     sys.props.get("graft.online.writerLeaseMs").map(_.toLong).getOrElse(30000L)
+  // acquisition budget sized to the longest legitimate critical
+  // section, NOT to staleness: a contender queuing behind a LIVE
+  // heartbeat-extended holder (micro-batch upsert behind a multi-
+  // minute backfill merge) must WAIT, not die at staleMs+5s — the
+  // lease exists to serialize exactly that pair (review r14)
+  private val writerAcquireMs =
+    sys.props.get("graft.online.writerAcquireMs").map(_.toLong).getOrElse(600000L)
   private def withWriterLease[A](fs: org.apache.hadoop.fs.FileSystem,
       p: String)(body: => A): A =
     graft.util.FileLease.withLock(fs, hp(p + ".writer.lock"), writerLeaseMs,
-      heartbeat = true)(body)
+      heartbeat = true, acquireMs = writerAcquireMs)(body)
 
   /** The bucket count in force for a table: the persisted marker wins
     * over the configured default, so reopening an existing store with a

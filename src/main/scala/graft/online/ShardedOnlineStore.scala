@@ -117,6 +117,23 @@ class ShardedOnlineStore(
   def teardown(project: String, views: Seq[FeatureView]): Unit =
     children.foreach(_.teardown(project, views))
 
+  /** TTL retention sweep fan-out — each parquet child expires its own
+    * slice (the composite must not LOSE the sweep that bounds the
+    * store, review r14); returns total expired rows. Parquet children
+    * only, validated UP FRONT like [[rebalance]]. */
+  def expire(spark: SparkSession, project: String, view: FeatureView,
+      joinKeys: Seq[String], tsCol: String, cutoff: Timestamp): Long = {
+    requireParquetChildren("expire")
+    children.map(_.asInstanceOf[ParquetOnlineStore]
+      .expire(spark, project, view, joinKeys, tsCol, cutoff)).sum
+  }
+
+  private def requireParquetChildren(op: String): Unit =
+    children.find(!_.isInstanceOf[ParquetOnlineStore]).foreach { other =>
+      throw new UnsupportedOperationException(
+        s"$op requires ParquetOnlineStore children, got ${other.getClass.getSimpleName}")
+    }
+
   /** One-time REBALANCE after the ring changed (grow-by-one is the
     * designed case): every parquet child's table is scanned once, rows
     * whose HRW target under THIS (grown) ring differs from the shard
@@ -128,6 +145,10 @@ class ShardedOnlineStore(
     * call per materialized view. */
   def rebalance(spark: SparkSession, project: String, view: FeatureView,
       joinKeys: Seq[String], tsCol: String, createdCol: Option[String]): Long = {
+    // validate the WHOLE ring before any row moves: a lazy per-child
+    // check threw mid-loop with the ring half-migrated and the moved
+    // count lost (review r14)
+    requireParquetChildren("rebalance")
     var moved = 0L
     children.zipWithIndex.foreach {
       case (child: ParquetOnlineStore, idx) =>
@@ -162,6 +183,14 @@ class ShardedOnlineStore(
 }
 
 object ShardedOnlineStore {
+  // one digest per serving thread, reset per use — getInstance per
+  // (key × shard) was a provider lookup + allocation on the point-read
+  // routing path (review r14)
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Driver-side rendezvous shard — MUST stay the exact twin of
     * [[graft.functions.Sharding.rendezvousShard]] over the same hex
     * key (spec-pinned): score = first 8 hex chars of
@@ -169,12 +198,13 @@ object ShardedOnlineStore {
     * shard id. */
   def shardOf(hexKey: String, nShards: Int, salt: String = "rdv"): Int = {
     require(nShards > 0)
+    val digest = md5.get()
     var best = ""
     var win = -1
     var s = 0
     while (s < nShards) {
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$salt:$s:$hexKey".getBytes("UTF-8"))
+      digest.reset()
+      val md = digest.digest(s"$salt:$s:$hexKey".getBytes("UTF-8"))
       val score = EntityKeyCodec.toHex(md).substring(0, 8)
       // >= : equal scores resolve to the larger shard id, matching the
       // Spark side's array_sort(score asc, shard asc) arg-max

@@ -383,19 +383,25 @@ object AsOfJoin {
         // Entity CARDINALITY (VERDICT r13 #4): sizeInBytes / Σ
         // defaultSize mis-priced a wide-string entity frame through the
         // same flat-20-bytes assumption the payload side just escaped —
-        // prefer real row counts: the optimizer's stats.rowCount when
-        // present, else the parquet footers' record count (an upper
-        // bound under traced-through filters — over-counting prices the
-        // broadcast LARGER, the safe direction). The defaultSize
-        // division survives only for all-fixed-width schemas, where it
-        // is exact; a var-width entity frame with no measurable row
-        // count REFUSES the route like an unmeasurable payload does.
+        // prefer real row counts. The parquet footers' record count
+        // comes FIRST: it is an upper bound under traced-through
+        // filters (over-counting prices the broadcast LARGER, the safe
+        // direction), while CBO's stats.rowCount is a POST-FILTER
+        // selectivity estimate that can under-count by orders of
+        // magnitude on a mis-estimated predicate — the same
+        // under-pricing mode this change closes (review r14); it is
+        // consulted only when no footer answer exists (non-parquet or
+        // shape-rejected plans, where an estimate beats the flat
+        // division). The defaultSize division survives only for
+        // all-fixed-width schemas, where it is exact; a var-width
+        // entity frame with no measurable row count REFUSES the route
+        // like an unmeasurable payload does.
         // lazy: the footer sweep (up to 64 file opens) must only run on
         // the one branch that consults cardinality — the no-payload and
         // unmeasurable-width branches never pay plan-time I/O for it
         lazy val card: Option[BigInt] =
-          left.queryExecution.optimizedPlan.stats.rowCount
-            .orElse(graft.sources.FooterBounds.rowCount(left).map(BigInt(_)))
+          graft.sources.FooterBounds.rowCount(left).map(BigInt(_))
+            .orElse(left.queryExecution.optimizedPlan.stats.rowCount)
             .orElse {
               if (left.schema.exists(f => varWidth(f.dataType))) None
               else Some(size /

@@ -686,7 +686,7 @@ object CorpusQueries {
     * joined back to the exploded corpus words (routed, never an
     * estimate-elected broadcast — review r13), doc-level sums and the
     * compression ratio vs character-level. */
-  private def docTokenStats(d: DataFrame, wsym: DataFrame): DataFrame = {
+  private[graft] def docTokenStats(d: DataFrame, wsym: DataFrame): DataFrame = {
     val dw = d.select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
     dw.join(graft.functions.Dedup.mergeUnlessTiny(d)(wsym), Seq("word"))
       .groupBy("doc_id").agg(

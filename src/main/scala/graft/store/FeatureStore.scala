@@ -390,8 +390,15 @@ class FeatureStore(
       case p: graft.online.ParquetOnlineStore =>
         p.expire(spark, project, view, joinKeysOf(view),
           view.batchSource.eventTimestampColumn, cutoff)
+      // the sharded composite fans the sweep out to its parquet
+      // children — without this arm a sharded_parquet deployment could
+      // never expire and every shard grew without bound (review r14)
+      case s: graft.online.ShardedOnlineStore =>
+        s.expire(spark, project, view, joinKeysOf(view),
+          view.batchSource.eventTimestampColumn, cutoff)
       case other => throw new IllegalArgumentException(
-        s"expireOnline supports ParquetOnlineStore; configured store is ${other.getClass.getSimpleName}")
+        s"expireOnline supports ParquetOnlineStore (plain or sharded); " +
+          s"configured store is ${other.getClass.getSimpleName}")
     }
   }
 

@@ -193,30 +193,36 @@ object ServingSlo {
       // tail actually contains bucket swaps + cache invalidations
       def runChurn(clients: Int, minRounds: Int): Cell = {
         val lats = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        val readErrors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
         val startRound = maintRounds
         @volatile var stopReads = false
         val t0 = System.nanoTime()
         val threads = (0 until clients).map { t =>
           new Thread(() => {
-            val cli = new graft.serving.GrpcServingClient("127.0.0.1", grpcPort)
+            // a reader throw must FAIL the cell loudly — a silently
+            // dead client under-samples exactly the bad tail this tool
+            // exists to measure (review r14)
             try {
-              var i = 0
-              while (!stopReads) {
-                val seed = (t.toLong * 7919 + i * 13) % keySpace
-                val s = System.nanoTime()
-                cli.getOnlineFeatures(refs,
-                  reqIds(seed).map(id => Map[String, Any]("user_id" -> id)))
-                lats.add(System.nanoTime() - s)
-                i += 1
-              }
-            } finally cli.close()
+              val cli = new graft.serving.GrpcServingClient("127.0.0.1", grpcPort)
+              try {
+                var i = 0
+                while (!stopReads) {
+                  val seed = (t.toLong * 7919 + i * 13) % keySpace
+                  val s = System.nanoTime()
+                  cli.getOnlineFeatures(refs,
+                    reqIds(seed).map(id => Map[String, Any]("user_id" -> id)))
+                  lats.add(System.nanoTime() - s)
+                  i += 1
+                }
+              } finally cli.close()
+            } catch { case e: Throwable => readErrors.add(e); stopReads = true }
           })
         }
         threads.foreach(_.start())
         // a dead maintenance thread must FAIL the run, not wedge it:
         // the round-wait otherwise spins forever with clients hammering
         // the server and no output (review r14)
-        while (maintRounds < startRound + minRounds) {
+        while (!stopReads && maintRounds < startRound + minRounds) {
           if (!maintenance.isAlive) {
             stopReads = true
             threads.foreach(_.join(30000))
@@ -227,12 +233,17 @@ object ServingSlo {
         }
         stopReads = true
         threads.foreach(_.join(30000))
+        if (!readErrors.isEmpty)
+          throw new IllegalStateException(
+            s"churn reader(s) died mid-measurement (${readErrors.size})",
+            readErrors.peek())
         val wall = (System.nanoTime() - t0) / 1e9
         val sorted = {
           val it = lats.iterator(); val b = Array.newBuilder[Long]
           while (it.hasNext) b += it.next()
           b.result().sorted
         }
+        require(sorted.nonEmpty, "churn cell collected zero latencies")
         Cell("grpc", clients, "churn", sorted.length,
           pct(sorted, 0.50), pct(sorted, 0.99), sorted.last / 1e6, sorted.length / wall)
       }

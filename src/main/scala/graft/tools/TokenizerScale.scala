@@ -43,11 +43,11 @@ object TokenizerScale {
     def force(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // the PRODUCTION tail, not a private near-copy: the tool must time
+    // the exact plan shape q_unigram_encode_persisted ships (a routing
+    // change in the query layer must move these ratios — review r14)
     def docStats(d: DataFrame, wsym: DataFrame): DataFrame =
-      d.select(col("doc_id"), explode(TF.words(col("text"))).as("word"))
-        .join(graft.functions.Dedup.mergeUnlessTiny(d)(wsym), Seq("word"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_words"),
-          sum(col("n_pieces")).as("n_tokens"))
+      graft.queries.CorpusQueries.docTokenStats(d, wsym)
 
     val fixedBatch = spark.read.parquet(s"$baseDir/documents.parquet")
       .filter(col("doc_id") % 10 === 0)

@@ -51,11 +51,18 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object FileLease {
 
   /** Run `body` holding an exclusive lease at `lock`. Throws
-    * java.io.IOException when the lease cannot be acquired within
-    * `staleMs` + 5 s (a crashed holder's lock only becomes breakable
-    * after `staleMs`, so the budget must outlast one full window). */
+    * java.io.IOException when the lease cannot be acquired within the
+    * acquisition budget: `acquireMs` when ≥ 0, else `staleMs` + 5 s
+    * (a crashed holder's lock only becomes breakable after `staleMs`,
+    * so the budget must outlast at least one full window). Callers
+    * whose CONTENDERS should wait behind a live heartbeat-extended
+    * holder (the store writer lease: a micro-batch upsert queuing
+    * behind a long backfill merge) must pass an `acquireMs` sized to
+    * the longest legitimate critical section — the default budget
+    * assumes short sections and would otherwise throw at ~staleMs+5 s
+    * while the holder is alive and unbreakable (review r14). */
   def withLock[A](fs: FileSystem, lock: Path, staleMs: Long,
-      heartbeat: Boolean = false)(body: => A): A = {
+      heartbeat: Boolean = false, acquireMs: Long = -1L)(body: => A): A = {
     val token = java.util.UUID.randomUUID().toString
     def readToken(at: Path): Option[String] =
       try {
@@ -84,8 +91,15 @@ object FileLease {
         Option(f.getParentFile).foreach(_.mkdirs())
         if (!f.createNewFile()) false
         else {
-          val out = new java.io.FileOutputStream(f)
-          try out.write(token.getBytes("UTF-8")) finally out.close()
+          // failure-atomic: a token write failing AFTER the O_EXCL
+          // create would strand an ownerless empty-token lock nobody —
+          // including us — can re-claim until the full stale expiry
+          // (review r14); we still own the slot here, so delete it
+          // before surfacing the error
+          try {
+            val out = new java.io.FileOutputStream(f)
+            try out.write(token.getBytes("UTF-8")) finally out.close()
+          } catch { case e: Throwable => f.delete(); throw e }
           true
         }
       case _ =>
@@ -127,7 +141,8 @@ object FileLease {
         }
       } catch { case _: java.io.FileNotFoundException => () }
 
-    val deadline = System.currentTimeMillis() + staleMs + 5000L
+    val budget = if (acquireMs >= 0) acquireMs else staleMs + 5000L
+    val deadline = System.currentTimeMillis() + budget
     var attempt = 0
     var held = false
     while (!held && System.currentTimeMillis() < deadline) {
@@ -150,7 +165,7 @@ object FileLease {
     }
     if (!held) throw new java.io.IOException(
       s"FileLease: could not acquire $lock after $attempt attempts " +
-        s"over ${staleMs + 5000L} ms")
+        s"over $budget ms")
 
     // mtime heartbeat: keeps a long critical section's lock visibly
     // fresh so no breaker's stale check ever fires on a LIVE holder.

@@ -2154,6 +2154,74 @@ class EngineSpec extends AnyFunSuite {
     dirs.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
   }
 
+  test("sharded store: TTL expire fans out to every shard (the sweep that bounds the store)") {
+    import spark.implicits._
+    // review r14: without the fan-out a sharded_parquet deployment
+    // could never expire — rows accumulated forever in every shard
+    val dirs = IndexedSeq.fill(3)(
+      java.nio.file.Files.createTempDirectory("graftshexp").toString)
+    val store = new graft.online.ShardedOnlineStore(
+      dirs.map(d => new ParquetOnlineStore(d, numBuckets = 2)))
+    val view = FeatureView("ev", Seq("driver"),
+      Seq(Feature("v1", GraftType.Dbl)),
+      Duration.ofDays(1), DataFrameSource(Seq.empty[(Long, Timestamp, Double)]
+        .toDF("driver_id", "et", "v1"), "et"))
+    val rows = (0L until 40L).map(k =>
+      (k, if (k % 2 == 0) ts("2020-01-01 00:00:00") else ts("2024-02-01 10:00:00"), k * 1.0))
+    store.upsert("p", view, Seq("driver_id"), rows.toDF("driver_id", "et", "v1"), "et", None)
+    val n = store.expire(spark, "p", view, Seq("driver_id"), "et",
+      ts("2021-01-01 00:00:00"))
+    assert(n == 20, s"expire must remove the 20 pre-cutoff rows across shards, got $n")
+    val got = store.read("p", view, Seq("driver_id"),
+      (0L until 40L).map(k => Seq("driver_id" -> k)), Seq("v1"))
+    (0L until 40L).zip(got).foreach { case (k, (_, m)) =>
+      val want = if (k % 2 == 0) "NOT_FOUND" else "PRESENT"
+      assert(m("v1").status == want, s"key $k: ${m("v1").status} != $want")
+    }
+    dirs.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
+  test("FileLease: acquisition budget — fail fast on a tiny budget, queue behind a live holder on a sized one") {
+    // review r14: the default budget (staleMs+5s) assumed short
+    // critical sections — a contender must be able to QUEUE behind a
+    // live heartbeat-extended holder with acquireMs sized to the
+    // longest legitimate section (the store writer lease's contract)
+    val dir = java.nio.file.Files.createTempDirectory("graftfleaseb").toString
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/t.lock")
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val heldAt = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() => {
+      graft.util.FileLease.withLock(fs, lock, staleMs = 60000L) {
+        heldAt.countDown(); release.await()
+      }
+    })
+    holder.start()
+    assert(heldAt.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    // tiny budget: fails fast (not after staleMs+5s)
+    val t0 = System.currentTimeMillis()
+    intercept[java.io.IOException] {
+      graft.util.FileLease.withLock(fs, lock, staleMs = 60000L, acquireMs = 400L) { () }
+    }
+    assert(System.currentTimeMillis() - t0 < 5000L, "tiny budget must fail fast")
+    // sized budget: queues until the holder releases, then enters
+    @volatile var entered = false
+    val contender = new Thread(() => {
+      graft.util.FileLease.withLock(fs, lock, staleMs = 60000L, acquireMs = 30000L) {
+        entered = true
+      }
+    })
+    contender.start()
+    Thread.sleep(500L)
+    assert(!entered, "contender must wait while the holder is live")
+    release.countDown()
+    contender.join(30000)
+    holder.join(10000)
+    assert(entered, "sized budget must acquire once the holder releases")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("writer lease: two concurrent upsert storms lose no updates (final state = sequential LWW)") {
     import spark.implicits._
     // VERDICT r13 #2: without the table-scoped writer lease, two

@@ -967,4 +967,32 @@ class PropertySpec extends AnyFunSuite {
     }
     runCheck(prop, 40)
   }
+
+  test("HRW shard routing: minimal disruption and spark/driver twin at arbitrary ring sizes (ScalaCheck)") {
+    // the composite store's whole correctness story, property-ized
+    // beyond the fixed-fixture pins: for ANY ring size n and ANY keys,
+    // (a) growing n -> n+1 moves a key ONLY to the new shard (the HRW
+    // minimal-disruption guarantee — the grown ring re-scores the same
+    // shards plus one, so the old arg-max can only lose to the
+    // newcomer), and (b) the pure-Scala driver formula lands inside
+    // [0, n) deterministically (same key, same shard on every call —
+    // the tie-break direction is stable across ring sizes).
+    val genCase = for {
+      n <- Gen.choose(1, 9)
+      keys <- Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue))
+    } yield (n, keys.distinct)
+    val prop = Prop.forAllNoShrink(genCase) { case (n, keys) =>
+      val results = keys.map { k =>
+        val hex = EntityKeyCodec.hexKey(Seq("id" -> k))
+        val s1 = graft.online.ShardedOnlineStore.shardOf(hex, n)
+        val s2 = graft.online.ShardedOnlineStore.shardOf(hex, n + 1)
+        val inRange = s1 >= 0 && s1 < n && s2 >= 0 && s2 < n + 1
+        val minimal = s2 == s1 || s2 == n
+        val stable = graft.online.ShardedOnlineStore.shardOf(hex, n) == s1
+        (inRange && minimal && stable) :| s"key=$k n=$n s1=$s1 s2=$s2"
+      }
+      Prop.all(results: _*)
+    }
+    runCheck(prop, 60)
+  }
 }
