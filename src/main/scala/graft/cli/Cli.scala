@@ -227,6 +227,7 @@ object RepoConfig {
   *   graft teardown <repo.json>
   *   graft backfill <repo.json> <startTs> <endTs> <chunk-days>
   *   graft expire-online <repo.json> <view> <as-of-ts>
+  *   graft rebalance <repo.json> [view]
   *   graft vacuum <repo.json> <view> <keep-from-date>
   *   graft compact <repo.json> <view>
   *
@@ -366,6 +367,20 @@ object Cli {
         val n = fs.expireOnline(viewName, ts(asOf))
         out(s"$viewName: expired $n row(s) as of $asOf")
 
+      // ring growth made operable (VERDICT r14 #1): edit the
+      // sharded_parquet `paths` (APPEND only — the ring is positional),
+      // `apply`, then `rebalance` migrates the ~1/(N+1) sliver of rows
+      // whose HRW target changed. With no view argument every
+      // registered view is migrated and the grown ring markers are
+      // committed; with a view argument only that view moves (markers
+      // commit only if it is the sole view). A crashed rebalance is
+      // recovered by re-running it.
+      case "rebalance" +: cfgPath +: rest if rest.size <= 1 =>
+        val (_, fs) = store(cfgPath)
+        val moved = fs.rebalanceOnline(rest.headOption)
+        out(s"rebalanced ${rest.headOption.getOrElse("all views")}: " +
+          s"moved $moved row(s)")
+
       case Seq("entities", "list", cfgPath) =>
         val (_, fs) = store(cfgPath)
         fs.registry.listEntities.foreach(e => out(s"${e.name}\t${e.joinKey}\t${e.dtype.name}"))
@@ -476,7 +491,8 @@ object Cli {
         throw new IllegalArgumentException(
           s"unknown command '${other.mkString(" ")}'; commands: init, apply, materialize, " +
           "materialize-incremental, backfill <cfg> <start> <end> <chunk-days>, " +
-          "expire-online <cfg> <view> <as-of>, entities list, feature-views list, " +
+          "expire-online <cfg> <view> <as-of>, rebalance <cfg> [view], " +
+          "entities list, feature-views list, " +
           "registry-dump, teardown, vacuum <cfg> <view> <keep-from-date>, " +
           "compact <cfg> <view>, serve <cfg> [http-port] [grpc-port] [max-seconds], " +
           "export <cfg> <view> <tfrecord|webdataset> <out-dir> <num-shards>")

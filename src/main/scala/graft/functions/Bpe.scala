@@ -98,4 +98,99 @@ object Bpe {
     Components.releaseCheckpoint(syms)
     out.result().toDF("round", "l", "r", "pair_count", "new_symbol")
   }
+
+  /** Batched-round BPE train (VERDICT r14 #5): the exact sequential
+    * trainer is one driver round trip PER MERGE — correct and cheap at
+    * a handful of rounds, but a realistic 32k-merge vocabulary is 32k
+    * sequential Spark jobs, a driver-DISPATCH wall-clock wall at
+    * cluster scale (the data volume per round is only the
+    * vocabulary-sized word table). This variant counts pairs ONCE per
+    * round and applies the top `batchK` pairwise-DISJOINT merges from
+    * that one count — the standard batching trick — cutting dispatched
+    * rounds by ~batchK×.
+    *
+    * Disjointness rule: greedy in the sequential trainer's exact total
+    * order (count desc, l asc, r asc), skipping any candidate that
+    * shares a symbol with an already-picked merge in this batch —
+    * including the picked merges' OUTPUT symbols, since merging (a,b)
+    * creates new "ab" occurrences and can change the counts of any
+    * pair involving "ab". A merge can only change the counts of pairs
+    * that touch one of its symbols, so disjoint picks see counts the
+    * batch's earlier picks cannot have moved — when the top of the
+    * distribution is disjoint, batched ≡ sequential (spec-pinned).
+    *
+    * DOCUMENTED FIDELITY DEVIATION: when top pairs interact, later
+    * picks in a batch use PRE-batch counts and the chosen merges can
+    * diverge from exact sequential BPE (counts are also the pre-batch
+    * observations). [[trainMergesOnWords]] remains the exact,
+    * oracle-gated trainer; use this one when merge count, not data
+    * volume, is the wall. `round` in the result is the global 1-based
+    * merge index, so downstream encode-from-artifact consumers see the
+    * same schema either way.
+    */
+  def trainMergesBatched(df: DataFrame, textCol: String, merges: Int,
+      batchK: Int): DataFrame =
+    trainMergesOnWordsBatched(wordFreq(df, textCol), merges, batchK)
+
+  /** Batched train on a precomputed (word, freq) dictionary. */
+  def trainMergesOnWordsBatched(wf: DataFrame, merges: Int,
+      batchK: Int): DataFrame = {
+    require(batchK >= 1, s"batchK must be >= 1, got $batchK")
+    val spark = wf.sparkSession
+    import spark.implicits._
+    var syms = wf
+      .withColumn("s", filter(split(col("word"), ""), c => c =!= ""))
+      .select(col("freq"), col("s"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[(Int, String, String, Long, String)]
+    var picked = 0
+    var exhausted = false
+    while (picked < merges && !exhausted) {
+      val want = math.min(batchK, merges - picked)
+      val pairs = syms
+        .select(col("freq"), explode(
+          when(size(col("s")) >= 2,
+            transform(sequence(lit(1), size(col("s")) - 1),
+              i => struct(
+                element_at(col("s"), i).as("l"),
+                element_at(col("s"), i + lit(1)).as("r"))))
+            .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+      // over-fetch so the disjoint filter can still fill the batch when
+      // neighbors at the top share symbols; the collect stays bounded
+      // (4·batchK tiny rows), never the full pair table
+      val cands = pairs.orderBy(desc("cnt"), asc("l"), asc("r"))
+        .limit(want * 4).collect()
+      if (cands.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val batch = Seq.newBuilder[(String, String, Long)]
+        var taken = 0
+        cands.iterator.takeWhile(_ => taken < want).foreach { row =>
+          val (l, r, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
+          if (!used(l) && !used(r)) {
+            batch += ((l, r, cnt))
+            used += l; used += r; used += (l + r)
+            taken += 1
+          }
+        }
+        val picks = batch.result()
+        picks.foreach { case (l, r, cnt) =>
+          picked += 1
+          out += ((picked, l, r, cnt, l + r))
+        }
+        // disjoint merges commute — applying them in pick order inside
+        // ONE narrow fold costs one checkpointed job per ROUND, which
+        // is the whole point
+        val next = picks.foldLeft(syms) { case (d, (l, r, _)) =>
+          d.withColumn("s", mergeApply(col("s"), l, r))
+        }.localCheckpoint()
+        Components.releaseCheckpoint(syms)
+        syms = next
+      }
+    }
+    Components.releaseCheckpoint(syms)
+    out.result().toDF("round", "l", "r", "pair_count", "new_symbol")
+  }
 }

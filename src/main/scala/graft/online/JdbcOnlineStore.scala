@@ -44,7 +44,7 @@ import graft.operators.PullLatest
 class JdbcOnlineStore(
     url: String,
     writeBatchSize: Int = 500,
-    writeParallelism: Int = 4) extends OnlineStore {
+    writeParallelism: Int = 4) extends OnlineStore with ExpirableOnlineStore {
   import JdbcOnlineStore._
 
   /** upsert reduces internally (latestPerKey before any round-trip)
@@ -153,6 +153,30 @@ class JdbcOnlineStore(
         } catch { case e: SQLException if isMissingTable(e) => () }
       }
     }
+
+  /** Storage-level TTL sweep (VERDICT r14 #3): one transactional
+    * `DELETE WHERE event_ts < cutoff` — the SQL twin of the parquet
+    * store's bucket-rewrite expire, strictly cheaper because the
+    * database deletes in place. Strictly-older-than semantics match
+    * the parquet twin (a row AT the cutoff survives); `event_ts` is
+    * NOT NULL by schema, so the null-ts-survives concern doesn't
+    * arise here. A never-materialized view (missing table) expires
+    * zero rows. `spark` is unused — the sweep is a driver-side
+    * statement, which is the point. */
+  def expire(spark: org.apache.spark.sql.SparkSession, project: String,
+      view: FeatureView, joinKeys: Seq[String], tsCol: String,
+      cutoff: Timestamp): Long = {
+    val t = tableName(project, view.name)
+    try withConnection(url) { conn =>
+      val st = conn.prepareStatement(s"DELETE FROM $t WHERE event_ts < ?")
+      try {
+        st.setTimestamp(1, cutoff, utcCalendar())
+        st.executeUpdate().toLong
+      } finally st.close()
+    } catch {
+      case e: SQLException if isMissingTable(e) => 0L
+    }
+  }
 }
 
 object JdbcOnlineStore {

@@ -46,6 +46,65 @@ class ShardedOnlineStore(
 
   private def n = children.size
 
+  // ---- persisted ring markers (ADVICE r14) ---------------------------
+  // The ring is positional config: reordering or removing `paths`
+  // entries silently misroutes every key (NOT_FOUND / stale serves).
+  // Each parquet shard's base dir carries a `_graft_ring` marker
+  // ({"position","size","salt"}, written at first mutating use) that is
+  // validated before any routed operation (once per instance) — the
+  // same persisted-marker-wins discipline ParquetOnlineStore's
+  // bucket-count marker uses. position + salt must match exactly; a
+  // configured ring LARGER than the marker's size is the legitimate
+  // grow-awaiting-rebalance state ([[rebalance]] refreshes sizes on
+  // completion); SMALLER is a shrink, which is unsupported and fails
+  // loudly. Non-parquet children have no durable directory to mark.
+  // 0 = unchecked, 1 = validated (read path), 2 = markers ensured
+  @volatile private var ringLevel = 0
+  /** True while any shard's marker records a smaller ring than the
+    * configured one — the grow-awaiting-rebalance window that arms the
+    * read fallback (see [[read]]). Sticky per instance: a serving
+    * process keeps the (correct, slightly costlier) fallback until
+    * restarted after a rebalance. */
+  @volatile private[graft] var growPending = false
+
+  private def hconf() =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def ensureRing(create: Boolean): Unit = {
+    val want = if (create) 2 else 1
+    if (ringLevel >= want) return
+    val conf = hconf()
+    var minMarked = Int.MaxValue
+    children.zipWithIndex.foreach {
+      case (child: ParquetOnlineStore, idx) =>
+        val base = child.storeBasePath
+        val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+        ShardedOnlineStore.readRingMarker(fs, base) match {
+          case Some((pos, size, s)) =>
+            require(s == salt,
+              s"ring marker at $base was written under salt '$s' but the " +
+                s"store is configured with '$salt' — routing would disagree")
+            require(pos == idx,
+              s"ring marker at $base records ring position $pos but the " +
+                s"config places it at $idx — the sharded_parquet paths " +
+                "list is POSITIONAL; restore the original order")
+            require(size <= n,
+              s"ring marker at $base records ring size $size but only $n " +
+                "path(s) are configured — removing ring entries (shrink) " +
+                "is unsupported; restore the missing path(s)")
+            minMarked = math.min(minMarked, size)
+          case None =>
+            if (create)
+              ShardedOnlineStore.writeRingMarker(fs, base, idx, n, salt)
+        }
+      case _ => ()
+    }
+    growPending = minMarked != Int.MaxValue && minMarked < n
+    ringLevel = want
+  }
+
   /** Pre-reduce if ANY child wants it: pre-reduction is correct for
     * every store (it is the LWW collapse itself), merely redundant for
     * children that reduce internally. */
@@ -62,6 +121,7 @@ class ShardedOnlineStore(
 
   def upsert(project: String, view: FeatureView, joinKeys: Seq[String],
       df: DataFrame, tsCol: String, createdCol: Option[String]): Unit = {
+    ensureRing(create = true)
     if (n == 1) return children(0).upsert(project, view, joinKeys, df, tsCol, createdCol)
     val routed = df
       .select(OnlineStore.guardNullKeys(df.columns.toSeq, joinKeys, view.name): _*)
@@ -84,6 +144,7 @@ class ShardedOnlineStore(
   def read(project: String, view: FeatureView, joinKeys: Seq[String],
       entityKeys: Seq[Seq[(String, Any)]],
       features: Seq[String]): Seq[(Option[Timestamp], Map[String, FeatureValue])] = {
+    ensureRing(create = false)
     // group per shard, one child multi-get each, reassemble in request
     // order — the request's Nth answer must be the Nth key's no matter
     // how keys interleave across shards
@@ -93,11 +154,43 @@ class ShardedOnlineStore(
       val answers = children(s).read(project, view, joinKeys, keyed.map(_._1), features)
       keyed.zip(answers).foreach { case ((_, i), a) => out(i) = a }
     }
+    // GROW-WINDOW fallback: between applying a grown ring and rebalance
+    // completing (including mid-rebalance, before a key's
+    // upsert-into-target lands), a key bound to the NEW shard still
+    // lives on its previous home — by the HRW grow property that home
+    // is its winner over the first n-1 shards. A miss routed to the
+    // LAST shard therefore re-probes the old home, so serving NEVER
+    // misses a present key during a grow + migration. Armed only while
+    // the ring markers record a smaller ring (growPending), so the
+    // steady-state miss path stays one probe. Documented caveat: an
+    // unconditional delete() racing an in-flight grow can be
+    // transiently answered from the not-yet-cleaned source copy until
+    // rebalance's source-delete lands — deletes sit outside the LWW
+    // protection this fallback preserves.
+    if (growPending && n >= 2) {
+      def absent(a: (Option[Timestamp], Map[String, FeatureValue])): Boolean =
+        a._1.isEmpty && a._2.valuesIterator.forall(_.status == FeatureStatus.NotFound)
+      val missed = entityKeys.zipWithIndex.filter { case (k, i) =>
+        absent(out(i)) && shardOf(k) == n - 1
+      }
+      if (missed.nonEmpty) {
+        val byOld = missed.groupBy { case (k, _) =>
+          ShardedOnlineStore.shardOf(EntityKeyCodec.hexKey(k), n - 1, salt) }
+        byOld.foreach { case (s, keyed) =>
+          val answers = children(s).read(project, view, joinKeys,
+            keyed.map(_._1), features)
+          keyed.zip(answers).foreach { case ((_, i), a) =>
+            if (!absent(a)) out(i) = a
+          }
+        }
+      }
+    }
     out.toIndexedSeq
   }
 
   override def delete(project: String, view: FeatureView, joinKeys: Seq[String],
       keysDf: DataFrame): Unit = {
+    ensureRing(create = true)
     if (n == 1) return children(0).delete(project, view, joinKeys, keysDf)
     val routed = keysDf
       .select(OnlineStore.guardNullKeys(joinKeys, joinKeys, view.name): _*)
@@ -123,10 +216,18 @@ class ShardedOnlineStore(
     * only, validated UP FRONT like [[rebalance]]. */
   def expire(spark: SparkSession, project: String, view: FeatureView,
       joinKeys: Seq[String], tsCol: String, cutoff: Timestamp): Long = {
-    requireParquetChildren("expire")
-    children.map(_.asInstanceOf[ParquetOnlineStore]
+    ensureRing(create = true)
+    requireExpirableChildren()
+    children.map(_.asInstanceOf[ExpirableOnlineStore]
       .expire(spark, project, view, joinKeys, tsCol, cutoff)).sum
   }
+
+  private def requireExpirableChildren(): Unit =
+    children.find(!_.isInstanceOf[ExpirableOnlineStore]).foreach { other =>
+      throw new UnsupportedOperationException(
+        s"expire requires children with storage-level expiry " +
+          s"(ParquetOnlineStore / JdbcOnlineStore), got ${other.getClass.getSimpleName}")
+    }
 
   private def requireParquetChildren(op: String): Unit =
     children.find(!_.isInstanceOf[ParquetOnlineStore]).foreach { other =>
@@ -142,9 +243,19 @@ class ShardedOnlineStore(
     * rows and every one lands on the NEW shard — the scan is the cost,
     * the movement is the sliver. Returns the number of moved rows.
     * Parquet children only (the one child kind with a table dump);
-    * call per materialized view. */
+    * call per materialized view.
+    *
+    * CRASH RECOVERY: the move is upsert-into-target THEN
+    * delete-from-source per child — a crash between them leaves a
+    * duplicate row on the source shard, reads stay correct (HRW routes
+    * to the target, which already has the row), and RE-RUNNING
+    * rebalance IS the recovery: the misplaced set is recomputed, the
+    * LWW upsert is idempotent, and the re-run converges to the clean
+    * end state (spec-pinned in EngineSpec). Never reorder the delete
+    * before the upsert — a crash would then LOSE the moved rows. */
   def rebalance(spark: SparkSession, project: String, view: FeatureView,
       joinKeys: Seq[String], tsCol: String, createdCol: Option[String]): Long = {
+    ensureRing(create = true)
     // validate the WHOLE ring before any row moves: a lazy per-child
     // check threw mid-loop with the ring half-migrated and the moved
     // count lost (review r14)
@@ -180,9 +291,78 @@ class ShardedOnlineStore(
     }
     moved
   }
+
+  /** Finalize a grow AFTER [[rebalance]] has covered EVERY view the
+    * store holds: refresh each shard's ring marker to the grown size
+    * (ADVICE r14 — the persisted-marker-wins discipline) and disarm
+    * this instance's grow-window read fallback. Kept separate from the
+    * per-view rebalance on purpose — committing after one view while
+    * another view's rows are still misplaced would turn the fallback
+    * off exactly while it is needed. [[graft.store.FeatureStore
+    * .rebalanceOnline]] drives the all-views-then-commit sequence. */
+  def commitRingMarkers(): Unit = {
+    val conf = hconf()
+    children.zipWithIndex.foreach {
+      case (child: ParquetOnlineStore, idx) =>
+        val base = child.storeBasePath
+        ShardedOnlineStore.writeRingMarker(
+          new org.apache.hadoop.fs.Path(base).getFileSystem(conf), base, idx, n, salt)
+      case _ => ()
+    }
+    growPending = false
+  }
 }
 
 object ShardedOnlineStore {
+
+  /** Per-shard ring marker file at each parquet shard's base dir
+    * (underscore prefix: ignored by parquet partition discovery). */
+  val RingMarker = "_graft_ring"
+
+  private[graft] def readRingMarker(fs: org.apache.hadoop.fs.FileSystem,
+      base: String): Option[(Int, Int, String)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$base/$RingMarker")
+    if (!fs.exists(p)) None
+    else {
+      val txt = {
+        val in = fs.open(p)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      }
+      val o =
+        try graft.util.Json.parse(txt).asInstanceOf[graft.util.JValue.JObj]
+        catch {
+          case e: Exception => throw new IllegalStateException(
+            s"unreadable ring marker at $p: '$txt' — a corrupt marker " +
+              "must be investigated, not silently re-routed over", e)
+        }
+      Some((graft.util.Json.toLong(o("position")).toInt,
+        graft.util.Json.toLong(o("size")).toInt,
+        o("salt").asInstanceOf[graft.util.JValue.JStr].v))
+    }
+  }
+
+  private[graft] def writeRingMarker(fs: org.apache.hadoop.fs.FileSystem,
+      base: String, pos: Int, size: Int, salt: String): Unit = {
+    import graft.util.JValue._
+    val dest = new org.apache.hadoop.fs.Path(s"$base/$RingMarker")
+    val tmp = new org.apache.hadoop.fs.Path(s"$base/$RingMarker.tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    val out = fs.create(tmp, true)
+    try out.write(graft.util.Json.render(JObj(Vector(
+      "position" -> JInt(pos), "size" -> JInt(size),
+      "salt" -> JStr(salt)))).getBytes("UTF-8"))
+    finally out.close()
+    // publish by rename; on a pre-existing marker (a refresh, or a
+    // concurrent twin's identical first write) replace it — the
+    // moment of absence reads as "unmarked", which validation treats
+    // as pass-through, never as a misroute
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(dest, false)
+      if (!fs.rename(tmp, dest)) fs.delete(tmp, false)
+    }
+  }
+
   // one digest per serving thread, reset per use — getInstance per
   // (key × shard) was a provider lookup + allocation on the point-read
   // routing path (review r14)

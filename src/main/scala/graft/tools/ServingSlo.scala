@@ -53,7 +53,25 @@ object ServingSlo {
 
     val tmp = s"/tmp/graft_slo_${java.util.UUID.randomUUID().toString.take(8)}"
     graft.queries.TmpSweeper.register(tmp)
-    val store = new ParquetOnlineStore(s"$tmp/store", numBuckets = 32)
+    // "parquet" (default) = the single bucketed store; "sharded" runs
+    // the SAME cells through the HRW composite over 3 parquet shards
+    // (VERDICT r14 #4 — routing + per-shard swap windows must be
+    // measured, not assumed), and appends a rebalance-under-load cell
+    val storeKind = args.lift(2).getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SLO_STORE", "parquet"))
+    val shardDirs = (0 until 3).map(i => s"$tmp/store$i")
+    val (store, dropCache) = storeKind match {
+      case "sharded" =>
+        val s = new graft.online.ShardedOnlineStore(
+          shardDirs.map(d => new ParquetOnlineStore(d, numBuckets = 32)).toIndexedSeq)
+        (s: graft.online.OnlineStore,
+          () => s.children.foreach(
+            _.asInstanceOf[ParquetOnlineStore].dropServingCache("slo", "user_events")))
+      case _ =>
+        val s = new ParquetOnlineStore(s"$tmp/store", numBuckets = 32)
+        (s: graft.online.OnlineStore,
+          () => s.dropServingCache("slo", "user_events"))
+    }
     val fs = new FeatureStore("slo", new Registry(), store, spark)
     fs.applyEntity(Entity("user", GraftType.Int64, joinKeyOpt = Some("user_id")))
     fs.applyFeatureView(FeatureView(
@@ -105,7 +123,7 @@ object ServingSlo {
             var i = 0
             while (i < perThread) {
               val seed = (t.toLong * 7919 + i * 13) % keySpace
-              if (cache == "cold") store.dropServingCache("slo", "user_events")
+              if (cache == "cold") dropCache()
               val s = System.nanoTime()
               if (proto == "http") httpCall(httpClient, seed)
               else {
@@ -141,7 +159,9 @@ object ServingSlo {
     } yield run(proto, clients, cache,
       perThread = if (cache == "cold") 60 else 300)
 
-    println(s"\nSLO sfDir=$sfDir store=bucketed-parquet(32) $rowsPerReq row(s)/req keys=0..${keySpace - 1}")
+    println(s"\nSLO sfDir=$sfDir store=$storeKind(32 buckets" +
+      (if (storeKind == "sharded") " x 3 shards" else "") +
+      s") $rowsPerReq row(s)/req keys=0..${keySpace - 1}")
     println("| transport | clients | cache | n | p50 ms | p99 ms | max ms | req/s |")
     println("|---|---|---|---|---|---|---|---|")
     cells.foreach { c =>
@@ -177,9 +197,17 @@ object ServingSlo {
             .createOrReplaceTempView("__churn_batch")
           store.upsert("slo", vv, Seq("user_id"),
             spark.table("__churn_batch"), "ts", None)
-          if (i % 3 == 2)
-            store.expire(spark, "slo", vv, Seq("user_id"), "ts",
-              Timestamp.valueOf("2021-01-01 00:00:00"))
+          if (i % 3 == 2) {
+            val cutoff = Timestamp.valueOf("2021-01-01 00:00:00")
+            store match {
+              case s: graft.online.ShardedOnlineStore =>
+                s.expire(spark, "slo", vv, Seq("user_id"), "ts", cutoff)
+              case e: graft.online.ExpirableOnlineStore =>
+                e.expire(spark, "slo", vv, Seq("user_id"), "ts", cutoff)
+              case _ => ()
+            }
+            ()
+          }
           i += 1
           maintRounds = i
         }
@@ -257,6 +285,72 @@ object ServingSlo {
       churnCells.foreach { c =>
         println(f"| ${c.proto} | ${c.clients} | ${c.n} | ${c.p50}%.2f | ${c.p99}%.2f | ${c.max}%.2f | ${c.rps}%.0f |")
       }
+    }
+
+    // ---- SLO DURING RING GROWTH (sharded mode only) ------------------
+    // The operational grow sequence: serving restarts on the grown
+    // 4-ring FIRST (the old shards' ring markers still record size 3,
+    // so the grow-window read fallback is armed), then the migration
+    // runs UNDER live point reads. The cell pins what the move costs a
+    // serving tier and that no materialized key EVER misses mid-move —
+    // upsert-before-delete plus the fallback is the contract.
+    if (storeKind == "sharded") {
+      val grownStore = new graft.online.ShardedOnlineStore(
+        (shardDirs :+ s"$tmp/store3").map(d =>
+          new ParquetOnlineStore(d, numBuckets = 32)).toIndexedSeq)
+      val fs2 = new FeatureStore("slo", fs.registry, grownStore, spark)
+      val grpc2 = new GrpcServingServer(fs2, dispatchThreads = 32)
+      val lats = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val misses = new java.util.concurrent.atomic.AtomicLong(0L)
+      val readErr = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      @volatile var stopReads = false
+      val clients = 8
+      val threads = (0 until clients).map { t =>
+        new Thread(() => {
+          try {
+            val cli = new GrpcServingClient("127.0.0.1", grpc2.boundPort)
+            try {
+              var i = 0
+              while (!stopReads) {
+                val id = (t.toLong * 7919 + i * 13) % 150L // materialized ids only
+                val s = System.nanoTime()
+                val r = cli.getOnlineFeatures(refs,
+                  Seq(Map[String, Any]("user_id" -> id)))
+                lats.add(System.nanoTime() - s)
+                if (r.head._2.valuesIterator.exists(
+                    _ != graft.serving.FeastProto.StatusPresent))
+                  misses.incrementAndGet()
+                i += 1
+              }
+            } finally cli.close()
+          } catch { case e: Throwable => readErr.add(e); stopReads = true }
+        })
+      }
+      threads.foreach(_.start())
+      Thread.sleep(300L) // readers established on the pre-migration state
+      val tReb = System.nanoTime()
+      val movedRows = fs2.rebalanceOnline(None)
+      val rebWall = (System.nanoTime() - tReb) / 1e9
+      Thread.sleep(300L) // a post-migration tail in the same cell
+      stopReads = true
+      threads.foreach(_.join(30000))
+      if (!readErr.isEmpty) throw new IllegalStateException(
+        s"rebalance-cell reader died (${readErr.size})", readErr.peek())
+      val sorted = {
+        val it = lats.iterator(); val b = Array.newBuilder[Long]
+        while (it.hasNext) b += it.next()
+        b.result().sorted
+      }
+      require(sorted.nonEmpty, "rebalance cell collected zero latencies")
+      println(f"\nSLO DURING REBALANCE: grpc, $clients clients, grow 3->4 " +
+        f"(moved $movedRows rows in $rebWall%.2f s), misses=${misses.get()} (must be 0)")
+      println("| transport | clients | n | p50 ms | p99 ms | max ms |")
+      println("|---|---|---|---|---|---|")
+      println(f"| grpc | $clients | ${sorted.length} | ${pct(sorted, 0.50)}%.2f " +
+        f"| ${pct(sorted, 0.99)}%.2f | ${sorted.last / 1e6}%.2f |")
+      require(misses.get() == 0L,
+        s"reads missed ${misses.get()} times during rebalance")
+      grpc2.stop()
     }
 
     grpc.stop(); http.stop()

@@ -103,8 +103,22 @@ object FileLease {
           true
         }
       case _ =>
+        // the SAME failure-atomicity as the local branch (ADVICE r14):
+        // after the exclusive create we own the slot, so a token
+        // write/close failing on a remote filesystem must delete the
+        // lock before rethrowing — a stranded partial-token lock is
+        // ownerless and blocks every writer (ourselves included) until
+        // the full stale expiry
         val out = fs.create(lock, false)
-        out.write(token.getBytes("UTF-8")); out.close(); true
+        try {
+          out.write(token.getBytes("UTF-8")); out.close()
+        } catch {
+          case e: Throwable =>
+            try out.close() catch { case _: Throwable => () }
+            try fs.delete(lock, false) catch { case _: java.io.IOException => () }
+            throw e
+        }
+        true
     }
     // Break a stale lock from a crashed holder. Delete-based breaking
     // was TOCTOU-racy (two breakers, one deletes the other's fresh
@@ -176,10 +190,32 @@ object FileLease {
       else {
         val t = new Thread(() => {
           try {
-            while (!Thread.currentThread().isInterrupted) {
+            var mine = true
+            while (mine && !Thread.currentThread().isInterrupted) {
               Thread.sleep(math.max(250L, staleMs / 3))
-              try fs.setTimes(lock, System.currentTimeMillis(), -1L)
-              catch { case _: java.io.IOException => () }
+              // verify ownership BEFORE touching (ADVICE r14): a holder
+              // stalled past staleMs (GC/VM suspend) whose lock was
+              // broken and re-claimed must not heartbeat the
+              // REPLACEMENT's lock — if that replacement then crashes,
+              // our beats would keep its dead lock's mtime fresh
+              // forever, wedging all writers past the documented
+              // expires-within-staleMs bound. A foreign token means we
+              // were presumed dead: log once and stop beating (the
+              // body finishes on the degraded last-writer-wins terms
+              // the object Scaladoc documents). A missing/unreadable
+              // lock is a mid-break/mid-release window — skip this
+              // touch and re-check next beat.
+              readToken(lock) match {
+                case Some(tk) if tk == token =>
+                  try fs.setTimes(lock, System.currentTimeMillis(), -1L)
+                  catch { case _: java.io.IOException => () }
+                case Some(_) =>
+                  System.err.println(s"[graft] lease heartbeat $lock: " +
+                    "lock was broken and re-claimed by another holder; " +
+                    "stopping heartbeat")
+                  mine = false
+                case None => ()
+              }
             }
           } catch { case _: InterruptedException => () }
         }, s"graft-lease-heartbeat-${lock.getName}")

@@ -2125,32 +2125,62 @@ class EngineSpec extends AnyFunSuite {
     assert(movedKeys.size > 20 && movedKeys.size < 85,
       s"moved ${movedKeys.size}/200 — outside the ~1/(n+1) neighborhood")
 
-    // before rebalance the grown ring misroutes exactly the moved keys
+    // BEFORE rebalance: the new shard has nothing yet (direct child
+    // probe pins where rows physically are) …
+    val onNewBefore = grown.children(3).read("p", view, Seq("driver_id"),
+      movedKeys.map(k => Seq("driver_id" -> k)), Seq("v1"))
+    assert(onNewBefore.forall(_._2("v1").status == "NOT_FOUND"),
+      "moved rows must not be on the new shard before rebalance")
+    // … yet the COMPOSITE serves every key: the old shards' ring
+    // markers still record size 3 < 4, which arms the grow-window
+    // fallback (a miss on the LAST shard re-probes the key's home
+    // under the first n-1 shards) — serving never misses during a
+    // grow (r15, VERDICT r14 #3)
     val before = grown.read("p", view, Seq("driver_id"),
       keys.map(k => Seq("driver_id" -> k)), Seq("v1"))
-    val missingBefore = keys.zip(before).collect {
-      case (k, (_, m)) if m("v1").status != "PRESENT" => k
+    assert(grown.growPending, "grow-awaiting-rebalance must be detected from the markers")
+    keys.zip(before).foreach { case (k, (_, m)) =>
+      assert(m("v1").status == "PRESENT" &&
+        m("v1").value.asInstanceOf[Double] == k * 1.5,
+        s"key $k must serve through the grow fallback before rebalance: ${m("v1")}")
     }
-    assert(missingBefore.toSet == movedKeys.toSet,
-      "pre-rebalance misses must be exactly the moved-key set")
 
     val moved = grown.rebalance(spark, "p", view, Seq("driver_id"), "et", None)
     assert(moved == movedKeys.size,
       s"rebalance moved $moved rows, expected ${movedKeys.size}")
+    grown.commitRingMarkers()
+    assert(!grown.growPending, "commit must disarm the grow fallback")
     val after = grown.read("p", view, Seq("driver_id"),
       keys.map(k => Seq("driver_id" -> k)), Seq("v1"))
     keys.zip(after).foreach { case (k, (_, m)) =>
       assert(m("v1").status == "PRESENT" &&
         m("v1").value.asInstanceOf[Double] == k * 1.5, s"key $k after rebalance: ${m("v1")}")
     }
-    // the moved rows really live on the NEW shard (and only there)
+    // the moved rows really live on the NEW shard (and only there —
+    // direct child probes, not composite routing)
     val onNew = grown.children(3).read("p", view, Seq("driver_id"),
       movedKeys.map(k => Seq("driver_id" -> k)), Seq("v1"))
     assert(onNew.forall(_._2("v1").status == "PRESENT"))
-    val stillOld = old3.read("p", view, Seq("driver_id"),
-      movedKeys.take(10).map(k => Seq("driver_id" -> k)), Seq("v1"))
-    assert(stillOld.forall(_._2("v1").status == "NOT_FOUND"),
-      "rebalance must delete moved rows from their source shard")
+    movedKeys.take(10).foreach { k =>
+      val src = old3.shardOf(Seq("driver_id" -> k))
+      val gone = grown.children(src).read("p", view, Seq("driver_id"),
+        Seq(Seq("driver_id" -> k)), Seq("v1"))
+      assert(gone.head._2("v1").status == "NOT_FOUND",
+        s"rebalance must delete moved key $k from its source shard $src")
+    }
+    // the committed markers now record ring size 4 — a FRESH store
+    // opened with the old 3-ring against these dirs is the misroute
+    // the ADVICE r14 marker exists to catch: it must fail LOUDLY
+    // (shrink unsupported), never silently serve the pre-grow routing
+    // (old3 itself validated its ring once at upsert time, before the
+    // grow — the guard is per-open, like numBuckets adoption)
+    val stale3 = new graft.online.ShardedOnlineStore(
+      dirs.take(3).map(d => new ParquetOnlineStore(d, numBuckets = 2)))
+    val shrunk = intercept[IllegalArgumentException] {
+      stale3.read("p", view, Seq("driver_id"),
+        Seq(Seq("driver_id" -> keys.head)), Seq("v1"))
+    }
+    assert(shrunk.getMessage.contains("shrink"), shrunk.getMessage)
     dirs.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
   }
 
@@ -2179,6 +2209,412 @@ class EngineSpec extends AnyFunSuite {
       assert(m("v1").status == want, s"key $k: ${m("v1").status} != $want")
     }
     dirs.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
+  test("sharded ring markers: a reordered paths list fails loudly instead of misrouting") {
+    import spark.implicits._
+    // ADVICE r14: the ring is positional config with (previously) no
+    // persisted guard — swapping two entries silently routed every key
+    // to the wrong shard (NOT_FOUND / stale serves). The per-shard
+    // marker written at first mutating use must catch the reorder on
+    // open, same discipline as the parquet store's bucket-count marker.
+    val dirs = IndexedSeq.fill(3)(
+      java.nio.file.Files.createTempDirectory("graftring").toString)
+    val view = FeatureView("rv", Seq("driver"),
+      Seq(Feature("v1", GraftType.Dbl)),
+      Duration.ZERO, DataFrameSource(Seq.empty[(Long, Timestamp, Double)]
+        .toDF("driver_id", "et", "v1"), "et"))
+    val store = new graft.online.ShardedOnlineStore(
+      dirs.map(d => new ParquetOnlineStore(d, numBuckets = 2)))
+    store.upsert("p", view, Seq("driver_id"),
+      (0L until 30L).map(k => (k, ts("2024-02-01 10:00:00"), k * 1.0))
+        .toDF("driver_id", "et", "v1"), "et", None)
+    // same dirs, entries 0 and 2 swapped — both reads and writes must
+    // refuse before any row is routed
+    val reordered = new graft.online.ShardedOnlineStore(
+      IndexedSeq(dirs(2), dirs(1), dirs(0)).map(d =>
+        new ParquetOnlineStore(d, numBuckets = 2)))
+    val eRead = intercept[IllegalArgumentException] {
+      reordered.read("p", view, Seq("driver_id"),
+        Seq(Seq("driver_id" -> 1L)), Seq("v1"))
+    }
+    assert(eRead.getMessage.contains("POSITIONAL"), eRead.getMessage)
+    val eWrite = intercept[IllegalArgumentException] {
+      reordered.upsert("p", view, Seq("driver_id"),
+        Seq((1L, ts("2024-02-02 10:00:00"), 9.0))
+          .toDF("driver_id", "et", "v1"), "et", None)
+    }
+    assert(eWrite.getMessage.contains("POSITIONAL"), eWrite.getMessage)
+    // a FOREIGN salt is the same class of misroute
+    val salted = new graft.online.ShardedOnlineStore(
+      dirs.map(d => new ParquetOnlineStore(d, numBuckets = 2)), salt = "other")
+    val eSalt = intercept[IllegalArgumentException] {
+      salted.read("p", view, Seq("driver_id"),
+        Seq(Seq("driver_id" -> 1L)), Seq("v1"))
+    }
+    assert(eSalt.getMessage.contains("salt"), eSalt.getMessage)
+    // the CORRECT ring (a fresh instance over the same dirs) still opens
+    val again = new graft.online.ShardedOnlineStore(
+      dirs.map(d => new ParquetOnlineStore(d, numBuckets = 2)))
+    val ok = again.read("p", view, Seq("driver_id"),
+      Seq(Seq("driver_id" -> 1L)), Seq("v1"))
+    assert(ok.head._2("v1").value == 1.0)
+    dirs.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
+  test("sharded rebalance crash recovery: torn state stays servable with rows on the target; a RE-RUN converges") {
+    import spark.implicits._
+    // VERDICT r14 #2: the move is upsert-into-target THEN
+    // delete-from-source. Inject a crash exactly between them (the
+    // first source-delete throws once) and pin: (a) the torn state
+    // already has the crashed child's moved rows ON THE TARGET — this
+    // assertion goes red if anyone reorders the delete before the
+    // upsert; (b) the composite serves every key on the torn state
+    // (the duplicate on the source is invisible: HRW routes to the
+    // target); (c) re-running rebalance IS the recovery — it
+    // reconverges to the clean end state with no duplicates.
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    class CrashyStore(dir: String) extends ParquetOnlineStore(dir, numBuckets = 2) {
+      override def delete(project: String, view: FeatureView,
+          joinKeys: Seq[String], keysDf: org.apache.spark.sql.DataFrame): Unit = {
+        if (failOnce.getAndSet(false))
+          throw new RuntimeException("injected crash before source-delete")
+        super.delete(project, view, joinKeys, keysDf)
+      }
+    }
+    val dirs = IndexedSeq.fill(4)(
+      java.nio.file.Files.createTempDirectory("graftrebcr").toString)
+    val view = FeatureView("cv", Seq("driver"),
+      Seq(Feature("v1", GraftType.Dbl)),
+      Duration.ZERO, DataFrameSource(Seq.empty[(Long, Timestamp, Double)]
+        .toDF("driver_id", "et", "v1"), "et"))
+    val keys = (0L until 120L).toIndexedSeq
+    val old3 = new graft.online.ShardedOnlineStore(
+      dirs.take(3).map(d => new ParquetOnlineStore(d, numBuckets = 2)))
+    old3.upsert("p", view, Seq("driver_id"),
+      keys.map(k => (k, ts("2024-02-01 10:00:00"), k * 2.0))
+        .toDF("driver_id", "et", "v1"), "et", None)
+    val grown = new graft.online.ShardedOnlineStore(
+      dirs.take(3).map(d => new CrashyStore(d): graft.online.OnlineStore) :+
+        new ParquetOnlineStore(dirs(3), numBuckets = 2))
+    val movedKeys = keys.filter(k => grown.shardOf(Seq("driver_id" -> k)) == 3)
+    assert(movedKeys.nonEmpty)
+
+    val crash = intercept[RuntimeException] {
+      grown.rebalance(spark, "p", view, Seq("driver_id"), "et", None)
+    }
+    assert(crash.getMessage.contains("injected"), crash.getMessage)
+
+    // (a) the reorder tripwire: the first migrating child's moved rows
+    // landed on the target BEFORE its delete crashed
+    val firstSrc = (0 to 2).find(i => movedKeys.exists(k =>
+      old3.shardOf(Seq("driver_id" -> k)) == i)).get
+    val firstMoved = movedKeys.filter(k =>
+      old3.shardOf(Seq("driver_id" -> k)) == firstSrc)
+    val onTarget = grown.children(3).read("p", view, Seq("driver_id"),
+      firstMoved.map(k => Seq("driver_id" -> k)), Seq("v1"))
+    assert(onTarget.forall(_._2("v1").status == "PRESENT"),
+      "torn state must already have the moved rows ON THE TARGET — " +
+        "the source-delete must never run before the target-upsert")
+
+    // (b) every key serves on the torn state
+    val torn = grown.read("p", view, Seq("driver_id"),
+      keys.map(k => Seq("driver_id" -> k)), Seq("v1"))
+    keys.zip(torn).foreach { case (k, (_, m)) =>
+      assert(m("v1").status == "PRESENT" &&
+        m("v1").value.asInstanceOf[Double] == k * 2.0, s"torn-state key $k: ${m("v1")}")
+    }
+
+    // (c) re-run converges: the misplaced set is recomputed (nothing
+    // was deleted before the crash, so the full set moves again), the
+    // LWW upsert is idempotent, and the end state is clean
+    val moved2 = grown.rebalance(spark, "p", view, Seq("driver_id"), "et", None)
+    assert(moved2 == movedKeys.size,
+      s"re-run must move the recomputed misplaced set: $moved2 vs ${movedKeys.size}")
+    grown.commitRingMarkers()
+    val presentPerChild = grown.children.map { c =>
+      c.read("p", view, Seq("driver_id"),
+        keys.map(k => Seq("driver_id" -> k)), Seq("v1"))
+        .count(_._2("v1").status == "PRESENT")
+    }
+    assert(presentPerChild.sum == keys.size,
+      s"clean end state: no duplicates, no losses — $presentPerChild")
+    val after = grown.read("p", view, Seq("driver_id"),
+      keys.map(k => Seq("driver_id" -> k)), Seq("v1"))
+    keys.zip(after).foreach { case (k, (_, m)) =>
+      assert(m("v1").status == "PRESENT" &&
+        m("v1").value.asInstanceOf[Double] == k * 2.0, s"post-recovery key $k: ${m("v1")}")
+    }
+    dirs.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
+  test("serve-during-rebalance stress: point reads never miss a key while the migration runs") {
+    import spark.implicits._
+    // VERDICT r14 #3: readers hammer the composite WHILE the
+    // grow-by-one migration moves rows. upsert-before-delete ordering
+    // plus the grow-window fallback must keep every read PRESENT with
+    // the correct value at every instant of the migration.
+    val dirs = IndexedSeq.fill(4)(
+      java.nio.file.Files.createTempDirectory("graftrebsrv").toString)
+    val view = FeatureView("sv", Seq("driver"),
+      Seq(Feature("v1", GraftType.Dbl)),
+      Duration.ZERO, DataFrameSource(Seq.empty[(Long, Timestamp, Double)]
+        .toDF("driver_id", "et", "v1"), "et"))
+    val keys = (0L until 300L).toIndexedSeq
+    val old3 = new graft.online.ShardedOnlineStore(
+      dirs.take(3).map(d => new ParquetOnlineStore(d, numBuckets = 2)))
+    old3.upsert("p", view, Seq("driver_id"),
+      keys.map(k => (k, ts("2024-02-01 10:00:00"), k * 3.0))
+        .toDF("driver_id", "et", "v1"), "et", None)
+    val grown = new graft.online.ShardedOnlineStore(
+      dirs.map(d => new ParquetOnlineStore(d, numBuckets = 2)))
+    // latch the ring state (markers record 3 < 4 → fallback armed)
+    grown.read("p", view, Seq("driver_id"),
+      Seq(Seq("driver_id" -> 0L)), Seq("v1"))
+    assert(grown.growPending)
+
+    @volatile var stop = false
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reads = new java.util.concurrent.atomic.AtomicLong(0L)
+    val readers = (1 to 4).map { t =>
+      val th = new Thread(() => {
+        val rnd = new scala.util.Random(t)
+        while (!stop) {
+          val picked = IndexedSeq.fill(8)(keys(rnd.nextInt(keys.size)))
+          try {
+            val r = grown.read("p", view, Seq("driver_id"),
+              picked.map(k => Seq("driver_id" -> k)), Seq("v1"))
+            picked.zip(r).foreach { case (k, (_, m)) =>
+              if (m("v1").status != "PRESENT")
+                errors.add(s"key $k MISSED during rebalance: ${m("v1").status}")
+              else if (m("v1").value.asInstanceOf[Double] != k * 3.0)
+                errors.add(s"key $k WRONG value during rebalance: ${m("v1").value}")
+            }
+          } catch { case e: Throwable => errors.add(s"read threw: $e") }
+          reads.incrementAndGet()
+        }
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    val moved = grown.rebalance(spark, "p", view, Seq("driver_id"), "et", None)
+    Thread.sleep(200L) // a few more reads on the post-migration state
+    stop = true
+    readers.foreach(_.join(30000))
+    assert(moved > 0)
+    assert(reads.get() >= 8, s"stress must actually overlap the migration (${reads.get()} reads)")
+    assert(errors.isEmpty, s"${errors.size} violations, first: ${errors.peek()}")
+    dirs.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
+  test("storage-level TTL expire: jdbc DELETE twin, sharded-jdbc fan-out, loud error on non-expirable rings") {
+    import spark.implicits._
+    // VERDICT r14 #3: without a storage-level sweep a JDBC store grows
+    // without bound under TTL workloads (the read-time OUTSIDE_MAX_AGE
+    // gate protects serves, not disk). Same strictly-older-than
+    // semantics as the parquet twin, via the shared
+    // ExpirableOnlineStore seam the sharded composite fans out over.
+    val view = FeatureView("jx", Seq("driver"),
+      Seq(Feature("v1", GraftType.Dbl)),
+      Duration.ofDays(1), DataFrameSource(Seq.empty[(Long, Timestamp, Double)]
+        .toDF("driver_id", "et", "v1"), "et"))
+    def freshJdbc() = new graft.online.JdbcOnlineStore(
+      graft.online.JdbcOnlineStore.derbyUrl(
+        java.nio.file.Files.createTempDirectory("graftjexp").toString + "/db"))
+    val stores: Seq[(String, graft.online.OnlineStore)] = Seq(
+      "jdbc" -> freshJdbc(),
+      "sharded-jdbc" -> new graft.online.ShardedOnlineStore(
+        IndexedSeq.fill(3)(freshJdbc())))
+    stores.foreach { case (label, store) =>
+      val rows = (0L until 40L).map(k =>
+        (k, if (k % 2 == 0) ts("2020-01-01 00:00:00") else ts("2024-02-01 10:00:00"), k * 1.0))
+      store.upsert("p", view, Seq("driver_id"),
+        rows.toDF("driver_id", "et", "v1"), "et", None)
+      val n = store match {
+        case s: graft.online.ShardedOnlineStore =>
+          s.expire(spark, "p", view, Seq("driver_id"), "et", ts("2021-01-01 00:00:00"))
+        case e: graft.online.ExpirableOnlineStore =>
+          e.expire(spark, "p", view, Seq("driver_id"), "et", ts("2021-01-01 00:00:00"))
+      }
+      assert(n == 20, s"$label: expected 20 expired, got $n")
+      val got = store.read("p", view, Seq("driver_id"),
+        (0L until 40L).map(k => Seq("driver_id" -> k)), Seq("v1"))
+      (0L until 40L).zip(got).foreach { case (k, (_, m)) =>
+        val want = if (k % 2 == 0) "NOT_FOUND" else "PRESENT"
+        assert(m("v1").status == want, s"$label key $k: ${m("v1").status} != $want")
+      }
+      // a row exactly AT the cutoff survives (strictly-older-than, the
+      // parquet twin's pinned semantics)
+      store.upsert("p", view, Seq("driver_id"),
+        Seq((500L, ts("2021-06-01 00:00:00"), 5.0)).toDF("driver_id", "et", "v1"),
+        "et", None)
+      val atCutoff = store match {
+        case s: graft.online.ShardedOnlineStore =>
+          s.expire(spark, "p", view, Seq("driver_id"), "et", ts("2021-06-01 00:00:00"))
+        case e: graft.online.ExpirableOnlineStore =>
+          e.expire(spark, "p", view, Seq("driver_id"), "et", ts("2021-06-01 00:00:00"))
+      }
+      assert(atCutoff == 0, s"$label: a row AT the cutoff must survive")
+      // a never-materialized view expires zero rows, loudly not thrown
+      val virgin = FeatureView("jx_never", Seq("driver"),
+        Seq(Feature("v1", GraftType.Dbl)), Duration.ofDays(1),
+        DataFrameSource(Seq.empty[(Long, Timestamp, Double)]
+          .toDF("driver_id", "et", "v1"), "et"))
+      val zero = store match {
+        case s: graft.online.ShardedOnlineStore =>
+          s.expire(spark, "p", virgin, Seq("driver_id"), "et", ts("2021-01-01 00:00:00"))
+        case e: graft.online.ExpirableOnlineStore =>
+          e.expire(spark, "p", virgin, Seq("driver_id"), "et", ts("2021-01-01 00:00:00"))
+      }
+      assert(zero == 0L, s"$label: never-materialized view must expire 0")
+    }
+    // a ring with a non-expirable child refuses loudly up front
+    val memRing = new graft.online.ShardedOnlineStore(
+      IndexedSeq.fill(2)(new InMemoryOnlineStore()))
+    val e = intercept[UnsupportedOperationException] {
+      memRing.expire(spark, "p", view, Seq("driver_id"), "et",
+        ts("2021-01-01 00:00:00"))
+    }
+    assert(e.getMessage.contains("storage-level expiry"), e.getMessage)
+  }
+
+  test("FileLease: a failed token write on the generic (remote-FS) claim path must not strand the slot") {
+    // ADVICE r14: the non-local branch previously left an ownerless
+    // partial-token lock when the token write failed AFTER the
+    // exclusive create — the claimant then spun on its OWN stranded
+    // lock until the acquisition budget expired, and every other
+    // writer was blocked for the full stale window. The claim must
+    // delete the slot before rethrowing so the very next attempt
+    // re-claims. (A FilterFileSystem is not a Local/RawLocalFileSystem,
+    // so claim() takes the generic fs.create branch — the remote-store
+    // code path, driven over local disk.)
+    val dir = java.nio.file.Files.createTempDirectory("graftfleaseg").toString
+    val raw = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration).getRawFileSystem
+    val failures = new java.util.concurrent.atomic.AtomicInteger(1)
+    val fs = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def create(f: org.apache.hadoop.fs.Path, overwrite: Boolean)
+          : org.apache.hadoop.fs.FSDataOutputStream = {
+        // delegate straight to the wrapped fs (the filter wrapper is
+        // never initialize()d with a conf, and the convenience
+        // overload would read it)
+        val real = raw.create(f, overwrite)
+        if (failures.getAndDecrement() > 0)
+          new org.apache.hadoop.fs.FSDataOutputStream(
+            new java.io.OutputStream {
+              override def write(b: Int): Unit =
+                throw new java.io.IOException("injected token-write failure")
+              override def close(): Unit = real.close()
+            }, null)
+        else real
+      }
+    }
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/g.lock")
+    var entered = false
+    // short budget: red (stranded slot → could-not-acquire) without the
+    // delete-before-rethrow, green with it (attempt 2 re-claims)
+    graft.util.FileLease.withLock(fs, lock, staleMs = 60000L, acquireMs = 5000L) {
+      entered = true
+    }
+    assert(entered, "the retry after a failed token write must re-claim the slot")
+    assert(!raw.exists(lock), "release must remove the lock")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("FileLease: the heartbeat stops once the lock was broken and re-claimed by another holder") {
+    // ADVICE r14: a holder stalled past staleMs whose lock was broken
+    // and re-claimed must NOT keep heartbeating the replacement's lock
+    // — if the replacement crashes, the victim's beats would keep the
+    // dead lock's mtime fresh indefinitely, wedging every writer. The
+    // beat must re-read the token and stop when it is no longer its own.
+    val dir = java.nio.file.Files.createTempDirectory("graftfleaseh").toString
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/h.lock")
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val held = new java.util.concurrent.CountDownLatch(1)
+    @volatile var err: Throwable = null
+    val holder = new Thread(() => {
+      try graft.util.FileLease.withLock(fs, lock, staleMs = 750L, heartbeat = true) {
+        held.countDown(); release.await()
+      } catch { case e: Throwable => err = e }
+    })
+    holder.start()
+    assert(held.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    // simulate: the holder stalled, a breaker captured the lock and a
+    // NEW holder re-claimed the path with its own token
+    fs.delete(lock, false)
+    val out = fs.create(lock, true)
+    out.write("replacement-holder-token".getBytes("UTF-8")); out.close()
+    // > 2 beat intervals (beat = 250 ms): any in-flight beat lands and
+    // the next one observes the foreign token and stops
+    Thread.sleep(700L)
+    val t0 = fs.getFileStatus(lock).getModificationTime
+    Thread.sleep(900L)
+    val t1 = fs.getFileStatus(lock).getModificationTime
+    assert(t1 == t0,
+      s"the victim's heartbeat must stop touching a re-claimed lock ($t0 -> $t1)")
+    release.countDown()
+    holder.join(10000)
+    assert(err == null, s"the body must finish on degraded terms, not throw: $err")
+    // the release path restores the foreign lock it cannot prove dead
+    val in = fs.open(lock)
+    val tok = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+    assert(tok == "replacement-holder-token",
+      "release must leave the replacement holder's lock in place")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("multiget orphaned-.old fast path fires only on a STALE .old — a fresh (live-swap) .old keeps the full retry envelope") {
+    import spark.implicits._
+    // ADVICE r14: identical consecutive listings alone are a ~6 ms
+    // window; a LIVE writer stalled between rename-out and rename-in
+    // by an ordinary GC pause would hit the early exit and serve a
+    // false NOT_FOUND. The exit now also requires the .old root's
+    // mtime to be older than the orphan bound, so a fresh .old keeps
+    // the r13 ~126 ms envelope and a genuine crash orphan ages into
+    // the ~6 ms fast path.
+    val base = java.nio.file.Files.createTempDirectory("graftorph").toString
+    val store = new ParquetOnlineStore(base, numBuckets = 2)
+    val view = FeatureView("ov", Seq("driver"),
+      Seq(Feature("v1", GraftType.Dbl)),
+      Duration.ZERO, DataFrameSource(Seq.empty[(Long, Timestamp, Double)]
+        .toDF("driver_id", "et", "v1"), "et"))
+    // view "ov" is NEVER written — every requested bucket resolves
+    // empty, which (with a .old root present) is exactly the retry
+    // trigger; a sibling view holds a row to pin present-key reads
+    val view2 = view.copy(name = "ov2")
+    store.upsert("p", view2, Seq("driver_id"),
+      Seq((1L, ts("2024-02-01 10:00:00"), 1.0)).toDF("driver_id", "et", "v1"),
+      "et", None)
+    def missWall(): Double = {
+      val t0 = System.nanoTime()
+      val r = store.read("p", view, Seq("driver_id"),
+        Seq(Seq("driver_id" -> 999999L)), Seq("v1"))
+      assert(r.head._2("v1").status == "NOT_FOUND")
+      (System.nanoTime() - t0) / 1e6
+    }
+    missWall() // warm (marker + codegen paths), no .old present
+    // fabricate a FRESH .old root — a live swap mid-window: the read
+    // must pay the full bounded envelope (>= 126 ms of sleeps), never
+    // the early exit
+    val oldRoot = new java.io.File(s"$base/p/ov.old")
+    assert(oldRoot.mkdirs())
+    val fresh = missWall()
+    assert(fresh >= 100.0,
+      f"a fresh .old must keep the full retry envelope, got $fresh%.1f ms")
+    // age it past the orphan bound — a crash leftover: the no-progress
+    // early exit may now fire (~6 ms of backoff, far under the envelope)
+    assert(oldRoot.setLastModified(
+      System.currentTimeMillis() - 60000L))
+    val orphaned = missWall()
+    assert(orphaned < 100.0,
+      f"a stale orphan .old must take the early exit, got $orphaned%.1f ms")
+    // present keys (sibling view) unaffected throughout
+    val ok = store.read("p", view2, Seq("driver_id"),
+      Seq(Seq("driver_id" -> 1L)), Seq("v1"))
+    assert(ok.head._2("v1").status == "PRESENT")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
 
   test("FileLease: acquisition budget — fail fast on a tiny budget, queue behind a live holder on a sized one") {
