@@ -39,12 +39,27 @@ object BpeScale {
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.Tables.configure(spark)
 
-    val d = spark.read.parquet(s"$dir/documents.parquet")
-      .select("doc_id", "text")
-    // the corpus scan is paid ONCE outside every timer (both trainers
+    // The corpus scan is paid ONCE outside every timer (both trainers
     // share it via trainMergesOnWords*) — the measurement target is the
-    // merge LOOP, where the r14 verdict located the wall
-    val wf = Bpe.wordFreq(d, "text").localCheckpoint()
+    // merge LOOP, where the r14 verdict located the wall. The testdata
+    // documents carry only 31 distinct words (synthetic generator), so
+    // BPE EXHAUSTS near ~90 merges there — a multi-hundred-merge
+    // measurement needs a rich vocabulary. `synth:<n>` builds a
+    // deterministic n-word Zipf table (md5-hex words: 16-symbol
+    // alphabet, deep pair diversity), which is the honest instrument:
+    // the trainer's input IS the (word, freq) table, and per-round
+    // data volume is vocabulary-grain either way.
+    import org.apache.spark.sql.functions._
+    val wf = (if (dir.startsWith("synth:")) {
+      val n = dir.stripPrefix("synth:").toInt
+      spark.range(1, n + 1L)
+        .select(substring(md5(col("id").cast("string")), 1, 10).as("word"),
+          (lit(n.toLong) / col("id")).cast("long").as("freq"))
+    } else {
+      Bpe.wordFreq(
+        spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+        "text")
+    }).localCheckpoint()
 
     def wall[A](f: => A): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
