@@ -71,8 +71,12 @@ object RepoConfig {
         case JStr("reference_doc") =>
           new graft.online.ReferenceDocStore(jdbcUrlOf(s, "reference_doc"))
         // HRW-sharded composite over N parquet shards: "paths" lists
-        // the shard base paths IN RING ORDER (growing = append one and
-        // run rebalance; reordering misroutes — the ring is positional)
+        // the shard base paths IN RING ORDER (growing = append one,
+        // apply, then `graft rebalance`). The ring is positional, but
+        // a reordered/shrunk list no longer misroutes silently: each
+        // shard dir carries a persisted ring marker (position, size,
+        // salt) written at first use and validated before any routed
+        // operation (ADVICE r14)
         case JStr("sharded_parquet") =>
           val paths = s.get("paths") match {
             case Some(JArr(ps)) if ps.nonEmpty => ps.map {

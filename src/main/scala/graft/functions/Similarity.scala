@@ -1013,6 +1013,161 @@ object Similarity {
     cur
   }
 
+  // ---- OPQ: trained orthogonal pre-rotation for PQ (Ge et al. 2013,
+  // "Optimized Product Quantization"; the FAISS OPQMatrix shape) ------
+
+  /** Dense rotation of a float vector by the dim×dim matrix `r`
+    * (row-major: out(j) = Σ_i vec(i)·r(i)(j), ascending-i
+    * left-associative DOUBLE accumulation, one float cast at the end)
+    * — the OPQ pre-rotation, as ONE HOF expression over a single
+    * nested-array literal: plan size O(1) in dim (the same
+    * matrix-literal discipline as the PQ LUT's matrix form), stays
+    * inside whole-stage codegen, no UDF. [[rotateDriver]] is the
+    * bit-identical driver twin (spec-pinned). */
+  def rotateVec(vec: Column, r: Array[Array[Float]]): Column = {
+    val dim = r.length
+    val rm = typedLit(r.map(_.map(_.toDouble).toSeq).toSeq)
+    transform(sequence(lit(1), lit(dim)), j =>
+      aggregate(sequence(lit(1), lit(dim)), lit(0.0d), (acc, i) =>
+        acc + element_at(vec, i).cast("double") *
+          element_at(element_at(rm, i), j))
+        .cast("float"))
+  }
+
+  /** Driver twin of [[rotateVec]] — identical fold order, so the two
+    * agree bit-for-bit on every input. */
+  private[graft] def rotateDriver(
+      v: Array[Float], r: Array[Array[Float]]): Array[Float] = {
+    val dim = r.length
+    Array.tabulate(dim) { j =>
+      var acc = 0.0d
+      var i = 0
+      while (i < dim) { acc += v(i).toDouble * r(i)(j).toDouble; i += 1 }
+      acc.toFloat
+    }
+  }
+
+  /** Mean squared PQ reconstruction error of `xs` under `anchors` —
+    * the distortion OPQ training must not increase (spec + tool use). */
+  private[graft] def pqReconstructionMse(xs: Array[Array[Float]],
+      anchors: Array[Array[Float]], m: Int, subDim: Int): Double = {
+    if (xs.isEmpty) return 0.0
+    var total = 0.0
+    xs.foreach { v =>
+      var s = 0
+      while (s < m) {
+        var best = Double.MaxValue
+        var a = 0
+        while (a < anchors.length) {
+          var d = 0.0; var i = 0
+          while (i < subDim) {
+            val x = v(s * subDim + i).toDouble - anchors(a)(s * subDim + i).toDouble
+            d += x * x; i += 1
+          }
+          if (d < best) best = d
+          a += 1
+        }
+        total += best
+        s += 1
+      }
+    }
+    total / xs.length
+  }
+
+  /** Train the OPQ rotation: starting from R = I, alternate (1) PQ
+    * codebooks on the rotated sample ([[trainPqCodebooks]] — the same
+    * trainer the plain-PQ artifact uses, so quality deltas are
+    * attributable to the rotation alone), (2) the orthogonal
+    * Procrustes solve R = argmin‖XR − Y‖F (Y = the PQ reconstruction
+    * of XR) via SVD of XᵀY — both steps are non-increasing in
+    * quantization distortion, so the trained rotation's distortion is
+    * ≤ plain PQ's from the identity start (spec-pinned). Runs on the
+    * BOUNDED training sample (the documented 100 TB contract shared
+    * with trainPqCodebooks/kmeansCentroids: codebook quality needs a
+    * sample, not the corpus — FAISS trains OPQ the same way); the
+    * dim×dim SVD is driver-side breeze (on Spark's own classpath) and
+    * microscopic next to one corpus scan. Returns (R row-major,
+    * codebooks trained on X·R) — apply with [[rotateVec]], then every
+    * downstream step is plain PQ-ADC. */
+  def trainOpqRotation(train: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int, c: Int, opqIters: Int = 4, pqIters: Int = 2)
+      : (Array[Array[Float]], Array[Array[Float]]) = {
+    import breeze.linalg.{svd, DenseMatrix}
+    val spark = train.sparkSession
+    import spark.implicits._
+    val dim = m * subDim
+    // deterministic driver-side sample, original id order (the same
+    // first-c init discipline trainPqCodebooks keys on)
+    val rows = train
+      .filter(col(vecCol).isNotNull && !exists(col(vecCol), _.isNull))
+      .orderBy(col(idCol)).select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(rows.nonEmpty, "OPQ training needs a non-empty sample")
+    require(rows.head.length == dim, s"vec dim ${rows.head.length} != m*subDim $dim")
+    val xm = DenseMatrix(rows.map(_.map(_.toDouble)): _*) // n × dim
+    var r: Array[Array[Float]] =
+      Array.tabulate(dim, dim)((i, j) => if (i == j) 1f else 0f)
+    def rotatedDf(rot: Array[Array[Float]]) =
+      rows.zipWithIndex
+        .map { case (v, i) => (i.toLong, rotateDriver(v, rot).toSeq) }
+        .toSeq.toDF("__oid", "__ov")
+    // keep the best (distortion, R, codebooks) candidate seen: Lloyd
+    // re-inits from the rotated frame's first-c rows each iteration,
+    // so distortion is not POINTWISE monotone across iterations — but
+    // the FIRST candidate (R = I, codebooks = trainPqCodebooks(X)) IS
+    // plain PQ with identical trainer/init/sample, so returning the
+    // argmin makes "OPQ never worse than PQ" true by construction
+    // (spec-pinned), with the alternation supplying the improvements
+    var bestD = Double.MaxValue
+    var bestR = r
+    var bestCb: Array[Array[Float]] = null
+    var codebooks: Array[Array[Float]] = null
+    for (_ <- 0 until opqIters) {
+      codebooks = trainPqCodebooks(
+        rotatedDf(r), "__oid", "__ov", m, subDim, c, pqIters)
+      val d = pqReconstructionMse(rows.map(rotateDriver(_, r)), codebooks, m, subDim)
+      if (d < bestD) { bestD = d; bestR = r; bestCb = codebooks }
+      // Y = the PQ reconstruction targets of the CURRENT rotation
+      val y = rows.map { v =>
+        val xr = rotateDriver(v, r)
+        val out = new Array[Double](dim)
+        var s = 0
+        while (s < m) {
+          var best = Double.MaxValue; var bi = 0; var a = 0
+          while (a < codebooks.length) {
+            var d = 0.0; var i = 0
+            while (i < subDim) {
+              val x = xr(s * subDim + i).toDouble -
+                codebooks(a)(s * subDim + i).toDouble
+              d += x * x; i += 1
+            }
+            // ties to the smaller anchor index — pqCode's rule
+            if (d < best) { best = d; bi = a }
+            a += 1
+          }
+          var i = 0
+          while (i < subDim) {
+            out(s * subDim + i) = codebooks(bi)(s * subDim + i).toDouble
+            i += 1
+          }
+          s += 1
+        }
+        out
+      }
+      val ym = DenseMatrix(y: _*)
+      val svd.SVD(u, _, vt) = svd(xm.t * ym)
+      val rm = u * vt
+      r = Array.tabulate(dim, dim)((i, j) => rm(i, j).toFloat)
+    }
+    // the last Procrustes step moved R past its codebooks — train the
+    // final rotation's codebooks and give it the same shot at argmin
+    codebooks = trainPqCodebooks(
+      rotatedDf(r), "__oid", "__ov", m, subDim, c, pqIters)
+    val dLast = pqReconstructionMse(rows.map(rotateDriver(_, r)), codebooks, m, subDim)
+    if (dLast < bestD) { bestD = dLast; bestR = r; bestCb = codebooks }
+    (bestR, bestCb)
+  }
+
   /** IVF-style ANN: assign corpus vectors to their nearest of `nCells`
     * anchor vectors (inverted file), then search a query only against
     * the `nProbe` cells nearest to it. Anchors are k-means centroids

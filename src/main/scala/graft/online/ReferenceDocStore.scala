@@ -53,9 +53,24 @@ import graft.serving.{FeastProto, ProtoWire}
 class ReferenceDocStore(
     url: String,
     writeBatchSize: Int = 500,
-    writeParallelism: Int = 4) extends OnlineStore {
+    writeParallelism: Int = 4) extends OnlineStore with ExpirableOnlineStore {
   import ReferenceDocStore._
   import JdbcOnlineStore.{utcCalendar, withConnection, isMissingTable, ReadChunk}
+
+  /** Storage-level TTL sweep over the reference document layout
+    * (VERDICT r14 #3): one transactional DELETE of documents strictly
+    * older than the cutoff (entity grain — one document per key); a
+    * NULL event_ts document survives, matching the parquet twin. */
+  def expire(spark: org.apache.spark.sql.SparkSession, project: String,
+      view: FeatureView, joinKeys: Seq[String], tsCol: String,
+      cutoff: Timestamp): Long = {
+    val t = tableId(project, view.name)
+    try withConnection(url) { conn =>
+      val st = conn.prepareStatement(s"DELETE FROM $t WHERE event_ts < ?")
+      try { st.setTimestamp(1, cutoff, utcCalendar()); st.executeUpdate().toLong }
+      finally st.close()
+    } catch { case e: SQLException if isMissingTable(e) => 0L }
+  }
 
   /** upsert reduces internally (latestPerKey before any round-trip). */
   override def wantsPreReduced: Boolean = false

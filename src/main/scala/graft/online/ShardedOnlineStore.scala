@@ -66,6 +66,11 @@ class ShardedOnlineStore(
     * process keeps the (correct, slightly costlier) fallback until
     * restarted after a rebalance. */
   @volatile private[graft] var growPending = false
+  /** The PRE-grow ring size the markers record (the smallest marked
+    * size), valid while [[growPending]] — the fallback re-routes a
+    * missed key under THIS ring to find its previous home, which
+    * covers a grow by ANY number of shards, not just one. */
+  @volatile private[graft] var growOldSize = 0
 
   private def hconf() =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
@@ -101,7 +106,8 @@ class ShardedOnlineStore(
         }
       case _ => ()
     }
-    growPending = minMarked != Int.MaxValue && minMarked < n
+    growOldSize = if (minMarked != Int.MaxValue && minMarked < n) minMarked else 0
+    growPending = growOldSize > 0
     ringLevel = want
   }
 
@@ -156,32 +162,36 @@ class ShardedOnlineStore(
     }
     // GROW-WINDOW fallback: between applying a grown ring and rebalance
     // completing (including mid-rebalance, before a key's
-    // upsert-into-target lands), a key bound to the NEW shard still
-    // lives on its previous home — by the HRW grow property that home
-    // is its winner over the first n-1 shards. A miss routed to the
-    // LAST shard therefore re-probes the old home, so serving NEVER
-    // misses a present key during a grow + migration. Armed only while
-    // the ring markers record a smaller ring (growPending), so the
-    // steady-state miss path stays one probe. Documented caveat: an
-    // unconditional delete() racing an in-flight grow can be
-    // transiently answered from the not-yet-cleaned source copy until
-    // rebalance's source-delete lands — deletes sit outside the LWW
-    // protection this fallback preserves.
-    if (growPending && n >= 2) {
+    // upsert-into-target lands), a key whose HRW winner CHANGED in the
+    // grow still lives on its previous home — its winner under the
+    // PRE-grow ring size the markers record, which covers a grow by
+    // any number of shards. Only keys in the migration set (new winner
+    // != old winner) are re-probed, so an unmoved key's genuine miss
+    // stays one probe even mid-grow, and the fallback disarms entirely
+    // once [[commitRingMarkers]] records the grown size. Documented
+    // caveat: an unconditional delete() racing an in-flight grow can
+    // be transiently answered from the not-yet-cleaned source copy
+    // until rebalance's source-delete lands — deletes sit outside the
+    // LWW protection this fallback preserves.
+    val oldN = growOldSize
+    if (growPending && oldN >= 1 && oldN < n) {
       def absent(a: (Option[Timestamp], Map[String, FeatureValue])): Boolean =
         a._1.isEmpty && a._2.valuesIterator.forall(_.status == FeatureStatus.NotFound)
-      val missed = entityKeys.zipWithIndex.filter { case (k, i) =>
-        absent(out(i)) && shardOf(k) == n - 1
+      val missed = entityKeys.zipWithIndex.flatMap { case (k, i) =>
+        if (!absent(out(i))) None
+        else {
+          val hex = EntityKeyCodec.hexKey(k)
+          val oldHome = ShardedOnlineStore.shardOf(hex, oldN, salt)
+          if (oldHome != ShardedOnlineStore.shardOf(hex, n, salt))
+            Some((k, i, oldHome))
+          else None
+        }
       }
-      if (missed.nonEmpty) {
-        val byOld = missed.groupBy { case (k, _) =>
-          ShardedOnlineStore.shardOf(EntityKeyCodec.hexKey(k), n - 1, salt) }
-        byOld.foreach { case (s, keyed) =>
-          val answers = children(s).read(project, view, joinKeys,
-            keyed.map(_._1), features)
-          keyed.zip(answers).foreach { case ((_, i), a) =>
-            if (!absent(a)) out(i) = a
-          }
+      missed.groupBy(_._3).foreach { case (s, keyed) =>
+        val answers = children(s).read(project, view, joinKeys,
+          keyed.map(_._1), features)
+        keyed.zip(answers).foreach { case (((_, i, _)), a) =>
+          if (!absent(a)) out(i) = a
         }
       }
     }
@@ -310,6 +320,7 @@ class ShardedOnlineStore(
       case _ => ()
     }
     growPending = false
+    growOldSize = 0
   }
 }
 

@@ -185,6 +185,83 @@ object VectorQueries {
   @volatile private var pqTrainedStage =
     Staging.pathFor("/root/testdata/sf0.01", "pq_codebook_v1", "embeddings.parquet")
 
+  // ---- OPQ: trained orthogonal pre-rotation in front of PQ-ADC -------
+
+  /** Stage (or reuse) the OPQ artifact for `dir` — a three-part stage
+    * under one publishOnce root: `rotation/` (the trained dim×dim R,
+    * [[graft.functions.Similarity.trainOpqRotation]] — alternating
+    * Procrustes/PQ from the identity, argmin-selected so distortion is
+    * never worse than plain PQ), `codebook/` (the codebooks trained on
+    * the rotated sample), and `rotated/` (the corpus PRE-ROTATED by the
+    * production [[graft.functions.Similarity.rotateVec]] expression).
+    * Rotation training is ulp-sensitive (driver SVD), so the oracle
+    * replays encode + LUT + ADC from the staged rotated floats + staged
+    * codebooks — the q_ann_pq_trained contract one notch up: the hash
+    * match proves the engine's IN-FLIGHT rotation is plan-stable (its
+    * floats must equal the staging pass's bit-for-bit) and every
+    * scoring step downstream bit-identical; the rotation MATH itself
+    * (driver-twin parity, orthogonality, distortion ≤ plain PQ) is
+    * pinned in PipelineSpec. */
+  private def stagedOpq(s: SparkSession, dir: String): String = {
+    val stage = Staging.pathFor(dir, "opq_v1", "embeddings.parquet")
+    Staging.publishOnce(stage) { tmp =>
+      val train = embs(s, dir)
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(4096)
+      val (r, cb) = graft.functions.Similarity.trainOpqRotation(
+        train, "vec_id", "embedding", PqM, PqSubDim, PqC,
+        opqIters = 4, pqIters = 2)
+      import s.implicits._
+      r.zipWithIndex.map { case (row, i) => (i.toLong, row.toSeq) }
+        .toSeq.toDF("ridx", "rrow").write.parquet(s"$tmp/rotation")
+      cb.zipWithIndex.map { case (a, j) => (j.toLong, a.toSeq) }
+        .toSeq.toDF("aidx", "aemb").write.parquet(s"$tmp/codebook")
+      embs(s, dir).select(col("vec_id"),
+        graft.functions.Similarity.rotateVec(col("embedding"), r).as("remb"))
+        .write.parquet(s"$tmp/rotated")
+      // multi-part stage: parquet's per-part _SUCCESS files sit in the
+      // subdirs, but publishOnce keys on a ROOT _SUCCESS
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "_SUCCESS"))
+    }
+    stage
+  }
+
+  /** PQ-ADC search under the TRAINED OPQ rotation: rotate queries and
+    * corpus in-flight with the production expression (the staged
+    * rotated table is the oracle's replay source only), then the
+    * machinery is plain [[graft.functions.Similarity.pqAdcTopK]] over
+    * the OPQ codebooks — the missing fidelity notch between PQ and a
+    * learned transform (r14 verdict's optional ask). */
+  def annOpq(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val stage = stagedOpq(s, dir)
+    opqStage = stage
+    val r: Array[Array[Float]] = s.read.parquet(s"$stage/rotation")
+      .orderBy("ridx").select("rrow").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val anchors: Array[Array[Float]] = s.read.parquet(s"$stage/codebook")
+      .orderBy("aidx").select("aemb").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val rot = graft.functions.Similarity.rotateVec(col("embedding"), r)
+    val corpus = e.select(col("vec_id"), rot.as("remb"))
+    val q = e.filter(col("vec_id") < AdcQ).select(col("vec_id"), rot.as("remb"))
+    graft.functions.Similarity.pqAdcTopK(
+        q, "vec_id", "remb", corpus, "vec_id", "remb",
+        anchors, PqM, PqSubDim, k = AdcK)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adc"), 6).as("adc"), col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  @volatile private var opqStage =
+    Staging.pathFor("/root/testdata/sf0.01", "opq_v1", "embeddings.parquet")
+
+  /** The oracle replays encode + LUT + ADC over the STAGED rotated
+    * vectors and staged codebooks — identical scoring SQL to
+    * [[annPqSql]], vector source swapped for the rotated artifact. */
+  def annOpqSql: String = annPqSqlFrom(
+    s"SELECT aidx, aemb FROM '$opqStage/codebook/*.parquet'",
+    s"(SELECT vec_id, remb AS embedding FROM '$opqStage/rotated/*.parquet')")
+
   /** [[annPqSqlFrom]] over the staged trained codebook: identical
     * scoring SQL, anchors read from the artifact instead of derived. */
   def annPqTrainedSql: String =
@@ -200,9 +277,12 @@ object VectorQueries {
        |  FROM (SELECT vec_id AS avid, embedding AS aemb
        |        FROM embeddings ORDER BY vec_id LIMIT $PqC)""".stripMargin)
 
-  /** The ADC replay parametrized on the anchors CTE — shared by the
-    * deterministic first-c variant and the staged trained codebook. */
-  private def annPqSqlFrom(anchorsCte: String): String = {
+  /** The ADC replay parametrized on the anchors CTE and the vector
+    * source — shared by the deterministic first-c variant, the staged
+    * trained codebook, and the OPQ replay (which reads the staged
+    * ROTATED vectors instead of raw embeddings). */
+  private def annPqSqlFrom(anchorsCte: String,
+      embSource: String = "embeddings"): String = {
     def diffSum(left: String, right: String): String =
       (1 to PqSubDim).map { d =>
         val idx = s"t.s * $PqSubDim + $d"
@@ -217,7 +297,7 @@ object VectorQueries {
        |cd AS (
        |  SELECT e.vec_id, t.s, a.aidx,
        |         ${diffSum("e.embedding", "a.aemb")} AS dist
-       |  FROM embeddings e
+       |  FROM $embSource e
        |  CROSS JOIN a, UNNEST(range(0, $PqM)) AS t(s)),
        |code AS (
        |  SELECT vec_id, s, aidx FROM (
@@ -227,7 +307,7 @@ object VectorQueries {
        |lut AS (
        |  SELECT q.vec_id AS qid, t.s, a.aidx,
        |         ${diffSum("q.embedding", "a.aemb")} AS l
-       |  FROM embeddings q
+       |  FROM $embSource q
        |  CROSS JOIN a, UNNEST(range(0, $PqM)) AS t(s)
        |  WHERE q.vec_id < $AdcQ),
        |piv AS (
@@ -963,6 +1043,7 @@ object VectorQueries {
     "q_pq_encode" -> (pqEncode _),
     "q_ann_pq" -> (annPq _),
     "q_ann_pq_trained" -> (annPqTrained _),
+    "q_ann_opq" -> (annOpq _),
     "q_hash_embedding" -> (hashEmbedding _))
 
   // a def: annPqTrainedSql resolves its stage path at dump time (set by
@@ -979,6 +1060,7 @@ object VectorQueries {
     "q_pq_encode" -> pqEncodeSql,
     "q_ann_pq" -> annPqSql,
     "q_ann_pq_trained" -> annPqTrainedSql,
+    "q_ann_opq" -> annOpqSql,
     "q_ann_ivfpq" -> annIvfPqSql,
     "q_ann_ivfpq_rerank" -> annIvfPqRerankSql,
     "q_ann_ivfpq_trained" -> annIvfPqTrainedSql,

@@ -2262,6 +2262,50 @@ class EngineSpec extends AnyFunSuite {
     dirs.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
   }
 
+  test("sharded grow by TWO: the fallback re-routes under the markers' pre-grow size, so every key serves") {
+    import spark.implicits._
+    // the fallback is generalized past grow-by-one (r15 self-review):
+    // a missed key re-probes its winner under the PRE-grow ring size
+    // the markers record — keys bound to EITHER new shard find their
+    // old home, and unmoved keys' genuine misses stay one probe
+    val dirs = IndexedSeq.fill(5)(
+      java.nio.file.Files.createTempDirectory("graftgrow2").toString)
+    val view = FeatureView("g2", Seq("driver"),
+      Seq(Feature("v1", GraftType.Dbl)),
+      Duration.ZERO, DataFrameSource(Seq.empty[(Long, Timestamp, Double)]
+        .toDF("driver_id", "et", "v1"), "et"))
+    val keys = (0L until 200L).toIndexedSeq
+    val old3 = new graft.online.ShardedOnlineStore(
+      dirs.take(3).map(d => new ParquetOnlineStore(d, numBuckets = 2)))
+    old3.upsert("p", view, Seq("driver_id"),
+      keys.map(k => (k, ts("2024-02-01 10:00:00"), k * 4.0))
+        .toDF("driver_id", "et", "v1"), "et", None)
+    val grown5 = new graft.online.ShardedOnlineStore(
+      dirs.map(d => new ParquetOnlineStore(d, numBuckets = 2)))
+    // keys now bound to BOTH new shards must serve pre-rebalance
+    val movedTo = keys.groupBy(k => grown5.shardOf(Seq("driver_id" -> k)))
+    assert(movedTo.contains(3) && movedTo.contains(4),
+      "200 keys must populate both new shards' routing")
+    val got = grown5.read("p", view, Seq("driver_id"),
+      keys.map(k => Seq("driver_id" -> k)), Seq("v1"))
+    assert(grown5.growPending && grown5.growOldSize == 3)
+    keys.zip(got).foreach { case (k, (_, m)) =>
+      assert(m("v1").status == "PRESENT" &&
+        m("v1").value.asInstanceOf[Double] == k * 4.0,
+        s"key $k must serve through the generalized fallback: ${m("v1")}")
+    }
+    // rebalance + commit converges and disarms
+    val moved = grown5.rebalance(spark, "p", view, Seq("driver_id"), "et", None)
+    assert(moved == keys.count(k =>
+      grown5.shardOf(Seq("driver_id" -> k)) != old3.shardOf(Seq("driver_id" -> k))))
+    grown5.commitRingMarkers()
+    assert(!grown5.growPending && grown5.growOldSize == 0)
+    val after = grown5.read("p", view, Seq("driver_id"),
+      keys.map(k => Seq("driver_id" -> k)), Seq("v1"))
+    assert(after.forall(_._2("v1").status == "PRESENT"))
+    dirs.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
   test("sharded rebalance crash recovery: torn state stays servable with rows on the target; a RE-RUN converges") {
     import spark.implicits._
     // VERDICT r14 #2: the move is upsert-into-target THEN
@@ -2417,13 +2461,19 @@ class EngineSpec extends AnyFunSuite {
       Seq(Feature("v1", GraftType.Dbl)),
       Duration.ofDays(1), DataFrameSource(Seq.empty[(Long, Timestamp, Double)]
         .toDF("driver_id", "et", "v1"), "et"))
-    def freshJdbc() = new graft.online.JdbcOnlineStore(
-      graft.online.JdbcOnlineStore.derbyUrl(
-        java.nio.file.Files.createTempDirectory("graftjexp").toString + "/db"))
+    def freshUrl() = graft.online.JdbcOnlineStore.derbyUrl(
+      java.nio.file.Files.createTempDirectory("graftjexp").toString + "/db")
+    def freshJdbc() = new graft.online.JdbcOnlineStore(freshUrl())
     val stores: Seq[(String, graft.online.OnlineStore)] = Seq(
       "jdbc" -> freshJdbc(),
       "sharded-jdbc" -> new graft.online.ShardedOnlineStore(
-        IndexedSeq.fill(3)(freshJdbc())))
+        IndexedSeq.fill(3)(freshJdbc())),
+      // the byte-layout interop twins expire too (their sqlite/dynamo
+      // originals never do — the disk-bounding sweep is parity-plus);
+      // reference_sql counts FEATURE rows, which equals key count here
+      // (one feature per view)
+      "reference-sql" -> new graft.online.ReferenceSqlStore(freshUrl()),
+      "reference-doc" -> new graft.online.ReferenceDocStore(freshUrl()))
     stores.foreach { case (label, store) =>
       val rows = (0L until 40L).map(k =>
         (k, if (k % 2 == 0) ts("2020-01-01 00:00:00") else ts("2024-02-01 10:00:00"), k * 1.0))

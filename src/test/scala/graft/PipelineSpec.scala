@@ -1399,6 +1399,55 @@ class PipelineSpec extends AnyFunSuite {
       s"trained codebook recall@5 $r2 must match first-c $r0 within 0.05")
   }
 
+  test("OPQ: orthogonal rotation, bit-exact spark/driver twins, distortion never worse than plain PQ") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = PqFixM * PqFixSubDim
+    val (r, cb) = Similarity.trainOpqRotation(
+      e, "vec_id", "embedding", PqFixM, PqFixSubDim, PqFixC,
+      opqIters = 3, pqIters = 2)
+    assert(r.length == dim && r.forall(_.length == dim))
+    // 1. R is orthogonal: RᵀR == I to float/SVD tolerance — the whole
+    // point of Procrustes (an un-orthogonal R would change distances,
+    // not just rotate them)
+    for (i <- 0 until dim; j <- 0 until dim) {
+      var acc = 0.0
+      var k0 = 0
+      while (k0 < dim) { acc += r(k0)(i).toDouble * r(k0)(j).toDouble; k0 += 1 }
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(acc - want) < 1e-5, s"RtR($i,$j)=$acc != $want")
+    }
+    // 2. the Spark rotation expression and the driver twin agree
+    // BIT-FOR-BIT (same ascending-i left-associative double fold, one
+    // float cast) — the plan-stability contract the staged-rotated
+    // oracle replay rests on
+    val rows = e.orderBy("vec_id").select("vec_id", "embedding").collect()
+      .map(row => row.getLong(0) -> row.getSeq[Float](1).toArray)
+    val sparkSide = e.select(col("vec_id"),
+        Similarity.rotateVec(col("embedding"), r).as("rv"))
+      .collect().map(row => row.getLong(0) -> row.getSeq[Float](1).toArray).toMap
+    rows.take(64).foreach { case (id, v) =>
+      assert(sparkSide(id).sameElements(Similarity.rotateDriver(v, r)),
+        s"vec $id: spark rotation != driver twin")
+    }
+    // 3. the argmin selection makes "never worse than plain PQ" true by
+    // construction: candidate 1 IS plain PQ (R = I, same trainer, same
+    // init, same sample)
+    val vecs = rows.map(_._2)
+    val plainCb = Similarity.trainPqCodebooks(
+      e, "vec_id", "embedding", PqFixM, PqFixSubDim, PqFixC, iters = 2)
+    val dPq = pqDistortion(vecs, plainCb, PqFixM, PqFixSubDim)
+    val dOpq = pqDistortion(vecs.map(Similarity.rotateDriver(_, r)),
+      cb, PqFixM, PqFixSubDim)
+    assert(dOpq <= dPq + 1e-9,
+      s"OPQ distortion $dOpq must never exceed plain PQ $dPq")
+    // identity rotation through the expression is EXACT (one term per
+    // output dim: 0.0 + v(j)·1.0 == v(j))
+    val id = Array.tabulate(dim, dim)((i, j) => if (i == j) 1f else 0f)
+    rows.take(8).foreach { case (_, v) =>
+      assert(Similarity.rotateDriver(v, id).sameElements(v))
+    }
+  }
+
   test("trainPqCodebooks: an emptied centroid keeps its previous value") {
     import spark.implicits._
     // centroids init = first 3 rows by id; rows 0 and 1 are IDENTICAL,
