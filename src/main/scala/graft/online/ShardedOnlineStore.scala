@@ -168,11 +168,10 @@ class ShardedOnlineStore(
     // any number of shards. Only keys in the migration set (new winner
     // != old winner) are re-probed, so an unmoved key's genuine miss
     // stays one probe even mid-grow, and the fallback disarms entirely
-    // once [[commitRingMarkers]] records the grown size. Documented
-    // caveat: an unconditional delete() racing an in-flight grow can
-    // be transiently answered from the not-yet-cleaned source copy
-    // until rebalance's source-delete lands — deletes sit outside the
-    // LWW protection this fallback preserves.
+    // once [[commitRingMarkers]] records the grown size. Tombstones
+    // hold through the window too: [[delete]] fans out to the key's
+    // OLD home while growPending, so this fallback can never resurrect
+    // a deleted key from a not-yet-migrated source copy (review r15).
     val oldN = growOldSize
     if (growPending && oldN >= 1 && oldN < n) {
       def absent(a: (Option[Timestamp], Map[String, FeatureValue])): Boolean =
@@ -202,10 +201,24 @@ class ShardedOnlineStore(
       keysDf: DataFrame): Unit = {
     ensureRing(create = true)
     if (n == 1) return children(0).delete(project, view, joinKeys, keysDf)
+    // During a grow window (growPending) a tombstoned key may still
+    // have its pre-grow copy sitting on its OLD home — a delete routed
+    // only to the new winner would leave that copy for the read
+    // fallback to RESURRECT until rebalance's source-delete lands
+    // (review r15: this was a documented caveat; deleting from both
+    // homes closes it). Deleting an absent key is a no-op, so the
+    // extra fan-out is free for unmoved keys and disappears once the
+    // markers commit.
+    val shardIds =
+      if (growPending && growOldSize >= 1 && growOldSize < n)
+        array_distinct(array(shardCol(joinKeys),
+          graft.functions.Sharding.rendezvousShard(
+            EntityBucketExpr.keyHex(joinKeys), growOldSize, salt)))
+      else array(shardCol(joinKeys))
     val routed = keysDf
       .select(OnlineStore.guardNullKeys(joinKeys, joinKeys, view.name): _*)
       .distinct()
-      .withColumn("__shard", shardCol(joinKeys))
+      .withColumn("__shard", explode(shardIds))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val touched = routed.select("__shard").distinct()
@@ -335,11 +348,17 @@ object ShardedOnlineStore {
     val p = new org.apache.hadoop.fs.Path(s"$base/$RingMarker")
     if (!fs.exists(p)) None
     else {
-      val txt = {
-        val in = fs.open(p)
-        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        finally in.close()
-      }
+      val txt =
+        try {
+          val in = fs.open(p)
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+          finally in.close()
+        } catch {
+          // a marker vanishing between exists() and open() is a
+          // concurrent refresh's delete+rename window — absence is the
+          // already-handled state, never a failure (review r15)
+          case _: java.io.FileNotFoundException => return None
+        }
       val o =
         try graft.util.Json.parse(txt).asInstanceOf[graft.util.JValue.JObj]
         catch {

@@ -2306,6 +2306,52 @@ class EngineSpec extends AnyFunSuite {
     dirs.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
   }
 
+  test("sharded grow window: a delete fans out to the key's OLD home, so the fallback never resurrects a tombstone") {
+    import spark.implicits._
+    // review r15: the grow fallback re-probes a missed key's pre-grow
+    // home — a delete routed ONLY to the new winner would leave the
+    // old copy for the fallback to serve back (a resurrected
+    // tombstone). While growPending, delete fans to both homes.
+    val dirs = IndexedSeq.fill(4)(
+      java.nio.file.Files.createTempDirectory("graftgrowdel").toString)
+    val view = FeatureView("gd", Seq("driver"),
+      Seq(Feature("v1", GraftType.Dbl)),
+      Duration.ZERO, DataFrameSource(Seq.empty[(Long, Timestamp, Double)]
+        .toDF("driver_id", "et", "v1"), "et"))
+    val keys = (0L until 120L).toIndexedSeq
+    val old3 = new graft.online.ShardedOnlineStore(
+      dirs.take(3).map(d => new ParquetOnlineStore(d, numBuckets = 2)))
+    old3.upsert("p", view, Seq("driver_id"),
+      keys.map(k => (k, ts("2024-02-01 10:00:00"), k * 5.0))
+        .toDF("driver_id", "et", "v1"), "et", None)
+    val grown = new graft.online.ShardedOnlineStore(
+      dirs.map(d => new ParquetOnlineStore(d, numBuckets = 2)))
+    // pick MOVED keys (old copy still on the pre-grow home) and delete
+    // them through the grown composite BEFORE any rebalance
+    val moved = keys.filter(k =>
+      grown.shardOf(Seq("driver_id" -> k)) == 3).take(5)
+    assert(moved.nonEmpty)
+    grown.delete("p", view, Seq("driver_id"),
+      moved.toDF("driver_id"))
+    assert(grown.growPending, "delete must have observed the grow window")
+    val got = grown.read("p", view, Seq("driver_id"),
+      moved.map(k => Seq("driver_id" -> k)), Seq("v1"))
+    got.zip(moved).foreach { case ((_, m), k) =>
+      assert(m("v1").status == "NOT_FOUND",
+        s"deleted key $k must stay deleted through the grow fallback: ${m("v1")}")
+    }
+    // un-deleted moved keys still serve through the fallback
+    val kept = keys.filter(k =>
+      grown.shardOf(Seq("driver_id" -> k)) == 3 && !moved.contains(k)).take(5)
+    val keptGot = grown.read("p", view, Seq("driver_id"),
+      kept.map(k => Seq("driver_id" -> k)), Seq("v1"))
+    keptGot.zip(kept).foreach { case ((_, m), k) =>
+      assert(m("v1").status == "PRESENT" &&
+        m("v1").value.asInstanceOf[Double] == k * 5.0, s"kept key $k: ${m("v1")}")
+    }
+    dirs.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
   test("sharded rebalance crash recovery: torn state stays servable with rows on the target; a RE-RUN converges") {
     import spark.implicits._
     // VERDICT r14 #2: the move is upsert-into-target THEN
