@@ -262,6 +262,70 @@ object VectorQueries {
     s"SELECT aidx, aemb FROM '$opqStage/codebook/*.parquet'",
     s"(SELECT vec_id, remb AS embedding FROM '$opqStage/rotated/*.parquet')")
 
+  /** The full FAISS-style `OPQ,IVF,PQ` index-factory composition: the
+    * trained rotation in front of coarse-quantized (IVF) PQ-ADC.
+    * Coarse cells are k-means centroids trained on the ROTATED sample
+    * (staged next to the OPQ artifact); corpus and queries rotate
+    * in-flight with the production expression and every downstream
+    * step is the existing trained IVF-PQ machinery. The oracle replays
+    * assignment + probe + encode + LUT + ADC from the staged rotated
+    * vectors + staged cells/codebook — the same one-notch-up contract
+    * as [[annOpq]]. */
+  def annOpqIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val stage = stagedOpq(s, dir)
+    opqStage = stage
+    val r: Array[Array[Float]] = s.read.parquet(s"$stage/rotation")
+      .orderBy("ridx").select("rrow").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val cb: Array[Array[Float]] = s.read.parquet(s"$stage/codebook")
+      .orderBy("aidx").select("aemb").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val cellStage = Staging.pathFor(dir, "opq_ivf_cells_v1", "embeddings.parquet")
+    Staging.publishOnce(cellStage) { tmp =>
+      // coarse centroids live in the ROTATED space — the bounded
+      // hash-ordered sample rotated by the same expression
+      val train = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(math.max(IvfPqCells * 64, 4096))
+        .select(col("vec_id"),
+          graft.functions.Similarity.rotateVec(col("embedding"), r).as("remb"))
+      val cents = graft.functions.Similarity.kmeansCentroids(
+        train, "vec_id", "remb", IvfPqCells, iters = 2)
+      import s.implicits._
+      cents.map { case (id, v) => (id, v.map(_.toFloat)) }
+        .toDF("cell_id", "cell_vec")
+        .write.mode("overwrite").parquet(tmp)
+    }
+    opqIvfCellStage = Some(cellStage)
+    val cells: Seq[(Long, Array[Float])] = s.read.parquet(cellStage)
+      .orderBy("cell_id").collect()
+      .map(row => row.getLong(0) -> row.getSeq[Float](1).toArray).toSeq
+    val rot = graft.functions.Similarity.rotateVec(col("embedding"), r)
+    val corpus = e.select(col("vec_id"), rot.as("remb"))
+    val q = e.filter(col("vec_id") < AdcQ).select(col("vec_id"), rot.as("remb"))
+    graft.functions.Similarity.ivfPqTopK(
+        q, "vec_id", "remb", corpus, "vec_id", "remb",
+        k = AdcK, nCells = IvfPqCells, nProbe = IvfPqProbe,
+        m = PqM, subDim = PqSubDim,
+        coarse = Some(cells), codebook = Some(cb))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adc"), 6).as("adc"), col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  @volatile private var opqIvfCellStage: Option[String] = None
+
+  /** [[annIvfPqTrainedSql]]'s chain over the staged ROTATED vectors +
+    * OPQ cells/codebook. A def: stages resolve at dump time, after the
+    * query run pinned them (the ivfpq_trained sentinel discipline). */
+  def annOpqIvfSql: String = opqIvfCellStage match {
+    case Some(cellStage) => ivfPqTrainedSqlFrom(cellStage,
+      s"$opqStage/codebook",
+      s"(SELECT vec_id, remb AS embedding FROM '$opqStage/rotated/*.parquet')")
+    case None =>
+      "SELECT * FROM graft_error_opq_ivf_stage_not_pinned_run_query_first"
+  }
+
   /** [[annPqSqlFrom]] over the staged trained codebook: identical
     * scoring SQL, anchors read from the artifact instead of derived. */
   def annPqTrainedSql: String =
@@ -619,6 +683,15 @@ object VectorQueries {
       case (Some(cell), Some(cb)) => (cell, cb)
       case _ => return "SELECT * FROM graft_error_ivfpq_trained_stage_not_pinned_run_query_first"
     }
+    ivfPqTrainedSqlFrom(cellStage, cbStage)
+  }
+
+  /** The trained IVF-PQ replay parameterized on the staged cells /
+    * codebook AND the vector source — shared by the trained/persisted
+    * variants (raw embeddings) and the OPQ composition (the staged
+    * ROTATED vectors, same contract as [[annOpqSql]]). */
+  private def ivfPqTrainedSqlFrom(cellStage: String, cbStage: String,
+      embSource: String = "embeddings"): String = {
     def diffSum(left: String, right: String): String =
       (1 to PqSubDim).map { d =>
         val idx = s"t.s * $PqSubDim + $d"
@@ -630,7 +703,7 @@ object VectorQueries {
     val pivots = (0 until PqM).map(s =>
       s"MAX(CASE WHEN c.s = $s THEN l END) AS l$s").mkString(",\n         ")
     val adcSum = (0 until PqM).map(s => s"l$s").mkString(" + ")
-    s"""WITH e AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM $embSource __e),
        |cells AS (
        |  SELECT cell_id, cell_vec::DOUBLE[] AS cv
        |  FROM '$cellStage/*.parquet'),
@@ -645,14 +718,14 @@ object VectorQueries {
        |cd AS (
        |  SELECT e.vec_id, t.s, cb.aidx,
        |         ${diffSum("e.embedding", "cb.aemb")} AS dist
-       |  FROM embeddings e CROSS JOIN cb, UNNEST(range(0, $PqM)) AS t(s)),
+       |  FROM $embSource e CROSS JOIN cb, UNNEST(range(0, $PqM)) AS t(s)),
        |code AS (
        |  SELECT vec_id, s, aidx FROM (
        |    SELECT vec_id, s, aidx,
        |           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, aidx) AS rn
        |    FROM cd) WHERE rn = 1),
        |q AS (SELECT vec_id AS qid, embedding, embedding::DOUBLE[] AS qv
-       |      FROM embeddings WHERE vec_id < $AdcQ),
+       |      FROM $embSource __q WHERE vec_id < $AdcQ),
        |probed AS (
        |  SELECT qid, cell FROM (
        |    SELECT q.qid, cells.cell_id AS cell,
@@ -1044,6 +1117,7 @@ object VectorQueries {
     "q_ann_pq" -> (annPq _),
     "q_ann_pq_trained" -> (annPqTrained _),
     "q_ann_opq" -> (annOpq _),
+    "q_ann_opq_ivf" -> (annOpqIvf _),
     "q_hash_embedding" -> (hashEmbedding _))
 
   // a def: annPqTrainedSql resolves its stage path at dump time (set by
@@ -1061,6 +1135,7 @@ object VectorQueries {
     "q_ann_pq" -> annPqSql,
     "q_ann_pq_trained" -> annPqTrainedSql,
     "q_ann_opq" -> annOpqSql,
+    "q_ann_opq_ivf" -> annOpqIvfSql,
     "q_ann_ivfpq" -> annIvfPqSql,
     "q_ann_ivfpq_rerank" -> annIvfPqRerankSql,
     "q_ann_ivfpq_trained" -> annIvfPqTrainedSql,

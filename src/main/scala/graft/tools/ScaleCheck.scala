@@ -111,7 +111,7 @@ object ScaleCheck {
       // the dense-index probe join, the joinless ADC scan, and the
       // grid-snapshot PIT composition over a pinned entity plan
       "q_scd2_history", "q_sessionize", "q_negative_sample",
-      "q_ann_pq", "q_ann_opq", "q_grid_snapshot",
+      "q_ann_pq", "q_ann_opq", "q_ann_opq_ivf", "q_grid_snapshot",
       // round-5 late additions: span removal (gram joins + per-doc
       // rebuild), the replicated salted join, the drift spine, the
       // mergeable counter state, and the ROLLUP expand
@@ -237,7 +237,7 @@ object ScaleCheck {
     // q_dedup_index_persisted lesson; the builds have their own split
     // rows via IndexScale / TrainedAnnScale)
     val staged = Set("q_ann_ivfpq_persisted", "q_ann_ivfpq_trained",
-      "q_ann_pq_trained", "q_dedup_simhash", "q_ann_opq",
+      "q_ann_pq_trained", "q_dedup_simhash", "q_ann_opq", "q_ann_opq_ivf",
       "q_unigram_encode_persisted", "q_bpe_encode_persisted")
     selected.filter(staged).foreach(q => time(q, outDir))
     val lines = selected.map { q =>
