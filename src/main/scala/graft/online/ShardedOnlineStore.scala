@@ -38,6 +38,19 @@ import graft.model.FeatureView
   * Concurrency: each child keeps its own writer lease — two composite
   * upserts on the same view serialize per shard, and a reader never
   * sees a shard mid-swap beyond what the child already tolerates.
+  *
+  * GROW LIFECYCLE (r15): append path(s) to the ring, reopen, and
+  * every op keeps working — persisted per-shard ring markers detect
+  * the grow (and refuse reorders/shrinks loudly), reads fall back to
+  * a moved key's pre-grow home until [[rebalance]] migrates the
+  * sliver and [[commitRingMarkers]] finalizes, and mid-grow deletes
+  * fan out to both homes so tombstones hold. Drive it with
+  * `graft rebalance <cfg>` ([[graft.store.FeatureStore
+  * .rebalanceOnline]]); a crashed rebalance is recovered by
+  * re-running it. LIMITATION: ring markers need a durable per-shard
+  * directory, so only parquet children are guarded — a ring of JDBC
+  * children stays positional config with no persisted check (and has
+  * no rebalance: JDBC children expose no table dump).
   */
 class ShardedOnlineStore(
     val children: IndexedSeq[OnlineStore],
