@@ -114,7 +114,12 @@ object Bpe {
     * shares a symbol with an already-picked merge in this batch —
     * including the picked merges' OUTPUT symbols, since merging (a,b)
     * creates new "ab" occurrences and can change the counts of any
-    * pair involving "ab". A merge can only change the counts of pairs
+    * pair involving "ab" — and including the candidate's own OUTPUT
+    * symbol, so two input-disjoint picks emitting the same new symbol
+    * ((a,bc) and (ab,c) → both "abc") never land in one round: the
+    * second defers to a later round's fresh counts, exactly what
+    * sequential BPE would observe ([[pickDisjoint]], spec-pinned). A
+    * merge can only change the counts of pairs
     * that touch one of its symbols, so disjoint picks see counts the
     * batch's earlier picks cannot have moved — when the top of the
     * distribution is disjoint, batched ≡ sequential (spec-pinned).
@@ -131,6 +136,35 @@ object Bpe {
   def trainMergesBatched(df: DataFrame, textCol: String, merges: Int,
       batchK: Int): DataFrame =
     trainMergesOnWordsBatched(wordFreq(df, textCol), merges, batchK)
+
+  /** The batched trainer's greedy disjoint-pick over one round's
+    * candidate list (already in the sequential total order: count desc,
+    * l asc, r asc). A candidate is DEFERRED to a later round when any
+    * of its input symbols OR its output symbol was already touched by
+    * an earlier pick in this batch. The output check covers two shapes
+    * the input check alone misses (VERDICT r15 #3):
+    *   - same-OUTPUT collision: (a,bc) then (ab,c) are input-disjoint
+    *     but both emit "abc" — sequential BPE can never take both in
+    *     one round (the first merge changes every count the second
+    *     pick was ranked on), so the second defers;
+    *   - output-feeds-earlier-input: (ab,c) then (a,b) — the second
+    *     pick would CREATE new "ab" occurrences the first pick's
+    *     pre-batch count never saw.
+    * Spec-pinned (BpeSpec constructs both collisions). */
+  private[graft] def pickDisjoint(cands: Seq[(String, String, Long)],
+      want: Int): Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val batch = Seq.newBuilder[(String, String, Long)]
+    var taken = 0
+    cands.iterator.takeWhile(_ => taken < want).foreach { case (l, r, cnt) =>
+      if (!used(l) && !used(r) && !used(l + r)) {
+        batch += ((l, r, cnt))
+        used += l; used += r; used += (l + r)
+        taken += 1
+      }
+    }
+    batch.result()
+  }
 
   /** Batched train on a precomputed (word, freq) dictionary. */
   def trainMergesOnWordsBatched(wf: DataFrame, merges: Int,
@@ -164,18 +198,9 @@ object Bpe {
         .limit(want * 4).collect()
       if (cands.isEmpty) exhausted = true
       else {
-        val used = scala.collection.mutable.Set.empty[String]
-        val batch = Seq.newBuilder[(String, String, Long)]
-        var taken = 0
-        cands.iterator.takeWhile(_ => taken < want).foreach { row =>
-          val (l, r, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
-          if (!used(l) && !used(r)) {
-            batch += ((l, r, cnt))
-            used += l; used += r; used += (l + r)
-            taken += 1
-          }
-        }
-        val picks = batch.result()
+        val picks = pickDisjoint(
+          cands.map(row => (row.getString(0), row.getString(1), row.getLong(2))).toSeq,
+          want)
         picks.foreach { case (l, r, cnt) =>
           picked += 1
           out += ((picked, l, r, cnt, l + r))

@@ -1020,10 +1020,13 @@ object Similarity {
     * (row-major: out(j) = Σ_i vec(i)·r(i)(j), ascending-i
     * left-associative DOUBLE accumulation, one float cast at the end)
     * — the OPQ pre-rotation, as ONE HOF expression over a single
-    * nested-array literal: plan size O(1) in dim (the same
-    * matrix-literal discipline as the PQ LUT's matrix form), stays
-    * inside whole-stage codegen, no UDF. [[rotateDriver]] is the
-    * bit-identical driver twin (spec-pinned). */
+    * nested-array literal: a constant expression COUNT in dim (the
+    * same matrix-literal discipline as the PQ LUT's matrix form),
+    * stays inside whole-stage codegen, no UDF. The literal itself is
+    * dim² doubles — ~4k at dim=64, megabytes of plan at dim≈1024 —
+    * so treat high-hundreds dim as the practical ceiling for the
+    * literal route (past it, ship R as a broadcast table and join).
+    * [[rotateDriver]] is the bit-identical driver twin (spec-pinned). */
   def rotateVec(vec: Column, r: Array[Array[Float]]): Column = {
     val dim = r.length
     val rm = typedLit(r.map(_.map(_.toDouble).toSeq).toSeq)
@@ -1090,18 +1093,30 @@ object Similarity {
     * codebooks trained on X·R) — apply with [[rotateVec]], then every
     * downstream step is plain PQ-ADC. */
   def trainOpqRotation(train: DataFrame, idCol: String, vecCol: String,
-      m: Int, subDim: Int, c: Int, opqIters: Int = 4, pqIters: Int = 2)
+      m: Int, subDim: Int, c: Int, opqIters: Int = 4, pqIters: Int = 2,
+      maxTrainRows: Int = 65536)
       : (Array[Array[Float]], Array[Array[Float]]) = {
     import breeze.linalg.{svd, DenseMatrix}
     val spark = train.sparkSession
     import spark.implicits._
     val dim = m * subDim
+    require(maxTrainRows >= 1, s"maxTrainRows must be >= 1, got $maxTrainRows")
     // deterministic driver-side sample, original id order (the same
-    // first-c init discipline trainPqCodebooks keys on)
+    // first-c init discipline trainPqCodebooks keys on). The
+    // bounded-sample contract is MECHANICAL (VERDICT r15 #2): the
+    // collect is limit-capped at maxTrainRows+1 so an over-cap caller
+    // fails loudly on a bounded collect instead of OOMing the driver —
+    // the broadcast-tripwire discipline applied to training samples.
+    // Callers with a corpus in hand pass a deterministic sample (both
+    // in-tree call sites use a 4096-row hash-ordered draw).
     val rows = train
       .filter(col(vecCol).isNotNull && !exists(col(vecCol), _.isNull))
-      .orderBy(col(idCol)).select(col(vecCol)).collect()
+      .orderBy(col(idCol)).limit(maxTrainRows + 1).select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray)
+    require(rows.length <= maxTrainRows,
+      s"OPQ training frame exceeds maxTrainRows=$maxTrainRows — the " +
+        "rotation trains on a bounded sample, never the corpus; pass a " +
+        "deterministic sample (e.g. hash-ordered limit) or raise the cap")
     require(rows.nonEmpty, "OPQ training needs a non-empty sample")
     require(rows.head.length == dim, s"vec dim ${rows.head.length} != m*subDim $dim")
     val xm = DenseMatrix(rows.map(_.map(_.toDouble)): _*) // n × dim

@@ -205,10 +205,24 @@ object FileLease {
               // the object Scaladoc documents). A missing/unreadable
               // lock is a mid-break/mid-release window — skip this
               // touch and re-check next beat.
+              // The check-then-touch pair is NOT atomic (ADVICE r15): a
+              // break+reclaim landing between readToken and setTimes
+              // still refreshes the replacement's lock for ONE beat.
+              // Re-verify the token AFTER the touch and stop on a
+              // foreign one: the residual exposure is bounded at that
+              // single touch (the replacement holder's next heartbeat
+              // re-freshens its own mtime anyway, so one foreign touch
+              // only delays ITS breaker by <= one beat — never the
+              // pre-r14 forever-wedge).
               readToken(lock) match {
                 case Some(tk) if tk == token =>
                   try fs.setTimes(lock, System.currentTimeMillis(), -1L)
                   catch { case _: java.io.IOException => () }
+                  if (!readToken(lock).forall(_ == token)) {
+                    System.err.println(s"[graft] lease heartbeat $lock: " +
+                      "lock was re-claimed mid-touch; stopping heartbeat")
+                    mine = false
+                  }
                 case Some(_) =>
                   System.err.println(s"[graft] lease heartbeat $lock: " +
                     "lock was broken and re-claimed by another holder; " +

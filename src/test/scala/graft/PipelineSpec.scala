@@ -1097,6 +1097,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(Bpe.trainMergesBatched(Seq.empty[String].toDF("text"), "text", 2, 4).count() == 0)
   }
 
+  test("Bpe.pickDisjoint defers same-output and output-feeds-input collisions (VERDICT r15 #3)") {
+    import graft.functions.Bpe
+    // same-OUTPUT collision: (a,bc) and (ab,c) are input-disjoint but
+    // both emit "abc" — sequential BPE can never take both in one
+    // round, so the second DEFERS and the batch moves to the next
+    // disjoint candidate
+    assert(Bpe.pickDisjoint(
+      Seq(("a", "bc", 10L), ("ab", "c", 9L), ("x", "y", 8L)), 3) ===
+      Seq(("a", "bc", 10L), ("x", "y", 8L)))
+    // output-feeds-earlier-input: (a,b)'s output "ab" is pick 1's
+    // input — taking it would create new "ab" occurrences pick 1's
+    // pre-batch count never saw
+    assert(Bpe.pickDisjoint(Seq(("ab", "c", 10L), ("a", "b", 9L)), 2) ===
+      Seq(("ab", "c", 10L)))
+    // plain input sharing still defers; `want` still caps the batch
+    assert(Bpe.pickDisjoint(Seq(("a", "b", 10L), ("b", "c", 9L)), 2) ===
+      Seq(("a", "b", 10L)))
+    assert(Bpe.pickDisjoint(Seq(("a", "b", 10L), ("x", "y", 9L)), 1) ===
+      Seq(("a", "b", 10L)))
+  }
+
+  test("trainOpqRotation refuses an over-cap training frame (VERDICT r15 #2)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert(e.count() > 64) // precondition: the frame actually exceeds the cap
+    val err = intercept[IllegalArgumentException] {
+      Similarity.trainOpqRotation(e, "vec_id", "embedding",
+        PqFixM, PqFixSubDim, PqFixC, opqIters = 1, pqIters = 1,
+        maxTrainRows = 64)
+    }
+    assert(err.getMessage.contains("maxTrainRows"),
+      s"error must name the cap contract, got: ${err.getMessage}")
+    // at-cap passes: the limit+require pair only rejects STRICTLY
+    // over-cap frames, and the collect stays bounded either way
+    val n = e.count().toInt
+    val (r, cb) = Similarity.trainOpqRotation(e, "vec_id", "embedding",
+      PqFixM, PqFixSubDim, PqFixC, opqIters = 1, pqIters = 1,
+      maxTrainRows = n)
+    assert(r.nonEmpty && cb.nonEmpty)
+  }
+
   test("Bpe.mergeApply merges left-to-right without overlap") {
     import spark.implicits._
     import graft.functions.Bpe
