@@ -44,8 +44,14 @@ import graft.operators.PullLatest
 class JdbcOnlineStore(
     url: String,
     writeBatchSize: Int = 500,
-    writeParallelism: Int = 4) extends OnlineStore with ExpirableOnlineStore {
+    writeParallelism: Int = 4)
+  extends OnlineStore with ExpirableOnlineStore with RingMarkedStore {
   import JdbcOnlineStore._
+
+  /** Shard identity for ring-validation errors — the URL up to the
+    * first ';' (attributes can carry credentials; the database
+    * locator alone identifies the shard). */
+  private[online] def shardLabel: String = url.takeWhile(_ != ';')
 
   /** upsert reduces internally (latestPerKey before any round-trip)
     * and writes via distributed foreachPartition — a caller-side
@@ -154,6 +160,116 @@ class JdbcOnlineStore(
       }
     }
 
+  // ---- ring membership marker (VERDICT r15 #1) -----------------------
+  // One G_RING row per shard DATABASE: a sharded_jdbc ring's `urls`
+  // list is positional, and before this marker a reordered list
+  // silently misrouted every key — the exact hazard the parquet
+  // shards' `_graft_ring` file already caught. Same persisted-marker-
+  // wins discipline, same validation point (once per composite open).
+  // Two ring positions sharing one database URL would collide here —
+  // loudly, by position mismatch — which is correct: their DATA tables
+  // (named by (project, view) only) already collide silently.
+
+  /** The persisted (position, size, salt); None before first mutating
+    * use through a composite (missing table = never marked). */
+  def readRingMarker(): Option[(Int, Int, String)] =
+    try withConnection(url) { conn =>
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(
+          s"SELECT ring_pos, ring_size, ring_salt FROM $RingTable")
+        val out =
+          if (rs.next()) Some((rs.getInt(1), rs.getInt(2), rs.getString(3)))
+          else None
+        rs.close(); out
+      } finally st.close()
+    } catch { case e: SQLException if isMissingTable(e) => None }
+
+  /** Upsert THE one marker row transactionally (delete-then-insert so
+    * a refresh — commitRingMarkers after a grow — replaces cleanly). */
+  def writeRingMarker(position: Int, size: Int, salt: String): Unit =
+    withConnection(url) { conn =>
+      try {
+        val st = conn.createStatement()
+        try st.executeUpdate(
+          s"""CREATE TABLE $RingTable (
+             |  ring_pos INT NOT NULL,
+             |  ring_size INT NOT NULL,
+             |  ring_salt VARCHAR(256) NOT NULL)""".stripMargin)
+        finally st.close()
+      } catch { case e: SQLException if e.getSQLState == "X0Y32" => () }
+      conn.setAutoCommit(false)
+      try {
+        val del = conn.createStatement()
+        try del.executeUpdate(s"DELETE FROM $RingTable") finally del.close()
+        val ins = conn.prepareStatement(
+          s"INSERT INTO $RingTable (ring_pos, ring_size, ring_salt) VALUES (?, ?, ?)")
+        try {
+          ins.setInt(1, position); ins.setInt(2, size); ins.setString(3, salt)
+          ins.executeUpdate()
+        } finally ins.close()
+        conn.commit()
+      } catch { case e: Throwable => conn.rollback(); throw e }
+    }
+
+  // ---- raw-row seam for ring rebalance (VERDICT r15 #1 stretch) ------
+  // Moving a key between two JDBC shards never needs the payload
+  // decoded: both ends store the identical (entity_key hex, event_ts,
+  // created_ts, payload BLOB) layout, so the composite's rebalance
+  // routes on the stored hex and ships rows byte-for-byte.
+
+  /** One keyset page: rows ordered by entity_key, strictly after
+    * `afterKey`, at most `limit`. Keyset (not OFFSET) pagination so a
+    * caller that DELETES processed rows between pages still advances
+    * correctly, and no ResultSet stays open across the caller's own
+    * statements (scan-while-delete lock contention). Missing table =
+    * empty (never materialized). */
+  private[graft] def pageRaw(project: String, view: String,
+      afterKey: Option[String], limit: Int): Seq[RawRow] = {
+    val t = tableName(project, view)
+    try withConnection(url) { conn =>
+      val utc = utcCalendar()
+      val st = conn.prepareStatement(
+        s"""SELECT entity_key, event_ts, created_ts, payload FROM $t
+           | WHERE entity_key > ? ORDER BY entity_key
+           | FETCH FIRST $limit ROWS ONLY""".stripMargin)
+      try {
+        st.setString(1, afterKey.getOrElse("")) // hex is lowercase [0-9a-f], "" precedes all
+        val rs = st.executeQuery()
+        val out = Iterator.continually(rs).takeWhile(_.next()).map(r =>
+          RawRow(r.getString(1), r.getTimestamp(2, utc),
+            r.getTimestamp(3, utc), r.getBytes(4))).toList
+        rs.close(); out
+      } finally st.close()
+    } catch { case e: SQLException if isMissingTable(e) => Nil }
+  }
+
+  /** LWW-upsert raw rows — the same UPDATE-with-predicate / INSERT /
+    * retry dance the distributed write path runs, sharing ONE
+    * implementation ([[JdbcOnlineStore.lwwWriteRows]]) so the two
+    * cannot drift. Driver-side by design: rebalance ships the moved
+    * sliver, not the corpus. */
+  private[graft] def upsertRaw(project: String, view: String,
+      rows: Seq[RawRow]): Unit =
+    if (rows.nonEmpty) withConnection(url) { conn =>
+      ensureTable(conn, tableName(project, view))
+      lwwWriteRows(conn, tableName(project, view), rows.iterator, writeBatchSize)
+    }
+
+  /** Unconditional delete by stored entity-key hex. */
+  private[graft] def deleteRaw(project: String, view: String,
+      hexes: Seq[String]): Unit =
+    if (hexes.nonEmpty) {
+      val t = tableName(project, view)
+      try withConnection(url) { conn =>
+        val st = conn.prepareStatement(s"DELETE FROM $t WHERE entity_key = ?")
+        try hexes.grouped(writeBatchSize).foreach { g =>
+          g.foreach { h => st.setString(1, h); st.addBatch() }
+          val _ = st.executeBatch()
+        } finally st.close()
+      } catch { case e: SQLException if isMissingTable(e) => () }
+    }
+
   /** Storage-level TTL sweep (VERDICT r14 #3): one transactional
     * `DELETE WHERE event_ts < cutoff` — the SQL twin of the parquet
     * store's bucket-rewrite expire, strictly cheaper because the
@@ -184,6 +300,17 @@ object JdbcOnlineStore {
   // shared with ReferenceSqlStore (one definition of the JDBC plumbing
   // — helper drift is how sibling adapters rot; review r7)
   private[online] val ReadChunk = 100
+
+  /** The per-database ring-membership marker table (see
+    * [[RingMarkedStore]]). Named OUTSIDE the `G_<view>_<hash>` data
+    * namespace: `tableNameFor`'s hash suffix means no (project, view)
+    * pair can produce "G_RING". */
+  private[online] val RingTable = "G_RING"
+
+  /** One stored row in its wire form — the unit the rebalance seam
+    * moves between shards without decoding the payload. */
+  private[graft] final case class RawRow(
+      hex: String, ts: Timestamp, created: Timestamp, payload: Array[Byte])
 
   /** Collision-safe identifier: a sanitized readable prefix plus a
     * 64-bit hash of the RAW (project, view) pair, length-prefixed so no
@@ -240,14 +367,30 @@ object JdbcOnlineStore {
       case e: SQLException if e.getSQLState == "X0Y32" => () // already exists
     }
 
-  /** Per-partition writer: UPDATE-with-LWW-predicate, INSERT on miss,
-    * duplicate-key (a concurrent first write of the same key from
-    * another job) resolved by re-running the LWW UPDATE. */
+  /** Per-partition writer: encode each Spark row to its wire form and
+    * run the shared LWW writer. */
   private def writePartition(url: String, t: String, joinKeys: Seq[String],
       tsCol: String, createdCol: Option[String], feats: Seq[String],
       batch: Int, rows: Iterator[Row]): Unit =
     withConnection(url) { conn =>
       ensureTable(conn, t) // first-writer race: each task is idempotent
+      lwwWriteRows(conn, t, rows.map { r =>
+        RawRow(
+          EntityKeyCodec.hexKey(joinKeys.map(k => k -> r.getAs[Any](k))),
+          r.getAs[Timestamp](tsCol),
+          createdCol.map(r.getAs[Timestamp]).orNull,
+          ValueCodec.encodeMap(feats.map(f => f -> r.getAs[Any](f))))
+      }, batch)
+    }
+
+  /** THE LWW row writer — UPDATE-with-LWW-predicate, INSERT on miss,
+    * duplicate-key (a concurrent first write of the same key from
+    * another job) resolved by re-running the LWW UPDATE. Shared by the
+    * distributed upsert path and the rebalance raw-move seam so the
+    * two cannot drift. Caller ensures the table exists; this manages
+    * the transaction (batched commits, rollback on failure). */
+  private[online] def lwwWriteRows(conn: Connection, t: String,
+      rows: Iterator[RawRow], batch: Int): Unit = {
       conn.setAutoCommit(false)
       val utc = utcCalendar() // per-call: Calendar is not thread-safe
       val update = conn.prepareStatement(
@@ -260,11 +403,8 @@ object JdbcOnlineStore {
         s"INSERT INTO $t (entity_key, event_ts, created_ts, payload) VALUES (?, ?, ?, ?)")
       try {
         var n = 0
-        rows.foreach { r =>
-          val hex = EntityKeyCodec.hexKey(joinKeys.map(k => k -> r.getAs[Any](k)))
-          val ts = r.getAs[Timestamp](tsCol)
-          val created = createdCol.map(r.getAs[Timestamp]).orNull
-          val payload = ValueCodec.encodeMap(feats.map(f => f -> r.getAs[Any](f)))
+        rows.foreach { row =>
+          val (hex, ts, created, payload) = (row.hex, row.ts, row.created, row.payload)
           def tryUpdate(): Int = {
             update.setTimestamp(1, ts, utc); update.setTimestamp(2, created, utc)
             update.setBytes(3, payload); update.setString(4, hex)

