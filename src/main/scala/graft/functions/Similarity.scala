@@ -769,6 +769,168 @@ object Similarity {
     adcTopK(scored, k, excludeSelf)
   }
 
+  // ---- residual IVF-PQ (FAISS IVFPQ proper: encode x − centroid) ----
+
+  /** [[nearestCells]] carrying the winning cell's VECTOR too (struct
+    * sort order unchanged: cell_id is unique, so the appended
+    * cell_vec field never participates in a tie). */
+  private def nearestCellsWithVec(vec: Column, n: Int): Column =
+    slice(array_sort(transform(col("cells"), c =>
+      struct(coalesce(-cosine(vec, c("cell_vec")), lit(Double.NaN)).as("negcos"),
+        c("cell_id").as("cell_id"), c("cell_vec").as("cell_vec")))),
+      1, n)
+
+  /** x − centroid, element-wise in DOUBLE (both operands are exactly
+    * representable floats, the subtraction is correctly rounded — so
+    * Spark, the driver twin, and the DuckDB oracle agree bit-for-bit). */
+  private def residualCol(vec: Column, cellVec: Column): Column =
+    zip_with(vec, cellVec, (a, b) => a.cast("double") - b.cast("double"))
+
+  /** [[pqLut]] for a DOUBLE residual query vector — same ascending-d
+    * left-associative fold. */
+  private def pqLutDouble(qr: Array[Double], anchors: Array[Array[Float]],
+      m: Int, subDim: Int): Array[Array[Double]] =
+    Array.tabulate(m) { s =>
+      anchors.map { a =>
+        var acc = 0.0
+        var d = 0
+        while (d < subDim) {
+          val i = s * subDim + d
+          val diff = qr(i) - a(i).toDouble
+          acc += diff * diff
+          d += 1
+        }
+        acc
+      }
+    }
+
+  /** Residual probe rows: one (cell, qid, lut) row per probed cell,
+    * where the LUT is computed from the query's residual AGAINST THAT
+    * CELL (q − centroid(cell)) — the per-(query, cell) ADC tables that
+    * make residual IVF-PQ residual ([[literalProbeRows]] computes one
+    * LUT per query; here the LUT genuinely differs per probed cell). */
+  private def literalProbeRowsResidual(
+      qRows: Seq[(Any, Array[Float])],
+      cellIds: Array[Any], cellVecs: Array[Array[Float]],
+      anchors: Array[Array[Float]],
+      m: Int, subDim: Int, nProbe: Int): Seq[org.apache.spark.sql.Row] =
+    qRows.flatMap { case (qid, qv) =>
+      cellVecs.indices
+        .map(i => (driverDcos(qv, cellVecs(i)), i))
+        .sortBy { case (c, i) => (-c, i) }
+        .take(nProbe)
+        .map { case (_, i) =>
+          val cv = cellVecs(i)
+          val qr = Array.tabulate(qv.length)(d => qv(d).toDouble - cv(d).toDouble)
+          val lut: Seq[Seq[Double]] =
+            pqLutDouble(qr, anchors, m, subDim).map(_.toSeq).toSeq
+          org.apache.spark.sql.Row(cellIds(i), qid, lut)
+        }
+    }
+
+  /** Train PQ codebooks on RESIDUALS (x − centroid(cell(x))) — the
+    * codebook a residual index encodes against (FAISS trains IVFPQ's
+    * product quantizer on residuals of the training sample; a codebook
+    * trained on raw vectors would waste its centroids re-describing
+    * the coarse structure the cells already removed). One narrow
+    * residual projection over the (bounded — caller's contract, same
+    * as [[trainPqCodebooks]]) training frame, then the standard
+    * trainer: training can never drift from encoding because both run
+    * the same residual expression and the same code assignment.
+    * Residuals are float-cast for the trainer (training quality only —
+    * the ENCODE path keeps full double residuals, and oracle parity is
+    * against the staged codebook bytes, not the training arithmetic). */
+  def trainResidualPqCodebooks(
+      train: DataFrame, idCol: String, vecCol: String,
+      coarse: Seq[(Long, Array[Float])],
+      m: Int, subDim: Int, c: Int, iters: Int): Array[Array[Float]] = {
+    require(coarse.nonEmpty, "residual training needs coarse cells")
+    import org.apache.spark.sql.types._
+    val spark = train.sparkSession
+    val nonNull = col(vecCol).isNotNull && !exists(col(vecCol), _.isNull)
+    val anchorArr = coarseCellsFrame(spark,
+      coarse.map(_._1: Any).toArray, coarse.map(_._2).toArray,
+      LongType, ArrayType(FloatType, containsNull = false))
+    val resid = train.filter(nonNull).crossJoin(anchorArr)
+      .withColumn("__cc", nearestCellsWithVec(col(vecCol), 1)(0))
+      .select(col(idCol),
+        residualCol(col(vecCol), col("__cc.cell_vec"))
+          .cast("array<float>").as("__resid"))
+    trainPqCodebooks(resid, idCol, "__resid", m, subDim, c, iters)
+  }
+
+  /** Residual IVF-PQ index build — [[ivfPqBuildIndex]] with the FAISS
+    * IVFPQ encoding proper (Jégou et al. 2011 §III.C): codes quantize
+    * the RESIDUAL x − centroid(cell(x)), not x itself. At equal code
+    * size the quantizer only has to describe the within-cell
+    * displacement (variance already shrunk by the coarse step), which
+    * is where IVFPQ's accuracy advantage over code-the-raw-vector
+    * comes from. Same narrow one-pass output shape: (id, cell, m int
+    * codes), write partitionBy("cell"). */
+  def ivfPqResidualBuildIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      coarse: Seq[(Long, Array[Float])],
+      codebook: Array[Array[Float]],
+      m: Int, subDim: Int): DataFrame = {
+    require(coarse.nonEmpty, "ivfPqResidualBuildIndex needs trained coarse cells")
+    require(codebook.nonEmpty, "ivfPqResidualBuildIndex needs a trained codebook")
+    import org.apache.spark.sql.types._
+    val spark = corpus.sparkSession
+    val nonNull = col(vecCol).isNotNull && !exists(col(vecCol), _.isNull)
+    val anchorArr = coarseCellsFrame(spark,
+      coarse.map(_._1: Any).toArray, coarse.map(_._2).toArray,
+      LongType, ArrayType(FloatType, containsNull = false))
+    corpus.filter(nonNull).crossJoin(anchorArr)
+      .withColumn("__cc", nearestCellsWithVec(col(vecCol), 1)(0))
+      .withColumn("cell", col("__cc.cell_id"))
+      .withColumn("__resid", residualCol(col(vecCol), col("__cc.cell_vec")))
+      .select(col(idCol).as("id") +: col("cell") +:
+        pqCodeCols(col("__resid"), codebook, m, subDim): _*)
+  }
+
+  /** Probe a residual index — [[ivfPqSearchIndex]] with per-(query,
+    * probed cell) LUTs over the query's residual against that cell.
+    * The probe table carries nProbe LUT rows per query either way, so
+    * the broadcast size and the pruned join shape are IDENTICAL to the
+    * non-residual probe — residual encoding costs nothing at search
+    * time beyond the LUT arithmetic already paid per (query, cell).
+    * Bounded serving path (FAISS's own IVFPQ search shape: per-query
+    * per-cell tables); corpus-sized batch scoring stays on
+    * [[ivfPqTopK]]'s distributed route. */
+  def ivfPqResidualSearchIndex(
+      index: DataFrame,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      coarse: Seq[(Long, Array[Float])],
+      codebook: Array[Array[Float]],
+      k: Int, nProbe: Int, m: Int, subDim: Int,
+      excludeSelf: Boolean = true,
+      maxLiteralQueries: Int = 4096): DataFrame = {
+    require(coarse.nonEmpty && codebook.nonEmpty,
+      "ivfPqResidualSearchIndex needs the trained artifacts the index was built with")
+    require(nProbe <= coarse.length, s"nProbe=$nProbe must be <= cells=${coarse.length}")
+    import org.apache.spark.sql.types._
+    val spark = queries.sparkSession
+    val nonNull = col(qVecCol).isNotNull && !exists(col(qVecCol), _.isNull)
+    val qRows = queries.select(col(qIdCol), col(qVecCol)).filter(nonNull)
+      .limit(maxLiteralQueries + 1).collect()
+    require(qRows.length <= maxLiteralQueries,
+      s"ivfPqResidualSearchIndex is the bounded serving path (> $maxLiteralQueries " +
+        "queries); use ivfPqTopK for corpus-sized batch scoring")
+    if (qRows.isEmpty) return emptyAdcResult(queries, qIdCol, index, "id")
+    val probeRows = literalProbeRowsResidual(
+      qRows.toSeq.map(r => (r.get(0), r.getSeq[Float](1).toArray)),
+      coarse.map(_._1: Any).toArray, coarse.map(_._2).toArray,
+      codebook, m, subDim, nProbe)
+    val probedDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(probeRows, 1),
+      probeSchema(LongType, queries.schema(qIdCol).dataType))
+    val probedCells = probeRows.map(_.getLong(0)).distinct
+    val pruned = index.filter(col("cell").isin(probedCells: _*))
+    val scored = pruned.join(broadcast(probedDf), "cell")
+      .select(col("__qid"), col("id").as("__cid"), (-lutAdcColumn(m)).as("__cos"))
+    adcTopK(scored, k, excludeSelf)
+  }
+
   /** ADC re-ranking — the FAISS refine stage (IndexRefineFlat; Jégou
     * et al. 2011 §VII report R=10–100× k): [[ivfPqTopK]] prunes and
     * ADC-scores the corpus down to the `rerankR` best candidates per

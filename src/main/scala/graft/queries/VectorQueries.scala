@@ -757,6 +757,159 @@ object VectorQueries {
        |FROM ranked WHERE rank <= $AdcK ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- residual IVF-PQ (VERDICT r15 #4) ------------------------------
+
+  /** Stage (or reuse) the RESIDUAL-trained PQ codebook for `dir`:
+    * [[graft.functions.Similarity.trainResidualPqCodebooks]] on the
+    * same bounded hash-ordered sample as the other trainers, against
+    * the same staged coarse cells the trained chain probes — so the
+    * residual chain differs from q_ann_ivfpq_trained in EXACTLY the
+    * two places residual encoding touches (codebook trained on
+    * residuals; codes/LUTs over residuals), nothing else. */
+  private def stagedResidualCb(s: SparkSession, dir: String): String = {
+    val cellStage = stagedIvfCells(s, dir)
+    val stage = Staging.pathFor(dir, "ivfpq_res_cb_v1", "embeddings.parquet")
+    Staging.publishOnce(stage) { tmp =>
+      val cells: Seq[(Long, Array[Float])] = s.read.parquet(cellStage)
+        .orderBy("cell_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+      val train = embs(s, dir)
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(4096)
+      val cb = graft.functions.Similarity.trainResidualPqCodebooks(
+        train, "vec_id", "embedding", cells, PqM, PqSubDim, PqC, iters = 2)
+      import s.implicits._
+      cb.zipWithIndex.map { case (a, j) => (j.toLong, a.toSeq) }
+        .toSeq.toDF("aidx", "aemb")
+        .write.mode("overwrite").parquet(tmp)
+    }
+    stage
+  }
+
+  /** Residual IVF-PQ — the FAISS IVFPQ encoding proper: codes quantize
+    * x − centroid(cell(x)) against a residual-trained codebook, and
+    * each (query, probed cell) pair scores through its own LUT over
+    * q − centroid(cell). Same trained coarse cells, same staged-bytes
+    * oracle-replay discipline as the trained chain; the corpus is
+    * encoded ONCE into a cell-partitioned residual code index
+    * ([[graft.functions.Similarity.ivfPqResidualBuildIndex]]) and the
+    * query batch probes that. */
+  def annIvfPqResidual(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val cellStage = stagedIvfCells(s, dir)
+    val cbStage = stagedResidualCb(s, dir)
+    val cells: Seq[(Long, Array[Float])] = s.read.parquet(cellStage)
+      .orderBy("cell_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    val cb: Array[Array[Float]] = s.read.parquet(cbStage)
+      .orderBy("aidx").select("aemb").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val idxStage = Staging.pathFor(dir, "ivfpq_res_index_v1", "embeddings.parquet")
+    Staging.publishOnce(idxStage) { tmp =>
+      graft.functions.Similarity.ivfPqResidualBuildIndex(
+          e, "vec_id", "embedding", cells, cb, PqM, PqSubDim)
+        .write.partitionBy("cell").mode("overwrite").parquet(tmp)
+    }
+    residStages = Some((cellStage, cbStage))
+    val q = e.filter(col("vec_id") < AdcQ)
+    graft.functions.Similarity.ivfPqResidualSearchIndex(
+        s.read.parquet(idxStage), q, "vec_id", "embedding",
+        cells, cb, k = AdcK, nProbe = IvfPqProbe, m = PqM, subDim = PqSubDim)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adc"), 6).as("adc"), col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  @volatile private var residStages: Option[(String, String)] = None
+
+  /** The residual replay: identical skeleton to [[annIvfPqTrainedSql]]
+    * with the two residual differences spelled out — corpus codes and
+    * per-(query, cell) LUTs are squared-L2 against RESIDUAL lists
+    * (double subtraction of float-representable values: correctly
+    * rounded, so Spark / the driver twin / DuckDB agree bit-for-bit),
+    * and the LUT join carries the probed CELL (each probed cell has
+    * its own LUT). Same sentinel-until-pinned contract. */
+  def annIvfPqResidualSql: String = residStages match {
+    case Some((cellStage, cbStage)) =>
+      def residList(vecExpr: String, cvExpr: String): String =
+        s"list_transform(range(1, ${Dim + 1}), i -> $vecExpr[i] - $cvExpr[i])"
+      def diffSumResid(r: String): String =
+        (1 to PqSubDim).map { d =>
+          val idx = s"t.s * $PqSubDim + $d"
+          s"(($r[$idx] - CAST(cb.aemb[$idx] AS DOUBLE)) * " +
+            s"($r[$idx] - CAST(cb.aemb[$idx] AS DOUBLE)))"
+        }.mkString(" + ")
+      def cosSql(l: String, r: String): String =
+        s"list_dot_product($l, $r) / (sqrt(list_dot_product($l, $l)) * sqrt(list_dot_product($r, $r)))"
+      val pivots = (0 until PqM).map(s =>
+        s"MAX(CASE WHEN c.s = $s THEN l END) AS l$s").mkString(",\n         ")
+      val adcSum = (0 until PqM).map(s => s"l$s").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cells AS (
+         |  SELECT cell_id, cell_vec::DOUBLE[] AS cv
+         |  FROM '$cellStage/*.parquet'),
+         |cb AS (SELECT aidx, aemb FROM '$cbStage/*.parquet'),
+         |assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, cells.cell_id AS cell,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY ${cosSql("e.v", "cells.cv")} DESC,
+         |                                       cells.cell_id ASC) AS rn
+         |    FROM e CROSS JOIN cells) WHERE rn = 1),
+         |resid AS (
+         |  SELECT a.vec_id, a.cell, ${residList("e.v", "c2.cv")} AS r
+         |  FROM assigned a
+         |  JOIN e ON e.vec_id = a.vec_id
+         |  JOIN cells c2 ON c2.cell_id = a.cell),
+         |cd AS (
+         |  SELECT resid.vec_id, t.s, cb.aidx,
+         |         ${diffSumResid("resid.r")} AS dist
+         |  FROM resid CROSS JOIN cb, UNNEST(range(0, $PqM)) AS t(s)),
+         |code AS (
+         |  SELECT vec_id, s, aidx FROM (
+         |    SELECT vec_id, s, aidx,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, aidx) AS rn
+         |    FROM cd) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+         |      FROM embeddings WHERE vec_id < $AdcQ),
+         |probed AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT q.qid, cells.cell_id AS cell,
+         |           ROW_NUMBER() OVER (PARTITION BY q.qid
+         |                              ORDER BY ${cosSql("q.qv", "cells.cv")} DESC,
+         |                                       cells.cell_id ASC) AS rn
+         |    FROM q CROSS JOIN cells) WHERE rn <= $IvfPqProbe),
+         |qresid AS (
+         |  SELECT p.qid, p.cell, ${residList("q.qv", "c2.cv")} AS r
+         |  FROM probed p
+         |  JOIN q ON q.qid = p.qid
+         |  JOIN cells c2 ON c2.cell_id = p.cell),
+         |lut AS (
+         |  SELECT qresid.qid, qresid.cell, t.s, cb.aidx,
+         |         ${diffSumResid("qresid.r")} AS l
+         |  FROM qresid CROSS JOIN cb, UNNEST(range(0, $PqM)) AS t(s)),
+         |cand AS (
+         |  SELECT p.qid, p.cell, s2.vec_id
+         |  FROM probed p JOIN assigned s2 ON s2.cell = p.cell
+         |  WHERE p.qid <> s2.vec_id),
+         |piv AS (
+         |  SELECT l.qid, c.vec_id,
+         |         $pivots
+         |  FROM code c
+         |  JOIN cand ON cand.vec_id = c.vec_id
+         |  JOIN lut l ON l.s = c.s AND l.aidx = c.aidx
+         |            AND l.qid = cand.qid AND l.cell = cand.cell
+         |  GROUP BY l.qid, c.vec_id),
+         |ranked AS (
+         |  SELECT qid AS query_id, vec_id AS neighbor_id, $adcSum AS adc,
+         |         ROW_NUMBER() OVER (PARTITION BY qid
+         |                            ORDER BY $adcSum ASC, vec_id ASC) AS rank
+         |  FROM piv)
+         |SELECT query_id, neighbor_id, round(adc, 6) AS adc, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= $AdcK ORDER BY query_id, rank""".stripMargin
+    case None =>
+      "SELECT * FROM graft_error_ivfpq_residual_stage_not_pinned_run_query_first"
+  }
+
   // ---- per-label centroids (mean pooling) ----------------------------
 
   /** Elementwise mean embedding per label — the domain/class centroid
@@ -1112,6 +1265,7 @@ object VectorQueries {
     "q_ann_ivfpq_rerank" -> (annIvfPqRerank _),
     "q_ann_ivfpq_trained" -> (annIvfPqTrained _),
     "q_ann_ivfpq_persisted" -> (annIvfPqPersisted _),
+    "q_ann_ivfpq_residual" -> (annIvfPqResidual _),
     "q_random_projection" -> (randomProjection _),
     "q_pq_encode" -> (pqEncode _),
     "q_ann_pq" -> (annPq _),
@@ -1140,5 +1294,6 @@ object VectorQueries {
     "q_ann_ivfpq_rerank" -> annIvfPqRerankSql,
     "q_ann_ivfpq_trained" -> annIvfPqTrainedSql,
     "q_ann_ivfpq_persisted" -> annIvfPqTrainedSql,
+    "q_ann_ivfpq_residual" -> annIvfPqResidualSql,
     "q_hash_embedding" -> hashEmbeddingSql)
 }

@@ -301,9 +301,21 @@ object ServingSlo {
       val fs2 = new FeatureStore("slo", fs.registry, grownStore, spark)
       val grpc2 = new GrpcServingServer(fs2, dispatchThreads = 32)
       val lats = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      // ABSENT-key mix (VERDICT r15 #5): ~10% of reads target ids that
+      // were never materialized. Mid-grow a genuinely absent key whose
+      // HRW winner changed in the grow pays the 2-probe miss path
+      // (miss on the new home → re-probe the pre-grow home) — the one
+      // serving path the materialized-ids-only cell never exercises.
+      // Absent latencies are bucketed by phase (grow window vs after
+      // commitRingMarkers disarms the fallback) so the 2-probe tail is
+      // pinned AGAINST its own steady-state, same run, same box.
+      val latsAbsGrow = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val latsAbsSteady = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
       val misses = new java.util.concurrent.atomic.AtomicLong(0L)
+      val ghosts = new java.util.concurrent.atomic.AtomicLong(0L)
       val readErr = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
       @volatile var stopReads = false
+      @volatile var phase = 0 // 0 = grow window, 1 = markers committed
       val clients = 8
       val threads = (0 until clients).map { t =>
         new Thread(() => {
@@ -312,14 +324,24 @@ object ServingSlo {
             try {
               var i = 0
               while (!stopReads) {
-                val id = (t.toLong * 7919 + i * 13) % 150L // materialized ids only
+                val absent = i % 10 == 9
+                val id =
+                  if (absent) 1000000L + ((t.toLong * 7919 + i * 13) % 100000L)
+                  else (t.toLong * 7919 + i * 13) % 150L // materialized ids
+                val ph = phase
                 val s = System.nanoTime()
                 val r = cli.getOnlineFeatures(refs,
                   Seq(Map[String, Any]("user_id" -> id)))
-                lats.add(System.nanoTime() - s)
-                if (r.head._2.valuesIterator.exists(
-                    _ != graft.serving.FeastProto.StatusPresent))
-                  misses.incrementAndGet()
+                val dt = System.nanoTime() - s
+                val allPresent = r.head._2.valuesIterator.forall(
+                  _ == graft.serving.FeastProto.StatusPresent)
+                if (absent) {
+                  (if (ph == 0) latsAbsGrow else latsAbsSteady).add(dt)
+                  if (allPresent) ghosts.incrementAndGet() // phantom serve
+                } else {
+                  lats.add(dt)
+                  if (!allPresent) misses.incrementAndGet()
+                }
                 i += 1
               }
             } finally cli.close()
@@ -331,25 +353,38 @@ object ServingSlo {
       val tReb = System.nanoTime()
       val movedRows = fs2.rebalanceOnline(None)
       val rebWall = (System.nanoTime() - tReb) / 1e9
-      Thread.sleep(300L) // a post-migration tail in the same cell
+      phase = 1 // rebalanceOnline committed the markers: fallback disarmed
+      Thread.sleep(600L) // a post-commit steady tail in the same cell
       stopReads = true
       threads.foreach(_.join(30000))
       if (!readErr.isEmpty) throw new IllegalStateException(
         s"rebalance-cell reader died (${readErr.size})", readErr.peek())
-      val sorted = {
-        val it = lats.iterator(); val b = Array.newBuilder[Long]
+      def drain(q: java.util.concurrent.ConcurrentLinkedQueue[Long]): Array[Long] = {
+        val it = q.iterator(); val b = Array.newBuilder[Long]
         while (it.hasNext) b += it.next()
         b.result().sorted
       }
+      val sorted = drain(lats)
+      val absGrow = drain(latsAbsGrow)
+      val absSteady = drain(latsAbsSteady)
       require(sorted.nonEmpty, "rebalance cell collected zero latencies")
-      println(f"\nSLO DURING REBALANCE: grpc, $clients clients, grow 3->4 " +
-        f"(moved $movedRows rows in $rebWall%.2f s), misses=${misses.get()} (must be 0)")
-      println("| transport | clients | n | p50 ms | p99 ms | max ms |")
+      require(absGrow.nonEmpty && absSteady.nonEmpty,
+        "absent-key cell collected zero samples in a phase")
+      println(f"\nSLO DURING REBALANCE: grpc, $clients clients, grow 3->4, 10%% absent-key mix " +
+        f"(moved $movedRows rows in $rebWall%.2f s), misses=${misses.get()} (must be 0), " +
+        f"phantom absent-key serves=${ghosts.get()} (must be 0)")
+      println("| key mix | phase | n | p50 ms | p99 ms | max ms |")
       println("|---|---|---|---|---|---|")
-      println(f"| grpc | $clients | ${sorted.length} | ${pct(sorted, 0.50)}%.2f " +
+      println(f"| materialized | whole cell | ${sorted.length} | ${pct(sorted, 0.50)}%.2f " +
         f"| ${pct(sorted, 0.99)}%.2f | ${sorted.last / 1e6}%.2f |")
+      println(f"| absent (2-probe path) | grow window | ${absGrow.length} | ${pct(absGrow, 0.50)}%.2f " +
+        f"| ${pct(absGrow, 0.99)}%.2f | ${absGrow.last / 1e6}%.2f |")
+      println(f"| absent (fallback off) | post-commit | ${absSteady.length} | ${pct(absSteady, 0.50)}%.2f " +
+        f"| ${pct(absSteady, 0.99)}%.2f | ${absSteady.last / 1e6}%.2f |")
       require(misses.get() == 0L,
         s"reads missed ${misses.get()} times during rebalance")
+      require(ghosts.get() == 0L,
+        s"${ghosts.get()} absent keys served PRESENT during rebalance")
       grpc2.stop()
     }
 
