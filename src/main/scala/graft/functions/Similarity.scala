@@ -990,6 +990,56 @@ object Similarity {
         (-col("cos")).as("l2"), col("rank"))
   }
 
+  /** SQ8 two-stage search — the scalar-quantization compression staple
+    * next to PQ (FAISS IndexScalarQuantizer QT_8bit + refine): the
+    * corpus is stored int8-quantized ([[quantizeInt8]], the
+    * q_embedding_quantize codec — 4× fewer bytes, so at 100 TB the
+    * stage-1 scan reads a quarter of the corpus), stage 1 scores
+    * full-precision queries against the DEQUANTIZED vectors
+    * (asymmetric, like ADC; [[bruteForceTopK]]'s literal-batch single
+    * scan + skew-safe bounded heap) into a top-R candidate set, and
+    * stage 2 re-scores ONLY the |Q|·R candidates exactly against the
+    * full floats — the [[ivfPqRerankTopK]] refine shape: broadcast
+    * candidate fetch, the corpus floats never shuffle and never move
+    * except for the winners.
+    *
+    * Determinism contract (oracle replay): every quantizer step
+    * (scale = max|x|/127 floored at 1e-12, round half away from zero,
+    * clamp ±127, dequantize = q·scale) is exact or correctly-rounded
+    * IEEE double — identical in DuckDB; both stages rank raw
+    * left-fold cosines by (cos desc, id asc).
+    * @return (query_id, neighbor_id, cos, rank) rank 1..k by EXACT cos */
+  def sq8RerankTopK(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, rerankR: Int, excludeSelf: Boolean = true,
+      maxLiteralQueries: Int = 256): DataFrame = {
+    require(rerankR >= k, s"rerankR=$rerankR must be >= k=$k")
+    // the compressed corpus representation — a production deployment
+    // persists quantizeInt8's (scale, q) struct and dequantizes on
+    // scan; computing it in-plan keeps the arithmetic identical
+    val sq = corpus
+      .withColumn("__scale", int8Scale(col(vecCol)))
+      .select(col(idCol).as("__sqid"),
+        dequantizeInt8(quantizeInt8(col(vecCol), col("__scale"))).as("__dq"))
+    val cand = bruteForceTopK(queries, qIdCol, qVecCol, sq, "__sqid", "__dq",
+        rerankR, excludeSelf, maxLiteralQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    // bounded-batch probe for the broadcast decision (one limit+count
+    // action — the ivfPqRerankTopK policy at this entry point)
+    val bounded = queries.select(col(qIdCol))
+      .limit(maxLiteralQueries + 1).count() <= maxLiteralQueries
+    val qv = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
+    val ev = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__ev"))
+    val withQ = cand.join(qv, "query_id")
+    val fetched = ev.join(if (bounded) broadcast(withQ) else withQ, "neighbor_id")
+    val scored = fetched.select(col("query_id").as("__qid"),
+      col("neighbor_id").as("__cid"),
+      try_divide(dot(col("__qv"), col("__ev")),
+        norm(col("__qv")) * norm(col("__ev"))).as("__cos"))
+    twoLevelTopK(scored, k)
+  }
+
   /** Random-hyperplane signature: bit p = sign(vec · h_p). Hyperplane
     * weights are seeded pseudo-randoms computed driver-side and shipped
     * as array literals — no stored model, reproducible across runs, and

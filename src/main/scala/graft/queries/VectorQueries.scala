@@ -757,6 +757,64 @@ object VectorQueries {
        |FROM ranked WHERE rank <= $AdcK ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- SQ8 compressed-corpus rerank (VERDICT r15 #7 optional) --------
+
+  /** Two-stage SQ8 search: stage 1 ranks against the int8-quantized
+    * corpus (the q_embedding_quantize codec — the 4×-compressed scan),
+    * stage 2 exact-reranks the top-3k candidates on full floats. The
+    * oracle replays both stages: quantize/dequantize are exact or
+    * correctly-rounded IEEE steps, so the candidate SET matches
+    * bit-for-bit, and the final ranking is the brute-force contract
+    * (raw cosine desc, id asc). */
+  def annSq8Rerank(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val q = e.filter(col("vec_id") < AdcQ)
+    graft.functions.Similarity.sq8RerankTopK(
+        q, "vec_id", "embedding", e, "vec_id", "embedding",
+        k = AdcK, rerankR = AdcK * 3)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"), col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annSq8RerankSql: String =
+    s"""WITH z AS (
+       |  SELECT vec_id, embedding,
+       |         greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+       |                  1e-12) / 127.0 AS scale
+       |  FROM embeddings),
+       |dq AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x ->
+       |           CAST(least(greatest(round(CAST(x AS DOUBLE) / scale, 0), -127.0), 127.0)
+       |                AS INT) * scale) AS dv
+       |  FROM z),
+       |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+       |      FROM embeddings WHERE vec_id < $AdcQ),
+       |s1 AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.qid, dq.vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.qid
+       |             ORDER BY list_dot_product(q.qv, dq.dv)
+       |                      / (sqrt(list_dot_product(q.qv, q.qv))
+       |                         * sqrt(list_dot_product(dq.dv, dq.dv))) DESC,
+       |                      dq.vec_id ASC) AS rn
+       |    FROM q CROSS JOIN dq WHERE q.qid <> dq.vec_id)
+       |  WHERE rn <= ${AdcK * 3}),
+       |e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |exact AS (
+       |  SELECT s1.qid AS query_id, s1.vec_id AS neighbor_id,
+       |         list_dot_product(q.qv, e2.v)
+       |         / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e2.v, e2.v))) AS cos
+       |  FROM s1 JOIN q ON q.qid = s1.qid JOIN e2 ON e2.vec_id = s1.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM exact)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= $AdcK ORDER BY query_id, rank""".stripMargin
+
   // ---- residual IVF-PQ (VERDICT r15 #4) ------------------------------
 
   /** Stage (or reuse) the RESIDUAL-trained PQ codebook for `dir`:
@@ -1266,6 +1324,7 @@ object VectorQueries {
     "q_ann_ivfpq_trained" -> (annIvfPqTrained _),
     "q_ann_ivfpq_persisted" -> (annIvfPqPersisted _),
     "q_ann_ivfpq_residual" -> (annIvfPqResidual _),
+    "q_ann_sq8_rerank" -> (annSq8Rerank _),
     "q_random_projection" -> (randomProjection _),
     "q_pq_encode" -> (pqEncode _),
     "q_ann_pq" -> (annPq _),
@@ -1295,5 +1354,6 @@ object VectorQueries {
     "q_ann_ivfpq_trained" -> annIvfPqTrainedSql,
     "q_ann_ivfpq_persisted" -> annIvfPqTrainedSql,
     "q_ann_ivfpq_residual" -> annIvfPqResidualSql,
+    "q_ann_sq8_rerank" -> annSq8RerankSql,
     "q_hash_embedding" -> hashEmbeddingSql)
 }

@@ -199,6 +199,15 @@ object ScaleCheck {
       // the query itself; probe must stay partition-pruned). The trained
       // lifecycle's train/encode/probe SPLIT is tools/TrainedAnnScale.
       "q_pit_broadcast", "q_ann_ivfpq_rerank", "q_ann_ivfpq_persisted",
+      // r16: the residual twin of the persisted probe — same staged-
+      // artifact + partition-pruned shape; the per-(query, cell)
+      // residual LUTs ride the same nProbe-rows-per-query broadcast,
+      // so the ratio must track the persisted probe's
+      "q_ann_ivfpq_residual",
+      // r16: the SQ8 two-stage chain — stage 1 is a linear compressed
+      // scan, stage 2 a |Q|*R-bounded exact fetch; the ratio pins that
+      // nothing in the chain goes quadratic
+      "q_ann_sq8_rerank",
       // containment join (candidate volume = Σ df over rarest-gram
       // prefixes — must track corpus growth, not pairs; the _sweep
       // variant pins the broadcast route: tiny needles, corpus postings
@@ -238,6 +247,7 @@ object ScaleCheck {
     // rows via IndexScale / TrainedAnnScale)
     val staged = Set("q_ann_ivfpq_persisted", "q_ann_ivfpq_trained",
       "q_ann_pq_trained", "q_dedup_simhash", "q_ann_opq", "q_ann_opq_ivf",
+      "q_ann_ivfpq_residual",
       "q_unigram_encode_persisted", "q_bpe_encode_persisted")
     selected.filter(staged).foreach(q => time(q, outDir))
     val lines = selected.map { q =>
