@@ -81,7 +81,20 @@ object Similarity {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,
       excludeSelf: Boolean, maxLiteralQueries: Int,
-      gateInput: Option[DataFrame] = None): DataFrame = {
+      gateInput: Option[DataFrame] = None): DataFrame =
+    scoreAllPairsImpl(queries, qIdCol, qVecCol, corpus, idCol, vecCol,
+      excludeSelf, maxLiteralQueries, gateInput)._1
+
+  /** [[scoreAllPairs]] plus the path taken: `_2` is true when the
+    * query batch fit the bounded LITERAL path — [[sq8RerankTopK]]
+    * reuses it for its own broadcast decisions instead of paying a
+    * second limit+count action on the same frame (the
+    * [[ivfPqRerankTopK]] gate-reuse rule, review r12/r16). */
+  private def scoreAllPairsImpl(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      excludeSelf: Boolean, maxLiteralQueries: Int,
+      gateInput: Option[DataFrame] = None): (DataFrame, Boolean) = {
     // Path gate (the [[pqAdcTopK]] policy): small float-vector query
     // batches — the ground-truth/serving shape — inline as plan
     // LITERALS, so the steady plan is ONE job (scan -> per-row scores
@@ -139,7 +152,7 @@ object Similarity {
           try_divide(dot(col("__q.qvec"), col("__cvec")),
             col("__q.qn") * col("__cn")).as("__cos"))
       if (excludeSelf) scored = scored.filter(!(col("__qid") <=> col("__cid")))
-      return scored
+      return (scored, true)
     }
     // norms precomputed per side: the cross join evaluates one dot
     // product per pair instead of three. The query side broadcasts only
@@ -169,7 +182,7 @@ object Similarity {
       .withColumn("__cos",
         try_divide(dot(col("__qvec"), col("__cvec")), col("__qn") * col("__cn")))
     if (excludeSelf) scored = scored.filter(!(col("__qid") <=> col("__cid")))
-    scored
+    (scored, false)
   }
 
   /** Attribute-filtered exact top-k: each query's neighbors are
@@ -472,12 +485,21 @@ object Similarity {
       m: Int, subDim: Int, nProbe: Int): Seq[org.apache.spark.sql.Row] =
     qRows.flatMap { case (qid, qv) =>
       val lut: Seq[Seq[Double]] = pqLut(qv, anchors, m, subDim).map(_.toSeq).toSeq
-      cellVecs.indices
-        .map(i => (driverDcos(qv, cellVecs(i)), i))
-        .sortBy { case (c, i) => (-c, i) }
-        .take(nProbe)
-        .map { case (_, i) => org.apache.spark.sql.Row(cellIds(i), qid, lut) }
+      probeCellPositions(qv, cellVecs, nProbe)
+        .map(i => org.apache.spark.sql.Row(cellIds(i), qid, lut))
     }
+
+  /** THE probe-selection rule (nProbe nearest cells by cosine, ties to
+    * the smaller anchor position == ascending cell-id order) — one
+    * definition shared by the raw and residual literal probe builders
+    * so the two can never drift (the review-r12 single-definition
+    * discipline, extended to the residual twin in review r16). */
+  private def probeCellPositions(qv: Array[Float],
+      cellVecs: Array[Array[Float]], nProbe: Int): Seq[Int] =
+    cellVecs.indices
+      .map(i => (driverDcos(qv, cellVecs(i)), i))
+      .sortBy { case (c, i) => (-c, i) }
+      .take(nProbe).map(_._2)
 
   /** Schema of the broadcast probe table. */
   private def probeSchema(
@@ -808,24 +830,21 @@ object Similarity {
     * where the LUT is computed from the query's residual AGAINST THAT
     * CELL (q − centroid(cell)) — the per-(query, cell) ADC tables that
     * make residual IVF-PQ residual ([[literalProbeRows]] computes one
-    * LUT per query; here the LUT genuinely differs per probed cell). */
+    * LUT per query; here the LUT genuinely differs per probed cell).
+    * Probe selection is the shared [[probeCellPositions]] rule. */
   private def literalProbeRowsResidual(
       qRows: Seq[(Any, Array[Float])],
       cellIds: Array[Any], cellVecs: Array[Array[Float]],
       anchors: Array[Array[Float]],
       m: Int, subDim: Int, nProbe: Int): Seq[org.apache.spark.sql.Row] =
     qRows.flatMap { case (qid, qv) =>
-      cellVecs.indices
-        .map(i => (driverDcos(qv, cellVecs(i)), i))
-        .sortBy { case (c, i) => (-c, i) }
-        .take(nProbe)
-        .map { case (_, i) =>
-          val cv = cellVecs(i)
-          val qr = Array.tabulate(qv.length)(d => qv(d).toDouble - cv(d).toDouble)
-          val lut: Seq[Seq[Double]] =
-            pqLutDouble(qr, anchors, m, subDim).map(_.toSeq).toSeq
-          org.apache.spark.sql.Row(cellIds(i), qid, lut)
-        }
+      probeCellPositions(qv, cellVecs, nProbe).map { i =>
+        val cv = cellVecs(i)
+        val qr = Array.tabulate(qv.length)(d => qv(d).toDouble - cv(d).toDouble)
+        val lut: Seq[Seq[Double]] =
+          pqLutDouble(qr, anchors, m, subDim).map(_.toSeq).toSeq
+        org.apache.spark.sql.Row(cellIds(i), qid, lut)
+      }
     }
 
   /** Train PQ codebooks on RESIDUALS (x − centroid(cell(x))) — the
@@ -840,22 +859,32 @@ object Similarity {
     * Residuals are float-cast for the trainer (training quality only —
     * the ENCODE path keeps full double residuals, and oracle parity is
     * against the staged codebook bytes, not the training arithmetic). */
+  /** (rows ⨯ broadcast cells) → the input plus `cell` (assigned coarse
+    * cell id) and `__resid` (x − centroid(cell), DOUBLE) — the ONE
+    * cell-assign + residual projection shared by residual TRAINING and
+    * residual ENCODE, so the two can never drift (review r16; the
+    * trainPqCodebooks "training runs the encoder's expressions"
+    * discipline, applied to the residual step itself). */
+  private def residualAssigned(df: DataFrame, vecCol: String,
+      coarse: Seq[(Long, Array[Float])]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val nonNull = col(vecCol).isNotNull && !exists(col(vecCol), _.isNull)
+    val anchorArr = coarseCellsFrame(df.sparkSession,
+      coarse.map(_._1: Any).toArray, coarse.map(_._2).toArray,
+      LongType, ArrayType(FloatType, containsNull = false))
+    df.filter(nonNull).crossJoin(anchorArr)
+      .withColumn("__cc", nearestCellsWithVec(col(vecCol), 1)(0))
+      .withColumn("cell", col("__cc.cell_id"))
+      .withColumn("__resid", residualCol(col(vecCol), col("__cc.cell_vec")))
+  }
+
   def trainResidualPqCodebooks(
       train: DataFrame, idCol: String, vecCol: String,
       coarse: Seq[(Long, Array[Float])],
       m: Int, subDim: Int, c: Int, iters: Int): Array[Array[Float]] = {
     require(coarse.nonEmpty, "residual training needs coarse cells")
-    import org.apache.spark.sql.types._
-    val spark = train.sparkSession
-    val nonNull = col(vecCol).isNotNull && !exists(col(vecCol), _.isNull)
-    val anchorArr = coarseCellsFrame(spark,
-      coarse.map(_._1: Any).toArray, coarse.map(_._2).toArray,
-      LongType, ArrayType(FloatType, containsNull = false))
-    val resid = train.filter(nonNull).crossJoin(anchorArr)
-      .withColumn("__cc", nearestCellsWithVec(col(vecCol), 1)(0))
-      .select(col(idCol),
-        residualCol(col(vecCol), col("__cc.cell_vec"))
-          .cast("array<float>").as("__resid"))
+    val resid = residualAssigned(train, vecCol, coarse)
+      .select(col(idCol), col("__resid").cast("array<float>").as("__resid"))
     trainPqCodebooks(resid, idCol, "__resid", m, subDim, c, iters)
   }
 
@@ -874,16 +903,7 @@ object Similarity {
       m: Int, subDim: Int): DataFrame = {
     require(coarse.nonEmpty, "ivfPqResidualBuildIndex needs trained coarse cells")
     require(codebook.nonEmpty, "ivfPqResidualBuildIndex needs a trained codebook")
-    import org.apache.spark.sql.types._
-    val spark = corpus.sparkSession
-    val nonNull = col(vecCol).isNotNull && !exists(col(vecCol), _.isNull)
-    val anchorArr = coarseCellsFrame(spark,
-      coarse.map(_._1: Any).toArray, coarse.map(_._2).toArray,
-      LongType, ArrayType(FloatType, containsNull = false))
-    corpus.filter(nonNull).crossJoin(anchorArr)
-      .withColumn("__cc", nearestCellsWithVec(col(vecCol), 1)(0))
-      .withColumn("cell", col("__cc.cell_id"))
-      .withColumn("__resid", residualCol(col(vecCol), col("__cc.cell_vec")))
+    residualAssigned(corpus, vecCol, coarse)
       .select(col(idCol).as("id") +: col("cell") +:
         pqCodeCols(col("__resid"), codebook, m, subDim): _*)
   }
@@ -1022,17 +1042,28 @@ object Similarity {
       .withColumn("__scale", int8Scale(col(vecCol)))
       .select(col(idCol).as("__sqid"),
         dequantizeInt8(quantizeInt8(col(vecCol), col("__scale"))).as("__dq"))
-    val cand = bruteForceTopK(queries, qIdCol, qVecCol, sq, "__sqid", "__dq",
-        rerankR, excludeSelf, maxLiteralQueries)
+    // `bounded` rides out of stage 1's own literal-path gate — no
+    // second action on the queries frame (the ivfPqRerankTopK
+    // gate-reuse rule); it proves |Q| <= maxLiteralQueries, which
+    // bounds BOTH stage-2 build sides by construction: qv at |Q| rows,
+    // the candidate set at |Q|·R through the k-capped heap
+    val (scored1, bounded) = scoreAllPairsImpl(queries, qIdCol, qVecCol,
+      sq, "__sqid", "__dq", excludeSelf, maxLiteralQueries)
+    val cand = twoLevelTopK(scored1, rerankR)
       .select(col("query_id"), col("neighbor_id"))
-    // bounded-batch probe for the broadcast decision (one limit+count
-    // action — the ivfPqRerankTopK policy at this entry point)
-    val bounded = queries.select(col(qIdCol))
-      .limit(maxLiteralQueries + 1).count() <= maxLiteralQueries
     val qv = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
     val ev = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__ev"))
-    val withQ = cand.join(qv, "query_id")
-    val fetched = ev.join(if (bounded) broadcast(withQ) else withQ, "neighbor_id")
+    // deliberate join routing (the BroadcastTripwireSpec discipline —
+    // it caught the original estimate-elected shape of these joins at
+    // 10x): bounded batches FORCE the provably-tiny broadcasts;
+    // unbounded (batch-scoring) callers get the measured-bytes merge
+    // gate on the corpus-scale sides instead of an estimate election
+    val withQ =
+      if (bounded) cand.join(broadcast(qv), "query_id")
+      else cand.join(graft.functions.Dedup.mergeUnlessTiny(queries)(qv), "query_id")
+    val fetched = ev.join(
+      if (bounded) broadcast(withQ)
+      else graft.functions.Dedup.mergeUnlessTiny(queries)(withQ), "neighbor_id")
     val scored = fetched.select(col("query_id").as("__qid"),
       col("neighbor_id").as("__cid"),
       try_divide(dot(col("__qv"), col("__ev")),

@@ -49,9 +49,10 @@ class JdbcOnlineStore(
   import JdbcOnlineStore._
 
   /** Shard identity for ring-validation errors — the URL up to the
-    * first ';' (attributes can carry credentials; the database
-    * locator alone identifies the shard). */
-  private[online] def shardLabel: String = url.takeWhile(_ != ';')
+    * first ';' OR '?' (Derby-style attributes and query-parameter
+    * credentials both stay out of error messages and logs; the
+    * database locator alone identifies the shard). */
+  private[online] def shardLabel: String = url.takeWhile(c => c != ';' && c != '?')
 
   /** upsert reduces internally (latestPerKey before any round-trip)
     * and writes via distributed foreachPartition — a caller-side
@@ -179,8 +180,17 @@ class JdbcOnlineStore(
         val rs = st.executeQuery(
           s"SELECT ring_pos, ring_size, ring_salt FROM $RingTable")
         val out =
-          if (rs.next()) Some((rs.getInt(1), rs.getInt(2), rs.getString(3)))
-          else None
+          if (rs.next()) {
+            val m = Some((rs.getInt(1), rs.getInt(2), rs.getString(3)))
+            // the writer replaces the row transactionally, so a second
+            // row means external tampering — same investigate-don't-
+            // route-over rule as a corrupt parquet ring marker
+            require(!rs.next(),
+              s"ring marker table $RingTable at $shardLabel holds more " +
+                "than one row — a corrupt marker must be investigated, " +
+                "not silently re-routed over")
+            m
+          } else None
         rs.close(); out
       } finally st.close()
     } catch { case e: SQLException if isMissingTable(e) => None }
@@ -268,6 +278,54 @@ class JdbcOnlineStore(
           val _ = st.executeBatch()
         } finally st.close()
       } catch { case e: SQLException if isMissingTable(e) => () }
+    }
+
+  /** VERSION-CONDITIONAL delete: remove each row only if it still
+    * carries exactly the given (event_ts, created_ts) — "delete what I
+    * copied, never what someone else wrote since". The rebalance
+    * tombstone-compensation primitive (review r16). */
+  private[graft] def deleteRawVersions(project: String, view: String,
+      rows: Seq[RawRow]): Unit =
+    if (rows.nonEmpty) {
+      val t = tableName(project, view)
+      try withConnection(url) { conn =>
+        val utc = utcCalendar()
+        val st = conn.prepareStatement(
+          s"""DELETE FROM $t WHERE entity_key = ? AND event_ts = ?
+             | AND COALESCE(created_ts, $TsFloor) = COALESCE(?, $TsFloor)""".stripMargin)
+        try rows.grouped(writeBatchSize).foreach { g =>
+          g.foreach { r =>
+            st.setString(1, r.hex)
+            st.setTimestamp(2, r.ts, utc)
+            st.setTimestamp(3, r.created, utc)
+            st.addBatch()
+          }
+          val _ = st.executeBatch()
+        } finally st.close()
+      } catch { case e: SQLException if isMissingTable(e) => () }
+    }
+
+  /** Which of `hexes` currently exist in the table — the rebalance
+    * vanished-row probe. Missing table = none. */
+  private[graft] def presentHexes(project: String, view: String,
+      hexes: Seq[String]): Set[String] =
+    if (hexes.isEmpty) Set.empty
+    else {
+      val t = tableName(project, view)
+      try withConnection(url) { conn =>
+        hexes.distinct.grouped(ReadChunk).flatMap { chunk =>
+          val in = chunk.map(_ => "?").mkString(",")
+          val st = conn.prepareStatement(
+            s"SELECT entity_key FROM $t WHERE entity_key IN ($in)")
+          try {
+            chunk.zipWithIndex.foreach { case (h, i) => st.setString(i + 1, h) }
+            val rs = st.executeQuery()
+            val out = Iterator.continually(rs).takeWhile(_.next())
+              .map(_.getString(1)).toList
+            rs.close(); out
+          } finally st.close()
+        }.toSet
+      } catch { case e: SQLException if isMissingTable(e) => Set.empty }
     }
 
   /** Storage-level TTL sweep (VERDICT r14 #3): one transactional

@@ -679,12 +679,29 @@ class ParquetOnlineStore(
     * tolerate. */
   override def delete(project: String, view: FeatureView, joinKeys: Seq[String],
       keysDf: DataFrame): Unit =
-    try deleteImpl(project, view, joinKeys, keysDf)
+    try deleteMatchingImpl(project, view, joinKeys, joinKeys, keysDf)
     finally ParquetOnlineStore.invalidateCache(path(project, view.name))
 
-  private def deleteImpl(project: String, view: FeatureView, joinKeys: Seq[String],
-      keysDf: DataFrame): Unit = {
-    val spark = keysDf.sparkSession
+  /** VERSION-CONDITIONAL delete: remove a stored row only if it still
+    * matches (joinKeys, tsCol, createdCol) EXACTLY (null-safe) —
+    * "delete what I copied, never what someone else wrote since". The
+    * rebalance tombstone-compensation primitive (review r16); a row
+    * re-upserted with a newer version between the caller's snapshot
+    * and this call survives untouched. */
+  private[graft] def deleteVersions(project: String, view: FeatureView,
+      joinKeys: Seq[String], versionsDf: DataFrame, tsCol: String,
+      createdCol: Option[String]): Unit =
+    try deleteMatchingImpl(project, view, joinKeys,
+      (joinKeys ++ Seq(tsCol) ++ createdCol.toSeq).distinct, versionsDf)
+    finally ParquetOnlineStore.invalidateCache(path(project, view.name))
+
+  /** Shared bucket-rewrite delete: drops stored rows matching `df` on
+    * ALL `matchCols` (null-safe equality; matchCols == joinKeys is the
+    * plain keyed delete). Touched-bucket discipline + per-bucket
+    * rename-aside swap as ever. */
+  private def deleteMatchingImpl(project: String, view: FeatureView,
+      joinKeys: Seq[String], matchCols: Seq[String], df: DataFrame): Unit = {
+    val spark = df.sparkSession
     val p = path(project, view.name)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = hp(p).getFileSystem(hconf)
@@ -697,8 +714,8 @@ class ParquetOnlineStore(
     recover(fs, p)
     if (!fs.exists(hp(p))) return
     val buckets = effectiveBuckets(fs, p)
-    val keys = keysDf
-      .select(OnlineStore.guardNullKeys(joinKeys, joinKeys, view.name): _*)
+    val keys = df
+      .select(OnlineStore.guardNullKeys(matchCols, joinKeys, view.name): _*)
       .distinct()
       .withColumn(BucketCol, bucketExpr(joinKeys, buckets))
     val cached = keys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -707,9 +724,14 @@ class ParquetOnlineStore(
         cached.select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq
       if (touched.isEmpty) return
       val tmp = p + ".tmp"
+      // null-safe anti-join over the match columns (a keyed delete
+      // matches on keys alone; a version delete additionally pins the
+      // exact (ts, created), where created may legitimately be null)
+      val probe = cached.select(matchCols.map(c => col(c).as(s"__m_$c")): _*)
+      val cond = matchCols.map(c => col(c) <=> col(s"__m_$c")).reduce(_ && _)
       spark.read.parquet(p)
         .filter(col(BucketCol).isin(touched: _*))
-        .join(cached.drop(BucketCol), joinKeys, "left_anti")
+        .join(probe, cond, "left_anti")
         .repartition(touched.size, col(BucketCol))
         // BucketCol must LEAD the sort (mergedFrame's layout): without
         // it FileFormatWriter inserts its own sort on the partition

@@ -349,14 +349,47 @@ class ShardedOnlineStore(
           val byTarget = misplaced.select("__shard").distinct()
             .collect().map(_.getInt(0)).toSeq.sorted
           if (byTarget.nonEmpty) {
-            moved += misplaced.count()
             byTarget.foreach { s =>
               children(s).upsert(project, view, joinKeys,
                 misplaced.filter(col("__shard") === s).drop("__shard"),
                 tsCol, createdCol)
             }
-            child.delete(project, view, joinKeys,
-              misplaced.select(joinKeys.map(col): _*))
+            // TOMBSTONE COMPENSATION (review r16): a client delete
+            // racing the move has no LWW predicate to protect it the
+            // way concurrent WRITES are protected — dump K, client
+            // deletes K everywhere, our upsert above re-inserts the
+            // stale copy AT ITS CORRECT HOME, where no re-run ever
+            // sees it as misplaced: a permanent resurrection. So
+            // re-read the source AFTER the upserts and BEFORE the
+            // source delete: a dumped key now ABSENT from source was
+            // tombstoned mid-move — remove exactly OUR copied version
+            // from its target ([[ParquetOnlineStore.deleteVersions]];
+            // a newer client write there survives untouched).
+            // RESIDUAL window, documented honestly: a client delete
+            // whose target-shard leg lands before our upsert while its
+            // source-shard leg lands after this re-read still
+            // resurrects — closing it needs versioned tombstones,
+            // which no store here keeps; the window is one delete
+            // call's internal fan-out straddling the page, and
+            // re-issuing the delete clears it.
+            val fresh = child.tableDf(spark, project, view.name)
+              .select(joinKeys.map(col): _*)
+            val vanished = misplaced.join(fresh, joinKeys, "left_anti")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val nVanished = vanished.count() // force BEFORE the source delete
+              moved += misplaced.count() - nVanished
+              child.delete(project, view, joinKeys,
+                misplaced.select(joinKeys.map(col): _*))
+              if (nVanished > 0)
+                vanished.select("__shard").distinct()
+                  .collect().map(_.getInt(0)).toSeq.sorted.foreach { s =>
+                    children(s).asInstanceOf[ParquetOnlineStore]
+                      .deleteVersions(project, view, joinKeys,
+                        vanished.filter(col("__shard") === s).drop("__shard"),
+                        tsCol, createdCol)
+                  }
+            } finally vanished.unpersist()
           }
         } finally misplaced.unpersist()
       }
@@ -392,8 +425,22 @@ class ShardedOnlineStore(
             children(t).asInstanceOf[JdbcOnlineStore]
               .upsertRaw(project, viewName, rows.map(_._2))
           }
-          child.deleteRaw(project, viewName, misplaced.map(_._2.hex))
-          moved += misplaced.size
+          // TOMBSTONE COMPENSATION (review r16, same reasoning as the
+          // parquet path): re-read the source AFTER the upserts — a
+          // dumped hex now ABSENT was tombstoned mid-move, so remove
+          // exactly OUR copied version from its target
+          // (deleteRawVersions never touches a newer client write).
+          // Still-present rows are the real move: delete them from the
+          // source version-conditionally too ("delete what I copied").
+          // Residual window as documented on the parquet branch.
+          val present = child.presentHexes(project, viewName, misplaced.map(_._2.hex))
+          val (still, vanished) = misplaced.partition(m => present(m._2.hex))
+          child.deleteRawVersions(project, viewName, still.map(_._2))
+          vanished.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (t, rows) =>
+            children(t).asInstanceOf[JdbcOnlineStore]
+              .deleteRawVersions(project, viewName, rows.map(_._2))
+          }
+          moved += still.size
           after = Some(page.last.hex)
           done = page.size < ShardedOnlineStore.JdbcRebalancePage
         }

@@ -79,7 +79,14 @@ class BroadcastTripwireSpec extends AnyFunSuite {
     "q_unigram_encode_persisted", "q_bpe_encode_persisted",
     // r14: chunk-grain CDC dedup — the shared-fingerprint side is
     // chunk-grain (corpus-scaling), routed through mergeUnlessTiny
-    "q_cdc_dedup")
+    "q_cdc_dedup",
+    // r16: the SQ8 two-stage chain (stage 2 broadcasts the candidate
+    // set — bounded by construction at |Q|·R through the k-capped
+    // heap + the bounded-batch gate; allowlisted below with that
+    // proof) and the residual persisted probe (its only broadcast is
+    // the driver-built nProbe-rows-per-query probe table — listed so
+    // a future corpus-derived join side gets coverage from day one)
+    "q_ann_sq8_rerank", "q_ann_ivfpq_residual")
 
   /** Bounded-shape allowlist: broadcast build sides that scan a corpus
     * table but are BOUNDED BY CONSTRUCTION, verified per shape.
@@ -90,6 +97,19 @@ class BroadcastTripwireSpec extends AnyFunSuite {
     name match {
       case "q_dedup_typo" =>
         hit.chain.contains("HashAggregate") && hit.scans == Seq("documents")
+      case "q_ann_sq8_rerank" =>
+        // stage-2's two FORCED broadcasts, both bounded by stage-1's
+        // literal-path gate (|Q| <= 256): the query-vector fetch
+        // (<= |Q| rows — a Filter straight over the corpus scan) and
+        // the candidate set (<= |Q|·R rows — the k-capped heap's
+        // output joined back to the broadcast query vectors, hence
+        // the inner BroadcastHashJoin in its chain). An UNBOUNDED
+        // batch takes the mergeUnlessTiny-gated plan with NO forced
+        // broadcast — pinned by PipelineSpec's sq8 path-parity test,
+        // whose audit of the distributed plan must come back empty.
+        (hit.chain.startsWith("Project<-Filter<-Scan parquet") ||
+          hit.chain.startsWith("Project<-BroadcastHashJoin")) &&
+          hit.scans == Seq("embeddings")
       case _ => false
     }
 

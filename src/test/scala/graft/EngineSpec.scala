@@ -2471,6 +2471,134 @@ class EngineSpec extends AnyFunSuite {
     dirs.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
   }
 
+  test("rebalance tombstone compensation (parquet): a client delete racing the move is never resurrected (review r16)") {
+    import spark.implicits._
+    // the race: rebalance dumps key K from its source shard; a client
+    // tombstones K (the grow-window fan-out removes it EVERYWHERE);
+    // rebalance's upsert then re-inserts its stale copy at K's correct
+    // grown-ring home, where no re-run ever sees it as misplaced — a
+    // permanent resurrection (r16 code-review #1). The compensation
+    // re-reads the source after the upserts: a dumped key now absent
+    // was tombstoned, so exactly OUR copied version is removed from
+    // the target. Injection: the FIRST child.upsert during rebalance
+    // runs the client delete before applying — i.e. the tombstone
+    // lands wholly between dump and upsert, the common shape.
+    val dirs = IndexedSeq.fill(4)(
+      java.nio.file.Files.createTempDirectory("graftcomp").toString)
+    @volatile var armed = false
+    @volatile var injected: () => Unit = () => ()
+    class Hooked(d: String) extends ParquetOnlineStore(d, numBuckets = 2) {
+      override def upsert(project: String, view: FeatureView,
+          joinKeys: Seq[String], df: org.apache.spark.sql.DataFrame,
+          tsCol: String, createdCol: Option[String]): Unit = {
+        if (armed) { armed = false; injected() }
+        super.upsert(project, view, joinKeys, df, tsCol, createdCol)
+      }
+    }
+    val view = FeatureView("cp", Seq("driver"),
+      Seq(Feature("v1", GraftType.Dbl)),
+      Duration.ZERO, DataFrameSource(Seq.empty[(Long, Timestamp, Double)]
+        .toDF("driver_id", "et", "v1"), "et"))
+    val keys = (0L until 120L).toIndexedSeq
+    val old3 = new graft.online.ShardedOnlineStore(
+      dirs.take(3).map(d => new ParquetOnlineStore(d, numBuckets = 2)))
+    old3.upsert("p", view, Seq("driver_id"),
+      keys.map(k => (k, ts("2024-02-01 10:00:00"), k * 3.0))
+        .toDF("driver_id", "et", "v1"), "et", None)
+    val grown = new graft.online.ShardedOnlineStore(dirs.map(d => new Hooked(d)))
+    val movedKeys = keys.filter(k =>
+      grown.shardOf(Seq("driver_id" -> k)) != old3.shardOf(Seq("driver_id" -> k)))
+    // victim: a moved key whose SOURCE is shard 0 — rebalance processes
+    // children in order, so the first upsert belongs to child 0's page
+    val victim = movedKeys.find(k => old3.shardOf(Seq("driver_id" -> k)) == 0)
+      .getOrElse(fail("need a moved key sourced on shard 0"))
+    injected = () => grown.delete("p", view, Seq("driver_id"),
+      Seq(victim).toDF("driver_id"))
+    armed = true
+    val moved = grown.rebalance(spark, "p", view, Seq("driver_id"), "et", None)
+    assert(!armed, "the injection must have fired")
+    assert(moved == movedKeys.size - 1,
+      s"the tombstoned key must not count as moved: $moved vs ${movedKeys.size}")
+    grown.commitRingMarkers()
+    // the victim stays deleted — composite AND every direct child probe
+    val got = grown.read("p", view, Seq("driver_id"),
+      Seq(Seq("driver_id" -> victim)), Seq("v1"))
+    assert(got.head._2("v1").status == "NOT_FOUND",
+      s"tombstoned key resurrected through the composite: ${got.head}")
+    grown.children.zipWithIndex.foreach { case (c, i) =>
+      val direct = c.read("p", view, Seq("driver_id"),
+        Seq(Seq("driver_id" -> victim)), Seq("v1"))
+      assert(direct.head._2("v1").status == "NOT_FOUND",
+        s"tombstoned key's stale copy survives on shard $i")
+    }
+    // every other key serves; a re-run converges with nothing to move
+    val others = keys.filterNot(_ == victim)
+    val rest = grown.read("p", view, Seq("driver_id"),
+      others.map(k => Seq("driver_id" -> k)), Seq("v1"))
+    others.zip(rest).foreach { case (k, (_, m)) =>
+      assert(m("v1").status == "PRESENT" &&
+        m("v1").value.asInstanceOf[Double] == k * 3.0, s"key $k: ${m("v1")}")
+    }
+    assert(grown.rebalance(spark, "p", view, Seq("driver_id"), "et", None) == 0L)
+    dirs.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
+  test("rebalance tombstone compensation (jdbc): a client delete racing the move is never resurrected (review r16)") {
+    import spark.implicits._
+    val dbs = IndexedSeq.fill(3)(
+      java.nio.file.Files.createTempDirectory("graftjcomp").toString + "/db")
+    @volatile var armed = false
+    @volatile var injected: () => Unit = () => ()
+    class Hooked(d: String) extends graft.online.JdbcOnlineStore(
+        graft.online.JdbcOnlineStore.derbyUrl(d)) {
+      override private[graft] def upsertRaw(project: String, view: String,
+          rows: Seq[graft.online.JdbcOnlineStore.RawRow]): Unit = {
+        if (armed) { armed = false; injected() }
+        super.upsertRaw(project, view, rows)
+      }
+    }
+    val view = FeatureView("jc", Seq("driver"),
+      Seq(Feature("v1", GraftType.Dbl)),
+      Duration.ZERO, DataFrameSource(Seq.empty[(Long, Timestamp, Double)]
+        .toDF("driver_id", "et", "v1"), "et"))
+    val keys = (0L until 80L).toIndexedSeq
+    val old2 = new graft.online.ShardedOnlineStore(dbs.take(2).map(new Hooked(_)))
+    old2.upsert("p", view, Seq("driver_id"),
+      keys.map(k => (k, ts("2024-02-01 10:00:00"), k * 5.0))
+        .toDF("driver_id", "et", "v1"), "et", None)
+    val grown = new graft.online.ShardedOnlineStore(dbs.map(new Hooked(_)))
+    val movedKeys = keys.filter(k =>
+      grown.shardOf(Seq("driver_id" -> k)) != old2.shardOf(Seq("driver_id" -> k)))
+    val victim = movedKeys.find(k => old2.shardOf(Seq("driver_id" -> k)) == 0)
+      .getOrElse(fail("need a moved key sourced on shard 0"))
+    injected = () => grown.delete("p", view, Seq("driver_id"),
+      Seq(victim).toDF("driver_id"))
+    armed = true
+    val moved = grown.rebalance(spark, "p", view, Seq("driver_id"), "et", None)
+    assert(!armed, "the injection must have fired")
+    assert(moved == movedKeys.size - 1,
+      s"the tombstoned key must not count as moved: $moved vs ${movedKeys.size}")
+    grown.commitRingMarkers()
+    val got = grown.read("p", view, Seq("driver_id"),
+      Seq(Seq("driver_id" -> victim)), Seq("v1"))
+    assert(got.head._2("v1").status == "NOT_FOUND",
+      s"tombstoned key resurrected through the composite: ${got.head}")
+    grown.children.zipWithIndex.foreach { case (c, i) =>
+      val direct = c.read("p", view, Seq("driver_id"),
+        Seq(Seq("driver_id" -> victim)), Seq("v1"))
+      assert(direct.head._2("v1").status == "NOT_FOUND",
+        s"tombstoned key's stale copy survives on shard $i")
+    }
+    val others = keys.filterNot(_ == victim)
+    val rest = grown.read("p", view, Seq("driver_id"),
+      others.map(k => Seq("driver_id" -> k)), Seq("v1"))
+    others.zip(rest).foreach { case (k, (_, m)) =>
+      assert(m("v1").status == "PRESENT" &&
+        m("v1").value.asInstanceOf[Double] == k * 5.0, s"key $k: ${m("v1")}")
+    }
+    assert(grown.rebalance(spark, "p", view, Seq("driver_id"), "et", None) == 0L)
+  }
+
   test("sharded grow window: a delete fans out to the key's OLD home, so the fallback never resurrects a tombstone") {
     import spark.implicits._
     // review r15: the grow fallback re-probes a missed key's pre-grow

@@ -1680,6 +1680,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(err.getMessage.contains("bounded serving path"))
   }
 
+  test("sq8RerankTopK: bounded and unbounded paths agree; the unbounded plan broadcasts nothing corpus-derived") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val bounded = rows(Similarity.sq8RerankTopK(
+      q, "vec_id", "embedding", e, "vec_id", "embedding", k = 5, rerankR = 15))
+    // force the distributed stage-1 + gated stage-2 (maxLiteralQueries
+    // below the batch size) — results must be IDENTICAL (both stages
+    // rank raw doubles; the literal/distributed folds are bit-equal)
+    val unbounded = Similarity.sq8RerankTopK(
+      q, "vec_id", "embedding", e, "vec_id", "embedding", k = 5, rerankR = 15,
+      maxLiteralQueries = 2)
+    assert(rows(unbounded) === bounded,
+      "sq8 bounded and unbounded paths must produce identical rankings")
+    // the unbounded plan must carry NO corpus-derived broadcast — the
+    // mergeUnlessTiny gate replaces the estimate election (this is the
+    // mutation-red for BroadcastTripwireSpec's q_ann_sq8_rerank
+    // allowlist: the allowlisted forced broadcasts exist ONLY behind
+    // the bounded literal gate)
+    val hits = graft.tools.BroadcastAudit.auditDf(unbounded)
+      .filter(h => h.nestedLoop || h.scansAnyOf(Set("embeddings", "documents")))
+      .filterNot(h => h.nestedLoop && h.scalarBuild)
+    assert(hits.isEmpty,
+      s"unbounded sq8 must not broadcast corpus-derived frames:\n${hits.mkString("\n")}")
+    // exact rerank contract: stage-2 scores equal the exact cosine of
+    // the full floats (spot-check one row against a driver fold)
+    val all = e.orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    bounded.take(5).foreach { case (qid, nid, cos, _) =>
+      val (a, b) = (all(qid), all(nid))
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) {
+        ab += a(i).toDouble * b(i).toDouble
+        aa += a(i).toDouble * a(i).toDouble
+        bb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      assert(cos == ab / (math.sqrt(aa) * math.sqrt(bb)),
+        s"stage-2 cos for ($qid,$nid) must be the exact float cosine")
+    }
+  }
+
   test("ivfPqRerankTopK: exact refine lifts recall@5 above the unrefined ADC path") {
     // The FAISS refine contract (r12): re-scoring the ADC top-R exactly
     // can only improve which k of those R survive — with R=3k the ADC
