@@ -231,16 +231,20 @@ object VectorQueries {
     * machinery is plain [[graft.functions.Similarity.pqAdcTopK]] over
     * the OPQ codebooks — the missing fidelity notch between PQ and a
     * learned transform (r14 verdict's optional ask). */
+  /** One float-matrix artifact load — rows ordered by `orderCol`,
+    * each `valCol` an array<float>. Bounded by construction (dim rows
+    * for a rotation, m·c rows for a codebook). */
+  private def loadFloatRows(s: SparkSession, path: String,
+      orderCol: String, valCol: String): Array[Array[Float]] =
+    s.read.parquet(path).orderBy(orderCol).select(valCol).collect()
+      .map(_.getSeq[Float](0).toArray)
+
   def annOpq(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     val stage = stagedOpq(s, dir)
     opqStage = stage
-    val r: Array[Array[Float]] = s.read.parquet(s"$stage/rotation")
-      .orderBy("ridx").select("rrow").collect()
-      .map(_.getSeq[Float](0).toArray)
-    val anchors: Array[Array[Float]] = s.read.parquet(s"$stage/codebook")
-      .orderBy("aidx").select("aemb").collect()
-      .map(_.getSeq[Float](0).toArray)
+    val r = loadFloatRows(s, s"$stage/rotation", "ridx", "rrow")
+    val anchors = loadFloatRows(s, s"$stage/codebook", "aidx", "aemb")
     val rot = graft.functions.Similarity.rotateVec(col("embedding"), r)
     val corpus = e.select(col("vec_id"), rot.as("remb"))
     val q = e.filter(col("vec_id") < AdcQ).select(col("vec_id"), rot.as("remb"))
@@ -271,21 +275,16 @@ object VectorQueries {
     * assignment + probe + encode + LUT + ADC from the staged rotated
     * vectors + staged cells/codebook — the same one-notch-up contract
     * as [[annOpq]]. */
-  def annOpqIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = embs(s, dir)
-    val stage = stagedOpq(s, dir)
-    opqStage = stage
-    val r: Array[Array[Float]] = s.read.parquet(s"$stage/rotation")
-      .orderBy("ridx").select("rrow").collect()
-      .map(_.getSeq[Float](0).toArray)
-    val cb: Array[Array[Float]] = s.read.parquet(s"$stage/codebook")
-      .orderBy("aidx").select("aemb").collect()
-      .map(_.getSeq[Float](0).toArray)
+  /** Stage (or reuse) the coarse IVF cells in the ROTATED space — the
+    * bounded hash-ordered sample rotated by the production expression,
+    * k-means'd. Shared by the `OPQ,IVF,PQ` chain and its residual
+    * twin so both probe the SAME cells (the stagedIvfCells/
+    * stagedResidualCb relationship, rotated). */
+  private def stagedOpqIvfCells(s: SparkSession, dir: String,
+      r: Array[Array[Float]]): String = {
     val cellStage = Staging.pathFor(dir, "opq_ivf_cells_v1", "embeddings.parquet")
     Staging.publishOnce(cellStage) { tmp =>
-      // coarse centroids live in the ROTATED space — the bounded
-      // hash-ordered sample rotated by the same expression
-      val train = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      val train = embs(s, dir).orderBy(xxhash64(col("vec_id")), col("vec_id"))
         .limit(math.max(IvfPqCells * 64, 4096))
         .select(col("vec_id"),
           graft.functions.Similarity.rotateVec(col("embedding"), r).as("remb"))
@@ -296,10 +295,22 @@ object VectorQueries {
         .toDF("cell_id", "cell_vec")
         .write.mode("overwrite").parquet(tmp)
     }
-    opqIvfCellStage = Some(cellStage)
-    val cells: Seq[(Long, Array[Float])] = s.read.parquet(cellStage)
-      .orderBy("cell_id").collect()
+    cellStage
+  }
+
+  private def loadCells(s: SparkSession, cellStage: String): Seq[(Long, Array[Float])] =
+    s.read.parquet(cellStage).orderBy("cell_id").collect()
       .map(row => row.getLong(0) -> row.getSeq[Float](1).toArray).toSeq
+
+  def annOpqIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val stage = stagedOpq(s, dir)
+    opqStage = stage
+    val r = loadFloatRows(s, s"$stage/rotation", "ridx", "rrow")
+    val cb = loadFloatRows(s, s"$stage/codebook", "aidx", "aemb")
+    val cellStage = stagedOpqIvfCells(s, dir, r)
+    opqIvfCellStage = Some(cellStage)
+    val cells = loadCells(s, cellStage)
     val rot = graft.functions.Similarity.rotateVec(col("embedding"), r)
     val corpus = e.select(col("vec_id"), rot.as("remb"))
     val q = e.filter(col("vec_id") < AdcQ).select(col("vec_id"), rot.as("remb"))
@@ -324,6 +335,83 @@ object VectorQueries {
       s"(SELECT vec_id, remb AS embedding FROM '$opqStage/rotated/*.parquet')")
     case None =>
       "SELECT * FROM graft_error_opq_ivf_stage_not_pinned_run_query_first"
+  }
+
+  /** Stage (or reuse) the residual codebook in the ROTATED space:
+    * [[graft.functions.Similarity.trainResidualPqCodebooks]] over the
+    * bounded hash-ordered sample rotated by the production expression,
+    * against the rotated-space coarse cells — so the composed chain
+    * differs from [[annOpqIvf]] in exactly the two places residual
+    * encoding touches, and from [[annIvfPqResidual]] only by the
+    * rotation in front. */
+  private def stagedOpqResidualCb(s: SparkSession, dir: String,
+      r: Array[Array[Float]], cells: Seq[(Long, Array[Float])]): String = {
+    val stage = Staging.pathFor(dir, "opq_ivfpq_res_cb_v1", "embeddings.parquet")
+    Staging.publishOnce(stage) { tmp =>
+      val train = embs(s, dir)
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(4096)
+        .select(col("vec_id"),
+          graft.functions.Similarity.rotateVec(col("embedding"), r).as("remb"))
+      val cb = graft.functions.Similarity.trainResidualPqCodebooks(
+        train, "vec_id", "remb", cells, PqM, PqSubDim, PqC, iters = 2)
+      import s.implicits._
+      cb.zipWithIndex.map { case (a, j) => (j.toLong, a.toSeq) }
+        .toSeq.toDF("aidx", "aemb")
+        .write.mode("overwrite").parquet(tmp)
+    }
+    stage
+  }
+
+  /** The full FAISS index-factory chain — `OPQ,IVF,PQ` with residual
+    * encoding (`OPQ64,IVF256,PQ8` in FAISS factory terms, toy-sized):
+    * the trained rotation in front, coarse cells k-means'd in the
+    * rotated space, and codes/LUTs quantizing the ROTATED residual
+    * x·R − centroid(cell(x·R)). Rotation is orthogonal, so residual
+    * geometry is preserved exactly and every downstream step is the
+    * existing residual machinery unchanged — the corpus is encoded
+    * once into a cell-partitioned residual code index and the query
+    * batch probes it. Oracle: [[ivfPqResidualSqlFrom]] over the staged
+    * rotated vectors + rotated cells/codebook — the [[annOpq]]
+    * one-notch-up contract (hash match proves the IN-FLIGHT rotation
+    * is bit-identical to the staging pass's floats, and every
+    * assign/residual/encode/LUT/ADC step bit-identical downstream). */
+  def annOpqIvfPqResidual(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val stage = stagedOpq(s, dir)
+    opqStage = stage
+    val r = loadFloatRows(s, s"$stage/rotation", "ridx", "rrow")
+    val cellStage = stagedOpqIvfCells(s, dir, r)
+    val cells = loadCells(s, cellStage)
+    val cbStage = stagedOpqResidualCb(s, dir, r, cells)
+    val cb = loadFloatRows(s, cbStage, "aidx", "aemb")
+    val rot = graft.functions.Similarity.rotateVec(col("embedding"), r)
+    val corpus = e.select(col("vec_id"), rot.as("remb"))
+    val idxStage = Staging.pathFor(dir, "opq_ivfpq_res_index_v1", "embeddings.parquet")
+    Staging.publishOnce(idxStage) { tmp =>
+      graft.functions.Similarity.ivfPqResidualBuildIndex(
+          corpus, "vec_id", "remb", cells, cb, PqM, PqSubDim)
+        .write.partitionBy("cell").mode("overwrite").parquet(tmp)
+    }
+    opqResidStages = Some((cellStage, cbStage))
+    val q = e.filter(col("vec_id") < AdcQ).select(col("vec_id"), rot.as("remb"))
+    graft.functions.Similarity.ivfPqResidualSearchIndex(
+        s.read.parquet(idxStage), q, "vec_id", "remb",
+        cells, cb, k = AdcK, nProbe = IvfPqProbe, m = PqM, subDim = PqSubDim)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adc"), 6).as("adc"), col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  @volatile private var opqResidStages: Option[(String, String)] = None
+
+  /** [[ivfPqResidualSqlFrom]] over the staged ROTATED vectors + the
+    * rotated-space cells/residual codebook. Sentinel until the query
+    * run pins the stages. */
+  def annOpqIvfPqResidualSql: String = opqResidStages match {
+    case Some((cellStage, cbStage)) => ivfPqResidualSqlFrom(cellStage, cbStage,
+      s"(SELECT vec_id, remb AS embedding FROM '$opqStage/rotated/*.parquet')")
+    case None =>
+      "SELECT * FROM graft_error_opq_ivfpq_residual_stage_not_pinned_run_query_first"
   }
 
   /** [[annPqSqlFrom]] over the staged trained codebook: identical
@@ -888,6 +976,17 @@ object VectorQueries {
     * its own LUT). Same sentinel-until-pinned contract. */
   def annIvfPqResidualSql: String = residStages match {
     case Some((cellStage, cbStage)) =>
+      ivfPqResidualSqlFrom(cellStage, cbStage)
+    case None =>
+      "SELECT * FROM graft_error_ivfpq_residual_stage_not_pinned_run_query_first"
+  }
+
+  /** [[annIvfPqResidualSql]]'s chain parameterized on the staged
+    * cells / codebook AND the vector source — shared by the raw
+    * residual chain (`embeddings`) and the OPQ∘residual composition
+    * (the staged ROTATED vectors, the [[annOpqSql]] contract). */
+  private def ivfPqResidualSqlFrom(cellStage: String, cbStage: String,
+      embSource: String = "embeddings"): String = {
       def residList(vecExpr: String, cvExpr: String): String =
         s"list_transform(range(1, ${Dim + 1}), i -> $vecExpr[i] - $cvExpr[i])"
       def diffSumResid(r: String): String =
@@ -901,7 +1000,7 @@ object VectorQueries {
       val pivots = (0 until PqM).map(s =>
         s"MAX(CASE WHEN c.s = $s THEN l END) AS l$s").mkString(",\n         ")
       val adcSum = (0 until PqM).map(s => s"l$s").mkString(" + ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $embSource),
          |cells AS (
          |  SELECT cell_id, cell_vec::DOUBLE[] AS cv
          |  FROM '$cellStage/*.parquet'),
@@ -928,7 +1027,7 @@ object VectorQueries {
          |           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, aidx) AS rn
          |    FROM cd) WHERE rn = 1),
          |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-         |      FROM embeddings WHERE vec_id < $AdcQ),
+         |      FROM $embSource WHERE vec_id < $AdcQ),
          |probed AS (
          |  SELECT qid, cell FROM (
          |    SELECT q.qid, cells.cell_id AS cell,
@@ -964,8 +1063,6 @@ object VectorQueries {
          |  FROM piv)
          |SELECT query_id, neighbor_id, round(adc, 6) AS adc, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= $AdcK ORDER BY query_id, rank""".stripMargin
-    case None =>
-      "SELECT * FROM graft_error_ivfpq_residual_stage_not_pinned_run_query_first"
   }
 
   // ---- per-label centroids (mean pooling) ----------------------------
@@ -1324,6 +1421,7 @@ object VectorQueries {
     "q_ann_ivfpq_trained" -> (annIvfPqTrained _),
     "q_ann_ivfpq_persisted" -> (annIvfPqPersisted _),
     "q_ann_ivfpq_residual" -> (annIvfPqResidual _),
+    "q_ann_opq_ivfpq_residual" -> (annOpqIvfPqResidual _),
     "q_ann_sq8_rerank" -> (annSq8Rerank _),
     "q_random_projection" -> (randomProjection _),
     "q_pq_encode" -> (pqEncode _),
@@ -1354,6 +1452,7 @@ object VectorQueries {
     "q_ann_ivfpq_trained" -> annIvfPqTrainedSql,
     "q_ann_ivfpq_persisted" -> annIvfPqTrainedSql,
     "q_ann_ivfpq_residual" -> annIvfPqResidualSql,
+    "q_ann_opq_ivfpq_residual" -> annOpqIvfPqResidualSql,
     "q_ann_sq8_rerank" -> annSq8RerankSql,
     "q_hash_embedding" -> hashEmbeddingSql)
 }

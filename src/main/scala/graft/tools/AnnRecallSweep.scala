@@ -125,6 +125,14 @@ object AnnRecallSweep {
       emb, "vec_id", "embedding", cells, resCb, m, subDim).localCheckpoint()
     val idxOpq = Similarity.ivfPqBuildIndex(
       embRot, "vec_id", "remb", cellsRot, opqCb, m, subDim).localCheckpoint()
+    // r16: the full composed chain — rotated residuals against a
+    // residual codebook trained in the rotated space, same cells as
+    // the OPQ column so the delta vs OPQ+IVF is residual encoding alone
+    val opqResCb = Similarity.trainResidualPqCodebooks(
+      embRot.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(4096),
+      "vec_id", "remb", cellsRot, m, subDim, c, iters = 2)
+    val idxOpqRes = Similarity.ivfPqResidualBuildIndex(
+      embRot, "vec_id", "remb", cellsRot, opqResCb, m, subDim).localCheckpoint()
 
     // exact L2 ground truth for the quantized table (rotation is
     // orthogonal: L2 neighbors are identical in both spaces)
@@ -149,8 +157,8 @@ object AnnRecallSweep {
     val qRot = embRot.filter(col("vec_id").isin(qIds.toSeq: _*))
     println(s"\nIVF-PQ recall@k=$k vs nProbe at equal code size " +
       s"(m=$m ints/vector, cells=$pqCells; truth = exact L2)")
-    println("| nProbe | recall PQ | recall residual | recall OPQ+IVF |")
-    println("|---|---|---|---|")
+    println("| nProbe | recall PQ | recall residual | recall OPQ+IVF | recall OPQ+resid |")
+    println("|---|---|---|---|---|")
     val qrows = Seq(1, 2, 4, 8, 16).filter(_ <= pqCells).map { nProbe =>
       val rPq = recallOf(Similarity.ivfPqSearchIndex(
         idxPq, queries, "vec_id", "embedding", cells, rawCb, k, nProbe, m, subDim))
@@ -158,11 +166,13 @@ object AnnRecallSweep {
         idxRes, queries, "vec_id", "embedding", cells, resCb, k, nProbe, m, subDim))
       val rOpq = recallOf(Similarity.ivfPqSearchIndex(
         idxOpq, qRot, "vec_id", "remb", cellsRot, opqCb, k, nProbe, m, subDim))
-      println(f"| $nProbe | $rPq%.3f | $rRes%.3f | $rOpq%.3f |")
-      (nProbe, rPq, rRes, rOpq)
+      val rOpqRes = recallOf(Similarity.ivfPqResidualSearchIndex(
+        idxOpqRes, qRot, "vec_id", "remb", cellsRot, opqResCb, k, nProbe, m, subDim))
+      println(f"| $nProbe | $rPq%.3f | $rRes%.3f | $rOpq%.3f | $rOpqRes%.3f |")
+      (nProbe, rPq, rRes, rOpq, rOpqRes)
     }
-    val qjson = qrows.map { case (p, a, b, o) =>
-      f"""{"nprobe":$p,"recall_pq":$a%.3f,"recall_residual":$b%.3f,"recall_opq":$o%.3f}""" }
+    val qjson = qrows.map { case (p, a, b, o, or) =>
+      f"""{"nprobe":$p,"recall_pq":$a%.3f,"recall_residual":$b%.3f,"recall_opq":$o%.3f,"recall_opq_residual":$or%.3f}""" }
       .mkString(",")
     println(f"""{"k":$k,"pq_cells":$pqCells,"m":$m,"quantized_sweep":[$qjson]}""")
     spark.stop()

@@ -204,6 +204,10 @@ object ScaleCheck {
       // residual LUTs ride the same nProbe-rows-per-query broadcast,
       // so the ratio must track the persisted probe's
       "q_ann_ivfpq_residual",
+      // r16: the OPQ∘residual composition — the residual probe with a
+      // per-row rotation projection in front; the ratio pins that the
+      // rotation stays a map (no new exchange) at N×
+      "q_ann_opq_ivfpq_residual",
       // r16: the SQ8 two-stage chain — stage 1 is a linear compressed
       // scan, stage 2 a |Q|*R-bounded exact fetch; the ratio pins that
       // nothing in the chain goes quadratic
@@ -247,7 +251,7 @@ object ScaleCheck {
     // rows via IndexScale / TrainedAnnScale)
     val staged = Set("q_ann_ivfpq_persisted", "q_ann_ivfpq_trained",
       "q_ann_pq_trained", "q_dedup_simhash", "q_ann_opq", "q_ann_opq_ivf",
-      "q_ann_ivfpq_residual",
+      "q_ann_ivfpq_residual", "q_ann_opq_ivfpq_residual",
       "q_unigram_encode_persisted", "q_bpe_encode_persisted")
     selected.filter(staged).foreach(q => time(q, outDir))
     val lines = selected.map { q =>

@@ -86,7 +86,11 @@ class BroadcastTripwireSpec extends AnyFunSuite {
     // proof) and the residual persisted probe (its only broadcast is
     // the driver-built nProbe-rows-per-query probe table — listed so
     // a future corpus-derived join side gets coverage from day one)
-    "q_ann_sq8_rerank", "q_ann_ivfpq_residual")
+    "q_ann_sq8_rerank", "q_ann_ivfpq_residual",
+    // r16: the OPQ∘residual composition — same staged-index probe
+    // shape as q_ann_ivfpq_residual with the rotation expression in
+    // front of corpus/query projections (a per-row map, no join)
+    "q_ann_opq_ivfpq_residual")
 
   /** Bounded-shape allowlist: broadcast build sides that scan a corpus
     * table but are BOUNDED BY CONSTRUCTION, verified per shape.

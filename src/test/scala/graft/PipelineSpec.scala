@@ -1680,6 +1680,102 @@ class PipelineSpec extends AnyFunSuite {
     assert(err.getMessage.contains("bounded serving path"))
   }
 
+  test("OPQ∘residual IVF-PQ: the composed chain encodes ROTATED residuals and matches a driver-rotated nested-loop replay (r16)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // the production trainer on a bounded sample, then the composed
+    // wiring exactly as q_ann_opq_ivfpq_residual builds it: corpus
+    // rotated IN-FLIGHT, cells + residual codebook in rotated space
+    val (rot, _) = Similarity.trainOpqRotation(e.limit(256), "vec_id",
+      "embedding", PqFixM, PqFixSubDim, PqFixC, opqIters = 2, pqIters = 1)
+    val rotated = e.select(col("vec_id"),
+      Similarity.rotateVec(col("embedding"), rot).as("remb"))
+    val cells = Similarity.kmeansCentroids(rotated, "vec_id", "remb",
+        nCells = 16, iters = 1)
+      .map { case (id, v) => id -> v.map(_.toFloat).toArray }
+    val cb = Similarity.trainResidualPqCodebooks(
+      rotated, "vec_id", "remb", cells, PqFixM, PqFixSubDim, PqFixC, iters = 1)
+    // driver replay rotates with the DRIVER twin — any in-flight vs
+    // driver rotation drift fails the code comparison below
+    val raw = e.orderBy("vec_id").collect()
+      .map(r0 => r0.getLong(0) -> r0.getSeq[Float](1).toArray)
+    val rall = raw.map { case (id, v) => id -> Similarity.rotateDriver(v, rot) }
+    def dcos(a: Array[Float], b: Array[Float]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) {
+        ab += a(i).toDouble * b(i).toDouble
+        aa += a(i).toDouble * a(i).toDouble
+        bb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    def cellPosOf(v: Array[Float]): Int =
+      cells.indices.map(i => (-dcos(v, cells(i)._2), i)).min._2
+    def residOf(v: Array[Float], cv: Array[Float]): Array[Double] =
+      Array.tabulate(v.length)(d => v(d).toDouble - cv(d).toDouble)
+    def subDist(r: Array[Double], a: Array[Float], s: Int): Double = {
+      var acc = 0.0; var d = 0
+      while (d < PqFixSubDim) {
+        val i = s * PqFixSubDim + d
+        val diff = r(i) - a(i).toDouble; acc += diff * diff; d += 1
+      }
+      acc
+    }
+    def codesOf(r: Array[Double]): Array[Int] =
+      Array.tabulate(PqFixM)(s =>
+        cb.indices.map(a => (subDist(r, cb(a), s), a)).min._2)
+    val idx = Similarity.ivfPqResidualBuildIndex(
+      rotated, "vec_id", "remb", cells, cb, PqFixM, PqFixSubDim)
+    val byId = rall.toMap
+    val rawById = raw.toMap
+    var anyDiffersFromUnrotated = false
+    idx.collect().foreach { row =>
+      val v = byId(row.getLong(0))
+      val pos = cellPosOf(v)
+      assert(row.getLong(1) == cells(pos)._1,
+        s"rotated cell mismatch for ${row.getLong(0)}")
+      val want = codesOf(residOf(v, cells(pos)._2))
+      val got = Array.tabulate(PqFixM)(s => row.getInt(2 + s))
+      assert(got.sameElements(want),
+        s"rotated-residual codes mismatch for ${row.getLong(0)}")
+      // the rotation must be IN the chain: codes must differ somewhere
+      // from residual-encoding the UNROTATED vector against these cells
+      val unrot = rawById(row.getLong(0))
+      val unrotPos = cellPosOf(unrot)
+      if (!got.sameElements(codesOf(residOf(unrot, cells(unrotPos)._2))))
+        anyDiffersFromUnrotated = true
+    }
+    assert(anyDiffersFromUnrotated,
+      "rotated-residual codes must differ from unrotated-residual codes somewhere")
+    // the composed search equals the rotated nested-loop ADC replay
+    val got = Similarity.ivfPqResidualSearchIndex(
+        idx, rotated.filter(col("vec_id") < 16), "vec_id", "remb",
+        cells, cb, k = 5, nProbe = 4, m = PqFixM, subDim = PqFixSubDim)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getDouble(2), r0.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val want = rall.filter(_._1 < 16).flatMap { case (qid, qv) =>
+      val probed = cells.indices.map(i => (-dcos(qv, cells(i)._2), i))
+        .sorted.take(4).map(_._2)
+      val cand = probed.flatMap { pos =>
+        val qr = residOf(qv, cells(pos)._2)
+        rall.filter { case (cid, cv) =>
+          cid != qid && cellPosOf(cv) == pos }
+          .map { case (cid, cv) =>
+            val codes = codesOf(residOf(cv, cells(pos)._2))
+            val adc = (0 until PqFixM)
+              .map(s => subDist(qr, cb(codes(s)), s)).reduce(_ + _)
+            (cid, adc)
+          }
+      }
+      cand.sortBy { case (cid, adc) => (adc, cid) }.take(5)
+        .zipWithIndex.map { case ((cid, adc), i) => (qid, cid, adc, i + 1) }
+    }.sortBy(t => (t._1, t._4)).toSeq
+    assert(got.map(t => (t._1, t._2, t._4)) === want.map(t => (t._1, t._2, t._4)),
+      "composed OPQ-residual search ranking must match the rotated replay")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._3 == w._3, s"adc must be bit-identical: $g vs $w")
+    }
+  }
+
   test("sq8RerankTopK: bounded and unbounded paths agree; the unbounded plan broadcasts nothing corpus-derived") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 8)
