@@ -222,6 +222,58 @@ class JdbcOnlineStore(
       } catch { case e: Throwable => conn.rollback(); throw e }
     }
 
+  /** Grow-pending marker ([[RingMarkedStore.readPendingSize]]): one
+    * G_RING_PENDING row per shard database, the JDBC twin of the
+    * parquet `_graft_ring_pending` file. */
+  def readPendingSize(): Option[(Int, String)] =
+    try withConnection(url) { conn =>
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(
+          s"SELECT pending_size, ring_salt FROM $PendingTable")
+        val out =
+          if (rs.next()) {
+            val m = Some((rs.getInt(1), rs.getString(2)))
+            require(!rs.next(),
+              s"grow-pending marker table $PendingTable at $shardLabel holds " +
+                "more than one row — a corrupt marker must be investigated, " +
+                "not silently re-routed over")
+            m
+          } else None
+        rs.close(); out
+      } finally st.close()
+    } catch { case e: SQLException if isMissingTable(e) => None }
+
+  def writePendingSize(pending: Int, salt: String): Unit =
+    withConnection(url) { conn =>
+      try {
+        val st = conn.createStatement()
+        try st.executeUpdate(
+          s"""CREATE TABLE $PendingTable (
+             |  pending_size INT NOT NULL,
+             |  ring_salt VARCHAR(256) NOT NULL)""".stripMargin)
+        finally st.close()
+      } catch { case e: SQLException if e.getSQLState == "X0Y32" => () }
+      conn.setAutoCommit(false)
+      try {
+        val del = conn.createStatement()
+        try del.executeUpdate(s"DELETE FROM $PendingTable") finally del.close()
+        val ins = conn.prepareStatement(
+          s"INSERT INTO $PendingTable (pending_size, ring_salt) VALUES (?, ?)")
+        try {
+          ins.setInt(1, pending); ins.setString(2, salt)
+          ins.executeUpdate()
+        } finally ins.close()
+        conn.commit()
+      } catch { case e: Throwable => conn.rollback(); throw e }
+    }
+
+  def clearPendingSize(): Unit =
+    try withConnection(url) { conn =>
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DELETE FROM $PendingTable") finally st.close()
+    } catch { case e: SQLException if isMissingTable(e) => () }
+
   // ---- raw-row seam for ring rebalance (VERDICT r15 #1 stretch) ------
   // Moving a key between two JDBC shards never needs the payload
   // decoded: both ends store the identical (entity_key hex, event_ts,
@@ -364,6 +416,7 @@ object JdbcOnlineStore {
     * namespace: `tableNameFor`'s hash suffix means no (project, view)
     * pair can produce "G_RING". */
   private[online] val RingTable = "G_RING"
+  private[online] val PendingTable = "G_RING_PENDING"
 
   /** One stored row in its wire form — the unit the rebalance seam
     * moves between shards without decoding the payload. */

@@ -108,6 +108,17 @@ trait RingMarkedStore { this: OnlineStore =>
     * never written through a composite (pass-through on open). */
   def readRingMarker(): Option[(Int, Int, String)]
   def writeRingMarker(position: Int, size: Int, salt: String): Unit
+  /** The persisted grow-pending (target ring size, salt), or None —
+    * the mechanical form of the grow lifecycle's "restart old-ring
+    * writers first" precondition (r16): the GROWN composite's first
+    * mutating use arms this on every pre-grow shard, so a still-live
+    * process configured with the smaller ring refuses its next
+    * operation loudly instead of writing to pre-grow homes that
+    * silently lose to post-grow readers. Cleared by
+    * [[ShardedOnlineStore.commitRingMarkers]]. */
+  def readPendingSize(): Option[(Int, String)]
+  def writePendingSize(pending: Int, salt: String): Unit
+  def clearPendingSize(): Unit
 }
 
 object OnlineStore {
@@ -438,6 +449,16 @@ class ParquetOnlineStore(
     ShardedOnlineStore.writeRingMarker(
       hp(basePath).getFileSystem(ShardedOnlineStore.hadoopConf()),
       basePath, position, size, salt)
+  def readPendingSize(): Option[(Int, String)] =
+    ShardedOnlineStore.readPendingSize(
+      hp(basePath).getFileSystem(ShardedOnlineStore.hadoopConf()), basePath)
+  def writePendingSize(pending: Int, salt: String): Unit =
+    ShardedOnlineStore.writePendingSize(
+      hp(basePath).getFileSystem(ShardedOnlineStore.hadoopConf()),
+      basePath, pending, salt)
+  def clearPendingSize(): Unit =
+    ShardedOnlineStore.clearPendingSize(
+      hp(basePath).getFileSystem(ShardedOnlineStore.hadoopConf()), basePath)
 
   /** upsert reduces internally ((bucket, keys) max_by with map-side
     * combine) — callers need not PullLatest first. */

@@ -64,6 +64,16 @@ import graft.model.FeatureView
   * writer lease would narrow only the first symptom, not the second —
   * the fix is operational: grow = (1) stop/restart every writer AND
   * server on the grown config, (2) `graft rebalance`, (3) done.
+  *
+  * Since r16 that precondition is ENFORCED, not just documented: the
+  * grown ring's first mutating use persists a grow-pending marker
+  * (target size + salt) on every marked shard, and every composite
+  * re-probes it — per call on mutating ops, on a 5 s TTL on reads —
+  * so a still-live pre-grow process fails loudly at its next
+  * operation instead of silently losing writes or serving stale.
+  * Residual window, stated honestly: mutations already in flight when
+  * the marker lands (and reads inside one TTL) still race — the guard
+  * turns an unbounded silent hazard into a bounded, loud one.
   */
 class ShardedOnlineStore(
     val children: IndexedSeq[OnlineStore],
@@ -129,11 +139,63 @@ class ShardedOnlineStore(
           case None =>
             if (create) child.writeRingMarker(idx, n, salt)
         }
+        child.readPendingSize().foreach { case (pending, ps) =>
+          require(ps == salt,
+            s"grow-pending marker at $where was written under salt '$ps' " +
+              s"but the store is configured with '$salt' — a foreign " +
+              "composite shares this shard; investigate before routing")
+          requireNotSuperseded(pending, where)
+        }
       case _ => ()
     }
     growSizes = marked.result().distinct.filter(_ < n).sorted.reverse
     growPending = growSizes.nonEmpty
+    // ARM the mechanical restart guard (r16): the GROWN ring's first
+    // mutating use persists "a grow to n is pending" on every marked
+    // shard, so a still-live process configured with the PRE-grow ring
+    // refuses its next operation (see [[recheckSuperseded]]) instead
+    // of silently writing/serving pre-grow homes — the grow
+    // lifecycle's step-1 restart, enforced instead of documented.
+    if (create && growPending) children.foreach {
+      case child: RingMarkedStore =>
+        if (!child.readPendingSize().exists(_._1 >= n))
+          child.writePendingSize(n, salt)
+      case _ => ()
+    }
     ringLevel = want
+  }
+
+  private def requireNotSuperseded(pending: Int, where: String): Unit =
+    require(pending <= n,
+      s"ring at $where is being grown to $pending shard(s) but this " +
+        s"process is configured with $n — a live pre-grow writer's rows " +
+        "land on homes post-grow readers no longer probe first, and its " +
+        "reads go stale the moment keys move; restart this process on " +
+        "the grown configuration (grow lifecycle step 1)")
+
+  /** Re-probe shard 0's grow-pending marker (the arming pass writes
+    * all shards, so one probe suffices). Mutating ops probe EVERY
+    * call — they already run multi-second jobs, one tiny marker read
+    * is free, and the stale-writer loss window shrinks to mutations
+    * in flight when the marker lands. Reads probe on a TTL (default
+    * 5 s): a not-yet-restarted server turns loud within one TTL
+    * instead of serving stale keys for the rest of the grow. */
+  @volatile private var lastPendingProbeMs = 0L
+  private[graft] var pendingProbeTtlMs: Long = 5000L
+  private def recheckSuperseded(mutating: Boolean): Unit = {
+    val due = mutating || {
+      val now = System.currentTimeMillis()
+      (now - lastPendingProbeMs >= pendingProbeTtlMs) && {
+        lastPendingProbeMs = now; true
+      }
+    }
+    if (due) children.collectFirst { case c: RingMarkedStore => c }.foreach {
+      child =>
+        child.readPendingSize().foreach { case (pending, ps) =>
+          if (ps == salt)
+            requireNotSuperseded(pending, ShardedOnlineStore.childLabel(child))
+        }
+    }
   }
 
   /** Pre-reduce if ANY child wants it: pre-reduction is correct for
@@ -153,6 +215,7 @@ class ShardedOnlineStore(
   def upsert(project: String, view: FeatureView, joinKeys: Seq[String],
       df: DataFrame, tsCol: String, createdCol: Option[String]): Unit = {
     ensureRing(create = true)
+    recheckSuperseded(mutating = true)
     if (n == 1) return children(0).upsert(project, view, joinKeys, df, tsCol, createdCol)
     val routed = df
       .select(OnlineStore.guardNullKeys(df.columns.toSeq, joinKeys, view.name): _*)
@@ -176,6 +239,7 @@ class ShardedOnlineStore(
       entityKeys: Seq[Seq[(String, Any)]],
       features: Seq[String]): Seq[(Option[Timestamp], Map[String, FeatureValue])] = {
     ensureRing(create = false)
+    recheckSuperseded(mutating = false)
     // group per shard, one child multi-get each, reassemble in request
     // order — the request's Nth answer must be the Nth key's no matter
     // how keys interleave across shards
@@ -241,6 +305,7 @@ class ShardedOnlineStore(
   override def delete(project: String, view: FeatureView, joinKeys: Seq[String],
       keysDf: DataFrame): Unit = {
     ensureRing(create = true)
+    recheckSuperseded(mutating = true)
     if (n == 1) return children(0).delete(project, view, joinKeys, keysDf)
     // During a grow window (growPending) a tombstoned key may still
     // have a pre-grow copy sitting on its home under ANY marked ring
@@ -283,6 +348,7 @@ class ShardedOnlineStore(
   def expire(spark: SparkSession, project: String, view: FeatureView,
       joinKeys: Seq[String], tsCol: String, cutoff: Timestamp): Long = {
     ensureRing(create = true)
+    recheckSuperseded(mutating = true)
     requireExpirableChildren()
     children.map(_.asInstanceOf[ExpirableOnlineStore]
       .expire(spark, project, view, joinKeys, tsCol, cutoff)).sum
@@ -322,6 +388,7 @@ class ShardedOnlineStore(
   def rebalance(spark: SparkSession, project: String, view: FeatureView,
       joinKeys: Seq[String], tsCol: String, createdCol: Option[String]): Long = {
     ensureRing(create = true)
+    recheckSuperseded(mutating = true)
     if (children.forall(_.isInstanceOf[ParquetOnlineStore]))
       rebalanceParquet(spark, project, view, joinKeys, tsCol, createdCol)
     else if (children.forall(_.isInstanceOf[JdbcOnlineStore]))
@@ -459,7 +526,17 @@ class ShardedOnlineStore(
     * .rebalanceOnline]] drives the all-views-then-commit sequence. */
   def commitRingMarkers(): Unit = {
     children.zipWithIndex.foreach {
-      case (child: RingMarkedStore, idx) => child.writeRingMarker(idx, n, salt)
+      case (child: RingMarkedStore, idx) =>
+        child.writeRingMarker(idx, n, salt)
+        // disarm the restart guard: the grow this pending marker
+        // announced is complete, so a fresh n-ring process validates
+        // clean (a LARGER grow's pending, armed while this one was
+        // mid-flight, is preserved — clear only our own target size)
+        child.readPendingSize() match {
+          case Some((pending, ps)) if ps == salt && pending <= n =>
+            child.clearPendingSize()
+          case _ => ()
+        }
       case _ => ()
     }
     growPending = false
@@ -539,6 +616,57 @@ object ShardedOnlineStore {
       fs.delete(dest, false)
       if (!fs.rename(tmp, dest)) fs.delete(tmp, false)
     }
+  }
+
+  /** Grow-pending marker file — see [[RingMarkedStore.readPendingSize]]. */
+  val PendingMarker = "_graft_ring_pending"
+
+  private[graft] def readPendingSize(fs: org.apache.hadoop.fs.FileSystem,
+      base: String): Option[(Int, String)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$base/$PendingMarker")
+    if (!fs.exists(p)) None
+    else {
+      val txt =
+        try {
+          val in = fs.open(p)
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+          finally in.close()
+        } catch {
+          // absence between exists() and open() = a concurrent clear
+          case _: java.io.FileNotFoundException => return None
+        }
+      val o =
+        try graft.util.Json.parse(txt).asInstanceOf[graft.util.JValue.JObj]
+        catch {
+          case e: Exception => throw new IllegalStateException(
+            s"unreadable grow-pending marker at $p: '$txt' — a corrupt " +
+              "marker must be investigated, not silently re-routed over", e)
+        }
+      Some((graft.util.Json.toLong(o("pending")).toInt,
+        o("salt").asInstanceOf[graft.util.JValue.JStr].v))
+    }
+  }
+
+  private[graft] def writePendingSize(fs: org.apache.hadoop.fs.FileSystem,
+      base: String, pending: Int, salt: String): Unit = {
+    import graft.util.JValue._
+    val dest = new org.apache.hadoop.fs.Path(s"$base/$PendingMarker")
+    val tmp = new org.apache.hadoop.fs.Path(s"$base/$PendingMarker.tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    val out = fs.create(tmp, true)
+    try out.write(graft.util.Json.render(JObj(Vector(
+      "pending" -> JInt(pending), "salt" -> JStr(salt)))).getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(dest, false)
+      if (!fs.rename(tmp, dest)) fs.delete(tmp, false)
+    }
+  }
+
+  private[graft] def clearPendingSize(fs: org.apache.hadoop.fs.FileSystem,
+      base: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$base/$PendingMarker")
+    if (fs.exists(p)) fs.delete(p, false)
   }
 
   // one digest per serving thread, reset per use — getInstance per

@@ -2266,6 +2266,103 @@ class EngineSpec extends AnyFunSuite {
     dirs.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
   }
 
+  test("grow-pending guard: a live pre-grow process refuses loudly once the grown ring begins mutating (r16)") {
+    import spark.implicits._
+    // The grow lifecycle's step-1 ("restart every writer and server on
+    // the grown config BEFORE rebalance") was a documented-only
+    // precondition — a forgotten old-config writer silently wrote
+    // pre-grow homes that lose to post-grow readers. The grown ring's
+    // first mutating use now persists a grow-pending marker on every
+    // shard; the old process must fail its NEXT operation loudly.
+    val dirs = IndexedSeq.fill(3)(
+      java.nio.file.Files.createTempDirectory("graftpend").toString)
+    val view = FeatureView("pv", Seq("driver"),
+      Seq(Feature("v1", GraftType.Dbl)),
+      Duration.ZERO, DataFrameSource(Seq.empty[(Long, Timestamp, Double)]
+        .toDF("driver_id", "et", "v1"), "et"))
+    val old2 = new graft.online.ShardedOnlineStore(
+      dirs.take(2).map(d => new ParquetOnlineStore(d, numBuckets = 2)))
+    old2.upsert("p", view, Seq("driver_id"),
+      (0L until 30L).map(k => (k, ts("2024-02-01 10:00:00"), k * 1.0))
+        .toDF("driver_id", "et", "v1"), "et", None)
+    // the grown deployment comes up and MUTATES — this arms the guard
+    val grown = new graft.online.ShardedOnlineStore(
+      dirs.map(d => new ParquetOnlineStore(d, numBuckets = 2)))
+    grown.upsert("p", view, Seq("driver_id"),
+      Seq((100L, ts("2024-02-01 11:00:00"), 100.0))
+        .toDF("driver_id", "et", "v1"), "et", None)
+    // the still-live OLD writer: next upsert and delete refuse
+    val eUp = intercept[IllegalArgumentException] {
+      old2.upsert("p", view, Seq("driver_id"),
+        Seq((1L, ts("2024-02-01 12:00:00"), 9.0))
+          .toDF("driver_id", "et", "v1"), "et", None)
+    }
+    assert(eUp.getMessage.contains("grown") &&
+      eUp.getMessage.contains("restart"), eUp.getMessage)
+    val eDel = intercept[IllegalArgumentException] {
+      old2.delete("p", view, Seq("driver_id"),
+        Seq(Tuple1(1L)).toDF("driver_id"))
+    }
+    assert(eDel.getMessage.contains("restart"), eDel.getMessage)
+    // the still-live OLD server: reads turn loud within one probe TTL
+    // (TTL forced to 0 here so the spec doesn't sleep)
+    old2.pendingProbeTtlMs = 0L
+    val eRead = intercept[IllegalArgumentException] {
+      old2.read("p", view, Seq("driver_id"),
+        Seq(Seq("driver_id" -> 1L)), Seq("v1"))
+    }
+    assert(eRead.getMessage.contains("restart"), eRead.getMessage)
+    // a FRESH pre-grow-config process refuses at open, before routing
+    val fresh2 = new graft.online.ShardedOnlineStore(
+      dirs.take(2).map(d => new ParquetOnlineStore(d, numBuckets = 2)))
+    val eFresh = intercept[IllegalArgumentException] {
+      fresh2.read("p", view, Seq("driver_id"),
+        Seq(Seq("driver_id" -> 1L)), Seq("v1"))
+    }
+    assert(eFresh.getMessage.contains("restart"), eFresh.getMessage)
+    // the GROWN config itself never trips its own guard, completes the
+    // lifecycle, and commit DISARMS: a fresh grown instance validates
+    // clean and serves; a fresh pre-grow instance now fails on the
+    // committed markers (shrink), not the cleared pending
+    grown.rebalance(spark, "p", view, Seq("driver_id"), "et", None)
+    grown.commitRingMarkers()
+    val again = new graft.online.ShardedOnlineStore(
+      dirs.map(d => new ParquetOnlineStore(d, numBuckets = 2)))
+    val ok = again.read("p", view, Seq("driver_id"),
+      Seq(Seq("driver_id" -> 1L)), Seq("v1"))
+    assert(ok.head._2("v1").value == 1.0)
+    assert(again.children.head.asInstanceOf[ParquetOnlineStore]
+      .readPendingSize().isEmpty, "commit must clear the pending marker")
+    val eShrunk = intercept[IllegalArgumentException] {
+      new graft.online.ShardedOnlineStore(
+        dirs.take(2).map(d => new ParquetOnlineStore(d, numBuckets = 2)))
+        .read("p", view, Seq("driver_id"), Seq(Seq("driver_id" -> 1L)), Seq("v1"))
+    }
+    assert(eShrunk.getMessage.contains("shrink"), eShrunk.getMessage)
+    // JDBC twin: the same guard through G_RING_PENDING rows
+    val dbs = IndexedSeq.fill(2)(
+      java.nio.file.Files.createTempDirectory("graftjpend").toString + "/db")
+    def jstore(d: String) = new graft.online.JdbcOnlineStore(
+      graft.online.JdbcOnlineStore.derbyUrl(d))
+    val jold = new graft.online.ShardedOnlineStore(IndexedSeq(jstore(dbs(0))))
+    jold.upsert("p", view, Seq("driver_id"),
+      Seq((1L, ts("2024-02-01 10:00:00"), 1.0))
+        .toDF("driver_id", "et", "v1"), "et", None)
+    val jgrown = new graft.online.ShardedOnlineStore(dbs.map(jstore))
+    jgrown.upsert("p", view, Seq("driver_id"),
+      Seq((2L, ts("2024-02-01 11:00:00"), 2.0))
+        .toDF("driver_id", "et", "v1"), "et", None)
+    val eJdbc = intercept[IllegalArgumentException] {
+      jold.upsert("p", view, Seq("driver_id"),
+        Seq((1L, ts("2024-02-01 12:00:00"), 9.0))
+          .toDF("driver_id", "et", "v1"), "et", None)
+    }
+    assert(eJdbc.getMessage.contains("restart"), eJdbc.getMessage)
+    dirs.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    dbs.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(d).getParentFile))
+  }
+
   test("sharded grow by TWO: the fallback re-routes under the markers' pre-grow size, so every key serves") {
     import spark.implicits._
     // the fallback is generalized past grow-by-one (r15 self-review):
