@@ -411,9 +411,21 @@ object Cli {
       // committed; with a view argument only that view moves (markers
       // commit only if it is the sole view). A crashed rebalance is
       // recovered by re-running it.
-      case "rebalance" +: cfgPath +: rest if rest.size <= 1 =>
+      // `--parallel N` migrates up to N shards concurrently (each
+      // shard's own move sequence is unchanged; cross-shard writes
+      // already serialize on the children's writer leases) — the
+      // serve-during-grow window shrinks toward max(shard) from
+      // Σ(shards). Default stays sequential.
+      case "rebalance" +: cfgPath +: rest0 if {
+        val r = rest0.filterNot(_.startsWith("--parallel"))
+        r.size <= 1
+      } =>
+        val par = rest0.collectFirst {
+          case a if a.startsWith("--parallel=") => a.stripPrefix("--parallel=").toInt
+        }.getOrElse(1)
+        val rest = rest0.filterNot(_.startsWith("--parallel"))
         val (_, fs) = store(cfgPath)
-        val moved = fs.rebalanceOnline(rest.headOption)
+        val moved = fs.rebalanceOnline(rest.headOption, parallelism = par)
         out(s"rebalanced ${rest.headOption.getOrElse("all views")}: " +
           s"moved $moved row(s)")
 

@@ -386,25 +386,64 @@ class ShardedOnlineStore(
     * Never reorder the delete before the upsert — a crash would then
     * LOSE the moved rows. */
   def rebalance(spark: SparkSession, project: String, view: FeatureView,
-      joinKeys: Seq[String], tsCol: String, createdCol: Option[String]): Long = {
+      joinKeys: Seq[String], tsCol: String, createdCol: Option[String],
+      parallelism: Int = 1): Long = {
     ensureRing(create = true)
     recheckSuperseded(mutating = true)
     if (children.forall(_.isInstanceOf[ParquetOnlineStore]))
-      rebalanceParquet(spark, project, view, joinKeys, tsCol, createdCol)
+      rebalanceParquet(spark, project, view, joinKeys, tsCol, createdCol,
+        parallelism)
     else if (children.forall(_.isInstanceOf[JdbcOnlineStore]))
-      rebalanceJdbc(project, view.name)
+      rebalanceJdbc(project, view.name, parallelism)
     else throw new UnsupportedOperationException(
       "rebalance requires a homogeneous ring of ParquetOnlineStore or " +
         s"JdbcOnlineStore children, got " +
         children.map(_.getClass.getSimpleName).distinct.mkString(", "))
   }
 
+  /** Run `moveFrom` over every child index, sequentially (parallelism
+    * <= 1, the default — byte-for-byte the historical behavior) or on
+    * a fixed pool of driver threads. Safe to parallelize because every
+    * cross-child touch point already serializes below us: parquet
+    * children hold their per-table writer lease across each
+    * upsert/delete (concurrent movers into one target queue on it,
+    * 600 s acquisition budget), JDBC children write in single
+    * transactions, and each child's own dump→upsert→compensate→delete
+    * sequence runs entirely inside its one task. Wall-clock win at
+    * scale: N shards migrate in ~max(shard) instead of Σ(shards) —
+    * the serve-during-grow window shrinks proportionally. First
+    * failure propagates after all tasks settle (no torn half-logged
+    * state: a failed child is simply un-moved, and RE-RUNNING
+    * rebalance is already the recovery contract). */
+  private def eachChild(parallelism: Int)(moveFrom: Int => Long): Long = {
+    if (parallelism <= 1 || n == 1)
+      return children.indices.map(moveFrom).sum
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, n))
+    try {
+      val futures = children.indices.map { idx =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = moveFrom(idx)
+        })
+      }
+      // get() each in order: collects every result, rethrows the first
+      // failure (wrapped ExecutionException unwrapped for the caller)
+      futures.map { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause match { case c: Exception => c; case _ => e }
+        }
+      }.sum
+    } finally pool.shutdown()
+  }
+
   private def rebalanceParquet(spark: SparkSession, project: String,
       view: FeatureView, joinKeys: Seq[String], tsCol: String,
-      createdCol: Option[String]): Long = {
-    var moved = 0L
-    children.zipWithIndex.foreach { case (c, idx) =>
-      val child = c.asInstanceOf[ParquetOnlineStore]
+      createdCol: Option[String], parallelism: Int = 1): Long =
+    eachChild(parallelism) { idx =>
+      var moved = 0L
+      val child = children(idx).asInstanceOf[ParquetOnlineStore]
       val table =
         try child.tableDf(spark, project, view.name)
         catch { case _: org.apache.spark.sql.AnalysisException => null } // absent: nothing to move
@@ -460,9 +499,8 @@ class ShardedOnlineStore(
           }
         } finally misplaced.unpersist()
       }
+      moved
     }
-    moved
-  }
 
   /** JDBC-ring rebalance: rows move in their STORED wire form
     * ((entity_key hex, event_ts, created_ts, payload BLOB) — identical
@@ -474,10 +512,11 @@ class ShardedOnlineStore(
     * source per page keeps the crash-recovery contract. The delete is
     * by the exact hexes just copied, so advancing the cursor past
     * deleted rows is safe (keyset, not OFFSET). */
-  private def rebalanceJdbc(project: String, viewName: String): Long = {
-    var moved = 0L
-    children.zipWithIndex.foreach { case (c, idx) =>
-      val child = c.asInstanceOf[JdbcOnlineStore]
+  private def rebalanceJdbc(project: String, viewName: String,
+      parallelism: Int = 1): Long =
+    eachChild(parallelism) { idx =>
+      var moved = 0L
+      val child = children(idx).asInstanceOf[JdbcOnlineStore]
       var after: Option[String] = None
       var done = false
       while (!done) {
@@ -512,9 +551,8 @@ class ShardedOnlineStore(
           done = page.size < ShardedOnlineStore.JdbcRebalancePage
         }
       }
+      moved
     }
-    moved
-  }
 
   /** Finalize a grow AFTER [[rebalance]] has covered EVERY view the
     * store holds: refresh each shard's ring marker to the grown size

@@ -417,7 +417,8 @@ class FeatureStore(
     * before this is called (ADVICE r15 — the class docs on
     * ShardedOnlineStore explain why a live old-ring writer loses
     * updates that no engine-side guard can save). */
-  def rebalanceOnline(viewName: Option[String] = None): Long = {
+  def rebalanceOnline(viewName: Option[String] = None,
+      parallelism: Int = 1): Long = {
     val sharded = onlineStore match {
       case s: graft.online.ShardedOnlineStore => s
       case other => throw new IllegalArgumentException(
@@ -432,7 +433,7 @@ class FeatureStore(
     val moved = views.map { v =>
       sharded.rebalance(spark, project, v, joinKeysOf(v),
         v.batchSource.eventTimestampColumn,
-        v.batchSource.createdTimestampColumn)
+        v.batchSource.createdTimestampColumn, parallelism)
     }.sum
     // committing after ONE view of a multi-view store would turn the
     // grow fallback off while the other views' rows are still

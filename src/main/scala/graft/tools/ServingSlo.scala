@@ -350,8 +350,12 @@ object ServingSlo {
       }
       threads.foreach(_.start())
       Thread.sleep(300L) // readers established on the pre-migration state
+      // SPARK_GRAFT_REBALANCE_PAR=N migrates N shards concurrently —
+      // the r16 --parallel knob, measured here under live reads
+      val rebPar = sys.env.get("SPARK_GRAFT_REBALANCE_PAR")
+        .map(_.toInt).getOrElse(1)
       val tReb = System.nanoTime()
-      val movedRows = fs2.rebalanceOnline(None)
+      val movedRows = fs2.rebalanceOnline(None, parallelism = rebPar)
       val rebWall = (System.nanoTime() - tReb) / 1e9
       phase = 1 // rebalanceOnline committed the markers: fallback disarmed
       Thread.sleep(600L) // a post-commit steady tail in the same cell

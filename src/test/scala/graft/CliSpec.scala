@@ -212,8 +212,10 @@ class CliSpec extends AnyFunSuite {
       keys.map(k => Map[String, Any]("driver_id" -> k)))
     assert(resp.toMap("driver_hourly_stats:conv_rate") == keys.map(_ * 0.5),
       "every key must serve from the grown ring after rebalance")
-    // per-view variant also runs (single-view store → markers commit)
-    Cli.run(Seq("rebalance", cfgPath, "driver_hourly_stats"), spark, out.append(_))
+    // per-view variant also runs (single-view store → markers commit);
+    // the r16 --parallel flag parses beside the view argument
+    Cli.run(Seq("rebalance", cfgPath, "driver_hourly_stats", "--parallel=2"),
+      spark, out.append(_))
     assert(out.exists(_.contains("rebalanced driver_hourly_stats: moved 0 row(s)")),
       s"a second rebalance must be a converged no-op: $out")
     // loud error on a non-sharded config, the expire-online sibling rule

@@ -2266,6 +2266,65 @@ class EngineSpec extends AnyFunSuite {
     dirs.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
   }
 
+  test("parallel rebalance: concurrent per-shard movers converge to the sequential result (r16)") {
+    import spark.implicits._
+    // The serve-during-grow window is Σ(shards) under the sequential
+    // child loop; --parallel runs the per-shard move tasks on driver
+    // threads (cross-shard upserts already serialize on the children's
+    // writer leases). Grow 2→4 so TWO targets receive from TWO sources
+    // concurrently; the result must be exactly the sequential
+    // contract: moved == |HRW-changed keys|, every key serves from its
+    // grown home, and a re-run is a converged no-op.
+    val dirs = IndexedSeq.fill(4)(
+      java.nio.file.Files.createTempDirectory("graftpar").toString)
+    val view = FeatureView("prv", Seq("driver"),
+      Seq(Feature("v1", GraftType.Dbl)),
+      Duration.ZERO, DataFrameSource(Seq.empty[(Long, Timestamp, Double)]
+        .toDF("driver_id", "et", "v1"), "et"))
+    val old2 = new graft.online.ShardedOnlineStore(
+      dirs.take(2).map(d => new ParquetOnlineStore(d, numBuckets = 2)))
+    val keys = (0L until 150L).toIndexedSeq
+    old2.upsert("p", view, Seq("driver_id"),
+      keys.map(k => (k, ts("2024-02-01 10:00:00"), k * 3.0))
+        .toDF("driver_id", "et", "v1"), "et", None)
+    val grown = new graft.online.ShardedOnlineStore(
+      dirs.map(d => new ParquetOnlineStore(d, numBuckets = 2)))
+    val movedKeys = keys.filter(k =>
+      grown.shardOf(Seq("driver_id" -> k)) != old2.shardOf(Seq("driver_id" -> k)))
+    assert(movedKeys.map(k => grown.shardOf(Seq("driver_id" -> k))).toSet
+      .subsetOf(Set(2, 3)), "grow 2→4 moves must land on the new shards")
+    val moved = grown.rebalance(spark, "p", view, Seq("driver_id"), "et", None,
+      parallelism = 4)
+    assert(moved == movedKeys.size,
+      s"parallel rebalance moved $moved, expected ${movedKeys.size}")
+    grown.commitRingMarkers()
+    val after = grown.read("p", view, Seq("driver_id"),
+      keys.map(k => Seq("driver_id" -> k)), Seq("v1"))
+    keys.zip(after).foreach { case (k, (_, m)) =>
+      assert(m("v1").status == "PRESENT" &&
+        m("v1").value.asInstanceOf[Double] == k * 3.0,
+        s"key $k after parallel rebalance: ${m("v1")}")
+    }
+    // rows physically landed on their grown homes (direct child probes)
+    movedKeys.take(10).foreach { k =>
+      val home = grown.shardOf(Seq("driver_id" -> k))
+      val here = grown.children(home).read("p", view, Seq("driver_id"),
+        Seq(Seq("driver_id" -> k)), Seq("v1"))
+      assert(here.head._2("v1").status == "PRESENT", s"key $k not on home $home")
+      val src = old2.shardOf(Seq("driver_id" -> k))
+      val gone = grown.children(src).read("p", view, Seq("driver_id"),
+        Seq(Seq("driver_id" -> k)), Seq("v1"))
+      assert(gone.head._2("v1").status == "NOT_FOUND",
+        s"key $k still on source $src after parallel rebalance")
+    }
+    // converged: a second parallel run moves nothing
+    val again = new graft.online.ShardedOnlineStore(
+      dirs.map(d => new ParquetOnlineStore(d, numBuckets = 2)))
+    assert(again.rebalance(spark, "p", view, Seq("driver_id"), "et", None,
+      parallelism = 4) == 0L, "second parallel run must be a no-op")
+    dirs.foreach(d => org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
   test("grow-pending guard: a live pre-grow process refuses loudly once the grown ring begins mutating (r16)") {
     import spark.implicits._
     // The grow lifecycle's step-1 ("restart every writer and server on
