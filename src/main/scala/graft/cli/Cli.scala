@@ -259,7 +259,7 @@ object RepoConfig {
   *   graft teardown <repo.json>
   *   graft backfill <repo.json> <startTs> <endTs> <chunk-days>
   *   graft expire-online <repo.json> <view> <as-of-ts>
-  *   graft rebalance <repo.json> [view]
+  *   graft rebalance <repo.json> [view] [--parallel=N]
   *   graft vacuum <repo.json> <view> <keep-from-date>
   *   graft compact <repo.json> <view>
   *
@@ -539,7 +539,7 @@ object Cli {
         throw new IllegalArgumentException(
           s"unknown command '${other.mkString(" ")}'; commands: init, apply, materialize, " +
           "materialize-incremental, backfill <cfg> <start> <end> <chunk-days>, " +
-          "expire-online <cfg> <view> <as-of>, rebalance <cfg> [view], " +
+          "expire-online <cfg> <view> <as-of>, rebalance <cfg> [view] [--parallel=N], " +
           "entities list, feature-views list, " +
           "registry-dump, teardown, vacuum <cfg> <view> <keep-from-date>, " +
           "compact <cfg> <view>, serve <cfg> [http-port] [grpc-port] [max-seconds], " +

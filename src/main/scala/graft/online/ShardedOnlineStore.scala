@@ -338,8 +338,16 @@ class ShardedOnlineStore(
     } finally routed.unpersist()
   }
 
-  def teardown(project: String, views: Seq[FeatureView]): Unit =
+  /** Teardown is order-insensitive (every child drops the same view
+    * tables), so it skips positional marker validation — but NOT the
+    * grow guard: a pre-grow config's teardown would drop the old
+    * shards while missing the grown ring's new one(s), leaving
+    * half-torn-down state. The refusal demands the grown config,
+    * which tears down the whole ring. */
+  def teardown(project: String, views: Seq[FeatureView]): Unit = {
+    recheckSuperseded(mutating = true)
     children.foreach(_.teardown(project, views))
+  }
 
   /** TTL retention sweep fan-out — each parquet child expires its own
     * slice (the composite must not LOSE the sweep that bounds the

@@ -2371,6 +2371,12 @@ class EngineSpec extends AnyFunSuite {
         Seq(Seq("driver_id" -> 1L)), Seq("v1"))
     }
     assert(eRead.getMessage.contains("restart"), eRead.getMessage)
+    // a pre-grow config's TEARDOWN would drop the old shards while
+    // missing the grown ring's new one — refused too
+    val eTear = intercept[IllegalArgumentException] {
+      old2.teardown("p", Seq(view))
+    }
+    assert(eTear.getMessage.contains("restart"), eTear.getMessage)
     // a FRESH pre-grow-config process refuses at open, before routing
     val fresh2 = new graft.online.ShardedOnlineStore(
       dirs.take(2).map(d => new ParquetOnlineStore(d, numBuckets = 2)))
