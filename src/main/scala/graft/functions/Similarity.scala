@@ -990,6 +990,19 @@ object Similarity {
     val cand = candFull.select(col("query_id"), col("neighbor_id"))
     // self-exclusion already applied at the candidate stage; null-vector
     // queries/corpus rows never produced candidates there either
+    exactRefine(cand, queries, qIdCol, qVecCol, corpus, idCol, vecCol,
+      k, bounded)
+  }
+
+  /** The exact-refine stage shared by [[ivfPqRerankTopK]] and
+    * [[ivfPqResidualRerankTopK]]: re-score `cand` (query_id,
+    * neighbor_id) EXACTLY against the full float vectors and take the
+    * final top-k by exact squared L2 (the bit-identical cross-engine
+    * fold — see the rerank Scaladoc's determinism contract). */
+  private def exactRefine(cand: DataFrame,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, bounded: Boolean): DataFrame = {
     val qv = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
     val ev = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__ev"))
     val withQ = cand.join(qv, "query_id")
@@ -1008,6 +1021,33 @@ object Similarity {
     twoLevelTopK(scored, k)
       .select(col("query_id"), col("neighbor_id"),
         (-col("cos")).as("l2"), col("rank"))
+  }
+
+  /** Residual-index refine — the FAISS production serving shape
+    * (IVFPQ-with-residuals behind IndexRefineFlat):
+    * [[ivfPqResidualSearchIndex]] prunes + ADC-scores the staged
+    * residual code index down to the `rerankR` best candidates per
+    * query, then ONLY those |Q|·R rows are re-scored exactly against
+    * the full float corpus and cut to the final top-k by exact squared
+    * L2. Always the bounded literal path (the residual probe enforces
+    * its own query cap), so the candidate set is provably tiny and
+    * broadcast — the corpus is touched by one hash join and never
+    * shuffled. */
+  def ivfPqResidualRerankTopK(
+      index: DataFrame,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      coarse: Seq[(Long, Array[Float])], codebook: Array[Array[Float]],
+      k: Int, rerankR: Int, nProbe: Int, m: Int, subDim: Int,
+      excludeSelf: Boolean = true,
+      maxLiteralQueries: Int = 4096): DataFrame = {
+    require(rerankR >= k, s"rerankR=$rerankR must be >= k=$k")
+    val cand = ivfPqResidualSearchIndex(index, queries, qIdCol, qVecCol,
+        coarse, codebook, rerankR, nProbe, m, subDim, excludeSelf,
+        maxLiteralQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRefine(cand, queries, qIdCol, qVecCol, corpus, idCol, vecCol,
+      k, bounded = true)
   }
 
   /** SQ8 two-stage search — the scalar-quantization compression staple

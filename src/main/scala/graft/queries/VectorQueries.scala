@@ -939,29 +939,55 @@ object VectorQueries {
     * encoded ONCE into a cell-partitioned residual code index
     * ([[graft.functions.Similarity.ivfPqResidualBuildIndex]]) and the
     * query batch probes that. */
-  def annIvfPqResidual(s: SparkSession, dir: String): DataFrame = {
-    val e = embs(s, dir)
+  /** Stage (or reuse) the residual code index for `dir` and pin the
+    * oracle's stage sentinel — the shared front half of the residual
+    * probe and its refine variant. Returns (index df, cells, cb). */
+  private def residualIndexFor(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(Long, Array[Float])], Array[Array[Float]]) = {
     val cellStage = stagedIvfCells(s, dir)
     val cbStage = stagedResidualCb(s, dir)
-    val cells: Seq[(Long, Array[Float])] = s.read.parquet(cellStage)
-      .orderBy("cell_id").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
-    val cb: Array[Array[Float]] = s.read.parquet(cbStage)
-      .orderBy("aidx").select("aemb").collect()
-      .map(_.getSeq[Float](0).toArray)
+    val cells = loadCells(s, cellStage)
+    val cb = loadFloatRows(s, cbStage, "aidx", "aemb")
     val idxStage = Staging.pathFor(dir, "ivfpq_res_index_v1", "embeddings.parquet")
     Staging.publishOnce(idxStage) { tmp =>
       graft.functions.Similarity.ivfPqResidualBuildIndex(
-          e, "vec_id", "embedding", cells, cb, PqM, PqSubDim)
+          embs(s, dir), "vec_id", "embedding", cells, cb, PqM, PqSubDim)
         .write.partitionBy("cell").mode("overwrite").parquet(tmp)
     }
     residStages = Some((cellStage, cbStage))
+    (s.read.parquet(idxStage), cells, cb)
+  }
+
+  def annIvfPqResidual(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val (idx, cells, cb) = residualIndexFor(s, dir)
     val q = e.filter(col("vec_id") < AdcQ)
     graft.functions.Similarity.ivfPqResidualSearchIndex(
-        s.read.parquet(idxStage), q, "vec_id", "embedding",
+        idx, q, "vec_id", "embedding",
         cells, cb, k = AdcK, nProbe = IvfPqProbe, m = PqM, subDim = PqSubDim)
       .select(col("query_id"), col("neighbor_id"),
         round(col("adc"), 6).as("adc"), col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Residual index + exact refine — the FAISS production serving
+    * shape (IVFPQ-with-residuals behind IndexRefineFlat): the staged
+    * residual probe widened to top-R, then ONLY those |Q|·R rows
+    * exact-rescored against the full float vectors and cut to the
+    * final top-k by exact squared L2
+    * ([[graft.functions.Similarity.ivfPqResidualRerankTopK]]). Oracle:
+    * the residual ranked chain with [[annIvfPqRerankSql]]'s refine
+    * tail — identical exact-distance SQL, candidates swapped. */
+  def annIvfPqResidualRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val (idx, cells, cb) = residualIndexFor(s, dir)
+    val q = e.filter(col("vec_id") < AdcQ)
+    graft.functions.Similarity.ivfPqResidualRerankTopK(
+        idx, q, "vec_id", "embedding", e, "vec_id", "embedding",
+        cells, cb, k = AdcK, rerankR = RerankR, nProbe = IvfPqProbe,
+        m = PqM, subDim = PqSubDim)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("l2"), 6).as("l2"), col("rank").cast("int").as("rank"))
       .orderBy("query_id", "rank")
   }
 
@@ -981,12 +1007,49 @@ object VectorQueries {
       "SELECT * FROM graft_error_ivfpq_residual_stage_not_pinned_run_query_first"
   }
 
+  def annIvfPqResidualRerankSql: String = residStages match {
+    case Some((cellStage, cbStage)) =>
+      ivfPqResidualRerankSqlFrom(cellStage, cbStage)
+    case None =>
+      "SELECT * FROM graft_error_ivfpq_residual_stage_not_pinned_run_query_first"
+  }
+
   /** [[annIvfPqResidualSql]]'s chain parameterized on the staged
     * cells / codebook AND the vector source — shared by the raw
-    * residual chain (`embeddings`) and the OPQ∘residual composition
-    * (the staged ROTATED vectors, the [[annOpqSql]] contract). */
+    * residual chain (`embeddings`), the OPQ∘residual composition
+    * (the staged ROTATED vectors, the [[annOpqSql]] contract), and
+    * the residual-refine variant (adc ranked chain + exact tail). */
   private def ivfPqResidualSqlFrom(cellStage: String, cbStage: String,
-      embSource: String = "embeddings"): String = {
+      embSource: String = "embeddings"): String =
+    s"""${ivfPqResidualRankedCtes(cellStage, cbStage, embSource)}
+       |SELECT query_id, neighbor_id, round(adc, 6) AS adc, CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= $AdcK ORDER BY query_id, rank""".stripMargin
+
+  /** The residual ranked chain + [[annIvfPqRerankSql]]'s exact-refine
+    * tail (same exact-distance SQL over the chain's own `q`/`e` CTEs,
+    * candidates = the residual ADC top-R). */
+  private def ivfPqResidualRerankSqlFrom(cellStage: String, cbStage: String,
+      embSource: String = "embeddings"): String =
+    s"""${ivfPqResidualRankedCtes(cellStage, cbStage, embSource)},
+       |cand_r AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= $RerankR),
+       |refine AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         list_dot_product(q.qv, q.qv)
+       |           - 2 * list_dot_product(q.qv, e2.v)
+       |           + list_dot_product(e2.v, e2.v) AS l2
+       |  FROM cand_r c
+       |  JOIN q ON q.qid = c.query_id
+       |  JOIN e e2 ON e2.vec_id = c.neighbor_id),
+       |fin AS (
+       |  SELECT query_id, neighbor_id, l2,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY l2 ASC, neighbor_id ASC) AS rn
+       |  FROM refine)
+       |SELECT query_id, neighbor_id, round(l2, 6) AS l2, CAST(rn AS INTEGER) AS rank
+       |FROM fin WHERE rn <= $AdcK ORDER BY query_id, rank""".stripMargin
+
+  private def ivfPqResidualRankedCtes(cellStage: String, cbStage: String,
+      embSource: String): String = {
       def residList(vecExpr: String, cvExpr: String): String =
         s"list_transform(range(1, ${Dim + 1}), i -> $vecExpr[i] - $cvExpr[i])"
       def diffSumResid(r: String): String =
@@ -1060,9 +1123,7 @@ object VectorQueries {
          |  SELECT qid AS query_id, vec_id AS neighbor_id, $adcSum AS adc,
          |         ROW_NUMBER() OVER (PARTITION BY qid
          |                            ORDER BY $adcSum ASC, vec_id ASC) AS rank
-         |  FROM piv)
-         |SELECT query_id, neighbor_id, round(adc, 6) AS adc, CAST(rank AS INTEGER) AS rank
-         |FROM ranked WHERE rank <= $AdcK ORDER BY query_id, rank""".stripMargin
+         |  FROM piv)""".stripMargin
   }
 
   // ---- per-label centroids (mean pooling) ----------------------------
@@ -1421,6 +1482,7 @@ object VectorQueries {
     "q_ann_ivfpq_trained" -> (annIvfPqTrained _),
     "q_ann_ivfpq_persisted" -> (annIvfPqPersisted _),
     "q_ann_ivfpq_residual" -> (annIvfPqResidual _),
+    "q_ann_ivfpq_residual_rerank" -> (annIvfPqResidualRerank _),
     "q_ann_opq_ivfpq_residual" -> (annOpqIvfPqResidual _),
     "q_ann_sq8_rerank" -> (annSq8Rerank _),
     "q_random_projection" -> (randomProjection _),
@@ -1452,6 +1514,7 @@ object VectorQueries {
     "q_ann_ivfpq_trained" -> annIvfPqTrainedSql,
     "q_ann_ivfpq_persisted" -> annIvfPqTrainedSql,
     "q_ann_ivfpq_residual" -> annIvfPqResidualSql,
+    "q_ann_ivfpq_residual_rerank" -> annIvfPqResidualRerankSql,
     "q_ann_opq_ivfpq_residual" -> annOpqIvfPqResidualSql,
     "q_ann_sq8_rerank" -> annSq8RerankSql,
     "q_hash_embedding" -> hashEmbeddingSql)

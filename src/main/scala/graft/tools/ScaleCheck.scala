@@ -208,6 +208,10 @@ object ScaleCheck {
       // per-row rotation projection in front; the ratio pins that the
       // rotation stays a map (no new exchange) at N×
       "q_ann_opq_ivfpq_residual",
+      // r16: residual probe + exact refine — the |Q|*R candidate fetch
+      // must stay bounded at N× (the ivfpq_rerank shape over the
+      // staged residual index)
+      "q_ann_ivfpq_residual_rerank",
       // r16: the SQ8 two-stage chain — stage 1 is a linear compressed
       // scan, stage 2 a |Q|*R-bounded exact fetch; the ratio pins that
       // nothing in the chain goes quadratic
@@ -252,6 +256,7 @@ object ScaleCheck {
     val staged = Set("q_ann_ivfpq_persisted", "q_ann_ivfpq_trained",
       "q_ann_pq_trained", "q_dedup_simhash", "q_ann_opq", "q_ann_opq_ivf",
       "q_ann_ivfpq_residual", "q_ann_opq_ivfpq_residual",
+      "q_ann_ivfpq_residual_rerank",
       "q_unigram_encode_persisted", "q_bpe_encode_persisted")
     selected.filter(staged).foreach(q => time(q, outDir))
     val lines = selected.map { q =>

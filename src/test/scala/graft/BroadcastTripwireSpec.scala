@@ -89,8 +89,11 @@ class BroadcastTripwireSpec extends AnyFunSuite {
     "q_ann_sq8_rerank", "q_ann_ivfpq_residual",
     // r16: the OPQ∘residual composition — same staged-index probe
     // shape as q_ann_ivfpq_residual with the rotation expression in
-    // front of corpus/query projections (a per-row map, no join)
-    "q_ann_opq_ivfpq_residual")
+    // front of corpus/query projections (a per-row map, no join) —
+    // and the residual refine (probe + the |Q|·R-bounded exact fetch,
+    // whose candidate broadcast is the literal-gate-proven allowlisted
+    // shape, same as q_ann_ivfpq_rerank)
+    "q_ann_opq_ivfpq_residual", "q_ann_ivfpq_residual_rerank")
 
   /** Bounded-shape allowlist: broadcast build sides that scan a corpus
     * table but are BOUNDED BY CONSTRUCTION, verified per shape.
@@ -114,6 +117,19 @@ class BroadcastTripwireSpec extends AnyFunSuite {
         (hit.chain.startsWith("Project<-Filter<-Scan parquet") ||
           hit.chain.startsWith("Project<-BroadcastHashJoin")) &&
           hit.scans == Seq("embeddings")
+      case "q_ann_ivfpq_residual_rerank" =>
+        // the refine stage's two FORCED broadcasts, both bounded by
+        // the residual probe's own literal-path cap (it ONLY serves
+        // literal batches — over-cap callers are refused up front):
+        // the candidate set (<= |Q|·R rows — the staged-index ADC
+        // top-R joined to the broadcast query vectors, hence the
+        // inner BroadcastHashJoin + the res-index scan in its chain)
+        // and the query-vector fetch (<= |Q| rows — a Filter straight
+        // over the corpus scan)
+        (hit.chain.startsWith("Project<-BroadcastHashJoin") &&
+          hit.scans.exists(_.startsWith("graft_ivfpq_res_index"))) ||
+        (hit.chain.startsWith("Project<-Filter<-Scan parquet") &&
+          hit.scans == Seq("embeddings"))
       case _ => false
     }
 

@@ -1864,6 +1864,51 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqResidualRerankTopK: exact refine over the residual index lifts recall and orders by exact L2 (r16)") {
+    // The residual twin of the refine contract: candidates come from
+    // the STAGED residual code index (cells + residual codebook), the
+    // refine stage is byte-for-byte the shared exactRefine. Pins the
+    // same two properties as the non-residual spec — recall floor vs
+    // the unrefined residual probe, and exact-L2 rank ordering.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 32)
+    val all = e.orderBy("vec_id").select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq
+    val byId = all.toMap
+    val cells = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        nCells = 16, iters = 1)
+      .map { case (id, v) => id -> v.map(_.toFloat).toArray }
+    val cb = Similarity.trainResidualPqCodebooks(
+      e, "vec_id", "embedding", cells, PqFixM, PqFixSubDim, PqFixC, iters = 1)
+    val idx = Similarity.ivfPqResidualBuildIndex(
+      e, "vec_id", "embedding", cells, cb, PqFixM, PqFixSubDim)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (qid, ns) => qid -> ns.map(_._2).toSet }
+      val rs = got.map { case (qid, approx) =>
+        (exactL2TopK(qid, byId(qid), all, 5) & approx).size / 5.0
+      }
+      rs.sum / rs.size
+    }
+    val unrefined = recallOf(Similarity.ivfPqResidualSearchIndex(
+      idx, q, "vec_id", "embedding", cells, cb,
+      k = 5, nProbe = 4, m = PqFixM, subDim = PqFixSubDim))
+    val rerankDf = Similarity.ivfPqResidualRerankTopK(
+      idx, q, "vec_id", "embedding", e, "vec_id", "embedding",
+      cells, cb, k = 5, rerankR = 15, nProbe = 4,
+      m = PqFixM, subDim = PqFixSubDim)
+    val reranked = recallOf(rerankDf)
+    assert(reranked >= unrefined,
+      s"residual rerank recall@5 $reranked must be >= unrefined $unrefined")
+    val rows = rerankDf.collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(3) max 0)
+      val l2s = byRank.map(_.getDouble(2))
+      assert(l2s.sameElements(l2s.sorted),
+        "residual-refined ranks must be ordered by exact L2")
+    }
+  }
+
   test("bruteForceTopK literal-probe path is bit-identical to the broadcast path") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
