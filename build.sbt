@@ -39,4 +39,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pin the initial heap to the max: ParallelGC grows the heap through
+  // full collections, so an unpinned 8 g heap pays several avoidable
+  // stop-the-world cycles in the first bench passes (r16 A/B rows in
+  // OPTIMIZATION_r16.md; ratio-to-same-run-DuckDB 1.36/0.96 pinned vs
+  // 1.45/1.40 unpinned).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Throughput GC for the forked batch JVMs (bench/verify/tests): these
+  // are short-lived, allocation-heavy batch runs where ParallelGC's
+  // stop-the-world young collections beat G1's concurrent machinery —
+  // measured r16 on interleaved same-box bench pairs: G1 3.846/4.355/
+  // 3.986 s vs ParallelGC 3.349/3.004/3.421 s total (≈15-20% on every
+  // draw, every headline query moved, no outlier). The standard Spark
+  // batch-throughput GC guidance; long-lived low-latency serving
+  // deployments would keep G1 — override via SPARK_GRAFT_GC.
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "Parallel")}GC",
 )

@@ -17,7 +17,9 @@ object FormattedPlans {
     val sfDir = args(0)
     val outDir = args(1)
     val names =
-      if (args.length > 2) args.drop(2).toSeq
+      if (args.length > 2 && args(2) == "ALL")
+        graft.SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 2) args.drop(2).toSeq
       else Seq("q_pit_join_single", "q_pit_join_multi",
         "q_materialize_roundtrip", "q_online_multiget",
         "q_stream_materialize", "q_agg_pushdown", "q_window_topk",
