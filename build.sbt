@@ -53,5 +53,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // draw, every headline query moved, no outlier). The standard Spark
   // batch-throughput GC guidance; long-lived low-latency serving
   // deployments would keep G1 — override via SPARK_GRAFT_GC.
-  s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "Parallel")}GC",
+  // ADVICE r16: the flag is built by interpolation, so an off-list
+  // value (e.g. "G1GC" or a full -XX flag) would produce a malformed
+  // option and every forked JVM would fail at launch with an opaque
+  // error — validate against the JDK's collector names and fail HERE
+  // with a readable message instead.
+  {
+    val gc = sys.env.getOrElse("SPARK_GRAFT_GC", "Parallel")
+    val allowed = Set("Parallel", "G1", "Z", "Serial", "Shenandoah")
+    require(allowed.contains(gc),
+      s"SPARK_GRAFT_GC must be one of ${allowed.mkString("/")} (got '$gc'): " +
+        "it is interpolated into -XX:+Use<value>GC")
+    s"-XX:+Use${gc}GC"
+  },
 )

@@ -12,6 +12,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the full materialization the operator would feed downstream.
   */
 object Bench {
+  /** Queries the bench runs with AQE off (static plans — see the long
+    * policy comment in [[main]]). Shared with tools/FormattedPlans and
+    * probes so dumped plans cannot silently diverge from what the
+    * bench executes (ADVICE r16). */
+  val StaticPlanQueries: Set[String] =
+    Set("q_agg_pushdown", "q_window_topk", "q_ann_brute_force")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -165,7 +172,7 @@ object Bench {
     // members are generic DataFrame queries with no engine operator to
     // own the policy; the per-job conf here is the documented
     // deployment conf, same as before.)
-    val staticPlan = Set("q_agg_pushdown", "q_window_topk", "q_ann_brute_force")
+    val staticPlan = StaticPlanQueries
     // Prepared-plan reuse (PlanReuseProbe-measured: ~0.2 s/run of pure
     // Catalyst re-construction + re-analysis on ann/window_topk, ~0.05 s
     // on the PIT pair): the side-effect-free declarative queries build
@@ -279,7 +286,15 @@ object Bench {
     }
     val states = scala.collection.mutable.LinkedHashMap(
       headline.filter(SparkEntry.queries.contains).map(n => n -> new QState): _*)
-    val passes = 3
+    // r17 (VERDICT r16 #4/#5): median of 3 passes was too weak for this
+    // box's noise regime — one loaded window flipped 6 queries to
+    // "regressed" in the r16 artifact while the same-run DuckDB control
+    // and in-run floors moved with them. 5 passes keeps the identical
+    // methodology (per-pass min-of-runs, median across passes — now 2
+    // alien windows tolerated instead of 1); per-pass walls were already
+    // printed on the "[bench] pass mins" line. Additions only: same
+    // queries, same metric-line shape, same floors.
+    val passes = 5
     for (pass <- 0 until passes; (name, st) <- states if !st.failed) {
       val fn = SparkEntry.queries(name)
       // JMH-style inter-iteration hygiene: prior queries leave dead
@@ -470,7 +485,7 @@ object Bench {
     }.mkString(" "))
     println(f"[bench] floor units: dispatch=$dispatchFloor%.4fs/job stream=$streamBatchFloor%.3fs/batch; " +
       "per-query floor_s = jobs*dispatch + batches*streamBatch, counted on a warm run")
-    val notes = "steady=median of 3 engine passes (each min-of-runs; " +
+    val notes = s"steady=median of $passes engine passes (each min-of-runs; " +
       f"max pass spread $spreadMax%.3fs); noreuse=re-analyzed per run " +
       "like DuckDB re-parses; floor_s=jobs*dispatch+batches*streamWAL " +
       f"probed in-session (${dispatchFloor}%.3f/$streamBatchFloor%.3fs); " +

@@ -675,30 +675,37 @@ object CoreQueries {
 
   /** Window top-k per group — the reference's only window shape
     * (ROW_NUMBER <= k, bigquery.py:86-95), executed SCALE-SAFE through
-    * [[graft.functions.BoundedMinK]] instead of a row_number window:
-    * the window formulation ships EVERY row of a hot key to one
-    * reducer before cutting, while the bounded heap carries at most
-    * k rows per (key, map task) on the shuffle — same results (the
-    * equivalence incl. hot keys is pinned by PipelineSpec's
-    * topKPerKey tests), same ROW_NUMBER oracle. Ranks are the
-    * positions of the heap's sorted output; (-price, orderkey)
+    * a bounded aggregate instead of a row_number window: the window
+    * formulation ships EVERY row of a hot key to one reducer before
+    * cutting, while the bounded aggregate carries at most k rows per
+    * (key, map task) on the shuffle — same results, same ROW_NUMBER
+    * oracle. r17: the aggregate is [[graft.functions.TopKSlots]], the
+    * DECLARATIVE fixed-k form whose flattened primitive buffer plans
+    * as a codegen'd HashAggregate — r16's JFR attributed the map task
+    * to ObjectHashAggregate machinery around the previous
+    * BoundedMinK heap (same semantics, pinned equal by
+    * PipelineSpec's TopKSlots-vs-window tests). Ranks are the
+    * positions of the sorted slot output; (-price, orderkey)
     * ascending IS (price DESC, orderkey ASC) — double negation is
     * IEEE-exact. */
   def windowTopK(s: SparkSession, dir: String): DataFrame = {
-    val payload = struct((-col("o_totalprice")).as("np"),
-      col("o_orderkey").as("ok"), col("o_totalprice").as("price"))
     pq(s, dir, "orders")
-      // NULL order keys can never hold a rank: the negated struct
+      // NULL order keys can never hold a rank: the negated first
       // field would sort a NULL price FIRST (rank 1) where the
       // ROW_NUMBER ... DESC oracle ranks it last — the same null
       // filter Quota.topKPerKey applies (review r6; no null prices in
       // this data, but the equivalence claim must not depend on that)
       .filter(col("o_totalprice").isNotNull)
-      // pre-projected payload: the scan stage's codegen builds the
-      // struct; the aggregate's child is a bound attribute
-      .select(col("o_custkey"), payload.as("__payload"))
+      // pre-projected fields: the scan stage's codegen negates once;
+      // the aggregate's children are bound attributes
+      .select(col("o_custkey"), (-col("o_totalprice")).as("np"),
+        col("o_orderkey").as("ok"), col("o_totalprice").as("price"))
       .groupBy(col("o_custkey"))
-      .agg(graft.functions.BoundedMinK.column(col("__payload"), 3).as("__top"))
+      // comparison on (np, ok) only — price = -np exactly, so the
+      // 2-field prefix totally orders the tuples (cmpFields contract)
+      .agg(graft.functions.TopKSlots.column(
+        Seq("np" -> col("np"), "ok" -> col("ok"), "price" -> col("price")),
+        3, cmpFields = 2).as("__top"))
       .select(col("o_custkey"), posexplode(col("__top")))
       .select(col("o_custkey"), col("col.ok").as("o_orderkey"),
         col("col.price").as("o_totalprice"),

@@ -127,6 +127,61 @@ object AsofScale {
     runText("1x", feat1)
     runText("10x", feat10)
     runText("100x", feat100)
+
+    // ---- MULTI-VIEW chain rows (VERDICT r16 #8): the q_pit_join_multi
+    // shape — two views on DIFFERENT keys (user_id then custkey), so the
+    // chain re-exchanges the accumulated frame once per view. Prices the
+    // route decision the auto gate makes ONCE for the whole chain:
+    // sortmerge (acc + each feature table exchanged) vs broadcast (the
+    // accumulated frame broadcast per link, feature scans never
+    // exchanged) at growing feature scale, wall + shuffled bytes, plus
+    // what the gate decides from stats. Entity is held at 1x (a
+    // training batch); the feature sides grow through the replicas.
+    def runMulti(tag: String, featDir: String): Unit = {
+      if (!new java.io.File(s"$featDir/events.parquet").exists()) {
+        println(s"[asof-scale] $tag multi: events replica missing"); return
+      }
+      val ev1 = graft.sources.Tables.read(spark, entDir, "events")
+      val entity = ev1.select(col("event_id"), col("user_id"),
+        col("user_id").as("custkey"), col("ts").as("event_timestamp"))
+      val evFeat = graft.sources.Tables.read(spark, featDir, "events")
+        .select(col("user_id"), col("ts"), col("event_id").as("f_event_id"),
+          col("event_type"), col("value"))
+      val ordFeat = graft.sources.Tables.read(spark, featDir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val payload = Seq((evFeat, "event_type"), (evFeat, "value"),
+        (ordFeat, "o_totalprice"), (ordFeat, "o_orderstatus"))
+      val biggest = Seq(evFeat, ordFeat).maxBy(
+        _.queryExecution.optimizedPlan.stats.sizeInBytes)
+      val decided = graft.plans.AsOfJoin.chooseStrategy(entity, biggest, payload)
+      println(s"[asof-scale] $tag multi: auto gate decides $decided")
+      for (strategy <- Seq(graft.plans.AsOfJoin.SortMerge, graft.plans.AsOfJoin.Broadcast)) {
+        val link1 = graft.plans.AsOfJoin.join(entity, evFeat, Seq("user_id"),
+          "event_timestamp", "ts", java.time.Duration.ofDays(2),
+          orderCols = Seq("f_event_id"), featureCols = Seq("event_type", "value"),
+          strategy = strategy)
+        val df = graft.plans.AsOfJoin.join(link1, ordFeat, Seq("custkey"),
+          "event_timestamp", "o_orderdate", java.time.Duration.ZERO,
+          orderCols = Seq("o_orderkey"),
+          featureCols = Seq("o_totalprice", "o_orderstatus"),
+          strategy = strategy)
+        def force(): Unit = df.write.format("noop").mode("overwrite").save()
+        force() // cold: codegen + listings
+        shuffleWrite.set(0)
+        val walls = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); force(); (System.nanoTime() - t0) / 1e9
+        }
+        Thread.sleep(500)
+        val shufMb = shuffleWrite.get / 3.0 / 1e6
+        println(f"[asof-scale] $tag%-5s multi-$strategy%-10s min=${walls.min}%7.3f s " +
+          f"shuffleWrite=$shufMb%9.2f MB/run " +
+          f"walls=${walls.map(w => f"$w%.3f").mkString(",")}")
+      }
+    }
+    runMulti("1x", feat1)
+    runMulti("10x", feat10)
+    runMulti("100x", feat100)
     spark.stop()
   }
 }

@@ -36,9 +36,11 @@ object FormattedPlans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.Tables.configure(spark)
-    // same per-query AQE policy as the bench session
-    val staticPlan = Set("q_agg_pushdown", "q_window_topk", "q_ann_brute_force")
+    // same per-query AQE policy as the bench session (shared constant,
+    // ADVICE r16: a drifted copy would dump plans the bench never runs)
+    val staticPlan = graft.Bench.StaticPlanQueries
     new java.io.File(outDir).mkdirs()
+    var failed = 0
     names.foreach { n =>
       try {
         if (staticPlan(n)) spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -48,12 +50,17 @@ object FormattedPlans {
         val w = new java.io.PrintWriter(s"$outDir/$n.txt")
         try w.println(txt) finally w.close()
         println(s"[plans] wrote $outDir/$n.txt")
-      } catch { case e: Throwable =>
-        System.err.println(s"[plans] $n failed: ${e.getMessage}")
+      } catch { case scala.util.control.NonFatal(e) =>
+        // ADVICE r16: swallowing fatals + exit 0 let a failed dump pass
+        // as "zero failures" — count, name the class, and exit non-zero
+        failed += 1
+        System.err.println(s"[plans] $n failed: ${e.getClass.getName}: ${e.getMessage}")
       } finally {
         if (staticPlan(n)) spark.conf.set("spark.sql.adaptive.enabled", "true")
       }
     }
+    println(s"[plans] done: ${names.size - failed}/${names.size} dumped, $failed failed")
     spark.stop()
+    if (failed > 0) sys.exit(1)
   }
 }

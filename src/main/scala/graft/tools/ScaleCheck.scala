@@ -245,7 +245,20 @@ object ScaleCheck {
     // optional 4th arg: comma-separated query filter (iterate on one
     // operator without re-timing the full set; replica build unchanged)
     val only = args.lift(3).map(_.split(",").toSet)
-    val selected = only.fold(queries)(f => queries.filter(f))
+    // r17 (VERDICT r16 #4): the full-session refresh produced ratios up
+    // to 3x their isolated re-runs (dedup_minhash 14.29x full vs
+    // 4.7-5.0x isolated) — session ordering/cache effects contaminating
+    // the instrument, not the operators. Isolation measures: (a) the
+    // query ORDER is shuffled (seeded; override SPARK_GRAFT_SCALE_SEED
+    // to re-draw), so a systematic predecessor effect cannot pin to the
+    // same victim twice; (b) each wall is the MIN OF 2 runs, so a
+    // one-off alien event (GC landing in the timed region, page-cache
+    // eviction) cannot set a ratio by itself; (c) System.gc() between
+    // queries — the bench's inter-iteration hygiene — so a predecessor's
+    // garbage is not billed to the next query's timed region.
+    val seed = sys.env.getOrElse("SPARK_GRAFT_SCALE_SEED", "17").toLong
+    val selected = new scala.util.Random(seed)
+      .shuffle(only.fold(queries)(f => queries.filter(f)))
     selected.foreach(q => time(q, baseDir)) // warm: codegen + analyzer JIT
     // queries that publishOnce-stage per-dataset artifacts (trained
     // cells/codebooks, the persisted code table) must warm the SCALED
@@ -260,13 +273,14 @@ object ScaleCheck {
       "q_unigram_encode_persisted", "q_bpe_encode_persisted")
     selected.filter(staged).foreach(q => time(q, outDir))
     val lines = selected.map { q =>
-      val t1 = time(q, baseDir)
+      System.gc()
+      val t1 = math.min(time(q, baseDir), time(q, baseDir))
       System.err.println(s"[scalecheck] $q 1x done: $t1")
-      val tn = time(q, outDir)
+      val tn = math.min(time(q, outDir), time(q, outDir))
       System.err.println(s"[scalecheck] $q ${factor}x done: $tn")
       f""""$q":{"t1":$t1%.2f,"t$factor":$tn%.2f,"wall_ratio":${tn / t1}%.2f}"""
     }
-    println(s"""{"factor":$factor,${lines.mkString(",")}}""")
+    println(s"""{"factor":$factor,"seed":$seed,${lines.mkString(",")}}""")
     spark.stop()
   }
 }

@@ -110,6 +110,49 @@ object StreamFloor {
     (0 until 2).foreach { i =>
       runAsync(s"async-noop-8batch run=$i", Some(1))
     }
+
+    // ---- batch-size amortization probe (VERDICT r16 #7): the claim
+    // "the ~0.3-0.5 s/batch WAL floor amortizes at any real micro-batch
+    // size" gets a measured row — the SAME single-batch stream shape
+    // (LWW collapse + collect) over a 10x-row input. Per-batch wall
+    // must grow far below 10x: the floor is per-BATCH (offset/commit
+    // WAL + re-analysis), the marginal cost per-ROW.
+    locally {
+      val input10 = s"${input}_x10"
+      if (!new java.io.File(s"$input10/_SUCCESS").exists()) {
+        import org.apache.spark.sql.functions._
+        val base = spark.read.parquet(input)
+        val reps = spark.range(10).select(col("id").as("__rep"))
+        base.crossJoin(broadcast(reps))
+          .select((col("user_id") + col("__rep") * 10000000L).as("user_id"),
+            col("ts"), col("event_type"), col("value"))
+          .repartition(8)
+          .write.mode("overwrite").parquet(input10)
+      }
+      def runOn(tag: String, in: String): Double = {
+        val ckpt = s"$ckptBase/graft_floor_${java.util.UUID.randomUUID().toString.take(8)}"
+        val t0 = System.nanoTime()
+        val q = spark.readStream.format("parquet")
+          .schema(spark.read.parquet(in).schema)
+          .load(in)
+          .writeStream.outputMode("update").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) => lww(b) }
+          .start()
+        q.awaitTermination()
+        val w = (System.nanoTime() - t0) / 1e9
+        println(f"[floor] $tag wall=$w%.3f s")
+        w
+      }
+      val pairs = (0 until 3).map { i =>
+        val w1 = runOn(s"amortize-1x-1batch run=$i", input)
+        val w10 = runOn(s"amortize-10x-1batch run=$i", input10)
+        (w1, w10)
+      }
+      val b1 = pairs.map(_._1).min; val b10 = pairs.map(_._2).min
+      println(f"[floor] amortization: 10x rows -> ${b10 / b1}%.2fx wall " +
+        f"(1x=$b1%.3f s, 10x=$b10%.3f s; per-batch floor amortizes, marginal cost is per-row)")
+    }
     spark.stop()
   }
 }

@@ -52,6 +52,9 @@ object TopkProbe {
     val b = windowVariant()
     val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
     println(s"[topkprobe] result diff rows = $diff (must be 0)")
+    // ADVICE r16: a parity probe that times past a mismatch can be
+    // scrolled over — fail loudly before any timing matters
+    require(diff == 0, s"topk variants disagree: $diff differing rows")
     println("[topkprobe] window-variant plan:")
     println(b.queryExecution.executedPlan.toString.linesIterator
       .filter(l => l.contains("WindowGroupLimit") || l.contains("Exchange") ||
