@@ -33,7 +33,15 @@ object VectorQueries {
       col("vec_id") +:
         (0 until RpK).map(j =>
           VectorSketch.projectDim(col("embedding"), RpSigns(j)).as(s"p_$j")): _*)
-      .orderBy("vec_id")
+    // r17: no trailing orderBy — it existed only to make output order
+    // deterministic, which the oracle gate never observes (both sides
+    // are compared sorted), and it cost a range-sampling job + a full
+    // exchange + sort of the projected output (guide §2.4 "an orderBy
+    // used only to make output deterministic"). Same rows; the oracle
+    // SQL keeps its ORDER BY (DuckDB side unchanged). This was the one
+    // ScaleCheck row still >5x under the isolated instrument — both
+    // its walls were floor-scale, and the sort's extra job + exchange
+    // was most of the 10x side.
 
   val randomProjectionSql: String = {
     val dims = (0 until RpK).map { j =>

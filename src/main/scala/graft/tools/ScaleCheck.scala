@@ -241,7 +241,12 @@ object ScaleCheck {
       // span corruption: one codegen'd projection, no join — the ratio
       // pins that the per-position schedule stays embarrassingly
       // parallel (wall ≈ scan growth)
-      "q_span_corruption")
+      "q_span_corruption",
+      // r17: the top-k cut moved from the BoundedMinK heap to the
+      // declarative TopKSlots HashAggregate — the ratio pins that the
+      // flattened-slot partial/merge keeps the k-capped shuffle bound
+      // (wall must track the orders scan, never group sizes)
+      "q_window_topk")
     // optional 4th arg: comma-separated query filter (iterate on one
     // operator without re-timing the full set; replica build unchanged)
     val only = args.lift(3).map(_.split(",").toSet)
