@@ -784,7 +784,9 @@ object CorpusQueries {
     * lambdas. */
   def spanCorruption(s: SparkSession, dir: String): DataFrame =
     graft.functions.Denoise.spanCorruption(docs(s, dir), "doc_id", "text")
-      .orderBy("doc_id")
+    // r17: no trailing orderBy — determinism-only (the gate compares
+    // sorted), and the range-sampling pass re-executed the whole span
+    // schedule projection per row (guide §2.4; OPTIMIZATION_r17 §5)
 
   val spanCorruptionSql: String = {
     val B = graft.functions.Denoise.BlockSize

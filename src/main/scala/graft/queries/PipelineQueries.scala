@@ -975,7 +975,9 @@ object PipelineQueries {
       .withColumn("phash_bits", Multimodal.stubAverageHash(col("payload")))
       .select(col("doc_id"), col("phash_bits"),
         length(translate(col("phash_bits"), "0", "")).cast("long").as("n_bits_set"))
-      .orderBy("doc_id")
+      // r17: no trailing orderBy — determinism-only (the gate compares
+      // sorted), and the range-sampling pass re-executed the expensive
+      // per-row codec work for every row (guide §2.4; OPTIMIZATION_r17 §5)
 
   val imagePhashSql: String =
     """WITH p AS (
@@ -1256,7 +1258,9 @@ object PipelineQueries {
     Multimodal.decodeBatched(withPayload, "payload", new Multimodal.ImageIoDecoder,
         numPartitions = Some(s.sparkContext.defaultParallelism))
       .select(col("doc_id"), col("width"), col("height"), col("channels"))
-      .orderBy("doc_id")
+      // r17: no trailing orderBy — determinism-only (the gate compares
+      // sorted), and the range-sampling pass re-executed the expensive
+      // per-row codec work for every row (guide §2.4; OPTIMIZATION_r17 §5)
   }
 
   val imageDecodeSql: String =
@@ -1312,7 +1316,9 @@ object PipelineQueries {
         numPartitions = Some(s.sparkContext.defaultParallelism))
       .select(col("doc_id"), col("sample_rate"), col("channels"), col("bits"),
         col("n_frames"), col("duration_ms"))
-      .orderBy("doc_id")
+      // r17: no trailing orderBy — determinism-only (the gate compares
+      // sorted), and the range-sampling pass re-executed the expensive
+      // per-row codec work for every row (guide §2.4; OPTIMIZATION_r17 §5)
   }
 
   val audioDecodeSql: String =
@@ -1367,7 +1373,9 @@ object PipelineQueries {
     Multimodal.decodeBatched(resized, "resized", new Multimodal.ImageIoDecoder,
         numPartitions = Some(s.sparkContext.defaultParallelism))
       .select(col("doc_id"), col("width"), col("height"), col("channels"))
-      .orderBy("doc_id")
+      // r17: no trailing orderBy — determinism-only (the gate compares
+      // sorted), and the range-sampling pass re-executed the expensive
+      // per-row codec work for every row (guide §2.4; OPTIMIZATION_r17 §5)
   }
 
   val imageResizeSql: String =
